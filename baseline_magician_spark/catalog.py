@@ -1,0 +1,55 @@
+"""Table catalog: the driver-generated parquet test tables.
+
+One parquet file per table (see /root/repo/TESTDATA.md). At 100 TB these
+would be directory-partitioned datasets (e.g. lineitem by l_shipdate
+month, events by date(ts)); the loader API stays identical —
+``spark.read.parquet`` handles both a single file and a partitioned
+directory tree, and Catalyst does partition pruning from the same
+filters we already emit (the reference's dual date/datetime predicate
+trick, main.go:275, maps to that directly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Tables small enough to broadcast-join at any scale factor (dimensions).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Runtime-settable SQL conf: callers (e.g. the verify driver) may
+    # hand us a session without it, and TIMESTAMP(NANOS) parquet errors
+    # outright otherwise.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is TIMESTAMP(NANOS) parquet, surfaced as int64 epoch-ns
+    # under spark.sql.legacy.parquet.nanosAsLong; convert to µs
+    # timestamps with integer division (exact — doubles would lose
+    # precision above 2^53 ns).
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (for the SQL API path)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

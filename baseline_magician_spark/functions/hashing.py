@@ -1,0 +1,115 @@
+"""Cross-engine deterministic hashing for dedup / fingerprint operators.
+
+Engine-native hash functions differ between Spark (xxhash64, murmur3)
+and DuckDB (its own `hash`), so oracle-checked dedup operators use a
+simple polynomial rolling hash over unicode codepoints:
+
+    h = seed; for ch in s: h = (h * 31 + codepoint(ch)) % MOD
+
+expressed with built-in higher-order functions on BOTH engines
+(`aggregate`/`transform` in Spark, `list_reduce`/`list_transform` in
+DuckDB) — identical math, identical results, all JVM-side in Spark (no
+Python UDF). MOD < 2^31 keeps every intermediate within int64
+(acc*31 + x < ~6.6e10).
+
+At 100 TB these columns are computed map-side in one projection pass —
+no shuffle — and downstream dedup joins group on the hash, which
+distributes uniformly by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+POLY_MOD = 1_000_000_007
+POLY_BASE = 31
+POLY_SEED = 7
+
+
+def _codes(c: Column) -> Column:
+    """String column -> array<long> of unicode codepoints."""
+    chars = F.filter(F.split(c, ""), lambda ch: ch != F.lit(""))
+    return F.transform(chars, lambda ch: F.ascii(ch).cast("long"))
+
+
+def poly_hash(col: Column | str, seed: int = POLY_SEED, mod: int = POLY_MOD) -> Column:
+    """Polynomial rolling hash of a string column (deterministic, cross-engine)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        _codes(c),
+        F.lit(seed).cast("long"),
+        lambda acc, x: (acc * POLY_BASE + x) % mod,
+    )
+
+
+def poly_hash_duckdb(expr: str, seed: int = POLY_SEED, mod: int = POLY_MOD) -> str:
+    """The exact same hash as `poly_hash`, as DuckDB SQL text (for oracles)."""
+    return (
+        f"list_reduce(list_prepend(CAST({seed} AS BIGINT), "
+        f"list_transform(list_filter(string_split({expr}, ''), c -> c <> ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * {POLY_BASE} + b) % {mod})"
+    )
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (array<string>), empty tokens dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_shingles(col: Column | str, n: int = 3) -> Column:
+    """Sliding n-gram token shingles joined by single spaces.
+
+    Documents with fewer than n tokens produce an empty array (they
+    have no shingles and drop out of MinHash/Jaccard candidate sets).
+    """
+    t = tokens(col)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - n + 1),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """Distinct poly-hashes of the n-gram shingle set (array<long>)."""
+    return F.array_distinct(
+        F.transform(
+            token_shingles(col, n),
+            lambda s: F.aggregate(
+                _codes(s),
+                F.lit(POLY_SEED).cast("long"),
+                lambda acc, x: (acc * POLY_BASE + x) % POLY_MOD,
+            ),
+        )
+    )
+
+
+def token_shingles_duckdb(expr: str, n: int = 3) -> str:
+    """DuckDB SQL for `token_shingles` (1-indexed inclusive list slices)."""
+    t = f"list_filter(regexp_split_to_array(trim({expr}), '\\s+'), x -> x <> '')"
+    return (
+        f"CASE WHEN len({t}) >= {n} THEN "
+        f"list_transform(range(1, len({t}) - {n} + 2), "
+        f"i -> array_to_string({t}[i : i + {n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def shingle_hashes_duckdb(expr: str, n: int = 3) -> str:
+    """DuckDB SQL for `shingle_hashes`."""
+    inner = poly_hash_duckdb("s")
+    return (
+        f"list_distinct(list_transform({token_shingles_duckdb(expr, n)}, "
+        f"s -> {inner}))"
+    )
+
+
+# MinHash permutation parameters: h_i(x) = (a_i * x + b_i) % MOD.
+# Fixed literals so Spark and the SQL oracle share them verbatim.
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    return [(2 * i + 3, i * i + 12345 + i) for i in range(k)]

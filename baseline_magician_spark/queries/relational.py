@@ -1,0 +1,284 @@
+"""Relational operator coverage: window functions, rollup/totals,
+set operations, semi/anti joins, distinct aggregation, pivot, sort/limit,
+time-window filtering, and the IP function surface.
+
+These cover the operator categories SURVEY.md §2.5-2.8 lists (including
+the ones ABSENT from the reference but required of a complete engine),
+each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.ip import ip4_to_long, long_to_ip4
+from ..registry import query
+
+
+@query(
+    "window_topn_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total,
+           lag(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS prev_orderkey
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+@query(
+    "rollup_totals_by_region_nation",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH TOTALS equivalent (SURVEY §2.5): rollup produces the per-group
+    rows plus subtotal/grand-total rows the CH protocol would stream as
+    the Totals packet."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+            "total_balance",
+        )
+    )
+
+
+@query(
+    "extremes_value_by_type",
+    """
+    SELECT event_type,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTREMES result-set equivalent (SURVEY §2.5)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "set_ops_customer_tiers",
+    """
+    SELECT 'rich_building' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    UNION ALL
+    SELECT 'rich_not_building' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    rich = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return rich.intersect(building).select(
+        F.lit("rich_building").alias("tag"), "c_custkey"
+    ).unionAll(
+        rich.exceptAll(building).distinct().select(
+            F.lit("rich_not_building").alias("tag"), "c_custkey"
+        )
+    )
+
+
+@query(
+    "semi_anti_join_customers",
+    """
+    SELECT 'active' AS tag, c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+    UNION ALL
+    SELECT 'dormant' AS tag, c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hostgroup-overwrite shape (SURVEY §2.6): semi join = keep
+    existing, anti join = compute removals/creations."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    active = cust.join(
+        recent, cust.c_custkey == recent.o_custkey, "left_semi"
+    ).select(F.lit("active").alias("tag"), "c_custkey")
+    dormant = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select(F.lit("dormant").alias("tag"), "c_custkey")
+    return active.unionAll(dormant)
+
+
+@query(
+    "distinct_users_by_type",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS distinct_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "pivot_quantity_by_status",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+@query(
+    "time_window_recent_events",
+    """
+    WITH now_t AS (SELECT max(ts) AS now_ts FROM events)
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events, now_t
+    WHERE ts >= now_ts - INTERVAL 604800 SECOND
+    GROUP BY event_type
+    """,
+)
+def time_window_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 parity: the reference's 7-day window filter (main.go:275)."""
+    ev = load_table(spark, sf_dir, "events")
+    now_df = ev.agg(F.max("ts").alias("now_ts"))
+    return (
+        ev.crossJoin(F.broadcast(now_df))
+        .where(
+            F.col("ts")
+            >= F.col("now_ts") - F.make_dt_interval(secs=F.lit(604800))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "ip_function_roundtrip",
+    """
+    SELECT DISTINCT
+      user_id,
+      167772160 + (user_id * 2654435761) % 65536 AS ip_long,
+      printf('%d.%d.%d.%d',
+             ((167772160 + (user_id * 2654435761) % 65536) // 16777216) % 256,
+             ((167772160 + (user_id * 2654435761) % 65536) // 65536) % 256,
+             ((167772160 + (user_id * 2654435761) % 65536) // 256) % 256,
+             (167772160 + (user_id * 2654435761) % 65536) % 256) AS host,
+      TRUE AS roundtrip_ok
+    FROM events
+    """,
+)
+def ip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/X3-X5 parity: IPv4StringToNum / NumToString round-trip as pure
+    Column arithmetic (no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    ip_long = (
+        F.lit(167772160) + (F.col("user_id") * F.lit(2654435761)) % F.lit(65536)
+    ).alias("ip_long")
+    out = ev.select("user_id", ip_long).distinct()
+    out = out.withColumn("host", long_to_ip4(F.col("ip_long")))
+    return out.withColumn(
+        "roundtrip_ok", ip4_to_long(F.col("host")) == F.col("ip_long")
+    )

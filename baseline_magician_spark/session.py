@@ -1,0 +1,55 @@
+"""SparkSession bootstrap tuned for this engine.
+
+Local-mode defaults mirror what we would set on a real cluster:
+AQE on (runtime re-plan, skew-join handling, partition coalescing),
+UTC session timezone (required for oracle comparison vs DuckDB),
+Arrow for the pandas interchange used by Pandas-UDF operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "baseline_magician_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores. Shuffle
+    partitions default to the core count — on a real cluster this would
+    be ~2-3x total executor cores; AQE coalesces down from there.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # Spark rejects TIMESTAMP(NANOS) parquet outright; read ns as
+        # int64 and let the catalog convert to µs timestamps exactly
+        # (the test data has no sub-µs components).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.io.compression.codec", "lz4")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
