@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+
+Each query is timed end-to-end (plan + execute + collect), after one
+warm-up action that amortizes JVM/session startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from baseline_magician_spark.registry import get_queries
+    from baseline_magician_spark.session import get_spark
+
+    spark = get_spark(app_name="bms-bench")
+
+    # Warm-up: touch the fact table so JVM/classloader startup is not
+    # attributed to the first query.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(get_queries().items()):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count() if len(df.columns) > 8 else len(df.collect())
+        _ = n
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
