@@ -1,0 +1,238 @@
+"""AST -> pyspark.sql.Column compiler (the columnar backend).
+
+Emits built-in Column expressions only — Catalyst constant-folds
+(ConstantFolding), codegens, and short-circuits `CaseWhen`/`Coalesce`
+lazily, which reproduces govaluate's own optimizations (literal
+folding, regex precompilation, short-circuit eval) for free.
+
+Static typing: the govaluate model is dynamic, but a Column tree must
+pick `+`-as-concat vs `+`-as-add at compile time. The compiler infers
+a static type ('number' | 'string' | 'bool' | 'array' | 'any') bottom-up,
+using caller-provided parameter types (inferable from a DataFrame
+schema via `types_from_schema`). Numeric inputs are cast to double
+everywhere (govaluate float64-everywhere, MANUAL.md:7-15).
+
+Documented divergences from the Go implementation (SURVEY §7 hard
+parts): Java regex vs RE2 exotic escapes; shifts use int64 (uint64
+wrap beyond 2^63 not reproduced).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .ast import ArrayExpr, Binary, Call, Literal, Node, Regex, Ternary, Unary, Var
+from .errors import ExpressionError
+from .parser import parse
+
+_NUMERIC_SPARK = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
+
+
+def types_from_schema(df: DataFrame) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for f in df.schema.fields:
+        s = f.dataType.simpleString()
+        if s in _NUMERIC_SPARK or s.startswith("decimal"):
+            out[f.name] = "number"
+        elif s == "string":
+            out[f.name] = "string"
+        elif s == "boolean":
+            out[f.name] = "bool"
+        elif s.startswith("array"):
+            out[f.name] = "array"
+        else:
+            out[f.name] = "any"
+    return out
+
+
+def _go_str(c: Column, typ: str) -> Column:
+    """Go %v formatting of a value for the `+` concat overload."""
+    if typ == "number":
+        return F.when(
+            c == F.floor(c), c.cast("long").cast("string")
+        ).otherwise(c.cast("string"))
+    if typ == "bool":
+        return F.when(c, F.lit("true")).otherwise(F.lit("false"))
+    return c.cast("string")
+
+
+class _Compiler:
+    def __init__(
+        self,
+        params: Mapping[str, Column],
+        types: Mapping[str, str],
+        functions: Mapping[str, Callable[..., Column]],
+        function_types: Mapping[str, str],
+    ):
+        self.params = params
+        self.types = types
+        self.functions = functions
+        self.function_types = function_types
+
+    def compile(self, n: Node) -> tuple[Column, str]:
+        if isinstance(n, Literal):
+            if n.value is None:
+                return F.lit(None), "any"
+            if isinstance(n.value, bool):
+                return F.lit(n.value), "bool"
+            if isinstance(n.value, float):
+                return F.lit(n.value), "number"
+            return F.lit(n.value), "string"
+        if isinstance(n, Regex):
+            return F.lit(n.pattern), "string"
+        if isinstance(n, Var):
+            col = self.params.get(n.name)
+            if col is None:
+                col = F.col(n.name)
+            typ = self.types.get(n.name, "any")
+            if typ == "number":
+                col = col.cast("double")
+            return col, typ
+        if isinstance(n, ArrayExpr):
+            cols = [self.compile(x)[0] for x in n.items]
+            return F.array(*cols), "array"
+        if isinstance(n, Call):
+            args = [self.compile(x)[0] for x in n.args]
+            out = self.functions[n.name](*args)
+            return out, self.function_types.get(n.name, "any")
+        if isinstance(n, Unary):
+            c, t = self.compile(n.operand)
+            if n.op == "-":
+                return -self._as_num(c, t, "-"), "number"
+            if n.op == "!":
+                return ~self._as_bool(c, t, "!"), "bool"
+            if n.op == "~":
+                return F.bitwise_not(
+                    self._as_num(c, t, "~").cast("long")
+                ).cast("double"), "number"
+            raise ExpressionError(f"unknown unary {n.op}")
+        if isinstance(n, Ternary):
+            cond, ct = self.compile(n.cond)
+            then, tt = self.compile(n.then)
+            if n.otherwise is None:
+                return F.when(self._as_bool(cond, ct, "?:"), then), tt
+            els, et = self.compile(n.otherwise)
+            out_t = tt if tt == et else "any"
+            return (
+                F.when(self._as_bool(cond, ct, "?:"), then).otherwise(els),
+                out_t,
+            )
+        if isinstance(n, Binary):
+            return self._binary(n)
+        raise ExpressionError(f"unknown node {n!r}")
+
+    def _as_num(self, c: Column, t: str, op: str) -> Column:
+        if t == "string" or t == "bool" or t == "array":
+            raise ExpressionError(f"operator {op!r} requires a numeric operand")
+        return c.cast("double")
+
+    def _as_bool(self, c: Column, t: str, op: str) -> Column:
+        if t in ("string", "number", "array"):
+            raise ExpressionError(f"operator {op!r} requires a boolean operand")
+        return c.cast("boolean")
+
+    def _binary(self, n: Binary) -> tuple[Column, str]:
+        op = n.op
+        l, lt = self.compile(n.left)
+        r, rt = self.compile(n.right)
+        if op == "+":
+            if lt == "string" or rt == "string":
+                return F.concat(_go_str(l, lt), _go_str(r, rt)), "string"
+            return self._as_num(l, lt, op) + self._as_num(r, rt, op), "number"
+        if op in ("-", "*", "/"):
+            ln, rn = self._as_num(l, lt, op), self._as_num(r, rt, op)
+            out = {"-": ln - rn, "*": ln * rn, "/": ln / rn}[op]
+            return out, "number"
+        if op == "%":
+            # fmod semantics (sign of dividend) — Spark's % on doubles.
+            return self._as_num(l, lt, op) % self._as_num(r, rt, op), "number"
+        if op == "**":
+            return F.pow(self._as_num(l, lt, op), self._as_num(r, rt, op)), "number"
+        if op in (">", "<", ">=", "<="):
+            if lt == "string" and rt == "string":
+                pass  # lexicographic string comparison matches Spark's
+            else:
+                l, r = self._as_num(l, lt, op), self._as_num(r, rt, op)
+            out = {">": l > r, "<": l < r, ">=": l >= r, "<=": l <= r}[op]
+            return out, "bool"
+        if op == "==":
+            return l.eqNullSafe(r) if lt == "any" or rt == "any" else l == r, "bool"
+        if op == "!=":
+            return (
+                ~l.eqNullSafe(r) if lt == "any" or rt == "any" else l != r
+            ), "bool"
+        if op in ("=~", "!~"):
+            if isinstance(n.right, Regex):
+                matched = l.rlike(n.right.pattern)
+            else:
+                matched = F.regexp_like(l, r)
+            return (matched if op == "=~" else ~matched), "bool"
+        if op in ("&&", "||"):
+            lb, rb = self._as_bool(l, lt, op), self._as_bool(r, rt, op)
+            return (lb & rb if op == "&&" else lb | rb), "bool"
+        if op == "??":
+            return F.coalesce(l, r), lt if lt == rt else "any"
+        if op in ("&", "|", "^"):
+            ln = self._as_num(l, lt, op).cast("long")
+            rn = self._as_num(r, rt, op).cast("long")
+            out = {
+                "&": ln.bitwiseAND(rn),
+                "|": ln.bitwiseOR(rn),
+                "^": ln.bitwiseXOR(rn),
+            }[op]
+            return out.cast("double"), "number"
+        if op in ("<<", ">>"):
+            ln = self._as_num(l, lt, op).cast("long")
+            rn = self._as_num(r, rt, op).cast("int")
+            # F.shiftleft only takes a literal int amount; call_function
+            # reaches the SQL builtin, which accepts a Column.
+            name = "shiftleft" if op == "<<" else "shiftright"
+            return F.call_function(name, ln, rn).cast("double"), "number"
+        if op == "in":
+            if isinstance(n.right, ArrayExpr):
+                lits = [x.value for x in n.right.items if isinstance(x, Literal)]
+                if len(lits) == len(n.right.items):
+                    return l.isin(*lits), "bool"
+            return F.array_contains(r, l), "bool"
+        raise ExpressionError(f"unknown operator {op}")
+
+
+def compile_column(
+    expr: str | Node,
+    params: Mapping[str, Column] | None = None,
+    types: Mapping[str, str] | None = None,
+    functions: Mapping[str, Callable[..., Column]] | None = None,
+    function_types: Mapping[str, str] | None = None,
+) -> Column:
+    """Compile an expression to a Column.
+
+    ``params`` maps variable names to Columns (default: ``F.col``).
+    ``types`` maps variable names to 'number'|'string'|'bool'|'array'
+    (see `types_from_schema`); unknown vars default to 'any' and are
+    assumed numeric-compatible where required.
+    """
+    functions = functions or {}
+    node = parse(expr, frozenset(functions)) if isinstance(expr, str) else expr
+    c = _Compiler(params or {}, types or {}, functions, function_types or {})
+    col, _ = c.compile(node)
+    return col
+
+
+def fold_constant(expr: str | Node) -> object | None:
+    """Best-effort driver-side constant folding for display/debug; returns
+    None unless the expression is parameter-free."""
+    from .interp import evaluate
+
+    try:
+        return evaluate(expr, {})
+    except Exception:
+        return None
+
+
+_ = math  # referenced in docstrings

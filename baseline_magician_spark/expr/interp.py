@@ -1,0 +1,181 @@
+"""Driver-side scalar interpreter — the reference's actual usage mode
+(thresholds evaluated on already-aggregated scalars, main.go:358-370).
+
+Implements the govaluate runtime type model: float64/bool/str/list,
+integer parameters coerced to float on access, `+` concatenating when
+either side is a string (Go %v formatting: integral floats print
+without a decimal part), short-circuit logical/ternary/coalesce,
+int64 round-trip bitwise ops, uint64 round-trip shifts, regex match
+via `re.search` (RE2-compatible subset).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections.abc import Callable, Mapping
+
+from .ast import ArrayExpr, Binary, Call, Literal, Node, Regex, Ternary, Unary, Var
+from .errors import ExpressionError
+from .parser import parse
+
+_UINT64_MASK = (1 << 64) - 1
+
+
+def go_str(v: object) -> str:
+    """Go fmt %v formatting for the + concat overload."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isinf(v) or math.isnan(v):
+            return {True: "NaN"}.get(math.isnan(v), "+Inf" if v > 0 else "-Inf")
+        if v.is_integer() and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if v is None:
+        return "<nil>"
+    return str(v)
+
+
+def _num(v: object, op: str) -> float:
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise ExpressionError(f"operator {op!r} requires numeric operand, got {v!r}")
+    return float(v)
+
+
+def _bool(v: object, op: str) -> bool:
+    if not isinstance(v, bool):
+        raise ExpressionError(f"operator {op!r} requires boolean operand, got {v!r}")
+    return v
+
+
+def _i64(v: float) -> int:
+    return int(v)  # truncation toward zero, like Go int64(float64)
+
+
+def evaluate(
+    expr: str | Node,
+    params: Mapping[str, object] | None = None,
+    functions: Mapping[str, Callable[..., object]] | None = None,
+) -> object:
+    functions = functions or {}
+    node = parse(expr, frozenset(functions)) if isinstance(expr, str) else expr
+    return _eval(node, params or {}, functions)
+
+
+def _eval(n: Node, params: Mapping[str, object], fns: Mapping[str, Callable]) -> object:
+    if isinstance(n, Literal):
+        return n.value
+    if isinstance(n, Regex):
+        return n.pattern
+    if isinstance(n, Var):
+        if n.name not in params:
+            raise ExpressionError(f"missing parameter {n.name!r}")
+        v = params[n.name]
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return v
+        return float(v)  # integer widths coerce to float64 on access
+    if isinstance(n, ArrayExpr):
+        return [_eval(x, params, fns) for x in n.items]
+    if isinstance(n, Call):
+        args = [_eval(x, params, fns) for x in n.args]
+        out = fns[n.name](*args)
+        if isinstance(out, bool) or not isinstance(out, (int, float)):
+            return out
+        return float(out)
+    if isinstance(n, Unary):
+        v = _eval(n.operand, params, fns)
+        if n.op == "-":
+            return -_num(v, "-")
+        if n.op == "!":
+            return not _bool(v, "!")
+        if n.op == "~":
+            return float(~_i64(_num(v, "~")))
+        raise ExpressionError(f"unknown unary {n.op}")
+    if isinstance(n, Ternary):
+        cond = _eval(n.cond, params, fns)
+        if _bool(cond, "?:"):
+            return _eval(n.then, params, fns)
+        return None if n.otherwise is None else _eval(n.otherwise, params, fns)
+    if isinstance(n, Binary):
+        return _binary(n, params, fns)
+    raise ExpressionError(f"unknown node {n!r}")
+
+
+def _binary(n: Binary, params, fns) -> object:
+    op = n.op
+    # short-circuit forms first
+    if op == "&&":
+        left = _eval(n.left, params, fns)
+        if not _bool(left, op):
+            return False
+        return _bool(_eval(n.right, params, fns), op)
+    if op == "||":
+        left = _eval(n.left, params, fns)
+        if _bool(left, op):
+            return True
+        return _bool(_eval(n.right, params, fns), op)
+    if op == "??":
+        left = _eval(n.left, params, fns)
+        return left if left is not None else _eval(n.right, params, fns)
+
+    left = _eval(n.left, params, fns)
+    right = _eval(n.right, params, fns)
+
+    if op == "+":
+        if isinstance(left, str) or isinstance(right, str):
+            return go_str(left) + go_str(right)
+        return _num(left, op) + _num(right, op)
+    if op == "-":
+        return _num(left, op) - _num(right, op)
+    if op == "*":
+        return _num(left, op) * _num(right, op)
+    if op == "/":
+        return _num(left, op) / _num(right, op)
+    if op == "%":
+        return math.fmod(_num(left, op), _num(right, op))
+    if op == "**":
+        return math.pow(_num(left, op), _num(right, op))
+    if op in (">", "<", ">=", "<="):
+        if isinstance(left, str) and isinstance(right, str):
+            pass  # lexicographic
+        else:
+            left, right = _num(left, op), _num(right, op)
+        return {
+            ">": left > right,
+            "<": left < right,
+            ">=": left >= right,
+            "<=": left <= right,
+        }[op]
+    if op == "==":
+        return left == right
+    if op == "!=":
+        return left != right
+    if op in ("=~", "!~"):
+        if not isinstance(left, str) or not isinstance(right, str):
+            raise ExpressionError(f"{op} requires string operands")
+        matched = re.search(right, left) is not None
+        return matched if op == "=~" else not matched
+    if op in ("&", "|", "^"):
+        li, ri = _i64(_num(left, op)), _i64(_num(right, op))
+        return float({"&": li & ri, "|": li | ri, "^": li ^ ri}[op])
+    if op in ("<<", ">>"):
+        # int64 (Java) shift semantics, matching the Column backend:
+        # shift amount masked to 6 bits, << wraps two's-complement,
+        # >> is arithmetic. (Documented divergence from govaluate's
+        # uint64 round-trip, whose negative-input behavior is
+        # platform-defined in Go to begin with — SURVEY §7 hard part 3.)
+        li = _i64(_num(left, op))
+        ri = _i64(_num(right, op)) & 63
+        if op == "<<":
+            out = (li << ri) & _UINT64_MASK
+            if out >= 1 << 63:
+                out -= 1 << 64
+        else:
+            out = li >> ri
+        return float(out)
+    if op == "in":
+        if not isinstance(right, list):
+            raise ExpressionError("right side of 'in' must be an array")
+        return any(left == x for x in right)
+    raise ExpressionError(f"unknown operator {op}")

@@ -157,6 +157,25 @@ REFERENCE_CHANNELS = (
 ExpressionFn = Callable[[Column], Column]
 
 
+def compile_channel_expressions(sources: dict[str, str]) -> dict[str, ExpressionFn]:
+    """Compile govaluate expression strings (parameter: ``value``) into
+    Column functions via the expression compiler — the reference parses
+    each channel's expression once and evaluates per network
+    (main.go:358-370); here each compiles once into the plan."""
+    from ..expr import compile_column
+
+    out: dict[str, ExpressionFn] = {}
+    for name, src in sources.items():
+        if not src:
+            continue
+
+        def fn(value: Column, _src: str = src) -> Column:
+            return compile_column(_src, params={"value": value}, types={"value": "number"})
+
+        out[name] = fn
+    return out
+
+
 def apply_thresholds(
     aggregated: DataFrame,
     expressions: dict[str, ExpressionFn],

@@ -65,20 +65,11 @@ WINDOW_SECONDS = 7 * 24 * 3600
 
 
 def _column_expressions():
-    """Channel expressions as Column functions.
+    """CHANNEL_EXPRS compiled to Column functions by the expression
+    engine (govaluate-compatible front end -> Catalyst-folded Columns)."""
+    from ..plans.baseline import compile_channel_expressions
 
-    NOTE: these are the compiled forms of CHANNEL_EXPRS; once the
-    govaluate-compatible expression compiler lands they are produced by
-    ``expr.compile_expression`` instead of being hand-written.
-    """
-    return {
-        "incoming_packets": lambda v: v * 2,
-        "outgoing_packets": lambda v: v * 3,
-        "incoming_bits": lambda v: v + 200,
-        "outgoing_bits": lambda v: v * 1.5,
-        "incoming_flows": lambda v: v * 2,
-        "outgoing_flows": lambda v: v + 10,
-    }
+    return compile_channel_expressions(CHANNEL_EXPRS)
 
 
 def events_as_host_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
