@@ -1,0 +1,203 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are pure DataFrame compositions (no Python UDFs), designed
+so the expensive parts are map-side:
+
+- **exact**: hash-groupBy on md5(text). One shuffle on a uniform key.
+- **MinHash + LSH**: signatures are computed per-row with higher-order
+  functions (shingle -> k permuted hashes -> array_min) — NO
+  explode/shuffle for signature computation, unlike the textbook
+  unnest-and-regroup formulation. Only the tiny (doc, band, bandhash)
+  projection shuffles for the LSH bucket self-join.
+- **SimHash**: 30-bit fingerprint, again fully map-side per row.
+- **n-gram Jaccard**: shared-shingle equi-join with a frequent-shingle
+  cutoff (df > max_shingle_df dropped) so hot shingles cannot explode
+  the candidate pair count at 100 TB.
+
+Cross-engine determinism (for the DuckDB oracles) comes from the
+polynomial hash in functions.hashing, not engine-native hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    POLY_MOD,
+    minhash_params,
+    shingle_hashes,
+    tokens,
+)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups by content hash.
+
+    Returns (content_hash, n_copies, keep_id) with keep_id = min id —
+    the canonical survivor policy.
+    """
+    h = F.md5(F.col(text_col).cast("binary")).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def minhash_signature(text_col: str, k: int = 8, n: int = 3) -> Column:
+    """array<long> MinHash signature of a text column, computed per-row
+    (k permutations over the distinct shingle-hash set; no shuffle)."""
+    hashes = shingle_hashes(text_col, n)
+
+    def perm(a: int, b: int):
+        # PySpark counts default args as lambda params; close over a, b.
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(POLY_MOD)
+
+    sigs = [
+        F.array_min(F.transform(hashes, perm(a, b))) for a, b in minhash_params(k)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_band_hashes(sig: Column, k: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, bh:bigint>>: one combined hash per LSH band."""
+    n_bands = k // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        bh = F.lit(7).cast("long")
+        for r in range(rows_per_band):
+            bh = (bh * 31 + F.element_at(sig, b * rows_per_band + r + 1)) % POLY_MOD
+        bands.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
+    return F.array(*bands)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing >= 1 LSH band bucket.
+
+    Output: (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
+    """
+    sig = minhash_signature(text_col, k, shingle_n)
+    with_sig = df.select(
+        F.col(id_col).alias("_id"), sig.alias("_sig")
+    ).where(F.element_at(F.col("_sig"), 1).isNotNull())
+    bands = with_sig.select(
+        "_id",
+        F.explode(minhash_band_hashes(F.col("_sig"), k, rows_per_band)).alias("_b"),
+    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .groupBy(
+            F.col("l._id").alias("doc_a"),
+            F.col("r._id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash(text_col: str, bits: int = 30) -> Column:
+    """SimHash fingerprint over token poly-hashes (bits <= 30 because the
+    underlying hash is mod 1e9+7; enough for near-dup bucketing).
+
+    bit_j(doc) = 1 iff sum over tokens of (+1 if bit_j(hash) else -1) >= 0.
+    Entirely map-side per row.
+    """
+    tok_hashes = F.transform(
+        tokens(text_col),
+        lambda t: F.aggregate(
+            F.transform(
+                F.filter(F.split(t, ""), lambda c: c != F.lit("")),
+                lambda c: F.ascii(c).cast("long"),
+            ),
+            F.lit(7).cast("long"),
+            lambda acc, x: (acc * 31 + x) % POLY_MOD,
+        ),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.aggregate(
+                tok_hashes,
+                F.lit(0).cast("long"),
+                lambda a, h: a
+                + F.when(F.call_function("shiftright", h, j) % 2 == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            )
+            >= 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Shared-shingle equi-join; shingles appearing in more than
+    ``max_shingle_df`` docs are dropped BEFORE the join (both from the
+    join and from the per-doc set size) — the standard hot-key guard.
+    Output: (doc_a, doc_b, n_shared, jaccard) with jaccard >= threshold.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingle_hashes(text_col, n)).alias("h"),
+        )
+        .distinct()
+    )
+    rare = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_count")).where(
+        F.col("df_count") <= max_shingle_df
+    )
+    sh = sh.join(rare.select("h"), "h")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    l, r = sh.alias("l"), sh.alias("r")
+    shared = (
+        l.join(r, (F.col("l.h") == F.col("r.h")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(F.col("l._id").alias("doc_a"), F.col("r._id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    # sizes is one row per doc — NOT broadcastable at scale; let AQE
+    # pick the strategy (it will broadcast at small SFs on its own).
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )

@@ -1,0 +1,153 @@
+"""Dedup operator queries over the `documents` table, each with a
+DuckDB oracle generated from the same constants (hash params, band
+layout, thresholds) so the two engines cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import (
+    POLY_MOD,
+    minhash_params,
+    poly_hash_duckdb,
+    shingle_hashes_duckdb,
+)
+from ..operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..registry import query
+
+K = 8
+ROWS_PER_BAND = 2
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+MAX_SHINGLE_DF = 100
+SIMHASH_BITS = 30
+
+
+@query(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _minhash_oracle() -> str:
+    perm_rows = ",\n      ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(K))
+    )
+    sh_expr = shingle_hashes_duckdb("text", SHINGLE_N)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({sh_expr}) AS h
+      FROM documents
+      WHERE len({sh_expr}) > 0
+    ),
+    perms(i, a, b) AS (VALUES
+      {perm_rows}
+    ),
+    sigs AS (
+      SELECT doc_id, i, min((a * h + b) % {POLY_MOD}) AS mh
+      FROM sh CROSS JOIN perms GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT), list(mh ORDER BY i)),
+               (x, y) -> (x * 31 + y) % {POLY_MOD}) AS bh
+      FROM sigs GROUP BY doc_id, i // {ROWS_PER_BAND}
+    )
+    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    GROUP BY l.doc_id, r.doc_id
+    """
+
+
+@query("dedup_minhash_lsh_pairs", _minhash_oracle())
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=K,
+        rows_per_band=ROWS_PER_BAND,
+        shingle_n=SHINGLE_N,
+    )
+
+
+def _simhash_oracle() -> str:
+    tok = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+    tok_hash = poly_hash_duckdb("t")
+    return f"""
+    SELECT doc_id,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(0, {SIMHASH_BITS}), j ->
+          CASE WHEN (
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform({tok}, t ->
+                CASE WHEN (({tok_hash}) >> j) % 2 = 1
+                     THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+              (a, b) -> a + b) >= 0
+          ) THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+        (a, b) -> a + b) AS simhash
+    FROM documents
+    """
+
+
+@query("dedup_simhash_fingerprints", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash("text", SIMHASH_BITS).alias("simhash"))
+
+
+def _jaccard_oracle() -> str:
+    sh_expr = shingle_hashes_duckdb("text", SHINGLE_N)
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT doc_id, unnest({sh_expr}) AS h FROM documents
+      )
+    ),
+    rare AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= {MAX_SHINGLE_DF}),
+    shr AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY doc_id),
+    shared AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_shared
+      FROM shr l JOIN shr r ON l.h = r.h AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared,
+           round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON shared.doc_a = sa.doc_id
+    JOIN sizes sb ON shared.doc_b = sb.doc_id
+    WHERE round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_ngram_jaccard_pairs", _jaccard_oracle())
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=SHINGLE_N,
+        threshold=JACCARD_THRESHOLD,
+        max_shingle_df=MAX_SHINGLE_DF,
+    )
+
+
+_ = F  # columns built in operators

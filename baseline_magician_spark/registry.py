@@ -47,6 +47,7 @@ def _load() -> None:
     # Import for registration side effects.
     from .queries import (  # noqa: F401
         baseline_q,
+        dedup_q,
         relational,
         tpch,
     )
