@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines: quality
+scoring, language identification, token counting, fingerprinting.
+
+All pure Column compositions (JVM-side, codegen'd) — these run as one
+map-side projection pass at any scale, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.hashing import poly_hash, shingle_hashes, tokens
+
+PUNCT_PATTERN = "[.,;:!?]"
+DIGIT_PATTERN = "[0-9]"
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+# tiny per-language marker vocabularies for the n-gram/stopword
+# language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "et", "des", "une"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+
+def n_tokens(text_col: Column | str) -> Column:
+    return F.size(tokens(text_col))
+
+
+def punct_count(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(c, F.lit(PUNCT_PATTERN))
+
+
+def stopword_count(text_col: Column | str, stopwords=STOPWORDS) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(
+        F.filter(tokens(text_col), lambda t: F.array_contains(sw, F.lower(t)))
+    )
+
+
+def quality_stats(text_col: Column | str) -> list[Column]:
+    """Length/punct/stopword statistics + a composite quality flag."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    nt = F.size(toks)
+    total_tok_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    nchars = F.length(c)
+    stop = stopword_count(c)
+    punct = punct_count(c)
+    avg_tok = F.round(total_tok_len / nt, 6)
+    punct_ratio = F.round(punct / nchars, 6)
+    stop_ratio = F.round(stop / nt, 6)
+    is_quality = (nt >= 10) & (avg_tok >= 2.0) & (avg_tok <= 12.0)
+    return [
+        nchars.alias("n_chars"),
+        nt.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        is_quality.alias("is_quality"),
+    ]
+
+
+def lang_scores(text_col: Column | str) -> list[Column]:
+    """Marker-hit counts per language (the classic stopword heuristic)."""
+    toks = tokens(text_col)
+
+    def has_marker(arr):
+        return lambda t: F.array_contains(arr, F.lower(t))
+
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out.append(F.size(F.filter(toks, has_marker(arr))).alias(f"score_{lang}"))
+    return out
+
+
+def predicted_lang() -> Column:
+    """argmax over score_* columns, ties broken by fixed language order."""
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{la}") for la in langs])
+    expr: Column = F.lit("und")
+    for la in reversed(langs):
+        expr = F.when(F.col(f"score_{la}") == best, F.lit(la)).otherwise(expr)
+    # all-zero scores -> undetermined
+    return F.when(best <= 0, F.lit("und")).otherwise(expr)
+
+
+def bpe_token_count(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(c, F.lit(BPE_PATTERN))
+
+
+def normalized_fingerprint(text_col: Column | str) -> Column:
+    """Rolling-hash document fingerprint over normalized text
+    (lowercased, whitespace collapsed)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return poly_hash(norm)
+
+
+def winnow_min_shingle(text_col: Column | str, n: int = 3) -> Column:
+    """Winnowing-style robust fingerprint: min shingle hash."""
+    return F.array_min(shingle_hashes(text_col, n))

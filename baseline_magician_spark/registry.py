@@ -49,6 +49,7 @@ def _load() -> None:
         baseline_q,
         dedup_q,
         relational,
+        text_q,
         tpch,
     )
 
