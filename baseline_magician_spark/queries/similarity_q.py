@@ -1,0 +1,146 @@
+"""Similarity-search queries over `embeddings`, with DuckDB oracles
+sharing the exact arithmetic (same fold order -> bit-identical doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.similarity import (
+    _HP_A,
+    _HP_B,
+    _HP_MOD,
+    brute_force_topk,
+    lsh_bucket,
+    lsh_bucketed_pairs,
+)
+from ..registry import query
+
+TOP_K = 10
+N_QUERY_VECS = 5  # vec_id < 5 are the query set
+N_PLANES = 8
+# The synthetic embeddings are near-orthogonal (max pairwise cosine
+# ~0.51 at sf0.01); 0.35 sits above the 99.9th percentile so the
+# near-dup query returns a small non-empty pair set worth checking.
+DUP_THRESHOLD = 0.35
+
+# DuckDB helpers (same fold order as the Spark zip_with/aggregate ops)
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), "
+    "(x, y) -> x + y)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(x, y) -> x + y))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"({_NORM.format(a=a)} * {_NORM.format(a=b)}))"
+    )
+
+
+def _topk_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({_cos('q.qv', 'e.embedding')}, 6) AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS INT) AS rank FROM sims
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query("similarity_topk_cosine", _topk_oracle())
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return brute_force_topk(emb, queries, k=TOP_K)
+
+
+def _lsh_oracle() -> str:
+    # bucket bit p: sign of the projection onto deterministic plane p
+    half = (_HP_MOD - 1) // 2
+    proj = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip({v}, range(0, len({v}))), "
+        "s -> CAST(s[1] AS DOUBLE) * "
+        f"CAST(((CAST({_HP_A} AS BIGINT) * {{p}} + {_HP_B} * s[2]) % {_HP_MOD} - {half}) AS DOUBLE))), "
+        "(x, y) -> x + y)"
+    )
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {proj.format(v='embedding', p=p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({bucket_terms} AS BIGINT) AS bucket
+      FROM embeddings
+    )
+    SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+           round({_cos('l.embedding', 'r.embedding')}, 6) AS cosine_sim
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE round({_cos('l.embedding', 'r.embedding')}, 6) >= {DUP_THRESHOLD}
+    """
+
+
+@query("similarity_lsh_neardup_pairs", _lsh_oracle())
+def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_pairs(
+        emb, n_planes=N_PLANES, threshold=DUP_THRESHOLD
+    )
+
+
+def _bucket_histogram_oracle() -> str:
+    half = (_HP_MOD - 1) // 2
+    proj = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(embedding, range(0, len(embedding))), "
+        "s -> CAST(s[1] AS DOUBLE) * "
+        f"CAST(((CAST({_HP_A} AS BIGINT) * {{p}} + {_HP_B} * s[2]) % {_HP_MOD} - {half}) AS DOUBLE))), "
+        "(x, y) -> x + y)"
+    )
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {proj.format(p=p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"""
+    SELECT CAST({bucket_terms} AS BIGINT) AS bucket,
+           count(*) AS n_vectors,
+           count(DISTINCT label) AS n_labels
+    FROM embeddings GROUP BY 1
+    """
+
+
+@query("similarity_lsh_bucket_histogram", _bucket_histogram_oracle())
+def similarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy histogram — the observability view for tuning
+    n_planes (bucket skew drives the candidate-join cost at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            lsh_bucket(F.col("embedding"), N_PLANES).alias("bucket"), "label"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )

@@ -49,6 +49,7 @@ def _load() -> None:
         baseline_q,
         dedup_q,
         relational,
+        similarity_q,
         text_q,
         tpch,
     )
