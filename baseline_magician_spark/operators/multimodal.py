@@ -1,0 +1,273 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched pandas stages.
+
+Design (the 100 TB shape):
+
+- A media row is ``(id, payload: binary, meta: struct<media_type, byte_len,
+  width, height, n_frames>)``. The payload is NEVER interpreted by
+  Catalyst — it flows through scans/shuffles as opaque bytes; only
+  explicitly-invoked ``mapInPandas`` stages touch it, in Arrow batches,
+  so Python sees columnar ``bytes`` without per-row pickling.
+
+- Decode / feature-extract / resize / frame-sample are ``mapInPandas``
+  stages with declared output schemas. Each is embarrassingly parallel
+  per-partition (no shuffle); partitioning by id ranges carries through.
+
+- Real codec decode (PIL/librosa/av) is STUBBED: the container has no
+  media libs. ``decode_media`` tries the real import and raises
+  ``NotImplementedError`` with a clear message; ``decode_stats`` /
+  ``extract_features`` / ``sample_frames`` run on the raw bytes with a
+  deterministic fake "decode" so the Spark-side plumbing — schema,
+  Arrow batch shape, UDF signatures, explode semantics — is real and
+  testable end-to-end.
+
+Deterministic payload model (shared with the DuckDB oracles): byte ``i``
+of document ``d``'s payload is ``(d*131 + i*197 + 23) % 256`` and the
+payload length is ``64 + d % 191``. The oracle recomputes statistics
+from that arithmetic directly; Spark round-trips actual ``bytes``
+through Arrow, proving the binary path.
+
+Reference parity note: the reference has no media surface at all (its
+only binary handling is the LZ4 wire codec,
+vendor/.../lib/binary/compress_writer.go:52-79); this module is part of
+the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..pyship import ensure_shipped
+
+# payload byte model — keep in sync with the oracle SQL in
+# queries/multimodal_q.py
+BYTE_A = 131
+BYTE_B = 197
+BYTE_C = 23
+LEN_BASE = 64
+LEN_MOD = 191
+FRAME_BYTES = 16
+MEDIA_TYPES = ("image", "audio", "video")
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def _r4(x: float) -> float:
+    """floor-to-4-decimals — identical IEEE op sequence in DuckDB's
+    ``floor(x*10000)/10000``, unlike round() (banker's vs half-up)."""
+    return math.floor(x * 10000.0) / 10000.0
+
+
+def _payload_bytes(doc_id: int) -> bytes:
+    n = LEN_BASE + doc_id % LEN_MOD
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * BYTE_A + i * BYTE_B + BYTE_C) % 256).astype(np.uint8).tobytes()
+
+
+def attach_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the deterministic binary payload + metadata struct.
+
+    Output schema: input columns + (payload binary, meta struct). The
+    generation itself is a mapInPandas stage (narrow, per-partition);
+    in production this column would come straight off the parquet scan.
+    """
+    ensure_shipped(df.sparkSession)
+    in_schema = df.schema
+    out_schema = T.StructType(
+        list(in_schema.fields)
+        + [
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", META_SCHEMA),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            payloads = [_payload_bytes(int(d)) for d in ids]
+            lens = np.array([len(p) for p in payloads], dtype=np.int64)
+            width = (lens // 8).astype(np.int32)
+            metas = [
+                {
+                    "media_type": MEDIA_TYPES[int(d) % 3],
+                    "byte_len": int(n),
+                    "width": int(w),
+                    "height": 8,
+                    "n_frames": int(n) // FRAME_BYTES,
+                }
+                for d, n, w in zip(ids, lens, width)
+            ]
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Real codec decode — STUB. The container ships no image/audio
+    libraries; this is the seam where PIL/soundfile/av would plug in."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - always taken here
+        raise NotImplementedError(
+            "real media decode needs PIL/soundfile/av which are not "
+            "installed; use decode_stats/extract_features/sample_frames "
+            "for the deterministic-fake path"
+        ) from exc
+    raise NotImplementedError("real decode path not implemented")
+
+
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """Fake-decode each payload and emit per-item statistics.
+
+    Narrow mapInPandas stage: bytes arrive as Arrow binary, stats are
+    vectorized numpy over ``frombuffer`` views (no per-row Python work
+    beyond the buffer wrap). Sum/mean are exact-integer in float64, so
+    the oracle's arithmetic recomputation matches bit-for-bit.
+    """
+    ensure_shipped(media.sparkSession)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                s = int(b.sum())
+                rows.append(
+                    (
+                        int(doc_id),
+                        meta["media_type"],
+                        len(b),
+                        s,
+                        _r4(s / len(b)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "byte_len", "checksum", "mean_byte"],
+            )
+
+    return media.select("doc_id", "payload", "meta").mapInPandas(
+        stats, schema=DECODE_STATS_SCHEMA
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Fixed-dim feature vector per payload: stripe-mean pooling
+    (feature[k] = mean of bytes at positions ≡ k mod dim). Output
+    ``(doc_id, feature array<double>)`` — the embedding-extraction
+    plumbing for the similarity operators."""
+    ensure_shipped(media.sparkSession)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("feature", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                vec = [
+                    _r4(float(b[k::dim].sum()) / len(b[k::dim]))
+                    for k in range(dim)
+                ]
+                ids.append(int(doc_id))
+                vecs.append(vec)
+            yield pd.DataFrame({"doc_id": ids, "feature": vecs})
+
+    return media.select("doc_id", "payload").mapInPandas(feats, schema=out_schema)
+
+
+def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
+    """Frame sampling for 'video' payloads: split into FRAME_BYTES-byte
+    frames, keep every ``every``-th, explode one row per kept frame.
+
+    Output ``(doc_id, frame_idx, frame_checksum)``. mapInPandas handles
+    the 1→N fan-out natively (output batch is longer than input batch).
+    """
+    ensure_shipped(media.sparkSession)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_checksum", T.LongType()),
+        ]
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n_frames = len(b) // FRAME_BYTES
+                for j in range(0, n_frames, every):
+                    fr = b[j * FRAME_BYTES : (j + 1) * FRAME_BYTES]
+                    ids.append(int(doc_id))
+                    idxs.append(j)
+                    sums.append(int(fr.sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums},
+            ).astype({"frame_idx": "int32"})
+
+    videos = media.where(F.col("meta.media_type") == "video")
+    return videos.select("doc_id", "payload").mapInPandas(frames, schema=out_schema)
+
+
+def resize_stub(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
+    """Resize metadata transform: rewrites (width, height) and truncates
+    the payload to the new pixel budget — a deterministic stand-in for a
+    real resampler, exercising binary slicing through Arrow."""
+    ensure_shipped(media.sparkSession)
+    out_schema = media.schema
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        budget = new_width * new_height
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [p[:budget] for p in out["payload"]]
+            out["meta"] = [
+                {
+                    **m,
+                    "width": new_width,
+                    "height": new_height,
+                    "byte_len": min(m["byte_len"], budget),
+                    "n_frames": min(m["byte_len"], budget) // FRAME_BYTES,
+                }
+                for m in out["meta"]
+            ]
+            yield out
+
+    return media.mapInPandas(rs, schema=out_schema)

@@ -1,0 +1,97 @@
+"""Multimodal queries over `documents` + the deterministic payload
+model. The Spark path round-trips REAL binary payloads through Arrow
+mapInPandas stages; the DuckDB oracle recomputes the same statistics
+from the shared byte arithmetic ((d*131 + i*197 + 23) % 256, length
+64 + d % 191) without constructing the blob — so the check validates
+both the math and the binary plumbing end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators.multimodal import (
+    BYTE_A,
+    BYTE_B,
+    BYTE_C,
+    FRAME_BYTES,
+    LEN_BASE,
+    LEN_MOD,
+    attach_media,
+    decode_stats,
+    extract_features,
+    sample_frames,
+)
+from ..registry import query
+
+_BYTE = f"(doc_id*{BYTE_A} + i*{BYTE_B} + {BYTE_C}) % 256"
+_LEN = f"({LEN_BASE} + doc_id % {LEN_MOD})"
+_MEDIA_TYPE = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' "
+    "WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attach_media(load_table(spark, sf_dir, "documents"))
+
+
+def _decode_oracle() -> str:
+    return f"""
+    SELECT doc_id,
+           {_MEDIA_TYPE} AS media_type,
+           CAST({_LEN} AS BIGINT) AS byte_len,
+           CAST(list_sum(list_transform(range(0, {_LEN}),
+                i -> {_BYTE})) AS BIGINT) AS checksum,
+           floor(CAST(list_sum(list_transform(range(0, {_LEN}),
+                i -> {_BYTE})) AS DOUBLE) / {_LEN} * 10000) / 10000
+             AS mean_byte
+    FROM documents
+    """
+
+
+@query("multimodal_decode_stats", _decode_oracle())
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_stats(_media(spark, sf_dir))
+
+
+def _features_oracle(dim: int = 8) -> str:
+    terms = []
+    for k in range(dim):
+        stripe = f"list_filter(range(0, {_LEN}), i -> i % {dim} = {k})"
+        s = f"list_sum(list_transform({stripe}, i -> {_BYTE}))"
+        terms.append(
+            f"floor(CAST({s} AS DOUBLE) / len({stripe}) * 10000) / 10000"
+        )
+    vec = ", ".join(terms)
+    return f"SELECT doc_id, [{vec}] AS feature FROM documents"
+
+
+@query("multimodal_stripe_features", _features_oracle())
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(_media(spark, sf_dir), dim=8)
+
+
+def _frames_oracle(every: int = 4) -> str:
+    fb = FRAME_BYTES
+    return f"""
+    WITH v AS (
+      SELECT doc_id, {_LEN} AS L FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (
+      SELECT doc_id,
+             UNNEST(list_filter(range(0, L // {fb}),
+                    j -> j % {every} = 0)) AS j
+      FROM v
+    )
+    SELECT doc_id, CAST(j AS INT) AS frame_idx,
+           CAST(list_sum(list_transform(range(j*{fb}, (j+1)*{fb}),
+                i -> {_BYTE})) AS BIGINT) AS frame_checksum
+    FROM f
+    """
+
+
+@query("multimodal_frame_sample", _frames_oracle())
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(_media(spark, sf_dir), every=4)

@@ -48,6 +48,7 @@ def _load() -> None:
     from .queries import (  # noqa: F401
         baseline_q,
         dedup_q,
+        multimodal_q,
         relational,
         similarity_q,
         text_q,
