@@ -76,15 +76,58 @@ def token_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def shingle_hashes(col: Column | str, n: int = 3) -> Column:
-    """Distinct poly-hashes of the n-gram shingle set (array<long>)."""
-    return F.array_distinct(
-        F.transform(
-            token_shingles(col, n),
-            lambda s: F.aggregate(
-                _codes(s),
-                F.lit(POLY_SEED).cast("long"),
-                lambda acc, x: (acc * POLY_BASE + x) % POLY_MOD,
+    """Distinct poly-hashes of the n-gram shingle set (array<long>).
+
+    Numerically identical to hashing each space-joined shingle string
+    char-by-char (what the DuckDB oracle does), but computed from
+    per-token prefix hashes via the polynomial concat identity
+
+        h(a ++ b, seed) = (h(a, seed) * BASE^len(b) + h(b, 0)) mod MOD
+
+    so every character is hashed exactly ONCE per document instead of n
+    times, and no shingle strings are materialized. The per-token
+    (hash, BASE^len) structs are let-bound as the lambda variable of a
+    single-element ``aggregate`` — Catalyst does not CSE under lambda
+    functions, so referencing a subexpression from several lambda bodies
+    would recompute it per element; binding it as the fold input
+    evaluates it once per row.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    space = ord(" ")
+    # per-token struct: h = poly hash (seed 0), pw = BASE^len % MOD
+    parts = F.transform(
+        tokens(c),
+        lambda tok: F.aggregate(
+            _codes(tok),
+            F.struct(
+                F.lit(0).cast("long").alias("h"),
+                F.lit(1).cast("long").alias("pw"),
             ),
+            lambda a, x: F.struct(
+                ((a["h"] * POLY_BASE + x) % POLY_MOD).alias("h"),
+                ((a["pw"] * POLY_BASE) % POLY_MOD).alias("pw"),
+            ),
+        ),
+    )
+
+    def shingles(_acc: Column, p: Column) -> Column:
+        def sh(i: Column) -> Column:
+            h = F.lit(POLY_SEED).cast("long")
+            for j in range(n):
+                if j:
+                    h = (h * POLY_BASE + space) % POLY_MOD
+                t = F.element_at(p, i + j)
+                h = (h * t["pw"] + t["h"]) % POLY_MOD
+            return h
+
+        return F.when(
+            F.size(p) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(p) - (n - 1)), sh),
+        ).otherwise(F.array().cast("array<long>"))
+
+    return F.array_distinct(
+        F.aggregate(
+            F.array(parts), F.array().cast("array<long>"), shingles
         )
     )
 

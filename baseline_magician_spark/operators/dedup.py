@@ -49,18 +49,36 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signature(text_col: str, k: int = 8, n: int = 3) -> Column:
-    """array<long> MinHash signature of a text column, computed per-row
-    (k permutations over the distinct shingle-hash set; no shuffle)."""
+    """array<long> MinHash signature of a text column, computed per-row.
+
+    Single ``aggregate`` pass over the shingle-hash set with a k-wide
+    accumulator of running minima. One pass matters: k separate
+    ``array_min(transform(...))`` expressions would each inline the full
+    shingle-hashing subtree, and Catalyst does NOT common-subexpression-
+    eliminate under lambda functions — measured 8x slower at sf0.1.
+
+    Docs with no shingles yield the sentinel signature [POLY_MOD]*k
+    (every real permuted hash is < POLY_MOD).
+    """
     hashes = shingle_hashes(text_col, n)
-
-    def perm(a: int, b: int):
-        # PySpark counts default args as lambda params; close over a, b.
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(POLY_MOD)
-
-    sigs = [
-        F.array_min(F.transform(hashes, perm(a, b))) for a, b in minhash_params(k)
-    ]
-    return F.array(*sigs)
+    params = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
+            )
+            for a, b in minhash_params(k)
+        ]
+    )
+    init = F.array(*([F.lit(POLY_MOD).cast("long")] * k))
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            params,
+            lambda m, p: F.least(m, (h * p["a"] + p["b"]) % F.lit(POLY_MOD)),
+        ),
+    )
 
 
 def minhash_band_hashes(sig: Column, k: int, rows_per_band: int) -> Column:
@@ -90,13 +108,18 @@ def minhash_lsh_pairs(
     sig = minhash_signature(text_col, k, shingle_n)
     with_sig = df.select(
         F.col(id_col).alias("_id"), sig.alias("_sig")
-    ).where(F.element_at(F.col("_sig"), 1).isNotNull())
+    ).where(F.element_at(F.col("_sig"), 1) < POLY_MOD)
     bands = with_sig.select(
         "_id",
         F.explode(minhash_band_hashes(F.col("_sig"), k, rows_per_band)).alias("_b"),
     ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
-    left = bands.alias("l")
-    right = bands.alias("r")
+    # shuffle_hash (not broadcast) for the self-join: both sides then
+    # need the SAME shuffle of the SAME subplan, and AQE reuses the
+    # shuffle stage — the signature computation runs once, not twice
+    # (measured 23s -> 5s at sf0.1); hash join also skips the sort a
+    # merge join would add. At 100 TB neither side is broadcastable.
+    left = bands.alias("l").hint("shuffle_hash")
+    right = bands.alias("r").hint("shuffle_hash")
     return (
         left.join(
             right,
@@ -117,7 +140,10 @@ def simhash(text_col: str, bits: int = 30) -> Column:
     underlying hash is mod 1e9+7; enough for near-dup bucketing).
 
     bit_j(doc) = 1 iff sum over tokens of (+1 if bit_j(hash) else -1) >= 0.
-    Entirely map-side per row.
+    Entirely map-side per row, and single-pass: one aggregate over the
+    token hashes folds a bits-wide accumulator of per-bit vote sums
+    (hashing tokens inside the per-bit lambda would re-hash every token
+    `bits` times — Catalyst does not CSE under lambdas).
     """
     tok_hashes = F.transform(
         tokens(text_col),
@@ -130,22 +156,29 @@ def simhash(text_col: str, bits: int = 30) -> Column:
             lambda acc, x: (acc * 31 + x) % POLY_MOD,
         ),
     )
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_idx,
+            lambda v, j: v
+            + F.when(
+                F.call_function("shiftright", h, j) % 2 == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        ),
+    )
     return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.zip_with(
+            votes,
+            bit_idx,
+            lambda v, j: F.when(
+                v >= 0, F.call_function("shiftleft", F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
         F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + F.when(
-            F.aggregate(
-                tok_hashes,
-                F.lit(0).cast("long"),
-                lambda a, h: a
-                + F.when(F.call_function("shiftright", h, j) % 2 == 1, F.lit(1)).otherwise(
-                    F.lit(-1)
-                ),
-            )
-            >= 0,
-            F.call_function("shiftleft", F.lit(1).cast("long"), j),
-        ).otherwise(F.lit(0)),
+        lambda acc, x: acc + x,
     )
 
 
@@ -177,6 +210,10 @@ def ngram_jaccard_pairs(
     sh = sh.join(rare.select("h"), "h")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
+    # No join hint here: sh is already post-shuffle (distinct), so AQE
+    # reuses that shuffle stage for both sides whatever join strategy it
+    # picks — unlike minhash_lsh_pairs, whose band projection is purely
+    # map-side and needs the forced shuffle to be reusable.
     l, r = sh.alias("l"), sh.alias("r")
     shared = (
         l.join(r, (F.col("l.h") == F.col("r.h")) & (F.col("l._id") < F.col("r._id")))

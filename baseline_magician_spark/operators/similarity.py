@@ -132,7 +132,14 @@ def lsh_bucketed_pairs(
         F.col(vec_col).alias("_v"),
         lsh_bucket(F.col(vec_col), n_planes).alias("_bucket"),
     )
-    l, r = with_bucket.alias("l"), with_bucket.alias("r")
+    # shuffle_hash: forces both sides through the SAME shuffle of the
+    # same map-side subplan, so AQE reuses the stage and the bucket
+    # computation runs once (broadcast would recompute it per side) —
+    # and skips the sort a merge join would add. At scale, raise
+    # n_planes so bucket cardinality (2^n_planes) keeps the shuffle
+    # parallel and per-bucket candidate sets small.
+    l = with_bucket.alias("l").hint("shuffle_hash")
+    r = with_bucket.alias("r").hint("shuffle_hash")
     return (
         l.join(
             r,
