@@ -1,0 +1,136 @@
+"""Streaming queries surfaced through the registry: each runs the
+incremental plan over the bounded events replay (trigger availableNow ->
+memory sink) and returns the materialized result, which the driver then
+checks against a batch-SQL DuckDB oracle — the streaming/batch
+unification contract as a correctness gate.
+
+The session-window oracle is the classic gaps-and-islands rewrite:
+a session breaks where ts - lag(ts) > gap; session_end = last ts + gap
+(Spark's session_window end semantics).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..streaming.baseline_stream import (
+    ip_expr_from_user_id,
+    read_events_stream,
+    streaming_baseline_aggregate,
+    streaming_event_counts,
+    streaming_sessionize,
+)
+
+GAP_SECONDS = 30 * 60
+
+
+def _run_bounded(stream_df: DataFrame) -> DataFrame:
+    name = "stream_q_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+_COUNTS_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("streaming_windowed_counts", _COUNTS_ORACLE)
+def stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_bounded(streaming_event_counts(read_events_stream(spark, sf_dir)))
+
+
+def _sessionize_oracle() -> str:
+    return f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {GAP_SECONDS} SECOND
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL {GAP_SECONDS} SECOND AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """
+
+
+@query("streaming_sessionize_gap", _sessionize_oracle())
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_bounded(streaming_sessionize(read_events_stream(spark, sf_dir)))
+
+
+def _baseline_stream_oracle() -> str:
+    from .baseline_q import IP_BASE, IP_SPREAD, METRIC_MAP, NETWORKS
+    from ..functions.ip import parse_cidr_py
+
+    nets_rows = ",\n      ".join(
+        "('{}', {}, {})".format(*parse_cidr_py(c)[:3]) for c in NETWORKS
+    )
+    metric_aggs = ",\n      ".join(
+        "CAST(floor(avg(CASE WHEN event_type = '{et}' THEN value * {scale} END)) "
+        "AS BIGINT) AS {m}".format(m=m, et=et, scale=scale)
+        for m, (et, scale) in METRIC_MAP.items()
+    )
+    metric_names = ", ".join(METRIC_MAP)
+    return f"""
+    WITH m AS (
+      SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+             {IP_BASE} + (user_id * {IP_SPREAD}) % 65536 AS ip_long,
+             event_type, value
+      FROM events
+    ),
+    nets(network, start_long, end_long) AS (VALUES
+      {nets_rows}
+    )
+    SELECT window_start, n.network AS network,
+           count(*) AS samples,
+           {metric_aggs}
+    FROM m JOIN nets n
+      ON m.ip_long >= n.start_long AND m.ip_long <= n.end_long
+    GROUP BY window_start, n.network
+    """
+
+
+@query("streaming_baseline_windows", _baseline_stream_oracle())
+def stream_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .baseline_q import METRIC_MAP, NETWORKS
+    from ..plans.baseline import networks_dataframe
+
+    nets = networks_dataframe(spark, NETWORKS)
+    return _run_bounded(
+        streaming_baseline_aggregate(
+            read_events_stream(spark, sf_dir),
+            nets,
+            METRIC_MAP,
+            ip_expr_from_user_id(),
+        )
+    )

@@ -51,6 +51,7 @@ def _load() -> None:
         multimodal_q,
         relational,
         similarity_q,
+        streaming_q,
         text_q,
         tpch,
     )

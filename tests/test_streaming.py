@@ -1,0 +1,140 @@
+"""Structured Streaming tests: each incremental query replayed over the
+bounded events table (trigger availableNow -> memory sink) must produce
+exactly the batch engine's answer for the same aggregation — the
+streaming/batch unification contract."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+
+def run_to_memory(stream_df, mode="complete"):
+    name = "m" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark = stream_df.sparkSession
+    out = spark.table(name).collect()
+    q.stop()
+    return out
+
+
+def canon(rows):
+    return sorted(tuple(str(v) for v in r) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    from baseline_magician_spark.catalog import load_table
+
+    return load_table(spark, SF_SMOKE, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    from baseline_magician_spark.streaming import read_events_stream
+
+    return read_events_stream(spark, SF_SMOKE)
+
+
+def test_windowed_counts_match_batch(spark, events_batch, events_stream):
+    from baseline_magician_spark.streaming import streaming_event_counts
+
+    got = run_to_memory(streaming_event_counts(events_stream))
+    want = (
+        events_batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    )
+    assert canon(got) == canon(want)
+    assert len(got) > 0
+
+
+def test_streaming_baseline_matches_batch(spark, events_batch, events_stream):
+    from baseline_magician_spark.plans.baseline import networks_dataframe
+    from baseline_magician_spark.queries.baseline_q import (
+        METRIC_MAP,
+        NETWORKS,
+    )
+    from baseline_magician_spark.streaming import streaming_baseline_aggregate
+    from baseline_magician_spark.streaming.baseline_stream import (
+        ip_expr_from_user_id,
+    )
+
+    nets = networks_dataframe(spark, NETWORKS)
+    got = run_to_memory(
+        streaming_baseline_aggregate(
+            events_stream, nets, METRIC_MAP, ip_expr_from_user_id()
+        )
+    )
+    assert len(got) > 0
+
+    b = events_batch.withColumn("_ip_long", ip_expr_from_user_id())
+    joined = b.join(
+        F.broadcast(nets),
+        (F.col("_ip_long") >= F.col("start_long"))
+        & (F.col("_ip_long") <= F.col("end_long")),
+    )
+    aggs = [F.count(F.lit(1)).alias("samples")] + [
+        F.floor(
+            F.avg(F.when(F.col("event_type") == et, F.col("value") * F.lit(s)))
+        )
+        .cast("long")
+        .alias(m)
+        for m, (et, s) in METRIC_MAP.items()
+    ]
+    want = (
+        joined.groupBy(F.window("ts", "1 day").alias("w"), "network")
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "network",
+            "samples",
+            *METRIC_MAP.keys(),
+        )
+        .collect()
+    )
+    assert canon(got) == canon(want)
+
+
+def test_sessionize_matches_batch(spark, events_batch, events_stream):
+    from baseline_magician_spark.streaming import streaming_sessionize
+
+    got = run_to_memory(streaming_sessionize(events_stream))
+    want = (
+        events_batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    )
+    assert canon(got) == canon(want)
+    assert len(got) > 0
