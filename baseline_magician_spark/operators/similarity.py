@@ -79,6 +79,127 @@ def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
     return bucket
 
 
+def _dot_lit(vec: Column, values: list[float]) -> Column:
+    """Dot product of an array column with a driver-known literal vector
+    (same fold order as :func:`dot`)."""
+    lit_arr = F.array(*[F.lit(float(v)).alias("x") for v in values])
+    return F.aggregate(
+        F.zip_with(vec, lit_arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine_lit(vec: Column, values: list[float]) -> Column:
+    import math
+
+    cnorm = math.sqrt(sum(float(v) * float(v) for v in values))
+    return _dot_lit(vec, values) / (norm(vec) * F.lit(cnorm))
+
+
+def ivf_assign_cell(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Map-side IVF cell assignment: argmax centroid cosine, ties to the
+    lowest centroid id.
+
+    Centroids are driver-known (post-training, K x dim floats — tiny),
+    so assignment is ONE projection with no join and no shuffle: the
+    array-of-structs max trick gives argmax without re-evaluating any
+    cosine (struct fields (cos, -cid); array_max is lexicographic).
+    This is the property that makes IVF work at 100 TB — the corpus
+    gains its partition key map-side.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                _cosine_lit(vec, cvec).alias("c"),
+                F.lit(-cid).cast("long").alias("n"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    return -F.array_max(cells)["n"]
+
+
+def ivf_probe_cells(
+    vec: Column, centroids: list[tuple[int, list[float]]], n_probe: int
+) -> Column:
+    """The n_probe nearest centroid ids for a query vector (cos DESC,
+    cid ASC), as an array — computed map-side like the assignment."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-_cosine_lit(vec, cvec)).alias("nc"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cid"]
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_query_vecs: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: assign corpus vectors to centroid cells
+    map-side, probe each query's n_probe nearest cells, exact-rescore
+    only the candidates.
+
+    "Training" here seeds centroids from the first ``n_centroids``
+    vectors (deterministic, oracle-reproducible); production would
+    k-means them — every other step (collect centroids to driver,
+    map-side assign, probe, cell-join, rescore) is the real IVF
+    dataflow. Plan shape: zero shuffles until the final per-query
+    top-k, because the cell key is computed in the scan projection and
+    the probe set is broadcast.
+    """
+    from pyspark.sql import Window as W
+
+    centroids = [
+        (int(r[0]), list(r[1]))
+        for r in embeddings.where(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    centroids.sort()
+
+    assigned = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    probes = (
+        embeddings.where(F.col(id_col) < n_query_vecs)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            F.explode(
+                ivf_probe_cells(F.col(vec_col), centroids, n_probe)
+            ).alias("cell"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -13,6 +13,7 @@ from ..operators.similarity import (
     _HP_B,
     _HP_MOD,
     brute_force_topk,
+    ivf_topk,
     lsh_bucket,
     lsh_bucketed_pairs,
 )
@@ -105,6 +106,66 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_pairs(
         emb, n_planes=N_PLANES, threshold=DUP_THRESHOLD
+    )
+
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _ivf_oracle() -> str:
+    """Same IVF algorithm in SQL: centroid seeds = vec_id < K, argmax
+    assignment / probe via row_number (cos DESC, cid ASC) — identical
+    tie-breaks to the Spark array-max/array-sort formulation."""
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos('e.embedding', 'c.cvec')} DESC, c.cid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cos('q.embedding', 'c.cvec')} DESC, c.cid ASC
+               ) AS rn
+        FROM embeddings q CROSS JOIN cents c
+        WHERE q.vec_id < {N_QUERY_VECS}
+      ) WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             round({_cos('p.qv', 'a.cv')}, 6) AS cosine_sim
+      FROM probes p JOIN assign a USING (cell)
+      WHERE a.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS INT) AS rank FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query("similarity_ivf_topk", _ivf_oracle())
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        k=TOP_K,
+        n_query_vecs=N_QUERY_VECS,
+        n_centroids=N_CENTROIDS,
+        n_probe=N_PROBE,
     )
 
 
