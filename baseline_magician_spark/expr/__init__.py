@@ -24,5 +24,6 @@ from .parser import parse
 from .errors import ExpressionError
 from .compiler import compile_column
 from .interp import evaluate
+from .sqlgen import to_sql
 
-__all__ = ["parse", "compile_column", "evaluate", "ExpressionError"]
+__all__ = ["parse", "compile_column", "evaluate", "to_sql", "ExpressionError"]

@@ -174,3 +174,56 @@ def test_date_literals():
 def test_missing_param_message():
     with pytest.raises(ExpressionError, match="missing parameter"):
         evaluate("nope * 2", {})
+
+
+# ---- E24: SQL renderer (govaluate ToSQLQuery conventions) ----------
+
+SQL_CASES = [
+    # (expression, duckdb-compatible params as SQL literals)
+    "value * 2",
+    "value + 200",
+    "(value + 1) * 3 - 4 / 2",
+    "2 ** 10",
+    "7.5 % 2",
+    "value > 10 && value < 100",
+    "value == 25 || value != 25",
+    "value >= 25 ?? 99",
+    "-value + 1",
+]
+
+
+def test_to_sql_rendering_conventions():
+    from baseline_magician_spark.expr import parse, to_sql
+
+    assert to_sql(parse("a == b")) == "(a = b)"
+    assert to_sql(parse("a != b")) == "(a <> b)"
+    assert to_sql(parse("a =~ 'x.*'")) == "(a RLIKE 'x.*')"
+    assert to_sql(parse("a ?? 5")) == "COALESCE(a, 5)"
+    assert to_sql(parse("2 ** 8")) == "POW(2, 8)"
+    assert to_sql(parse("a % 2")) == "MOD(a, 2)"
+    assert to_sql(parse("true && false")) == "(1 AND 0)"
+    assert to_sql(parse("[my var] + 1")) == "(my var + 1)"
+    assert to_sql(parse("a in (1, 2, 3)")) == "(a IN (1, 2, 3))"
+
+
+def test_to_sql_ternary_unsupported():
+    from baseline_magician_spark.expr import ExpressionError, parse, to_sql
+
+    with pytest.raises(ExpressionError):
+        to_sql(parse("a > 1 ? 2 : 3"))
+
+
+@pytest.mark.parametrize("src", SQL_CASES)
+def test_to_sql_executes_in_duckdb(src):
+    """Rendered SQL must evaluate to the interpreter's value in a real
+    SQL engine (numeric expressions; booleans render as 1/0)."""
+    import duckdb
+
+    from baseline_magician_spark.expr import evaluate, parse, to_sql
+
+    sql = to_sql(parse(src)).replace("value", "25.0")
+    got = duckdb.sql(f"SELECT {sql} AS v").fetchone()[0]
+    want = evaluate(parse(src), {"value": 25.0})
+    if isinstance(want, bool):
+        want = 1 if want else 0
+    assert got == pytest.approx(want)
