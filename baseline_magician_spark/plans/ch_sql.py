@@ -1,0 +1,295 @@
+"""ClickHouse-dialect SQL front end for the reference's generated
+queries.
+
+The reference builds one SQL string per network (main.go:238-279):
+
+    select count(*), toInt64(avg(packets_incoming)), ...
+    FROM fastnetmon.host_metrics
+    WHERE metricDate >= toDate(now() - P) and (metricDateTime >= now() - P)
+      AND (IPv4StringToNum(host) >= IPv4StringToNum('a.b.c.d')
+           and IPv4StringToNum(host) <= IPv4StringToNum('a.b.c.d') + N)
+
+This module parses exactly that dialect subset — select list of
+function calls / casts / columns / literals, ``FROM db.table``, a WHERE
+tree of and/or/comparisons/arithmetic, optional GROUP BY — and compiles
+it onto a DataFrame using the CH function shims
+(functions.ch_compat.CH_FUNCTIONS). A user of the reference can feed
+the engine the very SQL text their tool already generates.
+
+ClickHouse type quirk honored: ``DateTime - integer`` is seconds
+arithmetic (now() - 604800), so subtraction/addition where one side is
+timestamp-typed and the other numeric compiles to interval arithmetic.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ch_compat import CH_FUNCTIONS
+
+_AGGS = {"count", "avg", "max", "min", "sum", "any", "uniq", "uniqexact", "quantile"}
+
+_TOKEN = re.compile(
+    r"\s*(?:(?P<num>\d+\.\d+|\d+)"
+    r"|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<ident>[A-Za-z_][A-Za-z_0-9]*)"
+    r"|(?P<sym><=|>=|!=|<>|[(),.*+\-/<>=]))"
+)
+
+
+def _tokenize(sql: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(sql):
+        m = _TOKEN.match(sql, pos)
+        if not m:
+            if sql[pos:].strip():
+                raise ValueError(f"cannot tokenize at: {sql[pos:pos+30]!r}")
+            break
+        out.append(m.group().strip())
+        pos = m.end()
+    return out
+
+
+@dataclass
+class _Node:
+    kind: str           # num | str | col | call | bin | star
+    value: object = None
+    args: tuple = ()
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def peek_kw(self) -> str | None:
+        t = self.peek()
+        return t.lower() if t is not None else None
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def expect(self, tok: str) -> None:
+        t = self.next()
+        if t.lower() != tok.lower():
+            raise ValueError(f"expected {tok!r}, got {t!r}")
+
+    # expression grammar: or > and > comparison > additive > multiplicative > unary
+    def parse_expr(self) -> _Node:
+        return self.parse_or()
+
+    def parse_or(self) -> _Node:
+        left = self.parse_and()
+        while self.peek_kw() == "or":
+            self.next()
+            left = _Node("bin", "or", (left, self.parse_and()))
+        return left
+
+    def parse_and(self) -> _Node:
+        left = self.parse_cmp()
+        while self.peek_kw() == "and":
+            self.next()
+            left = _Node("bin", "and", (left, self.parse_cmp()))
+        return left
+
+    def parse_cmp(self) -> _Node:
+        left = self.parse_add()
+        while self.peek() in (">", "<", ">=", "<=", "=", "!=", "<>"):
+            op = self.next()
+            left = _Node("bin", op, (left, self.parse_add()))
+        return left
+
+    def parse_add(self) -> _Node:
+        left = self.parse_mul()
+        while self.peek() in ("+", "-"):
+            op = self.next()
+            left = _Node("bin", op, (left, self.parse_mul()))
+        return left
+
+    def parse_mul(self) -> _Node:
+        left = self.parse_unary()
+        while self.peek() in ("*", "/"):
+            op = self.next()
+            left = _Node("bin", op, (left, self.parse_unary()))
+        return left
+
+    def parse_unary(self) -> _Node:
+        if self.peek() == "-":
+            self.next()
+            return _Node("bin", "-", (_Node("num", 0.0), self.parse_unary()))
+        if self.peek_kw() == "not":
+            self.next()
+            return _Node("call", "not", (self.parse_unary(),))
+        return self.parse_primary()
+
+    def parse_primary(self) -> _Node:
+        t = self.next()
+        if t == "(":
+            inner = self.parse_expr()
+            self.expect(")")
+            return inner
+        if t == "*":
+            return _Node("star")
+        if t.startswith("'"):
+            return _Node("str", t[1:-1].replace("''", "'"))
+        if re.fullmatch(r"\d+\.\d+", t):
+            return _Node("num", float(t))
+        if re.fullmatch(r"\d+", t):
+            return _Node("num", int(t))
+        if self.peek() == "(":
+            self.next()
+            args = []
+            if self.peek() != ")":
+                args.append(self.parse_expr())
+                while self.peek() == ",":
+                    self.next()
+                    args.append(self.parse_expr())
+            self.expect(")")
+            return _Node("call", t, tuple(args))
+        return _Node("col", t)
+
+
+def _is_timestamp(node: _Node) -> bool:
+    return node.kind == "call" and node.value.lower() in (
+        "now",
+        "todatetime",
+        "todate",
+        "today",
+    )
+
+
+def _contains_agg(node: _Node) -> bool:
+    if node.kind == "call":
+        if node.value.lower() in _AGGS:
+            return True
+        return any(_contains_agg(a) for a in node.args)
+    if node.kind == "bin":
+        return any(_contains_agg(a) for a in node.args)
+    return False
+
+
+def _compile(node: _Node) -> Column:
+    if node.kind == "num":
+        return F.lit(node.value)
+    if node.kind == "str":
+        return F.lit(node.value)
+    if node.kind == "col":
+        return F.col(node.value)
+    if node.kind == "star":
+        return F.lit(1)  # only valid inside count(*)
+    if node.kind == "call":
+        name = node.value
+        lname = name.lower()
+        if lname == "not":
+            return ~_compile(node.args[0])
+        if lname == "count" and node.args and node.args[0].kind == "star":
+            return F.count(F.lit(1))
+        fn = CH_FUNCTIONS.get(name) or CH_FUNCTIONS.get(lname)
+        if fn is None:
+            raise ValueError(f"unknown function {name!r}")
+        return fn(*[_compile(a) for a in node.args])
+    if node.kind == "bin":
+        op = node.value
+        ln, rn = node.args
+        left, right = _compile(ln), _compile(rn)
+        # CH DateTime +/- integer = seconds arithmetic
+        if op in ("+", "-") and _is_timestamp(ln) and rn.kind == "num":
+            iv = F.make_dt_interval(secs=F.lit(rn.value))
+            return left + iv if op == "+" else left - iv
+        return {
+            "and": lambda: left & right,
+            "or": lambda: left | right,
+            "+": lambda: left + right,
+            "-": lambda: left - right,
+            "*": lambda: left * right,
+            "/": lambda: left / right,
+            ">": lambda: left > right,
+            "<": lambda: left < right,
+            ">=": lambda: left >= right,
+            "<=": lambda: left <= right,
+            "=": lambda: left == right,
+            "!=": lambda: left != right,
+            "<>": lambda: left != right,
+        }[op]()
+    raise ValueError(f"cannot compile node {node!r}")
+
+
+def run_ch_query(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
+    """Parse + execute a reference-dialect query against ``tables``
+    (keyed by bare table name; the db qualifier is accepted and
+    ignored, like the single-database reference setup)."""
+    p = _Parser(_tokenize(sql))
+    p.expect("select")
+
+    select_nodes: list[_Node] = [p.parse_expr()]
+    while p.peek() == ",":
+        p.next()
+        select_nodes.append(p.parse_expr())
+
+    p.expect("from")
+    table = p.next()
+    if p.peek() == ".":
+        p.next()
+        table = p.next()  # db qualifier dropped
+
+    where_node = None
+    if p.peek_kw() == "where":
+        p.next()
+        where_node = p.parse_expr()
+
+    group_nodes: list[_Node] = []
+    if p.peek_kw() == "group":
+        p.next()
+        p.expect("by")
+        group_nodes.append(p.parse_expr())
+        while p.peek() == ",":
+            p.next()
+            group_nodes.append(p.parse_expr())
+
+    if p.peek() is not None:
+        raise ValueError(f"unexpected trailing tokens: {self_toks(p)}")
+
+    df = tables[table]
+    if where_node is not None:
+        df = df.where(_compile(where_node))
+
+    def _name(n: _Node, i: int) -> str:
+        if n.kind == "col":
+            return str(n.value)
+        if n.kind == "call" and len(n.args) == 1 and n.args[0].kind == "col":
+            return f"{n.value}_{n.args[0].value}"
+        return f"c{i}"
+
+    names = [_name(n, i) for i, n in enumerate(select_nodes)]
+    if any(_contains_agg(n) for n in select_nodes):
+        agg_cols = [
+            _compile(n).alias(names[i])
+            for i, n in enumerate(select_nodes)
+            if _contains_agg(n)
+        ]
+        if group_nodes:
+            # group keys come out of groupBy; non-agg select items must
+            # be group expressions and are re-selected by name below
+            grouped = df.groupBy(
+                *[_compile(g).alias(_name(g, 1000 + i)) for i, g in enumerate(group_nodes)]
+            )
+            return grouped.agg(*agg_cols).select(*names)
+        return df.agg(*agg_cols)
+    return df.select(
+        *[_compile(n).alias(names[i]) for i, n in enumerate(select_nodes)]
+    )
+
+
+def self_toks(p: _Parser) -> str:
+    return " ".join(p.toks[p.i : p.i + 8])

@@ -138,6 +138,47 @@ def _jaccard_oracle() -> str:
     """
 
 
+def _cc_oracle() -> str:
+    """Recursive-CTE label closure over the MinHash pair graph: walk
+    (node, start_label) pairs along symmetrized edges; min start label
+    reaching a node = its component id. Fixpoint is path-independent,
+    so this matches the Spark iterative propagation exactly."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    )
+    SELECT node AS doc_id,
+           min(label) AS cluster_id,
+           (node = min(label)) AS is_survivor
+    FROM walk GROUP BY node
+    """
+
+
+@query("dedup_connected_components", _cc_oracle())
+def dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import dedup_clusters
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=K,
+        rows_per_band=ROWS_PER_BAND,
+        shingle_n=SHINGLE_N,
+    )
+    return dedup_clusters(pairs, "doc_a", "doc_b")
+
+
 @query("dedup_ngram_jaccard_pairs", _jaccard_oracle())
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(

@@ -46,6 +46,7 @@ def _load() -> None:
         return
     # Import for registration side effects.
     from .queries import (  # noqa: F401
+        asof_q,
         baseline_q,
         dedup_q,
         multimodal_q,

@@ -1,0 +1,125 @@
+"""ClickHouse-dialect front end: the reference's EXACT generated query
+text (main.go:238-279 format) must run and agree with the DataFrame-
+native pipeline on the same data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def host_metrics(spark):
+    """Small synthetic host_metrics frame in the reference schema."""
+    rows = []
+    for i in range(200):
+        host = f"10.0.{i % 4}.{i % 250}"
+        rows.append((host, 100 + i, 2 * i, 3 * i))
+    df = spark.createDataFrame(
+        rows, "host string, packets_incoming long, bits_incoming long, flows_incoming long"
+    ).withColumn(
+        "metricDateTime",
+        F.current_timestamp() - F.make_dt_interval(secs=F.lit(3600)),
+    ).withColumn("metricDate", F.to_date("metricDateTime"))
+    return df.cache()
+
+
+def reference_query(agg: str, period: int, net_ip: str, n_ips: int) -> str:
+    """The exact string main.go:238-279 generates (subset of metrics)."""
+    fields = ", ".join(
+        f"toInt64({agg}({m}))"
+        for m in ("packets_incoming", "bits_incoming", "flows_incoming")
+    )
+    in_clause = (
+        f"(IPv4StringToNum(host) >= IPv4StringToNum('{net_ip}') and "
+        f"IPv4StringToNum(host) <= IPv4StringToNum('{net_ip}') + {n_ips})"
+    )
+    date_condition = (
+        f"metricDate >= toDate(now() - {period}) and "
+        f"(metricDateTime >= now() - {period})"
+    )
+    return (
+        f"select count(*), {fields} FROM fastnetmon.host_metrics "
+        f"WHERE {date_condition} AND {in_clause}"
+    )
+
+
+def test_reference_query_runs_and_matches_native(spark, host_metrics):
+    from baseline_magician_spark.functions.ip import ip4_to_long
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    sql = reference_query("avg", 7 * 24 * 3600, "10.0.0.0", 1024)
+    out = run_ch_query(sql, {"host_metrics": host_metrics}).collect()
+    assert len(out) == 1
+    row = out[0]
+
+    native = (
+        host_metrics.where(
+            (ip4_to_long("host") >= 167772160)
+            & (ip4_to_long("host") <= 167772160 + 1024)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("packets_incoming").cast("long").alias("p"),
+            F.avg("bits_incoming").cast("long").alias("b"),
+            F.avg("flows_incoming").cast("long").alias("f"),
+        )
+        .first()
+    )
+    assert tuple(row) == (native.n, native.p, native.b, native.f)
+
+
+def test_max_aggregation_and_group_by(spark, host_metrics):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    out = run_ch_query(
+        "select metricDate, count(*), toInt64(max(packets_incoming)) "
+        "FROM fastnetmon.host_metrics GROUP BY metricDate",
+        {"host_metrics": host_metrics},
+    ).collect()
+    assert len(out) == 1  # all rows share one date
+    assert out[0][1] == 200 and out[0][2] == 299
+
+
+def test_projection_without_aggregates(spark, host_metrics):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    out = run_ch_query(
+        "select host, packets_incoming * 2 FROM fastnetmon.host_metrics "
+        "WHERE packets_incoming >= 298",
+        {"host_metrics": host_metrics},
+    ).collect()
+    assert sorted(r[1] for r in out) == [596, 598]
+
+
+def test_time_window_excludes_old_rows(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = (
+        spark.createDataFrame([("10.0.0.1", 5)], "host string, packets_incoming long")
+        .withColumn(
+            "metricDateTime",
+            F.current_timestamp() - F.make_dt_interval(days=F.lit(30)),
+        )
+        .withColumn("metricDate", F.to_date("metricDateTime"))
+    )
+    sql = reference_query("avg", 7 * 24 * 3600, "10.0.0.0", 1024).replace(
+        ", toInt64(avg(bits_incoming)), toInt64(avg(flows_incoming))", ""
+    ).replace("toInt64(avg(packets_incoming)), ", "toInt64(avg(packets_incoming))")
+    # simpler: count-only query over the window
+    sql = (
+        "select count(*) FROM fastnetmon.host_metrics WHERE "
+        "metricDate >= toDate(now() - 604800) and (metricDateTime >= now() - 604800)"
+    )
+    out = run_ch_query(sql, {"host_metrics": df}).collect()
+    assert out[0][0] == 0
+
+
+def test_parse_errors(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="unknown function"):
+        run_ch_query("select nosuchfn(x) FROM t", {"t": t})
+    with pytest.raises(ValueError, match="expected"):
+        run_ch_query("select x FROM", {"t": t})
