@@ -282,3 +282,71 @@ def ip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "roundtrip_ok", ip4_to_long(F.col("host")) == F.col("ip_long")
     )
+
+
+@query(
+    "skew_salted_join_event_types",
+    """
+    WITH dim AS (
+      SELECT DISTINCT event_type, length(event_type) AS type_len FROM events
+    )
+    SELECT e.event_type, count(*) AS n_events,
+           round(sum(e.value * d.type_len), 6) AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximally-skewed join key (5 hot event types over the whole fact
+    table) through the salted join; oracle is the plain unsalted join —
+    salting must not change results."""
+    from ..operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .withColumn("type_len", F.length("event_type"))
+    )
+    return (
+        salted_join(events, dim, "event_type", n_salts=8)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("type_len")), 6).alias(
+                "weighted_value"
+            ),
+        )
+    )
+
+
+@query(
+    "skew_salted_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS distinct_user_id
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salt-partitioned distinct count (value space split by
+    hash(v) % S, per-salt distincts sum exactly)."""
+    from ..operators.skew import salted_distinct_count
+
+    events = load_table(spark, sf_dir, "events")
+    return salted_distinct_count(
+        events, ["event_type"], "user_id", n_salts=32
+    )
+
+
+@query("approx_distinct_and_quantiles", None)
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH uniq()/quantile() equivalents (HyperLogLog++ / KLL sketches).
+    Registered WITHOUT an oracle — approximate answers are not
+    hash-stable across engines by construction; the test below bounds
+    the error against exact answers instead."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("p50_value"),
+        F.percentile_approx("value", 0.99).alias("p99_value"),
+    )

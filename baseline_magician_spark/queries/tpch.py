@@ -178,3 +178,145 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q4_order_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS decorrelates to a left-semi join — Catalyst does this
+    rewrite from the same declarative shape. (The classic q4 predicate
+    uses l_commitdate/l_receiptdate, which the synthetic schema lacks;
+    returned items stand in.)"""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            late, orders["o_orderkey"] == late["l_orderkey"], "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + double aggregation; count(col) skips nulls
+    from unmatched customers in both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q18_large_volume_customer",
+    """
+    SELECT c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           round(o_totalprice, 2) AS total_price,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 100
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery with HAVING -> aggregate + semi join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 100)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    """
+    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM (
+      SELECT c_custkey, CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    )
+    GROUP BY cntrycode
+    """,
+)
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + NOT EXISTS (anti join) + aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("a"))
+        .first()["a"]
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.where(F.col("c_acctbal") > avg_bal)
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select(
+            (F.col("c_nationkey") % 10).cast("long").alias("cntrycode"),
+            "c_acctbal",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -77,3 +77,36 @@ def test_progress_monitor_samples(spark):
         )
     assert len(mon.samples) > 0
     assert max(s.completed_tasks + s.active_tasks for s in mon.samples) >= 0
+
+
+def test_approx_stats_error_bounds(spark):
+    """approx_count_distinct within 5% of exact; approx percentiles
+    within the observed value range."""
+    from conftest import SF_ORACLE
+    from baseline_magician_spark.catalog import load_table
+    from baseline_magician_spark.registry import get_queries
+    from pyspark.sql import functions as F
+
+    approx = {
+        r.event_type: r
+        for r in get_queries()["approx_distinct_and_quantiles"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    events = load_table(spark, SF_ORACLE, "events")
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.approx_users - e.users) <= max(2, 0.05 * e.users)
+        assert e.lo <= a.p50_value <= e.hi
+        assert e.lo <= a.p99_value <= e.hi
