@@ -27,12 +27,12 @@ from ..streaming.baseline_stream import (
 GAP_SECONDS = 30 * 60
 
 
-def _run_bounded(stream_df: DataFrame) -> DataFrame:
+def _run_bounded(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     name = "stream_q_" + uuid.uuid4().hex[:12]
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -133,4 +133,47 @@ def stream_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             METRIC_MAP,
             ip_expr_from_user_id(),
         )
+    )
+
+
+K_ANOMALY = 3
+
+
+def _anomaly_oracle() -> str:
+    """Batch window-function equivalent of the stateful stream, in the
+    same exact integer-cents arithmetic (values are 2-decimal): flag
+    when value_cents * prior_count > k * prior_total_cents."""
+    return f"""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id, vc,
+             sum(vc) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prior_cents,
+             count(vc) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prior_cnt
+      FROM c
+    )
+    SELECT user_id, event_id,
+           vc / 100.0 AS value,
+           prior_cents / (prior_cnt * 100.0) AS running_mean
+    FROM w
+    WHERE prior_cnt > 0 AND vc * prior_cnt > {K_ANOMALY} * prior_cents
+    """
+
+
+@query("streaming_stateful_anomalies", _anomaly_oracle())
+def stream_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import streaming_anomaly_flags
+
+    return _run_bounded(
+        streaming_anomaly_flags(read_events_stream(spark, sf_dir), k=K_ANOMALY),
+        mode="append",
     )

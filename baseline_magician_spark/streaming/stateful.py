@@ -1,0 +1,88 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState`` —
+the arbitrary-state slot (SURVEY §2.9/§2.10 extension surface) that
+built-in windows can't express in general.
+
+Operator: per-user running-mean anomaly detection. State per user =
+(count, total); an event is flagged when its value exceeds
+``k x running mean of all PRIOR events`` of that user. Events are
+processed in (ts, event_id) order within each micro-batch and state
+carries across batches, so the stream result equals the batch
+window-function computation — which is both the test and the DuckDB
+oracle (avg OVER (... ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+PRECEDING)).
+
+Scale shape: state is two numbers per user, the shuffle key is
+user_id (uniform), and Arrow batches flow through pandas per group —
+the same plumbing any custom sketch/model-state operator would use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..pyship import ensure_shipped
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("running_mean", T.DoubleType()),
+    ]
+)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cnt", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+    ]
+)
+
+
+def streaming_anomaly_flags(events: DataFrame, k: int = 3) -> DataFrame:
+    """Flag events with value > k * running mean of the user's prior
+    events. Output: (user_id, event_id, value, running_mean — the mean
+    BEFORE the flagged event).
+
+    Exact-arithmetic design: event values are 2-decimal, so state
+    accumulates integer CENTS and the flag predicate is the integer
+    comparison ``value_cents * prior_count > k * prior_total_cents`` —
+    no floating-point accumulation anywhere, so the result is
+    bit-identical to any engine computing the same definition
+    (``k`` must be an integer for this exactness).
+    """
+    ensure_shipped(events.sparkSession)
+
+    def flag(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cnt, total_cents = state.get if state.exists else (0, 0)
+        batch = pd.concat(list(pdfs))
+        batch = batch.sort_values(["ts", "event_id"])
+        out_rows = []
+        for r in batch.itertuples():
+            vc = int(round(float(r.value) * 100))
+            if cnt > 0 and vc * cnt > k * total_cents:
+                out_rows.append(
+                    (
+                        int(key[0]),
+                        int(r.event_id),
+                        vc / 100.0,
+                        total_cents / (cnt * 100.0),
+                    )
+                )
+            cnt += 1
+            total_cents += vc
+        state.update((cnt, total_cents))
+        yield pd.DataFrame(
+            out_rows, columns=["user_id", "event_id", "value", "running_mean"]
+        )
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            flag, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+    )
