@@ -34,10 +34,12 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # Runtime-settable SQL conf: callers (e.g. the verify driver) may
-    # hand us a session without it, and TIMESTAMP(NANOS) parquet errors
-    # outright otherwise.
+    # Runtime-settable SQL confs: callers (e.g. the verify driver) may
+    # hand us a bare session. TIMESTAMP(NANOS) parquet errors outright
+    # without nanosAsLong; UTC keeps timestamp rendering identical to
+    # the DuckDB oracle on non-UTC machines.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS) parquet, surfaced as int64 epoch-ns
     # under spark.sql.legacy.parquet.nanosAsLong; convert to µs

@@ -192,3 +192,85 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ = F  # columns built in operators
+
+
+def _corpus_cleanup_oracle() -> str:
+    """The full training-data cleanup as one SQL: exact-dup removal
+    (keep min doc_id per md5), near-dup cluster removal (keep only
+    component survivors from the MinHash pair graph), then a minimum
+    quality gate (>= 10 tokens), aggregated per language."""
+    tok = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    non_survivors AS (
+      SELECT node AS doc_id FROM walk GROUP BY node
+      HAVING node <> min(label)
+    ),
+    exact_keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.n_chars, len({tok}) AS n_toks
+      FROM documents d
+      JOIN exact_keep k ON d.doc_id = k.doc_id
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM non_survivors)
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens
+    FROM kept
+    WHERE n_toks >= 10
+    GROUP BY lang
+    """
+
+
+@query("pipeline_corpus_cleanup", _corpus_cleanup_oracle())
+def corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data composition: exact dedup -> near-dup
+    cluster survivors -> quality gate -> per-language corpus stats.
+    Every stage is a previously-oracle-checked operator; this query
+    checks their COMPOSITION end-to-end."""
+    from pyspark.sql import functions as FF
+
+    from ..functions.hashing import tokens
+    from ..operators.dedup import exact_dedup_groups
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    exact_keep = exact_dedup_groups(docs, "text", "doc_id").select(
+        FF.col("keep_id").alias("doc_id")
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", k=K, rows_per_band=ROWS_PER_BAND,
+        shingle_n=SHINGLE_N,
+    )
+    non_survivors = (
+        dedup_clusters(pairs, "doc_a", "doc_b")
+        .where(~FF.col("is_survivor"))
+        .select("doc_id")
+    )
+    kept = (
+        docs.join(exact_keep, "doc_id", "left_semi")
+        .join(non_survivors, "doc_id", "left_anti")
+        .select("lang", "n_chars", FF.size(tokens("text")).alias("n_toks"))
+        .where(FF.col("n_toks") >= 10)
+    )
+    return kept.groupBy("lang").agg(
+        FF.count(FF.lit(1)).alias("n_docs"),
+        FF.sum("n_chars").alias("total_chars"),
+        FF.sum("n_toks").cast("long").alias("total_tokens"),
+    )

@@ -50,6 +50,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same reader at an arriving-files directory or swaps in Kafka —
     the downstream plan is identical)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # The file source wants a DIRECTORY; the test layout is one file per
     # table in a shared dir, so glob-filter to the events file. A live
     # deployment points at a dedicated arriving-files directory.
