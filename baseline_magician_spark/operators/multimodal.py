@@ -157,24 +157,24 @@ def decode_stats(media: DataFrame) -> DataFrame:
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id, payload, meta in zip(
-                pdf["doc_id"], pdf["payload"], pdf["meta"]
-            ):
-                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
-                s = int(b.sum())
-                rows.append(
-                    (
-                        int(doc_id),
-                        meta["media_type"],
-                        len(b),
-                        s,
-                        _r4(s / len(b)),
-                    )
-                )
+            if len(pdf) == 0:
+                continue
+            # one concatenated buffer + reduceat: fully vectorized over
+            # the whole Arrow batch, no per-row numpy allocation
+            payloads = list(pdf["payload"])
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64)
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            sums = np.add.reduceat(flat, offsets)
+            means = np.floor(sums / lens * 10000.0) / 10000.0
             yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "media_type", "byte_len", "checksum", "mean_byte"],
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                    "byte_len": lens,
+                    "checksum": sums,
+                    "mean_byte": means,
+                }
             )
 
     return media.select("doc_id", "payload", "meta").mapInPandas(

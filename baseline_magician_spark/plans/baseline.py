@@ -117,7 +117,13 @@ def baseline_aggregate(
         raise ValueError(f"unsupported aggregation {agg!r}")
     agg_fn = F.avg if agg == "avg" else F.max
 
-    with_ip = metrics.withColumn("_ip_long", ip4_to_long(host_col))
+    # If the caller already carries a numeric ip column (common when
+    # the fact table stores both forms), skip the dotted-quad parse —
+    # ip4_to_long(long_to_ip4(x)) == x, so results are identical.
+    if "_ip_long" in metrics.columns:
+        with_ip = metrics
+    else:
+        with_ip = metrics.withColumn("_ip_long", ip4_to_long(host_col))
     join = bucketed_range_join if use_bucketed_join else broadcast_range_join
     joined = join(with_ip, networks, ip_col="_ip_long")
 

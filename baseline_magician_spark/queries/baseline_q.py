@@ -84,6 +84,10 @@ def events_as_host_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ip_long = F.lit(IP_BASE) + (F.col("user_id") * F.lit(IP_SPREAD)) % F.lit(65536)
     cols = [
         long_to_ip4(ip_long).alias("host"),
+        # carry the numeric form too: the plan's range join uses it
+        # directly instead of re-parsing the dotted string per row
+        # (ip4_to_long(long_to_ip4(x)) == x — lossless)
+        ip_long.alias("_ip_long"),
         F.col("ts").alias("metricDateTime"),
         F.col("now_ts"),
     ]
