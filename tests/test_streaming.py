@@ -138,3 +138,52 @@ def test_sessionize_matches_batch(spark, events_batch, events_stream):
     )
     assert canon(got) == canon(want)
     assert len(got) > 0
+
+
+def test_streaming_publish_hostgroups(spark, events_stream):
+    """End-to-end streaming variant of the reference job: windowed
+    aggregates -> threshold expressions -> REST sink per micro-batch
+    (latest window only), against a fake API."""
+    from test_sources_sinks import FakeApi
+
+    from baseline_magician_spark.config import BaselineConfig
+    from baseline_magician_spark.plans.baseline import (
+        compile_channel_expressions,
+        networks_dataframe,
+    )
+    from baseline_magician_spark.queries.baseline_q import METRIC_MAP, NETWORKS
+    from baseline_magician_spark.streaming import streaming_baseline_aggregate
+    from baseline_magician_spark.streaming.baseline_stream import (
+        ip_expr_from_user_id,
+    )
+    from baseline_magician_spark.streaming.publish import (
+        publish_hostgroups_stream,
+    )
+
+    api = FakeApi()
+    cfg = BaselineConfig(
+        generate_incoming_packet_threshold=True,
+        incoming_packet_expression="value * 2",
+    )
+    nets = networks_dataframe(spark, NETWORKS)
+    agg = streaming_baseline_aggregate(
+        events_stream, nets, METRIC_MAP, ip_expr_from_user_id()
+    )
+    exprs = compile_channel_expressions(cfg.channel_expressions())
+    q = (
+        publish_hostgroups_stream(agg, exprs, cfg, transport=api)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    puts = [u for m, u in api.calls if m == "PUT"]
+    assert puts, "expected hostgroup PUTs from the streaming sink"
+    # per-network create + the reference's option sequence
+    creates = [u for u in puts if u.count("/") == 4 and "/hostgroup/" in u]
+    assert creates and all("/hostgroup/10_0_" in u for u in creates)
+    assert any("/threshold_pps/" in u for u in puts)
+    # delete-then-create overwrite per group (remove_existing=False path)
+    deletes = [u for m, u in api.calls if m == "DELETE"]
+    assert len(deletes) == len(creates)
