@@ -350,3 +350,49 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5).alias("p50_value"),
         F.percentile_approx("value", 0.99).alias("p99_value"),
     )
+
+
+@query(
+    "cube_revenue_by_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations (the WITH TOTALS
+    generalization, SURVEY §2.5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "grouping_sets_quantity",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           grouping(l_returnflag) AS g_flag,
+           grouping(l_linestatus) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicator columns (needed
+    to disambiguate NULL-as-total from NULL data)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
