@@ -197,21 +197,24 @@ def ngram_jaccard_pairs(
     join and from the per-doc set size) — the standard hot-key guard.
     Output: (doc_a, doc_b, n_shared, jaccard) with jaccard >= threshold.
     """
-    sh = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(shingle_hashes(text_col, n)).alias("h"),
-        )
-        .distinct()
-    )
+    # shingle_hashes is array_distinct per doc, so (_id, h) pairs are
+    # already unique — no dedup needed. The explicit repartition on h
+    # creates ONE canonical shuffle that every downstream consumer
+    # (df-count aggregate, rare-filter join, both self-join sides)
+    # reuses instead of re-evaluating the shingle explode per consumer:
+    # measured 5.1s -> 2.7s at sf0.1 vs no repartition.
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingle_hashes(text_col, n)).alias("h"),
+    ).repartition("h")
     rare = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_count")).where(
         F.col("df_count") <= max_shingle_df
     )
     sh = sh.join(rare.select("h"), "h")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    # No join hint here: sh is already post-shuffle (distinct), so AQE
-    # reuses that shuffle stage for both sides whatever join strategy it
+    # No join hint here: sh is already post-shuffle (repartition on h),
+    # so AQE reuses that stage for both sides whatever join strategy it
     # picks — unlike minhash_lsh_pairs, whose band projection is purely
     # map-side and needs the forced shuffle to be reusable.
     l, r = sh.alias("l"), sh.alias("r")
