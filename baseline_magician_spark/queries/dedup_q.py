@@ -274,3 +274,83 @@ def corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FF.sum("n_chars").alias("total_chars"),
         FF.sum("n_toks").cast("long").alias("total_tokens"),
     )
+
+
+# -- embedding-cosine near-dup on the documents table -----------------
+# Composition: deterministic stripe features from each document's
+# payload bytes (operators.multimodal) -> random-hyperplane LSH buckets
+# -> exact cosine within buckets (operators.similarity). The oracle
+# rebuilds the identical arithmetic in SQL.
+
+EMB_DUP_PLANES = 6
+EMB_DUP_THRESHOLD = 0.99995
+
+
+def _doc_embedding_pairs_oracle() -> str:
+    from ..operators.multimodal import BYTE_A, BYTE_B, BYTE_C, LEN_BASE, LEN_MOD
+    from ..operators.similarity import _HP_A, _HP_B, _HP_MOD
+
+    dim = 8
+    _len = f"({LEN_BASE} + doc_id % {LEN_MOD})"
+    _byte = f"(doc_id*{BYTE_A} + i*{BYTE_B} + {BYTE_C}) % 256"
+    terms = []
+    for k in range(dim):
+        stripe = f"list_filter(range(0, {_len}), i -> i % {dim} = {k})"
+        s = f"list_sum(list_transform({stripe}, i -> {_byte}))"
+        terms.append(f"floor(CAST({s} AS DOUBLE) / len({stripe}) * 10000) / 10000")
+    feat = "[" + ", ".join(terms) + "]"
+
+    half = (_HP_MOD - 1) // 2
+    proj = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(f, range(0, len(f))), "
+        "s -> CAST(s[1] AS DOUBLE) * "
+        f"CAST(((CAST({_HP_A} AS BIGINT) * {{p}} + {_HP_B} * s[2]) % {_HP_MOD} - {half}) AS DOUBLE))), "
+        "(x, y) -> x + y)"
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {proj.format(p=p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(EMB_DUP_PLANES)
+    )
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip({a}, {b}), "
+        "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    nrm = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(x, y) -> x + y))"
+    )
+    cos = (
+        f"({dot.format(a='l.f', b='r.f')} / "
+        f"({nrm.format(a='l.f')} * {nrm.format(a='r.f')}))"
+    )
+    return f"""
+    WITH feats AS (
+      SELECT doc_id, {feat} AS f FROM documents
+    ),
+    b AS (
+      SELECT doc_id, f, CAST({bucket} AS BIGINT) AS bucket FROM feats
+    )
+    SELECT l.doc_id AS vec_a, r.doc_id AS vec_b,
+           round({cos}, 6) AS cosine_sim
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+    WHERE round({cos}, 6) >= {EMB_DUP_THRESHOLD}
+    """
+
+
+@query("dedup_embedding_cosine_pairs", _doc_embedding_pairs_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_media, extract_features
+    from ..operators.similarity import lsh_bucketed_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_media(docs), dim=8)
+    return lsh_bucketed_pairs(
+        feats,
+        id_col="doc_id",
+        vec_col="feature",
+        n_planes=EMB_DUP_PLANES,
+        threshold=EMB_DUP_THRESHOLD,
+    )
