@@ -396,3 +396,51 @@ def grouping_sets_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
+
+
+@query(
+    "exact_percentiles_by_type",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation) per group — both
+    engines implement the same (n-1)*p definition, so values
+    hash-match; contrast with the sketch-based approx query."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+
+
+@query(
+    "histogram_event_values",
+    """
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram — one groupBy on a map-side bucket key."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.floor(F.col("value") / 25.0).cast("long").alias("bucket"), "value"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )

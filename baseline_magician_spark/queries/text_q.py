@@ -133,3 +133,38 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalized_fingerprint("text").alias("fingerprint"),
         winnow_min_shingle("text", 3).alias("min_shingle_hash"),
     )
+
+
+def _frequent_ngrams_oracle() -> str:
+    from ..functions.hashing import token_shingles_duckdb
+
+    sh = token_shingles_duckdb("text", 2)
+    return f"""
+    SELECT shingle, count(*) AS doc_freq FROM (
+      SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM documents
+    )
+    GROUP BY shingle
+    ORDER BY doc_freq DESC, shingle
+    LIMIT 50
+    """
+
+
+@query("text_frequent_ngrams_topk", _frequent_ngrams_oracle())
+def frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: top-50 bigrams by document frequency. Exact
+    two-phase: per-doc distinct shingles map-side (array_distinct),
+    partial counts combine before the shuffle, global top-k after —
+    the exact-counting shape; a sketch (count-min) would slot in at
+    the same seam when exactness can be traded."""
+    from ..functions.hashing import token_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.array_distinct(token_shingles("text", 2))).alias("shingle")
+        )
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(50)
+    )
