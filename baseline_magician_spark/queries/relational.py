@@ -444,3 +444,40 @@ def histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "window_range_frame_sliding_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS hour_cents,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS hour_events
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per event, the trailing-hour sum
+    and count for that user — a true value-based frame (all rows within
+    3600s), not a row-count frame. Summed in integer cents so both
+    engines are bit-exact regardless of internal frame algorithms."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("hour_cents"),
+        F.count(F.lit(1)).over(w).alias("hour_events"),
+    )
