@@ -55,6 +55,7 @@ def _load() -> None:
         streaming_q,
         text_q,
         tpch,
+        tpch_ext,
     )
 
     _loaded = True
