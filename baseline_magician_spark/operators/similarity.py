@@ -38,6 +38,21 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Statically-unrolled dot product for a driver-known dimension.
+
+    Same left-to-right add order as ``dot()``'s fold — bit-identical
+    IEEE result — but plain whole-stage-codegen arithmetic with no
+    per-row array allocation. On an O(pairs) self-join verify stage
+    this is the difference between the fold's per-pair zip_with
+    allocation and pure registers.
+    """
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
+    return acc
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -273,32 +288,71 @@ def lsh_bucketed_pairs(
     vec_col: str = "embedding",
     n_planes: int = 8,
     threshold: float = 0.9,
+    dim: int | None = None,
+    salt: int = 8,
 ) -> DataFrame:
     """Near-duplicate vector pairs: same LSH bucket AND exact cosine >=
-    threshold. Output: (vec_a, vec_b, cosine_sim)."""
+    threshold. Output: (vec_a, vec_b, cosine_sim).
+
+    Scale shape, in order of importance:
+
+    - **Pair-space salting** (``salt`` = S): a skewed bucket (at worst,
+      every vector in one bucket — real corpora of same-sign features
+      do this) turns the triangular self-join into one quadratic task.
+      Each side tags its own salt ``id % S`` and explodes the
+      *partner's* salt 0..S-1, so the join key ``(bucket, sa, sb)``
+      splits every bucket into S² independently-scheduled sub-joins.
+      Each pair is still produced exactly once — (sa, sb) is a function
+      of the pair. Row duplication is S× on tiny (id, vec, norm) rows;
+      AQE coalesces the small sub-joins back together.
+    - The norm is computed ONCE per row before the self-join (O(N) not
+      O(pairs); the value is IEEE-identical since the input array is).
+    - When ``dim`` is driver-known the per-pair dot is statically
+      unrolled into whole-stage-codegen arithmetic (same left-to-right
+      add order as the fold — bit-identical results).
+    - The pre-explode ``repartition(_bucket)`` exchange is computed
+      once and reused by both join sides, so the upstream feature
+      pipeline (often a Python mapInPandas stage) runs a single time.
+    """
     with_bucket = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
         lsh_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+    ).repartition("_bucket")
+    partner = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    l = (
+        with_bucket.withColumn("_sa", F.col("_id") % salt)
+        .withColumn("_sb", partner)
+        .alias("l")
+        .hint("shuffle_hash")
     )
-    # shuffle_hash: forces both sides through the SAME shuffle of the
-    # same map-side subplan, so AQE reuses the stage and the bucket
-    # computation runs once (broadcast would recompute it per side) —
-    # and skips the sort a merge join would add. At scale, raise
-    # n_planes so bucket cardinality (2^n_planes) keeps the shuffle
-    # parallel and per-bucket candidate sets small.
-    l = with_bucket.alias("l").hint("shuffle_hash")
-    r = with_bucket.alias("r").hint("shuffle_hash")
+    r = (
+        with_bucket.withColumn("_sb", F.col("_id") % salt)
+        .withColumn("_sa", partner)
+        .alias("r")
+        .hint("shuffle_hash")
+    )
     return (
         l.join(
             r,
             (F.col("l._bucket") == F.col("r._bucket"))
+            & (F.col("l._sa") == F.col("r._sa"))
+            & (F.col("l._sb") == F.col("r._sb"))
             & (F.col("l._id") < F.col("r._id")),
         )
         .select(
             F.col("l._id").alias("vec_a"),
             F.col("r._id").alias("vec_b"),
-            F.round(cosine(F.col("l._v"), F.col("r._v")), 6).alias("cosine_sim"),
+            F.round(
+                (
+                    dot_unrolled(F.col("l._v"), F.col("r._v"), dim)
+                    if dim is not None
+                    else dot(F.col("l._v"), F.col("r._v"))
+                )
+                / (F.col("l._n") * F.col("r._n")),
+                6,
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )

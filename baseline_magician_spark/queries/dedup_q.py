@@ -353,4 +353,5 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="feature",
         n_planes=EMB_DUP_PLANES,
         threshold=EMB_DUP_THRESHOLD,
+        dim=8,
     )

@@ -22,6 +22,7 @@ from ..registry import query
 TOP_K = 10
 N_QUERY_VECS = 5  # vec_id < 5 are the query set
 N_PLANES = 8
+EMB_DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
 # The synthetic embeddings are near-orthogonal (max pairwise cosine
 # ~0.51 at sf0.01); 0.35 sits above the 99.9th percentile so the
 # near-dup query returns a small non-empty pair set worth checking.
@@ -105,7 +106,7 @@ def _lsh_oracle() -> str:
 def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_pairs(
-        emb, n_planes=N_PLANES, threshold=DUP_THRESHOLD
+        emb, n_planes=N_PLANES, threshold=DUP_THRESHOLD, dim=EMB_DIM
     )
 
 
