@@ -1,0 +1,153 @@
+"""Deterministic sampling / split / mixture queries on the documents
+table — the training-data composition surface (operators/sampling.py),
+each hash-checked against a DuckDB oracle running the identical md5
+arithmetic.
+
+Reference parity: no sampling exists in baseline_magician (SURVEY §2 —
+the only row selection is the IPv4 filter, main.go:223-226); these are
+north-star training-pipeline operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import tokens
+from ..operators.sampling import (
+    mixture_plan,
+    quota_per_group,
+    split_assign,
+    split_assign_sql,
+    stratified_sample,
+    hash60_sql,
+    HASH_SPACE,
+)
+from ..registry import query
+
+SPLIT_SEED = "split42"
+SPLIT_FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+STRATA_SEED = "strat7"
+STRATA_FRACTIONS = {"en": 0.5, "zh": 0.25}
+STRATA_DEFAULT = 0.1
+QUOTA_SEED = "quota1"
+QUOTA_N = 120
+MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.1}
+
+_TOK = "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))"
+
+
+def _split_oracle() -> str:
+    assign = split_assign_sql("doc_id", SPLIT_FRACTIONS, SPLIT_SEED)
+    return f"""
+    SELECT {assign} AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum({_TOK}) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY 1
+    """
+
+
+@query("sample_split_train_valid_test", _split_oracle())
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/valid/test split, assigned by a pure hash of the
+    document key: membership survives reruns, repartitioning, and
+    incremental reprocessing. The assignment itself is a narrow
+    projection; the single shuffle here is the 3-group stats agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            split_assign(F.col("doc_id"), SPLIT_FRACTIONS, SPLIT_SEED).alias(
+                "split"
+            ),
+            "n_chars",
+            F.size(tokens("text")).alias("n_toks"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+def _stratified_oracle() -> str:
+    h = hash60_sql("doc_id", STRATA_SEED)
+    thr = " ".join(
+        f"WHEN lang = '{s}' THEN {int(f * HASH_SPACE)}"
+        for s, f in STRATA_FRACTIONS.items()
+    )
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {h} < (CASE {thr} ELSE {int(STRATA_DEFAULT * HASH_SPACE)} END)
+    """
+
+
+@query("sample_stratified_by_lang", _stratified_oracle())
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Bernoulli sample (en 50%, zh 25%, rest 10%) with
+    exact integer thresholds — zero-shuffle, fully codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "lang",
+        STRATA_FRACTIONS,
+        "doc_id",
+        seed=STRATA_SEED,
+        default_fraction=STRATA_DEFAULT,
+    ).select("doc_id", "lang")
+
+
+def _quota_oracle() -> str:
+    h = hash60_sql("doc_id", QUOTA_SEED)
+    return f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY {h}, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= {QUOTA_N}
+    """
+
+
+@query("sample_quota_per_source", _quota_oracle())
+def sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at QUOTA_N docs, chosen by hash order — the
+    deterministic 'at most N per provider' mixing primitive. One
+    shuffle on the group key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quota_per_group(
+        docs, "source", QUOTA_N, "doc_id", seed=QUOTA_SEED
+    ).select("doc_id", "source")
+
+
+def _mixture_oracle() -> str:
+    w = " ".join(f"WHEN source = '{s}' THEN {x}" for s, x in MIX_WEIGHTS.items())
+    return f"""
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum({_TOK}) AS BIGINT) AS actual_size
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(actual_size) AS BIGINT) AS t FROM per_source)
+    SELECT source, n_docs, actual_size,
+           (CASE {w} ELSE 0.0 END) AS target_weight,
+           round(least(1.0, (CASE {w} ELSE 0.0 END) * t / actual_size), 6)
+             AS sample_fraction
+    FROM per_source CROSS JOIN tot
+    """
+
+
+@query("sample_mixture_plan", _mixture_oracle())
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted mixture rebalancing plan: per-source keep
+    fractions that move the corpus toward the target source weights
+    (downsampling only). Feeds stratified_sample as stage two."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs, "source", F.size(tokens("text")), MIX_WEIGHTS
+    )

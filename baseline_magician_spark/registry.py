@@ -51,6 +51,7 @@ def _load() -> None:
         dedup_q,
         multimodal_q,
         relational,
+        sampling_q,
         similarity_q,
         streaming_q,
         text_q,

@@ -1,0 +1,92 @@
+"""Sampling/split/mixture operator properties: hash-determinism (the
+reason these exist instead of df.sample), partition invariance, quota
+enforcement, and threshold arithmetic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from baseline_magician_spark.catalog import load_table
+
+    return load_table(spark, SF_ORACLE, "documents")
+
+
+def test_split_covers_everything_and_is_deterministic(spark, docs):
+    from baseline_magician_spark.operators.sampling import split_assign
+
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    assigned = docs.select(
+        "doc_id", split_assign(F.col("doc_id"), fr, "s").alias("split")
+    )
+    counts = {r["split"]: r["n"] for r in
+              assigned.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    assert set(counts) == {"train", "valid", "test"}
+    # uniform hash: 80/10/10 within a loose tolerance at n=500
+    assert 0.7 < counts["train"] / total < 0.9
+
+    # same rows -> same labels regardless of partitioning
+    re = docs.repartition(17).select(
+        "doc_id", split_assign(F.col("doc_id"), fr, "s").alias("split")
+    )
+    assert sorted(map(tuple, assigned.collect())) == sorted(
+        map(tuple, re.collect())
+    )
+
+
+def test_split_is_narrow_no_shuffle(spark, docs):
+    from baseline_magician_spark.operators.sampling import split_assign
+
+    plan = docs.select(
+        split_assign(F.col("doc_id"), {"a": 0.5, "b": 0.5}, "s")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_is_subset_and_respects_strata(spark, docs):
+    from baseline_magician_spark.operators.sampling import stratified_sample
+
+    kept = stratified_sample(
+        docs, "lang", {"en": 1.0, "zh": 0.0}, "doc_id", seed="x",
+        default_fraction=0.2,
+    )
+    by_lang = {r["lang"]: r["n"] for r in
+               kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    en_total = docs.where(F.col("lang") == "en").count()
+    assert by_lang.get("en") == en_total  # fraction 1.0 keeps all
+    assert "zh" not in by_lang  # fraction 0.0 keeps none
+    for lang in ("de", "fr", "es"):  # default 0.2, loose bound
+        frac = by_lang.get(lang, 0) / docs.where(F.col("lang") == lang).count()
+        assert frac < 0.45
+
+
+def test_quota_caps_each_group_deterministically(spark, docs):
+    from baseline_magician_spark.operators.sampling import quota_per_group
+
+    kept = quota_per_group(docs, "source", 7, "doc_id", seed="q")
+    sizes = kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 7 for r in sizes)
+    ids_a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    kept_b = quota_per_group(docs.repartition(13), "source", 7, "doc_id", seed="q")
+    ids_b = sorted(r["doc_id"] for r in kept_b.select("doc_id").collect())
+    assert ids_a == ids_b
+
+
+def test_mixture_plan_fractions(spark, docs):
+    from baseline_magician_spark.operators.sampling import mixture_plan
+
+    plan = mixture_plan(docs, "source", F.col("n_chars"), {"src0": 0.9})
+    rows = {r["source"]: r for r in plan.collect()}
+    assert rows["src0"]["sample_fraction"] == 1.0  # way under target
+    for src, r in rows.items():
+        if src != "src0":
+            assert r["target_weight"] == 0.0
+            assert r["sample_fraction"] == 0.0
+        assert 0.0 <= r["sample_fraction"] <= 1.0
