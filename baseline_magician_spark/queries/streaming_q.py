@@ -177,3 +177,46 @@ def stream_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_anomaly_flags(read_events_stream(spark, sf_dir), k=K_ANOMALY),
         mode="append",
     )
+
+
+_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type,
+       date_trunc('hour', ts) AS event_hour
+FROM events
+"""
+
+
+@query("streaming_dedup_keys", _DEDUP_ORACLE)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.dedup_join import streaming_dedup_keys
+
+    return _run_bounded(
+        streaming_dedup_keys(read_events_stream(spark, sf_dir)),
+        mode="append",
+    )
+
+
+MAX_ATTRIBUTION_MINUTES = 30
+
+_SS_JOIN_ORACLE = f"""
+SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+       round(p.value, 6) AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL {MAX_ATTRIBUTION_MINUTES} MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+@query("streaming_click_purchase_join", _SS_JOIN_ORACLE)
+def stream_ss_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.dedup_join import streaming_click_purchase_join
+
+    return _run_bounded(
+        streaming_click_purchase_join(
+            read_events_stream(spark, sf_dir),
+            max_delay_minutes=MAX_ATTRIBUTION_MINUTES,
+        ),
+        mode="append",
+    )

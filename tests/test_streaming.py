@@ -187,3 +187,49 @@ def test_streaming_publish_hostgroups(spark, events_stream):
     # delete-then-create overwrite per group (remove_existing=False path)
     deletes = [u for m, u in api.calls if m == "DELETE"]
     assert len(deletes) == len(creates)
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, events_batch, events_stream):
+    from pyspark.sql import functions as F
+
+    from baseline_magician_spark.streaming.dedup_join import streaming_dedup_keys
+
+    stream_df = streaming_dedup_keys(events_stream)
+    assert stream_df.isStreaming
+    got = run_to_memory(stream_df, mode="append")
+    want = events_batch.select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("event_hour")
+    ).distinct().collect()
+    assert canon(got) == canon(want)
+
+
+def test_stream_stream_join_matches_batch_join(spark, events_batch, events_stream):
+    from pyspark.sql import functions as F
+
+    from baseline_magician_spark.streaming.dedup_join import (
+        streaming_click_purchase_join,
+    )
+
+    stream_df = streaming_click_purchase_join(events_stream, max_delay_minutes=30)
+    assert stream_df.isStreaming
+    got = run_to_memory(stream_df, mode="append")
+
+    c = events_batch.where(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("click_ts")
+    )
+    p = events_batch.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 6).alias("purchase_value"),
+    )
+    want = (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select("user_id", "click_ts", "purchase_ts", "purchase_value")
+        .collect()
+    )
+    assert canon(got) == canon(want)
