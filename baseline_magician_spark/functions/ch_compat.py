@@ -53,7 +53,147 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "uniq": F.approx_count_distinct,
     "uniqExact": F.countDistinct,
     "quantile": lambda c, q=0.5: F.percentile_approx(c, q),
+    # conditionals (https://clickhouse.com/docs/sql-reference/functions)
+    "if": lambda c, a, b: F.when(c, a).otherwise(b),
+    "multiIf": lambda *args: _multi_if(*args),
+    "ifNull": F.coalesce,
+    "nullIf": F.nullif,
+    "assumeNotNull": lambda c: c,  # Spark has no NOT NULL cast; identity
+    # conditional aggregates (the -If combinator family)
+    "countIf": F.count_if,
+    "sumIf": lambda c, cond: F.sum(F.when(cond, c)),
+    "avgIf": lambda c, cond: F.avg(F.when(cond, c)),
+    "minIf": lambda c, cond: F.min(F.when(cond, c)),
+    "maxIf": lambda c, cond: F.max(F.when(cond, c)),
+    "quantileExact": lambda c, q=0.5: F.percentile(c, F.lit(q)),
+    "groupArray": F.collect_list,
+    "groupUniqArray": F.collect_set,
+    "argMax": lambda c, by: F.max_by(c, by),
+    "argMin": lambda c, by: F.min_by(c, by),
+    # date/time
+    "toStartOfHour": lambda c: F.date_trunc("hour", c),
+    "toStartOfDay": lambda c: F.date_trunc("day", c),
+    "toStartOfMinute": lambda c: F.date_trunc("minute", c),
+    "toStartOfMonth": lambda c: F.date_trunc("month", c).cast("date"),
+    "toStartOfYear": lambda c: F.date_trunc("year", c).cast("date"),
+    "toYear": F.year,
+    "toMonth": F.month,
+    "toDayOfMonth": F.dayofmonth,
+    "toHour": F.hour,
+    "toMinute": F.minute,
+    "toSecond": F.second,
+    "toYYYYMM": lambda c: (F.year(c) * 100 + F.month(c)).cast("long"),
+    "toYYYYMMDD": lambda c: (
+        F.year(c) * 10000 + F.month(c) * 100 + F.dayofmonth(c)
+    ).cast("long"),
+    "toUnixTimestamp": lambda c: F.unix_timestamp(c),
+    "fromUnixTimestamp": F.timestamp_seconds,
+    "dateDiff": lambda unit, a, b: F.timestamp_diff(_unquote(unit), a, b),
+    "addDays": lambda c, n: F.date_add(c, n),
+    "subtractDays": lambda c, n: F.date_sub(c, n),
+    # arithmetic / math
+    # trunc-toward-zero integer division: Spark % takes the dividend's
+    # sign (C semantics, same as CH), so (a - a%b)/b is exact trunc div
+    "intDiv": lambda a, b: (
+        (a.cast("long") - a.cast("long") % b.cast("long")) / b.cast("long")
+    ).cast("long"),
+    "modulo": lambda a, b: a % b,
+    "plus": lambda a, b: a + b,
+    "minus": lambda a, b: a - b,
+    "multiply": lambda a, b: a * b,
+    "divide": lambda a, b: a / b,
+    "negate": lambda a: -a,
+    "abs": F.abs,
+    "floor": F.floor,
+    "ceil": F.ceil,
+    "round": lambda c, n=0: F.round(c, n),
+    "exp": F.exp,
+    "log": F.log,
+    "log2": F.log2,
+    "log10": F.log10,
+    "sqrt": F.sqrt,
+    "pow": F.pow,
+    "power": F.pow,
+    "greatest": F.greatest,
+    "least": F.least,
+    "bitAnd": lambda a, b: a.bitwiseAND(b),
+    "bitOr": lambda a, b: a.bitwiseOR(b),
+    "bitXor": lambda a, b: a.bitwiseXOR(b),
+    "bitNot": F.bitwise_not,
+    "bitShiftLeft": F.shiftleft,
+    "bitShiftRight": F.shiftright,
+    # strings
+    "length": F.length,
+    "lower": F.lower,
+    "upper": F.upper,
+    "lowerUTF8": F.lower,
+    "upperUTF8": F.upper,
+    "concat": F.concat,
+    "substring": F.substring,
+    "position": lambda haystack, needle: F.instr(haystack, needle),
+    "trimBoth": F.trim,
+    "startsWith": lambda s, p: s.startswith(p),
+    "endsWith": lambda s, p: s.endswith(p),
+    "match": lambda s, pat: s.rlike(pat),
+    "extract": lambda s, pat: _ch_extract(s, pat),
+    "replaceAll": F.replace,
+    "replaceRegexpAll": lambda s, pat, rep: F.regexp_replace(s, pat, rep),
+    "splitByChar": lambda sep, s: F.split(s, _regex_escape(sep)),
+    "splitByString": lambda sep, s: F.split(s, _regex_escape(sep)),
+    "empty": lambda c: F.length(c) == 0,
+    "notEmpty": lambda c: F.length(c) > 0,
+    "reverse": F.reverse,
+    "repeat": F.repeat,
+    "leftPad": F.lpad,
+    "rightPad": F.rpad,
+    # hashing (CH xxHash/cityHash are engine-specific; expose the
+    # portable ones only)
+    "MD5": F.md5,
+    "SHA256": lambda c: F.sha2(c, 256),
+    "halfMD5": lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
 }
+
+
+def _ch_extract(s: Column, pat) -> Column:
+    """CH extract(): whole match if the pattern has no capture group,
+    group 1 otherwise. Decidable only for driver-literal patterns;
+    Column patterns default to the whole match."""
+    import re as _re
+
+    group = 0
+    if isinstance(pat, str):
+        if _re.compile(pat).groups > 0:
+            group = 1
+    return F.regexp_extract(s, pat, group)
+
+
+def _multi_if(*args: Column) -> Column:
+    """multiIf(c1, v1, c2, v2, ..., else) -> chained CASE WHEN."""
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise ValueError("multiIf needs cond/value pairs plus an else")
+    expr = F.when(args[0], args[1])
+    for i in range(2, len(args) - 1, 2):
+        expr = expr.when(args[i], args[i + 1])
+    return expr.otherwise(args[-1])
+
+
+def _unquote(unit) -> str:
+    from pyspark.sql import Column as _C
+
+    if isinstance(unit, _C):  # parser passes literals as Columns
+        raise TypeError("dateDiff unit must be a plain string")
+    return str(unit).strip("'\"")
+
+
+def _regex_escape(sep) -> str:
+    import re as _re
+
+    from pyspark.sql import Column as _C
+
+    if isinstance(sep, _C):
+        raise TypeError("splitByChar/splitByString separator must be a "
+                        "driver-literal string")
+    return _re.escape(str(sep).strip("'\""))
 
 
 def ch_fn(name: str) -> Callable[..., Column]:

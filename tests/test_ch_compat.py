@@ -1,0 +1,123 @@
+"""ClickHouse-compat shim behavior: each shim must reproduce the CH
+function's documented semantics (clickhouse.com/docs/sql-reference) on
+representative inputs."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from baseline_magician_spark.functions.ch_compat import CH_FUNCTIONS, ch_fn
+
+
+@pytest.fixture(scope="module")
+def row(spark):
+    """Evaluate a dict of Columns against a one-row frame."""
+
+    def run(**cols):
+        df = spark.range(1).select(
+            *[c.alias(k) for k, c in cols.items()]
+        )
+        return df.collect()[0].asDict()
+
+    return run
+
+
+def test_conditionals(row):
+    got = row(
+        if_=ch_fn("if")(F.lit(True), F.lit(1), F.lit(2)),
+        multi=ch_fn("multiIf")(
+            F.lit(False), F.lit("a"), F.lit(True), F.lit("b"), F.lit("z")
+        ),
+        ifnull=ch_fn("ifNull")(F.lit(None).cast("int"), F.lit(7)),
+        nullif=ch_fn("nullIf")(F.lit(3), F.lit(3)),
+    )
+    assert got == {"if_": 1, "multi": "b", "ifnull": 7, "nullif": None}
+
+
+def test_multi_if_rejects_even_arity():
+    with pytest.raises(ValueError):
+        ch_fn("multiIf")(F.lit(True), F.lit(1))
+
+
+def test_int_div_truncates_toward_zero_like_ch(row):
+    got = row(
+        pos=ch_fn("intDiv")(F.lit(7), F.lit(2)),
+        neg=ch_fn("intDiv")(F.lit(-7), F.lit(2)),
+    )
+    assert got == {"pos": 3, "neg": -3}
+
+
+def test_date_functions(row):
+    ts = F.lit("2024-03-15 13:45:11").cast("timestamp")
+    got = row(
+        yyyymm=ch_fn("toYYYYMM")(ts),
+        yyyymmdd=ch_fn("toYYYYMMDD")(ts),
+        hour_start=ch_fn("toStartOfHour")(ts),
+        ddiff=ch_fn("dateDiff")(
+            "'day'", F.lit("2024-03-01").cast("timestamp"), ts
+        ),
+        unix=ch_fn("toUnixTimestamp")(F.lit("1970-01-01 00:01:40").cast("timestamp")),
+    )
+    assert got["yyyymm"] == 202403
+    assert got["yyyymmdd"] == 20240315
+    assert got["hour_start"] == datetime.datetime(2024, 3, 15, 13, 0)
+    assert got["ddiff"] == 14
+    assert got["unix"] == 100
+
+
+def test_string_functions(row):
+    got = row(
+        pos=ch_fn("position")(F.lit("Hello"), F.lit("ll")),
+        starts=ch_fn("startsWith")(F.lit("Hello"), F.lit("He")),
+        extract_group=ch_fn("extract")(F.lit("v=42;"), r"v=(\d+)"),
+        extract_whole=ch_fn("extract")(F.lit("abc123"), r"\d+"),
+        repl=ch_fn("replaceRegexpAll")(F.lit("a1b2"), F.lit(r"\d"), F.lit("_")),
+        split=ch_fn("splitByChar")(".", F.lit("1.2.3")),
+        empty=ch_fn("empty")(F.lit("")),
+    )
+    assert got["pos"] == 3  # CH position is 1-based
+    assert got["starts"] is True
+    assert got["extract_group"] == "42"
+    assert got["extract_whole"] == "123"
+    assert got["repl"] == "a_b_"
+    assert got["split"] == ["1", "2", "3"]
+    assert got["empty"] is True
+
+
+def test_conditional_aggregates(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], ["k", "v"]
+    )
+    got = df.agg(
+        ch_fn("countIf")(F.col("k") % 2 == 0).alias("c"),
+        ch_fn("sumIf")(F.col("v"), F.col("k") > 2).alias("s"),
+        ch_fn("avgIf")(F.col("v"), F.col("k") <= 2).alias("a"),
+        ch_fn("argMax")(F.col("k"), F.col("v")).alias("am"),
+        ch_fn("quantileExact")(F.col("v"), 0.5).alias("q"),
+    ).collect()[0]
+    assert got["c"] == 2
+    assert got["s"] == 70.0
+    assert got["a"] == 15.0
+    assert got["am"] == 4
+    assert got["q"] == 25.0
+
+
+def test_hashes_are_portable(row):
+    got = row(
+        md5=ch_fn("MD5")(F.lit("abc")),
+        half=ch_fn("halfMD5")(F.lit("abc")),
+    )
+    assert got["md5"] == "900150983cd24fb0d6963f7d28e17f72"
+    assert got["half"] == 648541476951500027  # == duckdb ('0x'||substr(md5,1,15))
+
+
+def test_unknown_function_raises_with_known_list():
+    with pytest.raises(KeyError, match="no ClickHouse-compat shim"):
+        ch_fn("arrayJoin")
+
+
+def test_registry_entries_are_callable():
+    assert all(callable(f) for f in CH_FUNCTIONS.values())
