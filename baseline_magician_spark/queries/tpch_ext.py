@@ -441,3 +441,161 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey AS bp, min(unit_cost) AS min_cost
+      FROM costs GROUP BY l_partkey
+    )
+    SELECT p_partkey, p_brand, s_name, round(unit_cost, 4) AS best_unit_cost
+    FROM costs
+    JOIN best ON l_partkey = bp AND unit_cost = min_cost
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size = 2 AND p_type = 'LARGE'
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2's correlated min-subquery shape, adapted: the supply
+    relation is observed lineitem unit prices (no partsupp table —
+    TESTDATA.md). Decorrelated into a per-part window min — one shuffle
+    on the part key instead of a re-aggregating self-join; part and
+    supplier dims broadcast. Equality on the min is safe: both sides
+    compare the same IEEE doubles."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = costs.withColumn("min_cost", F.min("unit_cost").over(w)).where(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 2) & (F.col("p_type") == "LARGE")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        best.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.round("unit_cost", 4).alias("best_unit_cost"),
+        )
+    )
+
+
+@query(
+    "q11_important_part_values",
+    """
+    WITH supplied AS (
+      SELECT l_partkey AS partkey,
+             sum(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_regionkey = 1
+      GROUP BY l_partkey
+    )
+    SELECT partkey, round(value, 2) AS total_value
+    FROM supplied
+    WHERE value > (SELECT sum(value) * 0.002 FROM supplied)
+    """,
+)
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11's HAVING-greater-than-global-scalar shape: per-part supplied
+    value from region-1 nations vs 0.2% of the regional total. The
+    scalar is a one-row broadcast; the per-part agg shuffles once on
+    the part key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 1)
+    supplied = (
+        li.join(
+            F.broadcast(
+                supp.join(
+                    F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                    "left_semi",
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "value"
+            )
+        )
+    )
+    threshold = supplied.agg((F.sum("value") * 0.002).alias("_thr"))
+    return (
+        supplied.crossJoin(F.broadcast(threshold))
+        .where(F.col("value") > F.col("_thr"))
+        .select("partkey", F.round("value", 2).alias("total_value"))
+    )
+
+
+@query(
+    "q20_promo_heavy_suppliers",
+    """
+    WITH promo AS (
+      SELECT l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 1
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM promo
+        WHERE qty > (SELECT 0.5 * avg(qty) FROM promo)
+      )
+    """,
+)
+def q20_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20's nested IN + scalar-threshold shape, adapted to lineitem as
+    the supply relation: region-1 suppliers whose 1996 PROMO shipment
+    quantity beats half the average. Integer quantity sums keep the
+    threshold comparison exact across engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    promo_part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "PROMO"
+    )
+    promo = (
+        li.join(F.broadcast(promo_part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    thr = promo.agg((F.avg("qty") * 0.5).alias("_thr"))
+    heavy = (
+        promo.crossJoin(F.broadcast(thr))
+        .where(F.col("qty") > F.col("_thr"))
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 1)
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
