@@ -57,6 +57,9 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("_nl").alias("_nbr_min"))
         )
+        # lazy checkpoint + count: ONE job materializes the round's
+        # labels AND evaluates convergence (eager=True would spend a
+        # second job per round just to truncate lineage)
         updated = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -66,7 +69,7 @@ def connected_components(
                 ).alias("label"),
                 (F.col("_nbr_min") < F.col("label")).alias("_changed"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         n_changed = updated.where(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if n_changed == 0:

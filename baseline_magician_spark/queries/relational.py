@@ -481,3 +481,94 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).over(w).alias("hour_cents"),
         F.count(F.lit(1)).over(w).alias("hour_events"),
     )
+
+
+@query(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           CAST(count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                           THEN 1 END) AS BIGINT) AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column path (SURVEY §2.8 X9): parse the JSON
+    ``props`` payload with a typed ``from_json`` schema (one JVM-side
+    parse per row feeding every downstream use — preferable at scale
+    to repeated ``get_json_object`` path probes) and aggregate per
+    type. The parse is a narrow projection; the only shuffle is the
+    5-group agg."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k LONG")["k"]
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count(F.when(F.col("k") >= 50, 1)).cast("long").alias("n_high"),
+        )
+    )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    """
+    SELECT measure, l_returnflag,
+           count(*) AS n,
+           round(sum(val), 2) AS total,
+           round(avg(val), 6) AS mean
+    FROM (
+      SELECT l_returnflag, 'quantity' AS measure,
+             CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'tax', l_tax FROM lineitem
+    )
+    GROUP BY measure, l_returnflag
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (UNPIVOT/melt) + per-measure stats. Spark's
+    ``unpivot`` is a single-pass Expand (each input row fans out to 4
+    — no self-union, no repeated scan, which is what the 4-way
+    UNION ALL oracle would cost executed literally)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    ).unpivot(
+        ["l_returnflag"],
+        ["quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    measure = (
+        F.when(F.col("measure") == "l_extendedprice", "extendedprice")
+        .when(F.col("measure") == "l_discount", "discount")
+        .when(F.col("measure") == "l_tax", "tax")
+        .otherwise(F.col("measure"))
+    )
+    return (
+        long.select(measure.alias("measure"), "l_returnflag", "val")
+        .groupBy("measure", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 2).alias("total"),
+            F.round(F.avg("val"), 6).alias("mean"),
+        )
+    )

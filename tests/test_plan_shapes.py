@@ -74,3 +74,67 @@ def test_multimodal_stays_narrow(spark, queries):
     # decode is a pure map pipeline: no exchange anywhere
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_lsh_pair_join_computes_features_once(spark, queries):
+    """The salted self-join must reuse the repartition exchange over the
+    feature pipeline: the two Python stages (attach payload, extract
+    features) appear once each in the executed plan, not once per join
+    side."""
+    plan = plan_of(
+        queries["dedup_embedding_cosine_pairs"](spark, SF_ORACLE), execute=True
+    )
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert final.count("MapInPandas") == 2, final
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final
+
+
+def test_tpch_ext_dimension_joins_broadcast(spark, queries):
+    for name in ("q7_volume_shipping", "q9_product_type_profit"):
+        plan = plan_of(queries[name](spark, SF_ORACLE))
+        assert "BroadcastHashJoin" in plan, name
+        # the only sort-merge/shuffle joins allowed are fact-fact on the
+        # order key
+        for line in plan.splitlines():
+            if "SortMergeJoin" in line:
+                assert "orderkey" in line, (name, line)
+
+
+def test_unpivot_is_single_pass_expand(spark, queries):
+    plan = plan_of(queries["unpivot_lineitem_measures"](spark, SF_ORACLE))
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1  # no self-union rescan
+
+
+def test_json_parse_is_narrow_before_agg(spark, queries):
+    plan = plan_of(queries["json_props_stats"](spark, SF_ORACLE))
+    # one scan, one shuffle (the 5-group agg); from_json must not force
+    # a Python stage
+    assert plan.count("FileScan parquet") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sampling_queries_shuffle_only_where_required(spark, queries):
+    from baseline_magician_spark.catalog import load_table
+    from baseline_magician_spark.operators.sampling import (
+        split_assign,
+        stratified_sample,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    # assignment + stratified filter are pure map-side
+    narrow = stratified_sample(
+        docs.select(
+            "doc_id", "lang",
+            split_assign(F.col("doc_id"), {"a": 0.5, "b": 0.5}, "s").alias("sp"),
+        ),
+        "lang",
+        {"en": 0.5},
+        "doc_id",
+    )
+    plan = plan_of(narrow)
+    assert "Exchange" not in plan
+    # quota needs exactly one shuffle (the group window)
+    plan_q = plan_of(queries["sample_quota_per_source"](spark, SF_ORACLE))
+    assert plan_q.count("Exchange hashpartitioning") == 1
