@@ -355,3 +355,105 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=EMB_DUP_THRESHOLD,
         dim=8,
     )
+
+
+def _keep_best_oracle() -> str:
+    """Cluster survivors chosen by QUALITY (longest doc, ties to the
+    lower id) instead of min-id — the keep policy real pipelines use."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+    )
+    SELECT c.doc_id, c.cluster_id,
+           (row_number() OVER (
+              PARTITION BY c.cluster_id
+              ORDER BY d.n_chars DESC, c.doc_id ASC
+            ) = 1) AS is_survivor
+    FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    """
+
+
+@query("dedup_keep_best_per_cluster", _keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: same near-dup clusters as
+    dedup_connected_components, but the kept document is the LONGEST
+    in its cluster (ties to the lower id) — the 'keep best, not first'
+    policy. One extra window over the tiny (node, cluster) frame."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", k=K, rows_per_band=ROWS_PER_BAND,
+        shingle_n=SHINGLE_N,
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cc.join(docs.select("doc_id", "n_chars"), cc.node == F.col("doc_id"))
+        .select("doc_id", "cluster_id", "n_chars")
+        .withColumn("is_survivor", F.row_number().over(w) == 1)
+        .drop("n_chars")
+    )
+
+
+def _incremental_oracle() -> str:
+    """Incremental ingest: even doc_ids are the standing corpus, odd
+    ones the incoming batch; an incoming doc survives iff its exact
+    text hash is unseen in the corpus AND it is the batch's first
+    (min doc_id) holder of that hash."""
+    return """
+    WITH corpus AS (
+      SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    ),
+    incoming AS (
+      SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+    ),
+    fresh AS (
+      SELECT i.* FROM incoming i
+      WHERE i.h NOT IN (SELECT h FROM corpus)
+    )
+    SELECT doc_id, lang FROM fresh
+    WHERE doc_id = (SELECT min(f2.doc_id) FROM fresh f2 WHERE f2.h = fresh.h)
+    """
+
+
+@query("dedup_incremental_ingest", _incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC-shaped dedup pass a continuously-fed corpus needs:
+    incoming batch -> drop exact dups against the standing corpus
+    (anti join on content hash — broadcast when the batch is small,
+    shuffle-hash when not; the CORPUS side never re-hashes, at scale
+    its hashes are a stored index) -> drop within-batch dups (min-id
+    per hash). Near-dup filtering would chain the MinHash operator on
+    the survivors — composition, not new machinery."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_hashes = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    incoming = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.md5("text").alias("h")
+    )
+    fresh = incoming.join(corpus_hashes, "h", "left_anti")
+    first = fresh.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    return fresh.join(first, ["h", "doc_id"], "left_semi").select(
+        "doc_id", "lang"
+    )
