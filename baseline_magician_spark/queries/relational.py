@@ -572,3 +572,38 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("val"), 6).alias("mean"),
         )
     )
+
+
+@query(
+    "window_lag_lead_user_deltas",
+    """
+    SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT)
+             - lag(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS delta_cents,
+           lead(event_type)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_type,
+           first_value(event_type)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS first_type
+    FROM events
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset window functions (lag/lead/first_value) over per-user
+    event sequences, integer-cents exact. One shuffle on user_id; all
+    three functions share a single window frame (one sort)."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return events.select(
+        "event_id",
+        "user_id",
+        (cents - F.lag(cents).over(w)).alias("delta_cents"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+    )

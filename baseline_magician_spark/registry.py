@@ -50,6 +50,7 @@ def _load() -> None:
         baseline_q,
         dedup_q,
         multimodal_q,
+        profiling_q,
         relational,
         sampling_q,
         similarity_q,

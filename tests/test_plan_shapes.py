@@ -138,3 +138,11 @@ def test_sampling_queries_shuffle_only_where_required(spark, queries):
     # quota needs exactly one shuffle (the group window)
     plan_q = plan_of(queries["sample_quota_per_source"](spark, SF_ORACLE))
     assert plan_q.count("Exchange hashpartitioning") == 1
+
+
+def test_profile_is_one_pass(spark, queries):
+    plan = plan_of(queries["profile_orders_table"](spark, SF_ORACLE))
+    assert plan.count("FileScan parquet") == 1  # one scan for all cells
+    # count_distinct over several columns -> Expand is expected, but no
+    # join and no repeated aggregation subtrees
+    assert "Join" not in plan
