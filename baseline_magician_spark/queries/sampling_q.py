@@ -151,3 +151,126 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_plan(
         docs, "source", F.size(tokens("text")), MIX_WEIGHTS
     )
+
+
+EXPORT_SEED = "mix9"
+
+
+def _training_export_oracle() -> str:
+    """The full composition in one SQL: exact dedup -> near-dup cluster
+    removal (MinHash CC, reused from the dedup oracles) -> quality gate
+    -> token-weighted mixture fractions -> per-source hash sample ->
+    split assignment -> per-(split, source) corpus stats."""
+    from .dedup_q import _minhash_oracle
+
+    w = " ".join(f"WHEN source = '{s}' THEN {x}" for s, x in MIX_WEIGHTS.items())
+    h = hash60_sql("doc_id", EXPORT_SEED)
+    assign = split_assign_sql("doc_id", SPLIT_FRACTIONS, SPLIT_SEED)
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    non_survivors AS (
+      SELECT node AS doc_id FROM walk GROUP BY node HAVING node <> min(label)
+    ),
+    exact_keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    kept AS (
+      SELECT d.doc_id, d.source, {_TOK} AS n_toks
+      FROM documents d
+      JOIN exact_keep k ON d.doc_id = k.doc_id
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM non_survivors)
+        AND {_TOK} >= 10
+    ),
+    per_source AS (
+      SELECT source, CAST(sum(n_toks) AS BIGINT) AS actual FROM kept
+      GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(actual) AS BIGINT) AS t FROM per_source),
+    fractions AS (
+      SELECT source,
+             round(least(1.0, (CASE {w} ELSE 0.0 END) * t / actual), 6)
+               AS frac
+      FROM per_source CROSS JOIN tot
+    ),
+    sampled AS (
+      SELECT k.* FROM kept k JOIN fractions f ON k.source = f.source
+      WHERE CAST({h} AS DOUBLE) / 1152921504606846976.0 < f.frac
+    )
+    SELECT {assign} AS split, source,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens
+    FROM sampled
+    GROUP BY 1, 2
+    """
+
+
+@query("pipeline_training_export", _training_export_oracle())
+def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the whole training-data story as ONE
+    declarative plan: exact dedup, near-dup cluster removal, quality
+    gate, token-weighted mixture rebalancing, deterministic per-source
+    sampling, train/valid/test split, per-cell stats. Every stage is an
+    independently-oracle-checked operator; Catalyst fuses the narrow
+    stages and the only shuffles are the dedup self-join, the CC
+    rounds, the two tiny aggregates, and the final 3x|sources| cell
+    agg. The data-dependent sample fraction compares in double space
+    (hash/2^60 < frac) — identical IEEE ops in both engines."""
+    from ..operators.dedup import exact_dedup_groups, minhash_lsh_pairs
+    from ..operators.graph import dedup_clusters
+    from .dedup_q import K, ROWS_PER_BAND, SHINGLE_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact_keep = exact_dedup_groups(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", k=K, rows_per_band=ROWS_PER_BAND,
+        shingle_n=SHINGLE_N,
+    )
+    non_survivors = (
+        dedup_clusters(pairs, "doc_a", "doc_b")
+        .where(~F.col("is_survivor"))
+        .select("doc_id")
+    )
+    kept = (
+        docs.join(exact_keep, "doc_id", "left_semi")
+        .join(non_survivors, "doc_id", "left_anti")
+        .select("doc_id", "source", F.size(tokens("text")).alias("n_toks"))
+        .where(F.col("n_toks") >= 10)
+    )
+    fractions = mixture_plan(
+        kept, "source", F.col("n_toks"), MIX_WEIGHTS
+    ).select("source", F.col("sample_fraction").alias("frac"))
+    from ..operators.sampling import hash60
+
+    sampled = kept.join(F.broadcast(fractions), "source").where(
+        (hash60(F.col("doc_id"), EXPORT_SEED).cast("double")
+         / F.lit(float(HASH_SPACE)))
+        < F.col("frac")
+    )
+    return (
+        sampled.select(
+            split_assign(F.col("doc_id"), SPLIT_FRACTIONS, SPLIT_SEED).alias(
+                "split"
+            ),
+            "source",
+            "n_toks",
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+    )
