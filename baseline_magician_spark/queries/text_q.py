@@ -168,3 +168,120 @@ def frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), F.asc("shingle"))
         .limit(50)
     )
+
+
+DECON_N = 5  # shingle width for contamination detection
+EVAL_SET_MAX_ID = 20  # doc_id < 20 plays the held-out eval set
+
+
+def _decontamination_oracle() -> str:
+    from ..functions.hashing import shingle_hashes_duckdb
+
+    sh = shingle_hashes_duckdb("text", DECON_N)
+    return f"""
+    WITH eval_sh AS (
+      SELECT DISTINCT h FROM (
+        SELECT unnest({sh}) AS h FROM documents
+        WHERE doc_id < {EVAL_SET_MAX_ID}
+      )
+    ),
+    train_sh AS (
+      SELECT doc_id, unnest(list_distinct({sh})) AS h FROM documents
+      WHERE doc_id >= {EVAL_SET_MAX_ID}
+    )
+    SELECT doc_id, count(*) AS n_shared_shingles
+    FROM train_sh JOIN eval_sh USING (h)
+    GROUP BY doc_id
+    """
+
+
+@query("text_eval_decontamination", _decontamination_oracle())
+def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: training documents sharing any
+    DECON_N-gram with the held-out eval set, with the shared-shingle
+    count as the contamination score (drop or audit these before
+    training). Shingles are hashed map-side (64-bit poly hash — the
+    join ships longs, never strings); the eval side is tiny and
+    broadcasts, so the train corpus is ONE narrow pass + one group agg
+    at any scale."""
+    from ..functions.hashing import shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_sh = (
+        docs.where(F.col("doc_id") < EVAL_SET_MAX_ID)
+        .select(F.explode(shingle_hashes("text", DECON_N)).alias("h"))
+        .distinct()
+    )
+    train_sh = docs.where(F.col("doc_id") >= EVAL_SET_MAX_ID).select(
+        "doc_id", F.explode(shingle_hashes("text", DECON_N)).alias("h")
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+VOCAB_TOP_N = 10  # the synthetic corpus has ~31 distinct tokens; 10
+# keeps coverage a real fraction (a top-N >= |vocab| would make the
+# query vacuously 1.0 and unable to catch join mistakes)
+
+
+def _vocab_coverage_oracle() -> str:
+    tok = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+    return f"""
+    WITH toks AS (
+      SELECT unnest({tok}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+        FROM toks GROUP BY tok
+      ) WHERE rk <= {VOCAB_TOP_N}
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS total_tokens,
+      CAST(count(CASE WHEN v.tok IS NOT NULL THEN 1 END) AS BIGINT)
+        AS covered_tokens,
+      round(count(CASE WHEN v.tok IS NOT NULL THEN 1 END)
+            / CAST(count(*) AS DOUBLE), 6) AS coverage
+    FROM toks LEFT JOIN vocab v USING (tok)
+    """
+
+
+@query("text_vocab_coverage", _vocab_coverage_oracle())
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget planning: what fraction of corpus tokens does a
+    top-N unigram vocab cover? Two passes over the exploded tokens
+    (count -> rank -> broadcast top-N -> covered count); the heavy
+    hitter set is exact, ties broken lexicographically so both engines
+    pick the identical vocab."""
+    from ..functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    from pyspark.sql import Window
+
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+            ),
+        )
+        .where(F.col("rk") <= VOCAB_TOP_N)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    # the marker column (not the coalesced join key, which is never
+    # null on a left join) distinguishes covered tokens
+    return toks.join(F.broadcast(vocab), "tok", "left_outer").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.count(F.col("_in_vocab")).alias("_cov_raw"),
+    ).select(
+        "total_tokens",
+        F.col("_cov_raw").alias("covered_tokens"),
+        F.round(F.col("_cov_raw") / F.col("total_tokens"), 6).alias("coverage"),
+    )

@@ -70,3 +70,42 @@ def test_verify_no_overlap():
         verify_no_overlap(["10.1.0.0/24"], "10.0.0.0/16")
     with pytest.raises(ValueError, match="overlaps"):
         verify_no_overlap(["10.0.0.0/23", "10.0.1.0/24"], "10.0.0.0/16")
+
+
+# -- property-based invariants ----------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def cidrs(draw, min_mask=0, max_mask=32):
+    ip = draw(st.integers(min_value=0, max_value=(1 << 32) - 1))
+    mask = draw(st.integers(min_value=min_mask, max_value=max_mask))
+    from baseline_magician_spark.functions.ip import long_to_ip4_py
+
+    return f"{long_to_ip4_py(ip)}/{mask}"
+
+
+@given(cidrs(max_mask=24), st.integers(0, 7))
+@settings(max_examples=50, deadline=None)
+def test_subnets_partition_their_base(cidr, new_bits):
+    from baseline_magician_spark.functions.ip import ip4_to_long_py
+
+    lo_s, hi_s = address_range(cidr)
+    lo, hi = ip4_to_long_py(lo_s), ip4_to_long_py(hi_s)
+    n = 1 << new_bits
+    subs = [subnet(cidr, new_bits, i) for i in range(n)]
+    verify_no_overlap(subs, cidr)  # pairwise disjoint, inside base
+    total = sum(address_count(s) for s in subs)
+    assert total == hi - lo + 1  # they tile the base exactly
+
+
+@given(cidrs(min_mask=8, max_mask=30))
+@settings(max_examples=50, deadline=None)
+def test_host_range_roundtrip(cidr):
+    from baseline_magician_spark.functions.ip import ip4_to_long_py
+
+    lo_s, hi_s = address_range(cidr)
+    assert host(cidr, 0) == lo_s
+    assert host(cidr, address_count(cidr) - 1) == hi_s
+    assert ip4_to_long_py(inc_ip(lo_s)) == ip4_to_long_py(lo_s) + 1

@@ -90,3 +90,23 @@ def test_mixture_plan_fractions(spark, docs):
             assert r["target_weight"] == 0.0
             assert r["sample_fraction"] == 0.0
         assert 0.0 <= r["sample_fraction"] <= 1.0
+
+
+def test_hash60_is_uniform_and_seed_sensitive(spark):
+    from pyspark.sql import functions as F
+
+    from baseline_magician_spark.operators.sampling import HASH_SPACE, hash60
+
+    n = 20000
+    df = spark.range(n).select(
+        hash60(F.col("id"), "a").alias("ha"),
+        hash60(F.col("id"), "b").alias("hb"),
+    )
+    row = df.agg(
+        F.count_distinct("ha").alias("d"),
+        F.avg(F.col("ha") / F.lit(float(HASH_SPACE))).alias("mean"),
+        F.count_if(F.col("ha") == F.col("hb")).alias("collide"),
+    ).collect()[0]
+    assert row["d"] == n  # no collisions at this scale
+    assert abs(row["mean"] - 0.5) < 0.02  # uniform in [0, 1)
+    assert row["collide"] == 0  # seeds decorrelate
