@@ -112,3 +112,29 @@ def normalized_fingerprint(text_col: Column | str) -> Column:
 def winnow_min_shingle(text_col: Column | str, n: int = 3) -> Column:
     """Winnowing-style robust fingerprint: min shingle hash."""
     return F.array_min(shingle_hashes(text_col, n))
+
+
+def register_ngrams_udtf(spark, name: str = "ngrams_udtf", n: int = 2):
+    """Python UDTF (SURVEY §2.10 — UDTF surface, ABSENT in the
+    reference): one row per token n-gram with its position, usable as a
+    lateral table function in SQL:
+
+        SELECT d.doc_id, g.ngram, g.pos
+        FROM docs d, LATERAL ngrams_udtf(d.text) g
+
+    The row-per-row Python path is the SLOW lane — the engine's own
+    shingle operators (functions.hashing.token_shingles) stay in
+    Catalyst HOFs; this exists for user extensibility parity, where
+    arbitrary Python generators are the point.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ngram: string, pos: int")
+    class NGrams:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF contract
+            toks = [t for t in (text or "").split() if t]
+            for i in range(len(toks) - n + 1):
+                yield " ".join(toks[i : i + n]), i
+
+    spark.udtf.register(name, NGrams)
+    return NGrams

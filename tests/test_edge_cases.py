@@ -90,3 +90,29 @@ def test_connected_components_handles_chains(spark):
     )
     cc = {r.node: r.cluster_id for r in connected_components(edges).collect()}
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_ngrams_udtf_matches_builtin_shingles(spark):
+    """The Python UDTF lateral path and the Catalyst HOF path must
+    agree (same n-grams, order by position)."""
+    from pyspark.sql import functions as F
+
+    from baseline_magician_spark.catalog import load_table
+    from baseline_magician_spark.functions.hashing import token_shingles
+    from baseline_magician_spark.operators.text import register_ngrams_udtf
+
+    from conftest import SF_SMOKE
+
+    register_ngrams_udtf(spark, "ngrams_udtf_t", n=2)
+    docs = load_table(spark, SF_SMOKE, "documents").where(F.col("doc_id") < 30)
+    docs.createOrReplaceTempView("_udtf_docs")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, g.ngram, g.pos "
+        "FROM _udtf_docs d, LATERAL ngrams_udtf_t(d.text) g"
+    ).collect()
+    via_hof = docs.select(
+        "doc_id",
+        F.posexplode(token_shingles("text", 2)).alias("pos", "ngram"),
+    ).collect()
+    canon = lambda rows: sorted((r["doc_id"], r["ngram"], r["pos"]) for r in rows)
+    assert canon(via_udtf) == canon(via_hof)
