@@ -1,0 +1,139 @@
+"""Scale-ladder stress check: do the headline operators scale
+~linearly with input size, or is a hidden quadratic waiting at 100 TB?
+
+Replicates the sf0.1 inputs x1 / x4 / x16 in-memory (ids offset per
+replica; document text salted with a per-replica token so near-dup
+structure stays per-replica instead of exploding cross-replica) and
+times representative operators at each rung. A healthy operator's
+time ratio between rungs stays near the data ratio (x4); a quadratic
+one blows past it.
+
+Run:  python stress.py            (~2-4 min, local[32])
+Output: one JSON line per rung, then a PASS/FAIL linearity verdict.
+Recorded results live in SCALE.md §Measured-scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+FACTORS = (1, 4, 16)
+# allowed slowdown ratio per x4 data: 4 is linear; plan overhead makes
+# small rungs look sublinear, skew/quadratic blowups look superlinear
+MAX_RATIO_PER_X4 = 6.0
+
+
+def replicate(df: DataFrame, k: int, id_cols: list[str], salt_text: bool) -> DataFrame:
+    if k == 1:
+        return df
+    r = df.crossJoin(F.broadcast(
+        df.sparkSession.range(k).select(F.col("id").alias("_rep"))
+    ))
+    for c in id_cols:
+        r = r.withColumn(c, F.col(c) * k + F.col("_rep"))
+    if salt_text:
+        r = r.withColumn(
+            "text", F.concat(F.lit("r"), F.col("_rep").cast("string"),
+                             F.lit(" "), F.col("text"))
+        )
+    return r.drop("_rep")
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("scale-ladder")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from baseline_magician_spark.catalog import load_table
+    from baseline_magician_spark.functions.hashing import tokens
+    from baseline_magician_spark.operators.dedup import minhash_lsh_pairs
+    from baseline_magician_spark.operators.sampling import quota_per_group
+
+    li0 = load_table(spark, SF_DIR, "lineitem")
+    docs0 = load_table(spark, SF_DIR, "documents")
+    ev0 = load_table(spark, SF_DIR, "events")
+
+    def q1_agg(k: int) -> int:
+        li = replicate(li0, k, ["l_orderkey"], salt_text=False)
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
+        ).count()
+
+    def minhash(k: int) -> int:
+        docs = replicate(docs0, k, ["doc_id"], salt_text=True)
+        return minhash_lsh_pairs(docs, "text", "doc_id", k=8,
+                                 rows_per_band=2, shingle_n=3).count()
+
+    def quota(k: int) -> int:
+        docs = replicate(docs0, k, ["doc_id"], salt_text=False)
+        return quota_per_group(docs, "source", 120, "doc_id").count()
+
+    def window_sum(k: int) -> int:
+        from pyspark.sql import Window as W
+
+        ev = replicate(ev0, k, ["event_id", "user_id"], salt_text=False)
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        # aggregate OVER the windowed column: .count() alone lets
+        # Catalyst prune the window away (cardinality-preserving)
+        return int(
+            ev.select(
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .over(w)
+                .alias("rs")
+            )
+            .agg(F.max("rs"))
+            .collect()[0][0]
+        )
+
+    def token_stats(k: int) -> int:
+        docs = replicate(docs0, k, ["doc_id"], salt_text=True)
+        return int(
+            docs.agg(F.sum(F.size(tokens("text")))).collect()[0][0]
+        )
+
+    ops = {
+        "q1_agg": q1_agg,
+        "minhash_lsh_pairs": minhash,
+        "quota_per_group": quota,
+        "window_running_sum": window_sum,
+        "token_scan": token_stats,
+    }
+
+    times: dict[str, dict[int, float]] = {name: {} for name in ops}
+    for k in FACTORS:
+        rung = {}
+        for name, fn in ops.items():
+            t0 = time.time()
+            n = fn(k)
+            dt = round(time.time() - t0, 2)
+            times[name][k] = dt
+            rung[name] = {"sec": dt, "rows_out": n}
+        print(json.dumps({"factor": k, "ops": rung}), flush=True)
+
+    ok = True
+    for name, by_k in times.items():
+        for lo, hi in zip(FACTORS, FACTORS[1:]):
+            ratio = by_k[hi] / max(by_k[lo], 0.05)
+            verdict = "ok" if ratio <= MAX_RATIO_PER_X4 else "SUPERLINEAR"
+            if ratio > MAX_RATIO_PER_X4:
+                ok = False
+            print(f"{name}: x{lo}->x{hi} ratio {ratio:.1f} {verdict}")
+    print("PASS" if ok else "FAIL")
+    raise SystemExit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
