@@ -356,3 +356,56 @@ def lsh_bucketed_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_train_step(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """One Lloyd (k-means) iteration — the IVF TRAINING step that
+    produces the centroids ivf_topk serves from.
+
+    Assign every vector to its nearest centroid map-side (same literal-
+    matrix argmax as serving, no shuffle), then recompute each cell's
+    centroid as the element-wise member mean. The vector average
+    shuffles (cell, pos) pairs — dim × |cells| groups, uniform — after
+    a posexplode that is linear in corpus × dim. Iterating this
+    function IS k-means; each step is one job, centroids round-trip
+    through the driver (K × dim floats — tiny by design).
+
+    Output: (cell, n_members, centroid: array<double> rounded).
+    """
+    centroids = [
+        (int(r[0]), list(r[1]))
+        for r in embeddings.where(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    centroids.sort()
+    # two projection steps: a generator (posexplode) in the SAME select
+    # as the assignment expression makes Spark's generator rewrite strip
+    # the named-struct aliases inside ivf_assign_cell (FIELD_NOT_FOUND)
+    assigned = embeddings.select(
+        F.col(vec_col).alias("_v"),
+        ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
+    ).select("cell", F.posexplode(F.col("_v")).alias("pos", "x"))
+    per_pos = assigned.groupBy("cell", "pos").agg(
+        F.avg("x").alias("m"), F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_pos.groupBy("cell")
+        .agg(
+            F.max("c").alias("n_members"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("pos"), F.round("m", round_to).alias("m"))
+                    )
+                ),
+                lambda s: s["m"],
+            ).alias("centroid"),
+        )
+    )

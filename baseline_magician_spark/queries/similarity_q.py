@@ -206,3 +206,44 @@ def similarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("label").alias("n_labels"),
         )
     )
+
+
+def _train_step_oracle() -> str:
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos('e.embedding', 'c.cvec')} DESC, c.cid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    per_pos AS (
+      SELECT cell, i AS pos, avg(embedding[i + 1]) AS m, count(*) AS c
+      FROM assign CROSS JOIN range(0, {EMB_DIM}) t(i)
+      GROUP BY cell, i
+    )
+    SELECT cell,
+           CAST(max(c) AS BIGINT) AS n_members,
+           list(round(m, 6) ORDER BY pos) AS centroid
+    FROM per_pos
+    GROUP BY cell
+    """
+
+
+@query("similarity_ivf_train_step", _train_step_oracle())
+def similarity_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means/Lloyd iteration over the embedding corpus: map-side
+    argmax assignment (identical tie rules as IVF serving) + element-
+    wise centroid mean. Iterating this query trains the IVF index the
+    serving query probes."""
+    from ..operators.similarity import ivf_train_step
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_train_step(emb, n_centroids=N_CENTROIDS)
