@@ -232,10 +232,19 @@ def run_ch_query(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
     p = _Parser(_tokenize(sql))
     p.expect("select")
 
-    select_nodes: list[_Node] = [p.parse_expr()]
+    def _select_item() -> tuple[_Node, str | None]:
+        node = p.parse_expr()
+        if p.peek_kw() == "as":
+            p.next()
+            return node, p.next()
+        return node, None
+
+    items: list[tuple[_Node, str | None]] = [_select_item()]
     while p.peek() == ",":
         p.next()
-        select_nodes.append(p.parse_expr())
+        items.append(_select_item())
+    select_nodes = [n for n, _ in items]
+    aliases = [a for _, a in items]
 
     p.expect("from")
     table = p.next()
@@ -257,6 +266,25 @@ def run_ch_query(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
             p.next()
             group_nodes.append(p.parse_expr())
 
+    order_nodes: list[tuple[_Node, bool]] = []
+    if p.peek_kw() == "order":
+        p.next()
+        p.expect("by")
+        while True:
+            node = p.parse_expr()
+            desc = False
+            if p.peek_kw() in ("asc", "desc"):
+                desc = p.next().lower() == "desc"
+            order_nodes.append((node, desc))
+            if p.peek() != ",":
+                break
+            p.next()
+
+    limit_n: int | None = None
+    if p.peek_kw() == "limit":
+        p.next()
+        limit_n = int(p.next())
+
     if p.peek() is not None:
         raise ValueError(f"unexpected trailing tokens: {self_toks(p)}")
 
@@ -271,7 +299,9 @@ def run_ch_query(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
             return f"{n.value}_{n.args[0].value}"
         return f"c{i}"
 
-    names = [_name(n, i) for i, n in enumerate(select_nodes)]
+    names = [
+        aliases[i] or _name(n, i) for i, n in enumerate(select_nodes)
+    ]
     if any(_contains_agg(n) for n in select_nodes):
         agg_cols = [
             _compile(n).alias(names[i])
@@ -284,11 +314,33 @@ def run_ch_query(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
             grouped = df.groupBy(
                 *[_compile(g).alias(_name(g, 1000 + i)) for i, g in enumerate(group_nodes)]
             )
-            return grouped.agg(*agg_cols).select(*names)
-        return df.agg(*agg_cols)
-    return df.select(
-        *[_compile(n).alias(names[i]) for i, n in enumerate(select_nodes)]
-    )
+            out = grouped.agg(*agg_cols).select(*names)
+        else:
+            out = df.agg(*agg_cols)
+    else:
+        out = df.select(
+            *[_compile(n).alias(names[i]) for i, n in enumerate(select_nodes)]
+        )
+
+    if order_nodes:
+        # a bare column that names an output refers to the select alias
+        # (CH/ANSI ORDER BY semantics); anything else recompiles
+        from pyspark.sql import functions as _F
+
+        sort_cols = []
+        for node, desc in order_nodes:
+            c = (
+                _F.col(str(node.value))
+                if node.kind == "col" and str(node.value) in names
+                else _compile(node)
+            )
+            sort_cols.append(c.desc() if desc else c.asc())
+        out = out.orderBy(*sort_cols)
+    if limit_n is not None:
+        # orderBy+limit fuses into TakeOrderedAndProject (distributed
+        # per-partition top-k + driver merge — no global sort)
+        out = out.limit(limit_n)
+    return out
 
 
 def self_toks(p: _Parser) -> str:

@@ -123,3 +123,31 @@ def test_parse_errors(spark):
         run_ch_query("select nosuchfn(x) FROM t", {"t": t})
     with pytest.raises(ValueError, match="expected"):
         run_ch_query("select x FROM", {"t": t})
+
+
+def test_order_by_limit_topk(spark, host_metrics):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = run_ch_query(
+        "SELECT host, max(packets_incoming) AS mx FROM fastnetmon.host_metrics "
+        "GROUP BY host ORDER BY mx DESC, host LIMIT 5",
+        {"host_metrics": host_metrics},
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    vals = [r["mx"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    # orderBy+limit must fuse into the distributed top-k operator
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_order_by_expression_and_asc(spark, host_metrics):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = run_ch_query(
+        "SELECT host FROM fastnetmon.host_metrics ORDER BY host ASC LIMIT 3",
+        {"host_metrics": host_metrics},
+    )
+    hosts = [r["host"] for r in df.collect()]
+    assert hosts == sorted(hosts) and len(hosts) == 3
