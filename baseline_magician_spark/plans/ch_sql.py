@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 
 from ..functions.ch_compat import CH_FUNCTIONS
 
-_AGGS = {"count", "avg", "max", "min", "sum", "any", "uniq", "uniqexact", "quantile"}
+_AGGS = {
+    "count", "avg", "max", "min", "sum", "any", "uniq", "uniqexact",
+    "quantile", "quantileexact", "countif", "sumif", "avgif", "minif",
+    "maxif", "grouparray", "groupuniqarray", "argmax", "argmin",
+}
 
 _TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+\.\d+|\d+)"
@@ -266,6 +270,11 @@ def run_ch_query(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
             p.next()
             group_nodes.append(p.parse_expr())
 
+    having_node = None
+    if p.peek_kw() == "having":
+        p.next()
+        having_node = p.parse_expr()
+
     order_nodes: list[tuple[_Node, bool]] = []
     if p.peek_kw() == "order":
         p.next()
@@ -308,16 +317,47 @@ def run_ch_query(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
             for i, n in enumerate(select_nodes)
             if _contains_agg(n)
         ]
+        # HAVING rides along as a hidden boolean aggregate column —
+        # its aggregate subexpressions evaluate in the same pass as the
+        # select aggregates, then filter + drop
+        if having_node is not None:
+            agg_cols.append(_compile(having_node).alias("_having"))
         if group_nodes:
-            # group keys come out of groupBy; non-agg select items must
-            # be group expressions and are re-selected by name below
+            # group keys come out of groupBy named after the select item
+            # they correspond to (structural match handles AS aliases on
+            # computed group expressions); non-agg select items must be
+            # group expressions and are re-selected by name below
+            def _node_eq(a: _Node, b: _Node) -> bool:
+                return (
+                    a.kind == b.kind
+                    and a.value == b.value
+                    and len(a.args) == len(b.args)
+                    and all(_node_eq(x, y) for x, y in zip(a.args, b.args))
+                )
+
+            def _group_name(g: _Node, i: int) -> str:
+                for j, sel in enumerate(select_nodes):
+                    if _node_eq(sel, g):
+                        return names[j]
+                return _name(g, 1000 + i)
+
             grouped = df.groupBy(
-                *[_compile(g).alias(_name(g, 1000 + i)) for i, g in enumerate(group_nodes)]
+                *[
+                    _compile(g).alias(_group_name(g, i))
+                    for i, g in enumerate(group_nodes)
+                ]
             )
-            out = grouped.agg(*agg_cols).select(*names)
+            out = grouped.agg(*agg_cols)
         else:
             out = df.agg(*agg_cols)
+        if having_node is not None:
+            from pyspark.sql import functions as _F
+
+            out = out.where(_F.col("_having"))
+        out = out.select(*names)
     else:
+        if having_node is not None:
+            raise ValueError("HAVING requires an aggregating SELECT")
         out = df.select(
             *[_compile(n).alias(names[i]) for i, n in enumerate(select_nodes)]
         )

@@ -151,3 +151,20 @@ def test_order_by_expression_and_asc(spark, host_metrics):
     )
     hosts = [r["host"] for r in df.collect()]
     assert hosts == sorted(hosts) and len(hosts) == 3
+
+
+def test_having_and_conditional_aggregates(spark, host_metrics):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = run_ch_query(
+        "SELECT toString(modulo(packets_incoming, 3)) AS grp, count(*) AS n, "
+        "countIf(packets_incoming > 150) AS busy "
+        "FROM host_metrics GROUP BY toString(modulo(packets_incoming, 3)) "
+        "HAVING count(*) > 66 ORDER BY grp LIMIT 10",
+        {"host_metrics": host_metrics},
+    )
+    rows = df.collect()
+    # packets = 100+i, i in 0..199: two residue classes hold 67 rows
+    assert len(rows) == 2 and all(r["n"] == 67 for r in rows)
+    assert df.columns == ["grp", "n", "busy"]
+    assert all(0 < r["busy"] <= r["n"] for r in rows)
