@@ -89,8 +89,10 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "toUnixTimestamp": lambda c: F.unix_timestamp(c),
     "fromUnixTimestamp": F.timestamp_seconds,
     "dateDiff": lambda unit, a, b: F.timestamp_diff(_unquote(unit), a, b),
-    "addDays": lambda c, n: F.date_add(c, n),
-    "subtractDays": lambda c, n: F.date_sub(c, n),
+    # timestampadd, not date_add: CH addDays on a DateTime keeps the
+    # time-of-day; Spark's date_add would truncate it to a date
+    "addDays": lambda c, n: F.timestamp_add("DAY", _as_col(n), c),
+    "subtractDays": lambda c, n: F.timestamp_add("DAY", -_as_col(n), c),
     # arithmetic / math
     # trunc-toward-zero integer division: Spark % takes the dividend's
     # sign (C semantics, same as CH), so (a - a%b)/b is exact trunc div
@@ -140,6 +142,7 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "replaceRegexpAll": lambda s, pat, rep: F.regexp_replace(s, pat, rep),
     "splitByChar": lambda sep, s: F.split(s, _regex_escape(sep)),
     "splitByString": lambda sep, s: F.split(s, _regex_escape(sep)),
+    # string/binary form; for arrays CH empty() maps to size(c) == 0
     "empty": lambda c: F.length(c) == 0,
     "notEmpty": lambda c: F.length(c) > 0,
     "reverse": F.reverse,
@@ -150,8 +153,16 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # portable ones only)
     "MD5": F.md5,
     "SHA256": lambda c: F.sha2(c, 256),
+    # 60-bit variant (15 hex chars fit a signed long and round-trip
+    # through every SQL engine we oracle against); CH's own halfMD5 is
+    # the full big-endian UInt64 of the first 8 digest bytes, which
+    # Spark cannot hold in a signed long without overflow
     "halfMD5": lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
 }
+
+
+def _as_col(n) -> Column:
+    return n if isinstance(n, Column) else F.lit(n)
 
 
 def _ch_extract(s: Column, pat) -> Column:

@@ -121,3 +121,13 @@ def test_unknown_function_raises_with_known_list():
 
 def test_registry_entries_are_callable():
     assert all(callable(f) for f in CH_FUNCTIONS.values())
+
+
+def test_add_days_preserves_time_of_day(row):
+    ts = F.lit("2024-03-15 13:45:11").cast("timestamp")
+    got = row(
+        plus=ch_fn("addDays")(ts, 3),
+        minus=ch_fn("subtractDays")(ts, 20),
+    )
+    assert got["plus"] == datetime.datetime(2024, 3, 18, 13, 45, 11)
+    assert got["minus"] == datetime.datetime(2024, 2, 24, 13, 45, 11)
