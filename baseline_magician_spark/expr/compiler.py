@@ -161,9 +161,17 @@ class _Compiler:
                 l, r = self._as_num(l, lt, op), self._as_num(r, rt, op)
             out = {">": l > r, "<": l < r, ">=": l >= r, "<=": l <= r}[op]
             return out, "bool"
-        if op == "==":
-            return l.eqNullSafe(r) if lt == "any" or rt == "any" else l == r, "bool"
-        if op == "!=":
+        if op in ("==", "!="):
+            # govaluate equality is Go reflect.DeepEqual: operands of
+            # different dynamic types are NEVER equal (1 == true is
+            # false, not Spark's casted true). With both static types
+            # known and unequal the answer is a constant.
+            if lt != "any" and rt != "any" and lt != rt:
+                return F.lit(op == "!="), "bool"
+            if op == "==":
+                return (
+                    l.eqNullSafe(r) if lt == "any" or rt == "any" else l == r
+                ), "bool"
             return (
                 ~l.eqNullSafe(r) if lt == "any" or rt == "any" else l != r
             ), "bool"

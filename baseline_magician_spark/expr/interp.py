@@ -148,9 +148,9 @@ def _binary(n: Binary, params, fns) -> object:
             "<=": left <= right,
         }[op]
     if op == "==":
-        return left == right
+        return _deep_eq(left, right)
     if op == "!=":
-        return left != right
+        return not _deep_eq(left, right)
     if op in ("=~", "!~"):
         if not isinstance(left, str) or not isinstance(right, str):
             raise ExpressionError(f"{op} requires string operands")
@@ -177,5 +177,20 @@ def _binary(n: Binary, params, fns) -> object:
     if op == "in":
         if not isinstance(right, list):
             raise ExpressionError("right side of 'in' must be an array")
-        return any(left == x for x in right)
+        return any(_deep_eq(left, x) for x in right)
     raise ExpressionError(f"unknown operator {op}")
+
+
+def _deep_eq(a: object, b: object) -> bool:
+    """Go reflect.DeepEqual semantics: values of different dynamic
+    types are never equal — notably bool vs number, where Python's own
+    ``==`` would say ``1.0 == True`` (bool is an int subclass)."""
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(
+            _deep_eq(x, y) for x, y in zip(a, b)
+        )
+    if isinstance(a, list) != isinstance(b, list):
+        return False
+    return a == b

@@ -64,6 +64,12 @@ GOLDEN = [
     # E18/E19 arrays + IN
     ("x in (1, 7, 9)", True),
     ("'q' in ('a', 'b')", False),
+    # DeepEqual is type-strict: bool vs number never equal
+    # (gov/evaluationStage.go:136-141 uses reflect.DeepEqual)
+    ("1 == true", False),
+    ("1 != true", True),
+    ("true == true", True),
+    ("true in (1, true)", True),
     # E21 literals incl. date strings -> unix seconds
     ("'2024-01-01' > 0", True),
     ("'2024-01-02' - '2024-01-01'", 86400.0),
