@@ -59,6 +59,18 @@ def _go_str(c: Column, typ: str) -> Column:
         ).otherwise(c.cast("string"))
     if typ == "bool":
         return F.when(c, F.lit("true")).otherwise(F.lit("false"))
+    if typ == "array":
+        # Go %v slice form: [x y z] — elements recursively %v-formatted
+        # (numeric elements assumed; nested arrays are out of the
+        # language's literal surface)
+        return F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(c, lambda x: _go_str(x.cast("double"), "number")),
+                " ",
+            ),
+            F.lit("]"),
+        )
     return c.cast("string")
 
 

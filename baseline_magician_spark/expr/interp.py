@@ -34,6 +34,9 @@ def go_str(v: object) -> str:
         return repr(v)
     if v is None:
         return "<nil>"
+    if isinstance(v, list):
+        # Go %v slice form: space-separated, no commas
+        return "[" + " ".join(go_str(x) for x in v) + "]"
     return str(v)
 
 
