@@ -9,6 +9,7 @@ parens, and the comma separator.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
@@ -20,19 +21,27 @@ _OPERATORS = [
     "+", "-", "*", "/", "%", "^", "&", "|", "~", "!", ">", "<", "?", ":",
 ]
 
-# Date layouts accepted for quoted literals (pragmatic subset of the 14
-# Go layouts govaluate recognizes; all interpreted as UTC).
+# The exact 14 Go layouts govaluate tries (gov/parsing.go:406-437), in
+# strptime form. Matching the list EXACTLY matters in both directions:
+# a format we'd over-accept (e.g. '1/2/2014') must stay a plain string
+# (comparing it to a number is then a type error, as in govaluate), and
+# every gov-accepted literal must become unix-seconds at lex time.
+# Zone-less layouts are interpreted as UTC (time.Parse semantics).
 _DATE_FORMATS = (
-    "%Y-%m-%d %H:%M:%S",
-    "%Y-%m-%dT%H:%M:%S",
+    "%a %b %d %H:%M:%S %Y",      # time.ANSIC (strptime tolerates _2)
+    "%a %b %d %H:%M:%S %Z %Y",   # time.UnixDate (%Z limited to UTC/GMT)
+    "%a %b %d %H:%M:%S %z %Y",   # time.RubyDate
+    "%Y-%m-%dT%H:%M:%S%z",       # time.RFC3339
+    "%Y-%m-%dT%H:%M:%S.%f%z",    # time.RFC3339Nano (ns trimmed to µs)
+    "%Y-%m-%d",                  # RFC3339-date
     "%Y-%m-%d %H:%M",
-    "%Y-%m-%d",
-    "%m/%d/%Y %H:%M:%S",
-    "%m/%d/%Y",
-    "%Y-%m-%dT%H:%M:%S%z",
-    "%d %b %Y %H:%M",
-    "%d %b %Y",
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%d %H:%M:%S%z",
+    "%Y-%m-%dT%H%z",             # ISO8601 hour
+    "%Y-%m-%dT%H:%M%z",          # ISO8601 minutes
 )
+_KITCHEN = "%I:%M%p"  # time.Kitchen; Go's zero year (0000) special-cased
+_GO_ZERO_UNIX = -62167219200  # unix seconds of 0000-01-01T00:00:00Z
 
 
 @dataclass(frozen=True)
@@ -42,15 +51,25 @@ class Token:
 
 
 def _try_date(text: str) -> float | None:
+    # Go's _2 layouts space-pad single-digit days; strptime wants one
+    # separator. Nano fractions (9 digits) trim to strptime's 6.
+    candidate = re.sub(r"\s+", " ", text)
+    candidate = re.sub(r"(\.\d{6})\d+", r"\1", candidate)
     for fmt in _DATE_FORMATS:
         try:
-            dt = datetime.strptime(text, fmt)
+            dt = datetime.strptime(candidate, fmt)
         except ValueError:
             continue
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=timezone.utc)
         return dt.timestamp()
-    return None
+    try:
+        dt = datetime.strptime(candidate, _KITCHEN)
+    except ValueError:
+        return None
+    # time.Kitchen has no date: Go lands on 0000-01-01, below Python's
+    # datetime range — compute the unix seconds directly
+    return float(_GO_ZERO_UNIX + dt.hour * 3600 + dt.minute * 60)
 
 
 def tokenize(src: str) -> list[Token]:

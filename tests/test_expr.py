@@ -73,6 +73,10 @@ GOLDEN = [
     # E21 literals incl. date strings -> unix seconds
     ("'2024-01-01' > 0", True),
     ("'2024-01-02' - '2024-01-01'", 86400.0),
+    # the exact gov/parsing.go:406-437 layout list, both directions:
+    ("'Mon Jan 2 15:04:05 2006' > 0", True),  # time.ANSIC
+    ("'2014-01-02T15:04:05.999999999Z' - '2014-01-02T15:04:05Z' < 1", True),
+    ("'3:04PM' < 0", True),  # time.Kitchen lands on Go's year 0
     ("0x10 + 1", 17.0),
 ]
 
