@@ -233,3 +233,69 @@ def test_stream_stream_join_matches_batch_join(spark, events_batch, events_strea
         .collect()
     )
     assert canon(got) == canon(want)
+
+
+def test_watermark_finalizes_then_drops_late_data(spark, tmp_path):
+    """Three-file replay pinning Spark's REAL late-data contract, which
+    is eviction-based, not input-filtered: (1) a late row arriving
+    while its window state is still live IS aggregated regardless of
+    watermark; the guarantee is only that once the watermark passes a
+    window's end and the state is evicted (emitted, append mode), a
+    later row for that window is dropped and the window is never
+    re-emitted. Batch 1 seeds hour-1 + advances the watermark past it;
+    batch 2 triggers the eviction (emits hour-1); batch 3's 6-hours-
+    late row must vanish — exactly one hour-1 output row, total 1.0."""
+    import datetime as dt
+    import shutil
+    import time as _time
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        tmp = tmp_path / ("tmp_" + name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        part = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), str(src / name))
+        _time.sleep(1.1)  # distinct mtimes keep the replay order stable
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    write_file("a1.parquet", [(1, t0, 1.0), (2, t0 + dt.timedelta(hours=6), 1.0)])
+    write_file("a2.parquet", [(3, t0 + dt.timedelta(hours=6, minutes=1), 1.0)])
+    write_file("a3.parquet", [(4, t0 + dt.timedelta(minutes=5), 100.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("ws"), "total")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 3, "expected one batch per file"
+    q.stop()
+    rows = spark.table("wm_late").collect()
+    hour1 = dt.datetime(2024, 1, 1, 0, 0)
+    h1 = [r for r in rows if r["ws"] == hour1]
+    assert len(h1) == 1 and h1[0]["total"] == 1.0, rows
