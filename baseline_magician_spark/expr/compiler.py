@@ -45,10 +45,32 @@ def types_from_schema(df: DataFrame) -> dict[str, str]:
         elif s == "boolean":
             out[f.name] = "bool"
         elif s.startswith("array"):
-            out[f.name] = "array"
+            elem = s[len("array<"):-1]
+            if elem in _NUMERIC_SPARK or elem.startswith("decimal"):
+                out[f.name] = "array<number>"
+            elif elem == "string":
+                out[f.name] = "array<string>"
+            elif elem == "boolean":
+                out[f.name] = "array<bool>"
+            else:
+                out[f.name] = "array"
         else:
             out[f.name] = "any"
     return out
+
+
+def _lit_tag(v: object) -> str:
+    """Static type tag of a Python literal (bool checked before number:
+    Python bool is an int subclass, govaluate keeps them distinct)."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int, float)):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    return "any"
 
 
 def _go_str(c: Column, typ: str) -> Column:
@@ -59,17 +81,19 @@ def _go_str(c: Column, typ: str) -> Column:
         ).otherwise(c.cast("string"))
     if typ == "bool":
         return F.when(c, F.lit("true")).otherwise(F.lit("false"))
-    if typ == "array":
-        # Go %v slice form: [x y z] — elements recursively %v-formatted
-        # (numeric elements assumed; nested arrays are out of the
-        # language's literal surface)
+    if typ.startswith("array"):
+        # Go %v slice form: [x y z] — elements %v-formatted per the
+        # tracked element tag ('array<number>' etc; bare 'array' means
+        # unknown/mixed and falls back to a plain string cast per
+        # element)
+        elem = typ[len("array<"):-1] if "<" in typ else "any"
+        fmt = (
+            (lambda x: _go_str(x, elem))
+            if elem in ("number", "bool", "string")
+            else (lambda x: x.cast("string"))
+        )
         return F.concat(
-            F.lit("["),
-            F.array_join(
-                F.transform(c, lambda x: _go_str(x.cast("double"), "number")),
-                " ",
-            ),
-            F.lit("]"),
+            F.lit("["), F.array_join(F.transform(c, fmt), " "), F.lit("]")
         )
     return c.cast("string")
 
@@ -107,8 +131,17 @@ class _Compiler:
                 col = col.cast("double")
             return col, typ
         if isinstance(n, ArrayExpr):
-            cols = [self.compile(x)[0] for x in n.items]
-            return F.array(*cols), "array"
+            compiled = [self.compile(x) for x in n.items]
+            cols = [c for c, _ in compiled]
+            # uniform element type rides along as array<tag>, so the
+            # + concat overload can %v-format elements faithfully
+            etags = {t for _, t in compiled}
+            tag = (
+                f"array<{etags.pop()}>"
+                if len(etags) == 1
+                else "array"
+            )
+            return F.array(*cols), tag
         if isinstance(n, Call):
             args = [self.compile(x)[0] for x in n.args]
             out = self.functions[n.name](*args)
@@ -140,12 +173,12 @@ class _Compiler:
         raise ExpressionError(f"unknown node {n!r}")
 
     def _as_num(self, c: Column, t: str, op: str) -> Column:
-        if t == "string" or t == "bool" or t == "array":
+        if t == "string" or t == "bool" or t.startswith("array"):
             raise ExpressionError(f"operator {op!r} requires a numeric operand")
         return c.cast("double")
 
     def _as_bool(self, c: Column, t: str, op: str) -> Column:
-        if t in ("string", "number", "array"):
+        if t == "string" or t == "number" or t.startswith("array"):
             raise ExpressionError(f"operator {op!r} requires a boolean operand")
         return c.cast("boolean")
 
@@ -177,8 +210,11 @@ class _Compiler:
             # govaluate equality is Go reflect.DeepEqual: operands of
             # different dynamic types are NEVER equal (1 == true is
             # false, not Spark's casted true). With both static types
-            # known and unequal the answer is a constant.
-            if lt != "any" and rt != "any" and lt != rt:
+            # known and unequal the answer is a constant. Array tags
+            # compare on the base ('array<number>' vs 'array' may still
+            # be the same runtime type).
+            lb, rb = lt.split("<")[0], rt.split("<")[0]
+            if lb != "any" and rb != "any" and lb != rb:
                 return F.lit(op == "!="), "bool"
             if op == "==":
                 return (
@@ -218,6 +254,14 @@ class _Compiler:
             if isinstance(n.right, ArrayExpr):
                 lits = [x.value for x in n.right.items if isinstance(x, Literal)]
                 if len(lits) == len(n.right.items):
+                    # DeepEqual membership: candidates whose dynamic
+                    # type differs from the left's can never match —
+                    # drop them BEFORE isin so Spark's implicit casts
+                    # (1 isin true) can't manufacture matches
+                    if lt != "any":
+                        lits = [x for x in lits if _lit_tag(x) == lt]
+                    if not lits:
+                        return F.lit(False), "bool"
                     return l.isin(*lits), "bool"
             return F.array_contains(r, l), "bool"
         raise ExpressionError(f"unknown operator {op}")

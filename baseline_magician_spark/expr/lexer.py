@@ -26,21 +26,56 @@ _OPERATORS = [
 # a format we'd over-accept (e.g. '1/2/2014') must stay a plain string
 # (comparing it to a number is then a type error, as in govaluate), and
 # every gov-accepted literal must become unix-seconds at lex time.
-# Zone-less layouts are interpreted as UTC (time.Parse semantics).
+# Each entry carries a full-match GUARD regex because strptime is
+# looser than Go's time.Parse (case-insensitive %a/%b/%p, %z accepting
+# both ±hhmm and ±hh:mm) — the guard enforces the Go layout's exact
+# shape (Z07:00 = 'Z' or ±hh:mm; Z0700 = 'Z' or ±hhmm; no -07:00 layout
+# accepts 'Z'). Zone-less layouts are interpreted as UTC.
+_D = r"\d"
+_WD = r"[A-Z][a-z]{2}"  # Mon / Jan — capitalized, as Go emits/parses
 _DATE_FORMATS = (
-    "%a %b %d %H:%M:%S %Y",      # time.ANSIC (strptime tolerates _2)
-    "%a %b %d %H:%M:%S %Z %Y",   # time.UnixDate (%Z limited to UTC/GMT)
-    "%a %b %d %H:%M:%S %z %Y",   # time.RubyDate
-    "%Y-%m-%dT%H:%M:%S%z",       # time.RFC3339
-    "%Y-%m-%dT%H:%M:%S.%f%z",    # time.RFC3339Nano (ns trimmed to µs)
-    "%Y-%m-%d",                  # RFC3339-date
-    "%Y-%m-%d %H:%M",
-    "%Y-%m-%d %H:%M:%S",
-    "%Y-%m-%d %H:%M:%S%z",
-    "%Y-%m-%dT%H%z",             # ISO8601 hour
-    "%Y-%m-%dT%H:%M%z",          # ISO8601 minutes
+    # time.ANSIC "Mon Jan _2 15:04:05 2006" (day space-padded, 1-2 dig)
+    ("%a %b %d %H:%M:%S %Y",
+     rf"{_WD} {_WD} {_D}{{1,2}} {_D}{{2}}:{_D}{{2}}:{_D}{{2}} {_D}{{4}}"),
+    # time.UnixDate "Mon Jan _2 15:04:05 MST 2006" (%Z limited to names
+    # strptime knows — UTC/GMT)
+    ("%a %b %d %H:%M:%S %Z %Y",
+     rf"{_WD} {_WD} {_D}{{1,2}} {_D}{{2}}:{_D}{{2}}:{_D}{{2}} [A-Z]{{3,4}} {_D}{{4}}"),
+    # time.RubyDate "Mon Jan 02 15:04:05 -0700 2006"
+    ("%a %b %d %H:%M:%S %z %Y",
+     rf"{_WD} {_WD} {_D}{{2}} {_D}{{2}}:{_D}{{2}}:{_D}{{2}} [+-]{_D}{{4}} {_D}{{4}}"),
+    # time.RFC3339 "2006-01-02T15:04:05Z07:00"
+    ("%Y-%m-%dT%H:%M:%S%z",
+     rf"{_D}{{4}}-{_D}{{2}}-{_D}{{2}}T{_D}{{2}}:{_D}{{2}}:{_D}{{2}}(Z|[+-]{_D}{{2}}:{_D}{{2}})"),
+    # time.RFC3339Nano (1-9 fraction digits)
+    ("%Y-%m-%dT%H:%M:%S.%f%z",
+     rf"{_D}{{4}}-{_D}{{2}}-{_D}{{2}}T{_D}{{2}}:{_D}{{2}}:{_D}{{2}}\.{_D}{{1,9}}(Z|[+-]{_D}{{2}}:{_D}{{2}})"),
+    # "2006-01-02"
+    ("%Y-%m-%d", rf"{_D}{{4}}-{_D}{{2}}-{_D}{{2}}"),
+    # "2006-01-02 15:04"
+    ("%Y-%m-%d %H:%M", rf"{_D}{{4}}-{_D}{{2}}-{_D}{{2}} {_D}{{2}}:{_D}{{2}}"),
+    # "2006-01-02 15:04:05"
+    ("%Y-%m-%d %H:%M:%S",
+     rf"{_D}{{4}}-{_D}{{2}}-{_D}{{2}} {_D}{{2}}:{_D}{{2}}:{_D}{{2}}"),
+    # "2006-01-02 15:04:05-07:00" (offset REQUIRED, no 'Z' in layout)
+    ("%Y-%m-%d %H:%M:%S%z",
+     rf"{_D}{{4}}-{_D}{{2}}-{_D}{{2}} {_D}{{2}}:{_D}{{2}}:{_D}{{2}}[+-]{_D}{{2}}:{_D}{{2}}"),
+    # "2006-01-02T15Z0700"
+    ("%Y-%m-%dT%H%z", rf"{_D}{{4}}-{_D}{{2}}-{_D}{{2}}T{_D}{{2}}(Z|[+-]{_D}{{4}})"),
+    # "2006-01-02T15:04Z0700"
+    ("%Y-%m-%dT%H:%M%z",
+     rf"{_D}{{4}}-{_D}{{2}}-{_D}{{2}}T{_D}{{2}}:{_D}{{2}}(Z|[+-]{_D}{{4}})"),
+    # "2006-01-02T15:04:05Z0700" (no-colon sibling of RFC3339)
+    ("%Y-%m-%dT%H:%M:%S%z",
+     rf"{_D}{{4}}-{_D}{{2}}-{_D}{{2}}T{_D}{{2}}:{_D}{{2}}:{_D}{{2}}(Z|[+-]{_D}{{4}})"),
+    # "...15:04:05.999999999Z0700"
+    ("%Y-%m-%dT%H:%M:%S.%f%z",
+     rf"{_D}{{4}}-{_D}{{2}}-{_D}{{2}}T{_D}{{2}}:{_D}{{2}}:{_D}{{2}}\.{_D}{{1,9}}(Z|[+-]{_D}{{4}})"),
 )
-_KITCHEN = "%I:%M%p"  # time.Kitchen; Go's zero year (0000) special-cased
+_DATE_GUARDS = tuple((fmt, re.compile(rx)) for fmt, rx in _DATE_FORMATS)
+# time.Kitchen "3:04PM": hour unpadded 1-12, uppercase AM/PM only;
+# Go's zero year (0000) is below datetime.min and special-cased
+_KITCHEN_RE = re.compile(r"(1[0-2]|[1-9]):(\d{2})(AM|PM)")
 _GO_ZERO_UNIX = -62167219200  # unix seconds of 0000-01-01T00:00:00Z
 
 
@@ -52,24 +87,28 @@ class Token:
 
 def _try_date(text: str) -> float | None:
     # Go's _2 layouts space-pad single-digit days; strptime wants one
-    # separator. Nano fractions (9 digits) trim to strptime's 6.
+    # separator (the guards are written against the collapsed form)
     candidate = re.sub(r"\s+", " ", text)
-    candidate = re.sub(r"(\.\d{6})\d+", r"\1", candidate)
-    for fmt in _DATE_FORMATS:
+    for fmt, guard in _DATE_GUARDS:
+        if not guard.fullmatch(candidate):
+            continue
+        # strptime's %f stops at 6 digits; Go keeps ns — trim, the
+        # sub-µs part is lost exactly as it is in timestamp.timestamp()
+        parseable = re.sub(r"(\.\d{6})\d{1,3}", r"\1", candidate)
         try:
-            dt = datetime.strptime(candidate, fmt)
+            dt = datetime.strptime(parseable, fmt)
         except ValueError:
             continue
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=timezone.utc)
         return dt.timestamp()
-    try:
-        dt = datetime.strptime(candidate, _KITCHEN)
-    except ValueError:
+    m = _KITCHEN_RE.fullmatch(candidate)
+    if m is None:
         return None
     # time.Kitchen has no date: Go lands on 0000-01-01, below Python's
     # datetime range — compute the unix seconds directly
-    return float(_GO_ZERO_UNIX + dt.hour * 3600 + dt.minute * 60)
+    hour = int(m.group(1)) % 12 + (12 if m.group(3) == "PM" else 0)
+    return float(_GO_ZERO_UNIX + hour * 3600 + int(m.group(2)) * 60)
 
 
 def tokenize(src: str) -> list[Token]:

@@ -94,10 +94,17 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "addDays": lambda c, n: F.timestamp_add("DAY", _as_col(n), c),
     "subtractDays": lambda c, n: F.timestamp_add("DAY", -_as_col(n), c),
     # arithmetic / math
-    # trunc-toward-zero integer division: Spark % takes the dividend's
-    # sign (C semantics, same as CH), so (a - a%b)/b is exact trunc div
+    # trunc-toward-zero integer division, EXACT over the full 64-bit
+    # range: (a - a%b) is divisible by b, and dividing in decimal(38,0)
+    # keeps the quotient exact where a double division would round off
+    # quotients past 2^53 (Spark % takes the dividend's sign — C/CH
+    # semantics — so the identity is trunc, not floor, division)
     "intDiv": lambda a, b: (
-        (a.cast("long") - a.cast("long") % b.cast("long")) / b.cast("long")
+        (
+            a.cast("decimal(38,0)")
+            - a.cast("decimal(38,0)") % b.cast("decimal(38,0)")
+        )
+        / b.cast("decimal(38,0)")
     ).cast("long"),
     "modulo": lambda a, b: a % b,
     "plus": lambda a, b: a + b,

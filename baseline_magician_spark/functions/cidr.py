@@ -67,8 +67,17 @@ def subnet(cidr: str, new_bits: int, num: int) -> str:
 
 
 def host(cidr: str, num: int) -> str:
+    """Negative ``num`` counts back from the end of the range
+    (cidr.go:62-96: Host(-1) is the broadcast address)."""
     base, masklen = _parse(cidr)
-    if num >= (1 << (_BITS - masklen)) or num < 0:
+    size = 1 << (_BITS - masklen)
+    if num < 0:
+        if -num > size:
+            raise ValueError(
+                f"prefix of {masklen} does not accommodate host {num}"
+            )
+        num = size + num
+    if num >= size:
         raise ValueError(f"prefix of {masklen} does not accommodate host {num}")
     return long_to_ip4_py(base + num)
 
@@ -82,22 +91,29 @@ def dec_ip(ip: str) -> str:
 
 
 def next_subnet(cidr: str, prefix_len: int | None = None) -> tuple[str, bool]:
-    """The adjacent higher same-length prefix; True flags rollover past
-    the end of the address space (cidr.go:157-169 returns the wrapped
-    value with the flag rather than raising)."""
+    """The adjacent higher ``prefix_len`` block AFTER the whole input
+    network, go-cidr's exact algorithm (cidr.go:157-169): take the
+    network's LAST address, mask it down to prefix_len, step one block
+    past it. True flags rollover past the end of the address space
+    (the wrapped value is returned with the flag rather than raising).
+    """
     base, masklen = _parse(cidr)
     plen = masklen if prefix_len is None else prefix_len
-    step = 1 << (_BITS - plen)
-    nxt = base + step
-    return _render(nxt & _MAX, plen), nxt > _MAX
+    mask = ~((1 << (_BITS - plen)) - 1) & _MAX
+    last = base + (1 << (_BITS - masklen)) - 1
+    nxt = (last & mask) + (1 << (_BITS - plen))
+    return _render(nxt & _MAX & mask, plen), nxt > _MAX
 
 
 def previous_subnet(cidr: str, prefix_len: int | None = None) -> tuple[str, bool]:
+    """The ``prefix_len`` block containing the address just BEFORE the
+    network's base (cidr.go:142-155: decrement, then mask). True flags
+    rollover below address zero."""
     base, masklen = _parse(cidr)
     plen = masklen if prefix_len is None else prefix_len
-    step = 1 << (_BITS - plen)
-    prev = base - step
-    return _render(prev & _MAX, plen), prev < 0
+    mask = ~((1 << (_BITS - plen)) - 1) & _MAX
+    prev = base - 1
+    return _render(prev & _MAX & mask, plen), prev < 0
 
 
 def verify_no_overlap(subnets: list[str], base: str) -> None:

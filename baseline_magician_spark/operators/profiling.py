@@ -35,9 +35,13 @@ NUMERIC_TYPES = (
 
 
 def _cells(df: DataFrame) -> list[tuple[str, str, Column]]:
+    """Cell expressions against POSITIONAL column refs (_p0, _p1, ...):
+    the caller renames the frame first, so exotic source column names
+    (quotes, backticks) never reach a column parser — they appear only
+    as escaped string labels in the output."""
     cells: list[tuple[str, str, Column]] = []
-    for field in df.schema.fields:
-        c = F.col(field.name)
+    for i, field in enumerate(df.schema.fields):
+        c = F.col(f"_p{i}")
         cells.append((field.name, "n_null", F.count_if(c.isNull()).cast("double")))
         cells.append(
             (field.name, "n_distinct", F.count_distinct(c).cast("double"))
@@ -68,14 +72,22 @@ def profile_table(df: DataFrame, round_to: int = 6) -> DataFrame:
     """One-pass profile: ``(column, stat, value)`` rows, values rounded
     to ``round_to`` decimals (means are the only non-exact cell)."""
     cells = _cells(df)
+    df = df.toDF(*[f"_p{i}" for i in range(len(df.columns))])
     wide = df.agg(
         *[
             F.round(expr, round_to).alias(f"{i}")
             for i, (_, _, expr) in enumerate(cells)
         ]
     )
+
+    def _q(s: str) -> str:
+        # column names land in the stack() SQL as string literals —
+        # escape quote/backslash so exotic names (quotes, backticks)
+        # can't break or shift the labels
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     stack_args = ", ".join(
-        f"'{col}', '{stat}', `{i}`" for i, (col, stat, _) in enumerate(cells)
+        f"{_q(col)}, {_q(stat)}, `{i}`" for i, (col, stat, _) in enumerate(cells)
     )
     return wide.select(
         F.expr(

@@ -164,6 +164,17 @@ class _Parser:
         return _Node("col", t)
 
 
+# shim arg positions that must stay driver-literal strings (see the
+# matching CH_FUNCTIONS lambdas: dateDiff's unit, split separators, and
+# extract's pattern, whose capture-group count picks the output group)
+_LITERAL_ARG_POSITIONS = {
+    "datediff": {0},
+    "splitbychar": {0},
+    "splitbystring": {0},
+    "extract": {1},
+}
+
+
 def _is_timestamp(node: _Node) -> bool:
     return node.kind == "call" and node.value.lower() in (
         "now",
@@ -202,7 +213,18 @@ def _compile(node: _Node) -> Column:
         fn = CH_FUNCTIONS.get(name) or CH_FUNCTIONS.get(lname)
         if fn is None:
             raise ValueError(f"unknown function {name!r}")
-        return fn(*[_compile(a) for a in node.args])
+        # some shims need DRIVER-LITERAL arguments (a date-part name, a
+        # split separator, a regex whose group count must be inspected)
+        # — pass string literals at those positions through as Python
+        # strings instead of Columns
+        literal_pos = _LITERAL_ARG_POSITIONS.get(lname, ())
+        args = [
+            str(a.value)
+            if i in literal_pos and a.kind == "str"
+            else _compile(a)
+            for i, a in enumerate(node.args)
+        ]
+        return fn(*args)
     if node.kind == "bin":
         op = node.value
         ln, rn = node.args
@@ -319,9 +341,25 @@ def run_ch_query(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
         ]
         # HAVING rides along as a hidden boolean aggregate column —
         # its aggregate subexpressions evaluate in the same pass as the
-        # select aggregates, then filter + drop
+        # select aggregates, then filter + drop. Bare columns naming a
+        # SELECT alias resolve to that select expression first
+        # (CH/ANSI HAVING-alias semantics).
         if having_node is not None:
-            agg_cols.append(_compile(having_node).alias("_having"))
+            by_name = dict(zip(names, select_nodes))
+
+            def _resolve_aliases(n: _Node) -> _Node:
+                if n.kind == "col" and str(n.value) in by_name:
+                    return by_name[str(n.value)]
+                if n.args:
+                    return _Node(
+                        n.kind, n.value,
+                        tuple(_resolve_aliases(a) for a in n.args),
+                    )
+                return n
+
+            agg_cols.append(
+                _compile(_resolve_aliases(having_node)).alias("_having")
+            )
         if group_nodes:
             # group keys come out of groupBy named after the select item
             # they correspond to (structural match handles AS aliases on

@@ -131,3 +131,9 @@ def test_add_days_preserves_time_of_day(row):
     )
     assert got["plus"] == datetime.datetime(2024, 3, 18, 13, 45, 11)
     assert got["minus"] == datetime.datetime(2024, 2, 24, 13, 45, 11)
+
+
+def test_int_div_exact_beyond_double_precision(row):
+    big = 4611686018427387904  # 2^62: double division would round
+    got = row(q=ch_fn("intDiv")(F.lit(big), F.lit(3)))
+    assert got["q"] == 1537228672809129301

@@ -168,3 +168,30 @@ def test_having_and_conditional_aggregates(spark, host_metrics):
     assert len(rows) == 2 and all(r["n"] == 67 for r in rows)
     assert df.columns == ["grp", "n", "busy"]
     assert all(0 < r["busy"] <= r["n"] for r in rows)
+
+
+def test_having_resolves_select_alias(spark, host_metrics):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = run_ch_query(
+        "SELECT toString(modulo(packets_incoming, 3)) AS grp, count(*) AS n "
+        "FROM host_metrics GROUP BY toString(modulo(packets_incoming, 3)) "
+        "HAVING n > 66",
+        {"host_metrics": host_metrics},
+    )
+    rows = df.collect()
+    assert len(rows) == 2 and all(r["n"] == 67 for r in rows)
+
+
+def test_literal_arg_functions_from_sql(spark, host_metrics):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = run_ch_query(
+        "SELECT dateDiff('day', toDate('2024-03-01'), toDate('2024-03-15')) AS dd, "
+        "extract(host, '10\\.0\\.(\\d+)') AS third_octet "
+        "FROM host_metrics LIMIT 1",
+        {"host_metrics": host_metrics},
+    )
+    r = df.collect()[0]
+    assert r["dd"] == 14
+    assert r["third_octet"] in {"0", "1", "2", "3"}

@@ -109,3 +109,18 @@ def test_host_range_roundtrip(cidr):
     assert host(cidr, 0) == lo_s
     assert host(cidr, address_count(cidr) - 1) == hi_s
     assert ip4_to_long_py(inc_ip(lo_s)) == ip4_to_long_py(lo_s) + 1
+
+
+def test_host_negative_counts_from_end():
+    assert host("10.0.0.0/24", -1) == "10.0.0.255"
+    assert host("10.0.0.0/24", -256) == "10.0.0.0"
+    with pytest.raises(ValueError, match="accommodate"):
+        host("10.0.0.0/24", -257)
+
+
+def test_adjacent_subnets_with_different_prefix_len():
+    # go-cidr: next steps past the WHOLE input network, masked to plen
+    assert next_subnet("10.0.0.0/8", 24) == ("11.0.0.0/24", False)
+    # previous masks (base - 1) down to plen
+    assert previous_subnet("10.0.5.0/24", 8) == ("10.0.0.0/8", False)
+    assert previous_subnet("10.0.0.0/8", 24) == ("9.255.255.0/24", False)

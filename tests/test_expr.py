@@ -237,3 +237,25 @@ def test_to_sql_executes_in_duckdb(src):
     if isinstance(want, bool):
         want = 1 if want else 0
     assert got == pytest.approx(want)
+
+
+def test_compiled_in_is_type_strict(spark):
+    from pyspark.sql import functions as F
+
+    from baseline_magician_spark.expr.compiler import compile_column
+
+    df = spark.range(1)
+    got = df.select(
+        compile_column("true in (1, 2)").alias("a"),
+        compile_column("true in (1, true)").alias("b"),
+        compile_column("1 in (1, true)").alias("c"),
+    ).collect()[0]
+    assert (got["a"], got["b"], got["c"]) == (False, True, True)
+
+
+def test_profile_table_handles_exotic_column_names(spark):
+    from baseline_magician_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame([(1, "x")], ["ok", "we`ird'name"])
+    rows = profile_table(df).collect()
+    assert {r["column"] for r in rows} == {"ok", "we`ird'name"}
