@@ -76,11 +76,12 @@ def asof_join(
         l.unionByName(r)
         .select(*lcols, "_side", F.last("_rv", ignorenulls=True).over(w).alias("_rv"))
         .where(F.col("_side") == 1)
-        .select(
-            *lcols,
-            *[F.col(f"_rv.{c}").alias(f"asof_{c}") for c in value_cols],
-        )
     )
     if how == "inner":
-        return carried.where(F.col(f"asof_{value_cols[0]}").isNotNull())
-    return carried
+        # match test on the carried STRUCT, not a flattened field — a
+        # matched right row may legitimately hold NULL in any value col
+        carried = carried.where(F.col("_rv").isNotNull())
+    return carried.select(
+        *lcols,
+        *[F.col(f"_rv.{c}").alias(f"asof_{c}") for c in value_cols],
+    )

@@ -83,6 +83,13 @@ def minhash_signature(text_col: str, k: int = 8, n: int = 3) -> Column:
 
 def minhash_band_hashes(sig: Column, k: int, rows_per_band: int) -> Column:
     """array<struct<band:int, bh:bigint>>: one combined hash per LSH band."""
+    if k % rows_per_band != 0:
+        raise ValueError(
+            f"rows_per_band={rows_per_band} must divide k={k}: the "
+            f"trailing {k % rows_per_band} signature rows would be "
+            "silently excluded from banding, lowering recall below "
+            "what the parameters imply"
+        )
     n_bands = k // rows_per_band
     bands = []
     for b in range(n_bands):
@@ -145,17 +152,11 @@ def simhash(text_col: str, bits: int = 30) -> Column:
     (hashing tokens inside the per-bit lambda would re-hash every token
     `bits` times — Catalyst does not CSE under lambdas).
     """
-    tok_hashes = F.transform(
-        tokens(text_col),
-        lambda t: F.aggregate(
-            F.transform(
-                F.filter(F.split(t, ""), lambda c: c != F.lit("")),
-                lambda c: F.ascii(c).cast("long"),
-            ),
-            F.lit(7).cast("long"),
-            lambda acc, x: (acc * 31 + x) % POLY_MOD,
-        ),
-    )
+    from ..functions.hashing import poly_hash
+
+    # the canonical cross-engine hash — NOT re-implemented inline, so
+    # simhash can never drift from hashing.poly_hash/its DuckDB twin
+    tok_hashes = F.transform(tokens(text_col), lambda t: poly_hash(t))
     bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
     votes = F.aggregate(
         tok_hashes,

@@ -160,13 +160,25 @@ def decode_stats(media: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             # one concatenated buffer + reduceat: fully vectorized over
-            # the whole Arrow batch, no per-row numpy allocation
+            # the whole Arrow batch, no per-row numpy allocation.
+            # Empty payloads need masking — reduceat on an empty
+            # segment STEALS the next row's first byte (and a trailing
+            # empty offset is out of bounds); real corpora do contain
+            # truncated/empty blobs, which report checksum 0, mean NaN.
             payloads = list(pdf["payload"])
             lens = np.fromiter((len(p) for p in payloads), dtype=np.int64)
-            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
-            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            sums = np.add.reduceat(flat, offsets)
-            means = np.floor(sums / lens * 10000.0) / 10000.0
+            sums = np.zeros(len(payloads), dtype=np.int64)
+            nonempty = lens > 0
+            if nonempty.any():
+                ne_payloads = [p for p in payloads if len(p) > 0]
+                ne_lens = lens[nonempty]
+                flat = np.frombuffer(
+                    b"".join(ne_payloads), dtype=np.uint8
+                ).astype(np.int64)
+                offsets = np.concatenate(([0], np.cumsum(ne_lens)[:-1]))
+                sums[nonempty] = np.add.reduceat(flat, offsets)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                means = np.floor(sums / lens * 10000.0) / 10000.0
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),

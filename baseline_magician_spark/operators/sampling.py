@@ -66,13 +66,19 @@ def _thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
 def split_assign(key: Column, fractions: dict[str, float], seed: str) -> Column:
     """Split label ('train'/'valid'/'test'/...) for each row: hash the
     key once, compare against cumulative integer thresholds. Fractions
-    must sum to 1 (the last label absorbs rounding)."""
+    must sum to 1 (the last label absorbs rounding).
+
+    A NULL key gets a NULL label — never silently bucketed (md5(NULL)
+    is NULL, every comparison is NULL, and without the guard the final
+    otherwise() would dump ALL null-key rows into the last split,
+    contaminating it). Callers decide: filter nulls or fail loudly.
+    """
     h = hash60(key, seed)
     pairs = _thresholds(fractions)
     expr = F.lit(pairs[-1][0])
     for label, thr in reversed(pairs[:-1]):
         expr = F.when(h < F.lit(thr), F.lit(label)).otherwise(expr)
-    return expr
+    return F.when(key.isNull(), F.lit(None).cast("string")).otherwise(expr)
 
 
 def split_assign_sql(key_sql: str, fractions: dict[str, float], seed: str) -> str:
@@ -81,7 +87,11 @@ def split_assign_sql(key_sql: str, fractions: dict[str, float], seed: str) -> st
     cases = " ".join(
         f"WHEN {h} < {thr} THEN '{label}'" for label, thr in pairs[:-1]
     )
-    return f"(CASE {cases} ELSE '{pairs[-1][0]}' END)"
+    # NULL-key guard mirrors split_assign: null in, null label out
+    return (
+        f"(CASE WHEN {key_sql} IS NULL THEN NULL "
+        f"{cases} ELSE '{pairs[-1][0]}' END)"
+    )
 
 
 def stratified_sample(

@@ -249,12 +249,19 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Output: (query_id, neighbor_id, cosine_sim, rank), rank 1..k,
     ties broken by neighbor id. The queries side is broadcast — the
     corpus is scanned ONCE regardless of |Q|.
+
+    ``exclude_self`` drops corpus rows whose id EQUALS the query id —
+    correct only when queries share the corpus id space (the self-
+    search case). Pass False when the query set is a separate table
+    whose ids merely coincide numerically, or the colliding corpus
+    vectors would be silently excluded from their top-k.
     """
     from pyspark.sql import Window as W
 
@@ -264,9 +271,11 @@ def brute_force_topk(
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
     )
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
     sim = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        pairs
         .select(
             "query_id",
             "neighbor_id",

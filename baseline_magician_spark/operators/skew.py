@@ -32,6 +32,15 @@ def salted_join(
     n_salts: int = 8,
     how: str = "inner",
 ) -> DataFrame:
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        # the dim side is replicated n_salts times: right/full outer
+        # would emit one row PER UNMATCHED REPLICA (n_salts duplicates
+        # of every unmatched dim key), breaking plain-join equivalence
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti, not {how!r} — "
+            "an outer side on the replicated dim duplicates unmatched keys"
+        )
     f = facts.withColumn(
         "_salt", F.pmod(F.xxhash64(*facts.columns), F.lit(n_salts))
     )

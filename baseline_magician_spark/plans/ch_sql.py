@@ -401,17 +401,32 @@ def run_ch_query(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
         )
 
     if order_nodes:
-        # a bare column that names an output refers to the select alias
-        # (CH/ANSI ORDER BY semantics); anything else recompiles
+        # ORDER BY resolves against the output: a bare column naming an
+        # output uses the select alias, and any expression structurally
+        # equal to a select item (e.g. ORDER BY count(*) when count(*)
+        # is selected) reuses that output column — recompiling an
+        # aggregate against the already-aggregated frame would throw
         from pyspark.sql import functions as _F
+
+        def _node_eq2(a: _Node, b: _Node) -> bool:
+            return (
+                a.kind == b.kind
+                and a.value == b.value
+                and len(a.args) == len(b.args)
+                and all(_node_eq2(x, y) for x, y in zip(a.args, b.args))
+            )
+
+        def _order_col(node: _Node):
+            if node.kind == "col" and str(node.value) in names:
+                return _F.col(str(node.value))
+            for j, sel in enumerate(select_nodes):
+                if _node_eq2(sel, node):
+                    return _F.col(names[j])
+            return _compile(node)
 
         sort_cols = []
         for node, desc in order_nodes:
-            c = (
-                _F.col(str(node.value))
-                if node.kind == "col" and str(node.value) in names
-                else _compile(node)
-            )
+            c = _order_col(node)
             sort_cols.append(c.desc() if desc else c.asc())
         out = out.orderBy(*sort_cols)
     if limit_n is not None:

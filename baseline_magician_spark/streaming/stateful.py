@@ -51,6 +51,16 @@ def streaming_anomaly_flags(events: DataFrame, k: int = 3) -> DataFrame:
     no floating-point accumulation anywhere, so the result is
     bit-identical to any engine computing the same definition
     (``k`` must be an integer for this exactness).
+
+    Ordering precondition: events are folded into state in (ts,
+    event_id) order WITHIN each micro-batch only — the equality with
+    the batch window-oracle (``ROWS UNBOUNDED PRECEDING .. 1
+    PRECEDING``) holds when the replay delivers batches in event-time
+    order (one-file availableNow, ordered file drops, or an upstream
+    ordered source). A cross-batch out-of-order event folds at arrival
+    position — the standard tradeoff for single-pass streaming state;
+    use the batch window query for retrospective exactness over
+    unordered history.
     """
     ensure_shipped(events.sparkSession)
 

@@ -116,3 +116,84 @@ def test_ngrams_udtf_matches_builtin_shingles(spark):
     ).collect()
     canon = lambda rows: sorted((r["doc_id"], r["ngram"], r["pos"]) for r in rows)
     assert canon(via_udtf) == canon(via_hof)
+
+
+def test_asof_inner_keeps_match_with_null_first_value(spark):
+    """A matched right row whose FIRST value column is NULL must still
+    count as a match (the indicator is the carried struct, not a
+    flattened field)."""
+    from baseline_magician_spark.operators.asof_join import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 12)], "k int, lts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, None, 5.0)], "k int, rts int, a int, b double"
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        value_cols=["a", "b"], how="inner",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["asof_a"] is None and out[0]["asof_b"] == 5.0
+
+
+def test_salted_join_rejects_outer_sides(spark):
+    from baseline_magician_spark.operators.skew import salted_join
+
+    f = spark.createDataFrame([(1, "a")], "k int, v string")
+    d = spark.createDataFrame([(1, "x")], "k int, w string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="outer side"):
+        salted_join(f, d, "k", how="full")
+
+
+def test_minhash_bands_reject_non_divisible(spark):
+    from pyspark.sql import functions as F
+
+    from baseline_magician_spark.operators.dedup import minhash_band_hashes
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must divide"):
+        minhash_band_hashes(F.lit([1, 2, 3]), k=8, rows_per_band=3)
+
+
+def test_split_assign_null_key_gets_null_label(spark):
+    from pyspark.sql import functions as F
+
+    from baseline_magician_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    rows = df.select(
+        split_assign(F.col("k"), {"a": 0.5, "b": 0.5}, "s").alias("sp")
+    ).collect()
+    labels = {r["sp"] for r in rows}
+    assert None in labels and len(labels - {None}) == 1
+
+
+def test_decode_stats_handles_empty_payloads(spark):
+    from baseline_magician_spark.operators.multimodal import (
+        META_SCHEMA, decode_stats,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", META_SCHEMA),
+        ]
+    )
+    meta = {"media_type": "image", "byte_len": 0, "width": 0,
+            "height": 0, "n_frames": 0}
+    rows = [
+        (1, bytearray(b""), meta),          # empty mid-batch
+        (2, bytearray(b"\x05\x07"), meta),  # normal
+        (3, bytearray(b""), meta),          # empty trailing
+    ]
+    out = {r["doc_id"]: r for r in
+           decode_stats(spark.createDataFrame(rows, schema)).collect()}
+    assert out[1]["checksum"] == 0 and out[3]["checksum"] == 0
+    assert out[2]["checksum"] == 12  # not stolen by the empty neighbor
