@@ -54,6 +54,10 @@ QUERY_SETTINGS_MAP: dict[str, tuple[str | None, str]] = {
     "compile_expressions": ("spark.sql.codegen.wholeStage", "codegen toggle"),
 }
 
+# Spark confs with boolean types: CH 0/1 values are coerced to
+# 'true'/'false' before set (Spark validates these at set time)
+_BOOLEAN_CONFS = {"spark.sql.codegen.wholeStage"}
+
 
 def apply_query_settings(
     spark: SparkSession, settings: dict[str, object]
@@ -68,6 +72,11 @@ def apply_query_settings(
         if conf_key is None:
             unmapped[key] = value
         else:
+            # CH settings express booleans as 0/1; Spark validates
+            # boolean-typed confs at set time and rejects "1"
+            if conf_key in _BOOLEAN_CONFS:
+                value = str(value).strip().lower() in ("1", "true", "yes")
+                value = "true" if value else "false"
             spark.conf.set(conf_key, str(value))
     return unmapped
 

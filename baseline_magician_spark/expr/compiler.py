@@ -76,8 +76,15 @@ def _lit_tag(v: object) -> str:
 def _go_str(c: Column, typ: str) -> Column:
     """Go %v formatting of a value for the `+` concat overload."""
     if typ == "number":
+        # integral doubles < 1e15 print digit-exact like Go %v (the
+        # same bound interp.go_str uses — beyond it Go switches to
+        # scientific notation and the long cast would be wrong anyway);
+        # large/non-integral values fall back to Spark's double
+        # rendering, whose exponent casing ('1.0E15' vs Go '1e+15') is
+        # a documented divergence of the string-concat overload
         return F.when(
-            c == F.floor(c), c.cast("long").cast("string")
+            (c == F.floor(c)) & (F.abs(c) < 1e15),
+            c.cast("long").cast("string"),
         ).otherwise(c.cast("string"))
     if typ == "bool":
         return F.when(c, F.lit("true")).otherwise(F.lit("false"))
@@ -190,13 +197,28 @@ class _Compiler:
             if lt == "string" or rt == "string":
                 return F.concat(_go_str(l, lt), _go_str(r, rt)), "string"
             return self._as_num(l, lt, op) + self._as_num(r, rt, op), "number"
-        if op in ("-", "*", "/"):
+        if op in ("-", "*"):
             ln, rn = self._as_num(l, lt, op), self._as_num(r, rt, op)
-            out = {"-": ln - rn, "*": ln * rn, "/": ln / rn}[op]
+            return (ln - rn if op == "-" else ln * rn), "number"
+        if op == "/":
+            # Go float64 division semantics on a zero divisor (x/0 ->
+            # ±Inf, 0/0 -> NaN) — Spark's non-ANSI Divide yields NULL
+            ln, rn = self._as_num(l, lt, op), self._as_num(r, rt, op)
+            out = F.when(
+                rn == 0.0,
+                F.when(ln == 0.0, F.lit(float("nan"))).otherwise(
+                    F.signum(ln) * F.lit(float("inf"))
+                ),
+            ).otherwise(ln / rn)
             return out, "number"
         if op == "%":
-            # fmod semantics (sign of dividend) — Spark's % on doubles.
-            return self._as_num(l, lt, op) % self._as_num(r, rt, op), "number"
+            # fmod semantics (sign of dividend) — Spark's % on doubles;
+            # x % 0 is NaN in Go (Spark: NULL)
+            ln, rn = self._as_num(l, lt, op), self._as_num(r, rt, op)
+            return (
+                F.when(rn == 0.0, F.lit(float("nan"))).otherwise(ln % rn),
+                "number",
+            )
         if op == "**":
             return F.pow(self._as_num(l, lt, op), self._as_num(r, rt, op)), "number"
         if op in (">", "<", ">=", "<="):
@@ -216,13 +238,11 @@ class _Compiler:
             lb, rb = lt.split("<")[0], rt.split("<")[0]
             if lb != "any" and rb != "any" and lb != rb:
                 return F.lit(op == "!="), "bool"
-            if op == "==":
-                return (
-                    l.eqNullSafe(r) if lt == "any" or rt == "any" else l == r
-                ), "bool"
-            return (
-                ~l.eqNullSafe(r) if lt == "any" or rt == "any" else l != r
-            ), "bool"
+            # ALWAYS null-safe: _deep_eq(None, x) is False (None==None
+            # True), never NULL — plain Column == would return NULL for
+            # a null operand and diverge from the interpreter
+            eq = l.eqNullSafe(r)
+            return (eq if op == "==" else ~eq), "bool"
         if op in ("=~", "!~"):
             if isinstance(n.right, Regex):
                 matched = l.rlike(n.right.pattern)

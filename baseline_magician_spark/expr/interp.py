@@ -134,11 +134,26 @@ def _binary(n: Binary, params, fns) -> object:
     if op == "*":
         return _num(left, op) * _num(right, op)
     if op == "/":
-        return _num(left, op) / _num(right, op)
+        # Go float64 division: x/0 -> ±Inf (sign of x·sign of the
+        # zero), 0/0 -> NaN — Python raises instead, so special-case
+        ln, rn = _num(left, op), _num(right, op)
+        if rn == 0.0:
+            if ln == 0.0 or math.isnan(ln):
+                return math.nan
+            return math.copysign(math.inf, ln) * math.copysign(1.0, rn)
+        return ln / rn
     if op == "%":
-        return math.fmod(_num(left, op), _num(right, op))
+        # math.Mod(x, 0) is NaN in Go; Python's fmod raises
+        ln, rn = _num(left, op), _num(right, op)
+        if rn == 0.0:
+            return math.nan
+        return math.fmod(ln, rn)
     if op == "**":
-        return math.pow(_num(left, op), _num(right, op))
+        # math.Pow(neg, frac) is NaN in Go; Python's pow raises
+        try:
+            return math.pow(_num(left, op), _num(right, op))
+        except ValueError:
+            return math.nan
     if op in (">", "<", ">=", "<="):
         if isinstance(left, str) and isinstance(right, str):
             pass  # lexicographic

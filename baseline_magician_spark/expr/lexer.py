@@ -34,13 +34,15 @@ _OPERATORS = [
 _D = r"\d"
 _WD = r"[A-Z][a-z]{2}"  # Mon / Jan — capitalized, as Go emits/parses
 _DATE_FORMATS = (
-    # time.ANSIC "Mon Jan _2 15:04:05 2006" (day space-padded, 1-2 dig)
+    # time.ANSIC "Mon Jan _2 15:04:05 2006" (_2 = space-padded day: Go
+    # parses both 'Jan  2' and 'Jan 2' — an optional extra space before
+    # a 1-2 digit day; any OTHER doubled/odd whitespace stays a string)
     ("%a %b %d %H:%M:%S %Y",
-     rf"{_WD} {_WD} {_D}{{1,2}} {_D}{{2}}:{_D}{{2}}:{_D}{{2}} {_D}{{4}}"),
+     rf"{_WD} {_WD}  ?{_D}{{1,2}} {_D}{{2}}:{_D}{{2}}:{_D}{{2}} {_D}{{4}}"),
     # time.UnixDate "Mon Jan _2 15:04:05 MST 2006" (%Z limited to names
     # strptime knows — UTC/GMT)
     ("%a %b %d %H:%M:%S %Z %Y",
-     rf"{_WD} {_WD} {_D}{{1,2}} {_D}{{2}}:{_D}{{2}}:{_D}{{2}} [A-Z]{{3,4}} {_D}{{4}}"),
+     rf"{_WD} {_WD}  ?{_D}{{1,2}} {_D}{{2}}:{_D}{{2}}:{_D}{{2}} [A-Z]{{3,4}} {_D}{{4}}"),
     # time.RubyDate "Mon Jan 02 15:04:05 -0700 2006"
     ("%a %b %d %H:%M:%S %z %Y",
      rf"{_WD} {_WD} {_D}{{2}} {_D}{{2}}:{_D}{{2}}:{_D}{{2}} [+-]{_D}{{4}} {_D}{{4}}"),
@@ -73,9 +75,10 @@ _DATE_FORMATS = (
      rf"{_D}{{4}}-{_D}{{2}}-{_D}{{2}}T{_D}{{2}}:{_D}{{2}}:{_D}{{2}}\.{_D}{{1,9}}(Z|[+-]{_D}{{4}})"),
 )
 _DATE_GUARDS = tuple((fmt, re.compile(rx)) for fmt, rx in _DATE_FORMATS)
-# time.Kitchen "3:04PM": hour unpadded 1-12, uppercase AM/PM only;
-# Go's zero year (0000) is below datetime.min and special-cased
-_KITCHEN_RE = re.compile(r"(1[0-2]|[1-9]):(\d{2})(AM|PM)")
+# time.Kitchen "3:04PM": hour unpadded 1-12, minutes 00-59, uppercase
+# AM/PM only; Go's zero year (0000) is below datetime.min,
+# special-cased
+_KITCHEN_RE = re.compile(r"(1[0-2]|[1-9]):([0-5]\d)(AM|PM)")
 _GO_ZERO_UNIX = -62167219200  # unix seconds of 0000-01-01T00:00:00Z
 
 
@@ -86,15 +89,18 @@ class Token:
 
 
 def _try_date(text: str) -> float | None:
-    # Go's _2 layouts space-pad single-digit days; strptime wants one
-    # separator (the guards are written against the collapsed form)
-    candidate = re.sub(r"\s+", " ", text)
+    # No whitespace normalization before guarding: Go's layouts are
+    # exact (a tab or doubled space anywhere except the _2 day slot —
+    # which the %a guards model explicitly — makes the string a plain
+    # string literal, not a date)
+    candidate = text
     for fmt, guard in _DATE_GUARDS:
         if not guard.fullmatch(candidate):
             continue
-        # strptime's %f stops at 6 digits; Go keeps ns — trim, the
-        # sub-µs part is lost exactly as it is in timestamp.timestamp()
-        parseable = re.sub(r"(\.\d{6})\d{1,3}", r"\1", candidate)
+        # strptime needs single separators (collapse the _2 pad) and
+        # stops %f at 6 digits (trim ns exactly as timestamp() would)
+        parseable = re.sub(r" {2}", " ", candidate)
+        parseable = re.sub(r"(\.\d{6})\d{1,3}", r"\1", parseable)
         try:
             dt = datetime.strptime(parseable, fmt)
         except ValueError:
@@ -126,6 +132,8 @@ def tokenize(src: str) -> list[Token]:
                 j = i + 2
                 while j < n and src[j] in "0123456789abcdefABCDEF":
                     j += 1
+                if j == i + 2:  # bare '0x' — no hex digits follow
+                    raise ExpressionError(f"bad number at {i}: {src[i:j]!r}")
                 out.append(Token("NUMBER", float(int(src[i:j], 16))))
             else:
                 j = i
@@ -185,12 +193,14 @@ def tokenize(src: str) -> list[Token]:
             while j < n and (src[j].isalnum() or src[j] in "_."):
                 j += 1
             word = src[i:j]
-            low = word.lower()
-            if low == "true":
+            # exact-case keywords, like govaluate (gov/parsing.go):
+            # 'true'/'false' lowercase only, the membership operator
+            # 'in'/'IN' — anything else ('True', 'In') is a variable
+            if word == "true":
                 out.append(Token("BOOL", True))
-            elif low == "false":
+            elif word == "false":
                 out.append(Token("BOOL", False))
-            elif low == "in":
+            elif word in ("in", "IN"):
                 out.append(Token("IN", "in"))
             else:
                 out.append(Token("VAR", word))

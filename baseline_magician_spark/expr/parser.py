@@ -71,17 +71,24 @@ class _Parser:
     def parse_and(self) -> Node:
         return self._binary_chain(self.parse_ternary, {"&&"})
 
-    def parse_ternary(self) -> Node:
+    def parse_ternary(self, in_then: bool = False) -> Node:
         cond = self.parse_comparator()
         if self.peek("OP", "?"):
             self.next()
-            then = self.parse_ternary()
+            # inside the then-branch a bare ':' belongs to THIS '?'
+            then = self.parse_ternary(in_then=True)
             otherwise = None
             if self.peek("OP", ":"):
                 self.next()
-                otherwise = self.parse_ternary()
+                otherwise = self.parse_ternary(in_then=in_then)
             return Ternary(cond, then, otherwise)
         if self.peek("OP", "??"):
+            self.next()
+            return Binary("??", cond, self.parse_ternary(in_then=in_then))
+        if not in_then and self.peek("OP", ":"):
+            # govaluate's standalone ternary-else (E13,
+            # gov/evaluationStage.go:163-168): 'x : b' yields x unless
+            # x is nil — the same coalesce the '??' stage implements
             self.next()
             return Binary("??", cond, self.parse_ternary())
         return cond

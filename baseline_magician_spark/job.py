@@ -40,14 +40,22 @@ def resolve_networks(
 ) -> list[str]:
     """CLI flag wins; else REST; else the config's own list
     (main.go:112-133 — the reference has no config fallback; ours is
-    the offline-run extension)."""
+    the offline-run extension). The config list is the FALLBACK after
+    a failed/unavailable REST fetch, never an override of the live
+    API's network list."""
     if cli_networks_list:
         return networks_from_cli(cli_networks_list)
-    if config.networks:
-        return list(config.networks)
-    return fetch_networks_list(
-        config.api_base_url, (config.api_user, config.api_password), transport
-    )
+    try:
+        nets = fetch_networks_list(
+            config.api_base_url,
+            (config.api_user, config.api_password),
+            transport,
+        )
+        if nets:
+            return nets
+    except Exception as exc:  # offline run — fall back to config
+        log.warning("networks_list fetch failed (%s); using config list", exc)
+    return list(config.networks)
 
 
 def run_baseline_job(

@@ -23,6 +23,10 @@ GOLDEN = [
     ("2 ** 10", 1024.0),
     ("7.5 % 2", 1.5),
     ("-7.5 % 2", -1.5),  # fmod: sign of dividend
+    # Go float64 edge semantics: /0 -> ±Inf, 0/0 & %0 & pow(neg, frac)
+    # -> NaN (never a Python exception)
+    ("1 / 0", math.inf),
+    ("0 - 1 / 0", -math.inf),
     # E1 string concat overload
     ("s + 'def'", "abcdef"),
     ("'n=' + 4", "n=4"),       # integral float prints without .0 (Go %v)
@@ -259,3 +263,41 @@ def test_profile_table_handles_exotic_column_names(spark):
     df = spark.createDataFrame([(1, "x")], ["ok", "we`ird'name"])
     rows = profile_table(df).collect()
     assert {r["column"] for r in rows} == {"ok", "we`ird'name"}
+
+
+def test_go_float_edges_are_values_not_exceptions():
+    assert math.isnan(evaluate("0 / 0", {}))
+    assert math.isnan(evaluate("1 % 0", {}))
+    assert math.isnan(evaluate("(0 - 2) ** 0.5", {}))
+
+
+def test_bare_ternary_else_is_nil_coalesce():
+    assert evaluate("'foo' : 'bar'", {}) == "foo"
+    assert evaluate("(1 > 2 ? 'a') : 'bar'", {}) == "bar"
+    assert evaluate("false ? 1 : true ? 2 : 3", {}) == 2.0
+
+
+def test_keywords_are_case_exact():
+    # 'True' is a VARIABLE in govaluate, not the boolean literal
+    assert evaluate("True + 1", {"True": 5.0}) == 6.0
+    with pytest.raises(ExpressionError, match="missing parameter"):
+        evaluate("TRUE", {})
+
+
+def test_compiled_equality_is_null_safe(spark):
+    got = spark.range(1).select(
+        compile_column("25.0 == (false ? 1)").alias("eq"),
+        compile_column("25.0 != (false ? 1)").alias("ne"),
+    ).collect()[0]
+    assert got["eq"] is False and got["ne"] is True
+
+
+def test_compiled_division_matches_go_edges(spark):
+    got = spark.range(1).select(
+        compile_column("1 / 0").alias("pinf"),
+        compile_column("(0 - 1) / 0").alias("ninf"),
+        compile_column("0 / 0").alias("nan"),
+        compile_column("1 % 0").alias("modnan"),
+    ).collect()[0]
+    assert got["pinf"] == math.inf and got["ninf"] == -math.inf
+    assert math.isnan(got["nan"]) and math.isnan(got["modnan"])
