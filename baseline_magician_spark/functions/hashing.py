@@ -132,9 +132,16 @@ def shingle_hashes(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def tokens_duckdb(expr: str) -> str:
+    """DuckDB SQL for `tokens` — the ONE cross-engine tokenization
+    fragment; every oracle builds on this so a tokenizer change cannot
+    desynchronize them."""
+    return f"list_filter(regexp_split_to_array(trim({expr}), '\\s+'), x -> x <> '')"
+
+
 def token_shingles_duckdb(expr: str, n: int = 3) -> str:
     """DuckDB SQL for `token_shingles` (1-indexed inclusive list slices)."""
-    t = f"list_filter(regexp_split_to_array(trim({expr}), '\\s+'), x -> x <> '')"
+    t = tokens_duckdb(expr)
     return (
         f"CASE WHEN len({t}) >= {n} THEN "
         f"list_transform(range(1, len({t}) - {n} + 2), "

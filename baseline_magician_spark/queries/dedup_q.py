@@ -89,7 +89,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
-    tok = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+    from ..functions.hashing import tokens_duckdb
+
+    tok = tokens_duckdb("text")
     tok_hash = poly_hash_duckdb("t")
     return f"""
     SELECT doc_id,
@@ -138,14 +140,18 @@ def _jaccard_oracle() -> str:
     """
 
 
-def _cc_oracle() -> str:
-    """Recursive-CTE label closure over the MinHash pair graph: walk
-    (node, start_label) pairs along symmetrized edges; min start label
-    reaching a node = its component id. Fixpoint is path-independent,
-    so this matches the Spark iterative propagation exactly."""
+def cc_closure_sql(pairs_sql: str) -> str:
+    """The recursive-CTE connected-components closure over a pair
+    graph, as the CTE prelude ``pairs/edges/walk`` (caller appends its
+    SELECT over ``walk``). Walk = (node, start_label) pairs along
+    symmetrized edges; min label reaching a node = its component id.
+    Fixpoint is path-independent, so this matches the Spark iterative
+    propagation exactly. ONE definition — every CC-based oracle
+    (clusters, keep-best, corpus cleanup, training export) composes it.
+    """
     return f"""
     WITH RECURSIVE pairs AS (
-      SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+      SELECT doc_a, doc_b FROM ({pairs_sql})
     ),
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -156,7 +162,11 @@ def _cc_oracle() -> str:
       SELECT DISTINCT a, a FROM edges
       UNION
       SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
-    )
+    )"""
+
+
+def _cc_oracle() -> str:
+    return f"""{cc_closure_sql(_minhash_oracle())}
     SELECT node AS doc_id,
            min(label) AS cluster_id,
            (node = min(label)) AS is_survivor
@@ -199,21 +209,10 @@ def _corpus_cleanup_oracle() -> str:
     (keep min doc_id per md5), near-dup cluster removal (keep only
     component survivors from the MinHash pair graph), then a minimum
     quality gate (>= 10 tokens), aggregated per language."""
-    tok = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
-    return f"""
-    WITH RECURSIVE pairs AS (
-      SELECT doc_a, doc_b FROM ({_minhash_oracle()})
-    ),
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION
-      SELECT doc_b AS a, doc_a AS b FROM pairs
-    ),
-    walk(node, label) AS (
-      SELECT DISTINCT a, a FROM edges
-      UNION
-      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
-    ),
+    from ..functions.hashing import tokens_duckdb
+
+    tok = tokens_duckdb("text")
+    return f"""{cc_closure_sql(_minhash_oracle())},
     non_survivors AS (
       SELECT node AS doc_id FROM walk GROUP BY node
       HAVING node <> min(label)
@@ -360,20 +359,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _keep_best_oracle() -> str:
     """Cluster survivors chosen by QUALITY (longest doc, ties to the
     lower id) instead of min-id — the keep policy real pipelines use."""
-    return f"""
-    WITH RECURSIVE pairs AS (
-      SELECT doc_a, doc_b FROM ({_minhash_oracle()})
-    ),
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION
-      SELECT doc_b AS a, doc_a AS b FROM pairs
-    ),
-    walk(node, label) AS (
-      SELECT DISTINCT a, a FROM edges
-      UNION
-      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
-    ),
+    return f"""{cc_closure_sql(_minhash_oracle())},
     clusters AS (
       SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
     )

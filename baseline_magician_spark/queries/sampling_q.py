@@ -35,7 +35,9 @@ QUOTA_SEED = "quota1"
 QUOTA_N = 120
 MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.1}
 
-_TOK = "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))"
+from ..functions.hashing import tokens_duckdb
+
+_TOK = f"len({tokens_duckdb('text')})"
 
 
 def _split_oracle() -> str:
@@ -161,25 +163,12 @@ def _training_export_oracle() -> str:
     removal (MinHash CC, reused from the dedup oracles) -> quality gate
     -> token-weighted mixture fractions -> per-source hash sample ->
     split assignment -> per-(split, source) corpus stats."""
-    from .dedup_q import _minhash_oracle
+    from .dedup_q import _minhash_oracle, cc_closure_sql
 
     w = " ".join(f"WHEN source = '{s}' THEN {x}" for s, x in MIX_WEIGHTS.items())
     h = hash60_sql("doc_id", EXPORT_SEED)
     assign = split_assign_sql("doc_id", SPLIT_FRACTIONS, SPLIT_SEED)
-    return f"""
-    WITH RECURSIVE pairs AS (
-      SELECT doc_a, doc_b FROM ({_minhash_oracle()})
-    ),
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION
-      SELECT doc_b AS a, doc_a AS b FROM pairs
-    ),
-    walk(node, label) AS (
-      SELECT DISTINCT a, a FROM edges
-      UNION
-      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
-    ),
+    return f"""{cc_closure_sql(_minhash_oracle())},
     non_survivors AS (
       SELECT node AS doc_id FROM walk GROUP BY node HAVING node <> min(label)
     ),

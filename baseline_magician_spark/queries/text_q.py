@@ -24,7 +24,9 @@ from ..operators.text import (
 )
 from ..registry import query
 
-_TOK = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+from ..functions.hashing import tokens_duckdb
+
+_TOK = tokens_duckdb("text")
 
 
 def _quality_oracle() -> str:
@@ -228,7 +230,7 @@ VOCAB_TOP_N = 10  # the synthetic corpus has ~31 distinct tokens; 10
 
 
 def _vocab_coverage_oracle() -> str:
-    tok = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+    tok = tokens_duckdb("text")
     return f"""
     WITH toks AS (
       SELECT unnest({tok}) AS tok FROM documents

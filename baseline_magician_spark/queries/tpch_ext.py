@@ -501,23 +501,29 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH supplied AS (
       SELECT l_partkey AS partkey,
-             sum(l_extendedprice * (1 - l_discount)) AS value
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       WHERE n_regionkey = 1
       GROUP BY l_partkey
     )
-    SELECT partkey, round(value, 2) AS total_value
+    SELECT partkey, round(cents / 100.0, 2) AS total_value
     FROM supplied
-    WHERE value > (SELECT sum(value) * 0.002 FROM supplied)
+    WHERE cents > (SELECT sum(cents) * 0.002 FROM supplied)
     """,
 )
 def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q11's HAVING-greater-than-global-scalar shape: per-part supplied
     value from region-1 nations vs 0.2% of the regional total. The
     scalar is a one-row broadcast; the per-part agg shuffles once on
-    the part key."""
+    the part key.
+
+    Summed in integer CENTS: a raw double sum's shuffle order is
+    nondeterministic and differs from the oracle engine's, so a part
+    within FP noise of the threshold could flip sides; integer sums
+    are associative and the threshold comparison exact."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 1)
@@ -535,16 +541,22 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "value"
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
             )
+            .cast("long")
+            .alias("cents")
         )
     )
-    threshold = supplied.agg((F.sum("value") * 0.002).alias("_thr"))
+    threshold = supplied.agg((F.sum("cents") * 0.002).alias("_thr"))
     return (
         supplied.crossJoin(F.broadcast(threshold))
-        .where(F.col("value") > F.col("_thr"))
-        .select("partkey", F.round("value", 2).alias("total_value"))
+        .where(F.col("cents") > F.col("_thr"))
+        .select(
+            "partkey", F.round(F.col("cents") / 100.0, 2).alias("total_value")
+        )
     )
 
 

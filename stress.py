@@ -19,7 +19,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -47,14 +47,16 @@ def replicate(df: DataFrame, k: int, id_cols: list[str], salt_text: bool) -> Dat
 
 
 def main() -> None:
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("scale-ladder")
-        .config("spark.sql.shuffle.partitions", CPUS)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "24g")
-        .getOrCreate()
+    from baseline_magician_spark.session import get_spark
+
+    # the tuned engine session — same conf the bench/tests run under
+    # (UTC, AQE sub-flags, Arrow, lz4), so rung timings predict them
+    spark = get_spark(
+        app_name="scale-ladder",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "24g"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     from baseline_magician_spark.catalog import load_table
@@ -68,9 +70,16 @@ def main() -> None:
 
     def q1_agg(k: int) -> int:
         li = replicate(li0, k, ["l_orderkey"], salt_text=False)
-        return li.groupBy("l_returnflag", "l_linestatus").agg(
-            F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
-        ).count()
+        # consume the AGGREGATED VALUES, not .count() — counting rows
+        # lets Catalyst prune the sums entirely (same pitfall as
+        # window_sum below) and the rung would time a 2-column distinct
+        agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity").alias("sq"),
+            F.avg("l_extendedprice").alias("ap"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        row = agg.agg(F.sum("sq"), F.sum("ap"), F.sum("n")).collect()[0]
+        return int(row[2])
 
     def minhash(k: int) -> int:
         docs = replicate(docs0, k, ["doc_id"], salt_text=True)
