@@ -545,27 +545,22 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no self-union, no repeated scan, which is what the 4-way
     UNION ALL oracle would cost executed literally)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # aliasing to the final measure names BEFORE unpivot makes the
+    # measure column come out right directly — no post-hoc remap
     long = li.select(
         "l_returnflag",
         F.col("l_quantity").cast("double").alias("quantity"),
-        "l_extendedprice",
-        "l_discount",
-        "l_tax",
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
     ).unpivot(
         ["l_returnflag"],
-        ["quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ["quantity", "extendedprice", "discount", "tax"],
         "measure",
         "val",
     )
-    measure = (
-        F.when(F.col("measure") == "l_extendedprice", "extendedprice")
-        .when(F.col("measure") == "l_discount", "discount")
-        .when(F.col("measure") == "l_tax", "tax")
-        .otherwise(F.col("measure"))
-    )
     return (
-        long.select(measure.alias("measure"), "l_returnflag", "val")
-        .groupBy("measure", "l_returnflag")
+        long.groupBy("measure", "l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("val"), 2).alias("total"),
