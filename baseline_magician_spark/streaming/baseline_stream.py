@@ -30,18 +30,32 @@ from pyspark.sql import types as T
 
 from ..functions.ip import ip4_to_long
 
-# events.parquet physical schema (ts is TIMESTAMP(NANOS) -> int64 under
-# nanosAsLong, converted to a timestamp below, same as catalog.load_table).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """Streaming file sources require a user-supplied schema, so probe
+    the parquet footer for the physical ts type the generator used:
+    TIMESTAMP(NANOS) surfaces as int64 under nanosAsLong (needs an
+    explicit ns->µs conversion), TIMESTAMP(MICROS) reads as a native
+    timestamp (no conversion). Same adaptivity as catalog.load_table,
+    which branches on the batch-inferred dtype instead."""
+    try:
+        import pyarrow.parquet as pq
+
+        ts_nanos = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type) == (
+            "timestamp[ns]"
+        )
+    except Exception:
+        ts_nanos = False
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType() if ts_nanos else T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, ts_nanos
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,15 +65,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the downstream plan is identical)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema, ts_nanos = _events_schema(sf_dir)
     # The file source wants a DIRECTORY; the test layout is one file per
     # table in a shared dir, so glob-filter to the events file. A live
     # deployment points at a dedicated arriving-files directory.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_nanos:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def streaming_event_counts(
