@@ -168,6 +168,17 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
 }
 
 
+def _register_udafs() -> None:
+    # grouped-agg pandas UDAFs (SURVEY §2.10) resolve by name like any
+    # CH aggregate; import deferred so ch_compat stays import-light
+    from .udaf import UDAF_FUNCTIONS
+
+    CH_FUNCTIONS.update(UDAF_FUNCTIONS)
+
+
+_register_udafs()
+
+
 def _as_col(n) -> Column:
     return n if isinstance(n, Column) else F.lit(n)
 

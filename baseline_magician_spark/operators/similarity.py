@@ -367,7 +367,7 @@ def lsh_bucketed_pairs(
     )
 
 
-def ivf_train_step(
+def ivf_train_step_flat(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -375,7 +375,7 @@ def ivf_train_step(
     round_to: int = 6,
 ) -> DataFrame:
     """One Lloyd (k-means) iteration — the IVF TRAINING step that
-    produces the centroids ivf_topk serves from.
+    produces the centroids ivf_topk serves from — in exploded form.
 
     Assign every vector to its nearest centroid map-side (same literal-
     matrix argmax as serving, no shuffle), then recompute each cell's
@@ -385,7 +385,9 @@ def ivf_train_step(
     function IS k-means; each step is one job, centroids round-trip
     through the driver (K × dim floats — tiny by design).
 
-    Output: (cell, n_members, centroid: array<double> rounded).
+    Output: one row per centroid component —
+    (cell, n_members, pos, value) — a single shuffle; ``n_members`` is
+    the cell's member count (identical on every pos row of a cell).
     """
     centroids = [
         (int(r[0]), list(r[1]))
@@ -401,20 +403,37 @@ def ivf_train_step(
         F.col(vec_col).alias("_v"),
         ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
     ).select("cell", F.posexplode(F.col("_v")).alias("pos", "x"))
-    per_pos = assigned.groupBy("cell", "pos").agg(
-        F.avg("x").alias("m"), F.count(F.lit(1)).alias("c")
-    )
     return (
-        per_pos.groupBy("cell")
-        .agg(
-            F.max("c").alias("n_members"),
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("pos"), F.round("m", round_to).alias("m"))
-                    )
-                ),
-                lambda s: s["m"],
-            ).alias("centroid"),
+        assigned.groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("c"))
+        .select(
+            "cell",
+            F.col("c").alias("n_members"),
+            "pos",
+            F.round("m", round_to).alias("value"),
         )
+    )
+
+
+def ivf_train_step(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """Array-shaped Lloyd iteration: ``ivf_train_step_flat`` re-packed
+    to (cell, n_members, centroid: array<double>) — the shape
+    ``ivf_topk`` consumes when iterating training driver-side."""
+    flat = ivf_train_step_flat(
+        embeddings, id_col, vec_col, n_centroids, round_to
+    )
+    return flat.groupBy("cell").agg(
+        F.max("n_members").alias("n_members"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("value")))
+            ),
+            lambda s: s["value"],
+        ).alias("centroid"),
     )

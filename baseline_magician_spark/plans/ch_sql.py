@@ -35,11 +35,13 @@ _AGGS = {
     "count", "avg", "max", "min", "sum", "any", "uniq", "uniqexact",
     "quantile", "quantileexact", "countif", "sumif", "avgif", "minif",
     "maxif", "grouparray", "groupuniqarray", "argmax", "argmin",
+    # grouped-agg pandas UDAFs (functions/udaf.py, SURVEY §2.10)
+    "weightedavg", "geometricmean",
 }
 
 _TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+\.\d+|\d+)"
-    r"|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<str>'(?:[^'\\]|\\.|'')*')"
     r"|(?P<ident>[A-Za-z_][A-Za-z_0-9]*)"
     r"|(?P<sym><=|>=|!=|<>|[(),.*+\-/<>=]))"
 )
@@ -109,10 +111,40 @@ class _Parser:
 
     def parse_cmp(self) -> _Node:
         left = self.parse_add()
-        while self.peek() in (">", "<", ">=", "<=", "=", "!=", "<>"):
-            op = self.next()
-            left = _Node("bin", op, (left, self.parse_add()))
-        return left
+        while True:
+            if self.peek() in (">", "<", ">=", "<=", "=", "!=", "<>"):
+                op = self.next()
+                left = _Node("bin", op, (left, self.parse_add()))
+                continue
+            negate = False
+            if (
+                self.peek_kw() == "not"
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1].lower() == "in"
+            ):
+                self.next()
+                negate = True
+            if self.peek_kw() == "in":
+                self.next()
+                left = self._parse_in(left, negate)
+                continue
+            return left
+
+    def _parse_in(self, left: _Node, negate: bool) -> _Node:
+        """``x IN (v, ...)`` membership list, or ``x IN table_name`` —
+        the S6 external/temp-table membership form (ch/stmt.go:143-151
+        substitutes the table NAME; the server reads the shipped
+        block)."""
+        if self.peek() == "(":
+            self.next()
+            items = [self.parse_expr()]
+            while self.peek() == ",":
+                self.next()
+                items.append(self.parse_expr())
+            self.expect(")")
+            return _Node("in", ("list", negate), (left, *items))
+        tname = self.next()
+        return _Node("in", ("table", negate, tname), (left,))
 
     def parse_add(self) -> _Node:
         left = self.parse_mul()
@@ -146,7 +178,16 @@ class _Parser:
         if t == "*":
             return _Node("star")
         if t.startswith("'"):
-            return _Node("str", t[1:-1].replace("''", "'"))
+            # both CH escape spellings: backslash (what the driver's
+            # quote() emits, ch/helpers.go:133) and '' doubling.
+            # Only \' and \\ unescape; any other \X stays verbatim so
+            # regex patterns ('10\.0\.(\d+)') pass through intact.
+            body = re.sub(
+                r"\\(['\\])|''",
+                lambda m: m.group(1) if m.group(1) is not None else "'",
+                t[1:-1],
+            )
+            return _Node("str", body)
         if re.fullmatch(r"\d+\.\d+", t):
             return _Node("num", float(t))
         if re.fullmatch(r"\d+", t):
@@ -161,6 +202,9 @@ class _Parser:
                     args.append(self.parse_expr())
             self.expect(")")
             return _Node("call", t, tuple(args))
+        if self.peek() == ".":  # alias-qualified column (a.b)
+            self.next()
+            return _Node("col", f"{t}.{self.next()}")
         return _Node("col", t)
 
 
@@ -189,12 +233,12 @@ def _contains_agg(node: _Node) -> bool:
         if node.value.lower() in _AGGS:
             return True
         return any(_contains_agg(a) for a in node.args)
-    if node.kind == "bin":
+    if node.kind in ("bin", "in"):
         return any(_contains_agg(a) for a in node.args)
     return False
 
 
-def _compile(node: _Node) -> Column:
+def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
     if node.kind == "num":
         return F.lit(node.value)
     if node.kind == "str":
@@ -203,11 +247,35 @@ def _compile(node: _Node) -> Column:
         return F.col(node.value)
     if node.kind == "star":
         return F.lit(1)  # only valid inside count(*)
+    if node.kind == "in":
+        left = _compile(node.args[0], env)
+        form, negate = node.value[0], node.value[1]
+        if form == "list":
+            items = node.args[1:]
+            if all(a.kind in ("num", "str") for a in items):
+                cond = left.isin([a.value for a in items])
+            else:  # computed members -> equality chain
+                cond = F.lit(False)
+                for a in items:
+                    cond = cond | (left == _compile(a, env))
+        else:
+            # IN external/temp table (S6): membership in the table's
+            # FIRST column. External tables are client-shipped
+            # in-memory blocks (ch/clickhouse_send_external_data.go:5-35)
+            # — collecting the values driver-side moves exactly the
+            # data the reference already holds in client RAM.
+            tname = node.value[2]
+            if env is None or tname not in env:
+                raise ValueError(f"unknown table in IN: {tname!r}")
+            ext = env[tname]
+            vals = [r[0] for r in ext.select(ext.columns[0]).collect()]
+            cond = left.isin(vals)
+        return ~cond if negate else cond
     if node.kind == "call":
         name = node.value
         lname = name.lower()
         if lname == "not":
-            return ~_compile(node.args[0])
+            return ~_compile(node.args[0], env)
         if lname == "count" and node.args and node.args[0].kind == "star":
             return F.count(F.lit(1))
         fn = CH_FUNCTIONS.get(name) or CH_FUNCTIONS.get(lname)
@@ -221,14 +289,14 @@ def _compile(node: _Node) -> Column:
         args = [
             str(a.value)
             if i in literal_pos and a.kind == "str"
-            else _compile(a)
+            else _compile(a, env)
             for i, a in enumerate(node.args)
         ]
         return fn(*args)
     if node.kind == "bin":
         op = node.value
         ln, rn = node.args
-        left, right = _compile(ln), _compile(rn)
+        left, right = _compile(ln, env), _compile(rn, env)
         # CH DateTime +/- integer = seconds arithmetic
         if op in ("+", "-") and _is_timestamp(ln) and rn.kind == "num":
             iv = F.make_dt_interval(secs=F.lit(rn.value))
@@ -251,10 +319,47 @@ def _compile(node: _Node) -> Column:
     raise ValueError(f"cannot compile node {node!r}")
 
 
-def run_ch_query(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
+# words that terminate a table reference (cannot be a bare alias)
+_RESERVED = {
+    "where", "group", "having", "order", "limit", "on", "using",
+    "inner", "left", "right", "full", "cross", "join", "as", "union",
+    "and", "or", "not", "in", "asc", "desc", "by", "outer",
+}
+
+
+def run_ch_query(
+    sql: str,
+    tables: dict[str, DataFrame],
+    args: tuple | list = (),
+    named: dict | None = None,
+    broadcast_dims: bool = True,
+) -> DataFrame:
     """Parse + execute a reference-dialect query against ``tables``
     (keyed by bare table name; the db qualifier is accepted and
-    ignored, like the single-database reference setup)."""
+    ignored, like the single-database reference setup).
+
+    ``args`` / ``named`` bind ``?`` / ``@name`` placeholders with the
+    reference driver's exact recognition + quoting rules (P7,
+    ch/stmt.go:116-204 via :mod:`.ch_bind`); an
+    :class:`~.ch_bind.ExternalTable` argument registers its DataFrame
+    under its name (S6) for ``FROM``/``JOIN``/``IN`` use.
+
+    JOINs broadcast the right side by default: ClickHouse's only join
+    strategy in the reference's driver era materializes the RIGHT
+    relation as an in-memory hash table on every node (the
+    max_rows_in_join / max_bytes_in_join guards,
+    ch/query_settings.go:108-109, bound exactly that build side), so
+    ``F.broadcast`` is the faithful physical mapping. Pass
+    ``broadcast_dims=False`` to let AQE pick shuffle joins for big-big
+    shapes the reference dialect itself could not run.
+    """
+    if args or named:
+        from .ch_bind import bind_params
+
+        sql, externals = bind_params(sql, args, named)
+        if externals:
+            tables = {**tables, **{e.name: e.df for e in externals}}
+
     p = _Parser(_tokenize(sql))
     p.expect("select")
 
@@ -273,10 +378,42 @@ def run_ch_query(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
     aliases = [a for _, a in items]
 
     p.expect("from")
-    table = p.next()
-    if p.peek() == ".":
-        p.next()
-        table = p.next()  # db qualifier dropped
+
+    def _table_ref() -> tuple[str, str | None]:
+        name = p.next()
+        if p.peek() == ".":
+            p.next()
+            name = p.next()  # db qualifier dropped
+        alias = None
+        if p.peek_kw() == "as":
+            p.next()
+            alias = p.next()
+        elif (
+            p.peek() is not None
+            and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", p.peek() or "")
+            and p.peek_kw() not in _RESERVED
+        ):
+            alias = p.next()
+        return name, alias
+
+    table, table_alias = _table_ref()
+
+    joins: list[tuple[str, str, str | None, _Node | None]] = []
+    while p.peek_kw() in ("inner", "left", "right", "full", "cross", "join"):
+        how = "inner"
+        if p.peek_kw() != "join":
+            how = p.next().lower()
+            if p.peek_kw() == "outer":
+                p.next()
+        p.expect("join")
+        jname, jalias = _table_ref()
+        cond: _Node | None = None
+        if p.peek_kw() == "on":
+            p.next()
+            cond = p.parse_expr()
+        elif how != "cross":
+            raise ValueError(f"JOIN {jname} requires ON")
+        joins.append((how, jname, jalias, cond))
 
     where_node = None
     if p.peek_kw() == "where":
@@ -319,15 +456,33 @@ def run_ch_query(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
     if p.peek() is not None:
         raise ValueError(f"unexpected trailing tokens: {self_toks(p)}")
 
-    df = tables[table]
+    def _resolve(name: str) -> DataFrame:
+        if name not in tables:
+            raise ValueError(f"unknown table {name!r}")
+        return tables[name]
+
+    df = _resolve(table)
+    if table_alias:
+        df = df.alias(table_alias)
+    for how, jname, jalias, cond in joins:
+        right = _resolve(jname)
+        if jalias:
+            right = right.alias(jalias)
+        if broadcast_dims:
+            right = F.broadcast(right)
+        if cond is None:
+            df = df.crossJoin(right)
+        else:
+            df = df.join(right, on=_compile(cond, tables), how=how)
     if where_node is not None:
-        df = df.where(_compile(where_node))
+        df = df.where(_compile(where_node, tables))
 
     def _name(n: _Node, i: int) -> str:
         if n.kind == "col":
-            return str(n.value)
+            return str(n.value).rsplit(".", 1)[-1]
         if n.kind == "call" and len(n.args) == 1 and n.args[0].kind == "col":
-            return f"{n.value}_{n.args[0].value}"
+            base = str(n.args[0].value).rsplit(".", 1)[-1]
+            return f"{n.value}_{base}"
         return f"c{i}"
 
     names = [
@@ -335,7 +490,7 @@ def run_ch_query(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
     ]
     if any(_contains_agg(n) for n in select_nodes):
         agg_cols = [
-            _compile(n).alias(names[i])
+            _compile(n, tables).alias(names[i])
             for i, n in enumerate(select_nodes)
             if _contains_agg(n)
         ]
@@ -358,7 +513,7 @@ def run_ch_query(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
                 return n
 
             agg_cols.append(
-                _compile(_resolve_aliases(having_node)).alias("_having")
+                _compile(_resolve_aliases(having_node), tables).alias("_having")
             )
         if group_nodes:
             # group keys come out of groupBy named after the select item
@@ -381,7 +536,7 @@ def run_ch_query(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
 
             grouped = df.groupBy(
                 *[
-                    _compile(g).alias(_group_name(g, i))
+                    _compile(g, tables).alias(_group_name(g, i))
                     for i, g in enumerate(group_nodes)
                 ]
             )
@@ -397,7 +552,7 @@ def run_ch_query(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
         if having_node is not None:
             raise ValueError("HAVING requires an aggregating SELECT")
         out = df.select(
-            *[_compile(n).alias(names[i]) for i, n in enumerate(select_nodes)]
+            *[_compile(n, tables).alias(names[i]) for i, n in enumerate(select_nodes)]
         )
 
     if order_nodes:
@@ -422,7 +577,7 @@ def run_ch_query(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
             for j, sel in enumerate(select_nodes):
                 if _node_eq2(sel, node):
                     return _F.col(names[j])
-            return _compile(node)
+            return _compile(node, tables)
 
         sort_cols = []
         for node, desc in order_nodes:

@@ -9,6 +9,7 @@ both the math and the binary plumbing end-to-end.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.multimodal import (
@@ -57,20 +58,22 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _features_oracle(dim: int = 8) -> str:
-    terms = []
-    for k in range(dim):
-        stripe = f"list_filter(range(0, {_LEN}), i -> i % {dim} = {k})"
-        s = f"list_sum(list_transform({stripe}, i -> {_BYTE}))"
-        terms.append(
-            f"floor(CAST({s} AS DOUBLE) / len({stripe}) * 10000) / 10000"
-        )
-    vec = ", ".join(terms)
-    return f"SELECT doc_id, [{vec}] AS feature FROM documents"
+    # exploded (doc_id, k, value): one row per stripe, flat-hashable.
+    stripe = f"list_filter(range(0, {_LEN}), i -> i % {dim} = t.k)"
+    s = f"list_sum(list_transform({stripe}, i -> {_BYTE}))"
+    term = f"floor(CAST({s} AS DOUBLE) / len({stripe}) * 10000) / 10000"
+    return f"""
+    SELECT doc_id, CAST(t.k AS INT) AS k, {term} AS value
+    FROM documents, range(0, {dim}) t(k)
+    """
 
 
 @query("multimodal_stripe_features", _features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_features(_media(spark, sf_dir), dim=8)
+    feats = extract_features(_media(spark, sf_dir), dim=8)
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("k", "value")
+    )
 
 
 def _frames_oracle(every: int = 4) -> str:

@@ -338,17 +338,54 @@ def skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_and_quantiles", None)
+@query(
+    "approx_distinct_and_quantiles",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           quantile_cont(value, 0.5) AS p50_exact,
+           quantile_cont(value, 0.99) AS p99_exact,
+           TRUE AS approx_within_bounds
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CH uniq()/quantile() equivalents (HyperLogLog++ / KLL sketches).
-    Registered WITHOUT an oracle — approximate answers are not
-    hash-stable across engines by construction; the test below bounds
-    the error against exact answers instead."""
+    """CH uniq()/quantile() equivalents (HyperLogLog++ / KLL-style
+    sketches). Sketch outputs are not hash-stable across engines by
+    construction, so the hash-checked columns are the EXACT answers and
+    the sketches earn their hard signal through
+    ``approx_within_bounds``: HLL (rsd 2%) within 5% of the exact
+    distinct, approx percentiles (accuracy 10000, rank error 0.01%)
+    inside the exact [p-1%, p+1%] rank envelope. The oracle emits
+    constant TRUE — any sketch drift outside the bound hash-mismatches
+    the row."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("p50_value"),
-        F.percentile_approx("value", 0.99).alias("p99_value"),
+    agg = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile("value", 0.5).alias("p50_exact"),
+        F.percentile("value", 0.99).alias("p99_exact"),
+        F.percentile("value", 0.49).alias("_p50_lo"),
+        F.percentile("value", 0.51).alias("_p50_hi"),
+        F.percentile("value", 0.985).alias("_p99_lo"),
+        F.percentile("value", 0.995).alias("_p99_hi"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("_p50_approx"),
+        F.percentile_approx("value", 0.99, 10000).alias("_p99_approx"),
+    )
+    within = (
+        (
+            F.abs(F.col("_approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        )
+        & F.col("_p50_approx").between(F.col("_p50_lo"), F.col("_p50_hi"))
+        & F.col("_p99_approx").between(F.col("_p99_lo"), F.col("_p99_hi"))
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "p50_exact",
+        "p99_exact",
+        within.alias("approx_within_bounds"),
     )
 
 

@@ -230,10 +230,10 @@ def _train_step_oracle() -> str:
       GROUP BY cell, i
     )
     SELECT cell,
-           CAST(max(c) AS BIGINT) AS n_members,
-           list(round(m, 6) ORDER BY pos) AS centroid
+           CAST(c AS BIGINT) AS n_members,
+           CAST(pos AS INT) AS pos,
+           round(m, 6) AS value
     FROM per_pos
-    GROUP BY cell
     """
 
 
@@ -241,9 +241,10 @@ def _train_step_oracle() -> str:
 def similarity_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means/Lloyd iteration over the embedding corpus: map-side
     argmax assignment (identical tie rules as IVF serving) + element-
-    wise centroid mean. Iterating this query trains the IVF index the
-    serving query probes."""
-    from ..operators.similarity import ivf_train_step
+    wise centroid mean, in exploded (cell, n_members, pos, value) form
+    so the result is flat-hashable. Iterating this query trains the
+    IVF index the serving query probes."""
+    from ..operators.similarity import ivf_train_step_flat
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_train_step(emb, n_centroids=N_CENTROIDS)
+    return ivf_train_step_flat(emb, n_centroids=N_CENTROIDS)

@@ -44,13 +44,29 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    detail = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # Full per-query detail: one (long) line + a file copy. The FINAL
+    # stdout line is the compact summary — the caller captures a
+    # bounded tail of stdout, and the detail line exceeds it.
+    print(json.dumps(detail))
+    try:
+        with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
                 "sf": sf_val,
             }
         )

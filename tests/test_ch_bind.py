@@ -1,0 +1,126 @@
+"""P7 parameter binding: the ?/@name recognition + quoting rules of
+ch/stmt.go:116-204 and ch/helpers.go:13-144, case by case."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from baseline_magician_spark.plans.ch_bind import (
+    ExternalTable,
+    bind_params,
+    quote_value,
+)
+
+
+def b(sql, args=(), named=None):
+    out, _ = bind_params(sql, args, named)
+    return out
+
+
+class TestPositional:
+    def test_after_comparison(self):
+        assert b("SELECT * FROM t WHERE x = ?", (5,)) == (
+            "SELECT * FROM t WHERE x = 5"
+        )
+        assert b("WHERE x > ? AND y <= ?", (1, 2)) == "WHERE x > 1 AND y <= 2"
+
+    def test_after_arith_operators(self):
+        assert b("WHERE x = a + ?", (1,)) == "WHERE x = a + 1"
+        assert b("WHERE x = a * ?", (2,)) == "WHERE x = a * 2"
+
+    def test_in_list_positions(self):
+        # '(' and ',' both arm the keyword state
+        assert b("WHERE x IN (?, ?, ?)", ("a", "b", "c")) == (
+            "WHERE x IN ('a', 'b', 'c')"
+        )
+
+    def test_after_limit_offset(self):
+        assert b("SELECT x FROM t LIMIT ? OFFSET ?", (10, 5)) == (
+            "SELECT x FROM t LIMIT 10 OFFSET 5"
+        )
+
+    def test_after_like(self):
+        assert b("WHERE name LIKE ?", ("%x%",)) == "WHERE name LIKE '%x%'"
+
+    def test_between_and(self):
+        # BETWEEN arms; its AND re-arms exactly once (inBetween flag)
+        assert b("WHERE x BETWEEN ? AND ?", (1, 9)) == (
+            "WHERE x BETWEEN 1 AND 9"
+        )
+
+    def test_plain_and_does_not_arm(self):
+        # AND outside a BETWEEN is not a binding keyword
+        assert b("WHERE a AND ?", (1,)) == "WHERE a AND ?"
+
+    def test_not_recognized_mid_text(self):
+        # '?' not preceded by a binding keyword/operator stays literal
+        assert b("SELECT a ? b FROM t", (1,)) == "SELECT a ? b FROM t"
+
+    def test_keyword_state_survives_whitespace_only(self):
+        assert b("WHERE x =   ?", (7,)) == "WHERE x =   7"
+        # an intervening identifier clears the armed state
+        assert b("WHERE x = y z ?", (7,)) == "WHERE x = y z ?"
+
+    def test_no_word_boundary_quirk(self):
+        # word_matcher.go has no boundary check: the trailing "in" of
+        # any identifier arms the keyword state, exactly like the Go
+        # driver
+        assert b("WHERE margin ?", (3,)) == "WHERE margin 3"
+
+
+class TestNamed:
+    def test_basic(self):
+        assert b("WHERE x = @lo AND y = @hi", named={"lo": 1, "hi": 2}) == (
+            "WHERE x = 1 AND y = 2"
+        )
+
+    def test_repeated_name(self):
+        assert b("WHERE x = @v OR y = @v", named={"v": 3}) == (
+            "WHERE x = 3 OR y = 3"
+        )
+
+    def test_unknown_name_left_alone(self):
+        assert b("WHERE x = @nope", named={"v": 3}) == "WHERE x = @nope"
+
+    def test_anywhere_no_keyword_needed(self):
+        # stmt.go's bind substitutes @name in any position
+        assert b("SELECT @v", named={"v": 1}) == "SELECT 1"
+
+
+class TestQuoting:
+    def test_string_escapes(self):
+        assert quote_value("o'brien") == r"'o\'brien'"
+        assert quote_value("a\\b") == r"'a\\b'"
+
+    def test_numbers_and_null_and_bool(self):
+        assert quote_value(5) == "5"
+        assert quote_value(2.5) == "2.5"
+        assert quote_value(None) == "null"
+        assert quote_value(True) == "true"
+
+    def test_list_joins(self):
+        assert quote_value(["a", "b"]) == "'a', 'b'"
+        assert quote_value([1, 2]) == "1, 2"
+
+    def test_datetime_todatetime(self):
+        v = dt.datetime(2024, 3, 1, 12, 30, 5)
+        assert quote_value(v) == "toDateTime('2024-03-01 12:30:05', 'UTC')"
+
+    def test_date_todate(self):
+        assert quote_value(dt.date(2024, 3, 1)) == "toDate('2024-03-01')"
+
+
+class TestExternalTable:
+    def test_substitutes_name_and_returns_table(self):
+        ext = ExternalTable("allowed", None)
+        out, tables = bind_params(
+            "SELECT x FROM t WHERE x IN @allowed", named={"allowed": ext}
+        )
+        assert out == "SELECT x FROM t WHERE x IN allowed"
+        assert tables == [ext]
+
+    def test_positional_external(self):
+        ext = ExternalTable("ext1", None)
+        out, tables = bind_params("WHERE x IN ?", (ext,))
+        assert out == "WHERE x IN ext1"
+        assert tables == [ext]

@@ -195,3 +195,97 @@ def test_literal_arg_functions_from_sql(spark, host_metrics):
     r = df.collect()[0]
     assert r["dd"] == 14
     assert r["third_octet"] in {"0", "1", "2", "3"}
+
+
+def test_join_with_aliases_and_broadcast(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 7.0), (3, 20, 1.0)], "id long, k long, v double"
+    )
+    dim = spark.createDataFrame([(10, "a"), (20, "b")], "k long, name string")
+    df = run_ch_query(
+        "SELECT d.name AS name, count(*) AS n, toInt64(sum(f.v)) AS s "
+        "FROM facts f JOIN dims d ON f.k = d.k "
+        "GROUP BY d.name ORDER BY name",
+        {"facts": fact, "dims": dim},
+    )
+    rows = [tuple(r) for r in df.collect()]
+    assert rows == [("a", 2, 12), ("b", 1, 1)]
+    # the dimension side must broadcast (ClickHouse's right-side-in-RAM
+    # join model; run_ch_query docstring)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_left_join_keeps_unmatched(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    fact = spark.createDataFrame([(1, 10), (2, 99)], "id long, k long")
+    dim = spark.createDataFrame([(10, "a")], "k long, name string")
+    rows = run_ch_query(
+        "SELECT f.id AS id, d.name AS name FROM facts f "
+        "LEFT JOIN dims d ON f.k = d.k ORDER BY id",
+        {"facts": fact, "dims": dim},
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, "a"), (2, None)]
+
+
+def test_in_list_and_not_in(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [("x",), ("y",), ("z",)], "name string"
+    )
+    rows = run_ch_query(
+        "SELECT name FROM t WHERE name IN ('x', 'z') ORDER BY name", {"t": t}
+    ).collect()
+    assert [r["name"] for r in rows] == ["x", "z"]
+    rows = run_ch_query(
+        "SELECT name FROM t WHERE name NOT IN ('x', 'z')", {"t": t}
+    ).collect()
+    assert [r["name"] for r in rows] == ["y"]
+
+
+def test_in_external_table_via_binding(spark):
+    from baseline_magician_spark.plans.ch_bind import ExternalTable
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([("x", 1), ("y", 2), ("z", 3)], "name string, v long")
+    ext = ExternalTable(
+        "allowed", spark.createDataFrame([("x",), ("z",)], "name string")
+    )
+    rows = run_ch_query(
+        "SELECT name, v FROM t WHERE name IN @allowed ORDER BY name",
+        {"t": t},
+        named={"allowed": ext},
+    ).collect()
+    assert [tuple(r) for r in rows] == [("x", 1), ("z", 3)]
+
+
+def test_positional_binding_end_to_end(spark, host_metrics):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    bound = run_ch_query(
+        "SELECT count(*) AS n FROM host_metrics WHERE packets_incoming >= ? "
+        "AND packets_incoming < @hi",
+        {"host_metrics": host_metrics},
+        args=(150,),
+        named={"hi": 250},
+    ).collect()
+    literal = run_ch_query(
+        "SELECT count(*) AS n FROM host_metrics WHERE packets_incoming >= 150 "
+        "AND packets_incoming < 250",
+        {"host_metrics": host_metrics},
+    ).collect()
+    assert bound[0]["n"] == literal[0]["n"] == 100
+
+
+def test_string_binding_is_escaped(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([("o'brien",), ("smith",)], "name string")
+    rows = run_ch_query(
+        "SELECT name FROM t WHERE name = ?", {"t": t}, args=("o'brien",)
+    ).collect()
+    assert [r["name"] for r in rows] == ["o'brien"]

@@ -146,3 +146,16 @@ def test_profile_is_one_pass(spark, queries):
     # count_distinct over several columns -> Expand is expected, but no
     # join and no repeated aggregation subtrees
     assert "Join" not in plan
+
+
+def test_q7_nation_prefilter_reaches_scans(spark, queries):
+    """q7 pre-filters both nation roles to the two named nations before
+    any join, so the supplier/customer streams shrink map-side; the
+    nation scans must show the pushed In(n_name) filter and the plan
+    must not apply the pair disjunction above a 6-way join chain."""
+    plan = plan_of(queries["q7_volume_shipping"](spark, SF_ORACLE))
+    assert plan.count("In(n_name") >= 2, "nation pre-filter not pushed"
+    # both fact shuffles still join on the order key only
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "orderkey" in line, line
