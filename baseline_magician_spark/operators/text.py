@@ -138,3 +138,27 @@ def register_ngrams_udtf(spark, name: str = "ngrams_udtf", n: int = 2):
 
     spark.udtf.register(name, NGrams)
     return NGrams
+
+
+def repetition_stats(text_col: Column | str) -> list[Column]:
+    """Within-document repetition: duplicated-unigram and
+    duplicated-bigram ratios — the standard cheap filter for
+    degenerate/boilerplate documents in pretraining corpora. Pure
+    Column pass (one map-side projection, no shuffle)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    uni_d = F.size(F.array_distinct(toks))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    big_d = F.size(F.array_distinct(bigrams))
+    return [
+        n.cast("long").alias("n_tokens"),
+        uni_d.cast("long").alias("distinct_tokens"),
+        F.round(1 - uni_d / n, 6).alias("token_repetition"),
+        F.when(n > 1, F.round(1 - big_d / (n - 1), 6))
+        .otherwise(F.lit(0.0))
+        .alias("bigram_repetition"),
+    ]

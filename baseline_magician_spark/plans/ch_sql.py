@@ -68,9 +68,19 @@ class _Node:
 
 
 class _Parser:
-    def __init__(self, tokens: list[str]):
+    def __init__(
+        self,
+        tokens: list[str],
+        tables: dict[str, DataFrame] | None = None,
+        broadcast_dims: bool = True,
+    ):
         self.toks = tokens
         self.i = 0
+        # execution context for subqueries: a nested (SELECT ...) is
+        # planned inline against the same table env (lazily — no
+        # action runs at parse time)
+        self.tables = tables
+        self.broadcast_dims = broadcast_dims
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -131,12 +141,17 @@ class _Parser:
             return left
 
     def _parse_in(self, left: _Node, negate: bool) -> _Node:
-        """``x IN (v, ...)`` membership list, or ``x IN table_name`` —
-        the S6 external/temp-table membership form (ch/stmt.go:143-151
-        substitutes the table NAME; the server reads the shipped
-        block)."""
+        """``x IN (v, ...)`` membership list, ``x IN (SELECT ...)``
+        subquery membership (the binder's subquery awareness,
+        ch/helpers.go:31), or ``x IN table_name`` — the S6 external/
+        temp-table membership form (ch/stmt.go:143-151 substitutes the
+        table NAME; the server reads the shipped block)."""
         if self.peek() == "(":
             self.next()
+            if self.peek_kw() == "select":
+                sub = _exec_select(self, self.tables, self.broadcast_dims)
+                self.expect(")")
+                return _Node("in", ("subdf", negate, sub), (left,))
             items = [self.parse_expr()]
             while self.peek() == ",":
                 self.next()
@@ -172,6 +187,13 @@ class _Parser:
     def parse_primary(self) -> _Node:
         t = self.next()
         if t == "(":
+            if self.peek_kw() == "select":
+                # scalar subquery: planned inline, materialized to a
+                # literal at compile time (CH evaluates scalar
+                # subqueries once server-side — same shape)
+                sub = _exec_select(self, self.tables, self.broadcast_dims)
+                self.expect(")")
+                return _Node("scalar_subq", sub)
             inner = self.parse_expr()
             self.expect(")")
             return inner
@@ -247,9 +269,24 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         return F.col(node.value)
     if node.kind == "star":
         return F.lit(1)  # only valid inside count(*)
+    if node.kind == "scalar_subq":
+        # one-row-one-column subquery result as a literal (the collect
+        # is a driver round-trip over a single value, like CH's own
+        # scalar-subquery materialization)
+        row = node.value.first()
+        return F.lit(None if row is None else row[0])
     if node.kind == "in":
         left = _compile(node.args[0], env)
         form, negate = node.value[0], node.value[1]
+        if form == "subdf":
+            # IN (SELECT ...): CH materializes the IN set in memory
+            # (the max_rows_in_set guard bounds it); collecting the
+            # subquery's first column mirrors that set build
+            vals = [r[0] for r in node.value[2].select(
+                node.value[2].columns[0]
+            ).collect()]
+            cond = left.isin(vals) if vals else F.lit(False)
+            return ~cond if negate else cond
         if form == "list":
             items = node.args[1:]
             if all(a.kind in ("num", "str") for a in items):
@@ -352,6 +389,11 @@ def run_ch_query(
     ``F.broadcast`` is the faithful physical mapping. Pass
     ``broadcast_dims=False`` to let AQE pick shuffle joins for big-big
     shapes the reference dialect itself could not run.
+
+    Subqueries: ``(SELECT ...)`` nests as a scalar expression or an
+    ``IN (SELECT ...)`` membership set — both planned against the same
+    table env and materialized the way ClickHouse materializes them
+    (scalar once; IN sets in memory under the max_rows_in_set guard).
     """
     if args or named:
         from .ch_bind import bind_params
@@ -360,7 +402,22 @@ def run_ch_query(
         if externals:
             tables = {**tables, **{e.name: e.df for e in externals}}
 
-    p = _Parser(_tokenize(sql))
+    p = _Parser(_tokenize(sql), tables, broadcast_dims)
+    out = _exec_select(p, tables, broadcast_dims)
+    if p.peek() is not None:
+        raise ValueError(f"unexpected trailing tokens: {self_toks(p)}")
+    return out
+
+
+def _exec_select(
+    p: _Parser,
+    tables: dict[str, DataFrame],
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Parse one SELECT (the parser positioned at its ``select``
+    keyword) and build its DataFrame plan; stops at the first token
+    that is not part of the statement (EOF or the subquery's closing
+    paren)."""
     p.expect("select")
 
     def _select_item() -> tuple[_Node, str | None]:
@@ -452,9 +509,6 @@ def run_ch_query(
     if p.peek_kw() == "limit":
         p.next()
         limit_n = int(p.next())
-
-    if p.peek() is not None:
-        raise ValueError(f"unexpected trailing tokens: {self_toks(p)}")
 
     def _resolve(name: str) -> DataFrame:
         if name not in tables:

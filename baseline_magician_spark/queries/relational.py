@@ -360,31 +360,38 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant TRUE — any sketch drift outside the bound hash-mismatches
     the row."""
     events = load_table(spark, sf_dir, "events")
+    # ONE exact-percentile aggregate (array of percentages -> one sort
+    # buffer per group) and ONE approx sketch — not per-quantile aggs,
+    # which would buffer the group 5x over
     agg = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
-        F.percentile("value", 0.5).alias("p50_exact"),
-        F.percentile("value", 0.99).alias("p99_exact"),
-        F.percentile("value", 0.49).alias("_p50_lo"),
-        F.percentile("value", 0.51).alias("_p50_hi"),
-        F.percentile("value", 0.985).alias("_p99_lo"),
-        F.percentile("value", 0.995).alias("_p99_hi"),
+        F.percentile(
+            "value", F.lit([0.5, 0.99, 0.49, 0.51, 0.985, 0.995])
+        ).alias("_pcts"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("_approx_users"),
-        F.percentile_approx("value", 0.5, 10000).alias("_p50_approx"),
-        F.percentile_approx("value", 0.99, 10000).alias("_p99_approx"),
+        F.percentile_approx(
+            "value", F.lit([0.5, 0.99]), 10000
+        ).alias("_apcts"),
     )
+    p = {
+        "p50": F.col("_pcts")[0], "p99": F.col("_pcts")[1],
+        "p50_lo": F.col("_pcts")[2], "p50_hi": F.col("_pcts")[3],
+        "p99_lo": F.col("_pcts")[4], "p99_hi": F.col("_pcts")[5],
+        "ap50": F.col("_apcts")[0], "ap99": F.col("_apcts")[1],
+    }
     within = (
         (
             F.abs(F.col("_approx_users") - F.col("exact_users"))
             <= 0.05 * F.col("exact_users")
         )
-        & F.col("_p50_approx").between(F.col("_p50_lo"), F.col("_p50_hi"))
-        & F.col("_p99_approx").between(F.col("_p99_lo"), F.col("_p99_hi"))
+        & p["ap50"].between(p["p50_lo"], p["p50_hi"])
+        & p["ap99"].between(p["p99_lo"], p["p99_hi"])
     )
     return agg.select(
         "event_type",
         "exact_users",
-        "p50_exact",
-        "p99_exact",
+        p["p50"].alias("p50_exact"),
+        p["p99"].alias("p99_exact"),
         within.alias("approx_within_bounds"),
     )
 

@@ -287,3 +287,42 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_cov_raw").alias("covered_tokens"),
         F.round(F.col("_cov_raw") / F.col("total_tokens"), 6).alias("coverage"),
     )
+
+
+def _repetition_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS toks FROM documents
+    ),
+    b AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) > 1 THEN
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1])
+             ELSE [] END AS bigs
+      FROM t
+      WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_tokens,
+      round(1 - len(list_distinct(toks)) / len(toks), 6)
+        AS token_repetition,
+      CASE WHEN len(toks) > 1 THEN
+        round(1 - len(list_distinct(bigs)) / (len(toks) - 1), 6)
+      ELSE 0.0 END AS bigram_repetition
+    FROM b
+    """
+
+
+@query("text_repetition_stats", _repetition_oracle())
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-unigram/bigram ratios per document — the boilerplate/
+    degeneracy filter for pretraining corpora."""
+    from ..operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", *repetition_stats("text"))
+        .where(F.col("n_tokens") > 0)
+    )

@@ -58,6 +58,9 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_in_external_table",
     "udaf_weighted_mean",
     "udaf_weighted_mean_df",
+    "pipeline_sequence_packing",
+    "pipeline_chunk_manifest",
+    "text_repetition_stats",
     # never checked: streaming tail
     "streaming_stateful_anomalies",
     "streaming_dedup_keys",
@@ -107,6 +110,7 @@ def _load() -> None:
         ch_sql_q,
         dedup_q,
         multimodal_q,
+        packing_q,
         profiling_q,
         relational,
         sampling_q,

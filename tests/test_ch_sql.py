@@ -289,3 +289,38 @@ def test_string_binding_is_escaped(spark):
         "SELECT name FROM t WHERE name = ?", {"t": t}, args=("o'brien",)
     ).collect()
     assert [r["name"] for r in rows] == ["o'brien"]
+
+
+def test_in_subquery(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 50.0), (3, 30, 7.0)], "id long, k long, v double"
+    )
+    dim = spark.createDataFrame(
+        [(10, "keep"), (20, "drop"), (30, "keep")], "k long, tag string"
+    )
+    rows = run_ch_query(
+        "SELECT id FROM facts WHERE k IN "
+        "(SELECT k FROM dims WHERE tag = 'keep') ORDER BY id",
+        {"facts": fact, "dims": dim},
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 3]
+    rows = run_ch_query(
+        "SELECT id FROM facts WHERE k NOT IN "
+        "(SELECT k FROM dims WHERE tag = 'keep')",
+        {"facts": fact, "dims": dim},
+    ).collect()
+    assert [r["id"] for r in rows] == [2]
+
+
+def test_scalar_subquery(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 7.0)], "id long, v double"
+    )
+    rows = run_ch_query(
+        "SELECT id, v FROM t WHERE v > (SELECT avg(v) FROM t)", {"t": t}
+    ).collect()
+    assert [r["id"] for r in rows] == [2]

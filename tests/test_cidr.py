@@ -124,3 +124,61 @@ def test_adjacent_subnets_with_different_prefix_len():
     # previous masks (base - 1) down to plen
     assert previous_subnet("10.0.5.0/24", 8) == ("10.0.0.0/8", False)
     assert previous_subnet("10.0.0.0/8", 24) == ("9.255.255.0/24", False)
+
+
+class TestIPv6:
+    """go-cidr is family-agnostic (big.Int over the address width,
+    cidr.go:98-129); the port must be too, even though the reference
+    APP skips IPv6 networks (main.go:223-226)."""
+
+    def test_address_count_and_range(self):
+        from baseline_magician_spark.functions.cidr import (
+            address_count,
+            address_range,
+        )
+
+        assert address_count("2001:db8::/64") == 1 << 64
+        lo, hi = address_range("2001:db8::/112")
+        assert lo == "2001:db8::"
+        assert hi == "2001:db8::ffff"
+
+    def test_subnet_and_host(self):
+        from baseline_magician_spark.functions.cidr import host, subnet
+
+        assert subnet("2001:db8::/32", 16, 5) == "2001:db8:5::/48"
+        assert host("2001:db8::/112", 1) == "2001:db8::1"
+        assert host("2001:db8::/112", -1) == "2001:db8::ffff"
+
+    def test_inc_dec_wrap(self):
+        from baseline_magician_spark.functions.cidr import dec_ip, inc_ip
+
+        assert inc_ip("2001:db8::ffff") == "2001:db8::1:0"
+        assert dec_ip("2001:db8::1:0") == "2001:db8::ffff"
+        assert inc_ip("ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff") == "::"
+        assert dec_ip("::") == "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff"
+
+    def test_adjacent_subnets_and_rollover(self):
+        from baseline_magician_spark.functions.cidr import (
+            next_subnet,
+            previous_subnet,
+        )
+
+        nxt, rolled = next_subnet("2001:db8::/48")
+        assert nxt == "2001:db8:1::/48" and not rolled
+        prev, rolled = previous_subnet("2001:db8:1::/48")
+        assert prev == "2001:db8::/48" and not rolled
+        _, rolled = next_subnet("ffff:ffff:ffff:ffff::/64")
+        assert rolled
+        _, rolled = previous_subnet("::/64")
+        assert rolled
+
+    def test_overlap_mixed_family_rejected(self):
+        import pytest as _pytest
+
+        from baseline_magician_spark.functions.cidr import verify_no_overlap
+
+        verify_no_overlap(
+            ["2001:db8::/64", "2001:db8:0:1::/64"], "2001:db8::/32"
+        )
+        with _pytest.raises(ValueError, match="not contained"):
+            verify_no_overlap(["10.0.0.0/24"], "2001:db8::/32")

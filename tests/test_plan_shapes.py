@@ -159,3 +159,28 @@ def test_q7_nation_prefilter_reaches_scans(spark, queries):
     for line in plan.splitlines():
         if "SortMergeJoin" in line:
             assert "orderkey" in line, line
+
+
+def test_packing_single_bucket_shuffle(spark, queries):
+    """Sequence packing must shuffle exactly once (the bucket window)
+    — no global-order single-partition bottleneck."""
+    plan = plan_of(queries["pipeline_sequence_packing"](spark, SF_ORACLE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_chunk_manifest_full_chunks_exact(spark, queries):
+    """Every non-terminal chunk of a bucket holds exactly CTX_LEN
+    tokens — the packing invariant a data loader depends on."""
+    from baseline_magician_spark.queries.packing_q import CTX_LEN
+    from pyspark.sql import functions as F
+
+    man = queries["pipeline_chunk_manifest"](spark, SF_ORACLE)
+    last = man.groupBy("bucket").agg(F.max("chunk_id").alias("last_chunk"))
+    bad = (
+        man.join(last, "bucket")
+        .where(F.col("chunk_id") < F.col("last_chunk"))
+        .where(F.col("n_tokens_in_chunk") != CTX_LEN)
+        .count()
+    )
+    assert bad == 0
