@@ -7,9 +7,12 @@ pandas UDFs (Arrow-batched Series -> scalar), registered into the same
 CH-dialect function registry the SQL front end resolves, so a user can
 call them from query text exactly like built-in aggregates.
 
-The ``pandas_udf`` wrapper needs an active SparkSession to parse its
-return-type DDL, so creation is lazy (first call) — the public names
-are plain callables that build and cache the UDF on demand.
+Construction is lazy and UNCACHED: the ``pandas_udf`` wrapper needs an
+active SparkSession to parse its return-type DDL, and a cached wrapper
+would pin a stale JVM handle across a session restart. Building the
+wrapper is registration metadata only — negligible per query build.
+pandas itself is imported inside the builders, so this module (and the
+registry that imports it) stays importable on pandas-less installs.
 
 Scale note: a grouped-agg pandas UDF executes AFTER the shuffle on the
 group key, one Arrow batch per group — partial aggregation cannot be
@@ -18,16 +21,14 @@ UDAF cost on any engine; keep them for semantics built-ins can't
 express (here: a weighted mean whose weight is a second column).
 """
 
-from __future__ import annotations
-
-import functools
-
-import pandas as pd
+# NO `from __future__ import annotations` here: pandas_udf resolves the
+# inner functions' type hints at definition time, and stringified hints
+# would need `pd` in MODULE globals — defeating the lazy pandas import.
 from pyspark.sql import Column
 
 
-@functools.lru_cache(maxsize=None)
 def _weighted_avg_udf():
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -40,8 +41,8 @@ def _weighted_avg_udf():
     return weighted_avg
 
 
-@functools.lru_cache(maxsize=None)
 def _geometric_mean_udf():
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

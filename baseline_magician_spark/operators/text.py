@@ -148,16 +148,22 @@ def repetition_stats(text_col: Column | str) -> list[Column]:
     toks = tokens(text_col)
     n = F.size(toks)
     uni_d = F.size(F.array_distinct(toks))
+    # slice length clamps to 0 for empty/single-token docs — a raw
+    # n - 1 is -1 on zero tokens and slice() errors at runtime
+    blen = F.greatest(n - 1, F.lit(0))
     bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
+        F.slice(toks, 1, blen),
+        F.slice(toks, 2, blen),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     big_d = F.size(F.array_distinct(bigrams))
     return [
         n.cast("long").alias("n_tokens"),
         uni_d.cast("long").alias("distinct_tokens"),
-        F.round(1 - uni_d / n, 6).alias("token_repetition"),
+        # both ratios guard their divisor (ANSI mode errors on /0)
+        F.when(n > 0, F.round(1 - uni_d / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("token_repetition"),
         F.when(n > 1, F.round(1 - big_d / (n - 1), 6))
         .otherwise(F.lit(0.0))
         .alias("bigram_repetition"),

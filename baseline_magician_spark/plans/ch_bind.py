@@ -126,13 +126,17 @@ def bind_params(
         ch = sql[i]
         if ch == "@":
             name, j = _param_name(sql, i + 1)
-            if name and name in named:
-                v = named[name]
-                if isinstance(v, ExternalTable):
-                    out.append(v.name)
-                    externals.append(v)
-                else:
-                    out.append(quote_value(v))
+            if name:
+                # the reference consumes the parsed name whether or not
+                # a matching arg exists (stmt.go:139-151 writes nothing
+                # for an unbound @name — the placeholder just vanishes)
+                if name in named:
+                    v = named[name]
+                    if isinstance(v, ExternalTable):
+                        out.append(v.name)
+                        externals.append(v)
+                    else:
+                        out.append(quote_value(v))
                 i = j
                 continue
             out.append(ch)

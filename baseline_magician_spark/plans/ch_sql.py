@@ -40,7 +40,9 @@ _AGGS = {
 }
 
 _TOKEN = re.compile(
-    r"\s*(?:(?P<num>\d+\.\d+|\d+)"
+    # numbers accept scientific notation — the binder's float quoting
+    # (Go fmt.Sprint) emits e.g. '1e-05' for small magnitudes
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
     r"|(?P<str>'(?:[^'\\]|\\.|'')*')"
     r"|(?P<ident>[A-Za-z_][A-Za-z_0-9]*)"
     r"|(?P<sym><=|>=|!=|<>|[(),.*+\-/<>=]))"
@@ -210,10 +212,10 @@ class _Parser:
                 t[1:-1],
             )
             return _Node("str", body)
-        if re.fullmatch(r"\d+\.\d+", t):
-            return _Node("num", float(t))
         if re.fullmatch(r"\d+", t):
             return _Node("num", int(t))
+        if re.fullmatch(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", t):
+            return _Node("num", float(t))
         if self.peek() == "(":
             self.next()
             args = []
@@ -272,9 +274,13 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
     if node.kind == "scalar_subq":
         # one-row-one-column subquery result as a literal (the collect
         # is a driver round-trip over a single value, like CH's own
-        # scalar-subquery materialization)
-        row = node.value.first()
-        return F.lit(None if row is None else row[0])
+        # scalar-subquery materialization). More than one row is an
+        # error, as in ClickHouse — an unordered first() would pick an
+        # arbitrary partition's row nondeterministically.
+        rows = node.value.limit(2).collect()
+        if len(rows) > 1:
+            raise ValueError("scalar subquery returned more than one row")
+        return F.lit(None if not rows else rows[0][0])
     if node.kind == "in":
         left = _compile(node.args[0], env)
         form, negate = node.value[0], node.value[1]
@@ -506,9 +512,18 @@ def _exec_select(
             p.next()
 
     limit_n: int | None = None
+    offset_n: int | None = None
     if p.peek_kw() == "limit":
         p.next()
-        limit_n = int(p.next())
+        first = int(p.next())
+        if p.peek() == ",":  # CH's LIMIT offset, count spelling
+            p.next()
+            offset_n, limit_n = first, int(p.next())
+        else:
+            limit_n = first
+            if p.peek_kw() == "offset":
+                p.next()
+                offset_n = int(p.next())
 
     def _resolve(name: str) -> DataFrame:
         if name not in tables:
@@ -638,6 +653,8 @@ def _exec_select(
             c = _order_col(node)
             sort_cols.append(c.desc() if desc else c.asc())
         out = out.orderBy(*sort_cols)
+    if offset_n is not None:
+        out = out.offset(offset_n)
     if limit_n is not None:
         # orderBy+limit fuses into TakeOrderedAndProject (distributed
         # per-partition top-k + driver merge — no global sort)

@@ -96,6 +96,16 @@ _PRIORITY: tuple[str, ...] = (
     "q20_promo_heavy_suppliers",
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
+    # regression sample: previously-green queries sitting on code that
+    # CHANGED this round (expr backends, range join, similarity,
+    # multimodal Arrow path, IP functions) — kept inside the checked
+    # window so a regression under a green query stays visible
+    "baseline_thresholds",
+    "baseline_thresholds_bucketed_join",
+    "similarity_ivf_topk",
+    "multimodal_decode_stats",
+    "dedup_minhash_lsh_pairs",
+    "ip_function_roundtrip",
 )
 
 

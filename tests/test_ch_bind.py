@@ -79,8 +79,17 @@ class TestNamed:
             "WHERE x = 3 OR y = 3"
         )
 
-    def test_unknown_name_left_alone(self):
-        assert b("WHERE x = @nope", named={"v": 3}) == "WHERE x = @nope"
+    def test_unknown_name_consumed_and_dropped(self):
+        # stmt.go:139-151 writes NOTHING for an unbound @name — the
+        # placeholder just vanishes from the bound SQL
+        assert b("WHERE x = @nope", named={"v": 3}) == "WHERE x = "
+        assert b("WHERE x = @nope AND y = ?", (5,), {"v": 3}) == (
+            "WHERE x =  AND y = 5"
+        )
+
+    def test_scientific_notation_floats_bind(self):
+        # Go fmt.Sprint renders small floats in scientific notation
+        assert b("WHERE v < ?", (1e-05,)) == "WHERE v < 1e-05"
 
     def test_anywhere_no_keyword_needed(self):
         # stmt.go's bind substitutes @name in any position

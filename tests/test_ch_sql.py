@@ -324,3 +324,61 @@ def test_scalar_subquery(spark):
         "SELECT id, v FROM t WHERE v > (SELECT avg(v) FROM t)", {"t": t}
     ).collect()
     assert [r["id"] for r in rows] == [2]
+
+
+def test_scalar_subquery_multi_row_errors(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, 5.0), (2, 50.0)], "id long, v double")
+    with pytest.raises(ValueError, match="more than one row"):
+        run_ch_query(
+            "SELECT id FROM t WHERE v > (SELECT v FROM t)", {"t": t}
+        ).collect()
+
+
+def test_bound_scientific_float_parses(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, 0.5), (2, 1e-7)], "id long, v double")
+    rows = run_ch_query(
+        "SELECT id FROM t WHERE v < ?", {"t": t}, args=(1e-05,)
+    ).collect()
+    assert [r["id"] for r in rows] == [2]
+
+
+def test_limit_offset_forms(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    rows = run_ch_query(
+        "SELECT id FROM t ORDER BY id LIMIT 3 OFFSET 4", {"t": t}
+    ).collect()
+    assert [r["id"] for r in rows] == [4, 5, 6]
+    # ClickHouse's LIMIT offset, count spelling
+    rows = run_ch_query(
+        "SELECT id FROM t ORDER BY id LIMIT 4, 3", {"t": t}
+    ).collect()
+    assert [r["id"] for r in rows] == [4, 5, 6]
+    # bound placeholders in both positions
+    rows = run_ch_query(
+        "SELECT id FROM t ORDER BY id LIMIT ? OFFSET ?",
+        {"t": t},
+        args=(2, 8),
+    ).collect()
+    assert [r["id"] for r in rows] == [8, 9]
+
+
+def test_repetition_stats_handles_empty_docs(spark):
+    from baseline_magician_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, ""), (3, "   "), (4, "x")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *repetition_stats("text")).collect()
+    }
+    assert rows[1]["n_tokens"] == 3 and rows[1]["bigram_repetition"] == 0.0
+    assert rows[2]["n_tokens"] == 0
+    assert rows[3]["n_tokens"] == 0
+    assert rows[4]["bigram_repetition"] == 0.0
