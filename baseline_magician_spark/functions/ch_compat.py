@@ -24,6 +24,32 @@ def _to_int(width: str) -> Callable[[Column], Column]:
     return lambda c: c.cast(width)
 
 
+def _ch_range(*a) -> Column:
+    """CH range(): end-EXCLUSIVE, empty for end <= start (F.sequence is
+    inclusive and would count DOWN for an empty range)."""
+    start, end = (F.lit(0), a[0]) if len(a) == 1 else (a[0], a[1])
+    start = _as_col(start).cast("long")
+    end = _as_col(end).cast("long")
+    return F.when(end > start, F.sequence(start, end - 1)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def _int_div(a: Column, b: Column) -> Column:
+    """Trunc-toward-zero integer division, EXACT over the full 64-bit
+    range: (a - a%b) is divisible by b, and dividing in decimal(38,0)
+    keeps the quotient exact where a double division would round off
+    quotients past 2^53 (Spark % takes the dividend's sign — C/CH
+    semantics — so the identity is trunc, not floor, division)."""
+    return (
+        (
+            a.cast("decimal(38,0)")
+            - a.cast("decimal(38,0)") % b.cast("decimal(38,0)")
+        )
+        / b.cast("decimal(38,0)")
+    ).cast("long")
+
+
 CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # emitted by the reference's generated SQL (main.go:238-279)
     "IPv4StringToNum": ip4_to_long,
@@ -94,18 +120,7 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "addDays": lambda c, n: F.timestamp_add("DAY", _as_col(n), c),
     "subtractDays": lambda c, n: F.timestamp_add("DAY", -_as_col(n), c),
     # arithmetic / math
-    # trunc-toward-zero integer division, EXACT over the full 64-bit
-    # range: (a - a%b) is divisible by b, and dividing in decimal(38,0)
-    # keeps the quotient exact where a double division would round off
-    # quotients past 2^53 (Spark % takes the dividend's sign — C/CH
-    # semantics — so the identity is trunc, not floor, division)
-    "intDiv": lambda a, b: (
-        (
-            a.cast("decimal(38,0)")
-            - a.cast("decimal(38,0)") % b.cast("decimal(38,0)")
-        )
-        / b.cast("decimal(38,0)")
-    ).cast("long"),
+    "intDiv": _int_div,
     "modulo": lambda a, b: a % b,
     "plus": lambda a, b: a + b,
     "minus": lambda a, b: a - b,
@@ -165,6 +180,87 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # the full big-endian UInt64 of the first 8 digest bytes, which
     # Spark cannot hold in a signed long without overflow
     "halfMD5": lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+    # --- array vocabulary (CH array functions without lambdas;
+    # arrayJoin is the CH explode idiom — valid in non-aggregating
+    # SELECTs, like CH applies it before aggregation) ---
+    "arrayJoin": F.explode,
+    "has": lambda arr, v: F.array_contains(arr, v),
+    "indexOf": lambda arr, v: F.array_position(arr, v),
+    "arrayDistinct": F.array_distinct,
+    "arrayUniq": lambda arr: F.size(F.array_distinct(arr)),
+    "arraySort": F.array_sort,
+    "arrayReverse": F.reverse,
+    "arrayConcat": F.concat,
+    # delimiter must be a driver-literal string (F.array_join takes a
+    # plain str); the SQL front end passes string literals through via
+    # _LITERAL_ARG_POSITIONS
+    "arrayStringConcat": lambda arr, sep="": F.array_join(arr, sep),
+    "arrayFlatten": F.flatten,
+    "arrayZip": F.arrays_zip,
+    "arraySlice": lambda arr, offset, length=None: (
+        F.slice(arr, offset, length)
+        if length is not None
+        else F.slice(arr, offset, F.greatest(F.size(arr), F.lit(0)))
+    ),
+    "arrayElement": F.element_at,
+    "arrayPushBack": lambda arr, v: F.concat(arr, F.array(_as_col(v))),
+    "arrayPushFront": lambda arr, v: F.concat(F.array(_as_col(v)), arr),
+    "arrayPopBack": lambda arr: F.slice(
+        arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))
+    ),
+    "arrayPopFront": lambda arr: F.slice(
+        arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))
+    ),
+    "arraySum": lambda arr: F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    ),
+    "arrayMin": F.array_min,
+    "arrayMax": F.array_max,
+    "arrayAvg": lambda arr: F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    ) / F.size(arr),
+    "arrayEnumerate": lambda arr: F.when(
+        F.size(arr) > 0, F.sequence(F.lit(1), F.size(arr))
+    ).otherwise(F.array().cast("array<int>")),
+    "emptyArrayString": lambda: F.array().cast("array<string>"),
+    "range": lambda *a: _ch_range(*a),
+    # --- more date/time ---
+    "toDayOfWeek": lambda c: F.dayofweek(c),  # NB: Spark 1=Sunday
+    "toQuarter": F.quarter,
+    "toStartOfQuarter": lambda c: F.date_trunc("quarter", c).cast("date"),
+    "toStartOfWeek": lambda c: F.date_trunc("week", c).cast("date"),
+    "addMonths": lambda c, n: F.timestamp_add("MONTH", _as_col(n), c),
+    "subtractMonths": lambda c, n: F.timestamp_add("MONTH", -_as_col(n), c),
+    "addHours": lambda c, n: F.timestamp_add("HOUR", _as_col(n), c),
+    "subtractHours": lambda c, n: F.timestamp_add("HOUR", -_as_col(n), c),
+    "addMinutes": lambda c, n: F.timestamp_add("MINUTE", _as_col(n), c),
+    "subtractMinutes": lambda c, n: F.timestamp_add("MINUTE", -_as_col(n), c),
+    "addSeconds": lambda c, n: F.timestamp_add("SECOND", _as_col(n), c),
+    "subtractSeconds": lambda c, n: F.timestamp_add("SECOND", -_as_col(n), c),
+    "yesterday": lambda: F.date_sub(F.current_date(), 1),
+    # --- more math ---
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "asin": F.asin,
+    "acos": F.acos,
+    "atan": F.atan,
+    "atan2": F.atan2,
+    "cbrt": F.cbrt,
+    "sign": F.signum,
+    "e": lambda: F.lit(2.718281828459045),
+    "pi": lambda: F.lit(3.141592653589793),
+    "trunc": lambda c, n=0: (
+        F.signum(c) * F.floor(F.abs(c) * F.pow(F.lit(10.0), n))
+        / F.pow(F.lit(10.0), n)
+    ),
+    "intDivOrZero": lambda a, b: F.when(
+        b.cast("long") != 0, _int_div(a, b)
+    ).otherwise(F.lit(0).cast("long")),
+    "moduloOrZero": lambda a, b: F.when(b != 0, a % b).otherwise(F.lit(0)),
+    "isNaN": F.isnan,
+    "isFinite": lambda c: ~F.isnan(c) & (F.abs(c) != float("inf")),
+    "isInfinite": lambda c: F.abs(c) == float("inf"),
 }
 
 

@@ -240,6 +240,7 @@ _LITERAL_ARG_POSITIONS = {
     "splitbychar": {0},
     "splitbystring": {0},
     "extract": {1},
+    "arraystringconcat": {1},
 }
 
 

@@ -116,7 +116,7 @@ def test_hashes_are_portable(row):
 
 def test_unknown_function_raises_with_known_list():
     with pytest.raises(KeyError, match="no ClickHouse-compat shim"):
-        ch_fn("arrayJoin")
+        ch_fn("noSuchFunctionZZZ")
 
 
 def test_registry_entries_are_callable():
@@ -137,3 +137,89 @@ def test_int_div_exact_beyond_double_precision(row):
     big = 4611686018427387904  # 2^62: double division would round
     got = row(q=ch_fn("intDiv")(F.lit(big), F.lit(3)))
     assert got["q"] == 1537228672809129301
+
+
+def test_array_vocabulary(row):
+    arr = F.array(F.lit(3), F.lit(1), F.lit(2), F.lit(1))
+    got = row(
+        has=ch_fn("has")(arr, F.lit(2)),
+        idx=ch_fn("indexOf")(arr, F.lit(1)),
+        dist=ch_fn("arrayDistinct")(arr),
+        uniq=ch_fn("arrayUniq")(arr),
+        srt=ch_fn("arraySort")(arr),
+        rev=ch_fn("arrayReverse")(arr),
+        cat=ch_fn("arrayStringConcat")(
+            F.array(F.lit("a"), F.lit("b")), "-"
+        ),
+        summ=ch_fn("arraySum")(arr),
+        avg=ch_fn("arrayAvg")(arr),
+        mn=ch_fn("arrayMin")(arr),
+        mx=ch_fn("arrayMax")(arr),
+        sl=ch_fn("arraySlice")(arr, F.lit(2), F.lit(2)),
+        pb=ch_fn("arrayPushBack")(F.array(F.lit(1)), F.lit(9)),
+        popb=ch_fn("arrayPopBack")(arr),
+        enum=ch_fn("arrayEnumerate")(arr),
+        el=ch_fn("arrayElement")(arr, F.lit(-1)),
+    )
+    assert got["has"] is True
+    assert got["idx"] == 2          # 1-based, first occurrence
+    assert got["dist"] == [3, 1, 2]
+    assert got["uniq"] == 3
+    assert got["srt"] == [1, 1, 2, 3]
+    assert got["rev"] == [1, 2, 1, 3]
+    assert got["cat"] == "a-b"
+    assert got["summ"] == 7.0 and got["avg"] == 1.75
+    assert got["mn"] == 1 and got["mx"] == 3
+    assert got["sl"] == [1, 2]
+    assert got["pb"] == [1, 9]
+    assert got["popb"] == [3, 1, 2]
+    assert got["enum"] == [1, 2, 3, 4]
+    assert got["el"] == 1
+
+
+def test_range_semantics(row):
+    got = row(
+        one=ch_fn("range")(F.lit(4)),
+        two=ch_fn("range")(F.lit(2), F.lit(5)),
+        empty=ch_fn("range")(F.lit(0)),
+        inverted=ch_fn("range")(F.lit(5), F.lit(2)),
+    )
+    assert got["one"] == [0, 1, 2, 3]
+    assert got["two"] == [2, 3, 4]
+    assert got["empty"] == []       # CH: end-exclusive, never descending
+    assert got["inverted"] == []
+
+
+def test_array_join_explodes(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, "a b"), (2, "c")], "id long, s string")
+    rows = run_ch_query(
+        "SELECT id, arrayJoin(splitByChar(' ', s)) AS tok FROM t ORDER BY id, tok",
+        {"t": t},
+    ).collect()
+    assert [(r["id"], r["tok"]) for r in rows] == [(1, "a"), (1, "b"), (2, "c")]
+
+
+def test_math_and_date_additions(row):
+    ts = F.lit("2024-03-15 10:30:00").cast("timestamp")
+    got = row(
+        q=ch_fn("toQuarter")(ts),
+        dow=ch_fn("toDayOfWeek")(ts),
+        addm=ch_fn("addMonths")(ts, F.lit(2)),
+        subh=ch_fn("subtractHours")(ts, F.lit(3)),
+        tr=ch_fn("trunc")(F.lit(3.14159), F.lit(2)),
+        trn=ch_fn("trunc")(F.lit(-3.14159), F.lit(2)),
+        sgn=ch_fn("sign")(F.lit(-5.0)),
+        idz=ch_fn("intDivOrZero")(F.lit(7), F.lit(0)),
+        mdz=ch_fn("moduloOrZero")(F.lit(7), F.lit(0)),
+        fin=ch_fn("isFinite")(F.lit(1.5)),
+    )
+    assert got["q"] == 1
+    assert got["dow"] == 6          # Spark: 1=Sunday; 2024-03-15 is Friday
+    assert str(got["addm"]).startswith("2024-05-15 10:30")
+    assert str(got["subh"]).startswith("2024-03-15 07:30")
+    assert got["tr"] == 3.14 and got["trn"] == -3.14
+    assert got["sgn"] == -1.0
+    assert got["idz"] == 0 and got["mdz"] == 0
+    assert got["fin"] is True
