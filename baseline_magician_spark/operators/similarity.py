@@ -373,6 +373,7 @@ def ivf_train_step_flat(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     round_to: int = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """One Lloyd (k-means) iteration — the IVF TRAINING step that
     produces the centroids ivf_topk serves from — in exploded form.
@@ -388,14 +389,19 @@ def ivf_train_step_flat(
     Output: one row per centroid component —
     (cell, n_members, pos, value) — a single shuffle; ``n_members`` is
     the cell's member count (identical on every pos row of a cell).
+
+    ``centroids`` overrides the seed set — the Lloyd-iteration hook:
+    feed the previous step's (rounded) centroids back in and this IS
+    k-means, one job per step.
     """
-    centroids = [
-        (int(r[0]), list(r[1]))
-        for r in embeddings.where(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
-        .collect()
-    ]
-    centroids.sort()
+    if centroids is None:
+        centroids = [
+            (int(r[0]), list(r[1]))
+            for r in embeddings.where(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        ]
+    centroids = sorted(centroids)
     # two projection steps: a generator (posexplode) in the SAME select
     # as the assignment expression makes Spark's generator rewrite strip
     # the named-struct aliases inside ivf_assign_cell (FIELD_NOT_FOUND)

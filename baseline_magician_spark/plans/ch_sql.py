@@ -410,6 +410,21 @@ def run_ch_query(
             tables = {**tables, **{e.name: e.df for e in externals}}
 
     p = _Parser(_tokenize(sql), tables, broadcast_dims)
+    # WITH name AS (SELECT ...) [, ...] — each CTE plans against the
+    # env extended by the CTEs before it (lazily; no materialization)
+    if p.peek_kw() == "with":
+        p.next()
+        while True:
+            cte_name = p.next()
+            p.expect("as")
+            p.expect("(")
+            cte_df = _exec_select(p, tables, broadcast_dims)
+            p.expect(")")
+            tables = {**tables, cte_name: cte_df}
+            p.tables = tables
+            if p.peek() != ",":
+                break
+            p.next()
     out = _exec_select(p, tables, broadcast_dims)
     if p.peek() is not None:
         raise ValueError(f"unexpected trailing tokens: {self_toks(p)}")
@@ -531,13 +546,12 @@ def _exec_select(
             raise ValueError(f"unknown table {name!r}")
         return tables[name]
 
-    df = _resolve(table)
-    if table_alias:
-        df = df.alias(table_alias)
+    # every relation is aliased — by its AS alias or its own name — so
+    # qualified column refs (t.g) resolve whether or not the query
+    # aliased the table, like real SQL name scoping
+    df = _resolve(table).alias(table_alias or table)
     for how, jname, jalias, cond in joins:
-        right = _resolve(jname)
-        if jalias:
-            right = right.alias(jalias)
+        right = _resolve(jname).alias(jalias or jname)
         if broadcast_dims:
             right = F.broadcast(right)
         if cond is None:

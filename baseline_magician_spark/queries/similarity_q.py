@@ -248,3 +248,72 @@ def similarity_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_train_step_flat(emb, n_centroids=N_CENTROIDS)
+
+
+def _kmeans_oracle(steps: int = 3) -> str:
+    """k Lloyd iterations as a CTE chain. Centroids are rounded to 6
+    decimals at every step IN BOTH ENGINES, so each step's assignment
+    compares bit-identical doubles — the iteration cannot drift."""
+    sql = (
+        f"WITH cents0 AS (SELECT vec_id AS cid, embedding AS cvec "
+        f"FROM embeddings WHERE vec_id < {N_CENTROIDS})"
+    )
+    for s in range(1, steps + 1):
+        prev = f"cents{s - 1}"
+        sql += f""",
+    assign{s} AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos('e.embedding', 'c.cvec')} DESC, c.cid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    m{s} AS (
+      SELECT cell, i AS pos, round(avg(embedding[i + 1]), 6) AS m,
+             count(*) AS c
+      FROM assign{s} CROSS JOIN range(0, {EMB_DIM}) t(i)
+      GROUP BY cell, i
+    ),
+    cents{s} AS (
+      SELECT cell AS cid, list(m ORDER BY pos) AS cvec
+      FROM m{s} GROUP BY cell
+    )"""
+    sql += f"""
+    SELECT cell, CAST(c AS BIGINT) AS n_members,
+           CAST(pos AS INT) AS pos, m AS value
+    FROM m{steps}
+    """
+    return sql
+
+
+@query("similarity_kmeans_three_steps", _kmeans_oracle(3))
+def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three iterated Lloyd steps — the actual k-means training loop
+    the IVF index comes from. Each step is one distributed job (map-
+    side argmax assignment + one (cell,pos) shuffle); centroids
+    round-trip through the driver rounded to 6 decimals, which keeps
+    the oracle's CTE-chain recomputation bit-identical step for step.
+    """
+    from ..operators.similarity import ivf_train_step_flat
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents: list[tuple[int, list[float]]] | None = None
+    flat: DataFrame | None = None
+    for step in range(3):
+        flat = ivf_train_step_flat(
+            emb, n_centroids=N_CENTROIDS, centroids=cents
+        )
+        if step < 2:
+            by_cell: dict[int, list[tuple[int, float]]] = {}
+            for r in flat.collect():
+                by_cell.setdefault(int(r["cell"]), []).append(
+                    (int(r["pos"]), float(r["value"]))
+                )
+            cents = [
+                (cell, [v for _, v in sorted(ps)])
+                for cell, ps in by_cell.items()
+            ]
+    return flat

@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_sequence_packing",
     "pipeline_chunk_manifest",
     "text_repetition_stats",
+    "similarity_kmeans_three_steps",
     # never checked: streaming tail
     "streaming_stateful_anomalies",
     "streaming_dedup_keys",

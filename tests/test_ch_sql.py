@@ -382,3 +382,18 @@ def test_repetition_stats_handles_empty_docs(spark):
     assert rows[2]["n_tokens"] == 0
     assert rows[3]["n_tokens"] == 0
     assert rows[4]["bigram_repetition"] == 0.0
+
+
+def test_with_cte_chain(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 7.0), (3, "b", 1.0)], "id long, g string, v double"
+    )
+    rows = run_ch_query(
+        "WITH sums AS (SELECT g, sum(v) AS s FROM t GROUP BY g), "
+        "big AS (SELECT g, s FROM sums WHERE s > 2) "
+        "SELECT t.id AS id FROM t JOIN big ON t.g = big.g ORDER BY id",
+        {"t": t},
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 2]
