@@ -242,3 +242,38 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_shared", "jaccard")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_distance: int = 16,
+    k: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Fuzzy near-dup pairs: MinHash-LSH candidates verified by EXACT
+    Levenshtein distance <= max_distance.
+
+    Output: (doc_a, doc_b, edit_distance), doc_a < doc_b.
+
+    Scale shape: the O(len x len) DP runs only on LSH candidates (never
+    all pairs), JVM-side via the thresholded levenshtein builtin — the
+    threshold caps the DP band, so a wildly-different candidate pair
+    costs O(len x max_distance), not O(len^2). The two id-joins that
+    fetch the texts shuffle on uniform doc ids.
+    """
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, k, rows_per_band, shingle_n
+    ).select("doc_a", "doc_b")
+    ta = df.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
+    tb = df.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
+    # thresholded levenshtein returns -1 past max_distance (early exit)
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_distance)
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", dist.alias("edit_distance"))
+        .where(F.col("edit_distance") >= 0)
+    )

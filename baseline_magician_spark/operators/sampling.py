@@ -184,3 +184,50 @@ def mixture_plan(
             ).alias("sample_fraction"),
         )
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "epoch0",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Exact global pseudorandom permutation WITHOUT a global sort —
+    the training-order shuffle for data loading.
+
+    A naive ``row_number() OVER (ORDER BY hash)`` funnels the whole
+    corpus through one partition. Two-phase ranking instead: the sort
+    key is (bucket, hash, id) with bucket = hash % n_buckets; ranks are
+    computed per bucket (uniform shuffle), and each bucket's global
+    offset comes from a tiny bucket-count aggregate (n_buckets rows)
+    joined back broadcast. global_rank = offset + rank_in_bucket
+    reproduces the single-sort answer exactly at any scale.
+
+    Output: (id, shuffle_rank), rank 0-based, a permutation of the
+    input rows; re-keying ``seed`` yields an independent epoch order.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import poly_hash
+
+    hk = poly_hash(F.concat(F.col(id_col).cast("string"), F.lit(seed)))
+    t = df.select(
+        F.col(id_col).alias("id"),
+        hk.alias("_hk"),
+        (hk % n_buckets).alias("_bucket"),
+    )
+    w = W.partitionBy("_bucket").orderBy("_hk", "id")
+    ranked = t.withColumn("_r", F.row_number().over(w) - 1)
+    counts = t.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.select(
+        "_bucket",
+        (
+            F.sum("_n").over(
+                W.orderBy("_bucket").rowsBetween(W.unboundedPreceding, -1)
+            )
+        ).alias("_off"),
+    ).fillna({"_off": 0})
+    return (
+        ranked.join(F.broadcast(offsets), "_bucket")
+        .select("id", (F.col("_off") + F.col("_r")).alias("shuffle_rank"))
+    )

@@ -443,3 +443,35 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fresh.join(first, ["h", "doc_id"], "left_semi").select(
         "doc_id", "lang"
     )
+
+
+MAX_EDIT_DISTANCE = 16
+
+
+def _edit_distance_oracle() -> str:
+    return f"""WITH cand AS ({_minhash_oracle()})
+    SELECT cand.doc_a, cand.doc_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
+    FROM cand
+    JOIN documents a ON cand.doc_a = a.doc_id
+    JOIN documents b ON cand.doc_b = b.doc_id
+    WHERE levenshtein(a.text, b.text) <= {MAX_EDIT_DISTANCE}
+    """
+
+
+@query("dedup_edit_distance_pairs", _edit_distance_oracle())
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-candidate generation + exact edit-distance verification —
+    the fuzzy-dedup shape for corpora where token Jaccard is too
+    coarse (small character-level mutations)."""
+    from ..operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        max_distance=MAX_EDIT_DISTANCE,
+        k=K,
+        rows_per_band=ROWS_PER_BAND,
+        shingle_n=SHINGLE_N,
+    )

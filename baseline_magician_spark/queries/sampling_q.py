@@ -263,3 +263,27 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("long").alias("total_tokens"),
         )
     )
+
+
+def _shuffle_oracle(seed: str = "epoch0", n_buckets: int = 16) -> str:
+    from ..functions.hashing import poly_hash_duckdb
+
+    hk = poly_hash_duckdb(f"CAST(doc_id AS VARCHAR) || '{seed}'")
+    return f"""
+    WITH t AS (SELECT doc_id AS id, {hk} AS hk FROM documents)
+    SELECT id,
+           CAST(row_number() OVER (ORDER BY hk % {n_buckets}, hk, id) - 1
+                AS BIGINT) AS shuffle_rank
+    FROM t
+    """
+
+
+@query("pipeline_shuffle_order", _shuffle_oracle())
+def pipeline_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle permutation via two-phase ranking —
+    the oracle's single global ORDER BY is exactly what the bucketed
+    construction reproduces without a one-partition sort."""
+    from ..operators.sampling import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, "doc_id", seed="epoch0", n_buckets=16)

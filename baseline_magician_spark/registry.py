@@ -62,6 +62,8 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_chunk_manifest",
     "text_repetition_stats",
     "similarity_kmeans_three_steps",
+    "dedup_edit_distance_pairs",
+    "pipeline_shuffle_order",
     # never checked: streaming tail
     "streaming_stateful_anomalies",
     "streaming_dedup_keys",

@@ -184,3 +184,16 @@ def test_chunk_manifest_full_chunks_exact(spark, queries):
         .count()
     )
     assert bad == 0
+
+
+def test_shuffle_order_avoids_global_sort_of_data(spark, queries):
+    """The epoch-shuffle permutation must rank within hash buckets
+    (uniform exchange) — only the 16-row bucket-offset aggregate may
+    pass through a single partition, never the documents themselves."""
+    df = queries["pipeline_shuffle_order"](spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "hashpartitioning(_bucket" in plan
+    # the doc-bearing side must not sort globally: any SinglePartition
+    # exchange must sit under the tiny bucket-count aggregate subtree
+    for chunk in plan.split("Exchange SinglePartition")[1:]:
+        assert "count(1)" in chunk or "partial_count" in chunk.lower(), plan
