@@ -36,18 +36,43 @@ def _ch_range(*a) -> Column:
 
 
 def _int_div(a: Column, b: Column) -> Column:
-    """Trunc-toward-zero integer division, EXACT over the full 64-bit
-    range: (a - a%b) is divisible by b, and dividing in decimal(38,0)
-    keeps the quotient exact where a double division would round off
-    quotients past 2^53 (Spark % takes the dividend's sign — C/CH
-    semantics — so the identity is trunc, not floor, division)."""
-    return (
+    """Trunc-toward-zero integer division.
+
+    Integer inputs take the EXACT decimal(38,0) path — (a - a%b) is
+    divisible by b, and dividing in decimal keeps the quotient exact
+    where a double division would round off quotients past 2^53
+    (Spark % takes the dividend's sign — C/CH semantics — so the
+    identity is trunc, not floor, division). Fractional inputs (CH
+    intDiv accepts floats: intDiv(7.9, 2) = 3, intDiv(7, 0.5) = 14)
+    truncate the DOUBLE quotient instead — the decimal(38,0) cast
+    would round the inputs first."""
+    a, b = _as_col(a), _as_col(b)
+    ad, bd = a.cast("double"), b.cast("double")
+    frac = (ad != F.floor(ad)) | (bd != F.floor(bd))
+    exact = (
         (
             a.cast("decimal(38,0)")
             - a.cast("decimal(38,0)") % b.cast("decimal(38,0)")
         )
         / b.cast("decimal(38,0)")
     ).cast("long")
+    q = ad / bd
+    trunc_q = (F.signum(q) * F.floor(F.abs(q))).cast("long")
+    return F.when(frac, trunc_q).otherwise(exact)
+
+
+def _array_slice(arr: Column, offset, length=None) -> Column:
+    """CH arraySlice: negative offset counts from the end; NEGATIVE
+    length trims |length| elements off the end (Spark's slice() errors
+    on negative length, so both are normalized here)."""
+    if length is None:
+        return F.slice(arr, offset, F.greatest(F.size(arr), F.lit(0)))
+    o, ln, n = _as_col(offset), _as_col(length), F.size(arr)
+    start = F.when(o >= 0, o).otherwise(n + o + 1)
+    count = F.when(ln >= 0, ln).otherwise(
+        F.greatest(n + ln - start + 1, F.lit(0))
+    )
+    return F.slice(arr, start, count)
 
 
 CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
@@ -197,12 +222,16 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "arrayStringConcat": lambda arr, sep="": F.array_join(arr, sep),
     "arrayFlatten": F.flatten,
     "arrayZip": F.arrays_zip,
-    "arraySlice": lambda arr, offset, length=None: (
-        F.slice(arr, offset, length)
-        if length is not None
-        else F.slice(arr, offset, F.greatest(F.size(arr), F.lit(0)))
+    "arraySlice": lambda arr, offset, length=None: _array_slice(
+        arr, offset, length
     ),
-    "arrayElement": F.element_at,
+    # try_element_at: out-of-range (and index 0) yield NULL instead of
+    # the ANSI error; CH returns the element type's DEFAULT value
+    # there, which has no generic Spark spelling — NULL is the
+    # documented divergence
+    "arrayElement": lambda arr, idx: F.when(
+        _as_col(idx) == 0, F.lit(None)
+    ).otherwise(F.try_element_at(arr, _as_col(idx))),
     "arrayPushBack": lambda arr, v: F.concat(arr, F.array(_as_col(v))),
     "arrayPushFront": lambda arr, v: F.concat(F.array(_as_col(v)), arr),
     "arrayPopBack": lambda arr: F.slice(
@@ -223,12 +252,17 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
         F.size(arr) > 0, F.sequence(F.lit(1), F.size(arr))
     ).otherwise(F.array().cast("array<int>")),
     "emptyArrayString": lambda: F.array().cast("array<string>"),
-    "range": lambda *a: _ch_range(*a),
+    "range": _ch_range,
     # --- more date/time ---
-    "toDayOfWeek": lambda c: F.dayofweek(c),  # NB: Spark 1=Sunday
+    # CH numbering: 1 = Monday .. 7 = Sunday (Spark dayofweek is
+    # 1 = Sunday); CH toStartOfWeek default mode 0 rounds down to the
+    # nearest SUNDAY (date_trunc('week') would pick Monday)
+    "toDayOfWeek": lambda c: ((F.dayofweek(c) + F.lit(5)) % 7 + 1),
     "toQuarter": F.quarter,
     "toStartOfQuarter": lambda c: F.date_trunc("quarter", c).cast("date"),
-    "toStartOfWeek": lambda c: F.date_trunc("week", c).cast("date"),
+    "toStartOfWeek": lambda c: F.date_sub(
+        F.to_date(c), F.dayofweek(c) - 1
+    ),
     "addMonths": lambda c, n: F.timestamp_add("MONTH", _as_col(n), c),
     "subtractMonths": lambda c, n: F.timestamp_add("MONTH", -_as_col(n), c),
     "addHours": lambda c, n: F.timestamp_add("HOUR", _as_col(n), c),
@@ -254,8 +288,10 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
         F.signum(c) * F.floor(F.abs(c) * F.pow(F.lit(10.0), n))
         / F.pow(F.lit(10.0), n)
     ),
+    # guard on the ORIGINAL divisor: a fractional nonzero b (0.5) must
+    # divide, not fall into the zero branch via the long cast
     "intDivOrZero": lambda a, b: F.when(
-        b.cast("long") != 0, _int_div(a, b)
+        _as_col(b) != 0, _int_div(a, b)
     ).otherwise(F.lit(0).cast("long")),
     "moduloOrZero": lambda a, b: F.when(b != 0, a % b).otherwise(F.lit(0)),
     "isNaN": F.isnan,

@@ -211,11 +211,16 @@ def deterministic_shuffle(
     from ..functions.hashing import poly_hash
 
     hk = poly_hash(F.concat(F.col(id_col).cast("string"), F.lit(seed)))
+    # repartition on the bucket BEFORE branching: the ranking window
+    # and the bucket-count aggregate then share ONE exchange (and one
+    # evaluation of the per-character hash fold) instead of scanning
+    # and hashing the corpus twice — the canonical-shuffle-reuse
+    # pattern (cf. dedup.ngram_jaccard_pairs)
     t = df.select(
         F.col(id_col).alias("id"),
         hk.alias("_hk"),
         (hk % n_buckets).alias("_bucket"),
-    )
+    ).repartition("_bucket")
     w = W.partitionBy("_bucket").orderBy("_hk", "id")
     ranked = t.withColumn("_r", F.row_number().over(w) - 1)
     counts = t.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))

@@ -253,7 +253,11 @@ def similarity_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_oracle(steps: int = 3) -> str:
     """k Lloyd iterations as a CTE chain. Centroids are rounded to 6
     decimals at every step IN BOTH ENGINES, so each step's assignment
-    compares bit-identical doubles — the iteration cannot drift."""
+    compares identical doubles and per-step drift cannot accumulate.
+    Residual tolerance (shared with every rounded oracle in this repo):
+    if a cell mean's exact value sits within one summation-order ULP of
+    a 0.0000005 rounding boundary, the engines could round apart —
+    verified not to occur on this data at sf0.01 AND sf0.1."""
     sql = (
         f"WITH cents0 AS (SELECT vec_id AS cid, embedding AS cvec "
         f"FROM embeddings WHERE vec_id < {N_CENTROIDS})"

@@ -216,10 +216,57 @@ def test_math_and_date_additions(row):
         fin=ch_fn("isFinite")(F.lit(1.5)),
     )
     assert got["q"] == 1
-    assert got["dow"] == 6          # Spark: 1=Sunday; 2024-03-15 is Friday
+    assert got["dow"] == 5          # CH numbering: 1=Monday; 2024-03-15 is Friday
     assert str(got["addm"]).startswith("2024-05-15 10:30")
     assert str(got["subh"]).startswith("2024-03-15 07:30")
     assert got["tr"] == 3.14 and got["trn"] == -3.14
     assert got["sgn"] == -1.0
     assert got["idz"] == 0 and got["mdz"] == 0
     assert got["fin"] is True
+
+
+def test_week_functions_ch_semantics(row):
+    got = row(
+        # Friday -> CH 5; Sunday -> CH 7; Monday -> CH 1
+        fri=ch_fn("toDayOfWeek")(F.lit("2024-03-15").cast("date")),
+        sun=ch_fn("toDayOfWeek")(F.lit("2024-03-17").cast("date")),
+        mon=ch_fn("toDayOfWeek")(F.lit("2024-03-18").cast("date")),
+        # toStartOfWeek mode 0: round down to the nearest SUNDAY
+        sow_sun=ch_fn("toStartOfWeek")(F.lit("2024-03-17").cast("date")),
+        sow_fri=ch_fn("toStartOfWeek")(F.lit("2024-03-15").cast("date")),
+    )
+    assert got["fri"] == 5 and got["sun"] == 7 and got["mon"] == 1
+    assert str(got["sow_sun"]) == "2024-03-17"
+    assert str(got["sow_fri"]) == "2024-03-10"
+
+
+def test_element_and_slice_edge_semantics(row):
+    arr = F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4))
+    got = row(
+        oob=ch_fn("arrayElement")(arr, F.lit(9)),
+        zero=ch_fn("arrayElement")(arr, F.lit(0)),
+        neg=ch_fn("arrayElement")(arr, F.lit(-2)),
+        negd=ch_fn("arraySlice")(arr, F.lit(2), F.lit(-1)),
+        negoff=ch_fn("arraySlice")(arr, F.lit(-3), F.lit(2)),
+        over=ch_fn("arraySlice")(arr, F.lit(2), F.lit(-9)),
+    )
+    assert got["oob"] is None and got["zero"] is None
+    assert got["neg"] == 3
+    assert got["negd"] == [2, 3]    # from 2 through end-minus-1
+    assert got["negoff"] == [2, 3]
+    assert got["over"] == []
+
+
+def test_int_div_float_semantics(row):
+    got = row(
+        f1=ch_fn("intDiv")(F.lit(7.9), F.lit(2)),
+        f2=ch_fn("intDiv")(F.lit(7), F.lit(0.5)),
+        z=ch_fn("intDivOrZero")(F.lit(7), F.lit(0.5)),
+        big=ch_fn("intDiv")(
+            F.lit(4611686018427387904), F.lit(3)
+        ),  # 2^62: exact past double precision
+    )
+    assert got["f1"] == 3
+    assert got["f2"] == 14
+    assert got["z"] == 14
+    assert got["big"] == 1537228672809129301

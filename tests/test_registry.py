@@ -1,0 +1,35 @@
+"""Registry invariants: the priority window resolves and every query
+has matching oracle column expectations handled by the parity suite."""
+
+from __future__ import annotations
+
+
+def test_priority_names_all_registered():
+    from baseline_magician_spark.registry import _PRIORITY, get_queries
+
+    names = set(get_queries())
+    missing = [n for n in _PRIORITY if n not in names]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+
+
+def test_priority_orders_prefix():
+    from baseline_magician_spark.registry import (
+        _PRIORITY,
+        get_oracles,
+        get_queries,
+    )
+
+    q = list(get_queries())
+    assert q[: len(_PRIORITY)] == list(_PRIORITY)
+    # queries and oracles must present the SAME order to the driver
+    o = list(get_oracles())
+    assert [n for n in q if n in set(o)] == o
+
+
+def test_every_query_has_oracle_or_documented_exemption():
+    from baseline_magician_spark.registry import get_oracles, get_queries
+
+    no_oracle = set(get_queries()) - set(get_oracles())
+    # rows-only checks are reserved for genuinely non-SQL-expressible
+    # ops; as of round 2 every registered query carries an oracle
+    assert no_oracle == set(), no_oracle
