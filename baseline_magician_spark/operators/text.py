@@ -168,3 +168,60 @@ def repetition_stats(text_col: Column | str) -> list[Column]:
         .otherwise(F.lit(0.0))
         .alias("bigram_repetition"),
     ]
+
+
+def count_min_sketch(
+    keys: "DataFrame",
+    key_col: str = "s",
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Count-min sketch of a key stream as a (depth x width) count
+    table: one exploded projection (depth rows per key, map-side) and
+    ONE shuffle on the uniform (row, bucket) pair — the mergeable
+    sketch shape (sketches of partitions/days add cell-wise).
+
+    Returns (sketch_df, probe) where ``sketch_df`` is
+    (row, bucket, cnt) — depth*width rows, broadcastable — and
+    ``probe(df, col)`` attaches ``cms_estimate`` = min over rows of the
+    key's cell, the classic never-underestimating point query.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401 (typing only)
+    from ..functions.hashing import poly_hash
+
+    def cells(c):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (poly_hash(c, seed=1000003 + 77 * i) % width).alias(
+                        "bucket"
+                    ),
+                )
+                for i in range(depth)
+            ]
+        )
+
+    sketch = (
+        keys.select(F.explode(cells(F.col(key_col))).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def probe(df, col):
+        probes = df.withColumn("_cells", cells(F.col(col))).withColumn(
+            "_c", F.explode("_cells")
+        )
+        est = (
+            probes.join(
+                F.broadcast(sketch),
+                (F.col("_c.row") == F.col("row"))
+                & (F.col("_c.bucket") == F.col("bucket")),
+                "left",
+            )
+            .groupBy(*df.columns)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+        )
+        return est
+
+    return sketch, probe

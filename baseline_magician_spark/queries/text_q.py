@@ -326,3 +326,59 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", *repetition_stats("text"))
         .where(F.col("n_tokens") > 0)
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_SLACK = 8  # tolerated overestimate: SLACK * stream/size / width
+
+
+def _cms_oracle() -> str:
+    from ..functions.hashing import token_shingles_duckdb
+
+    sh = token_shingles_duckdb("text", 2)
+    return f"""
+    SELECT shingle, doc_freq, TRUE AS cms_within_bounds FROM (
+      SELECT shingle, count(*) AS doc_freq FROM (
+        SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM documents
+      )
+      GROUP BY shingle
+      ORDER BY doc_freq DESC, shingle
+      LIMIT 50
+    )
+    """
+
+
+@query("text_cms_heavy_hitters", _cms_oracle())
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries over the top-50 exact heavy
+    hitters — the sketch seam the exact top-k query documents. The
+    hash-checked columns are the exact counts; the sketch earns its
+    hard signal through ``cms_within_bounds``: the CM estimate can
+    NEVER underestimate (min over depth rows of the key's counters)
+    and must stay within the slack-scaled n/width overestimate
+    envelope. The oracle emits constant TRUE — sketch drift outside
+    either bound hash-mismatches the row."""
+    from ..functions.hashing import token_shingles
+    from ..operators.text import count_min_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = docs.select(
+        F.explode(F.array_distinct(token_shingles("text", 2))).alias("s")
+    )
+    sketch, probe = count_min_sketch(
+        shingles, "s", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    exact = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("doc_freq"))
+    top = exact.orderBy(F.desc("doc_freq"), F.asc("s")).limit(50)
+    est = probe(top, "s")
+    total = shingles.agg(F.count(F.lit(1)).alias("_n"))
+    within = (F.col("cms_estimate") >= F.col("doc_freq")) & (
+        F.col("cms_estimate")
+        <= F.col("doc_freq") + CMS_SLACK * F.col("_n") / CMS_WIDTH
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        F.col("s").alias("shingle"),
+        "doc_freq",
+        within.alias("cms_within_bounds"),
+    )

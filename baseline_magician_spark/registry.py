@@ -64,6 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_kmeans_three_steps",
     "dedup_edit_distance_pairs",
     "pipeline_shuffle_order",
+    "text_cms_heavy_hitters",
     # never checked: streaming tail
     "streaming_stateful_anomalies",
     "streaming_dedup_keys",
