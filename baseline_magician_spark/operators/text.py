@@ -175,11 +175,19 @@ def count_min_sketch(
     key_col: str = "s",
     depth: int = 4,
     width: int = 1024,
+    weight_col: str | None = None,
 ):
     """Count-min sketch of a key stream as a (depth x width) count
     table: one exploded projection (depth rows per key, map-side) and
     ONE shuffle on the uniform (row, bucket) pair — the mergeable
     sketch shape (sketches of partitions/days add cell-wise).
+
+    With ``weight_col``, ``keys`` is a pre-aggregated (key, count)
+    relation and cells accumulate ``sum(weight)`` instead of row
+    counts — exact-identical by CMS additivity, and the sketch build
+    shrinks from all-occurrences to distinct-key cardinality, so a
+    single exact aggregate can feed the sketch, the totals, AND the
+    top-k without re-reading the corpus.
 
     Returns (sketch_df, probe) where ``sketch_df`` is
     (row, bucket, cnt) — depth*width rows, broadcastable — and
@@ -202,10 +210,11 @@ def count_min_sketch(
             ]
         )
 
+    w = F.col(weight_col) if weight_col else F.lit(1)
     sketch = (
-        keys.select(F.explode(cells(F.col(key_col))).alias("c"))
+        keys.select(F.explode(cells(F.col(key_col))).alias("c"), w.alias("_w"))
         .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_w").alias("cnt"))
     )
 
     def probe(df, col):

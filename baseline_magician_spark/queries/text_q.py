@@ -358,7 +358,13 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEVER underestimate (min over depth rows of the key's counters)
     and must stay within the slack-scaled n/width overestimate
     envelope. The oracle emits constant TRUE — sketch drift outside
-    either bound hash-mismatches the row."""
+    either bound hash-mismatches the row.
+
+    One corpus pass: the exact (shingle, doc_freq) aggregate is built
+    once and feeds the sketch (cells weighted by doc_freq — identical
+    by CMS additivity), the stream total (sum(doc_freq)), and the
+    top-50, so the tokenize+shingle scan and its shuffle run once and
+    Spark reuses the exchange across the three consumers."""
     from ..functions.hashing import token_shingles
     from ..operators.text import count_min_sketch
 
@@ -366,13 +372,13 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = docs.select(
         F.explode(F.array_distinct(token_shingles("text", 2))).alias("s")
     )
-    sketch, probe = count_min_sketch(
-        shingles, "s", depth=CMS_DEPTH, width=CMS_WIDTH
-    )
     exact = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("doc_freq"))
+    sketch, probe = count_min_sketch(
+        exact, "s", depth=CMS_DEPTH, width=CMS_WIDTH, weight_col="doc_freq"
+    )
     top = exact.orderBy(F.desc("doc_freq"), F.asc("s")).limit(50)
     est = probe(top, "s")
-    total = shingles.agg(F.count(F.lit(1)).alias("_n"))
+    total = exact.agg(F.sum("doc_freq").alias("_n"))
     within = (F.col("cms_estimate") >= F.col("doc_freq")) & (
         F.col("cms_estimate")
         <= F.col("doc_freq") + CMS_SLACK * F.col("_n") / CMS_WIDTH
