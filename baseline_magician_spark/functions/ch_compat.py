@@ -245,9 +245,12 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     ),
     "arrayMin": F.array_min,
     "arrayMax": F.array_max,
-    "arrayAvg": lambda arr: F.aggregate(
-        arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")
-    ) / F.size(arr),
+    # empty-array guard: ANSI mode errors on /0; avg-of-nothing is NaN
+    "arrayAvg": lambda arr: F.when(
+        F.size(arr) > 0,
+        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        / F.size(arr),
+    ).otherwise(F.lit(float("nan"))),
     "arrayEnumerate": lambda arr: F.when(
         F.size(arr) > 0, F.sequence(F.lit(1), F.size(arr))
     ).otherwise(F.array().cast("array<int>")),

@@ -67,6 +67,17 @@ class _Node:
     kind: str           # num | str | col | call | bin | star
     value: object = None
     args: tuple = ()
+    # cached subquery materialization: an ORDER BY expression that is
+    # not a select item recompiles its node tree, and without the memo
+    # that re-collect()s the subquery a second time
+    memo: object = None
+
+
+# Bound on materialized IN (SELECT ...) sets — the role ClickHouse's
+# max_rows_in_set setting plays for its own in-memory set builds
+# (control.py maps the setting name here). Module-level so callers and
+# tests can tune it.
+MAX_ROWS_IN_SET = 10_000_000
 
 
 class _Parser:
@@ -278,20 +289,32 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         # scalar-subquery materialization). More than one row is an
         # error, as in ClickHouse — an unordered first() would pick an
         # arbitrary partition's row nondeterministically.
-        rows = node.value.limit(2).collect()
-        if len(rows) > 1:
-            raise ValueError("scalar subquery returned more than one row")
-        return F.lit(None if not rows else rows[0][0])
+        if node.memo is None:
+            rows = node.value.limit(2).collect()
+            if len(rows) > 1:
+                raise ValueError("scalar subquery returned more than one row")
+            node.memo = (None if not rows else rows[0][0],)
+        return F.lit(node.memo[0])
     if node.kind == "in":
         left = _compile(node.args[0], env)
         form, negate = node.value[0], node.value[1]
         if form == "subdf":
             # IN (SELECT ...): CH materializes the IN set in memory
             # (the max_rows_in_set guard bounds it); collecting the
-            # subquery's first column mirrors that set build
-            vals = [r[0] for r in node.value[2].select(
-                node.value[2].columns[0]
-            ).collect()]
+            # subquery's first column mirrors that set build, and the
+            # MAX_ROWS_IN_SET cap plays the guard's role here
+            if node.memo is None:
+                sub = node.value[2]
+                rows = sub.select(sub.columns[0]).limit(
+                    MAX_ROWS_IN_SET + 1
+                ).collect()
+                if len(rows) > MAX_ROWS_IN_SET:
+                    raise ValueError(
+                        "IN (SELECT ...) set exceeds max_rows_in_set="
+                        f"{MAX_ROWS_IN_SET}"
+                    )
+                node.memo = [r[0] for r in rows]
+            vals = node.memo
             cond = left.isin(vals) if vals else F.lit(False)
             return ~cond if negate else cond
         if form == "list":
@@ -311,9 +334,12 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             tname = node.value[2]
             if env is None or tname not in env:
                 raise ValueError(f"unknown table in IN: {tname!r}")
-            ext = env[tname]
-            vals = [r[0] for r in ext.select(ext.columns[0]).collect()]
-            cond = left.isin(vals)
+            if node.memo is None:
+                ext = env[tname]
+                node.memo = [
+                    r[0] for r in ext.select(ext.columns[0]).collect()
+                ]
+            cond = left.isin(node.memo)
         return ~cond if negate else cond
     if node.kind == "call":
         name = node.value
@@ -572,6 +598,23 @@ def _exec_select(
     names = [
         aliases[i] or _name(n, i) for i, n in enumerate(select_nodes)
     ]
+    # derived names can collide once the table qualifier is stripped
+    # (SELECT a.x, b.x) — keep the first occurrence bare and rename
+    # later non-aliased duplicates by their qualifier (b.x -> b_x), so
+    # downstream ORDER BY / alias resolution stays unambiguous
+    seen: set[str] = set()
+    for i, nm in enumerate(names):
+        if nm in seen and aliases[i] is None:
+            n = select_nodes[i]
+            if n.kind == "col" and "." in str(n.value):
+                qual, base = str(n.value).rsplit(".", 1)
+                cand = f"{qual.rsplit('.', 1)[-1]}_{base}"
+            else:
+                cand = f"c{i}"
+            if cand in seen or cand in names[i + 1:]:
+                cand = f"c{i}"
+            names[i] = cand
+        seen.add(names[i])
     if any(_contains_agg(n) for n in select_nodes):
         agg_cols = [
             _compile(n, tables).alias(names[i])

@@ -47,68 +47,74 @@ _loaded = False
 # families, freshly-fixed rows, and operators added this round — land
 # inside the checked window; everything else follows in registration
 # order. Rotate per round.
+# Round-3 window (the harness checks the first 50 names; a test pins
+# len <= 50 so nothing silently falls outside it):
+# - head: the round-2 red row (q12, oracle-type fix) and the rewritten
+#   CMS query — both need a fresh green driver row;
+# - ch_sql regression guards: plans/ch_sql.py + plans/ch_bind.py change
+#   this round (duplicate-name disambiguation, subquery memoization,
+#   WITH TOTALS, binder property hardening);
+# - new round-3 queries as they land;
+# - the rotating tail: every query last checked in round 1 (44 of
+#   them), re-covering 12+ rounds of commits that have landed since.
 _PRIORITY: tuple[str, ...] = (
-    # fixed this round (red/no-oracle last round)
-    "multimodal_stripe_features",
-    "similarity_ivf_train_step",
-    "approx_distinct_and_quantiles",
-    # new this round
-    "ch_sql_param_binding",
-    "ch_sql_join_dims",
-    "ch_sql_in_external_table",
-    "udaf_weighted_mean",
-    "udaf_weighted_mean_df",
-    "pipeline_sequence_packing",
-    "pipeline_chunk_manifest",
-    "text_repetition_stats",
-    "similarity_kmeans_three_steps",
-    "dedup_edit_distance_pairs",
-    "pipeline_shuffle_order",
-    "text_cms_heavy_hitters",
-    # never checked: streaming tail
-    "streaming_stateful_anomalies",
-    "streaming_dedup_keys",
-    "streaming_click_purchase_join",
-    # never checked: text family
-    "text_quality_scores",
-    "text_language_id",
-    "text_token_counts",
-    "text_fingerprints",
-    "text_frequent_ngrams_topk",
-    "text_eval_decontamination",
-    "text_vocab_coverage",
-    # never checked: TPC-H
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_national_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_part_values",
+    # fixed this round (the only red row of round 2 + the CMS rewrite)
     "q12_late_shipment_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_predicates",
-    "q20_promo_heavy_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    # regression sample: previously-green queries sitting on code that
-    # CHANGED this round (expr backends, range join, similarity,
-    # multimodal Arrow path, IP functions) — kept inside the checked
-    # window so a regression under a green query stays visible
-    "baseline_thresholds",
-    "baseline_thresholds_bucketed_join",
-    "similarity_ivf_topk",
-    "multimodal_decode_stats",
+    "text_cms_heavy_hitters",
+    # regression guards: code changed this round (ch_sql/ch_bind)
+    "ch_sql_join_dims",
+    "ch_sql_param_binding",
+    "ch_sql_in_external_table",
+    # r1-only rotation: dedup + pipeline family
+    "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
+    "dedup_simhash_fingerprints",
+    "dedup_connected_components",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_embedding_cosine_pairs",
+    "dedup_keep_best_per_cluster",
+    "dedup_incremental_ingest",
+    "pipeline_corpus_cleanup",
+    "pipeline_training_export",
+    # r1-only rotation: multimodal + asof + profiling
+    "multimodal_decode_stats",
+    "multimodal_frame_sample",
+    "asof_join_latest_order",
+    "profile_orders_table",
+    # r1-only rotation: relational/window family
+    "window_topn_orders_per_segment",
+    "window_running_revenue",
+    "rollup_totals_by_region_nation",
+    "extremes_value_by_type",
+    "set_ops_customer_tiers",
+    "semi_anti_join_customers",
+    "distinct_users_by_type",
+    "pivot_quantity_by_status",
+    "time_window_recent_events",
+    "skew_salted_join_event_types",
+    "skew_salted_distinct_users",
+    "cube_revenue_by_flag_status",
+    "grouping_sets_quantity",
+    "exact_percentiles_by_type",
+    "histogram_event_values",
+    "window_range_frame_sliding_sum",
+    "json_props_stats",
+    "unpivot_lineitem_measures",
+    "window_lag_lead_user_deltas",
+    # r1-only rotation: sampling family
+    "sample_split_train_valid_test",
+    "sample_stratified_by_lang",
+    "sample_quota_per_source",
+    "sample_mixture_plan",
+    # r1-only rotation: similarity family
+    "similarity_topk_cosine",
+    "similarity_lsh_neardup_pairs",
+    "similarity_lsh_bucket_histogram",
+    # r1-only rotation: streaming family
+    "streaming_windowed_counts",
+    "streaming_sessionize_gap",
+    "streaming_baseline_windows",
+    # r1-only rotation: IP functions
     "ip_function_roundtrip",
 )
 

@@ -177,6 +177,16 @@ def test_array_vocabulary(row):
     assert got["el"] == 1
 
 
+def test_array_avg_empty_is_nan_not_error(row):
+    """ANSI mode (Spark 4 default) raises DIVIDE_BY_ZERO on an
+    unguarded sum/size; the guard returns NaN for the empty array."""
+    import math
+
+    empty = F.array().cast("array<double>")
+    got = row(avg=ch_fn("arrayAvg")(empty))
+    assert math.isnan(got["avg"])
+
+
 def test_range_semantics(row):
     got = row(
         one=ch_fn("range")(F.lit(4)),

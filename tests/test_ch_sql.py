@@ -336,6 +336,71 @@ def test_scalar_subquery_multi_row_errors(spark):
         ).collect()
 
 
+def test_duplicate_qualified_names_disambiguated(spark):
+    """SELECT a.x, b.x over a join must not emit two columns both
+    named x — the second derives its qualifier (b_x)."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    a = spark.createDataFrame([(1, "left")], "id long, x string")
+    b = spark.createDataFrame([(1, "right")], "id long, x string")
+    out = run_ch_query(
+        "SELECT a.x, b.x FROM a JOIN b ON a.id = b.id",
+        {"a": a, "b": b},
+    )
+    assert out.columns == ["x", "b_x"]
+    row = out.collect()[0]
+    assert (row["x"], row["b_x"]) == ("left", "right")
+
+
+def test_duplicate_call_names_fall_back_to_position(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(2.0,), (8.0,)], "v double")
+    out = run_ch_query("SELECT max(v), max(v) FROM t", {"t": t})
+    assert out.columns == ["max_v", "c1"]
+    row = out.collect()[0]
+    assert (row["max_v"], row["c1"]) == (8.0, 8.0)
+
+
+def test_order_by_scalar_subquery_collects_once(spark, monkeypatch):
+    """An ORDER BY expression that is not a select item recompiles its
+    node tree; the memo must stop the scalar subquery from being
+    re-collect()ed (round-2 advice)."""
+    from baseline_magician_spark.plans import ch_sql
+
+    calls = {"n": 0}
+    orig = ch_sql._compile
+
+    def counting(node, env=None):
+        if node.kind == "scalar_subq" and node.memo is None:
+            calls["n"] += 1
+        return orig(node, env)
+
+    monkeypatch.setattr(ch_sql, "_compile", counting)
+    t = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 7.0)], "id long, v double"
+    )
+    rows = ch_sql.run_ch_query(
+        "SELECT id FROM t WHERE v > (SELECT min(v) FROM t) "
+        "ORDER BY v - (SELECT min(v) FROM t) DESC",
+        {"t": t},
+    ).collect()
+    assert [r["id"] for r in rows] == [2, 3]
+    # two distinct subquery nodes, each materialized exactly once
+    assert calls["n"] == 2
+
+
+def test_in_subquery_set_capped(spark, monkeypatch):
+    from baseline_magician_spark.plans import ch_sql
+
+    monkeypatch.setattr(ch_sql, "MAX_ROWS_IN_SET", 2)
+    t = spark.createDataFrame([(i,) for i in range(5)], "k long")
+    with pytest.raises(ValueError, match="max_rows_in_set"):
+        ch_sql.run_ch_query(
+            "SELECT k FROM t WHERE k IN (SELECT k FROM t)", {"t": t}
+        ).collect()
+
+
 def test_bound_scientific_float_parses(spark):
     from baseline_magician_spark.plans.ch_sql import run_ch_query
 

@@ -12,6 +12,18 @@ def test_priority_names_all_registered():
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
 
+def test_priority_fits_checked_window():
+    """The external harness checks only the first 50 registered names;
+    every _PRIORITY entry must land inside that window or it is a
+    regression guard that never actually runs (round-2 advice)."""
+    from baseline_magician_spark.registry import _PRIORITY
+
+    assert len(_PRIORITY) <= 50, (
+        f"_PRIORITY has {len(_PRIORITY)} names; the harness checks 50"
+    )
+    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate names"
+
+
 def test_priority_orders_prefix():
     from baseline_magician_spark.registry import (
         _PRIORITY,
