@@ -526,6 +526,7 @@ def _exec_select(
         where_node = p.parse_expr()
 
     group_nodes: list[_Node] = []
+    with_totals = False
     if p.peek_kw() == "group":
         p.next()
         p.expect("by")
@@ -533,6 +534,16 @@ def _exec_select(
         while p.peek() == ",":
             p.next()
             group_nodes.append(p.parse_expr())
+        # GROUP BY ... WITH TOTALS: the driver surfaces the totals row
+        # as a separate protocol block (ch/rows.go:62-80,
+        # protocol.go:28-37); here it unifies into the result with NULL
+        # group keys, the same shape the rollup/grouping-sets queries
+        # use. Compiled as GROUPING SETS ((keys...), ()) — one pass,
+        # detail + grand total only, no intermediate rollup levels.
+        if p.peek_kw() == "with":
+            p.next()
+            p.expect("totals")
+            with_totals = True
 
     having_node = None
     if p.peek_kw() == "having":
@@ -661,19 +672,45 @@ def _exec_select(
                         return names[j]
                 return _name(g, 1000 + i)
 
-            grouped = df.groupBy(
-                *[
-                    _compile(g, tables).alias(_group_name(g, i))
-                    for i, g in enumerate(group_nodes)
+            key_names = [
+                _group_name(g, i) for i, g in enumerate(group_nodes)
+            ]
+            if with_totals:
+                from pyspark.sql import functions as _F
+
+                # hidden grouping_id tells the totals row (all keys
+                # grouped away = 2^n - 1) apart from detail rows whose
+                # keys are naturally NULL, and lets HAVING filter
+                # detail only (CH default totals_mode = before_having:
+                # totals ignore HAVING). groupingSets matches set
+                # entries to grouping columns by EXPRESSION equality —
+                # an .alias() wrapper breaks the match — so the keys go
+                # in bare and the output renames positionally (grouping
+                # columns lead the agg output in cols order).
+                agg_cols.append(_F.grouping_id().alias("_gid"))
+                bare = [_compile(g, tables) for g in group_nodes]
+                out = df.groupingSets([bare, []], *bare).agg(*agg_cols)
+                agg_names = out.columns[len(bare):]
+                out = out.toDF(*key_names, *agg_names)
+            else:
+                keys = [
+                    c.alias(key_names[i])
+                    for i, c in enumerate(
+                        _compile(g, tables) for g in group_nodes
+                    )
                 ]
-            )
-            out = grouped.agg(*agg_cols)
+                out = df.groupBy(*keys).agg(*agg_cols)
         else:
             out = df.agg(*agg_cols)
         if having_node is not None:
             from pyspark.sql import functions as _F
 
-            out = out.where(_F.col("_having"))
+            keep = _F.col("_having")
+            if with_totals:
+                keep = keep | (
+                    _F.col("_gid") == (2 ** len(group_nodes) - 1)
+                )
+            out = out.where(keep)
         out = out.select(*names)
     else:
         if having_node is not None:
@@ -722,3 +759,36 @@ def _exec_select(
 
 def self_toks(p: _Parser) -> str:
     return " ".join(p.toks[p.i : p.i + 8])
+
+
+_NUMERIC_TYPES = ("byte", "short", "integer", "long", "float", "double", "decimal")
+
+
+def extremes_result(df: DataFrame) -> DataFrame:
+    """The CH ``extremes = 1`` companion block: min and max over the
+    result set for each numeric output column (the driver surfaces
+    these as two extra protocol rows, ch/rows.go:112-131); non-numeric
+    columns are NULL, and an ``extreme`` tag ('min'/'max') stands in
+    for the protocol's block role. Both rows project from ONE 1-row
+    aggregate, so the input plan runs once."""
+    fields = df.schema.fields
+    aggs = []
+    numeric = set()
+    for f in fields:
+        if f.dataType.typeName() in _NUMERIC_TYPES:
+            numeric.add(f.name)
+            aggs.append(F.min(f.name).alias(f"__mn_{f.name}"))
+            aggs.append(F.max(f.name).alias(f"__mx_{f.name}"))
+    one = df.agg(*aggs) if aggs else df.agg(F.count(F.lit(1)).alias("__n"))
+
+    def block(kind: str) -> DataFrame:
+        prefix = "__mn_" if kind == "min" else "__mx_"
+        cols = [
+            F.col(prefix + f.name).alias(f.name)
+            if f.name in numeric
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in fields
+        ]
+        return one.select(*cols, F.lit(kind).alias("extreme"))
+
+    return block("min").unionByName(block("max"))

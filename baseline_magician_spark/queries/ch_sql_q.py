@@ -123,3 +123,70 @@ def ch_sql_in_external(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tables(spark, sf_dir, "events"),
         named={"allowed": ext},
     )
+
+
+# GROUP BY ... WITH TOTALS — the driver's separate totals block
+# (ch/rows.go:62-80, protocol.go:28-37) unified into the result as a
+# NULL-keyed grand-total row; compiled as GROUPING SETS ((k), ()), one
+# pass. HAVING applies to detail rows only (CH default totals_mode =
+# before_having), which the oracle mirrors by filtering the detail arm
+# of the union and leaving the total arm unfiltered.
+_TOTALS_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM fastnetmon.orders
+WHERE o_orderpriority != '3-MEDIUM'
+GROUP BY o_orderstatus WITH TOTALS
+HAVING count(*) > 10
+"""
+
+
+@query(
+    "ch_sql_with_totals",
+    """
+    WITH src AS (
+      SELECT * FROM orders WHERE o_orderpriority != '3-MEDIUM'
+    )
+    SELECT o_orderstatus, n_orders, total_price FROM (
+      SELECT o_orderstatus, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price
+      FROM src GROUP BY o_orderstatus
+      HAVING count(*) > 10
+    )
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR) AS o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM src
+    """,
+)
+def ch_sql_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_TOTALS_SQL, _tables(spark, sf_dir, "orders"))
+
+
+# extremes = 1 companion rows: min/max per numeric result column over
+# the detail result (ch/rows.go:112-131); the non-numeric event_type
+# column is NULL in both rows, tagged 'min'/'max'.
+@query(
+    "ch_sql_extremes",
+    """
+    WITH det AS (
+      SELECT event_type, user_id, round(value, 2) AS value
+      FROM events WHERE value >= 50.0
+    )
+    SELECT CAST(NULL AS VARCHAR) AS event_type,
+           min(user_id) AS user_id, min(value) AS value,
+           'min' AS extreme FROM det
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR), max(user_id), max(value), 'max'
+    FROM det
+    """,
+)
+def ch_sql_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.ch_sql import extremes_result
+
+    detail = run_ch_query(
+        "SELECT event_type, user_id, round(value, 2) AS value "
+        "FROM fastnetmon.events WHERE value >= 50.0",
+        _tables(spark, sf_dir, "events"),
+    )
+    return extremes_result(detail)

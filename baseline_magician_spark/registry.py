@@ -65,6 +65,9 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_join_dims",
     "ch_sql_param_binding",
     "ch_sql_in_external_table",
+    # new this round: WITH TOTALS + extremes surface of the CH front end
+    "ch_sql_with_totals",
+    "ch_sql_extremes",
     # r1-only rotation: dedup + pipeline family
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
@@ -91,8 +94,9 @@ _PRIORITY: tuple[str, ...] = (
     "distinct_users_by_type",
     "pivot_quantity_by_status",
     "time_window_recent_events",
+    # (skew_salted_distinct_users rotates back in round 4 — its sibling
+    # skew_salted_join_event_types keeps the salting path in-window)
     "skew_salted_join_event_types",
-    "skew_salted_distinct_users",
     "cube_revenue_by_flag_status",
     "grouping_sets_quantity",
     "exact_percentiles_by_type",

@@ -401,6 +401,53 @@ def test_in_subquery_set_capped(spark, monkeypatch):
         ).collect()
 
 
+def test_with_totals_appends_null_keyed_total(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "g string, v double"
+    )
+    rows = run_ch_query(
+        "SELECT g, count(*) AS n, sum(v) AS s FROM t GROUP BY g WITH TOTALS",
+        {"t": t},
+    ).collect()
+    by_key = {r["g"]: r for r in rows}
+    assert set(by_key) == {"a", "b", None}
+    assert (by_key["a"]["n"], by_key["a"]["s"]) == (2, 3.0)
+    assert (by_key[None]["n"], by_key[None]["s"]) == (3, 13.0)
+
+
+def test_with_totals_ignores_having(spark):
+    """CH default totals_mode=before_having: the totals row aggregates
+    ALL rows even when HAVING removes groups from the detail."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "g string, v double"
+    )
+    rows = run_ch_query(
+        "SELECT g, sum(v) AS s FROM t GROUP BY g WITH TOTALS "
+        "HAVING sum(v) < 5",
+        {"t": t},
+    ).collect()
+    by_key = {r["g"]: r["s"] for r in rows}
+    assert by_key == {"a": 3.0, None: 13.0}
+
+
+def test_extremes_result_min_max_rows(spark):
+    from baseline_magician_spark.plans.ch_sql import extremes_result
+
+    t = spark.createDataFrame(
+        [("x", 5, 1.5), ("y", 2, 9.0), ("z", 8, -1.0)],
+        "tag string, k long, v double",
+    )
+    rows = extremes_result(t).collect()
+    assert [r["extreme"] for r in rows] == ["min", "max"]
+    mn, mx = rows
+    assert (mn["k"], mn["v"], mn["tag"]) == (2, -1.0, None)
+    assert (mx["k"], mx["v"], mx["tag"]) == (8, 9.0, None)
+
+
 def test_bound_scientific_float_parses(spark):
     from baseline_magician_spark.plans.ch_sql import run_ch_query
 
