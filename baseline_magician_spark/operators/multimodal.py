@@ -14,8 +14,11 @@ Design (the 100 TB shape):
   per-partition (no shuffle); partitioning by id ranges carries through.
 
 - Real codec decode (PIL/librosa/av) is STUBBED: the container has no
-  media libs. ``decode_media`` tries the real import and raises
-  ``NotImplementedError`` with a clear message; ``decode_stats`` /
+  media libs. ``decode_media(df, decoder=...)`` is the extension seam —
+  the default :func:`synthetic_decoder` fake-decodes deterministically,
+  a user callable plugs a real codec into the same Arrow stage, and
+  :func:`real_decoder` documents the missing-library boundary by
+  raising ``NotImplementedError``. ``decode_stats`` /
   ``extract_features`` / ``sample_frames`` run on the raw bytes with a
   deterministic fake "decode" so the Spark-side plumbing — schema,
   Arrow batch shape, UDF signatures, explode semantics — is real and
@@ -120,18 +123,84 @@ def attach_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(gen, schema=out_schema)
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def synthetic_decoder(payload: bytes, meta: dict) -> dict:
+    """Default decoder: the deterministic fake codec — the payload IS
+    the pixel plane, dims come from the metadata. Keeps the decode
+    plumbing (schema, batching, partitioning) runnable and testable in
+    a container with no media libraries."""
+    return {
+        "width": int(meta["width"]),
+        "height": int(meta["height"]),
+        "n_frames": int(meta["n_frames"]),
+        "pixels": payload,
+    }
+
+
+def real_decoder(payload: bytes, meta: dict) -> dict:
     """Real codec decode — STUB. The container ships no image/audio
-    libraries; this is the seam where PIL/soundfile/av would plug in."""
+    libraries; plug PIL/soundfile/av in here (or pass your own callable
+    to :func:`decode_media`)."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - always taken here
         raise NotImplementedError(
             "real media decode needs PIL/soundfile/av which are not "
-            "installed; use decode_stats/extract_features/sample_frames "
-            "for the deterministic-fake path"
+            "installed; pass decode_media(df, decoder=...) with your "
+            "own callable, or use the default synthetic decoder"
         ) from exc
     raise NotImplementedError("real decode path not implemented")
+
+
+def decode_media(df: DataFrame, decoder=None) -> DataFrame:
+    """Decode each payload into (doc_id, media_type, dims, pixels).
+
+    ``decoder`` is the extension seam: a callable
+    ``(payload: bytes, meta: dict) -> dict`` returning any of
+    width/height/n_frames/pixels (missing keys fall back to the
+    metadata / raw payload). The default is :func:`synthetic_decoder`;
+    pass a PIL/av-backed callable for real corpora — the Spark-side
+    plumbing (Arrow batches, narrow stage, output schema) is identical
+    either way, so swapping decoders changes no plan shape.
+    """
+    ensure_shipped(df.sparkSession)
+    decoder = decoder or synthetic_decoder
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                d = decoder(payload, meta)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "media_type": meta["media_type"],
+                        "width": int(d.get("width", meta["width"])),
+                        "height": int(d.get("height", meta["height"])),
+                        "n_frames": int(d.get("n_frames", meta["n_frames"])),
+                        "pixels": d.get("pixels", payload),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload", "meta").mapInPandas(
+        dec, schema=DECODED_SCHEMA
+    )
 
 
 DECODE_STATS_SCHEMA = T.StructType(

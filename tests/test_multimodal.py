@@ -42,10 +42,39 @@ def test_resize_truncates_payload(media):
 
 
 def test_decode_real_is_stubbed(media):
-    from baseline_magician_spark.operators.multimodal import decode_media
+    from baseline_magician_spark.operators.multimodal import real_decoder
 
     with pytest.raises(NotImplementedError):
-        decode_media(media)
+        real_decoder(b"\x00\x01", {"media_type": "image"})
+
+
+def test_decode_media_default_synthetic(media):
+    from baseline_magician_spark.operators.multimodal import decode_media
+
+    out = decode_media(media)
+    assert out.columns == [
+        "doc_id", "media_type", "width", "height", "n_frames", "pixels",
+    ]
+    row = out.where("doc_id = 7").first()
+    src = media.where("doc_id = 7").first()
+    assert bytes(row.pixels) == bytes(src.payload)
+    assert (row.width, row.height) == (src.meta.width, src.meta.height)
+    assert out.count() == media.count()
+
+
+def test_decode_media_custom_decoder_plugs_in(media):
+    """The extension seam: a user callable replaces the codec and its
+    partial dict overlays the metadata defaults."""
+    from baseline_magician_spark.operators.multimodal import decode_media
+
+    def halve(payload: bytes, meta: dict) -> dict:
+        return {"pixels": payload[: len(payload) // 2], "width": 2}
+
+    out = decode_media(media, decoder=halve).where("doc_id = 7").first()
+    src = media.where("doc_id = 7").first()
+    assert len(out.pixels) == len(src.payload) // 2
+    assert out.width == 2
+    assert out.height == src.meta.height  # metadata fallback
 
 
 def test_frame_fanout_only_videos(media):
