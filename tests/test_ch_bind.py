@@ -119,6 +119,111 @@ class TestQuoting:
         assert quote_value(dt.date(2024, 3, 1)) == "toDate('2024-03-01')"
 
 
+class TestQuoteStateQuirks:
+    """stmt.go's bind pass does NOT track quote state (stmt.go:139-151)
+    — placeholders and binding operators inside string literals behave
+    exactly as if the quotes were not there. Pin that, it is the
+    sharpest divergence from a 'sane' binder."""
+
+    def test_named_substitutes_inside_string_literal(self):
+        assert b("WHERE s = 'x @v y'", named={"v": 1}) == "WHERE s = 'x 1 y'"
+
+    def test_binding_char_inside_string_arms_keyword(self):
+        # the '(' INSIDE the literal arms the scanner; the '?' inside
+        # the same literal then binds
+        assert b("SELECT '( ?'", (1,)) == "SELECT '( 1'"
+
+    def test_quote_char_clears_keyword_state(self):
+        # '=' arms, but the opening quote is a non-space rune, so the
+        # '?' directly inside the literal is NOT armed
+        assert b("WHERE s = '?'", (5,)) == "WHERE s = '?'"
+
+
+class TestWordMatcherAutomaton:
+    """word_matcher.go:10-31 is a naive rune automaton: no word
+    boundaries, and on mismatch it resets WITHOUT retrying the current
+    rune — so overlapping prefixes make it miss real occurrences."""
+
+    def test_overlapping_prefix_misses_word(self):
+        # "frfrom": the second 'f' mismatches 'o' at position 2 and the
+        # automaton restarts on the NEXT rune, so "from" never matches
+        assert b("WHERE frfrom ?", (3,)) == "WHERE frfrom ?"
+        assert b("WHERE xfrom ?", (3,)) == "WHERE xfrom 3"
+
+    def test_between_and_rearms_exactly_once(self):
+        assert b("WHERE x BETWEEN ? AND ? AND ?", (1, 9, 7)) == (
+            "WHERE x BETWEEN 1 AND 9 AND ?"
+        )
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+    _ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+    _plain = st.text(
+        alphabet="abcxyz_ 0123456789", min_size=0, max_size=20
+    )
+
+    class TestBindProperties:
+        @given(_plain)
+        @settings(max_examples=200, deadline=None)
+        def test_identity_without_placeholders(self, sql):
+            # no '?'/'@' -> byte-identical output, args untouched
+            assert b(sql, (1, 2, 3), {"v": 9}) == sql
+
+        @given(st.sampled_from(sorted("=<>(,+-*/[")), st.integers(0, 4))
+        @settings(max_examples=100, deadline=None)
+        def test_binding_char_plus_whitespace_always_arms(self, op, nsp):
+            sql = f"WHERE x {op}{' ' * nsp}?"
+            assert b(sql, (7,)) == f"WHERE x {op}{' ' * nsp}7"
+
+        # prefix alphabet avoids every letter of every binding word
+        # (incl. BETWEEN/AND): such a prefix provably leaves all
+        # automata at position 0, so the keyword then matches from the
+        # start. Prefixes sharing letters can interfere via the no-
+        # retry reset — "ffrom"/"frfrom" never match "from"; that
+        # overlap quirk is pinned case-wise above.
+        @given(
+            st.from_regex(r"[ghpquvxyz][ghpquvxyz0-9_]{0,7}", fullmatch=True),
+            st.sampled_from(
+                ["limit", "offset", "like", "in", "from", "join", "select"]
+            ),
+        )
+        @settings(max_examples=200, deadline=None)
+        def test_identifier_ending_in_keyword_arms(self, prefix, kw):
+            # the no-word-boundary quirk, generalized: an identifier
+            # whose spelling ends with a binding keyword arms the state
+            sql = f"WHERE {prefix}{kw} ?"
+            assert b(sql, (3,)) == f"WHERE {prefix}{kw} 3"
+
+        def test_overlapping_prefix_interferes(self):
+            # the complementary quirk: a prefix that partially matches
+            # makes the automaton MISS the embedded keyword entirely
+            assert b("WHERE ffrom ?", (3,)) == "WHERE ffrom ?"
+
+        @given(_ident)
+        @settings(max_examples=200, deadline=None)
+        def test_named_substitutes_in_any_position(self, name):
+            out = b(f"tail @{name} head", named={name: 42})
+            assert out == "tail 42 head"
+
+        @given(st.lists(_ident, min_size=1, max_size=4, unique=True))
+        @settings(max_examples=100, deadline=None)
+        def test_externals_returned_in_scan_order(self, names):
+            exts = [ExternalTable(n, None) for n in names]
+            sql = " ".join(f"IN @{n}" for n in names)
+            out, got = bind_params(sql, named={n: e for n, e in zip(names, exts)})
+            assert got == exts
+            assert out == " ".join(f"IN {n}" for n in names)
+
+
 class TestExternalTable:
     def test_substitutes_name_and_returns_table(self):
         ext = ExternalTable("allowed", None)
