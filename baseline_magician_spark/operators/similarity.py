@@ -421,6 +421,229 @@ def ivf_train_step_flat(
     )
 
 
+def l2_sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two array<numeric> columns (fold,
+    left-to-right — the order every SQL oracle mirrors)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_seed_codebooks(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_codes: int = 16,
+    m: int = 4,
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace PQ codebooks seeded from the first ``n_codes``
+    vectors' subvectors (deterministic, oracle-reproducible — the same
+    seeding convention ivf_topk uses for its centroids; production
+    would k-means each subspace with ivf_train_step on the sliced
+    column). Returns m lists of (code, subvector); the whole structure
+    is m x n_codes x (dim/m) floats — e.g. 4 KiB at dim 64 — so it
+    rides into every task as a plan literal, never a join."""
+    seeds = [
+        (int(r[0]), list(r[1]))
+        for r in embeddings.where(F.col(id_col) < n_codes)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    seeds.sort()
+    dim = len(seeds[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [(c, v[j * sub : (j + 1) * sub]) for c, v in seeds]
+        for j in range(m)
+    ]
+
+
+def pq_choose(
+    vec: Column, codebooks: list[list[tuple[int, list[float]]]]
+) -> list[Column]:
+    """Per-subspace nearest-code choice, entirely map-side: for each
+    subspace j, argmin squared-L2 over the literal codebook (ties to
+    the lowest code — struct (d, code, cvec) array_min is
+    lexicographic). Each element is a struct with the chosen ``c``
+    (code id) and ``v`` (codebook subvector, for reconstruction)."""
+    sub = len(codebooks[0][0][1])
+
+    def _scorer(cvecs: Column, cids: Column, subv: Column):
+        # closure factory: HOF lambdas must take exactly one arg
+        return lambda i: F.struct(
+            l2_sq(subv, F.element_at(cvecs, i)).alias("d"),
+            F.element_at(cids, i).cast("long").alias("c"),
+            F.element_at(cvecs, i).alias("v"),
+        )
+
+    chosen: list[Column] = []
+    for j, cb in enumerate(codebooks):
+        cvecs = F.lit([[float(x) for x in v] for _, v in cb])
+        cids = F.lit([int(c) for c, _ in cb])
+        subv = F.slice(vec, j * sub + 1, sub)
+        scored = F.transform(
+            F.sequence(F.lit(1), F.lit(len(cb))),
+            _scorer(cvecs, cids, subv),
+        )
+        chosen.append(F.array_min(scored))
+    return chosen
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode the corpus: (id, codes array<long>, _recon) — codes is
+    the m-byte compressed representation (the 100 TB artifact: dim
+    floats -> m uint8 codes, 64x smaller at dim=64/m=4), ``_recon`` the
+    codebook reconstruction used by ADC scoring. One narrow projection,
+    no shuffle — the codebooks are plan literals."""
+    chosen = pq_choose(F.col(vec_col), codebooks)
+    return embeddings.select(
+        F.col(id_col),
+        F.array(*[ch["c"] for ch in chosen]).alias("codes"),
+        F.flatten(F.array(*[ch["v"] for ch in chosen])).alias("_recon"),
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_query_vecs: int = 5,
+    n_codes: int = 16,
+    m: int = 4,
+) -> DataFrame:
+    """PQ + asymmetric-distance top-k (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the corpus
+    is scanned in its compressed form and each candidate's distance to
+    the (full-precision) query is the distance to its reconstruction.
+
+    Plan shape: encode is map-side (literal codebooks), queries
+    broadcast, so the only shuffle is the final per-query top-k window
+    — identical to brute_force_topk but over a corpus that at scale is
+    read as m bytes per vector instead of dim floats.
+
+    Output: (query_id, neighbor_id, adc_dist, rank), rank 1..k by
+    ascending rounded distance, ties to the lower neighbor id.
+    """
+    from pyspark.sql import Window as W
+
+    codebooks = pq_seed_codebooks(
+        embeddings, id_col, vec_col, n_codes=n_codes, m=m
+    )
+    enc = pq_encode(embeddings, codebooks, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "_recon"
+    )
+    q = embeddings.where(F.col(id_col) < n_query_vecs).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(l2_sq(F.col("_qvec"), F.col("_recon")), 6).alias(
+                "adc_dist"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def semantic_keep_best(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-based semantic dedup: assign every vector to its nearest
+    centroid cell map-side (same argmax/tie rules as IVF serving) and
+    keep ONE representative per cell — the member closest to the
+    centroid (cosine DESC, ties to the lower id), i.e. the medoid-like
+    "best" example; everything else in the cell is the semantic-
+    duplicate set. The pretraining-corpus companion to MinHash dedup:
+    MinHash catches lexical near-dups, this catches same-meaning
+    rewrites that share no shingles.
+
+    Output: (cell, kept_id, n_members, centroid_sim). One map-side
+    assignment pass + one shuffle on the uniform cell key; the window
+    per cell is the same single shuffle. Scale: cells ~ K, so the
+    groupBy is small; the corpus never self-joins.
+    """
+    from pyspark.sql import Window as W
+
+    cids, cvecs, cnorms, k = _centroid_literals(centroids)
+
+    def body(_acc: Column, nv: Column) -> Column:
+        structs = F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda i: F.struct(
+                (
+                    dot(F.col(vec_col), F.element_at(cvecs, i))
+                    / (nv * F.element_at(cnorms, i))
+                ).alias("c"),
+                (-F.element_at(cids, i)).cast("long").alias("n"),
+            ),
+        )
+        best = F.array_max(structs)
+        return F.struct(
+            (-best["n"]).alias("cell"), best["c"].alias("sim")
+        )
+
+    assigned = embeddings.select(
+        F.col(id_col).alias("_id"),
+        _with_row_norm(
+            F.col(vec_col),
+            body,
+            F.struct(
+                F.lit(0).cast("long").alias("cell"),
+                F.lit(0.0).alias("sim"),
+            ),
+        ).alias("_a"),
+    ).select(
+        "_id",
+        F.col("_a.cell").alias("cell"),
+        F.round(F.col("_a.sim"), 6).alias("centroid_sim"),
+    )
+    w = W.partitionBy("cell").orderBy(
+        F.desc("centroid_sim"), F.asc("_id")
+    )
+    return (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(W.partitionBy("cell")),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            "cell",
+            F.col("_id").alias("kept_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            "centroid_sim",
+        )
+    )
+
+
 def ivf_train_step(
     embeddings: DataFrame,
     id_col: str = "vec_id",

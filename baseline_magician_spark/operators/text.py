@@ -234,3 +234,38 @@ def count_min_sketch(
         return est
 
     return sketch, probe
+
+
+# --- PII detection / redaction -------------------------------------
+# Patterns restricted to the syntax subset with identical semantics in
+# Java regex (Spark, JVM-side regexp_count/regexp_replace) and RE2
+# (DuckDB oracle): \b \d {n,m} (?:...) and character classes.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "id_number": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b555-\d{4}\b",
+}
+# Redaction applies in this order; patterns are mutually exclusive on
+# any text (email has no dotted-quad, the 3-2-4 id grouping cannot
+# match the 3-4 phone grouping), so order only affects the mask text.
+PII_REDACTION_ORDER = ("email", "ip", "id_number", "phone")
+
+
+def pii_counts(text_col: Column | str) -> list[Column]:
+    """Per-category PII span counts — one JVM-side regexp_count per
+    pattern, a single map-side projection at any scale."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+
+
+def redact_pii(text_col: Column | str) -> Column:
+    """Mask every PII span with its [CATEGORY] token (chained
+    regexp_replace — still one codegen'd projection)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for name in PII_REDACTION_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[name], f"[{name.upper()}]")
+    return c

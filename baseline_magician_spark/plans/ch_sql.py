@@ -274,6 +274,15 @@ def _contains_agg(node: _Node) -> bool:
     return False
 
 
+def _is_const(node: _Node) -> bool:
+    """True when the expression references no column (a literal or
+    pure-function-of-literals select item, e.g. ``'total' AS tier`` in
+    an aggregating UNION branch)."""
+    if node.kind in ("col", "scalar_subq", "star"):
+        return False
+    return all(_is_const(a) for a in node.args)
+
+
 def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
     if node.kind == "num":
         return F.lit(node.value)
@@ -452,6 +461,27 @@ def run_ch_query(
                 break
             p.next()
     out = _exec_select(p, tables, broadcast_dims)
+    # UNION ALL / UNION DISTINCT chain: CH unions by position (column
+    # names come from the first select); each branch keeps its own
+    # WHERE/GROUP/ORDER/LIMIT clauses, exactly the CH scoping
+    while p.peek_kw() == "union":
+        p.next()
+        how = p.peek_kw()
+        if how not in ("all", "distinct"):
+            raise ValueError(
+                "UNION requires ALL or DISTINCT (CH union_default_mode "
+                "is unset in the reference dialect)"
+            )
+        p.next()
+        branch = _exec_select(p, tables, broadcast_dims)
+        if len(branch.columns) != len(out.columns):
+            raise ValueError(
+                f"UNION branches have {len(out.columns)} vs "
+                f"{len(branch.columns)} columns"
+            )
+        out = out.union(branch.toDF(*out.columns))
+        if how == "distinct":
+            out = out.distinct()
     if p.peek() is not None:
         raise ValueError(f"unexpected trailing tokens: {self_toks(p)}")
     return out
@@ -566,12 +596,35 @@ def _exec_select(
 
     limit_n: int | None = None
     offset_n: int | None = None
+    limit_by: tuple[int, int, list[_Node]] | None = None
     if p.peek_kw() == "limit":
         p.next()
         first = int(p.next())
+        second: int | None = None
         if p.peek() == ",":  # CH's LIMIT offset, count spelling
             p.next()
-            offset_n, limit_n = first, int(p.next())
+            second = int(p.next())
+        if p.peek_kw() == "by":
+            # CH LIMIT [offset,] n BY exprs — per-group top-n (the
+            # GROUP BY-free "first n rows per key" CH idiom); an
+            # ordinary LIMIT may still follow it
+            p.next()
+            by_nodes = [p.parse_expr()]
+            while p.peek() == ",":
+                p.next()
+                by_nodes.append(p.parse_expr())
+            if second is None:
+                limit_by = (first, 0, by_nodes)
+            else:
+                limit_by = (second, first, by_nodes)
+            if p.peek_kw() == "limit":
+                p.next()
+                limit_n = int(p.next())
+                if p.peek_kw() == "offset":
+                    p.next()
+                    offset_n = int(p.next())
+        elif second is not None:
+            offset_n, limit_n = first, second
         else:
             limit_n = first
             if p.peek_kw() == "offset":
@@ -711,6 +764,16 @@ def _exec_select(
                     _F.col("_gid") == (2 ** len(group_nodes) - 1)
                 )
             out = out.where(keep)
+        # constant select items (e.g. the 'total' tag of a UNION ALL
+        # branch) are neither aggregates nor group keys — attach them
+        # to the aggregated frame post-hoc
+        for i, n in enumerate(select_nodes):
+            if (
+                not _contains_agg(n)
+                and _is_const(n)
+                and names[i] not in out.columns
+            ):
+                out = out.withColumn(names[i], _compile(n, tables))
         out = out.select(*names)
     else:
         if having_node is not None:
@@ -748,6 +811,30 @@ def _exec_select(
             c = _order_col(node)
             sort_cols.append(c.desc() if desc else c.asc())
         out = out.orderBy(*sort_cols)
+        if limit_by is not None:
+            # per-key top-n as ONE row_number window over the (key,
+            # sort) order — the same distributed shape the engine's
+            # top-k queries use; no driver materialization
+            from pyspark.sql import Window as _W
+
+            n_by, off_by, by_nodes = limit_by
+            part_cols = [_order_col(b) for b in by_nodes]
+            w = _W.partitionBy(*part_cols).orderBy(*sort_cols)
+            rn = F.row_number().over(w)
+            out = (
+                out.withColumn("_lby_rn", rn)
+                .where(
+                    (F.col("_lby_rn") > off_by)
+                    & (F.col("_lby_rn") <= off_by + n_by)
+                )
+                .drop("_lby_rn")
+                .orderBy(*sort_cols)
+            )
+    elif limit_by is not None:
+        raise ValueError(
+            "LIMIT BY requires ORDER BY (this engine is deterministic; "
+            "ClickHouse would return an arbitrary per-key subset)"
+        )
     if offset_n is not None:
         out = out.offset(offset_n)
     if limit_n is not None:

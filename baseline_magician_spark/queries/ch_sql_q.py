@@ -190,3 +190,66 @@ def ch_sql_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tables(spark, sf_dir, "events"),
     )
     return extremes_result(detail)
+
+
+# CH LIMIT [offset,] n BY exprs — the "first n rows per key" idiom the
+# dialect has instead of window functions; compiled to ONE row_number
+# window over (key, ORDER BY) followed by the ordinary trailing LIMIT.
+_LIMIT_BY_SQL = """
+SELECT event_type, event_id, round(value, 2) AS value
+FROM fastnetmon.events
+ORDER BY value DESC, event_id
+LIMIT 2 BY event_type
+LIMIT 6
+"""
+
+
+@query(
+    "ch_sql_limit_by",
+    """
+    SELECT event_type, event_id, value FROM (
+      SELECT event_type, event_id, round(value, 2) AS value,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY round(value, 2) DESC, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn <= 2
+    ORDER BY value DESC, event_id
+    LIMIT 6
+    """,
+)
+def ch_sql_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_LIMIT_BY_SQL, _tables(spark, sf_dir, "events"))
+
+
+# UNION ALL chain: CH unions by position, each branch keeping its own
+# WHERE/GROUP BY/ORDER BY scope — mirrored exactly by the oracle.
+_UNION_SQL = """
+SELECT event_type AS tier, count(*) AS n_events,
+       toInt64(max(value)) AS max_value
+FROM fastnetmon.events
+WHERE value >= 95.0
+GROUP BY event_type
+UNION ALL
+SELECT 'total' AS tier, count(*) AS n_events, toInt64(max(value)) AS max_value
+FROM fastnetmon.events
+"""
+
+
+@query(
+    "ch_sql_union_all",
+    """
+    SELECT event_type AS tier, count(*) AS n_events,
+           CAST(trunc(max(value)) AS BIGINT) AS max_value
+    FROM events
+    WHERE value >= 95.0
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'total' AS tier, count(*) AS n_events,
+           CAST(trunc(max(value)) AS BIGINT) AS max_value
+    FROM events
+    """,
+)
+def ch_sql_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_UNION_SQL, _tables(spark, sf_dir, "events"))

@@ -475,3 +475,57 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_per_band=ROWS_PER_BAND,
         shingle_n=SHINGLE_N,
     )
+
+
+SEM_CENTROIDS = 16  # semantic-dedup cells (seeded like the IVF index)
+
+
+def _semantic_oracle() -> str:
+    from .similarity_q import _cos
+
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {SEM_CENTROIDS}
+    ),
+    assign AS (
+      SELECT vec_id, cell, round(sim, 6) AS centroid_sim FROM (
+        SELECT e.vec_id, c.cid AS cell,
+               {_cos('e.embedding', 'c.cvec')} AS sim,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos('e.embedding', 'c.cvec')} DESC, c.cid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+    SELECT cell, kept_id, n_members, centroid_sim FROM (
+      SELECT cell, vec_id AS kept_id,
+             CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_members,
+             centroid_sim,
+             row_number() OVER (
+               PARTITION BY cell ORDER BY centroid_sim DESC, vec_id ASC
+             ) AS rn2
+      FROM assign
+    ) WHERE rn2 = 1
+    """
+
+
+@query("dedup_semantic_keep_best", _semantic_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-based semantic dedup over the embedding corpus: nearest-
+    centroid cell assignment map-side, one representative kept per cell
+    (closest to the centroid, ties to the lower id). Catches same-
+    meaning rewrites that lexical dedup (MinHash/Jaccard on shingles)
+    cannot see; the two compose — run MinHash first, this second."""
+    from ..operators.similarity import semantic_keep_best
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = [
+        (int(r[0]), list(r[1]))
+        for r in emb.where(F.col("vec_id") < SEM_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    centroids.sort()
+    return semantic_keep_best(emb, centroids)

@@ -250,6 +250,123 @@ def similarity_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_train_step_flat(emb, n_centroids=N_CENTROIDS)
 
 
+PQ_M = 4  # subspaces
+PQ_CODES = 16  # codes per subspace (seeded like the IVF centroids)
+_PQ_SUB = EMB_DIM // PQ_M
+
+# squared-L2 fold, same left-to-right order as operators.similarity.l2_sq
+_L2 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * "
+    "(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)))), "
+    "(x, y) -> x + y)"
+)
+
+
+def _pq_enc_ctes() -> str:
+    """Shared oracle CTEs: codebooks from seed-vector subvectors, per-
+    (vector, subspace) nearest-code choice with the Spark tie rules
+    (squared-L2 ASC, code ASC)."""
+    return f"""
+    seeds AS (
+      SELECT vec_id AS code, embedding FROM embeddings
+      WHERE vec_id < {PQ_CODES}
+    ),
+    cb AS (
+      SELECT j, code, embedding[j * {_PQ_SUB} + 1 : j * {_PQ_SUB} + {_PQ_SUB}] AS cvec
+      FROM seeds CROSS JOIN range(0, {PQ_M}) t(j)
+    ),
+    subs AS (
+      SELECT vec_id, j,
+             embedding[j * {_PQ_SUB} + 1 : j * {_PQ_SUB} + {_PQ_SUB}] AS sv
+      FROM embeddings CROSS JOIN range(0, {PQ_M}) t(j)
+    ),
+    enc AS (
+      SELECT vec_id, j, code, cvec FROM (
+        SELECT s.vec_id, s.j, c.code, c.cvec,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY {_L2.format(a='s.sv', b='c.cvec')} ASC, c.code ASC
+               ) AS rn
+        FROM subs s JOIN cb c ON s.j = c.j
+      ) WHERE rn = 1
+    )"""
+
+
+def _pq_codes_oracle() -> str:
+    code_cols = ", ".join(
+        f"CAST(max(CASE WHEN j = {j} THEN code END) AS BIGINT) AS code_{j}"
+        for j in range(PQ_M)
+    )
+    return f"""
+    WITH {_pq_enc_ctes()}
+    SELECT vec_id, {code_cols}
+    FROM enc GROUP BY vec_id
+    """
+
+
+@query("similarity_pq_codes", _pq_codes_oracle())
+def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ encoder's compressed representation, hash-checked code by
+    code: each vector's m nearest-codebook choices. At scale this
+    projection IS the index build — dim floats become m small ints
+    (64x smaller at dim 64 / m 4), computed map-side against literal
+    codebooks with no join and no shuffle."""
+    from ..operators.similarity import pq_choose, pq_seed_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebooks = pq_seed_codebooks(emb, n_codes=PQ_CODES, m=PQ_M)
+    chosen = pq_choose(F.col("embedding"), codebooks)
+    return emb.select(
+        "vec_id",
+        *[ch["c"].alias(f"code_{j}") for j, ch in enumerate(chosen)],
+    )
+
+
+def _pq_topk_oracle() -> str:
+    return f"""
+    WITH {_pq_enc_ctes()},
+    recon AS (
+      SELECT vec_id, flatten(list(cvec ORDER BY j)) AS rv
+      FROM enc GROUP BY vec_id
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {N_QUERY_VECS}
+    ),
+    scored AS (
+      SELECT q.query_id, r.vec_id AS neighbor_id,
+             round({_L2.format(a='q.qv', b='r.rv')}, 6) AS adc_dist
+      FROM recon r CROSS JOIN q WHERE r.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id
+      ) AS INT) AS rank FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query("similarity_pq_adc_topk", _pq_topk_oracle())
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + asymmetric-distance top-k: the compressed-corpus ANN scan
+    (encode map-side, queries broadcast, one top-k shuffle). The
+    IVF query partitions the corpus; this one compresses it — composing
+    the two (IVF cells over PQ codes) is the standard billion-scale
+    layout, and both halves are hash-checked here."""
+    from ..operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb,
+        k=TOP_K,
+        n_query_vecs=N_QUERY_VECS,
+        n_codes=PQ_CODES,
+        m=PQ_M,
+    )
+
+
 def _kmeans_oracle(steps: int = 3) -> str:
     """k Lloyd iterations as a CTE chain. Centroids are rounded to 6
     decimals at every step IN BOTH ENGINES, so each step's assignment

@@ -388,3 +388,104 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_freq",
         within.alias("cms_within_bounds"),
     )
+
+
+def _pii_aug_sql() -> str:
+    """The deterministic PII-injection expression (DuckDB side).
+
+    The synthetic corpus is digit-free (TESTDATA.md), so a PII query
+    over the raw text would be vacuously all-zero; instead both engines
+    append identical doc_id-derived spans — an email and a phone on
+    every document, a dotted-quad on every 3rd, an SSN-shaped id on
+    every 5th — and the detector/redactor is exercised against text
+    where it has real work and a hash-checkable answer."""
+    return (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " || ' call 555-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')"
+        " || CASE WHEN doc_id % 3 = 0 THEN"
+        " ' from ' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.' || CAST(doc_id * 3 % 256 AS VARCHAR)"
+        " || '.' || CAST(doc_id * 5 % 256 AS VARCHAR)"
+        " || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN"
+        " ' id ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+        " || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+        " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " ELSE '' END"
+    )
+
+
+def _pii_aug_col() -> F.Column:
+    """The same PII-injection expression, Spark side."""
+    d = F.col("doc_id")
+
+    def s(c: F.Column) -> F.Column:
+        return c.cast("string")
+
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s(d), F.lit("@example.com"),
+        F.lit(" call 555-"), F.lpad(s(d * 7 % 10000), 4, "0"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" from "), s(d % 256),
+                F.lit("."), s(d * 3 % 256),
+                F.lit("."), s(d * 5 % 256),
+                F.lit("."), s(d * 7 % 256),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" id "), F.lpad(s(d % 1000), 3, "0"),
+                F.lit("-"), F.lpad(s(d % 100), 2, "0"),
+                F.lit("-"), F.lpad(s(d % 10000), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _pii_oracle() -> str:
+    from ..operators.text import PII_PATTERNS, PII_REDACTION_ORDER
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(aug, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = "aug"
+    for name in PII_REDACTION_ORDER:
+        red = (
+            f"regexp_replace({red}, '{PII_PATTERNS[name]}', "
+            f"'[{name.upper()}]', 'g')"
+        )
+    return f"""
+    WITH a AS (
+      SELECT doc_id, {_pii_aug_sql()} AS aug FROM documents
+    )
+    SELECT doc_id, {counts},
+      CAST(length({red}) AS BIGINT) AS redacted_len,
+      md5({red}) AS redacted_md5
+    FROM a
+    """
+
+
+@query("text_pii_redaction", _pii_oracle())
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: per-category span counts and the
+    masked text (verified by length + md5 so the full redacted string
+    is hash-checked without shipping it). Pure Column regex pass —
+    map-side, no shuffle, no Python — the compliance-scrubbing stage of
+    a pretraining pipeline."""
+    from ..operators.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _pii_aug_col().alias("aug"))
+    red = redact_pii("aug")
+    return aug.select(
+        "doc_id",
+        *pii_counts("aug"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )

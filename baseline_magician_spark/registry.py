@@ -54,9 +54,15 @@ _loaded = False
 # - ch_sql regression guards: plans/ch_sql.py + plans/ch_bind.py change
 #   this round (duplicate-name disambiguation, subquery memoization,
 #   WITH TOTALS, binder property hardening);
-# - new round-3 queries as they land;
-# - the rotating tail: every query last checked in round 1 (44 of
-#   them), re-covering 12+ rounds of commits that have landed since.
+# - new round-3 queries as they land (LIMIT BY / UNION ALL, PII
+#   redaction, product quantization, semantic dedup);
+# - the rotating tail: queries last checked in round 1, re-covering
+#   12+ rounds of commits that have landed since. Six r1-green
+#   map-side-simple entries were deferred to round 4 to make room for
+#   the never-checked round-3 queries: dedup_simhash_fingerprints,
+#   pipeline_corpus_cleanup, set_ops_customer_tiers,
+#   distinct_users_by_type, histogram_event_values,
+#   window_range_frame_sliding_sum.
 _PRIORITY: tuple[str, ...] = (
     # fixed this round (the only red row of round 2 + the CMS rewrite)
     "q12_late_shipment_priority",
@@ -65,19 +71,25 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_join_dims",
     "ch_sql_param_binding",
     "ch_sql_in_external_table",
-    # new this round: WITH TOTALS + extremes surface of the CH front end
+    # new this round: WITH TOTALS + extremes + LIMIT BY + UNION ALL
+    # surface of the CH front end
     "ch_sql_with_totals",
     "ch_sql_extremes",
+    "ch_sql_limit_by",
+    "ch_sql_union_all",
+    # new this round: PII scrubbing, product quantization, semantic dedup
+    "text_pii_redaction",
+    "similarity_pq_codes",
+    "similarity_pq_adc_topk",
+    "dedup_semantic_keep_best",
     # r1-only rotation: dedup + pipeline family
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash_fingerprints",
     "dedup_connected_components",
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_cosine_pairs",
     "dedup_keep_best_per_cluster",
     "dedup_incremental_ingest",
-    "pipeline_corpus_cleanup",
     "pipeline_training_export",
     # r1-only rotation: multimodal + asof + profiling
     "multimodal_decode_stats",
@@ -89,9 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_running_revenue",
     "rollup_totals_by_region_nation",
     "extremes_value_by_type",
-    "set_ops_customer_tiers",
     "semi_anti_join_customers",
-    "distinct_users_by_type",
     "pivot_quantity_by_status",
     "time_window_recent_events",
     # (skew_salted_distinct_users rotates back in round 4 — its sibling
@@ -100,8 +110,6 @@ _PRIORITY: tuple[str, ...] = (
     "cube_revenue_by_flag_status",
     "grouping_sets_quantity",
     "exact_percentiles_by_type",
-    "histogram_event_values",
-    "window_range_frame_sliding_sum",
     "json_props_stats",
     "unpivot_lineitem_measures",
     "window_lag_lead_user_deltas",

@@ -509,3 +509,117 @@ def test_with_cte_chain(spark):
         {"t": t},
     ).collect()
     assert [r["id"] for r in rows] == [1, 2]
+
+
+def test_limit_by_per_key_topn(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 7.0), (3, "a", 6.0),
+         (4, "b", 1.0), (5, "b", 3.0)],
+        "id long, g string, v double",
+    )
+    rows = run_ch_query(
+        "SELECT g, id, v FROM t ORDER BY v DESC, id LIMIT 2 BY g",
+        {"t": t},
+    ).collect()
+    got = {(r["g"], r["id"]) for r in rows}
+    assert got == {("a", 2), ("a", 3), ("b", 5), ("b", 4)}
+
+
+def test_limit_by_with_offset_and_trailing_limit(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 7.0), (3, "a", 6.0),
+         (4, "b", 1.0), (5, "b", 3.0)],
+        "id long, g string, v double",
+    )
+    # LIMIT 1, 1 BY g -> skip the per-key best, keep the next one;
+    # trailing LIMIT 1 then keeps the global best of those
+    rows = run_ch_query(
+        "SELECT g, id, v FROM t ORDER BY v DESC, id "
+        "LIMIT 1, 1 BY g LIMIT 1",
+        {"t": t},
+    ).collect()
+    assert [(r["g"], r["id"]) for r in rows] == [("a", 3)]
+
+
+def test_limit_by_requires_order_by(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, "a")], "id long, g string")
+    with pytest.raises(ValueError, match="LIMIT BY requires ORDER BY"):
+        run_ch_query("SELECT g, id FROM t LIMIT 2 BY g", {"t": t})
+
+
+def test_union_all_positional(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 7.0)], "id long, g string, v double"
+    )
+    rows = run_ch_query(
+        "SELECT g, count(*) AS n FROM t GROUP BY g "
+        "UNION ALL SELECT 'total', count(*) FROM t",
+        {"t": t},
+    ).collect()
+    got = {(r["g"], r["n"]) for r in rows}
+    assert got == {("a", 1), ("b", 1), ("total", 2)}
+
+
+def test_union_distinct_dedupes(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, "a")], "id long, g string")
+    rows = run_ch_query(
+        "SELECT g FROM t UNION DISTINCT SELECT g FROM t",
+        {"t": t},
+    ).collect()
+    assert [r["g"] for r in rows] == ["a"]
+
+
+def test_union_arity_mismatch_errors(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, "a")], "id long, g string")
+    with pytest.raises(ValueError, match="UNION branches"):
+        run_ch_query(
+            "SELECT g FROM t UNION ALL SELECT g, id FROM t", {"t": t}
+        )
+
+
+def test_bare_union_errors(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, "a")], "id long, g string")
+    with pytest.raises(ValueError, match="UNION requires ALL or DISTINCT"):
+        run_ch_query("SELECT g FROM t UNION SELECT g FROM t", {"t": t})
+
+
+def test_pii_counts_and_redaction(spark):
+    from baseline_magician_spark.operators.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call 555-0199 or 555-0200 at 10.1.2.3"),
+            (3, "id 123-45-6789 plain text"),
+            (4, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *pii_counts("text"), redact_pii("text").alias("red")
+        ).collect()
+    }
+    assert rows[1]["n_email"] == 1 and "[EMAIL]" in rows[1]["red"]
+    assert rows[2]["n_phone"] == 2 and rows[2]["n_ip"] == 1
+    assert rows[2]["red"].count("[PHONE]") == 2 and "[IP]" in rows[2]["red"]
+    assert rows[3]["n_id_number"] == 1 and "[ID_NUMBER]" in rows[3]["red"]
+    assert rows[4]["red"] == "no pii here"
+    assert all(
+        rows[4][f"n_{k}"] == 0 for k in ("email", "ip", "id_number", "phone")
+    )
