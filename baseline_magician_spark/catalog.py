@@ -51,6 +51,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_for_compute(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """``load_table`` for compute-bound narrow stages (regex shingling,
+    per-vector math, DP verification): when the scan yields fewer
+    splits than the cluster has slots, widen it with one round-robin
+    repartition so the expensive per-row work runs on every core
+    instead of inheriting the source's split count.
+
+    At 100 TB the source has thousands of splits and this no-ops (the
+    guard keeps the plan identical); it exists for the opposite regime
+    — small-input / heavy-per-row stages, where a single-row-group
+    file would otherwise serialize minutes of CPU onto one task. The
+    shuffle it inserts moves the RAW rows once (bytes ~ input size),
+    which is the cheapest point in the pipeline to pay it: everything
+    downstream fans out.
+    """
+    df = load_table(spark, sf_dir, name)
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (for the SQL API path)."""
     for name in TABLES:

@@ -192,6 +192,7 @@ def ivf_topk(
     n_query_vecs: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus vectors to centroid cells
     map-side, probe each query's n_probe nearest cells, exact-rescore
@@ -207,13 +208,14 @@ def ivf_topk(
     """
     from pyspark.sql import Window as W
 
-    centroids = [
-        (int(r[0]), list(r[1]))
-        for r in embeddings.where(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
-        .collect()
-    ]
-    centroids.sort()
+    if centroids is None:
+        centroids = [
+            (int(r[0]), list(r[1]))
+            for r in embeddings.where(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        ]
+    centroids = sorted(centroids)
 
     assigned = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
@@ -525,6 +527,7 @@ def pq_adc_topk(
     n_query_vecs: int = 5,
     n_codes: int = 16,
     m: int = 4,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
 ) -> DataFrame:
     """PQ + asymmetric-distance top-k (Jegou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011): the corpus
@@ -541,9 +544,10 @@ def pq_adc_topk(
     """
     from pyspark.sql import Window as W
 
-    codebooks = pq_seed_codebooks(
-        embeddings, id_col, vec_col, n_codes=n_codes, m=m
-    )
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(
+            embeddings, id_col, vec_col, n_codes=n_codes, m=m
+        )
     enc = pq_encode(embeddings, codebooks, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "_recon"
     )

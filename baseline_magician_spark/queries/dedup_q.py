@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_for_compute
 from ..functions.hashing import (
     POLY_MOD,
     minhash_params,
@@ -41,7 +41,7 @@ SIMHASH_BITS = 30
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup_groups(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+    return exact_dedup_groups(load_for_compute(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 def _minhash_oracle() -> str:
@@ -79,7 +79,7 @@ def _minhash_oracle() -> str:
 @query("dedup_minhash_lsh_pairs", _minhash_oracle())
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
+        load_for_compute(spark, sf_dir, "documents"),
         "text",
         "doc_id",
         k=K,
@@ -111,7 +111,7 @@ def _simhash_oracle() -> str:
 
 @query("dedup_simhash_fingerprints", _simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_for_compute(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash("text", SIMHASH_BITS).alias("simhash"))
 
 
@@ -179,7 +179,7 @@ def dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import dedup_clusters
 
     pairs = minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
+        load_for_compute(spark, sf_dir, "documents"),
         "text",
         "doc_id",
         k=K,
@@ -192,7 +192,7 @@ def dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_ngram_jaccard_pairs", _jaccard_oracle())
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"),
+        load_for_compute(spark, sf_dir, "documents"),
         "text",
         "doc_id",
         n=SHINGLE_N,
@@ -248,7 +248,7 @@ def corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_dedup_groups
     from ..operators.graph import dedup_clusters
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_for_compute(spark, sf_dir, "documents")
 
     exact_keep = exact_dedup_groups(docs, "text", "doc_id").select(
         FF.col("keep_id").alias("doc_id")
@@ -344,7 +344,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_media, extract_features
     from ..operators.similarity import lsh_bucketed_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_for_compute(spark, sf_dir, "documents")
     feats = extract_features(attach_media(docs), dim=8)
     return lsh_bucketed_pairs(
         feats,
@@ -382,7 +382,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.graph import connected_components
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_for_compute(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         docs, "text", "doc_id", k=K, rows_per_band=ROWS_PER_BAND,
         shingle_n=SHINGLE_N,
@@ -429,7 +429,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     its hashes are a stored index) -> drop within-batch dups (min-id
     per hash). Near-dup filtering would chain the MinHash operator on
     the survivors — composition, not new machinery."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_for_compute(spark, sf_dir, "documents")
     corpus_hashes = (
         docs.where(F.col("doc_id") % 2 == 0)
         .select(F.md5("text").alias("h"))
@@ -467,7 +467,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import edit_distance_pairs
 
     return edit_distance_pairs(
-        load_table(spark, sf_dir, "documents"),
+        load_for_compute(spark, sf_dir, "documents"),
         "text",
         "doc_id",
         max_distance=MAX_EDIT_DISTANCE,
@@ -520,12 +520,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot see; the two compose — run MinHash first, this second."""
     from ..operators.similarity import semantic_keep_best
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids = [
-        (int(r[0]), list(r[1]))
-        for r in emb.where(F.col("vec_id") < SEM_CENTROIDS)
-        .select("vec_id", "embedding")
-        .collect()
-    ]
-    centroids.sort()
-    return semantic_keep_best(emb, centroids)
+    from .similarity_q import _seed_centroids
+
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    return semantic_keep_best(
+        emb, _seed_centroids(spark, sf_dir, SEM_CENTROIDS)
+    )

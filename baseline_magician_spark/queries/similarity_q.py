@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_for_compute
 from ..operators.similarity import (
     _HP_A,
     _HP_B,
@@ -71,7 +71,7 @@ def _topk_oracle() -> str:
 
 @query("similarity_topk_cosine", _topk_oracle())
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_for_compute(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
     return brute_force_topk(emb, queries, k=TOP_K)
 
@@ -104,9 +104,24 @@ def _lsh_oracle() -> str:
 
 @query("similarity_lsh_neardup_pairs", _lsh_oracle())
 def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_for_compute(spark, sf_dir, "embeddings")
     return lsh_bucketed_pairs(
         emb, n_planes=N_PLANES, threshold=DUP_THRESHOLD, dim=EMB_DIM
+    )
+
+
+def _seed_centroids(spark, sf_dir, n):
+    """Collect the deterministic seed vectors from the PLAIN scan — the
+    seed filter touches n rows, so paying the compute-widening shuffle
+    before a driver collect would be pure overhead."""
+    from ..catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sorted(
+        (int(r[0]), list(r[1]))
+        for r in emb.where(F.col("vec_id") < n)
+        .select("vec_id", "embedding")
+        .collect()
     )
 
 
@@ -160,13 +175,14 @@ def _ivf_oracle() -> str:
 
 @query("similarity_ivf_topk", _ivf_oracle())
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_for_compute(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb,
         k=TOP_K,
         n_query_vecs=N_QUERY_VECS,
         n_centroids=N_CENTROIDS,
         n_probe=N_PROBE,
+        centroids=_seed_centroids(spark, sf_dir, N_CENTROIDS),
     )
 
 
@@ -195,7 +211,7 @@ def _bucket_histogram_oracle() -> str:
 def similarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-occupancy histogram — the observability view for tuning
     n_planes (bucket skew drives the candidate-join cost at scale)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_for_compute(spark, sf_dir, "embeddings")
     return (
         emb.select(
             lsh_bucket(F.col("embedding"), N_PLANES).alias("bucket"), "label"
@@ -246,8 +262,12 @@ def similarity_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF index the serving query probes."""
     from ..operators.similarity import ivf_train_step_flat
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_train_step_flat(emb, n_centroids=N_CENTROIDS)
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    return ivf_train_step_flat(
+        emb,
+        n_centroids=N_CENTROIDS,
+        centroids=_seed_centroids(spark, sf_dir, N_CENTROIDS),
+    )
 
 
 PQ_M = 4  # subspaces
@@ -315,8 +335,12 @@ def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks with no join and no shuffle."""
     from ..operators.similarity import pq_choose, pq_seed_codebooks
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    codebooks = pq_seed_codebooks(emb, n_codes=PQ_CODES, m=PQ_M)
+    from ..catalog import load_table
+
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    codebooks = pq_seed_codebooks(
+        load_table(spark, sf_dir, "embeddings"), n_codes=PQ_CODES, m=PQ_M
+    )
     chosen = pq_choose(F.col("embedding"), codebooks)
     return emb.select(
         "vec_id",
@@ -357,13 +381,19 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout, and both halves are hash-checked here."""
     from ..operators.similarity import pq_adc_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    from ..catalog import load_table
+    from ..operators.similarity import pq_seed_codebooks
+
+    emb = load_for_compute(spark, sf_dir, "embeddings")
     return pq_adc_topk(
         emb,
         k=TOP_K,
         n_query_vecs=N_QUERY_VECS,
         n_codes=PQ_CODES,
         m=PQ_M,
+        codebooks=pq_seed_codebooks(
+            load_table(spark, sf_dir, "embeddings"), n_codes=PQ_CODES, m=PQ_M
+        ),
     )
 
 
@@ -420,8 +450,15 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.similarity import ivf_train_step_flat
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents: list[tuple[int, list[float]]] | None = None
+    # persist the widened corpus: three Lloyd steps re-consume the
+    # identical (scan + widen) subtree, and each step is a separate JOB
+    # (collect barrier between them), so without a cache every step
+    # re-reads and re-shuffles the input. Spark keys the cache on the
+    # logical plan, so repeated invocations reuse one entry.
+    emb = load_for_compute(spark, sf_dir, "embeddings").persist()
+    cents: list[tuple[int, list[float]]] | None = _seed_centroids(
+        spark, sf_dir, N_CENTROIDS
+    )
     flat: DataFrame | None = None
     for step in range(3):
         flat = ivf_train_step_flat(

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_for_compute
 from ..functions.hashing import poly_hash_duckdb
 from ..operators.text import (
     BPE_PATTERN,
@@ -56,7 +56,7 @@ def _quality_oracle() -> str:
 
 @query("text_quality_scores", _quality_oracle())
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_for_compute(spark, sf_dir, "documents")
     return docs.select("doc_id", *quality_stats("text"))
 
 
@@ -85,7 +85,7 @@ def _lang_oracle() -> str:
 
 @query("text_language_id", _lang_oracle())
 def text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_for_compute(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -105,7 +105,7 @@ def text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_for_compute(spark, sf_dir, "documents")
     bpe = bpe_token_count("text")
     return docs.select(
         "doc_id",
@@ -129,7 +129,7 @@ def _fingerprint_oracle() -> str:
 
 @query("text_fingerprints", _fingerprint_oracle())
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_for_compute(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         normalized_fingerprint("text").alias("fingerprint"),
@@ -160,7 +160,7 @@ def frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same seam when exactness can be traded."""
     from ..functions.hashing import token_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_for_compute(spark, sf_dir, "documents")
     return (
         docs.select(
             F.explode(F.array_distinct(token_shingles("text", 2))).alias("shingle")
@@ -208,7 +208,7 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any scale."""
     from ..functions.hashing import shingle_hashes
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_for_compute(spark, sf_dir, "documents")
     eval_sh = (
         docs.where(F.col("doc_id") < EVAL_SET_MAX_ID)
         .select(F.explode(shingle_hashes("text", DECON_N)).alias("h"))
@@ -261,7 +261,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick the identical vocab."""
     from ..functions.hashing import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_for_compute(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("tok"))
     from pyspark.sql import Window
 
@@ -321,7 +321,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     degeneracy filter for pretraining corpora."""
     from ..operators.text import repetition_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_for_compute(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", *repetition_stats("text"))
         .where(F.col("n_tokens") > 0)
@@ -368,7 +368,7 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import token_shingles
     from ..operators.text import count_min_sketch
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_for_compute(spark, sf_dir, "documents")
     shingles = docs.select(
         F.explode(F.array_distinct(token_shingles("text", 2))).alias("s")
     )
@@ -480,7 +480,7 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pretraining pipeline."""
     from ..operators.text import pii_counts, redact_pii
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_for_compute(spark, sf_dir, "documents")
     aug = docs.select("doc_id", _pii_aug_col().alias("aug"))
     red = redact_pii("aug")
     return aug.select(
