@@ -646,3 +646,45 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("next_type"),
         F.first("event_type").over(w).alias("first_type"),
     )
+
+
+@query(
+    "events_hourly_rollup_incremental",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental partitioned rollup (the hypertable/merge-on-read
+    shape): partial hourly aggregates are computed separately for the
+    already-ingested base and a newly-arrived delta slice, then MERGED
+    by re-aggregating the partials — never re-reading the base corpus.
+    The oracle computes the identical rollup directly over the full
+    table, so the hash match IS the mergeability proof. At 100 TB the
+    base partials are a stored table keyed by (hour, type) and each
+    ingest batch folds in with one vocab-sized shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_sv")
+        )
+
+    base = partial(ev.where(F.col("event_id") % 10 != 0))
+    delta = partial(ev.where(F.col("event_id") % 10 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("hour", "event_type")
+        .agg(F.sum("_n").alias("n"), F.sum("_sv").alias("_sv2"))
+        .select(
+            "hour",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("_sv2"), 2).alias("total_value"),
+        )
+    )

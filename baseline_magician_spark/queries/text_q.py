@@ -489,3 +489,63 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(red).cast("long").alias("redacted_len"),
         F.md5(red).alias("redacted_md5"),
     )
+
+
+BPE_TOP_PAIRS = 20
+
+
+def _bpe_oracle() -> str:
+    return f"""
+    WITH w AS (
+      SELECT unnest({_TOK}) AS word FROM documents
+    ),
+    wc AS (
+      SELECT word, count(*) AS c FROM w GROUP BY word
+    ),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+                                   i -> substr(word, i, 2))) AS pair, c
+      FROM wc WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(sum(c) AS BIGINT) AS pair_freq
+    FROM p GROUP BY pair
+    ORDER BY pair_freq DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+    """
+
+
+@query("text_bpe_merge_step", _bpe_oracle())
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step: corpus-weighted adjacent-symbol
+    pair counts, top candidates by frequency (ties lexicographic).
+
+    The shape IS the classic BPE trick: collapse the corpus to
+    (distinct word, count) FIRST — vocab-sized, tiny vs the corpus —
+    then enumerate adjacent pairs over distinct words only, weighted
+    by the word count. At 100 TB the corpus pass is one tokenize +
+    uniform word shuffle; every subsequent merge iteration works on
+    the vocab relation and never re-reads the corpus."""
+    from ..functions.hashing import tokens
+
+    docs = load_for_compute(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = F.col("word")
+    pairs = wc.where(F.length(w) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w) - 1),
+                lambda i: w.substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("pair_freq"))
+        .orderBy(F.desc("pair_freq"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )

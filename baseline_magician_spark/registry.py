@@ -57,12 +57,13 @@ _loaded = False
 # - new round-3 queries as they land (LIMIT BY / UNION ALL, PII
 #   redaction, product quantization, semantic dedup);
 # - the rotating tail: queries last checked in round 1, re-covering
-#   12+ rounds of commits that have landed since. Six r1-green
+#   12+ rounds of commits that have landed since. Eight r1-green
 #   map-side-simple entries were deferred to round 4 to make room for
 #   the never-checked round-3 queries: dedup_simhash_fingerprints,
 #   pipeline_corpus_cleanup, set_ops_customer_tiers,
 #   distinct_users_by_type, histogram_event_values,
-#   window_range_frame_sliding_sum.
+#   window_range_frame_sliding_sum, grouping_sets_quantity,
+#   window_lag_lead_user_deltas.
 _PRIORITY: tuple[str, ...] = (
     # fixed this round (the only red row of round 2 + the CMS rewrite)
     "q12_late_shipment_priority",
@@ -82,6 +83,8 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_pq_codes",
     "similarity_pq_adc_topk",
     "dedup_semantic_keep_best",
+    "text_bpe_merge_step",
+    "events_hourly_rollup_incremental",
     # r1-only rotation: dedup + pipeline family
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
@@ -108,11 +111,9 @@ _PRIORITY: tuple[str, ...] = (
     # skew_salted_join_event_types keeps the salting path in-window)
     "skew_salted_join_event_types",
     "cube_revenue_by_flag_status",
-    "grouping_sets_quantity",
     "exact_percentiles_by_type",
     "json_props_stats",
     "unpivot_lineitem_measures",
-    "window_lag_lead_user_deltas",
     # r1-only rotation: sampling family
     "sample_split_train_valid_test",
     "sample_stratified_by_lang",

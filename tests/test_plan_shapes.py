@@ -197,3 +197,26 @@ def test_shuffle_order_avoids_global_sort_of_data(spark, queries):
     # exchange must sit under the tiny bucket-count aggregate subtree
     for chunk in plan.split("Exchange SinglePartition")[1:]:
         assert "count(1)" in chunk or "partial_count" in chunk.lower(), plan
+
+
+def test_load_for_compute_widens_only_narrow_scans(spark):
+    """The compute-widening loader must (a) lift a single-split scan to
+    the session's parallelism, (b) no-op when the scan already has
+    enough splits (the 100 TB case — plan unchanged), (c) not change
+    results."""
+    from baseline_magician_spark.catalog import load_for_compute, load_table
+
+    base = load_table(spark, SF_ORACLE, "documents")
+    n_base = base.rdd.getNumPartitions()
+    target = spark.sparkContext.defaultParallelism
+    assert n_base < target  # single-row-group test file
+
+    wide = load_for_compute(spark, SF_ORACLE, "documents")
+    assert wide.rdd.getNumPartitions() == target
+    assert "Exchange RoundRobinPartitioning" in plan_of(wide)
+
+    noop = load_for_compute(spark, SF_ORACLE, "documents", min_parallelism=1)
+    assert noop.rdd.getNumPartitions() == n_base
+    assert "Exchange" not in plan_of(noop)
+
+    assert wide.count() == base.count()

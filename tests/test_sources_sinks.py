@@ -201,3 +201,48 @@ def test_end_to_end_job_with_fake_api(spark):
     deletes = [u for m, u in api.calls if m == "DELETE"]
     assert deletes == ["http://127.0.0.1:10007/hostgroup/stale"]
     assert ("PUT", "http://127.0.0.1:10007/hostgroup/10_0_0_0_18") in api.calls
+
+
+def test_jsonl_roundtrip_matches_parquet(spark, tmp_path):
+    from baseline_magician_spark.catalog import load_table
+    from baseline_magician_spark.sources.jsonl import read_jsonl, write_jsonl
+    from conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out, n_shards=4)
+    back = read_jsonl(spark, out)
+    assert back.columns == docs.columns
+    assert back.count() == docs.count()
+    a = sorted(tuple(r) for r in docs.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+    # sharding gives the next reader real splits
+    assert back.rdd.getNumPartitions() >= 4
+
+
+def test_jsonl_corrupt_line_quarantine(spark, tmp_path):
+    from baseline_magician_spark.sources.jsonl import (
+        read_jsonl,
+        read_jsonl_with_corrupt,
+    )
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "ok2", "lang": "en", "source": "s", "n_chars": 3}\n'
+    )
+    df = read_jsonl_with_corrupt(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 3
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and corrupt[0]["doc_id"] is None
+    clean = sorted(r["doc_id"] for r in rows if r["_corrupt_record"] is None)
+    assert clean == [1, 2]
+    # FAILFAST surfaces the corrupt line instead of dropping it
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises((Py4JJavaError, Exception)):
+        read_jsonl(spark, str(p)).collect()
