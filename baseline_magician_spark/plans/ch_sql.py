@@ -403,6 +403,7 @@ _RESERVED = {
     "where", "group", "having", "order", "limit", "on", "using",
     "inner", "left", "right", "full", "cross", "join", "as", "union",
     "and", "or", "not", "in", "asc", "desc", "by", "outer",
+    "prewhere", "array",
 }
 
 
@@ -497,6 +498,10 @@ def _exec_select(
     that is not part of the statement (EOF or the subquery's closing
     paren)."""
     p.expect("select")
+    distinct = False
+    if p.peek_kw() == "distinct":
+        p.next()
+        distinct = True
 
     def _select_item() -> tuple[_Node, str | None]:
         node = p.parse_expr()
@@ -534,10 +539,38 @@ def _exec_select(
     table, table_alias = _table_ref()
 
     joins: list[tuple[str, str, str | None, _Node | None]] = []
-    while p.peek_kw() in ("inner", "left", "right", "full", "cross", "join"):
+    # CH ARRAY JOIN: explode an array expression into rows. Bare-column
+    # form REPLACES the column with its elements (CH semantics); AS
+    # keeps the source and adds the element column. LEFT ARRAY JOIN
+    # keeps empty-array rows — as NULL elements (Spark explode_outer),
+    # where CH emits the element type's default value; divergence
+    # documented rather than emulated (type defaults are unknowable for
+    # arbitrary expressions).
+    array_joins: list[tuple[bool, _Node, str | None]] = []
+
+    def _array_join_tail(outer: bool) -> None:
+        p.expect("join")
+        node = p.parse_expr()
+        alias = None
+        if p.peek_kw() == "as":
+            p.next()
+            alias = p.next()
+        array_joins.append((outer, node, alias))
+
+    while p.peek_kw() in (
+        "inner", "left", "right", "full", "cross", "join", "array",
+    ):
+        if p.peek_kw() == "array":
+            p.next()
+            _array_join_tail(outer=False)
+            continue
         how = "inner"
         if p.peek_kw() != "join":
             how = p.next().lower()
+            if how == "left" and p.peek_kw() == "array":
+                p.next()
+                _array_join_tail(outer=True)
+                continue
             if p.peek_kw() == "outer":
                 p.next()
         p.expect("join")
@@ -549,6 +582,17 @@ def _exec_select(
         elif how != "cross":
             raise ValueError(f"JOIN {jname} requires ON")
         joins.append((how, jname, jalias, cond))
+
+    # PREWHERE: CH's manual two-stage filter (evaluate a cheap
+    # predicate on few columns first, then read the rest only for
+    # surviving granules). Semantically a WHERE conjunct — and the
+    # physical trick it hand-codes is exactly what Catalyst's
+    # predicate pushdown + parquet column pruning do automatically, so
+    # it compiles to a plain filter.
+    prewhere_node = None
+    if p.peek_kw() == "prewhere":
+        p.next()
+        prewhere_node = p.parse_expr()
 
     where_node = None
     if p.peek_kw() == "where":
@@ -648,6 +692,22 @@ def _exec_select(
             df = df.crossJoin(right)
         else:
             df = df.join(right, on=_compile(cond, tables), how=how)
+    for outer, node, alias in array_joins:
+        arr = _compile(node, tables)
+        gen = F.explode_outer(arr) if outer else F.explode(arr)
+        if alias is None:
+            if node.kind != "col":
+                raise ValueError(
+                    "ARRAY JOIN of a computed expression requires AS"
+                )
+            name = str(node.value).rsplit(".", 1)[-1]
+            df = df.select(
+                *[c for c in df.columns if c != name], gen.alias(name)
+            )
+        else:
+            df = df.select("*", gen.alias(alias))
+    if prewhere_node is not None:
+        df = df.where(_compile(prewhere_node, tables))
     if where_node is not None:
         df = df.where(_compile(where_node, tables))
 
@@ -781,6 +841,11 @@ def _exec_select(
         out = df.select(
             *[_compile(n, tables).alias(names[i]) for i, n in enumerate(select_nodes)]
         )
+
+    if distinct:
+        # SELECT DISTINCT: dedup over the full select list (one hash
+        # shuffle on all output columns)
+        out = out.dropDuplicates()
 
     if order_nodes:
         # ORDER BY resolves against the output: a bare column naming an

@@ -253,3 +253,51 @@ FROM fastnetmon.events
 )
 def ch_sql_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_UNION_SQL, _tables(spark, sf_dir, "events"))
+
+
+# ARRAY JOIN (the CH explode clause) + PREWHERE (CH's manual two-stage
+# filter — compiled to a plain pushed filter, which is the same
+# physical behavior Catalyst derives automatically).
+_ARRAY_JOIN_SQL = """
+SELECT lang, tok, count(*) AS n
+FROM fastnetmon.documents
+ARRAY JOIN splitByChar(' ', text) AS tok
+PREWHERE n_chars >= 100
+GROUP BY lang, tok
+ORDER BY n DESC, lang, tok
+LIMIT 20
+"""
+
+
+@query(
+    "ch_sql_array_join_tokens",
+    """
+    SELECT lang, tok, count(*) AS n FROM (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE n_chars >= 100
+    )
+    GROUP BY lang, tok
+    ORDER BY n DESC, lang, tok
+    LIMIT 20
+    """,
+)
+def ch_sql_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        _ARRAY_JOIN_SQL, _tables(spark, sf_dir, "documents")
+    )
+
+
+@query(
+    "ch_sql_distinct_prewhere",
+    """
+    SELECT DISTINCT lang, source FROM documents
+    WHERE n_chars >= 300
+    ORDER BY lang, source
+    """,
+)
+def ch_sql_distinct_prewhere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        "SELECT DISTINCT lang, source FROM fastnetmon.documents "
+        "PREWHERE n_chars >= 300 ORDER BY lang, source",
+        _tables(spark, sf_dir, "documents"),
+    )

@@ -57,13 +57,15 @@ _loaded = False
 # - new round-3 queries as they land (LIMIT BY / UNION ALL, PII
 #   redaction, product quantization, semantic dedup);
 # - the rotating tail: queries last checked in round 1, re-covering
-#   12+ rounds of commits that have landed since. Eight r1-green
+#   12+ rounds of commits that have landed since. Ten r1-green
 #   map-side-simple entries were deferred to round 4 to make room for
 #   the never-checked round-3 queries: dedup_simhash_fingerprints,
 #   pipeline_corpus_cleanup, set_ops_customer_tiers,
 #   distinct_users_by_type, histogram_event_values,
 #   window_range_frame_sliding_sum, grouping_sets_quantity,
-#   window_lag_lead_user_deltas.
+#   window_lag_lead_user_deltas, sample_split_train_valid_test,
+#   sample_stratified_by_lang (quota + mixture keep the family's
+#   deterministic-hash machinery in-window).
 _PRIORITY: tuple[str, ...] = (
     # fixed this round (the only red row of round 2 + the CMS rewrite)
     "q12_late_shipment_priority",
@@ -78,6 +80,8 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_extremes",
     "ch_sql_limit_by",
     "ch_sql_union_all",
+    "ch_sql_array_join_tokens",
+    "ch_sql_distinct_prewhere",
     # new this round: PII scrubbing, product quantization, semantic dedup
     "text_pii_redaction",
     "similarity_pq_codes",
@@ -115,8 +119,6 @@ _PRIORITY: tuple[str, ...] = (
     "json_props_stats",
     "unpivot_lineitem_measures",
     # r1-only rotation: sampling family
-    "sample_split_train_valid_test",
-    "sample_stratified_by_lang",
     "sample_quota_per_source",
     "sample_mixture_plan",
     # r1-only rotation: similarity family

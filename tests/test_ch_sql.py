@@ -623,3 +623,63 @@ def test_pii_counts_and_redaction(spark):
     assert all(
         rows[4][f"n_{k}"] == 0 for k in ("email", "ip", "id_number", "phone")
     )
+
+
+def test_array_join_bare_column_replaces(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    a = spark.createDataFrame(
+        [(1, ["x", "y"]), (2, [])], "id long, arr array<string>"
+    )
+    rows = run_ch_query(
+        "SELECT id, arr FROM a ARRAY JOIN arr ORDER BY id, arr", {"a": a}
+    ).collect()
+    # bare form: empty-array row dropped, column replaced by elements
+    assert [(r["id"], r["arr"]) for r in rows] == [(1, "x"), (1, "y")]
+
+
+def test_left_array_join_keeps_empty_as_null(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    a = spark.createDataFrame(
+        [(1, ["x"]), (2, [])], "id long, arr array<string>"
+    )
+    rows = run_ch_query(
+        "SELECT id, v FROM a LEFT ARRAY JOIN arr AS v ORDER BY id", {"a": a}
+    ).collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(1, "x"), (2, None)]
+
+
+def test_array_join_expression_requires_as(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, "a b")], "id long, g string")
+    with pytest.raises(ValueError, match="requires AS"):
+        run_ch_query(
+            "SELECT id FROM t ARRAY JOIN splitByChar(' ', g)", {"t": t}
+        )
+
+
+def test_select_distinct_dedupes_select_list(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, g string"
+    )
+    rows = run_ch_query(
+        "SELECT DISTINCT g FROM t ORDER BY g", {"t": t}
+    ).collect()
+    assert [r["g"] for r in rows] == ["a", "b"]
+
+
+def test_prewhere_conjoins_with_where(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, g string"
+    )
+    rows = run_ch_query(
+        "SELECT id FROM t PREWHERE id > 1 WHERE g = 'a' ORDER BY id",
+        {"t": t},
+    ).collect()
+    assert [r["id"] for r in rows] == [2]
