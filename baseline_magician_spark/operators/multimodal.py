@@ -352,3 +352,53 @@ def resize_stub(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
             yield out
 
     return media.mapInPandas(rs, schema=out_schema)
+
+
+AUDIO_WINDOW = FRAME_BYTES  # samples per RMS window
+
+
+def audio_window_rms(media: DataFrame, window: int = AUDIO_WINDOW) -> DataFrame:
+    """Windowed RMS loudness over a PCM payload — the audio analogue of
+    frame sampling: payload bytes are 8-bit unsigned samples, centered
+    to [-1, 1), and each ``window``-sample block yields its root-mean-
+    square energy (the feature VAD/silence-trim/loudness-normalization
+    stages consume).
+
+    One narrow Arrow stage; per-window sums via ``np.add.reduceat``
+    (vectorized segment reduction — no Python per-window loop), same
+    shape as the resize/stripe stages. Trailing partial windows are
+    dropped (standard frame semantics).
+    """
+    ensure_shipped(media.sparkSession)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("window_id", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            wins: list[int] = []
+            vals: list[float] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                s = (a - 128.0) / 128.0
+                n_w = len(s) // window
+                if n_w == 0:
+                    continue
+                sq = s[: n_w * window] * s[: n_w * window]
+                sums = np.add.reduceat(sq, np.arange(0, n_w * window, window))
+                r = np.floor(np.sqrt(sums / window) * 10000.0) / 10000.0
+                ids.extend([int(doc_id)] * n_w)
+                wins.extend(range(n_w))
+                vals.extend(float(x) for x in r)
+            yield pd.DataFrame(
+                {"doc_id": ids, "window_id": wins, "rms": vals}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        rms, schema=out_schema
+    )

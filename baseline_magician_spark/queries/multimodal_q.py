@@ -98,3 +98,34 @@ def _frames_oracle(every: int = 4) -> str:
 @query("multimodal_frame_sample", _frames_oracle())
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_media(spark, sf_dir), every=4)
+
+
+def _audio_rms_oracle() -> str:
+    from ..operators.multimodal import AUDIO_WINDOW
+
+    w = AUDIO_WINDOW
+    sample = f"((CAST({_BYTE} AS DOUBLE) - 128) / 128)"
+    return f"""
+    SELECT doc_id, CAST(w AS INT) AS window_id,
+           floor(sqrt(list_sum(list_transform(
+               range(w * {w}, (w + 1) * {w}),
+               i -> {sample} * {sample})) / {w}) * 10000) / 10000 AS rms
+    FROM documents
+    CROSS JOIN range(0, {(LEN_BASE + LEN_MOD - 1) // w + 1}) t(w)
+    WHERE doc_id % 3 = 1 AND w < {_LEN} // {w}
+    """
+
+
+@query("multimodal_audio_window_rms", _audio_rms_oracle())
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS loudness over the audio subset: the payload bytes
+    are 8-bit PCM, each 16-sample window yields its RMS energy — the
+    VAD/loudness-normalization feature. Filter to audio BEFORE the
+    Arrow stage (pushdown keeps the decode narrow on 1/3 of the rows);
+    the oracle recomputes the identical arithmetic from the shared
+    byte formula."""
+    from ..operators.multimodal import audio_window_rms
+
+    media = _media(spark, sf_dir)
+    audio = media.where(F.col("meta.media_type") == "audio")
+    return audio_window_rms(audio)

@@ -57,13 +57,15 @@ _loaded = False
 # - new round-3 queries as they land (LIMIT BY / UNION ALL, PII
 #   redaction, product quantization, semantic dedup);
 # - the rotating tail: queries last checked in round 1, re-covering
-#   12+ rounds of commits that have landed since. Ten r1-green
+#   12+ rounds of commits that have landed since. Eleven r1-green
 #   map-side-simple entries were deferred to round 4 to make room for
 #   the never-checked round-3 queries: dedup_simhash_fingerprints,
 #   pipeline_corpus_cleanup, set_ops_customer_tiers,
 #   distinct_users_by_type, histogram_event_values,
 #   window_range_frame_sliding_sum, grouping_sets_quantity,
-#   window_lag_lead_user_deltas, sample_split_train_valid_test,
+#   window_lag_lead_user_deltas, time_window_recent_events (the new
+#   events_hourly_rollup_incremental exercises the same ts machinery),
+#   sample_split_train_valid_test,
 #   sample_stratified_by_lang (quota + mixture keep the family's
 #   deterministic-hash machinery in-window).
 _PRIORITY: tuple[str, ...] = (
@@ -101,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     # r1-only rotation: multimodal + asof + profiling
     "multimodal_decode_stats",
     "multimodal_frame_sample",
+    "multimodal_audio_window_rms",
     "asof_join_latest_order",
     "profile_orders_table",
     # r1-only rotation: relational/window family
@@ -110,7 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     "extremes_value_by_type",
     "semi_anti_join_customers",
     "pivot_quantity_by_status",
-    "time_window_recent_events",
     # (skew_salted_distinct_users rotates back in round 4 — its sibling
     # skew_salted_join_event_types keeps the salting path in-window)
     "skew_salted_join_event_types",
