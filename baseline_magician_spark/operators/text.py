@@ -254,8 +254,10 @@ PII_REDACTION_ORDER = ("email", "ip", "id_number", "phone")
 
 def pii_counts(text_col: Column | str) -> list[Column]:
     """Per-category PII span counts — one JVM-side regexp_count per
-    pattern, a single map-side projection at any scale."""
+    pattern, a single map-side projection at any scale. NULL text
+    counts as zero spans (regexp_count would propagate the NULL)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = F.coalesce(c, F.lit(""))
     return [
         F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
         for name, pat in PII_PATTERNS.items()
@@ -264,8 +266,10 @@ def pii_counts(text_col: Column | str) -> list[Column]:
 
 def redact_pii(text_col: Column | str) -> Column:
     """Mask every PII span with its [CATEGORY] token (chained
-    regexp_replace — still one codegen'd projection)."""
+    regexp_replace — still one codegen'd projection). NULL text
+    redacts to the empty string."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = F.coalesce(c, F.lit(""))
     for name in PII_REDACTION_ORDER:
         c = F.regexp_replace(c, PII_PATTERNS[name], f"[{name.upper()}]")
     return c
