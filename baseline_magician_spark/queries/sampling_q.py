@@ -220,7 +220,11 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import dedup_clusters
     from .dedup_q import K, ROWS_PER_BAND, SHINGLE_N
 
-    docs = load_table(spark, sf_dir, "documents")
+    # widened load: the MinHash signature fold is the expensive narrow
+    # stage of this composition (see catalog.load_for_compute)
+    from ..catalog import load_for_compute
+
+    docs = load_for_compute(spark, sf_dir, "documents")
     exact_keep = exact_dedup_groups(docs, "text", "doc_id").select(
         F.col("keep_id").alias("doc_id")
     )

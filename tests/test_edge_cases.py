@@ -197,3 +197,51 @@ def test_decode_stats_handles_empty_payloads(spark):
            decode_stats(spark.createDataFrame(rows, schema)).collect()}
     assert out[1]["checksum"] == 0 and out[3]["checksum"] == 0
     assert out[2]["checksum"] == 12  # not stolen by the empty neighbor
+
+
+def test_pq_seed_vectors_encode_to_themselves(spark):
+    """A codebook seed vector's subvectors are AT distance 0 from their
+    own codebook entries, so the encoder must pick them (ties cannot
+    beat an exact zero), and the ADC reconstruction must be exact."""
+    from baseline_magician_spark.catalog import load_table
+    from baseline_magician_spark.operators.similarity import (
+        pq_encode,
+        pq_seed_codebooks,
+    )
+    from conftest import SF_ORACLE
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    cbs = pq_seed_codebooks(emb, n_codes=16, m=4)
+    enc = pq_encode(emb.where(F.col("vec_id") < 16), cbs)
+    rows = enc.select("vec_id", "codes", "_recon").collect()
+    assert len(rows) == 16
+    orig = {
+        int(r[0]): list(r[1])
+        for r in emb.where(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    for r in rows:
+        assert list(r["codes"]) == [r["vec_id"]] * 4
+        assert [float(x) for x in r["_recon"]] == [
+            float(x) for x in orig[r["vec_id"]]
+        ]
+
+
+def test_pq_adc_distance_nonnegative_and_ranked(spark):
+    from baseline_magician_spark.catalog import load_table
+    from baseline_magician_spark.operators.similarity import pq_adc_topk
+    from conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    rows = pq_adc_topk(emb, k=5, n_query_vecs=2).collect()
+    by_q = {}
+    for r in rows:
+        assert r["adc_dist"] >= 0.0
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
