@@ -246,11 +246,18 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "arrayMin": F.array_min,
     "arrayMax": F.array_max,
     # empty-array guard: ANSI mode errors on /0; avg-of-nothing is NaN
+    # NULL array -> NULL (CH Nullable passthrough); empty array -> NaN
+    # (CH arrayAvg of []); else the mean. The isNull arm must come
+    # first: size(NULL) is NULL, which would fall through to NaN.
     "arrayAvg": lambda arr: F.when(
+        arr.isNull(), F.lit(None).cast("double")
+    )
+    .when(
         F.size(arr) > 0,
         F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
         / F.size(arr),
-    ).otherwise(F.lit(float("nan"))),
+    )
+    .otherwise(F.lit(float("nan"))),
     "arrayEnumerate": lambda arr: F.when(
         F.size(arr) > 0, F.sequence(F.lit(1), F.size(arr))
     ).otherwise(F.array().cast("array<int>")),

@@ -452,13 +452,22 @@ def pq_seed_codebooks(
     column). Returns m lists of (code, subvector); the whole structure
     is m x n_codes x (dim/m) floats — e.g. 4 KiB at dim 64 — so it
     rides into every task as a plan literal, never a join."""
-    seeds = [
+    seeds = sorted(
         (int(r[0]), list(r[1]))
         for r in embeddings.where(F.col(id_col) < n_codes)
         .select(id_col, vec_col)
         .collect()
-    ]
-    seeds.sort()
+    )
+    return pq_codebooks_from_seeds(seeds, m)
+
+
+def pq_codebooks_from_seeds(
+    seeds: list[tuple[int, list[float]]], m: int = 4
+) -> list[list[tuple[int, list[float]]]]:
+    """Slice already-collected seed vectors (the same (id, vec) list the
+    IVF queries collect once via their seed helper) into per-subspace
+    codebooks — so one driver collect can feed IVF centroids AND PQ
+    codebooks without a second scan."""
     dim = len(seeds[0][1])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

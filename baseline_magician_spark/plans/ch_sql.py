@@ -684,6 +684,14 @@ def _exec_select(
     # qualified column refs (t.g) resolve whether or not the query
     # aliased the table, like real SQL name scoping
     df = _resolve(table).alias(table_alias or table)
+    if prewhere_node is not None:
+        # PREWHERE filters the STORAGE table before joins and ARRAY
+        # JOIN (CH evaluates it on the base table's granules): applied
+        # here, unmatched outer-join rows survive and ARRAY JOIN
+        # column replacement cannot shadow the predicate's inputs. The
+        # two-stage read it hand-codes is what predicate pushdown +
+        # column pruning already do to a base-table filter.
+        df = df.where(_compile(prewhere_node, tables))
     for how, jname, jalias, cond in joins:
         right = _resolve(jname).alias(jalias or jname)
         if broadcast_dims:
@@ -706,8 +714,6 @@ def _exec_select(
             )
         else:
             df = df.select("*", gen.alias(alias))
-    if prewhere_node is not None:
-        df = df.where(_compile(prewhere_node, tables))
     if where_node is not None:
         df = df.where(_compile(where_node, tables))
 
@@ -913,7 +919,12 @@ def self_toks(p: _Parser) -> str:
     return " ".join(p.toks[p.i : p.i + 8])
 
 
-_NUMERIC_TYPES = ("byte", "short", "integer", "long", "float", "double", "decimal")
+# CH extremes=1 covers numerics AND date/datetime columns
+# (ch/rows.go:112-131 computes min/max for any orderable column type)
+_NUMERIC_TYPES = (
+    "byte", "short", "integer", "long", "float", "double", "decimal",
+    "date", "timestamp", "timestamp_ntz",
+)
 
 
 def extremes_result(df: DataFrame) -> DataFrame:

@@ -333,13 +333,11 @@ def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection IS the index build — dim floats become m small ints
     (64x smaller at dim 64 / m 4), computed map-side against literal
     codebooks with no join and no shuffle."""
-    from ..operators.similarity import pq_choose, pq_seed_codebooks
-
-    from ..catalog import load_table
+    from ..operators.similarity import pq_choose, pq_codebooks_from_seeds
 
     emb = load_for_compute(spark, sf_dir, "embeddings")
-    codebooks = pq_seed_codebooks(
-        load_table(spark, sf_dir, "embeddings"), n_codes=PQ_CODES, m=PQ_M
+    codebooks = pq_codebooks_from_seeds(
+        _seed_centroids(spark, sf_dir, PQ_CODES), m=PQ_M
     )
     chosen = pq_choose(F.col("embedding"), codebooks)
     return emb.select(
@@ -381,8 +379,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout, and both halves are hash-checked here."""
     from ..operators.similarity import pq_adc_topk
 
-    from ..catalog import load_table
-    from ..operators.similarity import pq_seed_codebooks
+    from ..operators.similarity import pq_codebooks_from_seeds
 
     emb = load_for_compute(spark, sf_dir, "embeddings")
     return pq_adc_topk(
@@ -391,8 +388,8 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_query_vecs=N_QUERY_VECS,
         n_codes=PQ_CODES,
         m=PQ_M,
-        codebooks=pq_seed_codebooks(
-            load_table(spark, sf_dir, "embeddings"), n_codes=PQ_CODES, m=PQ_M
+        codebooks=pq_codebooks_from_seeds(
+            _seed_centroids(spark, sf_dir, PQ_CODES), m=PQ_M
         ),
     )
 
@@ -450,23 +447,23 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.similarity import ivf_train_step_flat
 
-    # persist the widened corpus: three Lloyd steps re-consume the
-    # identical (scan + widen) subtree, and each step is a separate JOB
-    # (collect barrier between them), so without a cache every step
-    # re-reads and re-shuffles the input. Spark keys the cache on the
-    # logical plan, so repeated invocations reuse one entry.
+    # persist the widened corpus across the first two Lloyd steps: each
+    # step is a separate JOB (collect barrier between them), so without
+    # a cache every step re-reads and re-shuffles the input. The cache
+    # is RELEASED after the last collect barrier — the returned (lazy)
+    # third step recomputes the cheap scan+widen once rather than
+    # pinning executor storage memory for the rest of the session.
     emb = load_for_compute(spark, sf_dir, "embeddings").persist()
     cents: list[tuple[int, list[float]]] | None = _seed_centroids(
         spark, sf_dir, N_CENTROIDS
     )
-    flat: DataFrame | None = None
-    for step in range(3):
-        flat = ivf_train_step_flat(
-            emb, n_centroids=N_CENTROIDS, centroids=cents
-        )
-        if step < 2:
+    try:
+        for _step in range(2):
             by_cell: dict[int, list[tuple[int, float]]] = {}
-            for r in flat.collect():
+            step_df = ivf_train_step_flat(
+                emb, n_centroids=N_CENTROIDS, centroids=cents
+            )
+            for r in step_df.collect():
                 by_cell.setdefault(int(r["cell"]), []).append(
                     (int(r["pos"]), float(r["value"]))
                 )
@@ -474,4 +471,10 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (cell, [v for _, v in sorted(ps)])
                 for cell, ps in by_cell.items()
             ]
-    return flat
+    finally:
+        emb.unpersist()
+    return ivf_train_step_flat(
+        load_for_compute(spark, sf_dir, "embeddings"),
+        n_centroids=N_CENTROIDS,
+        centroids=cents,
+    )

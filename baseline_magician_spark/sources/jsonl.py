@@ -60,11 +60,18 @@ def read_jsonl_with_corrupt(
     )
 
 
-def write_jsonl(df: DataFrame, path: str, n_shards: int | None = None) -> None:
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int | None = None,
+    mode: str = "error",
+) -> None:
     """Write a corpus as sharded JSONL. ``n_shards`` controls the shard
     count (repartition — at scale, size shards to ~100-500 MB so the
     next reader gets well-sized splits); default keeps the input
-    partitioning."""
+    partitioning. ``mode`` defaults to Spark's errorifexists safety —
+    pass ``"overwrite"`` explicitly to replace an existing corpus
+    directory (destructive)."""
     if n_shards is not None:
         df = df.repartition(n_shards)
-    df.write.mode("overwrite").json(path)
+    df.write.mode(mode).json(path)

@@ -280,3 +280,26 @@ def test_int_div_float_semantics(row):
     assert got["f2"] == 14
     assert got["z"] == 14
     assert got["big"] == 1537228672809129301
+
+
+def test_array_avg_null_empty_and_values(spark):
+    """NULL array -> NULL (CH Nullable passthrough); [] -> NaN; else
+    the mean."""
+    import math
+
+    from baseline_magician_spark.functions.ch_compat import CH_FUNCTIONS
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [2.0, 4.0]), (2, []), (3, None)],
+        "id long, arr array<double>",
+    )
+    rows = {
+        r["id"]: r["avg"]
+        for r in df.select(
+            "id", CH_FUNCTIONS["arrayAvg"](F.col("arr")).alias("avg")
+        ).collect()
+    }
+    assert rows[1] == 3.0
+    assert math.isnan(rows[2])
+    assert rows[3] is None

@@ -683,3 +683,38 @@ def test_prewhere_conjoins_with_where(spark):
         {"t": t},
     ).collect()
     assert [r["id"] for r in rows] == [2]
+
+
+def test_prewhere_filters_base_before_outer_join(spark):
+    """CH evaluates PREWHERE on the storage table BEFORE joins: a right
+    join's unmatched rows must survive a PREWHERE on the left table."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    a = spark.createDataFrame([(1, 10), (2, 0)], "k long, x long")
+    b = spark.createDataFrame([(1, "p"), (3, "q")], "k long, tag string")
+    rows = run_ch_query(
+        "SELECT b.k AS k, b.tag AS tag FROM a RIGHT JOIN b ON a.k = b.k "
+        "PREWHERE a.x > 0 ORDER BY k",
+        {"a": a, "b": b},
+        broadcast_dims=False,
+    ).collect()
+    # a is pre-filtered to k=1; b's unmatched k=3 row survives the join
+    assert [(r["k"], r["tag"]) for r in rows] == [(1, "p"), (3, "q")]
+
+
+def test_prewhere_sees_array_before_array_join_replacement(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    a = spark.createDataFrame(
+        [(1, ["x", "y", "z"]), (2, ["w"])], "id long, arr array<string>"
+    )
+    rows = run_ch_query(
+        "SELECT id, arr FROM a ARRAY JOIN arr PREWHERE has(arr, 'x') "
+        "ORDER BY id, arr",
+        {"a": a},
+    ).collect()
+    # PREWHERE tested the ARRAY (has(arr,'x')) — after the bare ARRAY
+    # JOIN replacement arr is a string and has() would not even resolve
+    assert [(r["id"], r["arr"]) for r in rows] == [
+        (1, "x"), (1, "y"), (1, "z"),
+    ]

@@ -240,9 +240,10 @@ def test_jsonl_corrupt_line_quarantine(spark, tmp_path):
     assert len(corrupt) == 1 and corrupt[0]["doc_id"] is None
     clean = sorted(r["doc_id"] for r in rows if r["_corrupt_record"] is None)
     assert clean == [1, 2]
-    # FAILFAST surfaces the corrupt line instead of dropping it
+    # FAILFAST surfaces the corrupt line instead of dropping it — match
+    # the malformed-record error specifically so an unrelated failure
+    # (bad path, schema typo) cannot keep this green
     import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
 
-    with _pytest.raises((Py4JJavaError, Exception)):
+    with _pytest.raises(Exception, match="(?i)malformed"):
         read_jsonl(spark, str(p)).collect()
