@@ -139,6 +139,13 @@ class _Parser:
                 op = self.next()
                 left = _Node("bin", op, (left, self.parse_add()))
                 continue
+            # GLOBAL is CH's distributed-execution modifier (ship the
+            # right side to every shard); one logical cluster here, so
+            # GLOBAL IN == IN — consume and proceed
+            if self.peek_kw() == "global" and self.i + 1 < len(
+                self.toks
+            ) and self.toks[self.i + 1].lower() in ("in", "not"):
+                self.next()
             negate = False
             if (
                 self.peek_kw() == "not"
@@ -403,7 +410,8 @@ _RESERVED = {
     "where", "group", "having", "order", "limit", "on", "using",
     "inner", "left", "right", "full", "cross", "join", "as", "union",
     "and", "or", "not", "in", "asc", "desc", "by", "outer",
-    "prewhere", "array",
+    "prewhere", "array", "intersect", "except", "settings", "format",
+    "global",
 }
 
 
@@ -462,27 +470,86 @@ def run_ch_query(
                 break
             p.next()
     out = _exec_select(p, tables, broadcast_dims)
-    # UNION ALL / UNION DISTINCT chain: CH unions by position (column
-    # names come from the first select); each branch keeps its own
-    # WHERE/GROUP/ORDER/LIMIT clauses, exactly the CH scoping
-    while p.peek_kw() == "union":
-        p.next()
-        how = p.peek_kw()
-        if how not in ("all", "distinct"):
-            raise ValueError(
-                "UNION requires ALL or DISTINCT (CH union_default_mode "
-                "is unset in the reference dialect)"
-            )
-        p.next()
+    # Set-operation chain — CH combines by POSITION (column names come
+    # from the first select), each branch keeps its own WHERE/GROUP/
+    # ORDER/LIMIT scope, and INTERSECT binds tighter than UNION/EXCEPT
+    # (CH operator precedence). UNION requires an explicit ALL/DISTINCT
+    # (union_default_mode is unset in the reference dialect);
+    # INTERSECT/EXCEPT default to ALL like CH.
+    branches: list[DataFrame] = [out]
+    ops: list[tuple[str, str]] = []
+    while p.peek_kw() in ("union", "intersect", "except"):
+        op = p.next().lower()
+        mod = p.peek_kw()
+        if op == "union":
+            if mod not in ("all", "distinct"):
+                raise ValueError(
+                    "UNION requires ALL or DISTINCT (CH "
+                    "union_default_mode is unset in the reference "
+                    "dialect)"
+                )
+            p.next()
+        elif mod in ("all", "distinct"):
+            p.next()
+        else:
+            mod = "all"
         branch = _exec_select(p, tables, broadcast_dims)
-        if len(branch.columns) != len(out.columns):
+        if len(branch.columns) != len(branches[0].columns):
             raise ValueError(
-                f"UNION branches have {len(out.columns)} vs "
+                f"{op.upper()} branches have "
+                f"{len(branches[0].columns)} vs "
                 f"{len(branch.columns)} columns"
             )
-        out = out.union(branch.toDF(*out.columns))
-        if how == "distinct":
-            out = out.distinct()
+        ops.append((op, mod))
+        branches.append(branch)
+    i = 0
+    while i < len(ops):  # INTERSECT first (higher precedence)
+        if ops[i][0] == "intersect":
+            left = branches[i]
+            right = branches[i + 1].toDF(*left.columns)
+            branches[i : i + 2] = [
+                left.intersectAll(right)
+                if ops[i][1] == "all"
+                else left.intersect(right)
+            ]
+            ops.pop(i)
+        else:
+            i += 1
+    out = branches[0]
+    for (op, mod), br in zip(ops, branches[1:]):
+        br = br.toDF(*out.columns)
+        if op == "union":
+            out = out.union(br)
+            if mod == "distinct":
+                out = out.distinct()
+        else:  # except
+            out = out.exceptAll(br) if mod == "all" else out.subtract(br)
+
+    # trailing SETTINGS k = v [, ...] (applied through the C5 settings
+    # passthrough — mappable names set Spark confs, the rest are
+    # forwarded-and-ignored like the CH driver does) and FORMAT <name>
+    # (a wire-format directive; result shape is the DataFrame itself)
+    while p.peek_kw() in ("settings", "format"):
+        if p.peek_kw() == "settings":
+            p.next()
+            raw: dict[str, object] = {}
+            while True:
+                sname = p.next()
+                p.expect("=")
+                sval: object = p.next()
+                if isinstance(sval, str) and sval.startswith("'"):
+                    sval = sval[1:-1]
+                raw[sname] = sval
+                if p.peek() != ",":
+                    break
+                p.next()
+            from ..control import apply_query_settings
+
+            spark = next(iter(tables.values())).sparkSession
+            apply_query_settings(spark, raw)
+        else:
+            p.next()
+            p.next()  # format name — wire-level concern, no plan effect
     if p.peek() is not None:
         raise ValueError(f"unexpected trailing tokens: {self_toks(p)}")
     return out
@@ -559,7 +626,12 @@ def _exec_select(
 
     while p.peek_kw() in (
         "inner", "left", "right", "full", "cross", "join", "array",
+        "global",
     ):
+        if p.peek_kw() == "global":
+            # GLOBAL [ANY/ALL] JOIN: distributed right-side shipping —
+            # a no-op modifier on one logical cluster
+            p.next()
         if p.peek_kw() == "array":
             p.next()
             _array_join_tail(outer=False)

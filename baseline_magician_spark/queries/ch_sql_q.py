@@ -301,3 +301,24 @@ def ch_sql_distinct_prewhere(spark: SparkSession, sf_dir: str) -> DataFrame:
         "PREWHERE n_chars >= 300 ORDER BY lang, source",
         _tables(spark, sf_dir, "documents"),
     )
+
+
+# INTERSECT (CH default ALL; DISTINCT spelled out here so both engines
+# agree exactly) — users who both clicked and purchased.
+@query(
+    "ch_sql_intersect_users",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def ch_sql_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        "SELECT DISTINCT user_id FROM fastnetmon.events "
+        "WHERE event_type = 'click' "
+        "INTERSECT DISTINCT "
+        "SELECT DISTINCT user_id FROM fastnetmon.events "
+        "WHERE event_type = 'purchase'",
+        _tables(spark, sf_dir, "events"),
+    )

@@ -718,3 +718,61 @@ def test_prewhere_sees_array_before_array_join_replacement(spark):
     assert [(r["id"], r["arr"]) for r in rows] == [
         (1, "x"), (1, "y"), (1, "z"),
     ]
+
+
+def test_intersect_except_defaults_to_all(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "id long, g string"
+    )
+    u = spark.createDataFrame([(1, "a"), (2, "b")], "id long, g string")
+    # CH INTERSECT/EXCEPT without modifier are ALL-semantics
+    inter = run_ch_query(
+        "SELECT id, g FROM t INTERSECT SELECT id, g FROM u", {"t": t, "u": u}
+    ).collect()
+    assert sorted(r["id"] for r in inter) == [1, 2]
+    exc = run_ch_query(
+        "SELECT id, g FROM t EXCEPT SELECT id, g FROM u", {"t": t, "u": u}
+    ).collect()
+    assert [r["id"] for r in exc] == [1]  # one of the duplicate 1s survives
+
+
+def test_intersect_binds_tighter_than_union(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1,), (4,)], "id long")
+    u = spark.createDataFrame([(2,), (3,)], "id long")
+    rows = run_ch_query(
+        "SELECT id FROM t UNION ALL SELECT id FROM u "
+        "INTERSECT SELECT id FROM u",
+        {"t": t, "u": u},
+    ).collect()
+    # u INTERSECT u = u, then t UNION ALL u — not (t UNION u) INTERSECT u
+    assert sorted(r["id"] for r in rows) == [1, 2, 3, 4]
+
+
+def test_global_modifiers_are_noop(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, "a"), (2, "b")], "id long, g string")
+    u = spark.createDataFrame([(1, "x")], "id long, tag string")
+    rows = run_ch_query(
+        "SELECT t.id AS id FROM t GLOBAL JOIN u ON t.id = u.id "
+        "WHERE t.g GLOBAL IN ('a', 'b') AND t.g GLOBAL NOT IN ('zzz')",
+        {"t": t, "u": u},
+    ).collect()
+    assert [r["id"] for r in rows] == [1]
+
+
+def test_trailing_settings_and_format(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1,), (2,)], "id long")
+    rows = run_ch_query(
+        "SELECT count(*) AS n FROM t "
+        "SETTINGS max_threads = 4, totals_mode = 'before_having' "
+        "FORMAT JSONEachRow",
+        {"t": t},
+    ).collect()
+    assert rows[0]["n"] == 2
