@@ -127,8 +127,10 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_topk_cosine",
     "similarity_lsh_neardup_pairs",
     "similarity_lsh_bucket_histogram",
-    # r1-only rotation: streaming family
-    "streaming_windowed_counts",
+    # streaming: the new merge-rollup + two r1-only rotations
+    # (streaming_windowed_counts defers to round 4 — the new merge
+    # rollup covers the same windowed-count machinery plus the merge)
+    "streaming_hourly_rollup_merge",
     "streaming_sessionize_gap",
     "streaming_baseline_windows",
     # r1-only rotation: IP functions

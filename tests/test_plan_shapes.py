@@ -220,3 +220,22 @@ def test_load_for_compute_widens_only_narrow_scans(spark):
     assert "Exchange" not in plan_of(noop)
 
     assert wide.count() == base.count()
+
+
+def test_ch_limit_by_gets_window_group_limit(spark):
+    """The LIMIT n BY compilation (row_number window + rank filter)
+    must trigger Catalyst's WindowGroupLimit rewrite — per-key top-n
+    pruned map-side (Partial) BEFORE the shuffle and again after
+    (Final), which is what makes per-key limits survive 100 TB keys."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 7.0), (3, "b", 1.0)],
+        "id long, g string, v double",
+    )
+    df = run_ch_query(
+        "SELECT g, id, v FROM t ORDER BY v DESC, id LIMIT 2 BY g",
+        {"t": t},
+    )
+    plan = plan_of(df, execute=True)
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
