@@ -185,6 +185,34 @@ def main() -> None:
             k=8, rows_per_band=2, shingle_n=3,
         ).count()
 
+    # --- round-3 operators ---
+
+    def pq_adc(k: int) -> int:
+        """PQ encode + ADC top-k: encode is a pure projection against
+        literal codebooks, queries broadcast (constant 5), so cost =
+        one corpus pass + a per-query top-k over O(corpus) candidates
+        — slope should be ~linear in replicas."""
+        from baseline_magician_spark.operators.similarity import pq_adc_topk
+
+        emb = replicate(emb0, k, ["vec_id"], salt_text=False)
+        return pq_adc_topk(emb, k=10, n_query_vecs=5).count()
+
+    def semantic_dedup(k: int) -> int:
+        """Centroid-cell keep-best: map-side argmax (O(N*K*dim)) + one
+        cell-key shuffle; output rows = K regardless of corpus size."""
+        from baseline_magician_spark.operators.similarity import (
+            semantic_keep_best,
+        )
+
+        emb = replicate(emb0, k, ["vec_id"], salt_text=False)
+        cents = sorted(
+            (int(r[0]), list(r[1]))
+            for r in emb0.where(F.col("vec_id") < 16)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        return semantic_keep_best(emb, cents).count()
+
     ops = {
         "q1_agg": q1_agg,
         "minhash_lsh_pairs": minhash,
@@ -194,6 +222,8 @@ def main() -> None:
         "cms_heavy_hitters": cms_heavy,
         "kmeans_three_steps": kmeans_three,
         "edit_distance_pairs": edit_distance,
+        "pq_adc_topk": pq_adc,
+        "semantic_keep_best": semantic_dedup,
     }
 
     times: dict[str, dict[int, float]] = {name: {} for name in ops}
