@@ -244,9 +244,12 @@ class _Parser:
                     args.append(self.parse_expr())
             self.expect(")")
             return _Node("call", t, tuple(args))
-        if self.peek() == ".":  # alias-qualified column (a.b)
+        if self.peek() == ".":  # alias-qualified column (a.b) or a.*
             self.next()
-            return _Node("col", f"{t}.{self.next()}")
+            nxt = self.next()
+            if nxt == "*":
+                return _Node("star", t)  # qualified star: value = alias
+            return _Node("col", f"{t}.{nxt}")
         return _Node("col", t)
 
 
@@ -788,6 +791,34 @@ def _exec_select(
             df = df.select("*", gen.alias(alias))
     if where_node is not None:
         df = df.where(_compile(where_node, tables))
+
+    # SELECT * / SELECT alias.* — expand top-level stars into concrete
+    # column nodes against the (now-built) FROM relation, preserving
+    # item order. count(*)'s inner star is an argument, not a select
+    # item, and is untouched. A bare * over a join with duplicate
+    # column names resolves like Spark's own `select("*")` (the
+    # qualified form disambiguates).
+    if any(n.kind == "star" for n in select_nodes):
+        expanded: list[_Node] = []
+        exp_aliases: list[str | None] = []
+        for n, a in zip(select_nodes, aliases):
+            if n.kind != "star":
+                expanded.append(n)
+                exp_aliases.append(a)
+                continue
+            if a is not None:
+                raise ValueError("cannot alias a * select item")
+            if n.value is None:
+                cols = df.columns
+                prefix = ""
+            else:
+                qual = str(n.value)
+                cols = df.select(f"{qual}.*").columns
+                prefix = f"{qual}."
+            for c in cols:
+                expanded.append(_Node("col", f"{prefix}{c}"))
+                exp_aliases.append(None)
+        select_nodes, aliases = expanded, exp_aliases
 
     def _name(n: _Node, i: int) -> str:
         if n.kind == "col":

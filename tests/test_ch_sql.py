@@ -776,3 +776,36 @@ def test_trailing_settings_and_format(spark):
         {"t": t},
     ).collect()
     assert rows[0]["n"] == 2
+
+
+def test_select_star_expands(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, "a", 2.0)], "id long, g string, v double")
+    df = run_ch_query("SELECT * FROM t", {"t": t})
+    assert df.columns == ["id", "g", "v"]
+    assert df.collect() == [(1, "a", 2.0)]
+    # mixed with expressions, order preserved
+    df2 = run_ch_query("SELECT id * 2 AS d, * FROM t", {"t": t})
+    assert df2.columns == ["d", "id", "g", "v"]
+
+
+def test_select_qualified_star_from_join(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, "a")], "id long, g string")
+    u = spark.createDataFrame([(1, "x")], "id long, tag string")
+    df = run_ch_query(
+        "SELECT u.*, t.g AS g FROM t JOIN u ON t.id = u.id", {"t": t, "u": u}
+    )
+    assert df.columns == ["id", "tag", "g"]
+    assert df.collect() == [(1, "x", "a")]
+
+
+def test_count_star_still_aggregates(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1,), (2,)], "id long")
+    assert run_ch_query("SELECT count(*) AS n FROM t", {"t": t}).collect()[0][
+        "n"
+    ] == 2
