@@ -45,7 +45,7 @@ _TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
     r"|(?P<str>'(?:[^'\\]|\\.|'')*')"
     r"|(?P<ident>[A-Za-z_][A-Za-z_0-9]*)"
-    r"|(?P<sym><=|>=|!=|<>|[(),.*+\-/<>=]))"
+    r"|(?P<sym><=|>=|!=|<>|[(),.*+\-/<>=%]))"
 )
 
 
@@ -190,7 +190,7 @@ class _Parser:
 
     def parse_mul(self) -> _Node:
         left = self.parse_unary()
-        while self.peek() in ("*", "/"):
+        while self.peek() in ("*", "/", "%"):
             op = self.next()
             left = _Node("bin", op, (left, self.parse_unary()))
         return left
@@ -397,6 +397,7 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             "-": lambda: left - right,
             "*": lambda: left * right,
             "/": lambda: left / right,
+            "%": lambda: left % right,
             ">": lambda: left > right,
             "<": lambda: left < right,
             ">=": lambda: left >= right,

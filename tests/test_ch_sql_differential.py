@@ -1,0 +1,78 @@
+"""Differential fuzz for the CH SQL front end: seeded-random queries in
+the ANSI-common subset (both engines accept the SAME text) run through
+``run_ch_query`` AND DuckDB over the events table; results must match
+exactly (order-insensitive).
+
+The generator stays inside constructs with identical cross-engine
+semantics: count/sum/min/max over INTEGER columns (no float summation
+order), integer arithmetic and modulo, comparisons, AND/OR, GROUP BY,
+HAVING on aggregates — so any mismatch is a front-end compilation bug,
+never a numeric-tolerance artifact.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from conftest import SF_ORACLE
+
+N_CASES = 25
+_INT_COLS = ("event_id", "user_id")
+_STR_VALS = ("click", "view", "purchase", "error")
+
+
+def _gen_query(rng: random.Random) -> str:
+    key = rng.choice(
+        ["event_type", f"user_id % {rng.randint(2, 7)}", None]
+    )
+    aggs = ["count(*) AS n"]
+    for i in range(rng.randint(1, 3)):
+        fn = rng.choice(["sum", "min", "max"])
+        col = rng.choice(_INT_COLS)
+        aggs.append(f"{fn}({col}) AS a{i}")
+    preds = []
+    for _ in range(rng.randint(0, 2)):
+        col = rng.choice(_INT_COLS)
+        op = rng.choice([">", "<", ">=", "<=", "!="])
+        preds.append(f"{col} {op} {rng.randint(0, 50000)}")
+    if rng.random() < 0.5:
+        preds.append(f"event_type = '{rng.choice(_STR_VALS)}'")
+    where = ""
+    if preds:
+        glue = " AND " if rng.random() < 0.7 else " OR "
+        where = " WHERE " + glue.join(preds)
+    sel = ", ".join(([key + " AS k"] if key else []) + aggs)
+    group = f" GROUP BY {key}" if key else ""
+    having = ""
+    if key and rng.random() < 0.4:
+        having = f" HAVING count(*) > {rng.randint(0, 100)}"
+    return f"SELECT {sel} FROM events{where}{group}{having}"
+
+
+CASES = [
+    _gen_query(random.Random(97 * i + 13)) for i in range(N_CASES)
+]
+
+
+@pytest.mark.parametrize("sql", CASES)
+def test_random_query_matches_duckdb(spark, duck, sql):
+    from baseline_magician_spark.catalog import load_table
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    sdf = run_ch_query(sql, {"events": ev})
+    s_cols = sdf.columns
+    s_rows = sorted(
+        tuple(str(x) for x in r)
+        for r in sdf.select(*sorted(s_cols)).collect()
+    )
+    res = duck.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    idx = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+    d_rows = sorted(
+        tuple(str(r[i]) for i in idx) for r in res.fetchall()
+    )
+    assert sorted(s_cols) == sorted(d_cols), sql
+    assert s_rows == d_rows, f"{sql}\nspark={s_rows[:3]}\nduck={d_rows[:3]}"
