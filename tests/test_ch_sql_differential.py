@@ -18,37 +18,89 @@ import pytest
 
 from conftest import SF_ORACLE
 
-N_CASES = 25
+N_CASES = 40
 _INT_COLS = ("event_id", "user_id")
 _STR_VALS = ("click", "view", "purchase", "error")
 
 
-def _gen_query(rng: random.Random) -> str:
-    key = rng.choice(
-        ["event_type", f"user_id % {rng.randint(2, 7)}", None]
+def _key(rng: random.Random) -> str:
+    return rng.choice(
+        [
+            "event_type",
+            f"user_id % {rng.randint(2, 7)}",
+            f"(event_id * {rng.randint(2, 5)} + user_id) % {rng.randint(3, 9)}",
+        ]
     )
-    aggs = ["count(*) AS n"]
-    for i in range(rng.randint(1, 3)):
-        fn = rng.choice(["sum", "min", "max"])
-        col = rng.choice(_INT_COLS)
-        aggs.append(f"{fn}({col}) AS a{i}")
+
+
+def _where(rng: random.Random) -> str:
     preds = []
     for _ in range(rng.randint(0, 2)):
         col = rng.choice(_INT_COLS)
         op = rng.choice([">", "<", ">=", "<=", "!="])
         preds.append(f"{col} {op} {rng.randint(0, 50000)}")
-    if rng.random() < 0.5:
+    if rng.random() < 0.4:
+        vals = rng.sample(_STR_VALS, rng.randint(1, 3))
+        neg = "NOT " if rng.random() < 0.3 else ""
+        preds.append(
+            f"event_type {neg}IN ({', '.join(repr(v) for v in vals)})"
+        )
+    elif rng.random() < 0.5:
         preds.append(f"event_type = '{rng.choice(_STR_VALS)}'")
-    where = ""
-    if preds:
-        glue = " AND " if rng.random() < 0.7 else " OR "
-        where = " WHERE " + glue.join(preds)
+    if not preds:
+        return ""
+    glue = " AND " if rng.random() < 0.7 else " OR "
+    return " WHERE " + glue.join(preds)
+
+
+def _gen_agg_query(rng: random.Random) -> str:
+    key = rng.choice([_key(rng), None])
+    aggs = ["count(*) AS n"]
+    for i in range(rng.randint(1, 3)):
+        fn = rng.choice(["sum", "min", "max"])
+        col = rng.choice(_INT_COLS)
+        aggs.append(f"{fn}({col}) AS a{i}")
     sel = ", ".join(([key + " AS k"] if key else []) + aggs)
     group = f" GROUP BY {key}" if key else ""
     having = ""
     if key and rng.random() < 0.4:
         having = f" HAVING count(*) > {rng.randint(0, 100)}"
-    return f"SELECT {sel} FROM events{where}{group}{having}"
+    return f"SELECT {sel} FROM events{_where(rng)}{group}{having}"
+
+
+def _gen_distinct_query(rng: random.Random) -> str:
+    k1, k2 = _key(rng), _key(rng)
+    return (
+        f"SELECT DISTINCT {k1} AS k1, {k2} AS k2 FROM events{_where(rng)}"
+    )
+
+
+def _gen_order_limit_query(rng: random.Random) -> str:
+    # deterministic: ORDER BY every output column
+    k = _key(rng)
+    return (
+        f"SELECT {k} AS k, count(*) AS n, max(event_id) AS m "
+        f"FROM events{_where(rng)} GROUP BY {k} "
+        f"ORDER BY n DESC, m, k LIMIT {rng.randint(1, 5)}"
+    )
+
+
+def _gen_setop_query(rng: random.Random) -> str:
+    # explicit ALL/DISTINCT so DuckDB and CH semantics coincide; no
+    # ORDER BY (DuckDB scopes a trailing ORDER BY to the whole union,
+    # CH to the last branch — deliberately out of the common subset)
+    op = rng.choice(["UNION ALL", "UNION DISTINCT", "INTERSECT DISTINCT",
+                     "EXCEPT DISTINCT"])
+    a = f"SELECT DISTINCT event_type AS t FROM events{_where(rng)}"
+    b = f"SELECT DISTINCT event_type AS t FROM events{_where(rng)}"
+    return f"{a} {op} {b}"
+
+
+def _gen_query(rng: random.Random) -> str:
+    return rng.choice(
+        [_gen_agg_query, _gen_agg_query, _gen_distinct_query,
+         _gen_order_limit_query, _gen_setop_query]
+    )(rng)
 
 
 CASES = [
