@@ -40,7 +40,19 @@ def main(argv: list[str] | None = None) -> int:
         help="JSON config (reference-compatible keys)",
     )
     ap.add_argument(
-        "--metrics-path", required=True, help="parquet path of the fact table"
+        "--metrics-path", default=None, help="parquet path of the fact table"
+    )
+    ap.add_argument(
+        "--run-query",
+        default=None,
+        metavar="NAME",
+        help="run a registered engine query by name instead of the "
+        "baseline job; prints the result as JSON lines",
+    )
+    ap.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="table directory for --run-query (parquet per table)",
     )
     ap.add_argument(
         "--networks_list",
@@ -54,6 +66,26 @@ def main(argv: list[str] | None = None) -> int:
         "--dry-run", action="store_true", help="print host groups, don't publish"
     )
     args = ap.parse_args(argv)
+
+    if args.run_query is not None:
+        from .registry import get_queries
+
+        queries = get_queries()
+        if args.run_query not in queries:
+            ap.error(
+                f"unknown query {args.run_query!r}; registered: "
+                + ", ".join(sorted(queries)[:8])
+                + ", ..."
+            )
+        spark = get_spark(app_name=f"bms-query-{args.run_query}")
+        df = queries[args.run_query](spark, args.sf_dir)
+        for row in df.collect():
+            json.dump(row.asDict(recursive=True), sys.stdout, default=str)
+            sys.stdout.write("\n")
+        return 0
+
+    if args.metrics_path is None:
+        ap.error("--metrics-path is required (unless --run-query)")
 
     with open(args.config) as f:
         config = BaselineConfig.from_json(f.read())

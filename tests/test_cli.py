@@ -45,3 +45,37 @@ def test_cli_dry_run(spark, tmp_path, capsys):
     assert [g["name"] for g in out] == ["10_0_0_0_24"]
     assert out[0]["threshold_pps"] == 149 * 2
     assert out[0]["ban_for_pps"] is True
+
+
+def test_run_query_prints_jsonl(spark, capsys):
+    import json
+
+    from baseline_magician_spark.__main__ import main
+    from conftest import SF_ORACLE
+
+    rc = main(["--run-query", "q6_forecast_revenue", "--sf-dir", SF_ORACLE])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    row = json.loads(out[0])
+    assert "revenue" in {k.lower() for k in row}
+
+
+def test_run_query_unknown_name_errors(spark, capsys):
+    import pytest as _pytest
+
+    from baseline_magician_spark.__main__ import main
+
+    with _pytest.raises(SystemExit):
+        main(["--run-query", "no_such_query"])
+    assert "unknown query" in capsys.readouterr().err
+
+
+def test_metrics_path_still_required_without_run_query(spark, capsys):
+    import pytest as _pytest
+
+    from baseline_magician_spark.__main__ import main
+
+    with _pytest.raises(SystemExit):
+        main(["--dry-run"])
+    assert "--metrics-path is required" in capsys.readouterr().err
