@@ -146,17 +146,48 @@ class _Parser:
                 self.toks
             ) and self.toks[self.i + 1].lower() in ("in", "not"):
                 self.next()
+            if self.peek_kw() == "between":
+                # x BETWEEN lo AND hi — bounds parse at additive level
+                # so the AND is the range separator, not a conjunction
+                self.next()
+                lo = self.parse_add()
+                self.expect("and")
+                hi = self.parse_add()
+                left = _Node(
+                    "bin", "and",
+                    (
+                        _Node("bin", ">=", (left, lo)),
+                        _Node("bin", "<=", (left, hi)),
+                    ),
+                )
+                continue
+            if self.peek_kw() == "is":
+                self.next()
+                neg_null = False
+                if self.peek_kw() == "not":
+                    self.next()
+                    neg_null = True
+                self.expect("null")
+                left = _Node(
+                    "isnull", neg_null, (left,)
+                )
+                continue
             negate = False
             if (
                 self.peek_kw() == "not"
                 and self.i + 1 < len(self.toks)
-                and self.toks[self.i + 1].lower() == "in"
+                and self.toks[self.i + 1].lower() in ("in", "like")
             ):
                 self.next()
                 negate = True
             if self.peek_kw() == "in":
                 self.next()
                 left = self._parse_in(left, negate)
+                continue
+            if self.peek_kw() == "like":
+                self.next()
+                pat = self.parse_add()
+                left = _Node("like", negate, (left, pat))
                 continue
             return left
 
@@ -279,7 +310,7 @@ def _contains_agg(node: _Node) -> bool:
         if node.value.lower() in _AGGS:
             return True
         return any(_contains_agg(a) for a in node.args)
-    if node.kind in ("bin", "in"):
+    if node.kind in ("bin", "in", "like", "isnull"):
         return any(_contains_agg(a) for a in node.args)
     return False
 
@@ -314,6 +345,16 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                 raise ValueError("scalar subquery returned more than one row")
             node.memo = (None if not rows else rows[0][0],)
         return F.lit(node.memo[0])
+    if node.kind == "isnull":
+        c = _compile(node.args[0], env)
+        return c.isNotNull() if node.value else c.isNull()
+    if node.kind == "like":
+        c = _compile(node.args[0], env)
+        pat = node.args[1]
+        if pat.kind != "str":
+            raise ValueError("LIKE pattern must be a string literal")
+        res = c.like(str(pat.value))
+        return ~res if node.value else res
     if node.kind == "in":
         left = _compile(node.args[0], env)
         form, negate = node.value[0], node.value[1]
@@ -415,7 +456,7 @@ _RESERVED = {
     "inner", "left", "right", "full", "cross", "join", "as", "union",
     "and", "or", "not", "in", "asc", "desc", "by", "outer",
     "prewhere", "array", "intersect", "except", "settings", "format",
-    "global",
+    "global", "between", "like", "is", "null",
 }
 
 

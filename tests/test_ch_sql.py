@@ -809,3 +809,33 @@ def test_count_star_still_aggregates(spark):
     assert run_ch_query("SELECT count(*) AS n FROM t", {"t": t}).collect()[0][
         "n"
     ] == 2
+
+
+def test_between_like_isnull(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "click", 5.0), (2, "clack", 15.0), (3, None, 25.0)],
+        "id long, g string, v double",
+    )
+    rows = run_ch_query(
+        "SELECT id FROM t WHERE v BETWEEN 4 AND 16 ORDER BY id", {"t": t}
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 2]
+    rows = run_ch_query(
+        "SELECT id FROM t WHERE g LIKE 'cl%ck' ORDER BY id", {"t": t}
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 2]
+    rows = run_ch_query(
+        "SELECT id FROM t WHERE g NOT LIKE '%ick' ORDER BY id", {"t": t}
+    ).collect()
+    assert [r["id"] for r in rows] == [2]  # NULL g drops (SQL ternary)
+    rows = run_ch_query(
+        "SELECT id FROM t WHERE g IS NULL", {"t": t}
+    ).collect()
+    assert [r["id"] for r in rows] == [3]
+    rows = run_ch_query(
+        "SELECT id FROM t WHERE g IS NOT NULL AND v BETWEEN 0 AND 10",
+        {"t": t},
+    ).collect()
+    assert [r["id"] for r in rows] == [1]

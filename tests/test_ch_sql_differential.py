@@ -37,8 +37,22 @@ def _where(rng: random.Random) -> str:
     preds = []
     for _ in range(rng.randint(0, 2)):
         col = rng.choice(_INT_COLS)
-        op = rng.choice([">", "<", ">=", "<=", "!="])
-        preds.append(f"{col} {op} {rng.randint(0, 50000)}")
+        kind = rng.random()
+        if kind < 0.2:
+            lo = rng.randint(0, 40000)
+            preds.append(f"{col} BETWEEN {lo} AND {lo + rng.randint(1, 20000)}")
+        elif kind < 0.3:
+            preds.append(
+                f"event_type {rng.choice(['LIKE', 'NOT LIKE'])} "
+                f"'{rng.choice(['c%', '%ck', '%e%', '_iew'])}'"
+            )
+        elif kind < 0.4:
+            preds.append(
+                f"event_type IS {rng.choice(['NOT NULL', 'NULL'])}"
+            )
+        else:
+            op = rng.choice([">", "<", ">=", "<=", "!="])
+            preds.append(f"{col} {op} {rng.randint(0, 50000)}")
     if rng.random() < 0.4:
         vals = rng.sample(_STR_VALS, rng.randint(1, 3))
         neg = "NOT " if rng.random() < 0.3 else ""
