@@ -108,6 +108,7 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "if": lambda c, a, b: F.when(c, a).otherwise(b),
     "multiIf": lambda *args: _multi_if(*args),
     "ifNull": F.coalesce,
+    "coalesce": F.coalesce,  # ANSI spelling, same in CH
     "nullIf": F.nullif,
     "assumeNotNull": lambda c: c,  # Spark has no NOT NULL cast; identity
     # conditional aggregates (the -If combinator family)

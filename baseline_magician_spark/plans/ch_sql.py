@@ -250,6 +250,34 @@ class _Parser:
             return inner
         if t == "*":
             return _Node("star")
+        if t.lower() == "null":
+            return _Node("str", None)  # typed-null literal (F.lit(None))
+        if t.lower() == "case":
+            # searched CASE (WHEN cond THEN v ...) and valued CASE
+            # (CASE x WHEN v THEN r ... — each WHEN becomes x = v);
+            # compiles onto the multiIf shim; a missing ELSE yields
+            # NULL like SQL (multiIf requires the else arm, so one is
+            # appended)
+            operand = None
+            if self.peek_kw() != "when":
+                operand = self.parse_expr()
+            args: list[_Node] = []
+            while self.peek_kw() == "when":
+                self.next()
+                cond = self.parse_expr()
+                if operand is not None:
+                    cond = _Node("bin", "=", (operand, cond))
+                self.expect("then")
+                args.extend([cond, self.parse_expr()])
+            if not args:
+                raise ValueError("CASE requires at least one WHEN")
+            if self.peek_kw() == "else":
+                self.next()
+                args.append(self.parse_expr())
+            else:
+                args.append(_Node("str", None))
+            self.expect("end")
+            return _Node("call", "multiIf", tuple(args))
         if t.startswith("'"):
             # both CH escape spellings: backslash (what the driver's
             # quote() emits, ch/helpers.go:133) and '' doubling.
@@ -457,6 +485,7 @@ _RESERVED = {
     "and", "or", "not", "in", "asc", "desc", "by", "outer",
     "prewhere", "array", "intersect", "except", "settings", "format",
     "global", "between", "like", "is", "null",
+    "case", "when", "then", "else", "end",
 }
 
 

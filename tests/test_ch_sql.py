@@ -839,3 +839,22 @@ def test_between_like_isnull(spark):
         {"t": t},
     ).collect()
     assert [r["id"] for r in rows] == [1]
+
+
+def test_case_when_searched_and_valued(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, 10), (2, 11), (3, 24)], "id long, u long")
+    rows = run_ch_query(
+        "SELECT id, CASE WHEN u % 2 = 0 THEN 'even' ELSE 'odd' END AS par "
+        "FROM t ORDER BY id",
+        {"t": t},
+    ).collect()
+    assert [r["par"] for r in rows] == ["even", "odd", "even"]
+    # valued form + CASE as a group key; missing ELSE -> NULL
+    rows = run_ch_query(
+        "SELECT CASE u % 2 WHEN 0 THEN 'even' END AS par, count(*) AS n "
+        "FROM t GROUP BY CASE u % 2 WHEN 0 THEN 'even' END ORDER BY n",
+        {"t": t},
+    ).collect()
+    assert {(r["par"], r["n"]) for r in rows} == {("even", 2), (None, 1)}

@@ -29,6 +29,10 @@ def _key(rng: random.Random) -> str:
             "event_type",
             f"user_id % {rng.randint(2, 7)}",
             f"(event_id * {rng.randint(2, 5)} + user_id) % {rng.randint(3, 9)}",
+            (
+                f"CASE WHEN user_id % {rng.randint(2, 4)} = 0 "
+                f"THEN 'a' ELSE 'b' END"
+            ),
         ]
     )
 
