@@ -79,6 +79,11 @@ class _Node:
 # tests can tune it.
 MAX_ROWS_IN_SET = 10_000_000
 
+# The most recent query's trailing SETTINGS clause (validated, NOT
+# applied — see run_ch_query's SETTINGS handling for why); callers
+# wanting them live wrap their action in control.apply_query_settings.
+LAST_QUERY_SETTINGS: dict[str, object] = {}
+
 
 class _Parser:
     def __init__(
@@ -146,21 +151,6 @@ class _Parser:
                 self.toks
             ) and self.toks[self.i + 1].lower() in ("in", "not"):
                 self.next()
-            if self.peek_kw() == "between":
-                # x BETWEEN lo AND hi — bounds parse at additive level
-                # so the AND is the range separator, not a conjunction
-                self.next()
-                lo = self.parse_add()
-                self.expect("and")
-                hi = self.parse_add()
-                left = _Node(
-                    "bin", "and",
-                    (
-                        _Node("bin", ">=", (left, lo)),
-                        _Node("bin", "<=", (left, hi)),
-                    ),
-                )
-                continue
             if self.peek_kw() == "is":
                 self.next()
                 neg_null = False
@@ -176,10 +166,30 @@ class _Parser:
             if (
                 self.peek_kw() == "not"
                 and self.i + 1 < len(self.toks)
-                and self.toks[self.i + 1].lower() in ("in", "like")
+                and self.toks[self.i + 1].lower()
+                in ("in", "like", "between")
             ):
                 self.next()
                 negate = True
+            if self.peek_kw() == "between":
+                # x [NOT] BETWEEN lo AND hi — bounds parse at additive
+                # level so the AND is the range separator, not a
+                # conjunction
+                self.next()
+                lo = self.parse_add()
+                self.expect("and")
+                hi = self.parse_add()
+                rng_node = _Node(
+                    "bin", "and",
+                    (
+                        _Node("bin", ">=", (left, lo)),
+                        _Node("bin", "<=", (left, hi)),
+                    ),
+                )
+                left = (
+                    _Node("call", "not", (rng_node,)) if negate else rng_node
+                )
+                continue
             if self.peek_kw() == "in":
                 self.next()
                 left = self._parse_in(left, negate)
@@ -381,6 +391,9 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         pat = node.args[1]
         if pat.kind != "str":
             raise ValueError("LIKE pattern must be a string literal")
+        if pat.value is None:
+            # LIKE NULL is NULL (CH/SQL ternary) — never matches
+            return F.lit(None).cast("boolean")
         res = c.like(str(pat.value))
         return ~res if node.value else res
     if node.kind == "in":
@@ -446,7 +459,7 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         literal_pos = _LITERAL_ARG_POSITIONS.get(lname, ())
         args = [
             str(a.value)
-            if i in literal_pos and a.kind == "str"
+            if i in literal_pos and a.kind == "str" and a.value is not None
             else _compile(a, env)
             for i, a in enumerate(node.args)
         ]
@@ -599,10 +612,16 @@ def run_ch_query(
         else:  # except
             out = out.exceptAll(br) if mod == "all" else out.subtract(br)
 
-    # trailing SETTINGS k = v [, ...] (applied through the C5 settings
-    # passthrough — mappable names set Spark confs, the rest are
-    # forwarded-and-ignored like the CH driver does) and FORMAT <name>
-    # (a wire-format directive; result shape is the DataFrame itself)
+    # trailing SETTINGS k = v [, ...] and FORMAT <name>. CH SETTINGS is
+    # QUERY-scoped; Spark confs are session-scoped and read at
+    # EXECUTION time, so mutating the session here would leak each
+    # query's settings into every later plan (and wouldn't even bind
+    # to this lazy DataFrame's run). The names are validated/classified
+    # through the C5 passthrough (control.classify_setting) and
+    # recorded, not applied — callers that want them live pass the same
+    # dict to control.apply_query_settings around their own action.
+    # FORMAT is a wire-format directive; the result shape IS the
+    # DataFrame.
     while p.peek_kw() in ("settings", "format"):
         if p.peek_kw() == "settings":
             p.next()
@@ -617,10 +636,15 @@ def run_ch_query(
                 if p.peek() != ",":
                     break
                 p.next()
-            from ..control import apply_query_settings
+            from ..control import classify_setting
 
-            spark = next(iter(tables.values())).sparkSession
-            apply_query_settings(spark, raw)
+            for sname in raw:
+                try:
+                    classify_setting(sname)
+                except KeyError:
+                    pass  # forward-unknown, like the CH driver
+            global LAST_QUERY_SETTINGS
+            LAST_QUERY_SETTINGS = raw
         else:
             p.next()
             p.next()  # format name — wire-level concern, no plan effect
@@ -703,9 +727,20 @@ def _exec_select(
         "global",
     ):
         if p.peek_kw() == "global":
-            # GLOBAL [ANY/ALL] JOIN: distributed right-side shipping —
-            # a no-op modifier on one logical cluster
+            # GLOBAL: distributed right-side shipping — a no-op on one
+            # logical cluster. ALL strictness is CH's default (every
+            # match) = Spark join, consumed; ANY (at most one right row
+            # per left) would need a keyed dedup of the build side —
+            # rejected explicitly rather than silently joined wrong.
             p.next()
+            if p.peek_kw() == "all":
+                p.next()
+            elif p.peek_kw() == "any":
+                raise ValueError(
+                    "ANY join strictness is not supported (CH ANY JOIN "
+                    "keeps at most one right match; this engine would "
+                    "keep all) — rewrite with an explicit aggregation"
+                )
         if p.peek_kw() == "array":
             p.next()
             _array_join_tail(outer=False)
@@ -879,15 +914,27 @@ def _exec_select(
                 continue
             if a is not None:
                 raise ValueError("cannot alias a * select item")
-            if n.value is None:
-                cols = df.columns
-                prefix = ""
+            if n.value is None and joins:
+                # bare * over a join: expand RELATION BY RELATION with
+                # qualified refs — shared column names (the join key!)
+                # would otherwise produce ambiguous bare refs; the
+                # duplicate-name disambiguation below renames the
+                # later ones (u.id -> u_id), like CH's qualified output
+                quals = [table_alias or table] + [
+                    jalias or jname for _, jname, jalias, _ in joins
+                ]
+                pairs = [
+                    (q, c) for q in quals
+                    for c in df.select(f"{q}.*").columns
+                ]
+            elif n.value is None:
+                pairs = [("", c) for c in df.columns]
             else:
                 qual = str(n.value)
-                cols = df.select(f"{qual}.*").columns
-                prefix = f"{qual}."
-            for c in cols:
-                expanded.append(_Node("col", f"{prefix}{c}"))
+                pairs = [(qual, c) for c in df.select(f"{qual}.*").columns]
+            for q, c in pairs:
+                ref = f"{q}.{c}" if q else c
+                expanded.append(_Node("col", ref))
                 exp_aliases.append(None)
         select_nodes, aliases = expanded, exp_aliases
 

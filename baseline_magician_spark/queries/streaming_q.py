@@ -272,37 +272,53 @@ def streaming_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="bms_ev_stream_")
-    ev.repartition(4).write.mode("overwrite").parquet(src)
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
 
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    state: dict[tuple, list] = {}
-
-    def handle(batch_df: DataFrame, _bid: int) -> None:
-        part = (
-            batch_df.groupBy(
-                F.date_trunc("hour", F.col("ts")).alias("hour"),
-                "event_type",
-            )
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
-            .collect()
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
         )
-        for r in part:
-            k = (r["hour"], r["event_type"])
-            acc = state.setdefault(k, [0, 0.0])
-            acc[0] += r["n"]
-            acc[1] += r["sv"]
+        state: dict[tuple, list] = {}
 
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+        def handle(batch_df: DataFrame, _bid: int) -> None:
+            part = (
+                batch_df.groupBy(
+                    F.date_trunc("hour", F.col("ts")).alias("hour"),
+                    "event_type",
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("value").alias("sv"),
+                )
+                .collect()
+            )
+            for r in part:
+                k = (r["hour"], r["event_type"])
+                acc = state.setdefault(k, [0, 0.0])
+                acc[0] += r["n"]
+                if r["sv"] is not None:  # all-NULL group sums to NULL
+                    acc[1] += r["sv"]
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        q.stop()
+        if not finished:
+            # a timed-out replay has merged only a PREFIX of the
+            # batches — returning it would pass off a partial rollup
+            # as the answer
+            raise TimeoutError(
+                "streaming rollup replay did not finish within 300s"
+            )
+    finally:
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
 
     rows = [
         (hour, etype, int(n), float(sv))

@@ -766,9 +766,11 @@ def test_global_modifiers_are_noop(spark):
 
 
 def test_trailing_settings_and_format(spark):
+    from baseline_magician_spark.plans import ch_sql
     from baseline_magician_spark.plans.ch_sql import run_ch_query
 
     t = spark.createDataFrame([(1,), (2,)], "id long")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
     rows = run_ch_query(
         "SELECT count(*) AS n FROM t "
         "SETTINGS max_threads = 4, totals_mode = 'before_having' "
@@ -776,6 +778,12 @@ def test_trailing_settings_and_format(spark):
         {"t": t},
     ).collect()
     assert rows[0]["n"] == 2
+    # SETTINGS is query-scoped in CH: recorded + validated, NOT applied
+    # to the session (which would leak into every later plan)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert ch_sql.LAST_QUERY_SETTINGS == {
+        "max_threads": "4", "totals_mode": "before_having",
+    }
 
 
 def test_select_star_expands(spark):
@@ -858,3 +866,55 @@ def test_case_when_searched_and_valued(spark):
         {"t": t},
     ).collect()
     assert {(r["par"], r["n"]) for r in rows} == {("even", 2), (None, 1)}
+
+
+def test_bare_star_over_join_qualifies(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, "a")], "id long, g string")
+    u = spark.createDataFrame([(1, "x")], "id long, tag string")
+    df = run_ch_query(
+        "SELECT * FROM t JOIN u ON t.id = u.id", {"t": t, "u": u}
+    )
+    # shared join key expands relation-by-relation; the duplicate gets
+    # its qualifier-derived name
+    assert df.columns == ["id", "g", "u_id", "tag"]
+    assert df.collect() == [(1, "a", 1, "x")]
+
+
+def test_not_between(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1,), (5,), (9,)], "id long")
+    rows = run_ch_query(
+        "SELECT id FROM t WHERE id NOT BETWEEN 2 AND 8 ORDER BY id",
+        {"t": t},
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 9]
+
+
+def test_like_null_matches_nothing(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, "None"), (2, "x")], "id long, g string")
+    rows = run_ch_query(
+        "SELECT id FROM t WHERE g LIKE NULL", {"t": t}
+    ).collect()
+    assert rows == []
+
+
+def test_global_all_join_ok_any_rejected(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, "a")], "id long, g string")
+    u = spark.createDataFrame([(1, "x")], "id long, tag string")
+    rows = run_ch_query(
+        "SELECT t.id AS id FROM t GLOBAL ALL JOIN u ON t.id = u.id",
+        {"t": t, "u": u},
+    ).collect()
+    assert [r["id"] for r in rows] == [1]
+    with pytest.raises(ValueError, match="ANY join strictness"):
+        run_ch_query(
+            "SELECT t.id AS id FROM t GLOBAL ANY JOIN u ON t.id = u.id",
+            {"t": t, "u": u},
+        )
