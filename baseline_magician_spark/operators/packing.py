@@ -92,3 +92,59 @@ def chunk_manifest(packed: DataFrame, ctx_len: int = 512) -> DataFrame:
             F.sum("tok_in_chunk").alias("n_tokens_in_chunk"),
         )
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: Column,
+    bucket_width: int = 16,
+    batch_size: int = 8,
+) -> DataFrame:
+    """Length-bucketed batch assembly — the padding-minimization stage
+    of an inference/training dataloader: documents group into
+    fixed-width token-length buckets, each bucket fills batches of
+    ``batch_size`` in deterministic id order, and every batch reports
+    its padding efficiency (1 - sum/(n*max) is the fraction of the
+    padded tensor that is padding).
+
+    Plan shape: one map-side projection (bucket = n_tokens div width),
+    ONE shuffle for the per-bucket row_number window, then the
+    per-batch aggregate rides the same partitioning. Buckets are the
+    parallel unit at scale; batch ids are dense within each bucket so
+    the loader can range-scan them.
+    """
+    from pyspark.sql import Window as W
+
+    bucketed = df.select(
+        F.col(id_col).alias("_id"),
+        n_tokens_col.cast("long").alias("_nt"),
+    ).withColumn(
+        "bucket", (F.col("_nt") / bucket_width).cast("long")
+    )
+    w = W.partitionBy("bucket").orderBy("_id")
+    return (
+        bucketed.withColumn(
+            "batch_id",
+            ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+        )
+        .groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("_nt").alias("max_tokens"),
+            F.sum("_nt").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "batch_id",
+            "n_docs",
+            "max_tokens",
+            "sum_tokens",
+            F.round(
+                1
+                - F.col("sum_tokens")
+                / (F.col("n_docs") * F.col("max_tokens")),
+                6,
+            ).alias("padding_frac"),
+        )
+    )

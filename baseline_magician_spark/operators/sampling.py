@@ -236,3 +236,56 @@ def deterministic_shuffle(
         ranked.join(F.broadcast(offsets), "_bucket")
         .select("id", (F.col("_off") + F.col("_r")).alias("shuffle_rank"))
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str,
+    size_col: Column,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture reweighting: sampling weight per
+    source proportional to its token share raised to ``alpha`` (the
+    multilingual-balancing scheme — alpha < 1 flattens the
+    distribution, boosting low-resource sources; alpha = 1 is
+    proportional, 0 is uniform).
+
+    Unlike :func:`mixture_plan` (explicit target weights) the targets
+    here are DERIVED from the corpus distribution. Output per source:
+    (source, n_docs, actual_size, share, weight, boost) where
+    ``weight = share^alpha / sum(share^alpha)`` and ``boost`` is the
+    up/down-sampling factor weight/share.
+
+    Plan shape: one corpus pass + two #sources-sized aggregates —
+    the totals broadcast back, nothing driver-side. ``alpha = 0.5``
+    uses sqrt (IEEE-exact in every engine, so the oracle hash-matches
+    bit-for-bit); other alphas use pow, whose last-ulp behavior is
+    libm-specific — production-fine, oracle-checked at 0.5.
+    """
+    share_pow = (
+        (lambda c: F.sqrt(c)) if alpha == 0.5 else (lambda c: F.pow(c, alpha))
+    )
+    per_source = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col).cast("long").alias("actual_size"),
+    )
+    total = per_source.agg(
+        F.sum("actual_size").cast("double").alias("_total")
+    )
+    shared = per_source.crossJoin(F.broadcast(total)).withColumn(
+        "_share", F.col("actual_size") / F.col("_total")
+    ).withColumn("_w_raw", share_pow(F.col("_share")))
+    wsum = shared.agg(F.sum("_w_raw").alias("_wsum"))
+    return (
+        shared.crossJoin(F.broadcast(wsum))
+        .select(
+            "source",
+            "n_docs",
+            "actual_size",
+            F.round(F.col("_share"), 6).alias("share"),
+            F.round(F.col("_w_raw") / F.col("_wsum"), 6).alias("weight"),
+            F.round(
+                (F.col("_w_raw") / F.col("_wsum")) / F.col("_share"), 6
+            ).alias("boost"),
+        )
+    )

@@ -7,8 +7,9 @@ Token counts ride on the shared cross-engine tokenizer fragment
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_for_compute, load_table
 from ..functions.hashing import tokens_duckdb
 from ..operators.packing import chunk_manifest, pack_sequences
 from ..operators.text import n_tokens
@@ -90,3 +91,56 @@ def packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=N_BUCKETS,
     )
     return chunk_manifest(packed, ctx_len=CTX_LEN)
+
+
+BATCH_BUCKET_WIDTH = 8
+BATCH_SIZE = 8
+
+
+def _bucketed_batches_oracle() -> str:
+    from ..functions.hashing import tokens_duckdb
+
+    tok = tokens_duckdb("text")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len({tok}) AS BIGINT) AS nt FROM documents
+    ),
+    b AS (
+      SELECT doc_id, nt,
+             CAST(floor(nt / {BATCH_BUCKET_WIDTH}) AS BIGINT) AS bucket
+      FROM d
+    ),
+    r AS (
+      SELECT bucket, nt,
+             CAST(floor((row_number() OVER (
+               PARTITION BY bucket ORDER BY doc_id) - 1) / {BATCH_SIZE})
+             AS BIGINT) AS batch_id
+      FROM b
+    )
+    SELECT bucket, batch_id,
+           count(*) AS n_docs,
+           max(nt) AS max_tokens,
+           CAST(sum(nt) AS BIGINT) AS sum_tokens,
+           round(1 - sum(nt) / CAST(count(*) * max(nt) AS DOUBLE), 6)
+             AS padding_frac
+    FROM r GROUP BY bucket, batch_id
+    """
+
+
+@query("pipeline_bucketed_batches", _bucketed_batches_oracle())
+def pipeline_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly with per-batch padding stats —
+    the dataloader stage between packing and training: batches of
+    same-length-bucket documents minimize the padded-tensor waste the
+    padding_frac column quantifies."""
+    from ..functions.hashing import tokens
+    from ..operators.packing import length_bucketed_batches
+
+    docs = load_for_compute(spark, sf_dir, "documents")
+    return length_bucketed_batches(
+        docs.select("doc_id", F.size(tokens("text")).alias("nt")),
+        "doc_id",
+        F.col("nt"),
+        bucket_width=BATCH_BUCKET_WIDTH,
+        batch_size=BATCH_SIZE,
+    )

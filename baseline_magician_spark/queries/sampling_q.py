@@ -291,3 +291,38 @@ def pipeline_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return deterministic_shuffle(docs, "doc_id", seed="epoch0", n_buckets=16)
+
+
+def _temperature_oracle() -> str:
+    return """
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS actual_size
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(actual_size) AS DOUBLE) AS total FROM per),
+    s AS (
+      SELECT source, n_docs, actual_size,
+             actual_size / total AS share,
+             sqrt(actual_size / total) AS w_raw
+      FROM per CROSS JOIN t
+    ),
+    ws AS (SELECT sum(w_raw) AS wsum FROM s)
+    SELECT source, n_docs, actual_size,
+           round(share, 6) AS share,
+           round(w_raw / wsum, 6) AS weight,
+           round((w_raw / wsum) / share, 6) AS boost
+    FROM s CROSS JOIN ws
+    """
+
+
+@query("sample_temperature_weights", _temperature_oracle())
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture reweighting (weight ∝ share^0.5): the
+    derived-from-distribution counterpart of the explicit-target
+    mixture plan — low-resource sources get boost > 1, dominant ones
+    < 1. alpha = 0.5 compiles to sqrt, IEEE-exact in both engines."""
+    from ..operators.sampling import temperature_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_weights(docs, "source", F.col("n_chars"), alpha=0.5)

@@ -67,7 +67,9 @@ _loaded = False
 #   events_hourly_rollup_incremental exercises the same ts machinery),
 #   sample_split_train_valid_test,
 #   sample_stratified_by_lang (quota + mixture keep the family's
-#   deterministic-hash machinery in-window).
+#   deterministic-hash machinery in-window), pivot_quantity_by_status,
+#   cube_revenue_by_flag_status (rollup_totals + ch_sql_with_totals
+#   keep the grouping-sets machinery in-window).
 _PRIORITY: tuple[str, ...] = (
     # fixed this round (the only red row of round 2 + the CMS rewrite)
     "q12_late_shipment_priority",
@@ -91,6 +93,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_semantic_keep_best",
     "text_bpe_merge_step",
     "events_hourly_rollup_incremental",
+    "sample_temperature_weights",
+    "pipeline_bucketed_batches",
     # r1-only rotation: dedup + pipeline family
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
@@ -112,11 +116,9 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_totals_by_region_nation",
     "extremes_value_by_type",
     "semi_anti_join_customers",
-    "pivot_quantity_by_status",
     # (skew_salted_distinct_users rotates back in round 4 — its sibling
     # skew_salted_join_event_types keeps the salting path in-window)
     "skew_salted_join_event_types",
-    "cube_revenue_by_flag_status",
     "exact_percentiles_by_type",
     "json_props_stats",
     "unpivot_lineitem_measures",
