@@ -110,3 +110,35 @@ def test_hash60_is_uniform_and_seed_sensitive(spark):
     assert row["d"] == n  # no collisions at this scale
     assert abs(row["mean"] - 0.5) < 0.02  # uniform in [0, 1)
     assert row["collide"] == 0  # seeds decorrelate
+
+
+def test_split_assignment_is_partition_invariant(spark):
+    """The determinism claim the module docstring makes: membership is
+    a pure function of (seed, key) — repartitioning the input any way
+    must not move a single row between splits."""
+    from baseline_magician_spark.catalog import load_table
+    from baseline_magician_spark.operators.sampling import split_assign
+    from baseline_magician_spark.queries.sampling_q import (
+        SPLIT_FRACTIONS,
+        SPLIT_SEED,
+    )
+    from conftest import SF_ORACLE
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+
+    def assignment(df):
+        return {
+            (r["doc_id"], r["split"])
+            for r in df.select(
+                "doc_id",
+                split_assign(
+                    F.col("doc_id"), SPLIT_FRACTIONS, SPLIT_SEED
+                ).alias("split"),
+            ).collect()
+        }
+
+    base = assignment(docs)
+    assert assignment(docs.repartition(3)) == base
+    assert assignment(docs.repartition(17, "lang")) == base
+    assert assignment(docs.coalesce(1)) == base
