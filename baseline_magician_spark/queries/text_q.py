@@ -549,3 +549,68 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_freq"), F.asc("pair"))
         .limit(BPE_TOP_PAIRS)
     )
+
+
+RARE_MAX_COUNT = 500  # a token this infrequent (corpus-wide) is "rare"
+
+
+def _unigram_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+    ),
+    uni AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(cnt / total), 6) AS mean_token_freq,
+           round(avg(CASE WHEN cnt <= {RARE_MAX_COUNT} THEN 1.0
+                          ELSE 0.0 END), 6) AS rare_frac
+    FROM toks JOIN uni USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """
+
+
+@query("text_unigram_lm_scores", _unigram_oracle())
+def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring — the CCNet-style quality filter:
+    train the unigram distribution ON the corpus, score every document
+    by its tokens' corpus frequency. ``mean_token_freq`` high = built
+    from very common tokens (boilerplate-leaning); ``rare_frac`` high =
+    unusual vocabulary (OCR noise / other-language leakage). The
+    production variant scores cross-entropy (-avg log p) under a clean
+    reference LM — same dataflow, a log() on the same joined column;
+    the ratio form here keeps the oracle arithmetic IEEE-exact.
+
+    Plan shape: one tokenize pass feeds BOTH the unigram count (vocab-
+    sized) and the per-doc score join; the unigram table broadcasts, so
+    the corpus shuffles once (the doc_id re-group)."""
+    from ..functions.hashing import tokens
+
+    docs = load_for_compute(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = uni.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        toks.join(F.broadcast(uni), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.col("cnt") / F.col("total")), 6).alias(
+                "mean_token_freq"
+            ),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("cnt") <= RARE_MAX_COUNT, F.lit(1.0)
+                    ).otherwise(F.lit(0.0))
+                ),
+                6,
+            ).alias("rare_frac"),
+        )
+    )

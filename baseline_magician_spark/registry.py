@@ -69,7 +69,8 @@ _loaded = False
 #   sample_stratified_by_lang (quota + mixture keep the family's
 #   deterministic-hash machinery in-window), pivot_quantity_by_status,
 #   cube_revenue_by_flag_status (rollup_totals + ch_sql_with_totals
-#   keep the grouping-sets machinery in-window).
+#   keep the grouping-sets machinery in-window),
+#   unpivot_lineitem_measures.
 _PRIORITY: tuple[str, ...] = (
     # fixed this round (the only red row of round 2 + the CMS rewrite)
     "q12_late_shipment_priority",
@@ -95,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_hourly_rollup_incremental",
     "sample_temperature_weights",
     "pipeline_bucketed_batches",
+    "text_unigram_lm_scores",
     # r1-only rotation: dedup + pipeline family
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
@@ -121,7 +123,6 @@ _PRIORITY: tuple[str, ...] = (
     "skew_salted_join_event_types",
     "exact_percentiles_by_type",
     "json_props_stats",
-    "unpivot_lineitem_measures",
     # r1-only rotation: sampling family
     "sample_quota_per_source",
     "sample_mixture_plan",
