@@ -239,3 +239,22 @@ def test_ch_limit_by_gets_window_group_limit(spark):
     )
     plan = plan_of(df, execute=True)
     assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+
+
+def test_pq_codes_is_map_side(spark, queries):
+    """PQ encoding must stay a pure projection: the literal codebooks
+    ride in the plan, so the ONLY exchange is the compute-widening
+    round-robin — no hash shuffle, no join."""
+    df = queries["similarity_pq_codes"](spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Join" not in plan
+
+
+def test_semantic_keep_best_single_cell_shuffle(spark, queries):
+    """Semantic dedup: map-side argmax assignment + exactly one hash
+    shuffle (the cell window); the corpus never self-joins."""
+    df = queries["dedup_semantic_keep_best"](spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
