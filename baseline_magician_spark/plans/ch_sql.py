@@ -222,6 +222,37 @@ class _Parser:
         tname = self.next()
         return _Node("in", ("table", negate, tname), (left,))
 
+    def _parse_over(self, call: _Node) -> _Node:
+        """``fn(args) OVER ([PARTITION BY e, ...] [ORDER BY e [DESC],
+        ...])`` — the window-function surface (CH supports standard
+        OVER since 21.x). The window node's value is the inner call;
+        args pack (n_partition, partition..., (order, desc)...)."""
+        self.next()  # OVER
+        self.expect("(")
+        part: list[_Node] = []
+        order: list[tuple[_Node, bool]] = []
+        if self.peek_kw() == "partition":
+            self.next()
+            self.expect("by")
+            part.append(self.parse_expr())
+            while self.peek() == ",":
+                self.next()
+                part.append(self.parse_expr())
+        if self.peek_kw() == "order":
+            self.next()
+            self.expect("by")
+            while True:
+                node = self.parse_expr()
+                desc = False
+                if self.peek_kw() in ("asc", "desc"):
+                    desc = self.next().lower() == "desc"
+                order.append((node, desc))
+                if self.peek() != ",":
+                    break
+                self.next()
+        self.expect(")")
+        return _Node("window", (call, tuple(part), tuple(order)))
+
     def parse_add(self) -> _Node:
         left = self.parse_mul()
         while self.peek() in ("+", "-"):
@@ -262,6 +293,23 @@ class _Parser:
             return _Node("star")
         if t.lower() == "null":
             return _Node("str", None)  # typed-null literal (F.lit(None))
+        if t.lower() == "cast" and self.peek() == "(":
+            # ANSI CAST(expr AS TYPE) — CH accepts it alongside its
+            # to*() spellings; DECIMAL takes optional (p, s)
+            self.next()
+            inner = self.parse_expr()
+            self.expect("as")
+            tname = self.next().lower()
+            if tname == "decimal" and self.peek() == "(":
+                self.next()
+                prec = self.next()
+                self.expect(",")
+                scale = self.next()
+                self.expect(")")
+                tname = f"decimal({prec},{scale})"
+            self.expect(")")
+            spark_type = _CAST_TYPES.get(tname, tname)
+            return _Node("cast", spark_type, (inner,))
         if t.lower() == "case":
             # searched CASE (WHEN cond THEN v ...) and valued CASE
             # (CASE x WHEN v THEN r ... — each WHEN becomes x = v);
@@ -312,7 +360,10 @@ class _Parser:
                     self.next()
                     args.append(self.parse_expr())
             self.expect(")")
-            return _Node("call", t, tuple(args))
+            call = _Node("call", t, tuple(args))
+            if self.peek_kw() == "over":
+                return self._parse_over(call)
+            return call
         if self.peek() == ".":  # alias-qualified column (a.b) or a.*
             self.next()
             nxt = self.next()
@@ -348,7 +399,7 @@ def _contains_agg(node: _Node) -> bool:
         if node.value.lower() in _AGGS:
             return True
         return any(_contains_agg(a) for a in node.args)
-    if node.kind in ("bin", "in", "like", "isnull"):
+    if node.kind in ("bin", "in", "like", "isnull", "cast"):
         return any(_contains_agg(a) for a in node.args)
     return False
 
@@ -357,7 +408,7 @@ def _is_const(node: _Node) -> bool:
     """True when the expression references no column (a literal or
     pure-function-of-literals select item, e.g. ``'total' AS tier`` in
     an aggregating UNION branch)."""
-    if node.kind in ("col", "scalar_subq", "star"):
+    if node.kind in ("col", "scalar_subq", "star", "window"):
         return False
     return all(_is_const(a) for a in node.args)
 
@@ -383,6 +434,48 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                 raise ValueError("scalar subquery returned more than one row")
             node.memo = (None if not rows else rows[0][0],)
         return F.lit(node.memo[0])
+    if node.kind == "cast":
+        return _compile(node.args[0], env).cast(str(node.value))
+    if node.kind == "window":
+        # fn(args) OVER (...): ranking/offset functions map to their
+        # Spark builders; anything else (sum/avg/count/...) compiles as
+        # the shimmed expression applied .over() the spec. Window
+        # evaluation happens in the PROJECTION (never the groupBy
+        # branch — _contains_agg does not descend into window nodes),
+        # matching SQL's window-after-aggregation placement for the
+        # non-grouped queries this dialect runs.
+        from pyspark.sql import Window as W
+
+        call, part, order = node.value
+        wname = str(call.value).lower()
+        ranking = {
+            "row_number": F.row_number,
+            "rank": F.rank,
+            "dense_rank": F.dense_rank,
+        }
+        if wname in ranking:
+            col = ranking[wname]()
+        elif wname == "ntile":
+            col = F.ntile(int(call.args[0].value))
+        elif wname in ("lag", "lead"):
+            base = _compile(call.args[0], env)
+            off = int(call.args[1].value) if len(call.args) > 1 else 1
+            fn = F.lag if wname == "lag" else F.lead
+            if len(call.args) > 2:
+                col = fn(base, off, call.args[2].value)
+            else:
+                col = fn(base, off)
+        else:
+            col = _compile(call, env)
+        spec = W.partitionBy(*[_compile(pn, env) for pn in part])
+        if order:
+            spec = spec.orderBy(
+                *[
+                    (_compile(on, env).desc() if d else _compile(on, env).asc())
+                    for on, d in order
+                ]
+            )
+        return col.over(spec)
     if node.kind == "isnull":
         c = _compile(node.args[0], env)
         return c.isNotNull() if node.value else c.isNull()
@@ -489,6 +582,23 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             "<>": lambda: left != right,
         }[op]()
     raise ValueError(f"cannot compile node {node!r}")
+
+
+# ANSI CAST type-name -> Spark type-name (pass-through for names that
+# already coincide: date, timestamp, boolean, string, decimal(p,s))
+_CAST_TYPES = {
+    "bigint": "long",
+    "int": "int",
+    "integer": "int",
+    "smallint": "short",
+    "tinyint": "byte",
+    "double": "double",
+    "float": "float",
+    "real": "float",
+    "varchar": "string",
+    "text": "string",
+    "bool": "boolean",
+}
 
 
 # words that terminate a table reference (cannot be a bare alias)
@@ -684,26 +794,36 @@ def _exec_select(
 
     p.expect("from")
 
-    def _table_ref() -> tuple[str, str | None]:
-        name = p.next()
-        if p.peek() == ".":
-            p.next()
-            name = p.next()  # db qualifier dropped
-        alias = None
+    def _opt_alias() -> str | None:
         if p.peek_kw() == "as":
             p.next()
-            alias = p.next()
-        elif (
+            return p.next()
+        if (
             p.peek() is not None
             and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", p.peek() or "")
             and p.peek_kw() not in _RESERVED
         ):
-            alias = p.next()
-        return name, alias
+            return p.next()
+        return None
+
+    def _table_ref() -> tuple[str | DataFrame, str | None]:
+        if p.peek() == "(":
+            # derived table: FROM (SELECT ...) [AS] alias — planned
+            # inline (lazy); unnamed ones get a positional alias so
+            # qualified resolution still works downstream
+            p.next()
+            sub = _exec_select(p, tables, broadcast_dims)
+            p.expect(")")
+            return sub, _opt_alias() or f"_dt{p.i}"
+        name = p.next()
+        if p.peek() == ".":
+            p.next()
+            name = p.next()  # db qualifier dropped
+        return name, _opt_alias()
 
     table, table_alias = _table_ref()
 
-    joins: list[tuple[str, str, str | None, _Node | None]] = []
+    joins: list[tuple[str, str | DataFrame, str | None, _Node | None]] = []
     # CH ARRAY JOIN: explode an array expression into rows. Bare-column
     # form REPLACES the column with its elements (CH semantics); AS
     # keeps the source and adds the element column. LEFT ARRAY JOIN
@@ -856,7 +976,9 @@ def _exec_select(
                 p.next()
                 offset_n = int(p.next())
 
-    def _resolve(name: str) -> DataFrame:
+    def _resolve(name: str | DataFrame) -> DataFrame:
+        if isinstance(name, DataFrame):  # derived table, already planned
+            return name
         if name not in tables:
             raise ValueError(f"unknown table {name!r}")
         return tables[name]

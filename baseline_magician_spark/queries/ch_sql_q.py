@@ -322,3 +322,32 @@ def ch_sql_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE event_type = 'purchase'",
         _tables(spark, sf_dir, "events"),
     )
+
+
+# Window functions through the SQL TEXT (OVER with PARTITION BY /
+# ORDER BY) + a derived table — per-type top-2 events by value.
+_WINDOW_SQL = """
+SELECT event_type, event_id, rn FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY value DESC, event_id
+         ) AS rn
+  FROM fastnetmon.events
+) WHERE rn <= 2
+"""
+
+
+@query(
+    "ch_sql_window_topn",
+    """
+    SELECT event_type, event_id, CAST(rn AS INT) AS rn FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value DESC, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn <= 2
+    """,
+)
+def ch_sql_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_WINDOW_SQL, _tables(spark, sf_dir, "events"))

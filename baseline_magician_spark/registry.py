@@ -70,7 +70,7 @@ _loaded = False
 #   deterministic-hash machinery in-window), pivot_quantity_by_status,
 #   cube_revenue_by_flag_status (rollup_totals + ch_sql_with_totals
 #   keep the grouping-sets machinery in-window),
-#   unpivot_lineitem_measures.
+#   unpivot_lineitem_measures, json_props_stats.
 _PRIORITY: tuple[str, ...] = (
     # fixed this round (the only red row of round 2 + the CMS rewrite)
     "q12_late_shipment_priority",
@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_union_all",
     "ch_sql_array_join_tokens",
     "ch_sql_distinct_prewhere",
+    "ch_sql_window_topn",
     # new this round: PII scrubbing, product quantization, semantic dedup
     "text_pii_redaction",
     "similarity_pq_codes",
@@ -122,7 +123,6 @@ _PRIORITY: tuple[str, ...] = (
     # skew_salted_join_event_types keeps the salting path in-window)
     "skew_salted_join_event_types",
     "exact_percentiles_by_type",
-    "json_props_stats",
     # r1-only rotation: sampling family
     "sample_quota_per_source",
     "sample_mixture_plan",

@@ -918,3 +918,42 @@ def test_global_all_join_ok_any_rejected(spark):
             "SELECT t.id AS id FROM t GLOBAL ANY JOIN u ON t.id = u.id",
             {"t": t, "u": u},
         )
+
+
+def test_window_functions_and_derived_tables(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 7.0), (3, "a", 6.0),
+         (4, "b", 1.0), (5, "b", 3.0)],
+        "id long, g string, v double",
+    )
+    rows = run_ch_query(
+        "SELECT g, id FROM (SELECT g, id, row_number() OVER ("
+        "PARTITION BY g ORDER BY v DESC, id) AS rn FROM t) "
+        "WHERE rn = 1 ORDER BY g",
+        {"t": t},
+    ).collect()
+    assert [(r["g"], r["id"]) for r in rows] == [("a", 2), ("b", 5)]
+    # windowed aggregate + offset function
+    rows = run_ch_query(
+        "SELECT id, sum(v) OVER (PARTITION BY g) AS gv, "
+        "lag(v, 1) OVER (ORDER BY id) AS pv FROM t ORDER BY id",
+        {"t": t},
+    ).collect()
+    assert rows[0]["gv"] == 18.0 and rows[0]["pv"] is None
+    assert rows[1]["pv"] == 5.0
+    # running sum (default frame: unbounded preceding .. current row)
+    rows = run_ch_query(
+        "SELECT id, sum(v) OVER (ORDER BY id) AS rv FROM t ORDER BY id",
+        {"t": t},
+    ).collect()
+    assert [r["rv"] for r in rows] == [5.0, 12.0, 18.0, 19.0, 22.0]
+    # derived table as a JOIN side
+    rows = run_ch_query(
+        "SELECT a.g AS g, b.mx AS mx FROM t a JOIN "
+        "(SELECT g, max(v) AS mx FROM t GROUP BY g) b ON a.g = b.g "
+        "WHERE a.id = 4",
+        {"t": t},
+    ).collect()
+    assert [(r["g"], r["mx"]) for r in rows] == [("b", 3.0)]

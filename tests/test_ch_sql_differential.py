@@ -114,10 +114,23 @@ def _gen_setop_query(rng: random.Random) -> str:
     return f"{a} {op} {b}"
 
 
+def _gen_window_query(rng: random.Random) -> str:
+    # per-key top-n via row_number in a derived table — deterministic
+    # ordering (value ties broken by event_id); CAST matches DuckDB's
+    # BIGINT row_number vs Spark's INT
+    n = rng.randint(1, 3)
+    return (
+        "SELECT event_type, event_id, CAST(rn AS BIGINT) AS rn FROM ("
+        "SELECT event_type, event_id, row_number() OVER ("
+        "PARTITION BY event_type ORDER BY value DESC, event_id) AS rn "
+        f"FROM events{_where(rng)}) WHERE rn <= {n}"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
     return rng.choice(
         [_gen_agg_query, _gen_agg_query, _gen_distinct_query,
-         _gen_order_limit_query, _gen_setop_query]
+         _gen_order_limit_query, _gen_setop_query, _gen_window_query]
     )(rng)
 
 
