@@ -246,7 +246,11 @@ class _Parser:
                 desc = False
                 if self.peek_kw() in ("asc", "desc"):
                     desc = self.next().lower() == "desc"
-                order.append((node, desc))
+                nulls_first = None
+                if self.peek_kw() == "nulls":
+                    self.next()
+                    nulls_first = self.next().lower() == "first"
+                order.append((node, desc, nulls_first))
                 if self.peek() != ",":
                     break
                 self.next()
@@ -471,8 +475,8 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         if order:
             spec = spec.orderBy(
                 *[
-                    (_compile(on, env).desc() if d else _compile(on, env).asc())
-                    for on, d in order
+                    _sort_col(_compile(on, env), d, nf)
+                    for on, d, nf in order
                 ]
             )
         return col.over(spec)
@@ -582,6 +586,16 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             "<>": lambda: left != right,
         }[op]()
     raise ValueError(f"cannot compile node {node!r}")
+
+
+def _sort_col(c: Column, desc: bool, nulls_first: bool | None) -> Column:
+    """Directional sort column with CH null placement: NULLS LAST by
+    default in BOTH directions (ClickHouse and DuckDB defaults), unlike
+    Spark's asc()=nulls-first — explicit NULLS FIRST/LAST overrides."""
+    nf = bool(nulls_first)
+    if desc:
+        return c.desc_nulls_first() if nf else c.desc_nulls_last()
+    return c.asc_nulls_first() if nf else c.asc_nulls_last()
 
 
 # ANSI CAST type-name -> Spark type-name (pass-through for names that
@@ -925,7 +939,7 @@ def _exec_select(
         p.next()
         having_node = p.parse_expr()
 
-    order_nodes: list[tuple[_Node, bool]] = []
+    order_nodes: list[tuple[_Node, bool, bool | None]] = []
     if p.peek_kw() == "order":
         p.next()
         p.expect("by")
@@ -934,7 +948,11 @@ def _exec_select(
             desc = False
             if p.peek_kw() in ("asc", "desc"):
                 desc = p.next().lower() == "desc"
-            order_nodes.append((node, desc))
+            nulls_first = None
+            if p.peek_kw() == "nulls":
+                p.next()
+                nulls_first = p.next().lower() == "first"
+            order_nodes.append((node, desc, nulls_first))
             if p.peek() != ",":
                 break
             p.next()
@@ -1221,9 +1239,8 @@ def _exec_select(
             return _compile(node, tables)
 
         sort_cols = []
-        for node, desc in order_nodes:
-            c = _order_col(node)
-            sort_cols.append(c.desc() if desc else c.asc())
+        for node, desc, nulls_first in order_nodes:
+            sort_cols.append(_sort_col(_order_col(node), desc, nulls_first))
         out = out.orderBy(*sort_cols)
         if limit_by is not None:
             # per-key top-n as ONE row_number window over the (key,

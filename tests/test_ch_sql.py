@@ -957,3 +957,26 @@ def test_window_functions_and_derived_tables(spark):
         {"t": t},
     ).collect()
     assert [(r["g"], r["mx"]) for r in rows] == [("b", 3.0)]
+
+
+def test_order_by_null_placement_matches_ch(spark):
+    """CH (and DuckDB) default to NULLS LAST in both directions; Spark's
+    bare asc() is nulls-first — the compiled sort must use the CH
+    default, with explicit NULLS FIRST/LAST honored."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, g string"
+    )
+    rows = run_ch_query(
+        "SELECT id FROM t ORDER BY g LIMIT 2", {"t": t}
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 3]  # NULL g sorts last
+    rows = run_ch_query(
+        "SELECT id FROM t ORDER BY g DESC LIMIT 2", {"t": t}
+    ).collect()
+    assert [r["id"] for r in rows] == [3, 1]
+    rows = run_ch_query(
+        "SELECT id FROM t ORDER BY g NULLS FIRST LIMIT 1", {"t": t}
+    ).collect()
+    assert [r["id"] for r in rows] == [2]
