@@ -18,7 +18,7 @@ import pytest
 
 from conftest import SF_ORACLE
 
-N_CASES = 40
+N_CASES = 60
 _INT_COLS = ("event_id", "user_id")
 _STR_VALS = ("click", "view", "purchase", "error")
 
