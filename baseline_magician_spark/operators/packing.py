@@ -114,15 +114,13 @@ def length_bucketed_batches(
     parallel unit at scale; batch ids are dense within each bucket so
     the loader can range-scan them.
     """
-    from pyspark.sql import Window as W
-
     bucketed = df.select(
         F.col(id_col).alias("_id"),
         n_tokens_col.cast("long").alias("_nt"),
     ).withColumn(
         "bucket", (F.col("_nt") / bucket_width).cast("long")
     )
-    w = W.partitionBy("bucket").orderBy("_id")
+    w = Window.partitionBy("bucket").orderBy("_id")
     return (
         bucketed.withColumn(
             "batch_id",

@@ -222,15 +222,35 @@ class _Parser:
         tname = self.next()
         return _Node("in", ("table", negate, tname), (left,))
 
+    def parse_sort_item(self) -> tuple[_Node, bool, bool | None]:
+        """One ORDER BY item: expr [ASC|DESC] [NULLS FIRST|LAST] —
+        shared by the main ORDER BY clause and window specs."""
+        node = self.parse_expr()
+        desc = False
+        if self.peek_kw() in ("asc", "desc"):
+            desc = self.next().lower() == "desc"
+        nulls_first: bool | None = None
+        if self.peek_kw() == "nulls":
+            self.next()
+            placement = self.next().lower()
+            if placement not in ("first", "last"):
+                raise ValueError(
+                    f"expected FIRST or LAST after NULLS, got {placement!r}"
+                )
+            nulls_first = placement == "first"
+        return node, desc, nulls_first
+
     def _parse_over(self, call: _Node) -> _Node:
-        """``fn(args) OVER ([PARTITION BY e, ...] [ORDER BY e [DESC],
-        ...])`` — the window-function surface (CH supports standard
-        OVER since 21.x). The window node's value is the inner call;
-        args pack (n_partition, partition..., (order, desc)...)."""
+        """``fn(args) OVER ([PARTITION BY e, ...] [ORDER BY e [DESC]
+        [NULLS FIRST|LAST], ...])`` — the window-function surface (CH
+        supports standard OVER since 21.x). The window node carries
+        ``value = (call_node, partition_node_tuple, sort_item_tuple)``
+        with empty ``args``; each sort item is (node, desc,
+        nulls_first)."""
         self.next()  # OVER
         self.expect("(")
         part: list[_Node] = []
-        order: list[tuple[_Node, bool]] = []
+        order: list[tuple[_Node, bool, bool | None]] = []
         if self.peek_kw() == "partition":
             self.next()
             self.expect("by")
@@ -242,15 +262,7 @@ class _Parser:
             self.next()
             self.expect("by")
             while True:
-                node = self.parse_expr()
-                desc = False
-                if self.peek_kw() in ("asc", "desc"):
-                    desc = self.next().lower() == "desc"
-                nulls_first = None
-                if self.peek_kw() == "nulls":
-                    self.next()
-                    nulls_first = self.next().lower() == "first"
-                order.append((node, desc, nulls_first))
+                order.append(self.parse_sort_item())
                 if self.peek() != ",":
                     break
                 self.next()
@@ -463,10 +475,10 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             col = F.ntile(int(call.args[0].value))
         elif wname in ("lag", "lead"):
             base = _compile(call.args[0], env)
-            off = int(call.args[1].value) if len(call.args) > 1 else 1
+            off = int(_literal_value(call.args[1])) if len(call.args) > 1 else 1
             fn = F.lag if wname == "lag" else F.lead
             if len(call.args) > 2:
-                col = fn(base, off, call.args[2].value)
+                col = fn(base, off, _literal_value(call.args[2]))
             else:
                 col = fn(base, off)
         else:
@@ -586,6 +598,25 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             "<>": lambda: left != right,
         }[op]()
     raise ValueError(f"cannot compile node {node!r}")
+
+
+def _literal_value(node: _Node):
+    """Driver-side value of a LITERAL parse node — num/str directly,
+    plus the unary-minus shape (``-1`` parses as ``0 - num``). Anything
+    else is a clear error rather than a silently-wrong literal."""
+    if node.kind in ("num", "str"):
+        return node.value
+    if (
+        node.kind == "bin"
+        and node.value == "-"
+        and node.args[0].kind == "num"
+        and node.args[0].value in (0, 0.0)
+        and node.args[1].kind == "num"
+    ):
+        return -node.args[1].value
+    raise ValueError(
+        "expected a literal argument (number or string), got an expression"
+    )
 
 
 def _sort_col(c: Column, desc: bool, nulls_first: bool | None) -> Column:
@@ -944,15 +975,7 @@ def _exec_select(
         p.next()
         p.expect("by")
         while True:
-            node = p.parse_expr()
-            desc = False
-            if p.peek_kw() in ("asc", "desc"):
-                desc = p.next().lower() == "desc"
-            nulls_first = None
-            if p.peek_kw() == "nulls":
-                p.next()
-                nulls_first = p.next().lower() == "first"
-            order_nodes.append((node, desc, nulls_first))
+            order_nodes.append(p.parse_sort_item())
             if p.peek() != ",":
                 break
             p.next()

@@ -98,12 +98,10 @@ BATCH_SIZE = 8
 
 
 def _bucketed_batches_oracle() -> str:
-    from ..functions.hashing import tokens_duckdb
-
-    tok = tokens_duckdb("text")
     return f"""
     WITH d AS (
-      SELECT doc_id, CAST(len({tok}) AS BIGINT) AS nt FROM documents
+      SELECT doc_id, CAST(len({tokens_duckdb("text")}) AS BIGINT) AS nt
+      FROM documents
     ),
     b AS (
       SELECT doc_id, nt,

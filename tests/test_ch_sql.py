@@ -980,3 +980,28 @@ def test_order_by_null_placement_matches_ch(spark):
         "SELECT id FROM t ORDER BY g NULLS FIRST LIMIT 1", {"t": t}
     ).collect()
     assert [r["id"] for r in rows] == [2]
+
+
+def test_lag_negative_literal_default(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id long, v double")
+    rows = run_ch_query(
+        "SELECT id, lag(v, 1, -1) OVER (ORDER BY id) AS pv FROM t "
+        "ORDER BY id",
+        {"t": t},
+    ).collect()
+    assert [r["pv"] for r in rows] == [-1.0, 5.0]
+    with pytest.raises(ValueError, match="literal argument"):
+        run_ch_query(
+            "SELECT lag(v, 1, v + 1) OVER (ORDER BY id) AS x FROM t",
+            {"t": t},
+        )
+
+
+def test_nulls_placement_typo_rejected(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, "a")], "id long, g string")
+    with pytest.raises(ValueError, match="FIRST or LAST"):
+        run_ch_query("SELECT id FROM t ORDER BY g NULLS FRIST", {"t": t})
