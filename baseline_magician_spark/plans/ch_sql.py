@@ -309,6 +309,18 @@ class _Parser:
             return _Node("star")
         if t.lower() == "null":
             return _Node("str", None)  # typed-null literal (F.lit(None))
+        if t.lower() == "exists" and self.peek() == "(":
+            # uncorrelated EXISTS (SELECT ...): materialized to a
+            # boolean literal at compile time (limit-1 probe), like the
+            # scalar-subquery path; correlated EXISTS is a semi-join —
+            # express it as JOIN/IN instead
+            self.next()
+            self.expect("select")
+            # rewind so _exec_select sees its leading SELECT
+            self.i -= 1
+            sub = _exec_select(self, self.tables, self.broadcast_dims)
+            self.expect(")")
+            return _Node("exists", sub)
         if t.lower() == "cast" and self.peek() == "(":
             # ANSI CAST(expr AS TYPE) — CH accepts it alongside its
             # to*() spellings; DECIMAL takes optional (p, s)
@@ -452,6 +464,10 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         return F.lit(node.memo[0])
     if node.kind == "cast":
         return _compile(node.args[0], env).cast(str(node.value))
+    if node.kind == "exists":
+        if node.memo is None:
+            node.memo = len(node.value.limit(1).collect()) > 0
+        return F.lit(node.memo)
     if node.kind == "window":
         # fn(args) OVER (...): ranking/offset functions map to their
         # Spark builders; anything else (sum/avg/count/...) compiles as

@@ -1005,3 +1005,26 @@ def test_nulls_placement_typo_rejected(spark):
     t = spark.createDataFrame([(1, "a")], "id long, g string")
     with pytest.raises(ValueError, match="FIRST or LAST"):
         run_ch_query("SELECT id FROM t ORDER BY g NULLS FRIST", {"t": t})
+
+
+def test_uncorrelated_exists(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, "a"), (2, "b")], "id long, g string")
+    rows = run_ch_query(
+        "SELECT id FROM t WHERE EXISTS (SELECT id FROM t WHERE g = 'a') "
+        "ORDER BY id",
+        {"t": t},
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 2]
+    rows = run_ch_query(
+        "SELECT id FROM t WHERE NOT EXISTS "
+        "(SELECT id FROM t WHERE g = 'zzz') ORDER BY id",
+        {"t": t},
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 2]
+    rows = run_ch_query(
+        "SELECT id FROM t WHERE EXISTS (SELECT id FROM t WHERE g = 'zzz')",
+        {"t": t},
+    ).collect()
+    assert rows == []
