@@ -402,3 +402,65 @@ def audio_window_rms(media: DataFrame, window: int = AUDIO_WINDOW) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         rms, schema=out_schema
     )
+
+
+SCENE_CUT_THRESHOLD = 110.5  # mean abs inter-frame byte delta (splits the synthetic corpus ~50/50 so the flag carries signal)
+
+
+def frame_deltas(
+    media: DataFrame, threshold: float = SCENE_CUT_THRESHOLD
+) -> DataFrame:
+    """Inter-frame deltas + scene-cut flags over a video payload — the
+    keyframe-selection primitive: frame k's delta is the mean absolute
+    byte difference against frame k-1, and a delta above ``threshold``
+    marks a cut (where a sampler would emit a keyframe).
+
+    One narrow Arrow stage; per-frame sums via ``np.add.reduceat``
+    (sequential within each segment — the order the SQL oracle's fold
+    replays). Frame 0 has no predecessor and emits no row.
+    """
+    ensure_shipped(media.sparkSession)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("delta", T.DoubleType()),
+            T.StructField("is_cut", T.BooleanType()),
+        ]
+    )
+
+    def deltas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            vals: list[float] = []
+            cuts: list[bool] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                n_f = len(a) // FRAME_BYTES
+                if n_f < 2:
+                    continue
+                frames = a[: n_f * FRAME_BYTES]
+                diff = np.abs(
+                    frames[FRAME_BYTES:] - frames[:-FRAME_BYTES]
+                )
+                sums = np.add.reduceat(
+                    diff, np.arange(0, len(diff), FRAME_BYTES)
+                )
+                d = np.floor(sums / FRAME_BYTES * 10000.0) / 10000.0
+                ids.extend([int(doc_id)] * (n_f - 1))
+                idxs.extend(range(1, n_f))
+                vals.extend(float(x) for x in d)
+                cuts.extend(bool(x > threshold) for x in d)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "delta": vals,
+                    "is_cut": cuts,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        deltas, schema=out_schema
+    )

@@ -129,3 +129,37 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _media(spark, sf_dir)
     audio = media.where(F.col("meta.media_type") == "audio")
     return audio_window_rms(audio)
+
+
+def _frame_deltas_oracle() -> str:
+    from ..operators.multimodal import SCENE_CUT_THRESHOLD
+
+    f = FRAME_BYTES
+    max_f = (LEN_BASE + LEN_MOD - 1) // f + 1
+    byte_at = lambda pos: f"CAST((doc_id*{BYTE_A} + ({pos})*{BYTE_B} + {BYTE_C}) % 256 AS DOUBLE)"  # noqa: E731
+    return f"""
+    WITH d AS (
+      SELECT doc_id, k,
+        floor(list_sum(list_transform(range(0, {f}),
+          j -> abs({byte_at(f'k*{f}+j')} - {byte_at(f'(k-1)*{f}+j')})))
+          / {f} * 10000) / 10000 AS delta
+      FROM documents CROSS JOIN range(0, {max_f}) t(k)
+      WHERE doc_id % 3 = 2 AND k >= 1 AND k < {_LEN} // {f}
+    )
+    SELECT doc_id, CAST(k AS INT) AS frame_idx, delta,
+           delta > {SCENE_CUT_THRESHOLD} AS is_cut
+    FROM d
+    """
+
+
+@query("multimodal_frame_deltas", _frame_deltas_oracle())
+def multimodal_frame_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-frame deltas + scene-cut flags over the video subset — the
+    keyframe-selection primitive (sample at cuts instead of every Nth
+    frame). Filter to video BEFORE the Arrow stage; the oracle replays
+    the identical per-frame arithmetic from the shared byte formula."""
+    from ..operators.multimodal import frame_deltas
+
+    media = _media(spark, sf_dir)
+    video = media.where(F.col("meta.media_type") == "video")
+    return frame_deltas(video)

@@ -70,7 +70,9 @@ _loaded = False
 #   deterministic-hash machinery in-window), pivot_quantity_by_status,
 #   cube_revenue_by_flag_status (rollup_totals + ch_sql_with_totals
 #   keep the grouping-sets machinery in-window),
-#   unpivot_lineitem_measures, json_props_stats.
+#   unpivot_lineitem_measures, json_props_stats,
+#   exact_percentiles_by_type (approx_distinct_and_quantiles keeps the
+#   percentile machinery in-window via registration order).
 _PRIORITY: tuple[str, ...] = (
     # fixed this round (the only red row of round 2 + the CMS rewrite)
     "q12_late_shipment_priority",
@@ -111,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_decode_stats",
     "multimodal_frame_sample",
     "multimodal_audio_window_rms",
+    "multimodal_frame_deltas",
     "asof_join_latest_order",
     "profile_orders_table",
     # r1-only rotation: relational/window family
@@ -122,7 +125,6 @@ _PRIORITY: tuple[str, ...] = (
     # (skew_salted_distinct_users rotates back in round 4 — its sibling
     # skew_salted_join_event_types keeps the salting path in-window)
     "skew_salted_join_event_types",
-    "exact_percentiles_by_type",
     # r1-only rotation: sampling family
     "sample_quota_per_source",
     "sample_mixture_plan",
