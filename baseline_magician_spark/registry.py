@@ -71,8 +71,9 @@ _loaded = False
 #   cube_revenue_by_flag_status (rollup_totals + ch_sql_with_totals
 #   keep the grouping-sets machinery in-window),
 #   unpivot_lineitem_measures, json_props_stats,
-#   exact_percentiles_by_type (approx_distinct_and_quantiles keeps the
-#   percentile machinery in-window via registration order).
+#   exact_percentiles_by_type (its sibling
+#   approx_distinct_and_quantiles was r2-green; both rotate back in
+#   round 4).
 _PRIORITY: tuple[str, ...] = (
     # fixed this round (the only red row of round 2 + the CMS rewrite)
     "q12_late_shipment_priority",
