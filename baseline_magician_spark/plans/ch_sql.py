@@ -9,12 +9,31 @@ The reference builds one SQL string per network (main.go:238-279):
       AND (IPv4StringToNum(host) >= IPv4StringToNum('a.b.c.d')
            and IPv4StringToNum(host) <= IPv4StringToNum('a.b.c.d') + N)
 
-This module parses exactly that dialect subset — select list of
-function calls / casts / columns / literals, ``FROM db.table``, a WHERE
-tree of and/or/comparisons/arithmetic, optional GROUP BY — and compiles
-it onto a DataFrame using the CH function shims
+This module parses that dialect — grown well past the generated
+subset — and compiles it onto a DataFrame using the CH function shims
 (functions.ch_compat.CH_FUNCTIONS). A user of the reference can feed
-the engine the very SQL text their tool already generates.
+the engine the very SQL text their tool already generates, plus the
+hand-written queries a CH user actually runs. Current surface:
+
+- SELECT [DISTINCT] items / * / alias.* / CASE WHEN / CAST(x AS T) /
+  NULL literals, FROM db.table or derived tables ``(SELECT ...)``,
+  JOINs (inner/left/right/full/cross, GLOBAL and ALL modifiers, ANY
+  rejected explicitly), ARRAY JOIN / LEFT ARRAY JOIN, PREWHERE (base-
+  table scope), WHERE, GROUP BY [WITH TOTALS], HAVING (alias-aware),
+  ORDER BY [ASC|DESC] [NULLS FIRST|LAST] (CH nulls-last default),
+  LIMIT [offset,] n [BY exprs], OFFSET;
+- expressions: and/or/not, comparisons, [NOT] IN (list | subquery |
+  external table), [NOT] BETWEEN, [NOT] LIKE, IS [NOT] NULL,
+  arithmetic incl. %, scalar subqueries, uncorrelated EXISTS, window
+  functions ``fn(...) OVER ([PARTITION BY ...] [ORDER BY ...])``;
+- statement level: WITH CTEs, UNION ALL/DISTINCT, INTERSECT/EXCEPT
+  (CH ALL-default, INTERSECT precedence), trailing SETTINGS (validated
+  + recorded, query-scoped) and FORMAT; ?/@name parameter binding with
+  the reference driver's exact recognition rules (plans/ch_bind.py).
+
+Cross-checked two ways: oracle-paired queries in queries/ch_sql_q.py
+and the seeded differential fuzz (tests/test_ch_sql_differential.py)
+running the same text on DuckDB.
 
 ClickHouse type quirk honored: ``DateTime - integer`` is seconds
 arithmetic (now() - 604800), so subtraction/addition where one side is
