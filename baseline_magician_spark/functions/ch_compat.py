@@ -118,6 +118,13 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "minIf": lambda c, cond: F.min(F.when(cond, c)),
     "maxIf": lambda c, cond: F.max(F.when(cond, c)),
     "quantileExact": lambda c, q=0.5: F.percentile(c, F.lit(q)),
+    # multi-level parametric forms: quantiles(0.25, 0.5)(x) -> array
+    "quantiles": lambda c, *qs: F.percentile_approx(
+        c, list(qs) if qs else [0.5]
+    ),
+    "quantilesExact": lambda c, *qs: F.percentile(
+        c, F.array(*[F.lit(q) for q in (qs or (0.5,))])
+    ),
     "groupArray": F.collect_list,
     "groupUniqArray": F.collect_set,
     "argMax": lambda c, by: F.max_by(c, by),

@@ -16,16 +16,21 @@ the engine the very SQL text their tool already generates, plus the
 hand-written queries a CH user actually runs. Current surface:
 
 - SELECT [DISTINCT] items / * / alias.* / CASE WHEN / CAST(x AS T) /
-  NULL literals, FROM db.table or derived tables ``(SELECT ...)``,
-  JOINs (inner/left/right/full/cross, GLOBAL and ALL modifiers, ANY
-  rejected explicitly), ARRAY JOIN / LEFT ARRAY JOIN, PREWHERE (base-
-  table scope), WHERE, GROUP BY [WITH TOTALS], HAVING (alias-aware),
-  ORDER BY [ASC|DESC] [NULLS FIRST|LAST] (CH nulls-last default),
+  NULL literals, FROM db.table or derived tables ``(SELECT ...)``
+  [SAMPLE f] (deterministic first-column hash sampling), JOINs
+  (inner/left/right/full/cross, ON or USING, GLOBAL and ALL modifiers,
+  ANY rejected explicitly), ASOF [LEFT] JOIN (interval-ized right
+  side), ARRAY JOIN / LEFT ARRAY JOIN, PREWHERE (base-table scope),
+  WHERE, GROUP BY [WITH TOTALS|ROLLUP|CUBE], HAVING (alias-aware),
+  ORDER BY [ASC|DESC] [NULLS FIRST|LAST] (CH nulls-last default)
+  [WITH FILL [FROM a] [TO b] [STEP s]] [INTERPOLATE (c [AS expr])],
   LIMIT [offset,] n [BY exprs], OFFSET;
 - expressions: and/or/not, comparisons, [NOT] IN (list | subquery |
   external table), [NOT] BETWEEN, [NOT] LIKE, IS [NOT] NULL,
-  arithmetic incl. %, scalar subqueries, uncorrelated EXISTS, window
-  functions ``fn(...) OVER ([PARTITION BY ...] [ORDER BY ...])``;
+  arithmetic incl. %, scalar subqueries, uncorrelated EXISTS
+  (correlated subqueries are rejected, as in the reference's CH era),
+  parametric aggregates ``quantile(0.9)(x)`` / ``quantiles(...)()``,
+  window functions ``fn(...) OVER ([PARTITION BY ...] [ORDER BY ...])``;
 - statement level: WITH CTEs, UNION ALL/DISTINCT, INTERSECT/EXCEPT
   (CH ALL-default, INTERSECT precedence), trailing SETTINGS (validated
   + recorded, query-scoped) and FORMAT; ?/@name parameter binding with
@@ -52,10 +57,19 @@ from ..functions.ch_compat import CH_FUNCTIONS
 
 _AGGS = {
     "count", "avg", "max", "min", "sum", "any", "uniq", "uniqexact",
-    "quantile", "quantileexact", "countif", "sumif", "avgif", "minif",
+    "quantile", "quantileexact", "quantiles", "quantilesexact",
+    "countif", "sumif", "avgif", "minif",
     "maxif", "grouparray", "groupuniqarray", "argmax", "argmin",
     # grouped-agg pandas UDAFs (functions/udaf.py, SURVEY §2.10)
     "weightedavg", "geometricmean",
+}
+
+# CH parametric-aggregate families — ``fn(params)(args)`` spelling,
+# e.g. quantile(0.9)(x), quantiles(0.25, 0.5, 0.75)(x). The params are
+# levels: driver literals by definition, so the compile path passes
+# them through as Python floats (percentile levels must be foldable).
+_PARAMETRIC_AGGS = {
+    "quantile", "quantileexact", "quantiles", "quantilesexact",
 }
 
 _TOKEN = re.compile(
@@ -408,6 +422,18 @@ class _Parser:
                     args.append(self.parse_expr())
             self.expect(")")
             call = _Node("call", t, tuple(args))
+            if t.lower() in _PARAMETRIC_AGGS and self.peek() == "(":
+                # parametric aggregate fn(levels)(args): the first list
+                # holds the quantile levels, the second the aggregated
+                # expression — reordered to the shim signature
+                # fn(arg, *levels)
+                self.next()
+                inner = [self.parse_expr()]
+                while self.peek() == ",":
+                    self.next()
+                    inner.append(self.parse_expr())
+                self.expect(")")
+                call = _Node("call", t, tuple(inner) + tuple(args))
             if self.peek_kw() == "over":
                 return self._parse_over(call)
             return call
@@ -596,6 +622,13 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         fn = CH_FUNCTIONS.get(name) or CH_FUNCTIONS.get(lname)
         if fn is None:
             raise ValueError(f"unknown function {name!r}")
+        if lname in _PARAMETRIC_AGGS and len(node.args) > 1:
+            # quantile levels ride as trailing literal args — Spark's
+            # percentile functions need foldable levels, so they pass
+            # through as Python floats, not lit Columns
+            first = _compile(node.args[0], env)
+            levels = [float(_literal_value(a)) for a in node.args[1:]]
+            return fn(first, *levels)
         # some shims need DRIVER-LITERAL arguments (a date-part name, a
         # split separator, a regex whose group count must be inspected)
         # — pass string literals at those positions through as Python
@@ -689,6 +722,7 @@ _RESERVED = {
     "prewhere", "array", "intersect", "except", "settings", "format",
     "global", "between", "like", "is", "null",
     "case", "when", "then", "else", "end",
+    "sample", "asof", "with", "interpolate",
 }
 
 
@@ -843,6 +877,130 @@ def run_ch_query(
     return out
 
 
+def _and_conjuncts(node: _Node) -> list[_Node]:
+    """Flatten a top-level AND tree into its conjuncts."""
+    if node.kind == "bin" and node.value == "and":
+        return _and_conjuncts(node.args[0]) + _and_conjuncts(node.args[1])
+    return [node]
+
+
+def _asof_join(
+    df: DataFrame,
+    right0: DataFrame,
+    ralias: str,
+    cond: _Node | tuple | None,
+    how: str,
+    tables: dict[str, DataFrame] | None,
+    broadcast_dims: bool,
+) -> DataFrame:
+    """CH ASOF JOIN: per equality-key group, match each left row to the
+    closest right row satisfying the timestamp inequality (``l.ts >=
+    r.ts`` = latest-at-or-before; ``>``, ``<=``, ``<`` variants too).
+
+    Compiled by INTERVAL-IZING the right side: ``lead(ts)`` (or ``lag``
+    for the <= / < direction) over (partition by right keys, order by
+    ts) bounds each right row's validity window, after which the asof
+    match is an ordinary equi-join on the keys with a range residual —
+    each left row matches at most one right row, no row explosion. The
+    join stays declarative (hash or sort-merge on the equality keys,
+    AQE-eligible, broadcastable); ``operators/asof_join.py`` documents
+    the union+window linear alternative the dedicated operator path
+    uses. Rows tied on (key, ts) on the right resolve to the window
+    order's last — supply unique (key, ts) for determinism, as in CH.
+
+    ON-clause contract: plain column refs, at least one ``l.k = r.k``
+    equality, exactly one inequality between the two timestamps.
+    """
+    if cond is None or isinstance(cond, tuple):
+        raise ValueError("ASOF JOIN requires an ON condition")
+
+    def _is_right(n: _Node) -> bool:
+        return (
+            n.kind == "col"
+            and "." in str(n.value)
+            and str(n.value).split(".", 1)[0] == ralias
+        )
+
+    def _bare(n: _Node) -> str:
+        return str(n.value).rsplit(".", 1)[-1]
+
+    eqs: list[_Node] = []
+    ineqs: list[_Node] = []
+    for c in _and_conjuncts(cond):
+        if c.kind == "bin" and c.value == "=":
+            eqs.append(c)
+        elif c.kind == "bin" and c.value in (">=", ">", "<=", "<"):
+            ineqs.append(c)
+        else:
+            raise ValueError(
+                "ASOF ON supports only key equalities and one "
+                "timestamp inequality"
+            )
+    if len(ineqs) != 1 or not eqs:
+        raise ValueError(
+            "ASOF ON needs >=1 equality and exactly one inequality"
+        )
+    ineq = ineqs[0]
+    a, b = ineq.args
+    if not (a.kind == "col" and b.kind == "col"):
+        raise ValueError("ASOF inequality sides must be column refs")
+    if _is_right(b) and not _is_right(a):
+        lts, rts, op = a, b, str(ineq.value)
+    elif _is_right(a) and not _is_right(b):
+        flip = {">=": "<=", ">": "<", "<=": ">=", "<": ">"}
+        lts, rts, op = b, a, flip[str(ineq.value)]
+    else:
+        raise ValueError(
+            "ASOF inequality must compare a left and a right column"
+        )
+
+    rkeys_bare: list[str] = []
+    for e in eqs:
+        ka, kb = e.args
+        if _is_right(ka) and not _is_right(kb):
+            rk = ka
+        elif _is_right(kb) and not _is_right(ka):
+            rk = kb
+        else:
+            raise ValueError(
+                "ASOF equality must pair a left and a right column"
+            )
+        if not (ka.kind == "col" and kb.kind == "col"):
+            raise ValueError("ASOF key sides must be column refs")
+        rkeys_bare.append(_bare(rk))
+
+    from pyspark.sql import Window as _W
+
+    rts_bare = _bare(rts)
+    w = _W.partitionBy(*[F.col(k) for k in rkeys_bare]).orderBy(
+        F.col(rts_bare)
+    )
+    edge_fn = F.lead if op in (">=", ">") else F.lag
+    right = right0.withColumn(
+        "_asof_edge", edge_fn(F.col(rts_bare)).over(w)
+    ).alias(ralias)
+    if broadcast_dims:
+        right = F.broadcast(right)
+
+    lts_col = _compile(lts, tables)
+    rts_col = F.col(f"{ralias}.{rts_bare}")
+    edge = F.col(f"{ralias}._asof_edge")
+    rng = {
+        # latest right row with r.ts <= l.ts
+        ">=": (lts_col >= rts_col) & (edge.isNull() | (lts_col < edge)),
+        # latest right row with r.ts <  l.ts
+        ">": (lts_col > rts_col) & (edge.isNull() | (lts_col <= edge)),
+        # earliest right row with r.ts >= l.ts
+        "<=": (lts_col <= rts_col) & (edge.isNull() | (lts_col > edge)),
+        # earliest right row with r.ts >  l.ts
+        "<": (lts_col < rts_col) & (edge.isNull() | (lts_col >= edge)),
+    }[op]
+    cond_col = rng
+    for e in eqs:
+        cond_col = _compile(e, tables) & cond_col
+    return df.join(right, on=cond_col, how=how).drop("_asof_edge")
+
+
 def _exec_select(
     p: _Parser,
     tables: dict[str, DataFrame],
@@ -903,7 +1061,27 @@ def _exec_select(
 
     table, table_alias = _table_ref()
 
-    joins: list[tuple[str, str | DataFrame, str | None, _Node | None]] = []
+    # CH SAMPLE k (fraction form): deterministic sampling at the
+    # storage read. CH samples by the table's declared sampling key;
+    # the convention here is the table's FIRST column (the primary key
+    # of every registered table), hashed with the engine's seeded
+    # 60-bit md5 (operators/sampling.py) so membership is stable under
+    # repartitioning and re-runs — the property CH's
+    # intHash32(sampling_key) sampling also guarantees.
+    sample_frac: float | None = None
+    if p.peek_kw() == "sample":
+        p.next()
+        sample_frac = float(p.next())
+        if not (0.0 < sample_frac < 1.0):
+            raise ValueError(
+                "SAMPLE expects a fraction in (0, 1); the approximate "
+                "row-count form (SAMPLE n) is not supported"
+            )
+
+    # join cond: an ON expression node, or ("using", [col, ...])
+    joins: list[
+        tuple[str, str | DataFrame, str | None, _Node | tuple | None]
+    ] = []
     # CH ARRAY JOIN: explode an array expression into rows. Bare-column
     # form REPLACES the column with its elements (CH semantics); AS
     # keeps the source and adds the element column. LEFT ARRAY JOIN
@@ -924,7 +1102,7 @@ def _exec_select(
 
     while p.peek_kw() in (
         "inner", "left", "right", "full", "cross", "join", "array",
-        "global",
+        "global", "asof",
     ):
         if p.peek_kw() == "global":
             # GLOBAL: distributed right-side shipping — a no-op on one
@@ -945,6 +1123,11 @@ def _exec_select(
             p.next()
             _array_join_tail(outer=False)
             continue
+        # ASOF [LEFT] JOIN / LEFT ASOF JOIN (both CH spellings)
+        asof = False
+        if p.peek_kw() == "asof":
+            p.next()
+            asof = True
         how = "inner"
         if p.peek_kw() != "join":
             how = p.next().lower()
@@ -952,17 +1135,43 @@ def _exec_select(
                 p.next()
                 _array_join_tail(outer=True)
                 continue
+            if not asof and p.peek_kw() == "asof":
+                p.next()
+                asof = True
             if p.peek_kw() == "outer":
                 p.next()
+        if asof and how not in ("inner", "left"):
+            raise ValueError("ASOF JOIN supports only inner and LEFT")
         p.expect("join")
         jname, jalias = _table_ref()
-        cond: _Node | None = None
+        cond: _Node | tuple | None = None
         if p.peek_kw() == "on":
             p.next()
             cond = p.parse_expr()
+        elif p.peek_kw() == "using":
+            # JOIN ... USING (k, ...): equi-join on shared column
+            # names; the output keeps ONE copy of each key column
+            # (Spark's list-on join = CH USING dedup semantics)
+            p.next()
+            paren = p.peek() == "("
+            if paren:
+                p.next()
+            ucols = [p.next()]
+            while p.peek() == ",":
+                p.next()
+                ucols.append(p.next())
+            if paren:
+                p.expect(")")
+            cond = ("using", ucols)
         elif how != "cross":
-            raise ValueError(f"JOIN {jname} requires ON")
-        joins.append((how, jname, jalias, cond))
+            raise ValueError(f"JOIN {jname} requires ON or USING")
+        if asof and isinstance(cond, tuple):
+            raise ValueError(
+                "ASOF JOIN requires ON with explicit key equalities "
+                "and one timestamp inequality (USING form not "
+                "supported)"
+            )
+        joins.append((("asof_" + how) if asof else how, jname, jalias, cond))
 
     # PREWHERE: CH's manual two-stage filter (evaluate a cheap
     # predicate on few columns first, then read the rest only for
@@ -981,7 +1190,7 @@ def _exec_select(
         where_node = p.parse_expr()
 
     group_nodes: list[_Node] = []
-    with_totals = False
+    group_modifier: str | None = None
     if p.peek_kw() == "group":
         p.next()
         p.expect("by")
@@ -995,10 +1204,17 @@ def _exec_select(
         # group keys, the same shape the rollup/grouping-sets queries
         # use. Compiled as GROUPING SETS ((keys...), ()) — one pass,
         # detail + grand total only, no intermediate rollup levels.
+        # WITH ROLLUP / WITH CUBE are the CH super-aggregate modifiers
+        # — compiled straight onto Spark's native rollup()/cube()
+        # relational operators (one pass, partial-agg friendly).
         if p.peek_kw() == "with":
             p.next()
-            p.expect("totals")
-            with_totals = True
+            group_modifier = p.next().lower()
+            if group_modifier not in ("totals", "rollup", "cube"):
+                raise ValueError(
+                    "expected TOTALS, ROLLUP or CUBE after GROUP BY "
+                    f"... WITH, got {group_modifier!r}"
+                )
 
     having_node = None
     if p.peek_kw() == "having":
@@ -1006,14 +1222,57 @@ def _exec_select(
         having_node = p.parse_expr()
 
     order_nodes: list[tuple[_Node, bool, bool | None]] = []
+    # ORDER BY x WITH FILL [FROM a] [TO b] [STEP s] — gap-fill the
+    # ordered result over an integer spine; (sort-item index, from, to,
+    # step). INTERPOLATE (col) carries the previous value forward;
+    # INTERPOLATE (col AS const) fills gap rows with a constant.
+    fill_spec: tuple[int, int | None, int | None, int] | None = None
+    interpolate: list[tuple[str, _Node | None]] = []
     if p.peek_kw() == "order":
         p.next()
         p.expect("by")
         while True:
             order_nodes.append(p.parse_sort_item())
+            if p.peek_kw() == "with":
+                p.next()
+                p.expect("fill")
+                if fill_spec is not None:
+                    raise ValueError(
+                        "WITH FILL is supported on one ORDER BY item"
+                    )
+                f_from = f_to = None
+                f_step = 1
+                if p.peek_kw() == "from":
+                    p.next()
+                    f_from = int(_literal_value(p.parse_unary()))
+                if p.peek_kw() == "to":
+                    p.next()
+                    f_to = int(_literal_value(p.parse_unary()))
+                if p.peek_kw() == "step":
+                    p.next()
+                    f_step = int(_literal_value(p.parse_unary()))
+                    if f_step <= 0:
+                        raise ValueError("WITH FILL STEP must be > 0")
+                fill_spec = (len(order_nodes) - 1, f_from, f_to, f_step)
             if p.peek() != ",":
                 break
             p.next()
+        if p.peek_kw() == "interpolate":
+            if fill_spec is None:
+                raise ValueError("INTERPOLATE requires WITH FILL")
+            p.next()
+            p.expect("(")
+            while True:
+                iname = p.next()
+                iexpr: _Node | None = None
+                if p.peek_kw() == "as":
+                    p.next()
+                    iexpr = p.parse_expr()
+                interpolate.append((iname, iexpr))
+                if p.peek() != ",":
+                    break
+                p.next()
+            p.expect(")")
 
     limit_n: int | None = None
     offset_n: int | None = None
@@ -1063,6 +1322,15 @@ def _exec_select(
     # qualified column refs (t.g) resolve whether or not the query
     # aliased the table, like real SQL name scoping
     df = _resolve(table).alias(table_alias or table)
+    if sample_frac is not None:
+        # storage-read-time sampling: one deterministic hash compare,
+        # fully pushed into the scan stage (no shuffle, no RNG state)
+        from ..operators.sampling import HASH_SPACE, hash60
+
+        df = df.where(
+            hash60(F.col(df.columns[0]), "ch_sample")
+            < int(sample_frac * HASH_SPACE)
+        )
     if prewhere_node is not None:
         # PREWHERE filters the STORAGE table before joins and ARRAY
         # JOIN (CH evaluates it on the base table's granules): applied
@@ -1072,11 +1340,19 @@ def _exec_select(
         # column pruning already do to a base-table filter.
         df = df.where(_compile(prewhere_node, tables))
     for how, jname, jalias, cond in joins:
+        if how.startswith("asof_"):
+            df = _asof_join(
+                df, _resolve(jname), jalias or jname, cond,
+                how[len("asof_"):], tables, broadcast_dims,
+            )
+            continue
         right = _resolve(jname).alias(jalias or jname)
         if broadcast_dims:
             right = F.broadcast(right)
         if cond is None:
             df = df.crossJoin(right)
+        elif isinstance(cond, tuple):  # USING (k, ...)
+            df = df.join(right, on=list(cond[1]), how=how)
         else:
             df = df.join(right, on=_compile(cond, tables), how=how)
     for outer, node, alias in array_joins:
@@ -1213,21 +1489,31 @@ def _exec_select(
             key_names = [
                 _group_name(g, i) for i, g in enumerate(group_nodes)
             ]
-            if with_totals:
+            if group_modifier:
                 from pyspark.sql import functions as _F
 
-                # hidden grouping_id tells the totals row (all keys
-                # grouped away = 2^n - 1) apart from detail rows whose
-                # keys are naturally NULL, and lets HAVING filter
+                # hidden grouping_id tells super-aggregate rows (keys
+                # grouped away) apart from detail rows whose keys are
+                # naturally NULL; for TOTALS it also lets HAVING filter
                 # detail only (CH default totals_mode = before_having:
                 # totals ignore HAVING). groupingSets matches set
                 # entries to grouping columns by EXPRESSION equality —
                 # an .alias() wrapper breaks the match — so the keys go
                 # in bare and the output renames positionally (grouping
-                # columns lead the agg output in cols order).
+                # columns lead the agg output in cols order). ROLLUP
+                # and CUBE map to Spark's native relational operators
+                # (same single-pass partial-agg plan shape); their
+                # super-aggregate rows go through HAVING like detail
+                # rows (ANSI — and what the DuckDB oracle does).
                 agg_cols.append(_F.grouping_id().alias("_gid"))
                 bare = [_compile(g, tables) for g in group_nodes]
-                out = df.groupingSets([bare, []], *bare).agg(*agg_cols)
+                if group_modifier == "totals":
+                    grouped = df.groupingSets([bare, []], *bare)
+                elif group_modifier == "rollup":
+                    grouped = df.rollup(*bare)
+                else:
+                    grouped = df.cube(*bare)
+                out = grouped.agg(*agg_cols)
                 agg_names = out.columns[len(bare):]
                 out = out.toDF(*key_names, *agg_names)
             else:
@@ -1244,7 +1530,7 @@ def _exec_select(
             from pyspark.sql import functions as _F
 
             keep = _F.col("_having")
-            if with_totals:
+            if group_modifier == "totals":
                 keep = keep | (
                     _F.col("_gid") == (2 ** len(group_nodes) - 1)
                 )
@@ -1319,6 +1605,76 @@ def _exec_select(
                 .drop("_lby_rn")
                 .orderBy(*sort_cols)
             )
+        if fill_spec is not None:
+            # WITH FILL: join the ordered result against an integer
+            # spine (min..max of the data, overridden by FROM/TO; TO is
+            # exclusive like CH) so gaps become rows with NULL
+            # non-fill columns. The spine is built distributedly from
+            # a 1-row bounds aggregate — sequence + explode, no driver
+            # round-trip. INTERPOLATE (c) forward-fills from the
+            # previous present row (one global-order window — fill
+            # output is a chart-sized spine by construction, so the
+            # single-partition sort is bounded); INTERPOLATE (c AS
+            # const) fills gap rows with the constant.
+            from pyspark.sql import Window as _WF
+
+            fidx, f_from, f_to, f_step = fill_spec
+            fnode = order_nodes[fidx][0]
+            fill_name: str | None = None
+            if fnode.kind == "col" and str(fnode.value) in names:
+                fill_name = str(fnode.value)
+            else:
+                for j, sel in enumerate(select_nodes):
+                    if _node_eq2(sel, fnode):
+                        fill_name = names[j]
+                        break
+            if fill_name is None:
+                raise ValueError(
+                    "WITH FILL column must be a select item"
+                )
+            for iname, _ie in interpolate:
+                if iname not in names:
+                    raise ValueError(
+                        f"INTERPOLATE column {iname!r} is not a "
+                        "select item"
+                    )
+            lo = (
+                F.lit(f_from).cast("long")
+                if f_from is not None
+                else F.col("_dlo")
+            )
+            hi = (
+                F.lit(f_to - 1).cast("long")
+                if f_to is not None
+                else F.col("_dhi")
+            )
+            bounds = out.agg(
+                F.min(F.col(fill_name)).cast("long").alias("_dlo"),
+                F.max(F.col(fill_name)).cast("long").alias("_dhi"),
+            ).select(lo.alias("_lo"), hi.alias("_hi"))
+            spine = bounds.select(
+                F.explode(
+                    F.sequence(F.col("_lo"), F.col("_hi"), F.lit(f_step))
+                ).alias(fill_name)
+            )
+            # full join: spine-only values become gap rows, data rows
+            # outside [FROM, TO) survive (CH keeps them too)
+            filled = spine.join(out, on=fill_name, how="full")
+            for iname, iexpr in interpolate:
+                if iexpr is None:
+                    wf = _WF.orderBy(F.col(fill_name).asc()).rowsBetween(
+                        _WF.unboundedPreceding, _WF.currentRow
+                    )
+                    filled = filled.withColumn(
+                        iname,
+                        F.last(F.col(iname), ignorenulls=True).over(wf),
+                    )
+                else:
+                    filled = filled.withColumn(
+                        iname,
+                        F.coalesce(F.col(iname), _compile(iexpr, tables)),
+                    )
+            out = filled.select(*names).orderBy(*sort_cols)
     elif limit_by is not None:
         raise ValueError(
             "LIMIT BY requires ORDER BY (this engine is deterministic; "

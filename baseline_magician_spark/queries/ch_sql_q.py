@@ -351,3 +351,213 @@ SELECT event_type, event_id, rn FROM (
 )
 def ch_sql_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_WINDOW_SQL, _tables(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# round-3 dialect widening: ASOF JOIN, JOIN USING, GROUP BY WITH
+# ROLLUP/CUBE, parametric quantiles, SAMPLE, ORDER BY ... WITH FILL.
+# Each query runs through run_ch_query and hash-matches plain DuckDB
+# SQL (DuckDB's native ASOF JOIN / ROLLUP / CUBE / generate_series are
+# the oracles).
+
+# ASOF LEFT JOIN: classic click->purchase attribution — for every
+# purchase, the latest click by the same user at or before the purchase
+# timestamp. The right side is pre-deduped to one row per (user, ts)
+# so the asof winner is deterministic in both engines.
+_ASOF_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+       c.click_id AS click_id
+FROM (SELECT event_id, ts, user_id FROM fastnetmon.events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id
+                FROM fastnetmon.events WHERE event_type = 'click'
+                GROUP BY user_id, ts) c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id
+"""
+
+
+@query(
+    "ch_sql_asof_attribution",
+    """
+    WITH p AS (SELECT event_id, ts, user_id FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, max(event_id) AS click_id
+               FROM events WHERE event_type = 'click'
+               GROUP BY user_id, ts)
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           c.click_id AS click_id
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY purchase_id
+    """,
+)
+def ch_sql_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_ASOF_SQL, _tables(spark, sf_dir, "events"))
+
+
+# JOIN ... USING over derived tables that align the key name — the
+# output keeps one copy of the key (CH USING dedup = Spark list-on).
+_USING_SQL = """
+SELECT n_name, count(*) AS n_customers
+FROM (SELECT c_custkey, c_nationkey AS nationkey FROM fastnetmon.customer) c
+JOIN (SELECT n_nationkey AS nationkey, n_name FROM fastnetmon.nation) n
+  USING (nationkey)
+GROUP BY n_name
+ORDER BY n_customers DESC, n_name
+"""
+
+
+@query(
+    "ch_sql_join_using",
+    """
+    SELECT n_name, count(*) AS n_customers
+    FROM (SELECT c_custkey, c_nationkey AS nationkey FROM customer) c
+    JOIN (SELECT n_nationkey AS nationkey, n_name FROM nation) n
+      USING (nationkey)
+    GROUP BY n_name
+    ORDER BY n_customers DESC, n_name
+    """,
+)
+def ch_sql_join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        _USING_SQL, _tables(spark, sf_dir, "customer", "nation")
+    )
+
+
+# GROUP BY ... WITH ROLLUP: detail + per-status subtotal + grand total
+# in one pass (Spark native rollup(); DuckDB GROUP BY ROLLUP oracle).
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       toInt64(sum(o_totalprice)) AS revenue
+FROM fastnetmon.orders
+GROUP BY o_orderstatus, o_orderpriority WITH ROLLUP
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@query(
+    "ch_sql_group_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(trunc(sum(o_totalprice)) AS BIGINT) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def ch_sql_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_ROLLUP_SQL, _tables(spark, sf_dir, "orders"))
+
+
+# GROUP BY ... WITH CUBE over two independent dims.
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM fastnetmon.orders
+GROUP BY o_orderstatus, o_orderpriority WITH CUBE
+ORDER BY o_orderstatus, o_orderpriority, n
+"""
+
+
+@query(
+    "ch_sql_group_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus, o_orderpriority, n
+    """,
+)
+def ch_sql_group_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_CUBE_SQL, _tables(spark, sf_dir, "orders"))
+
+
+# parametric-aggregate syntax fn(levels)(arg): exact percentiles so
+# the oracle can hash-match (quantileExact -> Spark percentile(), the
+# same continuous interpolation DuckDB's quantile_cont uses).
+_QUANTILE_SQL = """
+SELECT o_orderstatus,
+       round(quantileExact(0.5)(o_totalprice), 4) AS p50,
+       round(quantileExact(0.9)(o_totalprice), 4) AS p90,
+       round(quantileExact(0.99)(o_totalprice), 4) AS p99
+FROM fastnetmon.orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "ch_sql_parametric_quantiles",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def ch_sql_parametric_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_QUANTILE_SQL, _tables(spark, sf_dir, "orders"))
+
+
+# SAMPLE clause: deterministic storage-level sampling on the table's
+# first column (the registered tables' primary key — this engine's
+# stand-in for CH's declared sampling key). The oracle recomputes the
+# same 60-bit md5 hash (operators/sampling.py:hash60_sql), so the
+# sampled COUNT matches exactly, not statistically.
+_SAMPLE_SQL = """
+SELECT o_orderstatus, count(*) AS n
+FROM fastnetmon.orders SAMPLE 0.25
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+_SAMPLE_ORACLE = """
+SELECT o_orderstatus, count(*) AS n
+FROM orders
+WHERE CAST(('0x' || substr(md5('ch_sample:' ||
+      CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+      < 288230376151711744
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("ch_sql_sample_read", _SAMPLE_ORACLE)
+def ch_sql_sample_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_SAMPLE_SQL, _tables(spark, sf_dir, "orders"))
+
+
+# ORDER BY ... WITH FILL FROM/TO + INTERPOLATE: gap-filled histogram
+# of order totals — empty buckets materialize with n = 0. The spine is
+# sequence+explode over a one-row bounds aggregate (no driver
+# round-trip); the oracle builds the same spine with generate_series.
+_FILL_SQL = """
+SELECT toInt64(floor(o_totalprice / 50000)) AS bucket, count(*) AS n
+FROM fastnetmon.orders
+WHERE o_totalprice > 150000
+GROUP BY toInt64(floor(o_totalprice / 50000))
+ORDER BY bucket WITH FILL FROM 0 TO 12
+INTERPOLATE (n AS 0)
+"""
+
+
+@query(
+    "ch_sql_with_fill",
+    """
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+             count(*) AS n
+      FROM orders WHERE o_totalprice > 150000 GROUP BY 1
+    ), spine AS (
+      SELECT unnest(generate_series(0, 11)) AS bucket
+    )
+    SELECT spine.bucket AS bucket, coalesce(d.n, 0) AS n
+    FROM spine LEFT JOIN d USING (bucket)
+    ORDER BY bucket
+    """,
+)
+def ch_sql_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_FILL_SQL, _tables(spark, sf_dir, "orders"))

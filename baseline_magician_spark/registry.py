@@ -78,10 +78,20 @@ _PRIORITY: tuple[str, ...] = (
     # fixed this round (the only red row of round 2 + the CMS rewrite)
     "q12_late_shipment_priority",
     "text_cms_heavy_hitters",
-    # regression guards: code changed this round (ch_sql/ch_bind)
+    # regression guards: code changed this round (ch_sql/ch_bind).
+    # param_binding + in_external_table rotated out (r2-green, their
+    # code paths untouched by the late-round parser work) to make room
+    # for the never-checked dialect additions below.
     "ch_sql_join_dims",
-    "ch_sql_param_binding",
-    "ch_sql_in_external_table",
+    # new this session: ASOF JOIN, JOIN USING, ROLLUP/CUBE modifiers,
+    # parametric quantiles, SAMPLE, WITH FILL — never driver-checked
+    "ch_sql_asof_attribution",
+    "ch_sql_join_using",
+    "ch_sql_group_rollup",
+    "ch_sql_group_cube",
+    "ch_sql_parametric_quantiles",
+    "ch_sql_sample_read",
+    "ch_sql_with_fill",
     # new this round: WITH TOTALS + extremes + LIMIT BY + UNION ALL
     # surface of the CH front end
     "ch_sql_with_totals",
@@ -101,8 +111,8 @@ _PRIORITY: tuple[str, ...] = (
     "sample_temperature_weights",
     "pipeline_bucketed_batches",
     "text_unigram_lm_scores",
-    # r1-only rotation: dedup + pipeline family
-    "dedup_exact_groups",
+    # r1-only rotation: dedup + pipeline family (dedup_exact_groups
+    # deferred to round 4 — trivially stable single-shuffle op)
     "dedup_minhash_lsh_pairs",
     "dedup_connected_components",
     "dedup_ngram_jaccard_pairs",
@@ -110,25 +120,24 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_keep_best_per_cluster",
     "dedup_incremental_ingest",
     "pipeline_training_export",
-    # r1-only rotation: multimodal + asof + profiling
+    # r1-only rotation: multimodal + asof (frame_sample and
+    # profile_orders_table defer to round 4 — decode_stats covers the
+    # changed decoder seam)
     "multimodal_decode_stats",
-    "multimodal_frame_sample",
     "multimodal_audio_window_rms",
     "multimodal_frame_deltas",
     "asof_join_latest_order",
-    "profile_orders_table",
     # r1-only rotation: relational/window family
     "window_topn_orders_per_segment",
     "window_running_revenue",
     "rollup_totals_by_region_nation",
     "extremes_value_by_type",
-    "semi_anti_join_customers",
     # (skew_salted_distinct_users rotates back in round 4 — its sibling
     # skew_salted_join_event_types keeps the salting path in-window)
     "skew_salted_join_event_types",
-    # r1-only rotation: sampling family
+    # r1-only rotation: sampling family (mixture_plan defers to round
+    # 4 — quota keeps the deterministic-hash machinery in-window)
     "sample_quota_per_source",
-    "sample_mixture_plan",
     # r1-only rotation: similarity family
     "similarity_topk_cosine",
     "similarity_lsh_neardup_pairs",

@@ -1028,3 +1028,269 @@ def test_uncorrelated_exists(spark):
         {"t": t},
     ).collect()
     assert rows == []
+
+
+# ---------------------------------------------------------------------------
+# round-3 session additions: ASOF JOIN, JOIN USING, ROLLUP/CUBE,
+# parametric quantiles, SAMPLE, WITH FILL
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [("A", 3, 100), ("A", 7, 101), ("B", 5, 102), ("C", 1, 103)],
+        "sym string, t long, trade_id long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 3, 11.0), ("A", 6, 12.0),
+         ("B", 2, 20.0), ("B", 9, 21.0)],
+        "sym string, t long, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_join_latest_at_or_before(spark, trades_quotes):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    trades, quotes = trades_quotes
+    out = run_ch_query(
+        "select tr.trade_id as trade_id, q.px as px from trades tr "
+        "asof join quotes q on tr.sym = q.sym and tr.t >= q.t "
+        "order by trade_id",
+        {"trades": trades, "quotes": quotes},
+    ).collect()
+    # A@3 -> quote A@3 (>= includes the tie); A@7 -> A@6; B@5 -> B@2;
+    # C@1 has no quote -> dropped (inner)
+    assert [(r.trade_id, r.px) for r in out] == [
+        (100, 11.0), (101, 12.0), (102, 20.0),
+    ]
+
+
+def test_asof_left_join_keeps_unmatched(spark, trades_quotes):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    trades, quotes = trades_quotes
+    # both CH spellings accepted: ASOF LEFT JOIN and LEFT ASOF JOIN
+    for spelling in ("asof left join", "left asof join"):
+        out = run_ch_query(
+            f"select tr.trade_id as trade_id, q.px as px from trades tr "
+            f"{spelling} quotes q on tr.sym = q.sym and tr.t >= q.t "
+            "order by trade_id",
+            {"trades": trades, "quotes": quotes},
+        ).collect()
+        assert [(r.trade_id, r.px) for r in out] == [
+            (100, 11.0), (101, 12.0), (102, 20.0), (103, None),
+        ]
+
+
+def test_asof_join_strict_excludes_tie(spark, trades_quotes):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    trades, quotes = trades_quotes
+    out = run_ch_query(
+        "select tr.trade_id as trade_id, q.px as px from trades tr "
+        "asof join quotes q on tr.sym = q.sym and tr.t > q.t "
+        "order by trade_id",
+        {"trades": trades, "quotes": quotes},
+    ).collect()
+    # strict >: A@3 now matches A@1, not the tied A@3
+    assert [(r.trade_id, r.px) for r in out] == [
+        (100, 10.0), (101, 12.0), (102, 20.0),
+    ]
+
+
+def test_asof_join_reverse_direction(spark, trades_quotes):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    trades, quotes = trades_quotes
+    out = run_ch_query(
+        "select tr.trade_id as trade_id, q.px as px from trades tr "
+        "asof join quotes q on tr.sym = q.sym and tr.t <= q.t "
+        "order by trade_id",
+        {"trades": trades, "quotes": quotes},
+    ).collect()
+    # earliest at-or-after: A@3 -> A@3, A@7 -> none, B@5 -> B@9, C -> none
+    assert [(r.trade_id, r.px) for r in out] == [
+        (100, 11.0), (102, 21.0),
+    ]
+
+
+def test_asof_join_flipped_operands(spark, trades_quotes):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    trades, quotes = trades_quotes
+    # inequality written right-side-first must normalize identically
+    out = run_ch_query(
+        "select tr.trade_id as trade_id, q.px as px from trades tr "
+        "asof join quotes q on tr.sym = q.sym and q.t <= tr.t "
+        "order by trade_id",
+        {"trades": trades, "quotes": quotes},
+    ).collect()
+    assert [(r.trade_id, r.px) for r in out] == [
+        (100, 11.0), (101, 12.0), (102, 20.0),
+    ]
+
+
+def test_asof_join_rejects_bad_shapes(spark, trades_quotes):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    trades, quotes = trades_quotes
+    tabs = {"trades": trades, "quotes": quotes}
+    with pytest.raises(ValueError, match="USING form not supported"):
+        run_ch_query(
+            "select tr.trade_id from trades tr asof join quotes q "
+            "using (sym, t)", tabs,
+        )
+    with pytest.raises(ValueError, match="exactly one inequality"):
+        run_ch_query(
+            "select tr.trade_id from trades tr asof join quotes q "
+            "on tr.sym = q.sym and tr.t >= q.t and tr.t > q.t", tabs,
+        )
+    with pytest.raises(ValueError, match="only inner and LEFT"):
+        run_ch_query(
+            "select tr.trade_id from trades tr asof full join quotes q "
+            "on tr.sym = q.sym and tr.t >= q.t", tabs,
+        )
+
+
+def test_join_using_dedups_key(spark, trades_quotes):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    trades, quotes = trades_quotes
+    out = run_ch_query(
+        "select sym, count(*) as n from trades join quotes using (sym) "
+        "group by sym order by sym",
+        {"trades": trades, "quotes": quotes},
+    )
+    # key appears ONCE (no ambiguity), counts are the per-key products
+    assert out.columns == ["sym", "n"]
+    assert [(r.sym, r.n) for r in out.collect()] == [("A", 6), ("B", 2)]
+
+
+def test_group_by_with_rollup_and_cube(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame(
+        [("x", "p", 1), ("x", "q", 2), ("y", "p", 4)],
+        "a string, b string, v int",
+    )
+    roll = run_ch_query(
+        "select a, b, sum(v) as s from t group by a, b with rollup "
+        "order by a, b",
+        {"t": df},
+    ).collect()
+    # 3 detail + 2 per-a subtotals + 1 grand total
+    assert len(roll) == 6
+    assert [(r.a, r.b, r.s) for r in roll] == [
+        ("x", "p", 1), ("x", "q", 2), ("x", None, 3),
+        ("y", "p", 4), ("y", None, 4), (None, None, 7),
+    ]
+    cube = run_ch_query(
+        "select a, b, sum(v) as s from t group by a, b with cube "
+        "order by a, b",
+        {"t": df},
+    ).collect()
+    # rollup rows + per-b subtotals
+    assert len(cube) == 8
+    assert (None, "p", 5) in {(r.a, r.b, r.s) for r in cube}
+
+
+def test_rollup_having_filters_all_rows(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", 4)], "a string, v int"
+    )
+    out = run_ch_query(
+        "select a, sum(v) as s from t group by a with rollup "
+        "having sum(v) > 3 order by a",
+        {"t": df},
+    ).collect()
+    # ANSI: super-aggregate rows pass through HAVING like detail rows
+    assert [(r.a, r.s) for r in out] == [("y", 4), (None, 7)]
+
+
+def test_parametric_quantiles_array_form(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "v double")
+    row = run_ch_query(
+        "select quantileExact(0.5)(v) as med, "
+        "quantilesExact(0.25, 0.75)(v) as iqr from t",
+        {"t": df},
+    ).collect()[0]
+    assert row.med == 50.0
+    assert list(row.iqr) == [25.0, 75.0]
+
+
+def test_sample_deterministic_under_repartition(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    a = run_ch_query("select count(*) as n from t sample 0.5", {"t": df})
+    b = run_ch_query(
+        "select count(*) as n from t sample 0.5",
+        {"t": df.repartition(13)},
+    )
+    na, nb = a.collect()[0].n, b.collect()[0].n
+    assert na == nb                      # membership is hash-pure
+    assert 800 < na < 1200               # and roughly the fraction
+    with pytest.raises(ValueError, match="fraction"):
+        run_ch_query("select count(*) from t sample 5", {"t": df})
+
+
+def test_with_fill_defaults_to_data_bounds(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame(
+        [(2, 10), (5, 20), (7, 30)], "k int, v int"
+    )
+    out = run_ch_query(
+        "select k, sum(v) as s from t group by k order by k with fill",
+        {"t": df},
+    ).collect()
+    assert [r.k for r in out] == [2, 3, 4, 5, 6, 7]
+    assert [r.s for r in out] == [10, None, None, 20, None, 30]
+
+
+def test_with_fill_step_and_forward_interpolate(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame(
+        [(0, 10), (6, 20)], "k int, v int"
+    )
+    out = run_ch_query(
+        "select k, sum(v) as s from t group by k "
+        "order by k with fill from 0 to 9 step 2 interpolate (s)",
+        {"t": df},
+    ).collect()
+    # spine 0,2,4,6,8 + the real row at 6; bare INTERPOLATE carries the
+    # previous value forward into gap rows
+    assert [(r.k, r.s) for r in out] == [
+        (0, 10), (2, 10), (4, 10), (6, 20), (8, 20),
+    ]
+
+
+def test_with_fill_keeps_out_of_range_rows(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame([(1, 5), (20, 9)], "k int, v int")
+    out = run_ch_query(
+        "select k, sum(v) as s from t group by k "
+        "order by k with fill from 1 to 4 interpolate (s as 0)",
+        {"t": df},
+    ).collect()
+    # 20 is outside [1, 4) but survives, like CH
+    assert [(r.k, r.s) for r in out] == [
+        (1, 5), (2, 0), (3, 0), (20, 9),
+    ]
+
+
+def test_reserved_words_not_eaten_as_alias(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame([(1,)], "k long")
+    # SAMPLE / WITH after a table ref must not parse as its alias
+    assert run_ch_query(
+        "select count(*) as n from t sample 0.999", {"t": df}
+    ).collect()[0].n in (0, 1)
