@@ -1194,10 +1194,24 @@ def _exec_select(
     if p.peek_kw() == "group":
         p.next()
         p.expect("by")
-        group_nodes.append(p.parse_expr())
-        while p.peek() == ",":
-            p.next()
+        # ANSI spelling GROUP BY ROLLUP (keys) / CUBE (keys) — CH
+        # accepts it alongside its postfix WITH ROLLUP/CUBE form
+        if (
+            p.peek_kw() in ("rollup", "cube")
+            and p.toks[p.i + 1 : p.i + 2] == ["("]
+        ):
+            group_modifier = p.next().lower()
+            p.expect("(")
             group_nodes.append(p.parse_expr())
+            while p.peek() == ",":
+                p.next()
+                group_nodes.append(p.parse_expr())
+            p.expect(")")
+        else:
+            group_nodes.append(p.parse_expr())
+            while p.peek() == ",":
+                p.next()
+                group_nodes.append(p.parse_expr())
         # GROUP BY ... WITH TOTALS: the driver surfaces the totals row
         # as a separate protocol block (ch/rows.go:62-80,
         # protocol.go:28-37); here it unifies into the result with NULL
@@ -1208,6 +1222,11 @@ def _exec_select(
         # — compiled straight onto Spark's native rollup()/cube()
         # relational operators (one pass, partial-agg friendly).
         if p.peek_kw() == "with":
+            if group_modifier is not None:
+                raise ValueError(
+                    "GROUP BY ROLLUP/CUBE (...) cannot combine with a "
+                    "WITH modifier"
+                )
             p.next()
             group_modifier = p.next().lower()
             if group_modifier not in ("totals", "rollup", "cube"):
@@ -1505,16 +1524,39 @@ def _exec_select(
                 # (same single-pass partial-agg plan shape); their
                 # super-aggregate rows go through HAVING like detail
                 # rows (ANSI — and what the DuckDB oracle does).
-                agg_cols.append(_F.grouping_id().alias("_gid"))
                 bare = [_compile(g, tables) for g in group_nodes]
+                nk = len(bare)
+                # every modifier's grouping sets MINUS the empty set
                 if group_modifier == "totals":
-                    grouped = df.groupingSets([bare, []], *bare)
+                    sets = [bare]
                 elif group_modifier == "rollup":
-                    grouped = df.rollup(*bare)
-                else:
-                    grouped = df.cube(*bare)
-                out = grouped.agg(*agg_cols)
-                agg_names = out.columns[len(bare):]
+                    sets = [bare[:i] for i in range(nk, 0, -1)]
+                else:  # cube: all non-empty subsets
+                    sets = [
+                        [bare[j] for j in range(nk) if m & (1 << j)]
+                        for m in range((1 << nk) - 1, 0, -1)
+                    ]
+                detail = df.groupingSets(sets, *bare).agg(
+                    *agg_cols, _F.grouping_id().alias("_gid")
+                )
+                # the () grouping set yields exactly ONE row even over
+                # EMPTY input (ANSI; Spark's native cube/rollup drop
+                # it) — so the grand-total row is a plain global
+                # aggregate, unioned in positionally with NULL keys
+                total = df.agg(
+                    *agg_cols,
+                    _F.lit((1 << nk) - 1)
+                    .cast(detail.schema["_gid"].dataType)
+                    .alias("_gid"),
+                ).select(
+                    *[
+                        _F.lit(None).cast(f.dataType).alias(f"_k{i}")
+                        for i, f in enumerate(detail.schema.fields[:nk])
+                    ],
+                    *detail.columns[nk:],
+                )
+                out = detail.union(total)
+                agg_names = out.columns[nk:]
                 out = out.toDF(*key_names, *agg_names)
             else:
                 keys = [

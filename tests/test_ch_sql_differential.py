@@ -23,7 +23,7 @@ import os
 # fixed default seed base keeps CI reproducible; set
 # SPARK_GRAFT_FUZZ_SEED to explore a different region of the grammar
 _SEED_BASE = int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "13"))
-N_CASES = 60
+N_CASES = 84
 _INT_COLS = ("event_id", "user_id")
 _STR_VALS = ("click", "view", "purchase", "error")
 
@@ -132,10 +132,57 @@ def _gen_window_query(rng: random.Random) -> str:
     )
 
 
+def _gen_rollup_query(rng: random.Random) -> str:
+    # ANSI GROUP BY ROLLUP/CUBE (...) — the shared spelling both
+    # engines parse (CH also accepts its postfix WITH ROLLUP form,
+    # covered by the oracle-paired queries)
+    mod = rng.choice(["ROLLUP", "CUBE"])
+    k2 = f"user_id % {rng.randint(2, 4)}"
+    return (
+        f"SELECT event_type AS k1, {k2} AS k2, count(*) AS n, "
+        f"sum(event_id) AS s FROM events{_where(rng)} "
+        f"GROUP BY {mod} (event_type, {k2})"
+    )
+
+
+def _gen_using_query(rng: random.Random) -> str:
+    # JOIN ... USING over derived tables sharing the key name; the
+    # deduped key is selected bare (identical output shape in both)
+    m = rng.randint(3, 6)
+    how = rng.choice(["JOIN", "LEFT JOIN"])
+    return (
+        f"SELECT k, an, bm FROM "
+        f"(SELECT user_id % {m} AS k, count(*) AS an FROM events"
+        f"{_where(rng)} GROUP BY user_id % {m}) a "
+        f"{how} (SELECT user_id % {m} AS k, max(event_id) AS bm "
+        f"FROM events WHERE event_type = '{rng.choice(_STR_VALS)}' "
+        f"GROUP BY user_id % {m}) b USING (k)"
+    )
+
+
+def _gen_asof_query(rng: random.Random) -> str:
+    # ASOF JOIN — DuckDB executes the same text natively. The right
+    # side is pre-deduped to one row per (user_id, ts) so the asof
+    # winner is deterministic in both engines; all four inequality
+    # directions are in DuckDB's accepted set.
+    op = rng.choice([">=", ">", "<=", "<"])
+    k = rng.randint(2, 5)
+    how = rng.choice(["ASOF JOIN", "ASOF LEFT JOIN"])
+    return (
+        f"SELECT p.event_id AS pid, c.rid AS rid FROM "
+        f"(SELECT event_id, ts, user_id FROM events "
+        f"WHERE event_type = 'purchase' AND event_id % {k} = 0) p "
+        f"{how} (SELECT user_id, ts, max(event_id) AS rid FROM events "
+        f"WHERE event_type = 'click' GROUP BY user_id, ts) c "
+        f"ON p.user_id = c.user_id AND p.ts {op} c.ts"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
     return rng.choice(
         [_gen_agg_query, _gen_agg_query, _gen_distinct_query,
-         _gen_order_limit_query, _gen_setop_query, _gen_window_query]
+         _gen_order_limit_query, _gen_setop_query, _gen_window_query,
+         _gen_rollup_query, _gen_using_query, _gen_asof_query]
     )(rng)
 
 
