@@ -273,3 +273,64 @@ def redact_pii(text_col: Column | str) -> Column:
     for name in PII_REDACTION_ORDER:
         c = F.regexp_replace(c, PII_PATTERNS[name], f"[{name.upper()}]")
     return c
+
+
+def tfidf_top_terms(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> "DataFrame":
+    """Top-k TF-IDF terms per document — the classic salient-term
+    extractor (retrieval indexing, topic labeling, keyword features).
+
+    Plan shape (three aggregations, each on a uniform key, no
+    all-pairs anywhere):
+      1. term frequencies: explode tokens -> groupBy (doc, term) —
+         ONE shuffle on the (doc, term) pair, map-side combined;
+      2. document frequencies: groupBy term over the (doc, term)
+         relation (already distinct by construction) — reuses the
+         exchange where AQE can, and the result is vocabulary-sized;
+      3. doc count N: a 1-row aggregate broadcast-crossJoined in.
+    The final top-k is one row_number window per doc.
+
+    Determinism / oracle parity: idf = ln((N + 1) / (df + 1)) + 1
+    (the smoothed sklearn form); scores are ROUNDED to 6 decimals
+    before ranking so float ties resolve identically in every engine,
+    then (score desc, term asc) breaks the remaining ties totally.
+    """
+    from pyspark.sql import DataFrame, Window  # noqa: F401
+
+    from ..functions.hashing import tokens
+
+    term = F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    tf = (
+        docs.select(F.col(id_col), term)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "tfidf")
+    )

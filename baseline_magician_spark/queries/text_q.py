@@ -614,3 +614,178 @@ def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 session additions: TF-IDF, Bloom-filter screening, RAG chunking
+
+
+def _tfidf_oracle() -> str:
+    toks = tokens_duckdb("lower(text)")
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, t.term AS term, count(*) AS tf
+      FROM documents, UNNEST({toks}) AS t(term)
+      GROUP BY doc_id, t.term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1)) + 1.0), 6)
+               AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, tfidf FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+      ) AS rank FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+@query("text_tfidf_top_terms", _tfidf_oracle())
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by smoothed TF-IDF
+    (operators/text.py:tfidf_top_terms — three uniform-key
+    aggregations + one per-doc window, rounded-then-ranked so the
+    ordering is engine-independent)."""
+    from ..operators.text import tfidf_top_terms
+
+    docs = load_for_compute(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+def _bloom_oracle() -> str:
+    from ..functions.hashing import token_shingles_duckdb
+    from ..operators.bloom import bloom_positions_duckdb
+
+    toks = token_shingles_duckdb("lower(text)", 3)
+    h = poly_hash_duckdb("term")
+    # m = 32768 for the ~5k-shingle reference set (~14% fill, a few
+    # percent measured FP rate — the regime a sized filter runs at)
+    p1, p2, p3 = bloom_positions_duckdb(h, m=32768)
+    return f"""
+    WITH vocab AS (
+      SELECT DISTINCT t.term AS term
+      FROM documents, UNNEST({toks}) AS t(term)
+      WHERE source = 'src0'
+    ), bits AS (
+      SELECT DISTINCT unnest([{p1}, {p2}, {p3}]) AS bit FROM vocab
+    ), blist AS (SELECT list(bit) AS bs FROM bits),
+    probe AS (
+      SELECT DISTINCT doc_id, lang, t.term AS term
+      FROM documents, UNNEST({toks}) AS t(term)
+      WHERE source <> 'src0'
+    ), flagged AS (
+      SELECT lang,
+             (list_contains(blist.bs, {p1})
+              AND list_contains(blist.bs, {p2})
+              AND list_contains(blist.bs, {p3})) AS bloom_pass,
+             term IN (SELECT term FROM vocab) AS exact_pass
+      FROM probe CROSS JOIN blist
+    )
+    SELECT lang, count(*) AS n_terms,
+           CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(sum(CASE WHEN exact_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(CASE WHEN bloom_pass AND NOT exact_pass
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM flagged
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@query("text_bloom_vocab_screen", _bloom_oracle())
+def text_bloom_vocab_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter shingle screening (operators/bloom.py): build the
+    filter from src0's 3-token shingle set, broadcast it, screen every
+    other document's distinct shingles map-side; per-language counts
+    of bloom hits vs exact membership expose the measured
+    (deterministic) false-positive tally. Shingles, not unigrams — the
+    synthetic corpus shares one small word list, so unigram membership
+    is always true; 3-gram space is diverse enough that both misses
+    and genuine bloom false positives occur."""
+    from ..functions.hashing import token_shingles
+    from ..operators.bloom import bloom_probe, build_bloom
+
+    docs = load_for_compute(spark, sf_dir, "documents")
+    term = F.explode(
+        F.array_distinct(token_shingles(F.lower(F.col("text")), 3))
+    ).alias("term")
+    vocab = (
+        docs.where(F.col("source") == "src0").select(term).distinct()
+    )
+    bloom = build_bloom(vocab, "term", m=32768)
+    probe = (
+        docs.where(F.col("source") != "src0")
+        .select("doc_id", "lang", term)
+        .distinct()
+    )
+    probed = bloom_probe(probe, "term", bloom, m=32768)
+    exact = probed.join(
+        F.broadcast(vocab.withColumn("_in_vocab", F.lit(True))),
+        "term",
+        "left",
+    ).withColumn("exact_pass", F.col("_in_vocab").isNotNull())
+    return (
+        exact.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_pass"),
+            F.sum(F.col("exact_pass").cast("long")).alias("n_exact"),
+            F.sum(
+                (F.col("bloom_pass") & ~F.col("exact_pass")).cast("long")
+            ).alias("n_false_pos"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CHUNK_SIZE = 200
+_CHUNK_OVERLAP = 40
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+def _chunk_oracle() -> str:
+    h = poly_hash_duckdb(f"substr(text, i * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE})")
+    return f"""
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(range(0,
+               CASE WHEN length(text) <= {_CHUNK_SIZE} THEN 1
+                    ELSE (length(text) - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)
+                         // {_CHUNK_STRIDE} + 1 END)) AS i
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           CAST(i * {_CHUNK_STRIDE} AS INT) AS chunk_start,
+           CAST(length(substr(text, i * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE}))
+                AS INT) AS chunk_len,
+           {h} AS chunk_hash
+    FROM starts
+    """
+
+
+@query("rag_chunk_overlap_manifest", _chunk_oracle())
+def rag_chunk_overlap_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping RAG chunk manifest (operators/chunking.py): 200-char
+    windows with 40-char overlap, one narrow posexplode pass; chunk
+    text is emitted as its cross-engine content hash so the manifest
+    stays compact."""
+    from ..functions.hashing import poly_hash
+    from ..operators.chunking import chunk_documents
+
+    docs = load_for_compute(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, "doc_id", "text", _CHUNK_SIZE, _CHUNK_OVERLAP
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        "chunk_len",
+        poly_hash(F.col("chunk_text")).alias("chunk_hash"),
+    )

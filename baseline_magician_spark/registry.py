@@ -92,6 +92,10 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_parametric_quantiles",
     "ch_sql_sample_read",
     "ch_sql_with_fill",
+    # new this session: TF-IDF, Bloom screening, RAG chunking
+    "text_tfidf_top_terms",
+    "text_bloom_vocab_screen",
+    "rag_chunk_overlap_manifest",
     # new this round: WITH TOTALS + extremes + LIMIT BY + UNION ALL
     # surface of the CH front end
     "ch_sql_with_totals",
@@ -128,10 +132,10 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_frame_deltas",
     "asof_join_latest_order",
     # r1-only rotation: relational/window family
+    # (window_running_revenue + extremes_value_by_type defer to round
+    # 4 — ch_sql_extremes keeps the extremes machinery in-window)
     "window_topn_orders_per_segment",
-    "window_running_revenue",
     "rollup_totals_by_region_nation",
-    "extremes_value_by_type",
     # (skew_salted_distinct_users rotates back in round 4 — its sibling
     # skew_salted_join_event_types keeps the salting path in-window)
     "skew_salted_join_event_types",
@@ -145,9 +149,10 @@ _PRIORITY: tuple[str, ...] = (
     # streaming: the new merge-rollup + two r1-only rotations
     # (streaming_windowed_counts defers to round 4 — the new merge
     # rollup covers the same windowed-count machinery plus the merge)
+    # (streaming_baseline_windows defers to round 4 — r2-green,
+    # streaming code unchanged this session)
     "streaming_hourly_rollup_merge",
     "streaming_sessionize_gap",
-    "streaming_baseline_windows",
     # r1-only rotation: IP functions
     "ip_function_roundtrip",
 )
