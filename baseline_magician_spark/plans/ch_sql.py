@@ -21,7 +21,9 @@ hand-written queries a CH user actually runs. Current surface:
   (inner/left/right/full/cross, ON or USING, GLOBAL and ALL modifiers,
   ANY rejected explicitly), ASOF [LEFT] JOIN (interval-ized right
   side), ARRAY JOIN / LEFT ARRAY JOIN, PREWHERE (base-table scope),
-  WHERE, GROUP BY [WITH TOTALS|ROLLUP|CUBE], HAVING (alias-aware),
+  WHERE, GROUP BY [WITH TOTALS|ROLLUP|CUBE] / GROUP BY
+  ROLLUP|CUBE (keys) / GROUP BY GROUPING SETS (...) (ANSI empty-input
+  semantics: every () set yields its row), HAVING (alias-aware),
   ORDER BY [ASC|DESC] [NULLS FIRST|LAST] (CH nulls-last default)
   [WITH FILL [FROM a] [TO b] [STEP s]] [INTERPOLATE (c [AS expr])],
   LIMIT [offset,] n [BY exprs], OFFSET;
@@ -1191,6 +1193,25 @@ def _exec_select(
 
     group_nodes: list[_Node] = []
     group_modifier: str | None = None
+    # explicit GROUPING SETS: each inner list holds indices into
+    # group_nodes (the structurally-deduped union of set members)
+    grouping_sets: list[list[int]] | None = None
+
+    def _g_eq(a: _Node, b: _Node) -> bool:
+        return (
+            a.kind == b.kind
+            and a.value == b.value
+            and len(a.args) == len(b.args)
+            and all(_g_eq(x, y) for x, y in zip(a.args, b.args))
+        )
+
+    def _g_index(node: _Node) -> int:
+        for j, g in enumerate(group_nodes):
+            if _g_eq(g, node):
+                return j
+        group_nodes.append(node)
+        return len(group_nodes) - 1
+
     if p.peek_kw() == "group":
         p.next()
         p.expect("by")
@@ -1206,6 +1227,35 @@ def _exec_select(
             while p.peek() == ",":
                 p.next()
                 group_nodes.append(p.parse_expr())
+            p.expect(")")
+        elif (
+            p.peek_kw() == "grouping"
+            and p.toks[p.i + 1 : p.i + 2]
+            and p.toks[p.i + 1].lower() == "sets"
+        ):
+            # GROUP BY GROUPING SETS (set, ...): each set is either a
+            # parenthesized expr list (possibly empty = grand total) or
+            # a bare expression (a one-key set)
+            p.next()
+            p.next()
+            p.expect("(")
+            grouping_sets = []
+            while True:
+                if p.peek() == "(":
+                    p.next()
+                    one: list[int] = []
+                    if p.peek() != ")":
+                        one.append(_g_index(p.parse_expr()))
+                        while p.peek() == ",":
+                            p.next()
+                            one.append(_g_index(p.parse_expr()))
+                    p.expect(")")
+                    grouping_sets.append(one)
+                else:
+                    grouping_sets.append([_g_index(p.parse_expr())])
+                if p.peek() != ",":
+                    break
+                p.next()
             p.expect(")")
         else:
             group_nodes.append(p.parse_expr())
@@ -1508,7 +1558,7 @@ def _exec_select(
             key_names = [
                 _group_name(g, i) for i, g in enumerate(group_nodes)
             ]
-            if group_modifier:
+            if group_modifier or grouping_sets is not None:
                 from pyspark.sql import functions as _F
 
                 # hidden grouping_id tells super-aggregate rows (keys
@@ -1526,8 +1576,15 @@ def _exec_select(
                 # rows (ANSI — and what the DuckDB oracle does).
                 bare = [_compile(g, tables) for g in group_nodes]
                 nk = len(bare)
-                # every modifier's grouping sets MINUS the empty set
-                if group_modifier == "totals":
+                # the modifier's / explicit grouping sets MINUS every
+                # empty set (those are handled as global aggregates)
+                n_empty = 1
+                if grouping_sets is not None:
+                    sets = [
+                        [bare[j] for j in s] for s in grouping_sets if s
+                    ]
+                    n_empty = sum(1 for s in grouping_sets if not s)
+                elif group_modifier == "totals":
                     sets = [bare]
                 elif group_modifier == "rollup":
                     sets = [bare[:i] for i in range(nk, 0, -1)]
@@ -1536,26 +1593,47 @@ def _exec_select(
                         [bare[j] for j in range(nk) if m & (1 << j)]
                         for m in range((1 << nk) - 1, 0, -1)
                     ]
-                detail = df.groupingSets(sets, *bare).agg(
-                    *agg_cols, _F.grouping_id().alias("_gid")
+                detail = (
+                    df.groupingSets(sets, *bare).agg(
+                        *agg_cols, _F.grouping_id().alias("_gid")
+                    )
+                    if sets
+                    else None
                 )
-                # the () grouping set yields exactly ONE row even over
+                # an () grouping set yields exactly ONE row even over
                 # EMPTY input (ANSI; Spark's native cube/rollup drop
-                # it) — so the grand-total row is a plain global
-                # aggregate, unioned in positionally with NULL keys
-                total = df.agg(
-                    *agg_cols,
-                    _F.lit((1 << nk) - 1)
-                    .cast(detail.schema["_gid"].dataType)
-                    .alias("_gid"),
-                ).select(
-                    *[
-                        _F.lit(None).cast(f.dataType).alias(f"_k{i}")
-                        for i, f in enumerate(detail.schema.fields[:nk])
-                    ],
-                    *detail.columns[nk:],
-                )
-                out = detail.union(total)
+                # it) — so each grand-total row is a plain global
+                # aggregate, unioned in positionally with NULL keys.
+                # Key types for the NULL literals come from the detail
+                # plan when there is one, else from the key exprs.
+                out = detail
+                if n_empty:
+                    if detail is not None:
+                        key_types = [
+                            f.dataType for f in detail.schema.fields[:nk]
+                        ]
+                        gid_type = detail.schema["_gid"].dataType
+                        tail_cols = detail.columns[nk:]
+                    else:
+                        probe = df.select(
+                            *[c.alias(f"_k{i}") for i, c in enumerate(bare)]
+                        )
+                        key_types = [f.dataType for f in probe.schema.fields]
+                        gid_type = "int"
+                        tail_cols = None
+                    total = df.agg(
+                        *agg_cols,
+                        _F.lit((1 << nk) - 1).cast(gid_type).alias("_gid"),
+                    )
+                    total = total.select(
+                        *[
+                            _F.lit(None).cast(t).alias(f"_k{i}")
+                            for i, t in enumerate(key_types)
+                        ],
+                        *(tail_cols if tail_cols is not None else total.columns),
+                    )
+                    for _ in range(n_empty):
+                        out = total if out is None else out.union(total)
                 agg_names = out.columns[nk:]
                 out = out.toDF(*key_names, *agg_names)
             else:

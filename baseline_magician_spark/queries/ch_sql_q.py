@@ -561,3 +561,31 @@ INTERPOLATE (n AS 0)
 )
 def ch_sql_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_FILL_SQL, _tables(spark, sf_dir, "orders"))
+
+
+# explicit GROUPING SETS incl. a bare-expr set and the () grand total
+# — compiled onto the same groupingSets-plus-global-union machinery as
+# the WITH TOTALS/ROLLUP/CUBE modifiers (ANSI empty-input semantics).
+_GSETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       toInt64(sum(o_totalprice)) AS revenue
+FROM fastnetmon.orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@query(
+    "ch_sql_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(trunc(sum(o_totalprice)) AS BIGINT) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def ch_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_GSETS_SQL, _tables(spark, sf_dir, "orders"))

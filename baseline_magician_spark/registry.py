@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_parametric_quantiles",
     "ch_sql_sample_read",
     "ch_sql_with_fill",
+    "ch_sql_grouping_sets",
     # new this session: TF-IDF, Bloom screening, RAG chunking
     "text_tfidf_top_terms",
     "text_bloom_vocab_screen",
@@ -115,14 +116,14 @@ _PRIORITY: tuple[str, ...] = (
     "sample_temperature_weights",
     "pipeline_bucketed_batches",
     "text_unigram_lm_scores",
-    # r1-only rotation: dedup + pipeline family (dedup_exact_groups
-    # deferred to round 4 — trivially stable single-shuffle op)
+    # r1-only rotation: dedup + pipeline family (dedup_exact_groups +
+    # dedup_incremental_ingest deferred to round 4 — trivially stable
+    # single-shuffle ops; keep_best keeps the cluster machinery in)
     "dedup_minhash_lsh_pairs",
     "dedup_connected_components",
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_cosine_pairs",
     "dedup_keep_best_per_cluster",
-    "dedup_incremental_ingest",
     "pipeline_training_export",
     # r1-only rotation: multimodal + asof (frame_sample and
     # profile_orders_table defer to round 4 — decode_stats covers the

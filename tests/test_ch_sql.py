@@ -1294,3 +1294,43 @@ def test_reserved_words_not_eaten_as_alias(spark):
     assert run_ch_query(
         "select count(*) as n from t sample 0.999", {"t": df}
     ).collect()[0].n in (0, 1)
+
+
+def test_grouping_sets_explicit(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame(
+        [("x", "p", 1), ("x", "q", 2), ("y", "p", 4)],
+        "a string, b string, v int",
+    )
+    out = run_ch_query(
+        "select a, b, sum(v) as s from t "
+        "group by grouping sets ((a, b), (a), ()) order by a, b",
+        {"t": df},
+    ).collect()
+    assert [(r.a, r.b, r.s) for r in out] == [
+        ("x", "p", 1), ("x", "q", 2), ("x", None, 3),
+        ("y", "p", 4), ("y", None, 4), (None, None, 7),
+    ]
+    # bare-expr sets: GROUPING SETS (a, b) == ((a), (b))
+    out = run_ch_query(
+        "select a, b, sum(v) as s from t "
+        "group by grouping sets (a, b) order by a, b",
+        {"t": df},
+    ).collect()
+    assert [(r.a, r.b, r.s) for r in out] == [
+        ("x", None, 3), ("y", None, 4),
+        (None, "p", 5), (None, "q", 2),
+    ]
+    # duplicate sets duplicate rows (ANSI), () alone = global agg,
+    # and () over EMPTY input still yields its one row
+    assert len(run_ch_query(
+        "select a, sum(v) as s from t group by grouping sets ((a), (a))",
+        {"t": df},
+    ).collect()) == 4
+    only_total = run_ch_query(
+        "select sum(v) as s from t where v > 100 "
+        "group by grouping sets (())",
+        {"t": df},
+    ).collect()
+    assert [(r.s,) for r in only_total] == [(None,)]

@@ -145,6 +145,28 @@ def _gen_rollup_query(rng: random.Random) -> str:
     )
 
 
+def _gen_grouping_sets_query(rng: random.Random) -> str:
+    # explicit GROUPING SETS incl. bare-expr sets and the () total;
+    # identical text in both engines
+    k2 = f"user_id % {rng.randint(2, 4)}"
+    if rng.random() < 0.6:
+        sets = rng.choice([
+            f"((event_type, {k2}), (event_type), ())",
+            f"(event_type, ({k2}))",
+            f"((event_type, {k2}), ())",
+        ])
+        sel = f"event_type AS k1, {k2} AS k2, count(*) AS n"
+    else:
+        # select list restricted to the set union (both engines reject
+        # non-grouped bare columns)
+        sets = rng.choice(["((event_type), ())", "(event_type)"])
+        sel = "event_type AS k1, count(*) AS n"
+    return (
+        f"SELECT {sel} FROM events{_where(rng)} "
+        f"GROUP BY GROUPING SETS {sets}"
+    )
+
+
 def _gen_using_query(rng: random.Random) -> str:
     # JOIN ... USING over derived tables sharing the key name; the
     # deduped key is selected bare (identical output shape in both)
@@ -182,7 +204,8 @@ def _gen_query(rng: random.Random) -> str:
     return rng.choice(
         [_gen_agg_query, _gen_agg_query, _gen_distinct_query,
          _gen_order_limit_query, _gen_setop_query, _gen_window_query,
-         _gen_rollup_query, _gen_using_query, _gen_asof_query]
+         _gen_rollup_query, _gen_using_query, _gen_asof_query,
+         _gen_grouping_sets_query]
     )(rng)
 
 
