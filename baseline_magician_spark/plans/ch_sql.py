@@ -32,7 +32,9 @@ hand-written queries a CH user actually runs. Current surface:
   arithmetic incl. %, scalar subqueries, uncorrelated EXISTS
   (correlated subqueries are rejected, as in the reference's CH era),
   parametric aggregates ``quantile(0.9)(x)`` / ``quantiles(...)()``,
-  window functions ``fn(...) OVER ([PARTITION BY ...] [ORDER BY ...])``;
+  window functions ``fn(...) OVER ([PARTITION BY ...] [ORDER BY ...]
+  [ROWS|RANGE [BETWEEN] frame])`` (explicit frames; the implicit
+  default already matches CH/ANSI);
 - statement level: WITH CTEs, UNION ALL/DISTINCT, INTERSECT/EXCEPT
   (CH ALL-default, INTERSECT precedence), trailing SETTINGS (validated
   + recorded, query-scoped) and FORMAT; ?/@name parameter binding with
@@ -277,11 +279,13 @@ class _Parser:
 
     def _parse_over(self, call: _Node) -> _Node:
         """``fn(args) OVER ([PARTITION BY e, ...] [ORDER BY e [DESC]
-        [NULLS FIRST|LAST], ...])`` — the window-function surface (CH
-        supports standard OVER since 21.x). The window node carries
-        ``value = (call_node, partition_node_tuple, sort_item_tuple)``
-        with empty ``args``; each sort item is (node, desc,
-        nulls_first)."""
+        [NULLS FIRST|LAST], ...] [ROWS|RANGE BETWEEN lo AND hi])`` —
+        the window-function surface (CH supports standard OVER since
+        21.x). The window node carries ``value = (call_node,
+        partition_node_tuple, sort_item_tuple, frame)`` with empty
+        ``args``; each sort item is (node, desc, nulls_first); frame is
+        None or ('rows'|'range', lo, hi) with bounds as signed ints
+        (negative = preceding) or None for UNBOUNDED."""
         self.next()  # OVER
         self.expect("(")
         part: list[_Node] = []
@@ -301,8 +305,39 @@ class _Parser:
                 if self.peek() != ",":
                     break
                 self.next()
+        frame: tuple | None = None
+        if self.peek_kw() in ("rows", "range"):
+            mode = self.next().lower()
+
+            def _bound(is_lo: bool) -> int | None:
+                t = self.next().lower()
+                if t == "unbounded":
+                    side = self.next().lower()
+                    if side not in ("preceding", "following"):
+                        raise ValueError(f"bad frame bound {side!r}")
+                    return None
+                if t == "current":
+                    self.expect("row")
+                    return 0
+                n = int(t)
+                side = self.next().lower()
+                if side == "preceding":
+                    return -n
+                if side == "following":
+                    return n
+                raise ValueError(f"bad frame bound {side!r}")
+
+            if self.peek_kw() == "between":
+                self.next()
+                lo = _bound(True)
+                self.expect("and")
+                hi = _bound(False)
+            else:
+                lo = _bound(True)
+                hi = 0  # single-bound form: bound AND CURRENT ROW
+            frame = (mode, lo, hi)
         self.expect(")")
-        return _Node("window", (call, tuple(part), tuple(order)))
+        return _Node("window", (call, tuple(part), tuple(order), frame))
 
     def parse_add(self) -> _Node:
         left = self.parse_mul()
@@ -525,7 +560,7 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         # non-grouped queries this dialect runs.
         from pyspark.sql import Window as W
 
-        call, part, order = node.value
+        call, part, order, frame = node.value
         wname = str(call.value).lower()
         ranking = {
             "row_number": F.row_number,
@@ -553,6 +588,21 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                     _sort_col(_compile(on, env), d, nf)
                     for on, d, nf in order
                 ]
+            )
+        if frame is not None:
+            # explicit ROWS/RANGE frame; bounds are signed offsets
+            # (None = unbounded). Without one, Spark's implicit frame
+            # (RANGE UNBOUNDED PRECEDING..CURRENT ROW when ordered)
+            # already matches the CH/ANSI default.
+            mode, lo, hi = frame
+            if not order:
+                raise ValueError("a window frame requires ORDER BY")
+            lo_v = W.unboundedPreceding if lo is None else lo
+            hi_v = W.unboundedFollowing if hi is None else hi
+            spec = (
+                spec.rowsBetween(lo_v, hi_v)
+                if mode == "rows"
+                else spec.rangeBetween(lo_v, hi_v)
             )
         return col.over(spec)
     if node.kind == "isnull":

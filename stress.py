@@ -213,6 +213,49 @@ def main() -> None:
         )
         return semantic_keep_best(emb, cents).count()
 
+    def tfidf(k: int) -> int:
+        """TF-IDF top-k: one corpus explode, (doc,term) agg, per-term
+        count window, per-doc top-k — every shuffle on a uniform key;
+        slope ~linear (per-term partitions grow k-fold in rows, the
+        within-partition sort adds only log factors)."""
+        from baseline_magician_spark.operators.text import tfidf_top_terms
+
+        docs = replicate(docs0, k, ["doc_id"], salt_text=True)
+        return tfidf_top_terms(docs, "doc_id", "text", k=3).count()
+
+    def bloom_screen(k: int) -> int:
+        """Bloom screening: the filter is built from a FIXED reference
+        set and broadcast; the corpus probe is map-side array_contains
+        — cost is one corpus pass regardless of filter size."""
+        from baseline_magician_spark.functions.hashing import token_shingles
+        from baseline_magician_spark.operators.bloom import (
+            bloom_probe,
+            build_bloom,
+        )
+
+        docs = replicate(docs0, k, ["doc_id"], salt_text=True)
+        term = F.explode(
+            F.array_distinct(token_shingles(F.lower(F.col("text")), 3))
+        ).alias("term")
+        vocab = docs0.select(term).distinct()
+        bloom = build_bloom(vocab, "term", m=32768)
+        probe = docs.select("doc_id", term)
+        return (
+            bloom_probe(probe, "term", bloom, m=32768)
+            .where(F.col("bloom_pass"))
+            .count()
+        )
+
+    def rag_chunks(k: int) -> int:
+        """Overlapping chunking: pure narrow posexplode projection —
+        the no-shuffle control rung alongside token_scan."""
+        from baseline_magician_spark.operators.chunking import (
+            chunk_documents,
+        )
+
+        docs = replicate(docs0, k, ["doc_id"], salt_text=False)
+        return chunk_documents(docs, "doc_id", "text", 200, 40).count()
+
     ops = {
         "q1_agg": q1_agg,
         "minhash_lsh_pairs": minhash,
@@ -224,6 +267,9 @@ def main() -> None:
         "edit_distance_pairs": edit_distance,
         "pq_adc_topk": pq_adc,
         "semantic_keep_best": semantic_dedup,
+        "tfidf_top_terms": tfidf,
+        "bloom_screen": bloom_screen,
+        "rag_chunking": rag_chunks,
     }
 
     times: dict[str, dict[int, float]] = {name: {} for name in ops}

@@ -1334,3 +1334,34 @@ def test_grouping_sets_explicit(spark):
         {"t": df},
     ).collect()
     assert [(r.s,) for r in only_total] == [(None,)]
+
+
+def test_window_frames(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(5)],
+        "g string, i int, v double",
+    )
+    out = run_ch_query(
+        "select i, sum(v) over (partition by g order by i "
+        "rows between 2 preceding and current row) as s "
+        "from t order by i",
+        {"t": df},
+    ).collect()
+    assert [(r.i, r.s) for r in out] == [
+        (0, 0.0), (1, 1.0), (2, 3.0), (3, 6.0), (4, 9.0),
+    ]
+    # single-bound shorthand: `ROWS 1 PRECEDING` = 1 PRECEDING..CURRENT
+    out = run_ch_query(
+        "select i, sum(v) over (order by i rows 1 preceding) as s "
+        "from t order by i",
+        {"t": df},
+    ).collect()
+    assert [r.s for r in out] == [0.0, 1.0, 3.0, 5.0, 7.0]
+    with pytest.raises(ValueError, match="requires ORDER BY"):
+        run_ch_query(
+            "select sum(v) over (partition by g rows between 1 "
+            "preceding and current row) as s from t",
+            {"t": df},
+        )

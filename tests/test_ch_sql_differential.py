@@ -119,6 +119,24 @@ def _gen_setop_query(rng: random.Random) -> str:
     return f"{a} {op} {b}"
 
 
+def _gen_frame_query(rng: random.Random) -> str:
+    # explicit ROWS frames over a fully-deterministic order (event_id
+    # is unique) — sums of INTEGER columns so no float-order effects
+    lo, hi = rng.choice([
+        ("2 PRECEDING", "CURRENT ROW"),
+        ("1 PRECEDING", "1 FOLLOWING"),
+        ("UNBOUNDED PRECEDING", "CURRENT ROW"),
+        ("CURRENT ROW", "UNBOUNDED FOLLOWING"),
+        ("3 PRECEDING", "1 PRECEDING"),
+    ])
+    return (
+        "SELECT event_id, sum(user_id) OVER ("
+        "PARTITION BY event_type ORDER BY event_id "
+        f"ROWS BETWEEN {lo} AND {hi}) AS s "
+        f"FROM events{_where(rng)}"
+    )
+
+
 def _gen_window_query(rng: random.Random) -> str:
     # per-key top-n via row_number in a derived table — deterministic
     # ordering (value ties broken by event_id); CAST matches DuckDB's
@@ -205,7 +223,7 @@ def _gen_query(rng: random.Random) -> str:
         [_gen_agg_query, _gen_agg_query, _gen_distinct_query,
          _gen_order_limit_query, _gen_setop_query, _gen_window_query,
          _gen_rollup_query, _gen_using_query, _gen_asof_query,
-         _gen_grouping_sets_query]
+         _gen_grouping_sets_query, _gen_frame_query]
     )(rng)
 
 
