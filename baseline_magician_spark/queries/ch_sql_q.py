@@ -589,3 +589,75 @@ ORDER BY o_orderstatus, o_orderpriority
 )
 def ch_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_GSETS_SQL, _tables(spark, sf_dir, "orders"))
+
+
+# TPC-H q1/q6 as CH-dialect TEXT through run_ch_query — the
+# end-to-end proof that a user can paste analytics SQL at the front
+# end and get the DataFrame engine's plans (same rounding discipline
+# as the native q1/q6 queries in queries/tpch.py).
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(avg(l_discount), 2) AS avg_disc,
+       count(*) AS count_order
+FROM fastnetmon.lineitem
+WHERE l_shipdate <= toDateTime('1998-09-02 00:00:00')
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "ch_sql_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 2) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def ch_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_TPCH_Q1_SQL, _tables(spark, sf_dir, "lineitem"))
+
+
+_TPCH_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM fastnetmon.lineitem
+WHERE l_shipdate >= toDateTime('1996-01-01 00:00:00')
+  AND l_shipdate < toDateTime('1997-01-01 00:00:00')
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query(
+    "ch_sql_tpch_q6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def ch_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_TPCH_Q6_SQL, _tables(spark, sf_dir, "lineitem"))

@@ -131,7 +131,9 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_decode_stats",
     "multimodal_audio_window_rms",
     "multimodal_frame_deltas",
-    "asof_join_latest_order",
+    # (asof_join_latest_order defers to round 4 — ch_sql_asof_attribution
+    # keeps the asof machinery in-window; tpch-as-CH-text is new)
+    "ch_sql_tpch_q1",
     # r1-only rotation: relational/window family
     # (window_running_revenue + extremes_value_by_type defer to round
     # 4 — ch_sql_extremes keeps the extremes machinery in-window)
