@@ -18,8 +18,9 @@ hand-written queries a CH user actually runs. Current surface:
 - SELECT [DISTINCT] items / * / alias.* / CASE WHEN / CAST(x AS T) /
   NULL literals, FROM db.table or derived tables ``(SELECT ...)``
   [SAMPLE f] (deterministic first-column hash sampling), JOINs
-  (inner/left/right/full/cross, ON or USING, GLOBAL and ALL modifiers,
-  ANY rejected explicitly), ASOF [LEFT] JOIN (interval-ized right
+  (inner/left/right/full/cross, ON or USING, GLOBAL and ALL
+  modifiers, ANY strictness for inner/left — deterministic keyed
+  dedup of the build side), ASOF [LEFT] JOIN (interval-ized right
   side), ARRAY JOIN / LEFT ARRAY JOIN, PREWHERE (base-table scope),
   WHERE, GROUP BY [WITH TOTALS|ROLLUP|CUBE] / GROUP BY
   ROLLUP|CUBE (keys) / GROUP BY GROUPING SETS (...) (ANSI empty-input
@@ -774,7 +775,7 @@ _RESERVED = {
     "prewhere", "array", "intersect", "except", "settings", "format",
     "global", "between", "like", "is", "null",
     "case", "when", "then", "else", "end",
-    "sample", "asof", "with", "interpolate",
+    "sample", "asof", "with", "interpolate", "any", "all",
 }
 
 
@@ -1053,6 +1054,60 @@ def _asof_join(
     return df.join(right, on=cond_col, how=how).drop("_asof_edge")
 
 
+def _any_dedup_right(
+    right0: DataFrame, ralias: str, cond: _Node | tuple | None
+) -> DataFrame:
+    """ANY strictness: keep ONE right row per join key before the
+    join. CH keeps an arbitrary match; here it is the first by the
+    right relation's orderable-column lexicographic order, so results
+    are reproducible across runs and partitionings. One row_number
+    window on the key — the same shuffle the hash join needs anyway.
+    """
+    from pyspark.sql import Window as _W
+
+    if cond is None:
+        raise ValueError("ANY JOIN requires ON or USING")
+    if isinstance(cond, tuple):
+        keys = list(cond[1])
+    else:
+        keys = []
+        for c in _and_conjuncts(cond):
+            if not (c.kind == "bin" and c.value == "="):
+                raise ValueError(
+                    "ANY JOIN supports only key-equality ON conditions"
+                )
+            a, b = c.args
+            right_side = [
+                n for n in (a, b)
+                if n.kind == "col"
+                and "." in str(n.value)
+                and str(n.value).split(".", 1)[0] == ralias
+            ]
+            if len(right_side) != 1:
+                raise ValueError(
+                    "each ANY JOIN equality must pair a left and a "
+                    "right column"
+                )
+            keys.append(str(right_side[0].value).rsplit(".", 1)[-1])
+    orderable = [
+        f.name
+        for f in right0.schema.fields
+        if f.dataType.typeName()
+        not in ("array", "map", "struct", "binary")
+    ]
+    if not orderable:
+        raise ValueError("ANY JOIN right side has no orderable columns")
+    w = _W.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *[F.col(c) for c in orderable]
+    )
+    return (
+        right0.withColumn("_any_rn", F.row_number().over(w))
+        .where(F.col("_any_rn") == 1)
+        .drop("_any_rn")
+        .alias(ralias)
+    )
+
+
 def _exec_select(
     p: _Parser,
     tables: dict[str, DataFrame],
@@ -1154,23 +1209,29 @@ def _exec_select(
 
     while p.peek_kw() in (
         "inner", "left", "right", "full", "cross", "join", "array",
-        "global", "asof",
+        "global", "asof", "any",
     ):
+        # ANY strictness (at most one right match per left row):
+        # accepted in both CH spellings — classic `ANY LEFT JOIN` and
+        # modern `LEFT ANY JOIN`. CH keeps an ARBITRARY match; this
+        # engine keeps the first by the right relation's
+        # column-lexicographic order — a deterministic refinement (any
+        # deterministic choice is a valid arbitrary choice, and
+        # reproducible pipelines want it pinned).
+        any_strict = False
         if p.peek_kw() == "global":
             # GLOBAL: distributed right-side shipping — a no-op on one
             # logical cluster. ALL strictness is CH's default (every
-            # match) = Spark join, consumed; ANY (at most one right row
-            # per left) would need a keyed dedup of the build side —
-            # rejected explicitly rather than silently joined wrong.
+            # match) = Spark join, consumed.
             p.next()
             if p.peek_kw() == "all":
                 p.next()
             elif p.peek_kw() == "any":
-                raise ValueError(
-                    "ANY join strictness is not supported (CH ANY JOIN "
-                    "keeps at most one right match; this engine would "
-                    "keep all) — rewrite with an explicit aggregation"
-                )
+                p.next()
+                any_strict = True
+        if p.peek_kw() == "any":
+            p.next()
+            any_strict = True
         if p.peek_kw() == "array":
             p.next()
             _array_join_tail(outer=False)
@@ -1190,8 +1251,17 @@ def _exec_select(
             if not asof and p.peek_kw() == "asof":
                 p.next()
                 asof = True
+            if not any_strict and p.peek_kw() == "any":
+                p.next()
+                any_strict = True
             if p.peek_kw() == "outer":
                 p.next()
+        if any_strict and how not in ("inner", "left"):
+            raise ValueError(
+                "ANY strictness is supported for INNER and LEFT joins"
+            )
+        if any_strict and asof:
+            raise ValueError("ASOF JOIN is already at-most-one; drop ANY")
         if asof and how not in ("inner", "left"):
             raise ValueError("ASOF JOIN supports only inner and LEFT")
         p.expect("join")
@@ -1223,7 +1293,11 @@ def _exec_select(
                 "and one timestamp inequality (USING form not "
                 "supported)"
             )
-        joins.append((("asof_" + how) if asof else how, jname, jalias, cond))
+        if asof:
+            how = "asof_" + how
+        elif any_strict:
+            how = "any_" + how
+        joins.append((how, jname, jalias, cond))
 
     # PREWHERE: CH's manual two-stage filter (evaluate a cheap
     # predicate on few columns first, then read the rest only for
@@ -1464,6 +1538,18 @@ def _exec_select(
                 df, _resolve(jname), jalias or jname, cond,
                 how[len("asof_"):], tables, broadcast_dims,
             )
+            continue
+        if how.startswith("any_"):
+            how = how[len("any_"):]
+            right = _any_dedup_right(
+                _resolve(jname), jalias or jname, cond
+            )
+            if broadcast_dims:
+                right = F.broadcast(right)
+            if isinstance(cond, tuple):
+                df = df.join(right, on=list(cond[1]), how=how)
+            else:
+                df = df.join(right, on=_compile(cond, tables), how=how)
             continue
         right = _resolve(jname).alias(jalias or jname)
         if broadcast_dims:

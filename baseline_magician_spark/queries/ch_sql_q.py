@@ -661,3 +661,42 @@ WHERE l_shipdate >= toDateTime('1996-01-01 00:00:00')
 )
 def ch_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_TPCH_Q6_SQL, _tables(spark, sf_dir, "lineitem"))
+
+
+# ANY strictness: at most one right match per left row. CH picks an
+# arbitrary match; this engine pins the FIRST by the right relation's
+# orderable-column order (a deterministic refinement), which is what
+# the oracle reproduces with an explicit row_number dedup.
+_ANY_SQL = """
+SELECT c.c_custkey AS c_custkey, o.o_orderkey AS first_orderkey,
+       o.o_totalprice AS first_price
+FROM fastnetmon.customer c
+LEFT ANY JOIN fastnetmon.orders o ON c.c_custkey = o.o_custkey
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "ch_sql_any_join",
+    """
+    WITH first_o AS (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderkey, o_custkey, o_orderstatus,
+                          o_totalprice, o_orderdate, o_orderpriority
+               ) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT c.c_custkey AS c_custkey, o.o_orderkey AS first_orderkey,
+           o.o_totalprice AS first_price
+    FROM customer c LEFT JOIN first_o o ON c.c_custkey = o.o_custkey
+    ORDER BY c_custkey
+    """,
+)
+def ch_sql_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        _ANY_SQL, _tables(spark, sf_dir, "customer", "orders")
+    )

@@ -903,7 +903,7 @@ def test_like_null_matches_nothing(spark):
     assert rows == []
 
 
-def test_global_all_join_ok_any_rejected(spark):
+def test_global_all_join_ok(spark):
     from baseline_magician_spark.plans.ch_sql import run_ch_query
 
     t = spark.createDataFrame([(1, "a")], "id long, g string")
@@ -913,9 +913,40 @@ def test_global_all_join_ok_any_rejected(spark):
         {"t": t, "u": u},
     ).collect()
     assert [r["id"] for r in rows] == [1]
-    with pytest.raises(ValueError, match="ANY join strictness"):
+
+
+def test_any_join_keeps_one_deterministic_match(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    u = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (2, "z")], "id long, tag string"
+    )
+    # both CH spellings; at most one right match per left row, chosen
+    # deterministically (first by right column order: id, then tag)
+    for spelling in ("ANY LEFT JOIN", "LEFT ANY JOIN", "GLOBAL ANY LEFT JOIN"):
+        rows = run_ch_query(
+            f"SELECT t.id AS id, u.tag AS tag FROM t {spelling} u "
+            "ON t.id = u.id ORDER BY id",
+            {"t": t, "u": u},
+        ).collect()
+        assert [(r.id, r.tag) for r in rows] == [
+            (1, "a"), (2, "z"), (3, None),
+        ], spelling
+    # inner ANY drops the unmatched left row
+    rows = run_ch_query(
+        "SELECT t.id AS id FROM t ANY JOIN u ON t.id = u.id ORDER BY id",
+        {"t": t, "u": u},
+    ).collect()
+    assert [r.id for r in rows] == [1, 2]
+    with pytest.raises(ValueError, match="INNER and LEFT"):
         run_ch_query(
-            "SELECT t.id AS id FROM t GLOBAL ANY JOIN u ON t.id = u.id",
+            "SELECT t.id FROM t ANY FULL JOIN u ON t.id = u.id",
+            {"t": t, "u": u},
+        )
+    with pytest.raises(ValueError, match="key-equality"):
+        run_ch_query(
+            "SELECT t.id FROM t ANY JOIN u ON t.id >= u.id",
             {"t": t, "u": u},
         )
 
