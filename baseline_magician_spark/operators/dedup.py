@@ -20,7 +20,7 @@ polynomial hash in functions.hashing, not engine-native hashes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -276,4 +276,75 @@ def edit_distance_pairs(
         .join(tb, "doc_b")
         .select("doc_a", "doc_b", dist.alias("edit_distance"))
         .where(F.col("edit_distance") >= 0)
+    )
+
+
+def simhash_band_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 30,
+    bands: int = 5,
+    max_hamming: int = 4,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Hamming-LSH near-dup pairs over SimHash fingerprints — the
+    bit-space counterpart of the MinHash band join.
+
+    The fingerprint splits into ``bands`` disjoint bit slices; two
+    documents become CANDIDATES iff they collide in at least one slice
+    (any pair within Hamming distance < bands must, by pigeonhole,
+    share an untouched slice — so recall is exact for
+    max_hamming < bands at these parameters' widths). Verification is
+    one codegen'd ``bit_count(xor)`` — no text comparison at all.
+
+    Scale shape: the self-join runs per (band, key) bucket, never
+    all-pairs; the ``max_bucket`` cutoff drops degenerate buckets
+    (e.g. the all-zeros band of near-empty docs) before they go
+    quadratic — the same hot-key guard the n-gram Jaccard operator
+    uses. One shuffle for the band join, one map-side verify.
+    """
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    sh = docs.select(
+        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh")
+    )
+    banded = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftright(F.col("sh"), b * width)
+                        % (1 << width)
+                    ).cast("long")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    w = Window.partitionBy("band", "key")
+    kept = banded.withColumn(
+        "_bsz", F.count(F.lit(1)).over(w)
+    ).where(F.col("_bsz") <= max_bucket)
+    left = kept.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+        "band", "key",
+    )
+    right = kept.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+        "band", "key",
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

@@ -526,3 +526,49 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_keep_best(
         emb, _seed_centroids(spark, sf_dir, SEM_CENTROIDS)
     )
+
+
+def _simhash_band_oracle() -> str:
+    # the fingerprint CTE is the dedup_simhash_fingerprints oracle
+    # verbatim; banding/cutoff/verify replicate the operator's params
+    # (5 bands x 6 bits, bucket cutoff 200, hamming <= 2 — the
+    # synthetic corpus's tiny shared vocabulary makes simhash space
+    # dup-dense, so the thresholds are tight to keep the pair set a
+    # near-dup report, not an almost-all-pairs dump)
+    sh_select = _simhash_oracle()
+    return f"""
+    WITH sh AS ({sh_select}),
+    banded AS (
+      SELECT doc_id, simhash, b.band AS band,
+             (simhash >> (b.band * 6)) % 64 AS key
+      FROM sh, (SELECT unnest(range(0, 5)) AS band) b
+    ),
+    sized AS (
+      SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz
+      FROM banded
+    ),
+    kept AS (SELECT * FROM sized WHERE bsz <= 200),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2
+    """
+
+
+@query("dedup_simhash_band_pairs", _simhash_band_oracle())
+def dedup_simhash_band_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-LSH near-dup pairs (operators/dedup.py:simhash_band_pairs):
+    banded bit-slice candidates + bit_count(xor) verify, hot-bucket
+    cutoff before the join — recall is exact for hamming < bands."""
+    from ..operators.dedup import simhash_band_pairs
+
+    docs = load_for_compute(spark, sf_dir, "documents")
+    return simhash_band_pairs(
+        docs, "doc_id", "text", bits=SIMHASH_BITS, bands=5,
+        max_hamming=2, max_bucket=200,
+    )

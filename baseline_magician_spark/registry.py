@@ -148,7 +148,9 @@ _PRIORITY: tuple[str, ...] = (
     # r1-only rotation: similarity family
     "similarity_topk_cosine",
     "similarity_lsh_neardup_pairs",
-    "similarity_lsh_bucket_histogram",
+    # (similarity_lsh_bucket_histogram defers to round 4 — neardup_pairs
+    # keeps the LSH machinery in-window; the Hamming-LSH op is new)
+    "dedup_simhash_band_pairs",
     # streaming: the new merge-rollup + two r1-only rotations
     # (streaming_windowed_counts defers to round 4 — the new merge
     # rollup covers the same windowed-count machinery plus the merge)
