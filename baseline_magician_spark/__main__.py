@@ -50,9 +50,16 @@ def main(argv: list[str] | None = None) -> int:
         "baseline job; prints the result as JSON lines",
     )
     ap.add_argument(
+        "--run-sql",
+        default=None,
+        metavar="SQL",
+        help="run a ClickHouse-dialect SQL string against the --sf-dir "
+        "tables (plans/ch_sql.py front end); prints JSON lines",
+    )
+    ap.add_argument(
         "--sf-dir",
         default="/root/testdata/sf0.01",
-        help="table directory for --run-query (parquet per table)",
+        help="table directory for --run-query/--run-sql (parquet per table)",
     )
     ap.add_argument(
         "--networks_list",
@@ -84,8 +91,20 @@ def main(argv: list[str] | None = None) -> int:
             sys.stdout.write("\n")
         return 0
 
+    if args.run_sql is not None:
+        from .catalog import TABLES, load_table
+        from .plans.ch_sql import run_ch_query
+
+        spark = get_spark(app_name="bms-sql")
+        tables = {t: load_table(spark, args.sf_dir, t) for t in TABLES}
+        df = run_ch_query(args.run_sql, tables)
+        for row in df.collect():
+            json.dump(row.asDict(recursive=True), sys.stdout, default=str)
+            sys.stdout.write("\n")
+        return 0
+
     if args.metrics_path is None:
-        ap.error("--metrics-path is required (unless --run-query)")
+        ap.error("--metrics-path is required (unless --run-query/--run-sql)")
 
     with open(args.config) as f:
         config = BaselineConfig.from_json(f.read())

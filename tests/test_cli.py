@@ -79,3 +79,22 @@ def test_metrics_path_still_required_without_run_query(spark, capsys):
     with _pytest.raises(SystemExit):
         main(["--dry-run"])
     assert "--metrics-path is required" in capsys.readouterr().err
+
+
+def test_cli_run_sql(capsys):
+    import json
+
+    from baseline_magician_spark.__main__ import main
+
+    rc = main([
+        "--run-sql",
+        "SELECT o_orderstatus, count(*) AS n FROM orders "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ])
+    assert rc == 0
+    lines = [
+        json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [l["o_orderstatus"] for l in lines] == ["F", "O", "P"]
+    assert sum(l["n"] for l in lines) == 1500
