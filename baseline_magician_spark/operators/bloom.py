@@ -53,10 +53,17 @@ def bloom_positions_duckdb(hash_expr: str, m: int = DEFAULT_M) -> list[str]:
 def build_bloom(keys: DataFrame, key_col: str, m: int = DEFAULT_M) -> DataFrame:
     """1-row DataFrame ``(bloom_bits: array<int>)`` — the filter,
     ready to broadcast. ``key_col`` must be a string column; hashing
-    happens here so build and probe cannot disagree."""
-    h = poly_hash(F.col(key_col))
-    bits = keys.select(
-        F.explode(F.array(*bloom_positions(h, m))).alias("bit")
+    happens here so build and probe cannot disagree.
+
+    The base hash lands in its own projection FIRST and the k affine
+    rehashes reference that column — inlining ``poly_hash`` into each
+    position would re-run the char-level aggregate k times per row
+    (Catalyst does not CSE aggregate-lambda subtrees)."""
+    hashed = keys.select(poly_hash(F.col(key_col)).alias("_h"))
+    bits = hashed.select(
+        F.explode(
+            F.array(*bloom_positions(F.col("_h"), m))
+        ).alias("bit")
     )
     return bits.agg(F.sort_array(F.collect_set("bit")).alias("bloom_bits"))
 
@@ -66,10 +73,14 @@ def bloom_probe(
 ) -> DataFrame:
     """Append ``bloom_pass`` (boolean: all k bits set) to ``probe``.
     One broadcast crossJoin of the 1-row filter; the membership test is
-    a codegen'd array_contains conjunction — map-side at any scale."""
-    h = poly_hash(F.col(key_col))
-    out = probe.crossJoin(F.broadcast(bloom))
+    a codegen'd array_contains conjunction — map-side at any scale.
+    The key hashes ONCE into a hidden column (see build_bloom)."""
+    out = probe.withColumn(
+        "_bloom_h", poly_hash(F.col(key_col))
+    ).crossJoin(F.broadcast(bloom))
     passed = F.lit(True)
-    for pos in bloom_positions(h, m):
+    for pos in bloom_positions(F.col("_bloom_h"), m):
         passed = passed & F.array_contains(F.col("bloom_bits"), pos)
-    return out.withColumn("bloom_pass", passed).drop("bloom_bits")
+    return out.withColumn("bloom_pass", passed).drop(
+        "bloom_bits", "_bloom_h"
+    )

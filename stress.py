@@ -221,6 +221,7 @@ def main() -> None:
         from baseline_magician_spark.operators.text import tfidf_top_terms
 
         docs = replicate(docs0, k, ["doc_id"], salt_text=True)
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
         return tfidf_top_terms(docs, "doc_id", "text", k=3).count()
 
     def bloom_screen(k: int) -> int:
@@ -234,6 +235,9 @@ def main() -> None:
         )
 
         docs = replicate(docs0, k, ["doc_id"], salt_text=True)
+        # widen the single-split scan like load_for_compute does for
+        # the real query — shingling is the per-row-expensive stage
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
         term = F.explode(
             F.array_distinct(token_shingles(F.lower(F.col("text")), 3))
         ).alias("term")
