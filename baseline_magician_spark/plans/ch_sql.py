@@ -36,7 +36,9 @@ hand-written queries a CH user actually runs. Current surface:
   window functions ``fn(...) OVER ([PARTITION BY ...] [ORDER BY ...]
   [ROWS|RANGE [BETWEEN] frame])`` (explicit frames; the implicit
   default already matches CH/ANSI);
-- statement level: WITH CTEs, UNION ALL/DISTINCT, INTERSECT/EXCEPT
+- statement level: WITH (both forms — ANSI CTEs and classic-CH scalar
+  aliases ``WITH expr AS name``, mixable), UNION ALL/DISTINCT,
+  INTERSECT/EXCEPT
   (CH ALL-default, INTERSECT precedence), trailing SETTINGS (validated
   + recorded, query-scoped) and FORMAT; ?/@name parameter binding with
   the reference driver's exact recognition rules (plans/ch_bind.py).
@@ -137,6 +139,9 @@ class _Parser:
         # action runs at parse time)
         self.tables = tables
         self.broadcast_dims = broadcast_dims
+        # classic-CH scalar WITH aliases (WITH expr AS name):
+        # name -> expression node, substituted at bare-identifier use
+        self.with_aliases: dict[str, _Node] = {}
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -481,6 +486,8 @@ class _Parser:
             if nxt == "*":
                 return _Node("star", t)  # qualified star: value = alias
             return _Node("col", f"{t}.{nxt}")
+        if t in self.with_aliases:
+            return self.with_aliases[t]
         return _Node("col", t)
 
 
@@ -818,18 +825,37 @@ def run_ch_query(
             tables = {**tables, **{e.name: e.df for e in externals}}
 
     p = _Parser(_tokenize(sql), tables, broadcast_dims)
-    # WITH name AS (SELECT ...) [, ...] — each CTE plans against the
-    # env extended by the CTEs before it (lazily; no materialization)
+    # WITH clause, both CH forms (mixable in one list):
+    # - CTE:          WITH name AS (SELECT ...)   [ANSI]
+    # - scalar alias: WITH expr AS name           [classic ClickHouse]
+    # CTEs plan against the env extended by the CTEs before them
+    # (lazily; no materialization). Scalar aliases substitute their
+    # expression tree wherever the bare name appears downstream —
+    # including subqueries — and take precedence over a same-named
+    # column (qualify the column to reach it), like CH.
     if p.peek_kw() == "with":
         p.next()
         while True:
-            cte_name = p.next()
-            p.expect("as")
-            p.expect("(")
-            cte_df = _exec_select(p, tables, broadcast_dims)
-            p.expect(")")
-            tables = {**tables, cte_name: cte_df}
-            p.tables = tables
+            is_cte = (
+                re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", p.peek() or "")
+                and p.toks[p.i + 1 : p.i + 2]
+                and p.toks[p.i + 1].lower() == "as"
+                and p.toks[p.i + 2 : p.i + 3] == ["("]
+                and p.toks[p.i + 3 : p.i + 4]
+                and p.toks[p.i + 3].lower() == "select"
+            )
+            if is_cte:
+                cte_name = p.next()
+                p.expect("as")
+                p.expect("(")
+                cte_df = _exec_select(p, tables, broadcast_dims)
+                p.expect(")")
+                tables = {**tables, cte_name: cte_df}
+                p.tables = tables
+            else:
+                expr = p.parse_expr()
+                p.expect("as")
+                p.with_aliases[p.next()] = expr
             if p.peek() != ",":
                 break
             p.next()

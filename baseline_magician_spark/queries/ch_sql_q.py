@@ -700,3 +700,32 @@ def ch_sql_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(
         _ANY_SQL, _tables(spark, sf_dir, "customer", "orders")
     )
+
+
+# classic-CH scalar WITH aliases (WITH expr AS name — not the ANSI CTE
+# form): the alias substitutes its expression tree at every bare use;
+# the oracle simply inlines the value.
+_SCALAR_WITH_SQL = """
+WITH 0.08 AS tax_rate, count(*) AS n_orders
+SELECT o_orderstatus,
+       round(sum(o_totalprice) * tax_rate, 2) AS est_tax,
+       n_orders AS n_in_status
+FROM fastnetmon.orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "ch_sql_scalar_with",
+    """
+    SELECT o_orderstatus,
+           round(sum(o_totalprice) * 0.08, 2) AS est_tax,
+           count(*) AS n_in_status
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def ch_sql_scalar_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_SCALAR_WITH_SQL, _tables(spark, sf_dir, "orders"))

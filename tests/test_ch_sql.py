@@ -1396,3 +1396,27 @@ def test_window_frames(spark):
             "preceding and current row) as s from t",
             {"t": df},
         )
+
+
+def test_scalar_with_aliases(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+    )
+    # classic CH scalar WITH: the alias substitutes everywhere,
+    # including WHERE, and mixes with an ANSI CTE in one list
+    out = run_ch_query(
+        "with 2.5 as factor, "
+        "big as (select id, v from t where v >= 20) "
+        "select id, v * factor as scaled from big "
+        "where v * factor > 55 order by id",
+        {"t": df},
+    ).collect()
+    assert [(r.id, r.scaled) for r in out] == [(3, 75.0)]
+    # an expression alias (not just a literal), reused twice
+    out = run_ch_query(
+        "with max(v) as vmax select vmax as a, vmax + 1 as b from t",
+        {"t": df},
+    ).collect()
+    assert [(r.a, r.b) for r in out] == [(30.0, 31.0)]
