@@ -679,3 +679,62 @@ def ivf_train_step(
             lambda s: s["value"],
         ).alias("centroid"),
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_query_vecs: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF cells over PQ codes — the standard billion-vector serving
+    layout (IVFADC, Jegou et al. 2011): the corpus partitions into
+    coarse centroid cells AND compresses to m-byte PQ codes; a query
+    probes its n_probe nearest cells and ADC-rescores only those
+    candidates against its full-precision vector.
+
+    Plan shape: cell assignment and PQ reconstruction are ONE narrow
+    scan projection against plan-literal centroids/codebooks (at scale
+    this is the index build artifact: (cell, codes) per vector, read
+    as a cell-pruned scan of m bytes/vector); the probe set
+    broadcasts; the only shuffle is the final per-query top-k window.
+    Candidates drop from N to ~N*n_probe/n_cells and candidate bytes
+    from dim floats to m codes — the two savings multiply.
+    """
+    from pyspark.sql import Window as W
+
+    chosen = pq_choose(F.col(vec_col), codebooks)
+    assigned = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
+        F.flatten(F.array(*[ch["v"] for ch in chosen])).alias("_recon"),
+    )
+    probes = embeddings.where(F.col(id_col) < n_query_vecs).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            ivf_probe_cells(F.col(vec_col), centroids, n_probe)
+        ).alias("cell"),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(l2_sq(F.col("_qvec"), F.col("_recon")), 6).alias(
+                "adc_dist"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -478,3 +478,73 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=N_CENTROIDS,
         centroids=cents,
     )
+
+
+def _ivfpq_oracle() -> str:
+    """IVFADC composed: the PQ encode/recon CTEs + the IVF assign/probe
+    CTEs, candidates = probed cells only, distances against the PQ
+    reconstruction — identical tie rules to both parents."""
+    return f"""
+    WITH {_pq_enc_ctes()},
+    recon AS (
+      SELECT vec_id, flatten(list(cvec ORDER BY j)) AS rv
+      FROM enc GROUP BY vec_id
+    ),
+    cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign AS (
+      SELECT vec_id AS neighbor_id, cell FROM (
+        SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos('e.embedding', 'c.cvec')} DESC, c.cid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cos('q.embedding', 'c.cvec')} DESC, c.cid ASC
+               ) AS rn
+        FROM embeddings q CROSS JOIN cents c
+        WHERE q.vec_id < {N_QUERY_VECS}
+      ) WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             round({_L2.format(a='p.qv', b='r.rv')}, 6) AS adc_dist
+      FROM probes p JOIN assign a USING (cell)
+      JOIN recon r ON r.vec_id = a.neighbor_id
+      WHERE a.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id
+      ) AS INT) AS rank FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query("similarity_ivfpq_topk", _ivfpq_oracle())
+def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed (IVFADC): coarse cells prune the candidate
+    set, PQ codes compress what remains — the billion-vector layout
+    both parent queries advertise, now hash-checked as one pipeline."""
+    from ..operators.similarity import ivfpq_topk, pq_codebooks_from_seeds
+
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        centroids=_seed_centroids(spark, sf_dir, N_CENTROIDS),
+        codebooks=pq_codebooks_from_seeds(
+            _seed_centroids(spark, sf_dir, PQ_CODES), m=PQ_M
+        ),
+        k=TOP_K,
+        n_query_vecs=N_QUERY_VECS,
+        n_probe=N_PROBE,
+    )

@@ -135,9 +135,11 @@ _PRIORITY: tuple[str, ...] = (
     # keeps the asof machinery in-window; tpch-as-CH-text is new)
     "ch_sql_tpch_q1",
     # r1-only rotation: relational/window family
-    # (window_running_revenue + extremes_value_by_type defer to round
-    # 4 — ch_sql_extremes keeps the extremes machinery in-window)
-    "window_topn_orders_per_segment",
+    # (window_running_revenue, extremes_value_by_type and
+    # window_topn_orders_per_segment defer to round 4 —
+    # ch_sql_extremes/ch_sql_window_topn cover those machineries; the
+    # composed IVFADC query is new)
+    "similarity_ivfpq_topk",
     "rollup_totals_by_region_nation",
     # (skew_salted_distinct_users rotates back in round 4 — its sibling
     # skew_salted_join_event_types keeps the salting path in-window)
