@@ -170,6 +170,26 @@ def repetition_stats(text_col: Column | str) -> list[Column]:
     ]
 
 
+def cms_cells(c: Column, depth: int, width: int) -> Column:
+    """The (row, bucket) cell array of a key — THE one definition of
+    the CMS hash family, shared by the batch sketch, the streaming
+    per-batch sketches, and every probe (build and probe can never
+    disagree on cells)."""
+    from ..functions.hashing import poly_hash
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (poly_hash(c, seed=1000003 + 77 * i) % width).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def count_min_sketch(
     keys: "DataFrame",
     key_col: str = "s",
@@ -195,20 +215,9 @@ def count_min_sketch(
     key's cell, the classic never-underestimating point query.
     """
     from pyspark.sql import DataFrame  # noqa: F401 (typing only)
-    from ..functions.hashing import poly_hash
 
     def cells(c):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("row"),
-                    (poly_hash(c, seed=1000003 + 77 * i) % width).alias(
-                        "bucket"
-                    ),
-                )
-                for i in range(depth)
-            ]
-        )
+        return cms_cells(c, depth, width)
 
     w = F.col(weight_col) if weight_col else F.lit(1)
     sketch = (

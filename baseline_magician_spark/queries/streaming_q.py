@@ -330,3 +330,112 @@ def streaming_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour", "event_type", "n",
         F.round(F.col("total_value"), 2).alias("total_value"),
     )
+
+
+_CMS_MERGE_ORACLE = """
+SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS n_events,
+       TRUE AS cms_within_bounds
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 20
+"""
+
+
+@query("streaming_cms_merge", _CMS_MERGE_ORACLE)
+def streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: each micro-batch builds its own
+    (row, bucket, cnt) cell table DISTRIBUTED and foreachBatch merges
+    the cells ADDITIVELY into standing sketch state — the mergeability
+    that makes CMS the sketch of choice for 100 TB streams (per-batch
+    sketches of disjoint data sum cell-wise to the sketch of the
+    union, exactly). The hash-checked columns are the exact per-user
+    counts; the merged sketch earns its hard signal through
+    ``cms_within_bounds``: never-underestimate + the slack-scaled
+    n/width overestimate envelope (oracle emits constant TRUE), which
+    only holds if the cell-wise merge preserved CMS semantics.
+
+    Scale shape: per batch one uniform (row, bucket) shuffle over the
+    BATCH only; the merge target is depth*width cells (a few KB) —
+    batch cost is O(batch), state is O(sketch), never O(history)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..operators.text import cms_cells, count_min_sketch
+
+    depth, width, slack = 4, 1024, 8
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="bms_cms_stream_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        cells_state: dict[tuple[int, int], int] = {}
+
+        def handle(batch_df: DataFrame, _bid: int) -> None:
+            keys = batch_df.select(
+                F.col("user_id").cast("string").alias("s")
+            )
+            sketch, _probe = count_min_sketch(
+                keys, "s", depth=depth, width=width
+            )
+            for r in sketch.collect():
+                k = (r["row"], r["bucket"])
+                cells_state[k] = cells_state.get(k, 0) + int(r["cnt"])
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        q.stop()
+        if not finished:
+            raise TimeoutError(
+                "streaming CMS replay did not finish within 300s"
+            )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+    merged = spark.createDataFrame(
+        [(r, b, n) for (r, b), n in cells_state.items()],
+        "row int, bucket long, cnt long",
+    )
+    exact = (
+        ev.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("_n"))
+    probes = exact.withColumn(
+        "_c",
+        F.explode(
+            cms_cells(F.col("user_id").cast("string"), depth, width)
+        ),
+    )
+    est = (
+        probes.join(
+            F.broadcast(merged),
+            (F.col("_c.row") == F.col("row"))
+            & (F.col("_c.bucket") == F.col("bucket")),
+            "left",
+        )
+        .groupBy("user_id", "n_events")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("_est")
+        )
+    )
+    within = (F.col("_est") >= F.col("n_events")) & (
+        F.col("_est") <= F.col("n_events") + slack * F.col("_n") / width
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "user_id", "n_events", within.alias("cms_within_bounds")
+    )

@@ -156,10 +156,10 @@ _PRIORITY: tuple[str, ...] = (
     # streaming: the new merge-rollup + two r1-only rotations
     # (streaming_windowed_counts defers to round 4 — the new merge
     # rollup covers the same windowed-count machinery plus the merge)
-    # (streaming_baseline_windows defers to round 4 — r2-green,
-    # streaming code unchanged this session)
+    # (streaming_baseline_windows and sessionize defer to round 4 —
+    # r2/r1-green, their code unchanged; the CMS merge is new)
     "streaming_hourly_rollup_merge",
-    "streaming_sessionize_gap",
+    "streaming_cms_merge",
     # r1-only rotation: IP functions
     "ip_function_roundtrip",
 )
