@@ -33,6 +33,8 @@ hand-written queries a CH user actually runs. Current surface:
   arithmetic incl. %, scalar subqueries, uncorrelated EXISTS
   (correlated subqueries are rejected, as in the reference's CH era),
   parametric aggregates ``quantile(0.9)(x)`` / ``quantiles(...)()``,
+  array lambdas ``arrayMap(x -> e, arr)`` (+ Filter/Exists/All/Count/
+  First/FirstIndex/Sum/Avg, two-array zip form, nested closures),
   window functions ``fn(...) OVER ([PARTITION BY ...] [ORDER BY ...]
   [ROWS|RANGE [BETWEEN] frame])`` (explicit frames; the implicit
   default already matches CH/ANSI);
@@ -85,7 +87,7 @@ _TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
     r"|(?P<str>'(?:[^'\\]|\\.|'')*')"
     r"|(?P<ident>[A-Za-z_][A-Za-z_0-9]*)"
-    r"|(?P<sym><=|>=|!=|<>|[(),.*+\-/<>=%]))"
+    r"|(?P<sym>->|<=|>=|!=|<>|[(),.*+\-/<>=%]))"
 )
 
 
@@ -368,6 +370,43 @@ class _Parser:
             return _Node("call", "not", (self.parse_unary(),))
         return self.parse_primary()
 
+    def _parse_lambda_or_expr(self) -> _Node:
+        """A function argument: a CH lambda ``x -> expr`` /
+        ``(x, y) -> expr`` if the lookahead says so, else an ordinary
+        expression. Lambdas only exist in argument position."""
+        ident = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+        t = self.peek()
+        # bare-param form: ident ->
+        if (
+            t is not None
+            and ident.fullmatch(t)
+            and self.toks[self.i + 1 : self.i + 2] == ["->"]
+        ):
+            param = self.next()
+            self.next()  # ->
+            return _Node("lambda", (param,), (self.parse_expr(),))
+        # parenthesized params: (a, b) ->
+        if t == "(":
+            j = self.i + 1
+            params: list[str] = []
+            while (
+                j < len(self.toks)
+                and ident.fullmatch(self.toks[j])
+            ):
+                params.append(self.toks[j])
+                if self.toks[j + 1 : j + 2] == [","]:
+                    j += 2
+                    continue
+                break
+            if (
+                params
+                and self.toks[j + 1 : j + 2] == [")"]
+                and self.toks[j + 2 : j + 3] == ["->"]
+            ):
+                self.i = j + 3
+                return _Node("lambda", tuple(params), (self.parse_expr(),))
+        return self.parse_expr()
+
     def parse_primary(self) -> _Node:
         t = self.next()
         if t == "(":
@@ -459,10 +498,10 @@ class _Parser:
             self.next()
             args = []
             if self.peek() != ")":
-                args.append(self.parse_expr())
+                args.append(self._parse_lambda_or_expr())
                 while self.peek() == ",":
                     self.next()
-                    args.append(self.parse_expr())
+                    args.append(self._parse_lambda_or_expr())
             self.expect(")")
             call = _Node("call", t, tuple(args))
             if t.lower() in _PARAMETRIC_AGGS and self.peek() == "(":
@@ -531,12 +570,58 @@ def _is_const(node: _Node) -> bool:
     return all(_is_const(a) for a in node.args)
 
 
+# lambda-variable scopes, innermost last. Compilation is synchronous
+# and driver-side (Spark's higher-order builders invoke the Python
+# callback eagerly while the enclosing _compile frame is on the
+# stack), so a module-level stack with push/pop in try/finally is
+# race-free within a query build.
+_LAMBDA_SCOPES: list[dict[str, Column]] = []
+
+# CH higher-order array functions: lambda FIRST (CH argument order),
+# mapped onto Spark's codegen'd higher-order builders
+_HOF = {
+    "arraymap": lambda fn, *arrs: (
+        F.transform(arrs[0], fn)
+        if len(arrs) == 1
+        else F.zip_with(arrs[0], arrs[1], fn)
+    ),
+    "arrayfilter": lambda fn, arr: F.filter(arr, fn),
+    "arrayexists": lambda fn, arr: F.exists(arr, fn),
+    "arrayall": lambda fn, arr: F.forall(arr, fn),
+    "arraycount": lambda fn, arr: F.size(F.filter(arr, fn)).cast("long"),
+    "arrayfirst": lambda fn, arr: F.element_at(F.filter(arr, fn), 1),
+    "arrayfirstindex": lambda fn, arr: F.coalesce(
+        F.array_position(F.transform(arr, fn), True).cast("long"),
+        F.lit(0).cast("long"),
+    ),
+    "arraysum": lambda fn, arr: F.aggregate(
+        F.transform(arr, fn),
+        F.lit(0).cast("double"),
+        lambda acc, x: acc + x,
+    ),
+    "arrayavg": lambda fn, arr: F.when(
+        F.size(arr) > 0,
+        F.aggregate(
+            F.transform(arr, fn),
+            F.lit(0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        / F.size(arr),
+    ),
+}
+
+
 def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
     if node.kind == "num":
         return F.lit(node.value)
     if node.kind == "str":
         return F.lit(node.value)
     if node.kind == "col":
+        name = str(node.value)
+        if "." not in name:
+            for scope in reversed(_LAMBDA_SCOPES):
+                if name in scope:
+                    return scope[name]
         return F.col(node.value)
     if node.kind == "star":
         return F.lit(1)  # only valid inside count(*)
@@ -672,6 +757,10 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                 ]
             cond = left.isin(node.memo)
         return ~cond if negate else cond
+    if node.kind == "lambda":
+        raise ValueError(
+            "a lambda is only valid as a higher-order function argument"
+        )
     if node.kind == "call":
         name = node.value
         lname = name.lower()
@@ -679,6 +768,32 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             return ~_compile(node.args[0], env)
         if lname == "count" and node.args and node.args[0].kind == "star":
             return F.count(F.lit(1))
+        if node.args and node.args[0].kind == "lambda":
+            hof = _HOF.get(lname)
+            if hof is None:
+                raise ValueError(
+                    f"{name!r} does not take a lambda argument"
+                )
+            lnode = node.args[0]
+            params = lnode.value
+
+            def _bind(cols: tuple) -> Column:
+                _LAMBDA_SCOPES.append(dict(zip(params, cols)))
+                try:
+                    return _compile(lnode.args[0], env)
+                finally:
+                    _LAMBDA_SCOPES.pop()
+
+            # Spark's higher-order builders inspect the callable's
+            # POSITIONAL arity — build a wrapper of the declared arity
+            if len(params) == 1:
+                fn = lambda x: _bind((x,))  # noqa: E731
+            elif len(params) == 2:
+                fn = lambda x, y: _bind((x, y))  # noqa: E731
+            else:
+                raise ValueError("lambdas take 1 or 2 parameters")
+            arrs = [_compile(a, env) for a in node.args[1:]]
+            return hof(fn, *arrs)
         fn = CH_FUNCTIONS.get(name) or CH_FUNCTIONS.get(lname)
         if fn is None:
             raise ValueError(f"unknown function {name!r}")

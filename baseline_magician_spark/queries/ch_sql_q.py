@@ -729,3 +729,32 @@ ORDER BY o_orderstatus
 )
 def ch_sql_scalar_with(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_SCALAR_WITH_SQL, _tables(spark, sf_dir, "orders"))
+
+
+# CH array lambdas over the documents token stream; the oracle uses
+# DuckDB's own lambda spelling (list first, lambda second).
+_LAMBDA_SQL = """
+SELECT doc_id,
+       arrayCount(t -> length(t) > 4, splitByChar(' ', text)) AS long_tokens,
+       toInt64(arraySum(t -> length(t), splitByChar(' ', text))) AS total_chars
+FROM fastnetmon.documents
+ORDER BY doc_id
+"""
+
+
+@query(
+    "ch_sql_array_lambdas",
+    """
+    SELECT doc_id,
+      CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4))
+           AS BIGINT) AS long_tokens,
+      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ' '),
+                            t -> CAST(length(t) AS BIGINT))),
+           (a, b) -> a + b) AS BIGINT) AS total_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def ch_sql_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_LAMBDA_SQL, _tables(spark, sf_dir, "documents"))

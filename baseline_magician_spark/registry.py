@@ -144,9 +144,9 @@ _PRIORITY: tuple[str, ...] = (
     # (skew_salted_distinct_users rotates back in round 4 — its sibling
     # skew_salted_join_event_types keeps the salting path in-window)
     "skew_salted_join_event_types",
-    # r1-only rotation: sampling family (mixture_plan defers to round
-    # 4 — quota keeps the deterministic-hash machinery in-window)
-    "sample_quota_per_source",
+    # (sampling family defers to round 4 — temperature_weights keeps
+    # the deterministic-hash machinery in-window; lambdas are new)
+    "ch_sql_array_lambdas",
     # r1-only rotation: similarity family
     "similarity_topk_cosine",
     "similarity_lsh_neardup_pairs",

@@ -1420,3 +1420,41 @@ def test_scalar_with_aliases(spark):
         {"t": df},
     ).collect()
     assert [(r.a, r.b) for r in out] == [(30.0, 31.0)]
+
+
+def test_array_lambdas(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, [10, 20]), (3, [])],
+        "id long, a array<int>",
+    )
+    out = run_ch_query(
+        "select id, arrayMap(x -> x * 2, a) as m, "
+        "arrayFilter(x -> x % 2 = 0, a) as f, "
+        "arrayCount(x -> x > 1, a) as c, "
+        "arraySum(x -> x * x, a) as s, "
+        "arrayFirstIndex(x -> x = 20, a) as i "
+        "from t order by id",
+        {"t": df},
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        (1, [2, 4, 6, 8], [2, 4], 3, 30.0, 0),
+        (2, [20, 40], [10, 20], 2, 500.0, 2),
+        (3, [], [], 0, 0.0, 0),
+    ]
+    # two-array zip form and nested lambdas (outer var captured inside)
+    out = run_ch_query(
+        "select id, arrayMap((x, y) -> x + y, a, a) as z, "
+        "arrayMap(x -> arraySum(y -> x * y, a), a) as n "
+        "from t where id = 1",
+        {"t": df},
+    ).collect()[0]
+    assert list(out.z) == [2, 4, 6, 8]
+    assert list(out.n) == [10.0, 20.0, 30.0, 40.0]
+    with pytest.raises(ValueError, match="does not take a lambda"):
+        run_ch_query("select arrayMin(x -> x, a) from t", {"t": df})
+    with pytest.raises(ValueError, match="1 or 2 parameters"):
+        run_ch_query(
+            "select arrayMap((x, y, z) -> x, a, a, a) from t", {"t": df}
+        )
