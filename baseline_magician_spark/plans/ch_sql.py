@@ -1264,8 +1264,66 @@ def _exec_select(
         p.next()
         distinct = True
 
+    def _star_modifiers(node: _Node) -> _Node:
+        """CH column-matcher modifiers on a star select item:
+        ``* EXCEPT (c, ...)``, ``* REPLACE (expr AS c, ...)``,
+        ``* APPLY (fn)`` — chainable in any order. The star node's
+        value becomes (qualifier, modifiers-tuple)."""
+        mods: list[tuple] = []
+        while True:
+            kw = p.peek_kw()
+            if kw == "except":
+                # only the modifier form: EXCEPT (cols) / EXCEPT col —
+                # the set operation spells EXCEPT SELECT
+                nxt = p.toks[p.i + 1 : p.i + 2]
+                if not nxt or nxt[0].lower() == "select":
+                    break
+                p.next()
+                paren = p.peek() == "("
+                if paren:
+                    p.next()
+                names = [p.next()]
+                while p.peek() == ",":
+                    p.next()
+                    names.append(p.next())
+                if paren:
+                    p.expect(")")
+                mods.append(("except", tuple(names)))
+            elif kw == "replace":
+                p.next()
+                paren = p.peek() == "("
+                if paren:
+                    p.next()
+                repl: list[tuple[str, _Node]] = []
+                while True:
+                    e = p.parse_expr()
+                    p.expect("as")
+                    repl.append((p.next(), e))
+                    if p.peek() != ",":
+                        break
+                    p.next()
+                if paren:
+                    p.expect(")")
+                mods.append(("replace", tuple(repl)))
+            elif kw == "apply":
+                p.next()
+                paren = p.peek() == "("
+                if paren:
+                    p.next()
+                fn = p.next()
+                if paren:
+                    p.expect(")")
+                mods.append(("apply", fn))
+            else:
+                break
+        if mods:
+            return _Node("star", (node.value, tuple(mods)))
+        return node
+
     def _select_item() -> tuple[_Node, str | None]:
         node = p.parse_expr()
+        if node.kind == "star":
+            node = _star_modifiers(node)
         if p.peek_kw() == "as":
             p.next()
             return node, p.next()
@@ -1277,6 +1335,26 @@ def _exec_select(
         items.append(_select_item())
     select_nodes = [n for n, _ in items]
     aliases = [a for _, a in items]
+
+    if p.peek_kw() != "from":
+        # FROM-less SELECT (constants, scalar functions, scalar
+        # subqueries): CH's implicit one-row system.one relation
+        from pyspark.sql import SparkSession as _SS
+
+        sess = (
+            next(iter(tables.values())).sparkSession
+            if tables
+            else _SS.getActiveSession()
+        )
+        if sess is None:
+            raise ValueError("FROM-less SELECT needs an active session")
+        cols = []
+        for i, (nnode, al) in enumerate(items):
+            nm = al or (
+                str(nnode.value) if nnode.kind == "col" else f"c{i}"
+            )
+            cols.append(_compile(nnode, tables).alias(nm))
+        return sess.range(1).select(*cols)
 
     p.expect("from")
 
@@ -1734,6 +1812,10 @@ def _exec_select(
                 continue
             if a is not None:
                 raise ValueError("cannot alias a * select item")
+            mods: tuple = ()
+            if isinstance(n.value, tuple):
+                qual_v, mods = n.value
+                n = _Node("star", qual_v)
             if n.value is None and joins:
                 # bare * over a join: expand RELATION BY RELATION with
                 # qualified refs — shared column names (the join key!)
@@ -1752,10 +1834,29 @@ def _exec_select(
             else:
                 qual = str(n.value)
                 pairs = [(qual, c) for c in df.select(f"{qual}.*").columns]
+            # apply the CH column-matcher modifiers in declaration
+            # order per column: drop EXCEPTed names, swap in REPLACE
+            # expressions (which keep the column's name), wrap in each
+            # APPLY function (named fn_col by the derived-name rule)
+            excepted: set[str] = set()
+            replace_map: dict[str, _Node] = {}
+            applies: list[str] = []
+            for mkind, payload in mods:
+                if mkind == "except":
+                    excepted.update(payload)
+                elif mkind == "replace":
+                    replace_map.update(dict(payload))
+                else:
+                    applies.append(payload)
             for q, c in pairs:
+                if c in excepted:
+                    continue
                 ref = f"{q}.{c}" if q else c
-                expanded.append(_Node("col", ref))
-                exp_aliases.append(None)
+                node2 = replace_map.get(c) or _Node("col", ref)
+                for fname in applies:
+                    node2 = _Node("call", fname, (node2,))
+                expanded.append(node2)
+                exp_aliases.append(c if c in replace_map else None)
         select_nodes, aliases = expanded, exp_aliases
 
     def _name(n: _Node, i: int) -> str:

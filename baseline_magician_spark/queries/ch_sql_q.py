@@ -758,3 +758,24 @@ ORDER BY doc_id
 )
 def ch_sql_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_LAMBDA_SQL, _tables(spark, sf_dir, "documents"))
+
+
+# CH column-matcher modifiers: * EXCEPT drops columns, APPLY wraps
+# every survivor in an aggregate — the one-line table-profile idiom.
+_STAR_MODS_SQL = """
+SELECT * EXCEPT (props, ts, event_type) APPLY (max)
+FROM fastnetmon.events
+"""
+
+
+@query(
+    "ch_sql_star_modifiers",
+    """
+    SELECT max(event_id) AS max_event_id,
+           max(user_id) AS max_user_id,
+           max(value) AS max_value
+    FROM events
+    """,
+)
+def ch_sql_star_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_STAR_MODS_SQL, _tables(spark, sf_dir, "events"))

@@ -1458,3 +1458,35 @@ def test_array_lambdas(spark):
         run_ch_query(
             "select arrayMap((x, y, z) -> x, a, a, a) from t", {"t": df}
         )
+
+
+def test_star_modifiers_and_fromless_select(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "x"), (3, 4.0, "y")], "a long, b double, c string"
+    )
+    out = run_ch_query("select * except (c) from t order by a", {"t": df})
+    assert out.columns == ["a", "b"]
+    out = run_ch_query(
+        "select * replace (a * 10 as a) from t order by a", {"t": df}
+    )
+    assert out.columns == ["a", "b", "c"]
+    assert [r.a for r in out.collect()] == [10, 30]
+    out = run_ch_query("select * except (c) apply (max) from t", {"t": df})
+    assert out.columns == ["max_a", "max_b"]
+    assert [tuple(r) for r in out.collect()] == [(3, 4.0)]
+    # qualified star takes modifiers too; set-op EXCEPT is unaffected
+    assert run_ch_query(
+        "select t.* except (b, c) from t order by a", {"t": df}
+    ).columns == ["a"]
+    assert [tuple(r) for r in run_ch_query(
+        "select a from t except select 7", {"t": df}
+    ).collect()] == [(1,), (3,)]
+    # FROM-less SELECT: the implicit one-row relation
+    assert [tuple(r) for r in run_ch_query(
+        "select 1 + 2 as s, upper('hi') as u", {"t": df}
+    ).collect()] == [(3, "HI")]
+    assert [tuple(r) for r in run_ch_query(
+        "with 5 as k select k * k as sq", {}
+    ).collect()] == [(25,)]
