@@ -348,3 +348,76 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "df", "tfidf")
     )
+
+
+# Gopher corpus-filter rule constants (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", App. A1.1 — the published heuristics)
+GOPHER_STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_quality_flags(text_col: Column | str) -> list[Column]:
+    """The Gopher heuristic quality rules as one codegen'd projection
+    — per-document boolean flags plus the composite keep decision.
+
+    Rules (document passes ALL to be kept): word count in [50, 1e5];
+    mean word length in [3, 10]; symbol-to-word ratio (# / ellipsis)
+    < 0.1; < 90% of lines bullet-started; < 30% of lines
+    ellipsis-ended; > 80% of words contain an alphabetic character;
+    >= 2 distinct members of the Gopher stopword set present.
+
+    Pure Column math, map-side at any scale; denominators clamp to 1
+    so empty documents evaluate (they fail the word-count rule anyway)
+    instead of tripping ANSI division.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = F.coalesce(c, F.lit(""))
+    toks = tokens(c)
+    nt = F.size(toks)
+    ntd = F.greatest(nt, F.lit(1))
+    mean_wl = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    ) / ntd
+    n_sym = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+    lines = F.filter(
+        F.split(c, "\n"), lambda l: F.trim(l) != F.lit("")
+    )
+    nl = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).rlike(r"^(\-|\*|•|‣|▪)"),
+        )
+    )
+    n_ell = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    rules = {
+        "r_word_count": (nt >= GOPHER_MIN_WORDS)
+        & (nt <= GOPHER_MAX_WORDS),
+        "r_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "r_symbol_ratio": (n_sym / ntd) < 0.1,
+        "r_bullet_lines": (n_bullet / nl) < 0.9,
+        "r_ellipsis_lines": (n_ell / nl) < 0.3,
+        "r_alpha_words": (n_alpha / ntd) > 0.8,
+        "r_stopwords": n_stop >= 2,
+    }
+    keep = F.lit(True)
+    for expr in rules.values():
+        keep = keep & expr
+    return [
+        nt.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("gopher_keep"),
+    ]

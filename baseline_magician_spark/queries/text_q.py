@@ -789,3 +789,76 @@ def rag_chunk_overlap_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_len",
         poly_hash(F.col("chunk_text")).alias("chunk_hash"),
     )
+
+
+def _gopher_oracle() -> str:
+    from ..operators.text import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    toks = tokens_duckdb("text")
+    sw = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, {toks} AS toks,
+             list_filter(string_split(text, chr(10)),
+                         l -> trim(l) <> '') AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        len(toks) AS nt,
+        greatest(len(toks), 1) AS ntd,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+          (a, b) -> a + b) / greatest(len(toks), 1) AS mean_wl,
+        len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym,
+        greatest(len(lines), 1) AS nl,
+        len(list_filter(lines,
+            l -> regexp_matches(trim(l), '^(\\-|\\*|•|‣|▪)'))) AS n_bullet,
+        len(list_filter(lines,
+            l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS n_ell,
+        len(list_filter(toks,
+            x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        len(list_intersect(
+            list_distinct(list_transform(toks, x -> lower(x))),
+            [{sw}])) AS n_stop
+      FROM t
+    )
+    SELECT doc_id,
+      nt AS n_words,
+      round(mean_wl, 6) AS mean_word_len,
+      (nt >= {GOPHER_MIN_WORDS} AND nt <= {GOPHER_MAX_WORDS})
+        AS r_word_count,
+      (mean_wl >= 3.0 AND mean_wl <= 10.0) AS r_mean_word_len,
+      (n_sym / ntd) < 0.1 AS r_symbol_ratio,
+      (n_bullet / nl) < 0.9 AS r_bullet_lines,
+      (n_ell / nl) < 0.3 AS r_ellipsis_lines,
+      (n_alpha / ntd) > 0.8 AS r_alpha_words,
+      n_stop >= 2 AS r_stopwords,
+      ((nt >= {GOPHER_MIN_WORDS} AND nt <= {GOPHER_MAX_WORDS})
+       AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+       AND (n_sym / ntd) < 0.1
+       AND (n_bullet / nl) < 0.9
+       AND (n_ell / nl) < 0.3
+       AND (n_alpha / ntd) > 0.8
+       AND n_stop >= 2) AS gopher_keep
+    FROM m
+    """
+
+
+@query("text_gopher_quality", _gopher_oracle())
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher heuristic corpus-filter rules
+    (operators/text.py:gopher_quality_flags) — per-document rule flags
+    + composite keep, one codegen'd projection pass. On this synthetic
+    database-jargon corpus the stopword rule rejects every document
+    (only 'the' ever occurs) — which is the rule working as published:
+    it is an English-prose detector, and this corpus is not prose. The
+    per-rule columns carry the discriminating signal (word-count and
+    mean-word-length split the corpus)."""
+    from ..operators.text import gopher_quality_flags
+
+    docs = load_for_compute(spark, sf_dir, "documents")
+    return docs.select("doc_id", *gopher_quality_flags("text"))

@@ -140,7 +140,9 @@ _PRIORITY: tuple[str, ...] = (
     # ch_sql_extremes/ch_sql_window_topn cover those machineries; the
     # composed IVFADC query is new)
     "similarity_ivfpq_topk",
-    "rollup_totals_by_region_nation",
+    # (rollup_totals_by_region_nation defers to round 4 — the ch_sql
+    # rollup/cube/grouping-sets family covers the machinery)
+    "text_gopher_quality",
     # (skew_salted_distinct_users rotates back in round 4 — its sibling
     # skew_salted_join_event_types keeps the salting path in-window)
     "skew_salted_join_event_types",
