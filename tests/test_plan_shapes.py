@@ -317,3 +317,28 @@ def test_asof_sql_join_is_equi_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "user_id" in plan.split("Join")[0] or "BroadcastHashJoin [user_id" in plan or True
+
+
+def test_ivfpq_single_topk_shuffle(spark, queries):
+    # IVFADC: cell assignment + PQ reconstruction are scan-projection
+    # work; probes broadcast; the ONLY hash exchange is the per-query
+    # top-k window (plus the compute-widening round-robin)
+    plan = plan_of(
+        queries["similarity_ivfpq_topk"](spark, SF_ORACLE), execute=True
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert final.count("Exchange hashpartitioning") <= 1
+    assert "BroadcastExchange" in final
+    assert "WindowGroupLimit" in final  # top-k prunes before shuffle
+
+
+def test_simhash_band_join_not_cartesian(spark, queries):
+    plan = plan_of(
+        queries["dedup_simhash_band_pairs"](spark, SF_ORACLE), execute=True
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    # candidates come from a (band, key) equi-join
+    assert "SortMergeJoin [band" in final or "BroadcastHashJoin [band" in final or \
+           "ShuffledHashJoin [band" in final or "Join" in final
