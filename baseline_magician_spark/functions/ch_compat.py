@@ -230,6 +230,9 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "arrayStringConcat": lambda arr, sep="": F.array_join(arr, sep),
     "arrayFlatten": F.flatten,
     "arrayZip": F.arrays_zip,
+    # CH row values: tuple(a, b) / the (a, b) literal — a struct, so
+    # =/IN compare element-wise in both engines
+    "tuple": lambda *cs: F.struct(*[_as_col(c) for c in cs]),
     "arraySlice": lambda arr, offset, length=None: _array_slice(
         arr, offset, length
     ),

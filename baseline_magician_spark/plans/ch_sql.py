@@ -418,6 +418,15 @@ class _Parser:
                 self.expect(")")
                 return _Node("scalar_subq", sub)
             inner = self.parse_expr()
+            if self.peek() == ",":
+                # tuple literal (a, b, ...) — CH row values; compiles
+                # to a struct, so =/IN compare element-wise
+                parts = [inner]
+                while self.peek() == ",":
+                    self.next()
+                    parts.append(self.parse_expr())
+                self.expect(")")
+                return _Node("call", "tuple", tuple(parts))
             self.expect(")")
             return inner
         if t == "*":
@@ -568,6 +577,13 @@ def _is_const(node: _Node) -> bool:
     if node.kind in ("col", "scalar_subq", "star", "window"):
         return False
     return all(_is_const(a) for a in node.args)
+
+
+def _tuple_parts(n: _Node):
+    """The element nodes of a tuple literal / tuple() call, else None."""
+    if n.kind == "call" and str(n.value).lower() == "tuple":
+        return n.args
+    return None
 
 
 # lambda-variable scopes, innermost last. Compilation is synchronous
@@ -735,7 +751,24 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             return ~cond if negate else cond
         if form == "list":
             items = node.args[1:]
-            if all(a.kind in ("num", "str") for a in items):
+            lt = _tuple_parts(node.args[0])
+            if lt is not None:
+                # (a, b) IN ((..), ..): element-wise equality chains —
+                # struct equality would demand exact field types, this
+                # gets ordinary numeric coercion per element
+                cond = F.lit(False)
+                for a in items:
+                    at = _tuple_parts(a)
+                    if at is None or len(at) != len(lt):
+                        raise ValueError(
+                            "IN list member arity does not match the "
+                            "tuple on the left"
+                        )
+                    eq = F.lit(True)
+                    for x, y in zip(lt, at):
+                        eq = eq & (_compile(x, env) == _compile(y, env))
+                    cond = cond | eq
+            elif all(a.kind in ("num", "str") for a in items):
                 cond = left.isin([a.value for a in items])
             else:  # computed members -> equality chain
                 cond = F.lit(False)
@@ -819,6 +852,15 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
     if node.kind == "bin":
         op = node.value
         ln, rn = node.args
+        if op in ("=", "!=", "<>"):
+            ta, tb = _tuple_parts(ln), _tuple_parts(rn)
+            if ta is not None and tb is not None:
+                if len(ta) != len(tb):
+                    raise ValueError("tuple comparison arity mismatch")
+                eq = F.lit(True)
+                for x, y in zip(ta, tb):
+                    eq = eq & (_compile(x, env) == _compile(y, env))
+                return eq if op == "=" else ~eq
         left, right = _compile(ln, env), _compile(rn, env)
         # CH DateTime +/- integer = seconds arithmetic
         if op in ("+", "-") and _is_timestamp(ln) and rn.kind == "num":

@@ -1490,3 +1490,24 @@ def test_star_modifiers_and_fromless_select(spark):
     assert [tuple(r) for r in run_ch_query(
         "with 5 as k select k * k as sq", {}
     ).collect()] == [(25,)]
+
+
+def test_tuple_literals_and_tuple_in(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "x long, y string"
+    )
+    cases = [
+        ("select count(*) as n from t where (x, y) in "
+         "((1, 'a'), (9, 'z'))", 1),
+        ("select count(*) as n from t where (x, y) not in ((1, 'a'))", 2),
+        ("select count(*) as n from t where (x, y) = (2, 'b')", 1),
+        ("select count(*) as n from t where (x, y) != (2, 'b')", 2),
+    ]
+    for sql, want in cases:
+        assert run_ch_query(sql, {"t": df}).collect()[0].n == want, sql
+    with pytest.raises(ValueError, match="arity"):
+        run_ch_query(
+            "select 1 from t where (x, y) in ((1, 'a', 3))", {"t": df}
+        )

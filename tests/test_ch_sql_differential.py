@@ -68,6 +68,14 @@ def _where(rng: random.Random) -> str:
         preds.append(
             f"event_type {neg}IN ({', '.join(repr(v) for v in vals)})"
         )
+    elif rng.random() < 0.25:
+        # tuple/row-value IN — both engines parse the same text
+        m = rng.randint(2, 4)
+        pairs = ", ".join(
+            f"({rng.randint(0, m - 1)}, '{rng.choice(_STR_VALS)}')"
+            for _ in range(rng.randint(1, 3))
+        )
+        preds.append(f"(user_id % {m}, event_type) IN ({pairs})")
     elif rng.random() < 0.5:
         preds.append(f"event_type = '{rng.choice(_STR_VALS)}'")
     if not preds:
