@@ -240,9 +240,11 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # the ANSI error; CH returns the element type's DEFAULT value
     # there, which has no generic Spark spelling — NULL is the
     # documented divergence
+    # idx casts to int: the dialect's unary minus is 0.0 - n (double),
+    # and element_at requires an integral index
     "arrayElement": lambda arr, idx: F.when(
-        _as_col(idx) == 0, F.lit(None)
-    ).otherwise(F.try_element_at(arr, _as_col(idx))),
+        _as_col(idx).cast("int") == 0, F.lit(None)
+    ).otherwise(F.try_element_at(arr, _as_col(idx).cast("int"))),
     "arrayPushBack": lambda arr, v: F.concat(arr, F.array(_as_col(v))),
     "arrayPushFront": lambda arr, v: F.concat(F.array(_as_col(v)), arr),
     "arrayPopBack": lambda arr: F.slice(

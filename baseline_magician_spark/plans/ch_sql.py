@@ -87,7 +87,7 @@ _TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
     r"|(?P<str>'(?:[^'\\]|\\.|'')*')"
     r"|(?P<ident>[A-Za-z_][A-Za-z_0-9]*)"
-    r"|(?P<sym>->|<=|>=|!=|<>|[(),.*+\-/<>=%]))"
+    r"|(?P<sym>->|<=|>=|!=|<>|[(),.*+\-/<>=%\[\]]))"
 )
 
 
@@ -368,7 +368,15 @@ class _Parser:
         if self.peek_kw() == "not":
             self.next()
             return _Node("call", "not", (self.parse_unary(),))
-        return self.parse_primary()
+        node = self.parse_primary()
+        # postfix array indexing arr[i] (CH 1-based; negative = from
+        # the end; 0 / out-of-range -> NULL via the arrayElement shim)
+        while self.peek() == "[":
+            self.next()
+            idx = self.parse_expr()
+            self.expect("]")
+            node = _Node("call", "arrayElement", (node, idx))
+        return node
 
     def _parse_lambda_or_expr(self) -> _Node:
         """A function argument: a CH lambda ``x -> expr`` /

@@ -1511,3 +1511,20 @@ def test_tuple_literals_and_tuple_in(spark):
         run_ch_query(
             "select 1 from t where (x, y) in ((1, 'a', 3))", {"t": df}
         )
+
+
+def test_array_bracket_indexing(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame(
+        [(1, [10, 20, 30])], "id long, a array<int>"
+    )
+    row = run_ch_query(
+        "select a[1] as first, a[-1] as last, a[2 + 1] as third, "
+        "a[9] as oob, splitByChar(' ', 'x y z')[2] as tok "
+        "from t",
+        {"t": df},
+    ).collect()[0]
+    assert (row.first, row.last, row.third, row.oob, row.tok) == (
+        10, 30, 30, None, "y",
+    )
