@@ -326,3 +326,76 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_weights(docs, "source", F.col("n_chars"), alpha=0.5)
+
+
+def _curriculum_oracle() -> str:
+    from ..operators.text import BPE_PATTERN
+
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{BPE_PATTERN}'))
+                  AS DOUBLE) AS difficulty
+      FROM documents
+    ), q AS (
+      SELECT quantile_cont(difficulty, [0.25, 0.5, 0.75]) AS qs FROM s
+    )
+    SELECT phase, count(*) AS n_docs,
+           min(difficulty) AS min_difficulty,
+           max(difficulty) AS max_difficulty,
+           round(avg(difficulty), 6) AS avg_difficulty
+    FROM (
+      SELECT CAST(1 + CAST(difficulty > qs[1] AS INT)
+                    + CAST(difficulty > qs[2] AS INT)
+                    + CAST(difficulty > qs[3] AS INT) AS INT) AS phase,
+             difficulty
+      FROM s CROSS JOIN q
+    )
+    GROUP BY phase ORDER BY phase
+    """
+
+
+@query("pipeline_curriculum_phases", _curriculum_oracle())
+def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment (short-to-long schedule): bucket every
+    document into quartile phases of its BPE-token difficulty score.
+
+    Scale shape: ONE exact-percentile aggregate produces the three
+    thresholds as a 1-row broadcast, then phase assignment is a
+    map-side comparison — no global sort, no ntile single-partition
+    window; at 100 TB the phase column becomes the write partition.
+    Docs exactly on a threshold land in the lower phase
+    (strict-greater comparisons) — deterministic in both engines.
+    """
+    from ..operators.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", bpe_token_count("text").cast("double").alias("difficulty")
+    )
+    qs = scored.agg(
+        F.percentile(
+            "difficulty", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("qs")
+    )
+    phased = scored.crossJoin(F.broadcast(qs)).select(
+        "difficulty",
+        (
+            F.lit(1)
+            + (F.col("difficulty") > F.element_at("qs", 1)).cast("int")
+            + (F.col("difficulty") > F.element_at("qs", 2)).cast("int")
+            + (F.col("difficulty") > F.element_at("qs", 3)).cast("int")
+        )
+        .cast("int")
+        .alias("phase"),
+    )
+    return (
+        phased.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("difficulty").alias("min_difficulty"),
+            F.max("difficulty").alias("max_difficulty"),
+            F.round(F.avg("difficulty"), 6).alias("avg_difficulty"),
+        )
+        .orderBy("phase")
+    )

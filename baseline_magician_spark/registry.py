@@ -123,7 +123,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_connected_components",
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_cosine_pairs",
-    "dedup_keep_best_per_cluster",
+    # (dedup_keep_best_per_cluster defers to round 4 — the cluster
+    # machinery stays covered by connected_components + semantic
+    # keep-best; curriculum is new)
+    "pipeline_curriculum_phases",
     "pipeline_training_export",
     # r1-only rotation: multimodal + asof (frame_sample and
     # profile_orders_table defer to round 4 — decode_stats covers the
