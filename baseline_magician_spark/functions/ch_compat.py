@@ -117,6 +117,9 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "avgIf": lambda c, cond: F.avg(F.when(cond, c)),
     "minIf": lambda c, cond: F.min(F.when(cond, c)),
     "maxIf": lambda c, cond: F.max(F.when(cond, c)),
+    "anyIf": lambda c, cond: F.first(F.when(cond, c), ignorenulls=True),
+    "uniqIf": lambda c, cond: F.approx_count_distinct(F.when(cond, c)),
+    "uniqExactIf": lambda c, cond: F.countDistinct(F.when(cond, c)),
     "quantileExact": lambda c, q=0.5: F.percentile(c, F.lit(q)),
     # multi-level parametric forms: quantiles(0.25, 0.5)(x) -> array
     "quantiles": lambda c, *qs: F.percentile_approx(

@@ -68,7 +68,8 @@ _AGGS = {
     "count", "avg", "max", "min", "sum", "any", "uniq", "uniqexact",
     "quantile", "quantileexact", "quantiles", "quantilesexact",
     "countif", "sumif", "avgif", "minif",
-    "maxif", "grouparray", "groupuniqarray", "argmax", "argmin",
+    "maxif", "anyif", "uniqif", "uniqexactif",
+    "grouparray", "groupuniqarray", "argmax", "argmin",
     # grouped-agg pandas UDAFs (functions/udaf.py, SURVEY §2.10)
     "weightedavg", "geometricmean",
 }

@@ -303,3 +303,20 @@ def test_array_avg_null_empty_and_values(spark):
     assert rows[1] == 3.0
     assert math.isnan(rows[2])
     assert rows[3] is None
+
+
+def test_if_combinator_family(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b"), (3, "a")], "x long, y string"
+    )
+    row = run_ch_query(
+        "select uniqExactIf(x, y = 'b') as u, "
+        "uniqIf(x, y = 'a') as ua, "
+        "anyIf(x, y = 'z') as missing from t",
+        {"t": df},
+    ).collect()[0]
+    assert row.u == 1        # only x=2 matches y='b'
+    assert row.ua == 2       # x in {1, 3}
+    assert row.missing is None  # no match -> NULL, like CH
