@@ -548,3 +548,58 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_query_vecs=N_QUERY_VECS,
         n_probe=N_PROBE,
     )
+
+
+def _pq_recon_error_oracle() -> str:
+    """Mean/max squared reconstruction error per PQ code cell — the
+    index-quality diagnostic a PQ deployment monitors (rising error =
+    retrain the codebooks)."""
+    l2 = _L2.format(a="e.embedding", b="r.rv")
+    return f"""
+    WITH {_pq_enc_ctes()},
+    recon AS (
+      SELECT vec_id, flatten(list(cvec ORDER BY j)) AS rv
+      FROM enc GROUP BY vec_id
+    ),
+    err AS (
+      SELECT e.vec_id, {l2} AS sq_err,
+             e.vec_id % {PQ_CODES} AS cell
+      FROM embeddings e JOIN recon r ON e.vec_id = r.vec_id
+    )
+    SELECT CAST(cell AS INT) AS cell, count(*) AS n_vecs,
+           round(avg(sq_err), 6) AS avg_sq_err,
+           round(max(sq_err), 6) AS max_sq_err
+    FROM err GROUP BY cell ORDER BY cell
+    """
+
+
+@query("similarity_pq_recon_error", _pq_recon_error_oracle())
+def similarity_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ reconstruction-error profile: encode the corpus, measure
+    ||x - recon(x)||^2 per vector, aggregate per bucket — one narrow
+    encode projection + one uniform groupBy; the monitoring query that
+    tells an ANN deployment when codebooks need retraining."""
+    from ..operators.similarity import l2_sq, pq_codebooks_from_seeds, pq_encode
+
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    codebooks = pq_codebooks_from_seeds(
+        _seed_centroids(spark, sf_dir, PQ_CODES), m=PQ_M
+    )
+    enc = pq_encode(emb, codebooks, "vec_id", "embedding")
+    err = (
+        emb.select("vec_id", "embedding")
+        .join(enc.select("vec_id", "_recon"), "vec_id")
+        .select(
+            (F.col("vec_id") % PQ_CODES).cast("int").alias("cell"),
+            l2_sq(F.col("embedding"), F.col("_recon")).alias("sq_err"),
+        )
+    )
+    return (
+        err.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("sq_err"), 6).alias("avg_sq_err"),
+            F.round(F.max("sq_err"), 6).alias("max_sq_err"),
+        )
+        .orderBy("cell")
+    )
