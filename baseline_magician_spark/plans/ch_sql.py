@@ -15,8 +15,11 @@ subset — and compiles it onto a DataFrame using the CH function shims
 the engine the very SQL text their tool already generates, plus the
 hand-written queries a CH user actually runs. Current surface:
 
-- SELECT [DISTINCT] items / * / alias.* / CASE WHEN / CAST(x AS T) /
-  NULL literals, FROM db.table or derived tables ``(SELECT ...)``
+- SELECT [DISTINCT] items / * / alias.* (with EXCEPT/REPLACE/APPLY
+  column matchers) / CASE WHEN / CAST(x AS T) / NULL literals /
+  tuples ``(a, b)`` (element-wise = and row-value IN) / array
+  indexing ``arr[i]``; FROM-less SELECT (implicit one-row relation),
+  FROM db.table or derived tables ``(SELECT ...)``
   [SAMPLE f] (deterministic first-column hash sampling), JOINs
   (inner/left/right/full/cross, ON or USING, GLOBAL and ALL
   modifiers, ANY strictness for inner/left — deterministic keyed
