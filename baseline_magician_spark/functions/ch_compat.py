@@ -117,6 +117,7 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "avgIf": lambda c, cond: F.avg(F.when(cond, c)),
     "minIf": lambda c, cond: F.min(F.when(cond, c)),
     "maxIf": lambda c, cond: F.max(F.when(cond, c)),
+    "anyLast": lambda c: F.last(c, ignorenulls=True),
     "anyIf": lambda c, cond: F.first(F.when(cond, c), ignorenulls=True),
     "uniqIf": lambda c, cond: F.approx_count_distinct(F.when(cond, c)),
     "uniqExactIf": lambda c, cond: F.countDistinct(F.when(cond, c)),
@@ -203,6 +204,23 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # string/binary form; for arrays CH empty() maps to size(c) == 0
     "empty": lambda c: F.length(c) == 0,
     "notEmpty": lambda c: F.length(c) > 0,
+    # JSON extraction over string payloads (CH's JSONExtract* family;
+    # the key is a driver literal — ch_sql passes it through as str)
+    "JSONExtractString": lambda c, key: F.get_json_object(
+        c, f"$.{key}"
+    ),
+    "JSONExtractInt": lambda c, key: F.get_json_object(
+        c, f"$.{key}"
+    ).cast("long"),
+    "JSONExtractFloat": lambda c, key: F.get_json_object(
+        c, f"$.{key}"
+    ).cast("double"),
+    "JSONExtractBool": lambda c, key: F.get_json_object(
+        c, f"$.{key}"
+    ).cast("boolean"),
+    "JSONHas": lambda c, key: F.get_json_object(
+        c, f"$.{key}"
+    ).isNotNull(),
     "reverse": F.reverse,
     "repeat": F.repeat,
     "leftPad": F.lpad,

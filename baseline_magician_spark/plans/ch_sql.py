@@ -71,7 +71,7 @@ _AGGS = {
     "count", "avg", "max", "min", "sum", "any", "uniq", "uniqexact",
     "quantile", "quantileexact", "quantiles", "quantilesexact",
     "countif", "sumif", "avgif", "minif",
-    "maxif", "anyif", "uniqif", "uniqexactif",
+    "maxif", "anyif", "uniqif", "uniqexactif", "anylast",
     "grouparray", "groupuniqarray", "argmax", "argmin",
     # grouped-agg pandas UDAFs (functions/udaf.py, SURVEY §2.10)
     "weightedavg", "geometricmean",
@@ -560,6 +560,12 @@ _LITERAL_ARG_POSITIONS = {
     "splitbystring": {0},
     "extract": {1},
     "arraystringconcat": {1},
+    # JSON key is spliced into the Spark JSONPath — driver literal
+    "jsonextractstring": {1},
+    "jsonextractint": {1},
+    "jsonextractfloat": {1},
+    "jsonextractbool": {1},
+    "jsonhas": {1},
 }
 
 

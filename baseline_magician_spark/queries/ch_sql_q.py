@@ -779,3 +779,34 @@ FROM fastnetmon.events
 )
 def ch_sql_star_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_STAR_MODS_SQL, _tables(spark, sf_dir, "events"))
+
+
+# JSONExtract* over the events.props JSON payload — the semi-
+# structured access path in CH dialect text (X9 JSON parity, SQL
+# form; the DataFrame-native twin is json_props_stats).
+_JSON_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       toInt64(sum(JSONExtractInt(props, 'k'))) AS sum_k,
+       countIf(JSONHas(props, 'missing')) AS n_missing
+FROM fastnetmon.events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "ch_sql_json_extract",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(sum(CASE WHEN json_extract(props, '$.missing')
+                    IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ch_sql_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_JSON_SQL, _tables(spark, sf_dir, "events"))
