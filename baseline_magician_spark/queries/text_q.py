@@ -719,10 +719,11 @@ def text_bloom_vocab_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("source") == "src0").select(term).distinct()
     )
     bloom = build_bloom(vocab, "term", m=32768)
-    probe = (
-        docs.where(F.col("source") != "src0")
-        .select("doc_id", "lang", term)
-        .distinct()
+    # no .distinct() needed: array_distinct before the explode already
+    # makes (doc_id, term) unique per row — an extra distinct would
+    # re-shuffle the full probe relation for nothing
+    probe = docs.where(F.col("source") != "src0").select(
+        "doc_id", "lang", term
     )
     probed = bloom_probe(probe, "term", bloom, m=32768)
     exact = probed.join(
