@@ -135,3 +135,40 @@ def test_tfidf_ranks_distinctive_terms_first(spark):
     assert r0.tf == 3 and r0.df == 1
     # every doc contributes exactly k=2 rows (vocab is >= 2 per doc)
     assert len(out) == 8
+
+
+def test_chunking_invariants_property(spark):
+    """Property test over random (length, size, overlap): full
+    coverage, exact overlap, count formula — driver-side spine math
+    mirrored against the operator's distributed output."""
+    import random
+
+    from baseline_magician_spark.operators.chunking import chunk_documents
+
+    rng = random.Random(4242)
+    rows = []
+    params = []
+    for doc_id in range(40):
+        n = rng.randint(0, 700)
+        rows.append((doc_id, "".join(rng.choice("abcdef ") for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for _ in range(6):
+        size = rng.randint(2, 120)
+        overlap = rng.randint(0, size - 1)
+        params.append((size, overlap))
+    texts = {r[0]: r[1] for r in rows}
+    for size, overlap in params:
+        stride = size - overlap
+        out = chunk_documents(df, "doc_id", "text", size, overlap)
+        by_doc: dict[int, list] = {}
+        for r in out.collect():
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, text in texts.items():
+            cs = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+            n = len(text)
+            want = 1 if n <= size else (n - size + stride - 1) // stride + 1
+            assert len(cs) == want, (doc_id, size, overlap)
+            rebuilt = cs[0].chunk_text + "".join(
+                c.chunk_text[overlap:] for c in cs[1:]
+            )
+            assert rebuilt == text, (doc_id, size, overlap)
