@@ -572,3 +572,33 @@ def dedup_simhash_band_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", bits=SIMHASH_BITS, bands=5,
         max_hamming=2, max_bucket=200,
     )
+
+
+def _simhash_clusters_oracle() -> str:
+    edges = f"""
+    SELECT id_a AS doc_a, id_b AS doc_b FROM (
+      {_simhash_band_oracle()}
+    )"""
+    return f"""{cc_closure_sql(edges)}
+    SELECT node AS doc_id,
+           min(label) AS cluster_id,
+           (node = min(label)) AS is_survivor
+    FROM walk GROUP BY node
+    """
+
+
+@query("dedup_simhash_clusters", _simhash_clusters_oracle())
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from the Hamming-LSH pair graph — the
+    SimHash twin of dedup_connected_components (same iterative
+    min-label propagation, same recursive-CTE oracle closure), proving
+    the band-pair operator composes into the dedup pipeline."""
+    from ..operators.dedup import simhash_band_pairs
+    from ..operators.graph import dedup_clusters
+
+    pairs = simhash_band_pairs(
+        load_for_compute(spark, sf_dir, "documents"),
+        "doc_id", "text", bits=SIMHASH_BITS, bands=5,
+        max_hamming=2, max_bucket=200,
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return dedup_clusters(pairs, "doc_a", "doc_b")
