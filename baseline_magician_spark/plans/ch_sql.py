@@ -25,10 +25,10 @@ hand-written queries a CH user actually runs. Current surface:
   modifiers, ANY strictness for inner/left — deterministic keyed
   dedup of the build side), ASOF [LEFT] JOIN (interval-ized right
   side), ARRAY JOIN / LEFT ARRAY JOIN, PREWHERE (base-table scope),
-  WHERE, GROUP BY [WITH TOTALS|ROLLUP|CUBE] / GROUP BY
+  WHERE, GROUP BY ALL / GROUP BY [WITH TOTALS|ROLLUP|CUBE] / GROUP BY
   ROLLUP|CUBE (keys) / GROUP BY GROUPING SETS (...) (ANSI empty-input
   semantics: every () set yields its row), HAVING (alias-aware),
-  ORDER BY [ASC|DESC] [NULLS FIRST|LAST] (CH nulls-last default)
+  ORDER BY ALL / ORDER BY [ASC|DESC] [NULLS FIRST|LAST] (CH nulls-last default)
   [WITH FILL [FROM a] [TO b] [STEP s]] [INTERPOLATE (c [AS expr])],
   LIMIT [offset,] n [BY exprs], OFFSET;
 - expressions: and/or/not, comparisons, [NOT] IN (list | subquery |
@@ -1618,9 +1618,25 @@ def _exec_select(
     if p.peek_kw() == "group":
         p.next()
         p.expect("by")
+        # GROUP BY ALL (CH 22.x+/DuckDB): group by every select item
+        # that contains no aggregate (constants excluded — they are
+        # attached post-agg like any constant select item)
+        if p.peek_kw() == "all":
+            p.next()
+            if any(n.kind == "star" for n in select_nodes):
+                raise ValueError("GROUP BY ALL cannot combine with *")
+            group_nodes.extend(
+                n
+                for n in select_nodes
+                if not _contains_agg(n) and not _is_const(n)
+            )
+            if not group_nodes:
+                raise ValueError(
+                    "GROUP BY ALL found no non-aggregate select items"
+                )
         # ANSI spelling GROUP BY ROLLUP (keys) / CUBE (keys) — CH
         # accepts it alongside its postfix WITH ROLLUP/CUBE form
-        if (
+        elif (
             p.peek_kw() in ("rollup", "cube")
             and p.toks[p.i + 1 : p.i + 2] == ["("]
         ):
@@ -1700,9 +1716,19 @@ def _exec_select(
     # INTERPOLATE (col AS const) fills gap rows with a constant.
     fill_spec: tuple[int, int | None, int | None, int] | None = None
     interpolate: list[tuple[str, _Node | None]] = []
+    order_by_all = False
+    in_order_by = False
     if p.peek_kw() == "order":
         p.next()
         p.expect("by")
+        if p.peek_kw() == "all":
+            # ORDER BY ALL (CH/DuckDB): every output column, left to
+            # right, ascending — expanded once output names are known
+            p.next()
+            order_by_all = True
+        else:
+            in_order_by = True
+    if in_order_by:
         while True:
             order_nodes.append(p.parse_sort_item())
             if p.peek_kw() == "with":
@@ -1947,6 +1973,9 @@ def _exec_select(
                 cand = f"c{i}"
             names[i] = cand
         seen.add(names[i])
+    if order_by_all:
+        # every output column, left to right, ascending
+        order_nodes = [(_Node("col", nm), False, None) for nm in names]
     if any(_contains_agg(n) for n in select_nodes):
         agg_cols = [
             _compile(n, tables).alias(names[i])

@@ -1528,3 +1528,29 @@ def test_array_bracket_indexing(spark):
     assert (row.first, row.last, row.third, row.oob, row.tok) == (
         10, 30, 30, None, "y",
     )
+
+
+def test_group_by_all_and_order_by_all(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame(
+        [(2, "b", 5), (1, "a", 9), (1, "a", 3), (2, "a", 7)],
+        "x long, y string, v long",
+    )
+    out = run_ch_query(
+        "select x, y, count(*) as n, sum(v) as s from t "
+        "group by all order by all",
+        {"t": df},
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        (1, "a", 2, 12), (2, "a", 1, 7), (2, "b", 1, 5),
+    ]
+    # computed keys group by their expression; ORDER BY ALL sorts all
+    # output columns ascending including aggregates
+    out = run_ch_query(
+        "select x % 2 as p, max(v) as m from t group by all order by all",
+        {"t": df},
+    ).collect()
+    assert [tuple(r) for r in out] == [(0, 7), (1, 9)]
+    with pytest.raises(ValueError, match="no non-aggregate"):
+        run_ch_query("select count(*) from t group by all", {"t": df})

@@ -226,12 +226,23 @@ def _gen_asof_query(rng: random.Random) -> str:
     )
 
 
+def _gen_group_all_query(rng: random.Random) -> str:
+    # GROUP BY ALL / ORDER BY ALL — both engines accept the same text
+    k1, k2 = _key(rng), f"user_id % {rng.randint(2, 5)}"
+    return (
+        f"SELECT {k1} AS k1, {k2} AS k2, count(*) AS n, "
+        f"sum(event_id) AS s FROM events{_where(rng)} "
+        "GROUP BY ALL ORDER BY ALL"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
     return rng.choice(
         [_gen_agg_query, _gen_agg_query, _gen_distinct_query,
          _gen_order_limit_query, _gen_setop_query, _gen_window_query,
          _gen_rollup_query, _gen_using_query, _gen_asof_query,
-         _gen_grouping_sets_query, _gen_frame_query]
+         _gen_grouping_sets_query, _gen_frame_query,
+         _gen_group_all_query]
     )(rng)
 
 
