@@ -57,17 +57,41 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("_nl").alias("_nbr_min"))
         )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nbr_min"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping (path halving): label(v) := label(label(v)).
+        # Labels are monotone lower bounds within the component, so the
+        # fixpoint is unchanged — but propagation depth halves each
+        # round, turning diameter-many rounds into ~log2(diameter).
+        # Long Hamming/near-dup CHAINS (A~B~C~...) are exactly the
+        # graphs where plain neighbor-min needs diameter rounds.
+        ptr = stepped.select(
+            F.col("node").alias("_pn"), F.col("label").alias("_pl")
+        )
+        jumped = stepped.join(
+            ptr, stepped["label"] == ptr["_pn"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_pl"), F.col("label"))
+            ).alias("label"),
+        )
         # lazy checkpoint + count: ONE job materializes the round's
         # labels AND evaluates convergence (eager=True would spend a
         # second job per round just to truncate lineage)
         updated = (
-            labels.join(nbr_min, "node", "left")
+            jumped.join(
+                labels.select("node", F.col("label").alias("_old")),
+                "node",
+            )
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nbr_min"), F.col("label"))
-                ).alias("label"),
-                (F.col("_nbr_min") < F.col("label")).alias("_changed"),
+                "label",
+                (F.col("label") < F.col("_old")).alias("_changed"),
             )
         ).localCheckpoint(eager=False)
         n_changed = updated.where(F.col("_changed")).count()
