@@ -24,6 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# rounds used by the most recent connected_components call — the
+# pointer-jumping regression signal (tests pin the log-depth bound)
+LAST_ROUNDS: int = 0
+
 
 def connected_components(
     edges: DataFrame,
@@ -46,7 +50,10 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    global LAST_ROUNDS
+    LAST_ROUNDS = 0
     for _ in range(max_iterations):
+        LAST_ROUNDS += 1
         nbr_min = (
             sym.join(
                 labels.select(

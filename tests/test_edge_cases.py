@@ -245,3 +245,19 @@ def test_pq_adc_distance_nonnegative_and_ranked(spark):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         dists = [r["adc_dist"] for r in rs]
         assert dists == sorted(dists)
+
+
+def test_cc_pointer_jumping_is_logarithmic(spark):
+    """A 64-node path graph has diameter 63: plain neighbor-min label
+    propagation needs ~63 rounds, path halving must land in O(log n).
+    Pins both the correctness (single component, min label) and the
+    round bound that keeps chain-heavy near-dup graphs cheap."""
+    from baseline_magician_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    out = graph.connected_components(edges, "src", "dst").collect()
+    assert len(out) == 64
+    assert all(r.cluster_id == 0 for r in out)
+    assert graph.LAST_ROUNDS <= 10, graph.LAST_ROUNDS
