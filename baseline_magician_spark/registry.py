@@ -47,126 +47,65 @@ _loaded = False
 # families, freshly-fixed rows, and operators added this round — land
 # inside the checked window; everything else follows in registration
 # order. Rotate per round.
-# Round-3 window (the harness checks the first 50 names; a test pins
-# len <= 50 so nothing silently falls outside it):
-# - head: the round-2 red row (q12, oracle-type fix) and the rewritten
-#   CMS query — both need a fresh green driver row;
-# - ch_sql regression guards: plans/ch_sql.py + plans/ch_bind.py change
-#   this round (duplicate-name disambiguation, subquery memoization,
-#   WITH TOTALS, binder property hardening);
-# - new round-3 queries as they land (LIMIT BY / UNION ALL, PII
-#   redaction, product quantization, semantic dedup);
-# - the rotating tail: queries last checked in round 1, re-covering
-#   12+ rounds of commits that have landed since. Eleven r1-green
-#   map-side-simple entries were deferred to round 4 to make room for
-#   the never-checked round-3 queries: dedup_simhash_fingerprints,
-#   pipeline_corpus_cleanup, set_ops_customer_tiers,
-#   distinct_users_by_type, histogram_event_values,
-#   window_range_frame_sliding_sum, grouping_sets_quantity,
-#   window_lag_lead_user_deltas, time_window_recent_events (the new
-#   events_hourly_rollup_incremental exercises the same ts machinery),
-#   sample_split_train_valid_test,
-#   sample_stratified_by_lang (quota + mixture keep the family's
-#   deterministic-hash machinery in-window), pivot_quantity_by_status,
-#   cube_revenue_by_flag_status (rollup_totals + ch_sql_with_totals
-#   keep the grouping-sets machinery in-window),
-#   unpivot_lineitem_measures, json_props_stats,
-#   exact_percentiles_by_type (its sibling
-#   approx_distinct_and_quantiles was r2-green; both rotate back in
-#   round 4).
+# Round-4 window (the harness checks the first 50 names; a test pins
+# len <= 50 so nothing silently falls outside it). This window closes
+# the driver-coverage ledger: union of rounds 1–4 = every registered
+# query driver-checked at least once.
+# - head: the 8 round-3 late additions that landed after the r3 window
+#   froze and have never had a driver row (all hash-green in the local
+#   oracle run recorded in VERDICT.md — bookkeeping, not debugging);
+# - new round-4 queries as they land (correlated EXISTS/IN in the CH
+#   front end, CH-dialect INSERT, the real WAV decode path);
+# - the rotating tail: all 34 queries whose only driver check was
+#   round 1, re-covering every deferral the round-3 comment listed.
 _PRIORITY: tuple[str, ...] = (
-    # fixed this round (the only red row of round 2 + the CMS rewrite)
-    "q12_late_shipment_priority",
-    "text_cms_heavy_hitters",
-    # regression guards: code changed this round (ch_sql/ch_bind).
-    # param_binding + in_external_table rotated out (r2-green, their
-    # code paths untouched by the late-round parser work) to make room
-    # for the never-checked dialect additions below.
-    "ch_sql_join_dims",
-    # new this session: ASOF JOIN, JOIN USING, ROLLUP/CUBE modifiers,
-    # parametric quantiles, SAMPLE, WITH FILL — never driver-checked
-    "ch_sql_asof_attribution",
-    "ch_sql_join_using",
-    "ch_sql_group_rollup",
-    "ch_sql_group_cube",
-    "ch_sql_parametric_quantiles",
-    "ch_sql_sample_read",
-    "ch_sql_with_fill",
-    "ch_sql_grouping_sets",
-    # new this session: TF-IDF, Bloom screening, RAG chunking
-    "text_tfidf_top_terms",
-    "text_bloom_vocab_screen",
-    "rag_chunk_overlap_manifest",
-    # new this round: WITH TOTALS + extremes + LIMIT BY + UNION ALL
-    # surface of the CH front end
-    "ch_sql_with_totals",
-    "ch_sql_extremes",
-    "ch_sql_limit_by",
-    "ch_sql_union_all",
-    "ch_sql_array_join_tokens",
-    "ch_sql_distinct_prewhere",
-    "ch_sql_window_topn",
-    # new this round: PII scrubbing, product quantization, semantic dedup
-    "text_pii_redaction",
-    "similarity_pq_codes",
-    "similarity_pq_adc_topk",
-    "dedup_semantic_keep_best",
-    "text_bpe_merge_step",
-    "events_hourly_rollup_incremental",
-    "sample_temperature_weights",
-    "pipeline_bucketed_batches",
-    "text_unigram_lm_scores",
-    # r1-only rotation: dedup + pipeline family (dedup_exact_groups +
-    # dedup_incremental_ingest deferred to round 4 — trivially stable
-    # single-shuffle ops; keep_best keeps the cluster machinery in)
-    "dedup_minhash_lsh_pairs",
-    "dedup_connected_components",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_embedding_cosine_pairs",
-    # (dedup_keep_best_per_cluster defers to round 4 — the cluster
-    # machinery stays covered by connected_components + semantic
-    # keep-best; curriculum is new)
-    "pipeline_curriculum_phases",
-    "pipeline_training_export",
-    # r1-only rotation: multimodal + asof (frame_sample and
-    # profile_orders_table defer to round 4 — decode_stats covers the
-    # changed decoder seam)
-    "multimodal_decode_stats",
-    "multimodal_audio_window_rms",
-    "multimodal_frame_deltas",
-    # (asof_join_latest_order defers to round 4 — ch_sql_asof_attribution
-    # keeps the asof machinery in-window; tpch-as-CH-text is new)
-    "ch_sql_tpch_q1",
-    # r1-only rotation: relational/window family
-    # (window_running_revenue, extremes_value_by_type and
-    # window_topn_orders_per_segment defer to round 4 —
-    # ch_sql_extremes/ch_sql_window_topn cover those machineries; the
-    # composed IVFADC query is new)
-    "similarity_ivfpq_topk",
-    # (rollup_totals_by_region_nation defers to round 4 — the ch_sql
-    # rollup/cube/grouping-sets family covers the machinery)
-    "text_gopher_quality",
-    # (skew_salted_distinct_users rotates back in round 4 — its sibling
-    # skew_salted_join_event_types keeps the salting path in-window)
-    "skew_salted_join_event_types",
-    # (sampling family defers to round 4 — temperature_weights keeps
-    # the deterministic-hash machinery in-window; lambdas are new)
-    "ch_sql_array_lambdas",
-    # r1-only rotation: similarity family
-    "similarity_topk_cosine",
-    "similarity_lsh_neardup_pairs",
-    # (similarity_lsh_bucket_histogram defers to round 4 — neardup_pairs
-    # keeps the LSH machinery in-window; the Hamming-LSH op is new)
-    "dedup_simhash_band_pairs",
-    # streaming: the new merge-rollup + two r1-only rotations
-    # (streaming_windowed_counts defers to round 4 — the new merge
-    # rollup covers the same windowed-count machinery plus the merge)
-    # (streaming_baseline_windows and sessionize defer to round 4 —
-    # r2/r1-green, their code unchanged; the CMS merge is new)
-    "streaming_hourly_rollup_merge",
-    "streaming_cms_merge",
-    # r1-only rotation: IP functions
-    "ip_function_roundtrip",
+    # never driver-checked (round-3 late additions)
+    "ch_sql_any_join",
+    "ch_sql_intersect_users",
+    "ch_sql_json_extract",
+    "ch_sql_scalar_with",
+    "ch_sql_star_modifiers",
+    "ch_sql_tpch_q6",
+    "dedup_simhash_clusters",
+    "similarity_pq_recon_error",
+    # new round-4 queries are appended to this block in the same
+    # commit that registers them (a test pins every name here to an
+    # actual registration)
+    # r1-only rotation: everything whose last driver row is round 1
+    "asof_join_latest_order",
+    "dedup_exact_groups",
+    "dedup_simhash_fingerprints",
+    "pipeline_corpus_cleanup",
+    "dedup_keep_best_per_cluster",
+    "dedup_incremental_ingest",
+    "similarity_lsh_bucket_histogram",
+    "multimodal_frame_sample",
+    "profile_orders_table",
+    "window_topn_orders_per_segment",
+    "window_running_revenue",
+    "rollup_totals_by_region_nation",
+    "extremes_value_by_type",
+    "set_ops_customer_tiers",
+    "semi_anti_join_customers",
+    "distinct_users_by_type",
+    "pivot_quantity_by_status",
+    "time_window_recent_events",
+    "skew_salted_distinct_users",
+    "cube_revenue_by_flag_status",
+    "grouping_sets_quantity",
+    "exact_percentiles_by_type",
+    "histogram_event_values",
+    "window_range_frame_sliding_sum",
+    "json_props_stats",
+    "unpivot_lineitem_measures",
+    "window_lag_lead_user_deltas",
+    "sample_split_train_valid_test",
+    "sample_stratified_by_lang",
+    "sample_quota_per_source",
+    "sample_mixture_plan",
+    "streaming_windowed_counts",
+    "streaming_sessionize_gap",
+    "streaming_baseline_windows",
 )
 
 
