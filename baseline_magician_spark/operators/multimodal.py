@@ -13,16 +13,17 @@ Design (the 100 TB shape):
   stages with declared output schemas. Each is embarrassingly parallel
   per-partition (no shuffle); partitioning by id ranges carries through.
 
-- Real codec decode (PIL/librosa/av) is STUBBED: the container has no
-  media libs. ``decode_media(df, decoder=...)`` is the extension seam —
-  the default :func:`synthetic_decoder` fake-decodes deterministically,
-  a user callable plugs a real codec into the same Arrow stage, and
-  :func:`real_decoder` documents the missing-library boundary by
-  raising ``NotImplementedError``. ``decode_stats`` /
-  ``extract_features`` / ``sample_frames`` run on the raw bytes with a
-  deterministic fake "decode" so the Spark-side plumbing — schema,
-  Arrow batch shape, UDF signatures, explode semantics — is real and
-  testable end-to-end.
+- Codec decode: ``decode_media(df, decoder=...)`` is the extension
+  seam. WAV audio decodes FOR REAL — :func:`wav_encode` /
+  :func:`wav_decoder` are a genuine RIFF/WAVE codec on the stdlib
+  ``wave`` module (round 4), and :func:`real_decoder` dispatches WAV
+  natively; image/video formats need PIL/av, which this container does
+  not ship, so that branch still documents the missing-library
+  boundary with ``NotImplementedError``. The default
+  :func:`synthetic_decoder` fake-decodes deterministically so
+  ``decode_stats`` / ``extract_features`` / ``sample_frames`` stay
+  runnable with zero dependencies — schema, Arrow batch shape, UDF
+  signatures, explode semantics are identical either way.
 
 Deterministic payload model (shared with the DuckDB oracles): byte ``i``
 of document ``d``'s payload is ``(d*131 + i*197 + 23) % 256`` and the
@@ -148,19 +149,155 @@ def synthetic_decoder(payload: bytes, meta: dict) -> dict:
     }
 
 
+WAV_SAMPLE_RATE = 8000
+WAV_HEADER_BYTES = 44  # RIFF(12) + fmt chunk(24) + data header(8), PCM
+
+
+def wav_encode(samples: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Encode 8-bit unsigned mono PCM samples into a genuine RIFF/WAVE
+    container (stdlib ``wave`` writer — a real, spec-compliant codec,
+    not a fake). Round-trips through any standard WAV reader."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit PCM — stored unsigned per the spec
+        w.setframerate(sample_rate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def wav_decoder(payload: bytes, meta: dict) -> dict:
+    """REAL decode of a RIFF/WAVE payload via the stdlib ``wave``
+    reader: parses the container header (channel count, sample width,
+    frame count) and extracts the raw PCM plane — ``pixels`` is the
+    decoded sample bytes (container header stripped), ``width`` the
+    decoded frame count, ``height`` the channel count. Raises on
+    non-WAV bytes like any codec would."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n = w.getnframes()
+        return {
+            "width": n,
+            "height": w.getnchannels(),
+            "n_frames": n // FRAME_BYTES,
+            "pixels": w.readframes(n),
+        }
+
+
 def real_decoder(payload: bytes, meta: dict) -> dict:
-    """Real codec decode — STUB. The container ships no image/audio
-    libraries; plug PIL/soundfile/av in here (or pass your own callable
-    to :func:`decode_media`)."""
+    """Real codec dispatch. WAV audio decodes natively (stdlib
+    ``wave`` — no external library needed); image/video formats need
+    PIL/av, which this container does not ship — plug them in here or
+    pass your own callable to :func:`decode_media`."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return wav_decoder(payload, meta)
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - always taken here
         raise NotImplementedError(
-            "real media decode needs PIL/soundfile/av which are not "
-            "installed; pass decode_media(df, decoder=...) with your "
-            "own callable, or use the default synthetic decoder"
+            "real image/video decode needs PIL/av which are not "
+            "installed; WAV audio decodes natively — for other formats "
+            "pass decode_media(df, decoder=...) with your own callable"
         ) from exc
-    raise NotImplementedError("real decode path not implemented")
+    raise NotImplementedError("image decode path not implemented")
+
+
+def attach_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a GENUINE RIFF/WAVE payload per row: the deterministic
+    sample model (byte ``i`` = ``(d*131 + i*197 + 23) % 256``) encoded
+    through the stdlib ``wave`` writer. Unlike :func:`attach_media`'s
+    raw plane, this payload is a real container — header plus PCM data
+    — so a decoder must actually parse it to recover the samples."""
+    ensure_shipped(df.sparkSession)
+    in_schema = df.schema
+    out_schema = T.StructType(
+        list(in_schema.fields)
+        + [
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", META_SCHEMA),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            payloads = [wav_encode(_payload_bytes(int(d))) for d in ids]
+            metas = []
+            for d, p in zip(ids, payloads):
+                n = LEN_BASE + int(d) % LEN_MOD
+                metas.append(
+                    {
+                        "media_type": "audio",
+                        "byte_len": len(p),
+                        "width": n,
+                        "height": 1,
+                        "n_frames": n // FRAME_BYTES,
+                    }
+                )
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+PCM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("mean_sample", T.DoubleType()),
+    ]
+)
+
+
+def pcm_stats(decoded: DataFrame) -> DataFrame:
+    """Statistics over a DECODED pixel/sample plane (the output of
+    :func:`decode_media`): sample count from the decoded header, exact
+    integer checksum and floor-4-decimal mean over the decoded bytes.
+    Narrow Arrow stage, vectorized ``np.add.reduceat`` — same shape as
+    :func:`decode_stats`, but over post-codec bytes, which is what
+    proves the container was actually parsed (a passthrough would
+    include header bytes in the checksum and mismatch the oracle)."""
+    ensure_shipped(decoded.sparkSession)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            planes = list(pdf["pixels"])
+            lens = np.fromiter((len(p) for p in planes), dtype=np.int64)
+            sums = np.zeros(len(planes), dtype=np.int64)
+            nonempty = lens > 0
+            if nonempty.any():
+                flat = np.frombuffer(
+                    b"".join(p for p in planes if len(p) > 0),
+                    dtype=np.uint8,
+                ).astype(np.int64)
+                offsets = np.concatenate(
+                    ([0], np.cumsum(lens[nonempty])[:-1])
+                )
+                sums[nonempty] = np.add.reduceat(flat, offsets)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                means = np.floor(sums / lens * 10000.0) / 10000.0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_samples": lens,
+                    "checksum": sums,
+                    "mean_sample": means,
+                }
+            )
+
+    return decoded.select("doc_id", "pixels").mapInPandas(
+        stats, schema=PCM_STATS_SCHEMA
+    )
 
 
 def decode_media(df: DataFrame, decoder=None) -> DataFrame:

@@ -33,8 +33,13 @@ hand-written queries a CH user actually runs. Current surface:
   LIMIT [offset,] n [BY exprs], OFFSET;
 - expressions: and/or/not, comparisons, [NOT] IN (list | subquery |
   external table), [NOT] BETWEEN, [NOT] LIKE, IS [NOT] NULL,
-  arithmetic incl. %, scalar subqueries, uncorrelated EXISTS
-  (correlated subqueries are rejected, as in the reference's CH era),
+  arithmetic incl. %, scalar subqueries, [NOT] EXISTS. Subquery
+  predicates at WHERE-conjunct level may be CORRELATED (equality or
+  range predicates against the outer relation): they rewrite to LEFT
+  SEMI / LEFT ANTI joins, with ANSI inner-first name resolution and
+  exact three-valued NOT IN semantics. Correlated scalar subqueries
+  and correlation under OR remain unsupported (as in the reference's
+  CH era),
   parametric aggregates ``quantile(0.9)(x)`` / ``quantiles(...)()``,
   array lambdas ``arrayMap(x -> e, arr)`` (+ Filter/Exists/All/Count/
   First/FirstIndex/Sum/Avg, two-array zip form, nested closures),
@@ -125,6 +130,37 @@ class _Node:
 # tests can tune it.
 MAX_ROWS_IN_SET = 10_000_000
 
+
+@dataclass
+class _Subq:
+    """A captured-but-unplanned subquery: its token slice plus the
+    parse-time environment (table env, broadcast policy, scalar WITH
+    aliases in scope). Planning is deferred so the WHERE-stage rewriter
+    can first try inner-only name resolution and fall back to the
+    correlated semi-join path — eager planning (the round-3 behavior)
+    made every correlated subquery an unconditional analysis error."""
+
+    toks: tuple
+    tables: dict | None
+    broadcast_dims: bool
+    with_aliases: dict
+
+
+def _plan_subq(payload: _Subq) -> DataFrame:
+    """Plan a captured subquery as a standalone (uncorrelated) SELECT.
+    Raises Spark's AnalysisException if it references outer columns —
+    the signal the WHERE rewriter uses to take the correlated path."""
+    sp = _Parser(
+        list(payload.toks), payload.tables, payload.broadcast_dims
+    )
+    sp.with_aliases = dict(payload.with_aliases)
+    df = _exec_select(sp, payload.tables or {}, payload.broadcast_dims)
+    if sp.peek() is not None:
+        raise ValueError(
+            f"unexpected tokens in subquery: {self_toks(sp)}"
+        )
+    return df
+
 # The most recent query's trailing SETTINGS clause (validated, NOT
 # applied — see run_ch_query's SETTINGS handling for why); callers
 # wanting them live wrap their action in control.apply_query_settings.
@@ -167,6 +203,30 @@ class _Parser:
         t = self.next()
         if t.lower() != tok.lower():
             raise ValueError(f"expected {tok!r}, got {t!r}")
+
+    def capture_subquery(self) -> _Subq:
+        """Slice out a parenthesized subquery's tokens WITHOUT planning
+        it. The parser sits just past the opening paren (peek is its
+        SELECT); on return it sits ON the matching close paren, which
+        the caller consumes with expect(')')."""
+        depth = 0
+        j = self.i
+        while j < len(self.toks):
+            t = self.toks[j]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            j += 1
+        if j >= len(self.toks):
+            raise ValueError("unterminated subquery")
+        toks = tuple(self.toks[self.i : j])
+        self.i = j
+        return _Subq(
+            toks, self.tables, self.broadcast_dims, dict(self.with_aliases)
+        )
 
     # expression grammar: or > and > comparison > additive > multiplicative > unary
     def parse_expr(self) -> _Node:
@@ -259,7 +319,7 @@ class _Parser:
         if self.peek() == "(":
             self.next()
             if self.peek_kw() == "select":
-                sub = _exec_select(self, self.tables, self.broadcast_dims)
+                sub = self.capture_subquery()
                 self.expect(")")
                 return _Node("in", ("subdf", negate, sub), (left,))
             items = [self.parse_expr()]
@@ -423,10 +483,10 @@ class _Parser:
         t = self.next()
         if t == "(":
             if self.peek_kw() == "select":
-                # scalar subquery: planned inline, materialized to a
-                # literal at compile time (CH evaluates scalar
+                # scalar subquery: captured now, planned + materialized
+                # to a literal at compile time (CH evaluates scalar
                 # subqueries once server-side — same shape)
-                sub = _exec_select(self, self.tables, self.broadcast_dims)
+                sub = self.capture_subquery()
                 self.expect(")")
                 return _Node("scalar_subq", sub)
             inner = self.parse_expr()
@@ -446,15 +506,13 @@ class _Parser:
         if t.lower() == "null":
             return _Node("str", None)  # typed-null literal (F.lit(None))
         if t.lower() == "exists" and self.peek() == "(":
-            # uncorrelated EXISTS (SELECT ...): materialized to a
-            # boolean literal at compile time (limit-1 probe), like the
-            # scalar-subquery path; correlated EXISTS is a semi-join —
-            # express it as JOIN/IN instead
+            # EXISTS (SELECT ...): captured now. Uncorrelated form
+            # materializes to a boolean literal at compile time
+            # (limit-1 probe), like the scalar-subquery path; a
+            # correlated form at WHERE-conjunct level is rewritten to
+            # a semi/anti-join by _exec_select's WHERE handler.
             self.next()
-            self.expect("select")
-            # rewind so _exec_select sees its leading SELECT
-            self.i -= 1
-            sub = _exec_select(self, self.tables, self.broadcast_dims)
+            sub = self.capture_subquery()
             self.expect(")")
             return _Node("exists", sub)
         if t.lower() == "cast" and self.peek() == "(":
@@ -666,7 +724,7 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         # error, as in ClickHouse — an unordered first() would pick an
         # arbitrary partition's row nondeterministically.
         if node.memo is None:
-            rows = node.value.limit(2).collect()
+            rows = _plan_subq(node.value).limit(2).collect()
             if len(rows) > 1:
                 raise ValueError("scalar subquery returned more than one row")
             node.memo = (None if not rows else rows[0][0],)
@@ -675,7 +733,7 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         return _compile(node.args[0], env).cast(str(node.value))
     if node.kind == "exists":
         if node.memo is None:
-            node.memo = len(node.value.limit(1).collect()) > 0
+            node.memo = len(_plan_subq(node.value).limit(1).collect()) > 0
         return F.lit(node.memo)
     if node.kind == "window":
         # fn(args) OVER (...): ranking/offset functions map to their
@@ -754,7 +812,7 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             # subquery's first column mirrors that set build, and the
             # MAX_ROWS_IN_SET cap plays the guard's role here
             if node.memo is None:
-                sub = node.value[2]
+                sub = _plan_subq(node.value[2])
                 rows = sub.select(sub.columns[0]).limit(
                     MAX_ROWS_IN_SET + 1
                 ).collect()
@@ -1307,6 +1365,267 @@ def _any_dedup_right(
         .drop("_any_rn")
         .alias(ralias)
     )
+
+
+def _subquery_pred(conj: _Node):
+    """Decompose a WHERE conjunct that is a rewritable subquery
+    predicate: returns (kind, negate, payload, left_node) for
+    ``EXISTS (...)``, ``NOT EXISTS (...)``, ``x [NOT] IN (SELECT ...)``
+    and ``NOT (x IN (SELECT ...))``; None for anything else (including
+    subqueries nested under OR — those only work uncorrelated)."""
+    if conj.kind == "call" and str(conj.value).lower() == "not":
+        inner = conj.args[0]
+        if inner.kind == "exists":
+            return ("exists", True, inner.value, None)
+        if inner.kind == "in" and inner.value[0] == "subdf":
+            return ("in", not inner.value[1], inner.value[2], inner.args[0])
+        return None
+    if conj.kind == "exists":
+        return ("exists", False, conj.value, None)
+    if conj.kind == "in" and conj.value[0] == "subdf":
+        return ("in", conj.value[1], conj.value[2], conj.args[0])
+    return None
+
+
+# every keyword the dialect can emit as a bare token — the correlation
+# pre-scan must not mistake one for a column reference
+_KEYWORDS = _RESERVED | {
+    "select", "exists", "distinct", "group", "having", "limit",
+    "offset", "where", "from", "then", "fill", "step", "to", "over",
+    "partition", "rows", "range", "unbounded", "preceding",
+    "following", "current", "row", "first", "last", "nulls",
+    "totals", "rollup", "cube", "grouping", "sets", "true", "false",
+    "by",
+}
+
+
+def _probably_correlated(
+    payload: _Subq, outer_aliases: set[str], outer_cols: set[str]
+) -> bool:
+    """Cheap token-level correlation pre-scan, so the common correlated
+    shapes route straight to the join rewrite without first provoking
+    (and logging) an AnalysisException from the standalone-plan
+    attempt. Conservative by design: only answers True on certainty —
+    a reference qualified by a known OUTER alias, or a bare identifier
+    that is an outer column but not an inner one. Anything uncertain
+    answers False and falls back to the try-standalone path, which is
+    authoritative."""
+    toks = list(payload.toks)  # list: slice-vs-["."] compares below
+    ident = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+    # the subquery's FROM relation (depth-0 scan) -> inner alias + cols
+    depth = 0
+    tname: str | None = None
+    alias: str | None = None
+    for j, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.lower() == "from":
+            k = j + 1
+            if k >= len(toks):
+                return False
+            tname = toks[k]
+            if toks[k + 1 : k + 2] == ["."]:
+                tname = toks[k + 2]
+                k += 2
+            nxt = toks[k + 1 : k + 2]
+            if nxt and nxt[0].lower() == "as":
+                alias = toks[k + 2]
+            elif (
+                nxt
+                and ident.fullmatch(nxt[0])
+                and nxt[0].lower() not in _RESERVED
+            ):
+                alias = nxt[0]
+            break
+    if (
+        tname is None
+        or payload.tables is None
+        or tname not in payload.tables
+        or not ident.fullmatch(tname)
+    ):
+        return False
+    inner_alias = alias or tname
+    inner_cols = set(payload.tables[tname].columns)
+    for j, t in enumerate(toks):
+        if not ident.fullmatch(t):
+            continue
+        if j > 0 and toks[j - 1] == ".":
+            continue  # qualified tail — classified via its qualifier
+        if toks[j + 1 : j + 2] == ["("]:
+            continue  # function call
+        if toks[j + 1 : j + 2] == ["."]:
+            if t != inner_alias and t in outer_aliases:
+                return True
+            continue
+        if t.lower() in _KEYWORDS:
+            continue
+        if t in payload.with_aliases:
+            continue
+        if t not in inner_cols and t in outer_cols:
+            return True
+    return False
+
+
+def _plan_correlated(payload: _Subq, tables: dict[str, DataFrame]):
+    """Plan a CORRELATED subquery for the semi/anti-join rewrite.
+
+    Supported shape: ``SELECT item[, ...] FROM table [alias] [WHERE
+    conjuncts]`` — the ClickHouse-era correlated forms a reference user
+    writes (TPC-H q4/q21/q22 are all this shape). Name resolution is
+    ANSI inner-first: a bare column that exists on the inner relation
+    binds inner (and is qualified with the inner alias so the join
+    condition stays unambiguous); anything else — an outer-alias
+    qualification or a bare name the inner relation lacks — is an outer
+    reference, making its conjunct part of the join condition.
+
+    Returns ``(inner_df, corr_cond, select_col)``: the inner relation
+    with its NON-correlated conjuncts already applied (predicate
+    pushdown below the join), the compiled AND of the correlated
+    conjuncts, and the compiled first select item (None for ``*``).
+    """
+    sp = _Parser(list(payload.toks), payload.tables, payload.broadcast_dims)
+    sp.with_aliases = dict(payload.with_aliases)
+    sp.expect("select")
+    if sp.peek_kw() == "distinct":
+        sp.next()  # the semi/anti join is set-semantic anyway
+    sel_nodes: list[_Node] = [sp.parse_expr()]
+    if sp.peek_kw() == "as":
+        sp.next()
+        sp.next()
+    while sp.peek() == ",":
+        sp.next()
+        sel_nodes.append(sp.parse_expr())
+        if sp.peek_kw() == "as":
+            sp.next()
+            sp.next()
+    sp.expect("from")
+    tname = sp.next()
+    if sp.peek() == ".":
+        sp.next()
+        tname = sp.next()  # db qualifier dropped
+    alias: str | None = None
+    if sp.peek_kw() == "as":
+        sp.next()
+        alias = sp.next()
+    elif (
+        sp.peek() is not None
+        and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", sp.peek() or "")
+        and sp.peek_kw() not in _RESERVED
+    ):
+        alias = sp.next()
+    if payload.tables is None or tname not in payload.tables:
+        raise ValueError(f"unknown table {tname!r} in correlated subquery")
+    where: _Node | None = None
+    if sp.peek_kw() == "where":
+        sp.next()
+        where = sp.parse_expr()
+    if sp.peek() is not None:
+        raise ValueError(
+            "correlated subqueries support the SELECT ... FROM table "
+            "[WHERE ...] shape only (no joins, GROUP BY, ORDER BY or "
+            "set operations) — got trailing "
+            f"{self_toks(sp)!r}"
+        )
+    inner_alias = alias or tname
+    base = payload.tables[tname]
+    inner_cols = set(base.columns)
+
+    def refs_outer(n: _Node) -> bool:
+        if n.kind == "col":
+            v = str(n.value)
+            if "." in v:
+                return v.split(".", 1)[0] != inner_alias
+            return v not in inner_cols
+        if n.kind in ("scalar_subq", "exists"):
+            raise ValueError(
+                "nested subqueries inside a correlated subquery are "
+                "not supported"
+            )
+        if _contains_agg(n):
+            raise ValueError(
+                "aggregates inside a correlated subquery are not "
+                "supported (use a JOIN against a grouped derived table)"
+            )
+        return any(refs_outer(a) for a in n.args)
+
+    def qualify(n: _Node) -> _Node:
+        """Qualify bare inner-relation refs with the inner alias so
+        compiling against the joined pair is never ambiguous."""
+        if n.kind == "col":
+            v = str(n.value)
+            if "." not in v and v in inner_cols:
+                return _Node("col", f"{inner_alias}.{v}")
+            return n
+        if n.args:
+            return _Node(
+                n.kind, n.value, tuple(qualify(a) for a in n.args)
+            )
+        return n
+
+    inner = base.alias(inner_alias)
+    corr_cond: Column | None = None
+    for c in _and_conjuncts(where) if where is not None else []:
+        if refs_outer(c):
+            cc = _compile(qualify(c), payload.tables)
+            corr_cond = cc if corr_cond is None else corr_cond & cc
+        else:
+            inner = inner.where(_compile(qualify(c), payload.tables))
+    sel_col: Column | None = None
+    if sel_nodes[0].kind != "star":
+        if refs_outer(sel_nodes[0]):
+            raise ValueError(
+                "the select item of a correlated IN subquery must be "
+                "an inner-relation expression"
+            )
+        sel_col = _compile(qualify(sel_nodes[0]), payload.tables)
+    return inner, corr_cond, sel_col
+
+
+def _apply_correlated(
+    df: DataFrame,
+    kind: str,
+    negate: bool,
+    payload: _Subq,
+    left: _Node | None,
+    tables: dict[str, DataFrame],
+    broadcast_dims: bool,
+) -> DataFrame:
+    """Rewrite one correlated EXISTS / IN conjunct as a LEFT SEMI
+    (or LEFT ANTI) join — the distributed shape of the predicate: one
+    keyed shuffle (or broadcast, matching the dialect's CH-era
+    broadcast-right join strategy), no per-row subquery re-execution.
+
+    NOT IN keeps ANSI three-valued semantics exactly: the anti-join
+    condition is ``corr AND (x = y OR x IS NULL OR y IS NULL)``, so a
+    NULL on either side — which makes ``x NOT IN S`` NULL, filtering
+    the row — counts as a match and gets anti-joined away, while an
+    empty per-row set (no inner row passes the correlation) keeps the
+    row, NULL x included.
+    """
+    inner, corr_cond, sel_col = _plan_correlated(payload, tables)
+    if kind == "exists":
+        cond = corr_cond
+        if cond is None:
+            # no correlated conjunct — should have planned uncorrelated
+            raise ValueError(
+                "EXISTS subquery has no correlated predicate but "
+                "failed to plan standalone"
+            )
+    else:
+        if sel_col is None:
+            raise ValueError("IN subquery cannot select *")
+        x = _compile(left, tables)
+        if negate:
+            memb = (x == sel_col) | x.isNull() | sel_col.isNull()
+        else:
+            memb = x == sel_col
+        cond = memb if corr_cond is None else corr_cond & memb
+    if broadcast_dims:
+        inner = F.broadcast(inner)
+    how = "left_anti" if negate else "left_semi"
+    return df.join(inner, on=cond, how=how)
 
 
 def _exec_select(
@@ -1880,7 +2199,53 @@ def _exec_select(
         else:
             df = df.select("*", gen.alias(alias))
     if where_node is not None:
-        df = df.where(_compile(where_node, tables))
+        # WHERE applies conjunct by conjunct so subquery predicates can
+        # take their own paths. Each EXISTS / IN-subquery conjunct is
+        # first planned standalone (ANSI inner-first name resolution —
+        # a bare name that binds inside the subquery IS an inner ref,
+        # so the uncorrelated materialization path is the correct
+        # semantics whenever it analyzes); only when standalone
+        # analysis fails on an unresolved column does the conjunct get
+        # the correlated semi/anti-join rewrite. Ordinary conjuncts
+        # AND back together into a single filter.
+        from pyspark.errors import AnalysisException
+
+        outer_aliases = {table_alias or table} if isinstance(
+            table, str
+        ) else {table_alias}
+        outer_aliases |= {
+            jalias or jname
+            for _, jname, jalias, _ in joins
+            if isinstance(jname, str) or jalias
+        }
+        outer_aliases.discard(None)
+        outer_cols = set(df.columns)
+        plain_cond: Column | None = None
+        corr_rewrites: list[tuple] = []
+        for conj in _and_conjuncts(where_node):
+            pred = _subquery_pred(conj)
+            col: Column | None = None
+            if pred is None:
+                col = _compile(conj, tables)
+            elif _probably_correlated(
+                pred[2], outer_aliases, outer_cols
+            ):
+                corr_rewrites.append(pred)
+            else:
+                try:
+                    col = _compile(conj, tables)
+                except AnalysisException:
+                    corr_rewrites.append(pred)
+            if col is not None:
+                plain_cond = (
+                    col if plain_cond is None else plain_cond & col
+                )
+        if plain_cond is not None:
+            df = df.where(plain_cond)
+        for kind, neg, payload, left in corr_rewrites:
+            df = _apply_correlated(
+                df, kind, neg, payload, left, tables, broadcast_dims
+            )
 
     # SELECT * / SELECT alias.* — expand top-level stars into concrete
     # column nodes against the (now-built) FROM relation, preserving

@@ -810,3 +810,164 @@ ORDER BY event_type
 )
 def ch_sql_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_JSON_SQL, _tables(spark, sf_dir, "events"))
+
+
+# Correlated EXISTS (the TPC-H q4 shape on this schema's columns):
+# bare-name correlation — o_orderkey resolves OUTER because lineitem
+# lacks it (ANSI inner-first scoping) — rewritten to a LEFT SEMI join
+# by the WHERE-stage planner (plans/ch_sql.py, round-4 lift of the
+# CH-era "correlated subqueries rejected" restriction; the reference's
+# binder treats subqueries as first-class binding positions,
+# ch/helpers.go:30-31,77).
+_EXISTS_CORR_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM fastnetmon.orders
+WHERE o_orderdate >= toDate('1994-01-01')
+  AND exists (
+    SELECT * FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "ch_sql_exists_correlated",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= DATE '1994-01-01'
+      AND EXISTS (
+        SELECT * FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ch_sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        _EXISTS_CORR_SQL, _tables(spark, sf_dir, "orders", "lineitem")
+    )
+
+
+# Correlated IN with alias-qualified correlation: the membership
+# column AND the correlation predicate both ride the semi-join
+# condition; the non-correlated conjunct (o_totalprice) pushes below
+# the join onto the inner scan.
+_IN_CORR_SQL = """
+SELECT c.c_mktsegment AS segment, count(*) AS n_big_spenders
+FROM fastnetmon.customer c
+WHERE c.c_custkey IN (
+    SELECT o_custkey FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+  )
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@query(
+    "ch_sql_in_correlated",
+    """
+    SELECT c.c_mktsegment AS segment, count(*) AS n_big_spenders
+    FROM customer c
+    WHERE c.c_custkey IN (
+        SELECT o_custkey FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+      )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def ch_sql_in_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        _IN_CORR_SQL, _tables(spark, sf_dir, "customer", "orders")
+    )
+
+
+# Correlated NOT IN — the LEFT ANTI rewrite with exact ANSI
+# three-valued semantics (the anti-join condition admits NULLs on
+# either membership side; see _apply_correlated's docstring). Counts
+# customers with no completed ('F') order.
+_NOT_IN_CORR_SQL = """
+SELECT c.c_mktsegment AS segment, count(*) AS n_without_f
+FROM fastnetmon.customer c
+WHERE c.c_custkey NOT IN (
+    SELECT o_custkey FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+  )
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@query(
+    "ch_sql_not_in_correlated",
+    """
+    SELECT c.c_mktsegment AS segment, count(*) AS n_without_f
+    FROM customer c
+    WHERE c.c_custkey NOT IN (
+        SELECT o_custkey FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def ch_sql_not_in_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        _NOT_IN_CORR_SQL, _tables(spark, sf_dir, "customer", "orders")
+    )
+
+
+@query(
+    "ch_sql_insert_select",
+    """
+    SELECT event_type, n_events FROM (
+      SELECT event_type, count(*) AS n_events
+      FROM events GROUP BY event_type
+      UNION ALL SELECT '__manual', 42
+    ) ORDER BY event_type
+    """,
+)
+def ch_sql_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH-dialect INSERT as SQL text (round 4, S7 surface): an
+    INSERT SELECT materializes a grouped summary through the parquet
+    sink (the driver's 1M-row block constant as maxRecordsPerFile),
+    then a placeholder VALUES insert appends one row via the driver's
+    exec-loop binding (ch/stmt.go:53-68) — and the query returns the
+    read-back of what was written, proving the round trip."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..plans.ch_insert import run_ch_insert
+
+    tabs = _tables(spark, sf_dir, "events")
+    tabs["summary"] = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("n_events", T.LongType()),
+            ]
+        ),
+    )
+    d = tempfile.mkdtemp(prefix="ch_insert_")
+    run_ch_insert(
+        "INSERT INTO summary SELECT event_type, count(*) AS n_events "
+        "FROM fastnetmon.events GROUP BY event_type",
+        tabs,
+        path=d,
+        mode="overwrite",
+    )
+    run_ch_insert(
+        "INSERT INTO summary VALUES (?, ?)",
+        tabs,
+        rows=[("__manual", 42)],
+        path=d,
+        mode="append",
+    )
+    return spark.read.parquet(d).orderBy("event_type")

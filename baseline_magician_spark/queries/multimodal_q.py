@@ -14,6 +14,10 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.multimodal import (
     BYTE_A,
+    attach_wav,
+    decode_media,
+    pcm_stats,
+    real_decoder,
     BYTE_B,
     BYTE_C,
     FRAME_BYTES,
@@ -163,3 +167,34 @@ def multimodal_frame_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _media(spark, sf_dir)
     video = media.where(F.col("meta.media_type") == "video")
     return frame_deltas(video)
+
+
+def _wav_oracle() -> str:
+    # the decoded PCM plane IS the deterministic sample model, so the
+    # oracle recomputes stats from the arithmetic — but the Spark path
+    # only matches if the stdlib wave container was genuinely parsed
+    # (a passthrough would add the 44-byte header into the checksum
+    # and report the container length as the sample count)
+    return f"""
+    SELECT doc_id,
+           CAST({_LEN} AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, {_LEN}),
+                i -> {_BYTE})) AS BIGINT) AS checksum,
+           floor(CAST(list_sum(list_transform(range(0, {_LEN}),
+                i -> {_BYTE})) AS DOUBLE) / {_LEN} * 10000) / 10000
+             AS mean_sample
+    FROM documents
+    """
+
+
+@query("multimodal_wav_decode", _wav_oracle())
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path (round 4): encode each row's deterministic
+    samples into a genuine RIFF/WAVE container (stdlib ``wave``
+    writer), decode through ``decode_media(decoder=real_decoder)`` —
+    which must parse the header and strip it to recover the PCM plane
+    — and emit per-item stats over the DECODED samples. Three chained
+    narrow Arrow stages, no shuffle."""
+    wav = attach_wav(load_table(spark, sf_dir, "documents"))
+    dec = decode_media(wav, decoder=real_decoder)
+    return pcm_stats(dec)

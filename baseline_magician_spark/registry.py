@@ -71,6 +71,11 @@ _PRIORITY: tuple[str, ...] = (
     # new round-4 queries are appended to this block in the same
     # commit that registers them (a test pins every name here to an
     # actual registration)
+    "ch_sql_exists_correlated",
+    "ch_sql_in_correlated",
+    "ch_sql_not_in_correlated",
+    "multimodal_wav_decode",
+    "ch_sql_insert_select",
     # r1-only rotation: everything whose last driver row is round 1
     "asof_join_latest_order",
     "dedup_exact_groups",

@@ -1554,3 +1554,173 @@ def test_group_by_all_and_order_by_all(spark):
     assert [tuple(r) for r in out] == [(0, 7), (1, 9)]
     with pytest.raises(ValueError, match="no non-aggregate"):
         run_ch_query("select count(*) from t group by all", {"t": df})
+
+
+# ---------------------------------------------------------------- #
+# correlated subqueries (round 4): semi/anti-join rewrite           #
+# ---------------------------------------------------------------- #
+
+
+@pytest.fixture()
+def corr_tables(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "1-URGENT", 50.0),
+            (2, 10, "2-HIGH", 200.0),
+            (3, 20, "1-URGENT", 120.0),
+            (4, 30, "3-LOW", 80.0),
+        ],
+        "o_orderkey long, o_custkey long, o_prio string, o_total double",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 5.0), (1, 1.0), (3, 9.0), (4, 2.0)],
+        "l_orderkey long, l_qty double",
+    )
+    customer = spark.createDataFrame(
+        [(10, "A"), (20, "B"), (40, "C")],
+        "c_custkey long, c_name string",
+    )
+    return {"orders": orders, "lineitem": lineitem, "customer": customer}
+
+
+def test_correlated_exists_bare_name(spark, corr_tables):
+    """Bare-name correlation (ANSI inner-first): o_orderkey is not a
+    lineitem column, so it binds outer; the predicate rewrites to a
+    LEFT SEMI join."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    rows = run_ch_query(
+        "SELECT o_orderkey FROM orders WHERE exists ("
+        "SELECT * FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_qty > 4) ORDER BY o_orderkey",
+        corr_tables,
+    ).collect()
+    assert [r["o_orderkey"] for r in rows] == [1, 3]
+
+
+def test_correlated_not_exists(spark, corr_tables):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    rows = run_ch_query(
+        "SELECT o.o_orderkey FROM orders o WHERE NOT exists ("
+        "SELECT * FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) "
+        "ORDER BY o_orderkey",
+        corr_tables,
+    ).collect()
+    assert [r["o_orderkey"] for r in rows] == [2]
+
+
+def test_correlated_exists_plan_is_semi_join(spark, corr_tables):
+    """The rewrite must be a JOIN, not a per-row re-execution: the
+    physical plan contains a LeftSemi build and no more than the one
+    scan of each relation."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = run_ch_query(
+        "SELECT o_orderkey FROM orders WHERE exists ("
+        "SELECT * FROM lineitem WHERE l_orderkey = o_orderkey)",
+        corr_tables,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_correlated_in_and_not_in(spark, corr_tables):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    rows = run_ch_query(
+        "SELECT c_name FROM customer c WHERE c.c_custkey IN ("
+        "SELECT o_custkey FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o_total > 100) ORDER BY c_name",
+        corr_tables,
+    ).collect()
+    assert [r["c_name"] for r in rows] == ["A", "B"]
+    rows = run_ch_query(
+        "SELECT c_name FROM customer c WHERE c.c_custkey NOT IN ("
+        "SELECT o_custkey FROM orders o WHERE o.o_custkey = c.c_custkey) "
+        "ORDER BY c_name",
+        corr_tables,
+    ).collect()
+    assert [r["c_name"] for r in rows] == ["C"]
+
+
+def test_correlated_not_in_null_semantics(spark):
+    """ANSI three-valued NOT IN: a NULL inner value makes the
+    membership NULL for non-matching outers, filtering the row; an
+    empty per-row set keeps the row (NULL outer included)."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    outer = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (None, "z")], "k long, tag string"
+    )
+    inner = spark.createDataFrame(
+        [(1, "x"), (None, "x")], "v long, grp string"
+    )
+    # per-row set for tag='x': {1, NULL} -> k=1 in set (drop);
+    # for 'y'/'z': empty set -> keep (NULL outer k included)
+    rows = run_ch_query(
+        "SELECT tag FROM t WHERE k NOT IN "
+        "(SELECT v FROM s WHERE grp = tag) ORDER BY tag",
+        {"t": outer, "s": inner},
+    ).collect()
+    assert [r["tag"] for r in rows] == ["y", "z"]
+    # and when the set is {1, NULL}, a non-matching k=2 is ALSO
+    # filtered (x NOT IN {1, NULL} is NULL, not TRUE)
+    inner_all = spark.createDataFrame(
+        [(1, "x"), (None, "x"), (None, "y")], "v long, grp string"
+    )
+    rows = run_ch_query(
+        "SELECT tag FROM t WHERE k NOT IN "
+        "(SELECT v FROM s WHERE grp = tag) ORDER BY tag",
+        {"t": outer, "s": inner_all},
+    ).collect()
+    assert [r["tag"] for r in rows] == ["z"]
+
+
+def test_correlated_mixed_with_plain_conjuncts(spark, corr_tables):
+    """Plain conjuncts, an uncorrelated IN, and a correlated EXISTS in
+    one WHERE — each takes its own path and they AND together."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    rows = run_ch_query(
+        "SELECT o_orderkey FROM orders WHERE o_total < 150 "
+        "AND o_custkey IN (SELECT c_custkey FROM customer) "
+        "AND exists (SELECT * FROM lineitem "
+        "WHERE l_orderkey = o_orderkey) ORDER BY o_orderkey",
+        corr_tables,
+    ).collect()
+    assert [r["o_orderkey"] for r in rows] == [1, 3]
+
+
+def test_correlated_rejects_unsupported_shapes(spark, corr_tables):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    with pytest.raises(ValueError, match="correlated subqueries support"):
+        run_ch_query(
+            "SELECT o_orderkey FROM orders WHERE exists ("
+            "SELECT l_orderkey FROM lineitem "
+            "WHERE l_orderkey = o_orderkey GROUP BY l_orderkey)",
+            corr_tables,
+        )
+    with pytest.raises(ValueError, match="aggregates inside"):
+        run_ch_query(
+            "SELECT o_orderkey FROM orders WHERE exists ("
+            "SELECT * FROM lineitem "
+            "WHERE max(l_qty) > o_orderkey)",
+            corr_tables,
+        )
+
+
+def test_correlated_in_cte(spark, corr_tables):
+    """A correlated predicate inside a CTE body plans with the CTE's
+    own scope rules."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    rows = run_ch_query(
+        "WITH live AS (SELECT o_orderkey, o_custkey FROM orders "
+        "WHERE exists (SELECT * FROM lineitem "
+        "WHERE l_orderkey = o_orderkey)) "
+        "SELECT count(*) AS n FROM live",
+        corr_tables,
+    ).collect()
+    assert rows[0]["n"] == 3

@@ -236,13 +236,48 @@ def _gen_group_all_query(rng: random.Random) -> str:
     )
 
 
+def _gen_correlated_query(rng: random.Random) -> str:
+    # correlated EXISTS / [NOT] IN at WHERE-conjunct level — ANSI text
+    # both engines accept; DuckDB decorrelates natively, this engine
+    # rewrites to semi/anti joins (round 4). Bare-name correlation
+    # (o_orderkey inside the lineitem subquery) and alias-qualified
+    # correlation both generated.
+    kind = rng.random()
+    if kind < 0.35:
+        neg = "NOT " if rng.random() < 0.4 else ""
+        qty = rng.randint(10, 45)
+        return (
+            "SELECT o_orderpriority AS k, count(*) AS n FROM orders "
+            f"WHERE {neg}EXISTS (SELECT * FROM lineitem "
+            f"WHERE l_orderkey = o_orderkey AND l_quantity > {qty}) "
+            "GROUP BY o_orderpriority"
+        )
+    if kind < 0.7:
+        neg = "NOT " if rng.random() < 0.4 else ""
+        price = rng.randint(50, 350) * 1000
+        return (
+            "SELECT c.c_mktsegment AS k, count(*) AS n FROM customer c "
+            f"WHERE c.c_custkey {neg}IN (SELECT o_custkey FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            f"AND o.o_totalprice > {price}) GROUP BY c.c_mktsegment"
+        )
+    # self-correlation with qualified refs on both sides
+    t1, t2 = rng.sample(list(_STR_VALS), 2)
+    return (
+        "SELECT e.event_type AS k, count(*) AS n FROM events e "
+        f"WHERE e.event_type = '{t1}' AND EXISTS ("
+        "SELECT * FROM events x WHERE x.user_id = e.user_id "
+        f"AND x.event_type = '{t2}') GROUP BY e.event_type"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
     return rng.choice(
         [_gen_agg_query, _gen_agg_query, _gen_distinct_query,
          _gen_order_limit_query, _gen_setop_query, _gen_window_query,
          _gen_rollup_query, _gen_using_query, _gen_asof_query,
          _gen_grouping_sets_query, _gen_frame_query,
-         _gen_group_all_query]
+         _gen_group_all_query, _gen_correlated_query]
     )(rng)
 
 
@@ -256,8 +291,11 @@ def test_random_query_matches_duckdb(spark, duck, sql):
     from baseline_magician_spark.catalog import load_table
     from baseline_magician_spark.plans.ch_sql import run_ch_query
 
-    ev = load_table(spark, SF_ORACLE, "events")
-    sdf = run_ch_query(sql, {"events": ev})
+    tabs = {
+        n: load_table(spark, SF_ORACLE, n)
+        for n in ("events", "orders", "lineitem", "customer")
+    }
+    sdf = run_ch_query(sql, tabs)
     s_cols = sdf.columns
     s_rows = sorted(
         tuple(str(x) for x in r)
@@ -271,3 +309,139 @@ def test_random_query_matches_duckdb(spark, duck, sql):
     )
     assert sorted(s_cols) == sorted(d_cols), sql
     assert s_rows == d_rows, f"{sql}\nspark={s_rows[:3]}\nduck={d_rows[:3]}"
+
+
+# ------------------------------------------------------------------ #
+# paired-text differential: CH-only spellings vs their DuckDB        #
+# equivalents (round-3 grammar: scalar WITH, * EXCEPT/REPLACE/APPLY, #
+# arr[i] indexing, WITH FILL / INTERPOLATE). The generator returns   #
+# (ch_sql, duck_sql) pairs with identical semantics; any mismatch is #
+# a front-end compilation bug.                                       #
+# ------------------------------------------------------------------ #
+
+
+def _gen_scalar_with_pair(rng: random.Random) -> tuple[str, str]:
+    m = rng.randint(2, 7)
+    body = (
+        "SELECT user_id % {m} AS k, count(*) AS n, sum(event_id) AS s "
+        "FROM events{w} GROUP BY user_id % {m} ORDER BY k"
+    )
+    w = _where(rng)
+    return (
+        f"WITH {m} AS md " + body.format(m="md", w=w),
+        body.format(m=m, w=w),
+    )
+
+
+def _gen_star_except_pair(rng: random.Random) -> tuple[str, str]:
+    # ts excluded on both sides (timestamp str formatting differs)
+    drop = rng.choice(["props, ts", "ts, props, value", "ts, props, user_id"])
+    w = _where(rng)
+    return (
+        f"SELECT * EXCEPT ({drop}) FROM events{w}",
+        f"SELECT * EXCLUDE ({drop}) FROM events{w}",
+    )
+
+
+def _gen_star_replace_pair(rng: random.Random) -> tuple[str, str]:
+    # DuckDB shares the * REPLACE spelling; combine with the EXCEPT/
+    # EXCLUDE divergence so both modifiers chain
+    mul = rng.randint(2, 5)
+    w = _where(rng)
+    return (
+        f"SELECT * EXCEPT (ts, props, value) "
+        f"REPLACE (user_id * {mul} AS user_id) FROM events{w}",
+        f"SELECT * EXCLUDE (ts, props, value) "
+        f"REPLACE (user_id * {mul} AS user_id) FROM events{w}",
+    )
+
+
+def _gen_star_apply_pair(rng: random.Random) -> tuple[str, str]:
+    # * APPLY is CH-only — the DuckDB side spells the projection out,
+    # aliased to the engine's derived names (fn_col)
+    w = _where(rng)
+    return (
+        f"SELECT * EXCEPT (ts, props, event_type, value) "
+        f"APPLY (toInt64) FROM events{w}",
+        f"SELECT CAST(event_id AS BIGINT) AS toInt64_event_id, "
+        f"CAST(user_id AS BIGINT) AS toInt64_user_id FROM events{w}",
+    )
+
+
+def _gen_array_index_pair(rng: random.Random) -> tuple[str, str]:
+    # arr[i] — 1-based in both engines; CH splitByChar vs DuckDB
+    # string_split over the same separator
+    sep = rng.choice(["e", "c", "r", "i"])
+    i = rng.randint(1, 2)
+    w = _where(rng)
+    return (
+        f"SELECT event_id, splitByChar('{sep}', event_type)[{i}] AS p "
+        f"FROM events{w}",
+        f"SELECT event_id, string_split(event_type, '{sep}')[{i}] AS p "
+        f"FROM events{w}",
+    )
+
+
+def _gen_with_fill_pair(rng: random.Random) -> tuple[str, str]:
+    m = rng.randint(3, 6)
+    hi = m + rng.randint(1, 3)  # TO is exclusive; spine 0..hi-1 ⊇ data
+    w = _where(rng)
+    interp = rng.random() < 0.5
+    ch = (
+        f"SELECT user_id % {m} AS k, count(*) AS n FROM events{w} "
+        f"GROUP BY user_id % {m} ORDER BY k WITH FILL FROM 0 TO {hi}"
+    )
+    if interp:
+        ch += " INTERPOLATE (n AS 0)"
+        n_expr = "COALESCE(d.n, 0)"
+    else:
+        n_expr = "d.n"
+    duck = (
+        f"WITH d AS (SELECT user_id % {m} AS k, count(*) AS n "
+        f"FROM events{w} GROUP BY user_id % {m}) "
+        f"SELECT COALESCE(d.k, g.v) AS k, {n_expr} AS n FROM d "
+        f"FULL JOIN generate_series(0, {hi - 1}) AS g(v) ON d.k = g.v "
+        "ORDER BY k"
+    )
+    return ch, duck
+
+
+N_PAIRED = 30
+
+
+def _gen_pair(rng: random.Random) -> tuple[str, str]:
+    return rng.choice(
+        [_gen_scalar_with_pair, _gen_star_except_pair,
+         _gen_star_replace_pair, _gen_star_apply_pair,
+         _gen_array_index_pair, _gen_with_fill_pair]
+    )(rng)
+
+
+PAIRED_CASES = [
+    _gen_pair(random.Random(89 * i + _SEED_BASE + 7))
+    for i in range(N_PAIRED)
+]
+
+
+@pytest.mark.parametrize("ch_sql,duck_sql", PAIRED_CASES)
+def test_paired_query_matches_duckdb(spark, duck, ch_sql, duck_sql):
+    from baseline_magician_spark.catalog import load_table
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    sdf = run_ch_query(ch_sql, {"events": ev})
+    s_cols = sdf.columns
+    s_rows = sorted(
+        tuple(str(x) for x in r)
+        for r in sdf.select(*sorted(s_cols)).collect()
+    )
+    res = duck.execute(duck_sql)
+    d_cols = [d[0] for d in res.description]
+    idx = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+    d_rows = sorted(
+        tuple(str(r[i]) for i in idx) for r in res.fetchall()
+    )
+    assert sorted(s_cols) == sorted(d_cols), f"{ch_sql}\n{duck_sql}"
+    assert s_rows == d_rows, (
+        f"{ch_sql}\n{duck_sql}\nspark={s_rows[:3]}\nduck={d_rows[:3]}"
+    )

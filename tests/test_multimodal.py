@@ -88,3 +88,100 @@ def test_frame_fanout_only_videos(media):
     }
     assert {r.doc_id for r in rows} <= video_ids
     assert all(r.frame_idx % 4 == 0 for r in rows)
+
+
+# ---------------------------------------------------------------- #
+# real WAV codec (round 4): genuine RIFF/WAVE containers, stdlib    #
+# wave decode through the decode_media seam                         #
+# ---------------------------------------------------------------- #
+
+
+def test_wav_encode_is_spec_compliant():
+    """The encoder emits a real RIFF/WAVE container any standard
+    reader parses — header magic, 44-byte PCM header, field values."""
+    import io
+    import wave
+
+    from baseline_magician_spark.operators.multimodal import (
+        WAV_HEADER_BYTES,
+        WAV_SAMPLE_RATE,
+        wav_encode,
+    )
+
+    samples = bytes(range(200))
+    blob = wav_encode(samples)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    assert len(blob) == WAV_HEADER_BYTES + len(samples)
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 1
+        assert w.getframerate() == WAV_SAMPLE_RATE
+        assert w.getnframes() == len(samples)
+        assert w.readframes(len(samples)) == samples
+
+
+def test_wav_decoder_roundtrip_and_dispatch():
+    from baseline_magician_spark.operators.multimodal import (
+        real_decoder,
+        wav_decoder,
+        wav_encode,
+    )
+
+    samples = bytes((7 * i + 3) % 256 for i in range(150))
+    blob = wav_encode(samples)
+    d = wav_decoder(blob, {})
+    assert d["pixels"] == samples
+    assert d["width"] == 150 and d["height"] == 1
+    # real_decoder dispatches WAV natively (no external library)
+    d2 = real_decoder(blob, {})
+    assert d2["pixels"] == samples
+    # non-WAV bytes hit the documented missing-library boundary
+    with pytest.raises((NotImplementedError, Exception)):
+        real_decoder(b"\x89PNG\r\n\x1a\n" + bytes(64), {})
+
+
+def test_wav_decode_end_to_end(spark):
+    """attach_wav -> decode_media(real_decoder) -> pcm_stats recovers
+    the deterministic sample model exactly — proving the container
+    header is parsed and stripped, not passed through."""
+    from baseline_magician_spark.operators.multimodal import (
+        LEN_BASE,
+        LEN_MOD,
+        WAV_HEADER_BYTES,
+        _payload_bytes,
+        attach_wav,
+        decode_media,
+        pcm_stats,
+        real_decoder,
+    )
+
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    wav = attach_wav(docs)
+    row = wav.where("doc_id = 7").first()
+    n7 = LEN_BASE + 7 % LEN_MOD
+    assert row.meta.byte_len == WAV_HEADER_BYTES + n7  # real container
+    out = {
+        r.doc_id: r
+        for r in pcm_stats(decode_media(wav, decoder=real_decoder)).collect()
+    }
+    assert len(out) == 20
+    for d in (0, 7, 19):
+        expected = _payload_bytes(d)
+        assert out[d].n_samples == len(expected)
+        assert out[d].checksum == sum(expected)
+
+
+def test_wav_pipeline_is_narrow(spark):
+    """Three chained Arrow stages, zero shuffle: the physical plan has
+    no Exchange."""
+    from baseline_magician_spark.operators.multimodal import (
+        attach_wav,
+        decode_media,
+        pcm_stats,
+        real_decoder,
+    )
+
+    docs = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    df = pcm_stats(decode_media(attach_wav(docs), decoder=real_decoder))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
