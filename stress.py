@@ -260,6 +260,81 @@ def main() -> None:
         docs = replicate(docs0, k, ["doc_id"], salt_text=False)
         return chunk_documents(docs, "doc_id", "text", 200, 40).count()
 
+    # --- round-4: the streaming family's ladder rungs (the only
+    # operator family with no scaling row until now; SCALE.md
+    # §Streaming sizes the state store, these rungs assert it under
+    # growth) ---
+
+    import shutil
+    import tempfile
+
+    def _replay(df: DataFrame, n_files: int = 4):
+        """Materialize a frame as an n-file parquet dir and open it as
+        a maxFilesPerTrigger=1 stream — n_files micro-batches under
+        availableNow, independent of data size (batch COUNT constant,
+        batch SIZE scales with the rung)."""
+        src = tempfile.mkdtemp(prefix="bms_stress_stream_")
+        df.repartition(n_files).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return src, stream
+
+    def stream_sessionize(k: int) -> int:
+        """Gap-session windows over a replayed stream: state keys =
+        users (linear in replicas), per-batch work = batch rows; the
+        state-store open/commit cost is per-partition-per-batch and
+        constant across rungs (8 partitions x 4 batches)."""
+        from baseline_magician_spark.queries.streaming_q import _run_bounded
+        from baseline_magician_spark.streaming.baseline_stream import (
+            streaming_sessionize,
+        )
+
+        ev = replicate(ev0, k, ["event_id", "user_id"], salt_text=False)
+        # watermarks demand TIMESTAMP (catalog loads ntz); session tz
+        # is pinned UTC so the cast is deterministic
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        src, stream = _replay(ev)
+        try:
+            out = _run_bounded(streaming_sessionize(stream))
+            return out.count()
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+    def stream_cms_merge(k: int) -> int:
+        """Per-batch distributed CMS build + additive cell merge into
+        standing state: per batch one uniform (row, bucket) shuffle
+        over the BATCH only; merge target stays depth*width cells
+        regardless of replicas — cost must track batch rows, state
+        must not grow with history."""
+        from baseline_magician_spark.operators.text import count_min_sketch
+
+        ev = replicate(ev0, k, ["event_id", "user_id"], salt_text=False)
+        src, stream = _replay(ev)
+        cells: dict[tuple[int, int], int] = {}
+        try:
+            def handle(batch_df: DataFrame, _bid: int) -> None:
+                keys = batch_df.select(
+                    F.col("user_id").cast("string").alias("s")
+                )
+                sketch, _ = count_min_sketch(keys, "s", depth=4, width=1024)
+                for r in sketch.collect():
+                    kk = (r["row"], r["bucket"])
+                    cells[kk] = cells.get(kk, 0) + int(r["cnt"])
+
+            q = (
+                stream.writeStream.foreachBatch(handle)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            q.stop()
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+        return len(cells)  # bounded by depth*width at every rung
+
     ops = {
         "q1_agg": q1_agg,
         "minhash_lsh_pairs": minhash,
@@ -274,6 +349,8 @@ def main() -> None:
         "tfidf_top_terms": tfidf,
         "bloom_screen": bloom_screen,
         "rag_chunking": rag_chunks,
+        "streaming_sessionize": stream_sessionize,
+        "streaming_cms_merge": stream_cms_merge,
     }
 
     times: dict[str, dict[int, float]] = {name: {} for name in ops}

@@ -261,3 +261,55 @@ def test_cc_pointer_jumping_is_logarithmic(spark):
     assert len(out) == 64
     assert all(r.cluster_id == 0 for r in out)
     assert graph.LAST_ROUNDS <= 10, graph.LAST_ROUNDS
+
+
+def test_cc_adversarial_diameter_4096_path(spark):
+    """Round-3 pinned the log-depth claim on a 64-node path; this pins
+    it at a size where plain propagation would need ~4095 rounds. Path
+    halving must converge within ~2*log2(n) rounds — the bound that
+    makes worst-case chain graphs (not just clique-ish near-dup
+    clusters) affordable at scale."""
+    import math
+
+    from baseline_magician_spark.operators import graph
+
+    n = 4096
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    out = graph.connected_components(edges, "src", "dst")
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("cluster_id").alias("k"),
+        F.min("cluster_id").alias("m"),
+    ).first()
+    assert (agg.n, agg.k, agg.m) == (n, 1, 0)
+    bound = 2 * int(math.log2(n))
+    assert graph.LAST_ROUNDS <= bound, (graph.LAST_ROUNDS, bound)
+
+
+def test_cc_two_long_cycles_with_bridge(spark):
+    """Two 1000-node cycles joined by one bridge edge: a single
+    component whose diameter is ~1000, with cycle topology (every node
+    degree 2, no tree shortcuts). Correct single-component output in
+    log-depth rounds."""
+    import math
+
+    from baseline_magician_spark.operators import graph
+
+    m = 1000
+    cyc_a = [(i, (i + 1) % m) for i in range(m)]
+    cyc_b = [(m + i, m + (i + 1) % m) for i in range(m)]
+    bridge = [(m // 2, m + m // 2)]
+    edges = spark.createDataFrame(
+        cyc_a + cyc_b + bridge, "src long, dst long"
+    )
+    out = graph.connected_components(edges, "src", "dst")
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("cluster_id").alias("k"),
+        F.min("cluster_id").alias("mn"),
+    ).first()
+    assert (agg.n, agg.k, agg.mn) == (2 * m, 1, 0)
+    bound = 2 * int(math.log2(2 * m))
+    assert graph.LAST_ROUNDS <= bound, (graph.LAST_ROUNDS, bound)
