@@ -271,3 +271,27 @@ class _Param:
 
     def __init__(self, idx: int):
         self.idx = idx
+
+
+def run_ch_statement(
+    sql: str,
+    tables: dict[str, DataFrame],
+    **kwargs,
+) -> DataFrame:
+    """Single statement entry point with the driver's routing: INSERT
+    statements (either kind — the VALUES block path or INSERT SELECT)
+    go to :func:`run_ch_insert`, everything else is a SELECT-family
+    query for :func:`~.ch_sql.run_ch_query`. Mirrors how the reference
+    driver's Exec/Query split behaves from the caller's seat."""
+    head = sql.split(maxsplit=1)
+    if head and head[0].upper() == "INSERT":
+        return run_ch_insert(sql, tables, **kwargs)
+    query_kwargs = {
+        k: v for k, v in kwargs.items()
+        if k in ("args", "named", "broadcast_dims")
+    }
+    if set(kwargs) - set(query_kwargs):
+        raise ValueError(
+            "rows/path/mode apply to INSERT statements only"
+        )
+    return run_ch_query(sql, tables, **query_kwargs)

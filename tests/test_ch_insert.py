@@ -114,3 +114,18 @@ def test_bad_statements_rejected(spark, tabs):
         run_ch_insert("INSERT INTO t VALUES (1, 'a')", tabs)
     with pytest.raises(ValueError, match="tail must be"):
         run_ch_insert("INSERT INTO t SET x = 1 SELECT ", tabs)
+
+
+def test_run_ch_statement_dispatch(spark, tabs):
+    from baseline_magician_spark.plans.ch_insert import run_ch_statement
+
+    out = run_ch_statement(
+        "SELECT count(*) AS n FROM t WHERE id = 1", tabs
+    )
+    assert out.first()["n"] == 1
+    out = run_ch_statement(
+        "insert into t (id, name) values (5, 'e')", tabs
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [(5, "e")]
+    with pytest.raises(ValueError, match="INSERT statements only"):
+        run_ch_statement("SELECT 1 AS x", tabs, path="/tmp/x")
