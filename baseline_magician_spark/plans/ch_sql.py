@@ -34,12 +34,13 @@ hand-written queries a CH user actually runs. Current surface:
 - expressions: and/or/not, comparisons, [NOT] IN (list | subquery |
   external table), [NOT] BETWEEN, [NOT] LIKE, IS [NOT] NULL,
   arithmetic incl. %, scalar subqueries, [NOT] EXISTS. Subquery
-  predicates at WHERE-conjunct level may be CORRELATED (equality or
-  range predicates against the outer relation): they rewrite to LEFT
-  SEMI / LEFT ANTI joins, with ANSI inner-first name resolution and
-  exact three-valued NOT IN semantics. Correlated scalar subqueries
-  and correlation under OR remain unsupported (as in the reference's
-  CH era),
+  predicates at WHERE-conjunct level may be CORRELATED: EXISTS / [NOT]
+  IN rewrite to LEFT SEMI / LEFT ANTI joins (ANSI inner-first name
+  resolution, exact three-valued NOT IN), and ``x CMP (SELECT agg ...
+  WHERE k = outer.k)`` rewrites to a grouped derived table joined on
+  the correlation keys (TPC-H q17 shape, ANSI empty-set-is-NULL
+  semantics). Correlation under OR remains unsupported (as in the
+  reference's CH era),
   parametric aggregates ``quantile(0.9)(x)`` / ``quantiles(...)()``,
   array lambdas ``arrayMap(x -> e, arr)`` (+ Filter/Exists/All/Count/
   First/FirstIndex/Sum/Avg, two-array zip form, nested closures),
@@ -1367,23 +1368,33 @@ def _any_dedup_right(
     )
 
 
+_CMP_OPS = (">", "<", ">=", "<=", "=", "!=", "<>")
+
+
 def _subquery_pred(conj: _Node):
     """Decompose a WHERE conjunct that is a rewritable subquery
-    predicate: returns (kind, negate, payload, left_node) for
+    predicate: returns (kind, negate, payload, detail) for
     ``EXISTS (...)``, ``NOT EXISTS (...)``, ``x [NOT] IN (SELECT ...)``
-    and ``NOT (x IN (SELECT ...))``; None for anything else (including
-    subqueries nested under OR — those only work uncorrelated)."""
+    (detail = the left expression node), and comparisons against a
+    scalar subquery ``x CMP (SELECT agg ...)`` in either operand order
+    (kind "scalar_cmp", detail = (op, other_node, subq_on_left)).
+    None for anything else — including subqueries nested under OR,
+    which only work uncorrelated."""
     if conj.kind == "call" and str(conj.value).lower() == "not":
-        inner = conj.args[0]
-        if inner.kind == "exists":
-            return ("exists", True, inner.value, None)
-        if inner.kind == "in" and inner.value[0] == "subdf":
-            return ("in", not inner.value[1], inner.value[2], inner.args[0])
+        inner = _subquery_pred(conj.args[0])
+        if inner is not None:
+            return (inner[0], not inner[1], inner[2], inner[3])
         return None
     if conj.kind == "exists":
         return ("exists", False, conj.value, None)
     if conj.kind == "in" and conj.value[0] == "subdf":
         return ("in", conj.value[1], conj.value[2], conj.args[0])
+    if conj.kind == "bin" and conj.value in _CMP_OPS:
+        a, b = conj.args
+        if a.kind == "scalar_subq" and b.kind != "scalar_subq":
+            return ("scalar_cmp", False, a.value, (conj.value, b, True))
+        if b.kind == "scalar_subq" and a.kind != "scalar_subq":
+            return ("scalar_cmp", False, b.value, (conj.value, a, False))
     return None
 
 
@@ -1626,6 +1637,180 @@ def _apply_correlated(
         inner = F.broadcast(inner)
     how = "left_anti" if negate else "left_semi"
     return df.join(inner, on=cond, how=how)
+
+
+_SCALAR_SEQ = [0]  # per-application suffix for hidden join columns
+
+
+def _apply_correlated_scalar(
+    df: DataFrame,
+    negate: bool,
+    payload: _Subq,
+    detail: tuple,
+    tables: dict[str, DataFrame],
+    broadcast_dims: bool,
+) -> DataFrame:
+    """Rewrite ``x CMP (SELECT agg(...) FROM t WHERE k = outer.k
+    [AND filters])`` — the TPC-H q17-family shape — as a grouped
+    derived table joined back on the correlation keys.
+
+    The correlated conjuncts must be EQUALITIES (they become the
+    GROUP BY keys); non-correlated conjuncts filter the inner relation
+    below the aggregation. ANSI empty-set semantics hold for free: a
+    left row with no matching group left-joins a NULL aggregate, the
+    comparison goes NULL, and WHERE drops the row — exactly what a
+    scalar subquery over an empty set (NULL) compares to. One
+    aggregation + one keyed join instead of a per-row subquery."""
+    op, other, subq_on_left = detail
+    sp = _Parser(list(payload.toks), payload.tables, payload.broadcast_dims)
+    sp.with_aliases = dict(payload.with_aliases)
+    sp.expect("select")
+    sel = sp.parse_expr()
+    if sp.peek_kw() == "as":
+        sp.next()
+        sp.next()
+    if sp.peek() == ",":
+        raise ValueError(
+            "a scalar subquery selects exactly one expression"
+        )
+    if not _contains_agg(sel):
+        raise ValueError(
+            "a correlated scalar subquery must select an aggregate "
+            "(a bare correlated lookup would be row-dependent)"
+        )
+    sp.expect("from")
+    tname = sp.next()
+    if sp.peek() == ".":
+        sp.next()
+        tname = sp.next()
+    alias: str | None = None
+    if sp.peek_kw() == "as":
+        sp.next()
+        alias = sp.next()
+    elif (
+        sp.peek() is not None
+        and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", sp.peek() or "")
+        and sp.peek_kw() not in _RESERVED
+    ):
+        alias = sp.next()
+    if payload.tables is None or tname not in payload.tables:
+        raise ValueError(f"unknown table {tname!r} in scalar subquery")
+    where: _Node | None = None
+    if sp.peek_kw() == "where":
+        sp.next()
+        where = sp.parse_expr()
+    if sp.peek() is not None:
+        raise ValueError(
+            "correlated scalar subqueries support SELECT agg FROM "
+            f"table [WHERE ...] only — got trailing {self_toks(sp)!r}"
+        )
+    inner_alias = alias or tname
+    base = payload.tables[tname]
+    inner_cols = set(base.columns)
+
+    def refs_outer(n: _Node) -> bool:
+        if n.kind == "col":
+            v = str(n.value)
+            if "." in v:
+                return v.split(".", 1)[0] != inner_alias
+            return v not in inner_cols
+        if n.kind in ("scalar_subq", "exists"):
+            raise ValueError(
+                "nested subqueries inside a correlated scalar "
+                "subquery are not supported"
+            )
+        return any(refs_outer(a) for a in n.args)
+
+    def qualify(n: _Node) -> _Node:
+        if n.kind == "col":
+            v = str(n.value)
+            if "." not in v and v in inner_cols:
+                return _Node("col", f"{inner_alias}.{v}")
+            return n
+        if n.args:
+            return _Node(
+                n.kind, n.value, tuple(qualify(a) for a in n.args)
+            )
+        return n
+
+    if refs_outer(sel):
+        raise ValueError(
+            "the aggregate of a correlated scalar subquery must be "
+            "an inner-relation expression"
+        )
+    inner = base.alias(inner_alias)
+    pairs: list[tuple[Column, Column]] = []  # (inner key, outer key)
+    for c in _and_conjuncts(where) if where is not None else []:
+        if not refs_outer(c):
+            inner = inner.where(_compile(qualify(c), payload.tables))
+            continue
+        if not (c.kind == "bin" and c.value == "="):
+            raise ValueError(
+                "correlated predicates in a scalar subquery must be "
+                "equalities (they become the grouping keys)"
+            )
+        a, b = c.args
+        ra, rb = refs_outer(a), refs_outer(b)
+        if ra == rb:
+            raise ValueError(
+                "each correlated equality must pair an inner and an "
+                "outer expression"
+            )
+        inn, out = (b, a) if ra else (a, b)
+        pairs.append(
+            (
+                _compile(qualify(inn), payload.tables),
+                _compile(out, tables),
+            )
+        )
+    if not pairs:
+        raise ValueError(
+            "scalar subquery has no correlated equality but failed "
+            "to plan standalone"
+        )
+    _SCALAR_SEQ[0] += 1
+    seq = _SCALAR_SEQ[0]
+    knames = [f"_csk{seq}_{i}" for i in range(len(pairs))]
+    vname = f"_csv{seq}"
+    grouped = inner.groupBy(
+        *[k.alias(nm) for (k, _), nm in zip(pairs, knames)]
+    ).agg(_compile(qualify(sel), payload.tables).alias(vname))
+    if broadcast_dims:
+        grouped = F.broadcast(grouped)
+    cond = None
+    for (_, outer_k), nm in zip(pairs, knames):
+        c = outer_k == F.col(nm)
+        cond = c if cond is None else cond & c
+    joined = df.join(grouped, on=cond, how="left")
+    x = _compile(other, tables)
+    # ANSI empty-set semantics per AGGREGATE, not per join: a scalar
+    # subquery over zero rows yields the aggregate's empty-input value
+    # — NULL for sum/avg/min/max but 0 for count (and 0*k for
+    # count-derived expressions). The grouped join yields NULL for a
+    # missing group, so coalesce with the expression evaluated over an
+    # EMPTY relation (a zero-row aggregate job — no scan) to recover
+    # the exact ANSI value for every aggregate shape.
+    empty_default = (
+        inner.limit(0)
+        .agg(_compile(qualify(sel), payload.tables).alias(vname))
+        .first()[0]
+    )
+    v = F.col(vname)
+    if empty_default is not None:
+        v = F.coalesce(v, F.lit(empty_default))
+    lhs, rhs = (v, x) if subq_on_left else (x, v)
+    cmp = {
+        ">": lambda: lhs > rhs,
+        "<": lambda: lhs < rhs,
+        ">=": lambda: lhs >= rhs,
+        "<=": lambda: lhs <= rhs,
+        "=": lambda: lhs == rhs,
+        "!=": lambda: lhs != rhs,
+        "<>": lambda: lhs != rhs,
+    }[op]()
+    if negate:
+        cmp = ~cmp
+    return joined.where(cmp).drop(vname, *knames)
 
 
 def _exec_select(
@@ -2242,10 +2427,16 @@ def _exec_select(
                 )
         if plain_cond is not None:
             df = df.where(plain_cond)
-        for kind, neg, payload, left in corr_rewrites:
-            df = _apply_correlated(
-                df, kind, neg, payload, left, tables, broadcast_dims
-            )
+        for kind, neg, payload, detail in corr_rewrites:
+            if kind == "scalar_cmp":
+                df = _apply_correlated_scalar(
+                    df, neg, payload, detail, tables, broadcast_dims
+                )
+            else:
+                df = _apply_correlated(
+                    df, kind, neg, payload, detail, tables,
+                    broadcast_dims,
+                )
 
     # SELECT * / SELECT alias.* — expand top-level stars into concrete
     # column nodes against the (now-built) FROM relation, preserving

@@ -971,3 +971,39 @@ def ch_sql_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     return spark.read.parquet(d).orderBy("event_type")
+
+
+# TPC-H q17 as pasted CH text (round 4): the correlated SCALAR
+# subquery shape — ``l_quantity < (SELECT 0.2*avg(...) WHERE
+# correlation)`` — decorrelated by the front end into a grouped
+# derived table joined on the correlation key (plans/ch_sql.py
+# _apply_correlated_scalar). Same literals as the DataFrame-API
+# q17_small_quantity_revenue, so the two paths cross-check.
+_TPCH_Q17_SQL = """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM fastnetmon.lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem li
+    WHERE li.l_partkey = p.p_partkey
+  )
+"""
+
+
+@query(
+    "ch_sql_tpch_q17",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem
+        WHERE l_partkey = p.p_partkey
+      )
+    """,
+)
+def ch_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        _TPCH_Q17_SQL, _tables(spark, sf_dir, "lineitem", "part")
+    )

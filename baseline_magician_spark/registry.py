@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_not_in_correlated",
     "multimodal_wav_decode",
     "ch_sql_insert_select",
+    "ch_sql_tpch_q17",
     # r1-only rotation: everything whose last driver row is round 1
     "asof_join_latest_order",
     "dedup_exact_groups",

@@ -1724,3 +1724,75 @@ def test_correlated_in_cte(spark, corr_tables):
         corr_tables,
     ).collect()
     assert rows[0]["n"] == 3
+
+
+def test_correlated_scalar_subquery_q17_shape(spark, corr_tables):
+    """x CMP (SELECT agg ... WHERE k = outer.k) decorrelates into a
+    grouped derived table joined on the key."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    rows = run_ch_query(
+        "SELECT o.o_orderkey FROM orders o WHERE o.o_total < ("
+        "SELECT 100 * avg(l_qty) FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey) ORDER BY o_orderkey",
+        corr_tables,
+    ).collect()
+    # o1: avg(5,1)=3 -> 300 > 50 ✓; o3: avg 9 -> 900 > 120 ✓;
+    # o4: avg 2 -> 200 > 80 ✓; o2 has no lineitem -> NULL -> dropped
+    assert [r["o_orderkey"] for r in rows] == [1, 3, 4]
+    # subquery as the LEFT operand, and output schema stays clean
+    df = run_ch_query(
+        "SELECT o_orderkey, o_total FROM orders o WHERE ("
+        "SELECT max(l_qty) FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey) >= 5 ORDER BY o_orderkey",
+        corr_tables,
+    )
+    assert df.columns == ["o_orderkey", "o_total"]
+    assert [r["o_orderkey"] for r in df.collect()] == [1, 3]
+
+
+def test_correlated_scalar_empty_group_is_null(spark, corr_tables):
+    """A row whose correlated set is empty compares against NULL and
+    is filtered — ANSI scalar-subquery-over-empty-set semantics."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    rows = run_ch_query(
+        "SELECT o_orderkey FROM orders o WHERE ("
+        "SELECT sum(l_qty) FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey) >= 0 ORDER BY o_orderkey",
+        corr_tables,
+    ).collect()
+    assert [r["o_orderkey"] for r in rows] == [1, 3, 4]  # o2 dropped
+
+
+def test_correlated_scalar_rejects_non_aggregate(spark, corr_tables):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    with pytest.raises(ValueError, match="must select an aggregate"):
+        run_ch_query(
+            "SELECT o_orderkey FROM orders o WHERE o.o_total < ("
+            "SELECT l_qty FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey)",
+            corr_tables,
+        )
+    with pytest.raises(ValueError, match="must be equalities"):
+        run_ch_query(
+            "SELECT o_orderkey FROM orders o WHERE o.o_total < ("
+            "SELECT avg(l_qty) FROM lineitem l "
+            "WHERE l.l_orderkey > o.o_orderkey)",
+            corr_tables,
+        )
+
+
+def test_correlated_scalar_count_empty_is_zero(spark, corr_tables):
+    """count(*) over an empty correlated set is 0 (not NULL) — the
+    aggregate's empty-input value survives decorrelation."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    rows = run_ch_query(
+        "SELECT o_orderkey FROM orders o WHERE ("
+        "SELECT count(*) FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey) = 0 ORDER BY o_orderkey",
+        corr_tables,
+    ).collect()
+    assert [r["o_orderkey"] for r in rows] == [2]  # o2 has no items

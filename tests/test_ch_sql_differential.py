@@ -261,13 +261,27 @@ def _gen_correlated_query(rng: random.Random) -> str:
             "WHERE o.o_custkey = c.c_custkey "
             f"AND o.o_totalprice > {price}) GROUP BY c.c_mktsegment"
         )
-    # self-correlation with qualified refs on both sides
-    t1, t2 = rng.sample(list(_STR_VALS), 2)
+    if kind < 0.85:
+        # self-correlation with qualified refs on both sides
+        t1, t2 = rng.sample(list(_STR_VALS), 2)
+        return (
+            "SELECT e.event_type AS k, count(*) AS n FROM events e "
+            f"WHERE e.event_type = '{t1}' AND EXISTS ("
+            "SELECT * FROM events x WHERE x.user_id = e.user_id "
+            f"AND x.event_type = '{t2}') GROUP BY e.event_type"
+        )
+    # correlated SCALAR subquery (q17 family): grouped-derived-table
+    # decorrelation; order-independent aggregates only (min/max/count)
+    # so no float-summation-order effects
+    op = rng.choice(["<", ">", "<=", ">="])
+    agg = rng.choice(
+        ["max(o.o_totalprice)", "min(o.o_totalprice)", "count(*) * 50000"]
+    )
     return (
-        "SELECT e.event_type AS k, count(*) AS n FROM events e "
-        f"WHERE e.event_type = '{t1}' AND EXISTS ("
-        "SELECT * FROM events x WHERE x.user_id = e.user_id "
-        f"AND x.event_type = '{t2}') GROUP BY e.event_type"
+        "SELECT c.c_mktsegment AS k, count(*) AS n FROM customer c "
+        f"WHERE c.c_acctbal {op} ("
+        f"SELECT {agg} FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey) GROUP BY c.c_mktsegment"
     )
 
 
