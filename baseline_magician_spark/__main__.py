@@ -93,11 +93,14 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.run_sql is not None:
         from .catalog import TABLES, load_table
-        from .plans.ch_sql import run_ch_query
+        from .plans.ch_insert import run_ch_statement
 
         spark = get_spark(app_name="bms-sql")
         tables = {t: load_table(spark, args.sf_dir, t) for t in TABLES}
-        df = run_ch_query(args.run_sql, tables)
+        # statement-level routing: INSERT text takes the driver's
+        # isInsert path (VALUES block / INSERT SELECT), everything
+        # else is a SELECT-family query
+        df = run_ch_statement(args.run_sql, tables)
         for row in df.collect():
             json.dump(row.asDict(recursive=True), sys.stdout, default=str)
             sys.stdout.write("\n")

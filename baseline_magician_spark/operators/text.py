@@ -421,3 +421,79 @@ def gopher_quality_flags(text_col: Column | str) -> list[Column]:
         *[expr.alias(name) for name, expr in rules.items()],
         keep.alias("gopher_keep"),
     ]
+
+
+def dsir_importance_weights(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_col=None,
+    n_buckets: int = 512,
+    scale: int = 1_000_000,
+):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each raw
+    document by the log-likelihood ratio of its hashed token features
+    under a bag-of-features model of the TARGET distribution vs the
+    RAW distribution, with add-one smoothing.
+
+    Output: (id_col, n_feats, dsir_score_micro) where
+    ``dsir_score_micro = Σ_f round(1e6 * [ln p_t(f) - ln p_r(f)])``
+    over the document's feature occurrences.
+
+    Numerical design: the per-BUCKET log-ratio is quantized to an
+    integer (micro-nats) once — n_buckets values total — and the
+    per-document score is an INTEGER sum of those, so the result is
+    exactly reproducible across engines and partitionings (float
+    summation order never enters; the only cross-engine surface is
+    one ln() per bucket, quantized).
+
+    Plan shape (100 TB): one tokenize+hash pass over the corpus feeds
+    both the bucket table (n_buckets rows — broadcast) and the per-doc
+    sum; shuffles are the tiny bucket aggregation and one uniform
+    doc-id groupBy.
+    """
+    from ..functions.hashing import poly_hash, tokens
+
+    if target_col is None:
+        target_col = F.col("lang") == "en"
+    feats = docs.select(
+        F.col(id_col),
+        target_col.cast("int").alias("_is_t"),
+        F.explode(tokens(text_col)).alias("_tok"),
+    ).select(
+        id_col, "_is_t", (poly_hash("_tok") % n_buckets).alias("_b")
+    )
+    buckets = feats.groupBy("_b").agg(
+        F.sum("_is_t").alias("_ct_t"),
+        F.count(F.lit(1)).alias("_ct_r"),
+    )
+    totals = buckets.agg(
+        F.sum("_ct_t").alias("_n_t"), F.sum("_ct_r").alias("_n_r")
+    )
+    scores = buckets.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        F.round(
+            (
+                F.log(
+                    (F.col("_ct_t") + 1).cast("double")
+                    / (F.col("_n_t") + n_buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("_ct_r") + 1).cast("double")
+                    / (F.col("_n_r") + n_buckets).cast("double")
+                )
+            )
+            * scale
+        )
+        .cast("long")
+        .alias("_s"),
+    )
+    return (
+        feats.join(F.broadcast(scores), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("_s").alias("dsir_score_micro"),
+        )
+    )

@@ -863,3 +863,55 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_for_compute(spark, sf_dir, "documents")
     return docs.select("doc_id", *gopher_quality_flags("text"))
+
+
+# ---------------------------------------------------------------------------
+# round-4 addition: DSIR importance weights (Xie et al. 2023) — the
+# target-distribution data-selection scorer
+
+DSIR_BUCKETS = 512
+DSIR_SCALE = 1_000_000
+
+
+def _dsir_oracle() -> str:
+    h = poly_hash_duckdb("tok")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(lang = 'en' AS INT) AS is_t,
+             ({h}) % {DSIR_BUCKETS} AS b
+      FROM (SELECT doc_id, lang, unnest({_TOK}) AS tok FROM documents)
+    ),
+    buckets AS (
+      SELECT b, sum(is_t) AS ct_t, count(*) AS ct_r
+      FROM toks GROUP BY b
+    ),
+    tot AS (SELECT sum(ct_t) AS n_t, sum(ct_r) AS n_r FROM buckets),
+    scores AS (
+      SELECT b,
+             CAST(round((ln(CAST(ct_t + 1 AS DOUBLE)
+                            / CAST(n_t + {DSIR_BUCKETS} AS DOUBLE))
+                       - ln(CAST(ct_r + 1 AS DOUBLE)
+                            / CAST(n_r + {DSIR_BUCKETS} AS DOUBLE)))
+                       * {DSIR_SCALE}) AS BIGINT) AS s
+      FROM buckets CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_feats,
+           CAST(sum(s) AS BIGINT) AS dsir_score_micro
+    FROM toks JOIN scores USING (b)
+    GROUP BY doc_id
+    """
+
+
+@query("text_dsir_importance", _dsir_oracle())
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: hashed-feature log-likelihood ratio of the
+    en-language target slice vs the raw corpus, integer micro-nat
+    scores (see operators/text.dsir_importance_weights for the
+    cross-engine numerical design)."""
+    from ..operators.text import dsir_importance_weights
+
+    docs = load_for_compute(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, "text", "doc_id",
+        n_buckets=DSIR_BUCKETS, scale=DSIR_SCALE,
+    )

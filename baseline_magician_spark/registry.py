@@ -77,6 +77,11 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_wav_decode",
     "ch_sql_insert_select",
     "ch_sql_tpch_q17",
+    "text_dsir_importance",
+    # regression guard: connected-components convergence changed this
+    # round; the capstone composition rides that code path (its dedup
+    # siblings are already in the r1-only rotation below)
+    "pipeline_training_export",
     # r1-only rotation: everything whose last driver row is round 1
     "asof_join_latest_order",
     "dedup_exact_groups",
