@@ -810,21 +810,49 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         if form == "subdf":
             # IN (SELECT ...): CH materializes the IN set in memory
             # (the max_rows_in_set guard bounds it); collecting the
-            # subquery's first column mirrors that set build, and the
-            # MAX_ROWS_IN_SET cap plays the guard's role here
+            # subquery's columns mirrors that set build, and the
+            # MAX_ROWS_IN_SET cap plays the guard's role here. A
+            # row-value left side — (a, b) IN (SELECT x, y ...) —
+            # matches element-wise against each collected row.
+            lt = _tuple_parts(node.args[0])
+            width = 1 if lt is None else len(lt)
             if node.memo is None:
                 sub = _plan_subq(node.value[2])
-                rows = sub.select(sub.columns[0]).limit(
-                    MAX_ROWS_IN_SET + 1
-                ).collect()
-                if len(rows) > MAX_ROWS_IN_SET:
+                if len(sub.columns) != width:
                     raise ValueError(
-                        "IN (SELECT ...) set exceeds max_rows_in_set="
-                        f"{MAX_ROWS_IN_SET}"
+                        f"IN subquery selects {len(sub.columns)} "
+                        f"columns for a {width}-wide left side"
                     )
-                node.memo = [r[0] for r in rows]
+                cap = MAX_ROWS_IN_SET if lt is None else 1000
+                rows = sub.limit(cap + 1).collect()
+                if len(rows) > cap:
+                    raise ValueError(
+                        "IN (SELECT ...) set exceeds "
+                        + (
+                            f"max_rows_in_set={MAX_ROWS_IN_SET}"
+                            if lt is None
+                            else "the 1000-row bound for row-value "
+                            "sets (each row expands to an equality "
+                            "conjunction in the plan — rewrite as a "
+                            "correlated IN / semi-join for more)"
+                        )
+                    )
+                node.memo = (
+                    [r[0] for r in rows]
+                    if lt is None
+                    else [tuple(r) for r in rows]
+                )
             vals = node.memo
-            cond = left.isin(vals) if vals else F.lit(False)
+            if lt is not None:
+                lcols = [_compile(x, env) for x in lt]
+                cond = F.lit(False)
+                for row in vals:
+                    eq = F.lit(True)
+                    for c, v in zip(lcols, row):
+                        eq = eq & (c == F.lit(v))
+                    cond = cond | eq
+            else:
+                cond = left.isin(vals) if vals else F.lit(False)
             return ~cond if negate else cond
         if form == "list":
             items = node.args[1:]

@@ -335,6 +335,18 @@ def main() -> None:
             shutil.rmtree(src, ignore_errors=True)
         return len(cells)  # bounded by depth*width at every rung
 
+    def dsir(k: int) -> int:
+        """DSIR importance weights: one tokenize+hash pass, a 512-row
+        bucket aggregate, broadcast score join, one doc-id groupBy —
+        slope should track token_scan (linear)."""
+        from baseline_magician_spark.operators.text import (
+            dsir_importance_weights,
+        )
+
+        docs = replicate(docs0, k, ["doc_id"], salt_text=True)
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        return dsir_importance_weights(docs, "text", "doc_id").count()
+
     ops = {
         "q1_agg": q1_agg,
         "minhash_lsh_pairs": minhash,
@@ -351,6 +363,7 @@ def main() -> None:
         "rag_chunking": rag_chunks,
         "streaming_sessionize": stream_sessionize,
         "streaming_cms_merge": stream_cms_merge,
+        "dsir_importance": dsir,
     }
 
     times: dict[str, dict[int, float]] = {name: {} for name in ops}

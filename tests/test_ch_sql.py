@@ -1796,3 +1796,32 @@ def test_correlated_scalar_count_empty_is_zero(spark, corr_tables):
         corr_tables,
     ).collect()
     assert [r["o_orderkey"] for r in rows] == [2]  # o2 has no items
+
+
+def test_row_value_in_subquery(spark, corr_tables):
+    """(a, b) IN (SELECT x, y ...) matches element-wise against the
+    materialized row set; NOT form and arity checking included."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    rows = run_ch_query(
+        "SELECT o_orderkey FROM orders o WHERE "
+        "(o.o_custkey, o.o_prio) IN "
+        "(SELECT c_custkey, '1-URGENT' FROM customer) "
+        "ORDER BY o_orderkey",
+        corr_tables,
+    ).collect()
+    assert [r["o_orderkey"] for r in rows] == [1, 3]
+    rows = run_ch_query(
+        "SELECT o_orderkey FROM orders o WHERE "
+        "(o.o_custkey, o.o_prio) NOT IN "
+        "(SELECT c_custkey, '1-URGENT' FROM customer) "
+        "ORDER BY o_orderkey",
+        corr_tables,
+    ).collect()
+    assert [r["o_orderkey"] for r in rows] == [2, 4]
+    with pytest.raises(ValueError, match="columns for a 2-wide"):
+        run_ch_query(
+            "SELECT o_orderkey FROM orders o WHERE "
+            "(o.o_custkey, o.o_prio) IN (SELECT c_custkey FROM customer)",
+            corr_tables,
+        )

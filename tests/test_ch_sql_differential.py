@@ -69,7 +69,10 @@ def _where(rng: random.Random) -> str:
             f"event_type {neg}IN ({', '.join(repr(v) for v in vals)})"
         )
     elif rng.random() < 0.25:
-        # tuple/row-value IN — both engines parse the same text
+        # tuple/row-value IN over literal pairs — both engines parse
+        # the same text (the SUBQUERY-set form is CH-only spelling:
+        # DuckDB wants a single struct column there, covered by the
+        # paired-text track below)
         m = rng.randint(2, 4)
         pairs = ", ".join(
             f"({rng.randint(0, m - 1)}, '{rng.choice(_STR_VALS)}')"
@@ -420,14 +423,34 @@ def _gen_with_fill_pair(rng: random.Random) -> tuple[str, str]:
     return ch, duck
 
 
-N_PAIRED = 30
+def _gen_tuple_in_subquery_pair(rng: random.Random) -> tuple[str, str]:
+    # CH: (a, b) IN (SELECT x, y ...) — multi-column row set;
+    # DuckDB wants the subquery to produce ONE struct column
+    m = rng.randint(2, 4)
+    neg = "NOT " if rng.random() < 0.4 else ""
+    lim = rng.randint(100, 2000)
+    w = _where(rng)
+    return (
+        f"SELECT user_id % 3 AS k, count(*) AS n FROM events{w} "
+        f"{'AND' if w else 'WHERE'} (user_id % {m}, event_type) {neg}IN "
+        f"(SELECT DISTINCT user_id % {m}, event_type FROM events "
+        f"WHERE event_id < {lim}) GROUP BY user_id % 3 ORDER BY k",
+        f"SELECT user_id % 3 AS k, count(*) AS n FROM events{w} "
+        f"{'AND' if w else 'WHERE'} (user_id % {m}, event_type) {neg}IN "
+        f"(SELECT DISTINCT (user_id % {m}, event_type) FROM events "
+        f"WHERE event_id < {lim}) GROUP BY user_id % 3 ORDER BY k",
+    )
+
+
+N_PAIRED = 36
 
 
 def _gen_pair(rng: random.Random) -> tuple[str, str]:
     return rng.choice(
         [_gen_scalar_with_pair, _gen_star_except_pair,
          _gen_star_replace_pair, _gen_star_apply_pair,
-         _gen_array_index_pair, _gen_with_fill_pair]
+         _gen_array_index_pair, _gen_with_fill_pair,
+         _gen_tuple_in_subquery_pair]
     )(rng)
 
 

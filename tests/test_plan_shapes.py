@@ -342,3 +342,15 @@ def test_simhash_band_join_not_cartesian(spark, queries):
     # candidates come from a (band, key) equi-join
     assert "SortMergeJoin [band" in final or "BroadcastHashJoin [band" in final or \
            "ShuffledHashJoin [band" in final or "Join" in final
+
+
+def test_dsir_bucket_table_broadcast_single_doc_shuffle(spark, queries):
+    """DSIR: the bucket score table (512 rows) must broadcast onto the
+    exploded features — no shuffle join on the corpus side — and the
+    corpus-sized shuffles are the tiny bucket aggregation plus the one
+    uniform doc-id groupBy."""
+    plan = plan_of(
+        queries["text_dsir_importance"](spark, SF_ORACLE), execute=True
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
