@@ -6,6 +6,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import SF_ORACLE
+
 
 @pytest.fixture(scope="module")
 def texts(spark):
@@ -172,3 +174,29 @@ def test_chunking_invariants_property(spark):
                 c.chunk_text[overlap:] for c in cs[1:]
             )
             assert rebuilt == text, (doc_id, size, overlap)
+
+
+def test_dsir_target_docs_score_higher(spark):
+    """DSIR sanity: documents FROM the target slice must average a
+    higher importance weight than documents outside it — the defining
+    property of the log-likelihood-ratio scorer."""
+    from baseline_magician_spark.catalog import load_table
+    from baseline_magician_spark.operators.text import (
+        dsir_importance_weights,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    scores = dsir_importance_weights(docs, "text", "doc_id")
+    joined = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in joined.groupBy(
+            (F.col("lang") == "en").alias("is_en")
+        )
+        .agg(F.avg("dsir_score_micro").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False], means
+    # and weights are integers (micro-nats), so exactly reproducible
+    assert dict(scores.dtypes)["dsir_score_micro"] == "bigint"
