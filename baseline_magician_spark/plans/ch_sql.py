@@ -1087,6 +1087,33 @@ def run_ch_query(
             tables = {**tables, **{e.name: e.df for e in externals}}
 
     p = _Parser(_tokenize(sql), tables, broadcast_dims)
+    # EXPLAIN [AST|SYNTAX|PLAN|PIPELINE|ESTIMATE] SELECT ...: the CH
+    # introspection statement — one text row per plan line, like the
+    # server's output shape. PLAN/ESTIMATE show the optimized logical
+    # plan, PIPELINE the physical plan (Spark's execution pipeline),
+    # SYNTAX the parsed query's formatted logical tree, AST likewise
+    # (this engine's AST lives in Catalyst after compilation).
+    if p.peek_kw() == "explain":
+        p.next()
+        mode = "plan"
+        if p.peek_kw() in ("ast", "syntax", "plan", "pipeline", "estimate"):
+            mode = p.next().lower()
+        rest = run_ch_query(
+            " ".join(p.toks[p.i :]), tables,
+            broadcast_dims=broadcast_dims,
+        )
+        qe = rest._jdf.queryExecution()
+        if mode == "pipeline":
+            text = qe.executedPlan().toString()
+        elif mode in ("ast", "syntax"):
+            text = qe.analyzed().toString()
+        else:
+            text = qe.optimizedPlan().toString()
+        sess = rest.sparkSession
+        return sess.createDataFrame(
+            [(ln,) for ln in text.rstrip("\n").split("\n")],
+            "explain string",
+        )
     # WITH clause, both CH forms (mixable in one list):
     # - CTE:          WITH name AS (SELECT ...)   [ANSI]
     # - scalar alias: WITH expr AS name           [classic ClickHouse]
@@ -1974,7 +2001,29 @@ def _exec_select(
         name = p.next()
         if p.peek() == ".":
             p.next()
-            name = p.next()  # db qualifier dropped
+            name = p.next()  # db qualifier dropped (incl. system.*)
+        if name.lower() == "numbers" and p.peek() == "(":
+            # CH numbers(N) / numbers(offset, N) table function: the
+            # rows-generator idiom (column `number`, 0-based). Maps to
+            # spark.range — a parallel range source, no data movement.
+            p.next()
+            a = int(p.next())
+            b: int | None = None
+            if p.peek() == ",":
+                p.next()
+                b = int(p.next())
+            p.expect(")")
+            from pyspark.sql import SparkSession as _SS
+
+            sess = (
+                next(iter(tables.values())).sparkSession
+                if tables
+                else _SS.getActiveSession()
+            )
+            if sess is None:
+                raise ValueError("numbers() needs an active session")
+            rng = sess.range(a, a + b) if b is not None else sess.range(a)
+            return rng.toDF("number"), _opt_alias() or "numbers"
         return name, _opt_alias()
 
     table, table_alias = _table_ref()

@@ -1007,3 +1007,107 @@ def ch_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(
         _TPCH_Q17_SQL, _tables(spark, sf_dir, "lineitem", "part")
     )
+
+
+# TPC-H q3 as pasted CH text: three-way join, computed group key
+# (toDate), ORDER + LIMIT fusing into TakeOrderedAndProject.
+_TPCH_Q3_SQL = """
+SELECT l.l_orderkey AS l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       toDate(o.o_orderdate) AS order_date,
+       o.o_orderpriority AS o_orderpriority
+FROM fastnetmon.lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < toDateTime('1998-01-01 00:00:00')
+  AND l.l_shipdate > toDateTime('1996-06-30 00:00:00')
+GROUP BY l.l_orderkey, toDate(o.o_orderdate), o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query(
+    "ch_sql_tpch_q3",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def ch_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        _TPCH_Q3_SQL,
+        _tables(spark, sf_dir, "lineitem", "orders", "customer"),
+    )
+
+
+# TPC-H q12 as pasted CH text with CH idioms: countIf conditional
+# aggregates and addDays date arithmetic.
+_TPCH_Q12_SQL = """
+SELECT l.l_returnflag AS l_returnflag,
+       countIf(o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS high_line_count,
+       countIf(o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         AS low_line_count
+FROM fastnetmon.lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > addDays(o.o_orderdate, 60)
+  AND l.l_shipdate < toDateTime('1997-01-01 00:00:00')
+GROUP BY l.l_returnflag
+"""
+
+
+@query(
+    "ch_sql_tpch_q12",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def ch_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        _TPCH_Q12_SQL, _tables(spark, sf_dir, "lineitem", "orders")
+    )
+
+
+# CH numbers() table function + EXPLAIN are exercised in
+# tests/test_ch_sql.py (EXPLAIN output is engine-specific text — no
+# cross-engine oracle is meaningful for it).
+_NUMBERS_SQL = """
+SELECT number % 7 AS k, count(*) AS n, sum(number) AS s
+FROM numbers(1000)
+GROUP BY number % 7
+ORDER BY k
+"""
+
+
+@query(
+    "ch_sql_numbers_rollup",
+    """
+    SELECT v % 7 AS k, count(*) AS n, sum(v) AS s
+    FROM (SELECT unnest(range(0, 1000)) AS v)
+    GROUP BY v % 7
+    ORDER BY k
+    """,
+)
+def ch_sql_numbers_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_NUMBERS_SQL, _tables(spark, sf_dir, "events"))

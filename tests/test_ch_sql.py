@@ -1825,3 +1825,44 @@ def test_row_value_in_subquery(spark, corr_tables):
             "(o.o_custkey, o.o_prio) IN (SELECT c_custkey FROM customer)",
             corr_tables,
         )
+
+
+def test_numbers_table_function(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    rows = run_ch_query(
+        "SELECT count(*) AS n, sum(number) AS s FROM numbers(100)", {}
+    ).collect()
+    assert (rows[0]["n"], rows[0]["s"]) == (100, 4950)
+    rows = run_ch_query(
+        "SELECT min(number) AS lo, max(number) AS hi "
+        "FROM numbers(10, 5)",
+        {},
+    ).collect()
+    assert (rows[0]["lo"], rows[0]["hi"]) == (10, 14)
+    # joins against a real table, aliased
+    t = spark.createDataFrame([(0,), (1,), (2,)], "k long")
+    rows = run_ch_query(
+        "SELECT count(*) AS n FROM t JOIN numbers(2) nn "
+        "ON t.k = nn.number",
+        {"t": t},
+    ).collect()
+    assert rows[0]["n"] == 2
+
+
+def test_explain_statement(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, "a"), (2, "b")], "id long, g string")
+    out = run_ch_query(
+        "EXPLAIN SELECT g, count(*) AS n FROM t WHERE id > 0 GROUP BY g",
+        {"t": t},
+    )
+    assert out.columns == ["explain"]
+    text = "\n".join(r["explain"] for r in out.collect())
+    assert "Aggregate" in text and "Filter" in text
+    out = run_ch_query(
+        "EXPLAIN PIPELINE SELECT count(*) AS n FROM t", {"t": t}
+    )
+    text = "\n".join(r["explain"] for r in out.collect())
+    assert "HashAggregate" in text
