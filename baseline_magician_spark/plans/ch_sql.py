@@ -647,11 +647,17 @@ def _contains_agg(node: _Node) -> bool:
     return False
 
 
+def _contains_scalar_subq(node: _Node) -> bool:
+    if node.kind == "scalar_subq":
+        return True
+    return any(_contains_scalar_subq(a) for a in node.args)
+
+
 def _is_const(node: _Node) -> bool:
     """True when the expression references no column (a literal or
     pure-function-of-literals select item, e.g. ``'total' AS tier`` in
     an aggregating UNION branch)."""
-    if node.kind in ("col", "scalar_subq", "star", "window"):
+    if node.kind in ("col", "scalar_subq", "star", "window", "rawcol"):
         return False
     return all(_is_const(a) for a in node.args)
 
@@ -709,6 +715,10 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         return F.lit(node.value)
     if node.kind == "str":
         return F.lit(node.value)
+    if node.kind == "rawcol":
+        # a pre-built Column spliced into the tree (the decorrelated
+        # scalar-subquery value attached by the SELECT-item rewriter)
+        return node.value
     if node.kind == "col":
         name = str(node.value)
         if "." not in name:
@@ -1697,26 +1707,27 @@ def _apply_correlated(
 _SCALAR_SEQ = [0]  # per-application suffix for hidden join columns
 
 
-def _apply_correlated_scalar(
+def _attach_scalar_join(
     df: DataFrame,
-    negate: bool,
     payload: _Subq,
-    detail: tuple,
     tables: dict[str, DataFrame],
     broadcast_dims: bool,
-) -> DataFrame:
-    """Rewrite ``x CMP (SELECT agg(...) FROM t WHERE k = outer.k
-    [AND filters])`` — the TPC-H q17-family shape — as a grouped
-    derived table joined back on the correlation keys.
+) -> tuple[DataFrame, Column, list[str]]:
+    """Decorrelate ``(SELECT agg(...) FROM t WHERE k = outer.k [AND
+    filters])`` as a grouped derived table LEFT-joined onto ``df`` on
+    the correlation keys. Returns ``(joined_df, value_col,
+    hidden_col_names)`` — the caller uses ``value_col`` wherever the
+    subquery's scalar appeared (a WHERE comparison or a SELECT item)
+    and drops/ignores the hidden columns.
 
     The correlated conjuncts must be EQUALITIES (they become the
     GROUP BY keys); non-correlated conjuncts filter the inner relation
-    below the aggregation. ANSI empty-set semantics hold for free: a
-    left row with no matching group left-joins a NULL aggregate, the
-    comparison goes NULL, and WHERE drops the row — exactly what a
-    scalar subquery over an empty set (NULL) compares to. One
-    aggregation + one keyed join instead of a per-row subquery."""
-    op, other, subq_on_left = detail
+    below the aggregation. ANSI empty-set semantics hold per
+    AGGREGATE: a missing group left-joins NULL, which is what
+    sum/avg/min/max yield over zero rows, while count-family
+    expressions recover their empty-input value (0, or 0-derived) by
+    coalescing with the aggregate evaluated over an empty relation.
+    One aggregation + one keyed join instead of a per-row subquery."""
     sp = _Parser(list(payload.toks), payload.tables, payload.broadcast_dims)
     sp.with_aliases = dict(payload.with_aliases)
     sp.expect("select")
@@ -1837,14 +1848,6 @@ def _apply_correlated_scalar(
         c = outer_k == F.col(nm)
         cond = c if cond is None else cond & c
     joined = df.join(grouped, on=cond, how="left")
-    x = _compile(other, tables)
-    # ANSI empty-set semantics per AGGREGATE, not per join: a scalar
-    # subquery over zero rows yields the aggregate's empty-input value
-    # — NULL for sum/avg/min/max but 0 for count (and 0*k for
-    # count-derived expressions). The grouped join yields NULL for a
-    # missing group, so coalesce with the expression evaluated over an
-    # EMPTY relation (a zero-row aggregate job — no scan) to recover
-    # the exact ANSI value for every aggregate shape.
     empty_default = (
         inner.limit(0)
         .agg(_compile(qualify(sel), payload.tables).alias(vname))
@@ -1853,6 +1856,24 @@ def _apply_correlated_scalar(
     v = F.col(vname)
     if empty_default is not None:
         v = F.coalesce(v, F.lit(empty_default))
+    return joined, v, [vname, *knames]
+
+
+def _apply_correlated_scalar(
+    df: DataFrame,
+    negate: bool,
+    payload: _Subq,
+    detail: tuple,
+    tables: dict[str, DataFrame],
+    broadcast_dims: bool,
+) -> DataFrame:
+    """WHERE-conjunct form: ``x CMP (SELECT agg ... correlated)``
+    (TPC-H q17 shape) — attach the decorrelated value and filter."""
+    op, other, subq_on_left = detail
+    joined, v, hidden = _attach_scalar_join(
+        df, payload, tables, broadcast_dims
+    )
+    x = _compile(other, tables)
     lhs, rhs = (v, x) if subq_on_left else (x, v)
     cmp = {
         ">": lambda: lhs > rhs,
@@ -1865,7 +1886,7 @@ def _apply_correlated_scalar(
     }[op]()
     if negate:
         cmp = ~cmp
-    return joined.where(cmp).drop(vname, *knames)
+    return joined.where(cmp).drop(*hidden)
 
 
 def _exec_select(
@@ -2609,6 +2630,58 @@ def _exec_select(
     if order_by_all:
         # every output column, left to right, ascending
         order_nodes = [(_Node("col", nm), False, None) for nm in names]
+    if not any(_contains_agg(n) for n in select_nodes):
+        # Correlated scalar subqueries in the SELECT list — the common
+        # analyst shape ``SELECT k, (SELECT count(*) FROM d WHERE
+        # d.k = t.k) AS n`` — decorrelate exactly like the WHERE form:
+        # each one LEFT-joins its grouped derived table onto the
+        # relation and splices the value column back into the item's
+        # expression tree (a rawcol node), so arithmetic around the
+        # subquery keeps working. Inner-first resolution as
+        # everywhere: standalone planning wins when it analyzes.
+        # (In AGGREGATING selects a correlated scalar item remains
+        # unsupported and surfaces the analysis error.)
+        _sel_aliases = (
+            {table_alias or table} if isinstance(table, str)
+            else {table_alias}
+        )
+        _sel_aliases |= {
+            jalias or jname
+            for _, jname, jalias, _ in joins
+            if isinstance(jname, str) or jalias
+        }
+        _sel_aliases.discard(None)
+        _sel_cols = set(df.columns)
+        _has_subq = any(
+            _contains_scalar_subq(n) for n in select_nodes
+        )
+        if _has_subq:
+            from pyspark.errors import AnalysisException
+
+            def _rw(n: _Node) -> _Node:
+                nonlocal df
+                if n.kind == "scalar_subq":
+                    payload = n.value
+                    if not _probably_correlated(
+                        payload, _sel_aliases, _sel_cols
+                    ):
+                        try:
+                            _compile(n, tables)  # standalone + memo
+                            return n
+                        except AnalysisException:
+                            pass
+                    df, v, _hidden = _attach_scalar_join(
+                        df, payload, tables, broadcast_dims
+                    )
+                    return _Node("rawcol", v)
+                if n.args:
+                    return _Node(
+                        n.kind, n.value,
+                        tuple(_rw(a) for a in n.args), n.memo,
+                    )
+                return n
+
+            select_nodes = [_rw(n) for n in select_nodes]
     if any(_contains_agg(n) for n in select_nodes):
         agg_cols = [
             _compile(n, tables).alias(names[i])

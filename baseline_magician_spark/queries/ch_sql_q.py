@@ -1111,3 +1111,40 @@ ORDER BY k
 )
 def ch_sql_numbers_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_NUMBERS_SQL, _tables(spark, sf_dir, "events"))
+
+
+# SELECT-list correlated scalar (round 4): the per-entity lookup shape
+# every analyst writes — decorrelated to one grouped derived table +
+# LEFT join (plans/ch_sql.py _attach_scalar_join), count's empty-set
+# value recovered exactly.
+_SEL_CORR_SQL = """
+SELECT c.c_mktsegment AS segment,
+       c.c_custkey AS custkey,
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+       (SELECT max(o.o_orderkey) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS last_order
+FROM fastnetmon.customer c
+ORDER BY custkey
+LIMIT 500
+"""
+
+
+@query(
+    "ch_sql_select_correlated",
+    """
+    SELECT c.c_mktsegment AS segment,
+           c.c_custkey AS custkey,
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           (SELECT max(o.o_orderkey) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS last_order
+    FROM customer c
+    ORDER BY custkey
+    LIMIT 500
+    """,
+)
+def ch_sql_select_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        _SEL_CORR_SQL, _tables(spark, sf_dir, "customer", "orders")
+    )

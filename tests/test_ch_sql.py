@@ -1866,3 +1866,25 @@ def test_explain_statement(spark):
     )
     text = "\n".join(r["explain"] for r in out.collect())
     assert "HashAggregate" in text
+
+
+def test_select_list_correlated_scalar(spark, corr_tables):
+    """Correlated scalar subqueries as SELECT items: decorrelated to a
+    left-joined grouped derived table, spliced into the item's
+    expression tree, per-aggregate ANSI empty-set values."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    rows = run_ch_query(
+        "SELECT c.c_name AS name, "
+        "(SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        " AS n_orders, "
+        "10 * (SELECT max(o_total) FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey) AS top_v "
+        "FROM customer c ORDER BY name",
+        corr_tables,
+    ).collect()
+    assert [(r["name"], r["n_orders"], r["top_v"]) for r in rows] == [
+        ("A", 2, 2000.0),
+        ("B", 1, 1200.0),
+        ("C", 0, None),  # count empty -> 0, max empty -> NULL
+    ]

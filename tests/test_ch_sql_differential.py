@@ -264,7 +264,20 @@ def _gen_correlated_query(rng: random.Random) -> str:
             "WHERE o.o_custkey = c.c_custkey "
             f"AND o.o_totalprice > {price}) GROUP BY c.c_mktsegment"
         )
-    if kind < 0.85:
+    if kind < 0.8:
+        # SELECT-list correlated scalar: per-row decorrelated count/
+        # min/max over the correlated orders slice (integers only)
+        agg = rng.choice(
+            ["count(*)", "min(o.o_orderkey)", "max(o.o_orderkey)"]
+        )
+        price = rng.randint(50, 300) * 1000
+        return (
+            "SELECT c.c_custkey AS k, "
+            f"(SELECT {agg} FROM orders o WHERE o.o_custkey = "
+            f"c.c_custkey AND o.o_totalprice < {price}) AS v "
+            "FROM customer c"
+        )
+    if kind < 0.9:
         # self-correlation with qualified refs on both sides
         t1, t2 = rng.sample(list(_STR_VALS), 2)
         return (
