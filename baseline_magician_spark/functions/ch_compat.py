@@ -103,6 +103,16 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "any": F.first,
     "uniq": F.approx_count_distinct,
     "uniqExact": F.countDistinct,
+    # ANSI DISTINCT-qualified aggregates — the __distinct suffix is
+    # attached by the SQL front end's parser (count(DISTINCT x) etc.);
+    # avg(DISTINCT x) composes from the two distinct primitives since
+    # Spark ships no avg_distinct builtin
+    "count__distinct": F.count_distinct,
+    "sum__distinct": F.sum_distinct,
+    "avg__distinct": lambda c: F.sum_distinct(_as_col(c))
+    / F.count_distinct(_as_col(c)),
+    "min__distinct": F.min,  # DISTINCT is a no-op for min/max
+    "max__distinct": F.max,
     "quantile": lambda c, q=0.5: F.percentile_approx(c, q),
     # conditionals (https://clickhouse.com/docs/sql-reference/functions)
     "if": lambda c, a, b: F.when(c, a).otherwise(b),

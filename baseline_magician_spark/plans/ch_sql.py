@@ -81,6 +81,9 @@ _AGGS = {
     "grouparray", "groupuniqarray", "argmax", "argmin",
     # grouped-agg pandas UDAFs (functions/udaf.py, SURVEY §2.10)
     "weightedavg", "geometricmean",
+    # ANSI DISTINCT-qualified aggregates (count(DISTINCT x), ...)
+    "count__distinct", "sum__distinct", "avg__distinct",
+    "min__distinct", "max__distinct",
 }
 
 # CH parametric-aggregate families — ``fn(params)(args)`` spelling,
@@ -577,13 +580,25 @@ class _Parser:
         if self.peek() == "(":
             self.next()
             args = []
+            # ANSI DISTINCT-qualified aggregate: count(DISTINCT x),
+            # sum(DISTINCT x), ... — the fn name gets a __distinct
+            # suffix resolved by dedicated shims (CH spells these
+            # uniqExact/sumDistinct; both spellings work here)
+            distinct_arg = False
+            if (
+                self.peek_kw() == "distinct"
+                and self.toks[self.i + 1 : self.i + 2] != [")"]
+            ):
+                self.next()
+                distinct_arg = True
             if self.peek() != ")":
                 args.append(self._parse_lambda_or_expr())
                 while self.peek() == ",":
                     self.next()
                     args.append(self._parse_lambda_or_expr())
             self.expect(")")
-            call = _Node("call", t, tuple(args))
+            fname = f"{t}__distinct" if distinct_arg else t
+            call = _Node("call", fname, tuple(args))
             if t.lower() in _PARAMETRIC_AGGS and self.peek() == "(":
                 # parametric aggregate fn(levels)(args): the first list
                 # holds the quantile levels, the second the aggregated
@@ -1055,6 +1070,7 @@ _RESERVED = {
     "global", "between", "like", "is", "null",
     "case", "when", "then", "else", "end",
     "sample", "asof", "with", "interpolate", "any", "all",
+    "qualify",
 }
 
 
@@ -2311,6 +2327,15 @@ def _exec_select(
         p.next()
         having_node = p.parse_expr()
 
+    # QUALIFY (CH 23.x+/DuckDB): filter on window-function results
+    # over the SELECT output — the subquery-free top-n-per-group
+    # idiom. Resolved against the OUTPUT columns (reference select
+    # items by alias).
+    qualify_node = None
+    if p.peek_kw() == "qualify":
+        p.next()
+        qualify_node = p.parse_expr()
+
     order_nodes: list[tuple[_Node, bool, bool | None]] = []
     # ORDER BY x WITH FILL [FROM a] [TO b] [STEP s] — gap-fill the
     # ordered result over an integer spine; (sort-item index, from, to,
@@ -2842,6 +2867,43 @@ def _exec_select(
     else:
         if having_node is not None:
             raise ValueError("HAVING requires an aggregating SELECT")
+        if qualify_node is not None:
+            # non-aggregating QUALIFY runs BEFORE the projection
+            # (DuckDB's logical order: windows see source columns too);
+            # select aliases substitute their expressions
+            by_name_q = dict(zip(names, select_nodes))
+
+            def _rsq(n: _Node) -> _Node:
+                if n.kind == "col" and str(n.value) in by_name_q:
+                    return by_name_q[str(n.value)]
+                if n.kind == "window":
+                    call, part, order, frame = n.value
+                    return _Node(
+                        "window",
+                        (
+                            _rsq(call),
+                            tuple(_rsq(x) for x in part),
+                            tuple(
+                                (_rsq(on), d, nf) for on, d, nf in order
+                            ),
+                            frame,
+                        ),
+                    )
+                if n.args:
+                    return _Node(
+                        n.kind, n.value,
+                        tuple(_rsq(a) for a in n.args), n.memo,
+                    )
+                return n
+
+            df = (
+                df.withColumn(
+                    "_qualify", _compile(_rsq(qualify_node), tables)
+                )
+                .where(F.col("_qualify"))
+                .drop("_qualify")
+            )
+            qualify_node = None  # consumed pre-projection
         out = df.select(
             *[_compile(n, tables).alias(names[i]) for i, n in enumerate(select_nodes)]
         )
@@ -2850,6 +2912,18 @@ def _exec_select(
         # SELECT DISTINCT: dedup over the full select list (one hash
         # shuffle on all output columns)
         out = out.dropDuplicates()
+
+    if qualify_node is not None:
+        # window predicates cannot live in a WHERE clause directly —
+        # compute the boolean as a column (the window evaluates over
+        # the current output frame), filter, drop
+        out = (
+            out.withColumn(
+                "_qualify", _compile(qualify_node, tables)
+            )
+            .where(F.col("_qualify"))
+            .drop("_qualify")
+        )
 
     if order_nodes:
         # ORDER BY resolves against the output: a bare column naming an

@@ -1148,3 +1148,28 @@ def ch_sql_select_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(
         _SEL_CORR_SQL, _tables(spark, sf_dir, "customer", "orders")
     )
+
+
+# QUALIFY + ANSI DISTINCT-qualified aggregates (round 4): the
+# subquery-free top-n-per-group idiom over an aggregated output.
+_QUALIFY_SQL = """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS du
+FROM fastnetmon.events
+GROUP BY event_type
+QUALIFY row_number() OVER (ORDER BY n DESC, event_type) <= 3
+ORDER BY event_type
+"""
+
+
+@query(
+    "ch_sql_qualify_topn",
+    """
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS du
+    FROM events
+    GROUP BY event_type
+    QUALIFY row_number() OVER (ORDER BY n DESC, event_type) <= 3
+    ORDER BY event_type
+    """,
+)
+def ch_sql_qualify_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_QUALIFY_SQL, _tables(spark, sf_dir, "events"))

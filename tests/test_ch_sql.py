@@ -1888,3 +1888,47 @@ def test_select_list_correlated_scalar(spark, corr_tables):
         ("B", 1, 1200.0),
         ("C", 0, None),  # count empty -> 0, max empty -> NULL
     ]
+
+
+def test_distinct_qualified_aggregates(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (3, "b")], "uid long, g string"
+    )
+    rows = run_ch_query(
+        "SELECT g, count(DISTINCT uid) AS du, sum(DISTINCT uid) AS su "
+        "FROM t GROUP BY g ORDER BY g",
+        {"t": t},
+    ).collect()
+    assert [(r["g"], r["du"], r["su"]) for r in rows] == [
+        ("a", 2, 3),
+        ("b", 1, 3),
+    ]
+    # avg(DISTINCT) composes from the two distinct primitives
+    rows = run_ch_query(
+        "SELECT avg(DISTINCT uid) AS au FROM t", {"t": t}
+    ).collect()
+    assert rows[0]["au"] == 2.0
+
+
+def test_qualify_clause(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 6.0), (3, "b", 8.0), (4, "b", 7.0)],
+        "uid long, g string, v double",
+    )
+    rows = run_ch_query(
+        "SELECT uid, g FROM t QUALIFY row_number() OVER ("
+        "PARTITION BY g ORDER BY v DESC, uid) = 1 ORDER BY g",
+        {"t": t},
+    ).collect()
+    assert [(r["uid"], r["g"]) for r in rows] == [(2, "a"), (3, "b")]
+    # over an aggregated output, referencing select aliases
+    rows = run_ch_query(
+        "SELECT g, sum(v) AS sv FROM t GROUP BY g "
+        "QUALIFY rank() OVER (ORDER BY sv DESC) = 1",
+        {"t": t},
+    ).collect()
+    assert [(r["g"], r["sv"]) for r in rows] == [("b", 15.0)]

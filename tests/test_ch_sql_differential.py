@@ -93,7 +93,14 @@ def _gen_agg_query(rng: random.Random) -> str:
     for i in range(rng.randint(1, 3)):
         fn = rng.choice(["sum", "min", "max"])
         col = rng.choice(_INT_COLS)
-        aggs.append(f"{fn}({col}) AS a{i}")
+        # ANSI DISTINCT-qualified aggregates — same text both engines
+        if rng.random() < 0.25:
+            aggs.append(
+                f"{rng.choice(['count', 'sum'])}"
+                f"(DISTINCT {col} % {rng.randint(3, 50)}) AS a{i}"
+            )
+        else:
+            aggs.append(f"{fn}({col}) AS a{i}")
     sel = ", ".join(([key + " AS k"] if key else []) + aggs)
     group = f" GROUP BY {key}" if key else ""
     having = ""
@@ -239,6 +246,26 @@ def _gen_group_all_query(rng: random.Random) -> str:
     )
 
 
+def _gen_qualify_query(rng: random.Random) -> str:
+    # QUALIFY — subquery-free window filtering; identical text in both
+    # engines (deterministic tie-broken order). row_number is INT in
+    # Spark vs BIGINT in DuckDB, so it is only FILTERED on, never
+    # selected.
+    k = rng.choice(["event_type", f"user_id % {rng.randint(2, 5)}"])
+    n = rng.randint(1, 3)
+    if rng.random() < 0.5:
+        return (
+            f"SELECT {k} AS k, count(*) AS n, max(event_id) AS m "
+            f"FROM events{_where(rng)} GROUP BY {k} "
+            f"QUALIFY row_number() OVER (ORDER BY n DESC, m, k) <= {n}"
+        )
+    return (
+        f"SELECT event_id, event_type, user_id FROM events{_where(rng)} "
+        "QUALIFY row_number() OVER (PARTITION BY event_type "
+        f"ORDER BY event_id) <= {n}"
+    )
+
+
 def _gen_correlated_query(rng: random.Random) -> str:
     # correlated EXISTS / [NOT] IN at WHERE-conjunct level — ANSI text
     # both engines accept; DuckDB decorrelates natively, this engine
@@ -307,7 +334,8 @@ def _gen_query(rng: random.Random) -> str:
          _gen_order_limit_query, _gen_setop_query, _gen_window_query,
          _gen_rollup_query, _gen_using_query, _gen_asof_query,
          _gen_grouping_sets_query, _gen_frame_query,
-         _gen_group_all_query, _gen_correlated_query]
+         _gen_group_all_query, _gen_correlated_query,
+         _gen_qualify_query]
     )(rng)
 
 
