@@ -158,7 +158,7 @@ def _plan_subq(payload: _Subq) -> DataFrame:
         list(payload.toks), payload.tables, payload.broadcast_dims
     )
     sp.with_aliases = dict(payload.with_aliases)
-    df = _exec_select(sp, payload.tables or {}, payload.broadcast_dims)
+    df = _exec_set_expr(sp, payload.tables or {}, payload.broadcast_dims)
     if sp.peek() is not None:
         raise ValueError(
             f"unexpected tokens in subquery: {self_toks(sp)}"
@@ -1163,7 +1163,7 @@ def run_ch_query(
                 cte_name = p.next()
                 p.expect("as")
                 p.expect("(")
-                cte_df = _exec_select(p, tables, broadcast_dims)
+                cte_df = _exec_set_expr(p, tables, broadcast_dims)
                 p.expect(")")
                 tables = {**tables, cte_name: cte_df}
                 p.tables = tables
@@ -1174,14 +1174,64 @@ def run_ch_query(
             if p.peek() != ",":
                 break
             p.next()
-    out = _exec_select(p, tables, broadcast_dims)
-    # Set-operation chain — CH combines by POSITION (column names come
-    # from the first select), each branch keeps its own WHERE/GROUP/
-    # ORDER/LIMIT scope, and INTERSECT binds tighter than UNION/EXCEPT
-    # (CH operator precedence). UNION requires an explicit ALL/DISTINCT
-    # (union_default_mode is unset in the reference dialect);
-    # INTERSECT/EXCEPT default to ALL like CH.
-    branches: list[DataFrame] = [out]
+    out = _exec_set_expr(p, tables, broadcast_dims)
+
+    # trailing SETTINGS k = v [, ...] and FORMAT <name>. CH SETTINGS is
+    # QUERY-scoped; Spark confs are session-scoped and read at
+    # EXECUTION time, so mutating the session here would leak each
+    # query's settings into every later plan (and wouldn't even bind
+    # to this lazy DataFrame's run). The names are validated/classified
+    # through the C5 passthrough (control.classify_setting) and
+    # recorded, not applied — callers that want them live pass the same
+    # dict to control.apply_query_settings around their own action.
+    # FORMAT is a wire-format directive; the result shape IS the
+    # DataFrame.
+    while p.peek_kw() in ("settings", "format"):
+        if p.peek_kw() == "settings":
+            p.next()
+            raw: dict[str, object] = {}
+            while True:
+                sname = p.next()
+                p.expect("=")
+                sval: object = p.next()
+                if isinstance(sval, str) and sval.startswith("'"):
+                    sval = sval[1:-1]
+                raw[sname] = sval
+                if p.peek() != ",":
+                    break
+                p.next()
+            from ..control import classify_setting
+
+            for sname in raw:
+                try:
+                    classify_setting(sname)
+                except KeyError:
+                    pass  # forward-unknown, like the CH driver
+            global LAST_QUERY_SETTINGS
+            LAST_QUERY_SETTINGS = raw
+        else:
+            p.next()
+            p.next()  # format name — wire-level concern, no plan effect
+    if p.peek() is not None:
+        raise ValueError(f"unexpected trailing tokens: {self_toks(p)}")
+    return out
+
+
+def _exec_set_expr(
+    p: _Parser,
+    tables: dict[str, DataFrame],
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """One SELECT or a set-operation chain of SELECTs. CH combines by
+    POSITION (column names come from the first select), each branch
+    keeps its own WHERE/GROUP/ORDER/LIMIT scope, and INTERSECT binds
+    tighter than UNION/EXCEPT (CH operator precedence). UNION requires
+    an explicit ALL/DISTINCT (union_default_mode is unset in the
+    reference dialect); INTERSECT/EXCEPT default to ALL like CH.
+    Shared by the statement level, derived tables, subqueries, and CTE
+    bodies (round 4 — set ops previously parsed at statement level
+    only)."""
+    branches: list[DataFrame] = [_exec_select(p, tables, broadcast_dims)]
     ops: list[tuple[str, str]] = []
     while p.peek_kw() in ("union", "intersect", "except"):
         op = p.next().lower()
@@ -1229,45 +1279,6 @@ def run_ch_query(
                 out = out.distinct()
         else:  # except
             out = out.exceptAll(br) if mod == "all" else out.subtract(br)
-
-    # trailing SETTINGS k = v [, ...] and FORMAT <name>. CH SETTINGS is
-    # QUERY-scoped; Spark confs are session-scoped and read at
-    # EXECUTION time, so mutating the session here would leak each
-    # query's settings into every later plan (and wouldn't even bind
-    # to this lazy DataFrame's run). The names are validated/classified
-    # through the C5 passthrough (control.classify_setting) and
-    # recorded, not applied — callers that want them live pass the same
-    # dict to control.apply_query_settings around their own action.
-    # FORMAT is a wire-format directive; the result shape IS the
-    # DataFrame.
-    while p.peek_kw() in ("settings", "format"):
-        if p.peek_kw() == "settings":
-            p.next()
-            raw: dict[str, object] = {}
-            while True:
-                sname = p.next()
-                p.expect("=")
-                sval: object = p.next()
-                if isinstance(sval, str) and sval.startswith("'"):
-                    sval = sval[1:-1]
-                raw[sname] = sval
-                if p.peek() != ",":
-                    break
-                p.next()
-            from ..control import classify_setting
-
-            for sname in raw:
-                try:
-                    classify_setting(sname)
-                except KeyError:
-                    pass  # forward-unknown, like the CH driver
-            global LAST_QUERY_SETTINGS
-            LAST_QUERY_SETTINGS = raw
-        else:
-            p.next()
-            p.next()  # format name — wire-level concern, no plan effect
-    if p.peek() is not None:
-        raise ValueError(f"unexpected trailing tokens: {self_toks(p)}")
     return out
 
 
@@ -2032,7 +2043,7 @@ def _exec_select(
             # inline (lazy); unnamed ones get a positional alias so
             # qualified resolution still works downstream
             p.next()
-            sub = _exec_select(p, tables, broadcast_dims)
+            sub = _exec_set_expr(p, tables, broadcast_dims)
             p.expect(")")
             return sub, _opt_alias() or f"_dt{p.i}"
         name = p.next()
@@ -2401,6 +2412,7 @@ def _exec_select(
 
     limit_n: int | None = None
     offset_n: int | None = None
+    limit_ties = False
     limit_by: tuple[int, int, list[_Node]] | None = None
     if p.peek_kw() == "limit":
         p.next()
@@ -2432,6 +2444,17 @@ def _exec_select(
             offset_n, limit_n = first, second
         else:
             limit_n = first
+            if (
+                p.peek_kw() == "with"
+                and p.toks[p.i + 1 : p.i + 2]
+                and p.toks[p.i + 1].lower() == "ties"
+            ):
+                # LIMIT n WITH TIES (CH/ANSI FETCH ... WITH TIES):
+                # also keep every row tied with the n-th on the ORDER
+                # BY key
+                p.next()
+                p.next()
+                limit_ties = True
             if p.peek_kw() == "offset":
                 p.next()
                 offset_n = int(p.next())
@@ -3042,11 +3065,66 @@ def _exec_select(
                         F.coalesce(F.col(iname), _compile(iexpr, tables)),
                     )
             out = filled.select(*names).orderBy(*sort_cols)
+        if limit_ties:
+            # LIMIT n WITH TIES, scale-correct: a distributed top-n
+            # probe (TakeOrderedAndProject — no global sort) fetches
+            # the n-th row's ORDER BY key, then a lexicographic
+            # threshold filter keeps every row sorting at-or-before
+            # it. NULL placement follows the sort spec (CH/DuckDB
+            # nulls-last default).
+            if offset_n is not None or limit_by is not None:
+                raise ValueError(
+                    "WITH TIES does not combine with OFFSET or "
+                    "LIMIT BY"
+                )
+            probe_cols = [
+                _order_col(node).alias(f"_wt{i}")
+                for i, (node, _, _) in enumerate(order_nodes)
+            ]
+            probe_sort = [
+                _sort_col(F.col(f"_wt{i}"), d, nf)
+                for i, (_, d, nf) in enumerate(order_nodes)
+            ]
+            krows = (
+                out.select(*probe_cols)
+                .orderBy(*probe_sort)
+                .limit(limit_n)
+                .collect()
+            )
+            if len(krows) >= (limit_n or 0) and krows:
+                kth = krows[-1]
+                pred = F.lit(False)
+                eq_chain = F.lit(True)
+                for i, (node, d, nf) in enumerate(order_nodes):
+                    c = _order_col(node)
+                    k = kth[i]
+                    nulls_first = bool(nf)
+                    if k is None:
+                        lt = (
+                            F.lit(False)
+                            if nulls_first
+                            else c.isNotNull()
+                        )
+                        eq = c.isNull()
+                    else:
+                        base = F.coalesce(
+                            (c > F.lit(k)) if d else (c < F.lit(k)),
+                            F.lit(False),
+                        )
+                        lt = (base | c.isNull()) if nulls_first else base
+                        eq = F.coalesce(c == F.lit(k), F.lit(False))
+                    pred = pred | (eq_chain & lt)
+                    eq_chain = eq_chain & eq
+                pred = pred | eq_chain
+                out = out.where(pred).orderBy(*sort_cols)
+            limit_n = None  # the ties filter replaces the row cut
     elif limit_by is not None:
         raise ValueError(
             "LIMIT BY requires ORDER BY (this engine is deterministic; "
             "ClickHouse would return an arbitrary per-key subset)"
         )
+    elif limit_ties:
+        raise ValueError("LIMIT ... WITH TIES requires ORDER BY")
     if offset_n is not None:
         out = out.offset(offset_n)
     if limit_n is not None:

@@ -1173,3 +1173,29 @@ ORDER BY event_type
 )
 def ch_sql_qualify_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_QUALIFY_SQL, _tables(spark, sf_dir, "events"))
+
+
+# LIMIT n WITH TIES (round 4): distributed top-n probe + threshold
+# filter — scale-correct (no global-rank single-partition sort). The
+# oracle spells the rank() threshold out (DuckDB has no WITH TIES).
+_TIES_SQL = """
+SELECT event_type, count(*) AS n
+FROM fastnetmon.events
+GROUP BY event_type
+ORDER BY n DESC
+LIMIT 2 WITH TIES
+"""
+
+
+@query(
+    "ch_sql_limit_with_ties",
+    """
+    SELECT event_type, n FROM (
+      SELECT event_type, count(*) AS n,
+             rank() OVER (ORDER BY count(*) DESC) AS _r
+      FROM events GROUP BY event_type
+    ) WHERE _r <= 2
+    """,
+)
+def ch_sql_limit_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_TIES_SQL, _tables(spark, sf_dir, "events"))

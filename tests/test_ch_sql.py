@@ -1932,3 +1932,61 @@ def test_qualify_clause(spark):
         {"t": t},
     ).collect()
     assert [(r["g"], r["sv"]) for r in rows] == [("b", 15.0)]
+
+
+def test_set_ops_nested_in_derived_tables_and_subqueries(spark):
+    """Set-operation chains work below statement level (round 4):
+    derived tables, IN subqueries, and CTE bodies."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id long, g string"
+    )
+    rows = run_ch_query(
+        "SELECT g, count(*) AS n FROM ("
+        "SELECT id, g FROM t WHERE g = 'a' "
+        "UNION ALL SELECT id, g FROM t) GROUP BY g ORDER BY g",
+        {"t": t},
+    ).collect()
+    assert [(r["g"], r["n"]) for r in rows] == [("a", 4), ("b", 1)]
+    rows = run_ch_query(
+        "SELECT id FROM t WHERE id IN ("
+        "SELECT id FROM t WHERE g = 'a' "
+        "UNION DISTINCT SELECT 99 AS id) ORDER BY id",
+        {"t": t},
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 3]
+    rows = run_ch_query(
+        "WITH u AS (SELECT id FROM t WHERE g = 'a' "
+        "EXCEPT ALL SELECT 1 AS id) SELECT count(*) AS n FROM u",
+        {"t": t},
+    ).collect()
+    assert rows[0]["n"] == 1
+
+
+def test_limit_with_ties(spark):
+    """LIMIT n WITH TIES: distributed top-n probe + threshold filter
+    (no global-rank sort); NULL placement follows the sort spec."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 4.0), (4, 5.0), (5, 3.0), (6, None)],
+        "id long, s double",
+    )
+    rows = run_ch_query(
+        "SELECT id, s FROM t ORDER BY s DESC LIMIT 1 WITH TIES",
+        {"t": t},
+    ).collect()
+    assert sorted(r["id"] for r in rows) == [1, 2, 4]
+    rows = run_ch_query(
+        "SELECT id, s FROM t ORDER BY s DESC LIMIT 4 WITH TIES",
+        {"t": t},
+    ).collect()
+    assert sorted(r["id"] for r in rows) == [1, 2, 3, 4]
+    rows = run_ch_query(
+        "SELECT id, s FROM t ORDER BY s NULLS FIRST LIMIT 1 WITH TIES",
+        {"t": t},
+    ).collect()
+    assert [r["id"] for r in rows] == [6]
+    with pytest.raises(ValueError, match="requires ORDER BY"):
+        run_ch_query("SELECT id FROM t LIMIT 1 WITH TIES", {"t": t})

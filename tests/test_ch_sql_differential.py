@@ -134,6 +134,12 @@ def _gen_setop_query(rng: random.Random) -> str:
                      "EXCEPT DISTINCT"])
     a = f"SELECT DISTINCT event_type AS t FROM events{_where(rng)}"
     b = f"SELECT DISTINCT event_type AS t FROM events{_where(rng)}"
+    if rng.random() < 0.35:
+        # nested form: the chain lives inside a derived table
+        return (
+            f"SELECT t, count(*) AS n FROM ({a} {op} {b}) "
+            "GROUP BY t"
+        )
     return f"{a} {op} {b}"
 
 
@@ -464,6 +470,22 @@ def _gen_with_fill_pair(rng: random.Random) -> tuple[str, str]:
     return ch, duck
 
 
+def _gen_limit_ties_pair(rng: random.Random) -> tuple[str, str]:
+    # LIMIT n WITH TIES is CH/ANSI-only — the DuckDB side spells the
+    # rank() threshold out. Final output re-sorted client-side by the
+    # harness, so branch ordering differences are moot.
+    m = rng.randint(1, 3)
+    k = rng.choice(["event_type", f"user_id % {rng.randint(2, 5)}"])
+    w = _where(rng)
+    return (
+        f"SELECT {k} AS k, count(*) AS n FROM events{w} "
+        f"GROUP BY {k} ORDER BY n DESC LIMIT {m} WITH TIES",
+        f"SELECT k, n FROM (SELECT {k} AS k, count(*) AS n, "
+        "rank() OVER (ORDER BY count(*) DESC) AS _r "
+        f"FROM events{w} GROUP BY {k}) WHERE _r <= {m}",
+    )
+
+
 def _gen_tuple_in_subquery_pair(rng: random.Random) -> tuple[str, str]:
     # CH: (a, b) IN (SELECT x, y ...) — multi-column row set;
     # DuckDB wants the subquery to produce ONE struct column
@@ -483,7 +505,7 @@ def _gen_tuple_in_subquery_pair(rng: random.Random) -> tuple[str, str]:
     )
 
 
-N_PAIRED = 36
+N_PAIRED = 42
 
 
 def _gen_pair(rng: random.Random) -> tuple[str, str]:
@@ -491,7 +513,7 @@ def _gen_pair(rng: random.Random) -> tuple[str, str]:
         [_gen_scalar_with_pair, _gen_star_except_pair,
          _gen_star_replace_pair, _gen_star_apply_pair,
          _gen_array_index_pair, _gen_with_fill_pair,
-         _gen_tuple_in_subquery_pair]
+         _gen_tuple_in_subquery_pair, _gen_limit_ties_pair]
     )(rng)
 
 
