@@ -2678,6 +2678,32 @@ def _exec_select(
     if order_by_all:
         # every output column, left to right, ascending
         order_nodes = [(_Node("col", nm), False, None) for nm in names]
+    # positional references: a bare integer literal in GROUP BY /
+    # ORDER BY selects the k-th output column (DuckDB default; CH's
+    # enable_positional_arguments behavior). Grouping/sorting by an
+    # actual constant is meaningless, so the positional reading is
+    # never a loss. Bounds-checked against the (star-expanded) list.
+    def _positional(k: int) -> int:
+        if not (1 <= k <= len(select_nodes)):
+            raise ValueError(
+                f"positional reference {k} is out of range "
+                f"(1..{len(select_nodes)})"
+            )
+        return k - 1
+
+    for _gi, _g in enumerate(group_nodes):
+        if _g.kind == "num" and isinstance(_g.value, int):
+            group_nodes[_gi] = select_nodes[_positional(_g.value)]
+    order_nodes = [
+        (
+            _Node("col", names[_positional(n.value)])
+            if n.kind == "num" and isinstance(n.value, int)
+            else n,
+            d,
+            nf,
+        )
+        for n, d, nf in order_nodes
+    ]
     if not any(_contains_agg(n) for n in select_nodes):
         # Correlated scalar subqueries in the SELECT list — the common
         # analyst shape ``SELECT k, (SELECT count(*) FROM d WHERE

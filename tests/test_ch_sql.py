@@ -1990,3 +1990,20 @@ def test_limit_with_ties(spark):
     assert [r["id"] for r in rows] == [6]
     with pytest.raises(ValueError, match="requires ORDER BY"):
         run_ch_query("SELECT id FROM t LIMIT 1 WITH TIES", {"t": t})
+
+
+def test_positional_group_and_order_refs(spark):
+    """GROUP BY 1 / ORDER BY 2 select the k-th output column (DuckDB
+    default, CH enable_positional_arguments) — never a constant."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "a")], "id long, g string"
+    )
+    rows = run_ch_query(
+        "SELECT g, count(*) AS n FROM t GROUP BY 1 ORDER BY 2 DESC, 1",
+        {"t": t},
+    ).collect()
+    assert [(r["g"], r["n"]) for r in rows] == [("a", 3), ("b", 1)]
+    with pytest.raises(ValueError, match="out of range"):
+        run_ch_query("SELECT g FROM t ORDER BY 5", {"t": t})

@@ -87,6 +87,16 @@ def _where(rng: random.Random) -> str:
     return " WHERE " + glue.join(preds)
 
 
+def _gen_positional_query(rng: random.Random) -> str:
+    # positional GROUP BY / ORDER BY — identical text in both engines
+    k = _key(rng)
+    return (
+        f"SELECT {k} AS k, count(*) AS n, max(event_id) AS m "
+        f"FROM events{_where(rng)} GROUP BY 1 "
+        f"ORDER BY 2 DESC, 3, 1 LIMIT {rng.randint(2, 6)}"
+    )
+
+
 def _gen_agg_query(rng: random.Random) -> str:
     key = rng.choice([_key(rng), None])
     aggs = ["count(*) AS n"]
@@ -341,7 +351,7 @@ def _gen_query(rng: random.Random) -> str:
          _gen_rollup_query, _gen_using_query, _gen_asof_query,
          _gen_grouping_sets_query, _gen_frame_query,
          _gen_group_all_query, _gen_correlated_query,
-         _gen_qualify_query]
+         _gen_qualify_query, _gen_positional_query]
     )(rng)
 
 
