@@ -142,7 +142,21 @@ def run_ch_insert(
     inserted relation either way (lazily planned — for INSERT SELECT
     nothing runs until the write or the caller's action).
     """
-    if is_insert_values(sql):
+    route_values = is_insert_values(sql)
+    m = None
+    if not route_values:
+        m = _HEAD_RE.match(sql)
+        if m is None:
+            raise ValueError("cannot parse INSERT statement head")
+        if m.group(5).lstrip()[:6].lower() == "values":
+            # The reference's isInsert regex saw " SELECT " inside a
+            # string literal and shipped the statement server-side —
+            # where the server still executes the INSERT correctly
+            # (the quirk is pure client routing). Reproduce the
+            # observable behavior: parse the VALUES tail here instead
+            # of rejecting a valid statement.
+            route_values = True
+    if route_values:
         if args or named:
             raise ValueError(
                 "VALUES inserts bind per-row via rows=[...] (the "
@@ -230,9 +244,7 @@ def run_ch_insert(
             ]
         )
     else:
-        m = _HEAD_RE.match(sql)
-        if m is None:
-            raise ValueError("cannot parse INSERT statement head")
+        assert m is not None  # matched above for every non-VALUES route
         tname = m.group(2) or m.group(1)
         cols = (
             [c.strip() for c in m.group(4).split(",")]

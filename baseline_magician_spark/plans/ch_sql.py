@@ -65,6 +65,7 @@ timestamp-typed and the other numeric compiles to interval arithmetic.
 
 from __future__ import annotations
 
+import itertools
 import re
 from dataclasses import dataclass
 
@@ -124,7 +125,13 @@ class _Node:
     args: tuple = ()
     # cached subquery materialization: an ORDER BY expression that is
     # not a select item recompiles its node tree, and without the memo
-    # that re-collect()s the subquery a second time
+    # that re-collect()s the subquery a second time.
+    # Scope invariant: memos are PER PARSE. run_ch_query re-tokenizes
+    # and re-parses its SQL text on every call (fresh _Node objects),
+    # so a memo can never leak a stale collect across executions or
+    # across mutated table envs — pinned by
+    # tests/test_ch_sql.py::test_rerun_with_mutated_env_recollects_subqueries.
+    # Anyone adding AST caching must reset memos per execution.
     memo: object = None
 
 
@@ -1675,15 +1682,17 @@ def _plan_correlated(payload: _Subq, tables: dict[str, DataFrame]):
             corr_cond = cc if corr_cond is None else corr_cond & cc
         else:
             inner = inner.where(_compile(qualify(c), payload.tables))
-    sel_col: Column | None = None
+    sel_cols: list[Column] | None = None
     if sel_nodes[0].kind != "star":
-        if refs_outer(sel_nodes[0]):
-            raise ValueError(
-                "the select item of a correlated IN subquery must be "
-                "an inner-relation expression"
-            )
-        sel_col = _compile(qualify(sel_nodes[0]), payload.tables)
-    return inner, corr_cond, sel_col
+        sel_cols = []
+        for n in sel_nodes:
+            if refs_outer(n):
+                raise ValueError(
+                    "the select items of a correlated IN subquery must "
+                    "be inner-relation expressions"
+                )
+            sel_cols.append(_compile(qualify(n), payload.tables))
+    return inner, corr_cond, sel_cols
 
 
 def _apply_correlated(
@@ -1707,7 +1716,7 @@ def _apply_correlated(
     empty per-row set (no inner row passes the correlation) keeps the
     row, NULL x included.
     """
-    inner, corr_cond, sel_col = _plan_correlated(payload, tables)
+    inner, corr_cond, sel_cols = _plan_correlated(payload, tables)
     if kind == "exists":
         cond = corr_cond
         if cond is None:
@@ -1717,13 +1726,29 @@ def _apply_correlated(
                 "failed to plan standalone"
             )
     else:
-        if sel_col is None:
+        if sel_cols is None:
             raise ValueError("IN subquery cannot select *")
-        x = _compile(left, tables)
-        if negate:
-            memb = (x == sel_col) | x.isNull() | sel_col.isNull()
-        else:
-            memb = x == sel_col
+        # Row-value IN — (a, b) IN (SELECT x, y ... WHERE corr) —
+        # pairs each tuple element with its select item. Row-value
+        # equality is FALSE iff some element pair is definitely
+        # unequal, so the NOT IN "counts as a match" condition is the
+        # AND over elements of (eq OR either-side NULL): exactly the
+        # single-column three-valued rule, element-wise.
+        items = _tuple_parts(left)
+        lefts = list(items) if items is not None else [left]
+        if len(lefts) != len(sel_cols):
+            raise ValueError(
+                f"IN left side has {len(lefts)} expression(s) but the "
+                f"subquery selects {len(sel_cols)} item(s)"
+            )
+        memb: Column | None = None
+        for ln, sc in zip(lefts, sel_cols):
+            x = _compile(ln, tables)
+            if negate:
+                m = (x == sc) | x.isNull() | sc.isNull()
+            else:
+                m = x == sc
+            memb = m if memb is None else memb & m
         cond = memb if corr_cond is None else corr_cond & memb
     if broadcast_dims:
         inner = F.broadcast(inner)
@@ -1731,7 +1756,11 @@ def _apply_correlated(
     return df.join(inner, on=cond, how=how)
 
 
-_SCALAR_SEQ = [0]  # per-application suffix for hidden join columns
+# Per-application suffix for hidden join columns. itertools.count's
+# __next__ is a single C-level step (no read-modify-write race under
+# concurrent planning threads), unlike the list-cell increment it
+# replaced.
+_SCALAR_SEQ = itertools.count(1)
 
 
 def _attach_scalar_join(
@@ -1861,8 +1890,7 @@ def _attach_scalar_join(
             "scalar subquery has no correlated equality but failed "
             "to plan standalone"
         )
-    _SCALAR_SEQ[0] += 1
-    seq = _SCALAR_SEQ[0]
+    seq = next(_SCALAR_SEQ)
     knames = [f"_csk{seq}_{i}" for i in range(len(pairs))]
     vname = f"_csv{seq}"
     grouped = inner.groupBy(

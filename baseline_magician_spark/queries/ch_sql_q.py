@@ -955,22 +955,32 @@ def ch_sql_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+    import shutil
+
     d = tempfile.mkdtemp(prefix="ch_insert_")
-    run_ch_insert(
-        "INSERT INTO summary SELECT event_type, count(*) AS n_events "
-        "FROM fastnetmon.events GROUP BY event_type",
-        tabs,
-        path=d,
-        mode="overwrite",
-    )
-    run_ch_insert(
-        "INSERT INTO summary VALUES (?, ?)",
-        tabs,
-        rows=[("__manual", 42)],
-        path=d,
-        mode="append",
-    )
-    return spark.read.parquet(d).orderBy("event_type")
+    try:
+        run_ch_insert(
+            "INSERT INTO summary SELECT event_type, count(*) AS n_events "
+            "FROM fastnetmon.events GROUP BY event_type",
+            tabs,
+            path=d,
+            mode="overwrite",
+        )
+        run_ch_insert(
+            "INSERT INTO summary VALUES (?, ?)",
+            tabs,
+            rows=[("__manual", 42)],
+            path=d,
+            mode="append",
+        )
+        # The read-back is a grouped summary (one row per event type
+        # plus the manual row) — collect it eagerly so the temp dir can
+        # be removed here instead of leaking one dir per driver run.
+        back = spark.read.parquet(d)
+        rows, schema = back.collect(), back.schema
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).orderBy("event_type")
 
 
 # TPC-H q17 as pasted CH text (round 4): the correlated SCALAR

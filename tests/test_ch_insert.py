@@ -103,6 +103,24 @@ def test_parquet_sink_write_and_readback(spark, tabs):
     ]
 
 
+def test_values_literal_containing_select_still_executes(spark, tabs):
+    """The isInsert regex routes a VALUES statement whose string
+    literal contains " SELECT " to the query path (reference quirk) —
+    but the reference SERVER still executes the INSERT, so the
+    statement must succeed here too via the VALUES fallback."""
+    from baseline_magician_spark.plans.ch_insert import (
+        is_insert_values,
+        run_ch_insert,
+    )
+
+    sql = "INSERT INTO t VALUES (42, ' SELECT ', 1.0)"
+    assert not is_insert_values(sql)  # routing parity: query path
+    out = run_ch_insert(sql, tabs)
+    assert sorted(tuple(r) for r in out.collect()) == [
+        (42, " SELECT ", 1.0)
+    ]
+
+
 def test_bad_statements_rejected(spark, tabs):
     from baseline_magician_spark.plans.ch_insert import run_ch_insert
 

@@ -1644,6 +1644,72 @@ def test_correlated_in_and_not_in(spark, corr_tables):
     assert [r["c_name"] for r in rows] == ["C"]
 
 
+def test_correlated_row_value_in(spark, corr_tables):
+    """Row-value correlated IN — ``(a, b) IN (SELECT x, y ... WHERE
+    corr)`` — pairs each tuple element with its select item in the
+    semi-join condition (formerly surfaced a raw DATATYPE_MISMATCH)."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    rows = run_ch_query(
+        "SELECT o_orderkey FROM orders o WHERE (o.o_orderkey, o.o_prio)"
+        " IN (SELECT l_orderkey, '1-URGENT' FROM lineitem l"
+        " WHERE l.l_orderkey = o.o_orderkey AND l_qty > 4)"
+        " ORDER BY o_orderkey",
+        corr_tables,
+    ).collect()
+    assert [r["o_orderkey"] for r in rows] == [1, 3]
+    with pytest.raises(ValueError, match="IN left side has"):
+        run_ch_query(
+            "SELECT o_orderkey FROM orders o WHERE "
+            "(o.o_orderkey, o.o_prio) IN (SELECT l_orderkey FROM "
+            "lineitem l WHERE l.l_orderkey = o.o_orderkey)",
+            corr_tables,
+        )
+
+
+def test_correlated_row_value_not_in_null_semantics(spark):
+    """Element-wise three-valued NOT IN: row-value equality is FALSE
+    only when some element pair is definitely unequal, so a NULL
+    element that could still match filters the row."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "k long, v string"
+    )
+    s = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2), (9, "z", 3)],
+        "x long, y string, g long",
+    )
+    rows = run_ch_query(
+        "SELECT k FROM t WHERE (t.k, t.v) NOT IN "
+        "(SELECT x, y FROM s WHERE s.g = t.k) ORDER BY k",
+        {"t": t, "s": s},
+    ).collect()
+    # k=1 matches exactly; k=2's NULL v makes membership NULL (not
+    # FALSE); k=3's only candidate row is definitely unequal -> kept.
+    assert [r["k"] for r in rows] == [3]
+
+
+def test_rerun_with_mutated_env_recollects_subqueries(spark):
+    """Subquery memos live on per-parse AST nodes and run_ch_query
+    re-parses its SQL text every call, so re-running the same text
+    against a mutated table env must re-collect scalars and EXISTS
+    probes (the parse-per-call invariant, plans/ch_sql.py)."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    sql = (
+        "SELECT (SELECT max(v) FROM s) AS m FROM t "
+        "WHERE exists (SELECT * FROM s WHERE v > 0)"
+    )
+    t = spark.createDataFrame([(1,)], "id long")
+    s1 = spark.createDataFrame([(5,)], "v long")
+    s2 = spark.createDataFrame([(9,)], "v long")
+    assert run_ch_query(sql, {"t": t, "s": s1}).first()["m"] == 5
+    assert run_ch_query(sql, {"t": t, "s": s2}).first()["m"] == 9
+    empty = spark.createDataFrame([], "v long")
+    assert run_ch_query(sql, {"t": t, "s": empty}).count() == 0
+
+
 def test_correlated_not_in_null_semantics(spark):
     """ANSI three-valued NOT IN: a NULL inner value makes the
     membership NULL for non-matching outers, filtering the row; an
