@@ -47,76 +47,72 @@ _loaded = False
 # families, freshly-fixed rows, and operators added this round — land
 # inside the checked window; everything else follows in registration
 # order. Rotate per round.
-# Round-4 window (the harness checks the first 50 names; a test pins
-# len <= 50 so nothing silently falls outside it). This window closes
-# the driver-coverage ledger: union of rounds 1–4 = every registered
-# query driver-checked at least once.
-# - head: the 8 round-3 late additions that landed after the r3 window
-#   froze and have never had a driver row (all hash-green in the local
-#   oracle run recorded in VERDICT.md — bookkeeping, not debugging);
-# - new round-4 queries as they land (correlated EXISTS/IN in the CH
-#   front end, CH-dialect INSERT, the real WAV decode path);
-# - the rotating tail: all 34 queries whose only driver check was
-#   round 1, re-covering every deferral the round-3 comment listed.
+# Round-5 window (the harness checks the first 50 names; a test pins
+# len <= 50 so nothing silently falls outside it). Union of rounds
+# 1–4 covered 146/152 registered queries; this window re-closes the
+# ledger and starts the staleness rotation:
+# - head: the 6 round-4 tail registrations that landed after the r4
+#   window froze and have never had a driver row (all verified green
+#   with the driver's exact recipe in VERDICT.md — bookkeeping);
+# - new round-5 queries as they land (recursive CTEs, BMP decode,
+#   CH DDL, row-value IN) — appended to their block in the SAME commit
+#   that registers them;
+# - the rotating tail: names whose last driver row is round 2,
+#   ever-red rows first (all re-checked green since), then operator
+#   diversity; the 7 r2-stale TPC-H names that don't fit (q7 q8 q9
+#   q10 q15 q16 q19) lead the round-6 rotation.
 _PRIORITY: tuple[str, ...] = (
-    # never driver-checked (round-3 late additions)
-    "ch_sql_any_join",
-    "ch_sql_intersect_users",
-    "ch_sql_json_extract",
-    "ch_sql_scalar_with",
-    "ch_sql_star_modifiers",
-    "ch_sql_tpch_q6",
-    "dedup_simhash_clusters",
-    "similarity_pq_recon_error",
-    # new round-4 queries are appended to this block in the same
-    # commit that registers them (a test pins every name here to an
-    # actual registration)
-    "ch_sql_exists_correlated",
-    "ch_sql_in_correlated",
-    "ch_sql_not_in_correlated",
-    "multimodal_wav_decode",
-    "ch_sql_insert_select",
-    "ch_sql_tpch_q17",
-    "text_dsir_importance",
-    # regression guard: connected-components convergence changed this
-    # round; the capstone composition rides that code path (its dedup
-    # siblings are already in the r1-only rotation below)
-    "pipeline_training_export",
-    # r1-only rotation: everything whose last driver row is round 1
-    "asof_join_latest_order",
-    "dedup_exact_groups",
-    "dedup_simhash_fingerprints",
-    "pipeline_corpus_cleanup",
-    "dedup_keep_best_per_cluster",
-    "dedup_incremental_ingest",
-    "similarity_lsh_bucket_histogram",
-    "multimodal_frame_sample",
-    "profile_orders_table",
-    "window_topn_orders_per_segment",
-    "window_running_revenue",
-    "rollup_totals_by_region_nation",
-    "extremes_value_by_type",
-    "set_ops_customer_tiers",
-    "semi_anti_join_customers",
-    "distinct_users_by_type",
-    "pivot_quantity_by_status",
-    "time_window_recent_events",
-    "skew_salted_distinct_users",
-    "cube_revenue_by_flag_status",
-    "grouping_sets_quantity",
-    "exact_percentiles_by_type",
-    "histogram_event_values",
-    "window_range_frame_sliding_sum",
-    "json_props_stats",
-    "unpivot_lineitem_measures",
-    "window_lag_lead_user_deltas",
-    "sample_split_train_valid_test",
-    "sample_stratified_by_lang",
-    "sample_quota_per_source",
-    "sample_mixture_plan",
-    "streaming_windowed_counts",
-    "streaming_sessionize_gap",
-    "streaming_baseline_windows",
+    # never driver-checked (round-4 tail registrations)
+    "ch_sql_tpch_q3",
+    "ch_sql_tpch_q12",
+    "ch_sql_numbers_rollup",
+    "ch_sql_select_correlated",
+    "ch_sql_qualify_topn",
+    "ch_sql_limit_with_ties",
+    # new round-5 queries land here as they register
+    # ever-red in some past round (every one re-checked green later;
+    # keep their signal fresh)
+    "approx_distinct_and_quantiles",
+    "similarity_ivf_train_step",
+    "multimodal_stripe_features",
+    # r2-stale rotation: last driver row is round 2
+    "baseline_thresholds",
+    "baseline_thresholds_bucketed_join",
+    "ch_sql_param_binding",
+    "ch_sql_in_external_table",
+    "dedup_edit_distance_pairs",
+    "similarity_ivf_topk",
+    "similarity_kmeans_three_steps",
+    "pipeline_sequence_packing",
+    "pipeline_chunk_manifest",
+    "pipeline_shuffle_order",
+    "streaming_stateful_anomalies",
+    "streaming_dedup_keys",
+    "streaming_click_purchase_join",
+    "text_quality_scores",
+    "text_language_id",
+    "text_token_counts",
+    "text_fingerprints",
+    "text_frequent_ngrams_topk",
+    "text_eval_decontamination",
+    "text_vocab_coverage",
+    "text_repetition_stats",
+    "udaf_weighted_mean",
+    "udaf_weighted_mean_df",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q11_important_part_values",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q20_promo_heavy_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
 )
 
 
