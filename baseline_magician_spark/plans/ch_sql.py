@@ -141,6 +141,13 @@ class _Node:
 # tests can tune it.
 MAX_ROWS_IN_SET = 10_000_000
 
+# Iteration bound for WITH RECURSIVE fixpoint evaluation — the role
+# ClickHouse's max_recursive_cte_evaluation_depth setting plays
+# (default 1000 there too). Module-level so callers and tests can tune
+# it; exceeding it raises rather than looping forever on a divergent
+# UNION ALL recursion.
+MAX_RECURSIVE_CTE_DEPTH = 1000
+
 
 @dataclass
 class _Subq:
@@ -1157,6 +1164,10 @@ def run_ch_query(
     # column (qualify the column to reach it), like CH.
     if p.peek_kw() == "with":
         p.next()
+        recursive = False
+        if p.peek_kw() == "recursive":
+            p.next()
+            recursive = True
         while True:
             is_cte = (
                 re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", p.peek() or "")
@@ -1170,8 +1181,29 @@ def run_ch_query(
                 cte_name = p.next()
                 p.expect("as")
                 p.expect("(")
-                cte_df = _exec_set_expr(p, tables, broadcast_dims)
-                p.expect(")")
+                body = _capture_parens(p)
+                # RECURSIVE applies to the whole WITH list (ANSI); a
+                # CTE is actually recursive only if its body names
+                # itself. Self-reference makes eager planning
+                # impossible, so the body runs through the
+                # iterate-to-fixpoint executor instead.
+                if recursive and cte_name in body:
+                    cte_df = _exec_recursive_cte(
+                        cte_name,
+                        body,
+                        tables,
+                        broadcast_dims,
+                        p.with_aliases,
+                    )
+                else:
+                    bp = _Parser(body, tables, broadcast_dims)
+                    bp.with_aliases = dict(p.with_aliases)
+                    cte_df = _exec_set_expr(bp, tables, broadcast_dims)
+                    if bp.peek() is not None:
+                        raise ValueError(
+                            "unexpected trailing tokens in CTE body: "
+                            f"{self_toks(bp)}"
+                        )
                 tables = {**tables, cte_name: cte_df}
                 p.tables = tables
             else:
@@ -1286,6 +1318,180 @@ def _exec_set_expr(
                 out = out.distinct()
         else:  # except
             out = out.exceptAll(br) if mod == "all" else out.subtract(br)
+    return out
+
+
+def _capture_parens(p: _Parser) -> list[str]:
+    """Consume tokens up to the ``)`` matching an already-consumed
+    ``(`` and return the enclosed slice (tokens are post-lexer, so
+    string literals are single tokens and depth counting is safe)."""
+    depth = 1
+    out: list[str] = []
+    while True:
+        tok = p.next()
+        if tok is None:
+            raise ValueError("unbalanced parentheses in CTE body")
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+            if depth == 0:
+                return out
+        out.append(tok)
+
+
+def _exec_recursive_cte(
+    name: str,
+    toks: list[str],
+    tables: dict[str, DataFrame],
+    broadcast_dims: bool,
+    with_aliases: dict[str, _Node],
+) -> DataFrame:
+    """Evaluate a self-referencing CTE body to its fixpoint.
+
+    ANSI/modern-CH semantics: the body is ``anchor UNION [ALL|DISTINCT]
+    recursive-term[ UNION ... ]`` where anchor branches never name the
+    CTE and recursive branches do. Each iteration binds the CTE name to
+    the PREVIOUS iteration's new rows (the working table), evaluates
+    every recursive branch, and
+    - UNION DISTINCT: keeps only rows not seen before; terminates when
+      an iteration adds nothing new (cycles in the data therefore
+      terminate);
+    - UNION ALL: appends everything; terminates when an iteration
+      yields zero rows (a divergent recursion trips
+      MAX_RECURSIVE_CTE_DEPTH instead of spinning).
+
+    Distributed shape (the connected-components loop's template,
+    operators/graph.py): per round, ONE lazily-localCheckpointed
+    working table whose count() both drives termination and
+    materializes the checkpoint as a side effect — lineage stays flat
+    across rounds instead of growing a plan per iteration. The
+    DISTINCT mode's anti-join against the seen set is the semantics'
+    inherent per-round shuffle; the seen set is itself checkpointed so
+    the join's left side is always a flat LogicalRDD.
+    """
+    # Split the body into top-level UNION branches (INTERSECT/EXCEPT
+    # bind tighter and stay inside a branch, same precedence as
+    # _exec_set_expr).
+    branches: list[list[str]] = []
+    mods: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and t.lower() == "union":
+            mod = toks[i + 1].lower() if i + 1 < len(toks) else ""
+            if mod not in ("all", "distinct"):
+                raise ValueError(
+                    "UNION requires ALL or DISTINCT (CH "
+                    "union_default_mode is unset in the reference "
+                    "dialect)"
+                )
+            branches.append(cur)
+            mods.append(mod)
+            cur = []
+            i += 2
+            continue
+        cur.append(t)
+        i += 1
+    branches.append(cur)
+    if len(branches) < 2:
+        raise ValueError(
+            f"recursive CTE {name!r} needs an anchor and a recursive "
+            "term combined with UNION"
+        )
+    if len(set(mods)) > 1:
+        raise ValueError(
+            "mixed UNION ALL / UNION DISTINCT in a recursive CTE body "
+            "is not supported"
+        )
+    distinct = mods[0] == "distinct"
+    anchors = [b for b in branches if name not in b]
+    rec_terms = [b for b in branches if name in b]
+    if not anchors or not rec_terms:
+        raise ValueError(
+            f"recursive CTE {name!r} needs at least one anchor branch "
+            "(no self-reference) and one recursive branch"
+        )
+    n_lead = sum(1 for b in branches[: len(anchors)] if name not in b)
+    if n_lead != len(anchors):
+        raise ValueError(
+            "anchor branches must precede recursive branches in a "
+            "recursive CTE body"
+        )
+
+    def run_branch(
+        slice_: list[str], env: dict[str, DataFrame]
+    ) -> DataFrame:
+        bp = _Parser(list(slice_), env, broadcast_dims)
+        bp.with_aliases = dict(with_aliases)
+        df = _exec_set_expr(bp, env, broadcast_dims)
+        if bp.peek() is not None:
+            raise ValueError(
+                "unexpected trailing tokens in recursive CTE branch: "
+                f"{self_toks(bp)}"
+            )
+        return df
+
+    anchor = run_branch(anchors[0], tables)
+    for b in anchors[1:]:
+        anchor = anchor.union(run_branch(b, tables).toDF(*anchor.columns))
+    if distinct:
+        anchor = anchor.distinct()
+    out_cols = anchor.columns
+    out_types = [f.dataType for f in anchor.schema.fields]
+
+    def align(df: DataFrame) -> DataFrame:
+        if len(df.columns) != len(out_cols):
+            raise ValueError(
+                f"recursive branch produces {len(df.columns)} columns, "
+                f"anchor has {len(out_cols)}"
+            )
+        return df.select(
+            *[
+                F.col(c).cast(t).alias(nm)
+                for c, t, nm in zip(df.columns, out_types, out_cols)
+            ]
+        )
+
+    working = anchor.localCheckpoint(eager=False)
+    n = working.count()
+    seen = working  # DISTINCT mode: all rows emitted so far
+    parts: list[DataFrame] = [working]  # ALL mode: per-round outputs
+    rounds = 0
+    while n > 0:
+        rounds += 1
+        if rounds > MAX_RECURSIVE_CTE_DEPTH:
+            raise ValueError(
+                f"recursive CTE {name!r} exceeded "
+                f"MAX_RECURSIVE_CTE_DEPTH={MAX_RECURSIVE_CTE_DEPTH} "
+                "iterations (divergent recursion?)"
+            )
+        env = {**tables, name: working}
+        step = align(run_branch(rec_terms[0], env))
+        for b in rec_terms[1:]:
+            step = step.union(align(run_branch(b, env)))
+        if distinct:
+            step = step.distinct().subtract(seen)
+        # lazy checkpoint + count: one job materializes the round's
+        # rows AND decides termination (graph.py's loop pattern)
+        working = step.localCheckpoint(eager=False)
+        n = working.count()
+        if n > 0:
+            if distinct:
+                seen = seen.union(working).localCheckpoint(eager=False)
+            else:
+                parts.append(working)
+    if distinct:
+        return seen
+    out = parts[0]
+    for prt in parts[1:]:
+        out = out.union(prt)
     return out
 
 

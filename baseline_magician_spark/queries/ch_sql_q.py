@@ -1209,3 +1209,76 @@ LIMIT 2 WITH TIES
 )
 def ch_sql_limit_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_TIES_SQL, _tables(spark, sf_dir, "events"))
+
+
+# WITH RECURSIVE (round 5): iterate-to-fixpoint CTE evaluation
+# (plans/ch_sql.py _exec_recursive_cte — the connected-components
+# loop's lazy-checkpoint template). The recursive seq is a 7-row
+# dimension, so the join broadcasts it against the fact scan; sums are
+# exact integer sums (TPC-H quantities are integral) so cross-engine
+# float ordering never enters the hash.
+_RECURSIVE_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT 1 AS n
+  UNION ALL
+  SELECT n + 1 FROM seq WHERE n < 7
+)
+SELECT n, count(*) AS n_lines,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+FROM fastnetmon.lineitem
+JOIN seq ON lineitem.l_linenumber = seq.n
+GROUP BY n
+ORDER BY n
+"""
+
+
+@query(
+    "ch_sql_recursive_cte",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT 1 AS n
+      UNION ALL
+      SELECT n + 1 FROM seq WHERE n < 7
+    )
+    SELECT n, count(*) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    JOIN seq ON lineitem.l_linenumber = seq.n
+    GROUP BY n
+    ORDER BY n
+    """,
+)
+def ch_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_RECURSIVE_SQL, _tables(spark, sf_dir, "lineitem"))
+
+
+# Row-value correlated IN (round 5): (a, b) IN (SELECT x, y ... WHERE
+# corr) — element-wise semi-join condition over all select items.
+# DuckDB's binder rejects the multi-column IN spelling, so the oracle
+# uses the equivalent EXISTS (same semantics for the positive IN).
+_ROWVALUE_IN_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM fastnetmon.orders o
+WHERE (o.o_orderkey, 1) IN (
+    SELECT l_orderkey, l_linenumber FROM fastnetmon.lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l_quantity >= 48
+  )
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "ch_sql_rowvalue_in",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_linenumber = 1
+          AND l.l_quantity >= 48
+      )
+    ORDER BY o_orderkey
+    """,
+)
+def ch_sql_rowvalue_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_ROWVALUE_IN_SQL, _tables(spark, sf_dir, "orders", "lineitem"))

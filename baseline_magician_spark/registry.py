@@ -70,6 +70,8 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_qualify_topn",
     "ch_sql_limit_with_ties",
     # new round-5 queries land here as they register
+    "ch_sql_recursive_cte",
+    "ch_sql_rowvalue_in",
     # ever-red in some past round (every one re-checked green later;
     # keep their signal fresh)
     "approx_distinct_and_quantiles",

@@ -2073,3 +2073,122 @@ def test_positional_group_and_order_refs(spark):
     assert [(r["g"], r["n"]) for r in rows] == [("a", 3), ("b", 1)]
     with pytest.raises(ValueError, match="out of range"):
         run_ch_query("SELECT g FROM t ORDER BY 5", {"t": t})
+
+
+# ---------------------------------------------------------------- #
+# WITH RECURSIVE (round 5): iterate-to-fixpoint CTE evaluation      #
+# ---------------------------------------------------------------- #
+
+
+def test_recursive_cte_sequence(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = run_ch_query(
+        "WITH RECURSIVE seq AS (SELECT 1 AS n UNION ALL "
+        "SELECT n + 1 FROM seq WHERE n < 10) "
+        "SELECT count(*) AS c, min(n) AS lo, max(n) AS hi FROM seq",
+        {},
+    )
+    assert df.first().asDict() == {"c": 10, "lo": 1, "hi": 10}
+
+
+def test_recursive_cte_union_distinct_cycle_terminates(spark):
+    """UNION DISTINCT dedups against all seen rows, so a cyclic graph
+    reaches its fixpoint instead of spinning (1->2->3->1)."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5)], "src long, dst long"
+    )
+    rows = run_ch_query(
+        "WITH RECURSIVE reach AS ("
+        "SELECT dst AS node FROM edges WHERE src = 1 "
+        "UNION DISTINCT "
+        "SELECT e.dst AS node FROM edges e JOIN reach r ON e.src = r.node"
+        ") SELECT node FROM reach ORDER BY node",
+        {"edges": e},
+    ).collect()
+    assert [r["node"] for r in rows] == [1, 2, 3]
+
+
+def test_recursive_cte_depth_cap(spark, monkeypatch):
+    from baseline_magician_spark.plans import ch_sql
+
+    monkeypatch.setattr(ch_sql, "MAX_RECURSIVE_CTE_DEPTH", 5)
+    with pytest.raises(ValueError, match="MAX_RECURSIVE_CTE_DEPTH"):
+        ch_sql.run_ch_query(
+            "WITH RECURSIVE s AS (SELECT 1 AS n UNION ALL "
+            "SELECT n FROM s) SELECT count(*) AS c FROM s",
+            {},
+        ).collect()
+
+
+def test_recursive_cte_multiple_anchors_and_joins_downstream(spark):
+    """Two anchor branches seed the recursion; the CTE is then usable
+    like any relation (joined, aggregated) in the main query."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, tag string"
+    )
+    rows = run_ch_query(
+        "WITH RECURSIVE seq AS ("
+        "SELECT 1 AS n UNION ALL SELECT 2 AS n "
+        "UNION ALL SELECT n + 2 FROM seq WHERE n < 3) "
+        "SELECT t.tag AS tag FROM t JOIN seq ON t.k = seq.n "
+        "ORDER BY tag",
+        {"t": t},
+    ).collect()
+    assert [r["tag"] for r in rows] == ["a", "b", "c", "d"]
+
+
+def test_recursive_cte_shape_errors(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    with pytest.raises(ValueError, match="mixed UNION"):
+        run_ch_query(
+            "WITH RECURSIVE s AS (SELECT 1 AS n UNION ALL SELECT 2 AS n "
+            "UNION DISTINCT SELECT n + 1 FROM s WHERE n < 3) "
+            "SELECT * FROM s",
+            {},
+        )
+    with pytest.raises(ValueError, match="anchor branches must precede"):
+        run_ch_query(
+            "WITH RECURSIVE s AS (SELECT n + 1 FROM s WHERE n < 3 "
+            "UNION ALL SELECT 1 AS n) SELECT * FROM s",
+            {},
+        )
+    # a single-branch body that mentions its own name (here as an
+    # alias) routes to the recursive executor and must fail clearly
+    with pytest.raises(ValueError, match="anchor and a recursive"):
+        run_ch_query(
+            "WITH RECURSIVE s AS (SELECT 1 AS s) SELECT * FROM s",
+            {},
+        )
+
+
+def test_with_recursive_non_self_referencing_cte_still_plain(spark):
+    """RECURSIVE is a list-level keyword; a CTE that never names itself
+    plans eagerly exactly like a plain CTE."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1,), (2,)], "k long")
+    rows = run_ch_query(
+        "WITH RECURSIVE doubled AS (SELECT k * 2 AS d FROM t) "
+        "SELECT d FROM doubled ORDER BY d",
+        {"t": t},
+    ).collect()
+    assert [r["d"] for r in rows] == [2, 4]
+
+
+def test_recursive_cte_feeds_later_cte(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = run_ch_query(
+        "WITH RECURSIVE seq AS (SELECT 1 AS n UNION ALL "
+        "SELECT n + 1 FROM seq WHERE n < 5), "
+        "sq AS (SELECT n, n * n AS n2 FROM seq) "
+        "SELECT sum(n2) AS s FROM sq",
+        {},
+    )
+    assert df.first()["s"] == 1 + 4 + 9 + 16 + 25
