@@ -198,3 +198,37 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     wav = attach_wav(load_table(spark, sf_dir, "documents"))
     dec = decode_media(wav, decoder=real_decoder)
     return pcm_stats(dec)
+
+
+def _bmp_oracle() -> str:
+    # the decoded plane is the byte model's first (L//8)*8 bytes —
+    # but the Spark path only matches if the BMP container was
+    # genuinely parsed: a passthrough would include the 1078
+    # header/palette bytes, and a padding or row-order mistake would
+    # shift the checksum
+    n = f"(({_LEN} // 8) * 8)"
+    return f"""
+    SELECT doc_id,
+           CAST({n} AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, {n}),
+                i -> {_BYTE})) AS BIGINT) AS checksum,
+           floor(CAST(list_sum(list_transform(range(0, {n}),
+                i -> {_BYTE})) AS DOUBLE) / {n} * 10000) / 10000
+             AS mean_sample
+    FROM documents
+    """
+
+
+@query("multimodal_bmp_decode", _bmp_oracle())
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path (round 5): encode each row's deterministic
+    plane into a genuine BMP (headers + palette + bottom-up padded
+    rows), decode through ``decode_media(decoder=real_decoder)`` —
+    which must parse the container, strip padding, un-flip the rows
+    and resolve palette indices — and emit stats over the DECODED
+    plane. Three chained narrow Arrow stages, no shuffle."""
+    from ..operators.multimodal import attach_bmp
+
+    bmp = attach_bmp(load_table(spark, sf_dir, "documents"))
+    dec = decode_media(bmp, decoder=real_decoder)
+    return pcm_stats(dec)

@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     # new round-5 queries land here as they register
     "ch_sql_recursive_cte",
     "ch_sql_rowvalue_in",
+    "multimodal_bmp_decode",
     # ever-red in some past round (every one re-checked green later;
     # keep their signal fresh)
     "approx_distinct_and_quantiles",

@@ -41,10 +41,13 @@ def test_resize_truncates_payload(media):
     assert out.meta.n_frames == 2  # 32 // FRAME_BYTES
 
 
-def test_decode_real_is_stubbed(media):
+def test_decode_real_rejects_unknown_container(media):
+    """Unknown container magic raises the codec's ordinary
+    unsupported-format error (WAV and BMP decode natively; anything
+    else needs PIL or a user decoder)."""
     from baseline_magician_spark.operators.multimodal import real_decoder
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="unsupported container"):
         real_decoder(b"\x00\x01", {"media_type": "image"})
 
 
@@ -183,5 +186,144 @@ def test_wav_pipeline_is_narrow(spark):
 
     docs = spark.range(0, 8).withColumnRenamed("id", "doc_id")
     df = pcm_stats(decode_media(attach_wav(docs), decoder=real_decoder))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- #
+# BMP decode through the decode_media seam (round 5)                #
+# ---------------------------------------------------------------- #
+
+
+def test_bmp_encode_is_spec_compliant():
+    """The encoder emits a real Windows BMP — magic, header fields,
+    palette size, bottom-up padded rows — parseable by struct alone."""
+    import struct
+
+    from baseline_magician_spark.operators.multimodal import (
+        BMP_HEADER_BYTES,
+        bmp_encode,
+    )
+
+    w, h = 5, 3  # width NOT a multiple of 4: stride padding exercised
+    pixels = bytes(range(w * h))
+    blob = bmp_encode(pixels, w, h)
+    assert blob[:2] == b"BM"
+    size, _, _, offset = struct.unpack("<IHHI", blob[2:14])
+    stride = (w + 3) & ~3
+    assert offset == BMP_HEADER_BYTES
+    assert size == len(blob) == offset + stride * h
+    (hdr, bw, bh, planes, bpp, comp) = struct.unpack(
+        "<IiiHHI", blob[14:34]
+    )
+    assert (hdr, bw, bh, planes, bpp, comp) == (40, w, h, 1, 8, 0)
+    # bottom-up: the LAST stored row is the FIRST pixel row
+    last_row = blob[offset + (h - 1) * stride : offset + (h - 1) * stride + w]
+    assert last_row == pixels[:w]
+    with pytest.raises(ValueError, match="pixel plane"):
+        bmp_encode(pixels, w, h + 1)
+
+
+def test_bmp_decoder_roundtrip_and_dispatch():
+    from baseline_magician_spark.operators.multimodal import (
+        bmp_decoder,
+        bmp_encode,
+        real_decoder,
+    )
+
+    w, h = 7, 5
+    pixels = bytes((11 * i + 5) % 256 for i in range(w * h))
+    blob = bmp_encode(pixels, w, h)
+    d = bmp_decoder(blob, {})
+    assert d["pixels"] == pixels  # padding stripped, rows un-flipped
+    assert d["width"] == w and d["height"] == h
+    d2 = real_decoder(blob, {})  # magic dispatch
+    assert d2["pixels"] == pixels
+    with pytest.raises(ValueError, match="missing BM magic"):
+        bmp_decoder(b"\x00" * 64, {})
+
+
+def test_bmp_decoder_top_down_and_24bit():
+    """Decoder robustness beyond what the encoder emits: negative
+    height (top-down row order) and 24-bit uncompressed pixels."""
+    import struct
+
+    from baseline_magician_spark.operators.multimodal import (
+        bmp_decoder,
+        bmp_encode,
+    )
+
+    w, h = 5, 2
+    pixels = bytes(range(w * h))
+    blob = bytearray(bmp_encode(pixels, w, h))
+    # flip the height sign and re-order rows to top-down
+    blob[22:26] = struct.pack("<i", -h)
+    offset = struct.unpack("<I", blob[10:14])[0]
+    stride = (w + 3) & ~3
+    rows = [
+        bytes(blob[offset + r * stride : offset + (r + 1) * stride])
+        for r in range(h)
+    ]
+    blob[offset:] = b"".join(reversed(rows))
+    d = bmp_decoder(bytes(blob), {})
+    assert d["pixels"] == pixels
+
+    # hand-built 24-bit BMP: 2x1, pixels BGR (1,2,3) and (4,5,6)
+    w24, h24 = 2, 1
+    stride24 = (w24 * 3 + 3) & ~3
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + stride24, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w24, h24, 1, 24, 0, stride24, 0, 0, 0, 0
+    )
+    row = bytes([1, 2, 3, 4, 5, 6]) + b"\x00" * (stride24 - 6)
+    d24 = bmp_decoder(file_hdr + info + row, {})
+    assert d24["pixels"] == bytes([1, 2, 3, 4, 5, 6])
+    assert d24["width"] == 2 and d24["height"] == 1
+
+
+def test_bmp_decode_end_to_end(spark):
+    """attach_bmp -> decode_media(real_decoder) -> pcm_stats recovers
+    the deterministic plane exactly — proving headers/palette were
+    stripped, padding removed, and the bottom-up order undone."""
+    from baseline_magician_spark.operators.multimodal import (
+        BMP_HEADER_BYTES,
+        LEN_BASE,
+        LEN_MOD,
+        _payload_bytes,
+        attach_bmp,
+        decode_media,
+        pcm_stats,
+        real_decoder,
+    )
+
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    bmp = attach_bmp(docs)
+    row = bmp.where("doc_id = 7").first()
+    n7 = LEN_BASE + 7 % LEN_MOD
+    w7 = n7 // 8
+    stride7 = (w7 + 3) & ~3
+    assert row.meta.byte_len == BMP_HEADER_BYTES + stride7 * 8
+    out = {
+        r.doc_id: r
+        for r in pcm_stats(decode_media(bmp, decoder=real_decoder)).collect()
+    }
+    assert len(out) == 20
+    for d in (0, 7, 19):
+        n = LEN_BASE + d % LEN_MOD
+        plane = _payload_bytes(d)[: (n // 8) * 8]
+        assert out[d].n_samples == len(plane)
+        assert out[d].checksum == sum(plane)
+
+
+def test_bmp_pipeline_is_narrow(spark):
+    from baseline_magician_spark.operators.multimodal import (
+        attach_bmp,
+        decode_media,
+        pcm_stats,
+        real_decoder,
+    )
+
+    docs = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    df = pcm_stats(decode_media(attach_bmp(docs), decoder=real_decoder))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
