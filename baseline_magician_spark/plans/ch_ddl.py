@@ -1,0 +1,112 @@
+"""CH-dialect DDL statements: CREATE [TEMPORARY] TABLE / CREATE VIEW
+/ DROP, spellable as text against the same table env the query and
+INSERT paths use.
+
+The reference itself never issues DDL (its driver only SELECTs and
+INSERTs, main.go:238-279), but its temp-table EQUIVALENT exists
+programmatically as S6 external tables (ch_bind.ExternalTable) — this
+module closes the gap for a CH user who writes the statements out:
+
+- ``CREATE [TEMPORARY] TABLE [IF NOT EXISTS] name [ENGINE = ...] AS
+  SELECT ...``: plans the SELECT through run_ch_query and registers
+  the result under ``name`` in the env (the dict is mutated IN PLACE
+  so subsequent statements against the same env see it — CH session
+  scoping). With ``path=`` the relation is materialized through the
+  parquet sink (the INSERT path's 1M-row block constant) and the env
+  entry is the read-back — a real table, not a lazy view.
+- ``CREATE [OR REPLACE] VIEW [IF NOT EXISTS] name AS SELECT ...``:
+  same registration, always lazy (a view IS an unexecuted plan —
+  Spark's whole evaluation model, so the mapping is exact).
+- ``DROP TABLE|VIEW [IF EXISTS] name``: removes the env entry;
+  returns the dropped relation's empty frame (CH returns an empty
+  result set for DDL).
+
+ENGINE clauses parse and are recorded on the returned DataFrame's
+plan only in the sense that every engine maps to the same Spark
+relation — MergeTree storage choices are a cluster-layout concern
+(partitioning/bucketing at the sink), not a per-statement one.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from .ch_insert import BLOCK_SIZE
+from .ch_sql import run_ch_query
+
+_IDENT = r"[A-Za-z_]\w*"
+
+_CREATE_RE = re.compile(
+    rf"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:(TEMPORARY)\s+)?"
+    rf"(TABLE|VIEW)\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
+    rf"(?:({_IDENT})\.)?({_IDENT})\s*"
+    rf"(?:ENGINE\s*=\s*{_IDENT}\s*(?:\([^)]*\))?\s*)?"
+    rf"AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_DROP_RE = re.compile(
+    rf"^\s*DROP\s+(TABLE|VIEW)\s+(?:(IF\s+EXISTS)\s+)?"
+    rf"(?:({_IDENT})\.)?({_IDENT})\s*$",
+    re.IGNORECASE,
+)
+
+
+def is_ddl(sql: str) -> bool:
+    head = sql.split(maxsplit=1)
+    return bool(head) and head[0].upper() in ("CREATE", "DROP")
+
+
+def run_ch_ddl(
+    sql: str,
+    tables: dict[str, DataFrame],
+    args: tuple | list = (),
+    named: dict | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Execute one CREATE/DROP statement against ``tables`` (mutated
+    in place). Returns the created relation, or an empty frame with
+    the dropped relation's schema for DROP."""
+    m = _CREATE_RE.match(sql)
+    if m is not None:
+        or_replace, _temp, _kind, if_not_exists, _db, name, body = m.groups()
+        if name in tables and not (or_replace or if_not_exists):
+            raise ValueError(f"table {name!r} already exists")
+        if name in tables and if_not_exists:
+            return tables[name]
+        df = run_ch_query(
+            body, tables, args=args, named=named,
+            broadcast_dims=broadcast_dims,
+        )
+        if path is not None:
+            (
+                df.write.mode(mode)
+                .option("maxRecordsPerFile", BLOCK_SIZE)
+                .parquet(path)
+            )
+            df = df.sparkSession.read.parquet(path)
+        tables[name] = df
+        return df
+    m = _DROP_RE.match(sql)
+    if m is not None:
+        _kind, if_exists, _db, name = m.groups()
+        if name not in tables:
+            if not if_exists:
+                raise ValueError(f"unknown table {name!r}")
+            # IF EXISTS on a missing name: CH succeeds with an empty
+            # result set; echo an empty status frame.
+            from pyspark.sql import SparkSession
+
+            spark = (
+                next(iter(tables.values())).sparkSession
+                if tables
+                else SparkSession.getActiveSession()
+            )
+            return spark.createDataFrame([], "name string")
+        dropped = tables.pop(name)
+        return dropped.limit(0)
+    raise ValueError(f"cannot parse DDL statement: {sql[:60]!r}")

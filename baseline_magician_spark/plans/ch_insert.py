@@ -292,18 +292,27 @@ def run_ch_statement(
 ) -> DataFrame:
     """Single statement entry point with the driver's routing: INSERT
     statements (either kind — the VALUES block path or INSERT SELECT)
-    go to :func:`run_ch_insert`, everything else is a SELECT-family
-    query for :func:`~.ch_sql.run_ch_query`. Mirrors how the reference
-    driver's Exec/Query split behaves from the caller's seat."""
+    go to :func:`run_ch_insert`, CREATE/DROP to
+    :func:`~.ch_ddl.run_ch_ddl` (which mutates ``tables`` in place),
+    everything else is a SELECT-family query for
+    :func:`~.ch_sql.run_ch_query`. Mirrors how the reference driver's
+    Exec/Query split behaves from the caller's seat."""
     head = sql.split(maxsplit=1)
-    if head and head[0].upper() == "INSERT":
+    kw = head[0].upper() if head else ""
+    if kw == "INSERT":
         return run_ch_insert(sql, tables, **kwargs)
+    if kw in ("CREATE", "DROP"):
+        from .ch_ddl import run_ch_ddl
+
+        if "rows" in kwargs:
+            raise ValueError("rows= applies to INSERT statements only")
+        return run_ch_ddl(sql, tables, **kwargs)
     query_kwargs = {
         k: v for k, v in kwargs.items()
         if k in ("args", "named", "broadcast_dims")
     }
     if set(kwargs) - set(query_kwargs):
         raise ValueError(
-            "rows/path/mode apply to INSERT statements only"
+            "rows/path/mode apply to INSERT or DDL statements only"
         )
     return run_ch_query(sql, tables, **query_kwargs)

@@ -1282,3 +1282,57 @@ ORDER BY o_orderkey
 )
 def ch_sql_rowvalue_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_ROWVALUE_IN_SQL, _tables(spark, sf_dir, "orders", "lineitem"))
+
+
+# CH DDL as text (round 5): CREATE TABLE AS materializes a derived
+# relation into the statement env (mutated in place — CH session
+# scoping), a follow-up SELECT consumes it, DROP removes it; the query
+# returns the SELECT's result, proving the create->query->drop round
+# trip. The oracle inlines the created relation as a derived table.
+def _ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.ch_insert import run_ch_statement
+
+    tabs = _tables(spark, sf_dir, "orders", "customer")
+    run_ch_statement(
+        "CREATE TEMPORARY TABLE big_orders AS "
+        "SELECT o_custkey, count(*) AS n_big, "
+        "sum(CAST(o_totalprice AS BIGINT)) AS cents "
+        "FROM fastnetmon.orders WHERE o_totalprice > 150000 "
+        "GROUP BY o_custkey",
+        tabs,
+    )
+    out = run_ch_statement(
+        "SELECT c.c_mktsegment AS segment, count(*) AS n_customers, "
+        "sum(b.n_big) AS n_big_orders, max(b.cents) AS max_cents "
+        "FROM fastnetmon.customer c "
+        "JOIN big_orders b ON c.c_custkey = b.o_custkey "
+        "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment",
+        tabs,
+    )
+    run_ch_statement("DROP TABLE big_orders", tabs)
+    assert "big_orders" not in tabs
+    return out
+
+
+@query(
+    "ch_sql_ddl_roundtrip",
+    """
+    WITH big_orders AS (
+      -- trunc() first: DuckDB's double->BIGINT cast rounds, Spark's
+      -- truncates toward zero (the reference's toInt64 behavior)
+      SELECT o_custkey, count(*) AS n_big,
+             CAST(sum(CAST(trunc(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_totalprice > 150000
+      GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment AS segment, count(*) AS n_customers,
+           CAST(sum(b.n_big) AS BIGINT) AS n_big_orders,
+           max(b.cents) AS max_cents
+    FROM customer c
+    JOIN big_orders b ON c.c_custkey = b.o_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def ch_sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ddl_roundtrip(spark, sf_dir)

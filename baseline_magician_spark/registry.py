@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_recursive_cte",
     "ch_sql_rowvalue_in",
     "multimodal_bmp_decode",
+    "ch_sql_ddl_roundtrip",
     # ever-red in some past round (every one re-checked green later;
     # keep their signal fresh)
     "approx_distinct_and_quantiles",

@@ -1,0 +1,118 @@
+"""CH-dialect DDL (plans/ch_ddl.py): CREATE [TEMPORARY] TABLE /
+CREATE VIEW / DROP against the statement-level table env, including
+parquet persistence through the sink path."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+
+@pytest.fixture()
+def tabs(spark):
+    t = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id long, grp string, v double",
+    )
+    return {"t": t}
+
+
+def test_create_table_as_select_registers_and_queries(spark, tabs):
+    from baseline_magician_spark.plans.ch_insert import run_ch_statement
+
+    made = run_ch_statement(
+        "CREATE TEMPORARY TABLE agg AS "
+        "SELECT grp, count(*) AS n, sum(v) AS s FROM t GROUP BY grp",
+        tabs,
+    )
+    assert "agg" in tabs  # env mutated in place (CH session scoping)
+    rows = run_ch_statement(
+        "SELECT grp, n, s FROM agg ORDER BY grp", tabs
+    ).collect()
+    assert [tuple(r) for r in rows] == [("a", 2, 40.0), ("b", 1, 20.0)]
+    assert made.columns == ["grp", "n", "s"]
+
+
+def test_create_view_and_engine_clause(spark, tabs):
+    from baseline_magician_spark.plans.ch_insert import run_ch_statement
+
+    run_ch_statement(
+        "CREATE VIEW big AS SELECT id FROM t WHERE v >= 20", tabs
+    )
+    assert [r["id"] for r in tabs["big"].orderBy("id").collect()] == [2, 3]
+    # ENGINE clauses parse and are ignored (storage is a sink concern)
+    run_ch_statement(
+        "CREATE TABLE eng ENGINE = MergeTree() AS SELECT id FROM t",
+        tabs,
+    )
+    assert tabs["eng"].count() == 3
+
+
+def test_create_conflicts_and_modifiers(spark, tabs):
+    from baseline_magician_spark.plans.ch_insert import run_ch_statement
+
+    run_ch_statement("CREATE TABLE x AS SELECT id FROM t", tabs)
+    with pytest.raises(ValueError, match="already exists"):
+        run_ch_statement("CREATE TABLE x AS SELECT id FROM t", tabs)
+    # IF NOT EXISTS: keeps the existing relation, does not re-plan
+    before = tabs["x"]
+    run_ch_statement(
+        "CREATE TABLE IF NOT EXISTS x AS SELECT grp FROM t", tabs
+    )
+    assert tabs["x"] is before
+    # OR REPLACE swaps it
+    run_ch_statement(
+        "CREATE OR REPLACE VIEW x AS SELECT grp FROM t", tabs
+    )
+    assert tabs["x"].columns == ["grp"]
+
+
+def test_drop_table_and_if_exists(spark, tabs):
+    from baseline_magician_spark.plans.ch_insert import run_ch_statement
+
+    run_ch_statement("CREATE TABLE x AS SELECT id FROM t", tabs)
+    out = run_ch_statement("DROP TABLE x", tabs)
+    assert "x" not in tabs
+    assert out.count() == 0 and out.columns == ["id"]
+    with pytest.raises(ValueError, match="unknown table"):
+        run_ch_statement("DROP TABLE x", tabs)
+    assert run_ch_statement("DROP TABLE IF EXISTS x", tabs).count() == 0
+
+
+def test_create_table_with_parquet_persistence(spark, tabs):
+    from baseline_magician_spark.plans.ch_insert import run_ch_statement
+
+    d = tempfile.mkdtemp()
+    try:
+        run_ch_statement(
+            "CREATE TABLE persisted AS SELECT grp, sum(v) AS s "
+            "FROM t GROUP BY grp",
+            tabs,
+            path=d,
+        )
+        # the env entry is the parquet READ-BACK, not the lazy plan
+        back = spark.read.parquet(d)
+        assert sorted(tuple(r) for r in back.collect()) == sorted(
+            tuple(r) for r in tabs["persisted"].collect()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ddl_bind_params_and_bad_statements(spark, tabs):
+    from baseline_magician_spark.plans.ch_insert import run_ch_statement
+
+    run_ch_statement(
+        "CREATE TABLE filt AS SELECT id FROM t WHERE v > ?",
+        tabs,
+        args=(15.0,),
+    )
+    assert tabs["filt"].count() == 2
+    with pytest.raises(ValueError, match="cannot parse DDL"):
+        run_ch_statement("CREATE DATABASE nope", tabs)
+    with pytest.raises(ValueError, match="rows= applies"):
+        run_ch_statement(
+            "CREATE TABLE y AS SELECT id FROM t", tabs, rows=[(1,)]
+        )

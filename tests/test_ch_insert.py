@@ -145,5 +145,5 @@ def test_run_ch_statement_dispatch(spark, tabs):
         "insert into t (id, name) values (5, 'e')", tabs
     )
     assert sorted(tuple(r) for r in out.collect()) == [(5, "e")]
-    with pytest.raises(ValueError, match="INSERT statements only"):
+    with pytest.raises(ValueError, match="INSERT or DDL statements only"):
         run_ch_statement("SELECT 1 AS x", tabs, path="/tmp/x")
