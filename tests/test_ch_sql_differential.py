@@ -555,3 +555,118 @@ def test_paired_query_matches_duckdb(spark, duck, ch_sql, duck_sql):
     assert s_rows == d_rows, (
         f"{ch_sql}\n{duck_sql}\nspark={s_rows[:3]}\nduck={d_rows[:3]}"
     )
+
+
+# ------------------------------------------------------------------ #
+# INSERT differential (round 5): random VALUES rows (typed literals  #
+# + ?-placeholder exec loops) and INSERT SELECT tails run through    #
+# run_ch_insert -> parquet -> read-back, against DuckDB executing    #
+# the same statement into a real table. Any mismatch is an INSERT    #
+# path bug (parsing, casting, positional mapping, block write).      #
+# ------------------------------------------------------------------ #
+
+_SINK_SPARK = "id bigint, name string, v double, d date"
+_SINK_DUCK = "id BIGINT, name VARCHAR, v DOUBLE, d DATE"
+# exact-in-binary doubles and strings that stress quoting + the
+# isInsert routing quirk (' SELECT ' inside a literal)
+_INS_STRS = ["alpha", "a''b", " SELECT ", "x,y", "", "beta"]
+
+
+def _ins_date(rng: random.Random) -> str:
+    return f"2024-0{rng.randint(1, 9)}-1{rng.randint(0, 9)}"
+
+
+def _gen_insert_values_case(rng: random.Random):
+    if rng.random() < 0.4:
+        # ?-placeholder template + per-exec rows (the driver's
+        # prepared-statement block loop)
+        n = rng.randint(1, 5)
+        rows = [
+            (
+                rng.randint(-100, 10**6),
+                _INS_STRS[rng.randrange(len(_INS_STRS))].replace("''", "'"),
+                rng.randint(-8, 8) / 4,
+                _ins_date(rng),
+            )
+            for _ in range(n)
+        ]
+        return ("values_params", "INSERT INTO sink VALUES (?, ?, ?, ?)", rows)
+    n = rng.randint(1, 4)
+    lits = []
+    for _ in range(n):
+        iv = rng.randint(-100, 10**6)
+        sv = rng.choice(_INS_STRS)
+        vv = rng.randint(-8, 8) / 4
+        parts = [
+            "NULL" if rng.random() < 0.1 else str(iv),
+            "NULL" if rng.random() < 0.1 else f"'{sv}'",
+            "NULL" if rng.random() < 0.1 else str(vv),
+            "NULL" if rng.random() < 0.1 else f"'{_ins_date(rng)}'",
+        ]
+        lits.append("(" + ", ".join(parts) + ")")
+    return ("values", f"INSERT INTO sink VALUES {', '.join(lits)}", None)
+
+
+def _gen_insert_select_case(rng: random.Random):
+    m = rng.randint(2, 9)
+    q = rng.randint(1, 16)
+    w = _where(rng)
+    sql = (
+        f"INSERT INTO sink3 SELECT user_id % {m}, event_type, "
+        f"CAST(event_id % {q} AS DOUBLE) / 4 FROM events{w}"
+    )
+    return ("insert_select", sql, None)
+
+
+N_INSERT = 18
+INSERT_CASES = [
+    (_gen_insert_values_case if i % 2 else _gen_insert_select_case)(
+        random.Random(71 * i + _SEED_BASE + 29)
+    )
+    for i in range(N_INSERT)
+]
+
+
+@pytest.mark.parametrize("kind,sql,rows", INSERT_CASES)
+def test_insert_roundtrip_matches_duckdb(
+    spark, duck, kind, sql, rows, tmp_path
+):
+    from baseline_magician_spark.catalog import load_table
+    from baseline_magician_spark.plans.ch_insert import run_ch_insert
+
+    if kind == "insert_select":
+        duck_schema = "id BIGINT, name VARCHAR, v DOUBLE"
+        spark_schema = "id bigint, name string, v double"
+        tname = "sink3"
+    else:
+        duck_schema, spark_schema, tname = _SINK_DUCK, _SINK_SPARK, "sink"
+    duck.execute(f"CREATE OR REPLACE TABLE {tname}({duck_schema})")
+    try:
+        if kind == "values_params":
+            duck.executemany(sql, rows)
+        else:
+            duck.execute(sql)
+        d_rows = sorted(
+            tuple(str(x) for x in r)
+            for r in duck.execute(f"SELECT * FROM {tname}").fetchall()
+        )
+        tabs = {
+            tname: spark.createDataFrame([], spark_schema),
+            "events": load_table(spark, SF_ORACLE, "events"),
+        }
+        path = str(tmp_path / "sink")
+        run_ch_insert(
+            sql, tabs, rows=rows, path=path, mode="overwrite"
+        )
+        back = spark.read.parquet(path)
+        s_rows = sorted(
+            tuple(str(x) for x in r) for r in back.collect()
+        )
+        assert [f.name for f in back.schema.fields] == [
+            c.split()[0] for c in spark_schema.split(", ")
+        ], sql
+        assert s_rows == d_rows, (
+            f"{sql}\nspark={s_rows[:3]}\nduck={d_rows[:3]}"
+        )
+    finally:
+        duck.execute(f"DROP TABLE IF EXISTS {tname}")
