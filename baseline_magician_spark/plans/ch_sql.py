@@ -375,9 +375,25 @@ class _Parser:
         partition_node_tuple, sort_item_tuple, frame)`` with empty
         ``args``; each sort item is (node, desc, nulls_first); frame is
         None or ('rows'|'range', lo, hi) with bounds as signed ints
-        (negative = preceding) or None for UNBOUNDED."""
+        (negative = preceding) or None for UNBOUNDED.
+
+        ``OVER w`` (a named window from the WINDOW clause) yields a
+        2-tuple ``(call, name)`` placeholder — _exec_select resolves
+        it once the trailing WINDOW clause has been parsed."""
         self.next()  # OVER
+        if self.peek() != "(":
+            return _Node("window", (call, self.next()))
         self.expect("(")
+        part, order, frame = self.parse_window_spec()
+        self.expect(")")
+        return _Node("window", (call, tuple(part), tuple(order), frame))
+
+    def parse_window_spec(
+        self,
+    ) -> tuple[list, list, tuple | None]:
+        """The inside of a window specification (shared by OVER (...)
+        and the WINDOW clause): [PARTITION BY ...] [ORDER BY ...]
+        [ROWS|RANGE frame]. Leaves the closing paren unconsumed."""
         part: list[_Node] = []
         order: list[tuple[_Node, bool, bool | None]] = []
         if self.peek_kw() == "partition":
@@ -426,8 +442,7 @@ class _Parser:
                 lo = _bound(True)
                 hi = 0  # single-bound form: bound AND CURRENT ROW
             frame = (mode, lo, hi)
-        self.expect(")")
-        return _Node("window", (call, tuple(part), tuple(order), frame))
+        return part, order, frame
 
     def parse_add(self) -> _Node:
         left = self.parse_mul()
@@ -783,6 +798,12 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         # branch — _contains_agg does not descend into window nodes),
         # matching SQL's window-after-aggregation placement for the
         # non-grouped queries this dialect runs.
+        if len(node.value) == 2:
+            raise ValueError(
+                f"named window {node.value[1]!r} is only resolvable in "
+                "the select list, HAVING, or QUALIFY (define it with a "
+                "trailing WINDOW clause)"
+            )
         from pyspark.sql import Window as W
 
         call, part, order, frame = node.value
@@ -1177,8 +1198,45 @@ def run_ch_query(
                 and p.toks[p.i + 3 : p.i + 4]
                 and p.toks[p.i + 3].lower() == "select"
             )
+            # WITH name (col, ...) AS (SELECT ...): ANSI column list
+            # — scan ahead for ident-list ')' AS '(' SELECT
+            cte_cols: list[str] | None = None
+            if (
+                not is_cte
+                and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", p.peek() or "")
+                and p.toks[p.i + 1 : p.i + 2] == ["("]
+            ):
+                j = p.i + 2
+                scan: list[str] = []
+                while j < len(p.toks) and p.toks[j] != ")":
+                    if p.toks[j] == ",":
+                        j += 1
+                        continue
+                    if not re.fullmatch(
+                        r"[A-Za-z_][A-Za-z_0-9]*", p.toks[j]
+                    ):
+                        scan = []
+                        break
+                    scan.append(p.toks[j])
+                    j += 1
+                if (
+                    scan
+                    and p.toks[j : j + 1] == [")"]
+                    and p.toks[j + 1 : j + 2]
+                    and p.toks[j + 1].lower() == "as"
+                    and p.toks[j + 2 : j + 3] == ["("]
+                    and p.toks[j + 3 : j + 4]
+                    and p.toks[j + 3].lower() == "select"
+                ):
+                    is_cte = True
+                    cte_cols = scan
             if is_cte:
                 cte_name = p.next()
+                if cte_cols is not None:
+                    p.expect("(")
+                    while p.peek() != ")":
+                        p.next()
+                    p.next()
                 p.expect("as")
                 p.expect("(")
                 body = _capture_parens(p)
@@ -1194,6 +1252,7 @@ def run_ch_query(
                         tables,
                         broadcast_dims,
                         p.with_aliases,
+                        columns=cte_cols,
                     )
                 else:
                     bp = _Parser(body, tables, broadcast_dims)
@@ -1204,6 +1263,14 @@ def run_ch_query(
                             "unexpected trailing tokens in CTE body: "
                             f"{self_toks(bp)}"
                         )
+                    if cte_cols is not None:
+                        if len(cte_cols) != len(cte_df.columns):
+                            raise ValueError(
+                                f"CTE {cte_name!r} lists "
+                                f"{len(cte_cols)} columns, body "
+                                f"produces {len(cte_df.columns)}"
+                            )
+                        cte_df = cte_df.toDF(*cte_cols)
                 tables = {**tables, cte_name: cte_df}
                 p.tables = tables
             else:
@@ -1346,6 +1413,7 @@ def _exec_recursive_cte(
     tables: dict[str, DataFrame],
     broadcast_dims: bool,
     with_aliases: dict[str, _Node],
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Evaluate a self-referencing CTE body to its fixpoint.
 
@@ -1441,6 +1509,15 @@ def _exec_recursive_cte(
     anchor = run_branch(anchors[0], tables)
     for b in anchors[1:]:
         anchor = anchor.union(run_branch(b, tables).toDF(*anchor.columns))
+    if columns is not None:
+        # WITH RECURSIVE name (col, ...): the list renames the anchor
+        # BEFORE iteration so the recursive term resolves those names
+        if len(columns) != len(anchor.columns):
+            raise ValueError(
+                f"recursive CTE {name!r} lists {len(columns)} columns,"
+                f" anchor produces {len(anchor.columns)}"
+            )
+        anchor = anchor.toDF(*columns)
     if distinct:
         anchor = anchor.distinct()
     out_cols = anchor.columns
@@ -2581,6 +2658,48 @@ def _exec_select(
         p.next()
         qualify_node = p.parse_expr()
 
+    # WINDOW w AS (spec) [, w2 AS (spec)] — named windows (ANSI/CH):
+    # OVER w placeholders in the select list and QUALIFY resolve to
+    # their spec here, before any compilation. A definition may itself
+    # be referenced by several OVER w sites — they share one spec, so
+    # Catalyst sees the identical Window instance and computes the
+    # partition sort once.
+    named_windows: dict[str, tuple] = {}
+    if p.peek_kw() == "window":
+        p.next()
+        while True:
+            wname = p.next()
+            p.expect("as")
+            p.expect("(")
+            wp, wo, wf = p.parse_window_spec()
+            p.expect(")")
+            named_windows[wname] = (tuple(wp), tuple(wo), wf)
+            if p.peek() != ",":
+                break
+            p.next()
+
+    def _resolve_winref(n: _Node) -> _Node:
+        if n.kind == "window" and len(n.value) == 2:
+            call, name = n.value
+            if name not in named_windows:
+                raise ValueError(
+                    f"unknown named window {name!r} (no WINDOW clause "
+                    "definition)"
+                )
+            return _Node("window", (call, *named_windows[name]))
+        if n.args:
+            return _Node(
+                n.kind, n.value, tuple(_resolve_winref(a) for a in n.args)
+            )
+        return n
+
+    if named_windows:
+        select_nodes = [_resolve_winref(n) for n in select_nodes]
+        if qualify_node is not None:
+            qualify_node = _resolve_winref(qualify_node)
+        if having_node is not None:
+            having_node = _resolve_winref(having_node)
+
     order_nodes: list[tuple[_Node, bool, bool | None]] = []
     # ORDER BY x WITH FILL [FROM a] [TO b] [STEP s] — gap-fill the
     # ordered result over an integer spine; (sort-item index, from, to,
@@ -3160,6 +3279,11 @@ def _exec_select(
                 if n.kind == "col" and str(n.value) in by_name_q:
                     return by_name_q[str(n.value)]
                 if n.kind == "window":
+                    if len(n.value) == 2:
+                        raise ValueError(
+                            f"named window {n.value[1]!r} has no "
+                            "WINDOW clause definition"
+                        )
                     call, part, order, frame = n.value
                     return _Node(
                         "window",

@@ -414,12 +414,14 @@ def build_sf1(spark, out_dir: str, factor: int = SF1_FACTOR) -> str:
     the storage-read half of a real plan — file-split parallelism,
     scan pushdown, row-group sizing. This writes documents/embeddings/
     events at ``factor``x with the same de-correlation rules the
-    ladder uses (salted text per replica; embeddings circularly
-    shifted per replica so cross-replica cosine similarity is noise —
-    otherwise candidate pairs would grow with factor^2 by
-    construction, an artifact of replication rather than scale) and
-    symlinks the unscaled dims, so the heavy queries run their actual
-    storage-read plans at 10x."""
+    ladder uses (salted text per replica; embeddings sign-flipped per
+    replica on a hash(i, rep) pattern — an exact isometry WITHIN a
+    replica, so intra-replica near-dup geometry is preserved, while
+    cross-replica cosine is a random +-1-weighted sum ~ 0; a circular
+    shift was measured insufficient here, the smooth synthetic
+    vectors keep ~high correlation under shift and candidate pairs
+    grew 12x past linear) and symlinks the unscaled dims, so the
+    heavy queries run their actual storage-read plans at 10x."""
     from baseline_magician_spark.catalog import TABLES, load_table
 
     done = os.path.join(out_dir, "_DONE")
@@ -433,7 +435,6 @@ def build_sf1(spark, out_dir: str, factor: int = SF1_FACTOR) -> str:
     ).parquet(f"{out_dir}/documents.parquet")
 
     emb = load_table(spark, SF_DIR, "embeddings")
-    dim = len(emb.first()["embedding"])
     emb_r = emb.crossJoin(
         F.broadcast(
             emb.sparkSession.range(factor).select(F.col("id").alias("_rep"))
@@ -443,15 +444,14 @@ def build_sf1(spark, out_dir: str, factor: int = SF1_FACTOR) -> str:
         emb_r.withColumn(
             "vec_id", F.col("vec_id") * factor + F.col("_rep")
         )
-        .withColumn("_sh", F.pmod(F.col("_rep") * 7, F.lit(dim)).cast("int"))
         .withColumn(
             "embedding",
             F.expr(
-                f"concat(slice(embedding, _sh + 1, {dim} - _sh), "
-                "slice(embedding, 1, _sh))"
+                "transform(embedding, (x, i) -> x * cast("
+                "1 - 2 * pmod(hash(i, _rep), 2) as float))"
             ),
         )
-        .drop("_rep", "_sh")
+        .drop("_rep")
     )
     emb_r.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 

@@ -2192,3 +2192,98 @@ def test_recursive_cte_feeds_later_cte(spark):
         {},
     )
     assert df.first()["s"] == 1 + 4 + 9 + 16 + 25
+
+
+# ---------------------------------------------------------------- #
+# named WINDOW clause + CTE column lists (round 5)                  #
+# ---------------------------------------------------------------- #
+
+
+def test_named_window_clause(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 5), ("b", 4, 15)],
+        "g string, id long, v long",
+    )
+    rows = run_ch_query(
+        "SELECT g, id, sum(v) OVER w AS running, "
+        "row_number() OVER w AS rn "
+        "FROM t WINDOW w AS (PARTITION BY g ORDER BY id) "
+        "ORDER BY g, id",
+        {"t": t},
+    ).collect()
+    assert [(r["g"], r["id"], r["running"], r["rn"]) for r in rows] == [
+        ("a", 1, 10, 1),
+        ("a", 2, 30, 2),
+        ("b", 3, 5, 1),
+        ("b", 4, 20, 2),
+    ]
+
+
+def test_named_window_multiple_defs_and_qualify(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("b", 5)],
+        "g string, v long",
+    )
+    rows = run_ch_query(
+        "SELECT g, v, rank() OVER w1 AS r, max(v) OVER w2 AS mx FROM t "
+        "QUALIFY row_number() OVER w1 <= 1 "
+        "WINDOW w1 AS (PARTITION BY g ORDER BY v DESC), "
+        "w2 AS (PARTITION BY g) "
+        "ORDER BY g",
+        {"t": t},
+    ).collect()
+    assert [(r["g"], r["v"], r["r"], r["mx"]) for r in rows] == [
+        ("a", 2, 1, 2),
+        ("b", 5, 1, 5),
+    ]
+
+
+def test_named_window_undefined_raises(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="named window"):
+        run_ch_query(
+            "SELECT g, sum(v) OVER w AS s FROM t "
+            "WINDOW other AS (PARTITION BY g)",
+            {"t": t},
+        )
+    with pytest.raises(ValueError, match="named window"):
+        run_ch_query("SELECT g, sum(v) OVER w AS s FROM t", {"t": t})
+
+
+def test_cte_column_list(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, 10), (2, 20)], "a long, b long")
+    rows = run_ch_query(
+        "WITH renamed (x, y) AS (SELECT a, b * 2 FROM t) "
+        "SELECT x, y FROM renamed ORDER BY x",
+        {"t": t},
+    ).collect()
+    assert [(r["x"], r["y"]) for r in rows] == [(1, 20), (2, 40)]
+    with pytest.raises(ValueError, match="lists 3 columns"):
+        run_ch_query(
+            "WITH renamed (x, y, z) AS (SELECT a, b FROM t) "
+            "SELECT x FROM renamed",
+            {"t": t},
+        )
+
+
+def test_recursive_cte_column_list(spark):
+    """WITH RECURSIVE t(n): the list renames the anchor before
+    iteration, so the recursive term resolves the listed names even
+    when the anchor's expressions are unaliased."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = run_ch_query(
+        "WITH RECURSIVE seq (n) AS (SELECT 1 UNION ALL "
+        "SELECT n + 1 FROM seq WHERE n < 6) "
+        "SELECT count(*) AS c, sum(n) AS s FROM seq",
+        {},
+    )
+    assert df.first().asDict() == {"c": 6, "s": 21}
