@@ -1105,7 +1105,7 @@ _RESERVED = {
     "global", "between", "like", "is", "null",
     "case", "when", "then", "else", "end",
     "sample", "asof", "with", "interpolate", "any", "all",
-    "qualify",
+    "qualify", "window",
 }
 
 
