@@ -800,9 +800,8 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         # non-grouped queries this dialect runs.
         if len(node.value) == 2:
             raise ValueError(
-                f"named window {node.value[1]!r} is only resolvable in "
-                "the select list, HAVING, or QUALIFY (define it with a "
-                "trailing WINDOW clause)"
+                f"named window {node.value[1]!r} has no WINDOW clause "
+                "definition in this SELECT's scope"
             )
         from pyspark.sql import Window as W
 
@@ -2763,6 +2762,13 @@ def _exec_select(
                 p.next()
             p.expect(")")
 
+    if named_windows:
+        # ORDER BY items parse after the WINDOW clause, so OVER w
+        # references in them resolve here
+        order_nodes = [
+            (_resolve_winref(n), d, nf) for n, d, nf in order_nodes
+        ]
+
     limit_n: int | None = None
     offset_n: int | None = None
     limit_ties = False
@@ -3356,9 +3362,39 @@ def _exec_select(
                     return _F.col(names[j])
             return _compile(node, tables)
 
+        def _contains_window(n: _Node) -> bool:
+            return n.kind == "window" or any(
+                _contains_window(a) for a in n.args
+            )
+
         sort_cols = []
-        for node, desc, nulls_first in order_nodes:
-            sort_cols.append(_sort_col(_order_col(node), desc, nulls_first))
+        hidden_ord: list[str] = []
+        for k, (node, desc, nulls_first) in enumerate(order_nodes):
+            base = None
+            if node.kind == "col" and str(node.value) in names:
+                base = _F.col(str(node.value))
+            else:
+                for j, sel in enumerate(select_nodes):
+                    if _node_eq2(sel, node):
+                        base = _F.col(names[j])
+                        break
+            if base is None:
+                if _contains_window(node):
+                    # Spark's Sort operator rejects window expressions
+                    # inline — compute the window as a hidden column
+                    # (same shape as QUALIFY), sort on it, drop after
+                    hn = f"_ordw{k}"
+                    out = out.withColumn(hn, _compile(node, tables))
+                    hidden_ord.append(hn)
+                    base = _F.col(hn)
+                else:
+                    base = _compile(node, tables)
+            sort_cols.append(_sort_col(base, desc, nulls_first))
+        if hidden_ord and fill_spec is not None:
+            raise ValueError(
+                "window expressions in ORDER BY do not combine with "
+                "WITH FILL"
+            )
         out = out.orderBy(*sort_cols)
         if limit_by is not None:
             # per-key top-n as ONE row_number window over the (key,
@@ -3502,6 +3538,9 @@ def _exec_select(
                 pred = pred | eq_chain
                 out = out.where(pred).orderBy(*sort_cols)
             limit_n = None  # the ties filter replaces the row cut
+        if hidden_ord:
+            # dropping a projection after the sort preserves ordering
+            out = out.drop(*hidden_ord)
     elif limit_by is not None:
         raise ValueError(
             "LIMIT BY requires ORDER BY (this engine is deterministic; "

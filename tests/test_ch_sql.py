@@ -2242,6 +2242,24 @@ def test_named_window_multiple_defs_and_qualify(spark):
     ]
 
 
+def test_named_window_in_order_by(spark):
+    """ORDER BY items parse after the WINDOW clause; OVER w references
+    in them resolve against the same definitions."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 9)], "g string, v long"
+    )
+    rows = run_ch_query(
+        "SELECT g, v FROM t WINDOW w AS (PARTITION BY g) "
+        "ORDER BY max(v) OVER w DESC, v",
+        {"t": t},
+    ).collect()
+    assert [(r["g"], r["v"]) for r in rows] == [
+        ("b", 9), ("a", 1), ("a", 2),
+    ]
+
+
 def test_named_window_undefined_raises(spark):
     from baseline_magician_spark.plans.ch_sql import run_ch_query
 
