@@ -3155,9 +3155,16 @@ def _exec_select(
                     and all(_node_eq(x, y) for x, y in zip(a.args, b.args))
                 )
 
+            # each group key claims a DISTINCT select item: the same
+            # expression selected twice under two aliases (a, b) must
+            # yield two distinctly-named key columns, not two columns
+            # both named after the first match
+            _used_sel: set[int] = set()
+
             def _group_name(g: _Node, i: int) -> str:
                 for j, sel in enumerate(select_nodes):
-                    if _node_eq(sel, g):
+                    if j not in _used_sel and _node_eq(sel, g):
+                        _used_sel.add(j)
                         return names[j]
                 return _name(g, 1000 + i)
 
@@ -3263,14 +3270,34 @@ def _exec_select(
             out = out.where(keep)
         # constant select items (e.g. the 'total' tag of a UNION ALL
         # branch) are neither aggregates nor group keys — attach them
-        # to the aggregated frame post-hoc
+        # to the aggregated frame post-hoc. Likewise a non-agg item
+        # that duplicates a grouping key's EXPRESSION under another
+        # alias (SELECT v%2 AS a, v%2 AS b ... GROUP BY v%2) copies
+        # the key column it matches.
+        def _node_eq_post(a: _Node, b: _Node) -> bool:
+            return (
+                a.kind == b.kind
+                and a.value == b.value
+                and len(a.args) == len(b.args)
+                and all(
+                    _node_eq_post(x, y) for x, y in zip(a.args, b.args)
+                )
+            )
+
         for i, n in enumerate(select_nodes):
-            if (
-                not _contains_agg(n)
-                and _is_const(n)
-                and names[i] not in out.columns
-            ):
+            if _contains_agg(n) or names[i] in out.columns:
+                continue
+            if _is_const(n):
                 out = out.withColumn(names[i], _compile(n, tables))
+                continue
+            for j, sel in enumerate(select_nodes):
+                if (
+                    j != i
+                    and names[j] in out.columns
+                    and _node_eq_post(sel, n)
+                ):
+                    out = out.withColumn(names[i], F.col(names[j]))
+                    break
         out = out.select(*names)
     else:
         if having_node is not None:

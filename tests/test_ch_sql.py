@@ -2305,3 +2305,22 @@ def test_recursive_cte_column_list(spark):
         {},
     )
     assert df.first().asDict() == {"c": 6, "s": 21}
+
+
+def test_duplicate_group_expression_two_aliases(spark):
+    """The same expression selected under two aliases must survive
+    grouping: GROUP BY ALL yields two distinctly-named key columns,
+    and an explicit GROUP BY copies the key column for the duplicate
+    alias (fuzzer-found round 5: formerly AMBIGUOUS_REFERENCE /
+    UNRESOLVED_COLUMN)."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1,), (2,), (3,), (4,)], "v long")
+    for sql in (
+        "SELECT v % 2 AS a, v % 2 AS b, count(*) AS n FROM t "
+        "GROUP BY ALL ORDER BY ALL",
+        "SELECT v % 2 AS a, v % 2 AS b, count(*) AS n FROM t "
+        "GROUP BY v % 2 ORDER BY a",
+    ):
+        rows = run_ch_query(sql, {"t": t}).collect()
+        assert sorted(tuple(r) for r in rows) == [(0, 0, 2), (1, 1, 2)]

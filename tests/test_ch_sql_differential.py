@@ -344,6 +344,43 @@ def _gen_correlated_query(rng: random.Random) -> str:
     )
 
 
+def _gen_named_window_query(rng: random.Random) -> str:
+    # ANSI named WINDOW clause — shared text (DuckDB supports it too);
+    # two references to one definition, resolved in select + ORDER BY
+    m = rng.randint(2, 6)
+    return (
+        f"SELECT user_id % {m} AS k, event_id, "
+        "sum(event_id) OVER w AS s, row_number() OVER w AS rn "
+        f"FROM events{_where(rng)} "
+        f"WINDOW w AS (PARTITION BY user_id % {m} ORDER BY event_id) "
+        f"ORDER BY k, event_id LIMIT {rng.randint(5, 40)}"
+    )
+
+
+def _gen_recursive_cte_query(rng: random.Random) -> str:
+    # WITH RECURSIVE — shared text (both engines iterate to fixpoint).
+    # Integer-only arithmetic; sequence bounded well under any depth cap.
+    start = rng.randint(0, 2)
+    step = rng.randint(1, 3)
+    lim = rng.randint(5, 30)
+    cols = "(n)" if rng.random() < 0.5 else ""
+    seq = (
+        f"WITH RECURSIVE seq {cols} AS (SELECT {start} AS n UNION ALL "
+        f"SELECT n + {step} FROM seq WHERE n < {lim}) "
+    )
+    if rng.random() < 0.5:
+        return (
+            seq + "SELECT count(*) AS c, min(n) AS lo, max(n) AS hi, "
+            "sum(n) AS s FROM seq"
+        )
+    m = rng.randint(3, 8)
+    return (
+        seq + f"SELECT n, count(*) AS cnt FROM events JOIN seq "
+        f"ON user_id % {m} = n{_where(rng)} "
+        "GROUP BY n ORDER BY n"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
     return rng.choice(
         [_gen_agg_query, _gen_agg_query, _gen_distinct_query,
@@ -351,7 +388,8 @@ def _gen_query(rng: random.Random) -> str:
          _gen_rollup_query, _gen_using_query, _gen_asof_query,
          _gen_grouping_sets_query, _gen_frame_query,
          _gen_group_all_query, _gen_correlated_query,
-         _gen_qualify_query, _gen_positional_query]
+         _gen_qualify_query, _gen_positional_query,
+         _gen_named_window_query, _gen_recursive_cte_query]
     )(rng)
 
 
