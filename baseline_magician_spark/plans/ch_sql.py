@@ -1104,7 +1104,7 @@ _RESERVED = {
     "global", "between", "like", "is", "null",
     "case", "when", "then", "else", "end",
     "sample", "asof", "with", "interpolate", "any", "all",
-    "qualify", "window",
+    "qualify", "window", "final",
 }
 
 
@@ -2382,7 +2382,19 @@ def _exec_select(
                 raise ValueError("numbers() needs an active session")
             rng = sess.range(a, a + b) if b is not None else sess.range(a)
             return rng.toDF("number"), _opt_alias() or "numbers"
-        return name, _opt_alias()
+        # FINAL (before or after the alias): CH's merge-on-read
+        # modifier — forces ReplacingMergeTree et al. to collapse
+        # pending parts at read time. Every relation here is already a
+        # fully-materialized DataFrame with no pending parts, so FINAL
+        # is exactly the no-op it is on a fully-merged CH table.
+        saw_final = False
+        if p.peek_kw() == "final":
+            p.next()
+            saw_final = True
+        al = _opt_alias()
+        if not saw_final and p.peek_kw() == "final":
+            p.next()
+        return name, al
 
     table, table_alias = _table_ref()
 

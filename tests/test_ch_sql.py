@@ -2324,3 +2324,20 @@ def test_duplicate_group_expression_two_aliases(spark):
     ):
         rows = run_ch_query(sql, {"t": t}).collect()
         assert sorted(tuple(r) for r in rows) == [(0, 0, 2), (1, 1, 2)]
+
+
+def test_final_modifier_is_noop(spark):
+    """FROM t FINAL (before or after an alias, and on a JOIN side):
+    CH's merge-on-read modifier — a no-op on fully-materialized
+    relations, exactly as on a fully-merged CH table."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    d = spark.createDataFrame([(1, 10)], "k long, v long")
+    for sql in (
+        "SELECT count(*) AS n FROM t FINAL",
+        "SELECT count(*) AS n FROM t x FINAL",
+        "SELECT count(*) AS n FROM t FINAL x",
+        "SELECT count(*) AS n FROM t FINAL JOIN d FINAL ON t.k = d.k",
+    ):
+        assert run_ch_query(sql, {"t": t, "d": d}).first()["n"] in (1, 2)
