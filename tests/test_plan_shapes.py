@@ -354,3 +354,34 @@ def test_dsir_bucket_table_broadcast_single_doc_shuffle(spark, queries):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_recursive_cte_lineage_is_flat(spark):
+    """WITH RECURSIVE iterates driver-side with a lazily-checkpointed
+    working table per round: the FINAL plan must be a union of
+    LogicalRDD scans (one per round), never a per-round re-expansion
+    of the base relation's plan — flat lineage is what keeps a
+    30-round recursion from compiling a 30x-nested tree."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = run_ch_query(
+        "WITH RECURSIVE seq AS (SELECT 1 AS n UNION ALL "
+        "SELECT n + 1 FROM seq WHERE n < 30) "
+        "SELECT n FROM seq",
+        {},
+    )
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # 30 rounds -> 30 checkpointed round outputs, each a LogicalRDD;
+    # the one-row anchor Range source must NOT appear once per round
+    assert logical.count("LogicalRDD") >= 29
+    assert logical.count("Range (0, 1,") <= 1
+
+
+def test_recursive_cte_broadcast_join_dimension(spark, queries):
+    """The registered driver query joins the 7-row recursive seq to
+    the lineitem scan: the tiny recursive side must broadcast."""
+    plan = plan_of(
+        queries["ch_sql_recursive_cte"](spark, SF_ORACLE), execute=True
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
