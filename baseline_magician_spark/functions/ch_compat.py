@@ -149,6 +149,15 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "toStartOfMinute": lambda c: F.date_trunc("minute", c),
     "toStartOfMonth": lambda c: F.date_trunc("month", c).cast("date"),
     "toStartOfYear": lambda c: F.date_trunc("year", c).cast("date"),
+    # dateTrunc('unit', ts) — both CH spellings; unit is driver-literal
+    "dateTrunc": lambda unit, c: F.date_trunc(_unquote(unit), c),
+    "date_trunc": lambda unit, c: F.date_trunc(_unquote(unit), c),
+    # sub-hour flooring: CH's fixed-window variants (unix-second
+    # arithmetic — exact, tz-independent, codegen-folded)
+    "toStartOfFiveMinutes": lambda c: _floor_seconds(c, 300),
+    "toStartOfTenMinutes": lambda c: _floor_seconds(c, 600),
+    "toStartOfFifteenMinutes": lambda c: _floor_seconds(c, 900),
+    "formatDateTime": lambda c, fmt: F.date_format(c, _ch_format(fmt)),
     "toYear": F.year,
     "toMonth": F.month,
     "toDayOfMonth": F.dayofmonth,
@@ -207,6 +216,31 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "endsWith": lambda s, p: s.endswith(p),
     "match": lambda s, pat: s.rlike(pat),
     "extract": lambda s, pat: _ch_extract(s, pat),
+    "extractAll": lambda s, pat: _ch_extract_all(s, pat),
+    "positionCaseInsensitive": lambda h, n: F.instr(
+        F.lower(h), F.lower(n)
+    ),
+    "multiSearchAny": lambda s, arr: F.exists(
+        arr, lambda needle: F.contains(s, needle)
+    ),
+    # URL dissection (the reference's domain is network monitoring —
+    # these are the CH URL functions its users reach for). Pure
+    # regexp_extract/replace one-liners: codegen-folded, no UDF.
+    "protocol": lambda u: F.regexp_extract(
+        u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1
+    ),
+    "domain": lambda u: _url_domain(u),
+    "topLevelDomain": lambda u: F.when(
+        _url_domain(u).rlike(r"^\d+\.\d+\.\d+\.\d+$"), F.lit("")
+    ).otherwise(F.regexp_extract(_url_domain(u), r"\.([^.]+)$", 1)),
+    "path": lambda u: F.regexp_extract(
+        u, r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*([^?#]*)", 1
+    ),
+    "queryString": lambda u: F.regexp_extract(u, r"\?([^#]*)", 1),
+    "cutQueryString": lambda u: F.regexp_replace(u, r"\?[^#]*", ""),
+    "extractURLParameter": lambda u, name: F.regexp_extract(
+        u, r"[?&]" + _regex_escape(name) + r"=([^&#]*)", 1
+    ),
     "replaceAll": F.replace,
     "replaceRegexpAll": lambda s, pat, rep: F.regexp_replace(s, pat, rep),
     "splitByChar": lambda sep, s: F.split(s, _regex_escape(sep)),
@@ -367,6 +401,91 @@ _register_udafs()
 
 def _as_col(n) -> Column:
     return n if isinstance(n, Column) else F.lit(n)
+
+
+def _floor_seconds(c: Column, step: int) -> Column:
+    """Floor a timestamp to a fixed window of ``step`` seconds."""
+    secs = F.unix_timestamp(c)
+    return F.timestamp_seconds(secs - secs % step)
+
+
+def _url_domain(u: Column) -> Column:
+    """CH domain(): host part — scheme and userinfo stripped, port and
+    path/query/fragment cut."""
+    return F.regexp_extract(
+        u, r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)", 1
+    )
+
+
+# CH formatDateTime % codes -> Java SimpleDateFormat-ish patterns the
+# Spark date_format expression accepts. Only the unambiguous common
+# subset; an unmapped code raises instead of silently mis-formatting.
+_CH_FMT = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d",
+    "H": "HH", "I": "hh", "i": "mm", "S": "ss",
+    "F": "yyyy-MM-dd", "T": "HH:mm:ss", "D": "MM/dd/yy",
+    "p": "a", "j": "DDD", "a": "EEE", "b": "MMM", "M": "MMMM",
+    "%": "%",
+}
+
+
+def _ch_format(fmt) -> str:
+    """Translate a CH formatDateTime pattern (driver-literal) into the
+    Java pattern date_format expects; literal text is quoted so letters
+    outside % codes never leak as pattern characters."""
+    from pyspark.sql import Column as _C
+
+    if isinstance(fmt, _C):
+        raise TypeError("formatDateTime pattern must be a plain string")
+    s = str(fmt).strip("'\"")
+    out: list[str] = []
+    i = 0
+    lit: list[str] = []
+
+    def flush_lit() -> None:
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    while i < len(s):
+        ch = s[i]
+        if ch == "%":
+            if i + 1 >= len(s):
+                raise ValueError("trailing % in formatDateTime pattern")
+            code = s[i + 1]
+            if code not in _CH_FMT:
+                raise ValueError(
+                    f"unsupported formatDateTime code %{code}"
+                )
+            if code == "%":
+                lit.append("%")
+            else:
+                flush_lit()
+                out.append(_CH_FMT[code])
+            i += 2
+        else:
+            if ch.isalpha():
+                lit.append(ch)
+            elif lit:
+                lit.append(ch)
+            else:
+                out.append(ch)
+            i += 1
+    flush_lit()
+    return "".join(out)
+
+
+def _ch_extract_all(s: Column, pat) -> Column:
+    """CH extractAll(): array of every match — group 1 when the
+    pattern captures, whole match otherwise (same rule as extract)."""
+    import re as _re
+
+    group = 0
+    if isinstance(pat, str):
+        if _re.compile(pat).groups > 0:
+            group = 1
+        return F.regexp_extract_all(s, F.lit(pat), group)
+    return F.regexp_extract_all(s, pat, F.lit(0))
 
 
 def _ch_extract(s: Column, pat) -> Column:

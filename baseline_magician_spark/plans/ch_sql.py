@@ -659,6 +659,11 @@ class _Parser:
 # extract's pattern, whose capture-group count picks the output group)
 _LITERAL_ARG_POSITIONS = {
     "datediff": {0},
+    "datetrunc": {0},
+    "date_trunc": {0},
+    "formatdatetime": {1},
+    "extractall": {1},
+    "extracturlparameter": {1},
     "splitbychar": {0},
     "splitbystring": {0},
     "extract": {1},

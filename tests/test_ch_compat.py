@@ -320,3 +320,106 @@ def test_if_combinator_family(spark):
     assert row.u == 1        # only x=2 matches y='b'
     assert row.ua == 2       # x in {1, 3}
     assert row.missing is None  # no match -> NULL, like CH
+
+
+def test_date_trunc_and_fixed_windows(row):
+    ts = F.lit("2024-03-15 13:47:29").cast("timestamp")
+    got = row(
+        trunc_h=ch_fn("dateTrunc")("hour", ts),
+        trunc_m=ch_fn("date_trunc")("'month'", ts),
+        five=ch_fn("toStartOfFiveMinutes")(ts),
+        ten=ch_fn("toStartOfTenMinutes")(ts),
+        fifteen=ch_fn("toStartOfFifteenMinutes")(ts),
+    )
+    assert str(got["trunc_h"]) == "2024-03-15 13:00:00"
+    assert str(got["trunc_m"]) == "2024-03-01 00:00:00"
+    assert str(got["five"]) == "2024-03-15 13:45:00"
+    assert str(got["ten"]) == "2024-03-15 13:40:00"
+    assert str(got["fifteen"]) == "2024-03-15 13:45:00"
+
+
+def test_format_datetime(row):
+    ts = F.lit("2024-03-05 09:07:02").cast("timestamp")
+    got = row(
+        iso=ch_fn("formatDateTime")(ts, "%F %T"),
+        custom=ch_fn("formatDateTime")(ts, "%Y/%m/%d %H:%i:%S"),
+        pct=ch_fn("formatDateTime")(ts, "%d%%"),
+    )
+    assert got["iso"] == "2024-03-05 09:07:02"
+    assert got["custom"] == "2024/03/05 09:07:02"
+    assert got["pct"] == "05%"
+    with pytest.raises(ValueError, match="unsupported formatDateTime"):
+        ch_fn("formatDateTime")(ts, "%Q")
+
+
+def test_url_functions(row):
+    u = F.lit("https://user@sub.example.com:8443/a/b?x=1&y=2#frag")
+    got = row(
+        proto=ch_fn("protocol")(u),
+        dom=ch_fn("domain")(u),
+        tld=ch_fn("topLevelDomain")(u),
+        path=ch_fn("path")(u),
+        qs=ch_fn("queryString")(u),
+        cut=ch_fn("cutQueryString")(u),
+        param=ch_fn("extractURLParameter")(u, "y"),
+    )
+    assert got == {
+        "proto": "https",
+        "dom": "sub.example.com",
+        "tld": "com",
+        "path": "/a/b",
+        "qs": "x=1&y=2",
+        "cut": "https://user@sub.example.com:8443/a/b#frag",
+        "param": "2",
+    }
+    got2 = row(
+        dom=ch_fn("domain")(F.lit("example.org/x")),
+        tld_ip=ch_fn("topLevelDomain")(F.lit("http://1.2.3.4/x")),
+        path2=ch_fn("path")(F.lit("example.org/x/y?q=1")),
+    )
+    assert got2 == {"dom": "example.org", "tld_ip": "", "path2": "/x/y"}
+
+
+def test_extract_all_and_multisearch(row):
+    got = row(
+        all_nums=ch_fn("extractAll")(F.lit("a1 b22 c333"), r"\d+"),
+        grouped=ch_fn("extractAll")(F.lit("k=1;k=2"), r"k=(\d)"),
+        pos_ci=ch_fn("positionCaseInsensitive")(
+            F.lit("Hello World"), F.lit("world")
+        ),
+        any_hit=ch_fn("multiSearchAny")(
+            F.lit("error: disk full"),
+            F.array(F.lit("timeout"), F.lit("disk")),
+        ),
+        any_miss=ch_fn("multiSearchAny")(
+            F.lit("all good"),
+            F.array(F.lit("timeout"), F.lit("disk")),
+        ),
+    )
+    assert list(got["all_nums"]) == ["1", "22", "333"]
+    assert list(got["grouped"]) == ["1", "2"]
+    assert got["pos_ci"] == 7
+    assert got["any_hit"] is True and got["any_miss"] is False
+
+
+def test_new_functions_from_sql_text(spark):
+    """The dialect resolves the new shims with driver-literal args at
+    the registered positions."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [("https://a.io/p?k=7", "2024-03-15 13:47:29")],
+        "url string, ts string",
+    )
+    r = run_ch_query(
+        "SELECT domain(url) AS d, extractURLParameter(url, 'k') AS k, "
+        "formatDateTime(toDateTime(ts), '%F') AS day, "
+        "dateTrunc('hour', toDateTime(ts)) AS h, "
+        "extractAll(url, '[a-z]+') AS toks "
+        "FROM t",
+        {"t": t},
+    ).first()
+    assert r["d"] == "a.io" and r["k"] == "7"
+    assert r["day"] == "2024-03-15"
+    assert str(r["h"]) == "2024-03-15 13:00:00"
+    assert list(r["toks"]) == ["https", "a", "io", "p", "k"]
