@@ -3070,6 +3070,25 @@ def _exec_select(
     for _gi, _g in enumerate(group_nodes):
         if _g.kind == "num" and isinstance(_g.value, int):
             group_nodes[_gi] = select_nodes[_positional(_g.value)]
+    # GROUP BY alias resolution: a bare grouping key naming an
+    # EXPLICIT select alias substitutes that item's expression. On an
+    # alias-vs-source-column clash the ALIAS wins — ClickHouse's
+    # documented default (prefer_column_name_to_alias = 0), and the
+    # famous CH gotcha this front end reproduces rather than papers
+    # over. Bare unaliased columns are untouched.
+    if group_nodes:
+        _galias = {
+            a: n
+            for n, a in zip(select_nodes, aliases)
+            if a is not None and not _contains_agg(n)
+        }
+        for _gi, _g in enumerate(group_nodes):
+            if (
+                _g.kind == "col"
+                and "." not in str(_g.value)
+                and str(_g.value) in _galias
+            ):
+                group_nodes[_gi] = _galias[str(_g.value)]
     order_nodes = [
         (
             _Node("col", names[_positional(n.value)])

@@ -1336,3 +1336,48 @@ def _ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ch_sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ddl_roundtrip(spark, sf_dir)
+
+
+# Round-5 shim surface as one oracle row: URL dissection + fixed-window
+# time flooring + CH formatDateTime, all from SQL text. The URLs are
+# synthesized deterministically from event fields, so the oracle can
+# rebuild and re-dissect the identical strings with plain regexes;
+# k_sum round-trips a JSON value through a query-string and back (exact
+# integer sums, no float order anywhere).
+_URL_TIME_SQL = """
+SELECT formatDateTime(toStartOfFifteenMinutes(ts), '%F %T') AS bucket,
+       domain(concat('https://', event_type, '.example.com/u/',
+              toString(user_id))) AS dom,
+       count(*) AS n,
+       sum(toInt64(extractURLParameter(
+           concat('https://x.io/p?k=',
+                  toString(JSONExtractInt(props, 'k'))), 'k'))) AS k_sum
+FROM fastnetmon.events
+GROUP BY 1, 2
+ORDER BY 1, 2
+LIMIT 500
+"""
+
+
+@query(
+    "ch_sql_url_time_functions",
+    """
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts),
+                    '%Y-%m-%d %H:%M:%S') AS bucket,
+           regexp_extract('https://' || event_type || '.example.com/u/'
+                          || CAST(user_id AS VARCHAR),
+                          '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)',
+                          1) AS dom,
+           count(*) AS n,
+           CAST(sum(CAST(regexp_extract(
+                'https://x.io/p?k=' ||
+                CAST(CAST(props ->> 'k' AS BIGINT) AS VARCHAR),
+                'k=([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    LIMIT 500
+    """,
+)
+def ch_sql_url_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_URL_TIME_SQL, _tables(spark, sf_dir, "events"))

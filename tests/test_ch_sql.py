@@ -2341,3 +2341,28 @@ def test_final_modifier_is_noop(spark):
         "SELECT count(*) AS n FROM t FINAL JOIN d FINAL ON t.k = d.k",
     ):
         assert run_ch_query(sql, {"t": t, "d": d}).first()["n"] in (1, 2)
+
+
+def test_group_by_select_alias(spark):
+    """CH resolves GROUP BY keys that name explicit select aliases —
+    and on an alias-vs-source-column clash the ALIAS wins (the CH
+    prefer_column_name_to_alias=0 default, gotcha included)."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 10)], "v long, w long"
+    )
+    rows = run_ch_query(
+        "SELECT v % 2 AS parity, count(*) AS n FROM t "
+        "GROUP BY parity ORDER BY parity",
+        {"t": t},
+    ).collect()
+    assert [tuple(r) for r in rows] == [(0, 1), (1, 2)]
+    # clash: 'w' is a real column AND an alias -> the alias expression
+    # becomes the grouping key (CH semantics)
+    rows = run_ch_query(
+        "SELECT w + 100 AS w, count(*) AS n FROM t GROUP BY w "
+        "ORDER BY w",
+        {"t": t},
+    ).collect()
+    assert [tuple(r) for r in rows] == [(110, 2), (120, 1)]
