@@ -141,6 +141,14 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     ),
     "groupArray": F.collect_list,
     "groupUniqArray": F.collect_set,
+    # CH -State/-Merge combinators for uniq: the two-level pattern CH
+    # users build pre-aggregated rollup tables with. uniqState emits a
+    # MERGEABLE sketch (Spark's Apache DataSketches HLL, a binary
+    # column that survives shuffles/storage), uniqMerge unions the
+    # sketches and estimates — partial aggregation at 100 TB without
+    # re-scanning raw data.
+    "uniqState": lambda c: F.hll_sketch_agg(c),
+    "uniqMerge": lambda c: F.hll_sketch_estimate(F.hll_union_agg(c)),
     "argMax": lambda c, by: F.max_by(c, by),
     "argMin": lambda c, by: F.min_by(c, by),
     # date/time

@@ -80,6 +80,7 @@ _AGGS = {
     "countif", "sumif", "avgif", "minif",
     "maxif", "anyif", "uniqif", "uniqexactif", "anylast",
     "grouparray", "groupuniqarray", "argmax", "argmin",
+    "uniqstate", "uniqmerge",
     # grouped-agg pandas UDAFs (functions/udaf.py, SURVEY §2.10)
     "weightedavg", "geometricmean",
     # ANSI DISTINCT-qualified aggregates (count(DISTINCT x), ...)

@@ -1381,3 +1381,57 @@ LIMIT 500
 )
 def ch_sql_url_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_URL_TIME_SQL, _tables(spark, sf_dir, "events"))
+
+
+# CH -State/-Merge combinators (round 5): the pre-aggregated rollup
+# pattern — per-day MERGEABLE uniq sketches (Spark DataSketches HLL as
+# a binary column) re-aggregated per type without re-scanning raw
+# rows. The hash-checked columns are exact; the sketch earns its hard
+# signal through merge_in_bounds (merged estimate within 5% of the
+# exact total — the oracle emits constant TRUE, so drift outside the
+# bound hash-mismatches the row).
+_STATE_MERGE_SQL = """
+WITH daily AS (
+  SELECT event_type, toStartOfDay(ts) AS d,
+         uniqState(user_id) AS sk,
+         uniqExact(user_id) AS exact_day
+  FROM fastnetmon.events
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, uniqExact(user_id) AS exact_total
+  FROM fastnetmon.events
+  GROUP BY 1
+)
+SELECT event_type, n_days, sum_day_uniques,
+       abs(merged - exact_total) <= 0.05 * exact_total
+         AS merge_in_bounds
+FROM (
+  SELECT d.event_type AS event_type,
+         count(*) AS n_days,
+         CAST(sum(d.exact_day) AS BIGINT) AS sum_day_uniques,
+         uniqMerge(d.sk) AS merged,
+         max(t.exact_total) AS exact_total
+  FROM daily d JOIN totals t ON d.event_type = t.event_type
+  GROUP BY d.event_type
+)
+ORDER BY event_type
+"""
+
+
+@query(
+    "ch_sql_uniq_state_merge",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             count(DISTINCT user_id) AS exact_day
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, count(*) AS n_days,
+           CAST(sum(exact_day) AS BIGINT) AS sum_day_uniques,
+           TRUE AS merge_in_bounds
+    FROM daily GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ch_sql_uniq_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_STATE_MERGE_SQL, _tables(spark, sf_dir, "events"))

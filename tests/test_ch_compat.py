@@ -423,3 +423,21 @@ def test_new_functions_from_sql_text(spark):
     assert r["day"] == "2024-03-15"
     assert str(r["h"]) == "2024-03-15 13:00:00"
     assert list(r["toks"]) == ["https", "a", "io", "p", "k"]
+
+
+def test_uniq_state_merge_sketches(spark):
+    """uniqState emits a MERGEABLE binary HLL sketch; uniqMerge unions
+    and estimates. The two-level result must estimate the true global
+    distinct within HLL error even though level two never sees raw
+    rows."""
+    from pyspark.sql.types import BinaryType
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 10).alias("g"), (F.col("id") % 700).alias("u")
+    )
+    daily = df.groupBy("g").agg(
+        ch_fn("uniqState")(F.col("u")).alias("sk")
+    )
+    assert isinstance(daily.schema["sk"].dataType, BinaryType)
+    est = daily.agg(ch_fn("uniqMerge")(F.col("sk")).alias("n")).first()["n"]
+    assert abs(est - 700) <= 0.05 * 700
