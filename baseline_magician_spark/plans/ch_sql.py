@@ -173,7 +173,9 @@ def _plan_subq(payload: _Subq) -> DataFrame:
         list(payload.toks), payload.tables, payload.broadcast_dims
     )
     sp.with_aliases = dict(payload.with_aliases)
-    df = _exec_set_expr(sp, payload.tables or {}, payload.broadcast_dims)
+    df = _exec_with_set_expr(
+        sp, payload.tables or {}, payload.broadcast_dims
+    )
     if sp.peek() is not None:
         raise ValueError(
             f"unexpected tokens in subquery: {self_toks(sp)}"
@@ -337,7 +339,7 @@ class _Parser:
         table NAME; the server reads the shipped block)."""
         if self.peek() == "(":
             self.next()
-            if self.peek_kw() == "select":
+            if self.peek_kw() in ("select", "with"):
                 sub = self.capture_subquery()
                 self.expect(")")
                 return _Node("in", ("subdf", negate, sub), (left,))
@@ -516,7 +518,7 @@ class _Parser:
     def parse_primary(self) -> _Node:
         t = self.next()
         if t == "(":
-            if self.peek_kw() == "select":
+            if self.peek_kw() in ("select", "with"):
                 # scalar subquery: captured now, planned + materialized
                 # to a literal at compile time (CH evaluates scalar
                 # subqueries once server-side — same shape)
@@ -1114,6 +1116,125 @@ _RESERVED = {
 }
 
 
+def _exec_with_set_expr(
+    p: _Parser,
+    tables: dict[str, DataFrame],
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """``[WITH ...] SELECT-or-set-chain`` — the shape the statement
+    level shares with derived tables, scalar/IN subqueries, and CTE
+    bodies (round 5: WITH was previously statement-level only, so
+    ``FROM (WITH a AS (...) SELECT ...)`` failed to parse)."""
+    # WITH clause, both CH forms (mixable in one list):
+    # - CTE:          WITH name AS (SELECT ...)   [ANSI]
+    # - scalar alias: WITH expr AS name           [classic ClickHouse]
+    # CTEs plan against the env extended by the CTEs before them
+    # (lazily; no materialization). Scalar aliases substitute their
+    # expression tree wherever the bare name appears downstream —
+    # including subqueries — and take precedence over a same-named
+    # column (qualify the column to reach it), like CH.
+    if p.peek_kw() == "with":
+        p.next()
+        recursive = False
+        if p.peek_kw() == "recursive":
+            p.next()
+            recursive = True
+        while True:
+            is_cte = (
+                re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", p.peek() or "")
+                and p.toks[p.i + 1 : p.i + 2]
+                and p.toks[p.i + 1].lower() == "as"
+                and p.toks[p.i + 2 : p.i + 3] == ["("]
+                and p.toks[p.i + 3 : p.i + 4]
+                and p.toks[p.i + 3].lower() in ("select", "with")
+            )
+            # WITH name (col, ...) AS (SELECT ...): ANSI column list
+            # — scan ahead for ident-list ')' AS '(' SELECT
+            cte_cols: list[str] | None = None
+            if (
+                not is_cte
+                and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", p.peek() or "")
+                and p.toks[p.i + 1 : p.i + 2] == ["("]
+            ):
+                j = p.i + 2
+                scan: list[str] = []
+                while j < len(p.toks) and p.toks[j] != ")":
+                    if p.toks[j] == ",":
+                        j += 1
+                        continue
+                    if not re.fullmatch(
+                        r"[A-Za-z_][A-Za-z_0-9]*", p.toks[j]
+                    ):
+                        scan = []
+                        break
+                    scan.append(p.toks[j])
+                    j += 1
+                if (
+                    scan
+                    and p.toks[j : j + 1] == [")"]
+                    and p.toks[j + 1 : j + 2]
+                    and p.toks[j + 1].lower() == "as"
+                    and p.toks[j + 2 : j + 3] == ["("]
+                    and p.toks[j + 3 : j + 4]
+                    and p.toks[j + 3].lower() in ("select", "with")
+                ):
+                    is_cte = True
+                    cte_cols = scan
+            if is_cte:
+                cte_name = p.next()
+                if cte_cols is not None:
+                    p.expect("(")
+                    while p.peek() != ")":
+                        p.next()
+                    p.next()
+                p.expect("as")
+                p.expect("(")
+                body = _capture_parens(p)
+                # RECURSIVE applies to the whole WITH list (ANSI); a
+                # CTE is actually recursive only if its body names
+                # itself. Self-reference makes eager planning
+                # impossible, so the body runs through the
+                # iterate-to-fixpoint executor instead.
+                if recursive and cte_name in body:
+                    cte_df = _exec_recursive_cte(
+                        cte_name,
+                        body,
+                        tables,
+                        broadcast_dims,
+                        p.with_aliases,
+                        columns=cte_cols,
+                    )
+                else:
+                    bp = _Parser(body, tables, broadcast_dims)
+                    bp.with_aliases = dict(p.with_aliases)
+                    cte_df = _exec_with_set_expr(
+                        bp, tables, broadcast_dims
+                    )
+                    if bp.peek() is not None:
+                        raise ValueError(
+                            "unexpected trailing tokens in CTE body: "
+                            f"{self_toks(bp)}"
+                        )
+                    if cte_cols is not None:
+                        if len(cte_cols) != len(cte_df.columns):
+                            raise ValueError(
+                                f"CTE {cte_name!r} lists "
+                                f"{len(cte_cols)} columns, body "
+                                f"produces {len(cte_df.columns)}"
+                            )
+                        cte_df = cte_df.toDF(*cte_cols)
+                tables = {**tables, cte_name: cte_df}
+                p.tables = tables
+            else:
+                expr = p.parse_expr()
+                p.expect("as")
+                p.with_aliases[p.next()] = expr
+            if p.peek() != ",":
+                break
+            p.next()
+    return _exec_set_expr(p, tables, broadcast_dims)
+
+
 def run_ch_query(
     sql: str,
     tables: dict[str, DataFrame],
@@ -1180,112 +1301,7 @@ def run_ch_query(
             [(ln,) for ln in text.rstrip("\n").split("\n")],
             "explain string",
         )
-    # WITH clause, both CH forms (mixable in one list):
-    # - CTE:          WITH name AS (SELECT ...)   [ANSI]
-    # - scalar alias: WITH expr AS name           [classic ClickHouse]
-    # CTEs plan against the env extended by the CTEs before them
-    # (lazily; no materialization). Scalar aliases substitute their
-    # expression tree wherever the bare name appears downstream —
-    # including subqueries — and take precedence over a same-named
-    # column (qualify the column to reach it), like CH.
-    if p.peek_kw() == "with":
-        p.next()
-        recursive = False
-        if p.peek_kw() == "recursive":
-            p.next()
-            recursive = True
-        while True:
-            is_cte = (
-                re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", p.peek() or "")
-                and p.toks[p.i + 1 : p.i + 2]
-                and p.toks[p.i + 1].lower() == "as"
-                and p.toks[p.i + 2 : p.i + 3] == ["("]
-                and p.toks[p.i + 3 : p.i + 4]
-                and p.toks[p.i + 3].lower() == "select"
-            )
-            # WITH name (col, ...) AS (SELECT ...): ANSI column list
-            # — scan ahead for ident-list ')' AS '(' SELECT
-            cte_cols: list[str] | None = None
-            if (
-                not is_cte
-                and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", p.peek() or "")
-                and p.toks[p.i + 1 : p.i + 2] == ["("]
-            ):
-                j = p.i + 2
-                scan: list[str] = []
-                while j < len(p.toks) and p.toks[j] != ")":
-                    if p.toks[j] == ",":
-                        j += 1
-                        continue
-                    if not re.fullmatch(
-                        r"[A-Za-z_][A-Za-z_0-9]*", p.toks[j]
-                    ):
-                        scan = []
-                        break
-                    scan.append(p.toks[j])
-                    j += 1
-                if (
-                    scan
-                    and p.toks[j : j + 1] == [")"]
-                    and p.toks[j + 1 : j + 2]
-                    and p.toks[j + 1].lower() == "as"
-                    and p.toks[j + 2 : j + 3] == ["("]
-                    and p.toks[j + 3 : j + 4]
-                    and p.toks[j + 3].lower() == "select"
-                ):
-                    is_cte = True
-                    cte_cols = scan
-            if is_cte:
-                cte_name = p.next()
-                if cte_cols is not None:
-                    p.expect("(")
-                    while p.peek() != ")":
-                        p.next()
-                    p.next()
-                p.expect("as")
-                p.expect("(")
-                body = _capture_parens(p)
-                # RECURSIVE applies to the whole WITH list (ANSI); a
-                # CTE is actually recursive only if its body names
-                # itself. Self-reference makes eager planning
-                # impossible, so the body runs through the
-                # iterate-to-fixpoint executor instead.
-                if recursive and cte_name in body:
-                    cte_df = _exec_recursive_cte(
-                        cte_name,
-                        body,
-                        tables,
-                        broadcast_dims,
-                        p.with_aliases,
-                        columns=cte_cols,
-                    )
-                else:
-                    bp = _Parser(body, tables, broadcast_dims)
-                    bp.with_aliases = dict(p.with_aliases)
-                    cte_df = _exec_set_expr(bp, tables, broadcast_dims)
-                    if bp.peek() is not None:
-                        raise ValueError(
-                            "unexpected trailing tokens in CTE body: "
-                            f"{self_toks(bp)}"
-                        )
-                    if cte_cols is not None:
-                        if len(cte_cols) != len(cte_df.columns):
-                            raise ValueError(
-                                f"CTE {cte_name!r} lists "
-                                f"{len(cte_cols)} columns, body "
-                                f"produces {len(cte_df.columns)}"
-                            )
-                        cte_df = cte_df.toDF(*cte_cols)
-                tables = {**tables, cte_name: cte_df}
-                p.tables = tables
-            else:
-                expr = p.parse_expr()
-                p.expect("as")
-                p.with_aliases[p.next()] = expr
-            if p.peek() != ",":
-                break
-            p.next()
-    out = _exec_set_expr(p, tables, broadcast_dims)
+    out = _exec_with_set_expr(p, tables, broadcast_dims)
 
     # trailing SETTINGS k = v [, ...] and FORMAT <name>. CH SETTINGS is
     # QUERY-scoped; Spark confs are session-scoped and read at
@@ -1503,7 +1519,7 @@ def _exec_recursive_cte(
     ) -> DataFrame:
         bp = _Parser(list(slice_), env, broadcast_dims)
         bp.with_aliases = dict(with_aliases)
-        df = _exec_set_expr(bp, env, broadcast_dims)
+        df = _exec_with_set_expr(bp, env, broadcast_dims)
         if bp.peek() is not None:
             raise ValueError(
                 "unexpected trailing tokens in recursive CTE branch: "
@@ -2359,7 +2375,7 @@ def _exec_select(
             # inline (lazy); unnamed ones get a positional alias so
             # qualified resolution still works downstream
             p.next()
-            sub = _exec_set_expr(p, tables, broadcast_dims)
+            sub = _exec_with_set_expr(p, tables, broadcast_dims)
             p.expect(")")
             return sub, _opt_alias() or f"_dt{p.i}"
         name = p.next()

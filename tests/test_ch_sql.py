@@ -2366,3 +2366,42 @@ def test_group_by_select_alias(spark):
         {"t": t},
     ).collect()
     assert [tuple(r) for r in rows] == [(110, 2), (120, 1)]
+
+
+def test_nested_with_in_derived_table_and_subquery(spark):
+    """WITH is no longer statement-level only: derived tables, scalar
+    subqueries, IN subqueries, and CTE bodies each accept their own
+    WITH prefix (including RECURSIVE)."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1,), (2,), (3,), (4,)], "v long")
+    # derived table with its own CTE
+    rows = run_ch_query(
+        "SELECT s FROM (WITH big AS (SELECT v FROM t WHERE v >= 2) "
+        "SELECT sum(v) AS s FROM big)",
+        {"t": t},
+    ).collect()
+    assert rows[0]["s"] == 9
+    # scalar subquery with WITH
+    r = run_ch_query(
+        "SELECT v FROM t WHERE v = (WITH m AS (SELECT max(v) AS mv "
+        "FROM t) SELECT mv FROM m)",
+        {"t": t},
+    ).collect()
+    assert [x["v"] for x in r] == [4]
+    # recursive CTE inside a derived table
+    r = run_ch_query(
+        "SELECT c FROM (WITH RECURSIVE seq AS (SELECT 1 AS n UNION ALL "
+        "SELECT n + 1 FROM seq WHERE n < 5) "
+        "SELECT count(*) AS c FROM seq)",
+        {},
+    ).collect()
+    assert r[0]["c"] == 5
+    # CTE body containing its own nested WITH
+    r = run_ch_query(
+        "WITH outer_cte AS (WITH inner_cte AS (SELECT v * 2 AS w "
+        "FROM t) SELECT sum(w) AS sw FROM inner_cte) "
+        "SELECT sw FROM outer_cte",
+        {"t": t},
+    ).collect()
+    assert r[0]["sw"] == 20
