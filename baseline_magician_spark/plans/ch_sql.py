@@ -2262,6 +2262,17 @@ def _exec_select(
     if p.peek_kw() == "distinct":
         p.next()
         distinct = True
+    # CH/T-SQL SELECT TOP n [WITH TIES] — sugar for LIMIT n [WITH
+    # TIES]; cannot combine with a trailing LIMIT (CH rule)
+    top_n: int | None = None
+    top_ties = False
+    if p.peek_kw() == "top":
+        p.next()
+        top_n = int(p.next())
+        if p.peek_kw() == "with":
+            p.next()
+            p.expect("ties")
+            top_ties = True
 
     def _star_modifiers(node: _Node) -> _Node:
         """CH column-matcher modifiers on a star select item:
@@ -2807,6 +2818,10 @@ def _exec_select(
     offset_n: int | None = None
     limit_ties = False
     limit_by: tuple[int, int, list[_Node]] | None = None
+    if top_n is not None and p.peek_kw() == "limit":
+        raise ValueError("SELECT TOP cannot combine with LIMIT")
+    if top_n is not None:
+        limit_n, limit_ties = top_n, top_ties
     if p.peek_kw() == "limit":
         p.next()
         first = int(p.next())

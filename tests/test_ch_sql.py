@@ -2405,3 +2405,23 @@ def test_nested_with_in_derived_table_and_subquery(spark):
         {"t": t},
     ).collect()
     assert r[0]["sw"] == 20
+
+
+def test_select_top_n(spark):
+    """SELECT TOP n [WITH TIES] — CH's LIMIT sugar; cannot combine
+    with a trailing LIMIT."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 20), (4, 5)], "k long, v long"
+    )
+    rows = run_ch_query(
+        "SELECT TOP 2 k FROM t ORDER BY k", {"t": t}
+    ).collect()
+    assert [r["k"] for r in rows] == [1, 2]
+    rows = run_ch_query(
+        "SELECT TOP 1 WITH TIES v FROM t ORDER BY v DESC", {"t": t}
+    ).collect()
+    assert [r["v"] for r in rows] == [20, 20]
+    with pytest.raises(ValueError, match="cannot combine with LIMIT"):
+        run_ch_query("SELECT TOP 2 k FROM t ORDER BY k LIMIT 3", {"t": t})

@@ -381,6 +381,18 @@ def _gen_recursive_cte_query(rng: random.Random) -> str:
     )
 
 
+def _gen_nested_with_query(rng: random.Random) -> str:
+    # WITH inside a derived table — shared text (both engines scope
+    # the CTE to the subquery)
+    m = rng.randint(2, 6)
+    w = _where(rng)
+    return (
+        f"SELECT k, n FROM (WITH b AS (SELECT user_id % {m} AS k, "
+        f"event_id FROM events{w}) "
+        "SELECT k, count(*) AS n FROM b GROUP BY k) ORDER BY k"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
     return rng.choice(
         [_gen_agg_query, _gen_agg_query, _gen_distinct_query,
@@ -389,7 +401,8 @@ def _gen_query(rng: random.Random) -> str:
          _gen_grouping_sets_query, _gen_frame_query,
          _gen_group_all_query, _gen_correlated_query,
          _gen_qualify_query, _gen_positional_query,
-         _gen_named_window_query, _gen_recursive_cte_query]
+         _gen_named_window_query, _gen_recursive_cte_query,
+         _gen_nested_with_query]
     )(rng)
 
 
