@@ -568,6 +568,33 @@ class _Parser:
             self.expect(")")
             spark_type = _CAST_TYPES.get(tname, tname)
             return _Node("cast", spark_type, (inner,))
+        if t.lower() in ("date", "timestamp") and (
+            self.peek() or ""
+        ).startswith("'"):
+            # typed literals DATE '...' / TIMESTAMP '...' — CH accepts
+            # the ANSI spellings alongside toDate()/toDateTime()
+            v = self.next()
+            return _Node("cast", t.lower(), (_Node("str", v[1:-1]),))
+        if t.lower() == "interval" and self.peek() is not None and (
+            re.fullmatch(r"\d+", self.peek())
+            or self.peek().startswith("'")
+            or self.peek() == "-"
+        ):
+            # INTERVAL [-]n UNIT / INTERVAL 'n' UNIT (TPC-H spelling).
+            # Quantity is a driver literal by definition in CH's
+            # grammar for the typed-literal form.
+            sign = 1
+            if self.peek() == "-":
+                self.next()
+                sign = -1
+            q = self.next()
+            qv = q[1:-1] if q.startswith("'") else q
+            if not re.fullmatch(r"-?\d+", qv):
+                raise ValueError(f"INTERVAL quantity must be integral: {qv!r}")
+            unit = self.next().lower().rstrip("s")
+            if unit not in _INTERVAL_UNITS:
+                raise ValueError(f"unknown INTERVAL unit {unit!r}")
+            return _Node("interval", (sign * int(qv), unit))
         if t.lower() == "case":
             # searched CASE (WHEN cond THEN v ...) and valued CASE
             # (CASE x WHEN v THEN r ... — each WHEN becomes x = v);
@@ -762,9 +789,22 @@ _HOF = {
 }
 
 
+# CH interval units → (spark unit, multiplier). QUARTER/WEEK are CH
+# units Spark's ANSI interval literals lack — normalized to MONTH/DAY.
+_INTERVAL_UNITS = {
+    "year": ("YEAR", 1), "quarter": ("MONTH", 3), "month": ("MONTH", 1),
+    "week": ("DAY", 7), "day": ("DAY", 1), "hour": ("HOUR", 1),
+    "minute": ("MINUTE", 1), "second": ("SECOND", 1),
+}
+
+
 def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
     if node.kind == "num":
         return F.lit(node.value)
+    if node.kind == "interval":
+        n, unit = node.value
+        sunit, mult = _INTERVAL_UNITS[unit]
+        return F.expr(f"INTERVAL '{n * mult}' {sunit}")
     if node.kind == "str":
         return F.lit(node.value)
     if node.kind == "rawcol":
@@ -2259,9 +2299,22 @@ def _exec_select(
     paren)."""
     p.expect("select")
     distinct = False
+    distinct_on: list[_Node] | None = None
     if p.peek_kw() == "distinct":
         p.next()
-        distinct = True
+        if p.peek_kw() == "on":
+            # SELECT DISTINCT ON (keys) — CH defines it as LIMIT 1 BY
+            # keys; rides the same row_number machinery (and the same
+            # ORDER-BY-required determinism rule)
+            p.next()
+            p.expect("(")
+            distinct_on = [p.parse_expr()]
+            while p.peek() == ",":
+                p.next()
+                distinct_on.append(p.parse_expr())
+            p.expect(")")
+        else:
+            distinct = True
     # CH/T-SQL SELECT TOP n [WITH TIES] — sugar for LIMIT n [WITH
     # TIES]; cannot combine with a trailing LIMIT (CH rule)
     top_n: int | None = None
@@ -2866,6 +2919,11 @@ def _exec_select(
             if p.peek_kw() == "offset":
                 p.next()
                 offset_n = int(p.next())
+
+    if distinct_on is not None:
+        if limit_by is not None:
+            raise ValueError("DISTINCT ON cannot combine with LIMIT BY")
+        limit_by = (1, 0, distinct_on)
 
     def _resolve(name: str | DataFrame) -> DataFrame:
         if isinstance(name, DataFrame):  # derived table, already planned
@@ -3638,8 +3696,9 @@ def _exec_select(
             out = out.drop(*hidden_ord)
     elif limit_by is not None:
         raise ValueError(
-            "LIMIT BY requires ORDER BY (this engine is deterministic; "
-            "ClickHouse would return an arbitrary per-key subset)"
+            "LIMIT BY / DISTINCT ON requires ORDER BY (this engine is "
+            "deterministic; ClickHouse would return an arbitrary "
+            "per-key subset)"
         )
     elif limit_ties:
         raise ValueError("LIMIT ... WITH TIES requires ORDER BY")

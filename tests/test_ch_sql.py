@@ -2425,3 +2425,75 @@ def test_select_top_n(spark):
     assert [r["v"] for r in rows] == [20, 20]
     with pytest.raises(ValueError, match="cannot combine with LIMIT"):
         run_ch_query("SELECT TOP 2 k FROM t ORDER BY k LIMIT 3", {"t": t})
+
+
+def test_interval_and_typed_date_literals(spark):
+    """INTERVAL n UNIT (incl. quoted TPC-H spelling and CH-only
+    QUARTER/WEEK normalized to MONTH/DAY) + DATE/TIMESTAMP typed
+    literals."""
+    import datetime as dt
+
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, dt.date(1995, 3, 1)), (2, dt.date(1996, 6, 1)),
+         (3, dt.date(1997, 1, 2))],
+        "k long, d date",
+    )
+    r = run_ch_query(
+        "SELECT k FROM t WHERE d < DATE '1995-01-01' + INTERVAL 1 YEAR "
+        "ORDER BY k",
+        {"t": t},
+    ).collect()
+    assert [x["k"] for x in r] == [1]
+    r = run_ch_query(
+        "SELECT k FROM t WHERE d >= DATE '1997-01-01' - "
+        "INTERVAL '2' QUARTER ORDER BY k",
+        {"t": t},
+    ).collect()
+    assert [x["k"] for x in r] == [3]
+    r = run_ch_query(
+        "SELECT DATE '2020-01-05' + INTERVAL 3 WEEK AS x, "
+        "TIMESTAMP '2020-01-01 00:00:00' + INTERVAL 90 MINUTE AS y",
+        {"t": t},
+    ).collect()
+    assert str(r[0]["x"]) == "2020-01-26"
+    assert str(r[0]["y"]) == "2020-01-01 01:30:00"
+    r = run_ch_query(
+        "SELECT k FROM t WHERE d + INTERVAL -1 DAY = DATE '1996-05-31'",
+        {"t": t},
+    ).collect()
+    assert [x["k"] for x in r] == [2]
+    with pytest.raises(ValueError, match="unknown INTERVAL unit"):
+        run_ch_query("SELECT DATE '2020-01-01' + INTERVAL 1 FORTNIGHT",
+                     {"t": t})
+
+
+def test_distinct_on(spark):
+    """SELECT DISTINCT ON (keys) — CH sugar for LIMIT 1 BY keys;
+    deterministic-only (ORDER BY required), first row per key in the
+    ORDER BY order."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5), (3, "b", 7), (4, "b", 9),
+         (5, "c", 1)],
+        "k long, g string, v long",
+    )
+    r = run_ch_query(
+        "SELECT DISTINCT ON (g) g, k, v FROM t ORDER BY g, v DESC",
+        {"t": t},
+    ).collect()
+    assert [(x["g"], x["k"], x["v"]) for x in r] == [
+        ("a", 1, 10), ("b", 4, 9), ("c", 5, 1)
+    ]
+    with pytest.raises(ValueError, match="requires ORDER BY"):
+        run_ch_query("SELECT DISTINCT ON (g) g, k FROM t", {"t": t})
+    with pytest.raises(ValueError, match="cannot combine with LIMIT BY"):
+        run_ch_query(
+            "SELECT DISTINCT ON (g) g FROM t ORDER BY g LIMIT 1 BY g",
+            {"t": t},
+        )
+    # plain DISTINCT unaffected
+    r = run_ch_query("SELECT DISTINCT g FROM t ORDER BY g", {"t": t}).collect()
+    assert [x["g"] for x in r] == ["a", "b", "c"]

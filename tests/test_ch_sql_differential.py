@@ -381,6 +381,35 @@ def _gen_recursive_cte_query(rng: random.Random) -> str:
     )
 
 
+def _gen_interval_query(rng: random.Random) -> str:
+    # DATE '...' +/- INTERVAL n UNIT in WHERE — shared text (DuckDB
+    # accepts the unquoted-quantity spelling); date comparisons only,
+    # so engine differences in date-vs-timestamp promotion never play
+    unit = rng.choice(["DAY", "MONTH", "YEAR"])
+    n = {"DAY": rng.randint(1, 400), "MONTH": rng.randint(1, 24),
+         "YEAR": rng.randint(1, 3)}[unit]
+    op = rng.choice(["+", "-"])
+    base = rng.choice(["1994-06-01", "1995-01-01", "1996-03-15"])
+    cmp_op = rng.choice(["<", ">=", "<=", ">"])
+    return (
+        "SELECT o_orderpriority AS k, count(*) AS n FROM orders "
+        f"WHERE o_orderdate {cmp_op} DATE '{base}' {op} INTERVAL {n} {unit} "
+        "GROUP BY o_orderpriority ORDER BY k"
+    )
+
+
+def _gen_distinct_on_query(rng: random.Random) -> str:
+    # DISTINCT ON (key) — shared text; both engines take the first
+    # row per key in ORDER BY order (o_orderkey is unique, so the
+    # result is fully deterministic)
+    desc = rng.choice(["", " DESC"])
+    return (
+        "SELECT DISTINCT ON (o_orderpriority) o_orderpriority AS k, "
+        "o_orderkey AS v FROM orders "
+        f"ORDER BY o_orderpriority, o_orderkey{desc}"
+    )
+
+
 def _gen_nested_with_query(rng: random.Random) -> str:
     # WITH inside a derived table — shared text (both engines scope
     # the CTE to the subquery)
@@ -402,7 +431,8 @@ def _gen_query(rng: random.Random) -> str:
          _gen_group_all_query, _gen_correlated_query,
          _gen_qualify_query, _gen_positional_query,
          _gen_named_window_query, _gen_recursive_cte_query,
-         _gen_nested_with_query]
+         _gen_nested_with_query, _gen_interval_query,
+         _gen_distinct_on_query]
     )(rng)
 
 
