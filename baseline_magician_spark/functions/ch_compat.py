@@ -149,6 +149,52 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # re-scanning raw data.
     "uniqState": lambda c: F.hll_sketch_agg(c),
     "uniqMerge": lambda c: F.hll_sketch_estimate(F.hll_union_agg(c)),
+    # the simple -State/-Merge families: for sum/min/max the partial
+    # state IS the value (merge = same fold); count's partials merge
+    # by SUMMING; avg needs the (sum, count) pair carried as a struct
+    # — exactly the partial-aggregate shapes Spark's own map-side
+    # combine produces, so a rollup table built with these re-merges
+    # at 100 TB without touching raw data.
+    "sumState": F.sum,
+    "sumMerge": F.sum,
+    "minState": F.min,
+    "minMerge": F.min,
+    "maxState": F.max,
+    "maxMerge": F.max,
+    "countState": F.count,
+    "countMerge": F.sum,
+    "avgState": lambda c: F.struct(
+        F.sum(c).alias("s"), F.count(c).alias("n")
+    ),
+    "avgMerge": lambda c: F.sum(c.getField("s")) / F.sum(c.getField("n")),
+    # topK(k)(x): exact deterministic variant (CH's is an approximate
+    # stream summary with arbitrary tie order): frequency desc, value
+    # asc. Built from collect_list + higher-order functions so it
+    # drops into any aggregate position; for billion-row heavy-hitter
+    # scans prefer the dedicated groupBy-count top-k plan (O(n) vs
+    # this O(distinct * group) per group).
+    "topK": lambda c, k=10: F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.array_distinct(F.collect_list(c)),
+                    lambda v: F.struct(
+                        (
+                            -F.size(
+                                F.filter(
+                                    F.collect_list(c), lambda y: y == v
+                                )
+                            )
+                        ).alias("negn"),
+                        v.alias("v"),
+                    ),
+                )
+            ),
+            lambda s: s.getField("v"),
+        ),
+        1,
+        int(k),
+    ),
     "argMax": lambda c, by: F.max_by(c, by),
     "argMin": lambda c, by: F.min_by(c, by),
     # date/time

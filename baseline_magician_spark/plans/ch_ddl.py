@@ -20,6 +20,9 @@ module closes the gap for a CH user who writes the statements out:
 - ``DROP TABLE|VIEW [IF EXISTS] name``: removes the env entry;
   returns the dropped relation's empty frame (CH returns an empty
   result set for DDL).
+- ``ALTER TABLE name DELETE WHERE ...`` / ``ALTER TABLE name UPDATE
+  col = expr, ... WHERE ...``: CH lightweight mutations as lazy plan
+  rewrites (see :func:`_run_ch_alter`).
 
 ENGINE clauses parse and are recorded on the returned DataFrame's
 plan only in the sense that every engine maps to the same Spark
@@ -53,10 +56,77 @@ _DROP_RE = re.compile(
     re.IGNORECASE,
 )
 
+_ALTER_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?:({_IDENT})\.)?({_IDENT})\s+"
+    rf"(DELETE|UPDATE)\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _run_ch_alter(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
+    """CH lightweight mutations:
+
+    - ``ALTER TABLE t DELETE WHERE cond``
+    - ``ALTER TABLE t UPDATE col = expr [, ...] WHERE cond``
+
+    Both rewrite the env entry as a LAZY plan (filter / conditional
+    projection) — the exact analogue of CH's mutation-as-rewrite
+    model, and the right 100 TB shape: no data moves until the
+    relation is materialized (query or sink), at which point the
+    mutation rides the scan for free (predicate stays pushdown-able,
+    the UPDATE is a projection). WHERE is mandatory, as in CH.
+    Returns the mutated relation (CH returns an empty set; the
+    relation is strictly more useful and costs nothing — it is lazy).
+    """
+    from pyspark.sql import functions as F
+
+    from .ch_sql import _compile, _Parser, _tokenize
+
+    m = _ALTER_RE.match(sql)
+    assert m is not None  # caller matched
+    _db, name, verb, tail = m.groups()
+    if name not in tables:
+        raise ValueError(f"unknown table {name!r}")
+    df = tables[name]
+    p = _Parser(_tokenize(tail), tables)
+    if verb.upper() == "DELETE":
+        p.expect("where")
+        cond = _compile(p.parse_expr(), tables)
+        if p.peek() is not None:
+            raise ValueError(f"unexpected tokens after WHERE: {p.peek()!r}")
+        out = df.where(~F.coalesce(cond, F.lit(False)))
+    else:
+        sets: list[tuple[str, object]] = []
+        while True:
+            col = p.next()
+            if col is None or p.next() != "=":
+                raise ValueError("UPDATE expects col = expr [, ...]")
+            sets.append((col, p.parse_expr()))
+            if p.peek() == ",":
+                p.next()
+                continue
+            break
+        p.expect("where")
+        cond = F.coalesce(_compile(p.parse_expr(), tables), F.lit(False))
+        if p.peek() is not None:
+            raise ValueError(f"unexpected tokens after WHERE: {p.peek()!r}")
+        dtypes = dict(df.dtypes)
+        updates = {}
+        for col, node in sets:
+            if col not in df.columns:
+                raise ValueError(f"unknown column {col!r} in {name!r}")
+            # CH casts the assigned expression to the column's type
+            updates[col] = F.when(
+                cond, _compile(node, tables).cast(dtypes[col])
+            ).otherwise(F.col(col))
+        out = df.withColumns(updates)
+    tables[name] = out
+    return out
+
 
 def is_ddl(sql: str) -> bool:
     head = sql.split(maxsplit=1)
-    return bool(head) and head[0].upper() in ("CREATE", "DROP")
+    return bool(head) and head[0].upper() in ("CREATE", "DROP", "ALTER")
 
 
 def run_ch_ddl(
@@ -91,6 +161,10 @@ def run_ch_ddl(
             df = df.sparkSession.read.parquet(path)
         tables[name] = df
         return df
+    if _ALTER_RE.match(sql) is not None:
+        if path is not None:
+            raise ValueError("path= applies to CREATE statements only")
+        return _run_ch_alter(sql, tables)
     m = _DROP_RE.match(sql)
     if m is not None:
         _kind, if_exists, _db, name = m.groups()

@@ -81,6 +81,9 @@ _AGGS = {
     "maxif", "anyif", "uniqif", "uniqexactif", "anylast",
     "grouparray", "groupuniqarray", "argmax", "argmin",
     "uniqstate", "uniqmerge",
+    "sumstate", "summerge", "minstate", "minmerge",
+    "maxstate", "maxmerge", "countstate", "countmerge",
+    "avgstate", "avgmerge", "topk",
     # grouped-agg pandas UDAFs (functions/udaf.py, SURVEY §2.10)
     "weightedavg", "geometricmean",
     # ANSI DISTINCT-qualified aggregates (count(DISTINCT x), ...)
@@ -94,6 +97,7 @@ _AGGS = {
 # them through as Python floats (percentile levels must be foldable).
 _PARAMETRIC_AGGS = {
     "quantile", "quantileexact", "quantiles", "quantilesexact",
+    "topk",
 }
 
 _TOKEN = re.compile(

@@ -1435,3 +1435,107 @@ ORDER BY event_type
 )
 def ch_sql_uniq_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_STATE_MERGE_SQL, _tables(spark, sf_dir, "events"))
+
+
+def _mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH lightweight mutations (ALTER TABLE DELETE / UPDATE,
+    plans/ch_ddl.py) as lazy env rewrites, then an aggregate over the
+    mutated relation. The reference's driver never mutates
+    (main.go:238-279 is SELECT/INSERT only) — this is §2.12 extension
+    surface for the statements a CH operator runs by hand."""
+    from ..plans.ch_insert import run_ch_statement
+
+    tabs = _tables(spark, sf_dir, "lineitem")
+    run_ch_statement(
+        "ALTER TABLE lineitem DELETE WHERE l_quantity < 10", tabs
+    )
+    run_ch_statement(
+        "ALTER TABLE lineitem UPDATE l_discount = 0 "
+        "WHERE l_returnflag = 'A'",
+        tabs,
+    )
+    return run_ch_statement(
+        "SELECT l_returnflag AS flag, count(*) AS n, "
+        "min(l_quantity) AS min_qty, "
+        "sum(toInt64(l_discount * 100)) AS disc_pts "
+        "FROM fastnetmon.lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag",
+        tabs,
+    )
+
+
+@query(
+    "ch_sql_mutations",
+    """
+    SELECT l_returnflag AS flag, count(*) AS n,
+           min(l_quantity) AS min_qty,
+           -- trunc() first: DuckDB's double->BIGINT cast rounds,
+           -- Spark's truncates toward zero (CH toInt64 semantics)
+           CAST(sum(CAST(trunc(
+             (CASE WHEN l_returnflag = 'A' THEN 0.0
+                   ELSE l_discount END) * 100) AS BIGINT)) AS BIGINT)
+             AS disc_pts
+    FROM lineitem
+    WHERE NOT (l_quantity < 10)
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def ch_sql_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mutations(spark, sf_dir)
+
+
+# Exact deterministic topK: frequency desc, value asc (CH's topK is an
+# approximate stream summary with arbitrary tie order — this engine
+# trades the approximation for reproducibility; heavy-hitter scans at
+# scale should use the dedicated groupBy-count top-k plan instead).
+_TOPK_SQL = """
+SELECT event_type, topK(3)(user_id % 7) AS top3, count(*) AS n
+FROM fastnetmon.events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "ch_sql_topk",
+    """
+    WITH f AS (
+      SELECT event_type, user_id % 7 AS v, count(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, (list(v ORDER BY c DESC, v))[1:3] AS top3,
+           CAST(sum(c) AS BIGINT) AS n
+    FROM f GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ch_sql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_TOPK_SQL, _tables(spark, sf_dir, "events"))
+
+
+# The full simple -State/-Merge family as a two-level rollup: partial
+# states per (event_type, bucket), merged per event_type. count merges
+# by SUMMING, avg carries a (sum, count) struct — the exact shapes
+# Spark's own map-side combine produces, so the rollup re-merges at
+# 100 TB without touching raw rows.
+_STATE_FAMILY_SQL = """
+SELECT event_type, sumMerge(s) AS total, countMerge(c) AS n,
+       avgMerge(a) AS m, minMerge(mn) AS lo, maxMerge(mx) AS hi
+FROM (
+  SELECT event_type, user_id % 10 AS b, sumState(user_id) AS s,
+         countState(user_id) AS c, avgState(user_id) AS a,
+         minState(user_id) AS mn, maxState(user_id) AS mx
+  FROM fastnetmon.events GROUP BY event_type, b
+) GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "ch_sql_state_merge_rollup",
+    """
+    SELECT event_type, CAST(sum(user_id) AS BIGINT) AS total,
+           count(user_id) AS n, avg(user_id) AS m,
+           CAST(min(user_id) AS BIGINT) AS lo,
+           CAST(max(user_id) AS BIGINT) AS hi
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ch_sql_state_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_STATE_FAMILY_SQL, _tables(spark, sf_dir, "events"))

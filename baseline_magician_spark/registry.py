@@ -60,7 +60,11 @@ _loaded = False
 # - the rotating tail: names whose last driver row is round 2,
 #   ever-red rows first (all re-checked green since), then operator
 #   diversity; the 7 r2-stale TPC-H names that don't fit (q7 q8 q9
-#   q10 q15 q16 q19) lead the round-6 rotation.
+#   q10 q15 q16 q19) lead the round-6 rotation, together with the
+#   round-5 registrations past slot 50 (ch_sql_url_time_functions,
+#   ch_sql_uniq_state_merge, ch_sql_mutations, ch_sql_topk,
+#   ch_sql_state_merge_rollup — each verified locally with the
+#   driver's exact recipe when registered).
 _PRIORITY: tuple[str, ...] = (
     # never driver-checked (round-4 tail registrations)
     "ch_sql_tpch_q3",

@@ -116,3 +116,52 @@ def test_ddl_bind_params_and_bad_statements(spark, tabs):
         run_ch_statement(
             "CREATE TABLE y AS SELECT id FROM t", tabs, rows=[(1,)]
         )
+
+
+def test_alter_delete_and_update_mutations(spark, tabs):
+    """ALTER TABLE DELETE/UPDATE — CH lightweight mutations as lazy
+    env-entry rewrites (filter / conditional projection; nothing
+    materializes until a query runs)."""
+    from baseline_magician_spark.plans.ch_insert import run_ch_statement
+
+    run_ch_statement("ALTER TABLE t DELETE WHERE v >= 30", tabs)
+    rows = run_ch_statement("SELECT id FROM t ORDER BY id", tabs).collect()
+    assert [r["id"] for r in rows] == [1, 2]
+
+    run_ch_statement(
+        "ALTER TABLE t UPDATE v = v * 10, grp = upper(grp) "
+        "WHERE grp = 'a'",
+        tabs,
+    )
+    rows = run_ch_statement(
+        "SELECT id, grp, v FROM t ORDER BY id", tabs
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, "A", 100.0), (2, "b", 20.0)]
+    # assigned expression casts to the column's type (CH semantics)
+    run_ch_statement("ALTER TABLE t UPDATE id = v WHERE id = 2", tabs)
+    assert dict(tabs["t"].dtypes)["id"] == "bigint"
+    rows = run_ch_statement("SELECT id FROM t ORDER BY grp", tabs).collect()
+    assert [r["id"] for r in rows] == [1, 20]
+
+
+def test_alter_null_where_and_errors(spark, tabs):
+    from baseline_magician_spark.plans.ch_insert import run_ch_statement
+
+    t2 = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, g string"
+    )
+    tabs["t2"] = t2
+    # NULL predicate rows survive DELETE (three-valued WHERE) and are
+    # untouched by UPDATE
+    run_ch_statement("ALTER TABLE t2 DELETE WHERE g = 'a'", tabs)
+    rows = run_ch_statement("SELECT id FROM t2 ORDER BY id", tabs).collect()
+    assert [r["id"] for r in rows] == [2, 3]
+    run_ch_statement("ALTER TABLE t2 UPDATE g = 'x' WHERE g != 'b'", tabs)
+    rows = run_ch_statement("SELECT id, g FROM t2 ORDER BY id", tabs).collect()
+    assert [tuple(r) for r in rows] == [(2, None), (3, "b")]
+    with pytest.raises(ValueError, match="unknown table"):
+        run_ch_statement("ALTER TABLE nope DELETE WHERE 1 = 1", tabs)
+    with pytest.raises(ValueError, match="unknown column"):
+        run_ch_statement("ALTER TABLE t2 UPDATE zz = 1 WHERE id = 1", tabs)
+    with pytest.raises(ValueError, match="cannot parse DDL"):
+        run_ch_statement("ALTER TABLE t2 DELETE", tabs)  # WHERE mandatory

@@ -549,7 +549,9 @@ def test_limit_by_requires_order_by(spark):
     from baseline_magician_spark.plans.ch_sql import run_ch_query
 
     t = spark.createDataFrame([(1, "a")], "id long, g string")
-    with pytest.raises(ValueError, match="LIMIT BY requires ORDER BY"):
+    with pytest.raises(
+        ValueError, match="LIMIT BY / DISTINCT ON requires ORDER BY"
+    ):
         run_ch_query("SELECT g, id FROM t LIMIT 2 BY g", {"t": t})
 
 
@@ -2497,3 +2499,41 @@ def test_distinct_on(spark):
     # plain DISTINCT unaffected
     r = run_ch_query("SELECT DISTINCT g FROM t ORDER BY g", {"t": t}).collect()
     assert [x["g"] for x in r] == ["a", "b", "c"]
+
+
+def test_state_merge_combinators_and_topk(spark):
+    """sum/min/max/count/avg -State/-Merge two-level rollups (count
+    merges by SUMMING; avg carries a (sum, count) struct) + exact
+    deterministic topK(k) (frequency desc, value asc)."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("a", 2, None), ("b", 3, 4.0),
+         ("b", 3, 8.0), ("b", 4, 16.0), ("b", 3, 32.0)],
+        "g string, k long, v double",
+    )
+    r = run_ch_query(
+        """
+        SELECT g, sumMerge(s) AS s, countMerge(c) AS n,
+               avgMerge(a) AS m, minMerge(mn) AS mn, maxMerge(mx) AS mx
+        FROM (
+          SELECT g, k, sumState(v) AS s, countState(v) AS c,
+                 avgState(v) AS a, minState(v) AS mn, maxState(v) AS mx
+          FROM t GROUP BY g, k
+        ) GROUP BY g ORDER BY g
+        """,
+        {"t": t},
+    ).collect()
+    assert [tuple(x) for x in r] == [
+        ("a", 3.0, 2, 1.5, 1.0, 2.0),
+        ("b", 60.0, 4, 15.0, 4.0, 32.0),
+    ]
+    r = run_ch_query(
+        "SELECT g, topK(2)(k) AS t2, topK(k) AS tall "
+        "FROM t GROUP BY g ORDER BY g",
+        {"t": t},
+    ).collect()
+    assert [(x["g"], x["t2"], x["tall"]) for x in r] == [
+        ("a", [2, 1], [2, 1]),
+        ("b", [3, 4], [3, 4]),
+    ]
