@@ -23,6 +23,14 @@ module closes the gap for a CH user who writes the statements out:
 - ``ALTER TABLE name DELETE WHERE ...`` / ``ALTER TABLE name UPDATE
   col = expr, ... WHERE ...``: CH lightweight mutations as lazy plan
   rewrites (see :func:`_run_ch_alter`).
+- Housekeeping verbs over the env: ``TRUNCATE [TABLE] [IF EXISTS]``
+  (entry becomes its empty frame), ``RENAME TABLE a TO b``,
+  ``EXCHANGE TABLES a AND b`` (atomic from the env's view — one dict
+  op), ``DESCRIBE [TABLE]`` (name/type rows with CH type names),
+  ``SHOW TABLES``, and ``OPTIMIZE TABLE [FINAL]`` — a no-op on lazy
+  relations, but with ``path=`` it REWRITES the relation's parquet at
+  the sink block size: real small-file compaction, the Spark-side
+  meaning of CH's merge-parts maintenance.
 
 ENGINE clauses parse and are recorded on the returned DataFrame's
 plan only in the sense that every engine maps to the same Spark
@@ -61,6 +69,57 @@ _ALTER_RE = re.compile(
     rf"(DELETE|UPDATE)\s+(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+_TRUNCATE_RE = re.compile(
+    rf"^\s*TRUNCATE\s+(?:TABLE\s+)?(?:(IF\s+EXISTS)\s+)?"
+    rf"(?:({_IDENT})\.)?({_IDENT})\s*$",
+    re.IGNORECASE,
+)
+
+_RENAME_RE = re.compile(
+    rf"^\s*RENAME\s+TABLE\s+(?:({_IDENT})\.)?({_IDENT})\s+TO\s+"
+    rf"(?:({_IDENT})\.)?({_IDENT})\s*$",
+    re.IGNORECASE,
+)
+
+_EXCHANGE_RE = re.compile(
+    rf"^\s*EXCHANGE\s+TABLES\s+(?:({_IDENT})\.)?({_IDENT})\s+AND\s+"
+    rf"(?:({_IDENT})\.)?({_IDENT})\s*$",
+    re.IGNORECASE,
+)
+
+_DESCRIBE_RE = re.compile(
+    rf"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?"
+    rf"(?:({_IDENT})\.)?({_IDENT})\s*$",
+    re.IGNORECASE,
+)
+
+_SHOW_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+
+_OPTIMIZE_RE = re.compile(
+    rf"^\s*OPTIMIZE\s+TABLE\s+(?:({_IDENT})\.)?({_IDENT})"
+    rf"(\s+FINAL)?\s*$",
+    re.IGNORECASE,
+)
+
+# Spark type name -> the CH name DESCRIBE prints (best-effort; types
+# without a CH analogue pass through as the Spark name)
+_CH_TYPE_NAMES = {
+    "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+    "bigint": "Int64", "float": "Float32", "double": "Float64",
+    "string": "String", "date": "Date", "timestamp": "DateTime",
+    "timestamp_ntz": "DateTime", "boolean": "Bool", "binary": "String",
+}
+
+
+def _ch_type(spark_type: str) -> str:
+    m = re.fullmatch(r"array<(.+)>", spark_type)
+    if m:
+        return f"Array({_ch_type(m.group(1))})"
+    m = re.fullmatch(r"decimal\((\d+),(\d+)\)", spark_type)
+    if m:
+        return f"Decimal({m.group(1)}, {m.group(2)})"
+    return _CH_TYPE_NAMES.get(spark_type, spark_type)
 
 
 def _run_ch_alter(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
@@ -124,9 +183,15 @@ def _run_ch_alter(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
     return out
 
 
+_DDL_HEADS = (
+    "CREATE", "DROP", "ALTER", "TRUNCATE", "RENAME", "EXCHANGE",
+    "DESCRIBE", "DESC", "SHOW", "OPTIMIZE",
+)
+
+
 def is_ddl(sql: str) -> bool:
     head = sql.split(maxsplit=1)
-    return bool(head) and head[0].upper() in ("CREATE", "DROP", "ALTER")
+    return bool(head) and head[0].upper() in _DDL_HEADS
 
 
 def run_ch_ddl(
@@ -165,6 +230,82 @@ def run_ch_ddl(
         if path is not None:
             raise ValueError("path= applies to CREATE statements only")
         return _run_ch_alter(sql, tables)
+    m = _TRUNCATE_RE.match(sql)
+    if m is not None:
+        if_exists, _db, name = m.groups()
+        if name not in tables:
+            if if_exists:
+                from pyspark.sql import SparkSession
+
+                spark = (
+                    next(iter(tables.values())).sparkSession
+                    if tables
+                    else SparkSession.getActiveSession()
+                )
+                return spark.createDataFrame([], "name string")
+            raise ValueError(f"unknown table {name!r}")
+        tables[name] = tables[name].limit(0)
+        return tables[name]
+    m = _RENAME_RE.match(sql)
+    if m is not None:
+        _db1, old, _db2, new = m.groups()
+        if old not in tables:
+            raise ValueError(f"unknown table {old!r}")
+        if new in tables:
+            raise ValueError(f"table {new!r} already exists")
+        tables[new] = tables.pop(old)
+        return tables[new].limit(0)
+    m = _EXCHANGE_RE.match(sql)
+    if m is not None:
+        _db1, a, _db2, b = m.groups()
+        for n in (a, b):
+            if n not in tables:
+                raise ValueError(f"unknown table {n!r}")
+        tables[a], tables[b] = tables[b], tables[a]
+        return tables[a].limit(0)
+    m = _DESCRIBE_RE.match(sql)
+    if m is not None:
+        _db, name = m.groups()
+        if name not in tables:
+            raise ValueError(f"unknown table {name!r}")
+        df = tables[name]
+        return df.sparkSession.createDataFrame(
+            [(c, _ch_type(t)) for c, t in df.dtypes],
+            "name string, type string",
+        )
+    if _SHOW_RE.match(sql) is not None:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            next(iter(tables.values())).sparkSession
+            if tables
+            else SparkSession.getActiveSession()
+        )
+        return spark.createDataFrame(
+            [(n,) for n in sorted(tables)], "name string"
+        )
+    m = _OPTIMIZE_RE.match(sql)
+    if m is not None:
+        _db, name, _final = m.groups()
+        if name not in tables:
+            raise ValueError(f"unknown table {name!r}")
+        if path is not None:
+            # real compaction: coalesce (shuffle-free partition merge
+            # — compaction only ever reduces) to ceil(rows / block)
+            # output files, rewrite, swap the env entry to the
+            # read-back. The count is a parquet-footer-only job — the
+            # one extra pass a maintenance command is allowed.
+            df = tables[name]
+            n_rows = df.count()
+            n_files = max(1, -(-n_rows // BLOCK_SIZE))
+            (
+                df.coalesce(n_files)
+                .write.mode(mode)
+                .option("maxRecordsPerFile", BLOCK_SIZE)
+                .parquet(path)
+            )
+            tables[name] = df.sparkSession.read.parquet(path)
+        return tables[name].limit(0)
     m = _DROP_RE.match(sql)
     if m is not None:
         _kind, if_exists, _db, name = m.groups()

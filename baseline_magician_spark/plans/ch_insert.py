@@ -301,7 +301,10 @@ def run_ch_statement(
     kw = head[0].upper() if head else ""
     if kw == "INSERT":
         return run_ch_insert(sql, tables, **kwargs)
-    if kw in ("CREATE", "DROP", "ALTER"):
+    if kw in (
+        "CREATE", "DROP", "ALTER", "TRUNCATE", "RENAME", "EXCHANGE",
+        "DESCRIBE", "DESC", "SHOW", "OPTIMIZE",
+    ):
         from .ch_ddl import run_ch_ddl
 
         if "rows" in kwargs:

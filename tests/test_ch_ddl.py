@@ -165,3 +165,62 @@ def test_alter_null_where_and_errors(spark, tabs):
         run_ch_statement("ALTER TABLE t2 UPDATE zz = 1 WHERE id = 1", tabs)
     with pytest.raises(ValueError, match="cannot parse DDL"):
         run_ch_statement("ALTER TABLE t2 DELETE", tabs)  # WHERE mandatory
+
+
+def test_truncate_rename_exchange_show(spark, tabs):
+    from baseline_magician_spark.plans.ch_insert import run_ch_statement
+
+    run_ch_statement(
+        "CREATE TABLE u AS SELECT id, v FROM t WHERE v > 15", tabs
+    )
+    rows = run_ch_statement("SHOW TABLES", tabs).collect()
+    assert [r["name"] for r in rows] == ["t", "u"]
+
+    run_ch_statement("EXCHANGE TABLES t AND u", tabs)
+    assert tabs["t"].columns == ["id", "v"] and tabs["u"].columns == [
+        "id", "grp", "v"
+    ]
+    run_ch_statement("RENAME TABLE u TO orig", tabs)
+    assert "u" not in tabs and "orig" in tabs
+    with pytest.raises(ValueError, match="already exists"):
+        run_ch_statement("RENAME TABLE t TO orig", tabs)
+
+    run_ch_statement("TRUNCATE TABLE t", tabs)
+    assert tabs["t"].count() == 0
+    assert tabs["t"].columns == ["id", "v"]  # schema survives
+    # IF EXISTS on a missing name succeeds; plain form raises
+    run_ch_statement("TRUNCATE TABLE IF EXISTS ghost", tabs)
+    with pytest.raises(ValueError, match="unknown table"):
+        run_ch_statement("TRUNCATE TABLE ghost", tabs)
+
+
+def test_describe_and_optimize_compaction(spark, tabs):
+    import glob
+    import shutil
+    import tempfile
+
+    from baseline_magician_spark.plans.ch_insert import run_ch_statement
+
+    rows = run_ch_statement("DESCRIBE TABLE t", tabs).collect()
+    assert [(r["name"], r["type"]) for r in rows] == [
+        ("id", "Int64"), ("grp", "String"), ("v", "Float64")
+    ]
+    # OPTIMIZE without a path: pure no-op, relation untouched
+    before = tabs["t"]
+    out = run_ch_statement("OPTIMIZE TABLE t FINAL", tabs)
+    assert tabs["t"] is before and out.count() == 0
+
+    # with a path: many small files compact into few
+    d = tempfile.mkdtemp(prefix="ch_opt_")
+    try:
+        src = f"{d}/src"
+        spark.range(400).repartition(8).write.parquet(src)
+        tabs["frag"] = spark.read.parquet(src)
+        assert len(glob.glob(f"{src}/*.parquet")) == 8
+        run_ch_statement(
+            "OPTIMIZE TABLE frag FINAL", tabs, path=f"{d}/opt"
+        )
+        assert len(glob.glob(f"{d}/opt/*.parquet")) < 8
+        assert tabs["frag"].count() == 400  # compacted read-back swapped in
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

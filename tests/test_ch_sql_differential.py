@@ -751,3 +751,100 @@ def test_insert_roundtrip_matches_duckdb(
         )
     finally:
         duck.execute(f"DROP TABLE IF EXISTS {tname}")
+
+
+# ------------------------------------------------------------------ #
+# Mutation differential (round 5): random ALTER TABLE DELETE/UPDATE  #
+# chains through run_ch_statement's lazy env rewrites, against       #
+# DuckDB executing the real DELETE/UPDATE on a materialized copy of  #
+# the same rows — then one shared aggregate SELECT over the mutated  #
+# table. Any mismatch is a mutation-path bug (predicate three-valued #
+# logic, assignment casting, statement ordering).                    #
+# ------------------------------------------------------------------ #
+
+
+def _mut_cond(rng: random.Random) -> str:
+    return rng.choice(
+        [
+            f"user_id % {rng.randint(2, 6)} = {rng.randint(0, 1)}",
+            f"event_id > {rng.randint(10000, 50000)}",
+            f"event_type = '{rng.choice(_STR_VALS)}'",
+            f"event_type != '{rng.choice(_STR_VALS)}'",
+            (
+                f"user_id BETWEEN {rng.randint(0, 3000)} "
+                f"AND {rng.randint(3000, 9000)}"
+            ),
+        ]
+    )
+
+
+def _gen_mutation_case(rng: random.Random):
+    stmts = []
+    for _ in range(rng.randint(1, 3)):
+        if rng.random() < 0.45:
+            stmts.append(("delete", _mut_cond(rng), None, None))
+        else:
+            col = rng.choice(["user_id", "event_id"])
+            expr = rng.choice(
+                [f"{col} * 2", f"{col} % 97", f"{col} + 13", "0",
+                 "user_id + event_id"]
+            )
+            stmts.append(("update", _mut_cond(rng), col, expr))
+    return stmts
+
+
+N_MUT = 12
+MUT_CASES = [
+    _gen_mutation_case(random.Random(53 * i + _SEED_BASE + 47))
+    for i in range(N_MUT)
+]
+
+_MUT_SELECT = (
+    "SELECT event_type AS k, count(*) AS n, "
+    "CAST(sum(user_id) AS BIGINT) AS su, "
+    "CAST(sum(event_id) AS BIGINT) AS se, "
+    "CAST(min(user_id) AS BIGINT) AS lo, "
+    "CAST(max(event_id) AS BIGINT) AS hi "
+    "FROM mut GROUP BY event_type ORDER BY k"
+)
+
+
+@pytest.mark.parametrize("stmts", MUT_CASES)
+def test_mutation_chain_matches_duckdb(spark, duck, stmts):
+    from baseline_magician_spark.catalog import load_table
+    from baseline_magician_spark.plans.ch_insert import run_ch_statement
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    duck.execute(
+        "CREATE OR REPLACE TABLE mut AS "
+        "SELECT user_id, event_id, event_type FROM events"
+    )
+    try:
+        tabs = {
+            "mut": load_table(spark, SF_ORACLE, "events").select(
+                "user_id", "event_id", "event_type"
+            )
+        }
+        for verb, cond, col, expr in stmts:
+            if verb == "delete":
+                duck.execute(f"DELETE FROM mut WHERE {cond}")
+                run_ch_statement(
+                    f"ALTER TABLE mut DELETE WHERE {cond}", tabs
+                )
+            else:
+                duck.execute(f"UPDATE mut SET {col} = {expr} WHERE {cond}")
+                run_ch_statement(
+                    f"ALTER TABLE mut UPDATE {col} = {expr} WHERE {cond}",
+                    tabs,
+                )
+        d_rows = sorted(
+            tuple(str(x) for x in r)
+            for r in duck.execute(_MUT_SELECT).fetchall()
+        )
+        s_rows = sorted(
+            tuple(str(x) for x in r)
+            for r in run_ch_query(_MUT_SELECT, tabs).collect()
+        )
+        assert s_rows == d_rows, f"{stmts}\n{s_rows[:3]}\n{d_rows[:3]}"
+    finally:
+        duck.execute("DROP TABLE IF EXISTS mut")
