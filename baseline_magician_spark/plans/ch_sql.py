@@ -2999,6 +2999,85 @@ def _exec_select(
             )
         else:
             df = df.select("*", gen.alias(alias))
+
+    # arrayJoin() in EXPRESSION position: CH multiplies rows before
+    # WHERE/GROUP BY/projection, and the call is legal anywhere an
+    # expression is (SELECT items, inside aggregates, WHERE, ORDER
+    # BY). Spark's explode is a top-level-only generator, so hoist:
+    # each structurally-distinct argument becomes one explode stage
+    # (same argument twice -> ONE shared expansion, CH semantics;
+    # distinct arguments -> Cartesian, like chained ARRAY JOINs), and
+    # every call node is rewritten in place to the hidden column.
+    def _aj_children(n: _Node):
+        for a in n.args:
+            if isinstance(a, _Node):
+                yield a
+            elif isinstance(a, (tuple, list)):
+                for x in a:
+                    if isinstance(x, _Node):
+                        yield x
+        v = n.value
+        if isinstance(v, (tuple, list)):
+            for x in v:
+                if isinstance(x, _Node):
+                    yield x
+                elif isinstance(x, (tuple, list)):
+                    for y in x:
+                        if isinstance(y, _Node):
+                            yield y
+
+    def _aj_struct_key(n: _Node):
+        return (
+            n.kind,
+            str(n.value),
+            tuple(_aj_struct_key(c) for c in _aj_children(n)),
+        )
+
+    aj_groups: dict[tuple, list[_Node]] = {}
+
+    def _aj_scan(n: _Node | None) -> None:
+        if n is None or not isinstance(n, _Node) or n.kind == "lambda":
+            return
+        if (
+            n.kind == "call"
+            and str(n.value).lower() == "arrayjoin"
+            and len(n.args) == 1
+        ):
+            arg = n.args[0]
+            if any(
+                c.kind == "call" and str(c.value).lower() == "arrayjoin"
+                for c in _aj_iter_tree(arg)
+            ):
+                raise ValueError("nested arrayJoin is not supported")
+            aj_groups.setdefault(_aj_struct_key(arg), []).append(n)
+            return
+        for c in _aj_children(n):
+            _aj_scan(c)
+
+    def _aj_iter_tree(n: _Node):
+        yield n
+        for c in _aj_children(n):
+            yield from _aj_iter_tree(c)
+
+    for n in select_nodes:
+        _aj_scan(n)
+    _aj_scan(where_node)
+    _aj_scan(having_node)
+    _aj_scan(qualify_node)
+    for g in group_nodes:
+        _aj_scan(g)
+    for onode, _d, _nf in order_nodes:
+        _aj_scan(onode)
+    for _key_, calls in aj_groups.items():
+        hidden = f"_aj_{next(_SCALAR_SEQ)}"
+        df = df.select(
+            "*", F.explode(_compile(calls[0].args[0], tables)).alias(hidden)
+        )
+        for call in calls:
+            call.kind = "col"
+            call.value = hidden
+            call.args = ()
+
     if where_node is not None:
         # WHERE applies conjunct by conjunct so subquery predicates can
         # take their own paths. Each EXISTS / IN-subquery conjunct is

@@ -1539,3 +1539,35 @@ FROM (
 )
 def ch_sql_state_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_STATE_FAMILY_SQL, _tables(spark, sf_dir, "events"))
+
+
+# arrayJoin() in expression position (CH's explode idiom): token
+# frequencies by splitting document text inline — the expansion is
+# hoisted to one explode stage before WHERE/GROUP BY (ch_sql.py's
+# arrayJoin pre-pass), so the call composes inside any expression.
+_ARRAYJOIN_TOKENS_SQL = """
+SELECT arrayJoin(splitByChar(' ', text)) AS tok, count(*) AS n
+FROM fastnetmon.documents
+WHERE lang = 'en'
+GROUP BY tok
+HAVING count(*) >= 50
+ORDER BY n DESC, tok
+LIMIT 50
+"""
+
+
+@query(
+    "ch_sql_arrayjoin_expression",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE lang = 'en'
+    )
+    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    HAVING count(*) >= 50 ORDER BY n DESC, tok LIMIT 50
+    """,
+)
+def ch_sql_arrayjoin_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        _ARRAYJOIN_TOKENS_SQL, _tables(spark, sf_dir, "documents")
+    )

@@ -2537,3 +2537,45 @@ def test_state_merge_combinators_and_topk(spark):
         ("a", [2, 1], [2, 1]),
         ("b", [3, 4], [3, 4]),
     ]
+
+
+def test_array_join_expression_position(spark):
+    """arrayJoin() as an EXPRESSION (CH semantics): row multiplication
+    happens before WHERE/GROUP BY; same argument -> one shared
+    expansion, distinct arguments -> Cartesian; legal inside
+    arithmetic and aggregates; nested arrayJoin rejected."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, [1, 2, 3], ["a", "b"]), (2, [10], ["c"])],
+        "k long, xs array<bigint>, ys array<string>",
+    )
+    env = {"t": t}
+    r = run_ch_query(
+        "SELECT k, arrayJoin(xs) + 100 AS v FROM t ORDER BY k, v", env
+    ).collect()
+    assert [(x["k"], x["v"]) for x in r] == [
+        (1, 101), (1, 102), (1, 103), (2, 110)
+    ]
+    r = run_ch_query(
+        "SELECT k, arrayJoin(xs) AS a, arrayJoin(xs) * 2 AS b "
+        "FROM t ORDER BY k, a",
+        env,
+    ).collect()
+    assert [(x["k"], x["a"], x["b"]) for x in r] == [
+        (1, 1, 2), (1, 2, 4), (1, 3, 6), (2, 10, 20)
+    ]
+    r = run_ch_query(
+        "SELECT k, arrayJoin(xs) AS a, arrayJoin(ys) AS s "
+        "FROM t ORDER BY k, a, s",
+        env,
+    ).collect()
+    assert len(r) == 7  # 3*2 + 1*1 — distinct args go Cartesian
+    r = run_ch_query(
+        "SELECT k, sum(arrayJoin(xs)) AS s FROM t "
+        "WHERE arrayJoin(xs) > 1 GROUP BY k ORDER BY k",
+        env,
+    ).collect()
+    assert [(x["k"], x["s"]) for x in r] == [(1, 5), (2, 10)]
+    with pytest.raises(ValueError, match="nested arrayJoin"):
+        run_ch_query("SELECT arrayJoin(arrayJoin(xs)) FROM t", env)
