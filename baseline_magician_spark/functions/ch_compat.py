@@ -213,6 +213,7 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "toStartOfFifteenMinutes": lambda c: _floor_seconds(c, 900),
     "formatDateTime": lambda c, fmt: F.date_format(c, _ch_format(fmt)),
     "toYear": F.year,
+    "toISOWeek": F.weekofyear,
     "toMonth": F.month,
     "toDayOfMonth": F.dayofmonth,
     "toHour": F.hour,
@@ -263,9 +264,34 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "lowerUTF8": F.lower,
     "upperUTF8": F.upper,
     "concat": F.concat,
-    "substring": F.substring,
+    # 2-arg form means to-end-of-string (CH substring(s, offset));
+    # Int32 max is the documented Spark substring clamp
+    "substring": lambda c, pos, length=None: F.substring(
+        c, pos, F.lit(2147483647) if length is None else length
+    ),
     "position": lambda haystack, needle: F.instr(haystack, needle),
-    "trimBoth": F.trim,
+    # trim family; the optional second argument is a driver-literal
+    # character SET (CH/ANSI semantics), stripped via an anchored
+    # character-class regex
+    "trimBoth": lambda c, chars=None: (
+        F.trim(c)
+        if chars is None
+        else F.regexp_replace(
+            c,
+            "^[" + _class_escape(chars) + "]+|[" + _class_escape(chars) + "]+$",
+            "",
+        )
+    ),
+    "trimLeft": lambda c, chars=None: (
+        F.ltrim(c)
+        if chars is None
+        else F.regexp_replace(c, "^[" + _class_escape(chars) + "]+", "")
+    ),
+    "trimRight": lambda c, chars=None: (
+        F.rtrim(c)
+        if chars is None
+        else F.regexp_replace(c, "[" + _class_escape(chars) + "]+$", "")
+    ),
     "startsWith": lambda s, p: s.startswith(p),
     "endsWith": lambda s, p: s.endswith(p),
     "match": lambda s, pat: s.rlike(pat),
@@ -571,6 +597,17 @@ def _unquote(unit) -> str:
     if isinstance(unit, _C):  # parser passes literals as Columns
         raise TypeError("dateDiff unit must be a plain string")
     return str(unit).strip("'\"")
+
+
+def _class_escape(chars) -> str:
+    """Escape a driver-literal string for use INSIDE a regex character
+    class: only ``\\ ] ^ -`` are special there."""
+    from pyspark.sql import Column as _C
+
+    if isinstance(chars, _C):
+        raise TypeError("trim character set must be a driver-literal string")
+    s = str(chars).strip("'\"")
+    return "".join("\\" + ch if ch in "\\]^-" else ch for ch in s)
 
 
 def _regex_escape(sep) -> str:

@@ -18,7 +18,13 @@ hand-written queries a CH user actually runs. Current surface:
 - SELECT [DISTINCT] items / * / alias.* (with EXCEPT/REPLACE/APPLY
   column matchers) / CASE WHEN / CAST(x AS T) / NULL literals /
   tuples ``(a, b)`` (element-wise = and row-value IN) / array
-  indexing ``arr[i]``; FROM-less SELECT (implicit one-row relation),
+  indexing ``arr[i]`` / postfix casts ``x::T`` (ANSI and CH type
+  names in both cast spellings); ANSI secondary spellings that share
+  keywords with CH builtins: ``EXTRACT(unit FROM x)``,
+  ``substring(s FROM p [FOR n])``, ``position(needle IN haystack)``,
+  ``TRIM([BOTH|LEADING|TRAILING] ['chars'] FROM x)``; FROM-less
+  SELECT (implicit one-row relation), comma-separated FROM lists
+  (= CROSS JOIN; WHERE equalities re-plan as hash equi-joins),
   FROM db.table or derived tables ``(SELECT ...)``
   [SAMPLE f] (deterministic first-column hash sampling), JOINs
   (inner/left/right/full/cross, ON or USING, GLOBAL and ALL
@@ -46,7 +52,10 @@ hand-written queries a CH user actually runs. Current surface:
   First/FirstIndex/Sum/Avg, two-array zip form, nested closures),
   window functions ``fn(...) OVER ([PARTITION BY ...] [ORDER BY ...]
   [ROWS|RANGE [BETWEEN] frame])`` (explicit frames; the implicit
-  default already matches CH/ANSI);
+  default already matches CH/ANSI; ranking + lag/lead +
+  percent_rank/cume_dist/first_value/last_value/nth_value);
+  WHERE resolves explicit select aliases (CH expression-alias
+  extension, alias-wins on a name clash — same rule as GROUP BY);
 - statement level: WITH (both forms — ANSI CTEs and classic-CH scalar
   aliases ``WITH expr AS name``, mixable), UNION ALL/DISTINCT,
   INTERSECT/EXCEPT
@@ -106,7 +115,7 @@ _TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
     r"|(?P<str>'(?:[^'\\]|\\.|'')*')"
     r"|(?P<ident>[A-Za-z_][A-Za-z_0-9]*)"
-    r"|(?P<sym>->|<=|>=|!=|<>|[(),.*+\-/<>=%\[\]]))"
+    r"|(?P<sym>->|<=|>=|!=|<>|::|[(),.*+\-/<>=%\[\]]))"
 )
 
 
@@ -465,6 +474,20 @@ class _Parser:
             left = _Node("bin", op, (left, self.parse_unary()))
         return left
 
+    def parse_type_name(self) -> str:
+        """A type name in CAST(x AS T) / x::T position: ANSI or CH
+        spelling, DECIMAL with optional (p, s), normalized to the
+        Spark cast name."""
+        tname = self.next().lower()
+        if tname == "decimal" and self.peek() == "(":
+            self.next()
+            prec = self.next()
+            self.expect(",")
+            scale = self.next()
+            self.expect(")")
+            tname = f"decimal({prec},{scale})"
+        return _CAST_TYPES.get(tname, tname)
+
     def parse_unary(self) -> _Node:
         if self.peek() == "-":
             self.next()
@@ -475,11 +498,17 @@ class _Parser:
         node = self.parse_primary()
         # postfix array indexing arr[i] (CH 1-based; negative = from
         # the end; 0 / out-of-range -> NULL via the arrayElement shim)
-        while self.peek() == "[":
-            self.next()
-            idx = self.parse_expr()
-            self.expect("]")
-            node = _Node("call", "arrayElement", (node, idx))
+        while self.peek() in ("[", "::"):
+            if self.peek() == "[":
+                self.next()
+                idx = self.parse_expr()
+                self.expect("]")
+                node = _Node("call", "arrayElement", (node, idx))
+            else:
+                # postfix cast operator x::T (CH and Postgres-style
+                # spelling of CAST(x AS T))
+                self.next()
+                node = _Node("cast", self.parse_type_name(), (node,))
         return node
 
     def _parse_lambda_or_expr(self) -> _Node:
@@ -561,16 +590,8 @@ class _Parser:
             self.next()
             inner = self.parse_expr()
             self.expect("as")
-            tname = self.next().lower()
-            if tname == "decimal" and self.peek() == "(":
-                self.next()
-                prec = self.next()
-                self.expect(",")
-                scale = self.next()
-                self.expect(")")
-                tname = f"decimal({prec},{scale})"
+            spark_type = self.parse_type_name()
             self.expect(")")
-            spark_type = _CAST_TYPES.get(tname, tname)
             return _Node("cast", spark_type, (inner,))
         if t.lower() in ("date", "timestamp") and (
             self.peek() or ""
@@ -599,6 +620,87 @@ class _Parser:
             if unit not in _INTERVAL_UNITS:
                 raise ValueError(f"unknown INTERVAL unit {unit!r}")
             return _Node("interval", (sign * int(qv), unit))
+        if (
+            t.lower() == "extract"
+            and self.peek() == "("
+            and self.toks[self.i + 1 : self.i + 2]
+            and self.toks[self.i + 1].lower() in _EXTRACT_PARTS
+            and self.toks[self.i + 2 : self.i + 3]
+            and self.toks[self.i + 2].lower() == "from"
+        ):
+            # ANSI EXTRACT(unit FROM x) — distinguished from CH's
+            # regex extract(haystack, pattern) by the unit+FROM
+            # lookahead; maps onto the to*() shims
+            self.next()
+            part = self.next().lower()
+            self.next()  # from
+            inner = self.parse_expr()
+            self.expect(")")
+            return _Node("call", _EXTRACT_PARTS[part], (inner,))
+        if t.lower() in ("substring", "substr") and self.peek() == "(":
+            # both spellings: substring(s, pos[, len]) and ANSI
+            # substring(s FROM pos [FOR len]); a missing length means
+            # to-end-of-string (CH 2-arg form)
+            self.next()
+            s = self.parse_expr()
+            args = [s]
+            if self.peek_kw() == "from":
+                self.next()
+                args.append(self.parse_expr())
+                if self.peek_kw() == "for":
+                    self.next()
+                    args.append(self.parse_expr())
+            else:
+                while self.peek() == ",":
+                    self.next()
+                    args.append(self.parse_expr())
+            self.expect(")")
+            if len(args) not in (2, 3):
+                raise ValueError("substring takes 2 or 3 arguments")
+            return _Node("call", "substring", tuple(args))
+        if t.lower() == "position" and self.peek() == "(":
+            # ANSI position(needle IN haystack) alongside CH's
+            # position(haystack, needle) — both compile to the same
+            # (haystack, needle) shim order. The first argument parses
+            # below the comparison level so a following IN reads as
+            # the ANSI separator, not set membership.
+            self.next()
+            first = self.parse_add()
+            if self.peek_kw() == "in":
+                self.next()
+                hay = self.parse_expr()
+                self.expect(")")
+                return _Node("call", "position", (hay, first))
+            self.expect(",")
+            needle = self.parse_expr()
+            self.expect(")")
+            return _Node("call", "position", (first, needle))
+        if t.lower() == "trim" and self.peek() == "(":
+            # TRIM([BOTH|LEADING|TRAILING] ['chars'] FROM x) | trim(x)
+            self.next()
+            mode = "trimBoth"
+            saw_spec = False
+            if self.peek_kw() in ("both", "leading", "trailing"):
+                mode = {
+                    "both": "trimBoth",
+                    "leading": "trimLeft",
+                    "trailing": "trimRight",
+                }[self.peek_kw()]
+                self.next()
+                saw_spec = True
+            chars: _Node | None = None
+            if (self.peek() or "").startswith("'") and (
+                self.toks[self.i + 1 : self.i + 2]
+                and self.toks[self.i + 1].lower() == "from"
+            ):
+                chars = self.parse_primary()
+                saw_spec = True
+            if saw_spec:
+                self.expect("from")
+            inner = self.parse_expr()
+            self.expect(")")
+            args = (inner,) if chars is None else (inner, chars)
+            return _Node("call", mode, args)
         if t.lower() == "case":
             # searched CASE (WHEN cond THEN v ...) and valued CASE
             # (CASE x WHEN v THEN r ... — each WHEN becomes x = v);
@@ -708,6 +810,10 @@ _LITERAL_ARG_POSITIONS = {
     "jsonextractfloat": {1},
     "jsonextractbool": {1},
     "jsonhas": {1},
+    # trim character sets splice into a regex character class
+    "trimboth": {1},
+    "trimleft": {1},
+    "trimright": {1},
 }
 
 
@@ -793,6 +899,14 @@ _HOF = {
 }
 
 
+# ANSI EXTRACT(part FROM x) -> the equivalent to*() shim name
+_EXTRACT_PARTS = {
+    "year": "toYear", "quarter": "toQuarter", "month": "toMonth",
+    "week": "toISOWeek", "day": "toDayOfMonth", "hour": "toHour",
+    "minute": "toMinute", "second": "toSecond",
+    "epoch": "toUnixTimestamp",
+}
+
 # CH interval units → (spark unit, multiplier). QUARTER/WEEK are CH
 # units Spark's ANSI interval literals lack — normalized to MONTH/DAY.
 _INTERVAL_UNITS = {
@@ -864,10 +978,21 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             "rank": F.rank,
             "dense_rank": F.dense_rank,
         }
+        ranking.update(
+            {"percent_rank": F.percent_rank, "cume_dist": F.cume_dist}
+        )
         if wname in ranking:
             col = ranking[wname]()
         elif wname == "ntile":
             col = F.ntile(int(call.args[0].value))
+        elif wname in ("first_value", "last_value"):
+            fn = F.first if wname == "first_value" else F.last
+            col = fn(_compile(call.args[0], env))
+        elif wname == "nth_value":
+            col = F.nth_value(
+                _compile(call.args[0], env),
+                int(_literal_value(call.args[1])),
+            )
         elif wname in ("lag", "lead"):
             base = _compile(call.args[0], env)
             off = int(_literal_value(call.args[1])) if len(call.args) > 1 else 1
@@ -1144,6 +1269,21 @@ _CAST_TYPES = {
     "varchar": "string",
     "text": "string",
     "bool": "boolean",
+    # ClickHouse type names (CAST(x AS Int64) / x::Int64). Unsigned
+    # widths widen to the next signed Spark type; UInt64 maps to long
+    # with the same two's-complement reinterpretation the engine's
+    # cast_to_uint parity path (plans/baseline.py) documents.
+    "int64": "long",
+    "int32": "int",
+    "int16": "short",
+    "int8": "byte",
+    "uint8": "short",
+    "uint16": "int",
+    "uint32": "long",
+    "uint64": "long",
+    "float64": "double",
+    "float32": "float",
+    "datetime": "timestamp",
 }
 
 
@@ -2530,7 +2670,17 @@ def _exec_select(
     while p.peek_kw() in (
         "inner", "left", "right", "full", "cross", "join", "array",
         "global", "asof", "any",
-    ):
+    ) or p.peek() == ",":
+        if p.peek() == ",":
+            # comma-separated FROM list = CROSS JOIN (CH and ANSI-89).
+            # WHERE equality conjuncts over the pair are turned back
+            # into an equi-join by Catalyst's join-condition pushdown,
+            # so the classic `FROM a, b WHERE a.k = b.k` spelling
+            # plans identically to the explicit JOIN ... ON form.
+            p.next()
+            jname, jalias = _table_ref()
+            joins.append(("cross", jname, jalias, None))
+            continue
         # ANY strictness (at most one right match per left row):
         # accepted in both CH spellings — classic `ANY LEFT JOIN` and
         # modern `LEFT ANY JOIN`. CH keeps an ARBITRARY match; this
@@ -3079,6 +3229,35 @@ def _exec_select(
             call.args = ()
 
     if where_node is not None:
+        # CH resolves bare names in WHERE against explicit select
+        # aliases (the expression-alias extension; alias wins over a
+        # same-named source column, prefer_column_name_to_alias=0 —
+        # same rule as GROUP BY below). Substitution is AST-level and
+        # only descends n.args, so subquery bodies (captured payloads,
+        # not args) keep their own inner-first scope. Aggregate
+        # aliases are excluded: CH too rejects filtering on an
+        # aggregate in WHERE (that's HAVING).
+        _walias = {
+            a: n
+            for n, a in zip(select_nodes, aliases)
+            if a is not None and not _contains_agg(n)
+        }
+
+        def _wsub(n: _Node) -> _Node:
+            if (
+                n.kind == "col"
+                and "." not in str(n.value)
+                and str(n.value) in _walias
+            ):
+                return _walias[str(n.value)]
+            if n.args:
+                return _Node(
+                    n.kind, n.value, tuple(_wsub(a) for a in n.args)
+                )
+            return n
+
+        if _walias:
+            where_node = _wsub(where_node)
         # WHERE applies conjunct by conjunct so subquery predicates can
         # take their own paths. Each EXISTS / IN-subquery conjunct is
         # first planned standalone (ANSI inner-first name resolution —

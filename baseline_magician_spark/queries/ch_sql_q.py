@@ -1571,3 +1571,87 @@ def ch_sql_arrayjoin_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(
         _ARRAYJOIN_TOKENS_SQL, _tables(spark, sf_dir, "documents")
     )
+
+
+# ANSI spellings sharing keywords with CH builtins (EXTRACT unit FROM,
+# TRIM spec FROM, substring FROM/FOR, position IN, ::-postfix casts)
+# plus WHERE resolving a select alias (CH expression-alias extension):
+# one pass over events, all map-side except the final group-by.
+_ANSI_SPELLINGS_SQL = """
+SELECT EXTRACT(month FROM ts) AS mo,
+       trim(BOTH 'ce' FROM event_type) AS et,
+       substring(event_type FROM 1 FOR 3) AS pre,
+       position('i' IN event_type) AS pos_i,
+       (user_id % 7)::Int16 AS bucket,
+       count(*) AS n,
+       min(event_id)::Int64 AS mn
+FROM fastnetmon.events
+WHERE bucket < 5
+GROUP BY mo, et, pre, pos_i, bucket
+ORDER BY mo, et, pre, pos_i, bucket
+"""
+
+
+@query(
+    "ch_sql_ansi_spellings",
+    """
+    SELECT EXTRACT(month FROM ts) AS mo,
+           trim(BOTH 'ce' FROM event_type) AS et,
+           substring(event_type FROM 1 FOR 3) AS pre,
+           position('i' IN event_type) AS pos_i,
+           CAST(user_id % 7 AS SMALLINT) AS bucket,
+           count(*) AS n,
+           CAST(min(event_id) AS BIGINT) AS mn
+    FROM events
+    WHERE (user_id % 7) < 5
+    GROUP BY mo, et, pre, pos_i, bucket
+    ORDER BY mo, et, pre, pos_i, bucket
+    """,
+)
+def ch_sql_ansi_spellings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_ANSI_SPELLINGS_SQL, _tables(spark, sf_dir, "events"))
+
+
+# Comma-separated FROM list (ANSI-89 cross join; the WHERE equality is
+# pushed back into a hash equi-join by Catalyst) + the analytic window
+# family (percent_rank/cume_dist/first_value) over a named WINDOW —
+# head-of-distribution orders per market segment.
+_COMMA_JOIN_ANALYTIC_SQL = """
+SELECT seg, okey, pr, cd, fv
+FROM (
+  SELECT c.c_mktsegment AS seg, o.o_orderkey AS okey,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd,
+         first_value(o.o_orderkey) OVER w AS fv
+  FROM fastnetmon.orders o, fastnetmon.customer c
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+  WINDOW w AS (PARTITION BY c.c_mktsegment
+               ORDER BY o.o_totalprice DESC, o.o_orderkey)
+)
+WHERE pr <= 0.001
+ORDER BY seg, okey
+"""
+
+
+@query(
+    "ch_sql_comma_join_analytic",
+    """
+    SELECT seg, okey, pr, cd, fv
+    FROM (
+      SELECT c.c_mktsegment AS seg, o.o_orderkey AS okey,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             first_value(o.o_orderkey) OVER w AS fv
+      FROM orders o, customer c
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      WINDOW w AS (PARTITION BY c.c_mktsegment
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey)
+    )
+    WHERE pr <= 0.001
+    ORDER BY seg, okey
+    """,
+)
+def ch_sql_comma_join_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        _COMMA_JOIN_ANALYTIC_SQL, _tables(spark, sf_dir, "orders", "customer")
+    )

@@ -2579,3 +2579,176 @@ def test_array_join_expression_position(spark):
     assert [(x["k"], x["s"]) for x in r] == [(1, 5), (2, 10)]
     with pytest.raises(ValueError, match="nested arrayJoin"):
         run_ch_query("SELECT arrayJoin(arrayJoin(xs)) FROM t", env)
+
+
+def test_ansi_extract_substring_position_trim(spark):
+    """ANSI spellings sharing keywords with CH forms: EXTRACT(unit FROM
+    x) vs extract(s, regex); substring(s FROM p FOR n) and the 2-arg
+    to-end form; position(needle IN haystack) vs position(hay, needle)
+    — the first argument parses below IN so the separator never reads
+    as set membership; TRIM([BOTH|LEADING|TRAILING] ['chars'] FROM x)
+    with regex-class escaping of the character set."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "  ab  ", "2024-05-17 10:30:05"),
+         (2, "xxhixx", "2023-11-02 23:59:59")],
+        "k long, s string, d string",
+    )
+    env = {"t": t.withColumn("ts", t.d.cast("timestamp"))}
+    r = run_ch_query(
+        "SELECT k, EXTRACT(year FROM ts) AS y, extract(quarter from ts)"
+        " AS q, EXTRACT(week FROM ts) AS w, extract(epoch FROM ts) AS e"
+        " FROM t ORDER BY k",
+        env,
+    ).collect()
+    assert [(x["k"], x["y"], x["q"], x["w"]) for x in r] == [
+        (1, 2024, 2, 20), (2, 2023, 4, 44)
+    ]
+    assert r[0]["e"] > 1_700_000_000
+    # CH regex extract() must still work (no unit+FROM lookahead hit)
+    r = run_ch_query(
+        "SELECT extract(s, '[a-z]+') AS frag FROM t ORDER BY k", env
+    ).collect()
+    assert [x["frag"] for x in r] == ["ab", "xxhixx"]
+    r = run_ch_query(
+        "SELECT k, substring(s, 3) AS a, substring(s FROM 2 FOR 3) AS b,"
+        " substr(s, 1, 2) AS c FROM t ORDER BY k",
+        env,
+    ).collect()
+    assert [(x["a"], x["b"], x["c"]) for x in r] == [
+        ("ab  ", " ab", "  "), ("hixx", "xhi", "xx")
+    ]
+    r = run_ch_query(
+        "SELECT k, position('b' IN s) AS p1, position(s, 'x') AS p2 "
+        "FROM t ORDER BY k",
+        env,
+    ).collect()
+    assert [(x["p1"], x["p2"]) for x in r] == [(4, 0), (0, 1)]
+    r = run_ch_query(
+        "SELECT k, trim(s) AS t0, trim(BOTH 'x' FROM s) AS t1,"
+        " trim(LEADING 'x' FROM s) AS t2, trim(TRAILING 'x' FROM s) AS t3,"
+        " trimLeft(s, ' a') AS t4 FROM t ORDER BY k",
+        env,
+    ).collect()
+    assert [tuple(x)[1:] for x in r] == [
+        ("ab", "  ab  ", "  ab  ", "  ab  ", "b  "),
+        ("xxhixx", "hi", "hixx", "xxhi", "xxhixx"),
+    ]
+    # regex-class metacharacters in the trim set are escaped
+    r = run_ch_query(
+        "SELECT trim(TRAILING ']-^' FROM '[-x]^-]') AS esc FROM t "
+        "LIMIT 1",
+        env,
+    ).collect()
+    assert r[0]["esc"] == "[-x"
+    with pytest.raises(TypeError, match="driver-literal"):
+        run_ch_query("SELECT trimBoth(s, s) FROM t", env)
+
+
+def test_analytic_window_functions(spark):
+    """percent_rank/cume_dist/first_value/last_value/nth_value in OVER
+    clauses; frame clauses apply to the value functions."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [("a", 1, "p"), ("a", 2, "q"), ("a", 3, "r"), ("b", 5, "z")],
+        "g string, k long, s string",
+    )
+    env = {"t": t}
+    r = run_ch_query(
+        "SELECT g, k,"
+        " percent_rank() OVER (PARTITION BY g ORDER BY k) AS pr,"
+        " cume_dist() OVER (PARTITION BY g ORDER BY k) AS cd,"
+        " first_value(s) OVER (PARTITION BY g ORDER BY k) AS fv,"
+        " last_value(s) OVER (PARTITION BY g ORDER BY k"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        "   AS lv,"
+        " nth_value(s, 2) OVER (PARTITION BY g ORDER BY k"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        "   AS nv"
+        " FROM t ORDER BY g, k",
+        env,
+    ).collect()
+    assert [tuple(x) for x in r] == [
+        ("a", 1, 0.0, 1 / 3, "p", "r", "q"),
+        ("a", 2, 0.5, 2 / 3, "p", "r", "q"),
+        ("a", 3, 1.0, 1.0, "p", "r", "q"),
+        ("b", 5, 0.0, 1.0, "z", "z", None),
+    ]
+
+
+def test_postfix_cast_and_ch_type_names(spark):
+    """x::T postfix casts (CH/Postgres spelling) and ClickHouse type
+    names in both cast forms; double->int casts truncate toward zero
+    (CH toInt64 semantics)."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, 2.7), (2, -3.9)], "k long, v double"
+    )
+    r = run_ch_query(
+        "SELECT k, v::Int64 AS vi, k::Float64 AS kf,"
+        " v::decimal(5,1) AS vd, CAST(k AS UInt16) AS ku,"
+        " (k + 1)::String AS ks FROM t ORDER BY k",
+        {"t": t},
+    )
+    assert [f.dataType.simpleString() for f in r.schema.fields] == [
+        "bigint", "bigint", "double", "decimal(5,1)", "int", "string"
+    ]
+    rows = [tuple(x) for x in r.collect()]
+    assert [(x[0], x[1], x[2], x[5]) for x in rows] == [
+        (1, 2, 1.0, "2"), (2, -3, 2.0, "3")
+    ]
+
+
+def test_comma_from_list_is_cross_join(spark):
+    """FROM a, b (ANSI-89 / CH comma list) = CROSS JOIN; an equality
+    WHERE over the pair must plan as a hash equi-join, not a
+    cartesian filter."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "k long, g string"
+    )
+    u = spark.createDataFrame([("a", 10), ("b", 20)], "g string, w long")
+    env = {"t": t, "u": u}
+    r = run_ch_query(
+        "SELECT t.k AS k, u.w AS w FROM t, u WHERE t.g = u.g "
+        "ORDER BY k",
+        env,
+    )
+    assert [tuple(x) for x in r.collect()] == [(1, 10), (2, 20), (3, 10)]
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "HashJoin" in plan  # equality pushed into the join
+    r = run_ch_query(
+        "SELECT a.number AS x, b.number AS y FROM numbers(2) a,"
+        " numbers(2) b ORDER BY x, y",
+        env,
+    ).collect()
+    assert [tuple(x) for x in r] == [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+
+def test_where_select_alias(spark):
+    """CH expression aliases resolve in WHERE (alias wins over a
+    same-named source column, as in GROUP BY); aggregate aliases are
+    never substituted into WHERE."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1, 10), (2, 20), (3, 10)], "v long, w long")
+    env = {"t": t}
+    r = run_ch_query(
+        "SELECT v % 2 AS parity, w FROM t WHERE parity = 1 ORDER BY v",
+        env,
+    ).collect()
+    assert [tuple(x) for x in r] == [(1, 10), (1, 10)]
+    # clash: alias wins (prefer_column_name_to_alias = 0)
+    r = run_ch_query(
+        "SELECT w + 100 AS w FROM t WHERE w > 110 ORDER BY w", env
+    ).collect()
+    assert [tuple(x) for x in r] == [(120,)]
+    # an aggregate alias must NOT leak into WHERE
+    r = run_ch_query(
+        "SELECT sum(w) AS s FROM t WHERE v > 1", env
+    ).collect()
+    assert [tuple(x) for x in r] == [(30,)]

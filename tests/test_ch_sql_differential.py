@@ -422,6 +422,29 @@ def _gen_nested_with_query(rng: random.Random) -> str:
     )
 
 
+def _gen_string_ansi_query(rng: random.Random) -> str:
+    # ANSI spellings that share keywords with CH builtins: substring
+    # FROM/FOR, position(x IN y), TRIM(spec 'chars' FROM x),
+    # EXTRACT(unit FROM ts) — identical text accepted by both engines
+    p, n = rng.randint(1, 3), rng.randint(1, 4)
+    spec = rng.choice(["BOTH", "LEADING", "TRAILING"])
+    ch = rng.choice(["c", "e", "r"])
+    unit = rng.choice(["year", "month", "day", "hour", "minute"])
+    expr = rng.choice(
+        [
+            f"substring(event_type FROM {p} FOR {n})",
+            f"substring(event_type, {p})",
+            f"position('{ch}' IN event_type)",
+            f"trim({spec} '{ch}' FROM event_type)",
+            f"EXTRACT({unit} FROM ts)",
+        ]
+    )
+    return (
+        f"SELECT {expr} AS k, count(*) AS n, min(event_id) AS mn "
+        f"FROM events{_where(rng)} GROUP BY k ORDER BY k"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
     return rng.choice(
         [_gen_agg_query, _gen_agg_query, _gen_distinct_query,
@@ -432,7 +455,7 @@ def _gen_query(rng: random.Random) -> str:
          _gen_qualify_query, _gen_positional_query,
          _gen_named_window_query, _gen_recursive_cte_query,
          _gen_nested_with_query, _gen_interval_query,
-         _gen_distinct_on_query]
+         _gen_distinct_on_query, _gen_string_ansi_query]
     )(rng)
 
 
