@@ -12,6 +12,7 @@ codegen as ordinary expressions.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import Column
@@ -230,6 +231,25 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # time-of-day; Spark's date_add would truncate it to a date
     "addDays": lambda c, n: F.timestamp_add("DAY", _as_col(n), c),
     "subtractDays": lambda c, n: F.timestamp_add("DAY", -_as_col(n), c),
+    "addWeeks": lambda c, n: F.timestamp_add("WEEK", _as_col(n), c),
+    "subtractWeeks": lambda c, n: F.timestamp_add("WEEK", -_as_col(n), c),
+    "addQuarters": lambda c, n: F.timestamp_add("QUARTER", _as_col(n), c),
+    "subtractQuarters": lambda c, n: F.timestamp_add(
+        "QUARTER", -_as_col(n), c
+    ),
+    "addYears": lambda c, n: F.timestamp_add("YEAR", _as_col(n), c),
+    "subtractYears": lambda c, n: F.timestamp_add("YEAR", -_as_col(n), c),
+    # generic unit forms — dateAdd(unit, n, d) / dateSub / timestampAdd
+    # / timestampSub; the unit is a driver literal (quoted or bare)
+    "dateAdd": lambda unit, n, c: F.timestamp_add(
+        _unquote(unit).upper(), _as_col(n), c
+    ),
+    "dateSub": lambda unit, n, c: F.timestamp_add(
+        _unquote(unit).upper(), -_as_col(n), c
+    ),
+    "toStartOfInterval": lambda c, n, unit: _to_start_of_interval(
+        c, n, unit
+    ),
     # arithmetic / math
     "intDiv": _int_div,
     "modulo": lambda a, b: a % b,
@@ -349,6 +369,13 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "repeat": F.repeat,
     "leftPad": F.lpad,
     "rightPad": F.rpad,
+    "left": F.left,
+    "right": F.right,
+    "base64Encode": F.base64,
+    "base64Decode": lambda c: F.unbase64(c).cast("string"),
+    "hex": F.hex,
+    "unhex": lambda c: F.unhex(c).cast("string"),
+    "bitCount": F.bit_count,
     # hashing (CH xxHash/cityHash are engine-specific; expose the
     # portable ones only)
     "MD5": F.md5,
@@ -375,6 +402,40 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "arrayStringConcat": lambda arr, sep="": F.array_join(arr, sep),
     "arrayFlatten": F.flatten,
     "arrayZip": F.arrays_zip,
+    # CH arrayIntersect is variadic; fold pairwise. Result ORDER is
+    # engine-specific in CH too — pin it sorted so results are
+    # deterministic and oracle-comparable.
+    "arrayIntersect": lambda *arrs: F.array_sort(
+        functools.reduce(F.array_intersect, arrs)
+    ),
+    "hasAll": lambda a, b: F.size(F.array_except(b, a)) == 0,
+    "hasAny": F.arrays_overlap,
+    "countEqual": lambda a, v: F.size(F.filter(a, lambda e: e == v)),
+    # consecutive-duplicate removal; NULL-safe neighbor compare
+    "arrayCompact": lambda a: F.filter(
+        a,
+        lambda e, i: (i == 0) | ~e.eqNullSafe(F.try_element_at(a, i)),
+    ),
+    # first element -> typed zero (e - e), like CH's leading 0
+    "arrayDifference": lambda a: F.transform(
+        a,
+        lambda e, i: F.when(i == 0, e - e).otherwise(
+            e - F.try_element_at(a, i)
+        ),
+    ),
+    # running sum; the empty-slice seed keeps the element type, the
+    # e*0 coalesce gives a typed zero for the first element
+    "arrayCumSum": lambda a: F.aggregate(
+        a,
+        F.slice(a, 1, 0),
+        lambda acc, e: F.concat(
+            acc,
+            F.array(
+                F.coalesce(F.try_element_at(acc, F.lit(-1)), e * F.lit(0))
+                + e
+            ),
+        ),
+    ),
     # CH row values: tuple(a, b) / the (a, b) literal — a struct, so
     # =/IN compare element-wise in both engines
     "tuple": lambda *cs: F.struct(*[_as_col(c) for c in cs]),
@@ -465,6 +526,37 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "isNaN": F.isnan,
     "isFinite": lambda c: ~F.isnan(c) & (F.abs(c) != float("inf")),
     "isInfinite": lambda c: F.abs(c) == float("inf"),
+    "exp2": lambda c: F.pow(F.lit(2.0), c),
+    "exp10": lambda c: F.pow(F.lit(10.0), c),
+    "log1p": F.log1p,
+    "expm1": F.expm1,
+    "degrees": F.degrees,
+    "radians": F.radians,
+    "sinh": F.sinh,
+    "cosh": F.cosh,
+    "tanh": F.tanh,
+    "asinh": F.asinh,
+    "acosh": F.acosh,
+    "atanh": F.atanh,
+    "cot": lambda c: F.lit(1.0) / F.tan(c),
+    # --- statistics aggregates ---
+    "stddevPop": F.stddev_pop,
+    "stddevSamp": F.stddev_samp,
+    "varPop": F.var_pop,
+    "varSamp": F.var_samp,
+    "covarPop": F.covar_pop,
+    "covarSamp": F.covar_samp,
+    "corr": F.corr,
+    "skewPop": F.skewness,
+    "kurtPop": F.kurtosis,
+    # exact interpolated median (Spark percentile), = quantileExact
+    # at the 0.5 midpoint convention both engines share
+    "median": F.median,
+    "avgWeighted": lambda x, w: F.sum(x * w) / F.sum(w),
+    # --- nondeterministic generators (no oracle pairing by nature) ---
+    "rand": lambda: (F.rand() * F.lit(4294967296.0)).cast("long"),
+    "randCanonical": lambda: F.rand(),
+    "generateUUIDv4": lambda: F.expr("uuid()"),
 }
 
 
@@ -487,6 +579,33 @@ def _floor_seconds(c: Column, step: int) -> Column:
     """Floor a timestamp to a fixed window of ``step`` seconds."""
     secs = F.unix_timestamp(c)
     return F.timestamp_seconds(secs - secs % step)
+
+
+def _to_start_of_interval(c: Column, n: int, unit: str) -> Column:
+    """CH toStartOfInterval(t, INTERVAL n unit): floor to an n-unit
+    grid. Sub-day grids anchor at the epoch and return a timestamp;
+    week grids anchor at Monday 1970-01-05; day/month/quarter/year
+    grids return dates (the CH result-type convention)."""
+    if n <= 0:
+        raise ValueError("toStartOfInterval needs a positive quantity")
+    if unit in ("second", "minute", "hour"):
+        return _floor_seconds(
+            c, {"second": 1, "minute": 60, "hour": 3600}[unit] * n
+        )
+    if unit in ("day", "week"):
+        anchor = "1970-01-05" if unit == "week" else "1970-01-01"
+        step = (7 if unit == "week" else 1) * n
+        days = F.datediff(F.to_date(c), F.lit(anchor).cast("date"))
+        off = (F.floor(days / step) * step).cast("int")
+        return F.date_add(F.lit(anchor).cast("date"), off)
+    k = {"month": 1, "quarter": 3, "year": 12}[unit] * n
+    m = (F.year(c) - 1970) * 12 + F.month(c) - 1
+    m2 = F.floor(m / k) * k
+    return F.make_date(
+        F.lit(1970) + F.floor(m2 / 12).cast("int"),
+        (m2 % 12).cast("int") + 1,
+        F.lit(1),
+    )
 
 
 def _url_domain(u: Column) -> Column:

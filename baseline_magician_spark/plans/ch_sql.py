@@ -56,6 +56,13 @@ hand-written queries a CH user actually runs. Current surface:
   percent_rank/cume_dist/first_value/last_value/nth_value);
   WHERE resolves explicit select aliases (CH expression-alias
   extension, alias-wins on a name clash — same rule as GROUP BY);
+  the dictGet family — dictGet / dictGetOrDefault / dictGetOrNull /
+  dictHas over any env relation keyed by its first column, one
+  broadcast LEFT JOIN per (dictionary, key) group, CH missing-key
+  type defaults; statistics aggregates (stddevPop/Samp, varPop/Samp,
+  covarPop/Samp, corr, skewPop, kurtPop, median, avgWeighted);
+  toStartOfInterval(t, INTERVAL n unit) grids and generic
+  dateAdd/dateSub with quoted or bare unit names;
 - statement level: WITH (both forms — ANSI CTEs and classic-CH scalar
   aliases ``WITH expr AS name``, mixable), UNION ALL/DISTINCT,
   INTERSECT/EXCEPT
@@ -98,6 +105,10 @@ _AGGS = {
     # ANSI DISTINCT-qualified aggregates (count(DISTINCT x), ...)
     "count__distinct", "sum__distinct", "avg__distinct",
     "min__distinct", "max__distinct",
+    # statistics family
+    "stddevpop", "stddevsamp", "varpop", "varsamp",
+    "covarpop", "covarsamp", "corr", "skewpop", "kurtpop",
+    "median", "avgweighted",
 }
 
 # CH parametric-aggregate families — ``fn(params)(args)`` spelling,
@@ -814,6 +825,26 @@ _LITERAL_ARG_POSITIONS = {
     "trimboth": {1},
     "trimleft": {1},
     "trimright": {1},
+    # date-part unit names (quoted spelling; the bare spelling is
+    # coerced via _BARE_UNIT_ARG_POSITIONS below)
+    "dateadd": {0},
+    "datesub": {0},
+}
+
+# CH accepts BARE unit identifiers in these positions too —
+# dateAdd(hour, 2, ts) — which the parser naturally reads as column
+# refs; coerce a bare column node at these positions to its name
+# string before compiling.
+_BARE_UNIT_ARG_POSITIONS = {
+    "dateadd": {0},
+    "datesub": {0},
+    "datediff": {0},
+    "datetrunc": {0},
+    "date_trunc": {0},
+}
+_DATE_UNITS = {
+    "year", "quarter", "month", "week", "day", "hour", "minute",
+    "second", "millisecond", "microsecond",
 }
 
 
@@ -1178,14 +1209,30 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             first = _compile(node.args[0], env)
             levels = [float(_literal_value(a)) for a in node.args[1:]]
             return fn(first, *levels)
+        if lname == "tostartofinterval":
+            # toStartOfInterval(ts, INTERVAL n unit): the interval is
+            # part of the call's syntax, not a value — unpack it here
+            if len(node.args) != 2 or node.args[1].kind != "interval":
+                raise ValueError(
+                    "toStartOfInterval takes (expr, INTERVAL n unit)"
+                )
+            qty, unit = node.args[1].value
+            return fn(_compile(node.args[0], env), int(qty), unit)
         # some shims need DRIVER-LITERAL arguments (a date-part name, a
         # split separator, a regex whose group count must be inspected)
         # — pass string literals at those positions through as Python
         # strings instead of Columns
         literal_pos = _LITERAL_ARG_POSITIONS.get(lname, ())
+        bare_pos = _BARE_UNIT_ARG_POSITIONS.get(lname, ())
         args = [
             str(a.value)
-            if i in literal_pos and a.kind == "str" and a.value is not None
+            if (
+                i in literal_pos and a.kind == "str" and a.value is not None
+            ) or (
+                i in bare_pos
+                and a.kind == "col"
+                and str(a.value).lower() in _DATE_UNITS
+            )
             else _compile(a, env)
             for i, a in enumerate(node.args)
         ]
@@ -3208,6 +3255,163 @@ def _exec_select(
         yield n
         for c in _aj_children(n):
             yield from _aj_iter_tree(c)
+
+    # CH external dictionaries: the dictGet family. A dictionary here
+    # is any relation in the statement env whose FIRST column is the
+    # key (the same first-column convention SAMPLE uses). CH keeps
+    # every dictionary fully in RAM on every node; the faithful Spark
+    # mapping is ONE broadcast LEFT JOIN per (dictionary,
+    # key-expression) group — attrs requested from the same dictionary
+    # under the same key share a single join, and the call nodes
+    # rewrite in place to the joined hidden columns:
+    #   dictGet(d, a, k)            -> coalesce(attr, type default)
+    #   dictGetOrDefault(d, a, k, v)-> coalesce(attr, v)
+    #   dictGetOrNull(d, a, k)      -> attr
+    #   dictHas(d, k)               -> coalesce(matched, false)
+    # (CH returns the attribute TYPE's default — 0, '', 1970-01-01 —
+    # for a missing key, not NULL; the per-type coalesce reproduces
+    # that.) The tiny pre-join groupBy pins duplicate-key behavior to
+    # the minimum attribute value — CH rejects duplicate keys at
+    # dictionary load, so unique-key dictionaries are unaffected and
+    # duplicates stay deterministic instead of multiplying rows.
+    _DICT_FNS = {"dictget", "dictgetordefault", "dictgetornull", "dicthas"}
+    dict_groups: dict[tuple, list[_Node]] = {}
+
+    def _dict_scan(n: _Node | None) -> None:
+        if n is None or not isinstance(n, _Node) or n.kind == "lambda":
+            return
+        if n.kind == "call" and str(n.value).lower() in _DICT_FNS:
+            fnl = str(n.value).lower()
+            need = {"dicthas": 2, "dictgetordefault": 4}.get(fnl, 3)
+            if len(n.args) != need:
+                raise ValueError(f"{n.value} takes {need} arguments")
+            if n.args[0].kind != "str":
+                raise ValueError(
+                    f"{n.value} dictionary name must be a string literal"
+                )
+            key_node = n.args[1 if fnl == "dicthas" else 2]
+            if any(
+                c.kind == "call" and str(c.value).lower() == "arrayjoin"
+                for c in _aj_iter_tree(key_node)
+            ):
+                raise ValueError(
+                    "dictGet keys may not contain arrayJoin"
+                )
+            _dict_scan(key_node)  # inner lookups join first
+            if fnl == "dictgetordefault":
+                _dict_scan(n.args[3])
+            dict_groups.setdefault(
+                (str(n.args[0].value), _aj_struct_key(key_node)), []
+            ).append(n)
+            return
+        for c in _aj_children(n):
+            _dict_scan(c)
+
+    for n in select_nodes:
+        _dict_scan(n)
+    _dict_scan(where_node)
+    _dict_scan(having_node)
+    _dict_scan(qualify_node)
+    for g in group_nodes:
+        _dict_scan(g)
+    for onode, _d, _nf in order_nodes:
+        _dict_scan(onode)
+
+    def _dict_default_node(dt) -> _Node:
+        s = dt.simpleString()
+        if s == "string":
+            return _Node("str", "")
+        if s == "boolean":
+            return _Node("cast", "boolean", (_Node("num", 0),))
+        if s == "date":
+            return _Node("cast", "date", (_Node("str", "1970-01-01"),))
+        if s.startswith("timestamp"):
+            return _Node(
+                "cast", s, (_Node("str", "1970-01-01 00:00:00"),)
+            )
+        if s in (
+            "byte", "short", "int", "long", "bigint", "float",
+            "double",
+        ) or s.startswith("decimal"):
+            return _Node("cast", s, (_Node("num", 0),))
+        raise ValueError(
+            f"dictGet has no CH default for type {s}; use dictGetOrNull"
+        )
+
+    for (dname, _key_), calls in dict_groups.items():
+        if dname not in tables:
+            raise ValueError(f"unknown dictionary {dname!r}")
+        ddf = tables[dname]
+        dict_key = ddf.columns[0]
+        attrs: list[str] = []
+        for call in calls:
+            if str(call.value).lower() == "dicthas":
+                continue
+            if call.args[1].kind != "str":
+                raise ValueError(
+                    f"{call.value} attribute must be a string literal"
+                )
+            a = str(call.args[1].value)
+            if a not in ddf.columns:
+                raise ValueError(
+                    f"dictionary {dname!r} has no attribute {a!r}"
+                )
+            if a == dict_key:
+                raise ValueError(
+                    f"{a!r} is the key of dictionary {dname!r}, not an "
+                    "attribute"
+                )
+            if a not in attrs:
+                attrs.append(a)
+        seq = next(_SCALAR_SEQ)
+        hk = f"_dk_{seq}"
+        hidden = {a: f"_dg_{seq}_{i}" for i, a in enumerate(attrs)}
+        hhas = f"_dh_{seq}"
+        right = (
+            ddf.groupBy(F.col(dict_key).alias(hk))
+            .agg(*[F.min(a).alias(hidden[a]) for a in attrs])
+            .withColumn(hhas, F.lit(True))
+        )
+        sample = calls[0]
+        key_node = sample.args[
+            1 if str(sample.value).lower() == "dicthas" else 2
+        ]
+        df = df.join(
+            F.broadcast(right),
+            _compile(key_node, tables) == F.col(hk),
+            "left",
+        ).drop(hk)
+        rtypes = {hidden[a]: right.schema[hidden[a]].dataType for a in attrs}
+        for call in calls:
+            fnl = str(call.value).lower()
+            if fnl == "dicthas":
+                call.kind, call.value, call.args = (
+                    "call",
+                    "coalesce",
+                    (
+                        _Node("col", hhas),
+                        _Node("cast", "boolean", (_Node("num", 0),)),
+                    ),
+                )
+                continue
+            hcol = hidden[str(call.args[1].value)]
+            if fnl == "dictgetornull":
+                call.kind, call.value, call.args = "col", hcol, ()
+            elif fnl == "dictgetordefault":
+                call.kind, call.value, call.args = (
+                    "call",
+                    "coalesce",
+                    (_Node("col", hcol), call.args[3]),
+                )
+            else:
+                call.kind, call.value, call.args = (
+                    "call",
+                    "coalesce",
+                    (
+                        _Node("col", hcol),
+                        _dict_default_node(rtypes[hcol]),
+                    ),
+                )
 
     for n in select_nodes:
         _aj_scan(n)

@@ -1655,3 +1655,74 @@ def ch_sql_comma_join_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(
         _COMMA_JOIN_ANALYTIC_SQL, _tables(spark, sf_dir, "orders", "customer")
     )
+
+
+# Statistics aggregate family + toStartOfInterval time grids. Results
+# round to 6 decimals on BOTH sides: the engines' variance algorithms
+# differ in summation order, so agreement is at ~1e-12 relative — far
+# inside the 1e-6 grid (the playbook rule for cross-engine floats).
+_STATS_AGG_SQL = """
+SELECT toStartOfInterval(ts, INTERVAL 6 hour) AS bucket,
+       round(stddevPop(value), 6) AS sp,
+       round(varSamp(value), 6) AS vs,
+       round(corr(value, user_id), 6) AS cr,
+       round(avgWeighted(value, user_id), 6) AS aw,
+       count(*) AS n
+FROM fastnetmon.events
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query(
+    "ch_sql_stats_aggregates",
+    """
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600)
+                AS TIMESTAMP) AS bucket,
+           round(stddev_pop(value), 6) AS sp,
+           round(var_samp(value), 6) AS vs,
+           round(corr(value, user_id), 6) AS cr,
+           round(sum(value * user_id) / sum(user_id), 6) AS aw,
+           count(*) AS n
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def ch_sql_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_STATS_AGG_SQL, _tables(spark, sf_dir, "events"))
+
+
+# dictGet dictionary lookups: nation acts as an in-RAM dictionary
+# keyed by its first column; o_custkey % 30 deliberately generates
+# keys 25-29 with no dictionary row, exercising the CH missing-key
+# semantics (attribute-type default '' and dictHas = false). The
+# whole family compiles to one broadcast LEFT JOIN — never a
+# per-row probe.
+_DICTGET_SQL = """
+SELECT dictGet('nation', 'n_name', modulo(o_custkey, 30)) AS nm,
+       dictHas('nation', modulo(o_custkey, 30)) AS known,
+       count(*) AS n,
+       min(o_orderkey) AS mn
+FROM fastnetmon.orders
+GROUP BY nm, known
+ORDER BY nm, known
+"""
+
+
+@query(
+    "ch_sql_dictget_lookup",
+    """
+    SELECT coalesce(n.n_name, '') AS nm,
+           n.n_nationkey IS NOT NULL AS known,
+           count(*) AS n,
+           min(o.o_orderkey) AS mn
+    FROM orders o LEFT JOIN nation n ON o.o_custkey % 30 = n.n_nationkey
+    GROUP BY nm, known
+    ORDER BY nm, known
+    """,
+)
+def ch_sql_dictget_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        _DICTGET_SQL, _tables(spark, sf_dir, "orders", "nation")
+    )

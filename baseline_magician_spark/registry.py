@@ -63,7 +63,9 @@ _loaded = False
 #   q10 q15 q16 q19) lead the round-6 rotation, together with the
 #   round-5 registrations past slot 50 (ch_sql_url_time_functions,
 #   ch_sql_uniq_state_merge, ch_sql_mutations, ch_sql_topk,
-#   ch_sql_state_merge_rollup, ch_sql_arrayjoin_expression — each
+#   ch_sql_state_merge_rollup, ch_sql_arrayjoin_expression,
+#   ch_sql_ansi_spellings, ch_sql_comma_join_analytic,
+#   ch_sql_stats_aggregates, ch_sql_dictget_lookup — each
 #   verified locally with the driver's exact recipe when registered).
 _PRIORITY: tuple[str, ...] = (
     # never driver-checked (round-4 tail registrations)

@@ -441,3 +441,101 @@ def test_uniq_state_merge_sketches(spark):
     assert isinstance(daily.schema["sk"].dataType, BinaryType)
     est = daily.agg(ch_fn("uniqMerge")(F.col("sk")).alias("n")).first()["n"]
     assert abs(est - 700) <= 0.05 * 700
+
+
+def test_date_interval_shims(spark):
+    """addYears/Quarters/Weeks + generic dateAdd/dateSub (quoted AND
+    bare unit spellings) + toStartOfInterval grids (sub-day grids
+    return timestamps, day+ grids return dates, weeks anchor on
+    Monday)."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [("2024-05-17 10:37:05",)], "d string"
+    ).withColumn("ts", F.col("d").cast("timestamp"))
+    r = run_ch_query(
+        "SELECT addYears(ts, 1) AS y, addQuarters(ts, 1) AS q,"
+        " addWeeks(ts, 2) AS w, dateAdd('hour', 3, ts) AS hq,"
+        " dateAdd(hour, 3, ts) AS hb, dateSub(day, 1, ts) AS ds"
+        " FROM t",
+        {"t": t},
+    ).first()
+    assert str(r["y"]) == "2025-05-17 10:37:05"
+    assert str(r["q"]) == "2024-08-17 10:37:05"
+    assert str(r["w"]) == "2024-05-31 10:37:05"
+    assert str(r["hq"]) == str(r["hb"]) == "2024-05-17 13:37:05"
+    assert str(r["ds"]) == "2024-05-16 10:37:05"
+    r = run_ch_query(
+        "SELECT toStartOfInterval(ts, INTERVAL 15 minute) AS m15,"
+        " toStartOfInterval(ts, INTERVAL 2 day) AS d2,"
+        " toStartOfInterval(ts, INTERVAL 1 week) AS w1,"
+        " toStartOfInterval(ts, INTERVAL 3 month) AS q1 FROM t",
+        {"t": t},
+    ).first()
+    assert str(r["m15"]) == "2024-05-17 10:30:00"
+    assert str(r["d2"]) == "2024-05-17"
+    assert str(r["w1"]) == "2024-05-13"  # the Monday
+    assert str(r["q1"]) == "2024-04-01"
+
+
+def test_array_vocabulary_extensions(spark):
+    """arrayIntersect (sorted, variadic), hasAll/hasAny, countEqual,
+    arrayCompact (consecutive dedup), arrayDifference (leading 0),
+    arrayCumSum (running sum, type-preserving)."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, [3, 1, 2, 2, 5], [1, 2, 3, 4]), (2, [7], [2, 4])],
+        "k long, xs array<bigint>, ys array<bigint>",
+    )
+    r = run_ch_query(
+        "SELECT k, arrayIntersect(xs, ys) AS i, hasAll(xs, ys) AS ha,"
+        " hasAny(xs, ys) AS hy, countEqual(xs, 2) AS ce,"
+        " arrayCompact(xs) AS ac, arrayDifference(xs) AS ad,"
+        " arrayCumSum(xs) AS cs FROM t ORDER BY k",
+        {"t": t},
+    ).collect()
+    assert tuple(r[0])[1:] == (
+        [1, 2, 3], False, True, 2, [3, 1, 2, 5],
+        [0, -2, 1, 0, 3], [3, 4, 6, 8, 13],
+    )
+    assert tuple(r[1])[1:] == ([], False, False, 0, [7], [0], [7])
+
+
+def test_string_codec_and_math_shims(spark):
+    """left/right, base64/hex round-trips, bitCount, exp2/exp10,
+    degrees, cot — and the statistics aggregate family."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, "abcdef"), (2, "XYZ"), (3, "mn")], "k long, s string"
+    )
+    env = {"t": t}
+    r = run_ch_query(
+        "SELECT left(s, 2) AS l, right(s, 2) AS r,"
+        " base64Decode(base64Encode(s)) AS b, unhex(hex(s)) AS h,"
+        " bitCount(k) AS bc FROM t ORDER BY k",
+        env,
+    ).collect()
+    assert [(x["l"], x["r"]) for x in r] == [
+        ("ab", "ef"), ("XY", "YZ"), ("mn", "mn")
+    ]
+    assert all(x["b"] == x["h"] for x in r)
+    assert [x["bc"] for x in r] == [1, 1, 2]
+    row = run_ch_query(
+        "SELECT exp2(3.0) AS e2, exp10(2.0) AS e10,"
+        " degrees(pi()) AS dg, cot(1.0) AS ct FROM t LIMIT 1",
+        env,
+    ).first()
+    assert row["e2"] == 8.0 and row["e10"] == 100.0
+    assert abs(row["dg"] - 180.0) < 1e-9
+    assert abs(row["ct"] - 0.6420926159343306) < 1e-12
+    row = run_ch_query(
+        "SELECT stddevPop(k) AS sp, stddevSamp(k) AS ss,"
+        " varPop(k) AS vp, varSamp(k) AS vs, corr(k, k) AS c,"
+        " median(k) AS md, avgWeighted(k, k) AS aw FROM t",
+        env,
+    ).first()
+    assert abs(row["vp"] - 2.0 / 3.0) < 1e-12 and row["vs"] == 1.0
+    assert row["c"] == 1.0 and row["md"] == 2.0
+    assert abs(row["aw"] - 14.0 / 6.0) < 1e-12

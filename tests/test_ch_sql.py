@@ -2752,3 +2752,56 @@ def test_where_select_alias(spark):
         "SELECT sum(w) AS s FROM t WHERE v > 1", env
     ).collect()
     assert [tuple(x) for x in r] == [(30,)]
+
+
+def test_dictget_family(spark):
+    """CH dictGet/dictGetOrDefault/dictGetOrNull/dictHas: a relation in
+    the env acts as a dictionary keyed by its FIRST column; lookups
+    compile to ONE broadcast LEFT JOIN per (dictionary, key) group;
+    missing keys give the attribute TYPE's default (CH semantics), not
+    NULL."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99)], "k long, dim_id long"
+    )
+    d = spark.createDataFrame(
+        [(10, "alpha", 1.5), (20, "beta", 2.5)],
+        "id long, name string, wgt double",
+    )
+    env = {"t": t, "dims": d}
+    r = run_ch_query(
+        "SELECT k, dictGet('dims', 'name', dim_id) AS nm,"
+        " dictGet('dims', 'wgt', dim_id) AS w,"
+        " dictGetOrNull('dims', 'name', dim_id) AS nn,"
+        " dictGetOrDefault('dims', 'name', dim_id, 'none') AS nd,"
+        " dictHas('dims', dim_id) AS h FROM t ORDER BY k",
+        env,
+    )
+    assert [tuple(x) for x in r.collect()] == [
+        (1, "alpha", 1.5, "alpha", "alpha", True),
+        (2, "beta", 2.5, "beta", "beta", True),
+        (3, "", 0.0, None, "none", False),  # CH type defaults
+    ]
+    # every lookup over the same (dict, key) shares ONE broadcast join
+    # (logical plan: AQE's adaptive wrapper prints physical subtrees
+    # more than once, so count joins pre-physical)
+    lplan = r._jdf.queryExecution().optimizedPlan().toString()
+    assert lplan.count("Join") == 1
+    pplan = r._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in pplan
+    assert "SortMergeJoin" not in pplan
+    # expression positions: WHERE, GROUP BY, aggregates, ORDER BY
+    r = run_ch_query(
+        "SELECT dictGet('dims', 'name', dim_id) AS nm, count(*) AS n,"
+        " sum(dictGet('dims', 'wgt', dim_id)) AS sw FROM t"
+        " WHERE dictHas('dims', dim_id) GROUP BY nm ORDER BY nm",
+        env,
+    ).collect()
+    assert [tuple(x) for x in r] == [("alpha", 1, 1.5), ("beta", 1, 2.5)]
+    with pytest.raises(ValueError, match="no attribute"):
+        run_ch_query("SELECT dictGet('dims', 'nope', dim_id) FROM t", env)
+    with pytest.raises(ValueError, match="unknown dictionary"):
+        run_ch_query("SELECT dictGet('zz', 'name', dim_id) FROM t", env)
+    with pytest.raises(ValueError, match="string literal"):
+        run_ch_query("SELECT dictGet(k, 'name', dim_id) FROM t", env)
