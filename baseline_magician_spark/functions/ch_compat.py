@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .funnel import retention as _retention
 from .ip import ip4_to_long, long_to_ip4
 
 
@@ -198,6 +199,10 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     ),
     "argMax": lambda c, by: F.max_by(c, by),
     "argMin": lambda c, by: F.min_by(c, by),
+    # behavioral analytics (functions/funnel.py; windowFunnel /
+    # sequenceMatch / sequenceCount are parametric and compile via
+    # the CH front end's dedicated branch)
+    "retention": _retention,
     # date/time
     "toStartOfHour": lambda c: F.date_trunc("hour", c),
     "toStartOfDay": lambda c: F.date_trunc("day", c),

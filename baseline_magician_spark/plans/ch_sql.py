@@ -109,6 +109,8 @@ _AGGS = {
     "stddevpop", "stddevsamp", "varpop", "varsamp",
     "covarpop", "covarsamp", "corr", "skewpop", "kurtpop",
     "median", "avgweighted",
+    # behavioral analytics (functions/funnel.py)
+    "windowfunnel", "retention", "sequencematch", "sequencecount",
 }
 
 # CH parametric-aggregate families — ``fn(params)(args)`` spelling,
@@ -118,6 +120,9 @@ _AGGS = {
 _PARAMETRIC_AGGS = {
     "quantile", "quantileexact", "quantiles", "quantilesexact",
     "topk",
+    # param = window seconds / sequence pattern; the compile path
+    # special-cases these before the quantile-levels branch
+    "windowfunnel", "sequencematch", "sequencecount",
 }
 
 _TOKEN = re.compile(
@@ -1199,6 +1204,35 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                 raise ValueError("lambdas take 1 or 2 parameters")
             arrs = [_compile(a, env) for a in node.args[1:]]
             return hof(fn, *arrs)
+        if lname in ("windowfunnel", "sequencematch", "sequencecount"):
+            # behavioral-analytics aggregates: fn(param)(ts, conds...)
+            # — the parser appends the single param AFTER the inner
+            # args, so it rides last. window is a numeric literal,
+            # sequence patterns are string literals compiled to a
+            # regex over bitmap characters (functions/funnel.py).
+            from ..functions import funnel as _funnel
+
+            if len(node.args) < 3:
+                raise ValueError(
+                    f"{node.value} takes (param)(ts, cond1, ...)"
+                )
+            *inner, param = node.args
+            ts = _compile(inner[0], env)
+            conds = [_compile(c, env) for c in inner[1:]]
+            if lname == "windowfunnel":
+                return _funnel.window_funnel(
+                    int(_literal_value(param)), ts, *conds
+                )
+            if param.kind != "str":
+                raise ValueError(
+                    f"{node.value} pattern must be a string literal"
+                )
+            seq_fn = (
+                _funnel.sequence_match
+                if lname == "sequencematch"
+                else _funnel.sequence_count
+            )
+            return seq_fn(str(param.value), ts, *conds)
         fn = CH_FUNCTIONS.get(name) or CH_FUNCTIONS.get(lname)
         if fn is None:
             raise ValueError(f"unknown function {name!r}")

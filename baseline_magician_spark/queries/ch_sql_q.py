@@ -1726,3 +1726,124 @@ def ch_sql_dictget_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(
         _DICTGET_SQL, _tables(spark, sf_dir, "orders", "nation")
     )
+
+
+# Behavioral-analytics aggregates (functions/funnel.py). The funnel
+# DP is a JVM-side F.aggregate fold over each user's sorted relevant
+# events; the DuckDB oracle spells the DEFAULT-mode equivalence
+# independently as EXISTS chains (e1 <= e2 <= e3, chain bounded by
+# the start's window) — see the module docstring for the proof that
+# the greedy chain-start-overwrite DP equals the existential form.
+_WINDOW_FUNNEL_SQL = """
+SELECT lvl, count(*) AS users
+FROM (
+  SELECT user_id,
+         toInt64(windowFunnel(14400)(ts, event_type = 'view',
+                 event_type = 'click', event_type = 'purchase')) AS lvl
+  FROM fastnetmon.events
+  GROUP BY user_id
+)
+GROUP BY lvl
+ORDER BY lvl
+"""
+
+
+@query(
+    "ch_sql_window_funnel",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    lv AS (
+      SELECT u.user_id, (CASE
+        WHEN EXISTS (
+          SELECT 1 FROM events e1
+          JOIN events e2 ON e2.user_id = e1.user_id
+          JOIN events e3 ON e3.user_id = e1.user_id
+          WHERE e1.user_id = u.user_id
+            AND e1.event_type = 'view' AND e2.event_type = 'click'
+            AND e3.event_type = 'purchase'
+            AND e1.ts <= e2.ts AND e2.ts <= e3.ts
+            AND e3.ts <= e1.ts + INTERVAL 14400 SECOND) THEN 3
+        WHEN EXISTS (
+          SELECT 1 FROM events e1
+          JOIN events e2 ON e2.user_id = e1.user_id
+          WHERE e1.user_id = u.user_id
+            AND e1.event_type = 'view' AND e2.event_type = 'click'
+            AND e1.ts <= e2.ts
+            AND e2.ts <= e1.ts + INTERVAL 14400 SECOND) THEN 2
+        WHEN EXISTS (
+          SELECT 1 FROM events e1
+          WHERE e1.user_id = u.user_id
+            AND e1.event_type = 'view') THEN 1
+        ELSE 0 END)::BIGINT AS lvl
+      FROM u)
+    SELECT lvl, count(*) AS users
+    FROM lv GROUP BY lvl ORDER BY lvl
+    """,
+)
+def ch_sql_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_WINDOW_FUNNEL_SQL, _tables(spark, sf_dir, "events"))
+
+
+# retention + sequenceMatch/sequenceCount rolled up corpus-wide. The
+# sequenceCount oracle uses the C->P boundary identity: successive
+# non-overlapping '(?1).*(?2)' chains over the condensed considered-
+# event sequence = adjacent (click, purchase) pairs in that sequence.
+_RETENTION_SEQ_SQL = """
+SELECT sum(r[1]) AS r_base,
+       sum(r[2]) AS r_click,
+       sum(r[3]) AS r_purchase,
+       sum(toUInt8(sm)) AS seq_users,
+       sum(sc) AS seq_chains
+FROM (
+  SELECT user_id,
+         retention(event_type = 'signup', event_type = 'click',
+                   event_type = 'purchase') AS r,
+         sequenceMatch('(?1).*(?2)')(ts, event_type = 'signup',
+                 event_type = 'purchase') AS sm,
+         sequenceCount('(?1).*(?2)')(ts, event_type = 'click',
+                 event_type = 'purchase') AS sc
+  FROM fastnetmon.events
+  GROUP BY user_id
+)
+"""
+
+
+@query(
+    "ch_sql_retention_sequence",
+    """
+    WITH per_u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events GROUP BY user_id),
+    sm AS (
+      SELECT a.user_id, max(CASE WHEN EXISTS (
+               SELECT 1 FROM events b WHERE b.user_id = a.user_id
+                 AND b.event_type = 'purchase' AND a.ts < b.ts)
+             THEN 1 ELSE 0 END) AS m
+      FROM events a WHERE a.event_type = 'signup' GROUP BY a.user_id),
+    sc AS (
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'purchase'
+                              AND prev = 'click') AS n
+      FROM (SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts) AS prev
+            FROM events
+            WHERE event_type IN ('click', 'purchase'))
+      GROUP BY user_id)
+    SELECT sum(per_u.s)::BIGINT AS r_base,
+           sum(CASE WHEN per_u.s = 1 AND per_u.c = 1
+                    THEN 1 ELSE 0 END)::BIGINT AS r_click,
+           sum(CASE WHEN per_u.s = 1 AND per_u.p = 1
+                    THEN 1 ELSE 0 END)::BIGINT AS r_purchase,
+           sum(coalesce(sm.m, 0))::BIGINT AS seq_users,
+           sum(coalesce(sc.n, 0))::BIGINT AS seq_chains
+    FROM per_u
+    LEFT JOIN sm ON sm.user_id = per_u.user_id
+    LEFT JOIN sc ON sc.user_id = per_u.user_id
+    """,
+)
+def ch_sql_retention_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_RETENTION_SEQ_SQL, _tables(spark, sf_dir, "events"))

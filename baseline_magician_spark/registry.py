@@ -65,7 +65,8 @@ _loaded = False
 #   ch_sql_uniq_state_merge, ch_sql_mutations, ch_sql_topk,
 #   ch_sql_state_merge_rollup, ch_sql_arrayjoin_expression,
 #   ch_sql_ansi_spellings, ch_sql_comma_join_analytic,
-#   ch_sql_stats_aggregates, ch_sql_dictget_lookup — each
+#   ch_sql_stats_aggregates, ch_sql_dictget_lookup,
+#   ch_sql_window_funnel, ch_sql_retention_sequence — each
 #   verified locally with the driver's exact recipe when registered).
 _PRIORITY: tuple[str, ...] = (
     # never driver-checked (round-4 tail registrations)
