@@ -348,3 +348,69 @@ def simhash_band_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 40,
+) -> DataFrame:
+    """Cross-document duplicated passages (Lee et al. 2022-style
+    substring dedup, k-char granularity): maximal spans of each doc
+    whose every k-shingle also occurs in ANOTHER document.
+
+    Returns (id, span_start, span_end, span_chars), 1-based inclusive
+    character positions, one row per maximal span.
+
+    100 TB design — three uniform-key shuffles, no Python:
+    - positions explode map-side (fan-out ~= corpus chars, the same
+      budget as tokenization); the shingle key is ``substr(md5, 1,
+      16)`` — 8 bytes of entropy, identical in any engine (the DuckDB
+      oracle replays the exact same decisions), far narrower on the
+      wire than the raw k-char shingle;
+    - the cross-doc flag is min(id) != max(id) per shingle — cheap
+      partial-aggregating min/max, no count-distinct;
+    - flagged positions come back via LEFT SEMI join on the hash
+      (right side = only duplicated shingles — typically tiny, AQE
+      broadcasts it at runtime);
+    - span merge is one gaps-and-islands window per doc (id, i - rn).
+    """
+    tid = F.col(id_col)
+    text = F.col(text_col)
+    pos = df.select(
+        tid.alias("id"),
+        F.explode(
+            F.when(
+                F.length(text) >= k,
+                F.sequence(F.lit(1), F.length(text) - (k - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+        text.alias("_t"),
+    ).select(
+        "id",
+        F.col("i").cast("long").alias("i"),
+        F.substring(
+            F.md5(F.substr(F.col("_t"), F.col("i"), F.lit(k))), 1, 16
+        ).alias("h"),
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.min("id").alias("mn"), F.max("id").alias("mx"))
+        .where(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    flagged = pos.join(dup, "h", "left_semi")
+    rn = F.row_number().over(Window.partitionBy("id").orderBy("i"))
+    islands = flagged.select(
+        "id", "i", (F.col("i") - rn).alias("island")
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + (k - 1)).alias("span_end"),
+            (F.max("i") - F.min("i") + k).alias("span_chars"),
+        )
+        .drop("island")
+    )

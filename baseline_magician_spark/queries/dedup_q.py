@@ -16,6 +16,7 @@ from ..functions.hashing import (
     shingle_hashes_duckdb,
 )
 from ..operators.dedup import (
+    duplicated_spans,
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -602,3 +603,48 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=2, max_bucket=200,
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     return dedup_clusters(pairs, "doc_a", "doc_b")
+
+
+# Cross-document duplicated passages (substring-level dedup, the Lee
+# et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better" granularity, k = 40 chars). The 16-hex-char md5 prefix is
+# the cross-engine shingle key: DuckDB's md5() emits the identical
+# lowercase hex, so both engines make bit-identical dup decisions.
+_DUP_SPANS_K = 40
+
+
+@query(
+    "dedup_duplicated_spans",
+    f"""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(generate_series(1, length(text) - {_DUP_SPANS_K - 1}))
+               AS i,
+             text
+      FROM documents WHERE length(text) >= {_DUP_SPANS_K}
+    ), sh AS (
+      SELECT doc_id, i,
+             substr(md5(substr(text, i::INT, {_DUP_SPANS_K})), 1, 16) AS h
+      FROM pos
+    ), dup AS (
+      SELECT h FROM sh GROUP BY h HAVING min(doc_id) <> max(doc_id)
+    ), flagged AS (
+      SELECT doc_id, i,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+      FROM sh WHERE h IN (SELECT h FROM dup)
+    )
+    SELECT doc_id AS id,
+           min(i)::BIGINT AS span_start,
+           (max(i) + {_DUP_SPANS_K - 1})::BIGINT AS span_end,
+           (max(i) - min(i) + {_DUP_SPANS_K})::BIGINT AS span_chars
+    FROM flagged GROUP BY doc_id, i - rn
+    ORDER BY id, span_start
+    """,
+)
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicated_spans(
+        load_for_compute(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=_DUP_SPANS_K,
+    )

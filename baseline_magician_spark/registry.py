@@ -66,7 +66,8 @@ _loaded = False
 #   ch_sql_state_merge_rollup, ch_sql_arrayjoin_expression,
 #   ch_sql_ansi_spellings, ch_sql_comma_join_analytic,
 #   ch_sql_stats_aggregates, ch_sql_dictget_lookup,
-#   ch_sql_window_funnel, ch_sql_retention_sequence — each
+#   ch_sql_window_funnel, ch_sql_retention_sequence,
+#   dedup_duplicated_spans — each
 #   verified locally with the driver's exact recipe when registered).
 _PRIORITY: tuple[str, ...] = (
     # never driver-checked (round-4 tail registrations)

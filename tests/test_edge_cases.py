@@ -313,3 +313,45 @@ def test_cc_two_long_cycles_with_bridge(spark):
     assert (agg.n, agg.k, agg.mn) == (2 * m, 1, 0)
     bound = 2 * int(math.log2(2 * m))
     assert graph.LAST_ROUNDS <= bound, (graph.LAST_ROUNDS, bound)
+
+
+def test_duplicated_spans_merge_and_cross_doc_only(spark):
+    from baseline_magician_spark.operators.dedup import duplicated_spans
+
+    shared = "0123456789" * 2  # 20 chars, k=10 -> 11 dup positions
+    rows = [
+        # docs 1 and 2 share a 20-char passage at different offsets
+        (1, "aaaa" + shared + "bbbb"),
+        (2, "cc" + shared),
+        # doc 3 repeats a passage INTRA-doc only -> must not flag
+        (3, "x" * 5 + "qwertyuiop" + "y" * 3 + "qwertyuiop"),
+        # doc 4 shorter than k -> no positions at all
+        (4, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicated_spans(df, "text", "doc_id", k=10).collect()
+    spans = {(r["id"], r["span_start"], r["span_end"]) for r in out}
+    # doc 1: positions 5..15 duplicated -> one merged maximal span
+    # covering chars 5..24; doc 2: positions 3..13 -> chars 3..22
+    assert spans == {(1, 5, 24), (2, 3, 22)}
+    assert all(r["span_chars"] == 20 for r in out)
+
+
+def test_duplicated_spans_splits_on_gaps(spark):
+    from baseline_magician_spark.operators.dedup import duplicated_spans
+
+    a, b = "abcdefghij", "KLMNOPQRST"
+    rows = [
+        (1, a + "1111111111" + b),  # two separated shared passages
+        (2, a + "2222222222" + b),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicated_spans(df, "text", "doc_id", k=10).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["id"], set()).add(
+            (r["span_start"], r["span_end"])
+        )
+    # the middle filler differs -> islands must NOT merge across it
+    assert per_doc[1] == {(1, 10), (21, 30)}
+    assert per_doc[2] == {(1, 10), (21, 30)}
