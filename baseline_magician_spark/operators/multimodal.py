@@ -17,10 +17,13 @@ Design (the 100 TB shape):
   seam, with two REAL zero-dependency codecs behind
   :func:`real_decoder`: WAV audio (:func:`wav_encode` /
   :func:`wav_decoder`, a genuine RIFF/WAVE codec on the stdlib
-  ``wave`` module, round 4) and BMP images (:func:`bmp_encode` /
+  ``wave`` module, round 4), BMP images (:func:`bmp_encode` /
   :func:`bmp_decoder`, a struct-level Windows-BMP codec — headers,
-  palette, row padding, bottom-up flip — round 5). Other containers
-  (JPEG/PNG/video) dispatch to PIL when installed and otherwise raise
+  palette, row padding, bottom-up flip — round 5), and YUV4MPEG2
+  video (:func:`y4m_encode` / :func:`y4m_decoder`, the mjpegtools/
+  ffmpeg interchange stream — tag-list header + FRAME markers, Cmono
+  and C420 colorspaces — round 5). Other containers
+  (JPEG/PNG) dispatch to PIL when installed and otherwise raise
   the codec's ordinary unsupported-container error. The default
   :func:`synthetic_decoder` fake-decodes deterministically so
   ``decode_stats`` / ``extract_features`` / ``sample_frames`` stay
@@ -276,11 +279,82 @@ def bmp_decoder(payload: bytes, meta: dict) -> dict:
     }
 
 
+Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def y4m_encode(frames: bytes, width: int, height: int) -> bytes:
+    """Encode concatenated mono (grayscale) frame planes into a
+    genuine YUV4MPEG2 stream (the mjpegtools/ffmpeg interchange
+    format): ``YUV4MPEG2 W.. H.. F25:1 Ip A1:1 Cmono`` stream header,
+    then ``FRAME`` marker + raw plane per frame. A real, textual-spec
+    codec on bytes alone; round-trips through ffmpeg/mpv."""
+    psize = width * height
+    if psize == 0 or len(frames) % psize:
+        raise ValueError(
+            f"frame bytes {len(frames)} not a multiple of "
+            f"{width}x{height}={psize}"
+        )
+    head = Y4M_MAGIC + f" W{width} H{height} F25:1 Ip A1:1 Cmono\n".encode()
+    out = [head]
+    for off in range(0, len(frames), psize):
+        out.append(b"FRAME\n")
+        out.append(frames[off : off + psize])
+    return b"".join(out)
+
+
+def y4m_decoder(payload: bytes, meta: dict) -> dict:
+    """REAL decode of a YUV4MPEG2 payload: parses the stream-header
+    tag list (W/H/C — ``Cmono`` one plane per frame, ``C420*`` 1.5
+    planes), then walks the FRAME markers (per-frame parameters
+    tolerated per the spec) extracting each frame's plane. Raises on
+    bad magic, missing dimensions, unsupported colorspace, or a
+    truncated frame — exactly as a codec library would."""
+    nl = payload.find(b"\n")
+    if not payload.startswith(Y4M_MAGIC + b" ") or nl < 0:
+        raise ValueError("not a YUV4MPEG2 payload (missing magic)")
+    width = height = None
+    cspace = "420jpeg"  # the spec's default when C is absent
+    for tag in payload[len(Y4M_MAGIC) : nl].split():
+        t = tag.decode("ascii", "replace")
+        if t[0] == "W":
+            width = int(t[1:])
+        elif t[0] == "H":
+            height = int(t[1:])
+        elif t[0] == "C":
+            cspace = t[1:]
+    if not width or not height:
+        raise ValueError("YUV4MPEG2 header lacks W/H dimensions")
+    if cspace == "mono":
+        psize = width * height
+    elif cspace.startswith("420"):
+        psize = width * height * 3 // 2
+    else:
+        raise ValueError(f"unsupported YUV4MPEG2 colorspace C{cspace}")
+    planes = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + psize > len(payload):
+            raise ValueError("truncated YUV4MPEG2 frame")
+        planes.append(payload[fnl + 1 : fnl + 1 + psize])
+        pos = fnl + 1 + psize
+    pixels = b"".join(planes)
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(planes),
+        "pixels": pixels,
+    }
+
+
 def real_decoder(payload: bytes, meta: dict) -> dict:
     """Real codec dispatch by container magic: RIFF/WAVE audio decodes
     via the stdlib ``wave`` reader, BMP images via the struct-level
-    parser above — both genuine spec-compliant codecs with no external
-    dependency. Any other container (JPEG/PNG/video) goes to PIL when
+    parser above, YUV4MPEG2 video via the FRAME-marker stream walker —
+    all genuine spec-compliant codecs with no external
+    dependency. Any other container (JPEG/PNG) goes to PIL when
     it is installed; otherwise the payload is an unsupported container
     and raises, exactly as a codec library reports an unknown format —
     pass ``decode_media(df, decoder=...)`` to plug in your own."""
@@ -288,6 +362,8 @@ def real_decoder(payload: bytes, meta: dict) -> dict:
         return wav_decoder(payload, meta)
     if payload[:2] == b"BM":
         return bmp_decoder(payload, meta)
+    if payload[: len(Y4M_MAGIC)] == Y4M_MAGIC:
+        return y4m_decoder(payload, meta)
     try:
         import io
 
@@ -295,8 +371,8 @@ def real_decoder(payload: bytes, meta: dict) -> dict:
     except ImportError:
         raise ValueError(
             f"unsupported container (magic {payload[:4]!r}): native "
-            "codecs cover WAV and BMP; install PIL or pass your own "
-            "decoder to decode_media(df, decoder=...)"
+            "codecs cover WAV, BMP and Y4M; install PIL or pass your "
+            "own decoder to decode_media(df, decoder=...)"
         ) from None
     img = PIL.Image.open(io.BytesIO(payload))  # pragma: no cover
     img.load()
@@ -383,6 +459,50 @@ def attach_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         "width": w,
                         "height": h,
                         "n_frames": (w * h) // FRAME_BYTES,
+                    }
+                )
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def attach_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a GENUINE YUV4MPEG2 payload per row: the deterministic
+    byte model's first ``(n // 64) * 64`` bytes as 8x8 mono frames,
+    encoded through :func:`y4m_encode` (stream header + FRAME
+    markers). A decoder must actually walk the container to recover
+    the planes — a passthrough would include the textual headers and
+    markers in its output."""
+    ensure_shipped(df.sparkSession)
+    in_schema = df.schema
+    out_schema = T.StructType(
+        list(in_schema.fields)
+        + [
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", META_SCHEMA),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            payloads, metas = [], []
+            for d in ids:
+                n = LEN_BASE + int(d) % LEN_MOD
+                nf = n // 64
+                frames = _payload_bytes(int(d))[: nf * 64]
+                p = y4m_encode(frames, 8, 8)
+                payloads.append(p)
+                metas.append(
+                    {
+                        "media_type": "video",
+                        "byte_len": len(p),
+                        "width": 8,
+                        "height": 8,
+                        "n_frames": nf,
                     }
                 )
             out = pdf.copy()

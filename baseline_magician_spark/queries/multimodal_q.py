@@ -232,3 +232,37 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bmp = attach_bmp(load_table(spark, sf_dir, "documents"))
     dec = decode_media(bmp, decoder=real_decoder)
     return pcm_stats(dec)
+
+
+def _y4m_oracle() -> str:
+    # the decoded planes are the byte model's first (L//64)*64 bytes
+    # (whole 8x8 frames) — but the Spark path only matches if the
+    # YUV4MPEG2 stream was genuinely walked: a passthrough would
+    # include the textual stream header and the per-frame FRAME
+    # markers in the checksum
+    n = f"((({_LEN}) // 64) * 64)"
+    return f"""
+    SELECT doc_id,
+           CAST({n} AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, {n}),
+                i -> {_BYTE})) AS BIGINT) AS checksum,
+           floor(CAST(list_sum(list_transform(range(0, {n}),
+                i -> {_BYTE})) AS DOUBLE) / {n} * 10000) / 10000
+             AS mean_sample
+    FROM documents
+    """
+
+
+@query("multimodal_y4m_decode", _y4m_oracle())
+def multimodal_y4m_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec path (round 5): encode each row's deterministic
+    8x8 mono frames into a genuine YUV4MPEG2 stream (header tag list +
+    FRAME markers), decode through ``decode_media(decoder=
+    real_decoder)`` — which must walk the container to recover the
+    concatenated frame planes — and emit stats over the DECODED bytes.
+    Three chained narrow Arrow stages, no shuffle."""
+    from ..operators.multimodal import attach_y4m
+
+    y4m = attach_y4m(load_table(spark, sf_dir, "documents"))
+    dec = decode_media(y4m, decoder=real_decoder)
+    return pcm_stats(dec)

@@ -327,3 +327,55 @@ def test_bmp_pipeline_is_narrow(spark):
     df = pcm_stats(decode_media(attach_bmp(docs), decoder=real_decoder))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_y4m_encode_is_spec_compliant():
+    from baseline_magician_spark.operators.multimodal import y4m_encode
+
+    frames = bytes(range(128))  # two 8x8 mono frames
+    blob = y4m_encode(frames, 8, 8)
+    head, rest = blob.split(b"\n", 1)
+    assert head.startswith(b"YUV4MPEG2 ")
+    tags = head.split()[1:]
+    assert b"W8" in tags and b"H8" in tags and b"Cmono" in tags
+    # exactly two FRAME sections carrying the raw planes
+    assert rest == b"FRAME\n" + frames[:64] + b"FRAME\n" + frames[64:]
+    with pytest.raises(ValueError, match="not a multiple"):
+        y4m_encode(frames[:100], 8, 8)
+
+
+def test_y4m_decoder_roundtrip_and_dispatch():
+    from baseline_magician_spark.operators.multimodal import (
+        real_decoder,
+        y4m_decoder,
+        y4m_encode,
+    )
+
+    frames = bytes((13 * i + 7) % 256 for i in range(192))
+    blob = y4m_encode(frames, 8, 8)
+    d = y4m_decoder(blob, {})
+    assert d["pixels"] == frames  # headers and FRAME markers stripped
+    assert (d["width"], d["height"], d["n_frames"]) == (8, 8, 3)
+    d2 = real_decoder(blob, {})  # magic dispatch
+    assert d2["pixels"] == frames
+    with pytest.raises(ValueError, match="missing magic"):
+        y4m_decoder(b"\x00" * 64, {})
+
+
+def test_y4m_decoder_foreign_streams():
+    """Decoder robustness beyond what the encoder emits: C420 plane
+    sizing, per-frame parameters, interlace/aspect tags, truncation
+    and unsupported colorspaces."""
+    from baseline_magician_spark.operators.multimodal import y4m_decoder
+
+    plane = bytes(range(6)) * 1  # 2x2 C420: 4 luma + 2 chroma bytes
+    blob = b"YUV4MPEG2 W2 H2 F30000:1001 Ip A1:1 C420jpeg Xfoo\n"
+    blob += b"FRAME Ix\n" + plane
+    d = y4m_decoder(blob, {})
+    assert d["pixels"] == plane and d["n_frames"] == 1
+    with pytest.raises(ValueError, match="truncated"):
+        y4m_decoder(blob[:-2], {})
+    with pytest.raises(ValueError, match="unsupported YUV4MPEG2"):
+        y4m_decoder(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + bytes(12), {})
+    with pytest.raises(ValueError, match="lacks W/H"):
+        y4m_decoder(b"YUV4MPEG2 F25:1\n", {})
