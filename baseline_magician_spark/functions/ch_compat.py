@@ -77,6 +77,52 @@ def _array_slice(arr: Column, offset, length=None) -> Column:
     return F.slice(arr, start, count)
 
 
+def _map_agg(op: str) -> Callable[[Column, Column], Column]:
+    """CH sumMap/minMap/maxMap(keys, values): fold per-row key/value
+    arrays into one (sorted keys, folded values) tuple per group —
+    the struct fields are named "1"/"2" so ``tupleElement(m, n)``
+    resolves positionally. Built from collect_list + higher-order
+    functions so it drops into any aggregate position; the per-group
+    cost is O(distinct keys x pairs) — for billion-row map rollups
+    prefer an explode + two-level groupBy plan. The fold seeds from
+    the first value (type-preserving: integer maps fold in integer
+    arithmetic, no double round-trip). Zero-sum keys are retained."""
+
+    def build(keys: Column, vals: Column) -> Column:
+        pairs = F.flatten(
+            F.collect_list(
+                F.zip_with(
+                    _as_col(keys),
+                    _as_col(vals),
+                    lambda k, v: F.struct(k.alias("k"), v.alias("v")),
+                )
+            )
+        )
+        ks = F.array_sort(
+            F.array_distinct(F.transform(pairs, lambda p: p["k"]))
+        )
+
+        def fold(k: Column) -> Column:
+            arr = F.transform(
+                F.filter(pairs, lambda p: p["k"] == k), lambda p: p["v"]
+            )
+            head = F.element_at(arr, 1)
+            rest = F.slice(
+                arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))
+            )
+            merge = {
+                "sum": lambda a, x: a + x,
+                "min": lambda a, x: F.least(a, x),
+                "max": lambda a, x: F.greatest(a, x),
+            }[op]
+            return F.aggregate(rest, head, merge)
+
+        vs = F.transform(ks, fold)
+        return F.struct(ks.alias("1"), vs.alias("2"))
+
+    return build
+
+
 CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # emitted by the reference's generated SQL (main.go:238-279)
     "IPv4StringToNum": ip4_to_long,
@@ -203,6 +249,11 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # sequenceMatch / sequenceCount are parametric and compile via
     # the CH front end's dedicated branch)
     "retention": _retention,
+    # map-keyed aggregates (tuple-of-arrays result, fields "1"/"2")
+    "sumMap": _map_agg("sum"),
+    "minMap": _map_agg("min"),
+    "maxMap": _map_agg("max"),
+    "array": lambda *cs: F.array(*[_as_col(c) for c in cs]),
     # date/time
     "toStartOfHour": lambda c: F.date_trunc("hour", c),
     "toStartOfDay": lambda c: F.date_trunc("day", c),

@@ -111,6 +111,8 @@ _AGGS = {
     "median", "avgweighted",
     # behavioral analytics (functions/funnel.py)
     "windowfunnel", "retention", "sequencematch", "sequencecount",
+    # map-keyed aggregates
+    "summap", "minmap", "maxmap",
 }
 
 # CH parametric-aggregate families — ``fn(params)(args)`` spelling,
@@ -588,6 +590,18 @@ class _Parser:
             return inner
         if t == "*":
             return _Node("star")
+        if t == "[":
+            # array literal [e1, e2, ...] (CH and DuckDB spelling) —
+            # no clash with arr[i] indexing, which is postfix and
+            # only fires when '[' FOLLOWS a primary
+            elems: list[_Node] = []
+            if self.peek() != "]":
+                elems.append(self.parse_expr())
+                while self.peek() == ",":
+                    self.next()
+                    elems.append(self.parse_expr())
+            self.expect("]")
+            return _Node("call", "array", tuple(elems))
         if t.lower() == "null":
             return _Node("str", None)  # typed-null literal (F.lit(None))
         if t.lower() == "exists" and self.peek() == "(":
@@ -1233,6 +1247,35 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                 else _funnel.sequence_count
             )
             return seq_fn(str(param.value), ts, *conds)
+        if lname == "tupleelement":
+            # tupleElement(t, n) / tupleElement(t, 'name'): positional
+            # access constant-folds against a literal tuple's AST;
+            # otherwise n resolves against the struct's field NAMES —
+            # the map-family aggregates (sumMap/minMap/maxMap) name
+            # their fields "1"/"2" exactly so this works.
+            if len(node.args) != 2:
+                raise ValueError(
+                    "tupleElement takes (tuple, index-or-name)"
+                )
+            tnode, inode = node.args
+            if inode.kind == "num":
+                n = int(inode.value)
+                if (
+                    tnode.kind == "call"
+                    and str(tnode.value).lower() == "tuple"
+                ):
+                    if not 1 <= n <= len(tnode.args):
+                        raise ValueError(
+                            f"tupleElement index {n} out of range "
+                            f"for a {len(tnode.args)}-tuple"
+                        )
+                    return _compile(tnode.args[n - 1], env)
+                return _compile(tnode, env).getField(str(n))
+            if inode.kind == "str":
+                return _compile(tnode, env).getField(str(inode.value))
+            raise ValueError(
+                "tupleElement index must be a literal number or name"
+            )
         fn = CH_FUNCTIONS.get(name) or CH_FUNCTIONS.get(lname)
         if fn is None:
             raise ValueError(f"unknown function {name!r}")

@@ -1847,3 +1847,40 @@ FROM (
 )
 def ch_sql_retention_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_RETENTION_SEQ_SQL, _tables(spark, sf_dir, "events"))
+
+
+# Map-keyed aggregates: sumMap/minMap/maxMap fold per-row key/value
+# arrays into a (sorted keys, folded values) tuple per group,
+# accessed positionally via tupleElement. Counts use a literal-1
+# value array so every folded number is an exact integer (the
+# playbook's cross-engine float rule); min/max over doubles are
+# order-free and exact.
+_SUMMAP_SQL = """
+SELECT modulo(user_id, 7) AS grp,
+       tupleElement(sumMap([event_type], [toInt64(1)]), 1) AS ks,
+       tupleElement(sumMap([event_type], [toInt64(1)]), 2) AS counts,
+       tupleElement(minMap([event_type], [value]), 2) AS mins,
+       tupleElement(maxMap([event_type], [value]), 2) AS maxs
+FROM fastnetmon.events
+GROUP BY grp
+ORDER BY grp
+"""
+
+
+@query(
+    "ch_sql_summap_by_group",
+    """
+    WITH per AS (
+      SELECT user_id % 7 AS grp, event_type AS et,
+             count(*)::BIGINT AS c, min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY 1, 2)
+    SELECT grp,
+           list(et ORDER BY et) AS ks,
+           list(c ORDER BY et) AS counts,
+           list(mn ORDER BY et) AS mins,
+           list(mx ORDER BY et) AS maxs
+    FROM per GROUP BY grp ORDER BY grp
+    """,
+)
+def ch_sql_summap_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_SUMMAP_SQL, _tables(spark, sf_dir, "events"))

@@ -67,7 +67,8 @@ _loaded = False
 #   ch_sql_ansi_spellings, ch_sql_comma_join_analytic,
 #   ch_sql_stats_aggregates, ch_sql_dictget_lookup,
 #   ch_sql_window_funnel, ch_sql_retention_sequence,
-#   dedup_duplicated_spans, multimodal_y4m_decode — each
+#   dedup_duplicated_spans, multimodal_y4m_decode,
+#   ch_sql_summap_by_group — each
 #   verified locally with the driver's exact recipe when registered).
 _PRIORITY: tuple[str, ...] = (
     # never driver-checked (round-4 tail registrations)

@@ -2805,3 +2805,59 @@ def test_dictget_family(spark):
         run_ch_query("SELECT dictGet('zz', 'name', dim_id) FROM t", env)
     with pytest.raises(ValueError, match="string literal"):
         run_ch_query("SELECT dictGet(k, 'name', dim_id) FROM t", env)
+
+
+def test_array_literals_and_tuple_element(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame([(1, "a", 2)], "g int, k string, v long")
+    r = run_ch_query(
+        "SELECT [1, 2, 3] AS arr, [] AS empty, [k, 'x'] AS strs,"
+        " arrayElement([10, 20], 2) AS idx,"
+        " tupleElement((k, v), 1) AS t1,"
+        " tupleElement((k, v), 2) AS t2 FROM t",
+        {"t": df},
+    ).collect()[0]
+    assert list(r["arr"]) == [1, 2, 3]
+    assert list(r["empty"]) == []
+    assert list(r["strs"]) == ["a", "x"]
+    assert (r["idx"], r["t1"], r["t2"]) == (20, "a", 2)
+    with pytest.raises(ValueError, match="out of range"):
+        run_ch_query("SELECT tupleElement((k, v), 3) FROM t", {"t": df})
+    with pytest.raises(ValueError, match="literal number or name"):
+        run_ch_query("SELECT tupleElement((k, v), g) FROM t", {"t": df})
+
+
+def test_map_aggregate_family(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame(
+        [(1, "a", 2), (1, "b", 3), (1, "a", 5), (2, "c", 1)],
+        "g int, k string, v long",
+    )
+    out = run_ch_query(
+        """
+        SELECT g,
+               tupleElement(sumMap([k], [v]), 1) AS ks,
+               tupleElement(sumMap([k], [v]), 2) AS sums,
+               tupleElement(minMap([k], [v]), 2) AS mins,
+               tupleElement(maxMap([k], [v]), 2) AS maxs
+        FROM t GROUP BY g ORDER BY g
+        """,
+        {"t": df},
+    ).collect()
+    r1, r2 = out
+    # keys sort; values fold per key in the keys' order; the fold
+    # seeds from the first value so integer maps stay integer
+    assert list(r1["ks"]) == ["a", "b"]
+    assert list(r1["sums"]) == [7, 3]
+    assert list(r1["mins"]) == [2, 3]
+    assert list(r1["maxs"]) == [5, 3]
+    assert list(r2["ks"]) == ["c"] and list(r2["sums"]) == [1]
+    # multi-entry per-row arrays fold too
+    out2 = run_ch_query(
+        "SELECT tupleElement(sumMap([k, 'z'], [v, v]), 2) AS s"
+        " FROM t GROUP BY g ORDER BY g",
+        {"t": df},
+    ).collect()
+    assert list(out2[0]["s"]) == [7, 3, 10]  # a=7, b=3, z=2+3+5
