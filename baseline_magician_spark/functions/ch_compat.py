@@ -151,6 +151,14 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "any": F.first,
     "uniq": F.approx_count_distinct,
     "uniqExact": F.countDistinct,
+    # the other CH approximate-uniq spellings: all are sketch-based
+    # estimators in CH (combined HLL+hash-table, HLL-12, theta) —
+    # Spark's HLL++ approx_count_distinct is the same estimator
+    # class; rsd tuned to each variant's documented error profile
+    "uniqCombined": lambda c: F.approx_count_distinct(c, rsd=0.01),
+    "uniqCombined64": lambda c: F.approx_count_distinct(c, rsd=0.01),
+    "uniqHLL12": lambda c: F.approx_count_distinct(c, rsd=0.016),
+    "uniqTheta": lambda c: F.approx_count_distinct(c, rsd=0.01),
     # ANSI DISTINCT-qualified aggregates — the __distinct suffix is
     # attached by the SQL front end's parser (count(DISTINCT x) etc.);
     # avg(DISTINCT x) composes from the two distinct primitives since
@@ -180,6 +188,18 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "uniqIf": lambda c, cond: F.approx_count_distinct(F.when(cond, c)),
     "uniqExactIf": lambda c, cond: F.countDistinct(F.when(cond, c)),
     "quantileExact": lambda c, q=0.5: F.percentile(c, F.lit(q)),
+    # CH's specialized approximate-quantile variants (timing buckets,
+    # t-digest, reservoir-with-determinism-key) all map to Spark's
+    # Greenwald-Khanna percentile_approx — same contract: rank-error
+    # bounded estimate. quantileDeterministic's second argument (the
+    # determinism key) is accepted and ignored: GK is already
+    # insertion-order-independent, which is the property the key buys.
+    "quantileTiming": lambda c, q=0.5: F.percentile_approx(c, q),
+    "quantileTDigest": lambda c, q=0.5: F.percentile_approx(c, q),
+    "quantileBFloat16": lambda c, q=0.5: F.percentile_approx(c, q),
+    "quantileDeterministic": lambda c, det=None, q=0.5: (
+        F.percentile_approx(c, q)
+    ),
     # multi-level parametric forms: quantiles(0.25, 0.5)(x) -> array
     "quantiles": lambda c, *qs: F.percentile_approx(
         c, list(qs) if qs else [0.5]

@@ -92,7 +92,10 @@ from ..functions.ch_compat import CH_FUNCTIONS
 
 _AGGS = {
     "count", "avg", "max", "min", "sum", "any", "uniq", "uniqexact",
+    "uniqcombined", "uniqcombined64", "uniqhll12", "uniqtheta",
     "quantile", "quantileexact", "quantiles", "quantilesexact",
+    "quantiletiming", "quantiletdigest", "quantilebfloat16",
+    "quantiledeterministic",
     "countif", "sumif", "avgif", "minif",
     "maxif", "anyif", "uniqif", "uniqexactif", "anylast",
     "grouparray", "groupuniqarray", "argmax", "argmin",
@@ -121,6 +124,8 @@ _AGGS = {
 # them through as Python floats (percentile levels must be foldable).
 _PARAMETRIC_AGGS = {
     "quantile", "quantileexact", "quantiles", "quantilesexact",
+    "quantiletiming", "quantiletdigest", "quantilebfloat16",
+    "quantiledeterministic",
     "topk",
     # param = window seconds / sequence pattern; the compile path
     # special-cases these before the quantile-levels branch
@@ -1279,6 +1284,14 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         fn = CH_FUNCTIONS.get(name) or CH_FUNCTIONS.get(lname)
         if fn is None:
             raise ValueError(f"unknown function {name!r}")
+        if lname == "quantiledeterministic" and len(node.args) >= 2:
+            # quantileDeterministic(q)(x, det): the determinism key is
+            # the SECOND inner arg, not a level — accepted and ignored
+            # (GK percentile_approx is already order-independent, the
+            # property the key exists to provide in CH's reservoir)
+            first = _compile(node.args[0], env)
+            levels = [float(_literal_value(a)) for a in node.args[2:]]
+            return fn(first, None, *(levels or ()))
         if lname in _PARAMETRIC_AGGS and len(node.args) > 1:
             # quantile levels ride as trailing literal args — Spark's
             # percentile functions need foldable levels, so they pass

@@ -2861,3 +2861,29 @@ def test_map_aggregate_family(spark):
         {"t": df},
     ).collect()
     assert list(out2[0]["s"]) == [7, 3, 10]  # a=7, b=3, z=2+3+5
+
+
+def test_approx_aggregate_alias_family(spark):
+    """The CH sketch-estimator spellings (uniqCombined/uniqHLL12/
+    uniqTheta, quantileTiming/TDigest/BFloat16/Deterministic) all
+    resolve and estimate within their error profiles; the
+    determinism key of quantileDeterministic is accepted and
+    ignored (GK is already order-independent)."""
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "k long, v double"
+    )
+    r = run_ch_query(
+        "SELECT uniqCombined(k) AS uc, uniqHLL12(k) AS uh,"
+        " uniqTheta(k) AS ut,"
+        " quantileTiming(0.5)(v) AS qt,"
+        " quantileTDigest(0.9)(v) AS qd,"
+        " quantileDeterministic(0.5)(v, k) AS qdet FROM t",
+        {"t": df},
+    ).collect()[0]
+    assert abs(r["uc"] - 1000) <= 20 and abs(r["ut"] - 1000) <= 20
+    assert abs(r["uh"] - 1000) <= 50
+    assert abs(r["qt"] - 500) <= 10
+    assert abs(r["qd"] - 900) <= 10
+    assert abs(r["qdet"] - 500) <= 10
