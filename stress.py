@@ -347,6 +347,21 @@ def main() -> None:
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
         return dsir_importance_weights(docs, "text", "doc_id").count()
 
+    def dup_spans(k: int) -> int:
+        """Cross-doc duplicated-passage spans: position explode (~=
+        corpus chars), shingle-hash min/max aggregate, semi join
+        back, islands window. The salted replicas share their text
+        bodies, so the dup-flag rate saturates at ~100% — the
+        adversarial worst case — while distinct shingles stay
+        constant; positions and flagged rows both grow linearly, so
+        the slope should track token_scan."""
+        from baseline_magician_spark.operators.dedup import (
+            duplicated_spans,
+        )
+
+        docs = replicate(docs0, k, ["doc_id"], salt_text=True)
+        return duplicated_spans(docs, "text", "doc_id", k=40).count()
+
     ops = {
         "q1_agg": q1_agg,
         "minhash_lsh_pairs": minhash,
@@ -364,6 +379,7 @@ def main() -> None:
         "streaming_sessionize": stream_sessionize,
         "streaming_cms_merge": stream_cms_merge,
         "dsir_importance": dsir,
+        "duplicated_spans": dup_spans,
     }
 
     times: dict[str, dict[int, float]] = {name: {} for name in ops}
