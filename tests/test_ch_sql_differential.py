@@ -23,7 +23,7 @@ import os
 # fixed default seed base keeps CI reproducible; set
 # SPARK_GRAFT_FUZZ_SEED to explore a different region of the grammar
 _SEED_BASE = int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "13"))
-N_CASES = 84
+N_CASES = 90
 _INT_COLS = ("event_id", "user_id")
 _STR_VALS = ("click", "view", "purchase", "error")
 
@@ -445,6 +445,22 @@ def _gen_string_ansi_query(rng: random.Random) -> str:
     )
 
 
+def _gen_array_literal_query(rng: random.Random) -> str:
+    # [e1, e2, ...][i] — identical literal syntax and 1-based
+    # indexing in CH and DuckDB; indices stay in range (out-of-range
+    # is NULL in both, but keep the shared track unambiguous)
+    n = rng.randint(2, 4)
+    elems = ", ".join(
+        f"{rng.choice(_INT_COLS)} % {rng.randint(2, 9)}" for _ in range(n)
+    )
+    idx = rng.randint(1, n)
+    return (
+        f"SELECT [{elems}][{idx}] AS k, count(*) AS n, "
+        f"min(event_id) AS mn, max(user_id) AS mx "
+        f"FROM events{_where(rng)} GROUP BY k ORDER BY k"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
     return rng.choice(
         [_gen_agg_query, _gen_agg_query, _gen_distinct_query,
@@ -455,7 +471,8 @@ def _gen_query(rng: random.Random) -> str:
          _gen_qualify_query, _gen_positional_query,
          _gen_named_window_query, _gen_recursive_cte_query,
          _gen_nested_with_query, _gen_interval_query,
-         _gen_distinct_on_query, _gen_string_ansi_query]
+         _gen_distinct_on_query, _gen_string_ansi_query,
+         _gen_array_literal_query]
     )(rng)
 
 
