@@ -439,3 +439,60 @@ def streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(total)).select(
         "user_id", "n_events", within.alias("cms_within_bounds")
     )
+
+
+FUNNEL_WINDOW_SECONDS = 14400
+
+
+def _funnel_oracle() -> str:
+    """Batch equivalent of the streaming funnel DP: for the default
+    mode, 'reached level k' == an EXISTS chain e1 <= ... <= ek with
+    t_k <= t_1 + window (see functions/funnel.py for the proof)."""
+    w = FUNNEL_WINDOW_SECONDS
+    return f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id, CASE
+      WHEN EXISTS (
+        SELECT 1 FROM events e1
+        JOIN events e2 ON e2.user_id = e1.user_id
+        JOIN events e3 ON e3.user_id = e1.user_id
+        WHERE e1.user_id = u.user_id
+          AND e1.event_type = 'view' AND e2.event_type = 'click'
+          AND e3.event_type = 'purchase'
+          AND e1.ts <= e2.ts AND e2.ts <= e3.ts
+          AND e3.ts <= e1.ts + INTERVAL {w} SECOND) THEN 3
+      WHEN EXISTS (
+        SELECT 1 FROM events e1
+        JOIN events e2 ON e2.user_id = e1.user_id
+        WHERE e1.user_id = u.user_id
+          AND e1.event_type = 'view' AND e2.event_type = 'click'
+          AND e1.ts <= e2.ts
+          AND e2.ts <= e1.ts + INTERVAL {w} SECOND) THEN 2
+      WHEN EXISTS (
+        SELECT 1 FROM events e1
+        WHERE e1.user_id = u.user_id
+          AND e1.event_type = 'view') THEN 1
+      ELSE 0 END AS level
+    FROM u
+    """
+
+
+@query("streaming_funnel_levels", _funnel_oracle())
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowFunnel over the bounded replay: per-user chain
+    state folds forward batch by batch; the sink's max(level) per user
+    (level is monotone) must equal the batch windowFunnel — and the
+    DuckDB EXISTS-chain oracle."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import streaming_funnel_levels
+
+    ev = read_events_stream(spark, sf_dir)
+    conds = [
+        F.col("event_type") == t for t in ("view", "click", "purchase")
+    ]
+    sink = _run_bounded(
+        streaming_funnel_levels(ev, FUNNEL_WINDOW_SECONDS, conds),
+        mode="update",
+    )
+    return sink.groupBy("user_id").agg(F.max("level").alias("level"))

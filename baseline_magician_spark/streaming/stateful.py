@@ -96,3 +96,87 @@ def streaming_anomaly_flags(events: DataFrame, k: int = 3) -> DataFrame:
             flag, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("level", T.IntegerType()),
+    ]
+)
+
+
+def streaming_funnel_levels(
+    events: DataFrame,
+    window_seconds: int,
+    conds,
+) -> DataFrame:
+    """Streaming windowFunnel: the per-user funnel level, updated per
+    micro-batch (``update`` output mode — one (user_id, level) row per
+    user per batch that touched them; level is monotone nondecreasing,
+    so ``max(level)`` per user over the sink is the final level).
+
+    The batch ``windowFunnel`` DP (functions/funnel.py) is a
+    single-pass algorithm by construction, which makes it NATIVELY
+    streaming: state per user is just the K chain-start timestamps
+    (-1 = level unreached), folded forward one event at a time —
+    identical transitions to the batch fold, so the stream result
+    equals ``windowFunnel(window)(ts, conds...)`` computed over the
+    full history (the DuckDB oracle), under the same in-order replay
+    precondition as streaming_anomaly_flags.
+
+    Scale shape: state is K longs per user, shuffle key is user_id
+    (uniform); conditions are evaluated as Spark Columns BEFORE the
+    stateful stage, so Python folds only (t, K booleans) rows.
+    """
+    ensure_shipped(events.sparkSession)
+    from pyspark.sql import functions as F
+
+    k = len(conds)
+    if not 1 <= k <= 5:
+        raise ValueError("windowFunnel takes 1..5 conditions")
+    win_us = int(window_seconds) * 1_000_000
+    state_schema = T.StructType(
+        [T.StructField(f"s{i}", T.LongType()) for i in range(k)]
+    )
+    sel = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        *[
+            F.coalesce(c.cast("boolean"), F.lit(False)).alias(f"c{i}")
+            for i, c in enumerate(conds)
+        ],
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        starts = list(state.get) if state.exists else [-1] * k
+        batch = pd.concat(list(pdfs)).sort_values("t")
+        for r in batch.itertuples():
+            t = int(r.t)
+            # same-event conditions cascade in index order against
+            # the JUST-updated lower level — the batch DP's semantics
+            if r.c0:
+                starts[0] = t
+            for i in range(1, k):
+                prev = starts[i - 1]
+                if (
+                    getattr(r, f"c{i}")
+                    and prev >= 0
+                    and t - prev <= win_us
+                ):
+                    starts[i] = prev
+        state.update(tuple(starts))
+        level = sum(1 for s in starts if s >= 0)
+        yield pd.DataFrame(
+            [(int(key[0]), level)], columns=["user_id", "level"]
+        )
+
+    return sel.groupBy("user_id").applyInPandasWithState(
+        fold,
+        FUNNEL_OUT_SCHEMA,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -299,3 +299,97 @@ def test_watermark_finalizes_then_drops_late_data(spark, tmp_path):
     hour1 = dt.datetime(2024, 1, 1, 0, 0)
     h1 = [r for r in rows if r["ws"] == hour1]
     assert len(h1) == 1 and h1[0]["total"] == 1.0, rows
+
+
+def test_streaming_funnel_matches_batch_funnel(spark, tmp_path):
+    """Multi-batch funnel: chain state must carry ACROSS micro-batches
+    (view in batch 1, click in batch 2, purchase in batch 3 completes
+    the chain; a second user's click lands outside the window). Final
+    per-user max(level) equals the batch windowFunnel fold."""
+    import datetime as dt
+    import shutil
+    import time as _time
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from baseline_magician_spark.functions.funnel import window_funnel
+    from baseline_magician_spark.streaming.stateful import (
+        streaming_funnel_levels,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        tmp = tmp_path / ("tmp_" + name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        part = next(
+            p for p in tmp.iterdir() if p.name.endswith(".parquet")
+        )
+        shutil.move(str(part), str(src / name))
+        _time.sleep(1.1)
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows_by_batch = [
+        [(1, t(0), "view"), (2, t(0), "view")],
+        [(1, t(30), "click"), (2, t(500), "click")],
+        [(1, t(60), "purchase"), (2, t(600), "purchase")],
+    ]
+    for i, rows in enumerate(rows_by_batch):
+        write_file(f"b{i}.parquet", rows)
+
+    conds = [
+        F.col("event_type") == x for x in ("view", "click", "purchase")
+    ]
+    stream = streaming_funnel_levels(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        100,
+        conds,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("funnel_mb")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 3, "expected one batch per file"
+    q.stop()
+    final = {
+        r["user_id"]: r["level"]
+        for r in spark.table("funnel_mb")
+        .groupBy("user_id")
+        .agg(F.max("level").alias("level"))
+        .collect()
+    }
+    # user 1 completes across three batches; user 2's click at +500s
+    # falls outside the 100s window -> stuck at level 1
+    assert final == {1: 3, 2: 1}
+    # and the batch fold agrees
+    batch = {
+        r["user_id"]: r["lvl"]
+        for r in spark.createDataFrame(
+            [x for b in rows_by_batch for x in b], schema
+        )
+        .groupBy("user_id")
+        .agg(window_funnel(100, F.col("ts"), *conds).alias("lvl"))
+        .collect()
+    }
+    assert batch == final
