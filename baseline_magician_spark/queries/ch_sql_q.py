@@ -1113,7 +1113,7 @@ ORDER BY k
 @query(
     "ch_sql_numbers_rollup",
     """
-    SELECT v % 7 AS k, count(*) AS n, sum(v) AS s
+    SELECT v % 7 AS k, count(*) AS n, CAST(sum(v) AS BIGINT) AS s
     FROM (SELECT unnest(range(0, 1000)) AS v)
     GROUP BY v % 7
     ORDER BY k
