@@ -282,7 +282,11 @@ def corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -> exact cosine within buckets (operators.similarity). The oracle
 # rebuilds the identical arithmetic in SQL.
 
-EMB_DUP_PLANES = 6
+# 8 planes + per-row mean centering (round 6): the raw positive-orthant
+# features collapsed to 4 buckets (5.6M candidate pairs at sf0.1);
+# centering restores 200+ buckets / 220k candidates — see
+# operators.similarity.lsh_bucket(center=True).
+EMB_DUP_PLANES = 8
 EMB_DUP_THRESHOLD = 0.99995
 
 
@@ -301,10 +305,18 @@ def _doc_embedding_pairs_oracle() -> str:
     feat = "[" + ", ".join(terms) + "]"
 
     half = (_HP_MOD - 1) // 2
+    # Per-row mean centering mirrors lsh_bucket(center=True): the same
+    # left-to-right fold sum divided by the length, subtracted from
+    # each component before projecting (bit-identical double ops).
+    mean = (
+        "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(f, x -> CAST(x AS DOUBLE))), (x, y) -> x + y)"
+        " / len(f))"
+    )
     proj = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "list_transform(list_zip(f, range(0, len(f))), "
-        "s -> CAST(s[1] AS DOUBLE) * "
+        "s -> (CAST(s[1] AS DOUBLE) - m) * "
         f"CAST(((CAST({_HP_A} AS BIGINT) * {{p}} + {_HP_B} * s[2]) % {_HP_MOD} - {half}) AS DOUBLE))), "
         "(x, y) -> x + y)"
     )
@@ -330,8 +342,11 @@ def _doc_embedding_pairs_oracle() -> str:
     WITH feats AS (
       SELECT doc_id, {feat} AS f FROM documents
     ),
+    fm AS (
+      SELECT doc_id, f, {mean} AS m FROM feats
+    ),
     b AS (
-      SELECT doc_id, f, CAST({bucket} AS BIGINT) AS bucket FROM feats
+      SELECT doc_id, f, CAST({bucket} AS BIGINT) AS bucket FROM fm
     )
     SELECT l.doc_id AS vec_a, r.doc_id AS vec_b,
            round({cos}, 6) AS cosine_sim
@@ -354,6 +369,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=EMB_DUP_PLANES,
         threshold=EMB_DUP_THRESHOLD,
         dim=8,
+        center=True,
     )
 
 
