@@ -825,3 +825,237 @@ def ch_fn(name: str) -> Callable[..., Column]:
             f"no ClickHouse-compat shim for {name!r}; "
             f"known: {sorted(CH_FUNCTIONS)}"
         ) from None
+
+
+# ---------------------------------------------------------------------------
+# General aggregate-combinator grammar (round 6).
+#
+# CH composes aggregates with suffix combinators — sumIf, avgArray,
+# countOrNull, maxForEach, and chains like sumArrayIf — rather than
+# enumerating each spelling. The named shims above cover the spellings
+# the reference's generated SQL emits; this resolver covers the REST of
+# the grammar: any known base aggregate + a chain of combinator
+# suffixes, parsed right-to-left (the rightmost suffix is the outermost
+# wrapper, matching CH: sumArrayIf == If(sumArray)).
+#
+# Semantics per combinator (ClickHouse docs, sql-reference/aggregate-
+# functions/combinators):
+#   -If(args.., cond): aggregate only rows where cond. Spark has no
+#       row-filter inside an aggregate call, so each value argument is
+#       null-masked with WHEN(cond) — equivalent for null-skipping
+#       aggregates, which every supported base is.
+#   -Array(arr): aggregate over all ELEMENTS of the array column
+#       across rows.
+#   -OrNull: NULL instead of the default value when no rows were
+#       aggregated (count() -> NULL not 0, sum -> NULL not 0).
+#   -ForEach(arr): element-wise aggregation — result[i] aggregates the
+#       i-th element of every row's array; ragged arrays contribute to
+#       the positions they have (result length = max length seen).
+#
+# All builders are pure Column expressions (whole-stage codegen /
+# ObjectHashAggregate) — no Python UDFs. The ForEach family and the
+# uniq*Array variants buffer per-group arrays via collect_list, the
+# same per-group memory bound CH's own -ForEach carries.
+# ---------------------------------------------------------------------------
+
+
+def _arr_tail(arr: Column) -> Column:
+    return F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+
+
+def _arr_fold(arr: Column, merge) -> Column:
+    """Head-seeded left fold — type-preserving (integer arrays fold in
+    integer arithmetic) and null/empty-safe via try_element_at."""
+    return F.aggregate(_arr_tail(arr), F.try_element_at(arr, F.lit(1)), merge)
+
+
+def _row_sum(arr: Column) -> Column:
+    return _arr_fold(_as_col(arr), lambda a, x: a + x)
+
+
+_ARRAY_VARIANTS: dict[str, Callable[..., Column]] = {
+    "sum": lambda arr: F.sum(_row_sum(arr)),
+    "min": lambda arr: F.min(F.array_min(_as_col(arr))),
+    "max": lambda arr: F.max(F.array_max(_as_col(arr))),
+    "avg": lambda arr: F.sum(_row_sum(arr).cast("double"))
+    / F.sum(F.size(_as_col(arr))),
+    "count": lambda arr: F.sum(
+        F.coalesce(F.size(_as_col(arr)), F.lit(0))
+    ).cast("long"),
+    "uniq": lambda arr: F.size(
+        F.array_distinct(F.flatten(F.collect_list(_as_col(arr))))
+    ).cast("long"),
+    "uniqexact": lambda arr: F.size(
+        F.array_distinct(F.flatten(F.collect_list(_as_col(arr))))
+    ).cast("long"),
+    "grouparray": lambda arr: F.flatten(F.collect_list(_as_col(arr))),
+    "groupuniqarray": lambda arr: F.array_distinct(
+        F.flatten(F.collect_list(_as_col(arr)))
+    ),
+}
+
+
+def _foreach(op: str) -> Callable[..., Column]:
+    def build(arr: Column) -> Column:
+        arr = _as_col(arr)
+        collected = F.collect_list(arr)
+        maxlen = F.max(F.size(arr))
+
+        def position(i: Column) -> Column:
+            elems = F.filter(
+                F.transform(collected, lambda a: F.try_element_at(a, i)),
+                lambda x: x.isNotNull(),
+            )
+            head = F.try_element_at(elems, F.lit(1))
+            rest = _arr_tail(elems)
+            if op == "sum":
+                return F.aggregate(rest, head, lambda a, x: a + x)
+            if op == "min":
+                return F.aggregate(rest, head, lambda a, x: F.least(a, x))
+            if op == "max":
+                return F.aggregate(
+                    rest, head, lambda a, x: F.greatest(a, x)
+                )
+            if op == "count":
+                return F.size(elems).cast("long")
+            if op == "avg":
+                return F.aggregate(
+                    rest, head.cast("double"), lambda a, x: a + x
+                ) / F.size(elems)
+            raise AssertionError(op)
+
+        return F.transform(F.sequence(F.lit(1), maxlen), position)
+
+    return build
+
+
+_FOREACH_VARIANTS: dict[str, Callable[..., Column]] = {
+    op: _foreach(op) for op in ("sum", "min", "max", "count", "avg")
+}
+
+# Bases eligible for the generic If/OrNull wrappers: every single-shot
+# aggregate with a named shim above (excluding parametric/State/Merge
+# machinery, which has its own compile path).
+_COMBINATOR_BASES = {
+    "sum": "sum", "min": "min", "max": "max", "avg": "avg",
+    "count": "count", "any": "any", "anylast": "anyLast",
+    "uniq": "uniq", "uniqexact": "uniqExact",
+    "grouparray": "groupArray", "groupuniqarray": "groupUniqArray",
+    "argmax": "argMax", "argmin": "argMin", "median": "median",
+    "stddevpop": "stddevPop", "stddevsamp": "stddevSamp",
+    "varpop": "varPop", "varsamp": "varSamp",
+}
+
+_COMBINATOR_SUFFIXES = ("if", "ornull", "array", "foreach")
+
+
+def _wrap_if(inner: Callable[..., Column]) -> Callable[..., Column]:
+    def build(*args) -> Column:
+        if len(args) < 2:
+            # countIf(cond) shape: the condition is the only argument
+            return inner(F.when(_as_col(args[0]), F.lit(1)))
+        *vals, cond = args
+        cond = _as_col(cond)
+        return inner(*[F.when(cond, _as_col(v)) for v in vals])
+
+    return build
+
+
+def _wrap_ornull(inner: Callable[..., Column]) -> Callable[..., Column]:
+    def build(*args) -> Column:
+        return F.when(F.count(_as_col(args[0])) > 0, inner(*args))
+
+    return build
+
+
+def split_combinators(name: str) -> tuple[str, list[str]] | None:
+    """``sumArrayIf`` -> ("sum", ["array", "if"]); None when the name
+    does not parse as base+combinators. Longest-suffix-first so
+    ``groupArray`` itself (a base) is not eaten as ``group`` + Array —
+    bases are matched before any suffix is stripped."""
+    lname = name.lower()
+    suffixes: list[str] = []
+    while lname not in _COMBINATOR_BASES:
+        for suf in _COMBINATOR_SUFFIXES:
+            if lname.endswith(suf) and len(lname) > len(suf):
+                lname = lname[: -len(suf)]
+                suffixes.insert(0, suf)
+                break
+        else:
+            return None
+        if len(suffixes) > 3:
+            return None
+    if not suffixes:
+        return None
+    return lname, suffixes
+
+
+def resolve_agg_combinator(name: str) -> Callable[..., Column] | None:
+    """Column builder for a combinator-suffixed aggregate name, or
+    None. Applied AFTER the named-shim lookup misses, so explicit
+    entries (sumIf, uniqExactIf, ...) keep their tuned definitions."""
+    parsed = split_combinators(name)
+    if parsed is None:
+        return None
+    base, suffixes = parsed
+    # innermost-first: ["array", "if"] builds If(Array(base))
+    fn: Callable[..., Column] | None = None
+    pending_base: str | None = base
+    for suf in suffixes:
+        if suf == "array":
+            if pending_base is None or pending_base not in _ARRAY_VARIANTS:
+                return None
+            fn, pending_base = _ARRAY_VARIANTS[pending_base], None
+        elif suf == "foreach":
+            if pending_base is None or pending_base not in _FOREACH_VARIANTS:
+                return None
+            fn, pending_base = _FOREACH_VARIANTS[pending_base], None
+        else:
+            if pending_base is not None:
+                fn = CH_FUNCTIONS[_COMBINATOR_BASES[pending_base]]
+                pending_base = None
+            fn = _wrap_if(fn) if suf == "if" else _wrap_ornull(fn)
+    if pending_base is not None:
+        fn = CH_FUNCTIONS[_COMBINATOR_BASES[pending_base]]
+    return fn
+
+
+def is_combinator_agg(name: str) -> bool:
+    """True when the name parses as a combinator-suffixed aggregate —
+    the aggregate-detection predicate the SQL front end needs before
+    compiling (combinator spellings must route through groupBy)."""
+    return split_combinators(name) is not None
+
+
+def _array_reduce(agg, arr: Column) -> Column:
+    """CH arrayReduce('agg', arr): apply an aggregate to the elements
+    of a single row's array — a SCALAR per-row expression, so each
+    supported aggregate maps to a higher-order-function equivalent."""
+    if isinstance(arr, str) or isinstance(agg, Column):
+        raise TypeError("arrayReduce takes a literal aggregate name first")
+    lagg = str(agg).strip("'\"").lower()
+    arr = _as_col(arr)
+    if lagg == "sum":
+        return _row_sum(arr)
+    if lagg == "min":
+        return F.array_min(arr)
+    if lagg == "max":
+        return F.array_max(arr)
+    if lagg == "avg":
+        return F.when(
+            F.size(arr) > 0, _row_sum(arr).cast("double") / F.size(arr)
+        )
+    if lagg == "count":
+        return F.coalesce(F.size(arr), F.lit(0)).cast("long")
+    if lagg == "any":
+        return F.try_element_at(arr, F.lit(1))
+    if lagg == "anylast":
+        return F.try_element_at(arr, F.size(arr))
+    if lagg in ("uniq", "uniqexact"):
+        return F.size(F.array_distinct(arr)).cast("long")
+    if lagg == "grouparray":
+        return arr
+    raise ValueError(f"arrayReduce: unsupported aggregate {agg!r}")
+
+
+CH_FUNCTIONS["arrayReduce"] = _array_reduce

@@ -88,7 +88,11 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.ch_compat import CH_FUNCTIONS
+from ..functions.ch_compat import (
+    CH_FUNCTIONS,
+    is_combinator_agg,
+    resolve_agg_combinator,
+)
 
 _AGGS = {
     "count", "avg", "max", "min", "sum", "any", "uniq", "uniqexact",
@@ -853,6 +857,8 @@ _LITERAL_ARG_POSITIONS = {
     # coerced via _BARE_UNIT_ARG_POSITIONS below)
     "dateadd": {0},
     "datesub": {0},
+    # arrayReduce's aggregate name selects the HOF rewrite driver-side
+    "arrayreduce": {0},
 }
 
 # CH accepts BARE unit identifiers in these positions too —
@@ -883,7 +889,9 @@ def _is_timestamp(node: _Node) -> bool:
 
 def _contains_agg(node: _Node) -> bool:
     if node.kind == "call":
-        if node.value.lower() in _AGGS:
+        if node.value.lower() in _AGGS or is_combinator_agg(
+            str(node.value)
+        ):
             return True
         return any(_contains_agg(a) for a in node.args)
     if node.kind in ("bin", "in", "like", "isnull", "cast"):
@@ -1281,7 +1289,11 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             raise ValueError(
                 "tupleElement index must be a literal number or name"
             )
-        fn = CH_FUNCTIONS.get(name) or CH_FUNCTIONS.get(lname)
+        fn = (
+            CH_FUNCTIONS.get(name)
+            or CH_FUNCTIONS.get(lname)
+            or resolve_agg_combinator(name)
+        )
         if fn is None:
             raise ValueError(f"unknown function {name!r}")
         if lname == "quantiledeterministic" and len(node.args) >= 2:
@@ -3745,7 +3757,15 @@ def _exec_select(
         )
         for n, d, nf in order_nodes
     ]
-    if not any(_contains_agg(n) for n in select_nodes):
+    # A HAVING whose aggregate does not appear in the SELECT list
+    # (``SELECT g ... GROUP BY g HAVING sum(x) > 1``) still makes the
+    # query an aggregation — the hidden `_having` column carries it.
+    _agg_select = any(_contains_agg(n) for n in select_nodes) or (
+        bool(group_nodes)
+        and having_node is not None
+        and _contains_agg(having_node)
+    )
+    if not _agg_select:
         # Correlated scalar subqueries in the SELECT list — the common
         # analyst shape ``SELECT k, (SELECT count(*) FROM d WHERE
         # d.k = t.k) AS n`` — decorrelate exactly like the WHERE form:
@@ -3797,7 +3817,7 @@ def _exec_select(
                 return n
 
             select_nodes = [_rw(n) for n in select_nodes]
-    if any(_contains_agg(n) for n in select_nodes):
+    if _agg_select:
         agg_cols = [
             _compile(n, tables).alias(names[i])
             for i, n in enumerate(select_nodes)

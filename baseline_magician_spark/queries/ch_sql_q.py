@@ -1884,3 +1884,52 @@ ORDER BY grp
 )
 def ch_sql_summap_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_SUMMAP_SQL, _tables(spark, sf_dir, "events"))
+
+
+# General aggregate-combinator grammar (round 6): suffix-composed
+# spellings — If / Array / OrNull / ForEach on arbitrary known bases,
+# plus the per-row arrayReduce('agg', arr). Every summed quantity is an
+# integer-valued double (l_quantity), so cross-engine sums are exact
+# regardless of fold order (the playbook's float rule); the ForEach
+# fold over collect_list order is likewise order-free.
+_COMBINATOR_SQL = """
+SELECT rflag,
+       sumIf(q, d > 0.05) AS qty_hidisc,
+       countIf(t > 0.04) AS n_taxed,
+       sumArray(arr) AS sum_arr,
+       minArray(arr) AS min_arr,
+       avgArray(arr) AS avg_arr,
+       sumForEach(arr) AS sum_each,
+       sumOrNull(q) AS sum_q,
+       maxArrayIf(arr, t > 0.04) AS max_taxed,
+       max(rsum) AS max_rowsum
+FROM (SELECT l_returnflag AS rflag, l_quantity AS q,
+             l_discount AS d, l_tax AS t,
+             [l_quantity, l_quantity + 1] AS arr,
+             arrayReduce('sum', [l_quantity, l_quantity + 1]) AS rsum
+      FROM fastnetmon.lineitem)
+GROUP BY rflag
+ORDER BY rflag
+"""
+
+
+@query(
+    "ch_sql_agg_combinators",
+    """
+    SELECT l_returnflag AS rflag,
+           sum(CASE WHEN l_discount > 0.05 THEN l_quantity END) AS qty_hidisc,
+           count(*) FILTER (WHERE l_tax > 0.04) AS n_taxed,
+           sum(l_quantity + l_quantity + 1) AS sum_arr,
+           min(l_quantity) AS min_arr,
+           sum(l_quantity + l_quantity + 1) / (2 * count(*)) AS avg_arr,
+           [sum(l_quantity), sum(l_quantity + 1)] AS sum_each,
+           sum(l_quantity) AS sum_q,
+           max(CASE WHEN l_tax > 0.04 THEN l_quantity + 1 END) AS max_taxed,
+           max(l_quantity + l_quantity + 1) AS max_rowsum
+    FROM lineitem
+    GROUP BY rflag
+    ORDER BY rflag
+    """,
+)
+def ch_sql_agg_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_COMBINATOR_SQL, _tables(spark, sf_dir, "lineitem"))

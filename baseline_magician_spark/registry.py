@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_y4m_decode",
     "streaming_funnel_levels",
     # new round-6 queries land here as they register
+    "ch_sql_agg_combinators",
     # r2-stale TPC-H names deferred from the round-5 rotation
     "q7_volume_shipping",
     "q8_national_market_share",
