@@ -515,6 +515,36 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # CH row values: tuple(a, b) / the (a, b) literal — a struct, so
     # =/IN compare element-wise in both engines
     "tuple": lambda *cs: F.struct(*[_as_col(c) for c in cs]),
+    # ------------------------------------------------------------------
+    # Map(K, V) family (round 6). CH map('k1', v1, 'k2', v2) literals,
+    # mapFromArrays(ks, vs), key/value extraction, membership. Subscript
+    # m['key'] routes here from the parser (string-literal subscripts
+    # compile to mapElement; numeric subscripts stay arrayElement).
+    # Missing-key lookups yield NULL — same documented divergence as
+    # arrayElement (CH returns the value type's default).
+    "map": lambda *kv: F.create_map(*[_as_col(c) for c in kv]),
+    "mapFromArrays": lambda ks, vs: F.map_from_arrays(
+        _as_col(ks), _as_col(vs)
+    ),
+    "mapElement": lambda m, k: F.try_element_at(_as_col(m), _as_col(k)),
+    "mapKeys": lambda m: F.map_keys(_as_col(m)),
+    "mapValues": lambda m: F.map_values(_as_col(m)),
+    "mapContains": lambda m, k: F.map_contains_key(_as_col(m), _as_col(k)),
+    "mapContainsKey": lambda m, k: F.map_contains_key(
+        _as_col(m), _as_col(k)
+    ),
+    # mapUpdate(m1, m2): m2 wins on key clashes. Spark's map_concat
+    # errors on duplicates under the default dedup policy, so rebuild
+    # from m1's non-clashing pairs + all of m2 — pure Column algebra.
+    "mapUpdate": lambda m1, m2: F.map_from_entries(
+        F.concat(
+            F.filter(
+                F.map_entries(_as_col(m1)),
+                lambda e: ~F.map_contains_key(_as_col(m2), e["key"]),
+            ),
+            F.map_entries(_as_col(m2)),
+        )
+    ),
     "arraySlice": lambda arr, offset, length=None: _array_slice(
         arr, offset, length
     ),

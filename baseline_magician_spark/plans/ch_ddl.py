@@ -116,6 +116,9 @@ def _ch_type(spark_type: str) -> str:
     m = re.fullmatch(r"array<(.+)>", spark_type)
     if m:
         return f"Array({_ch_type(m.group(1))})"
+    m = re.fullmatch(r"map<([^,]+),(.+)>", spark_type)
+    if m:
+        return f"Map({_ch_type(m.group(1))}, {_ch_type(m.group(2))})"
     m = re.fullmatch(r"decimal\((\d+),(\d+)\)", spark_type)
     if m:
         return f"Decimal({m.group(1)}, {m.group(2)})"

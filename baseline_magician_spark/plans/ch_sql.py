@@ -513,6 +513,26 @@ class _Parser:
             scale = self.next()
             self.expect(")")
             tname = f"decimal({prec},{scale})"
+        elif tname in ("nullable", "lowcardinality") and self.peek() == "(":
+            # transparent wrappers: every Spark type is nullable, and
+            # LowCardinality is a CH storage hint (dictionary encoding)
+            # with no semantic effect — unwrap to the inner type
+            self.next()
+            inner = self.parse_type_name()
+            self.expect(")")
+            return inner
+        elif tname == "array" and self.peek() == "(":
+            self.next()
+            inner = self.parse_type_name()
+            self.expect(")")
+            return f"array<{inner}>"
+        elif tname == "map" and self.peek() == "(":
+            self.next()
+            ktype = self.parse_type_name()
+            self.expect(",")
+            vtype = self.parse_type_name()
+            self.expect(")")
+            return f"map<{ktype},{vtype}>"
         return _CAST_TYPES.get(tname, tname)
 
     def parse_unary(self) -> _Node:
@@ -530,7 +550,14 @@ class _Parser:
                 self.next()
                 idx = self.parse_expr()
                 self.expect("]")
-                node = _Node("call", "arrayElement", (node, idx))
+                # string-literal subscript = map key lookup m['k'];
+                # anything else stays 1-based array indexing. (The
+                # Column layer is untyped pre-analysis, so an
+                # int-keyed Map needs mapElement(m, k) spelled out.)
+                if idx.kind == "str" and idx.value is not None:
+                    node = _Node("call", "mapElement", (node, idx))
+                else:
+                    node = _Node("call", "arrayElement", (node, idx))
             else:
                 # postfix cast operator x::T (CH and Postgres-style
                 # spelling of CAST(x AS T))
@@ -959,6 +986,13 @@ _HOF = {
         )
         / F.size(arr),
     ),
+    # Map higher-order functions: CH lambda takes (k, v)
+    "mapfilter": lambda fn, m: F.map_filter(m, fn),
+    "mapexists": lambda fn, m: F.size(F.map_filter(m, fn)) > 0,
+    "mapall": lambda fn, m: F.size(
+        F.map_filter(m, lambda k, v: ~fn(k, v))
+    )
+    == 0,
 }
 
 

@@ -1933,3 +1933,48 @@ ORDER BY rflag
 )
 def ch_sql_agg_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_COMBINATOR_SQL, _tables(spark, sf_dir, "lineitem"))
+
+
+# Map(K, V) family (round 6): map literals, mapFromArrays, m['key']
+# subscripts, mapKeys/mapValues/mapContains, mapFilter lambdas — the
+# modern-CH surface the reference's v1.5.4 column codec predates
+# (ch/lib/column/column.go:22-187 has no Map case). The map is built
+# from per-group aggregates so every value is a deterministic integer;
+# DuckDB replays the extracted scalars directly (its 1.0.0 MAP
+# subscript returns a LIST, so the oracle computes the scalars without
+# the map detour — same values, same names).
+_MAP_SQL = """
+SELECT etype,
+       m['n'] AS n_events,
+       m['users'] AS n_users,
+       mapKeys(m) AS ks,
+       mapValues(mapFilter((k, v) -> v > 0, m)) AS vs,
+       mapContains(m, 'n') AS has_n,
+       mapContains(m, 'zz') AS has_zz,
+       mapUpdate(m, map('n', 0 - 1))['n'] AS n_overridden
+FROM (SELECT event_type AS etype,
+             map('n', count(*), 'users', uniqExact(user_id)) AS m
+      FROM fastnetmon.events
+      GROUP BY event_type)
+ORDER BY etype
+"""
+
+
+@query(
+    "ch_sql_map_functions",
+    """
+    SELECT event_type AS etype,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           ['n', 'users'] AS ks,
+           [count(*), count(DISTINCT user_id)] AS vs,
+           true AS has_n,
+           false AS has_zz,
+           CAST(-1 AS BIGINT) AS n_overridden
+    FROM events
+    GROUP BY event_type
+    ORDER BY etype
+    """,
+)
+def ch_sql_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_MAP_SQL, _tables(spark, sf_dir, "events"))
