@@ -909,8 +909,9 @@ _ARRAY_VARIANTS: dict[str, Callable[..., Column]] = {
     "max": lambda arr: F.max(F.array_max(_as_col(arr))),
     "avg": lambda arr: F.sum(_row_sum(arr).cast("double"))
     / F.sum(F.size(_as_col(arr))),
-    "count": lambda arr: F.sum(
-        F.coalesce(F.size(_as_col(arr)), F.lit(0))
+    # count's identity is 0, never NULL — holds on empty input too
+    "count": lambda arr: F.coalesce(
+        F.sum(F.coalesce(F.size(_as_col(arr)), F.lit(0))), F.lit(0)
     ).cast("long"),
     "uniq": lambda arr: F.size(
         F.array_distinct(F.flatten(F.collect_list(_as_col(arr))))

@@ -636,7 +636,158 @@ def _gen_tuple_in_subquery_pair(rng: random.Random) -> tuple[str, str]:
     )
 
 
-N_PAIRED = 42
+def _gen_combinator_pair(rng: random.Random) -> tuple[str, str]:
+    # round-6 suffix-combinator grammar: -If / -OrNull / -Array /
+    # -ForEach on arbitrary bases vs the ANSI CASE/FILTER spellings.
+    # Integer-valued quantities only (exact cross-engine sums).
+    m = rng.randint(2, 7)
+    et = rng.choice(_STR_VALS)
+    w = _where(rng)
+    form = rng.randrange(4)
+    if form == 0:
+        base = rng.choice(["sum", "min", "max"])
+        ch = (
+            f"SELECT user_id % {m} AS k, "
+            f"{base}If(event_id % 97, event_type = '{et}') AS v, "
+            f"countIf(event_type != '{et}') AS n "
+            f"FROM events{w} GROUP BY k ORDER BY k"
+        )
+        duck = (
+            f"SELECT user_id % {m} AS k, "
+            f"{base}(CASE WHEN event_type = '{et}' "
+            f"THEN event_id % 97 END) AS v, "
+            f"count(*) FILTER (WHERE event_type != '{et}') AS n "
+            f"FROM events{w} GROUP BY k ORDER BY k"
+        )
+    elif form == 1:
+        # OrNull over a possibly-empty filtered group
+        lim = rng.randint(0, 200)
+        ch = (
+            f"SELECT user_id % {m} AS k, sumOrNull(event_id) AS s, "
+            f"countOrNull(event_id) AS c FROM events "
+            f"WHERE event_id < {lim} GROUP BY k ORDER BY k"
+        )
+        duck = (
+            f"SELECT user_id % {m} AS k, "
+            f"CASE WHEN count(event_id) > 0 THEN sum(event_id) END AS s, "
+            f"CASE WHEN count(event_id) > 0 THEN count(event_id) END AS c "
+            f"FROM events WHERE event_id < {lim} GROUP BY k ORDER BY k"
+        )
+    elif form == 2:
+        # Array variants over a 2-element constructed array
+        a = f"event_id % {rng.randint(3, 9)}"
+        b = f"user_id % {rng.randint(2, 5)}"
+        ch = (
+            f"SELECT sumArray([{a}, {b}]) AS s, "
+            f"countArray([{a}, {b}]) AS c, "
+            f"minArray([{a}, {b}]) AS mn, maxArray([{a}, {b}]) AS mx "
+            f"FROM events{w}"
+        )
+        duck = (
+            f"SELECT sum(({a}) + ({b})) AS s, 2 * count(*) AS c, "
+            f"min(least({a}, {b})) AS mn, max(greatest({a}, {b})) AS mx "
+            f"FROM events{w}"
+        )
+    else:
+        # sumForEach: element-wise positions of a fixed-width array
+        a = f"event_id % {rng.randint(3, 9)}"
+        b = f"user_id % {rng.randint(2, 5)}"
+        ch = (
+            f"SELECT sumForEach([{a}, {b}]) AS se, "
+            f"arrayReduce('sum', [min({a}), max({b})]) AS rr "
+            f"FROM events{w}"
+        )
+        duck = (
+            # ForEach over zero rows is NULL (engine convention for
+            # empty global aggregation) — guard the literal-list spelling
+            f"SELECT CASE WHEN count(*) > 0 "
+            f"THEN [sum({a}), sum({b})] END AS se, "
+            f"min({a}) + max({b}) AS rr FROM events{w}"
+        )
+    return ch, duck
+
+
+def _gen_map_pair(rng: random.Random) -> tuple[str, str]:
+    # Map(K, V) family: literal maps, subscript lookups, mapContains —
+    # vs the scalar CASE spellings (DuckDB 1.0 MAP subscript returns a
+    # LIST, so its side avoids the map detour entirely)
+    m = rng.randint(2, 7)
+    et = rng.choice(_STR_VALS)
+    w = _where(rng)
+    if rng.random() < 0.5:
+        ch = (
+            f"SELECT map('a', user_id % {m}, 'b', 0)['a'] AS k, "
+            f"count(*) AS n FROM events{w} GROUP BY k ORDER BY k"
+        )
+        duck = (
+            f"SELECT user_id % {m} AS k, count(*) AS n "
+            f"FROM events{w} GROUP BY k ORDER BY k"
+        )
+    else:
+        ch = (
+            f"SELECT mapElement(mapFromArrays([event_type], "
+            f"[user_id % {m}]), '{et}') AS k, "
+            f"countIf(mapContains(map('{et}', 1), event_type)) AS n "
+            f"FROM events{w} GROUP BY k ORDER BY k"
+        )
+        duck = (
+            f"SELECT CASE WHEN event_type = '{et}' "
+            f"THEN user_id % {m} END AS k, "
+            f"count(*) FILTER (WHERE event_type = '{et}') AS n "
+            f"FROM events{w} GROUP BY k ORDER BY k"
+        )
+    return ch, duck
+
+
+def _gen_retention_pair(rng: random.Random) -> tuple[str, str]:
+    # retention(cond1, cond2): r[i] = cond1-and-condi seen for the
+    # user; the DuckDB side replays per-user bool maxes
+    t1, t2 = rng.sample(_STR_VALS, 2)
+    ch = (
+        f"SELECT sum(r[1]) AS a, sum(r[2]) AS b "
+        f"FROM (SELECT user_id, retention(event_type = '{t1}', "
+        f"event_type = '{t2}') AS r FROM events GROUP BY user_id)"
+    )
+    duck = (
+        f"SELECT sum(s)::BIGINT AS a, "
+        f"sum(CASE WHEN s = 1 AND c = 1 THEN 1 ELSE 0 END)::BIGINT AS b "
+        f"FROM (SELECT user_id, "
+        f"max(CASE WHEN event_type = '{t1}' THEN 1 ELSE 0 END) AS s, "
+        f"max(CASE WHEN event_type = '{t2}' THEN 1 ELSE 0 END) AS c "
+        f"FROM events GROUP BY user_id)"
+    )
+    return ch, duck
+
+
+def _gen_funnel_pair(rng: random.Random) -> tuple[str, str]:
+    # two-level windowFunnel with a random window; the DuckDB side is
+    # the EXISTS-chain spelling of "t1 then t2 within W seconds"
+    t1, t2 = rng.sample(_STR_VALS, 2)
+    w_sec = rng.choice([3600, 14400, 86400])
+    ch = (
+        f"SELECT lvl, count(*) AS users FROM (SELECT user_id, "
+        f"windowFunnel({w_sec})(ts, event_type = '{t1}', "
+        f"event_type = '{t2}') AS lvl FROM events GROUP BY user_id) "
+        f"GROUP BY lvl ORDER BY lvl"
+    )
+    duck = (
+        f"WITH u AS (SELECT DISTINCT user_id FROM events), "
+        f"lv AS (SELECT u.user_id, (CASE WHEN EXISTS ("
+        f"SELECT 1 FROM events e1 JOIN events e2 "
+        f"ON e2.user_id = e1.user_id WHERE e1.user_id = u.user_id "
+        f"AND e1.event_type = '{t1}' AND e2.event_type = '{t2}' "
+        f"AND e1.ts <= e2.ts "
+        f"AND e2.ts <= e1.ts + INTERVAL {w_sec} SECOND) THEN 2 "
+        f"WHEN EXISTS (SELECT 1 FROM events e1 "
+        f"WHERE e1.user_id = u.user_id AND e1.event_type = '{t1}') "
+        f"THEN 1 ELSE 0 END)::BIGINT AS lvl FROM u) "
+        f"SELECT lvl, count(*) AS users FROM lv "
+        f"GROUP BY lvl ORDER BY lvl"
+    )
+    return ch, duck
+
+
+N_PAIRED = 66
 
 
 def _gen_pair(rng: random.Random) -> tuple[str, str]:
@@ -644,7 +795,9 @@ def _gen_pair(rng: random.Random) -> tuple[str, str]:
         [_gen_scalar_with_pair, _gen_star_except_pair,
          _gen_star_replace_pair, _gen_star_apply_pair,
          _gen_array_index_pair, _gen_with_fill_pair,
-         _gen_tuple_in_subquery_pair, _gen_limit_ties_pair]
+         _gen_tuple_in_subquery_pair, _gen_limit_ties_pair,
+         _gen_combinator_pair, _gen_combinator_pair,
+         _gen_map_pair, _gen_retention_pair, _gen_funnel_pair]
     )(rng)
 
 
