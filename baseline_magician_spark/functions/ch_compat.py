@@ -977,7 +977,7 @@ _COMBINATOR_BASES = {
     "varpop": "varPop", "varsamp": "varSamp",
 }
 
-_COMBINATOR_SUFFIXES = ("if", "ornull", "array", "foreach")
+_COMBINATOR_SUFFIXES = ("if", "ornull", "array", "foreach", "distinct")
 
 
 def _wrap_if(inner: Callable[..., Column]) -> Callable[..., Column]:
@@ -1041,6 +1041,18 @@ def resolve_agg_combinator(name: str) -> Callable[..., Column] | None:
             if pending_base is None or pending_base not in _FOREACH_VARIANTS:
                 return None
             fn, pending_base = _FOREACH_VARIANTS[pending_base], None
+        elif suf == "distinct":
+            # -Distinct rides the tuned __distinct shims (sum_distinct
+            # et al. are JVM-side distinct-inside-aggregate); only the
+            # innermost position is expressible
+            if pending_base is None:
+                return None
+            fn = CH_FUNCTIONS.get(
+                f"{_COMBINATOR_BASES[pending_base].lower()}__distinct"
+            )
+            if fn is None:
+                return None
+            pending_base = None
         else:
             if pending_base is not None:
                 fn = CH_FUNCTIONS[_COMBINATOR_BASES[pending_base]]

@@ -1090,10 +1090,14 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                 _compile(call.args[0], env),
                 int(_literal_value(call.args[1])),
             )
-        elif wname in ("lag", "lead"):
+        elif wname in ("lag", "lead", "laginframe", "leadinframe"):
+            # lagInFrame/leadInFrame are CH's frame-respecting
+            # spellings; Spark's lag/lead are already frame-agnostic
+            # offsets over the ordered partition, which coincides for
+            # the default full frame these map to
             base = _compile(call.args[0], env)
             off = int(_literal_value(call.args[1])) if len(call.args) > 1 else 1
-            fn = F.lag if wname == "lag" else F.lead
+            fn = F.lag if wname.startswith("lag") else F.lead
             if len(call.args) > 2:
                 col = fn(base, off, _literal_value(call.args[2]))
             else:
@@ -2795,6 +2799,59 @@ def _exec_select(
                 raise ValueError("numbers() needs an active session")
             rng = sess.range(a, a + b) if b is not None else sess.range(a)
             return rng.toDF("number"), _opt_alias() or "numbers"
+        if name.lower() in ("file", "url", "s3") and p.peek() == "(":
+            # CH file/url/s3 table functions: read external data in
+            # place. Maps straight onto the Spark reader — the scan
+            # stays distributed (splittable formats parallelize per
+            # block; partition pruning and pushdown apply to Parquet),
+            # and s3:// / https:// locations work unchanged on a real
+            # cluster with the matching filesystem connector on the
+            # classpath. Supported formats: Parquet, CSV[WithNames],
+            # TSV/TabSeparated[WithNames], JSONEachRow.
+            p.next()
+            loc = p.next().strip("'\"")
+            fmt = "parquet"
+            if p.peek() == ",":
+                p.next()
+                fmt = p.next().strip("'\"")
+            p.expect(")")
+            from pyspark.sql import SparkSession as _SS
+
+            sess = (
+                next(iter(tables.values())).sparkSession
+                if tables
+                else _SS.getActiveSession()
+            )
+            if sess is None:
+                raise ValueError(f"{name}() needs an active session")
+            lfmt = fmt.lower()
+            if lfmt == "parquet":
+                df = sess.read.parquet(loc)
+            elif lfmt in ("csv", "csvwithnames"):
+                df = sess.read.csv(
+                    loc,
+                    header=lfmt.endswith("withnames"),
+                    inferSchema=True,
+                )
+            elif lfmt in (
+                "tsv", "tabseparated",
+                "tsvwithnames", "tabseparatedwithnames",
+            ):
+                df = sess.read.csv(
+                    loc,
+                    sep="\t",
+                    header=lfmt.endswith("withnames"),
+                    inferSchema=True,
+                )
+            elif lfmt == "jsoneachrow":
+                df = sess.read.json(loc)
+            else:
+                raise ValueError(
+                    f"{name}(): unsupported format {fmt!r}; known: "
+                    "Parquet, CSV[WithNames], TSV[WithNames], "
+                    "JSONEachRow"
+                )
+            return df, _opt_alias() or name.lower()
         # FINAL (before or after the alias): CH's merge-on-read
         # modifier — forces ReplacingMergeTree et al. to collapse
         # pending parts at read time. Every relation here is already a

@@ -1978,3 +1978,39 @@ ORDER BY etype
 )
 def ch_sql_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_MAP_SQL, _tables(spark, sf_dir, "events"))
+
+
+# file() table function (round 6): read external parquet in place —
+# the CH idiom for ad-hoc data (sql-reference/table-functions/file).
+# Same scan path spark.read uses everywhere else, so pushdown/pruning
+# apply; on a cluster the location would be s3:// with the identical
+# plan. The oracle reads the same parquet through its registered view.
+def ch_sql_file_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        f"""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               countDistinct(o_custkey) AS nc,
+               min(o_orderdate) AS first_day
+        FROM file('{sf_dir}/orders.parquet', 'Parquet')
+        WHERE o_totalprice > 1000
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        {},
+    )
+
+
+query(
+    "ch_sql_file_read",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           count(DISTINCT o_custkey) AS nc,
+           min(o_orderdate) AS first_day
+    FROM orders
+    WHERE o_totalprice > 1000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)(ch_sql_file_read)

@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     # new round-6 queries land here as they register
     "ch_sql_agg_combinators",
     "ch_sql_map_functions",
+    "ch_sql_file_read",
     # r2-stale TPC-H names deferred from the round-5 rotation
     "q7_volume_shipping",
     "q8_national_market_share",

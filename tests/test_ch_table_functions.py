@@ -1,0 +1,102 @@
+"""file()/url()/s3() table functions + lagInFrame/leadInFrame +
+-Distinct combinator (round 6).
+
+CH reads external data in place via table functions
+(sql-reference/table-functions/file). The Spark mapping is the
+DataFrameReader — the scan stays distributed and the same code path
+serves s3:// locations on a real cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+
+@pytest.fixture(scope="module")
+def data_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("chfile")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id int, k string, v double",
+    )
+    df.coalesce(1).write.parquet(str(d / "t.parquet"))
+    df.coalesce(1).write.csv(str(d / "t.csv"), header=True)
+    df.coalesce(1).write.csv(str(d / "t.tsv"), header=True, sep="\t")
+    df.coalesce(1).write.json(str(d / "t.json"))
+    return d
+
+
+def test_file_parquet(data_dir):
+    rows = run_ch_query(
+        f"SELECT k, count(*) AS n, sum(id) AS s "
+        f"FROM file('{data_dir}/t.parquet', 'Parquet') "
+        f"GROUP BY k ORDER BY k",
+        {},
+    ).collect()
+    assert [(r.k, r.n, r.s) for r in rows] == [("a", 2, 4), ("b", 1, 2)]
+
+
+def test_file_csv_with_names(data_dir):
+    rows = run_ch_query(
+        f"SELECT count(*) AS n, max(id) AS m "
+        f"FROM file('{data_dir}/t.csv', 'CSVWithNames')",
+        {},
+    ).collect()
+    assert rows[0].n == 3 and rows[0].m == 3
+
+
+def test_file_tsv_and_alias_join(data_dir):
+    rows = run_ch_query(
+        f"SELECT f.k AS k, count(*) AS n "
+        f"FROM file('{data_dir}/t.tsv', 'TSVWithNames') AS f "
+        f"WHERE f.id > 1 GROUP BY f.k ORDER BY k",
+        {},
+    ).collect()
+    assert [(r.k, r.n) for r in rows] == [("a", 1), ("b", 1)]
+
+
+def test_file_json_each_row(data_dir):
+    rows = run_ch_query(
+        f"SELECT k, sum(id) AS s "
+        f"FROM file('{data_dir}/t.json', 'JSONEachRow') "
+        f"GROUP BY k ORDER BY k",
+        {},
+    ).collect()
+    assert [(r.k, r.s) for r in rows] == [("a", 4), ("b", 2)]
+
+
+def test_file_unknown_format_raises(data_dir):
+    with pytest.raises(Exception, match="unsupported format"):
+        run_ch_query(
+            f"SELECT 1 FROM file('{data_dir}/t.parquet', 'Native')", {}
+        )
+
+
+def test_lag_in_frame(spark):
+    tdf = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "i int, v int"
+    )
+    rows = run_ch_query(
+        "SELECT i, lagInFrame(v, 1) OVER (ORDER BY i) AS pv, "
+        "leadInFrame(v, 1, 0 - 1) OVER (ORDER BY i) AS nv "
+        "FROM t ORDER BY i",
+        {"t": tdf},
+    ).collect()
+    assert [(r.pv, r.nv) for r in rows] == [(None, 20), (10, 30), (20, -1)]
+
+
+def test_distinct_combinator_suffix(spark):
+    tdf = spark.createDataFrame(
+        [(1, 5), (1, 5), (1, 7), (2, 5)], "g int, x int"
+    )
+    rows = run_ch_query(
+        "SELECT g, sumDistinct(x) AS sd, countDistinct(x) AS cd, "
+        "avgDistinct(x) AS ad, sumDistinctIf(x, x < 6) AS sdi "
+        "FROM t GROUP BY g ORDER BY g",
+        {"t": tdf},
+    ).collect()
+    assert (rows[0].sd, rows[0].cd, rows[0].ad) == (12, 2, 6.0)
+    assert rows[0].sdi == 5
+    assert (rows[1].sd, rows[1].cd) == (5, 1)
