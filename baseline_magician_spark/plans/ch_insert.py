@@ -119,6 +119,38 @@ def _parse_head(p: _Parser) -> tuple[str, list[str] | None]:
     return tname, cols
 
 
+# INSERT INTO FUNCTION file/url/s3('loc'[, 'Format']) SELECT ... —
+# CH's write-through-table-function sink. The SELECT tail plans
+# normally and lands via the matching distributed Spark writer.
+_FUNC_HEAD_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+FUNCTION\s+(file|url|s3)\s*\(\s*"
+    r"'([^']+)'\s*(?:,\s*'([^']+)')?\s*\)\s*(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _write_function_sink(
+    out: DataFrame, loc: str, fmt: str, mode: str
+) -> None:
+    lfmt = fmt.lower()
+    w = out.write.mode(mode)
+    if lfmt == "parquet":
+        w.option("maxRecordsPerFile", BLOCK_SIZE).parquet(loc)
+    elif lfmt in ("csv", "csvwithnames"):
+        w.csv(loc, header=lfmt.endswith("withnames"))
+    elif lfmt in (
+        "tsv", "tabseparated", "tsvwithnames", "tabseparatedwithnames"
+    ):
+        w.csv(loc, sep="\t", header=lfmt.endswith("withnames"))
+    elif lfmt == "jsoneachrow":
+        w.json(loc)
+    else:
+        raise ValueError(
+            f"INSERT INTO FUNCTION: unsupported format {fmt!r}; known: "
+            "Parquet, CSV[WithNames], TSV[WithNames], JSONEachRow"
+        )
+
+
 def run_ch_insert(
     sql: str,
     tables: dict[str, DataFrame],
@@ -142,6 +174,18 @@ def run_ch_insert(
     inserted relation either way (lazily planned — for INSERT SELECT
     nothing runs until the write or the caller's action).
     """
+    fm = _FUNC_HEAD_RE.match(sql)
+    if fm is not None:
+        fname, loc, fmt, tail = fm.groups()
+        tail = tail.strip()
+        if not tail.lower().startswith(("select", "with")):
+            raise ValueError(
+                "INSERT INTO FUNCTION takes a SELECT tail (VALUES "
+                "needs an explicit structure argument, not supported)"
+            )
+        out = run_ch_query(tail, tables, args=args, named=named)
+        _write_function_sink(out, loc, fmt or "Parquet", mode)
+        return out
     route_values = is_insert_values(sql)
     m = None
     if not route_values:

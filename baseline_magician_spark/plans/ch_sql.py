@@ -120,6 +120,11 @@ _AGGS = {
     "windowfunnel", "retention", "sequencematch", "sequencecount",
     # map-keyed aggregates
     "summap", "minmap", "maxmap",
+    # round-6 tranche
+    "groupbitand", "groupbitor", "groupbitxor", "sumcount",
+    "sumkahan", "sumwithoverflow", "anyheavy", "firstvalue",
+    "lastvalue", "singlevalueornull", "skewsamp", "kurtsamp",
+    "uniqupto", "quantilegk",
 }
 
 # CH parametric-aggregate families — ``fn(params)(args)`` spelling,
@@ -129,8 +134,8 @@ _AGGS = {
 _PARAMETRIC_AGGS = {
     "quantile", "quantileexact", "quantiles", "quantilesexact",
     "quantiletiming", "quantiletdigest", "quantilebfloat16",
-    "quantiledeterministic",
-    "topk",
+    "quantiledeterministic", "quantilegk",
+    "topk", "uniqupto",
     # param = window seconds / sequence pattern; the compile path
     # special-cases these before the quantile-levels branch
     "windowfunnel", "sequencematch", "sequencecount",
@@ -886,6 +891,13 @@ _LITERAL_ARG_POSITIONS = {
     "datesub": {0},
     # arrayReduce's aggregate name selects the HOF rewrite driver-side
     "arrayreduce": {0},
+    # round-6 tranche: format strings, separators, date-part names,
+    # and decimal scales are driver literals by definition
+    "format": {0},
+    "concatwithseparator": {0},
+    "datename": {0},
+    "todecimal32": {1},
+    "todecimal64": {1},
 }
 
 # CH accepts BARE unit identifiers in these positions too —
@@ -1367,7 +1379,9 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         args = [
             str(a.value)
             if (
-                i in literal_pos and a.kind == "str" and a.value is not None
+                i in literal_pos
+                and a.kind in ("str", "num")
+                and a.value is not None
             ) or (
                 i in bare_pos
                 and a.kind == "col"

@@ -2014,3 +2014,38 @@ query(
     ORDER BY o_orderpriority
     """,
 )(ch_sql_file_read)
+
+
+# Round-6 function tranche exercised end-to-end: format() braces,
+# OrZero conversions, toDecimal64 scale casts, groupBitOr, parametric
+# uniqUpTo — each against the native DuckDB spelling.
+_R6_FUNCS_SQL = """
+SELECT format('{}|{}', o_orderstatus, o_orderpriority) AS tag,
+       groupBitOr(o_custkey) AS bo,
+       uniqUpTo(3)(o_orderstatus) AS u3,
+       min(toDecimal64(o_totalprice, 2)) AS minp,
+       max(toInt64OrZero(substring(toString(o_orderdate), 1, 4))) AS yr_max,
+       countIf(isNotNull(o_orderdate)) AS n_dated
+FROM fastnetmon.orders
+GROUP BY tag
+ORDER BY tag
+"""
+
+
+@query(
+    "ch_sql_round6_functions",
+    """
+    SELECT format('{}|{}', o_orderstatus, o_orderpriority) AS tag,
+           bit_or(o_custkey) AS bo,
+           least(count(DISTINCT o_orderstatus), 4) AS u3,
+           min(CAST(o_totalprice AS DECIMAL(18,2))) AS minp,
+           max(coalesce(try_cast(substring(CAST(o_orderdate AS VARCHAR), 1, 4)
+             AS BIGINT), 0)) AS yr_max,
+           count(*) FILTER (WHERE o_orderdate IS NOT NULL) AS n_dated
+    FROM orders
+    GROUP BY tag
+    ORDER BY tag
+    """,
+)
+def ch_sql_round6_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_R6_FUNCS_SQL, _tables(spark, sf_dir, "orders"))

@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_agg_combinators",
     "ch_sql_map_functions",
     "ch_sql_file_read",
+    "ch_sql_round6_functions",
     # r2-stale TPC-H names deferred from the round-5 rotation
     "q7_volume_shipping",
     "q8_national_market_share",

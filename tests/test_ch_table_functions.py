@@ -100,3 +100,51 @@ def test_distinct_combinator_suffix(spark):
     assert (rows[0].sd, rows[0].cd, rows[0].ad) == (12, 2, 6.0)
     assert rows[0].sdi == 5
     assert (rows[1].sd, rows[1].cd) == (5, 1)
+
+
+def test_insert_into_function_file_roundtrip(spark, tmp_path):
+    from baseline_magician_spark.plans.ch_insert import run_ch_insert
+
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id int, k string, v double",
+    )
+    dest = str(tmp_path / "out.parquet")
+    out = run_ch_insert(
+        f"INSERT INTO FUNCTION file('{dest}', 'Parquet') "
+        "SELECT k, sum(v) AS sv FROM src GROUP BY k",
+        {"src": src},
+    )
+    assert sorted(out.columns) == ["k", "sv"]
+    back = run_ch_query(
+        f"SELECT k, sv FROM file('{dest}', 'Parquet') ORDER BY k", {}
+    ).collect()
+    assert [(r.k, r.sv) for r in back] == [("a", 40.0), ("b", 20.0)]
+
+
+def test_insert_into_function_csv(spark, tmp_path):
+    from baseline_magician_spark.plans.ch_insert import run_ch_insert
+
+    src = spark.createDataFrame([(1, "x"), (2, "y")], "id int, s string")
+    dest = str(tmp_path / "out.csv")
+    run_ch_insert(
+        f"INSERT INTO FUNCTION file('{dest}', 'CSVWithNames') "
+        "SELECT id, s FROM src",
+        {"src": src},
+    )
+    back = run_ch_query(
+        f"SELECT count(*) AS n, max(id) AS m "
+        f"FROM file('{dest}', 'CSVWithNames')",
+        {},
+    ).collect()[0]
+    assert back.n == 2 and back.m == 2
+
+
+def test_insert_into_function_values_rejected(spark):
+    from baseline_magician_spark.plans.ch_insert import run_ch_insert
+
+    with pytest.raises(Exception, match="SELECT tail"):
+        run_ch_insert(
+            "INSERT INTO FUNCTION file('/tmp/x', 'Parquet') VALUES (1)",
+            {},
+        )
