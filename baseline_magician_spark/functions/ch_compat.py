@@ -1322,3 +1322,33 @@ for _ch_t, _spark_t in {
         f"emptyArray{_ch_t}",
         (lambda st: lambda: F.array().cast(f"array<{st}>"))(_spark_t),
     )
+
+
+def _topk_weighted(c, w, k=10) -> Column:
+    """topKWeighted(k)(x, weight): values ranked by summed weight,
+    descending, top k. Same collect_list + HOF shape as topK/sumMap —
+    per-group cost O(distinct x pairs), fine for the hot-key use it
+    exists for; billion-distinct rollups belong in a groupBy plan."""
+    pairs = F.collect_list(
+        F.struct(_as_col(c).alias("v"), _as_col(w).alias("w"))
+    )
+    vals = F.array_distinct(F.transform(pairs, lambda p: p["v"]))
+
+    def weight(v: Column) -> Column:
+        return F.aggregate(
+            F.filter(pairs, lambda p: p["v"] == v),
+            F.lit(0).cast("long"),
+            lambda a, p: a + p["w"].cast("long"),
+        )
+
+    ranked = F.array_sort(
+        F.transform(
+            vals, lambda v: F.struct((-weight(v)).alias("nw"), v.alias("v"))
+        )
+    )
+    return F.slice(
+        F.transform(ranked, lambda p: p["v"]), 1, int(float(str(k)))
+    )
+
+
+CH_FUNCTIONS["topKWeighted"] = _topk_weighted

@@ -106,7 +106,7 @@ _AGGS = {
     "uniqstate", "uniqmerge",
     "sumstate", "summerge", "minstate", "minmerge",
     "maxstate", "maxmerge", "countstate", "countmerge",
-    "avgstate", "avgmerge", "topk",
+    "avgstate", "avgmerge", "topk", "topkweighted",
     # grouped-agg pandas UDAFs (functions/udaf.py, SURVEY §2.10)
     "weightedavg", "geometricmean",
     # ANSI DISTINCT-qualified aggregates (count(DISTINCT x), ...)
@@ -135,7 +135,7 @@ _PARAMETRIC_AGGS = {
     "quantile", "quantileexact", "quantiles", "quantilesexact",
     "quantiletiming", "quantiletdigest", "quantilebfloat16",
     "quantiledeterministic", "quantilegk",
-    "topk", "uniqupto",
+    "topk", "topkweighted", "uniqupto",
     # param = window seconds / sequence pattern; the compile path
     # special-cases these before the quantile-levels branch
     "windowfunnel", "sequencematch", "sequencecount",
@@ -998,6 +998,30 @@ _HOF = {
         )
         / F.size(arr),
     ),
+    # arrayFold((acc, x) -> ..., arr, init): CH's explicit fold
+    "arrayfold": lambda fn, arr, init: F.aggregate(arr, init, fn),
+    # arraySort(x -> key, arr): sort by the lambda's key — pack
+    # (key, value) structs, sort lexicographically, unpack. The
+    # reverse variant flips the sorted order (CH sorts by key desc).
+    "arraysort": lambda fn, arr: F.transform(
+        F.array_sort(
+            F.transform(
+                arr, lambda x: F.struct(fn(x).alias("k"), x.alias("v"))
+            )
+        ),
+        lambda p: p["v"],
+    ),
+    "arrayreversesort": lambda fn, arr: F.reverse(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    arr,
+                    lambda x: F.struct(fn(x).alias("k"), x.alias("v")),
+                )
+            ),
+            lambda p: p["v"],
+        )
+    ),
     # Map higher-order functions: CH lambda takes (k, v)
     "mapfilter": lambda fn, m: F.map_filter(m, fn),
     "mapexists": lambda fn, m: F.size(F.map_filter(m, fn)) > 0,
@@ -1354,6 +1378,16 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             first = _compile(node.args[0], env)
             levels = [float(_literal_value(a)) for a in node.args[2:]]
             return fn(first, None, *(levels or ()))
+        if lname == "topkweighted" and len(node.args) >= 2:
+            # topKWeighted(k)(x, w): two COLUMN args + the k literal —
+            # the generic branch below would read w as a level
+            return fn(
+                _compile(node.args[0], env),
+                _compile(node.args[1], env),
+                _literal_value(node.args[2])
+                if len(node.args) > 2
+                else 10,
+            )
         if lname in _PARAMETRIC_AGGS and len(node.args) > 1:
             # quantile levels ride as trailing literal args — Spark's
             # percentile functions need foldable levels, so they pass

@@ -167,3 +167,26 @@ def test_uniq_up_to_and_quantile_gk(tdf):
     assert rows[0].u5 == 2
     assert rows[1].u1 == 1
     assert rows[0].med in (5, 12)
+
+
+def test_array_fold_and_sort_by_key(tdf):
+    row = run_ch_query(
+        "SELECT arrayFold((acc, x) -> acc * 10 + x, [1, 2, 3], 0) AS f, "
+        "arraySort(x -> 0 - x, [3, 1, 2]) AS s, "
+        "arrayReverseSort(x -> x, [3, 1, 2]) AS r "
+        "FROM t WHERE id = 1",
+        {"t": tdf},
+    ).collect()[0]
+    assert row.f == 123
+    assert row.s == [3, 2, 1]
+    assert row.r == [3, 2, 1]
+
+
+def test_topk_weighted(spark):
+    tdf2 = spark.createDataFrame(
+        [("a", 1), ("b", 10), ("a", 2), ("c", 100)], "v string, w int"
+    )
+    row = run_ch_query(
+        "SELECT topKWeighted(2)(v, w) AS t FROM t", {"t": tdf2}
+    ).collect()[0]
+    assert row.t == ["c", "b"]
