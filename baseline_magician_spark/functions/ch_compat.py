@@ -1228,9 +1228,7 @@ CH_FUNCTIONS.update(
         "farmHash64": lambda *cs: F.xxhash64(
             F.lit("farm"), *[_as_col(c) for c in cs]
         ),
-        "halfMD5": lambda *cs: F.xxhash64(
-            F.lit("hmd5"), *[_as_col(c) for c in cs]
-        ),
+        # (halfMD5 keeps its existing bit-portable md5-prefix shim)
         "tryBase64Decode": CH_FUNCTIONS["base64Decode"],
         "bin": lambda c: F.bin(_as_col(c)),
         "bitmaskToList": _bitmask_to_list,

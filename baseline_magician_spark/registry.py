@@ -120,6 +120,9 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_group_rollup",
     "ch_sql_limit_by",
     "ip_function_roundtrip",
+    "ch_sql_array_join_tokens",
+    "ch_sql_array_lambdas",
+    "ch_sql_asof_attribution",
 )
 
 

@@ -385,3 +385,36 @@ def test_recursive_cte_broadcast_join_dimension(spark, queries):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_file_table_function_pushes_filters(spark, queries):
+    # file() maps onto the ordinary parquet reader — the WHERE must
+    # reach the scan as PushedFilters and the scan must prune to the
+    # referenced columns (the property that makes file('s3://...')
+    # viable over 100 TB)
+    plan = plan_of(queries["ch_sql_file_read"](spark, SF_ORACLE))
+    assert re.search(
+        r"PushedFilters: \[.*GreaterThan\(o_totalprice,1000", plan
+    ), "totalprice filter not pushed into the file() scan"
+    m = re.search(r"FileScan (?:parquet|csv) \[([^\]]*)\]", plan)
+    assert m and "o_orderkey" not in m.group(1), (
+        "unused columns not pruned from the file() scan"
+    )
+
+
+def test_combinator_aggregates_single_pass(spark, queries):
+    # the whole suffix-combinator projection (If/Array/OrNull/ForEach
+    # + arrayReduce) is ONE aggregation over one shuffle — no extra
+    # exchanges, no Python stages
+    plan = plan_of(queries["ch_sql_agg_combinators"](spark, SF_ORACLE))
+    ex = plan.count("Exchange hashpartitioning")
+    assert ex == 1, f"expected one grouping shuffle, saw {ex}"
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_map_functions_jvm_side_single_shuffle(spark, queries):
+    plan = plan_of(queries["ch_sql_map_functions"](spark, SF_ORACLE))
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    # one shuffle for the groupBy; the map construction/lookup rides
+    # the projection
+    assert plan.count("Exchange hashpartitioning") <= 2
