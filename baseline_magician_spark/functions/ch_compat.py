@@ -885,8 +885,11 @@ def ch_fn(name: str) -> Callable[..., Column]:
 #
 # All builders are pure Column expressions (whole-stage codegen /
 # ObjectHashAggregate) — no Python UDFs. The ForEach family and the
-# uniq*Array variants buffer per-group arrays via collect_list, the
-# same per-group memory bound CH's own -ForEach carries.
+# uniq*Array variants buffer per-group arrays via collect_list —
+# O(group rows) state, WIDER than CH's O(max array length) per-group
+# accumulators (Column-level shims cannot restructure the plan). For
+# billion-row groups spell the explode + groupBy(group, position)
+# plan instead; at typical per-entity group sizes this is fine.
 # ---------------------------------------------------------------------------
 
 

@@ -497,3 +497,51 @@ def dsir_importance_weights(
             F.sum("_s").alias("dsir_score_micro"),
         )
     )
+
+
+def token_entropy(
+    docs: "DataFrame",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> "DataFrame":
+    """Per-group Shannon entropy of the token distribution — the
+    corpus-diversity diagnostic a training-mix designer reads before
+    setting sampling temperatures (low-entropy groups are templated/
+    repetitive; entropy-per-language also flags mislabeled crawl
+    shards). Extension-tier: no reference analogue.
+
+    Plan shape (100 TB): ONE tokenize+explode pass -> groupBy
+    (group, token) count with map-side partial aggregation (the
+    shuffle carries vocabulary-sized rows, not the corpus) -> one
+    tiny per-group rollup. No Python anywhere.
+
+    Determinism / oracle parity: uses H = ln(N) - sum(c*ln c)/N over
+    EXACT integer counts; the inner sum is over round(1e6 * c * ln c)
+    integers (the DSIR micro-nat trick — no float accumulation
+    order), and the final expression combines two exact numbers,
+    rounded to 6 decimals like the TF-IDF scores.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    term = F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    counts = (
+        docs.select(F.col(group_col).alias("grp"), term)
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("grp").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(
+                F.round(
+                    F.lit(1e6)
+                    * F.col("c").cast("double")
+                    * F.log(F.col("c").cast("double"))
+                ).cast("long")
+            )
+            / (F.lit(1e6) * F.sum("c").cast("double")),
+            6,
+        ).alias("entropy_nats"),
+    )

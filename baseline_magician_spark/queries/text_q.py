@@ -915,3 +915,32 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id",
         n_buckets=DSIR_BUCKETS, scale=DSIR_SCALE,
     )
+
+
+def _token_entropy_oracle() -> str:
+    tok = tokens_duckdb("lower(text)")
+    return f"""
+    WITH term AS (
+      SELECT lang AS grp, unnest({tok}) AS term FROM documents
+    ),
+    counts AS (
+      SELECT grp, term, count(*) AS c FROM term GROUP BY grp, term
+    )
+    SELECT grp,
+           sum(c) AS n_tokens,
+           count(*) AS n_types,
+           round(ln(sum(c)) -
+                 sum(CAST(round(1e6 * c * ln(c)) AS BIGINT))
+                 / (1e6 * sum(c)), 6) AS entropy_nats
+    FROM counts
+    GROUP BY grp
+    ORDER BY grp
+    """
+
+
+@query("text_token_entropy", _token_entropy_oracle())
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_entropy
+
+    docs = load_for_compute(spark, sf_dir, "documents")
+    return token_entropy(docs).orderBy("grp")

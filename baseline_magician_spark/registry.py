@@ -122,7 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "ip_function_roundtrip",
     "ch_sql_array_join_tokens",
     "ch_sql_array_lambdas",
-    "ch_sql_asof_attribution",
+    "text_token_entropy",
 )
 
 
