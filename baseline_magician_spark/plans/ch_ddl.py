@@ -96,6 +96,20 @@ _DESCRIBE_RE = re.compile(
 
 _SHOW_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 
+_SHOW_CREATE_RE = re.compile(
+    rf"^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?(?:({_IDENT})\.)?({_IDENT})\s*$",
+    re.IGNORECASE,
+)
+
+# KILL QUERY WHERE query_id = '...' — maps onto the engine's C1
+# cancellation surface (control.job_group tags every job with the
+# query id; cancelJobGroup interrupts them)
+_KILL_RE = re.compile(
+    r"^\s*KILL\s+QUERY\s+WHERE\s+query_id\s*=\s*'([^']*)'"
+    r"(\s+SYNC|\s+ASYNC)?\s*$",
+    re.IGNORECASE,
+)
+
 _OPTIMIZE_RE = re.compile(
     rf"^\s*OPTIMIZE\s+TABLE\s+(?:({_IDENT})\.)?({_IDENT})"
     rf"(\s+FINAL)?\s*$",
@@ -188,7 +202,7 @@ def _run_ch_alter(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
 
 _DDL_HEADS = (
     "CREATE", "DROP", "ALTER", "TRUNCATE", "RENAME", "EXCHANGE",
-    "DESCRIBE", "DESC", "SHOW", "OPTIMIZE",
+    "DESCRIBE", "DESC", "SHOW", "OPTIMIZE", "KILL",
 )
 
 
@@ -275,6 +289,38 @@ def run_ch_ddl(
         return df.sparkSession.createDataFrame(
             [(c, _ch_type(t)) for c, t in df.dtypes],
             "name string, type string",
+        )
+    m = _SHOW_CREATE_RE.match(sql)
+    if m is not None:
+        _db, name = m.groups()
+        if name not in tables:
+            raise ValueError(f"unknown table {name!r}")
+        df = tables[name]
+        cols = ",\n    ".join(
+            f"`{c}` {_ch_type(t)}" for c, t in df.dtypes
+        )
+        stmt = (
+            f"CREATE TABLE {name}\n(\n    {cols}\n)\n"
+            f"ENGINE = MergeTree\nORDER BY {df.columns[0]}"
+        )
+        return df.sparkSession.createDataFrame(
+            [(stmt,)], "statement string"
+        )
+    m = _KILL_RE.match(sql)
+    if m is not None:
+        qid = m.group(1)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            next(iter(tables.values())).sparkSession
+            if tables
+            else SparkSession.getActiveSession()
+        )
+        # interrupt every job tagged with the id (control.job_group);
+        # unknown ids are a no-op, like CH's empty kill result
+        spark.sparkContext.cancelJobGroup(qid)
+        return spark.createDataFrame(
+            [(qid, "finished")], "query_id string, kill_status string"
         )
     if _SHOW_RE.match(sql) is not None:
         from pyspark.sql import SparkSession

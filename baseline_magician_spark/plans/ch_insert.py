@@ -347,7 +347,7 @@ def run_ch_statement(
         return run_ch_insert(sql, tables, **kwargs)
     if kw in (
         "CREATE", "DROP", "ALTER", "TRUNCATE", "RENAME", "EXCHANGE",
-        "DESCRIBE", "DESC", "SHOW", "OPTIMIZE",
+        "DESCRIBE", "DESC", "SHOW", "OPTIMIZE", "KILL",
     ):
         from .ch_ddl import run_ch_ddl
 

@@ -2824,7 +2824,48 @@ def _exec_select(
         name = p.next()
         if p.peek() == ".":
             p.next()
-            name = p.next()  # db qualifier dropped (incl. system.*)
+            db, name = name, p.next()
+            # CH system tables (when not shadowed by an env relation):
+            # system.one is the implicit one-row table, system.tables /
+            # system.columns introspect the statement env. Any other
+            # db qualifier is dropped (single-namespace env).
+            if db.lower() == "system" and name not in tables:
+                from pyspark.sql import SparkSession as _SS
+
+                sess = (
+                    next(iter(tables.values())).sparkSession
+                    if tables
+                    else _SS.getActiveSession()
+                )
+                if sess is None:
+                    raise ValueError("system tables need a session")
+                lsub = name.lower()
+                if lsub == "one":
+                    sysdf = sess.range(1).select(
+                        F.lit(0).cast("short").alias("dummy")
+                    )
+                elif lsub == "tables":
+                    sysdf = sess.createDataFrame(
+                        [("default", n, "MergeTree") for n in sorted(tables)],
+                        "database string, name string, engine string",
+                    )
+                elif lsub == "columns":
+                    from .ch_ddl import _ch_type
+
+                    sysdf = sess.createDataFrame(
+                        [
+                            ("default", t, c, _ch_type(ty))
+                            for t in sorted(tables)
+                            for c, ty in tables[t].dtypes
+                        ],
+                        "database string, table string, "
+                        "name string, type string",
+                    )
+                else:
+                    raise ValueError(
+                        f"unknown system table system.{name}"
+                    )
+                return sysdf, _opt_alias() or name
         if name.lower() == "numbers" and p.peek() == "(":
             # CH numbers(N) / numbers(offset, N) table function: the
             # rows-generator idiom (column `number`, 0-based). Maps to

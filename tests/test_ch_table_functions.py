@@ -148,3 +148,39 @@ def test_insert_into_function_values_rejected(spark):
             "INSERT INTO FUNCTION file('/tmp/x', 'Parquet') VALUES (1)",
             {},
         )
+
+
+def test_system_tables_and_one(spark):
+    tdf = spark.createDataFrame([(1, "a")], "id int, k string")
+    rows = run_ch_query(
+        "SELECT name, engine FROM system.tables ORDER BY name",
+        {"zeta": tdf, "alpha": tdf},
+    ).collect()
+    assert [r.name for r in rows] == ["alpha", "zeta"]
+    assert rows[0].engine == "MergeTree"
+    cols = run_ch_query(
+        "SELECT table, name, type FROM system.columns "
+        "WHERE table = 'alpha' ORDER BY name",
+        {"alpha": tdf},
+    ).collect()
+    assert [(r.name, r.type) for r in cols] == [
+        ("id", "Int32"), ("k", "String")
+    ]
+    one = run_ch_query("SELECT dummy FROM system.one", {}).collect()
+    assert len(one) == 1 and one[0].dummy == 0
+
+
+def test_show_create_table_and_kill(spark):
+    from baseline_magician_spark.plans.ch_ddl import run_ch_ddl
+
+    tdf = spark.createDataFrame([(1, "a", [1.5])],
+                                "id int, k string, v array<double>")
+    tables = {"t": tdf}
+    stmt = run_ch_ddl("SHOW CREATE TABLE t", tables).collect()[0].statement
+    assert "CREATE TABLE t" in stmt
+    assert "`id` Int32" in stmt and "`v` Array(Float64)" in stmt
+    assert "ORDER BY id" in stmt
+    killed = run_ch_ddl(
+        "KILL QUERY WHERE query_id = 'no-such-query'", tables
+    ).collect()
+    assert killed[0].kill_status == "finished"
