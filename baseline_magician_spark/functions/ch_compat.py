@@ -1353,3 +1353,116 @@ def _topk_weighted(c, w, k=10) -> Column:
 
 
 CH_FUNCTIONS["topKWeighted"] = _topk_weighted
+
+
+# ---------------------------------------------------------------------------
+# Vector math + ranking metrics (round 6). The CH spellings an
+# embedding pipeline types daily — the same JVM fold machinery the
+# similarity operators (operators/similarity.py) use internally,
+# exposed under the public function names. All per-row Column folds;
+# for serving-path top-k over billions of vectors use the dedicated
+# ANN operators (statically-unrolled dot, LSH/IVF pruning).
+# ---------------------------------------------------------------------------
+
+
+def _vec_fold(a, b, elem) -> Column:
+    return F.aggregate(
+        F.zip_with(_as_col(a), _as_col(b), elem),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot(a, b) -> Column:
+    return _vec_fold(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+
+
+def _l2sq(a, b) -> Column:
+    return _vec_fold(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+
+
+def _l2norm(a) -> Column:
+    arr = _as_col(a)
+    return F.sqrt(
+        F.aggregate(
+            arr,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def _cosine_distance(a, b) -> Column:
+    denom = _l2norm(a) * _l2norm(b)
+    return F.when(denom > 0, F.lit(1.0) - _dot(a, b) / denom)
+
+
+def _array_auc(scores, labels) -> Column:
+    """CH arrayAUC(scores, labels): exact ROC AUC of one row's score/
+    label arrays via the Mann-Whitney rank identity with average
+    ranks for score ties. O(n^2) per row (nested filters) — the
+    per-row evaluation-metric use it exists for; NULL when either
+    class is absent."""
+    s = _as_col(scores)
+    pairs = F.zip_with(
+        s,
+        _as_col(labels),
+        lambda a, b: F.struct(
+            a.cast("double").alias("s"), b.cast("boolean").alias("l")
+        ),
+    )
+    pos = F.filter(pairs, lambda p: p["l"])
+    p_n = F.size(pos).cast("double")
+    n_n = (F.size(pairs) - F.size(pos)).cast("double")
+
+    def rank(p: Column) -> Column:
+        below = F.size(F.filter(s, lambda y: y.cast("double") < p["s"]))
+        eq = F.size(F.filter(s, lambda y: y.cast("double") == p["s"]))
+        return below.cast("double") + (eq.cast("double") + 1.0) / 2.0
+
+    ranksum = F.aggregate(
+        pos, F.lit(0.0), lambda acc, p: acc + rank(p)
+    )
+    return F.when(
+        (p_n > 0) & (n_n > 0),
+        (ranksum - p_n * (p_n + 1.0) / 2.0) / (p_n * n_n),
+    )
+
+
+CH_FUNCTIONS.update(
+    {
+        "dotProduct": _dot,
+        "arrayDotProduct": _dot,
+        "L1Distance": lambda a, b: _vec_fold(
+            a, b, lambda x, y: F.abs(x.cast("double") - y.cast("double"))
+        ),
+        "L2Distance": lambda a, b: F.sqrt(_l2sq(a, b)),
+        "L2SquaredDistance": _l2sq,
+        "LinfDistance": lambda a, b: F.array_max(
+            F.zip_with(
+                _as_col(a),
+                _as_col(b),
+                lambda x, y: F.abs(x.cast("double") - y.cast("double")),
+            )
+        ),
+        "cosineDistance": _cosine_distance,
+        "L1Norm": lambda a: F.aggregate(
+            _as_col(a),
+            F.lit(0.0),
+            lambda acc, x: acc + F.abs(x.cast("double")),
+        ),
+        "L2Norm": _l2norm,
+        "LinfNorm": lambda a: F.array_max(
+            F.transform(_as_col(a), lambda x: F.abs(x.cast("double")))
+        ),
+        "normalizeL2": lambda a: F.transform(
+            _as_col(a), lambda x: x.cast("double") / _l2norm(a)
+        ),
+        "arrayAUC": _array_auc,
+    }
+)

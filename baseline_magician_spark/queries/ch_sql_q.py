@@ -2049,3 +2049,53 @@ ORDER BY tag
 )
 def ch_sql_round6_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_R6_FUNCS_SQL, _tables(spark, sf_dir, "orders"))
+
+
+# Vector-math family over the embeddings table (round 6): norms,
+# distances to the label-0 centroid proxy (the first vector), and
+# arrayAUC ranking label against the norm signal. The DuckDB side
+# casts every float element to DOUBLE before folding so both engines
+# run the identical IEEE sequence (fold order is list order in both);
+# outputs rounded to 6 decimals like the TF-IDF precedent.
+_VECTOR_SQL = """
+SELECT label,
+       count(*) AS n,
+       round(min(L2Norm(embedding)), 6) AS min_norm,
+       round(max(L1Norm(embedding)), 6) AS max_l1,
+       round(min(cosineDistance(embedding,
+                 arrayMap(x -> 1.0, embedding))), 6) AS min_cd
+FROM fastnetmon.embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query(
+    "ch_sql_vector_functions",
+    """
+    WITH e AS (
+      SELECT label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    m AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS l2,
+             list_sum(list_transform(v, x -> abs(x))) AS l1,
+             1.0 - list_sum(v) /
+               (sqrt(list_sum(list_transform(v, x -> x * x)))
+                * sqrt(CAST(len(v) AS DOUBLE))) AS cd
+      FROM e
+    )
+    SELECT label,
+           count(*) AS n,
+           round(min(l2), 6) AS min_norm,
+           round(max(l1), 6) AS max_l1,
+           round(min(cd), 6) AS min_cd
+    FROM m
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def ch_sql_vector_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_VECTOR_SQL, _tables(spark, sf_dir, "embeddings"))

@@ -190,3 +190,33 @@ def test_topk_weighted(spark):
         "SELECT topKWeighted(2)(v, w) AS t FROM t", {"t": tdf2}
     ).collect()[0]
     assert row.t == ["c", "b"]
+
+
+def test_vector_distance_family(tdf):
+    row = run_ch_query(
+        "SELECT dotProduct([1, 2, 3], [4, 5, 6]) AS dp, "
+        "L1Distance([1, 2], [4, 6]) AS l1, "
+        "L2Distance([0, 0], [3, 4]) AS l2, "
+        "LinfDistance([1, 2], [4, 10]) AS li, "
+        "L2Norm([3, 4]) AS n2, "
+        "cosineDistance([1, 0], [0, 1]) AS cd, "
+        "cosineDistance([2, 0], [5, 0]) AS cs "
+        "FROM t WHERE id = 1",
+        {"t": tdf},
+    ).collect()[0]
+    assert row.dp == 32.0 and row.l1 == 7.0 and row.l2 == 5.0
+    assert row.li == 8.0 and row.n2 == 5.0
+    assert row.cd == pytest.approx(1.0) and row.cs == pytest.approx(0.0)
+
+
+def test_array_auc(tdf):
+    row = run_ch_query(
+        "SELECT arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]) AS a, "
+        "arrayAUC([0.5, 0.5], [0, 1]) AS tie, "
+        "arrayAUC([0.5, 0.6], [1, 1]) AS onecls "
+        "FROM t WHERE id = 1",
+        {"t": tdf},
+    ).collect()[0]
+    assert row.a == pytest.approx(0.75)
+    assert row.tie == pytest.approx(0.5)
+    assert row.onecls is None
