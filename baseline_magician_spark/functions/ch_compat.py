@@ -1466,3 +1466,93 @@ CH_FUNCTIONS.update(
         "arrayAUC": _array_auc,
     }
 )
+
+
+def _lttb(x, y, n=100) -> Column:
+    """largestTriangleThreeBuckets(n)(x, y): the LTTB downsampling
+    aggregate (Steinarsson 2013; CH ships it for dashboard series) —
+    keep first and last points, split the middle into n-2 buckets,
+    and per bucket keep the point forming the largest triangle with
+    the previously-kept point and the next bucket's centroid.
+
+    Pure Column machinery: array_sort(collect_list) then an
+    F.aggregate fold over bucket indices whose accumulator is the
+    selected-points array (the greedy's sequential dependence lives
+    inside the fold, still one JVM expression — no Python, no
+    driver loop). Per-group state is O(group rows) like any
+    collect_list aggregate; n is a driver literal.
+    Returns array<struct<x,y>> of min(n, group size) points.
+    """
+    k = int(float(str(n)))
+    if k < 3:
+        raise ValueError("largestTriangleThreeBuckets needs n >= 3")
+    pts = F.array_sort(
+        F.collect_list(
+            F.struct(
+                _as_col(x).cast("double").alias("x"),
+                _as_col(y).cast("double").alias("y"),
+            )
+        )
+    )
+    total = F.size(pts)
+    mid = (total - 2).cast("double")  # points eligible for buckets
+    nb = float(k - 2)
+
+    def bstart(i: Column) -> Column:
+        # 1-based index of bucket i's first point (i in 1..k-2)
+        return (
+            F.lit(2) + F.floor((i.cast("double") - 1) * mid / nb)
+        ).cast("int")
+
+    def centroid(lo: Column, ln: Column) -> Column:
+        seg = F.slice(pts, lo, ln)
+        cnt = F.size(seg).cast("double")
+        sx = F.aggregate(seg, F.lit(0.0), lambda a, p: a + p["x"])
+        sy = F.aggregate(seg, F.lit(0.0), lambda a, p: a + p["y"])
+        return F.struct(
+            (sx / cnt).alias("x"), (sy / cnt).alias("y")
+        )
+
+    def area(prev: Column, c: Column, nxt: Column) -> Column:
+        return F.abs(
+            (prev["x"] - nxt["x"]) * (c["y"] - prev["y"])
+            - (prev["x"] - c["x"]) * (nxt["y"] - prev["y"])
+        )
+
+    def step(acc: Column, i: Column) -> Column:
+        prev = F.element_at(acc, -1)
+        lo = bstart(i)
+        ln = bstart(i + 1) - lo
+        # next anchor: bucket i+1's centroid, or the last point for
+        # the final bucket
+        nxt = F.when(
+            i < F.lit(k - 2),
+            centroid(bstart(i + 1), bstart(i + 2) - bstart(i + 1)),
+        ).otherwise(F.element_at(pts, total))
+        seg = F.slice(pts, lo, ln)
+        best = F.aggregate(
+            seg,
+            F.struct(
+                F.lit(-1.0).alias("a"),
+                F.element_at(seg, 1).alias("p"),
+            ),
+            lambda b, c: F.when(
+                area(prev, c, nxt) > b["a"],
+                F.struct(area(prev, c, nxt).alias("a"), c.alias("p")),
+            ).otherwise(b),
+        )
+        return F.concat(acc, F.array(best["p"]))
+
+    selected = F.concat(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(k - 2)),
+            F.slice(pts, 1, 1),
+            step,
+        ),
+        F.slice(pts, total, 1),
+    )
+    return F.when(total <= F.lit(k), pts).otherwise(selected)
+
+
+CH_FUNCTIONS["largestTriangleThreeBuckets"] = _lttb
+CH_FUNCTIONS["lttb"] = _lttb

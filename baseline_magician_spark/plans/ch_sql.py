@@ -125,6 +125,7 @@ _AGGS = {
     "sumkahan", "sumwithoverflow", "anyheavy", "firstvalue",
     "lastvalue", "singlevalueornull", "skewsamp", "kurtsamp",
     "uniqupto", "quantilegk",
+    "largesttrianglethreebuckets", "lttb",
 }
 
 # CH parametric-aggregate families — ``fn(params)(args)`` spelling,
@@ -136,6 +137,7 @@ _PARAMETRIC_AGGS = {
     "quantiletiming", "quantiletdigest", "quantilebfloat16",
     "quantiledeterministic", "quantilegk",
     "topk", "topkweighted", "uniqupto",
+    "largesttrianglethreebuckets", "lttb",
     # param = window seconds / sequence pattern; the compile path
     # special-cases these before the quantile-levels branch
     "windowfunnel", "sequencematch", "sequencecount",
@@ -1378,15 +1380,21 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             first = _compile(node.args[0], env)
             levels = [float(_literal_value(a)) for a in node.args[2:]]
             return fn(first, None, *(levels or ()))
-        if lname == "topkweighted" and len(node.args) >= 2:
-            # topKWeighted(k)(x, w): two COLUMN args + the k literal —
-            # the generic branch below would read w as a level
+        if lname in (
+            "topkweighted", "largesttrianglethreebuckets", "lttb"
+        ) and len(node.args) >= 2:
+            # two COLUMN args + one trailing literal param — the
+            # generic branch below would read the second column as a
+            # level
+            extra = (
+                (_literal_value(node.args[2]),)
+                if len(node.args) > 2
+                else ()  # each shim's own default applies
+            )
             return fn(
                 _compile(node.args[0], env),
                 _compile(node.args[1], env),
-                _literal_value(node.args[2])
-                if len(node.args) > 2
-                else 10,
+                *extra,
             )
         if lname in _PARAMETRIC_AGGS and len(node.args) > 1:
             # quantile levels ride as trailing literal args — Spark's

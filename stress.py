@@ -362,6 +362,18 @@ def main() -> None:
         docs = replicate(docs0, k, ["doc_id"], salt_text=True)
         return duplicated_spans(docs, "text", "doc_id", k=40).count()
 
+    def entropy(k: int) -> int:
+        """Token entropy: one tokenize+explode pass, (group, token)
+        count shuffle (vocabulary-sized after map-side combine), tiny
+        per-group rollup — slope should track token_scan (linear).
+        Salted text grows the vocabulary with the corpus, the
+        worst case for the intermediate shuffle."""
+        from baseline_magician_spark.operators.text import token_entropy
+
+        docs = replicate(docs0, k, ["doc_id"], salt_text=True)
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        return token_entropy(docs).count()
+
     ops = {
         "q1_agg": q1_agg,
         "minhash_lsh_pairs": minhash,
@@ -380,6 +392,7 @@ def main() -> None:
         "streaming_cms_merge": stream_cms_merge,
         "dsir_importance": dsir,
         "duplicated_spans": dup_spans,
+        "token_entropy": entropy,
     }
 
     times: dict[str, dict[int, float]] = {name: {} for name in ops}

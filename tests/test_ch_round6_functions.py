@@ -220,3 +220,59 @@ def test_array_auc(tdf):
     assert row.a == pytest.approx(0.75)
     assert row.tie == pytest.approx(0.5)
     assert row.onecls is None
+
+
+def _lttb_ref(points, n):
+    """Reference LTTB (Steinarsson 2013), greedy over sorted points."""
+    pts = sorted(points)
+    total = len(pts)
+    if total <= n:
+        return pts
+    mid = total - 2
+    nb = n - 2
+    starts = [2 + (i - 1) * mid // nb for i in range(1, nb + 2)]
+    out = [pts[0]]
+    for i in range(1, nb + 1):
+        lo, hi = starts[i - 1], starts[i]  # 1-based inclusive/exclusive
+        if i < nb:
+            seg = pts[starts[i] - 1 : starts[i + 1] - 1]
+            nx = (sum(p[0] for p in seg) / len(seg),
+                  sum(p[1] for p in seg) / len(seg))
+        else:
+            nx = pts[-1]
+        prev = out[-1]
+        best, best_a = None, -1.0
+        for c in pts[lo - 1 : hi - 1]:
+            a = abs((prev[0] - nx[0]) * (c[1] - prev[1])
+                    - (prev[0] - c[0]) * (nx[1] - prev[1]))
+            if a > best_a:
+                best, best_a = c, a
+        out.append(best)
+    out.append(pts[-1])
+    return out
+
+
+def test_lttb_matches_reference(spark):
+    import random
+
+    rng = random.Random(42)
+    data = [(float(i), rng.uniform(-5, 5)) for i in range(40)]
+    tdf2 = spark.createDataFrame(data, "x double, y double")
+    got = run_ch_query(
+        "SELECT largestTriangleThreeBuckets(10)(x, y) AS pts FROM t",
+        {"t": tdf2},
+    ).collect()[0].pts
+    ref = _lttb_ref(data, 10)
+    assert [(p.x, p.y) for p in got] == ref
+    assert len(got) == 10
+    assert got[0].x == 0.0 and got[-1].x == 39.0
+
+
+def test_lttb_small_group_passthrough(spark):
+    tdf2 = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 3.0)], "x double, y double"
+    )
+    got = run_ch_query(
+        "SELECT lttb(5)(x, y) AS pts FROM t", {"t": tdf2}
+    ).collect()[0].pts
+    assert [(p.x, p.y) for p in got] == [(1.0, 2.0), (2.0, 3.0)]
