@@ -1556,3 +1556,23 @@ def _lttb(x, y, n=100) -> Column:
 
 CH_FUNCTIONS["largestTriangleThreeBuckets"] = _lttb
 CH_FUNCTIONS["lttb"] = _lttb
+
+
+# median* aliases ride the matching quantile shims at q=0.5;
+# groupArraySorted(n)(x) keeps the n smallest, sorted (CH 23.8);
+# approx_top_k / approx_top_count are CH's ANSI-flavored topK aliases
+CH_FUNCTIONS.update(
+    {
+        "medianExact": lambda c: F.percentile(_as_col(c), F.lit(0.5)),
+        "medianTiming": lambda c: F.percentile_approx(_as_col(c), 0.5),
+        "medianTDigest": lambda c: F.percentile_approx(_as_col(c), 0.5),
+        "medianBFloat16": lambda c: F.percentile_approx(_as_col(c), 0.5),
+        "groupArraySorted": lambda c, n=10: F.slice(
+            F.array_sort(F.collect_list(_as_col(c))),
+            1,
+            int(float(str(n))),
+        ),
+        "approx_top_k": CH_FUNCTIONS["topK"],
+        "approx_top_count": CH_FUNCTIONS["topK"],
+    }
+)

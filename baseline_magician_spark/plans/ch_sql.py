@@ -122,10 +122,13 @@ _AGGS = {
     "summap", "minmap", "maxmap",
     # round-6 tranche
     "groupbitand", "groupbitor", "groupbitxor", "sumcount",
+    "medianexact", "mediantiming", "mediantdigest", "medianbfloat16",
+    "grouparraysorted", "approx_top_k", "approx_top_count",
     "sumkahan", "sumwithoverflow", "anyheavy", "firstvalue",
     "lastvalue", "singlevalueornull", "skewsamp", "kurtsamp",
     "uniqupto", "quantilegk",
     "largesttrianglethreebuckets", "lttb",
+    "grouparraysorted", "approx_top_k", "approx_top_count",
 }
 
 # CH parametric-aggregate families — ``fn(params)(args)`` spelling,
@@ -138,6 +141,7 @@ _PARAMETRIC_AGGS = {
     "quantiledeterministic", "quantilegk",
     "topk", "topkweighted", "uniqupto",
     "largesttrianglethreebuckets", "lttb",
+    "grouparraysorted", "approx_top_k", "approx_top_count",
     # param = window seconds / sequence pattern; the compile path
     # special-cases these before the quantile-levels branch
     "windowfunnel", "sequencematch", "sequencecount",

@@ -276,3 +276,16 @@ def test_lttb_small_group_passthrough(spark):
         "SELECT lttb(5)(x, y) AS pts FROM t", {"t": tdf2}
     ).collect()[0].pts
     assert [(p.x, p.y) for p in got] == [(1.0, 2.0), (2.0, 3.0)]
+
+
+def test_median_aliases_and_group_array_sorted(tdf):
+    rows = run_ch_query(
+        "SELECT k, medianExact(v) AS me, medianTiming(v) AS mt, "
+        "groupArraySorted(2)(v) AS g2, approx_top_k(2)(v) AS tk "
+        "FROM t GROUP BY k ORDER BY k",
+        {"t": tdf},
+    ).collect()
+    assert rows[0].me == 5.0 and rows[0].mt == 5
+    assert rows[0].g2 == [5, 5]
+    assert rows[0].tk[0] == 5  # most frequent first
+    assert rows[1].g2 == [6]

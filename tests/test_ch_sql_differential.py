@@ -787,7 +787,39 @@ def _gen_funnel_pair(rng: random.Random) -> tuple[str, str]:
     return ch, duck
 
 
-N_PAIRED = 66
+def _gen_vector_pair(rng: random.Random) -> tuple[str, str]:
+    # vector-math family over integer-valued constructed arrays:
+    # every arithmetic step is exact, sqrt is correctly-rounded IEEE
+    # in both engines, so text-level equality holds without rounding
+    a = f"event_id % {rng.randint(3, 9)}"
+    b = f"user_id % {rng.randint(2, 5)}"
+    c, d = rng.randint(1, 6), rng.randint(1, 6)
+    w = _where(rng)
+    if rng.random() < 0.5:
+        ch = (
+            f"SELECT dotProduct([{a}, {b}], [{c}, {d}]) AS k, "
+            f"count(*) AS n FROM events{w} GROUP BY k ORDER BY k"
+        )
+        duck = (
+            f"SELECT CAST(({a}) * {c} + ({b}) * {d} AS DOUBLE) AS k, "
+            f"count(*) AS n FROM events{w} GROUP BY k ORDER BY k"
+        )
+    else:
+        ch = (
+            f"SELECT L2Distance([{a}, {b}], [{c}, {d}]) AS k, "
+            f"max(L1Norm([{a}, {b}])) AS m "
+            f"FROM events{w} GROUP BY k ORDER BY k"
+        )
+        duck = (
+            f"SELECT sqrt(CAST((({a}) - {c}) * (({a}) - {c}) "
+            f"+ (({b}) - {d}) * (({b}) - {d}) AS DOUBLE)) AS k, "
+            f"max(CAST(abs({a}) + abs({b}) AS DOUBLE)) AS m "
+            f"FROM events{w} GROUP BY k ORDER BY k"
+        )
+    return ch, duck
+
+
+N_PAIRED = 72
 
 
 def _gen_pair(rng: random.Random) -> tuple[str, str]:
@@ -797,7 +829,8 @@ def _gen_pair(rng: random.Random) -> tuple[str, str]:
          _gen_array_index_pair, _gen_with_fill_pair,
          _gen_tuple_in_subquery_pair, _gen_limit_ties_pair,
          _gen_combinator_pair, _gen_combinator_pair,
-         _gen_map_pair, _gen_retention_pair, _gen_funnel_pair]
+         _gen_map_pair, _gen_retention_pair, _gen_funnel_pair,
+         _gen_vector_pair]
     )(rng)
 
 
