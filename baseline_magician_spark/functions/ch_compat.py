@@ -1576,3 +1576,77 @@ CH_FUNCTIONS.update(
         "approx_top_count": CH_FUNCTIONS["topK"],
     }
 )
+
+
+def _ch_transform(x, frm, to, dflt=None) -> Column:
+    """CH transform(x, from_array, to_array, [default]): value
+    remapping via a literal lookup table — compiled to a map lookup
+    (O(1) per row after Catalyst folds the literal map)."""
+    looked = F.try_element_at(
+        F.map_from_arrays(_as_col(frm), _as_col(to)), _as_col(x)
+    )
+    if dflt is None:
+        return F.coalesce(looked, _as_col(x))
+    return F.coalesce(looked, _as_col(dflt))
+
+
+def _round_down(x, arr) -> Column:
+    """CH roundDown(x, arr): greatest array element <= x; the first
+    (smallest) element when x is below all of them."""
+    arr = F.array_sort(_as_col(arr))
+    below = F.filter(arr, lambda e: e <= _as_col(x))
+    return F.coalesce(
+        F.try_element_at(below, F.size(below)),
+        F.try_element_at(arr, F.lit(1)),
+    )
+
+
+_BAR_EIGHTHS = ["", "▏", "▎", "▍", "▌",
+                "▋", "▊", "▉"]
+
+
+def _ch_bar(x, lo, hi, width=80) -> Column:
+    """CH bar(x, min, max, width): unicode bar with eighth-block
+    precision — the terminal sparkline CH prints in clickhouse-client."""
+    frac = (
+        (_as_col(x).cast("double") - _as_col(lo).cast("double"))
+        / (_as_col(hi).cast("double") - _as_col(lo).cast("double"))
+    )
+    frac = F.greatest(F.lit(0.0), F.least(F.lit(1.0), frac))
+    eighths = F.round(frac * F.lit(float(int(float(str(width)))) * 8)).cast(
+        "int"
+    )
+    full = (eighths / 8).cast("int")
+    rem = eighths % 8
+    return F.concat(
+        F.repeat(F.lit("█"), full),
+        F.element_at(F.array(*[F.lit(s) for s in _BAR_EIGHTHS]), rem + 1),
+    )
+
+
+CH_FUNCTIONS.update(
+    {
+        "transform": _ch_transform,
+        "roundBankers": lambda c, n=0: F.bround(
+            _as_col(c), int(float(str(n))) if not isinstance(n, Column) else 0
+        ),
+        "roundDown": _round_down,
+        "roundToExp2": lambda c: F.when(
+            _as_col(c) < 1, F.lit(0)
+        ).otherwise(
+            F.pow(
+                F.lit(2.0), F.floor(F.log2(_as_col(c).cast("double")))
+            ).cast("long")
+        ),
+        # powers of two are exact doubles through 2^62, so pow+cast
+        # is lossless where shiftleft would need a literal bit count
+        "intExp2": lambda c: F.pow(
+            F.lit(2.0), _as_col(c).cast("double")
+        ).cast("long"),
+        "intExp10": lambda c: F.pow(
+            F.lit(10.0), _as_col(c).cast("double")
+        ).cast("long"),
+        "bar": _ch_bar,
+        "any_value": CH_FUNCTIONS["any"],
+    }
+)

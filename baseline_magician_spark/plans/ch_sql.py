@@ -904,6 +904,8 @@ _LITERAL_ARG_POSITIONS = {
     "datename": {0},
     "todecimal32": {1},
     "todecimal64": {1},
+    # bar's width must size a driver-side literal array
+    "bar": {3},
 }
 
 # CH accepts BARE unit identifiers in these positions too —

@@ -289,3 +289,24 @@ def test_median_aliases_and_group_array_sorted(tdf):
     assert rows[0].g2 == [5, 5]
     assert rows[0].tk[0] == 5  # most frequent first
     assert rows[1].g2 == [6]
+
+
+def test_transform_round_bar(tdf):
+    rows = run_ch_query(
+        "SELECT id, transform(k, ['a', 'b'], ['alpha', 'beta']) AS tk, "
+        "transform(v, [5], [50], 0 - 1) AS tv, "
+        "roundBankers(2.5) AS rb, roundBankers(3.5) AS rb2, "
+        "roundDown(v, [0, 4, 10]) AS rd, "
+        "roundToExp2(v) AS r2, intExp2(v) AS e2 "
+        "FROM t ORDER BY id",
+        {"t": tdf},
+    ).collect()
+    assert rows[0].tk == "alpha" and rows[1].tk == "beta"
+    assert rows[0].tv == 50 and rows[1].tv == -1
+    assert rows[0].rb == 2.0 and rows[0].rb2 == 4.0  # banker's
+    assert rows[0].rd == 4 and rows[3].rd == 10
+    assert rows[0].r2 == 4 and rows[0].e2 == 32
+    bar = run_ch_query(
+        "SELECT bar(3, 0, 4, 4) AS b FROM t WHERE id = 1", {"t": tdf}
+    ).collect()[0].b
+    assert bar == "███"  # 3/4 of width 4 = 3 full blocks
