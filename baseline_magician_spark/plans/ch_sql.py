@@ -4011,6 +4011,107 @@ def _exec_select(
                 return n
 
             select_nodes = [_rw(n) for n in select_nodes]
+    # GROUPING(expr) / GROUPING_ID(): super-aggregate indicators read
+    # off the hidden _gid column (bit i of grouping_id belongs to the
+    # i-th key, first key = most significant — Spark/ANSI bit order).
+    # Standalone select items only; computed post-aggregation.
+    grouping_posthoc: list[tuple[str, object]] = []
+
+    def _is_grouping_call(n: _Node) -> bool:
+        return n.kind == "call" and str(n.value).lower() in (
+            "grouping", "grouping_id", "groupingid"
+        )
+
+    if any(_is_grouping_call(n) for n in select_nodes):
+        if (
+            group_modifier not in ("rollup", "cube", "totals")
+            and grouping_sets is None
+        ):
+            raise ValueError(
+                "grouping()/grouping_id() require ROLLUP, CUBE, "
+                "WITH TOTALS, or GROUPING SETS"
+            )
+
+        def _struct_eq(a: _Node, b: _Node) -> bool:
+            return (
+                a.kind == b.kind
+                and a.value == b.value
+                and len(a.args) == len(b.args)
+                and all(
+                    _struct_eq(x, y) for x, y in zip(a.args, b.args)
+                )
+            )
+
+        _nkg = len(group_nodes)
+        for i, n in enumerate(select_nodes):
+            if not _is_grouping_call(n):
+                continue
+            if str(n.value).lower() == "grouping":
+                if len(n.args) != 1:
+                    raise ValueError("grouping() takes one argument")
+                arg = n.args[0]
+                idx = next(
+                    (
+                        j
+                        for j, g in enumerate(group_nodes)
+                        if _struct_eq(arg, g)
+                    ),
+                    None,
+                )
+                if idx is None:
+                    raise ValueError(
+                        "grouping() argument must be a grouping key"
+                    )
+                shift = _nkg - 1 - idx
+                grouping_posthoc.append(
+                    (
+                        names[i],
+                        lambda gid, s=shift: F.shiftright(
+                            gid.cast("long"), s
+                        )
+                        .bitwiseAND(F.lit(1))
+                        .cast("int"),
+                    )
+                )
+            else:
+                if not n.args:
+                    # zero-arg CH form: the full grouping_id
+                    grouping_posthoc.append(
+                        (names[i], lambda gid: gid.cast("long"))
+                    )
+                    continue
+                # grouping_id(a, b, ...): bitmask over the LISTED keys
+                # (DuckDB/ANSI arity) — first listed = most significant
+                shifts = []
+                for arg in n.args:
+                    idx = next(
+                        (
+                            j
+                            for j, g in enumerate(group_nodes)
+                            if _struct_eq(arg, g)
+                        ),
+                        None,
+                    )
+                    if idx is None:
+                        raise ValueError(
+                            "grouping_id() arguments must be "
+                            "grouping keys"
+                        )
+                    shifts.append(_nkg - 1 - idx)
+
+                def _gid_mask(gid, ss=tuple(shifts)):
+                    total = F.lit(0).cast("long")
+                    for pos, s in enumerate(ss):
+                        bit = F.shiftright(
+                            gid.cast("long"), s
+                        ).bitwiseAND(F.lit(1))
+                        total = total + F.shiftleft(
+                            bit, len(ss) - 1 - pos
+                        )
+                    return total.cast("long")
+
+                grouping_posthoc.append((names[i], _gid_mask))
+    _agg_select = _agg_select or bool(grouping_posthoc)
     if _agg_select:
         agg_cols = [
             _compile(n, tables).alias(names[i])
@@ -4145,6 +4246,8 @@ def _exec_select(
                         out = total if out is None else out.union(total)
                 agg_names = out.columns[nk:]
                 out = out.toDF(*key_names, *agg_names)
+                for _gnm, _gbuild in grouping_posthoc:
+                    out = out.withColumn(_gnm, _gbuild(_F.col("_gid")))
             else:
                 keys = [
                     c.alias(key_names[i])

@@ -135,3 +135,31 @@ def test_describe_prints_map_type(spark, tdf):
         for r in run_ch_statement("DESCRIBE TABLE mt", tables).collect()
     }
     assert desc["m"] == "Map(String, Int32)"
+
+
+def test_grouping_indicator_functions(spark):
+    tdf = spark.createDataFrame(
+        [(1, "a", "x", 5), (2, "b", "y", 6), (3, "a", "x", 7)],
+        "id int, k string, j string, v int",
+    )
+    rows = run_ch_query(
+        "SELECT k, j, grouping(k) AS gk, grouping(j) AS gj, "
+        "grouping_id() AS gid, sum(v) AS s "
+        "FROM t GROUP BY CUBE(k, j) ORDER BY gid, k, j",
+        {"t": tdf},
+    ).collect()
+    # detail rows first (gid 0), then j-rollups (1), k-rollups (2),
+    # grand total (3); first grouping key owns the high bit
+    assert [(r.gk, r.gj, r.gid) for r in rows[:2]] == [(0, 0, 0)] * 2
+    assert rows[-1].gid == 3 and rows[-1].s == 18
+    assert {(r.gk, r.gj) for r in rows} == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_grouping_requires_super_aggregate(spark):
+    tdf = spark.createDataFrame([(1, "a")], "id int, k string")
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="ROLLUP, CUBE"):
+        run_ch_query(
+            "SELECT k, grouping(k) AS g FROM t GROUP BY k", {"t": tdf}
+        )

@@ -190,9 +190,16 @@ def _gen_rollup_query(rng: random.Random) -> str:
     # covered by the oracle-paired queries)
     mod = rng.choice(["ROLLUP", "CUBE"])
     k2 = f"user_id % {rng.randint(2, 4)}"
+    # grouping()/grouping_id() share their spelling with DuckDB
+    ind = rng.choice([
+        "",
+        ", grouping(event_type) AS g1",
+        f", grouping(event_type) AS g1, grouping({k2}) AS g2",
+        f", grouping_id(event_type, {k2}) AS gid",
+    ])
     return (
         f"SELECT event_type AS k1, {k2} AS k2, count(*) AS n, "
-        f"sum(event_id) AS s FROM events{_where(rng)} "
+        f"sum(event_id) AS s{ind} FROM events{_where(rng)} "
         f"GROUP BY {mod} (event_type, {k2})"
     )
 
