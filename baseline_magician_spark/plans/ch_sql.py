@@ -3067,6 +3067,19 @@ def _exec_select(
             if not any_strict and p.peek_kw() == "any":
                 p.next()
                 any_strict = True
+            # CH explicit LEFT SEMI / LEFT ANTI JOIN spellings: the
+            # filter-by-existence joins (output = left columns only).
+            # RIGHT SEMI/ANTI would reverse the accumulated pipeline —
+            # spell the query with the sides swapped instead.
+            if p.peek_kw() in ("semi", "anti"):
+                kind = p.next().lower()
+                if how != "left":
+                    raise ValueError(
+                        f"{kind.upper()} JOIN is supported as LEFT "
+                        f"{kind.upper()} JOIN; swap the sides for the "
+                        "RIGHT form"
+                    )
+                how = f"left_{kind}"
             if p.peek_kw() == "outer":
                 p.next()
         if any_strict and how not in ("inner", "left"):

@@ -163,3 +163,27 @@ def test_grouping_requires_super_aggregate(spark):
         run_ch_query(
             "SELECT k, grouping(k) AS g FROM t GROUP BY k", {"t": tdf}
         )
+
+
+def test_left_semi_anti_join_spellings(spark):
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, k string"
+    )
+    b = spark.createDataFrame([(1,), (3,)], "id int")
+    semi = run_ch_query(
+        "SELECT k FROM a LEFT SEMI JOIN b ON a.id = b.id ORDER BY k",
+        {"a": a, "b": b},
+    ).collect()
+    anti = run_ch_query(
+        "SELECT k FROM a LEFT ANTI JOIN b USING (id) ORDER BY k",
+        {"a": a, "b": b},
+    ).collect()
+    assert [r.k for r in semi] == ["a", "c"]
+    assert [r.k for r in anti] == ["b"]
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="swap the sides"):
+        run_ch_query(
+            "SELECT k FROM a RIGHT SEMI JOIN b ON a.id = b.id",
+            {"a": a, "b": b},
+        )

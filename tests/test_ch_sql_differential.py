@@ -826,7 +826,27 @@ def _gen_vector_pair(rng: random.Random) -> tuple[str, str]:
     return ch, duck
 
 
-N_PAIRED = 72
+def _gen_semi_join_pair(rng: random.Random) -> tuple[str, str]:
+    # explicit LEFT SEMI / LEFT ANTI JOIN (CH spelling; this DuckDB
+    # lacks it — the oracle spells the same filter as [NOT] IN)
+    m = rng.randint(2, 5)
+    lim = rng.randint(100, 5000)
+    anti = rng.random() < 0.4
+    kind = "ANTI" if anti else "SEMI"
+    neg = "NOT " if anti else ""
+    return (
+        f"SELECT user_id % {m} AS k, count(*) AS n FROM events "
+        f"LEFT {kind} JOIN (SELECT DISTINCT event_type FROM events "
+        f"WHERE event_id < {lim}) AS s "
+        f"ON events.event_type = s.event_type "
+        f"GROUP BY k ORDER BY k",
+        f"SELECT user_id % {m} AS k, count(*) AS n FROM events "
+        f"WHERE event_type {neg}IN (SELECT event_type FROM events "
+        f"WHERE event_id < {lim}) GROUP BY k ORDER BY k",
+    )
+
+
+N_PAIRED = 78
 
 
 def _gen_pair(rng: random.Random) -> tuple[str, str]:
@@ -837,7 +857,7 @@ def _gen_pair(rng: random.Random) -> tuple[str, str]:
          _gen_tuple_in_subquery_pair, _gen_limit_ties_pair,
          _gen_combinator_pair, _gen_combinator_pair,
          _gen_map_pair, _gen_retention_pair, _gen_funnel_pair,
-         _gen_vector_pair]
+         _gen_vector_pair, _gen_semi_join_pair]
     )(rng)
 
 
