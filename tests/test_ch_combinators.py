@@ -157,3 +157,45 @@ def test_combinator_in_having_and_group_detection(tdf):
         {"t": tdf},
     ).collect()
     assert [r.g for r in rows] == [1]
+
+
+# ---- property tests: the suffix grammar round-trips and never
+# misparses a base or a cast-style OrNull name ----
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _BASES = ["sum", "min", "max", "avg", "count", "any", "uniq",
+              "argMax", "stddevPop", "groupArray"]
+    _SUFFIXES = ["If", "OrNull", "Array", "ForEach", "Distinct"]
+
+    @given(
+        base=st.sampled_from(_BASES),
+        sufs=st.lists(st.sampled_from(_SUFFIXES), min_size=1, max_size=3),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_property_suffix_chains_parse_to_their_base(base, sufs):
+        name = base + "".join(sufs)
+        parsed = split_combinators(name)
+        assert parsed is not None
+        got_base, got_sufs = parsed
+        assert got_base == base.lower()
+        assert got_sufs == [s.lower() for s in sufs]
+
+    @given(base=st.sampled_from(_BASES))
+    @settings(max_examples=50, deadline=None)
+    def test_property_bare_bases_never_parse_as_combinators(base):
+        assert split_combinators(base) is None
+
+    @given(
+        t=st.sampled_from(["toInt64", "toFloat64", "toDate", "toUUID"]),
+        suf=st.sampled_from(["OrNull", "OrZero"]),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_property_cast_or_null_names_stay_functions(t, suf):
+        # toInt64OrNull etc. are CAST shims, never aggregates
+        assert split_combinators(t + suf) is None
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
