@@ -2099,3 +2099,25 @@ ORDER BY label
 )
 def ch_sql_vector_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_VECTOR_SQL, _tables(spark, sf_dir, "embeddings"))
+
+
+# LTTB downsampling end-to-end (round 6): per-type event series
+# reduced to 12 points. ROWS-ONLY check: the greedy bucket walk's
+# sequential dependence has no tractable ANSI-SQL spelling — the
+# pointwise pin lives in tests/test_ch_round6_functions.py against a
+# Python reference implementation of Steinarsson 2013.
+_LTTB_SQL = """
+SELECT etype, tupleElement(p, 'x') AS x,
+       round(tupleElement(p, 'y'), 6) AS y
+FROM (SELECT event_type AS etype,
+             largestTriangleThreeBuckets(12)(toUnixTimestamp(ts),
+                                             value) AS pts
+      FROM fastnetmon.events
+      GROUP BY event_type) ARRAY JOIN pts AS p
+ORDER BY etype, x
+"""
+
+
+@query("ch_sql_lttb_downsample")
+def ch_sql_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_LTTB_SQL, _tables(spark, sf_dir, "events"))

@@ -120,7 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_group_rollup",
     "ch_sql_limit_by",
     "ip_function_roundtrip",
-    "ch_sql_array_join_tokens",
+    "ch_sql_lttb_downsample",
     "text_token_entropy",
     "ch_sql_vector_functions",
 )
