@@ -1650,3 +1650,479 @@ CH_FUNCTIONS.update(
         "any_value": CH_FUNCTIONS["any"],
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-6b everyday tranche: string search/replace, calendar, integer
+# math, JSON introspection, URL, and randomness names surfaced by a
+# second coverage sweep of the public CH function reference. All pure
+# Column expressions; the only Python-side work is literal pattern
+# translation (LIKE -> regex, CH %-format -> Java). Names whose CH
+# algorithm cannot be reproduced bit-for-bit are documented at the
+# definition (decodeURLComponent's '+' handling, JSONExtractRaw's
+# string re-quoting, cutToFirstSignificantSubdomain's suffix list).
+# ---------------------------------------------------------------------------
+
+
+def _replace_one(s, frm, to) -> Column:
+    """CH replaceOne(): first occurrence only (Spark's replace() is
+    replace-all, so this splices around locate())."""
+    s, frm, to = _as_col(s), _as_col(frm), _as_col(to)
+    pos = F.call_function("locate", frm, s)
+    return F.when(pos == 0, s).otherwise(
+        F.concat(
+            F.substring(s, F.lit(1), pos - 1),
+            to,
+            F.substring(s, pos + F.length(frm), F.length(s)),
+        )
+    )
+
+
+def _replace_regexp_one(s, pat, to) -> Column:
+    """CH replaceRegexpOne(): first regex match only. Backreferences
+    in the replacement (\\1) are not supported — the splice inserts the
+    replacement text verbatim (regexp_replace covers the replace-all +
+    backref case)."""
+    if isinstance(to, str) and re.search(r"\\\d", to):
+        raise ValueError(
+            "replaceRegexpOne does not support backreferences; "
+            "use replaceRegexpAll"
+        )
+    s, to = _as_col(s), _as_col(to)
+    pat = _as_col(pat)
+    m = F.regexp_substr(s, pat)
+    pos = F.regexp_instr(s, pat)
+    return F.when(m.isNull(), s).otherwise(
+        F.concat(
+            F.substring(s, F.lit(1), pos - 1),
+            to,
+            F.substring(s, pos + F.length(m), F.length(s)),
+        )
+    )
+
+
+def _count_substrings(h, n) -> Column:
+    """Non-overlapping occurrence count via the length-delta identity
+    (replace() removes occurrences left-to-right, exactly CH's scan)."""
+    h, n = _as_col(h), _as_col(n)
+    return F.when(F.length(n) == 0, F.lit(0)).otherwise(
+        (
+            (F.length(h) - F.length(F.replace(h, n, F.lit(""))))
+            / F.length(n)
+        ).cast("long")
+    )
+
+
+def _has_token(h, tok) -> Column:
+    """CH hasToken(): needle bounded by non-alphanumeric separators.
+    The token is a driver literal (it splices into the regex)."""
+    if isinstance(tok, Column):
+        raise TypeError("hasToken needle must be a string literal")
+    t = re.escape(str(tok).strip("'\""))
+    return F.regexp_like(
+        _as_col(h), F.lit(f"(^|[^A-Za-z0-9_]){t}($|[^A-Za-z0-9_])")
+    )
+
+
+def _multi_search_first_index(h, needles) -> Column:
+    """CH multiSearchFirstIndex(): 1-based index of the needle whose
+    match is LEFTMOST in the haystack (first-listed wins a position
+    tie), 0 when none match."""
+    h = _as_col(h)
+    poss = F.transform(
+        _as_col(needles), lambda n: F.call_function("locate", n, h)
+    )
+    best = F.aggregate(
+        F.sequence(F.lit(1), F.size(poss)),
+        F.struct(F.lit(0).alias("pos"), F.lit(0).alias("idx")),
+        lambda acc, i: F.when(
+            (F.element_at(poss, i) > 0)
+            & ((acc["pos"] == 0) | (F.element_at(poss, i) < acc["pos"])),
+            F.struct(
+                F.element_at(poss, i).alias("pos"), i.alias("idx")
+            ),
+        ).otherwise(acc),
+    )
+    return best["idx"].cast("int")
+
+
+def _ngrams(s, n) -> Column:
+    """CH ngrams(): array of character n-grams (n is a literal)."""
+    k = int(float(str(n))) if not isinstance(n, Column) else None
+    if k is None:
+        raise TypeError("ngrams size must be a literal integer")
+    s = _as_col(s)
+    return F.when(
+        F.length(s) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - (k - 1)),
+            lambda i: F.substring(s, i, F.lit(k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_NORMALIZE_QUERY_RX = r"('(?:[^'\\]|\\.)*')|\b\d+(?:\.\d+)?\b"
+
+
+def _normalize_query(q) -> Column:
+    """CH normalizeQuery(): literals (quoted strings, numbers) become
+    ``?`` placeholders. CH additionally collapses long IN lists to
+    ``?..`` — not reproduced (the placeholder substitution is the part
+    query-log dedup keys on)."""
+    return F.regexp_replace(_as_col(q), _NORMALIZE_QUERY_RX, "?")
+
+
+def _to_week(d, mode=0) -> Column:
+    """CH toWeek(): mode 0 (default, MySQL WEEK(d,0) — week starts
+    Sunday, days before the first Sunday are week 0) and mode 3 (ISO
+    8601, = toISOWeek). Other modes raise."""
+    m = int(float(str(mode))) if not isinstance(mode, Column) else -1
+    d = _as_col(d)
+    if m == 3:
+        return F.weekofyear(d)
+    if m != 0:
+        raise ValueError("toWeek supports modes 0 and 3")
+    jan1 = F.trunc(d, "year")
+    first_sunday_doy = 1 + (8 - F.dayofweek(jan1)) % 7
+    doy = F.dayofyear(d)
+    return (
+        F.when(doy < first_sunday_doy, F.lit(0))
+        .otherwise(F.floor((doy - first_sunday_doy) / 7) + 1)
+        .cast("int")
+    )
+
+
+def _time_slots(start, duration, size=1800) -> Column:
+    """CH timeSlots(): array of ``size``-second grid points covering
+    [start, start + duration]."""
+    start, duration = _as_col(start), _as_col(duration)
+    size_c = _as_col(size).cast("long")
+    s0 = F.unix_timestamp(start)
+    lo = s0 - s0 % size_c
+    hi_raw = s0 + duration.cast("long")
+    hi = hi_raw - hi_raw % size_c
+    return F.transform(
+        F.sequence(lo, hi, size_c), lambda t: F.timestamp_seconds(t)
+    )
+
+
+_BEST_EFFORT_FORMATS = (
+    "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ssXXX", "yyyy-MM-dd", "yyyy/MM/dd HH:mm:ss",
+    "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy", "yyyyMMddHHmmss", "yyyyMMdd",
+    "dd MMM yyyy HH:mm:ss", "dd MMM yyyy",
+    # RFC1123 ("EEE, dd MMM ...") is NOT tried: Spark's parser rejects
+    # the day-of-week letter for parsing (DATETIME_PATTERN_RECOGNITION)
+)
+
+
+def _parse_best_effort(s, tz=None) -> Column:
+    """CH parseDateTimeBestEffort(): try the common layouts in a fixed
+    order; bare digit strings read as unix seconds."""
+    s = _as_col(s)
+    tries = [F.try_to_timestamp(s)] + [
+        F.try_to_timestamp(s, F.lit(f)) for f in _BEST_EFFORT_FORMATS
+    ]
+    epoch = F.when(
+        s.rlike(r"^\d{9,10}$"), F.timestamp_seconds(s.cast("long"))
+    )
+    return F.coalesce(*tries, epoch)
+
+
+def _gcd(a, b) -> Column:
+    """Euclid on |a|,|b| as a bounded fold — 92 iterations covers the
+    worst 64-bit case (consecutive Fibonacci numbers)."""
+    a = F.abs(_as_col(a).cast("long"))
+    b = F.abs(_as_col(b).cast("long"))
+    out = F.aggregate(
+        F.sequence(F.lit(1), F.lit(92)),
+        F.struct(a.alias("a"), b.alias("b")),
+        lambda acc, _: F.when(
+            acc["b"] == 0, acc
+        ).otherwise(
+            F.struct(
+                acc["b"].alias("a"), (acc["a"] % acc["b"]).alias("b")
+            )
+        ),
+    )
+    return out["a"]
+
+
+def _lcm(a, b) -> Column:
+    a, b = _as_col(a).cast("long"), _as_col(b).cast("long")
+    g = _gcd(a, b)
+    return F.when(g == 0, F.lit(0)).otherwise(
+        F.abs(
+            (
+                a.cast("decimal(38,0)")
+                / g.cast("decimal(38,0)")
+                * b.cast("decimal(38,0)")
+            ).cast("long")
+        )
+    )
+
+
+def _bit_rotate_left(x, n) -> Column:
+    x = _as_col(x).cast("long")
+    n = _as_col(n).cast("int") % 64
+    left = F.call_function("shiftleft", x, n)
+    right = F.call_function("shiftrightunsigned", x, (64 - n) % 64)
+    return F.when(n == 0, x).otherwise(
+        left.bitwiseOR(right)
+    )
+
+
+def _array_resize(arr, size, ext=None) -> Column:
+    """CH arrayResize(): truncate, or pad with ``extender`` (element-
+    typed NULL when omitted)."""
+    arr = _as_col(arr)
+    sz = _as_col(size).cast("int")
+    n = F.size(arr)
+    pad_v = (
+        _as_col(ext)
+        if ext is not None
+        # a NULL carrying the array's element type
+        else F.when(F.lit(False), F.element_at(arr, F.lit(1)))
+    )
+    return F.when(sz <= n, F.slice(arr, 1, sz)).otherwise(
+        F.concat(arr, F.array_repeat(pad_v, sz - n))
+    )
+
+
+def _array_enumerate_uniq(arr) -> Column:
+    """CH arrayEnumerateUniq(): 1-based occurrence rank of each element
+    among its equals so far. Quadratic in the array length (prefix
+    rescan per element) — for row-local arrays, not corpus columns."""
+    arr = _as_col(arr)
+    return F.transform(
+        arr,
+        lambda x, i: F.size(
+            F.filter(F.slice(arr, F.lit(1), i + 1), lambda y: y.eqNullSafe(x))
+        ).cast("int"),
+    )
+
+
+def _json_base(j, path) -> Column:
+    j = _as_col(j)
+    if not path:
+        return j
+    keys = [str(p).strip("'\"") for p in path]
+    return F.get_json_object(j, "$." + ".".join(keys))
+
+
+def _json_length(j, *path) -> Column:
+    """CH JSONLength(): element count of an array, key count of an
+    object, NULL otherwise."""
+    base = _json_base(j, path)
+    keys = F.json_object_keys(base)
+    return F.coalesce(
+        F.json_array_length(base).cast("long"),
+        F.when(keys.isNotNull(), F.size(keys).cast("long")),
+    )
+
+
+def _json_type(j, *path) -> Column:
+    """CH JSONType(): String/Int64/Double/Bool/Array/Object/Null —
+    classified from the raw text (get_json_object strips string
+    quotes, so string detection runs on the original document only for
+    the no-path form; extracted scalars classify by shape)."""
+    base = F.ltrim(_json_base(j, path))
+    c1 = F.substring(base, 1, 1)
+    return (
+        F.when(base.isNull(), F.lit(None).cast("string"))
+        .when(c1 == "{", F.lit("Object"))
+        .when(c1 == "[", F.lit("Array"))
+        .when(base.isin("true", "false"), F.lit("Bool"))
+        .when(base == "null", F.lit("Null"))
+        .when(base.rlike(r"^-?\d+$"), F.lit("Int64"))
+        .when(
+            base.rlike(r"^-?\d+\.\d+([eE][+-]?\d+)?$"), F.lit("Double")
+        )
+        .otherwise(F.lit("String"))
+    )
+
+
+def _json_extract_raw(j, *path) -> Column:
+    """CH JSONExtractRaw(): raw JSON text at the path. Approximation:
+    get_json_object returns objects/arrays raw but strings UNQUOTED —
+    values that don't classify as number/bool/null/object/array are
+    re-quoted (a stored string that happens to spell a number round-
+    trips unquoted; exact CH needs a raw-token JSON reader)."""
+    v = _json_base(j, path)
+    needs_quote = ~(
+        v.rlike(r"^\s*[\[{]")
+        | v.rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+        | v.isin("true", "false", "null")
+    )
+    return F.when(v.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(
+            needs_quote,
+            F.concat(
+                F.lit('"'),
+                F.replace(
+                    F.replace(v, F.lit("\\"), F.lit("\\\\")),
+                    F.lit('"'),
+                    F.lit('\\"'),
+                ),
+                F.lit('"'),
+            ),
+        ).otherwise(v)
+    )
+
+
+def _cut_to_first_significant_subdomain(u) -> Column:
+    """CH cutToFirstSignificantSubdomain(): domain cut to the first
+    significant label. CH embeds the public-suffix list; this uses the
+    common two-level suffixes (co/com/net/org/gov/edu/ac/mil + 2-letter
+    country) — the heuristic the suffix list encodes for the overwhelm-
+    ing majority of real hosts."""
+    d = _url_domain(_as_col(u))
+    parts = F.split(d, r"\.")
+    n = F.size(parts)
+    second = F.element_at(parts, n - 1)
+    last = F.element_at(parts, n)
+    two_level = (
+        (n >= 3)
+        & second.isin("co", "com", "net", "org", "gov", "edu", "ac", "mil")
+        & (F.length(last) == 2)
+    )
+    keep = F.when(two_level, F.lit(3)).otherwise(F.lit(2))
+    return F.when(n <= 2, d).otherwise(
+        F.array_join(
+            F.slice(parts, n - keep + 1, keep), "."
+        )
+    )
+
+
+CH_FUNCTIONS.update(
+    {
+        # string search / replace
+        "replaceOne": _replace_one,
+        "replaceRegexpOne": _replace_regexp_one,
+        "countSubstrings": _count_substrings,
+        "countMatches": lambda h, p: F.regexp_count(
+            _as_col(h), _as_col(p)
+        ).cast("long"),
+        "hasToken": _has_token,
+        "multiSearchFirstIndex": _multi_search_first_index,
+        "ngrams": _ngrams,
+        "normalizeQuery": _normalize_query,
+        # fingerprint use, not CH-bit-compatible (same caveat as the
+        # sipHash64 stand-in): xxhash64 over the normalized text
+        "normalizedQueryHash": lambda q: F.xxhash64(_normalize_query(q)),
+        "substringUTF8": lambda s, p, ln=None: (
+            F.substring(_as_col(s), p, ln)
+            if ln is not None
+            else F.substring(_as_col(s), p, F.length(_as_col(s)))
+        ),
+        "lengthUTF8": lambda s: F.length(_as_col(s)).cast("long"),
+        "ascii": lambda s: F.ascii(_as_col(s)),
+        # CH errors when the value exceeds n; Spark-side we truncate
+        # (rpad semantics) — documented divergence
+        "toFixedString": lambda s, n: F.rpad(
+            _as_col(s), int(float(str(n))), "\x00"
+        ),
+        "ilike": lambda s, p: _as_col(s).ilike(str(p).strip("'\""))
+        if not isinstance(p, Column)
+        else F.lit(None),
+        "notILike": lambda s, p: ~_as_col(s).ilike(str(p).strip("'\"")),
+        # calendar
+        "toMonday": lambda c: F.to_date(F.date_trunc("week", _as_col(c))),
+        "toDayOfYear": lambda c: F.dayofyear(_as_col(c)),
+        "toWeek": _to_week,
+        # display-TZ shift: with the session pinned to UTC, the wall-
+        # clock value matches what CH shows readers in the target zone
+        "toTimeZone": lambda t, tz: F.from_utc_timestamp(
+            _as_col(t), str(tz).strip("'\"")
+        ),
+        "timeSlot": lambda t: _floor_seconds(_as_col(t), 1800),
+        "timeSlots": _time_slots,
+        "parseDateTimeBestEffort": _parse_best_effort,
+        "parseDateTimeBestEffortOrNull": _parse_best_effort,
+        "parseDateTime": lambda s, fmt: F.to_timestamp(
+            _as_col(s), _ch_format(fmt)
+        ),
+        "now64": lambda *a: F.current_timestamp(),
+        # integer math
+        "gcd": _gcd,
+        "lcm": _lcm,
+        "max2": lambda a, b: F.greatest(
+            _as_col(a).cast("double"), _as_col(b).cast("double")
+        ),
+        "min2": lambda a, b: F.least(
+            _as_col(a).cast("double"), _as_col(b).cast("double")
+        ),
+        "bitTest": lambda x, n: F.call_function(
+            "shiftright", _as_col(x).cast("long"), _as_col(n).cast("int")
+        ).bitwiseAND(F.lit(1)).cast("int"),
+        "bitRotateLeft": _bit_rotate_left,
+        "isZeroOrNull": lambda x: _as_col(x).isNull() | (_as_col(x) == 0),
+        "ifNotFinite": lambda x, y: F.when(
+            F.isnan(_as_col(x).cast("double"))
+            | (F.abs(_as_col(x).cast("double")) == F.lit(float("inf"))),
+            _as_col(y),
+        ).otherwise(_as_col(x)),
+        "toNullable": lambda c: _as_col(c),
+        # arrays
+        "arrayResize": _array_resize,
+        "arrayProduct": lambda a: F.aggregate(
+            _as_col(a),
+            F.lit(1.0),
+            lambda acc, x: acc * x.cast("double"),
+        ),
+        "arrayEnumerateUniq": _array_enumerate_uniq,
+        # JSON introspection
+        "JSONLength": _json_length,
+        "JSONType": _json_type,
+        "JSONExtractRaw": _json_extract_raw,
+        "simpleJSONExtractString": lambda j, k: F.get_json_object(
+            _as_col(j), "$." + str(k).strip("'\"")
+        ),
+        "visitParamExtractString": lambda j, k: F.get_json_object(
+            _as_col(j), "$." + str(k).strip("'\"")
+        ),
+        # URL
+        # divergence: url_decode also reads '+' as space (form
+        # encoding); CH only decodes %XX
+        "decodeURLComponent": lambda u: F.url_decode(_as_col(u)),
+        "encodeURLComponent": lambda u: F.url_encode(_as_col(u)),
+        "cutToFirstSignificantSubdomain": (
+            _cut_to_first_significant_subdomain
+        ),
+        # UUID
+        "UUIDStringToNum": lambda s: F.unhex(
+            F.replace(_as_col(s), F.lit("-"), F.lit(""))
+        ),
+        # randomness (pytest-only surface — outputs are inherently
+        # oracle-incomparable). randConstant freezes at plan time
+        # (CH freezes per block).
+        "rand": lambda *a: (F.rand() * F.lit(float(2**32))).cast("long"),
+        "rand64": lambda *a: F.xxhash64(
+            (F.rand() * F.lit(float(2**62))).cast("long")
+        ),
+        "randNormal": lambda mean=0.0, sd=1.0: _as_col(mean)
+        + F.randn() * _as_col(sd),
+        "randUniform": lambda lo, hi: _as_col(lo)
+        + F.rand() * (_as_col(hi) - _as_col(lo)),
+        "randCanonical": lambda *a: F.rand(),
+    }
+)
+
+
+def _like_to_regex(pat: str) -> str:
+    """SQL LIKE pattern -> anchored Java regex (driver-literal)."""
+    out = []
+    for ch in str(pat).strip("'\""):
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+CH_FUNCTIONS["mapContainsKeyLike"] = lambda m, pat: F.exists(
+    F.map_keys(_as_col(m)),
+    lambda k: k.rlike(_like_to_regex(pat)),
+)

@@ -348,7 +348,7 @@ class _Parser:
                 self.peek_kw() == "not"
                 and self.i + 1 < len(self.toks)
                 and self.toks[self.i + 1].lower()
-                in ("in", "like", "between")
+                in ("in", "like", "ilike", "between")
             ):
                 self.next()
                 negate = True
@@ -375,10 +375,10 @@ class _Parser:
                 self.next()
                 left = self._parse_in(left, negate)
                 continue
-            if self.peek_kw() == "like":
-                self.next()
+            if self.peek_kw() in ("like", "ilike"):
+                ci = self.next().lower() == "ilike"
                 pat = self.parse_add()
-                left = _Node("like", negate, (left, pat))
+                left = _Node("like", (negate, ci), (left, pat))
                 continue
             return left
 
@@ -906,6 +906,22 @@ _LITERAL_ARG_POSITIONS = {
     "todecimal64": {1},
     # bar's width must size a driver-side literal array
     "bar": {3},
+    # round-6b tranche: regex-spliced needles, literal sizes/modes/
+    # formats, and JSONPath keys
+    "hastoken": {1},
+    "ngrams": {1},
+    "toweek": {1},
+    "tofixedstring": {1},
+    "parsedatetime": {1},
+    "totimezone": {1},
+    "ilike": {1},
+    "notilike": {1},
+    "jsonlength": {1, 2},
+    "jsontype": {1, 2},
+    "jsonextractraw": {1, 2},
+    "simplejsonextractstring": {1},
+    "visitparamextractstring": {1},
+    "mapcontainskeylike": {1},
 }
 
 # CH accepts BARE unit identifiers in these positions too —
@@ -1032,6 +1048,12 @@ _HOF = {
     ),
     # Map higher-order functions: CH lambda takes (k, v)
     "mapfilter": lambda fn, m: F.map_filter(m, fn),
+    # mapApply's lambda returns tuple(k2, v2) — a 2-field struct here
+    "mapapply": lambda fn, m: F.map_from_entries(
+        F.transform(
+            F.map_entries(m), lambda e: fn(e["key"], e["value"])
+        )
+    ),
     "mapexists": lambda fn, m: F.size(F.map_filter(m, fn)) > 0,
     "mapall": lambda fn, m: F.size(
         F.map_filter(m, lambda k, v: ~fn(k, v))
@@ -1178,13 +1200,14 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
     if node.kind == "like":
         c = _compile(node.args[0], env)
         pat = node.args[1]
+        negate, ci = node.value
         if pat.kind != "str":
             raise ValueError("LIKE pattern must be a string literal")
         if pat.value is None:
             # LIKE NULL is NULL (CH/SQL ternary) — never matches
             return F.lit(None).cast("boolean")
-        res = c.like(str(pat.value))
-        return ~res if node.value else res
+        res = c.ilike(str(pat.value)) if ci else c.like(str(pat.value))
+        return ~res if negate else res
     if node.kind == "in":
         left = _compile(node.args[0], env)
         form, negate = node.value[0], node.value[1]
@@ -1542,7 +1565,7 @@ _RESERVED = {
     "inner", "left", "right", "full", "cross", "join", "as", "union",
     "and", "or", "not", "in", "asc", "desc", "by", "outer",
     "prewhere", "array", "intersect", "except", "settings", "format",
-    "global", "between", "like", "is", "null",
+    "global", "between", "like", "ilike", "is", "null",
     "case", "when", "then", "else", "end",
     "sample", "asof", "with", "interpolate", "any", "all",
     "qualify", "window", "final",

@@ -2121,3 +2121,111 @@ ORDER BY etype, x
 @query("ch_sql_lttb_downsample")
 def ch_sql_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_LTTB_SQL, _tables(spark, sf_dir, "events"))
+
+
+# Round-6b everyday tranche, calendar/math/JSON half: toMonday /
+# toDayOfYear / toWeek ISO / timeSlot grids, bitTest parity, gcd, and
+# the JSON introspection family over the events props column — each
+# against the native DuckDB spelling (sums cast to BIGINT: DuckDB
+# integer sum returns HUGEINT, the numbers_rollup hash lesson).
+_R6B_FUNCS_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       min(toMonday(toDate(ts))) AS first_monday,
+       max(toDayOfYear(toDate(ts))) AS max_doy,
+       max(toWeek(toDate(ts), 3)) AS max_isoweek,
+       sum(bitTest(user_id, 0)) AS odd_users,
+       min(timeSlot(ts)) AS first_slot,
+       sum(gcd(user_id, 12)) AS g12,
+       max(JSONLength(props)) AS jl,
+       countIf(JSONType(props, 'k') = 'Int64') AS jk_int
+FROM fastnetmon.events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "ch_sql_round6b_functions",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           min(CAST(date_trunc('week', ts) AS DATE)) AS first_monday,
+           max(dayofyear(ts)) AS max_doy,
+           max(week(ts)) AS max_isoweek,
+           CAST(sum(user_id & 1) AS BIGINT) AS odd_users,
+           min(CAST(to_timestamp(epoch(ts) - epoch(ts) % 1800)
+               AS TIMESTAMP)) AS first_slot,
+           CAST(sum(gcd(user_id, 12)) AS BIGINT) AS g12,
+           CAST(max(len(json_keys(props))) AS BIGINT) AS jl,
+           CAST(count(*) FILTER (WHERE json_type(props, '$.k') = 'UBIGINT')
+               AS BIGINT) AS jk_int
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ch_sql_round6b_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_R6B_FUNCS_SQL, _tables(spark, sf_dir, "events"))
+
+
+# Round-6b everyday tranche, string-search half over documents:
+# replaceOne splice, countSubstrings length-delta scan, hasToken
+# separator-bounded match, multiSearchFirstIndex leftmost-needle, and
+# the ILIKE operator — DuckDB replicates replaceOne with its default
+# (non-global) regexp_replace and hasToken with the same boundary
+# regex.
+_R6B_STRINGS_SQL = """
+SELECT lang,
+       count(*) AS n,
+       sum(countSubstrings(text, 'the')) AS n_the,
+       countIf(hasToken(text, 'table')) AS with_table,
+       sum(multiSearchFirstIndex(text, ['table', 'row', 'value'])) AS msfi,
+       sum(lengthUTF8(replaceOne(text, 'a', '@@'))) AS len_rep,
+       countIf(source ILIKE 'SRC1%') AS src1
+FROM fastnetmon.documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query(
+    "ch_sql_string_search",
+    r"""
+    SELECT lang,
+           count(*) AS n,
+           CAST(sum((length(text) - length(replace(text, 'the', '')))
+               / 3) AS BIGINT) AS n_the,
+           CAST(count(*) FILTER (WHERE regexp_matches(text,
+               '(^|[^A-Za-z0-9_])table($|[^A-Za-z0-9_])'))
+               AS BIGINT) AS with_table,
+           CAST(sum(
+             CASE
+               WHEN position('table' IN text) = 0
+                AND position('row' IN text) = 0
+                AND position('value' IN text) = 0 THEN 0
+               ELSE CASE least(
+                 CASE WHEN position('table' IN text) = 0 THEN 999999
+                      ELSE position('table' IN text) END,
+                 CASE WHEN position('row' IN text) = 0 THEN 999999
+                      ELSE position('row' IN text) END,
+                 CASE WHEN position('value' IN text) = 0 THEN 999999
+                      ELSE position('value' IN text) END)
+                 WHEN CASE WHEN position('table' IN text) = 0 THEN 999999
+                           ELSE position('table' IN text) END THEN 1
+                 WHEN CASE WHEN position('row' IN text) = 0 THEN 999999
+                           ELSE position('row' IN text) END THEN 2
+                 ELSE 3
+               END
+             END) AS BIGINT) AS msfi,
+           CAST(sum(length(regexp_replace(text, 'a', '@@'))) AS BIGINT)
+               AS len_rep,
+           CAST(count(*) FILTER (WHERE source ILIKE 'SRC1%') AS BIGINT)
+               AS src1
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def ch_sql_string_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_R6B_STRINGS_SQL, _tables(spark, sf_dir, "documents"))

@@ -92,6 +92,8 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_map_functions",
     "ch_sql_file_read",
     "ch_sql_round6_functions",
+    "ch_sql_round6b_functions",
+    "ch_sql_string_search",
     # r2-stale TPC-H names deferred from the round-5 rotation
     "q7_volume_shipping",
     "q8_national_market_share",
@@ -115,8 +117,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_cms_heavy_hitters",
     "multimodal_decode_stats",
     "multimodal_audio_window_rms",
-    "ch_sql_tpch_q1",
-    "ch_sql_with_totals",
     "ch_sql_group_rollup",
     "ch_sql_limit_by",
     "ip_function_roundtrip",
