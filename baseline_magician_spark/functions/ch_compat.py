@@ -2126,3 +2126,42 @@ CH_FUNCTIONS["mapContainsKeyLike"] = lambda m, pat: F.exists(
     F.map_keys(_as_col(m)),
     lambda k: k.rlike(_like_to_regex(pat)),
 )
+
+
+from .stats_tests import (  # noqa: E402
+    bounding_ratio,
+    delta_sum,
+    delta_sum_timestamp,
+    entropy_agg,
+    exponential_moving_average,
+    group_bitmap,
+    histogram_agg,
+    interval_length_sum,
+    kolmogorov_smirnov_test,
+    mann_whitney_u_test,
+    max_intersections,
+    simple_linear_regression,
+    sparkbar_agg,
+    student_t_test,
+    welch_t_test,
+)
+
+CH_FUNCTIONS.update(
+    {
+        "simpleLinearRegression": simple_linear_regression,
+        "boundingRatio": bounding_ratio,
+        "entropy": entropy_agg,
+        "groupBitmap": group_bitmap,
+        "deltaSum": delta_sum,
+        "deltaSumTimestamp": delta_sum_timestamp,
+        "exponentialMovingAverage": exponential_moving_average,
+        "intervalLengthSum": interval_length_sum,
+        "maxIntersections": max_intersections,
+        "studentTTest": student_t_test,
+        "welchTTest": welch_t_test,
+        "mannWhitneyUTest": mann_whitney_u_test,
+        "kolmogorovSmirnovTest": kolmogorov_smirnov_test,
+        "histogram": histogram_agg,
+        "sparkbar": sparkbar_agg,
+    }
+)

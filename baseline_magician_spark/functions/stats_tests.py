@@ -1,0 +1,534 @@
+"""Statistical-test and interval aggregates (CH behavioral family).
+
+simpleLinearRegression, boundingRatio, entropy, deltaSum[Timestamp],
+exponentialMovingAverage, intervalLengthSum, maxIntersections,
+studentTTest / welchTTest / mannWhitneyUTest / kolmogorovSmirnovTest,
+histogram, sparkbar, groupBitmap.
+
+Design notes (the 100 TB contract):
+
+- The t-tests, simpleLinearRegression and boundingRatio are FLAT
+  aggregate expressions — conditional sums/moments that partial-
+  aggregate map-side and merge associatively; no per-group state.
+- The order-dependent family (deltaSumTimestamp, EMA,
+  intervalLengthSum, maxIntersections) and the rank-based tests
+  (mannWhitneyUTest, kolmogorovSmirnovTest) collect the group's
+  events into a sorted array and fold it with ONE JVM ``F.aggregate``
+  expression — the same bounded-per-group-state shape as
+  windowFunnel (functions/funnel.py); per-group memory is O(group
+  size), exactly the state CH's own implementations carry.
+- p-values use the large-sample normal / Kolmogorov asymptotic
+  approximations (documented per function) — CH uses the same
+  asymptotics; tiny-sample exact tables are out of scope. The normal
+  CDF is the Abramowitz–Stegun 7.1.26 polynomial, a pure Column
+  expression.
+- ``histogram`` is a DETERMINISTIC equal-width n-bin histogram; CH's
+  is an adaptive streaming sketch whose bin edges depend on input
+  order (non-deterministic under shuffle) — divergence documented.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _d(c) -> Column:
+    c = c if isinstance(c, Column) else F.lit(c)
+    return c.cast("double")
+
+
+def _norm_cdf(z: Column) -> Column:
+    """Φ(z) via Abramowitz–Stegun 7.1.26 (|ε| < 7.5e-8)."""
+    t = 1.0 / (1.0 + 0.2316419 * F.abs(z))
+    poly = t * (
+        0.319381530
+        + t
+        * (
+            -0.356563782
+            + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))
+        )
+    )
+    pdf = F.exp(-z * z / 2) / 2.5066282746310002  # sqrt(2*pi)
+    upper = pdf * poly  # 1 - Φ(|z|)
+    return F.when(z >= 0, 1 - upper).otherwise(upper)
+
+
+def _two_sided_p(z: Column) -> Column:
+    return 2.0 * (1.0 - _norm_cdf(F.abs(z)))
+
+
+# --------------------------------------------------------- flat aggregates
+
+
+def simple_linear_regression(x, y) -> Column:
+    """CH simpleLinearRegression(x, y) -> (k, b) least-squares line.
+    Closed form over five plain sums — fully map-side partialable."""
+    x, y = _d(x), _d(y)
+    n = F.count(x).cast("double")
+    sx, sy = F.sum(x), F.sum(y)
+    sxx, sxy = F.sum(x * x), F.sum(x * y)
+    k = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    b = (sy - k * sx) / n
+    return F.struct(k.alias("k"), b.alias("b"))
+
+
+def bounding_ratio(x, y) -> Column:
+    """CH boundingRatio: slope of the bounding box, (max y - min y) /
+    (max x - min x)."""
+    x, y = _d(x), _d(y)
+    return (F.max(y) - F.min(y)) / (F.max(x) - F.min(x))
+
+
+def entropy_agg(x) -> Column:
+    """CH entropy(x): Shannon entropy (bits) of the value
+    distribution. Group values collect into one array, distinct
+    values count against it — O(n·d) per group, bounded by the
+    group's size like every CH per-group aggregate state."""
+    arr = F.collect_list(F.coalesce(_col_str(x), F.lit("∅null")))
+    n = F.size(arr).cast("double")
+    return F.aggregate(
+        F.array_distinct(arr),
+        F.lit(0.0),
+        lambda acc, v: acc
+        - (
+            F.size(F.filter(arr, lambda e: e == v)).cast("double") / n
+        )
+        * F.log2(
+            F.size(F.filter(arr, lambda e: e == v)).cast("double") / n
+        ),
+    )
+
+
+def _col_str(x) -> Column:
+    c = x if isinstance(x, Column) else F.lit(x)
+    return c.cast("string")
+
+
+def group_bitmap(x) -> Column:
+    """CH groupBitmap: cardinality of the integer set = exact distinct
+    count (CH materializes a roaring bitmap; the answer is the same)."""
+    return F.count_distinct(x if isinstance(x, Column) else F.lit(x))
+
+
+def student_t_test(v, idx, conf=None) -> Column:
+    """CH studentTTest([confidence])(value, sample_index) ->
+    (t_statistic, p_value). Pooled-variance two-sample t; the p-value
+    is the large-sample normal approximation of the t distribution
+    (documented; CH evaluates the exact t CDF). Flat conditional
+    moments — no per-group state."""
+    v = _d(v)
+    i1 = (idx if isinstance(idx, Column) else F.lit(idx)).cast("int") != 0
+    n0 = F.sum(F.when(~i1, 1).otherwise(0)).cast("double")
+    n1 = F.sum(F.when(i1, 1).otherwise(0)).cast("double")
+    s0 = F.sum(F.when(~i1, v))
+    s1 = F.sum(F.when(i1, v))
+    q0 = F.sum(F.when(~i1, v * v))
+    q1 = F.sum(F.when(i1, v * v))
+    m0, m1 = s0 / n0, s1 / n1
+    var0 = (q0 - s0 * s0 / n0) / (n0 - 1)
+    var1 = (q1 - s1 * s1 / n1) / (n1 - 1)
+    sp2 = ((n0 - 1) * var0 + (n1 - 1) * var1) / (n0 + n1 - 2)
+    t = (m0 - m1) / F.sqrt(sp2 * (1 / n0 + 1 / n1))
+    return F.struct(
+        t.alias("t_statistic"), _two_sided_p(t).alias("p_value")
+    )
+
+
+def welch_t_test(v, idx, conf=None) -> Column:
+    """CH welchTTest([confidence])(value, sample_index) ->
+    (t_statistic, p_value); unequal-variance form, same normal-
+    approximation caveat as studentTTest."""
+    v = _d(v)
+    i1 = (idx if isinstance(idx, Column) else F.lit(idx)).cast("int") != 0
+    n0 = F.sum(F.when(~i1, 1).otherwise(0)).cast("double")
+    n1 = F.sum(F.when(i1, 1).otherwise(0)).cast("double")
+    s0 = F.sum(F.when(~i1, v))
+    s1 = F.sum(F.when(i1, v))
+    q0 = F.sum(F.when(~i1, v * v))
+    q1 = F.sum(F.when(i1, v * v))
+    m0, m1 = s0 / n0, s1 / n1
+    var0 = (q0 - s0 * s0 / n0) / (n0 - 1)
+    var1 = (q1 - s1 * s1 / n1) / (n1 - 1)
+    t = (m0 - m1) / F.sqrt(var0 / n0 + var1 / n1)
+    return F.struct(
+        t.alias("t_statistic"), _two_sided_p(t).alias("p_value")
+    )
+
+
+# ------------------------------------------------- sorted-array folds
+
+
+def _sorted_pairs(a: Column, b: Column) -> Column:
+    """collect_list of (a, b) structs, lexicographically sorted —
+    the per-group event tape every fold below walks."""
+    return F.sort_array(
+        F.collect_list(F.struct(a.alias("a"), b.alias("b")))
+    )
+
+
+def delta_sum_timestamp(v, ts) -> Column:
+    """CH deltaSumTimestamp(value, ts): sum of positive deltas between
+    consecutive values in ts order — deterministic (the ts sort fixes
+    the walk)."""
+    tape = _sorted_pairs(
+        (ts if isinstance(ts, Column) else F.lit(ts)), _d(v)
+    )
+    out = F.aggregate(
+        tape,
+        F.struct(
+            F.lit(0.0).alias("total"),
+            F.lit(None).cast("double").alias("prev"),
+        ),
+        lambda acc, e: F.struct(
+            (
+                acc["total"]
+                + F.when(
+                    acc["prev"].isNotNull() & (e["b"] > acc["prev"]),
+                    e["b"] - acc["prev"],
+                ).otherwise(F.lit(0.0))
+            ).alias("total"),
+            e["b"].alias("prev"),
+        ),
+    )
+    return out["total"]
+
+
+def delta_sum(v) -> Column:
+    """CH deltaSum(value): sum of positive deltas in INPUT order.
+    Exactly CH's caveat applies — the walk order is the collected
+    block order, deterministic only when the group arrives sorted in
+    one partition. Prefer deltaSumTimestamp."""
+    arr = F.collect_list(_d(v))
+    out = F.aggregate(
+        arr,
+        F.struct(
+            F.lit(0.0).alias("total"),
+            F.lit(None).cast("double").alias("prev"),
+        ),
+        lambda acc, e: F.struct(
+            (
+                acc["total"]
+                + F.when(
+                    acc["prev"].isNotNull() & (e > acc["prev"]),
+                    e - acc["prev"],
+                ).otherwise(F.lit(0.0))
+            ).alias("total"),
+            e.alias("prev"),
+        ),
+    )
+    return out["total"]
+
+
+def exponential_moving_average(v, t, halflife=1.0) -> Column:
+    """CH exponentialMovingAverage(halflife)(value, time): the
+    exponentially smoothed weighted average — walk the ts-sorted tape
+    decaying both the value sum and the weight sum by
+    2^(-Δt/halflife) at every step (CH's own streaming recurrence);
+    the result is Σ v·2^(-(t_max - t_i)/h) / Σ 2^(-(t_max - t_i)/h)."""
+    h = float(str(halflife)) if not isinstance(halflife, Column) else None
+    if h is None or h <= 0:
+        raise ValueError(
+            "exponentialMovingAverage needs a positive literal halflife"
+        )
+    tape = _sorted_pairs(
+        (t if isinstance(t, Column) else F.lit(t)).cast("double"), _d(v)
+    )
+    out = F.aggregate(
+        tape,
+        F.struct(
+            F.lit(0.0).alias("num"),
+            F.lit(0.0).alias("den"),
+            F.lit(None).cast("double").alias("prev_t"),
+        ),
+        lambda acc, e: F.struct(
+            (
+                acc["num"]
+                * F.coalesce(
+                    F.pow(
+                        F.lit(2.0), -(e["a"] - acc["prev_t"]) / F.lit(h)
+                    ),
+                    F.lit(1.0),
+                )
+                + e["b"]
+            ).alias("num"),
+            (
+                acc["den"]
+                * F.coalesce(
+                    F.pow(
+                        F.lit(2.0), -(e["a"] - acc["prev_t"]) / F.lit(h)
+                    ),
+                    F.lit(1.0),
+                )
+                + 1.0
+            ).alias("den"),
+            e["a"].alias("prev_t"),
+        ),
+    )
+    return out["num"] / out["den"]
+
+
+def interval_length_sum(s, e) -> Column:
+    """CH intervalLengthSum(start, end): total length of the UNION of
+    the group's [start, end] intervals — sorted sweep, overlap
+    merged."""
+    tape = _sorted_pairs(_d(s), _d(e))
+    out = F.aggregate(
+        tape,
+        F.struct(
+            F.lit(0.0).alias("total"),
+            F.lit(None).cast("double").alias("cov"),
+        ),
+        lambda acc, iv: F.struct(
+            (
+                acc["total"]
+                + F.when(
+                    acc["cov"].isNull() | (iv["a"] > acc["cov"]),
+                    iv["b"] - iv["a"],
+                )
+                .when(iv["b"] > acc["cov"], iv["b"] - acc["cov"])
+                .otherwise(F.lit(0.0))
+            ).alias("total"),
+            F.greatest(
+                F.coalesce(acc["cov"], iv["b"]), iv["b"]
+            ).alias("cov"),
+        ),
+    )
+    return out["total"]
+
+
+def max_intersections(s, e) -> Column:
+    """CH maxIntersections(start, end): the maximum number of
+    simultaneously open [start, end) intervals — +1/-1 event sweep;
+    ends sort before starts at equal time (half-open semantics)."""
+    ev = F.flatten(
+        F.collect_list(
+            F.array(
+                F.struct(_d(s).alias("a"), F.lit(1).alias("b")),
+                F.struct(_d(e).alias("a"), F.lit(-1).alias("b")),
+            )
+        )
+    )
+    out = F.aggregate(
+        F.sort_array(ev),
+        F.struct(F.lit(0).alias("cur"), F.lit(0).alias("best")),
+        lambda acc, p: F.struct(
+            (acc["cur"] + p["b"]).alias("cur"),
+            F.greatest(acc["best"], acc["cur"] + p["b"]).alias("best"),
+        ),
+    )
+    return out["best"].cast("long")
+
+
+def _run_end(arr: Column, i: Column, n: Column) -> Column:
+    """True when element i closes a run of equal sort-key 'a'.
+    try_element_at: reading past the end at i+1 must yield NULL, not
+    the ANSI out-of-bounds error."""
+    nxt = F.try_element_at(arr, i + 1)
+    return (i == n) | (F.element_at(arr, i)["a"] != nxt["a"])
+
+
+def mann_whitney_u_test(v, idx, alternative="two-sided", *extra) -> Column:
+    """CH mannWhitneyUTest([alternative[, continuity]])(value,
+    sample_index) -> (u_statistic, p_value). U of sample 0 from
+    average-tie ranks; p is the tie-corrected normal approximation
+    (CH's own large-sample path). The rank walk folds the value-
+    sorted tape once, flushing at run (tie-group) boundaries."""
+    tape = _sorted_pairs(
+        _d(v),
+        (idx if isinstance(idx, Column) else F.lit(idx)).cast("int"),
+    )
+    n = F.size(tape)
+    acc0 = F.struct(
+        F.lit(0.0).alias("r0"),     # rank-sum of sample 0
+        F.lit(0.0).alias("ties"),   # Σ (t^3 - t) over tie groups
+        F.lit(0).alias("rlen"),     # current run length
+        F.lit(0).alias("rc0"),      # sample-0 members in current run
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        e = F.element_at(tape, i)
+        rlen = acc["rlen"] + 1
+        rc0 = acc["rc0"] + F.when(e["b"] == 0, 1).otherwise(0)
+        closes = _run_end(tape, i, n)
+        # run spans positions [i - rlen + 1, i]; average rank is the
+        # midpoint of that 1-based range
+        avg_rank = (
+            (i - rlen + 1).cast("double") + i.cast("double")
+        ) / 2.0
+        return F.struct(
+            F.when(
+                closes, acc["r0"] + rc0.cast("double") * avg_rank
+            )
+            .otherwise(acc["r0"])
+            .alias("r0"),
+            F.when(
+                closes,
+                acc["ties"]
+                + rlen.cast("double") * rlen * rlen
+                - rlen.cast("double"),
+            )
+            .otherwise(acc["ties"])
+            .alias("ties"),
+            F.when(closes, F.lit(0)).otherwise(rlen).alias("rlen"),
+            F.when(closes, F.lit(0)).otherwise(rc0).alias("rc0"),
+        )
+
+    folded = F.aggregate(F.sequence(F.lit(1), n), acc0, step)
+    idx_c = (idx if isinstance(idx, Column) else F.lit(idx)).cast("int")
+    n0 = F.sum(F.when(idx_c == 0, 1).otherwise(0)).cast("double")
+    n1 = F.sum(F.when(idx_c != 0, 1).otherwise(0)).cast("double")
+    nn = n0 + n1
+    u0 = folded["r0"] - n0 * (n0 + 1) / 2
+    mean_u = n0 * n1 / 2
+    var_u = (
+        n0 * n1 / 12.0 * ((nn + 1) - folded["ties"] / (nn * (nn - 1)))
+    )
+    z = (u0 - mean_u) / F.sqrt(var_u)
+    alt = str(alternative).strip("'\"").lower()
+    if alt in ("two-sided", "two_sided"):
+        p = _two_sided_p(z)
+    elif alt == "greater":
+        p = 1.0 - _norm_cdf(z)
+    elif alt == "less":
+        p = _norm_cdf(z)
+    else:
+        raise ValueError(f"unknown alternative {alternative!r}")
+    return F.struct(u0.alias("u_statistic"), p.alias("p_value"))
+
+
+def kolmogorov_smirnov_test(v, idx, *params) -> Column:
+    """CH kolmogorovSmirnovTest(['two-sided'[, 'asymptotic']])(value,
+    sample_index) -> (d_statistic, p_value). D = max ECDF gap over the
+    merged sorted tape, evaluated at tie-group boundaries; p is the
+    Kolmogorov asymptotic series with the Stephens small-sample
+    correction."""
+    tape = _sorted_pairs(
+        _d(v),
+        (idx if isinstance(idx, Column) else F.lit(idx)).cast("int"),
+    )
+    n = F.size(tape)
+    idx_c = (idx if isinstance(idx, Column) else F.lit(idx)).cast("int")
+    n0 = F.sum(F.when(idx_c == 0, 1).otherwise(0)).cast("double")
+    n1 = F.sum(F.when(idx_c != 0, 1).otherwise(0)).cast("double")
+    acc0 = F.struct(
+        F.lit(0.0).alias("c0"),
+        F.lit(0.0).alias("c1"),
+        F.lit(0.0).alias("d"),
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        e = F.element_at(tape, i)
+        c0 = acc["c0"] + F.when(e["b"] == 0, 1.0).otherwise(0.0)
+        c1 = acc["c1"] + F.when(e["b"] != 0, 1.0).otherwise(0.0)
+        gap = F.abs(c0 / n0 - c1 / n1)
+        return F.struct(
+            c0.alias("c0"),
+            c1.alias("c1"),
+            F.when(
+                _run_end(tape, i, n) & (gap > acc["d"]), gap
+            )
+            .otherwise(acc["d"])
+            .alias("d"),
+        )
+
+    d = F.aggregate(F.sequence(F.lit(1), n), acc0, step)["d"]
+    ne = n0 * n1 / (n0 + n1)
+    lam = (F.sqrt(ne) + 0.12 + 0.11 / F.sqrt(ne)) * d
+    # 2 Σ (-1)^(k-1) e^(-2 k² λ²), 25 terms (converges in far fewer)
+    p = F.aggregate(
+        F.sequence(F.lit(1), F.lit(25)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + 2.0
+        * F.pow(F.lit(-1.0), (k - 1).cast("double"))
+        * F.exp(-2.0 * k.cast("double") * k.cast("double") * lam * lam),
+    )
+    p = F.greatest(F.lit(0.0), F.least(F.lit(1.0), p))
+    return F.struct(d.alias("d_statistic"), p.alias("p_value"))
+
+
+def histogram_agg(x, nbins=10) -> Column:
+    """histogram(n)(x) -> array<(lo, hi, cnt)> over n EQUAL-WIDTH
+    bins. Divergence: CH's histogram is an adaptive streaming sketch
+    whose bin edges depend on arrival order (non-deterministic under
+    shuffle); the equal-width form is deterministic and mergeable —
+    the property a distributed engine actually wants."""
+    nb = int(float(str(nbins)))
+    if nb <= 0:
+        raise ValueError("histogram needs a positive bin count")
+    arr = F.collect_list(_d(x))
+    lo, hi = F.array_min(arr), F.array_max(arr)
+    width = F.when(hi > lo, (hi - lo) / nb).otherwise(F.lit(1.0))
+
+    def bucket(v: Column) -> Column:
+        return F.least(
+            F.floor((v - lo) / width).cast("int"), F.lit(nb - 1)
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(nb - 1)),
+        lambda b: F.struct(
+            (lo + b.cast("double") * width).alias("lo"),
+            (lo + (b + 1).cast("double") * width).alias("hi"),
+            F.size(F.filter(arr, lambda v: bucket(v) == b)).cast(
+                "long"
+            ).alias("cnt"),
+        ),
+    )
+
+
+_SPARKBAR_LEVELS = " ▁▂▃▄▅▆▇█"
+
+
+def sparkbar_agg(x, *rest) -> Column:
+    """sparkbar(width)(x[, y]) -> unicode bar string: the x range
+    splits into ``width`` equal buckets, each rendered as one of nine
+    block glyphs scaled to the bucket's Σy (Σ1 when y is omitted).
+    ``rest`` disambiguates the optional y column (a Column) from the
+    trailing width literal (a plain number)."""
+    y, nbins = None, 8
+    for r in rest:
+        if isinstance(r, Column):
+            y = r
+        else:
+            nbins = r
+    nb = int(float(str(nbins)))
+    if nb <= 0:
+        raise ValueError("sparkbar needs a positive width")
+    yv = _d(y) if y is not None else F.lit(1.0)
+    arr = F.collect_list(F.struct(_d(x).alias("a"), yv.alias("b")))
+    lo = F.array_min(F.transform(arr, lambda e: e["a"]))
+    hi = F.array_max(F.transform(arr, lambda e: e["a"]))
+    width = F.when(hi > lo, (hi - lo) / nb).otherwise(F.lit(1.0))
+    sums = F.transform(
+        F.sequence(F.lit(0), F.lit(nb - 1)),
+        lambda b: F.aggregate(
+            F.filter(
+                arr,
+                lambda e: F.least(
+                    F.floor((e["a"] - lo) / width).cast("int"),
+                    F.lit(nb - 1),
+                )
+                == b,
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e["b"],
+        ),
+    )
+    mx = F.array_max(sums)
+    glyphs = F.array(*[F.lit(ch) for ch in _SPARKBAR_LEVELS])
+    return F.array_join(
+        F.transform(
+            sums,
+            lambda s: F.element_at(
+                glyphs,
+                F.when((mx <= 0) | (s <= 0), F.lit(1)).otherwise(
+                    F.least(
+                        F.ceil(s / mx * 8).cast("int") + 1, F.lit(9)
+                    )
+                ),
+            ),
+        ),
+        "",
+    )

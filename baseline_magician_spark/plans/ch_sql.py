@@ -129,6 +129,13 @@ _AGGS = {
     "uniqupto", "quantilegk",
     "largesttrianglethreebuckets", "lttb",
     "grouparraysorted", "approx_top_k", "approx_top_count",
+    # statistical-test / interval family (functions/stats_tests.py)
+    "simplelinearregression", "boundingratio", "entropy",
+    "groupbitmap", "deltasum", "deltasumtimestamp",
+    "exponentialmovingaverage", "intervallengthsum",
+    "maxintersections", "studentttest", "welchttest",
+    "mannwhitneyutest", "kolmogorovsmirnovtest", "histogram",
+    "sparkbar",
 }
 
 # CH parametric-aggregate families — ``fn(params)(args)`` spelling,
@@ -145,6 +152,11 @@ _PARAMETRIC_AGGS = {
     # param = window seconds / sequence pattern; the compile path
     # special-cases these before the quantile-levels branch
     "windowfunnel", "sequencematch", "sequencecount",
+    # two-inner-column parametric stats (params ride behind the two
+    # compiled columns via the topkweighted-style branch)
+    "exponentialmovingaverage", "sparkbar", "mannwhitneyutest",
+    "studentttest", "welchttest", "kolmogorovsmirnovtest",
+    "histogram",
 }
 
 _TOKEN = re.compile(
@@ -1410,21 +1422,24 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             levels = [float(_literal_value(a)) for a in node.args[2:]]
             return fn(first, None, *(levels or ()))
         if lname in (
-            "topkweighted", "largesttrianglethreebuckets", "lttb"
+            "topkweighted", "largesttrianglethreebuckets", "lttb",
+            "exponentialmovingaverage", "sparkbar", "mannwhitneyutest",
+            "studentttest", "welchttest", "kolmogorovsmirnovtest",
+            "histogram",
         ) and len(node.args) >= 2:
-            # two COLUMN args + one trailing literal param — the
-            # generic branch below would read the second column as a
-            # level
-            extra = (
-                (_literal_value(node.args[2]),)
-                if len(node.args) > 2
-                else ()  # each shim's own default applies
-            )
-            return fn(
-                _compile(node.args[0], env),
-                _compile(node.args[1], env),
-                *extra,
-            )
+            # multi-COLUMN parametric aggregates — the generic branch
+            # below would read the second column as a level. The
+            # parser appends the fn(params)(cols) params AFTER the
+            # inner columns; split on the trailing run of bare
+            # literals so each shim gets (cols..., params...)
+            split = len(node.args)
+            while split > 1 and node.args[split - 1].kind in (
+                "str", "num"
+            ):
+                split -= 1
+            cols = [_compile(a, env) for a in node.args[:split]]
+            lits = [_literal_value(a) for a in node.args[split:]]
+            return fn(*cols, *lits)
         if lname in _PARAMETRIC_AGGS and len(node.args) > 1:
             # quantile levels ride as trailing literal args — Spark's
             # percentile functions need foldable levels, so they pass
