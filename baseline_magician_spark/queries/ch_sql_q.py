@@ -2229,3 +2229,220 @@ ORDER BY lang
 )
 def ch_sql_string_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_R6B_STRINGS_SQL, _tables(spark, sf_dir, "documents"))
+
+
+# Statistical-test aggregates end-to-end (round 6): two-sample tests
+# over the events value column split by user parity, plus regression
+# and bounding-box slopes. The oracle rebuilds each statistic from
+# first principles in DuckDB — conditional moments for the t-tests,
+# average-tie window ranks for Mann-Whitney U, ECDF gap maxima for
+# the KS distance — and both sides round to 6 decimals (the corr/
+# covar precedent: double-sum association differs between engines in
+# the last ulps).
+_STAT_TESTS_SQL = """
+SELECT event_type,
+       round(tupleElement(studentTTest(value, user_id % 2),
+             't_statistic'), 6) AS t_stat,
+       round(tupleElement(welchTTest(value, user_id % 2),
+             't_statistic'), 6) AS w_stat,
+       round(tupleElement(mannWhitneyUTest(value, user_id % 2),
+             'u_statistic'), 1) AS u_stat,
+       round(tupleElement(kolmogorovSmirnovTest(value, user_id % 2),
+             'd_statistic'), 6) AS d_stat,
+       round(tupleElement(simpleLinearRegression(toFloat64(user_id),
+             value), 'k'), 6) AS slope,
+       round(boundingRatio(toFloat64(user_id), value), 6) AS br,
+       round(entropy(toInt64(value) % 4), 6) AS ent
+FROM fastnetmon.events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "ch_sql_stat_tests",
+    """
+    WITH base AS (
+      SELECT event_type, value, user_id % 2 AS idx, user_id
+      FROM events
+    ),
+    mom AS (
+      SELECT event_type,
+             count(*) FILTER (WHERE idx = 0) AS n0,
+             count(*) FILTER (WHERE idx = 1) AS n1,
+             avg(value) FILTER (WHERE idx = 0) AS m0,
+             avg(value) FILTER (WHERE idx = 1) AS m1,
+             var_samp(value) FILTER (WHERE idx = 0) AS v0,
+             var_samp(value) FILTER (WHERE idx = 1) AS v1,
+             regr_slope(value, CAST(user_id AS DOUBLE)) AS slope,
+             (max(value) - min(value))
+               / (max(CAST(user_id AS DOUBLE))
+                  - min(CAST(user_id AS DOUBLE))) AS br,
+             entropy(CAST(trunc(value) AS BIGINT) % 4) AS ent
+      FROM base GROUP BY event_type
+    ),
+    ranked AS (
+      SELECT event_type, value, idx,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn
+      FROM base
+    ),
+    aranked AS (
+      SELECT event_type, idx,
+             avg(rn) OVER (PARTITION BY event_type, value) AS arank
+      FROM ranked
+    ),
+    u AS (
+      SELECT event_type,
+             sum(arank) FILTER (WHERE idx = 0) AS r0
+      FROM aranked GROUP BY event_type
+    ),
+    ecdf AS (
+      SELECT event_type, value,
+             max(c0) AS c0m, max(c1) AS c1m
+      FROM (
+        SELECT event_type, value,
+               count(*) FILTER (WHERE idx = 0)
+                 OVER (PARTITION BY event_type ORDER BY value) AS c0,
+               count(*) FILTER (WHERE idx = 1)
+                 OVER (PARTITION BY event_type ORDER BY value) AS c1
+        FROM base
+      ) GROUP BY event_type, value
+    ),
+    ks AS (
+      SELECT e.event_type,
+             max(abs(e.c0m / CAST(m.n0 AS DOUBLE)
+                     - e.c1m / CAST(m.n1 AS DOUBLE))) AS d
+      FROM ecdf e JOIN mom m ON e.event_type = m.event_type
+      GROUP BY e.event_type
+    )
+    SELECT m.event_type,
+           round((m.m0 - m.m1) / sqrt(
+             (((m.n0 - 1) * m.v0 + (m.n1 - 1) * m.v1)
+              / (m.n0 + m.n1 - 2))
+             * (1.0 / m.n0 + 1.0 / m.n1)), 6) AS t_stat,
+           round((m.m0 - m.m1)
+             / sqrt(m.v0 / m.n0 + m.v1 / m.n1), 6) AS w_stat,
+           round(u.r0 - m.n0 * (m.n0 + 1) / 2.0, 1) AS u_stat,
+           round(ks.d, 6) AS d_stat,
+           round(m.slope, 6) AS slope,
+           round(m.br, 6) AS br,
+           round(m.ent, 6) AS ent
+    FROM mom m
+    JOIN u ON u.event_type = m.event_type
+    JOIN ks ON ks.event_type = m.event_type
+    ORDER BY m.event_type
+    """,
+)
+def ch_sql_stat_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_STAT_TESTS_SQL, _tables(spark, sf_dir, "events"))
+
+
+# Interval / order-dependent aggregates end-to-end (round 6):
+# synthetic [ts, ts + trunc(value) % 100 s] intervals per event type —
+# union length via the DuckDB gaps-and-islands rebuild, concurrency
+# peak via the +1/-1 sweep, positive-delta sum via lag. Tie-break on
+# (ts, value) matches the engine's lexicographic sort_array tape.
+_INTERVAL_AGGS_SQL = """
+SELECT event_type,
+       round(intervalLengthSum(toFloat64(toUnixTimestamp(ts)),
+             toFloat64(toUnixTimestamp(ts)) + intDiv(toInt64(value), 1)
+               % 100), 1) AS ils,
+       maxIntersections(toFloat64(toUnixTimestamp(ts)),
+             toFloat64(toUnixTimestamp(ts)) + intDiv(toInt64(value), 1)
+               % 100) AS mi,
+       round(deltaSumTimestamp(value, ts), 4) AS dst,
+       round(exponentialMovingAverage(3600)(value,
+             toFloat64(toUnixTimestamp(ts))), 4) AS ema
+FROM fastnetmon.events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "ch_sql_interval_aggs",
+    """
+    WITH iv AS (
+      -- floor(epoch): Spark's toUnixTimestamp truncates to whole
+      -- seconds; events.ts carries microseconds
+      SELECT event_type,
+             floor(epoch(ts)) AS s,
+             floor(epoch(ts))
+               + CAST(trunc(value) AS BIGINT) % 100 AS e,
+             value, ts
+      FROM events
+    ),
+    flag AS (
+      SELECT event_type, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY event_type
+                    ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR max(e) OVER (PARTITION BY event_type
+                    ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    isl AS (
+      SELECT event_type, s, e,
+             sum(new_island) OVER (PARTITION BY event_type
+               ORDER BY s, e) AS grp
+      FROM flag
+    ),
+    ils AS (
+      SELECT event_type,
+             sum(mx - mn) AS total
+      FROM (SELECT event_type, grp, min(s) AS mn, max(e) AS mx
+            FROM isl GROUP BY event_type, grp)
+      GROUP BY event_type
+    ),
+    ev AS (
+      SELECT event_type, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS d FROM iv
+    ),
+    mi AS (
+      SELECT event_type, max(cur) AS best
+      FROM (SELECT event_type,
+                   sum(d) OVER (PARTITION BY event_type
+                     ORDER BY t, d
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cur
+            FROM ev)
+      GROUP BY event_type
+    ),
+    dst AS (
+      SELECT event_type,
+             sum(CASE WHEN value > pv THEN value - pv ELSE 0 END)
+               AS total
+      FROM (SELECT event_type, value,
+                   lag(value) OVER (PARTITION BY event_type
+                     ORDER BY ts, value) AS pv
+            FROM iv)
+      GROUP BY event_type
+    ),
+    ema AS (
+      SELECT event_type,
+             sum(value * pow(2.0, (s - mx) / 3600.0))
+               / sum(pow(2.0, (s - mx) / 3600.0)) AS v
+      FROM (SELECT event_type, value, s,
+                   max(s) OVER (PARTITION BY event_type) AS mx
+            FROM iv)
+      GROUP BY event_type
+    )
+    SELECT ils.event_type,
+           round(ils.total, 1) AS ils,
+           CAST(mi.best AS BIGINT) AS mi,
+           round(dst.total, 4) AS dst,
+           round(ema.v, 4) AS ema
+    FROM ils
+    JOIN mi ON mi.event_type = ils.event_type
+    JOIN dst ON dst.event_type = ils.event_type
+    JOIN ema ON ema.event_type = ils.event_type
+    ORDER BY ils.event_type
+    """,
+)
+def ch_sql_interval_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_INTERVAL_AGGS_SQL, _tables(spark, sf_dir, "events"))

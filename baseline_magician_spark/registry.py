@@ -94,6 +94,8 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_round6_functions",
     "ch_sql_round6b_functions",
     "ch_sql_string_search",
+    "ch_sql_stat_tests",
+    "ch_sql_interval_aggs",
     # r2-stale TPC-H names deferred from the round-5 rotation
     "q7_volume_shipping",
     "q8_national_market_share",
@@ -117,8 +119,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_cms_heavy_hitters",
     "multimodal_decode_stats",
     "multimodal_audio_window_rms",
-    "ch_sql_group_rollup",
-    "ch_sql_limit_by",
     "ip_function_roundtrip",
     "ch_sql_lttb_downsample",
     "text_token_entropy",
