@@ -2165,3 +2165,21 @@ CH_FUNCTIONS.update(
         "sparkbar": sparkbar_agg,
     }
 )
+
+
+CH_FUNCTIONS.update(
+    {
+        # Joda-syntax variants: Spark's own date_format/to_timestamp
+        # patterns ARE Joda-style (JDK DateTimeFormatter), so the
+        # pattern passes through verbatim — no % translation
+        "formatDateTimeInJodaSyntax": lambda c, fmt: F.date_format(
+            _as_col(c), str(fmt).strip("'\"")
+        ),
+        "parseDateTimeInJodaSyntax": lambda s, fmt: F.to_timestamp(
+            _as_col(s), str(fmt).strip("'\"")
+        ),
+        "parseDateTimeInJodaSyntaxOrNull": lambda s, fmt: (
+            F.try_to_timestamp(_as_col(s), F.lit(str(fmt).strip("'\"")))
+        ),
+    }
+)

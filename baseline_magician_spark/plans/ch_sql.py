@@ -925,6 +925,9 @@ _LITERAL_ARG_POSITIONS = {
     "toweek": {1},
     "tofixedstring": {1},
     "parsedatetime": {1},
+    "formatdatetimeinjodasyntax": {1},
+    "parsedatetimeinjodasyntax": {1},
+    "parsedatetimeinjodasyntaxornull": {1},
     "totimezone": {1},
     "ilike": {1},
     "notilike": {1},
@@ -2864,12 +2867,74 @@ def _exec_select(
             return p.next()
         return None
 
+    def _values_rows() -> DataFrame:
+        # (VALUES (e, ...), (e, ...)) — inline table. Each element is
+        # a constant expression compiled to a Column (literals fold at
+        # plan time); default ANSI names col1..colN, renamed by the
+        # alias column list when given. Row count is query-text-sized
+        # — a literal relation, never a data-sized driver loop.
+        from functools import reduce
+        from pyspark.sql import SparkSession as _SS
+
+        sess = (
+            next(iter(tables.values())).sparkSession
+            if tables
+            else _SS.getActiveSession()
+        )
+        if sess is None:
+            raise ValueError("VALUES needs an active session")
+        frames = []
+        while True:
+            p.expect("(")
+            exprs = [p.parse_expr()]
+            while p.peek() == ",":
+                p.next()
+                exprs.append(p.parse_expr())
+            p.expect(")")
+            frames.append(
+                sess.range(1).select(
+                    *[
+                        _compile(e, tables).alias(f"col{j + 1}")
+                        for j, e in enumerate(exprs)
+                    ]
+                )
+            )
+            if p.peek() == ",":
+                p.next()
+                continue
+            break
+        return reduce(lambda a, b: a.unionAll(b), frames)
+
+    def _alias_columns(df: DataFrame) -> DataFrame:
+        # optional derived-column list: AS t(c1, c2)
+        if p.peek() != "(":
+            return df
+        p.next()
+        names = [p.next()]
+        while p.peek() == ",":
+            p.next()
+            names.append(p.next())
+        p.expect(")")
+        if len(names) != len(df.columns):
+            raise ValueError(
+                "alias column list arity mismatch: "
+                f"{len(names)} names for {len(df.columns)} columns"
+            )
+        return df.toDF(*names)
+
     def _table_ref() -> tuple[str | DataFrame, str | None]:
         if p.peek() == "(":
             # derived table: FROM (SELECT ...) [AS] alias — planned
             # inline (lazy); unnamed ones get a positional alias so
-            # qualified resolution still works downstream
+            # qualified resolution still works downstream. FROM
+            # (VALUES ...) builds the literal relation instead.
             p.next()
+            if p.peek_kw() == "values":
+                p.next()
+                vdf = _values_rows()
+                p.expect(")")
+                alias = _opt_alias() or f"_vt{p.i}"
+                return _alias_columns(vdf), alias
             sub = _exec_with_set_expr(p, tables, broadcast_dims)
             p.expect(")")
             return sub, _opt_alias() or f"_dt{p.i}"

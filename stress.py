@@ -374,6 +374,30 @@ def main() -> None:
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
         return token_entropy(docs).count()
 
+    def stat_tape_folds(k: int) -> int:
+        """Rank-fold statistical aggregates (Mann-Whitney U + KS +
+        deltaSumTimestamp): group count stays constant (event_type)
+        while group SIZE grows x4 per rung — the adversarial case for
+        sorted-tape folds, whose per-group state is the group itself.
+        sort_array is O(n log n) and the fold O(n); the slope should
+        stay near-linear (the log factor rides inside the x6 bar)."""
+        from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+        ev = replicate(ev0, k, ["event_id", "user_id"], salt_text=False)
+        out = run_ch_query(
+            """
+            SELECT event_type,
+                   tupleElement(mannWhitneyUTest(value, user_id % 2),
+                       'u_statistic') AS u,
+                   tupleElement(kolmogorovSmirnovTest(value,
+                       user_id % 2), 'd_statistic') AS d,
+                   deltaSumTimestamp(value, event_id) AS ds
+            FROM events GROUP BY event_type
+            """,
+            {"events": ev},
+        )
+        return out.count()
+
     ops = {
         "q1_agg": q1_agg,
         "minhash_lsh_pairs": minhash,
@@ -393,6 +417,7 @@ def main() -> None:
         "dsir_importance": dsir,
         "duplicated_spans": dup_spans,
         "token_entropy": entropy,
+        "stat_tape_folds": stat_tape_folds,
     }
 
     times: dict[str, dict[int, float]] = {name: {} for name in ops}

@@ -295,3 +295,16 @@ def test_randomness_shapes(tdf):
     assert 2.0 <= _one(tdf, "randUniform(2, 3)") < 3.0
     assert 0.0 <= _one(tdf, "randCanonical()") < 1.0
     assert isinstance(_one(tdf, "randNormal(10, 0.001)"), float)
+
+
+def test_joda_syntax_variants(tdf):
+    assert (
+        _one(tdf, "formatDateTimeInJodaSyntax(toDateTime('2024-03-15 10:23:45'), 'yyyy/MM/dd HH:mm')")
+        == "2024/03/15 10:23"
+    )
+    assert _one(
+        tdf, "parseDateTimeInJodaSyntax('15|03|2024', 'dd|MM|yyyy')"
+    ) == datetime.datetime(2024, 3, 15)
+    assert _one(
+        tdf, "parseDateTimeInJodaSyntaxOrNull('junk', 'dd|MM|yyyy')"
+    ) is None

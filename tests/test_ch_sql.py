@@ -2887,3 +2887,38 @@ def test_approx_aggregate_alias_family(spark):
     assert abs(r["qt"] - 500) <= 10
     assert abs(r["qd"] - 900) <= 10
     assert abs(r["qdet"] - 500) <= 10
+
+
+def test_values_inline_table(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    env = {"t": spark.createDataFrame([(1, "a"), (2, "b")], "id int, k string")}
+    out = run_ch_query(
+        "SELECT * FROM (VALUES (1, 'x'), (2, 'y')) AS v(n, s) ORDER BY n",
+        env,
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, "x"), (2, "y")]
+    # default ANSI names col1..colN
+    out = run_ch_query(
+        "SELECT col2 FROM (VALUES (1, 'x')) ", env
+    ).collect()
+    assert out[0].col2 == "x"
+    # joins like any relation
+    out = run_ch_query(
+        "SELECT t.k FROM t JOIN (VALUES (2, 'two')) AS v(n, s) "
+        "ON t.id = v.n",
+        env,
+    ).collect()
+    assert [r.k for r in out] == ["b"]
+
+
+def test_values_arity_mismatch_raises(spark):
+    import pytest as _pytest
+
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    env = {"t": spark.range(1).toDF("id")}
+    with _pytest.raises(ValueError, match="arity"):
+        run_ch_query(
+            "SELECT * FROM (VALUES (1, 2)) AS v(a)", env
+        )

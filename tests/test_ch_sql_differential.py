@@ -51,9 +51,11 @@ def _where(rng: random.Random) -> str:
             lo = rng.randint(0, 40000)
             preds.append(f"{col} BETWEEN {lo} AND {lo + rng.randint(1, 20000)}")
         elif kind < 0.3:
+            # ILIKE is native in both engines (round-6b)
             preds.append(
-                f"event_type {rng.choice(['LIKE', 'NOT LIKE'])} "
-                f"'{rng.choice(['c%', '%ck', '%e%', '_iew'])}'"
+                f"event_type "
+                f"{rng.choice(['LIKE', 'NOT LIKE', 'ILIKE', 'NOT ILIKE'])} "
+                f"'{rng.choice(['c%', '%ck', '%e%', '_iew', 'C%', '%ICK'])}'"
             )
         elif kind < 0.4:
             preds.append(
@@ -468,6 +470,37 @@ def _gen_array_literal_query(rng: random.Random) -> str:
     )
 
 
+def _gen_intmath_query(rng: random.Random) -> str:
+    # gcd/lcm spell identically in CH and DuckDB (round-6b); integer-
+    # exact so the shared track compares raw strings
+    g = rng.randint(2, 30)
+    fn = rng.choice(["gcd", "lcm"])
+    return (
+        f"SELECT user_id % {rng.randint(2, 5)} AS k, "
+        f"sum({fn}(event_id % 1000, {g})) AS s, "
+        f"max({fn}(user_id % 360, {g})) AS mx, count(*) AS n "
+        f"FROM events{_where(rng)} GROUP BY k ORDER BY k"
+    )
+
+
+def _gen_values_query(rng: random.Random) -> str:
+    # (VALUES ...) inline tables spell identically in both engines
+    # when the alias column list is explicit; integer literals only
+    # (literal arithmetic coerces differently)
+    n = rng.randint(2, 4)
+    rows = ", ".join(
+        f"({rng.randint(0, 5)}, '{rng.choice(_STR_VALS)}')"
+        for _ in range(n)
+    )
+    w = _where(rng)
+    return (
+        f"SELECT v.s AS s, count(*) AS n, sum(user_id % 7) AS u "
+        f"FROM events JOIN (VALUES {rows}) AS v(m, s) "
+        f"ON events.user_id % 6 = v.m{w} "
+        f"GROUP BY v.s ORDER BY s"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
     return rng.choice(
         [_gen_agg_query, _gen_agg_query, _gen_distinct_query,
@@ -479,7 +512,8 @@ def _gen_query(rng: random.Random) -> str:
          _gen_named_window_query, _gen_recursive_cte_query,
          _gen_nested_with_query, _gen_interval_query,
          _gen_distinct_on_query, _gen_string_ansi_query,
-         _gen_array_literal_query]
+         _gen_array_literal_query, _gen_intmath_query,
+         _gen_values_query]
     )(rng)
 
 
@@ -846,6 +880,136 @@ def _gen_semi_join_pair(rng: random.Random) -> tuple[str, str]:
     )
 
 
+def _gen_string_search_pair(rng: random.Random) -> tuple[str, str]:
+    # round-6b string search: countSubstrings vs the length-delta
+    # identity, hasToken vs the boundary regex, and calendar shims
+    needle = rng.choice(["ck", "ic", "vi", "e"])
+    tok = rng.choice(["click", "view", "purchase", "error"])
+    w = _where(rng)
+    form = rng.randrange(3)
+    if form == 0:
+        return (
+            f"SELECT sum(countSubstrings(event_type, '{needle}')) AS s, "
+            f"count(*) AS n FROM events{w}",
+            f"SELECT CAST(sum((length(event_type) - "
+            f"length(replace(event_type, '{needle}', ''))) "
+            f"/ {len(needle)}) AS BIGINT) AS s, "
+            f"count(*) AS n FROM events{w}",
+        )
+    if form == 1:
+        return (
+            f"SELECT user_id % 3 AS k, "
+            f"countIf(hasToken(event_type, '{tok}')) AS h "
+            f"FROM events{w} GROUP BY k ORDER BY k",
+            f"SELECT user_id % 3 AS k, "
+            f"count(*) FILTER (WHERE regexp_matches(event_type, "
+            f"'(^|[^A-Za-z0-9_]){tok}($|[^A-Za-z0-9_])')) AS h "
+            f"FROM events{w} GROUP BY k ORDER BY k",
+        )
+    return (
+        f"SELECT toMonday(toDate(ts)) AS wk, "
+        f"max(toDayOfYear(toDate(ts))) AS doy, count(*) AS n "
+        f"FROM events{w} GROUP BY wk ORDER BY wk",
+        f"SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, "
+        f"max(dayofyear(ts)) AS doy, count(*) AS n "
+        f"FROM events{w} GROUP BY wk ORDER BY wk",
+    )
+
+
+def _gen_stats_agg_pair(rng: random.Random) -> tuple[str, str]:
+    # statistical/interval aggregates vs first-principles DuckDB
+    # rebuilds — integer-valued inputs keep every form float-exact
+    # except entropy (few-term float sum), which rounds to 6
+    w = _where(rng)
+    form = rng.randrange(4)
+    if form == 0:
+        # no WHERE: a filter that matches nothing would compare the
+        # engine's empty-group 0.0 against DuckDB's NULL sum
+        w = ""
+        p = rng.choice([50, 97, 193])
+        ch = (
+            f"SELECT round(tupleElement(mannWhitneyUTest("
+            f"toFloat64(event_id % {p}), user_id % 2), "
+            f"'u_statistic'), 1) AS u FROM events{w}"
+        )
+        duck = (
+            f"WITH base AS (SELECT CAST(event_id % {p} AS DOUBLE) AS v, "
+            f"user_id % 2 AS idx FROM events{w}), "
+            "r AS (SELECT idx, v, row_number() OVER (ORDER BY v) AS rn "
+            "FROM base), "
+            "a AS (SELECT idx, avg(rn) OVER (PARTITION BY v) AS ar "
+            "FROM r) "
+            "SELECT round(sum(ar) FILTER (WHERE idx = 0) "
+            "- (SELECT count(*) FROM base WHERE idx = 0) "
+            "* ((SELECT count(*) FROM base WHERE idx = 0) + 1) / 2.0, 1) "
+            "AS u FROM a"
+        )
+        return ch, duck
+    if form == 1:
+        w = ""  # same empty-input guard as form 0
+        m, kk = rng.randint(5, 20), rng.randint(3, 30)
+        ch = (
+            f"SELECT intervalLengthSum(toFloat64(user_id % {m}), "
+            f"toFloat64(user_id % {m}) + event_id % {kk} + 1) AS ils, "
+            f"maxIntersections(toFloat64(user_id % {m}), "
+            f"toFloat64(user_id % {m}) + event_id % {kk} + 1) AS mi "
+            f"FROM events{w}"
+        )
+        duck = (
+            f"WITH iv AS (SELECT CAST(user_id % {m} AS DOUBLE) AS s, "
+            f"CAST(user_id % {m} AS DOUBLE) + event_id % {kk} + 1 AS e "
+            f"FROM events{w}), "
+            "flag AS (SELECT s, e, CASE WHEN s > max(e) OVER "
+            "(ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING) OR max(e) OVER (ORDER BY s, e ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL "
+            "THEN 1 ELSE 0 END AS ni FROM iv), "
+            "isl AS (SELECT s, e, sum(ni) OVER (ORDER BY s, e) AS g "
+            "FROM flag), "
+            "ev AS (SELECT s AS t, 1 AS d FROM iv "
+            "UNION ALL SELECT e AS t, -1 AS d FROM iv) "
+            "SELECT (SELECT sum(mx - mn) FROM (SELECT g, min(s) AS mn, "
+            "max(e) AS mx FROM isl GROUP BY g)) AS ils, "
+            "(SELECT CAST(max(cur) AS BIGINT) FROM (SELECT sum(d) OVER "
+            "(ORDER BY t, d ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS cur FROM ev)) AS mi"
+        )
+        return ch, duck
+    if form == 2:
+        p = rng.choice([20, 50, 100])
+        ch = (
+            f"SELECT user_id % 2 AS k, "
+            f"deltaSumTimestamp(toFloat64(event_id % {p}), event_id) "
+            f"AS d FROM events{w} GROUP BY k ORDER BY k"
+        )
+        duck = (
+            f"SELECT k, sum(CASE WHEN v > pv THEN v - pv ELSE 0 END) "
+            "AS d FROM (SELECT user_id % 2 AS k, "
+            f"CAST(event_id % {p} AS DOUBLE) AS v, "
+            f"lag(CAST(event_id % {p} AS DOUBLE)) OVER "
+            "(PARTITION BY user_id % 2 ORDER BY event_id) AS pv "
+            f"FROM events{w}) GROUP BY k ORDER BY k"
+        )
+        return ch, duck
+    m = rng.randint(2, 6)
+    ch = (
+        f"SELECT event_type AS k, "
+        f"boundingRatio(toFloat64(event_id), toFloat64(user_id % {m})) "
+        f"AS br, round(entropy(user_id % {m}), 6) AS e "
+        f"FROM events{w} GROUP BY k ORDER BY k"
+    )
+    duck = (
+        f"SELECT event_type AS k, "
+        f"(max(CAST(user_id % {m} AS DOUBLE)) "
+        f"- min(CAST(user_id % {m} AS DOUBLE))) "
+        "/ (max(CAST(event_id AS DOUBLE)) "
+        "- min(CAST(event_id AS DOUBLE))) AS br, "
+        f"round(entropy(user_id % {m}), 6) AS e "
+        f"FROM events{w} GROUP BY k ORDER BY k"
+    )
+    return ch, duck
+
+
 N_PAIRED = 78
 
 
@@ -857,7 +1021,8 @@ def _gen_pair(rng: random.Random) -> tuple[str, str]:
          _gen_tuple_in_subquery_pair, _gen_limit_ties_pair,
          _gen_combinator_pair, _gen_combinator_pair,
          _gen_map_pair, _gen_retention_pair, _gen_funnel_pair,
-         _gen_vector_pair, _gen_semi_join_pair]
+         _gen_vector_pair, _gen_semi_join_pair,
+         _gen_string_search_pair, _gen_stats_agg_pair]
     )(rng)
 
 

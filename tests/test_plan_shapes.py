@@ -418,3 +418,31 @@ def test_map_functions_jvm_side_single_shuffle(spark, queries):
     # one shuffle for the groupBy; the map construction/lookup rides
     # the projection
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_stat_tests_single_shuffle_jvm_folds(spark, queries):
+    # seven statistical aggregates (two of them sorted-tape rank
+    # folds) compile to ONE aggregation over one grouping shuffle —
+    # all JVM expressions, no Python stages, no extra exchanges
+    plan = plan_of(queries["ch_sql_stat_tests"](spark, SF_ORACLE))
+    ex = plan.count("Exchange hashpartitioning")
+    assert ex == 1, f"expected one grouping shuffle, saw {ex}"
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_interval_aggs_single_shuffle(spark, queries):
+    plan = plan_of(queries["ch_sql_interval_aggs"](spark, SF_ORACLE))
+    ex = plan.count("Exchange hashpartitioning")
+    assert ex == 1, f"expected one grouping shuffle, saw {ex}"
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_round6b_scalar_tranche_map_side_partials(spark, queries):
+    # the scalar tranche (string search, calendar, JSON) is pure
+    # Column expressions: no Python stages, ONE grouping shuffle, and
+    # map-side partial aggregation before it (the HOF-heavy exprs
+    # legitimately opt HashAggregate out of whole-stage codegen)
+    plan = plan_of(queries["ch_sql_string_search"](spark, SF_ORACLE))
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan or "partial_count" in plan
