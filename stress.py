@@ -420,6 +420,16 @@ def main() -> None:
         "stat_tape_folds": stat_tape_folds,
     }
 
+    # SPARK_GRAFT_STRESS_OPS=a,b,c re-runs a subset (a marginal rung
+    # under co-tenant load) without paying for the whole ladder
+    only = os.environ.get("SPARK_GRAFT_STRESS_OPS")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        unknown = keep - set(ops)
+        if unknown:
+            raise SystemExit(f"unknown stress ops: {sorted(unknown)}")
+        ops = {n: f for n, f in ops.items() if n in keep}
+
     times: dict[str, dict[int, float]] = {name: {} for name in ops}
     rows: dict[str, dict[int, int]] = {name: {} for name in ops}
     for k in FACTORS:
