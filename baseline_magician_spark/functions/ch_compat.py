@@ -2130,6 +2130,9 @@ CH_FUNCTIONS["mapContainsKeyLike"] = lambda m, pat: F.exists(
 
 from .stats_tests import (  # noqa: E402
     bounding_ratio,
+    contingency_coefficient,
+    cramers_v,
+    cramers_v_bias_corrected,
     delta_sum,
     delta_sum_timestamp,
     entropy_agg,
@@ -2143,6 +2146,7 @@ from .stats_tests import (  # noqa: E402
     simple_linear_regression,
     sparkbar_agg,
     student_t_test,
+    theils_u,
     welch_t_test,
 )
 
@@ -2163,6 +2167,10 @@ CH_FUNCTIONS.update(
         "kolmogorovSmirnovTest": kolmogorov_smirnov_test,
         "histogram": histogram_agg,
         "sparkbar": sparkbar_agg,
+        "cramersV": cramers_v,
+        "cramersVBiasCorrected": cramers_v_bias_corrected,
+        "theilsU": theils_u,
+        "contingency": contingency_coefficient,
     }
 )
 

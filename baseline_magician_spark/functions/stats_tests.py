@@ -478,6 +478,140 @@ def histogram_agg(x, nbins=10) -> Column:
     )
 
 
+# ------------------------------------- categorical association family
+#
+# cramersV / cramersVBiasCorrected / theilsU / contingency — CH's
+# association aggregates over two (categorical) columns. Shape: the
+# group's (x, y) pairs collect into ONE tape (Spark dedups the
+# identical collect_list buffer across the four expressions), the
+# contingency cells derive from it JVM-side, and every statistic is a
+# fold over the cells array — O(cells²) lookup cost, where cells is
+# the number of DISTINCT pairs (small for categorical data), never
+# O(rows²). Per-group state is O(group size), the same state CH's
+# own implementations carry.
+
+
+def _assoc_parts(x, y):
+    """(tape, cells, rowcnts, colcnts, n, r, c) shared by the four
+    association aggregates. cells is array<struct<x,y,cnt>>; rowcnts/
+    colcnts are array<struct<k,cnt>> marginals derived from cells."""
+    xs = F.coalesce(_col_str(x), F.lit("∅null"))
+    ys = F.coalesce(_col_str(y), F.lit("∅null"))
+    tape = F.collect_list(F.struct(xs.alias("x"), ys.alias("y")))
+    cells = F.transform(
+        F.array_distinct(tape),
+        lambda cv: F.struct(
+            cv["x"].alias("x"),
+            cv["y"].alias("y"),
+            F.size(F.filter(tape, lambda e: e == cv))
+            .cast("double")
+            .alias("cnt"),
+        ),
+    )
+
+    def marginal(field: str) -> Column:
+        keys = F.array_distinct(F.transform(tape, lambda e: e[field]))
+        return F.transform(
+            keys,
+            lambda kv: F.struct(
+                kv.alias("k"),
+                F.aggregate(
+                    cells,
+                    F.lit(0.0),
+                    lambda a, cc: a
+                    + F.when(cc[field] == kv, cc["cnt"]).otherwise(0.0),
+                ).alias("cnt"),
+            ),
+        )
+
+    rowcnts, colcnts = marginal("x"), marginal("y")
+    n = F.size(tape).cast("double")
+    r = F.size(rowcnts).cast("double")
+    c = F.size(colcnts).cast("double")
+    return tape, cells, rowcnts, colcnts, n, r, c
+
+
+def _marg_lookup(marg: Column, k: Column) -> Column:
+    return F.element_at(F.filter(marg, lambda m: m["k"] == k), 1)["cnt"]
+
+
+def _chi_squared(cells, rowcnts, colcnts, n) -> Column:
+    """Pearson χ² = Σ_cells (o - e)²/e with e = rowsum·colsum/n."""
+    return F.aggregate(
+        cells,
+        F.lit(0.0),
+        lambda a, cc: a
+        + (
+            (
+                cc["cnt"]
+                - _marg_lookup(rowcnts, cc["x"])
+                * _marg_lookup(colcnts, cc["y"])
+                / n
+            )
+            ** 2
+        )
+        / (
+            _marg_lookup(rowcnts, cc["x"])
+            * _marg_lookup(colcnts, cc["y"])
+            / n
+        ),
+    )
+
+
+def cramers_v(x, y) -> Column:
+    """CH cramersV(x, y) = sqrt(χ²/n / min(r-1, c-1)); NULL when
+    either column is constant (min(r-1, c-1) = 0)."""
+    _, cells, rowcnts, colcnts, n, r, c = _assoc_parts(x, y)
+    chi2 = _chi_squared(cells, rowcnts, colcnts, n)
+    den = F.least(r - 1, c - 1)
+    return F.when(den > 0, F.sqrt(chi2 / n / den))
+
+
+def cramers_v_bias_corrected(x, y) -> Column:
+    """CH cramersVBiasCorrected(x, y): the Bergsma-Wicher corrected
+    V — φ²_corr = max(0, χ²/n - (r-1)(c-1)/(n-1)), with the r/c
+    denominators shrunk the same way."""
+    _, cells, rowcnts, colcnts, n, r, c = _assoc_parts(x, y)
+    chi2 = _chi_squared(cells, rowcnts, colcnts, n)
+    phi2c = F.greatest(
+        F.lit(0.0), chi2 / n - (r - 1) * (c - 1) / (n - 1)
+    )
+    rc = r - (r - 1) ** 2 / (n - 1)
+    cc = c - (c - 1) ** 2 / (n - 1)
+    den = F.least(rc - 1, cc - 1)
+    return F.when(den > 0, F.sqrt(phi2c / den))
+
+
+def theils_u(x, y) -> Column:
+    """theilsU(x, y) = (H(x) - H(x|y)) / H(x) — the uncertainty
+    coefficient U(x|y) in natural log (the base cancels in the
+    ratio); NULL when H(x) = 0 (x constant). CH's doc leaves the
+    conditioning direction implicit; this is the standard
+    'information about x provided by y' form."""
+    _, cells, rowcnts, colcnts, n, _, _ = _assoc_parts(x, y)
+    hx = -F.aggregate(
+        rowcnts,
+        F.lit(0.0),
+        lambda a, m: a + (m["cnt"] / n) * F.log(m["cnt"] / n),
+    )
+    hxy = -F.aggregate(
+        cells,
+        F.lit(0.0),
+        lambda a, cc: a
+        + (cc["cnt"] / n)
+        * F.log(cc["cnt"] / _marg_lookup(colcnts, cc["y"])),
+    )
+    return F.when(hx > 0, (hx - hxy) / hx)
+
+
+def contingency_coefficient(x, y) -> Column:
+    """CH contingency(x, y) = sqrt(χ² / (χ² + n)) — Pearson's
+    contingency coefficient."""
+    _, cells, rowcnts, colcnts, n, _, _ = _assoc_parts(x, y)
+    chi2 = _chi_squared(cells, rowcnts, colcnts, n)
+    return F.sqrt(chi2 / (chi2 + n))
+
+
 _SPARKBAR_LEVELS = " ▁▂▃▄▅▆▇█"
 
 

@@ -136,6 +136,8 @@ _AGGS = {
     "maxintersections", "studentttest", "welchttest",
     "mannwhitneyutest", "kolmogorovsmirnovtest", "histogram",
     "sparkbar",
+    # categorical association family (functions/stats_tests.py)
+    "cramersv", "cramersvbiascorrected", "theilsu", "contingency",
 }
 
 # CH parametric-aggregate families — ``fn(params)(args)`` spelling,

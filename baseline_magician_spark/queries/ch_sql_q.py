@@ -2446,3 +2446,73 @@ ORDER BY event_type
 )
 def ch_sql_interval_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_INTERVAL_AGGS_SQL, _tables(spark, sf_dir, "events"))
+
+
+# Categorical association aggregates (round 6): cramersV /
+# cramersVBiasCorrected / theilsU / contingency over the documents
+# (lang, source) pair, grouped by a small derived key. The oracle
+# rebuilds each statistic from the contingency cell counts in DuckDB
+# — Pearson chi-squared from (o-e)^2/e over cells, the Bergsma-Wicher
+# correction, and the natural-log uncertainty coefficient — and both
+# sides round to 6 decimals (the stat-tests precedent).
+_ASSOCIATION_SQL = """
+SELECT n_chars % 3 AS grp,
+       round(cramersV(lang, source), 6) AS v,
+       round(cramersVBiasCorrected(lang, source), 6) AS vbc,
+       round(theilsU(lang, source), 6) AS u,
+       round(contingency(lang, source), 6) AS cg
+FROM fastnetmon.documents
+GROUP BY n_chars % 3
+ORDER BY grp
+"""
+
+
+@query(
+    "ch_sql_association_stats",
+    """
+    WITH pairs AS (
+      SELECT n_chars % 3 AS grp, lang AS x, source AS y FROM documents
+    ),
+    cells AS (
+      SELECT grp, x, y, CAST(count(*) AS DOUBLE) AS c
+      FROM pairs GROUP BY grp, x, y
+    ),
+    rows_ AS (SELECT grp, x, sum(c) AS rc FROM cells GROUP BY grp, x),
+    cols_ AS (SELECT grp, y, sum(c) AS cc FROM cells GROUP BY grp, y),
+    tot AS (
+      SELECT grp, sum(c) AS n,
+             CAST(count(DISTINCT x) AS DOUBLE) AS r,
+             CAST(count(DISTINCT y) AS DOUBLE) AS cdim
+      FROM cells GROUP BY grp
+    ),
+    agg AS (
+      SELECT c.grp,
+             sum(pow(c.c - r.rc*co.cc/t.n, 2) / (r.rc*co.cc/t.n))
+               AS chi2,
+             sum((c.c/t.n) * ln(c.c/co.cc)) AS s
+      FROM cells c
+      JOIN rows_ r ON c.grp = r.grp AND c.x = r.x
+      JOIN cols_ co ON c.grp = co.grp AND c.y = co.y
+      JOIN tot t ON c.grp = t.grp
+      GROUP BY c.grp
+    ),
+    hx AS (
+      SELECT r.grp, -sum((r.rc/t.n)*ln(r.rc/t.n)) AS hx
+      FROM rows_ r JOIN tot t ON r.grp = t.grp GROUP BY r.grp
+    )
+    SELECT t.grp,
+      round(sqrt(agg.chi2/t.n/least(t.r-1, t.cdim-1)), 6) AS v,
+      round(sqrt(greatest(0.0,
+              agg.chi2/t.n - (t.r-1)*(t.cdim-1)/(t.n-1))
+            / least(t.r - pow(t.r-1,2)/(t.n-1) - 1,
+                    t.cdim - pow(t.cdim-1,2)/(t.n-1) - 1)), 6) AS vbc,
+      round((hx.hx + agg.s) / hx.hx, 6) AS u,
+      round(sqrt(agg.chi2/(agg.chi2 + t.n)), 6) AS cg
+    FROM tot t
+    JOIN agg ON agg.grp = t.grp
+    JOIN hx ON hx.grp = t.grp
+    ORDER BY t.grp
+    """,
+)
+def ch_sql_association_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_ASSOCIATION_SQL, _tables(spark, sf_dir, "documents"))

@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_string_search",
     "ch_sql_stat_tests",
     "ch_sql_interval_aggs",
+    "ch_sql_association_stats",
     # r2-stale TPC-H names deferred from the round-5 rotation
     "q7_volume_shipping",
     "q8_national_market_share",
@@ -116,7 +117,6 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_hourly_rollup_merge",
     "text_gopher_quality",
     "text_tfidf_top_terms",
-    "text_cms_heavy_hitters",
     "multimodal_decode_stats",
     "multimodal_audio_window_rms",
     "ip_function_roundtrip",

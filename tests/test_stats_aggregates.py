@@ -223,3 +223,92 @@ def test_grouped_stats(tdf):
     ).collect()
     assert len(out) == 2
     assert all(r.mi >= 1 for r in out)
+
+
+# ------------------------------------- categorical association family
+
+
+@pytest.fixture(scope="module")
+def adf(spark):
+    # a 3x2 contingency table with a known chi-squared:
+    # cells (a,p)=4 (a,q)=1 (b,p)=1 (b,q)=4 (c,p)=2 (c,q)=3
+    cells = [
+        ("a", "p", 4), ("a", "q", 1),
+        ("b", "p", 1), ("b", "q", 4),
+        ("c", "p", 2), ("c", "q", 3),
+    ]
+    rows = [(x, y) for x, y, n in cells for _ in range(n)]
+    return spark.createDataFrame(rows, "x string, y string")
+
+
+def _assoc_ref():
+    obs = np.array([[4, 1], [1, 4], [2, 3]], dtype=float)
+    n = obs.sum()
+    rs = obs.sum(axis=1, keepdims=True)
+    cs = obs.sum(axis=0, keepdims=True)
+    exp = rs @ cs / n
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    return obs, n, rs.ravel(), cs.ravel(), chi2
+
+
+def test_cramers_v(adf):
+    _, n, rs, cs, chi2 = _assoc_ref()
+    want = math.sqrt(chi2 / n / min(len(rs) - 1, len(cs) - 1))
+    assert math.isclose(_one(adf, "cramersV(x, y)"), want, rel_tol=1e-9)
+
+
+def test_cramers_v_bias_corrected(adf):
+    _, n, rs, cs, chi2 = _assoc_ref()
+    r, c = len(rs), len(cs)
+    phi2c = max(0.0, chi2 / n - (r - 1) * (c - 1) / (n - 1))
+    rc = r - (r - 1) ** 2 / (n - 1)
+    cc = c - (c - 1) ** 2 / (n - 1)
+    want = math.sqrt(phi2c / min(rc - 1, cc - 1))
+    assert math.isclose(
+        _one(adf, "cramersVBiasCorrected(x, y)"), want, rel_tol=1e-9
+    )
+
+
+def test_theils_u(adf):
+    obs, n, rs, cs, _ = _assoc_ref()
+    hx = -sum(r / n * math.log(r / n) for r in rs)
+    hxy = -sum(
+        obs[i, j] / n * math.log(obs[i, j] / cs[j])
+        for i in range(obs.shape[0])
+        for j in range(obs.shape[1])
+        if obs[i, j] > 0
+    )
+    want = (hx - hxy) / hx
+    assert math.isclose(_one(adf, "theilsU(x, y)"), want, rel_tol=1e-9)
+
+
+def test_contingency_coefficient(adf):
+    _, n, _, _, chi2 = _assoc_ref()
+    want = math.sqrt(chi2 / (chi2 + n))
+    assert math.isclose(
+        _one(adf, "contingency(x, y)"), want, rel_tol=1e-9
+    )
+
+
+def test_association_constant_column_is_null(spark):
+    df = spark.createDataFrame(
+        [("a", "p"), ("a", "q"), ("a", "p")], "x string, y string"
+    )
+    got = run_ch_query(
+        "SELECT cramersV(x, y) AS v, theilsU(x, y) AS u FROM t",
+        {"t": df},
+    ).collect()[0]
+    assert got.v is None and got.u is None
+
+
+def test_association_null_category_counts(spark):
+    # NULL is its own category (the ∅null sentinel), matching the
+    # oracle's GROUP BY treatment of NULL as a distinct key
+    df = spark.createDataFrame(
+        [("a", "p"), (None, "q"), ("a", "q"), (None, "p"), ("a", "p")],
+        "x string, y string",
+    )
+    v = run_ch_query(
+        "SELECT cramersV(x, y) AS v FROM t", {"t": df}
+    ).collect()[0].v
+    assert v is not None and 0.0 <= v <= 1.0
