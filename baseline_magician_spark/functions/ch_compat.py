@@ -2175,6 +2175,29 @@ CH_FUNCTIONS.update(
 )
 
 
+from .geo import (  # noqa: E402
+    geo_distance,
+    geohash_decode,
+    geohash_encode,
+    great_circle_angle,
+    great_circle_distance,
+    point_in_ellipses,
+    point_in_polygon,
+)
+
+CH_FUNCTIONS.update(
+    {
+        "greatCircleDistance": great_circle_distance,
+        "geoDistance": geo_distance,
+        "greatCircleAngle": great_circle_angle,
+        "pointInPolygon": point_in_polygon,
+        "pointInEllipses": point_in_ellipses,
+        "geohashEncode": geohash_encode,
+        "geohashDecode": geohash_decode,
+    }
+)
+
+
 CH_FUNCTIONS.update(
     {
         # Joda-syntax variants: Spark's own date_format/to_timestamp

@@ -2516,3 +2516,94 @@ ORDER BY grp
 )
 def ch_sql_association_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_ASSOCIATION_SQL, _tables(spark, sf_dir, "documents"))
+
+
+# Geo function family (round 6): great-circle/WGS-84 distances,
+# central angle, point-in-polygon ray cast over a literal square, and
+# the geohash encode/decode round trip — all over deterministic
+# pseudo-coordinates derived from orders keys. The DuckDB oracle
+# re-spells the haversine trig directly and builds the geohash from
+# its closed form (bit k of the geohash is binary digit k of the
+# bisected coordinate fraction — floor((frac) * 2^(k+1)) % 2), and the
+# decoded cell center from the same fraction; every midpoint is a
+# dyadic rational, so both engines produce bit-identical centers.
+_GEO_SQL = """
+SELECT st,
+       count(*) AS n,
+       round(avg(greatCircleDistance(lon1, lat1, lon2, lat2)), 2)
+         AS gcd_avg,
+       round(avg(geoDistance(lon1, lat1, lon2, lat2)), 2) AS gd_avg,
+       round(avg(greatCircleAngle(lon1, lat1, lon2, lat2)), 6)
+         AS gca_avg,
+       sum(toInt64(pointInPolygon((px, py),
+         [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)])))
+         AS in_sq,
+       min(geohashEncode(lon1, lat1, 6)) AS gh_min,
+       round(min(tupleElement(
+         geohashDecode(geohashEncode(lon1, lat1, 6)), 1)), 6)
+         AS dec_lon_min
+FROM (
+  SELECT o_orderstatus AS st,
+         (o_orderkey % 360) - 179.5 AS lon1,
+         (o_custkey % 170) - 84.5 AS lat1,
+         ((o_orderkey * 7) % 360) - 179.5 AS lon2,
+         ((o_custkey * 3) % 170) - 84.5 AS lat2,
+         ((o_orderkey * 3) % 20) - 4.5 AS px,
+         ((o_custkey * 5) % 20) - 4.5 AS py
+  FROM fastnetmon.orders
+)
+GROUP BY st
+ORDER BY st
+"""
+
+
+@query(
+    "ch_sql_geo_functions",
+    """
+    WITH base AS (
+      SELECT o_orderstatus AS st,
+             (o_orderkey % 360) - 179.5 AS lon1,
+             (o_custkey % 170) - 84.5 AS lat1,
+             ((o_orderkey * 7) % 360) - 179.5 AS lon2,
+             ((o_custkey * 3) % 170) - 84.5 AS lat2,
+             ((o_orderkey * 3) % 20) - 4.5 AS px,
+             ((o_custkey * 5) % 20) - 4.5 AS py
+      FROM orders
+    ),
+    geo AS (
+      SELECT st, px, py,
+        2*asin(least(1.0, sqrt(
+          pow(sin(radians(lat2-lat1)/2), 2)
+          + cos(radians(lat1))*cos(radians(lat2))
+            *pow(sin(radians(lon2-lon1)/2), 2)))) AS ang,
+        6378137.0 - 21385.0
+          * pow(sin(radians((lat1+lat2)/2)), 2) AS wgs_r,
+        array_to_string(list_transform(range(6), j ->
+          substring('0123456789bcdefghjkmnpqrstuvwxyz',
+            1 + CAST(list_sum(list_transform(range(5), b ->
+              (CAST(floor(CASE WHEN (5*j+b) % 2 = 0
+                THEN ((lon1+180)/360) * power(2, ((5*j+b)//2) + 1)
+                ELSE ((lat1+90)/180) * power(2, ((5*j+b-1)//2) + 1)
+                END) AS BIGINT) % 2)
+              * CAST(power(2, 4-b) AS BIGINT))) AS INT), 1)), '')
+          AS gh,
+        -180 + 360*(floor(((lon1+180)/360) * 32768) + 0.5)/32768
+          AS dec_lon
+      FROM base
+    )
+    SELECT st,
+           count(*) AS n,
+           round(avg(ang * 6371000.0), 2) AS gcd_avg,
+           round(avg(ang * wgs_r), 2) AS gd_avg,
+           round(avg(degrees(ang)), 6) AS gca_avg,
+           sum(CASE WHEN px > 0 AND px < 10 AND py > 0 AND py < 10
+               THEN 1 ELSE 0 END) AS in_sq,
+           min(gh) AS gh_min,
+           round(min(dec_lon), 6) AS dec_lon_min
+    FROM geo
+    GROUP BY st
+    ORDER BY st
+    """,
+)
+def ch_sql_geo_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_GEO_SQL, _tables(spark, sf_dir, "orders"))

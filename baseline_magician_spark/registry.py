@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_stat_tests",
     "ch_sql_interval_aggs",
     "ch_sql_association_stats",
+    "ch_sql_geo_functions",
     # r2-stale TPC-H names deferred from the round-5 rotation
     "q7_volume_shipping",
     "q8_national_market_share",
@@ -118,7 +119,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_gopher_quality",
     "text_tfidf_top_terms",
     "multimodal_decode_stats",
-    "multimodal_audio_window_rms",
     "ip_function_roundtrip",
     "ch_sql_lttb_downsample",
     "text_token_entropy",
