@@ -2214,3 +2214,252 @@ CH_FUNCTIONS.update(
         ),
     }
 )
+
+
+# Round-6c everyday tranche: string similarity (functions/
+# text_similarity.py), readable formatting, binary/char utilities,
+# array rotate/shift, epoch64 / snowflake / Modified-Julian calendar
+# bridges, age/timeDiff, regexp extraction and splitting. All pure
+# Column expressions; divergences are documented at each definition.
+# ---------------------------------------------------------------------------
+
+from .text_similarity import (  # noqa: E402
+    byte_hamming_distance,
+    damerau_levenshtein,
+    edit_distance,
+    ngram_distance,
+    soundex_difference,
+    string_jaccard_index,
+)
+
+
+def _chars_r6c(s) -> Column:
+    return F.filter(F.split(_as_col(s), ""), lambda c: c != "")
+
+
+def _unbin(s) -> Column:
+    """CH unbin('0011000100110010') -> '12': 8-bit groups to chars;
+    a ragged leading group is left-padded with zeros (CH reads the
+    string the same way)."""
+    c = _as_col(s)
+    padded = F.lpad(
+        c, ((F.length(c) + 7) / 8).cast("int") * 8, "0"
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length(padded) / 8, F.lit(1)).cast("int")),
+        F.lit(""),
+        lambda acc, i: F.concat(
+            acc,
+            F.char(
+                F.conv(
+                    F.substring(padded, (i - 1) * 8 + 1, F.lit(8)),
+                    2,
+                    10,
+                ).cast("int")
+            ),
+        ),
+    )
+
+
+def _format_readable_time_delta(sec, *unit) -> Column:
+    """CH formatReadableTimeDelta(seconds[, max_unit]): '2 days, 3
+    hours, 1 minute'. Divergence: the largest unit here is days (CH
+    defaults to calendar-approximate years/months); max_unit accepts
+    'days'/'hours'/'minutes'/'seconds' to cap the leading unit."""
+    cap = str(unit[0]).strip("'\"").lower() if unit else "days"
+    order = ["days", "hours", "minutes", "seconds"]
+    if cap not in order:
+        raise ValueError(f"unsupported max_unit {cap!r}")
+    spans = {"days": 86400, "hours": 3600, "minutes": 60, "seconds": 1}
+    v = _as_col(sec).cast("long")
+    parts = []
+    rem = v
+    for u in order[order.index(cap):]:
+        n = (rem / spans[u]).cast("long")
+        rem = rem % spans[u]
+        label = F.when(n == 1, F.lit(u[:-1])).otherwise(F.lit(u))
+        parts.append(
+            F.when(n > 0, F.concat(n.cast("string"), F.lit(" "), label))
+        )
+    joined = F.array_join(
+        F.filter(F.array(*parts), lambda p: p.isNotNull()), ", "
+    )
+    return F.when(joined == "", F.lit("0 seconds")).otherwise(joined)
+
+
+def _array_rotate(arr, n) -> Column:
+    """arrayRotateLeft(arr, n); negative n rotates right (the
+    arrayRotateRight registration negates)."""
+    a = _as_col(arr)
+    sz = F.size(a)
+    k = _as_col(n).cast("int")
+    # normalize into [0, size)
+    k = F.when(sz == 0, F.lit(0)).otherwise(((k % sz) + sz) % sz)
+    return F.concat(F.slice(a, k + 1, sz - k), F.slice(a, F.lit(1), k))
+
+
+def _array_shift(arr, n, *fill, left: bool) -> Column:
+    """arrayShiftLeft/Right(arr, n[, fill]): drop n elements off one
+    end, pad the other with ``fill`` (NULL when omitted; CH pads with
+    the type's default)."""
+    a = _as_col(arr)
+    sz = F.size(a)
+    k = F.least(F.greatest(_as_col(n).cast("int"), F.lit(0)), sz)
+    pad_v = _as_col(fill[0]) if fill else F.lit(None)
+    pad = F.array_repeat(pad_v, k)
+    body = (
+        F.slice(a, k + 1, sz - k)
+        if left
+        else F.slice(a, F.lit(1), sz - k)
+    )
+    return F.concat(body, pad) if left else F.concat(pad, body)
+
+
+_SNOWFLAKE_EPOCH_MS = 1288834974657  # Twitter epoch
+
+
+def _age(unit, start, end) -> Column:
+    """CH age('unit', start, end): COMPLETE units elapsed (truncating
+    toward zero, signed). Month-ish units ride months_between; the
+    rest are epoch-second arithmetic."""
+    u = str(unit).strip("'\"").lower()
+    s = _as_col(start).cast("timestamp")
+    e = _as_col(end).cast("timestamp")
+    if u in ("year", "quarter", "month"):
+        months = F.months_between(e, s)
+        div = {"year": 12.0, "quarter": 3.0, "month": 1.0}[u]
+        v = months / div
+    else:
+        spans = {
+            "week": 604800.0, "day": 86400.0, "hour": 3600.0,
+            "minute": 60.0, "second": 1.0,
+        }
+        if u not in spans:
+            raise ValueError(f"age: unsupported unit {u!r}")
+        v = (
+            e.cast("double") - s.cast("double")
+        ) / spans[u]
+    # truncate toward zero (floor for positive, ceil for negative)
+    return F.when(v < 0, -F.floor(-v)).otherwise(F.floor(v)).cast("long")
+
+
+def _extract_groups(s, pat) -> Column:
+    """CH extractGroups(haystack, pattern) -> array of the FIRST
+    match's capture groups. The group count comes from the literal
+    pattern (unescaped, non-(?: parens)."""
+    if isinstance(pat, Column):
+        raise ValueError("extractGroups needs a literal pattern")
+    p = str(pat).strip("'\"")
+    return F.array(
+        *[
+            F.regexp_extract(_as_col(s), p, g + 1)
+            for g in range(re.compile(p).groups)
+        ]
+    )
+
+
+CH_FUNCTIONS.update(
+    {
+        # string similarity
+        "editDistance": edit_distance,
+        "levenshteinDistance": edit_distance,
+        "damerauLevenshtein": damerau_levenshtein,
+        "stringJaccardIndex": string_jaccard_index,
+        "byteHammingDistance": byte_hamming_distance,
+        "mismatches": byte_hamming_distance,
+        "ngramDistance": ngram_distance,
+        "soundex": lambda s: F.soundex(_as_col(s)),
+        "difference": soundex_difference,
+        # string utilities
+        "translate": lambda s, f, t: F.translate(
+            _as_col(s), str(f).strip("'\""), str(t).strip("'\"")
+        ),
+        "translateUTF8": lambda s, f, t: F.translate(
+            _as_col(s), str(f).strip("'\""), str(t).strip("'\"")
+        ),
+        "initcap": lambda s: F.initcap(_as_col(s)),
+        "initcapUTF8": lambda s: F.initcap(_as_col(s)),
+        "reverseUTF8": lambda s: F.reverse(_as_col(s)),
+        "space": lambda n: F.call_function(
+            "repeat", F.lit(" "), _as_col(n).cast("int")
+        ),
+        "char": lambda *ns: F.concat(
+            *[F.char(_as_col(n).cast("int")) for n in ns]
+        ),
+        "unbin": _unbin,
+        "formatReadableDecimalSize": _readable(
+            ["B", "KB", "MB", "GB", "TB", "PB", "EB"], 1000
+        ),
+        "formatReadableTimeDelta": _format_readable_time_delta,
+        "normalizeQueryKeepNames": _normalize_query,
+        # regexp extraction / splitting
+        "regexpExtract": lambda s, p, i=1: F.regexp_extract(
+            _as_col(s), str(p).strip("'\""), int(float(str(i)))
+        ),
+        "extractGroups": _extract_groups,
+        "splitByRegexp": lambda p, s, *lim: F.split(
+            _as_col(s), str(p).strip("'\""),
+            int(float(str(lim[0]))) if lim else -1,
+        ),
+        "alphaTokens": lambda s: F.filter(
+            F.split(_as_col(s), "[^A-Za-z]+"), lambda t: t != ""
+        ),
+        "multiSearchAllPositions": lambda s, needles: F.transform(
+            _as_col(needles),
+            lambda n: F.call_function(
+                "position", n, _as_col(s)
+            ).cast("long"),
+        ),
+        # arrays
+        "arrayRotateLeft": lambda a, n: _array_rotate(a, n),
+        "arrayRotateRight": lambda a, n: _array_rotate(
+            a, -_as_col(n).cast("int")
+        ),
+        "arrayShiftLeft": lambda a, n, *f: _array_shift(
+            a, n, *f, left=True
+        ),
+        "arrayShiftRight": lambda a, n, *f: _array_shift(
+            a, n, *f, left=False
+        ),
+        # calendar / epoch bridges
+        "age": _age,
+        "timeDiff": lambda a, b: (
+            _as_col(b).cast("timestamp").cast("double")
+            - _as_col(a).cast("timestamp").cast("double")
+        ).cast("long"),
+        "toModifiedJulianDay": lambda d: F.datediff(
+            _as_col(d).cast("date"), F.lit("1858-11-17").cast("date")
+        ).cast("long"),
+        "fromModifiedJulianDay": lambda n: F.date_add(
+            F.lit("1858-11-17").cast("date"), _as_col(n).cast("int")
+        ),
+        "toUnixTimestamp64Milli": lambda t: F.unix_millis(
+            _as_col(t).cast("timestamp")
+        ),
+        "toUnixTimestamp64Micro": lambda t: F.unix_micros(
+            _as_col(t).cast("timestamp")
+        ),
+        "toUnixTimestamp64Nano": lambda t: F.unix_micros(
+            _as_col(t).cast("timestamp")
+        )
+        * 1000,
+        "fromUnixTimestamp64Milli": lambda n: F.timestamp_millis(
+            _as_col(n).cast("long")
+        ),
+        "fromUnixTimestamp64Micro": lambda n: F.timestamp_micros(
+            _as_col(n).cast("long")
+        ),
+        "fromUnixTimestamp64Nano": lambda n: F.timestamp_micros(
+            (_as_col(n).cast("long") / 1000).cast("long")
+        ),
+        "snowflakeToDateTime": lambda i: F.timestamp_millis(
+            F.shiftright(_as_col(i).cast("long"), 22)
+            + F.lit(_SNOWFLAKE_EPOCH_MS)
+        ),
+        "dateTimeToSnowflake": lambda t: F.shiftleft(
+            F.unix_millis(_as_col(t).cast("timestamp"))
+            - F.lit(_SNOWFLAKE_EPOCH_MS),
+            22,
+        ),
+    }
+)

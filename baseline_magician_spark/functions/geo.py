@@ -232,7 +232,11 @@ def geohash_decode(h) -> Column:
         )
 
     folded = F.aggregate(
-        F.sequence(F.lit(0), nbits - 1), acc0, step
+        # sequence(0, -1) would DESCEND: clamp so the empty string
+        # decodes to the world center instead of misfolding
+        F.sequence(F.lit(0), F.greatest(nbits - 1, F.lit(0))),
+        acc0,
+        step,
     )
     return F.struct(
         ((folded["lon_lo"] + folded["lon_hi"]) / 2).alias("1"),

@@ -1,0 +1,170 @@
+"""String-similarity function family (CH §string-search-functions
+surface): editDistance, damerauLevenshtein, stringJaccardIndex,
+byteHammingDistance, ngramDistance, soundex difference.
+
+Everything is a pure Column expression. editDistance rides Spark's
+built-in levenshtein; damerauLevenshtein evaluates the OSA (optimal
+string alignment) dynamic program as a JVM fold — the row-by-row DP
+table lives in array state inside one ``F.aggregate``, O(n·m) work
+per row pair, the same cost CH pays, with zero Python in the loop.
+
+Divergences (documented):
+- ngramDistance uses DISTINCT 4-gram sets and the Dice-style
+  1 − 2·|A∩B|/(|A|+|B|) form; CH hashes 4-gram multisets. Both are
+  0 (equal) .. 1 (disjoint) and rank near-duplicates identically.
+- stringJaccardIndex treats both-empty as 0.0 (CH raises no error
+  either; the set union is empty so no similarity is defined).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_col(c) -> Column:
+    return c if isinstance(c, Column) else F.lit(c)
+
+
+def _chars(s) -> Column:
+    """Array of single characters — split('') emits a trailing empty
+    element that must drop."""
+    return F.filter(F.split(_as_col(s), ""), lambda c: c != "")
+
+
+def edit_distance(a, b) -> Column:
+    """CH editDistance(a, b) == levenshtein — Spark's built-in."""
+    return F.levenshtein(_as_col(a), _as_col(b))
+
+
+def damerau_levenshtein(a, b) -> Column:
+    """CH damerauLevenshtein(a, b): the OSA variant (each substring
+    may be edited once; adjacent transposition costs 1). The DP table
+    folds row-by-row: outer aggregate walks rows (chars of a), state
+    carries (prev_prev_row, prev_row); the inner aggregate builds the
+    current row left-to-right, reading left from its own tail, up /
+    diag from prev_row, and the transposition cell from
+    prev_prev_row."""
+    ca, cb = _chars(a), _chars(b)
+    n, m = F.size(ca), F.size(cb)
+    big = F.lit(1 << 30)
+    # row 0 = [0, 1, ..., m]
+    row0 = F.sequence(F.lit(0), m)
+    init = F.struct(
+        F.array().cast("array<int>").alias("pp"),
+        row0.cast("array<int>").alias("prev"),
+    )
+
+    def outer(acc: Column, i: Column) -> Column:
+        prev, pp = acc["prev"], acc["pp"]
+
+        def inner(row: Column, j: Column) -> Column:
+            sub_cost = F.when(
+                F.element_at(ca, i) == F.element_at(cb, j), 0
+            ).otherwise(1)
+            best = F.least(
+                F.element_at(row, -1) + 1,          # insert (left)
+                F.element_at(prev, j + 1) + 1,      # delete (up)
+                F.element_at(prev, j) + sub_cost,   # substitute (diag)
+                F.when(
+                    (i > 1)
+                    & (j > 1)
+                    & (F.element_at(ca, i) == F.element_at(cb, j - 1))
+                    & (F.element_at(ca, i - 1) == F.element_at(cb, j)),
+                    F.element_at(pp, j - 1) + 1,    # transpose
+                ).otherwise(big),
+            )
+            return F.concat(row, F.array(best))
+
+        cur = F.aggregate(
+            # sequence(1, 0) would DESCEND — clamp; the m == 0 case is
+            # guarded out below
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            F.array(i.cast("int")),
+            inner,
+        )
+        return F.struct(prev.alias("pp"), cur.alias("prev"))
+
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))), init, outer
+    )
+    return (
+        F.when(n == 0, m)
+        .when(m == 0, n)
+        .otherwise(F.element_at(folded["prev"], m + 1))
+        .cast("long")
+    )
+
+
+def string_jaccard_index(a, b) -> Column:
+    """CH stringJaccardIndex(a, b): |chars(a) ∩ chars(b)| /
+    |chars(a) ∪ chars(b)| over character sets; 0.0 when both empty."""
+    sa = F.array_distinct(_chars(a))
+    sb = F.array_distinct(_chars(b))
+    union = F.size(F.array_union(sa, sb))
+    inter = F.size(F.array_intersect(sa, sb))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+
+
+def byte_hamming_distance(a, b) -> Column:
+    """CH byteHammingDistance(a, b): mismatched positions over the
+    shorter length plus the length difference (CH counts the
+    overhang as distance)."""
+    ca, cb = _chars(a), _chars(b)
+    mism = F.aggregate(
+        F.zip_with(
+            ca,
+            cb,
+            lambda x, y: F.when(
+                x.isNull() | y.isNull() | (x != y), 1
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return mism.cast("long")
+
+
+def _ngrams4(s) -> Column:
+    """Distinct 4-grams; strings shorter than 4 contribute themselves
+    (so tiny strings still compare)."""
+    c = _as_col(s)
+    return F.when(
+        F.length(c) < 4, F.array(c)
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - 3),
+                lambda i: F.substring(c, i, F.lit(4)),
+            )
+        )
+    )
+
+
+def ngram_distance(a, b) -> Column:
+    """CH ngramDistance(a, b) -> 0 (equal) .. 1 (disjoint); Dice-style
+    over distinct 4-gram sets (divergence from CH's multiset hashing
+    documented in the module docstring)."""
+    ga, gb = _ngrams4(a), _ngrams4(b)
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    total = (F.size(ga) + F.size(gb)).cast("double")
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        1.0 - 2.0 * inter / total
+    )
+
+
+def soundex_difference(a, b) -> Column:
+    """SQL-Server-style difference(a, b): how many of the four
+    soundex code positions match (0..4)."""
+    sa, sb = F.soundex(_as_col(a)), F.soundex(_as_col(b))
+    return F.aggregate(
+        F.zip_with(
+            _chars(sa),
+            _chars(sb),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("long")

@@ -939,6 +939,15 @@ _LITERAL_ARG_POSITIONS = {
     "simplejsonextractstring": {1},
     "visitparamextractstring": {1},
     "mapcontainskeylike": {1},
+    # round-6c tranche: unit names, regex patterns (group counts are
+    # inspected driver-side), index/limit literals, max_unit caps
+    "age": {0},
+    "regexpextract": {1, 2},
+    "extractgroups": {1},
+    "splitbyregexp": {0, 2},
+    "formatreadabletimedelta": {1},
+    "translate": {1, 2},
+    "translateutf8": {1, 2},
 }
 
 # CH accepts BARE unit identifiers in these positions too —

@@ -2607,3 +2607,166 @@ ORDER BY st
 )
 def ch_sql_geo_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_GEO_SQL, _tables(spark, sf_dir, "orders"))
+
+
+# String-similarity family (round 6c): edit distance, character-set
+# Jaccard, byte Hamming over padded fixed-width prefixes, and the
+# 4-gram Dice distance, computed over adjacent-document pairs (lead()
+# within source). DuckDB oracles: levenshtein / jaccard / mismatches
+# builtins plus a hand-spelled 4-gram list pipeline. The OSA
+# damerauLevenshtein stays pytest-pinned (tests/
+# test_ch_round6c_functions.py) — DuckDB's damerau_levenshtein is the
+# FULL Damerau variant ('ca'->'abc' = 2, OSA = 3), so no SQL oracle
+# can replay it.
+_STRING_SIMILARITY_SQL = """
+SELECT src,
+       count(*) AS n,
+       round(avg(editDistance(a, b)), 4) AS ed_avg,
+       round(avg(stringJaccardIndex(a, b)), 6) AS jac_avg,
+       round(avg(byteHammingDistance(rightPad(a, 16, 'x'),
+                                     rightPad(b, 16, 'x'))), 4)
+         AS ham_avg,
+       round(avg(ngramDistance(a, b)), 6) AS ng_avg
+FROM (
+  SELECT source AS src,
+         substring(text, 1, 24) AS a,
+         lead(substring(text, 1, 24))
+           OVER (PARTITION BY source ORDER BY doc_id) AS b
+  FROM fastnetmon.documents
+)
+WHERE b IS NOT NULL AND length(a) >= 4 AND length(b) >= 4
+GROUP BY src
+ORDER BY src
+"""
+
+
+@query(
+    "ch_sql_string_similarity",
+    """
+    WITH pairs AS (
+      SELECT source AS src,
+             substring(text, 1, 24) AS a,
+             lead(substring(text, 1, 24))
+               OVER (PARTITION BY source ORDER BY doc_id) AS b
+      FROM documents
+    ),
+    f AS (
+      SELECT * FROM pairs
+      WHERE b IS NOT NULL AND length(a) >= 4 AND length(b) >= 4
+    ),
+    g AS (
+      SELECT src,
+        levenshtein(a, b) AS ed,
+        jaccard(a, b) AS jac,
+        mismatches(rpad(a, 16, 'x'), rpad(b, 16, 'x')) AS ham,
+        1.0 - 2.0 * len(list_intersect(
+            list_distinct(list_transform(range(1, length(a)-2),
+                                         i -> substring(a, i, 4))),
+            list_distinct(list_transform(range(1, length(b)-2),
+                                         i -> substring(b, i, 4)))))
+          / (len(list_distinct(list_transform(range(1, length(a)-2),
+                                              i -> substring(a, i, 4))))
+             + len(list_distinct(list_transform(range(1, length(b)-2),
+                                                i -> substring(b, i, 4)))))
+          AS ng
+      FROM f
+    )
+    SELECT src, count(*) AS n,
+           round(avg(ed), 4) AS ed_avg,
+           round(avg(jac), 6) AS jac_avg,
+           round(avg(CAST(ham AS DOUBLE)), 4) AS ham_avg,
+           round(avg(ng), 6) AS ng_avg
+    FROM g GROUP BY src ORDER BY src
+    """,
+)
+def ch_sql_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        _STRING_SIMILARITY_SQL, _tables(spark, sf_dir, "documents")
+    )
+
+
+# Calendar/epoch bridge family (round 6c): age()/timeDiff() complete-
+# unit arithmetic, Modified-Julian-Day conversion, the epoch64
+# millisecond bridges, the snowflake-ID round trip, and
+# formatReadableTimeDelta — over synthetic millisecond timestamps
+# derived from event ids (sidesteps the events.ts TIMESTAMP(NANOS)
+# read quirk; the nanos path is covered by ch_sql_url_time_functions).
+_CALENDAR_BRIDGES_SQL = """
+SELECT event_type AS et,
+       count(*) AS n,
+       sum(age('day', t1, t2)) AS age_d,
+       sum(age('hour', t1, t2)) AS age_h,
+       sum(timeDiff(t1, t2)) AS td_s,
+       min(toModifiedJulianDay(toDate(t1))) AS mjd_min,
+       max(toUnixTimestamp64Milli(t2)) AS ms_max,
+       sum(toInt64(snowflakeToDateTime(dateTimeToSnowflake(t1)) = t1))
+         AS snow_ok,
+       min(formatReadableTimeDelta(event_id % 200000)) AS frd_min
+FROM (
+  SELECT event_type, event_id,
+    fromUnixTimestamp64Milli(1600000000000
+      + (event_id % 100000) * 3600123) AS t1,
+    fromUnixTimestamp64Milli(1600000000000
+      + ((event_id * 7) % 90000) * 7200456) AS t2
+  FROM fastnetmon.events
+)
+GROUP BY event_type
+ORDER BY et
+"""
+
+
+@query(
+    "ch_sql_calendar_bridges",
+    """
+    WITH base AS (
+      SELECT event_type AS et, event_id,
+        make_timestamp((1600000000000
+          + (event_id % 100000) * 3600123) * 1000) AS t1,
+        make_timestamp((1600000000000
+          + ((event_id * 7) % 90000) * 7200456) * 1000) AS t2,
+        event_id % 200000 AS v
+      FROM events
+    ),
+    parts AS (
+      SELECT et, t1, t2, v,
+        trunc((epoch(t2) - epoch(t1)) / 86400.0) AS aged,
+        trunc((epoch(t2) - epoch(t1)) / 3600.0) AS ageh,
+        CAST(trunc(epoch(t2) - epoch(t1)) AS BIGINT) AS td,
+        v // 86400 AS dd, (v % 86400) // 3600 AS hh,
+        (v % 3600) // 60 AS mm, v % 60 AS ss
+      FROM base
+    ),
+    frd AS (
+      SELECT et, t1, t2, aged, ageh, td,
+        CASE WHEN v = 0 THEN '0 seconds' ELSE
+          array_to_string(list_filter([
+            CASE WHEN dd > 0 THEN CAST(dd AS VARCHAR) || ' ' ||
+              (CASE WHEN dd = 1 THEN 'day' ELSE 'days' END) END,
+            CASE WHEN hh > 0 THEN CAST(hh AS VARCHAR) || ' ' ||
+              (CASE WHEN hh = 1 THEN 'hour' ELSE 'hours' END) END,
+            CASE WHEN mm > 0 THEN CAST(mm AS VARCHAR) || ' ' ||
+              (CASE WHEN mm = 1 THEN 'minute' ELSE 'minutes' END) END,
+            CASE WHEN ss > 0 THEN CAST(ss AS VARCHAR) || ' ' ||
+              (CASE WHEN ss = 1 THEN 'second' ELSE 'seconds' END) END
+          ], x -> x IS NOT NULL), ', ')
+        END AS frd
+      FROM parts
+    )
+    SELECT et, count(*) AS n,
+           sum(CAST(aged AS BIGINT)) AS age_d,
+           sum(CAST(ageh AS BIGINT)) AS age_h,
+           sum(td) AS td_s,
+           min(datediff('day', DATE '1858-11-17', CAST(t1 AS DATE)))
+             AS mjd_min,
+           max(epoch_ms(t2)) AS ms_max,
+           count(*) AS snow_ok,
+           min(frd) AS frd_min
+    FROM frd
+    GROUP BY et
+    ORDER BY et
+    """,
+)
+def ch_sql_calendar_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(
+        _CALENDAR_BRIDGES_SQL, _tables(spark, sf_dir, "events")
+    )

@@ -98,6 +98,8 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_interval_aggs",
     "ch_sql_association_stats",
     "ch_sql_geo_functions",
+    "ch_sql_string_similarity",
+    "ch_sql_calendar_bridges",
     # r2-stale TPC-H names deferred from the round-5 rotation
     "q7_volume_shipping",
     "q8_national_market_share",
@@ -115,9 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_topk_cosine",
     "similarity_pq_adc_topk",
     "streaming_cms_merge",
-    "streaming_hourly_rollup_merge",
     "text_gopher_quality",
-    "text_tfidf_top_terms",
     "multimodal_decode_stats",
     "ip_function_roundtrip",
     "ch_sql_lttb_downsample",

@@ -1,0 +1,195 @@
+"""Round-6c tranche: string similarity (functions/text_similarity.py),
+readable formatting, binary/char utilities, array rotate/shift, and
+calendar/epoch bridges. damerauLevenshtein is pinned against an
+independent Python OSA implementation (DuckDB's damerau_levenshtein is
+the FULL variant, so the oracle track can't carry it).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+
+def _one(spark, expr_sql):
+    df = spark.createDataFrame([(1,)], "id int")
+    return (
+        run_ch_query(f"SELECT {expr_sql} AS r FROM t", {"t": df})
+        .collect()[0]
+        .r
+    )
+
+
+def ref_osa(a: str, b: str) -> int:
+    n, m = len(a), len(b)
+    d = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        d[i][0] = i
+    for j in range(m + 1):
+        d[0][j] = j
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(
+                d[i - 1][j] + 1,
+                d[i][j - 1] + 1,
+                d[i - 1][j - 1] + cost,
+            )
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[n][m]
+
+
+@pytest.mark.parametrize(
+    "a,b",
+    [
+        ("ca", "abc"),        # OSA=3 (full Damerau=2) — the tell-apart
+        ("abcd", "acbd"),     # one transposition
+        ("kitten", "sitting"),
+        ("", "xyz"),
+        ("xyz", ""),
+        ("", ""),
+        ("banana", "ananas"),
+        ("transpose", "transpsoe"),
+    ],
+)
+def test_damerau_levenshtein_osa(spark, a, b):
+    got = _one(spark, f"damerauLevenshtein('{a}', '{b}')")
+    assert got == ref_osa(a, b)
+
+
+def test_edit_distance(spark):
+    assert _one(spark, "editDistance('kitten', 'sitting')") == 3
+    assert _one(spark, "levenshteinDistance('abc', 'abc')") == 0
+
+
+def test_string_jaccard(spark):
+    assert _one(spark, "stringJaccardIndex('abc', 'bcd')") == 0.5
+    assert _one(spark, "stringJaccardIndex('', '')") == 0.0
+
+
+def test_byte_hamming(spark):
+    assert _one(spark, "byteHammingDistance('karolin', 'kathrin')") == 3
+    # overhang counts as distance
+    assert _one(spark, "byteHammingDistance('abc', 'abcde')") == 2
+
+
+def test_ngram_distance(spark):
+    assert _one(spark, "ngramDistance('hello world', 'hello world')") == 0.0
+    assert _one(spark, "ngramDistance('aaaa', 'bbbb')") == 1.0
+    mid = _one(spark, "ngramDistance('hello world', 'hello there')")
+    assert 0.0 < mid < 1.0
+
+
+def test_soundex_and_difference(spark):
+    assert _one(spark, "soundex('Robert')") == "R163"
+    assert _one(spark, "difference('Robert', 'Rupert')") == 4
+
+
+def test_char_space_unbin(spark):
+    assert _one(spark, "char(72, 105)") == "Hi"
+    assert _one(spark, "space(3)") == "   "
+    assert _one(spark, "unbin('0100100001101001')") == "Hi"
+    # ragged leading group is left-padded
+    assert _one(spark, "unbin('100100001101001')") == "Hi"
+
+
+def test_readable_formats(spark):
+    assert (
+        _one(spark, "formatReadableTimeDelta(90061)")
+        == "1 day, 1 hour, 1 minute, 1 second"
+    )
+    assert _one(spark, "formatReadableTimeDelta(0)") == "0 seconds"
+    assert (
+        _one(spark, "formatReadableTimeDelta(7322, 'hours')")
+        == "2 hours, 2 minutes, 2 seconds"
+    )
+    assert _one(spark, "formatReadableDecimalSize(1500000)") == "1.50 MB"
+
+
+def test_regexp_extraction(spark):
+    assert _one(
+        spark, r"regexpExtract('ab12cd', '([a-z]+)(\\d+)', 2)"
+    ) == "12"
+    assert _one(spark, r"regexpExtract('ab12cd', '(\\d+)')") == "12"
+    assert _one(
+        spark, r"extractGroups('ab12cd', '([a-z]+)(\\d+)')"
+    ) == ["ab", "12"]
+    assert _one(spark, r"splitByRegexp('\\d+', 'a1b22c')") == [
+        "a", "b", "c",
+    ]
+    assert _one(spark, "alphaTokens('ab.cd, ef')") == ["ab", "cd", "ef"]
+
+
+def test_multi_search_all_positions(spark):
+    assert _one(
+        spark, "multiSearchAllPositions('hello', ['l', 'z', 'o'])"
+    ) == [3, 0, 5]
+
+
+def test_array_rotate_shift(spark):
+    assert _one(spark, "arrayRotateLeft([1,2,3,4,5], 2)") == [3, 4, 5, 1, 2]
+    assert _one(spark, "arrayRotateLeft([1,2,3], -1)") == [3, 1, 2]
+    assert _one(spark, "arrayRotateRight([1,2,3,4,5], 1)") == [5, 1, 2, 3, 4]
+    assert _one(spark, "arrayShiftLeft([1,2,3,4], 2, 0)") == [3, 4, 0, 0]
+    assert _one(spark, "arrayShiftRight([1,2,3,4], 1, 9)") == [9, 1, 2, 3]
+
+
+def test_age_truncates_complete_units(spark):
+    assert _one(
+        spark,
+        "age('year', toDateTime('2020-03-01 00:00:00'),"
+        " toDateTime('2024-02-29 00:00:00'))",
+    ) == 3
+    assert _one(
+        spark,
+        "age('day', toDateTime('2024-01-01 12:00:00'),"
+        " toDateTime('2024-01-03 11:00:00'))",
+    ) == 1
+    # signed: truncation toward zero, not floor
+    assert _one(
+        spark,
+        "age('second', toDateTime('2024-01-02 00:00:00'),"
+        " toDateTime('2024-01-01 23:59:00'))",
+    ) == -60
+
+
+def test_time_diff_and_mjd(spark):
+    assert _one(
+        spark,
+        "timeDiff(toDateTime('2024-01-01 00:00:00'),"
+        " toDateTime('2024-01-01 00:01:30'))",
+    ) == 90
+    assert _one(spark, "toModifiedJulianDay(toDate('1858-11-18'))") == 1
+    assert str(_one(spark, "fromModifiedJulianDay(0)")) == "1858-11-17"
+
+
+def test_epoch64_bridges(spark):
+    assert _one(
+        spark,
+        "toUnixTimestamp64Milli(toDateTime('1970-01-01 00:00:01'))",
+    ) == 1000
+    assert _one(
+        spark,
+        "toUnixTimestamp64Milli(fromUnixTimestamp64Milli(1234567890123))",
+    ) == 1234567890123
+    assert _one(
+        spark,
+        "toUnixTimestamp64Micro(fromUnixTimestamp64Micro(1234567890123456))",
+    ) == 1234567890123456
+
+
+def test_snowflake_roundtrip(spark):
+    assert _one(
+        spark,
+        "toUnixTimestamp64Milli(snowflakeToDateTime("
+        "dateTimeToSnowflake(fromUnixTimestamp64Milli(1600000000000))))",
+    ) == 1600000000000
