@@ -2227,6 +2227,8 @@ from .text_similarity import (  # noqa: E402
     byte_hamming_distance,
     damerau_levenshtein,
     edit_distance,
+    jaro_similarity,
+    jaro_winkler_similarity,
     ngram_distance,
     soundex_difference,
     string_jaccard_index,
@@ -2368,6 +2370,8 @@ CH_FUNCTIONS.update(
         "byteHammingDistance": byte_hamming_distance,
         "mismatches": byte_hamming_distance,
         "ngramDistance": ngram_distance,
+        "jaroSimilarity": jaro_similarity,
+        "jaroWinklerSimilarity": jaro_winkler_similarity,
         "soundex": lambda s: F.soundex(_as_col(s)),
         "difference": soundex_difference,
         # string utilities

@@ -168,3 +168,110 @@ def soundex_difference(a, b) -> Column:
         F.lit(0),
         lambda acc, v: acc + v,
     ).cast("long")
+
+
+def _guarded_seq(lo: Column, hi: Column) -> Column:
+    """sequence(lo, hi) that yields [] when hi < lo (Spark's sequence
+    DESCENDS on inverted bounds)."""
+    return F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def _jaro_parts(a, b):
+    """(n, m, matches, transpositions/2) for the classic Jaro
+    algorithm: pass 1 folds the chars of a, greedily claiming the
+    first unclaimed equal char of b inside the match window; the
+    transposition count compares the two matched-char tapes in their
+    native orders."""
+    ca, cb = _chars(a), _chars(b)
+    n, m = F.size(ca), F.size(cb)
+    w = F.greatest(
+        (F.greatest(n, m) / 2).cast("int") - 1, F.lit(0)
+    )
+    init = F.struct(
+        F.array_repeat(F.lit(0), m).alias("used"),
+        F.array().cast("array<string>").alias("ma"),
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        lo = F.greatest(i - w, F.lit(1)).cast("int")
+        hi = F.least(i + w, m).cast("int")
+        cand = F.filter(
+            _guarded_seq(lo, hi),
+            lambda j: (F.element_at(cb, j) == F.element_at(ca, i))
+            & (F.element_at(acc["used"], j) == 0),
+        )
+        j = F.try_element_at(cand, F.lit(1))
+        return F.struct(
+            F.when(j.isNull(), acc["used"])
+            .otherwise(
+                F.transform(
+                    acc["used"],
+                    lambda u, idx0: F.when(idx0 + 1 == j, 1).otherwise(u),
+                )
+            )
+            .alias("used"),
+            F.when(j.isNull(), acc["ma"])
+            .otherwise(
+                F.concat(acc["ma"], F.array(F.element_at(ca, i)))
+            )
+            .alias("ma"),
+        )
+
+    folded = F.aggregate(
+        _guarded_seq(F.lit(1), n.cast("int")), init, step
+    )
+    ma = folded["ma"]
+    mb = F.transform(
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda j: F.try_element_at(folded["used"], j) == 1,
+        ),
+        lambda j: F.element_at(cb, j),
+    )
+    # transpositions = floor(mismatched tape positions / 2) — the
+    # floor matters when the mismatch count is odd (DuckDB/CH floor)
+    half_t = F.floor(
+        F.aggregate(
+            F.zip_with(
+                ma, mb, lambda x, y: F.when(x != y, 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / 2
+    ).cast("double")
+    return n, m, F.size(ma).cast("double"), half_t
+
+
+def jaro_similarity(a, b) -> Column:
+    """CH jaroSimilarity(a, b) -> 0..1; 0 when either string is empty
+    (the DuckDB/CH convention — NOT 1 for two empties)."""
+    n, m, mc, half_t = _jaro_parts(a, b)
+    nn, mm = n.cast("double"), m.cast("double")
+    return (
+        F.when((n == 0) | (m == 0), F.lit(0.0))
+        .when(mc == 0, F.lit(0.0))
+        .otherwise((mc / nn + mc / mm + (mc - half_t) / mc) / 3.0)
+    )
+
+
+def jaro_winkler_similarity(a, b) -> Column:
+    """CH jaroWinklerSimilarity: Jaro boosted by the common prefix
+    (cap 4, scale 0.1) when the base similarity clears 0.7."""
+    sim = jaro_similarity(a, b)
+    ca, cb = _chars(a), _chars(b)
+    cap = F.least(F.lit(4), F.size(ca), F.size(cb))
+    prefix = F.aggregate(
+        _guarded_seq(F.lit(1), cap),
+        F.lit(0),
+        lambda acc, i: F.when(
+            (acc == i - 1)
+            & (F.element_at(ca, i) == F.element_at(cb, i)),
+            acc + 1,
+        ).otherwise(acc),
+    ).cast("double")
+    return F.when(
+        sim > 0.7, sim + prefix * 0.1 * (1.0 - sim)
+    ).otherwise(sim)

@@ -2770,3 +2770,45 @@ def ch_sql_calendar_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(
         _CALENDAR_BRIDGES_SQL, _tables(spark, sf_dir, "events")
     )
+
+
+# Jaro / Jaro-Winkler similarity (round 6c) over an inline VALUES
+# table: Spark evaluates nested higher-order-function lambdas
+# interpreted (~100 ms/row for the two-pass Jaro fold), so the family
+# gets a SMALL dedicated oracle row instead of riding the documents-
+# wide string-similarity sweep; DuckDB's jaro_similarity /
+# jaro_winkler_similarity are exact behavioral oracles (transposition
+# floor, 0.7 boost threshold, both-empty -> 0).
+_JARO_SQL = """
+SELECT a, b,
+       round(jaroSimilarity(a, b), 6) AS jaro,
+       round(jaroWinklerSimilarity(a, b), 6) AS jw,
+       editDistance(a, b) AS ed
+FROM (VALUES ('MARTHA', 'MARHTA'), ('DWAYNE', 'DUANE'),
+             ('CRATE', 'TRACE'), ('DIXON', 'DICKSONX'),
+             ('JELLYFISH', 'SMELLYFISH'), ('ab', 'ba'),
+             ('', 'abc'), ('same', 'same'), ('a', 'a'),
+             ('ABCDEF', 'ABQRST'), ('abcdefgh', 'abdcefgh'),
+             ('cbdcceded', 'bdc')) AS v(a, b)
+ORDER BY a, b
+"""
+
+
+@query(
+    "ch_sql_jaro_similarity",
+    """
+    SELECT a, b,
+           round(jaro_similarity(a, b), 6) AS jaro,
+           round(jaro_winkler_similarity(a, b), 6) AS jw,
+           levenshtein(a, b) AS ed
+    FROM (VALUES ('MARTHA', 'MARHTA'), ('DWAYNE', 'DUANE'),
+                 ('CRATE', 'TRACE'), ('DIXON', 'DICKSONX'),
+                 ('JELLYFISH', 'SMELLYFISH'), ('ab', 'ba'),
+                 ('', 'abc'), ('same', 'same'), ('a', 'a'),
+                 ('ABCDEF', 'ABQRST'), ('abcdefgh', 'abdcefgh'),
+                 ('cbdcceded', 'bdc')) AS v(a, b)
+    ORDER BY a, b
+    """,
+)
+def ch_sql_jaro_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_JARO_SQL, _tables(spark, sf_dir, "documents"))

@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_geo_functions",
     "ch_sql_string_similarity",
     "ch_sql_calendar_bridges",
+    "ch_sql_jaro_similarity",
     # r2-stale TPC-H names deferred from the round-5 rotation
     "q7_volume_shipping",
     "q8_national_market_share",
@@ -115,7 +116,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard_pairs",
     "dedup_simhash_band_pairs",
     "similarity_topk_cosine",
-    "similarity_pq_adc_topk",
     "streaming_cms_merge",
     "text_gopher_quality",
     "multimodal_decode_stats",

@@ -193,3 +193,64 @@ def test_snowflake_roundtrip(spark):
         "toUnixTimestamp64Milli(snowflakeToDateTime("
         "dateTimeToSnowflake(fromUnixTimestamp64Milli(1600000000000))))",
     ) == 1600000000000
+
+
+def test_jaro_classic_vectors(spark):
+    assert math.isclose(
+        _one(spark, "jaroSimilarity('MARTHA', 'MARHTA')"),
+        0.9444444444444445,
+    )
+    assert math.isclose(
+        _one(spark, "jaroWinklerSimilarity('MARTHA', 'MARHTA')"),
+        0.9611111111111111,
+    )
+    assert math.isclose(
+        _one(spark, "jaroSimilarity('CRATE', 'TRACE')"),
+        0.7333333333333334,
+    )
+    assert _one(spark, "jaroSimilarity('ab', 'ba')") == 0.0
+    assert _one(spark, "jaroSimilarity('', '')") == 0.0
+
+
+def test_jaro_winkler_boost_threshold(spark):
+    # below 0.7 the prefix boost must NOT apply
+    j = _one(spark, "jaroSimilarity('ABCDEF', 'ABQRST')")
+    jw = _one(spark, "jaroWinklerSimilarity('ABCDEF', 'ABQRST')")
+    assert j < 0.7 and jw == j
+
+
+def test_jaro_differential_vs_duckdb(spark):
+    """Randomized differential: our fold vs DuckDB's builtin over
+    short random strings (the same oracle the driver uses)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(20260815)
+    alphabet = "abcdez"
+    pairs = [
+        (
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 9))),
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 9))),
+        )
+        for _ in range(40)
+    ]
+    rows = spark.createDataFrame(pairs, "a string, b string")
+    got = (
+        run_ch_query(
+            "SELECT a, b, jaroSimilarity(a, b) AS j,"
+            " jaroWinklerSimilarity(a, b) AS jw,"
+            " editDistance(a, b) AS ed FROM t",
+            {"t": rows},
+        )
+        .collect()
+    )
+    for r in got:
+        want = duckdb.sql(
+            f"SELECT jaro_similarity('{r.a}','{r.b}'),"
+            f" jaro_winkler_similarity('{r.a}','{r.b}'),"
+            f" levenshtein('{r.a}','{r.b}')"
+        ).fetchone()
+        assert math.isclose(r.j, want[0], abs_tol=1e-12), (r.a, r.b)
+        assert math.isclose(r.jw, want[1], abs_tol=1e-12), (r.a, r.b)
+        assert r.ed == want[2], (r.a, r.b)
