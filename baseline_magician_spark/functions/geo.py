@@ -129,11 +129,39 @@ def _b32_arr() -> Column:
     return F.array(*[F.lit(ch) for ch in _GEOHASH_B32])
 
 
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` once as a lambda variable (transform over a
+    single-element array) — Spark evaluates HOF lambdas interpreted
+    and re-evaluates captured argument EXPRESSIONS per invocation, so
+    anything referenced inside a fold step must be a bound value."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _frac_bit(frac: Column, k: Column) -> Column:
+    """Binary digit k (0-based, most significant first) of a [0, 1)
+    fraction: floor(frac · 2^(k+1)) mod 2. Repeated interval
+    bisection IS the binary expansion, so this closed form matches
+    the textbook encode loop bit-for-bit — with zero fold state."""
+    return (
+        F.floor(frac * F.pow(F.lit(2.0), (k + 1).cast("double")))
+        .cast("int")
+        % 2
+    )
+
+
+def _clamped_frac(v: Column, lo: float, span: float) -> Column:
+    f = (v - F.lit(lo)) / F.lit(span)
+    # the upper boundary (lon=180 / lat=90) belongs to the all-ones
+    # cell, matching the bisection convention value >= mid
+    return F.when(f >= 1.0, F.lit(1.0 - 1e-12)).otherwise(f)
+
+
 def geohash_encode(lon, lat, precision=12) -> Column:
     """CH geohashEncode(longitude, latitude[, precision]) -> base-32
-    geohash string. One flat fold over the precision*5 bit positions:
-    even global bits bisect longitude, odd bits latitude; every fifth
-    bit flushes a character."""
+    geohash string. Closed form: global bit g is binary digit g/2 of
+    the longitude (even g) or latitude (odd g) fraction; each
+    character packs five bits. Pure per-element arithmetic — no fold
+    state, so the interpreted-HOF cost stays linear and small."""
     p = (
         precision
         if isinstance(precision, Column)
@@ -141,104 +169,79 @@ def geohash_encode(lon, lat, precision=12) -> Column:
     ).cast("int")
     # CH clamps precision to [1, 12]
     p = F.greatest(F.lit(1), F.least(F.lit(12), p))
-    lon_c, lat_c = _d(lon), _d(lat)
-    acc0 = F.struct(
-        F.lit(-90.0).alias("lat_lo"),
-        F.lit(90.0).alias("lat_hi"),
-        F.lit(-180.0).alias("lon_lo"),
-        F.lit(180.0).alias("lon_hi"),
-        F.lit(0).alias("cur"),
-        F.lit("").alias("s"),
+    lonfrac = _clamped_frac(_d(lon), -180.0, 360.0)
+    latfrac = _clamped_frac(_d(lat), -90.0, 180.0)
+
+    def bit(g: Column) -> Column:
+        return F.when(
+            g % 2 == 0, _frac_bit(lonfrac, (g / 2).cast("int"))
+        ).otherwise(_frac_bit(latfrac, ((g - 1) / 2).cast("int")))
+
+    def char_at(j: Column) -> Column:
+        idx = (
+            bit(5 * j) * 16
+            + bit(5 * j + 1) * 8
+            + bit(5 * j + 2) * 4
+            + bit(5 * j + 3) * 2
+            + bit(5 * j + 4)
+        )
+        return F.element_at(_b32_arr(), idx + 1)
+
+    return F.array_join(
+        F.transform(F.sequence(F.lit(0), p - 1), char_at), ""
     )
-
-    def step(acc: Column, i: Column) -> Column:
-        even = i % 2 == 0
-        lon_mid = (acc["lon_lo"] + acc["lon_hi"]) / 2
-        lat_mid = (acc["lat_lo"] + acc["lat_hi"]) / 2
-        bit = F.when(even, (lon_c >= lon_mid).cast("int")).otherwise(
-            (lat_c >= lat_mid).cast("int")
-        )
-        cur = acc["cur"] * 2 + bit
-        flush = i % 5 == 4
-        return F.struct(
-            # bit = 1 -> the value sits in the upper half: raise the
-            # lower bound; bit = 0 -> lower the upper bound
-            F.when(~even & (bit == 1), lat_mid)
-            .otherwise(acc["lat_lo"])
-            .alias("lat_lo"),
-            F.when(~even & (bit == 0), lat_mid)
-            .otherwise(acc["lat_hi"])
-            .alias("lat_hi"),
-            F.when(even & (bit == 1), lon_mid)
-            .otherwise(acc["lon_lo"])
-            .alias("lon_lo"),
-            F.when(even & (bit == 0), lon_mid)
-            .otherwise(acc["lon_hi"])
-            .alias("lon_hi"),
-            F.when(flush, F.lit(0)).otherwise(cur).alias("cur"),
-            F.when(
-                flush,
-                F.concat(acc["s"], F.element_at(_b32_arr(), cur + 1)),
-            )
-            .otherwise(acc["s"])
-            .alias("s"),
-        )
-
-    folded = F.aggregate(F.sequence(F.lit(0), 5 * p - 1), acc0, step)
-    return folded["s"]
 
 
 def geohash_decode(h) -> Column:
     """CH geohashDecode(s) -> (longitude, latitude) — the center of
     the geohash cell, tuple fields named "1"/"2" so tupleElement
-    resolves positionally (the sumMap convention)."""
+    resolves positionally (the sumMap convention). Closed form: the
+    interleaved bits split into the longitude/latitude integers
+    K_lon/K_lat; the center is lo + span·(K + 0.5)/2^nbits. The
+    per-char values are LET-bound so the fold reads a value, not a
+    re-evaluated split+lookup tree."""
     s = F.lower(h if isinstance(h, Column) else F.lit(h))
-    vals = F.transform(
-        # split('' ) yields a trailing empty string element; filter it
+    vals_expr = F.transform(
+        # split('') yields a trailing empty string element; filter it
         F.filter(F.split(s, ""), lambda c: c != ""),
         lambda c: F.array_position(_b32_arr(), c).cast("int") - 1,
     )
-    nbits = F.size(vals) * 5
-    acc0 = F.struct(
-        F.lit(-90.0).alias("lat_lo"),
-        F.lit(90.0).alias("lat_hi"),
-        F.lit(-180.0).alias("lon_lo"),
-        F.lit(180.0).alias("lon_hi"),
-    )
 
-    def step(acc: Column, i: Column) -> Column:
-        v = F.element_at(vals, (i / 5).cast("int") + 1)
-        # shiftright needs a literal count -> divide by 2^(4 - i%5)
-        bit = (
-            v
-            / F.pow(F.lit(2.0), (4 - (i % 5)).cast("double"))
-        ).cast("int") % 2
-        even = i % 2 == 0
-        lon_mid = (acc["lon_lo"] + acc["lon_hi"]) / 2
-        lat_mid = (acc["lat_lo"] + acc["lat_hi"]) / 2
+    def build(vals: Column) -> Column:
+        nchars = F.size(vals)
+        nbits = nchars * 5
+        nlon = ((nbits + 1) / 2).cast("int")  # even positions
+        nlat = (nbits / 2).cast("int")
+
+        def gbit(g: Column) -> Column:
+            v = F.element_at(vals, (g / 5).cast("int") + 1)
+            return (
+                F.floor(
+                    v / F.pow(F.lit(2.0), (4 - g % 5).cast("double"))
+                ).cast("int")
+                % 2
+            )
+
+        def k_sum(parity: int, nk: Column) -> Column:
+            # Σ bit(g) · 2^(nk - 1 - g//2) over g ≡ parity (mod 2)
+            return F.aggregate(
+                F.sequence(F.lit(0), F.greatest(nk - 1, F.lit(0))),
+                F.lit(0.0),
+                lambda acc, t: acc
+                + gbit(2 * t + parity).cast("double")
+                * F.pow(F.lit(2.0), (nk - 1 - t).cast("double")),
+            )
+
+        lon = F.lit(-180.0) + 360.0 * (
+            k_sum(0, nlon) + 0.5
+        ) / F.pow(F.lit(2.0), nlon.cast("double"))
+        lat = F.lit(-90.0) + 180.0 * (
+            k_sum(1, nlat) + 0.5
+        ) / F.pow(F.lit(2.0), nlat.cast("double"))
+        # the empty string decodes to the world center (0, 0)
         return F.struct(
-            F.when(~even & (bit == 1), lat_mid)
-            .otherwise(acc["lat_lo"])
-            .alias("lat_lo"),
-            F.when(~even & (bit == 0), lat_mid)
-            .otherwise(acc["lat_hi"])
-            .alias("lat_hi"),
-            F.when(even & (bit == 1), lon_mid)
-            .otherwise(acc["lon_lo"])
-            .alias("lon_lo"),
-            F.when(even & (bit == 0), lon_mid)
-            .otherwise(acc["lon_hi"])
-            .alias("lon_hi"),
+            F.when(nchars == 0, F.lit(0.0)).otherwise(lon).alias("1"),
+            F.when(nchars == 0, F.lit(0.0)).otherwise(lat).alias("2"),
         )
 
-    folded = F.aggregate(
-        # sequence(0, -1) would DESCEND: clamp so the empty string
-        # decodes to the world center instead of misfolding
-        F.sequence(F.lit(0), F.greatest(nbits - 1, F.lit(0))),
-        acc0,
-        step,
-    )
-    return F.struct(
-        ((folded["lon_lo"] + folded["lon_hi"]) / 2).alias("1"),
-        ((folded["lat_lo"] + folded["lat_hi"]) / 2).alias("2"),
-    )
+    return _let(vals_expr, build)

@@ -482,53 +482,95 @@ def histogram_agg(x, nbins=10) -> Column:
 #
 # cramersV / cramersVBiasCorrected / theilsU / contingency — CH's
 # association aggregates over two (categorical) columns. Shape: the
-# group's (x, y) pairs collect into ONE tape (Spark dedups the
+# group's (x, y) pairs collect into ONE sorted tape (Spark dedups the
 # identical collect_list buffer across the four expressions), the
-# contingency cells derive from it JVM-side, and every statistic is a
-# fold over the cells array — O(cells²) lookup cost, where cells is
-# the number of DISTINCT pairs (small for categorical data), never
-# O(rows²). Per-group state is O(group size), the same state CH's
-# own implementations carry.
+# contingency cells derive from it in O(n) via a run-length fold, and
+# every statistic is a fold over the SMALL cells array.
+#
+# The LET discipline matters for performance, not just style: Spark
+# evaluates higher-order-function lambdas interpreted and re-evaluates
+# a captured argument expression on EVERY lambda invocation — naively
+# referencing `cells` inside a per-cell lookup re-derives the whole
+# cells array per element (observed: minutes per group at a few
+# thousand rows). `_let` binds each derived value once as a lambda
+# variable (a runtime VALUE), restoring the intended O(n + cells·r)
+# cost.
 
 
-def _assoc_parts(x, y):
-    """(tape, cells, rowcnts, colcnts, n, r, c) shared by the four
-    association aggregates. cells is array<struct<x,y,cnt>>; rowcnts/
-    colcnts are array<struct<k,cnt>> marginals derived from cells."""
+def _let(value: Column, body) -> Column:
+    """Poor man's LET for Column expressions: bind ``value`` once —
+    transform over a single-element array makes it a lambda variable,
+    so the body sees a runtime value, never a re-evaluated tree."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _assoc_tape(x, y) -> Column:
+    """Sorted per-group (x, y) tape; NULL categories carry a sentinel
+    so they count as their own key (the oracle's GROUP BY NULL
+    behavior)."""
     xs = F.coalesce(_col_str(x), F.lit("∅null"))
     ys = F.coalesce(_col_str(y), F.lit("∅null"))
-    tape = F.collect_list(F.struct(xs.alias("x"), ys.alias("y")))
-    cells = F.transform(
-        F.array_distinct(tape),
-        lambda cv: F.struct(
-            cv["x"].alias("x"),
-            cv["y"].alias("y"),
-            F.size(F.filter(tape, lambda e: e == cv))
-            .cast("double")
-            .alias("cnt"),
-        ),
+    return F.sort_array(
+        F.collect_list(F.struct(xs.alias("x"), ys.alias("y")))
     )
 
-    def marginal(field: str) -> Column:
-        keys = F.array_distinct(F.transform(tape, lambda e: e[field]))
-        return F.transform(
-            keys,
-            lambda kv: F.struct(
-                kv.alias("k"),
-                F.aggregate(
-                    cells,
-                    F.lit(0.0),
-                    lambda a, cc: a
-                    + F.when(cc[field] == kv, cc["cnt"]).otherwise(0.0),
-                ).alias("cnt"),
-            ),
+
+def _rle_cells(t: Column) -> Column:
+    """Contingency cells array<struct<x,y,cnt>> from the SORTED tape:
+    one O(n) run-length fold (equal pairs are adjacent)."""
+    n = F.size(t)
+    init = F.struct(
+        F.array().cast(
+            "array<struct<x:string,y:string,cnt:double>>"
+        ).alias("cells"),
+        F.lit(0).alias("run"),
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        e = F.element_at(t, i)
+        run = acc["run"] + 1
+        closes = (i == n) | (F.try_element_at(t, i + 1) != e)
+        return F.struct(
+            F.when(
+                closes,
+                F.concat(
+                    acc["cells"],
+                    F.array(
+                        F.struct(
+                            e["x"].alias("x"),
+                            e["y"].alias("y"),
+                            run.cast("double").alias("cnt"),
+                        )
+                    ),
+                ),
+            )
+            .otherwise(acc["cells"])
+            .alias("cells"),
+            F.when(closes, F.lit(0)).otherwise(run).alias("run"),
         )
 
-    rowcnts, colcnts = marginal("x"), marginal("y")
-    n = F.size(tape).cast("double")
-    r = F.size(rowcnts).cast("double")
-    c = F.size(colcnts).cast("double")
-    return tape, cells, rowcnts, colcnts, n, r, c
+    seq = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.aggregate(seq, init, step)["cells"]
+
+
+def _marginal(cells: Column, field: str) -> Column:
+    """array<struct<k,cnt>> marginal sums over the cells VALUE —
+    O(keys · cells), both small."""
+    keys = F.array_distinct(F.transform(cells, lambda e: e[field]))
+    return F.transform(
+        keys,
+        lambda kv: F.struct(
+            kv.alias("k"),
+            F.aggregate(
+                cells,
+                F.lit(0.0),
+                lambda a, cc: a
+                + F.when(cc[field] == kv, cc["cnt"]).otherwise(0.0),
+            ).alias("cnt"),
+        ),
+    )
 
 
 def _marg_lookup(marg: Column, k: Column) -> Column:
@@ -537,23 +579,37 @@ def _marg_lookup(marg: Column, k: Column) -> Column:
 
 def _chi_squared(cells, rowcnts, colcnts, n) -> Column:
     """Pearson χ² = Σ_cells (o - e)²/e with e = rowsum·colsum/n."""
-    return F.aggregate(
-        cells,
-        F.lit(0.0),
-        lambda a, cc: a
-        + (
-            (
-                cc["cnt"]
-                - _marg_lookup(rowcnts, cc["x"])
-                * _marg_lookup(colcnts, cc["y"])
-                / n
-            )
-            ** 2
-        )
-        / (
+
+    def term(cc: Column) -> Column:
+        e = (
             _marg_lookup(rowcnts, cc["x"])
             * _marg_lookup(colcnts, cc["y"])
             / n
+        )
+        return ((cc["cnt"] - e) ** 2) / e
+
+    return F.aggregate(
+        cells, F.lit(0.0), lambda a, cc: a + term(cc)
+    )
+
+
+def _assoc_stat(x, y, builder) -> Column:
+    """Common scaffold: tape -> cells -> marginals, each LET-bound
+    once; ``builder(n, cells, rowcnts, colcnts)`` emits the
+    statistic."""
+    return _let(
+        _assoc_tape(x, y),
+        lambda t: _let(
+            _rle_cells(t),
+            lambda cells: _let(
+                _marginal(cells, "x"),
+                lambda rowc: _let(
+                    _marginal(cells, "y"),
+                    lambda colc: builder(
+                        F.size(t).cast("double"), cells, rowc, colc
+                    ),
+                ),
+            ),
         ),
     )
 
@@ -561,25 +617,35 @@ def _chi_squared(cells, rowcnts, colcnts, n) -> Column:
 def cramers_v(x, y) -> Column:
     """CH cramersV(x, y) = sqrt(χ²/n / min(r-1, c-1)); NULL when
     either column is constant (min(r-1, c-1) = 0)."""
-    _, cells, rowcnts, colcnts, n, r, c = _assoc_parts(x, y)
-    chi2 = _chi_squared(cells, rowcnts, colcnts, n)
-    den = F.least(r - 1, c - 1)
-    return F.when(den > 0, F.sqrt(chi2 / n / den))
+
+    def build(n, cells, rowc, colc):
+        chi2 = _chi_squared(cells, rowc, colc, n)
+        r = F.size(rowc).cast("double")
+        c = F.size(colc).cast("double")
+        den = F.least(r - 1, c - 1)
+        return F.when(den > 0, F.sqrt(chi2 / n / den))
+
+    return _assoc_stat(x, y, build)
 
 
 def cramers_v_bias_corrected(x, y) -> Column:
     """CH cramersVBiasCorrected(x, y): the Bergsma-Wicher corrected
     V — φ²_corr = max(0, χ²/n - (r-1)(c-1)/(n-1)), with the r/c
     denominators shrunk the same way."""
-    _, cells, rowcnts, colcnts, n, r, c = _assoc_parts(x, y)
-    chi2 = _chi_squared(cells, rowcnts, colcnts, n)
-    phi2c = F.greatest(
-        F.lit(0.0), chi2 / n - (r - 1) * (c - 1) / (n - 1)
-    )
-    rc = r - (r - 1) ** 2 / (n - 1)
-    cc = c - (c - 1) ** 2 / (n - 1)
-    den = F.least(rc - 1, cc - 1)
-    return F.when(den > 0, F.sqrt(phi2c / den))
+
+    def build(n, cells, rowc, colc):
+        chi2 = _chi_squared(cells, rowc, colc, n)
+        r = F.size(rowc).cast("double")
+        c = F.size(colc).cast("double")
+        phi2c = F.greatest(
+            F.lit(0.0), chi2 / n - (r - 1) * (c - 1) / (n - 1)
+        )
+        rc = r - (r - 1) ** 2 / (n - 1)
+        cc = c - (c - 1) ** 2 / (n - 1)
+        den = F.least(rc - 1, cc - 1)
+        return F.when(den > 0, F.sqrt(phi2c / den))
+
+    return _assoc_stat(x, y, build)
 
 
 def theils_u(x, y) -> Column:
@@ -588,28 +654,35 @@ def theils_u(x, y) -> Column:
     ratio); NULL when H(x) = 0 (x constant). CH's doc leaves the
     conditioning direction implicit; this is the standard
     'information about x provided by y' form."""
-    _, cells, rowcnts, colcnts, n, _, _ = _assoc_parts(x, y)
-    hx = -F.aggregate(
-        rowcnts,
-        F.lit(0.0),
-        lambda a, m: a + (m["cnt"] / n) * F.log(m["cnt"] / n),
-    )
-    hxy = -F.aggregate(
-        cells,
-        F.lit(0.0),
-        lambda a, cc: a
-        + (cc["cnt"] / n)
-        * F.log(cc["cnt"] / _marg_lookup(colcnts, cc["y"])),
-    )
-    return F.when(hx > 0, (hx - hxy) / hx)
+
+    def build(n, cells, rowc, colc):
+        hx = -F.aggregate(
+            rowc,
+            F.lit(0.0),
+            lambda a, m: a + (m["cnt"] / n) * F.log(m["cnt"] / n),
+        )
+        hxy = -F.aggregate(
+            cells,
+            F.lit(0.0),
+            lambda a, cc: a
+            + (cc["cnt"] / n)
+            * F.log(cc["cnt"] / _marg_lookup(colc, cc["y"])),
+        )
+        return F.when(hx > 0, (hx - hxy) / hx)
+
+    return _assoc_stat(x, y, build)
 
 
 def contingency_coefficient(x, y) -> Column:
     """CH contingency(x, y) = sqrt(χ² / (χ² + n)) — Pearson's
-    contingency coefficient."""
-    _, cells, rowcnts, colcnts, n, _, _ = _assoc_parts(x, y)
-    chi2 = _chi_squared(cells, rowcnts, colcnts, n)
-    return F.sqrt(chi2 / (chi2 + n))
+    contingency coefficient; NULL on an empty group (0/0 would
+    otherwise surface as NaN, diverging from SQL aggregate NULLs)."""
+
+    def build(n, cells, rowc, colc):
+        chi2 = _chi_squared(cells, rowc, colc, n)
+        return F.when(n > 0, F.sqrt(chi2 / (chi2 + n)))
+
+    return _assoc_stat(x, y, build)
 
 
 _SPARKBAR_LEVELS = " ▁▂▃▄▅▆▇█"

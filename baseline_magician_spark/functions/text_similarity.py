@@ -178,9 +178,19 @@ def _guarded_seq(lo: Column, hi: Column) -> Column:
     )
 
 
-def _jaro_parts(a, b):
-    """(n, m, matches, transpositions/2) for the classic Jaro
-    algorithm: pass 1 folds the chars of a, greedily claiming the
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` once as a lambda variable (transform over a
+    single-element array). Two reasons: interpreted HOF lambdas
+    re-evaluate captured argument expressions per invocation, and
+    repeated references DUPLICATE the whole subtree in the plan —
+    the un-let Jaro/Winkler expression embeds its two-pass fold ~24
+    times and OOMs the driver during analysis."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _jaro_fold(a, b):
+    """The greedy matching fold of the classic Jaro algorithm:
+    pass 1 folds the chars of a, greedily claiming the
     first unclaimed equal char of b inside the match window; the
     transposition count compares the two matched-char tapes in their
     native orders."""
@@ -219,48 +229,63 @@ def _jaro_parts(a, b):
             .alias("ma"),
         )
 
-    folded = F.aggregate(
+    return F.aggregate(
         _guarded_seq(F.lit(1), n.cast("int")), init, step
     )
-    ma = folded["ma"]
-    mb = F.transform(
-        F.filter(
-            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-            lambda j: F.try_element_at(folded["used"], j) == 1,
-        ),
-        lambda j: F.element_at(cb, j),
-    )
-    # transpositions = floor(mismatched tape positions / 2) — the
-    # floor matters when the mismatch count is odd (DuckDB/CH floor)
-    half_t = F.floor(
-        F.aggregate(
-            F.zip_with(
-                ma, mb, lambda x, y: F.when(x != y, 1).otherwise(0)
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        / 2
-    ).cast("double")
-    return n, m, F.size(ma).cast("double"), half_t
 
 
 def jaro_similarity(a, b) -> Column:
     """CH jaroSimilarity(a, b) -> 0..1; 0 when either string is empty
-    (the DuckDB/CH convention — NOT 1 for two empties)."""
-    n, m, mc, half_t = _jaro_parts(a, b)
-    nn, mm = n.cast("double"), m.cast("double")
-    return (
-        F.when((n == 0) | (m == 0), F.lit(0.0))
-        .when(mc == 0, F.lit(0.0))
-        .otherwise((mc / nn + mc / mm + (mc - half_t) / mc) / 3.0)
-    )
+    (the DuckDB/CH convention — NOT 1 for two empties). The fold
+    state, matched tapes, and match count are all LET-bound so the
+    plan holds exactly ONE copy of the two-pass fold."""
+    ca, cb = _chars(a), _chars(b)
+    n, m = F.size(ca), F.size(cb)
+
+    def from_fold(fd: Column) -> Column:
+        mb_expr = F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                lambda j: F.try_element_at(fd["used"], j) == 1,
+            ),
+            lambda j: F.element_at(cb, j),
+        )
+
+        def with_mb(mb: Column) -> Column:
+            # transpositions = floor(mismatched tape positions / 2) —
+            # the floor matters when the count is odd (DuckDB/CH)
+            half_t = F.floor(
+                F.aggregate(
+                    F.zip_with(
+                        fd["ma"],
+                        mb,
+                        lambda x, y: F.when(x != y, 1).otherwise(0),
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / 2
+            ).cast("double")
+            mc = F.size(fd["ma"]).cast("double")
+            nn, mm = n.cast("double"), m.cast("double")
+            return (
+                F.when((n == 0) | (m == 0), F.lit(0.0))
+                .when(mc == 0, F.lit(0.0))
+                .otherwise(
+                    (mc / nn + mc / mm + (mc - half_t) / mc) / 3.0
+                )
+            )
+
+        return _let(mb_expr, with_mb)
+
+    return _let(_jaro_fold(a, b), from_fold)
 
 
 def jaro_winkler_similarity(a, b) -> Column:
     """CH jaroWinklerSimilarity: Jaro boosted by the common prefix
-    (cap 4, scale 0.1) when the base similarity clears 0.7."""
-    sim = jaro_similarity(a, b)
+    (cap 4, scale 0.1) when the base similarity clears 0.7. The base
+    similarity is LET-bound — referencing it four times would
+    otherwise embed four copies of the Jaro fold."""
     ca, cb = _chars(a), _chars(b)
     cap = F.least(F.lit(4), F.size(ca), F.size(cb))
     prefix = F.aggregate(
@@ -272,6 +297,9 @@ def jaro_winkler_similarity(a, b) -> Column:
             acc + 1,
         ).otherwise(acc),
     ).cast("double")
-    return F.when(
-        sim > 0.7, sim + prefix * 0.1 * (1.0 - sim)
-    ).otherwise(sim)
+    return _let(
+        jaro_similarity(a, b),
+        lambda sim: F.when(
+            sim > 0.7, sim + prefix * 0.1 * (1.0 - sim)
+        ).otherwise(sim),
+    )

@@ -1010,7 +1010,117 @@ def _gen_stats_agg_pair(rng: random.Random) -> tuple[str, str]:
     return ch, duck
 
 
-N_PAIRED = 78
+def _gen_geo_pair(rng: random.Random) -> tuple[str, str]:
+    # greatCircleDistance over pseudo-coordinates derived from keys;
+    # DuckDB re-spells the haversine trig (round-6c geo family)
+    m = rng.randint(50, 300)
+    k = rng.randint(30, 80)
+    w = _where(rng)
+    coords = (
+        f"(event_id % {m}) - {m // 2} AS lon1, "
+        f"(user_id % {k}) - {k // 2} AS lat1, "
+        f"(user_id % {m}) - {m // 2} AS lon2, "
+        f"(event_id % {k}) - {k // 2} AS lat2"
+    )
+    ch = (
+        f"SELECT k, round(avg(greatCircleDistance("
+        f"lon1, lat1, lon2, lat2)), 2) AS gcd "
+        f"FROM (SELECT event_type AS k, {coords} FROM events{w}) "
+        f"GROUP BY k ORDER BY k"
+    )
+    duck = (
+        f"WITH c AS (SELECT event_type AS k, {coords} FROM events{w}) "
+        "SELECT k, round(avg(2*asin(least(1.0, sqrt("
+        "pow(sin(radians(lat2-lat1)/2), 2)"
+        " + cos(radians(lat1))*cos(radians(lat2))"
+        "*pow(sin(radians(lon2-lon1)/2), 2)))) * 6371000.0), 2) AS gcd "
+        "FROM c GROUP BY k ORDER BY k"
+    )
+    return ch, duck
+
+
+def _gen_strsim_pair(rng: random.Random) -> tuple[str, str]:
+    # editDistance / stringJaccardIndex / byteHammingDistance vs
+    # DuckDB levenshtein / jaccard / mismatches (round-6c family)
+    ln = rng.randint(2, 5)
+    w = _where(rng)
+    a = f"substring(event_type, 1, {ln})"
+    b = "reverse(event_type)"
+    ch = (
+        f"SELECT event_type AS k, "
+        f"round(avg(editDistance({a}, {b})), 4) AS ed, "
+        f"round(avg(stringJaccardIndex({a}, {b})), 6) AS jac, "
+        f"round(avg(byteHammingDistance(rightPad({a}, 8, 'x'), "
+        f"rightPad({b}, 8, 'x'))), 4) AS ham "
+        f"FROM events{w} GROUP BY k ORDER BY k"
+    )
+    duck = (
+        f"SELECT event_type AS k, "
+        f"round(avg(levenshtein({a}, {b})), 4) AS ed, "
+        f"round(avg(jaccard({a}, {b})), 6) AS jac, "
+        f"round(avg(CAST(mismatches(rpad({a}, 8, 'x'), "
+        f"rpad({b}, 8, 'x')) AS DOUBLE)), 4) AS ham "
+        f"FROM events{w} GROUP BY k ORDER BY k"
+    )
+    return ch, duck
+
+
+def _gen_assoc_pair(rng: random.Random) -> tuple[str, str]:
+    # cramersV / contingency vs chi-squared rebuilt from cell counts
+    m = rng.randint(2, 5)
+    k2 = rng.randint(2, 4)
+    w = _where(rng)
+    ch = (
+        f"SELECT round(cramersV(user_id % {m}, event_id % {k2}), 6)"
+        f" AS v, "
+        f"round(contingency(user_id % {m}, event_id % {k2}), 6) AS cg "
+        f"FROM events{w}"
+    )
+    duck = (
+        f"WITH cells AS (SELECT user_id % {m} AS x, "
+        f"event_id % {k2} AS y, CAST(count(*) AS DOUBLE) AS c "
+        f"FROM events{w} GROUP BY x, y), "
+        "rows_ AS (SELECT x, sum(c) AS rc FROM cells GROUP BY x), "
+        "cols_ AS (SELECT y, sum(c) AS cc FROM cells GROUP BY y), "
+        "tot AS (SELECT sum(c) AS n, "
+        "CAST(count(DISTINCT x) AS DOUBLE) AS r, "
+        "CAST(count(DISTINCT y) AS DOUBLE) AS cd FROM cells), "
+        "chi AS (SELECT sum(pow(c.c - r.rc*co.cc/t.n, 2)"
+        "/(r.rc*co.cc/t.n)) AS chi2 "
+        "FROM cells c JOIN rows_ r ON c.x = r.x "
+        "JOIN cols_ co ON c.y = co.y CROSS JOIN tot t) "
+        "SELECT round(sqrt(chi.chi2/t.n/least(t.r-1, t.cd-1)), 6)"
+        " AS v, "
+        "round(sqrt(chi.chi2/(chi.chi2 + t.n)), 6) AS cg "
+        "FROM chi CROSS JOIN tot t"
+    )
+    return ch, duck
+
+
+def _gen_jaro_pair(rng: random.Random) -> tuple[str, str]:
+    # jaro folds are ~100 ms/row: keep the differential on a tiny
+    # inline VALUES table, exactly like the dedicated oracle row
+    alphabet = "abcdez"
+    rows = ", ".join(
+        "('{}', '{}')".format(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7))),
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7))),
+        )
+        for _ in range(4)
+    )
+    body = f"FROM (VALUES {rows}) AS v(a, b) ORDER BY a, b"
+    ch = (
+        "SELECT a, b, round(jaroSimilarity(a, b), 6) AS j, "
+        f"round(jaroWinklerSimilarity(a, b), 6) AS jw {body}"
+    )
+    duck = (
+        "SELECT a, b, round(jaro_similarity(a, b), 6) AS j, "
+        f"round(jaro_winkler_similarity(a, b), 6) AS jw {body}"
+    )
+    return ch, duck
+
+
+N_PAIRED = 92
 
 
 def _gen_pair(rng: random.Random) -> tuple[str, str]:
@@ -1022,7 +1132,9 @@ def _gen_pair(rng: random.Random) -> tuple[str, str]:
          _gen_combinator_pair, _gen_combinator_pair,
          _gen_map_pair, _gen_retention_pair, _gen_funnel_pair,
          _gen_vector_pair, _gen_semi_join_pair,
-         _gen_string_search_pair, _gen_stats_agg_pair]
+         _gen_string_search_pair, _gen_stats_agg_pair,
+         _gen_geo_pair, _gen_strsim_pair, _gen_assoc_pair,
+         _gen_jaro_pair]
     )(rng)
 
 
