@@ -1468,6 +1468,14 @@ CH_FUNCTIONS.update(
 )
 
 
+def _let_once(value, body):
+    """Bind ``value`` once as a lambda variable (transform over a
+    single-element array): interpreted HOF lambdas re-evaluate
+    captured argument EXPRESSIONS per invocation, so any derived
+    array referenced inside a fold step must be a bound value."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def _lttb(x, y, n=100) -> Column:
     """largestTriangleThreeBuckets(n)(x, y): the LTTB downsampling
     aggregate (Steinarsson 2013; CH ships it for dashboard series) —
@@ -1479,14 +1487,17 @@ def _lttb(x, y, n=100) -> Column:
     F.aggregate fold over bucket indices whose accumulator is the
     selected-points array (the greedy's sequential dependence lives
     inside the fold, still one JVM expression — no Python, no
-    driver loop). Per-group state is O(group rows) like any
-    collect_list aggregate; n is a driver literal.
+    driver loop). The sorted points array, each bucket's slice, the
+    next-anchor centroid, and each candidate's triangle area are
+    LET-bound — the naive spelling re-sorts the group per reference
+    (O(n**2 log n); 116 s at sf0.01). Per-group state is O(group
+    rows) like any collect_list aggregate; n is a driver literal.
     Returns array<struct<x,y>> of min(n, group size) points.
     """
     k = int(float(str(n)))
     if k < 3:
         raise ValueError("largestTriangleThreeBuckets needs n >= 3")
-    pts = F.array_sort(
+    pts_expr = F.array_sort(
         F.collect_list(
             F.struct(
                 _as_col(x).cast("double").alias("x"),
@@ -1494,64 +1505,89 @@ def _lttb(x, y, n=100) -> Column:
             )
         )
     )
-    total = F.size(pts)
-    mid = (total - 2).cast("double")  # points eligible for buckets
-    nb = float(k - 2)
 
-    def bstart(i: Column) -> Column:
-        # 1-based index of bucket i's first point (i in 1..k-2)
-        return (
-            F.lit(2) + F.floor((i.cast("double") - 1) * mid / nb)
-        ).cast("int")
+    def build(pts):
+        total = F.size(pts)
+        mid = (total - 2).cast("double")  # points eligible for buckets
+        nb = float(k - 2)
 
-    def centroid(lo: Column, ln: Column) -> Column:
-        seg = F.slice(pts, lo, ln)
-        cnt = F.size(seg).cast("double")
-        sx = F.aggregate(seg, F.lit(0.0), lambda a, p: a + p["x"])
-        sy = F.aggregate(seg, F.lit(0.0), lambda a, p: a + p["y"])
-        return F.struct(
-            (sx / cnt).alias("x"), (sy / cnt).alias("y")
-        )
+        def bstart(i):
+            # 1-based index of bucket i's first point (i in 1..k-2)
+            return (
+                F.lit(2) + F.floor((i.cast("double") - 1) * mid / nb)
+            ).cast("int")
 
-    def area(prev: Column, c: Column, nxt: Column) -> Column:
-        return F.abs(
-            (prev["x"] - nxt["x"]) * (c["y"] - prev["y"])
-            - (prev["x"] - c["x"]) * (nxt["y"] - prev["y"])
-        )
+        def centroid(lo, ln):
+            return _let_once(
+                F.slice(pts, lo, ln),
+                lambda seg: F.struct(
+                    (
+                        F.aggregate(
+                            seg, F.lit(0.0), lambda a, p: a + p["x"]
+                        )
+                        / F.size(seg).cast("double")
+                    ).alias("x"),
+                    (
+                        F.aggregate(
+                            seg, F.lit(0.0), lambda a, p: a + p["y"]
+                        )
+                        / F.size(seg).cast("double")
+                    ).alias("y"),
+                ),
+            )
 
-    def step(acc: Column, i: Column) -> Column:
-        prev = F.element_at(acc, -1)
-        lo = bstart(i)
-        ln = bstart(i + 1) - lo
-        # next anchor: bucket i+1's centroid, or the last point for
-        # the final bucket
-        nxt = F.when(
-            i < F.lit(k - 2),
-            centroid(bstart(i + 1), bstart(i + 2) - bstart(i + 1)),
-        ).otherwise(F.element_at(pts, total))
-        seg = F.slice(pts, lo, ln)
-        best = F.aggregate(
-            seg,
-            F.struct(
-                F.lit(-1.0).alias("a"),
-                F.element_at(seg, 1).alias("p"),
+        def area(prev, c, nxt):
+            return F.abs(
+                (prev["x"] - nxt["x"]) * (c["y"] - prev["y"])
+                - (prev["x"] - c["x"]) * (nxt["y"] - prev["y"])
+            )
+
+        def step(acc, i):
+            nxt_expr = F.when(
+                i < F.lit(k - 2),
+                centroid(bstart(i + 1), bstart(i + 2) - bstart(i + 1)),
+            ).otherwise(F.element_at(pts, total))
+
+            def with_ctx(ctx):
+                prev, nxt, seg = ctx["prev"], ctx["nxt"], ctx["seg"]
+                best = F.aggregate(
+                    seg,
+                    F.struct(
+                        F.lit(-1.0).alias("a"),
+                        F.element_at(seg, 1).alias("p"),
+                    ),
+                    lambda b, c: _let_once(
+                        area(prev, c, nxt),
+                        lambda ar: F.when(
+                            ar > b["a"],
+                            F.struct(ar.alias("a"), c.alias("p")),
+                        ).otherwise(b),
+                    ),
+                )
+                return F.concat(acc, F.array(best["p"]))
+
+            return _let_once(
+                F.struct(
+                    F.element_at(acc, -1).alias("prev"),
+                    nxt_expr.alias("nxt"),
+                    F.slice(
+                        pts, bstart(i), bstart(i + 1) - bstart(i)
+                    ).alias("seg"),
+                ),
+                with_ctx,
+            )
+
+        selected = F.concat(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(k - 2)),
+                F.slice(pts, 1, 1),
+                step,
             ),
-            lambda b, c: F.when(
-                area(prev, c, nxt) > b["a"],
-                F.struct(area(prev, c, nxt).alias("a"), c.alias("p")),
-            ).otherwise(b),
+            F.slice(pts, total, 1),
         )
-        return F.concat(acc, F.array(best["p"]))
+        return F.when(total <= F.lit(k), pts).otherwise(selected)
 
-    selected = F.concat(
-        F.aggregate(
-            F.sequence(F.lit(1), F.lit(k - 2)),
-            F.slice(pts, 1, 1),
-            step,
-        ),
-        F.slice(pts, total, 1),
-    )
-    return F.when(total <= F.lit(k), pts).otherwise(selected)
+    return _let_once(pts_expr, build)
 
 
 CH_FUNCTIONS["largestTriangleThreeBuckets"] = _lttb

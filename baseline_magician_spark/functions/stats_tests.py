@@ -333,68 +333,91 @@ def mann_whitney_u_test(v, idx, alternative="two-sided", *extra) -> Column:
     sample_index) -> (u_statistic, p_value). U of sample 0 from
     average-tie ranks; p is the tie-corrected normal approximation
     (CH's own large-sample path). The rank walk folds the value-
-    sorted tape once, flushing at run (tie-group) boundaries."""
-    tape = _sorted_pairs(
+    sorted tape once, flushing at run (tie-group) boundaries. The
+    tape and the fold result are LET-bound: referencing the
+    sort_array tree inside the per-position step would re-sort the
+    group per element — O(n² log n)."""
+    tape_expr = _sorted_pairs(
         _d(v),
         (idx if isinstance(idx, Column) else F.lit(idx)).cast("int"),
     )
-    n = F.size(tape)
-    acc0 = F.struct(
-        F.lit(0.0).alias("r0"),     # rank-sum of sample 0
-        F.lit(0.0).alias("ties"),   # Σ (t^3 - t) over tie groups
-        F.lit(0).alias("rlen"),     # current run length
-        F.lit(0).alias("rc0"),      # sample-0 members in current run
-    )
-
-    def step(acc: Column, i: Column) -> Column:
-        e = F.element_at(tape, i)
-        rlen = acc["rlen"] + 1
-        rc0 = acc["rc0"] + F.when(e["b"] == 0, 1).otherwise(0)
-        closes = _run_end(tape, i, n)
-        # run spans positions [i - rlen + 1, i]; average rank is the
-        # midpoint of that 1-based range
-        avg_rank = (
-            (i - rlen + 1).cast("double") + i.cast("double")
-        ) / 2.0
-        return F.struct(
-            F.when(
-                closes, acc["r0"] + rc0.cast("double") * avg_rank
-            )
-            .otherwise(acc["r0"])
-            .alias("r0"),
-            F.when(
-                closes,
-                acc["ties"]
-                + rlen.cast("double") * rlen * rlen
-                - rlen.cast("double"),
-            )
-            .otherwise(acc["ties"])
-            .alias("ties"),
-            F.when(closes, F.lit(0)).otherwise(rlen).alias("rlen"),
-            F.when(closes, F.lit(0)).otherwise(rc0).alias("rc0"),
-        )
-
-    folded = F.aggregate(F.sequence(F.lit(1), n), acc0, step)
     idx_c = (idx if isinstance(idx, Column) else F.lit(idx)).cast("int")
     n0 = F.sum(F.when(idx_c == 0, 1).otherwise(0)).cast("double")
     n1 = F.sum(F.when(idx_c != 0, 1).otherwise(0)).cast("double")
-    nn = n0 + n1
-    u0 = folded["r0"] - n0 * (n0 + 1) / 2
-    mean_u = n0 * n1 / 2
-    var_u = (
-        n0 * n1 / 12.0 * ((nn + 1) - folded["ties"] / (nn * (nn - 1)))
-    )
-    z = (u0 - mean_u) / F.sqrt(var_u)
     alt = str(alternative).strip("'\"").lower()
-    if alt in ("two-sided", "two_sided"):
-        p = _two_sided_p(z)
-    elif alt == "greater":
-        p = 1.0 - _norm_cdf(z)
-    elif alt == "less":
-        p = _norm_cdf(z)
-    else:
+    if alt not in ("two-sided", "two_sided", "greater", "less"):
         raise ValueError(f"unknown alternative {alternative!r}")
-    return F.struct(u0.alias("u_statistic"), p.alias("p_value"))
+
+    def build(tape: Column) -> Column:
+        n = F.size(tape)
+        acc0 = F.struct(
+            F.lit(0.0).alias("r0"),     # rank-sum of sample 0
+            F.lit(0.0).alias("ties"),   # Σ (t^3 - t) over tie groups
+            F.lit(0).alias("rlen"),     # current run length
+            F.lit(0).alias("rc0"),      # sample-0 members in the run
+        )
+
+        def step(acc: Column, i: Column) -> Column:
+            e = F.element_at(tape, i)
+            rlen = acc["rlen"] + 1
+            rc0 = acc["rc0"] + F.when(e["b"] == 0, 1).otherwise(0)
+            closes = _run_end(tape, i, n)
+            # run spans [i - rlen + 1, i]; average rank is the
+            # midpoint of that 1-based range
+            avg_rank = (
+                (i - rlen + 1).cast("double") + i.cast("double")
+            ) / 2.0
+            return F.struct(
+                F.when(
+                    closes, acc["r0"] + rc0.cast("double") * avg_rank
+                )
+                .otherwise(acc["r0"])
+                .alias("r0"),
+                F.when(
+                    closes,
+                    acc["ties"]
+                    + rlen.cast("double") * rlen * rlen
+                    - rlen.cast("double"),
+                )
+                .otherwise(acc["ties"])
+                .alias("ties"),
+                F.when(closes, F.lit(0)).otherwise(rlen).alias("rlen"),
+                F.when(closes, F.lit(0)).otherwise(rc0).alias("rc0"),
+            )
+
+        def from_fold(folded: Column) -> Column:
+            nn = n0 + n1
+            u0 = folded["r0"] - n0 * (n0 + 1) / 2
+            mean_u = n0 * n1 / 2
+            var_u = (
+                n0 * n1 / 12.0
+                * ((nn + 1) - folded["ties"] / (nn * (nn - 1)))
+            )
+            # var = 0 (every value tied) leaves z undefined: NULL —
+            # and guards the ANSI divide-by-zero that _let exposes
+            # (the LET body always evaluates; the old inline spelling
+            # only survived because Catalyst pruned unused p_value)
+            return _let(
+                F.when(
+                    var_u > 0, (u0 - mean_u) / F.sqrt(var_u)
+                ),
+                lambda z: F.struct(
+                    u0.alias("u_statistic"),
+                    (
+                        _two_sided_p(z)
+                        if alt in ("two-sided", "two_sided")
+                        else (1.0 - _norm_cdf(z))
+                        if alt == "greater"
+                        else _norm_cdf(z)
+                    ).alias("p_value"),
+                ),
+            )
+
+        return _let(
+            F.aggregate(F.sequence(F.lit(1), n), acc0, step), from_fold
+        )
+
+    return _let(tape_expr, build)
 
 
 def kolmogorov_smirnov_test(v, idx, *params) -> Column:
@@ -402,50 +425,72 @@ def kolmogorov_smirnov_test(v, idx, *params) -> Column:
     sample_index) -> (d_statistic, p_value). D = max ECDF gap over the
     merged sorted tape, evaluated at tie-group boundaries; p is the
     Kolmogorov asymptotic series with the Stephens small-sample
-    correction."""
-    tape = _sorted_pairs(
+    correction. Tape, D, and λ are LET-bound (same O(n² log n)
+    re-sort hazard as mannWhitneyUTest)."""
+    tape_expr = _sorted_pairs(
         _d(v),
         (idx if isinstance(idx, Column) else F.lit(idx)).cast("int"),
     )
-    n = F.size(tape)
     idx_c = (idx if isinstance(idx, Column) else F.lit(idx)).cast("int")
     n0 = F.sum(F.when(idx_c == 0, 1).otherwise(0)).cast("double")
     n1 = F.sum(F.when(idx_c != 0, 1).otherwise(0)).cast("double")
-    acc0 = F.struct(
-        F.lit(0.0).alias("c0"),
-        F.lit(0.0).alias("c1"),
-        F.lit(0.0).alias("d"),
-    )
 
-    def step(acc: Column, i: Column) -> Column:
-        e = F.element_at(tape, i)
-        c0 = acc["c0"] + F.when(e["b"] == 0, 1.0).otherwise(0.0)
-        c1 = acc["c1"] + F.when(e["b"] != 0, 1.0).otherwise(0.0)
-        gap = F.abs(c0 / n0 - c1 / n1)
-        return F.struct(
-            c0.alias("c0"),
-            c1.alias("c1"),
-            F.when(
-                _run_end(tape, i, n) & (gap > acc["d"]), gap
-            )
-            .otherwise(acc["d"])
-            .alias("d"),
+    def build(tape: Column) -> Column:
+        n = F.size(tape)
+        acc0 = F.struct(
+            F.lit(0.0).alias("c0"),
+            F.lit(0.0).alias("c1"),
+            F.lit(0.0).alias("d"),
         )
 
-    d = F.aggregate(F.sequence(F.lit(1), n), acc0, step)["d"]
-    ne = n0 * n1 / (n0 + n1)
-    lam = (F.sqrt(ne) + 0.12 + 0.11 / F.sqrt(ne)) * d
-    # 2 Σ (-1)^(k-1) e^(-2 k² λ²), 25 terms (converges in far fewer)
-    p = F.aggregate(
-        F.sequence(F.lit(1), F.lit(25)),
-        F.lit(0.0),
-        lambda acc, k: acc
-        + 2.0
-        * F.pow(F.lit(-1.0), (k - 1).cast("double"))
-        * F.exp(-2.0 * k.cast("double") * k.cast("double") * lam * lam),
-    )
-    p = F.greatest(F.lit(0.0), F.least(F.lit(1.0), p))
-    return F.struct(d.alias("d_statistic"), p.alias("p_value"))
+        def step(acc: Column, i: Column) -> Column:
+            e = F.element_at(tape, i)
+            c0 = acc["c0"] + F.when(e["b"] == 0, 1.0).otherwise(0.0)
+            c1 = acc["c1"] + F.when(e["b"] != 0, 1.0).otherwise(0.0)
+            gap = F.abs(c0 / n0 - c1 / n1)
+            return F.struct(
+                c0.alias("c0"),
+                c1.alias("c1"),
+                F.when(
+                    _run_end(tape, i, n) & (gap > acc["d"]), gap
+                )
+                .otherwise(acc["d"])
+                .alias("d"),
+            )
+
+        def from_d(d: Column) -> Column:
+            ne = n0 * n1 / (n0 + n1)
+            lam_expr = (F.sqrt(ne) + 0.12 + 0.11 / F.sqrt(ne)) * d
+
+            def from_lam(lam: Column) -> Column:
+                # 2 Σ (-1)^(k-1) e^(-2 k² λ²), 25 terms
+                p = F.aggregate(
+                    F.sequence(F.lit(1), F.lit(25)),
+                    F.lit(0.0),
+                    lambda acc, k: acc
+                    + 2.0
+                    * F.pow(F.lit(-1.0), (k - 1).cast("double"))
+                    * F.exp(
+                        -2.0
+                        * k.cast("double")
+                        * k.cast("double")
+                        * lam
+                        * lam
+                    ),
+                )
+                p = F.greatest(F.lit(0.0), F.least(F.lit(1.0), p))
+                return F.struct(
+                    d.alias("d_statistic"), p.alias("p_value")
+                )
+
+            return _let(lam_expr, from_lam)
+
+        return _let(
+            F.aggregate(F.sequence(F.lit(1), n), acc0, step)["d"],
+            from_d,
+        )
+
+    return _let(tape_expr, build)
 
 
 def histogram_agg(x, nbins=10) -> Column:
@@ -453,29 +498,49 @@ def histogram_agg(x, nbins=10) -> Column:
     bins. Divergence: CH's histogram is an adaptive streaming sketch
     whose bin edges depend on arrival order (non-deterministic under
     shuffle); the equal-width form is deterministic and mergeable —
-    the property a distributed engine actually wants."""
+    the property a distributed engine actually wants. (lo, width)
+    are LET-bound: referencing array_min/array_max inside the
+    per-element bucket test would rescan the group per element."""
     nb = int(float(str(nbins)))
     if nb <= 0:
         raise ValueError("histogram needs a positive bin count")
-    arr = F.collect_list(_d(x))
-    lo, hi = F.array_min(arr), F.array_max(arr)
-    width = F.when(hi > lo, (hi - lo) / nb).otherwise(F.lit(1.0))
+    arr_expr = F.collect_list(_d(x))
 
-    def bucket(v: Column) -> Column:
-        return F.least(
-            F.floor((v - lo) / width).cast("int"), F.lit(nb - 1)
+    def build(arr: Column) -> Column:
+        lo_expr = F.array_min(arr)
+        hi_expr = F.array_max(arr)
+        bounds = F.struct(
+            lo_expr.alias("lo"),
+            F.when(
+                hi_expr > lo_expr, (hi_expr - lo_expr) / nb
+            )
+            .otherwise(F.lit(1.0))
+            .alias("width"),
         )
 
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(nb - 1)),
-        lambda b: F.struct(
-            (lo + b.cast("double") * width).alias("lo"),
-            (lo + (b + 1).cast("double") * width).alias("hi"),
-            F.size(F.filter(arr, lambda v: bucket(v) == b)).cast(
-                "long"
-            ).alias("cnt"),
-        ),
-    )
+        def with_bounds(b_: Column) -> Column:
+            lo, width = b_["lo"], b_["width"]
+
+            def bucket(v: Column) -> Column:
+                return F.least(
+                    F.floor((v - lo) / width).cast("int"),
+                    F.lit(nb - 1),
+                )
+
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(nb - 1)),
+                lambda b: F.struct(
+                    (lo + b.cast("double") * width).alias("lo"),
+                    (lo + (b + 1).cast("double") * width).alias("hi"),
+                    F.size(
+                        F.filter(arr, lambda v: bucket(v) == b)
+                    ).cast("long").alias("cnt"),
+                ),
+            )
+
+        return _let(bounds, with_bounds)
+
+    return _let(arr_expr, build)
 
 
 # ------------------------------------- categorical association family
@@ -704,38 +769,67 @@ def sparkbar_agg(x, *rest) -> Column:
     if nb <= 0:
         raise ValueError("sparkbar needs a positive width")
     yv = _d(y) if y is not None else F.lit(1.0)
-    arr = F.collect_list(F.struct(_d(x).alias("a"), yv.alias("b")))
-    lo = F.array_min(F.transform(arr, lambda e: e["a"]))
-    hi = F.array_max(F.transform(arr, lambda e: e["a"]))
-    width = F.when(hi > lo, (hi - lo) / nb).otherwise(F.lit(1.0))
-    sums = F.transform(
-        F.sequence(F.lit(0), F.lit(nb - 1)),
-        lambda b: F.aggregate(
-            F.filter(
-                arr,
-                lambda e: F.least(
-                    F.floor((e["a"] - lo) / width).cast("int"),
-                    F.lit(nb - 1),
-                )
-                == b,
-            ),
-            F.lit(0.0),
-            lambda acc, e: acc + e["b"],
-        ),
-    )
-    mx = F.array_max(sums)
-    glyphs = F.array(*[F.lit(ch) for ch in _SPARKBAR_LEVELS])
-    return F.array_join(
-        F.transform(
-            sums,
-            lambda s: F.element_at(
-                glyphs,
-                F.when((mx <= 0) | (s <= 0), F.lit(1)).otherwise(
-                    F.least(
-                        F.ceil(s / mx * 8).cast("int") + 1, F.lit(9)
-                    )
+    arr_expr = F.collect_list(F.struct(_d(x).alias("a"), yv.alias("b")))
+
+    # (lo, width), the bucket sums, and their max are LET-bound: the
+    # naive spelling rescans the collected group per element (the
+    # histogram_agg hazard) and re-buckets per glyph
+    def build(arr: Column) -> Column:
+        lo_expr = F.array_min(F.transform(arr, lambda e: e["a"]))
+        hi_expr = F.array_max(F.transform(arr, lambda e: e["a"]))
+        bounds = F.struct(
+            lo_expr.alias("lo"),
+            F.when(hi_expr > lo_expr, (hi_expr - lo_expr) / nb)
+            .otherwise(F.lit(1.0))
+            .alias("width"),
+        )
+
+        def with_bounds(b_: Column) -> Column:
+            lo, width = b_["lo"], b_["width"]
+            sums_expr = F.transform(
+                F.sequence(F.lit(0), F.lit(nb - 1)),
+                lambda b: F.aggregate(
+                    F.filter(
+                        arr,
+                        lambda e: F.least(
+                            F.floor((e["a"] - lo) / width).cast("int"),
+                            F.lit(nb - 1),
+                        )
+                        == b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, e: acc + e["b"],
                 ),
-            ),
-        ),
-        "",
-    )
+            )
+
+            def with_sums(sums: Column) -> Column:
+                def glyph_row(mx: Column) -> Column:
+                    glyphs = F.array(
+                        *[F.lit(ch) for ch in _SPARKBAR_LEVELS]
+                    )
+                    return F.array_join(
+                        F.transform(
+                            sums,
+                            lambda s: F.element_at(
+                                glyphs,
+                                F.when(
+                                    (mx <= 0) | (s <= 0), F.lit(1)
+                                ).otherwise(
+                                    F.least(
+                                        F.ceil(s / mx * 8).cast("int")
+                                        + 1,
+                                        F.lit(9),
+                                    )
+                                ),
+                            ),
+                        ),
+                        "",
+                    )
+
+                return _let(F.array_max(sums), glyph_row)
+
+            return _let(sums_expr, with_sums)
+
+        return _let(bounds, with_bounds)
+
+    return _let(arr_expr, build)

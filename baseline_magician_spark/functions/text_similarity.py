@@ -44,8 +44,15 @@ def damerau_levenshtein(a, b) -> Column:
     carries (prev_prev_row, prev_row); the inner aggregate builds the
     current row left-to-right, reading left from its own tail, up /
     diag from prev_row, and the transposition cell from
-    prev_prev_row."""
-    ca, cb = _chars(a), _chars(b)
+    prev_prev_row. The char arrays are LET-bound: referencing the
+    split() tree per DP cell re-splits the strings O(n·m) times."""
+    return _let(
+        F.struct(_chars(a).alias("ca"), _chars(b).alias("cb")),
+        lambda cs: _damerau_from_chars(cs["ca"], cs["cb"]),
+    )
+
+
+def _damerau_from_chars(ca: Column, cb: Column) -> Column:
     n, m = F.size(ca), F.size(cb)
     big = F.lit(1 << 30)
     # row 0 = [0, 1, ..., m]
@@ -188,13 +195,12 @@ def _let(value: Column, body) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
-def _jaro_fold(a, b):
-    """The greedy matching fold of the classic Jaro algorithm:
-    pass 1 folds the chars of a, greedily claiming the
-    first unclaimed equal char of b inside the match window; the
-    transposition count compares the two matched-char tapes in their
-    native orders."""
-    ca, cb = _chars(a), _chars(b)
+def _jaro_fold(ca: Column, cb: Column):
+    """The greedy matching fold of the classic Jaro algorithm over
+    BOUND char-array values: pass 1 folds the chars of a, greedily
+    claiming the first unclaimed equal char of b inside the match
+    window; the transposition count compares the two matched-char
+    tapes in their native orders."""
     n, m = F.size(ca), F.size(cb)
     w = F.greatest(
         (F.greatest(n, m) / 2).cast("int") - 1, F.lit(0)
@@ -236,10 +242,17 @@ def _jaro_fold(a, b):
 
 def jaro_similarity(a, b) -> Column:
     """CH jaroSimilarity(a, b) -> 0..1; 0 when either string is empty
-    (the DuckDB/CH convention — NOT 1 for two empties). The fold
-    state, matched tapes, and match count are all LET-bound so the
-    plan holds exactly ONE copy of the two-pass fold."""
-    ca, cb = _chars(a), _chars(b)
+    (the DuckDB/CH convention — NOT 1 for two empties). The char
+    arrays, fold state, matched tapes, and match count are all
+    LET-bound so the plan holds exactly ONE copy of the two-pass
+    fold and never re-splits the strings per step."""
+    return _let(
+        F.struct(_chars(a).alias("ca"), _chars(b).alias("cb")),
+        lambda cs: _jaro_from_chars(cs["ca"], cs["cb"]),
+    )
+
+
+def _jaro_from_chars(ca: Column, cb: Column) -> Column:
     n, m = F.size(ca), F.size(cb)
 
     def from_fold(fd: Column) -> Column:
@@ -278,28 +291,35 @@ def jaro_similarity(a, b) -> Column:
 
         return _let(mb_expr, with_mb)
 
-    return _let(_jaro_fold(a, b), from_fold)
+    return _let(_jaro_fold(ca, cb), from_fold)
 
 
 def jaro_winkler_similarity(a, b) -> Column:
     """CH jaroWinklerSimilarity: Jaro boosted by the common prefix
-    (cap 4, scale 0.1) when the base similarity clears 0.7. The base
-    similarity is LET-bound — referencing it four times would
-    otherwise embed four copies of the Jaro fold."""
-    ca, cb = _chars(a), _chars(b)
-    cap = F.least(F.lit(4), F.size(ca), F.size(cb))
-    prefix = F.aggregate(
-        _guarded_seq(F.lit(1), cap),
-        F.lit(0),
-        lambda acc, i: F.when(
-            (acc == i - 1)
-            & (F.element_at(ca, i) == F.element_at(cb, i)),
-            acc + 1,
-        ).otherwise(acc),
-    ).cast("double")
+    (cap 4, scale 0.1) when the base similarity clears 0.7. The char
+    arrays and base similarity are LET-bound — referencing the
+    similarity four times would otherwise embed four copies of the
+    Jaro fold."""
+
+    def build(cs: Column) -> Column:
+        ca, cb = cs["ca"], cs["cb"]
+        cap = F.least(F.lit(4), F.size(ca), F.size(cb))
+        prefix = F.aggregate(
+            _guarded_seq(F.lit(1), cap),
+            F.lit(0),
+            lambda acc, i: F.when(
+                (acc == i - 1)
+                & (F.element_at(ca, i) == F.element_at(cb, i)),
+                acc + 1,
+            ).otherwise(acc),
+        ).cast("double")
+        return _let(
+            _jaro_from_chars(ca, cb),
+            lambda sim: F.when(
+                sim > 0.7, sim + prefix * 0.1 * (1.0 - sim)
+            ).otherwise(sim),
+        )
+
     return _let(
-        jaro_similarity(a, b),
-        lambda sim: F.when(
-            sim > 0.7, sim + prefix * 0.1 * (1.0 - sim)
-        ).otherwise(sim),
+        F.struct(_chars(a).alias("ca"), _chars(b).alias("cb")), build
     )
