@@ -516,6 +516,9 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # CH row values: tuple(a, b) / the (a, b) literal — a struct, so
     # =/IN compare element-wise in both engines
     "tuple": lambda *cs: F.struct(*[_as_col(c) for c in cs]),
+    # untuple compiles to the struct itself; the SELECT projection
+    # star-expands it into per-field columns (plans/ch_sql.py)
+    "untuple": lambda t: _as_col(t),
     # ------------------------------------------------------------------
     # Map(K, V) family (round 6). CH map('k1', v1, 'k2', v2) literals,
     # mapFromArrays(ks, vs), key/value extraction, membership. Subscript

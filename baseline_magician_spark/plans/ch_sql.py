@@ -4473,6 +4473,35 @@ def _exec_select(
         out = df.select(
             *[_compile(n, tables).alias(names[i]) for i, n in enumerate(select_nodes)]
         )
+        # untuple(t): star-expand the struct into one output column
+        # per field (CH's tuple flattener). The struct compiles as a
+        # normal column first; the expansion reads the resolved
+        # schema, so any tuple-valued expression works. Supported in
+        # the plain-projection path (CH's own untuple is likewise a
+        # SELECT-level rewrite).
+        untuple_idx = {
+            i
+            for i, n in enumerate(select_nodes)
+            if n.kind == "call" and str(n.value).lower() == "untuple"
+        }
+        if untuple_idx:
+            from pyspark.sql.types import StructType
+
+            expanded = []
+            for i, cname in enumerate(out.columns):
+                if i in untuple_idx:
+                    dt = out.schema.fields[i].dataType
+                    if not isinstance(dt, StructType):
+                        raise ValueError(
+                            "untuple() needs a tuple-valued argument"
+                        )
+                    expanded.extend(
+                        out[cname].getField(f.name).alias(f.name)
+                        for f in dt.fields
+                    )
+                else:
+                    expanded.append(out[cname])
+            out = out.select(*expanded)
 
     if distinct:
         # SELECT DISTINCT: dedup over the full select list (one hash

@@ -254,3 +254,33 @@ def test_jaro_differential_vs_duckdb(spark):
         assert math.isclose(r.j, want[0], abs_tol=1e-12), (r.a, r.b)
         assert math.isclose(r.jw, want[1], abs_tol=1e-12), (r.a, r.b)
         assert r.ed == want[2], (r.a, r.b)
+
+
+def test_untuple_expands_struct(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, s string")
+    out = run_ch_query(
+        "SELECT id AS k, untuple(tuple(id * 2, upper(s)))"
+        " FROM t ORDER BY k",
+        {"t": df},
+    )
+    assert out.columns == ["k", "col1", "col2"]
+    assert [tuple(r) for r in out.collect()] == [(1, 2, "X"), (2, 4, "Y")]
+
+
+def test_untuple_named_fields(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    out = run_ch_query(
+        "SELECT untuple(geohashDecode('ezs42')) FROM t", {"t": df}
+    )
+    assert out.columns == ["1", "2"]
+    lon, lat = out.collect()[0]
+    assert abs(lon - -5.60302734375) < 1e-9
+    assert abs(lat - 42.60498046875) < 1e-9
+
+
+def test_untuple_rejects_scalar(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="tuple-valued"):
+        run_ch_query("SELECT untuple(id) FROM t", {"t": df}).collect()
