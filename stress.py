@@ -398,6 +398,52 @@ def main() -> None:
         )
         return out.count()
 
+    def assoc_stats(k: int) -> int:
+        """Categorical association aggregates (cramersV + theilsU +
+        contingency): the contingency cells derive from ONE O(n)
+        run-length fold over the sorted tape and every statistic
+        folds the SMALL cells array; group count stays constant
+        while group size grows x4 — the slope must track the sort
+        (near-linear). Guards the LET-binding discipline: the naive
+        spelling re-derives the cells per element (quadratic)."""
+        from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+        ev = replicate(ev0, k, ["event_id", "user_id"], salt_text=False)
+        out = run_ch_query(
+            """
+            SELECT event_type,
+                   round(cramersV(user_id % 7, event_id % 5), 6) AS v,
+                   round(theilsU(user_id % 7, event_id % 5), 6) AS u,
+                   round(contingency(user_id % 7, event_id % 5), 6)
+                     AS cg
+            FROM events GROUP BY event_type
+            """,
+            {"events": ev},
+        )
+        return out.count()
+
+    def string_sim_scan(k: int) -> int:
+        """Per-row string-similarity kernels (damerauLevenshtein DP +
+        jaroWinkler two-pass fold) over bounded 16-char prefixes:
+        per-row cost is constant, rows grow x4 — the slope should
+        track token_scan. Guards the char-array LET binding (the
+        naive spelling re-splits the strings per DP cell)."""
+        from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+        docs = replicate(docs0, k, ["doc_id"], salt_text=True)
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        out = run_ch_query(
+            """
+            SELECT round(avg(damerauLevenshtein(substring(text, 1, 16),
+                       reverse(substring(text, 1, 16)))), 4) AS dl,
+                   round(avg(jaroWinklerSimilarity(substring(text, 1, 16),
+                       reverse(substring(text, 1, 16)))), 6) AS jw
+            FROM documents
+            """,
+            {"documents": docs},
+        )
+        return out.count()
+
     ops = {
         "q1_agg": q1_agg,
         "minhash_lsh_pairs": minhash,
@@ -418,6 +464,8 @@ def main() -> None:
         "duplicated_spans": dup_spans,
         "token_entropy": entropy,
         "stat_tape_folds": stat_tape_folds,
+        "assoc_stats": assoc_stats,
+        "string_sim_scan": string_sim_scan,
     }
 
     # SPARK_GRAFT_STRESS_OPS=a,b,c re-runs a subset (a marginal rung
