@@ -2506,3 +2506,164 @@ CH_FUNCTIONS.update(
         ),
     }
 )
+
+
+# Round-6d tranche: groupConcat + ordered-collect aggregates, exact
+# low/high quantiles, date constructors and day-number bridges, and
+# DISTINCT-qualified aggregate names. The ordered-collect family
+# (groupArrayMovingSum/Avg, groupArrayLast) shares CH's own caveat:
+# the walk order is the collected block order, deterministic only
+# when the group arrives sorted from one partition.
+# ---------------------------------------------------------------------------
+
+
+def _group_concat(c, *rest) -> Column:
+    """CH groupConcat[(delimiter[, limit])](x): string-join of the
+    group's values."""
+    sep, limit = ",", None
+    lits = [r for r in rest if not isinstance(r, Column)]
+    if lits:
+        sep = str(lits[0]).strip("'\"")
+    if len(lits) > 1:
+        limit = int(float(str(lits[1])))
+    arr = F.collect_list(_as_col(c).cast("string"))
+    if limit is not None:
+        arr = F.slice(arr, 1, limit)
+    return F.array_join(arr, sep)
+
+
+def _quantile_exact_edge(c, q=0.5, high: bool = False) -> Column:
+    """quantileExactLow/High: the exact element at floor/ceil of
+    q·(n-1) in the sorted group (no interpolation)."""
+    qv = float(str(q))
+    arr_expr = F.array_sort(F.collect_list(_as_col(c).cast("double")))
+
+    def pick(arr: Column) -> Column:
+        pos = F.lit(qv) * (F.size(arr) - 1).cast("double")
+        idx = (F.ceil(pos) if high else F.floor(pos)).cast("int") + 1
+        return F.try_element_at(arr, idx)
+
+    return _let_once(arr_expr, pick)
+
+
+def _group_array_last(c, n=10) -> Column:
+    """groupArrayLast(n)(x): the LAST n collected values."""
+    k = int(float(str(n)))
+    arr_expr = F.collect_list(_as_col(c))
+    return _let_once(
+        arr_expr,
+        lambda arr: F.slice(
+            arr,
+            F.greatest(F.size(arr) - k + 1, F.lit(1)),
+            F.least(F.size(arr), F.lit(k)),
+        ),
+    )
+
+
+def _group_array_moving(c, w=None, avg: bool = False) -> Column:
+    """groupArrayMovingSum/Avg[(window)](x) -> array of running
+    (windowed) sums/means in collected order."""
+    win = int(float(str(w))) if w is not None else None
+    arr_expr = F.collect_list(_as_col(c).cast("double"))
+
+    def build(arr: Column) -> Column:
+        if win is None:
+            sums = F.aggregate(
+                arr,
+                F.array().cast("array<double>"),
+                lambda acc, v: F.concat(
+                    acc,
+                    F.array(
+                        F.coalesce(
+                            F.try_element_at(acc, F.lit(-1)), F.lit(0.0)
+                        )
+                        + v
+                    ),
+                ),
+            )
+            if not avg:
+                return sums
+            return F.transform(
+                sums, lambda s, i: s / (i + 1).cast("double")
+            )
+        # windowed form: s_i = Σ arr[max(1, i-w+1) .. i]
+        return F.transform(
+            arr,
+            lambda _, i: _let_once(
+                F.slice(
+                    arr,
+                    F.greatest(i + 1 - win + 1, F.lit(1)),
+                    F.least(i + 1, F.lit(win)),
+                ),
+                lambda seg: (
+                    F.aggregate(
+                        seg, F.lit(0.0), lambda a, v: a + v
+                    )
+                    / (F.size(seg).cast("double") if avg else F.lit(1.0))
+                ),
+            ),
+        )
+
+    return _let_once(arr_expr, build)
+
+
+CH_FUNCTIONS.update(
+    {
+        "groupConcat": _group_concat,
+        "groupArrayLast": _group_array_last,
+        "groupArrayMovingSum": lambda c, *w: _group_array_moving(
+            c, w[0] if w else None
+        ),
+        "groupArrayMovingAvg": lambda c, *w: _group_array_moving(
+            c, w[0] if w else None, avg=True
+        ),
+        "quantileExactLow": lambda c, q=0.5: _quantile_exact_edge(c, q),
+        "quantileExactHigh": lambda c, q=0.5: _quantile_exact_edge(
+            c, q, high=True
+        ),
+        "countDistinct": lambda c: F.count_distinct(_as_col(c)),
+        "sumDistinct": lambda c: F.sum_distinct(_as_col(c)),
+        "avgDistinct": lambda c: F.sum_distinct(
+            _as_col(c).cast("double")
+        )
+        / F.count_distinct(_as_col(c)),
+        # date constructors / day-number bridges
+        "makeDate": lambda y, m, d: F.make_date(
+            _as_col(y).cast("int"),
+            _as_col(m).cast("int"),
+            _as_col(d).cast("int"),
+        ),
+        "makeDateTime": lambda y, m, d, h=0, mi=0, s=0: F.make_timestamp(
+            _as_col(y).cast("int"),
+            _as_col(m).cast("int"),
+            _as_col(d).cast("int"),
+            _as_col(h).cast("int"),
+            _as_col(mi).cast("int"),
+            _as_col(s).cast("decimal(16,6)"),
+        ),
+        "toYYYYMMDDhhmmss": lambda t: F.date_format(
+            _as_col(t).cast("timestamp"), "yyyyMMddHHmmss"
+        ).cast("long"),
+        "YYYYMMDDToDate": lambda n: F.to_date(
+            _as_col(n).cast("long").cast("string"), "yyyyMMdd"
+        ),
+        "YYYYMMDDhhmmssToDateTime": lambda n: F.to_timestamp(
+            _as_col(n).cast("long").cast("string"), "yyyyMMddHHmmss"
+        ),
+        # proleptic-Gregorian year 0 is a leap year: +366 over the
+        # 0001-01-01 anchor (pinned: 2023-10-01 -> 739147)
+        "toDaysSinceYearZero": lambda d: (
+            F.datediff(
+                _as_col(d).cast("date"), F.lit("0001-01-01").cast("date")
+            )
+            + 366
+        ).cast("long"),
+        "fromDaysSinceYearZero": lambda n: F.date_add(
+            F.lit("0001-01-01").cast("date"),
+            (_as_col(n).cast("int") - 366),
+        ),
+        "toRelativeDayNum": lambda d: F.datediff(
+            _as_col(d).cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long"),
+    }
+)

@@ -138,6 +138,10 @@ _AGGS = {
     "sparkbar",
     # categorical association family (functions/stats_tests.py)
     "cramersv", "cramersvbiascorrected", "theilsu", "contingency",
+    # round-6d tranche
+    "groupconcat", "quantileexactlow", "quantileexacthigh",
+    "grouparraylast", "grouparraymovingsum", "grouparraymovingavg",
+    "countdistinct", "sumdistinct", "avgdistinct",
 }
 
 # CH parametric-aggregate families — ``fn(params)(args)`` spelling,
@@ -148,9 +152,14 @@ _PARAMETRIC_AGGS = {
     "quantile", "quantileexact", "quantiles", "quantilesexact",
     "quantiletiming", "quantiletdigest", "quantilebfloat16",
     "quantiledeterministic", "quantilegk",
+    "quantileexactlow", "quantileexacthigh",
     "topk", "topkweighted", "uniqupto",
     "largesttrianglethreebuckets", "lttb",
     "grouparraysorted", "approx_top_k", "approx_top_count",
+    "grouparraylast", "grouparraymovingsum", "grouparraymovingavg",
+    # groupConcat's parameter is a STRING separator: routed through
+    # the trailing-literal split branch, not the quantile-levels one
+    "groupconcat",
     # param = window seconds / sequence pattern; the compile path
     # special-cases these before the quantile-levels branch
     "windowfunnel", "sequencematch", "sequencecount",
@@ -1439,7 +1448,7 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             "topkweighted", "largesttrianglethreebuckets", "lttb",
             "exponentialmovingaverage", "sparkbar", "mannwhitneyutest",
             "studentttest", "welchttest", "kolmogorovsmirnovtest",
-            "histogram",
+            "histogram", "groupconcat",
         ) and len(node.args) >= 2:
             # multi-COLUMN parametric aggregates — the generic branch
             # below would read the second column as a level. The

@@ -2551,6 +2551,7 @@ FROM (
          ((o_orderkey * 3) % 20) - 4.5 AS px,
          ((o_custkey * 5) % 20) - 4.5 AS py
   FROM fastnetmon.orders
+  WHERE o_orderkey % 7 = 0
 )
 GROUP BY st
 ORDER BY st
@@ -2569,6 +2570,7 @@ ORDER BY st
              ((o_orderkey * 3) % 20) - 4.5 AS px,
              ((o_custkey * 5) % 20) - 4.5 AS py
       FROM orders
+      WHERE o_orderkey % 7 = 0
     ),
     geo AS (
       SELECT st, px, py,
@@ -2812,3 +2814,90 @@ ORDER BY a, b
 )
 def ch_sql_jaro_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_JARO_SQL, _tables(spark, sf_dir, "documents"))
+
+
+# Round-6d aggregates end-to-end: groupConcat (digested order-
+# insensitively — md5 of the re-sorted splits, since collected order
+# is partition-dependent in BOTH engines), exact low/high quantile
+# edges, DISTINCT-qualified names, date constructors, and the
+# TO_DAYS-compatible day-number bridges. DuckDB oracle: string_agg +
+# list_sort for the digest, the sorted-list element formula for the
+# quantile edges, make_date/strftime/datediff for the calendar side.
+_ROUND6D_SQL = """
+SELECT st,
+       MD5(arrayStringConcat(
+         arraySort(splitByChar('|', groupConcat('|')(pri))), ','))
+         AS concat_md5,
+       round(quantileExactLow(0.25)(price), 2) AS q25_low,
+       round(quantileExactHigh(0.75)(price), 2) AS q75_high,
+       countDistinct(pri) AS nd,
+       round(avgDistinct(ok % 5), 4) AS avg_d,
+       min(makeDate(1992 + ok % 30, 1 + ok % 12, 1 + ok % 28))
+         AS d_min,
+       max(toYYYYMMDDhhmmss(makeDateTime(2020, 1 + ok % 12,
+         1 + ok % 28, ok % 24, ok % 60, ok % 60))) AS ts_max,
+       sum(toDaysSinceYearZero(d)) AS days_sum,
+       sum(toInt64(fromDaysSinceYearZero(toDaysSinceYearZero(d)) = d))
+         AS rt_ok,
+       sum(toRelativeDayNum(d)) AS rel_sum
+FROM (
+  SELECT o_orderstatus AS st, o_orderpriority AS pri,
+         o_totalprice AS price, o_orderkey AS ok, o_orderdate AS d
+  FROM fastnetmon.orders
+  WHERE o_orderkey % 3 = 0
+)
+GROUP BY st
+ORDER BY st
+"""
+
+
+@query(
+    "ch_sql_round6d_functions",
+    """
+    WITH base AS (
+      SELECT o_orderstatus AS st, o_orderpriority AS pri,
+             o_totalprice AS price, o_orderkey AS ok, o_orderdate AS d
+      FROM orders
+      WHERE o_orderkey % 3 = 0
+    ),
+    q AS (
+      SELECT st,
+             list_sort(list(price)) AS sp,
+             count(*) AS n,
+             md5(array_to_string(list_sort(string_split(
+               string_agg(pri, '|'), '|')), ',')) AS concat_md5,
+             count(DISTINCT pri) AS nd,
+             sum(DISTINCT ok % 5) * 1.0
+               / count(DISTINCT ok % 5) AS avg_d,
+             min(make_date(CAST(1992 + ok % 30 AS INT),
+                 CAST(1 + ok % 12 AS INT),
+                 CAST(1 + ok % 28 AS INT))) AS d_min,
+             max(CAST(strftime(make_timestamp(
+                 CAST(2020 AS BIGINT), 1 + ok % 12, 1 + ok % 28,
+                 ok % 24, ok % 60, CAST(ok % 60 AS DOUBLE)),
+                 '%Y%m%d%H%M%S') AS BIGINT)) AS ts_max,
+             sum(datediff('day', DATE '0001-01-01', d) + 366)
+               AS days_sum,
+             count(*) AS rt_ok,
+             sum(datediff('day', DATE '1970-01-01', d)) AS rel_sum
+      FROM base GROUP BY st
+    )
+    SELECT st,
+           concat_md5,
+           round(sp[CAST(floor(0.25 * (n - 1)) AS INT) + 1], 2)
+             AS q25_low,
+           round(sp[CAST(ceil(0.75 * (n - 1)) AS INT) + 1], 2)
+             AS q75_high,
+           nd,
+           round(avg_d, 4) AS avg_d,
+           d_min,
+           ts_max,
+           days_sum,
+           rt_ok,
+           rel_sum
+    FROM q
+    ORDER BY st
+    """,
+)
+def ch_sql_round6d_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_ROUND6D_SQL, _tables(spark, sf_dir, "orders"))

@@ -101,6 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_string_similarity",
     "ch_sql_calendar_bridges",
     "ch_sql_jaro_similarity",
+    "ch_sql_round6d_functions",
     # r2-stale TPC-H names deferred from the round-5 rotation
     "q7_volume_shipping",
     "q8_national_market_share",
@@ -114,7 +115,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_connected_components",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
-    "dedup_simhash_band_pairs",
     "similarity_topk_cosine",
     "streaming_cms_merge",
     "text_gopher_quality",

@@ -284,3 +284,80 @@ def test_untuple_rejects_scalar(spark):
 
     with _pytest.raises(Exception, match="tuple-valued"):
         run_ch_query("SELECT untuple(id) FROM t", {"t": df}).collect()
+
+
+# ------------------------------------------------- round-6d tranche
+
+
+def test_group_concat_and_last(spark):
+    df = spark.createDataFrame(
+        [(i, f"v{i % 3}") for i in range(1, 9)], "id int, s string"
+    ).coalesce(1)
+    got = run_ch_query(
+        "SELECT groupConcat('|')(s) AS gc,"
+        " groupArrayLast(3)(id) AS last3 FROM t",
+        {"t": df},
+    ).collect()[0]
+    assert sorted(got.gc.split("|")) == sorted(
+        f"v{i % 3}" for i in range(1, 9)
+    )
+    assert got.last3 == [6, 7, 8]
+
+
+def test_quantile_exact_edges(spark):
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 9)], "x double"
+    )
+    got = run_ch_query(
+        "SELECT quantileExactLow(0.5)(x) AS lo,"
+        " quantileExactHigh(0.5)(x) AS hi,"
+        " quantileExactLow(0.25)(x) AS q1,"
+        " quantileExactHigh(0.75)(x) AS q3 FROM t",
+        {"t": df},
+    ).collect()[0]
+    assert (got.lo, got.hi, got.q1, got.q3) == (4.0, 5.0, 2.0, 7.0)
+
+
+def test_group_array_moving(spark):
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 9)], "x double"
+    ).coalesce(1)
+    got = run_ch_query(
+        "SELECT groupArrayMovingSum(x) AS s,"
+        " groupArrayMovingAvg(x) AS a,"
+        " groupArrayMovingSum(3)(x) AS w FROM t",
+        {"t": df},
+    ).collect()[0]
+    assert got.s == [1.0, 3.0, 6.0, 10.0, 15.0, 21.0, 28.0, 36.0]
+    assert got.a == [1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5]
+    assert got.w == [1.0, 3.0, 6.0, 9.0, 12.0, 15.0, 18.0, 21.0]
+
+
+def test_distinct_qualified_aggregates(spark):
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(12)], "id int, k int"
+    )
+    got = run_ch_query(
+        "SELECT countDistinct(k) AS cd, sumDistinct(k) AS sd,"
+        " round(avgDistinct(k), 4) AS ad FROM t",
+        {"t": df},
+    ).collect()[0]
+    assert (got.cd, got.sd, got.ad) == (3, 3, 1.0)
+
+
+def test_date_constructors_and_day_numbers(spark):
+    # toDaysSinceYearZero is MySQL TO_DAYS-compatible:
+    # TO_DAYS('2008-10-07') = 733687
+    assert _one(
+        spark, "toDaysSinceYearZero(toDate('2008-10-07'))"
+    ) == 733687
+    assert (
+        str(_one(spark, "fromDaysSinceYearZero(733687)")) == "2008-10-07"
+    )
+    assert str(_one(spark, "makeDate(2024, 2, 29)")) == "2024-02-29"
+    assert _one(
+        spark,
+        "toYYYYMMDDhhmmss(makeDateTime(2024, 2, 29, 12, 30, 45))",
+    ) == 20240229123045
+    assert str(_one(spark, "YYYYMMDDToDate(20231001)")) == "2023-10-01"
+    assert _one(spark, "toRelativeDayNum(toDate('1970-01-02'))") == 1
