@@ -13,6 +13,7 @@ codegen as ordinary expressions.
 from __future__ import annotations
 
 import functools
+import math
 import re
 from collections.abc import Callable
 
@@ -2665,5 +2666,297 @@ CH_FUNCTIONS.update(
         "toRelativeDayNum": lambda d: F.datediff(
             _as_col(d).cast("date"), F.lit("1970-01-01").cast("date")
         ).cast("long"),
+    }
+)
+
+
+# Round-6e tranche: INTERVAL constructors, the remaining URL
+# dissection names, JSON completions (keys / raw arrays / ANSI
+# JSON_VALUE-JSON_QUERY / the visitParam legacy aliases), and the
+# special-function math family (erf/erfc/lgamma/tgamma) as JVM
+# closed forms — no Python anywhere. Reference scope note: the
+# reference driver ships none of these (ch/ has no function shims at
+# all — it passes SQL text through); they are §2.12 extension-tier
+# surface a CH user expects of a drop-in engine.
+# ---------------------------------------------------------------------------
+
+
+def _to_interval(unit: str) -> Callable[..., Column]:
+    """toIntervalDay(n)-style constructors -> genuine Spark interval
+    values, so ``ts + toIntervalDay(3)`` rides the existing ``+``."""
+
+    def build(n) -> Column:
+        c = _as_col(n).cast("long")
+        if unit == "year":
+            return F.make_ym_interval(c.cast("int"), F.lit(0))
+        if unit == "quarter":
+            return F.make_ym_interval(F.lit(0), (c * 3).cast("int"))
+        if unit == "month":
+            return F.make_ym_interval(F.lit(0), c.cast("int"))
+        if unit == "week":
+            return F.make_dt_interval(days=(c * 7).cast("int"))
+        if unit == "day":
+            return F.make_dt_interval(days=c.cast("int"))
+        if unit == "hour":
+            return F.make_dt_interval(hours=c.cast("int"))
+        if unit == "minute":
+            return F.make_dt_interval(mins=c.cast("int"))
+        if unit == "second":
+            return F.make_dt_interval(secs=c.cast("double"))
+        raise AssertionError(unit)
+
+    return build
+
+
+# Abramowitz & Stegun 7.1.26 rational approximation: max abs error
+# 1.5e-7 over the real line (documented — CH uses std::erf; exact
+# bit parity is not achievable in closed Column form).
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741,
+          -1.453152027, 1.061405429)
+
+
+def _erf(x) -> Column:
+    x = _as_col(x).cast("double")
+    ax = F.abs(x)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ERF_P) * ax)
+    poly = F.lit(0.0)
+    for a in reversed(_ERF_A):
+        poly = (poly + F.lit(a)) * t
+    y = F.lit(1.0) - poly * F.exp(-ax * ax)
+    return F.signum(x) * y
+
+
+# Lanczos g=7 n=9 coefficients (public-domain set; ~1e-13 relative
+# over the positive reals).
+_LANCZOS_G = 7.0
+_LANCZOS = (
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6,
+    1.5056327351493116e-7,
+)
+_HALF_LOG_2PI = 0.9189385332046727  # 0.5*ln(2*pi)
+
+
+def _lgamma_pos(x: Column) -> Column:
+    """ln Γ(x) for x >= 0.5 via Lanczos."""
+    z = x - 1.0
+    series = F.lit(_LANCZOS[0])
+    for i, c in enumerate(_LANCZOS[1:], start=1):
+        series = series + F.lit(c) / (z + F.lit(float(i)))
+    t = z + F.lit(_LANCZOS_G + 0.5)
+    return (
+        F.lit(_HALF_LOG_2PI)
+        + (z + 0.5) * F.log(t)
+        - t
+        + F.log(series)
+    )
+
+
+def _lgamma(x) -> Column:
+    """CH lgamma(): ln |Γ(x)|; reflection below 0.5."""
+    x = _as_col(x).cast("double")
+
+    def body(xv: Column) -> Column:
+        refl = (
+            F.log(F.lit(math.pi))
+            - F.log(F.abs(F.sin(F.lit(math.pi) * xv)))
+            - _lgamma_pos(F.lit(1.0) - xv)
+        )
+        return F.when(xv < 0.5, refl).otherwise(_lgamma_pos(xv))
+
+    return _let_once(x, body)
+
+
+def _tgamma(x) -> Column:
+    """CH tgamma(): Γ(x); reflection Γ(x) = π/(sin(πx)·Γ(1-x)) below
+    0.5 carries the sign (poles at non-positive integers surface as
+    ±Infinity through the division, as in CH)."""
+    x = _as_col(x).cast("double")
+
+    def body(xv: Column) -> Column:
+        pos = F.exp(_lgamma_pos(xv))
+        refl = F.lit(math.pi) / (
+            F.sin(F.lit(math.pi) * xv) * F.exp(_lgamma_pos(F.lit(1.0) - xv))
+        )
+        return F.when(xv < 0.5, refl).otherwise(pos)
+
+    return _let_once(x, body)
+
+
+def _url_netloc(u) -> Column:
+    return F.regexp_extract(
+        _as_col(u),
+        r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)",
+        1,
+    )
+
+
+def _first_significant_subdomain(u) -> Column:
+    cut = _cut_to_first_significant_subdomain(u)
+    return F.element_at(F.split(cut, r"\."), 1)
+
+
+def _url_port(u, default=None) -> Column:
+    got = F.regexp_extract(
+        _as_col(u),
+        r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@?#]*@)?[^/:?#]+:(\d+)",
+        1,
+    )
+    dflt = _as_col(default).cast("int") if default is not None else F.lit(0)
+    return F.when(got == "", dflt).otherwise(got.cast("int"))
+
+
+def _json_extract_array_raw(j, *path) -> Column:
+    """CH JSONExtractArrayRaw(): raw JSON text of each array element.
+    Same approximation stance as JSONExtractRaw (string elements are
+    re-quoted; a stored string spelling a bare number round-trips
+    unquoted — exact CH needs a raw-token reader)."""
+    base = _json_base(j, path)
+
+    def requote(v: Column) -> Column:
+        needs_quote = ~(
+            v.rlike(r"^\s*[\[{]")
+            | v.rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+            | v.isin("true", "false", "null")
+        )
+        return F.when(
+            needs_quote,
+            F.concat(
+                F.lit('"'),
+                F.replace(
+                    F.replace(v, F.lit("\\"), F.lit("\\\\")),
+                    F.lit('"'),
+                    F.lit('\\"'),
+                ),
+                F.lit('"'),
+            ),
+        ).otherwise(v)
+
+    return F.transform(F.from_json(base, "array<string>"), requote)
+
+
+def _json_path_value(j, path) -> Column:
+    """ANSI JSON_VALUE: scalar at a full '$...' JSONPath literal."""
+    return F.get_json_object(_as_col(j), str(path).strip("'\""))
+
+
+def _json_path_query(j, path) -> Column:
+    """ANSI JSON_QUERY per CH: the match wrapped in a JSON array."""
+    raw = _json_path_raw(j, path)
+    return F.when(
+        raw.isNotNull(), F.concat(F.lit("["), raw, F.lit("]"))
+    )
+
+
+def _json_path_raw(j, path) -> Column:
+    v = _json_path_value(j, path)
+    needs_quote = ~(
+        v.rlike(r"^\s*[\[{]")
+        | v.rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+        | v.isin("true", "false", "null")
+    )
+    return F.when(
+        needs_quote,
+        F.concat(
+            F.lit('"'),
+            F.replace(
+                F.replace(v, F.lit("\\"), F.lit("\\\\")),
+                F.lit('"'),
+                F.lit('\\"'),
+            ),
+            F.lit('"'),
+        ),
+    ).otherwise(v)
+
+
+CH_FUNCTIONS.update(
+    {
+        # INTERVAL constructors
+        **{
+            f"toInterval{u.capitalize()}": _to_interval(u)
+            for u in (
+                "second", "minute", "hour", "day",
+                "week", "month", "quarter", "year",
+            )
+        },
+        # generic-unit timestamp aliases (dateAdd family twins)
+        "timestampAdd": lambda unit, n, c: F.timestamp_add(
+            _unquote(unit).upper(), _as_col(n), c
+        ),
+        "timestampSub": lambda unit, n, c: F.timestamp_add(
+            _unquote(unit).upper(), -_as_col(n), c
+        ),
+        "timestampDiff": lambda unit, a, b: F.timestamp_diff(
+            _unquote(unit), a, b
+        ),
+        "nowInBlock": lambda: F.now(),
+        # URL dissection completions
+        "fragment": lambda u: F.regexp_extract(_as_col(u), r"#(.*)$", 1),
+        "cutFragment": lambda u: F.regexp_replace(
+            _as_col(u), r"#.*$", ""
+        ),
+        "cutQueryStringAndFragment": lambda u: F.regexp_replace(
+            _as_col(u), r"[?#].*$", ""
+        ),
+        "netloc": _url_netloc,
+        "pathFull": lambda u: F.regexp_extract(
+            _as_col(u),
+            r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*(.*)$",
+            1,
+        ),
+        "domainWithoutWWW": lambda u: F.regexp_replace(
+            _url_domain(_as_col(u)), r"^www\.", ""
+        ),
+        "firstSignificantSubdomain": _first_significant_subdomain,
+        "port": _url_port,
+        # JSON completions
+        "JSONExtractKeys": lambda j, *path: F.json_object_keys(
+            _json_base(j, path)
+        ),
+        "JSONExtractArrayRaw": _json_extract_array_raw,
+        "JSON_VALUE": _json_path_value,
+        "JSON_QUERY": _json_path_query,
+        # simpleJSON completions + the visitParam legacy aliases
+        "simpleJSONExtractInt": lambda j, k: F.floor(
+            F.get_json_object(_as_col(j), f"$.{k}").cast("double")
+        ).cast("long"),
+        "simpleJSONExtractUInt": lambda j, k: F.floor(
+            F.get_json_object(_as_col(j), f"$.{k}").cast("double")
+        ).cast("long"),
+        "simpleJSONExtractFloat": lambda j, k: F.get_json_object(
+            _as_col(j), f"$.{k}"
+        ).cast("double"),
+        "simpleJSONExtractBool": lambda j, k: F.coalesce(
+            F.get_json_object(_as_col(j), f"$.{k}") == "true",
+            F.lit(False),
+        ),
+        "simpleJSONHas": lambda j, k: F.get_json_object(
+            _as_col(j), f"$.{k}"
+        ).isNotNull(),
+        "simpleJSONExtractRaw": lambda j, k: _json_extract_raw(j, k),
+        "visitParamExtractInt": lambda j, k: F.floor(
+            F.get_json_object(_as_col(j), f"$.{k}").cast("double")
+        ).cast("long"),
+        "visitParamExtractUInt": lambda j, k: F.floor(
+            F.get_json_object(_as_col(j), f"$.{k}").cast("double")
+        ).cast("long"),
+        "visitParamExtractFloat": lambda j, k: F.get_json_object(
+            _as_col(j), f"$.{k}"
+        ).cast("double"),
+        "visitParamExtractBool": lambda j, k: F.coalesce(
+            F.get_json_object(_as_col(j), f"$.{k}") == "true",
+            F.lit(False),
+        ),
+        "visitParamHas": lambda j, k: F.get_json_object(
+            _as_col(j), f"$.{k}"
+        ).isNotNull(),
+        "visitParamExtractRaw": lambda j, k: _json_extract_raw(j, k),
+        # special-function math
+        "erf": _erf,
+        "erfc": lambda x: F.lit(1.0) - _erf(x),
+        "lgamma": _lgamma,
+        "tgamma": _tgamma,
     }
 )

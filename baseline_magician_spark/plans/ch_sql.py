@@ -957,6 +957,26 @@ _LITERAL_ARG_POSITIONS = {
     "formatreadabletimedelta": {1},
     "translate": {1, 2},
     "translateutf8": {1, 2},
+    # round-6e tranche: unit names, JSONPath/key literals
+    "timestampadd": {0},
+    "timestampsub": {0},
+    "timestampdiff": {0},
+    "jsonextractkeys": {1},
+    "jsonextractarrayraw": {1},
+    "json_value": {1},
+    "json_query": {1},
+    "simplejsonextractint": {1},
+    "simplejsonextractuint": {1},
+    "simplejsonextractfloat": {1},
+    "simplejsonextractbool": {1},
+    "simplejsonhas": {1},
+    "simplejsonextractraw": {1},
+    "visitparamextractint": {1},
+    "visitparamextractuint": {1},
+    "visitparamextractfloat": {1},
+    "visitparamextractbool": {1},
+    "visitparamhas": {1},
+    "visitparamextractraw": {1},
 }
 
 # CH accepts BARE unit identifiers in these positions too —
@@ -969,6 +989,9 @@ _BARE_UNIT_ARG_POSITIONS = {
     "datediff": {0},
     "datetrunc": {0},
     "date_trunc": {0},
+    "timestampadd": {0},
+    "timestampsub": {0},
+    "timestampdiff": {0},
 }
 _DATE_UNITS = {
     "year", "quarter", "month", "week", "day", "hour", "minute",

@@ -2901,3 +2901,79 @@ ORDER BY st
 )
 def ch_sql_round6d_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_ROUND6D_SQL, _tables(spark, sf_dir, "orders"))
+
+
+# Round-6e scalar tranche end-to-end: URL dissection completions over
+# a synthesized URL (the oracle derives each field from the same
+# construction rather than re-implementing the regexes — an
+# independent spelling), JSON keys/paths, INTERVAL constructors +
+# the timestamp* alias family, and the Lanczos/A&S special-function
+# math pinned against DuckDB's lgamma/gamma at 4 decimals (erf has no
+# DuckDB twin; it is pytest-pinned against Python math.erf instead).
+_ROUND6E_SQL = """
+WITH base AS (
+  SELECT event_id AS id, ts, value AS v, props,
+         concat('https://user', toString(user_id % 50),
+                '.app.example.com:',
+                toString(8000 + user_id % 100),
+                '/', event_type,
+                '?k=', toString(event_id % 7),
+                '#s', toString(event_id % 3)) AS url
+  FROM fastnetmon.events
+  WHERE event_id % 11 = 0
+)
+SELECT id,
+       netloc(url) AS nl,
+       pathFull(url) AS pf,
+       fragment(url) AS fr,
+       port(url) AS prt,
+       domainWithoutWWW(url) AS dom,
+       firstSignificantSubdomain(url) AS fss,
+       arrayStringConcat(JSONExtractKeys(props), ',') AS jk,
+       JSON_VALUE(props, '$.k') AS jv,
+       dateTrunc('second', ts + toIntervalDay(3)) AS d3,
+       dateTrunc('second', ts + toIntervalMonth(1)) AS m1,
+       timestampDiff('day', makeDate(2024, 1, 1), ts) AS td,
+       round(lgamma(1 + v), 4) AS lg,
+       round(tgamma(1 + id % 5), 4) AS tg
+FROM base
+ORDER BY id
+LIMIT 300
+"""
+
+
+@query(
+    "ch_sql_round6e_functions",
+    """
+    WITH base AS (
+      SELECT event_id AS id, ts, value AS v, props,
+             'user' || CAST(user_id % 50 AS VARCHAR) AS hu,
+             8000 + user_id % 100 AS prt0,
+             event_type AS et,
+             event_id % 7 AS qk,
+             event_id % 3 AS fs
+      FROM events
+      WHERE event_id % 11 = 0
+    )
+    SELECT id,
+           hu || '.app.example.com:' || CAST(prt0 AS VARCHAR) AS nl,
+           '/' || et || '?k=' || CAST(qk AS VARCHAR)
+              || '#s' || CAST(fs AS VARCHAR) AS pf,
+           's' || CAST(fs AS VARCHAR) AS fr,
+           CAST(prt0 AS INT) AS prt,
+           hu || '.app.example.com' AS dom,
+           'example' AS fss,
+           array_to_string(json_keys(props), ',') AS jk,
+           json_extract_string(props, '$.k') AS jv,
+           date_trunc('second', ts + INTERVAL 3 DAY) AS d3,
+           date_trunc('second', ts + INTERVAL 1 MONTH) AS m1,
+           datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS td,
+           round(lgamma(1 + v), 4) AS lg,
+           round(gamma(1 + id % 5), 4) AS tg
+    FROM base
+    ORDER BY id
+    LIMIT 300
+    """,
+)
+def ch_sql_round6e_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_ROUND6E_SQL, _tables(spark, sf_dir, "events"))

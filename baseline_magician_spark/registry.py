@@ -102,6 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_calendar_bridges",
     "ch_sql_jaro_similarity",
     "ch_sql_round6d_functions",
+    "ch_sql_round6e_functions",
     # r2-stale TPC-H names deferred from the round-5 rotation
     "q7_volume_shipping",
     "q8_national_market_share",
