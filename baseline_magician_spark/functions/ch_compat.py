@@ -2171,18 +2171,26 @@ CH_FUNCTIONS["mapContainsKeyLike"] = lambda m, pat: F.exists(
 from .stats_tests import (  # noqa: E402
     bounding_ratio,
     contingency_coefficient,
+    corr_matrix,
+    covar_samp_matrix,
     cramers_v,
     cramers_v_bias_corrected,
     delta_sum,
     delta_sum_timestamp,
     entropy_agg,
     exponential_moving_average,
+    exponential_time_decayed_avg,
+    exponential_time_decayed_count,
+    exponential_time_decayed_max,
+    exponential_time_decayed_sum,
     group_bitmap,
     histogram_agg,
     interval_length_sum,
     kolmogorov_smirnov_test,
     mann_whitney_u_test,
     max_intersections,
+    mean_z_test,
+    rank_corr,
     simple_linear_regression,
     sparkbar_agg,
     student_t_test,
@@ -2211,6 +2219,15 @@ CH_FUNCTIONS.update(
         "cramersVBiasCorrected": cramers_v_bias_corrected,
         "theilsU": theils_u,
         "contingency": contingency_coefficient,
+        # round-6f tranche
+        "meanZTest": mean_z_test,
+        "rankCorr": rank_corr,
+        "corrMatrix": corr_matrix,
+        "covarSampMatrix": covar_samp_matrix,
+        "exponentialTimeDecayedSum": exponential_time_decayed_sum,
+        "exponentialTimeDecayedCount": exponential_time_decayed_count,
+        "exponentialTimeDecayedMax": exponential_time_decayed_max,
+        "exponentialTimeDecayedAvg": exponential_time_decayed_avg,
     }
 )
 
@@ -2960,3 +2977,102 @@ CH_FUNCTIONS.update(
         "tgamma": _tgamma,
     }
 )
+
+
+# Round-6f scalar tranche: map/array/bit utilities, Java-family string
+# hashes, search and regex helpers. All plain Column algebra.
+# ---------------------------------------------------------------------------
+
+
+def _map_concat_first_wins(*maps) -> Column:
+    """CH mapConcat(): CH's Map physically allows duplicate keys and
+    subscript finds the FIRST, so the Spark-map equivalent is
+    keep-first dedup — fold with the existing mapUpdate (m2-wins)
+    with the argument order flipped."""
+    upd = CH_FUNCTIONS["mapUpdate"]
+    out = _as_col(maps[0])
+    for m in maps[1:]:
+        out = upd(m, out)
+    return out
+
+
+_BITMASK_POWERS = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def _bitmask_to_array(x) -> Column:
+    """CH bitmaskToArray(): the powers of two present in the value,
+    ascending. Bit 63 surfaces as the signed long -2^63 (the engine's
+    documented uint64-as-int64 carry), so the parts still sum back to
+    the input."""
+    xc = _as_col(x).cast("long")
+    return F.filter(
+        F.array(*[F.lit(p).cast("long") for p in _BITMASK_POWERS]),
+        lambda p: xc.bitwiseAND(p) != 0,
+    )
+
+
+def _java_hash(s) -> Column:
+    """Java String.hashCode(): h = 31·h + c over UTF-16 units, int32
+    wrap-around. Spark's ascii() yields the code POINT, so parity
+    holds for the BMP; supplementary planes (two surrogate units in
+    Java, one code point here) diverge — documented."""
+    sc = _as_col(s).cast("string")
+    chars = F.filter(F.split(sc, ""), lambda c: c != "")
+    wrap = F.lit(1 << 32)
+    half = F.lit(1 << 31)
+    return (
+        F.pmod(
+            F.aggregate(
+                chars,
+                F.lit(0).cast("long"),
+                lambda acc, c: F.pmod(
+                    acc * 31 + F.ascii(c) + half, wrap
+                )
+                - half,
+            )
+            + half,
+            wrap,
+        )
+        - half
+    ).cast("int")
+
+
+def _multi_search_first_position(h, needles) -> Column:
+    hc = _as_col(h)
+    hits = F.filter(
+        F.transform(_as_col(needles), lambda n: F.instr(hc, n)),
+        lambda p: p > 0,
+    )
+    return F.when(F.size(hits) > 0, F.array_min(hits)).otherwise(
+        F.lit(0)
+    ).cast("long")
+
+
+CH_FUNCTIONS.update(
+    {
+        "mapConcat": _map_concat_first_wins,
+        # CH argument order is (length, element)
+        "arrayWithConstant": lambda n, x: F.array_repeat(
+            _as_col(x), _as_col(n).cast("int")
+        ),
+        "bitmaskToArray": _bitmask_to_array,
+        "javaHash": _java_hash,
+        # hiveHash = javaHash with the sign bit zeroed
+        "hiveHash": lambda s: _java_hash(s)
+        .cast("long")
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+        .cast("int"),
+        "multiSearchFirstPosition": _multi_search_first_position,
+        # regexpQuoteMeta: backslash-escape RE2 metacharacters
+        "regexpQuoteMeta": lambda s: F.regexp_replace(
+            _as_col(s), r"([\\|()^$.\[\]?*+{:-])", r"\\$1"
+        ),
+    }
+)
+
+
+# Round-6g network tranche: IPv6 parse/format (binary(16) carrier),
+# MAC addresses, and address validators — functions/ipv6.py.
+from .ipv6 import CH_IPV6_FUNCTIONS  # noqa: E402
+
+CH_FUNCTIONS.update(CH_IPV6_FUNCTIONS)

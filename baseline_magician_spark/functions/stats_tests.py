@@ -833,3 +833,209 @@ def sparkbar_agg(x, *rest) -> Column:
         return _let(bounds, with_bounds)
 
     return _let(arr_expr, build)
+
+
+# ------------------------------------------------- round-6f additions
+
+
+def _norm_ppf(p: float) -> float:
+    """Inverse normal CDF (Acklam's rational approximation, |rel ε| <
+    1.15e-9) for the PLAN-LITERAL confidence level — evaluated in
+    Python at compile time, never per row."""
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"confidence quantile {p!r} outside (0, 1)")
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00)
+    import math as _m
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = _m.sqrt(-2 * _m.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+                * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if p > phigh:
+        q = _m.sqrt(-2 * _m.log(1 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+                 * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4])
+            * r + a[5]) * q / (
+        ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
+
+
+def mean_z_test(v, idx, var0=1.0, var1=1.0, conf=0.95) -> Column:
+    """CH meanZTest(population_variance_x, population_variance_y,
+    confidence_level)(sample_data, sample_index) ->
+    (z_statistic, p_value, confidence_interval_low,
+    confidence_interval_high). Known-variance two-sample z; flat
+    conditional moments (map-side partialable), the CI half-width is
+    a plan literal via the Acklam inverse-Φ."""
+    v = _d(v)
+    i1 = (idx if isinstance(idx, Column) else F.lit(idx)).cast("int") != 0
+    v0, v1 = float(str(var0)), float(str(var1))
+    cl = float(str(conf))
+    n0 = F.sum(F.when(~i1, 1).otherwise(0)).cast("double")
+    n1 = F.sum(F.when(i1, 1).otherwise(0)).cast("double")
+    m0 = F.sum(F.when(~i1, v)) / n0
+    m1 = F.sum(F.when(i1, v)) / n1
+    se = F.sqrt(F.lit(v0) / n0 + F.lit(v1) / n1)
+    z = (m0 - m1) / se
+    zq = _norm_ppf((1.0 + cl) / 2.0)
+    return F.struct(
+        z.alias("z_statistic"),
+        _two_sided_p(z).alias("p_value"),
+        (m0 - m1 - zq * se).alias("confidence_interval_low"),
+        (m0 - m1 + zq * se).alias("confidence_interval_high"),
+    )
+
+
+def rank_corr(x, y) -> Column:
+    """CH rankCorr(x, y): Spearman rank correlation = Pearson over
+    average-tie ranks, rank(v) = (#<v + #<=v + 1)/2 via two filters
+    over the group's LET-bound value arrays. O(n²) per group —
+    bounded by group size like every CH per-group aggregate state;
+    the sorted-walk alternative saves nothing because BOTH columns
+    need ranking and the pairing must survive the sorts."""
+    pairs_expr = F.collect_list(
+        F.struct(_d(x).alias("a"), _d(y).alias("b"))
+    )
+
+    def ranks(vs: Column) -> Column:
+        return F.transform(
+            vs,
+            lambda v: (
+                F.size(F.filter(vs, lambda e: e < v))
+                + F.size(F.filter(vs, lambda e: e <= v))
+                + 1
+            ).cast("double")
+            / 2.0,
+        )
+
+    def build(p: Column) -> Column:
+        n = F.size(p).cast("double")
+
+        def with_xs(xs: Column) -> Column:
+            def with_ys(ys: Column) -> Column:
+                def with_rx(rx: Column) -> Column:
+                    def with_ry(ry: Column) -> Column:
+                        add = lambda acc, e: acc + e  # noqa: E731
+                        sx = F.aggregate(rx, F.lit(0.0), add)
+                        sy = F.aggregate(ry, F.lit(0.0), add)
+                        sxx = F.aggregate(
+                            rx, F.lit(0.0), lambda a, e: a + e * e
+                        )
+                        syy = F.aggregate(
+                            ry, F.lit(0.0), lambda a, e: a + e * e
+                        )
+                        sxy = F.aggregate(
+                            F.zip_with(rx, ry, lambda a, b: a * b),
+                            F.lit(0.0),
+                            add,
+                        )
+                        den = F.sqrt(
+                            (n * sxx - sx * sx) * (n * syy - sy * sy)
+                        )
+                        return F.when(
+                            den > 0, (n * sxy - sx * sy) / den
+                        )
+
+                    return _let(ranks(ys), with_ry)
+
+                return _let(ranks(xs), with_rx)
+
+            return _let(
+                F.transform(p, lambda e: e["b"]), with_ys
+            )
+
+        return _let(F.transform(p, lambda e: e["a"]), with_xs)
+
+    return _let(pairs_expr, build)
+
+
+def _exp_time_decayed(kind: str):
+    """CH exponentialTimeDecayed{Sum,Count,Max,Avg}(x)(value, time):
+    contributions decay by e^(-Δt/x) to the tape's LAST time point.
+    One ts-sorted fold per group (EMA's recurrence); the stored
+    running max decays multiplicatively, which is exact for any sign
+    because every previous candidate shares the same positive step
+    factor."""
+
+    def agg(v, t, x=1.0) -> Column:
+        xf = float(str(x))
+        if xf <= 0:
+            raise ValueError(
+                f"exponentialTimeDecayed{kind} needs a positive "
+                f"literal decay length, got {x!r}"
+            )
+        tape = _sorted_pairs(
+            (t if isinstance(t, Column) else F.lit(t)).cast("double"),
+            _d(v),
+        )
+        out = F.aggregate(
+            tape,
+            F.struct(
+                F.lit(0.0).alias("s"),
+                F.lit(0.0).alias("c"),
+                F.lit(None).cast("double").alias("m"),
+                F.lit(None).cast("double").alias("prev_t"),
+            ),
+            lambda acc, e: _let(
+                F.coalesce(
+                    F.exp(-(e["a"] - acc["prev_t"]) / F.lit(xf)),
+                    F.lit(1.0),
+                ),
+                lambda dk: F.struct(
+                    (acc["s"] * dk + e["b"]).alias("s"),
+                    (acc["c"] * dk + 1.0).alias("c"),
+                    F.greatest(acc["m"] * dk, e["b"]).alias("m"),
+                    e["a"].alias("prev_t"),
+                ),
+            ),
+        )
+        if kind == "Sum":
+            return out["s"]
+        if kind == "Count":
+            return out["c"]
+        if kind == "Max":
+            return out["m"]
+        return out["s"] / out["c"]
+
+    return agg
+
+
+exponential_time_decayed_sum = _exp_time_decayed("Sum")
+exponential_time_decayed_count = _exp_time_decayed("Count")
+exponential_time_decayed_max = _exp_time_decayed("Max")
+exponential_time_decayed_avg = _exp_time_decayed("Avg")
+
+
+def corr_matrix(*cols) -> Column:
+    """CH corrMatrix(c1, ..., cn) -> Array(Array(Float64)): full
+    symmetric n×n Pearson matrix — a plain expression over n² built-in
+    corr() aggregates, so it partial-aggregates map-side like any
+    moment sum (n is the column count, a plan constant)."""
+    cs = [_d(c) for c in cols]
+    return F.array(
+        *[F.array(*[F.corr(a, b) for b in cs]) for a in cs]
+    )
+
+
+def covar_samp_matrix(*cols) -> Column:
+    """CH covarSampMatrix(c1, ..., cn) -> Array(Array(Float64)) of
+    sample covariances; same n² built-in aggregate shape as
+    corrMatrix."""
+    cs = [_d(c) for c in cols]
+    return F.array(
+        *[F.array(*[F.covar_samp(a, b) for b in cs]) for a in cs]
+    )

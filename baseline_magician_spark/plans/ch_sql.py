@@ -142,6 +142,10 @@ _AGGS = {
     "groupconcat", "quantileexactlow", "quantileexacthigh",
     "grouparraylast", "grouparraymovingsum", "grouparraymovingavg",
     "countdistinct", "sumdistinct", "avgdistinct",
+    # round-6f tranche
+    "meanztest", "rankcorr", "corrmatrix", "covarsampmatrix",
+    "exponentialtimedecayedsum", "exponentialtimedecayedcount",
+    "exponentialtimedecayedmax", "exponentialtimedecayedavg",
 }
 
 # CH parametric-aggregate families — ``fn(params)(args)`` spelling,
@@ -168,6 +172,10 @@ _PARAMETRIC_AGGS = {
     "exponentialmovingaverage", "sparkbar", "mannwhitneyutest",
     "studentttest", "welchttest", "kolmogorovsmirnovtest",
     "histogram",
+    # round-6f tranche — params ride behind the inner columns
+    "meanztest",
+    "exponentialtimedecayedsum", "exponentialtimedecayedcount",
+    "exponentialtimedecayedmax", "exponentialtimedecayedavg",
 }
 
 _TOKEN = re.compile(
@@ -1471,7 +1479,9 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             "topkweighted", "largesttrianglethreebuckets", "lttb",
             "exponentialmovingaverage", "sparkbar", "mannwhitneyutest",
             "studentttest", "welchttest", "kolmogorovsmirnovtest",
-            "histogram", "groupconcat",
+            "histogram", "groupconcat", "meanztest",
+            "exponentialtimedecayedsum", "exponentialtimedecayedcount",
+            "exponentialtimedecayedmax", "exponentialtimedecayedavg",
         ) and len(node.args) >= 2:
             # multi-COLUMN parametric aggregates — the generic branch
             # below would read the second column as a level. The

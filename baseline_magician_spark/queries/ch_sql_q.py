@@ -2977,3 +2977,156 @@ LIMIT 300
 )
 def ch_sql_round6e_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_ROUND6E_SQL, _tables(spark, sf_dir, "events"))
+
+
+# Round-6f aggregate tranche end-to-end: Spearman rankCorr (oracle
+# re-derives average-tie ranks with window functions — an independent
+# spelling), the known-variance meanZTest z statistic + CI edge
+# (oracle inlines the closed form with the literal z* quantile),
+# the exponentialTimeDecayed family as its permutation-invariant
+# closed form sum(v·e^((t-tmax)/x)), and corrMatrix against a
+# hand-assembled DuckDB corr() list-of-lists.
+_ROUND6F_SQL = """
+SELECT event_type AS et, user_id % 20 AS ub,
+       round(rankCorr(value, event_id % 97), 6) AS rc,
+       round(tupleElement(
+           meanZTest(2.0, 2.0, 0.95)(value, event_id % 2),
+           'z_statistic'), 6) AS mz,
+       round(tupleElement(
+           meanZTest(2.0, 2.0, 0.95)(value, event_id % 2),
+           'confidence_interval_low'), 6) AS cil,
+       round(exponentialTimeDecayedSum(86400.0)(
+           value, toUnixTimestamp(ts)), 4) AS ets,
+       round(exponentialTimeDecayedAvg(86400.0)(
+           value, toUnixTimestamp(ts)), 6) AS eta,
+       arrayMap(r -> arrayMap(x -> round(x, 6), r),
+                corrMatrix(value, event_id % 97, user_id)) AS cm
+FROM fastnetmon.events
+GROUP BY et, ub
+ORDER BY et, ub
+"""
+
+
+@query(
+    "ch_sql_round6f_aggregates",
+    """
+    WITH base AS (
+      SELECT event_type AS et, user_id % 20 AS ub, value AS v,
+             event_id % 97 AS w, user_id AS u,
+             event_id % 2 AS si, floor(epoch(ts)) AS tt
+      FROM events
+    ), ranked AS (
+      SELECT *,
+        RANK() OVER (PARTITION BY et, ub ORDER BY v)
+          + (COUNT(*) OVER (PARTITION BY et, ub, v) - 1) / 2.0 AS rv,
+        RANK() OVER (PARTITION BY et, ub ORDER BY w)
+          + (COUNT(*) OVER (PARTITION BY et, ub, w) - 1) / 2.0 AS rw,
+        MAX(tt) OVER (PARTITION BY et, ub) AS mt
+      FROM base
+    )
+    SELECT et, ub,
+      round(corr(rv, rw), 6) AS rc,
+      round((avg(CASE WHEN si = 0 THEN v END)
+             - avg(CASE WHEN si <> 0 THEN v END))
+            / sqrt(2.0 / count(CASE WHEN si = 0 THEN v END)
+                   + 2.0 / count(CASE WHEN si <> 0 THEN v END)),
+            6) AS mz,
+      round((avg(CASE WHEN si = 0 THEN v END)
+             - avg(CASE WHEN si <> 0 THEN v END))
+            - 1.959963984540054
+              * sqrt(2.0 / count(CASE WHEN si = 0 THEN v END)
+                     + 2.0 / count(CASE WHEN si <> 0 THEN v END)),
+            6) AS cil,
+      round(sum(v * exp((tt - mt) / 86400.0)), 4) AS ets,
+      round(sum(v * exp((tt - mt) / 86400.0))
+            / sum(exp((tt - mt) / 86400.0)), 6) AS eta,
+      [[round(corr(v, v), 6), round(corr(v, w), 6),
+        round(corr(v, u), 6)],
+       [round(corr(w, v), 6), round(corr(w, w), 6),
+        round(corr(w, u), 6)],
+       [round(corr(u, v), 6), round(corr(u, w), 6),
+        round(corr(u, u), 6)]] AS cm
+    FROM ranked
+    GROUP BY et, ub
+    ORDER BY et, ub
+    """,
+)
+def ch_sql_round6f_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_ROUND6F_SQL, _tables(spark, sf_dir, "events"))
+
+
+# Round-6g network tranche end-to-end: IPv6 canonicalization
+# round-trips over synthesized addresses (the oracle derives the
+# canonical text / raw hex / cut form from the same construction —
+# nonzero groups by construction keep the built text already
+# canonical), IPv4-mapped bridging, validators, and MAC round-trips.
+_ROUND6G_SQL = """
+WITH base AS (
+  SELECT event_id AS id,
+         1 + user_id % 65535 AS xg, 1 + event_id % 65535 AS yg,
+         user_id % 256 AS a, event_id % 256 AS b,
+         (user_id + event_id) % 256 AS c, (user_id * 7) % 256 AS d,
+         (event_id * 3) % 256 AS e, (user_id + 5) % 256 AS f
+  FROM fastnetmon.events WHERE event_id % 13 = 0
+), built AS (
+  SELECT id, xg, yg, a, b, c,
+     concat('2001:db8:', lower(hex(xg)), '::', lower(hex(yg))) AS v6,
+     concat(toString(a), '.', toString(b), '.',
+            toString(c), '.', toString(d)) AS ip4,
+     upper(concat(leftPad(hex(a), 2, '0'), ':',
+                  leftPad(hex(b), 2, '0'), ':',
+                  leftPad(hex(c), 2, '0'), ':',
+                  leftPad(hex(d), 2, '0'), ':',
+                  leftPad(hex(e), 2, '0'), ':',
+                  leftPad(hex(f), 2, '0'))) AS mac
+  FROM base
+)
+SELECT id,
+  IPv6NumToString(IPv6StringToNum(v6)) AS canon,
+  lower(hex(IPv6StringToNum(v6))) AS raw,
+  IPv6NumToString(IPv4ToIPv6(IPv4StringToNum(ip4))) AS mapped,
+  isIPv4String(ip4) AS ok4,
+  isIPv6String(v6) AS ok6,
+  cutIPv6(IPv6StringToNum(v6), 10, 0) AS cut10,
+  MACNumToString(MACStringToNum(mac)) AS mrt,
+  MACStringToOUI(mac) AS oui
+FROM built
+ORDER BY id
+"""
+
+
+@query(
+    "ch_sql_network_functions",
+    """
+    WITH base AS (
+      SELECT event_id AS id,
+             1 + user_id % 65535 AS xg, 1 + event_id % 65535 AS yg,
+             user_id % 256 AS a, event_id % 256 AS b,
+             (user_id + event_id) % 256 AS c,
+             (user_id * 7) % 256 AS d,
+             (event_id * 3) % 256 AS e, (user_id + 5) % 256 AS f
+      FROM events WHERE event_id % 13 = 0
+    )
+    SELECT id,
+      '2001:db8:' || lower(to_hex(xg)) || '::'
+         || lower(to_hex(yg)) AS canon,
+      '20010db8' || lpad(lower(to_hex(xg)), 4, '0')
+         || '0000000000000000'
+         || lpad(lower(to_hex(yg)), 4, '0') AS raw,
+      '::ffff:' || a || '.' || b || '.' || c || '.' || d AS mapped,
+      true AS ok4,
+      true AS ok6,
+      '2001:db8:' || lower(to_hex(xg)) || '::' AS cut10,
+      upper(lpad(lower(to_hex(a)), 2, '0') || ':'
+            || lpad(lower(to_hex(b)), 2, '0') || ':'
+            || lpad(lower(to_hex(c)), 2, '0') || ':'
+            || lpad(lower(to_hex(d)), 2, '0') || ':'
+            || lpad(lower(to_hex(e)), 2, '0') || ':'
+            || lpad(lower(to_hex(f)), 2, '0')) AS mrt,
+      a * 65536 + b * 256 + c AS oui
+    FROM base
+    ORDER BY id
+    """,
+)
+def ch_sql_network_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_ROUND6G_SQL, _tables(spark, sf_dir, "events"))

@@ -103,6 +103,8 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_jaro_similarity",
     "ch_sql_round6d_functions",
     "ch_sql_round6e_functions",
+    "ch_sql_round6f_aggregates",
+    "ch_sql_network_functions",
     # r2-stale TPC-H names deferred from the round-5 rotation
     "q7_volume_shipping",
     "q8_national_market_share",
@@ -111,19 +113,22 @@ _PRIORITY: tuple[str, ...] = (
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q19_disjunctive_predicates",
-    # r3-stale rotation (oldest remaining driver rows, diverse ops)
+    # never-driver-checked round-6 registrations (must sit inside the
+    # 50-slot window ahead of any re-check)
+    "text_token_entropy",
+    "ch_sql_vector_functions",
+    "ch_sql_lttb_downsample",
+    # r3-stale rotation (oldest remaining driver rows, diverse ops).
+    # text_gopher_quality, multimodal_decode_stats and
+    # dedup_ngram_jaccard_pairs deferred to round 7: the window is
+    # full and they hold green r3 rows; the local full sweep remains
+    # the compensating control.
     "dedup_embedding_cosine_pairs",
     "dedup_connected_components",
     "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
     "similarity_topk_cosine",
     "streaming_cms_merge",
-    "text_gopher_quality",
-    "multimodal_decode_stats",
     "ip_function_roundtrip",
-    "ch_sql_lttb_downsample",
-    "text_token_entropy",
-    "ch_sql_vector_functions",
 )
 
 

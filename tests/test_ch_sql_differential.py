@@ -1120,7 +1120,41 @@ def _gen_jaro_pair(rng: random.Random) -> tuple[str, str]:
     return ch, duck
 
 
-N_PAIRED = 92
+def _gen_rank_decay_pair(rng: random.Random) -> tuple[str, str]:
+    # round-6f: rankCorr vs window-rank corr; exponentialTimeDecayed
+    # family vs its permutation-invariant closed form. Group keys stay
+    # >= 20 buckets so the O(n²) rank filters see bounded groups.
+    m = rng.randint(20, 40)
+    x = rng.choice(["3600.0", "43200.0", "86400.0"])
+    w = _where(rng)
+    ch = (
+        f"SELECT user_id % {m} AS g, "
+        f"round(rankCorr(value, event_id % 89), 6) AS rc, "
+        f"round(exponentialTimeDecayedSum({x})("
+        f"value, toUnixTimestamp(ts)), 4) AS es, "
+        f"round(exponentialTimeDecayedCount({x})("
+        f"value, toUnixTimestamp(ts)), 6) AS ec "
+        f"FROM events{w} GROUP BY g ORDER BY g"
+    )
+    duck = (
+        f"WITH base AS (SELECT user_id % {m} AS g, value AS v, "
+        f"event_id % 89 AS k, floor(epoch(ts)) AS tt "
+        f"FROM events{w}), "
+        "r AS (SELECT *, "
+        "RANK() OVER (PARTITION BY g ORDER BY v) "
+        "+ (COUNT(*) OVER (PARTITION BY g, v) - 1) / 2.0 AS rv, "
+        "RANK() OVER (PARTITION BY g ORDER BY k) "
+        "+ (COUNT(*) OVER (PARTITION BY g, k) - 1) / 2.0 AS rk, "
+        "MAX(tt) OVER (PARTITION BY g) AS mt FROM base) "
+        f"SELECT g, round(corr(rv, rk), 6) AS rc, "
+        f"round(sum(v * exp((tt - mt) / {x})), 4) AS es, "
+        f"round(sum(exp((tt - mt) / {x})), 6) AS ec "
+        "FROM r GROUP BY g ORDER BY g"
+    )
+    return ch, duck
+
+
+N_PAIRED = 96
 
 
 def _gen_pair(rng: random.Random) -> tuple[str, str]:
@@ -1134,7 +1168,7 @@ def _gen_pair(rng: random.Random) -> tuple[str, str]:
          _gen_vector_pair, _gen_semi_join_pair,
          _gen_string_search_pair, _gen_stats_agg_pair,
          _gen_geo_pair, _gen_strsim_pair, _gen_assoc_pair,
-         _gen_jaro_pair]
+         _gen_jaro_pair, _gen_rank_decay_pair]
     )(rng)
 
 
