@@ -3076,3 +3076,315 @@ CH_FUNCTIONS.update(
 from .ipv6 import CH_IPV6_FUNCTIONS  # noqa: E402
 
 CH_FUNCTIONS.update(CH_IPV6_FUNCTIONS)
+
+
+# Round-6h tranche: weighted exact quantiles, one-way ANOVA,
+# groupArrayIntersect, sumMapFiltered, server-identity constants and
+# the hasSubsequence / extractAllGroups / UTF8-alias string tail.
+# ---------------------------------------------------------------------------
+
+
+def _quantile_exact_weighted(v, w, *levels) -> Column:
+    """CH quantileExactWeighted(level)(x, weight) /
+    quantilesExactWeighted(l1, l2, ...)(x, weight): walk the
+    value-sorted (x, w) tape accumulating weight; the answer is the
+    first value whose accumulated weight reaches level * total
+    (CH's own threshold rule). One collect per group; every level
+    reuses the same LET-bound tape."""
+    lvls = [float(str(l)) for l in (levels or (0.5,))]
+    many = len(levels) > 1
+    vc = _as_col(v).cast("double")
+    wc = _as_col(w).cast("double")
+    tape_expr = F.sort_array(
+        F.collect_list(F.struct(vc.alias("a"), wc.alias("b")))
+    )
+    total = F.sum(wc)
+
+    def build(tape: Column) -> Column:
+        def pick(lv: float) -> Column:
+            thr = F.lit(lv) * total
+            out = F.aggregate(
+                tape,
+                F.struct(
+                    F.lit(0.0).alias("cum"),
+                    F.lit(None).cast("double").alias("ans"),
+                ),
+                lambda acc, e: F.struct(
+                    (acc["cum"] + e["b"]).alias("cum"),
+                    F.when(acc["ans"].isNotNull(), acc["ans"])
+                    .when(acc["cum"] + e["b"] >= thr, e["a"])
+                    .alias("ans"),
+                ),
+            )
+            return out["ans"]
+
+        if many:
+            return F.array(*[pick(lv) for lv in lvls])
+        return pick(lvls[0])
+
+    return _let_once(tape_expr, build)
+
+
+def _anova(v, g) -> Column:
+    """CH analysisOfVariance(x, group) -> (f_statistic, p_value):
+    one-way ANOVA. Needs only Q = Σx², S = Σx, n, k and
+    T = Σ_g s_g²/n_g — T folds the group-sorted tape once, flushing
+    at run boundaries. The p-value is the Paulson/Wilson–Hilferty
+    normal approximation of the F distribution (documented; CH
+    evaluates the exact F CDF)."""
+    from .stats_tests import _let, _norm_cdf, _run_end, _sorted_pairs
+
+    vc = _as_col(v).cast("double")
+    gc = F.coalesce(_as_col(g).cast("string"), F.lit("∅null"))
+    n = F.count(vc).cast("double")
+    s = F.sum(vc)
+    q = F.sum(vc * vc)
+    k = F.count_distinct(gc).cast("double")
+    tape_expr = _sorted_pairs(gc, vc)
+
+    def build(tape: Column) -> Column:
+        nn = F.size(tape)
+        folded = F.aggregate(
+            F.sequence(F.lit(1), nn),
+            F.struct(
+                F.lit(0.0).alias("t"),   # Σ s_g²/n_g over closed runs
+                F.lit(0.0).alias("rs"),  # current run sum
+                F.lit(0).alias("rn"),    # current run length
+            ),
+            lambda acc, i: _let(
+                F.element_at(tape, i),
+                lambda e: _let(
+                    _run_end(tape, i, nn),
+                    lambda closes: F.struct(
+                        F.when(
+                            closes,
+                            acc["t"]
+                            + (acc["rs"] + e["b"])
+                            * (acc["rs"] + e["b"])
+                            / (acc["rn"] + 1).cast("double"),
+                        )
+                        .otherwise(acc["t"])
+                        .alias("t"),
+                        F.when(closes, F.lit(0.0))
+                        .otherwise(acc["rs"] + e["b"])
+                        .alias("rs"),
+                        F.when(closes, F.lit(0))
+                        .otherwise(acc["rn"] + 1)
+                        .alias("rn"),
+                    ),
+                ),
+            ),
+        )
+
+        def from_t(t: Column) -> Column:
+            d1 = k - 1
+            d2 = n - k
+            # k = 1 (or n = k) leaves no degrees of freedom: NULL,
+            # not a 0/0 NaN — the oracle-side spelling matches
+            f = F.when(
+                (d1 > 0) & (d2 > 0),
+                ((t - s * s / n) / d1) / ((q - t) / d2),
+            )
+
+            def with_f(fv: Column) -> Column:
+                z = (
+                    (1 - 2 / (9 * d2)) * F.pow(fv, 1.0 / 3.0)
+                    - (1 - 2 / (9 * d1))
+                ) / F.sqrt(
+                    2 / (9 * d1) + F.pow(fv, 2.0 / 3.0) * 2 / (9 * d2)
+                )
+                return F.struct(
+                    fv.alias("f_statistic"),
+                    F.when(
+                        (d1 > 0) & (d2 > 0) & fv.isNotNull(),
+                        1.0 - _norm_cdf(z),
+                    ).alias("p_value"),
+                )
+
+            return _let(f, with_f)
+
+        return _let(folded["t"], from_t)
+
+    return _let_once(tape_expr, build)
+
+
+def _group_array_intersect(arr) -> Column:
+    """CH groupArrayIntersect(arr): intersection of the group's
+    arrays, sorted for determinism (CH leaves the order
+    unspecified)."""
+    arrs_expr = F.collect_list(_as_col(arr))
+    return _let_once(
+        arrs_expr,
+        lambda arrs: F.array_sort(
+            F.array_distinct(
+                F.aggregate(
+                    F.slice(arrs, 2, F.size(arrs) - 1),
+                    F.element_at(arrs, 1),
+                    lambda acc, a: F.array_intersect(acc, a),
+                )
+            )
+        ),
+    )
+
+
+def _sum_map_filtered(keys, vals, keep) -> Column:
+    """CH sumMapFiltered([k...])(keys, values): sumMap over only the
+    listed keys — the filter applies map-side before the fold."""
+    kc, vc, keepc = _as_col(keys), _as_col(vals), _as_col(keep)
+    pairs = F.zip_with(
+        kc, vc, lambda k, v: F.struct(k.alias("k"), v.alias("v"))
+    )
+    kept = F.filter(
+        pairs, lambda p: F.array_contains(keepc, p["k"])
+    )
+    return _MAP_AGG_SUM(
+        F.transform(kept, lambda p: p["k"]),
+        F.transform(kept, lambda p: p["v"]),
+    )
+
+
+_MAP_AGG_SUM = CH_FUNCTIONS["sumMap"]
+
+
+def _has_subsequence(h, n, ci: bool = False) -> Column:
+    """CH hasSubsequence[CaseInsensitive](haystack, needle): needle's
+    characters appear in order (not necessarily contiguously)."""
+    hc, nc = _as_col(h), _as_col(n)
+    if ci:
+        hc, nc = F.lower(hc), F.lower(nc)
+
+    def build(needle: Column) -> Column:
+        chars = F.filter(F.split(hc, ""), lambda c: c != "")
+        final = F.aggregate(
+            chars,
+            F.lit(1),
+            lambda acc, c: F.when(
+                (acc <= F.length(needle))
+                & (c == F.substring(needle, acc, F.lit(1))),
+                acc + 1,
+            ).otherwise(acc),
+        )
+        return final > F.length(needle)
+
+    return _let_once(nc, build)
+
+
+def _extract_all_groups(s, pat, vertical: bool) -> Column:
+    """CH extractAllGroupsHorizontal/Vertical(haystack, pattern):
+    every match's capture groups — horizontal groups by capture
+    position, vertical groups by match. The pattern must be a plan
+    literal (its group count drives the projection)."""
+    if isinstance(pat, Column):
+        raise ValueError("extractAllGroups needs a literal pattern")
+    pattern = _unquote(str(pat))
+    ngroups = re.compile(pattern).groups
+    if ngroups < 1:
+        raise ValueError(
+            "extractAllGroups pattern needs at least one capture group"
+        )
+    sc = _as_col(s)
+    per_group = [
+        F.regexp_extract_all(sc, F.lit(pattern), g)
+        for g in range(1, ngroups + 1)
+    ]
+    if not vertical:
+        return F.array(*per_group)
+    return _let_once(
+        F.array(*per_group),
+        lambda cols: F.transform(
+            F.sequence(
+                F.lit(1), F.size(F.element_at(cols, 1))
+            ),
+            lambda i: F.transform(
+                cols, lambda garr: F.element_at(garr, i)
+            ),
+        ),
+    )
+
+
+def _to_start_of_n_minutes(mins: int):
+    secs = mins * 60
+    return lambda c: F.timestamp_seconds(
+        F.floor(
+            F.unix_timestamp(_as_col(c)) / F.lit(secs)
+        ).cast("long")
+        * secs
+    )
+
+
+def _server_constants() -> dict:
+    # Driver-side plan literals: CH's server-identity functions.
+    # hostName/serverUUID resolve once at plan time on the driver —
+    # on a cluster every row reports the DRIVER's identity, which is
+    # the engine's single-server fiction (documented).
+    import socket
+    import time
+    import uuid
+
+    start = time.time()
+    host = socket.gethostname()
+    suuid = str(uuid.uuid5(uuid.NAMESPACE_DNS, host))
+    return {
+        "version": lambda: F.lit("24.1.1.1-baseline-magician-spark"),
+        "hostName": lambda: F.lit(host),
+        "hostname": lambda: F.lit(host),
+        "serverUUID": lambda: F.lit(suuid),
+        "currentDatabase": lambda: F.lit("default"),
+        "currentUser": lambda: F.lit("default"),
+        "uptime": lambda: F.lit(0).cast("long")
+        + F.lit(int(time.time() - start)),
+    }
+
+
+CH_FUNCTIONS.update(
+    {
+        "quantileExactWeighted": _quantile_exact_weighted,
+        "quantilesExactWeighted": lambda v, w, *ls: (
+            _quantile_exact_weighted(v, w, *(ls or (0.5,)))
+            if len(ls) > 1
+            else F.array(_quantile_exact_weighted(v, w, *ls))
+        ),
+        "medianExactWeighted": lambda v, w: _quantile_exact_weighted(
+            v, w, 0.5
+        ),
+        "analysisOfVariance": _anova,
+        "anova": _anova,
+        "groupArrayIntersect": _group_array_intersect,
+        "sumMapFiltered": _sum_map_filtered,
+        "hasSubsequence": lambda h, n: _has_subsequence(h, n),
+        "hasSubsequenceCaseInsensitive": lambda h, n: _has_subsequence(
+            h, n, ci=True
+        ),
+        "extractAllGroupsHorizontal": lambda s, p: _extract_all_groups(
+            s, p, vertical=False
+        ),
+        "extractAllGroupsVertical": lambda s, p: _extract_all_groups(
+            s, p, vertical=True
+        ),
+        "positionUTF8": lambda h, n: F.instr(_as_col(h), _as_col(n)),
+        "positionCaseInsensitiveUTF8": lambda h, n: F.instr(
+            F.lower(_as_col(h)), F.lower(_as_col(n))
+        ),
+        "toStartOfFiveMinutes": _to_start_of_n_minutes(5),
+        "toStartOfTenMinutes": _to_start_of_n_minutes(10),
+        "toStartOfFifteenMinutes": _to_start_of_n_minutes(15),
+        **_server_constants(),
+    }
+)
+
+
+CH_FUNCTIONS.update(
+    {
+        # round-6h tail aliases
+        "parseDateTime32BestEffort": _parse_best_effort,
+        "parseDateTime32BestEffortOrNull": _parse_best_effort,
+        # arrayPartialSort(limit, arr): CH leaves the tail order
+        # unspecified — the fully sorted array is a valid refinement
+        # (length preserved), so this is arraySort with the limit
+        # accepted and the contractually-sorted prefix guaranteed.
+        "arrayPartialSort": lambda n, arr: F.array_sort(_as_col(arr)),
+        "arrayPartialReverseSort": lambda n, arr: F.reverse(
+            F.array_sort(_as_col(arr))
+        ),
+    }
+)

@@ -146,6 +146,10 @@ _AGGS = {
     "meanztest", "rankcorr", "corrmatrix", "covarsampmatrix",
     "exponentialtimedecayedsum", "exponentialtimedecayedcount",
     "exponentialtimedecayedmax", "exponentialtimedecayedavg",
+    # round-6h tranche
+    "quantileexactweighted", "quantilesexactweighted",
+    "medianexactweighted", "analysisofvariance", "anova",
+    "grouparrayintersect", "summapfiltered",
 }
 
 # CH parametric-aggregate families — ``fn(params)(args)`` spelling,
@@ -176,6 +180,9 @@ _PARAMETRIC_AGGS = {
     "meanztest",
     "exponentialtimedecayedsum", "exponentialtimedecayedcount",
     "exponentialtimedecayedmax", "exponentialtimedecayedavg",
+    # round-6h tranche
+    "quantileexactweighted", "quantilesexactweighted",
+    "summapfiltered",
 }
 
 _TOKEN = re.compile(
@@ -985,6 +992,9 @@ _LITERAL_ARG_POSITIONS = {
     "visitparamextractbool": {1},
     "visitparamhas": {1},
     "visitparamextractraw": {1},
+    # round-6h tranche: pattern group counts drive the projection
+    "extractallgroupshorizontal": {1},
+    "extractallgroupsvertical": {1},
 }
 
 # CH accepts BARE unit identifiers in these positions too —
@@ -1125,7 +1135,109 @@ _HOF = {
         F.map_filter(m, lambda k, v: ~fn(k, v))
     )
     == 0,
+    # round-6h fill/split scans. The empty accumulators are sliced
+    # off the INPUT (F.slice(arr, 1, 0)) so their element types match
+    # without knowing them statically.
+    "arrayfill": lambda fn, arr: F.aggregate(
+        arr,
+        F.slice(arr, 1, 0),
+        lambda acc, e: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    fn(e) | (F.size(acc) == 0), e
+                ).otherwise(F.element_at(acc, -1))
+            ),
+        ),
+    ),
+    "arrayreversefill": lambda fn, arr: F.reverse(
+        F.aggregate(
+            F.reverse(arr),
+            F.slice(arr, 1, 0),
+            lambda acc, e: F.concat(
+                acc,
+                F.array(
+                    F.when(
+                        fn(e) | (F.size(acc) == 0), e
+                    ).otherwise(F.element_at(acc, -1))
+                ),
+            ),
+        )
+    ),
+    "arraysplit": lambda fn, *arrs: _hof_split(fn, False, *arrs),
+    "arrayreversesplit": lambda fn, *arrs: _hof_split(fn, True, *arrs),
 }
+
+
+def _hof_split(fn, after: bool, *arrs) -> Column:
+    """CH arraySplit / arrayReverseSplit: cut the array before
+    (after, for the Reverse form) every element whose flag is true;
+    a true flag on the first (last) element opens no empty piece."""
+    arr = arrs[0]
+    flags = (
+        F.transform(arr, fn)
+        if len(arrs) == 1
+        else F.zip_with(arrs[0], arrs[1], fn)
+    )
+
+    def build(pair: Column) -> Column:
+        a, fl = pair["a"], pair["f"]
+        n = F.size(a)
+        folded = F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.struct(
+                F.slice(F.array(a), 1, 0).alias("out"),
+                F.slice(a, 1, 0).alias("cur"),
+            ),
+            lambda acc, i: _hof_split_step(acc, i, a, fl, after),
+        )
+        return F.when(
+            n > 0,
+            F.concat(folded["out"], F.array(folded["cur"])),
+        ).otherwise(F.slice(F.array(a), 1, 0))
+
+    return F.element_at(
+        F.transform(
+            F.array(F.struct(arr.alias("a"), flags.alias("f"))),
+            build,
+        ),
+        1,
+    )
+
+
+def _hof_split_step(acc, i, a, fl, after: bool):
+    e = F.element_at(a, i)
+    # CH lambdas return UInt8 flags; Spark comparisons return
+    # booleans — accept both
+    flag = F.element_at(fl, i).cast("boolean")
+    if after:
+        # close the current piece AFTER a flagged element
+        return F.struct(
+            F.when(
+                flag & (i < F.size(a)),
+                F.concat(
+                    acc["out"],
+                    F.array(F.concat(acc["cur"], F.array(e))),
+                ),
+            )
+            .otherwise(acc["out"])
+            .alias("out"),
+            F.when(flag & (i < F.size(a)), F.slice(a, 1, 0))
+            .otherwise(F.concat(acc["cur"], F.array(e)))
+            .alias("cur"),
+        )
+    # cut BEFORE a flagged element (except the first)
+    return F.struct(
+        F.when(
+            flag & (i > 1),
+            F.concat(acc["out"], F.array(acc["cur"])),
+        )
+        .otherwise(acc["out"])
+        .alias("out"),
+        F.when(flag & (i > 1), F.array(e))
+        .otherwise(F.concat(acc["cur"], F.array(e)))
+        .alias("cur"),
+    )
 
 
 # ANSI EXTRACT(part FROM x) -> the equivalent to*() shim name
@@ -1234,6 +1346,8 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                 col = fn(base, off, _literal_value(call.args[2]))
             else:
                 col = fn(base, off)
+        elif wname == "nonnegativederivative":
+            col = None  # composite of two lags — built after the spec
         else:
             col = _compile(call, env)
         spec = W.partitionBy(*[_compile(pn, env) for pn in part])
@@ -1258,6 +1372,39 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                 spec.rowsBetween(lo_v, hi_v)
                 if mode == "rows"
                 else spec.rangeBetween(lo_v, hi_v)
+            )
+        if col is None:
+            # CH nonNegativeDerivative(metric, ts[, INTERVAL n unit]):
+            # clamped finite-difference rate over the window order —
+            # per second by default, scaled to the interval if given.
+            # The first row of a partition (no predecessor) yields 0,
+            # as does any negative rate.
+            v = _compile(call.args[0], env).cast("double")
+            t = _compile(call.args[1], env).cast("double")
+            mult = 1.0
+            if len(call.args) > 2:
+                inode = call.args[2]
+                if inode.kind != "interval":
+                    raise ValueError(
+                        "nonNegativeDerivative takes "
+                        "(metric, ts[, INTERVAL n unit])"
+                    )
+                qty, unit = inode.value
+                secs = {
+                    "second": 1, "minute": 60, "hour": 3600,
+                    "day": 86400, "week": 604800,
+                }.get(str(unit).lower())
+                if secs is None:
+                    raise ValueError(
+                        f"nonNegativeDerivative unit {unit!r} must be "
+                        "a fixed-length unit (second..week)"
+                    )
+                mult = float(qty) * secs
+            dv = v - F.lag(v, 1).over(spec)
+            dt = t - F.lag(t, 1).over(spec)
+            rate = dv / dt * F.lit(mult)
+            return F.coalesce(
+                F.greatest(rate, F.lit(0.0)), F.lit(0.0)
             )
         return col.over(spec)
     if node.kind == "isnull":
@@ -1482,6 +1629,8 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             "histogram", "groupconcat", "meanztest",
             "exponentialtimedecayedsum", "exponentialtimedecayedcount",
             "exponentialtimedecayedmax", "exponentialtimedecayedavg",
+            "quantileexactweighted", "quantilesexactweighted",
+            "summapfiltered",
         ) and len(node.args) >= 2:
             # multi-COLUMN parametric aggregates — the generic branch
             # below would read the second column as a level. The

@@ -3130,3 +3130,92 @@ ORDER BY id
 )
 def ch_sql_network_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_ROUND6G_SQL, _tables(spark, sf_dir, "events"))
+# Round-6h tranche end-to-end: weighted exact quantiles (the oracle
+# replays CH's cumulative-weight threshold rule with window
+# functions), the ANOVA F statistic as its closed form over group
+# sums, groupArrayIntersect via the present-in-every-row spelling,
+# hasSubsequence as a LIKE '%c%e%' chain, extractAllGroupsHorizontal
+# against DuckDB's grouped regexp_extract_all, and the five-minute
+# grid against time_bucket.
+_ROUND6H_SQL = """
+SELECT event_type AS et,
+  round(quantileExactWeighted(0.5)(value, 1 + event_id % 7), 6) AS qw,
+  arrayMap(x -> round(x, 6),
+           quantilesExactWeighted(0.25, 0.9)(value,
+                                             1 + event_id % 7)) AS qws,
+  round(tupleElement(analysisOfVariance(value, user_id % 4),
+                     'f_statistic'), 6) AS af,
+  groupArrayIntersect([event_id % 3, user_id % 3, 7]) AS gi,
+  countIf(hasSubsequence(event_type, 'ce')) AS hs,
+  min(toStartOfFiveMinutes(ts)) AS t5,
+  any(extractAllGroupsHorizontal('a=1, b=2', '(\\\\w)=(\\\\d)')) AS gh
+FROM fastnetmon.events
+GROUP BY et
+ORDER BY et
+"""
+
+
+@query(
+    "ch_sql_round6h_aggregates",
+    """
+    WITH base AS (
+      SELECT event_type AS et, value AS v,
+             1 + event_id % 7 AS w, user_id % 4 AS g,
+             event_id % 3 AS k1, user_id % 3 AS k2, ts,
+             event_type LIKE '%c%e%' AS hs_row,
+             row_number() OVER () AS rid
+      FROM events
+    ), cum AS (
+      SELECT *, sum(w) OVER (PARTITION BY et ORDER BY v, rid) AS cw,
+             sum(w) OVER (PARTITION BY et) AS tw
+      FROM base
+    ), qs AS (
+      SELECT et,
+        round(min(CASE WHEN cw >= 0.5 * tw THEN v END), 6) AS qw,
+        round(min(CASE WHEN cw >= 0.25 * tw THEN v END), 6) AS q25,
+        round(min(CASE WHEN cw >= 0.9 * tw THEN v END), 6) AS q90
+      FROM cum GROUP BY et
+    ), gstats AS (
+      SELECT et, g, count(*) AS ng, sum(v) AS sg
+      FROM base GROUP BY et, g
+    ), tstats AS (
+      SELECT et, sum(sg * sg / ng) AS t,
+             count(*)::DOUBLE AS k
+      FROM gstats GROUP BY et
+    ), tot AS (
+      SELECT et, count(*)::DOUBLE AS n, sum(v) AS s,
+             sum(v * v) AS q
+      FROM base GROUP BY et
+    ), anova AS (
+      SELECT t.et,
+        round(((t.t - tot.s * tot.s / tot.n) / (t.k - 1))
+              / ((tot.q - t.t) / (tot.n - t.k)), 6) AS af
+      FROM tstats t JOIN tot USING (et)
+    ), rowsets AS (
+      SELECT et, rid, u.u AS elem
+      FROM base, unnest(list_distinct([k1, k2, 7])) AS u(u)
+    ), counts AS (
+      SELECT et, count(*) AS nrows FROM base GROUP BY et
+    ), inter AS (
+      SELECT r.et, list_sort(list(r.elem)) AS gi
+      FROM (SELECT et, elem, count(*) AS c
+            FROM rowsets GROUP BY et, elem) r
+      JOIN counts USING (et)
+      WHERE r.c = counts.nrows
+      GROUP BY r.et
+    )
+    SELECT b.et, qs.qw, [qs.q25, qs.q90] AS qws, anova.af, inter.gi,
+      (count(*) FILTER (WHERE b.hs_row))::BIGINT AS hs,
+      min(time_bucket(INTERVAL 5 MINUTE, b.ts)) AS t5,
+      [regexp_extract_all('a=1, b=2', '(\\w)=(\\d)', 1),
+       regexp_extract_all('a=1, b=2', '(\\w)=(\\d)', 2)] AS gh
+    FROM base b
+    JOIN qs USING (et)
+    JOIN anova ON anova.et = b.et
+    JOIN inter ON inter.et = b.et
+    GROUP BY b.et, qs.qw, qs.q25, qs.q90, anova.af, inter.gi
+    ORDER BY b.et
+    """,
+)
+def ch_sql_round6h_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_ROUND6H_SQL, _tables(spark, sf_dir, "events"))

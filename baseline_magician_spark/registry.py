@@ -105,6 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_round6e_functions",
     "ch_sql_round6f_aggregates",
     "ch_sql_network_functions",
+    "ch_sql_round6h_aggregates",
     # r2-stale TPC-H names deferred from the round-5 rotation
     "q7_volume_shipping",
     "q8_national_market_share",
@@ -119,14 +120,13 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_vector_functions",
     "ch_sql_lttb_downsample",
     # r3-stale rotation (oldest remaining driver rows, diverse ops).
-    # text_gopher_quality, multimodal_decode_stats and
-    # dedup_ngram_jaccard_pairs deferred to round 7: the window is
-    # full and they hold green r3 rows; the local full sweep remains
-    # the compensating control.
+    # text_gopher_quality, multimodal_decode_stats,
+    # dedup_ngram_jaccard_pairs and similarity_topk_cosine deferred
+    # to round 7: the window is full and they hold green r3 rows;
+    # the local full sweep remains the compensating control.
     "dedup_embedding_cosine_pairs",
     "dedup_connected_components",
     "dedup_minhash_lsh_pairs",
-    "similarity_topk_cosine",
     "streaming_cms_merge",
     "ip_function_roundtrip",
 )

@@ -444,6 +444,33 @@ def main() -> None:
         )
         return out.count()
 
+    def rank_decay_weighted(k: int) -> int:
+        """Round-6f/6h aggregate families in one pass: rankCorr is
+        O(group²) BY DESIGN (documented average-tie rank filters), so
+        the rung scales GROUP COUNT with the corpus at bounded group
+        size — the operating regime its oracle row uses. The
+        time-decayed fold, weighted quantile walk and ANOVA run fold
+        (all O(group log group)) ride the same tape; total cost must
+        track rows (linear)."""
+        from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+        ev = replicate(ev0, k, ["event_id", "user_id"], salt_text=False)
+        out = run_ch_query(
+            f"""
+            SELECT event_id % {40 * k} AS g,
+                   round(rankCorr(value, event_id % 89), 6) AS rc,
+                   round(quantileExactWeighted(0.5)(
+                       value, 1 + event_id % 7), 6) AS qw,
+                   round(exponentialTimeDecayedSum(3600.0)(
+                       value, event_id), 4) AS es,
+                   round(tupleElement(analysisOfVariance(
+                       value, event_id % 4), 'f_statistic'), 6) AS af
+            FROM events GROUP BY g
+            """,
+            {"events": ev},
+        )
+        return out.count()
+
     ops = {
         "q1_agg": q1_agg,
         "minhash_lsh_pairs": minhash,
@@ -466,6 +493,7 @@ def main() -> None:
         "stat_tape_folds": stat_tape_folds,
         "assoc_stats": assoc_stats,
         "string_sim_scan": string_sim_scan,
+        "rank_decay_weighted": rank_decay_weighted,
     }
 
     # SPARK_GRAFT_STRESS_OPS=a,b,c re-runs a subset (a marginal rung

@@ -1154,7 +1154,48 @@ def _gen_rank_decay_pair(rng: random.Random) -> tuple[str, str]:
     return ch, duck
 
 
-N_PAIRED = 96
+def _gen_weighted_quantile_pair(rng: random.Random) -> tuple[str, str]:
+    # round-6h: quantileExactWeighted vs a cumulative-weight window
+    # replay; ANOVA F statistic vs its closed form over group sums.
+    lv = rng.choice(["0.25", "0.5", "0.75", "0.9"])
+    wm = rng.randint(3, 9)
+    gm = rng.randint(2, 5)
+    w = _where(rng)
+    ch = (
+        f"SELECT event_type AS et, "
+        f"round(quantileExactWeighted({lv})("
+        f"value, 1 + event_id % {wm}), 6) AS qw, "
+        f"round(tupleElement(analysisOfVariance("
+        f"value, user_id % {gm}), 'f_statistic'), 6) AS af "
+        f"FROM events{w} GROUP BY et ORDER BY et"
+    )
+    duck = (
+        f"WITH base AS (SELECT event_type AS et, value AS v, "
+        f"1 + event_id % {wm} AS w, user_id % {gm} AS g, "
+        f"row_number() OVER () AS rid FROM events{w}), "
+        "cum AS (SELECT *, "
+        "sum(w) OVER (PARTITION BY et ORDER BY v, rid) AS cw, "
+        "sum(w) OVER (PARTITION BY et) AS tw FROM base), "
+        "gstats AS (SELECT et, g, count(*) AS ng, sum(v) AS sg "
+        "FROM base GROUP BY et, g), "
+        "tstats AS (SELECT et, sum(sg * sg / ng) AS t, "
+        "count(*)::DOUBLE AS k FROM gstats GROUP BY et), "
+        "tot AS (SELECT et, count(*)::DOUBLE AS n, sum(v) AS s, "
+        "sum(v * v) AS q FROM base GROUP BY et) "
+        f"SELECT c.et, "
+        f"round(min(CASE WHEN c.cw >= {lv} * c.tw THEN c.v END), 6)"
+        f" AS qw, "
+        "round(any_value(CASE WHEN t.k > 1 AND tot.n > t.k THEN "
+        "((t.t - tot.s * tot.s / tot.n) / (t.k - 1)) "
+        "/ ((tot.q - t.t) / (tot.n - t.k)) END), 6) AS af "
+        "FROM cum c JOIN tstats t ON c.et = t.et "
+        "JOIN tot ON tot.et = c.et "
+        "GROUP BY c.et ORDER BY c.et"
+    )
+    return ch, duck
+
+
+N_PAIRED = 100
 
 
 def _gen_pair(rng: random.Random) -> tuple[str, str]:
@@ -1168,7 +1209,8 @@ def _gen_pair(rng: random.Random) -> tuple[str, str]:
          _gen_vector_pair, _gen_semi_join_pair,
          _gen_string_search_pair, _gen_stats_agg_pair,
          _gen_geo_pair, _gen_strsim_pair, _gen_assoc_pair,
-         _gen_jaro_pair, _gen_rank_decay_pair]
+         _gen_jaro_pair, _gen_rank_decay_pair,
+         _gen_weighted_quantile_pair]
     )(rng)
 
 
