@@ -3388,3 +3388,128 @@ CH_FUNCTIONS.update(
         ),
     }
 )
+
+
+# Round-6i tranche: arithmetic/bucket names, array similarity,
+# proportions z-test, Tukey-fence outlier scores.
+# ---------------------------------------------------------------------------
+
+
+def _proportions_z_test(sx, sy, tx, ty, conf=0.95, usevar="unpooled"):
+    """CH proportionsZTest(successes_x, successes_y, trials_x,
+    trials_y, confidence, usevar) -> (z_statistic, p_value, ci_low,
+    ci_high). Closed form; the CI (on p1 - p2, unpooled SE, as in
+    CH) uses a plan-literal Acklam inverse-Φ."""
+    from .stats_tests import _norm_ppf, _two_sided_p
+
+    mode = _unquote(str(usevar)).lower()
+    if mode not in ("pooled", "unpooled"):
+        raise ValueError(f"proportionsZTest usevar {usevar!r}")
+    cl = float(str(conf))
+    sxc = _as_col(sx).cast("double")
+    syc = _as_col(sy).cast("double")
+    txc = _as_col(tx).cast("double")
+    tyc = _as_col(ty).cast("double")
+    p1 = sxc / txc
+    p2 = syc / tyc
+    if mode == "pooled":
+        pp = (sxc + syc) / (txc + tyc)
+        se = F.sqrt(pp * (1 - pp) * (1 / txc + 1 / tyc))
+    else:
+        se = F.sqrt(p1 * (1 - p1) / txc + p2 * (1 - p2) / tyc)
+    se_ci = F.sqrt(p1 * (1 - p1) / txc + p2 * (1 - p2) / tyc)
+    z = (p1 - p2) / se
+    zq = _norm_ppf((1.0 + cl) / 2.0)
+    return F.struct(
+        z.alias("z_statistic"),
+        _two_sided_p(z).alias("p_value"),
+        (p1 - p2 - zq * se_ci).alias("confidence_interval_low"),
+        (p1 - p2 + zq * se_ci).alias("confidence_interval_high"),
+    )
+
+
+def _series_outliers_tukey(arr, min_p=0.25, max_p=0.75, k=1.5):
+    """CH seriesOutliersDetectTukey(series[, min_percentile,
+    max_percentile, K]): per-point anomaly score — the signed
+    distance beyond the Tukey fences [q_lo − K·IQR, q_hi + K·IQR],
+    0 inside. Percentiles interpolate linearly over the sorted
+    series (type R-7; CH's own quantile grid — divergences at exact
+    grid boundaries are sub-ulp)."""
+    lo_p, hi_p, kf = float(str(min_p)), float(str(max_p)), float(str(k))
+    ac = _as_col(arr)
+
+    def build(a: Column) -> Column:
+        srt = F.array_sort(F.transform(a, lambda v: v.cast("double")))
+
+        def with_sorted(s: Column) -> Column:
+            n = F.size(s)
+
+            def pct(p: float) -> Column:
+                pos = F.lit(p) * (n - 1).cast("double")
+                lo_i = F.floor(pos).cast("int") + 1
+                hi_i = F.ceil(pos).cast("int") + 1
+                frac = pos - F.floor(pos)
+                return F.try_element_at(s, lo_i) * (1 - frac) + (
+                    F.try_element_at(s, hi_i) * frac
+                )
+
+            def with_q(q: Column) -> Column:
+                q1, q3 = q["a"], q["b"]
+                iqr = q3 - q1
+                lo_f = q1 - F.lit(kf) * iqr
+                hi_f = q3 + F.lit(kf) * iqr
+                return F.transform(
+                    a,
+                    lambda v: F.when(
+                        v.cast("double") > hi_f, v.cast("double") - hi_f
+                    )
+                    .when(
+                        v.cast("double") < lo_f, v.cast("double") - lo_f
+                    )
+                    .otherwise(F.lit(0.0)),
+                )
+
+            return _let(
+                F.struct(pct(lo_p).alias("a"), pct(hi_p).alias("b")),
+                with_q,
+            )
+
+        return _let(srt, with_sorted)
+
+    return _let_once(ac, build)
+
+
+def _let(value, body):  # local alias of the stats_tests binder
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+from .text_similarity import array_levenshtein  # noqa: E402
+
+CH_FUNCTIONS.update(
+    {
+        "positiveModulo": lambda a, b: F.pmod(_as_col(a), _as_col(b)),
+        "positive_modulo": lambda a, b: F.pmod(_as_col(a), _as_col(b)),
+        "pmod": lambda a, b: F.pmod(_as_col(a), _as_col(b)),
+        "widthBucket": lambda x, lo, hi, n: F.width_bucket(
+            _as_col(x), _as_col(lo), _as_col(hi), _as_col(n)
+        ),
+        "width_bucket": lambda x, lo, hi, n: F.width_bucket(
+            _as_col(x), _as_col(lo), _as_col(hi), _as_col(n)
+        ),
+        # both-empty arrays -> 0.0 (mirrors stringJaccardIndex's
+        # documented stance)
+        "arrayJaccardIndex": lambda a, b: F.when(
+            F.size(F.array_union(_as_col(a), _as_col(b))) > 0,
+            F.size(F.array_intersect(_as_col(a), _as_col(b))).cast(
+                "double"
+            )
+            / F.size(F.array_union(_as_col(a), _as_col(b))),
+        ).otherwise(F.lit(0.0)),
+        "arrayLevenshteinDistance": array_levenshtein,
+        "bitHammingDistance": lambda a, b: F.bit_count(
+            _as_col(a).cast("long").bitwiseXOR(_as_col(b).cast("long"))
+        ),
+        "proportionsZTest": _proportions_z_test,
+        "seriesOutliersDetectTukey": _series_outliers_tukey,
+    }
+)

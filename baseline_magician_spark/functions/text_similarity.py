@@ -323,3 +323,46 @@ def jaro_winkler_similarity(a, b) -> Column:
     return _let(
         F.struct(_chars(a).alias("ca"), _chars(b).alias("cb")), build
     )
+
+
+def array_levenshtein(a, b) -> Column:
+    """CH arrayLevenshteinDistance(a, b): plain Levenshtein over
+    array ELEMENTS (null-safe equality). Same row-by-row DP fold as
+    damerauLevenshtein minus the transposition lane; O(n·m) per row
+    pair with both arrays LET-bound."""
+    return _let(
+        F.struct(_as_col(a).alias("ca"), _as_col(b).alias("cb")),
+        lambda cs: _lev_from_arrays(cs["ca"], cs["cb"]),
+    )
+
+
+def _lev_from_arrays(ca: Column, cb: Column) -> Column:
+    n, m = F.size(ca), F.size(cb)
+    row0 = F.sequence(F.lit(0), m)
+    final = F.aggregate(
+        F.sequence(F.lit(1), n),
+        row0,
+        lambda prev, i: F.aggregate(
+            F.sequence(F.lit(1), m),
+            F.array(i),
+            lambda cur, j: F.concat(
+                cur,
+                F.array(
+                    F.least(
+                        F.element_at(cur, -1) + 1,
+                        F.element_at(prev, j + 1) + 1,
+                        F.element_at(prev, j)
+                        + F.when(
+                            F.element_at(ca, i).eqNullSafe(
+                                F.element_at(cb, j)
+                            ),
+                            0,
+                        ).otherwise(1),
+                    )
+                ),
+            ),
+        ),
+    )
+    return F.when(n == 0, m.cast("long")).when(
+        m == 0, n.cast("long")
+    ).otherwise(F.element_at(final, -1).cast("long"))

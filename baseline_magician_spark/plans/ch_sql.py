@@ -995,6 +995,9 @@ _LITERAL_ARG_POSITIONS = {
     # round-6h tranche: pattern group counts drive the projection
     "extractallgroupshorizontal": {1},
     "extractallgroupsvertical": {1},
+    # round-6i tranche: confidence/usevar and fence parameters
+    "proportionsztest": {4, 5},
+    "seriesoutliersdetecttukey": {1, 2, 3},
 }
 
 # CH accepts BARE unit identifiers in these positions too —
@@ -1578,6 +1581,25 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                 else _funnel.sequence_count
             )
             return seq_fn(str(param.value), ts, *conds)
+        if lname in ("accuratecast", "accuratecastornull"):
+            # accurateCast(x, 'Type'): ANSI cast (errors on overflow —
+            # CH's contract); the OrNull form maps to try_cast. The
+            # type text re-parses through the CAST type grammar, so
+            # Array(...)/Map(...)/Nullable(...) spellings all work.
+            if len(node.args) != 2 or node.args[1].kind != "str":
+                raise ValueError(
+                    f"{node.value} takes (x, 'Type') with a literal "
+                    "type name"
+                )
+            ptype = _Parser(
+                _tokenize(str(node.args[1].value))
+            ).parse_type_name()
+            inner = _compile(node.args[0], env)
+            return (
+                inner.try_cast(ptype)
+                if lname == "accuratecastornull"
+                else inner.cast(ptype)
+            )
         if lname == "tupleelement":
             # tupleElement(t, n) / tupleElement(t, 'name'): positional
             # access constant-folds against a literal tuple's AST;

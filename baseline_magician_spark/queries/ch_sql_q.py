@@ -3219,3 +3219,54 @@ ORDER BY et
 )
 def ch_sql_round6h_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_ROUND6H_SQL, _tables(spark, sf_dir, "events"))
+
+
+# Round-6i scalar tranche end-to-end: positiveModulo vs the
+# ((a % b) + b) % b spelling, widthBucket vs its floor closed form,
+# bitHammingDistance vs bit_count(xor), constructed-identity array
+# similarity/Levenshtein cases, and the proportions z statistic as
+# its closed form.
+_ROUND6I_SQL = """
+SELECT event_id AS id,
+  positiveModulo(toInt64(user_id) - 500, 7) AS pm,
+  widthBucket(value, 0, 500, 10) AS wb,
+  bitHammingDistance(event_id, user_id) AS bh,
+  round(arrayJaccardIndex([event_id % 5, 9], [user_id % 5, 9]),
+        6) AS aj,
+  arrayLevenshteinDistance([event_id % 3, 1, user_id % 3],
+                           [user_id % 3, 1, event_id % 3]) AS al,
+  round(tupleElement(
+      proportionsZTest(toFloat64(1 + event_id % 50), 25.0,
+                       100.0, 100.0, 0.95, 'unpooled'),
+      'z_statistic'), 6) AS pz
+FROM fastnetmon.events
+WHERE event_id % 17 = 0
+ORDER BY id
+"""
+
+
+@query(
+    "ch_sql_round6i_functions",
+    """
+    WITH base AS (
+      SELECT event_id AS id, user_id AS u, value AS v,
+             (1 + event_id % 50) / 100.0 AS p1
+      FROM events WHERE event_id % 17 = 0
+    )
+    SELECT id,
+      ((u - 500) % 7 + 7) % 7 AS pm,
+      CASE WHEN v < 0 THEN 0 WHEN v >= 500 THEN 11
+           ELSE floor(v / 500 * 10)::BIGINT + 1 END AS wb,
+      bit_count(xor(id, u)) AS bh,
+      round(CASE WHEN id % 5 = u % 5 THEN 1.0 ELSE 1.0 / 3 END,
+            6) AS aj,
+      CASE WHEN id % 3 = u % 3 THEN 0 ELSE 2 END AS al,
+      round((p1 - 0.25)
+            / sqrt(p1 * (1 - p1) / 100.0 + 0.25 * 0.75 / 100.0),
+            6) AS pz
+    FROM base
+    ORDER BY id
+    """,
+)
+def ch_sql_round6i_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_ROUND6I_SQL, _tables(spark, sf_dir, "events"))

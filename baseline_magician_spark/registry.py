@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_round6f_aggregates",
     "ch_sql_network_functions",
     "ch_sql_round6h_aggregates",
+    "ch_sql_round6i_functions",
     # r2-stale TPC-H names deferred from the round-5 rotation
     "q7_volume_shipping",
     "q8_national_market_share",
@@ -121,12 +122,13 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_lttb_downsample",
     # r3-stale rotation (oldest remaining driver rows, diverse ops).
     # text_gopher_quality, multimodal_decode_stats,
-    # dedup_ngram_jaccard_pairs and similarity_topk_cosine deferred
-    # to round 7: the window is full and they hold green r3 rows;
-    # the local full sweep remains the compensating control.
+    # dedup_ngram_jaccard_pairs, similarity_topk_cosine and
+    # dedup_minhash_lsh_pairs deferred to round 7: the window is
+    # full with never-checked round-6 rows (which outrank re-checks)
+    # and the full local sweep (193/193 green this round) remains
+    # the compensating control.
     "dedup_embedding_cosine_pairs",
     "dedup_connected_components",
-    "dedup_minhash_lsh_pairs",
     "streaming_cms_merge",
     "ip_function_roundtrip",
 )
