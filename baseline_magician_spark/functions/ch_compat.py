@@ -1071,11 +1071,68 @@ def resolve_agg_combinator(name: str) -> Callable[..., Column] | None:
     return fn
 
 
+_RESAMPLE_BASES = {
+    "sum": F.sum,
+    "count": F.count,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "uniq": F.count_distinct,
+    "uniqexact": F.count_distinct,
+}
+
+
+def resample_base(name: str):
+    """The base aggregate builder for a ``<agg>Resample`` spelling,
+    or None. CH's -Resample combinator: bucket the key range
+    [start, end) by step and evaluate the aggregate per bucket,
+    returning the array of results."""
+    lname = name.lower()
+    if not lname.endswith("resample"):
+        return None
+    return _RESAMPLE_BASES.get(lname[: -len("resample")])
+
+
+def build_resample(name: str, x: Column, key: Column,
+                   start, end, step) -> Column:
+    """<agg>Resample(start, end, step)(x, key): a plan-literal array
+    of per-bucket aggregates — each bucket is an ordinary
+    conditional aggregate, so the whole array partial-aggregates
+    map-side (bucket count is a plan constant, capped)."""
+    base = resample_base(name)
+    if base is None:
+        raise ValueError(f"unknown resample aggregate {name!r}")
+    s, e, st = int(float(str(start))), int(float(str(end))), int(
+        float(str(step))
+    )
+    if st <= 0 or e <= s:
+        raise ValueError("resample needs step > 0 and end > start")
+    nb = (e - s + st - 1) // st
+    if nb > 4096:
+        raise ValueError(
+            f"resample would build {nb} buckets (cap 4096); widen the"
+            " step"
+        )
+    lname = name.lower()
+    cells = []
+    for i in range(nb):
+        lo, hi = s + i * st, min(s + (i + 1) * st, e)
+        cond = (key >= lo) & (key < hi)
+        c = base(F.when(cond, x))
+        if lname.startswith(("sum", "count", "uniq")):
+            # CH's empty-bucket values: additive aggregates read 0
+            c = F.coalesce(c, F.lit(0))
+        cells.append(c)
+    return F.array(*cells)
+
+
 def is_combinator_agg(name: str) -> bool:
     """True when the name parses as a combinator-suffixed aggregate —
     the aggregate-detection predicate the SQL front end needs before
     compiling (combinator spellings must route through groupBy)."""
-    return split_combinators(name) is not None
+    return split_combinators(name) is not None or (
+        resample_base(name) is not None
+    )
 
 
 def _array_reduce(agg, arr: Column) -> Column:

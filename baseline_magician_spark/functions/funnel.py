@@ -226,3 +226,92 @@ def sequence_count(pattern: str, ts: Column, *conds: Column) -> Column:
     CH's advance-past-each-completed-chain search)."""
     rx = translate_pattern(pattern, len(conds))
     return F.regexp_count(_event_string(ts, conds), F.lit(rx))
+
+
+def sequence_next_node(
+    direction: str, base: str, ts: Column, val: Column,
+    base_cond: Column, *conds: Column
+) -> Column:
+    """``sequenceNextNode(direction, base)(ts, event_column,
+    base_condition, event1, ..., eventN)`` -> the event_column value
+    of the event immediately AFTER the matched chain, else NULL.
+
+    CH (experimental, allow_experimental_funnel_functions) semantics:
+    events scan in timestamp order (reversed for 'backward'); the
+    anchor is the scan's first event ('head'/'tail'), or the
+    first/last position where event1 matches ('first_match' /
+    'last_match'); the anchor must also satisfy base_condition; the
+    chain event1..eventN covers N consecutive events starting AT the
+    anchor, and the value of the following event returns. ALL events
+    enter the tape (the "next" event need match no condition) — the
+    same bounded per-group state every tape fold here carries.
+    """
+    _check_conds(conds)
+    dirn = str(direction).strip("'\"").lower()
+    basem = str(base).strip("'\"").lower()
+    if dirn not in ("forward", "backward"):
+        raise ValueError(f"sequenceNextNode direction {direction!r}")
+    if basem not in ("head", "tail", "first_match", "last_match"):
+        raise ValueError(f"sequenceNextNode base {base!r}")
+    # CH pairs forward with head and backward with tail; both names
+    # mean "first event of the scan order" here, so either is
+    # accepted with either direction.
+    n = len(conds)
+    fields = [
+        F.unix_micros(ts.cast("timestamp")).alias("t"),
+        val.cast("string").alias("v"),
+        _bool(base_cond).alias("b"),
+    ]
+    for i, c in enumerate(conds):
+        fields.append(_bool(c).alias(f"c{i}"))
+    tape_expr = F.sort_array(F.collect_list(F.struct(*fields)))
+    if dirn == "backward":
+        tape_expr = F.reverse(tape_expr)
+
+    def build(tape: Column) -> Column:
+        m = F.size(tape)
+
+        def chain_at(j: Column) -> Column:
+            ok = F.lit(True)
+            for i in range(n):
+                ok = ok & F.coalesce(
+                    F.try_element_at(tape, j + i)[f"c{i}"],
+                    F.lit(False),
+                )
+            return ok
+
+        if basem in ("head", "tail"):
+            anchor = F.when(
+                F.coalesce(
+                    F.try_element_at(tape, F.lit(1))["b"],
+                    F.lit(False),
+                )
+                & chain_at(F.lit(1)),
+                F.lit(1),
+            )
+        else:
+            hits = F.filter(
+                F.sequence(F.lit(1), m),
+                lambda j: F.coalesce(
+                    F.try_element_at(tape, j)["b"], F.lit(False)
+                )
+                & chain_at(j),
+            )
+            pick = (
+                F.array_min if basem == "first_match" else F.array_max
+            )
+            anchor = F.when(F.size(hits) > 0, pick(hits))
+        return _let_f(
+            anchor,
+            lambda a: F.when(
+                a.isNotNull(),
+                F.try_element_at(tape, a + n)["v"],
+            ),
+        )
+
+    return _let_f(tape_expr, build)
+
+
+def _let_f(value: Column, body) -> Column:
+    """Bind once as a lambda variable (see stats_tests._let)."""
+    return F.element_at(F.transform(F.array(value), body), 1)

@@ -118,6 +118,7 @@ _AGGS = {
     "median", "avgweighted",
     # behavioral analytics (functions/funnel.py)
     "windowfunnel", "retention", "sequencematch", "sequencecount",
+    "sequencenextnode",
     # map-keyed aggregates
     "summap", "minmap", "maxmap",
     # round-6 tranche
@@ -171,6 +172,7 @@ _PARAMETRIC_AGGS = {
     # param = window seconds / sequence pattern; the compile path
     # special-cases these before the quantile-levels branch
     "windowfunnel", "sequencematch", "sequencecount",
+    "sequencenextnode",
     # two-inner-column parametric stats (params ride behind the two
     # compiled columns via the topkweighted-style branch)
     "exponentialmovingaverage", "sparkbar", "mannwhitneyutest",
@@ -879,7 +881,10 @@ class _Parser:
             self.expect(")")
             fname = f"{t}__distinct" if distinct_arg else t
             call = _Node("call", fname, tuple(args))
-            if t.lower() in _PARAMETRIC_AGGS and self.peek() == "(":
+            if (
+                t.lower() in _PARAMETRIC_AGGS
+                or t.lower().endswith("resample")
+            ) and self.peek() == "(":
                 # parametric aggregate fn(levels)(args): the first list
                 # holds the quantile levels, the second the aggregated
                 # expression — reordered to the shim signature
@@ -1552,6 +1557,30 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                 raise ValueError("lambdas take 1 or 2 parameters")
             arrs = [_compile(a, env) for a in node.args[1:]]
             return hof(fn, *arrs)
+        if lname == "sequencenextnode":
+            # sequenceNextNode(direction, base)(ts, event_col,
+            # base_cond, event1, ...) — the parser appends the two
+            # string params after the inner args
+            from ..functions import funnel as _funnel
+
+            if len(node.args) < 6:
+                raise ValueError(
+                    "sequenceNextNode takes (direction, base)"
+                    "(ts, event_column, base_condition, event1, ...)"
+                )
+            *inner, dnode, bnode = node.args
+            if dnode.kind != "str" or bnode.kind != "str":
+                raise ValueError(
+                    "sequenceNextNode direction/base must be string "
+                    "literals"
+                )
+            ts = _compile(inner[0], env)
+            val = _compile(inner[1], env)
+            bc = _compile(inner[2], env)
+            conds = [_compile(c, env) for c in inner[3:]]
+            return _funnel.sequence_next_node(
+                str(dnode.value), str(bnode.value), ts, val, bc, *conds
+            )
         if lname in ("windowfunnel", "sequencematch", "sequencecount"):
             # behavioral-analytics aggregates: fn(param)(ts, conds...)
             # — the parser appends the single param AFTER the inner
@@ -1581,6 +1610,19 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                 else _funnel.sequence_count
             )
             return seq_fn(str(param.value), ts, *conds)
+        if lname.endswith("resample") and len(node.args) == 5:
+            # <agg>Resample(start, end, step)(x, key): the parser
+            # appends the three params after the two inner columns
+            from ..functions.ch_compat import build_resample
+
+            x = _compile(node.args[0], env)
+            key = _compile(node.args[1], env)
+            s, e2, st = (
+                _literal_value(node.args[2]),
+                _literal_value(node.args[3]),
+                _literal_value(node.args[4]),
+            )
+            return build_resample(name, x, key, s, e2, st)
         if lname in ("accuratecast", "accuratecastornull"):
             # accurateCast(x, 'Type'): ANSI cast (errors on overflow —
             # CH's contract); the OrNull form maps to try_cast. The

@@ -122,3 +122,51 @@ def test_accurate_cast(spark):
     assert _one(
         spark, "SELECT accurateCast([1, 2], 'Array(Float64)') AS r"
     ) == [1.0, 2.0]
+
+
+def test_resample_combinator(spark):
+    df = spark.createDataFrame(
+        [(i, float(i), i % 30) for i in range(100)],
+        "id int, v double, k int",
+    )
+    got = run_ch_query(
+        "SELECT countResample(0, 30, 10)(v, k) AS c,"
+        " sumResample(0, 30, 10)(v, k) AS s,"
+        " minResample(0, 30, 10)(v, k) AS m FROM t",
+        {"t": df},
+    ).collect()[0]
+    rows = [(i, float(i), i % 30) for i in range(100)]
+    want_c = [
+        sum(1 for _, _, k in rows if lo <= k < lo + 10)
+        for lo in (0, 10, 20)
+    ]
+    want_s = [
+        sum(v for _, v, k in rows if lo <= k < lo + 10)
+        for lo in (0, 10, 20)
+    ]
+    assert list(got.c) == want_c
+    assert list(got.s) == pytest.approx(want_s)
+    assert list(got.m) == [0.0, 10.0, 20.0]
+
+
+def test_resample_empty_buckets(spark):
+    df = spark.createDataFrame([(1.0, 5)], "v double, k int")
+    got = run_ch_query(
+        "SELECT sumResample(0, 30, 10)(v, k) AS s,"
+        " countResample(0, 30, 10)(v, k) AS c,"
+        " avgResample(0, 30, 10)(v, k) AS a FROM t",
+        {"t": df},
+    ).collect()[0]
+    # additive aggregates read 0 in empty buckets; avg stays NULL
+    assert list(got.s) == [1.0, 0.0, 0.0]
+    assert list(got.c) == [1, 0, 0]
+    assert got.a[0] == 1.0 and got.a[1] is None and got.a[2] is None
+
+
+def test_resample_bucket_cap(spark):
+    df = spark.createDataFrame([(1.0, 5)], "v double, k int")
+    with pytest.raises(Exception, match="4096|cap"):
+        run_ch_query(
+            "SELECT sumResample(0, 100000, 1)(v, k) AS s FROM t",
+            {"t": df},
+        ).collect()

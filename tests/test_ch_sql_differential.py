@@ -1195,7 +1195,38 @@ def _gen_weighted_quantile_pair(rng: random.Random) -> tuple[str, str]:
     return ch, duck
 
 
-N_PAIRED = 100
+def _gen_resample_pair(rng: random.Random) -> tuple[str, str]:
+    # -Resample combinator vs an array of conditional aggregates
+    step = rng.choice([5, 10, 25])
+    end = step * rng.randint(2, 4)
+    w = _where(rng)
+    key = f"user_id % {end + rng.randint(0, 10)}"
+    buckets = list(range(0, end, step))
+    duck_cells_s = ", ".join(
+        f"coalesce(sum(CASE WHEN {key} >= {lo} AND {key} < {lo + step}"
+        f" THEN value END), 0)" for lo in buckets
+    )
+    duck_cells_c = ", ".join(
+        f"count(CASE WHEN {key} >= {lo} AND {key} < {lo + step}"
+        f" THEN 1 END)" for lo in buckets
+    )
+    ch = (
+        f"SELECT event_type AS et, "
+        f"arrayMap(x -> round(x, 4), "
+        f"sumResample(0, {end}, {step})(value, {key})) AS s, "
+        f"countResample(0, {end}, {step})(value, {key}) AS c "
+        f"FROM events{w} GROUP BY et ORDER BY et"
+    )
+    duck = (
+        f"SELECT event_type AS et, "
+        f"[{duck_cells_s}].list_transform(x -> round(x, 4)) AS s, "
+        f"[{duck_cells_c}] AS c "
+        f"FROM events{w} GROUP BY et ORDER BY et"
+    )
+    return ch, duck
+
+
+N_PAIRED = 104
 
 
 def _gen_pair(rng: random.Random) -> tuple[str, str]:
@@ -1210,7 +1241,7 @@ def _gen_pair(rng: random.Random) -> tuple[str, str]:
          _gen_string_search_pair, _gen_stats_agg_pair,
          _gen_geo_pair, _gen_strsim_pair, _gen_assoc_pair,
          _gen_jaro_pair, _gen_rank_decay_pair,
-         _gen_weighted_quantile_pair]
+         _gen_weighted_quantile_pair, _gen_resample_pair]
     )(rng)
 
 

@@ -201,3 +201,76 @@ def test_ch_sql_param_errors(events):
             "SELECT sequenceMatch(1)(ts, event_type = 'view') FROM t",
             {"t": events},
         )
+
+
+# --- sequenceNextNode ------------------------------------------------------
+
+
+@pytest.fixture()
+def pages(spark):
+    rows = [
+        (1, "2024-01-01 00:00:01", "Home"),
+        (1, "2024-01-01 00:00:02", "Gift"),
+        (1, "2024-01-01 00:00:03", "Exit"),
+        (2, "2024-01-01 00:00:01", "Home"),
+        (2, "2024-01-01 00:00:02", "Home"),
+        (2, "2024-01-01 00:00:03", "Gift"),
+        (2, "2024-01-01 00:00:04", "Basket"),
+        (3, "2024-01-01 00:00:01", "Gift"),
+        (3, "2024-01-01 00:00:02", "Home"),
+    ]
+    return spark.createDataFrame(rows, "id int, dts string, page string")
+
+
+def _next_nodes(pages, direction, base, *chain):
+    conds = ", ".join(f"page = '{c}'" for c in chain)
+    out = run_ch_query(
+        f"SELECT id, sequenceNextNode('{direction}', '{base}')("
+        f"toDateTime(dts), page, page = '{chain[0]}', {conds}) AS nxt"
+        " FROM t GROUP BY id ORDER BY id",
+        {"t": pages},
+    ).collect()
+    return {r.id: r.nxt for r in out}
+
+
+def test_sequence_next_node_forward_head(pages):
+    # the CH documentation's own Home -> Gift example
+    assert _next_nodes(pages, "forward", "head", "Home", "Gift") == {
+        1: "Exit",   # Home, Gift, then Exit
+        2: None,     # second event is Home, not Gift
+        3: None,     # head is Gift, base condition fails
+    }
+
+
+def test_sequence_next_node_first_match(pages):
+    assert _next_nodes(pages, "forward", "first_match", "Gift") == {
+        1: "Exit", 2: "Basket", 3: "Home",
+    }
+
+
+def test_sequence_next_node_backward_tail(pages):
+    assert _next_nodes(pages, "backward", "tail", "Basket") == {
+        1: None, 2: "Gift", 3: None,
+    }
+
+
+def test_sequence_next_node_backward_last_match(pages):
+    assert _next_nodes(pages, "backward", "last_match", "Gift") == {
+        1: "Home", 2: "Home", 3: None,
+    }
+
+
+def test_sequence_next_node_chain_past_end(pages):
+    # chain matches but there is no following event -> NULL
+    assert _next_nodes(
+        pages, "forward", "head", "Home", "Gift", "Exit"
+    ) == {1: None, 2: None, 3: None}
+
+
+def test_sequence_next_node_errors(pages):
+    with pytest.raises(ValueError, match="direction"):
+        run_ch_query(
+            "SELECT sequenceNextNode('sideways', 'head')("
+            "toDateTime(dts), page, page = 'x', page = 'x') FROM t",
+            {"t": pages},
+        )
