@@ -3570,3 +3570,88 @@ CH_FUNCTIONS.update(
         "seriesOutliersDetectTukey": _series_outliers_tukey,
     }
 )
+
+
+# Round-6k mop-up tranche: remaining everyday aliases and small
+# utilities a CH user types without thinking.
+# ---------------------------------------------------------------------------
+
+
+def _uuid_num_to_string(b) -> Column:
+    """CH UUIDNumToString(FixedString(16)) -> canonical dashed text
+    (inverse of the UUIDStringToNum above)."""
+    h = F.lower(F.hex(_as_col(b)))
+    return F.when(
+        F.length(h) == 32,
+        F.concat_ws(
+            "-",
+            F.substring(h, 1, 8),
+            F.substring(h, 9, 4),
+            F.substring(h, 13, 4),
+            F.substring(h, 17, 4),
+            F.substring(h, 21, 12),
+        ),
+    )
+
+
+_UUID_RE = (
+    r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+
+
+CH_FUNCTIONS.update(
+    {
+        "toStartOfSecond": lambda c: F.date_trunc(
+            "second", _as_col(c)
+        ),
+        "FROM_UNIXTIME": F.timestamp_seconds,
+        "splitByWhitespace": lambda s: F.filter(
+            F.split(_as_col(s), r"\s+"), lambda t: t != ""
+        ),
+        "splitByNonAlpha": lambda s: F.filter(
+            F.split(_as_col(s), r"[^0-9A-Za-z]+"), lambda t: t != ""
+        ),
+        # CH tokens(): split by non-alphanumeric ASCII
+        "tokens": lambda s: F.filter(
+            F.split(_as_col(s), r"[^0-9A-Za-z]+"), lambda t: t != ""
+        ),
+        "firstLine": lambda s: F.regexp_extract(
+            _as_col(s), r"^([^\n\r]*)", 1
+        ),
+        # Spark strings are already valid UTF-8 (invalid bytes were
+        # replaced at decode) — identity, documented
+        "toValidUTF8": lambda s: _as_col(s).cast("string"),
+        "startsWithUTF8": lambda s, p: _as_col(s).startswith(
+            _as_col(p)
+        ),
+        "endsWithUTF8": lambda s, p: _as_col(s).endswith(_as_col(p)),
+        "leftUTF8": lambda s, n: CH_FUNCTIONS["left"](s, n),
+        "rightUTF8": lambda s, n: CH_FUNCTIONS["right"](s, n),
+        "substringIndex": lambda s, d, n: F.substring_index(
+            _as_col(s), _unquote(str(d)), int(float(str(n)))
+        ),
+        "SUBSTRING_INDEX": lambda s, d, n: F.substring_index(
+            _as_col(s), _unquote(str(d)), int(float(str(n)))
+        ),
+        "concatAssumeInjective": lambda *cs: F.concat(
+            *[_as_col(c) for c in cs]
+        ),
+        # randomness tail (pytest-only surface, like the rand family)
+        "randCanonical": lambda *a: F.rand(),
+        "randExponential": lambda lam: -F.log(
+            F.lit(1.0) - F.rand()
+        ) / _as_col(lam).cast("double"),
+        "randBernoulli": lambda p: (
+            F.rand() < _as_col(p).cast("double")
+        ).cast("int"),
+        "arrayShuffle": lambda arr, *seed: F.shuffle(_as_col(arr)),
+        "arrayRandomSample": lambda arr, k: F.slice(
+            F.shuffle(_as_col(arr)), 1, _as_col(k).cast("int")
+        ),
+        "toUUIDOrNull": lambda s: F.when(
+            _as_col(s).rlike(_UUID_RE), F.lower(_as_col(s))
+        ),
+        "UUIDNumToString": _uuid_num_to_string,
+    }
+)

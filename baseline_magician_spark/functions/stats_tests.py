@@ -887,17 +887,28 @@ def mean_z_test(v, idx, var0=1.0, var1=1.0, conf=0.95) -> Column:
     cl = float(str(conf))
     n0 = F.sum(F.when(~i1, 1).otherwise(0)).cast("double")
     n1 = F.sum(F.when(i1, 1).otherwise(0)).cast("double")
-    m0 = F.sum(F.when(~i1, v)) / n0
-    m1 = F.sum(F.when(i1, v)) / n1
-    se = F.sqrt(F.lit(v0) / n0 + F.lit(v1) / n1)
-    z = (m0 - m1) / se
-    zq = _norm_ppf((1.0 + cl) / 2.0)
-    return F.struct(
-        z.alias("z_statistic"),
-        _two_sided_p(z).alias("p_value"),
-        (m0 - m1 - zq * se).alias("confidence_interval_low"),
-        (m0 - m1 + zq * se).alias("confidence_interval_high"),
-    )
+
+    def guarded(both: Column) -> Column:
+        m0 = F.sum(F.when(~i1, v)) / n0
+        m1 = F.sum(F.when(i1, v)) / n1
+        se = F.sqrt(F.lit(v0) / n0 + F.lit(v1) / n1)
+        z = (m0 - m1) / se
+        zq = _norm_ppf((1.0 + cl) / 2.0)
+        return F.struct(
+            F.when(both, z).alias("z_statistic"),
+            F.when(both, _two_sided_p(z)).alias("p_value"),
+            F.when(both, m0 - m1 - zq * se).alias(
+                "confidence_interval_low"
+            ),
+            F.when(both, m0 - m1 + zq * se).alias(
+                "confidence_interval_high"
+            ),
+        )
+
+    # an empty sample on either side leaves the test undefined: NULL
+    # fields, not an ANSI divide-by-zero (the When keeps the division
+    # out of the evaluated branch)
+    return guarded((n0 > 0) & (n1 > 0))
 
 
 def rank_corr(x, y) -> Column:
@@ -1020,22 +1031,47 @@ exponential_time_decayed_max = _exp_time_decayed("Max")
 exponential_time_decayed_avg = _exp_time_decayed("Avg")
 
 
+def _pair_corr(a: Column, b: Column) -> Column:
+    """Pearson r from guarded raw moments over non-null PAIRS.
+    Spark's built-in Corr raises an ANSI DIVIDE_BY_ZERO on
+    single-row / constant groups; this spelling returns NULL there
+    (DuckDB's corr() semantics, which the oracles compare against)."""
+    both = a.isNotNull() & b.isNotNull()
+    va, vb = F.when(both, a), F.when(both, b)
+    n = F.sum(F.when(both, 1).otherwise(0)).cast("double")
+    sa, sb = F.sum(va), F.sum(vb)
+    saa, sbb = F.sum(va * va), F.sum(vb * vb)
+    sab = F.sum(va * vb)
+    den2 = (n * saa - sa * sa) * (n * sbb - sb * sb)
+    return F.when(den2 > 0, (n * sab - sa * sb) / F.sqrt(den2))
+
+
+def _pair_covar_samp(a: Column, b: Column) -> Column:
+    both = a.isNotNull() & b.isNotNull()
+    va, vb = F.when(both, a), F.when(both, b)
+    n = F.sum(F.when(both, 1).otherwise(0)).cast("double")
+    return F.when(
+        n > 1, (F.sum(va * vb) - F.sum(va) * F.sum(vb) / n) / (n - 1)
+    )
+
+
 def corr_matrix(*cols) -> Column:
     """CH corrMatrix(c1, ..., cn) -> Array(Array(Float64)): full
-    symmetric n×n Pearson matrix — a plain expression over n² built-in
-    corr() aggregates, so it partial-aggregates map-side like any
-    moment sum (n is the column count, a plan constant)."""
+    symmetric n×n Pearson matrix — a plain expression over n² flat
+    moment aggregates, so it partial-aggregates map-side (n is the
+    column count, a plan constant). Degenerate cells (single pair,
+    zero variance) read NULL instead of the ANSI divide-by-zero the
+    built-in Corr raises."""
     cs = [_d(c) for c in cols]
     return F.array(
-        *[F.array(*[F.corr(a, b) for b in cs]) for a in cs]
+        *[F.array(*[_pair_corr(a, b) for b in cs]) for a in cs]
     )
 
 
 def covar_samp_matrix(*cols) -> Column:
     """CH covarSampMatrix(c1, ..., cn) -> Array(Array(Float64)) of
-    sample covariances; same n² built-in aggregate shape as
-    corrMatrix."""
+    sample covariances; same guarded-moment shape as corrMatrix."""
     cs = [_d(c) for c in cols]
     return F.array(
-        *[F.array(*[F.covar_samp(a, b) for b in cs]) for a in cs]
+        *[F.array(*[_pair_covar_samp(a, b) for b in cs]) for a in cs]
     )

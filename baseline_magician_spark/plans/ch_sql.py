@@ -1003,6 +1003,9 @@ _LITERAL_ARG_POSITIONS = {
     # round-6i tranche: confidence/usevar and fence parameters
     "proportionsztest": {4, 5},
     "seriesoutliersdetecttukey": {1, 2, 3},
+    # round-6k tranche: delimiter/count literals
+    "substringindex": {1, 2},
+    "substring_index": {1, 2},
 }
 
 # CH accepts BARE unit identifiers in these positions too —
@@ -1731,8 +1734,22 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         # strings instead of Columns
         literal_pos = _LITERAL_ARG_POSITIONS.get(lname, ())
         bare_pos = _BARE_UNIT_ARG_POSITIONS.get(lname, ())
+
+        def _neg_num(a: _Node) -> bool:
+            # unary minus parses as (0 - n); a negative literal in a
+            # driver-literal position must still pass as text
+            return (
+                a.kind == "bin"
+                and a.value == "-"
+                and a.args[0].kind == "num"
+                and a.args[0].value in (0, 0.0)
+                and a.args[1].kind == "num"
+            )
+
         args = [
-            str(a.value)
+            str(_literal_value(a))
+            if i in literal_pos and _neg_num(a)
+            else str(a.value)
             if (
                 i in literal_pos
                 and a.kind in ("str", "num")

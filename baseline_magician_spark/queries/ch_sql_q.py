@@ -2987,8 +2987,8 @@ def ch_sql_round6e_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # closed form sum(v·e^((t-tmax)/x)), and corrMatrix against a
 # hand-assembled DuckDB corr() list-of-lists.
 _ROUND6F_SQL = """
-SELECT event_type AS et, user_id % 20 AS ub,
-       round(rankCorr(value, event_id % 97), 6) AS rc,
+SELECT event_type AS et, user_id % 200 AS ub,
+       round(rankCorr(value, event_id % 97), 6) + 0.0 AS rc,
        round(tupleElement(
            meanZTest(2.0, 2.0, 0.95)(value, event_id % 2),
            'z_statistic'), 6) AS mz,
@@ -3011,7 +3011,7 @@ ORDER BY et, ub
     "ch_sql_round6f_aggregates",
     """
     WITH base AS (
-      SELECT event_type AS et, user_id % 20 AS ub, value AS v,
+      SELECT event_type AS et, user_id % 200 AS ub, value AS v,
              event_id % 97 AS w, user_id AS u,
              event_id % 2 AS si, floor(epoch(ts)) AS tt
       FROM events
@@ -3025,7 +3025,7 @@ ORDER BY et, ub
       FROM base
     )
     SELECT et, ub,
-      round(corr(rv, rw), 6) AS rc,
+      round(corr(rv, rw), 6) + 0.0 AS rc,
       round((avg(CASE WHEN si = 0 THEN v END)
              - avg(CASE WHEN si <> 0 THEN v END))
             / sqrt(2.0 / count(CASE WHEN si = 0 THEN v END)
