@@ -3655,3 +3655,133 @@ CH_FUNCTIONS.update(
         "UUIDNumToString": _uuid_num_to_string,
     }
 )
+
+
+# Round-6l tranche: the bitmap family over a sorted-distinct-array
+# carrier, SHA-2 variants, bit-test helpers, breakpoint roundings.
+# ---------------------------------------------------------------------------
+# CH's groupBitmap*/bitmap* functions operate on roaring bitmaps; the
+# engine's carrier is a SORTED DISTINCT Array(UInt) — semantically
+# identical for every function below (set algebra), with the storage
+# compression left to Parquet/Tungsten. bitmapBuild/bitmapToArray are
+# the boundary casts.
+
+_ROUND_DURATION_BREAKS = (
+    1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800, 3600, 7200,
+    18000, 36000,
+)
+_ROUND_AGE_BREAKS = (1, 18, 25, 35, 45, 55)
+_ROUND_AGE_VALUES = (17, 18, 25, 35, 45, 55)
+
+
+def _breakpoint_round(breaks, values):
+    def build(x) -> Column:
+        xc = _as_col(x).cast("double")
+        out = F.lit(0)
+        for b, v in zip(breaks, values):
+            out = F.when(xc >= b, F.lit(v)).otherwise(out)
+        return out.cast("long")
+
+    return build
+
+
+def _bitmap(a) -> Column:
+    return F.array_sort(F.array_distinct(_as_col(a)))
+
+
+CH_FUNCTIONS.update(
+    {
+        "bitmapBuild": _bitmap,
+        "bitmapToArray": lambda b: _as_col(b),
+        "bitmapCardinality": lambda b: F.size(_as_col(b)).cast("long"),
+        "bitmapAnd": lambda a, b: _bitmap(
+            F.array_intersect(_as_col(a), _as_col(b))
+        ),
+        "bitmapOr": lambda a, b: _bitmap(
+            F.array_union(_as_col(a), _as_col(b))
+        ),
+        "bitmapXor": lambda a, b: _bitmap(
+            F.array_union(
+                F.array_except(_as_col(a), _as_col(b)),
+                F.array_except(_as_col(b), _as_col(a)),
+            )
+        ),
+        "bitmapAndnot": lambda a, b: _bitmap(
+            F.array_except(_as_col(a), _as_col(b))
+        ),
+        "bitmapContains": lambda b, x: F.array_contains(
+            _as_col(b), _as_col(x)
+        ),
+        "bitmapHasAny": lambda a, b: F.arrays_overlap(
+            _as_col(a), _as_col(b)
+        ),
+        "bitmapHasAll": lambda a, b: F.size(
+            F.array_except(_as_col(b), _as_col(a))
+        )
+        == 0,
+        "bitmapAndCardinality": lambda a, b: F.size(
+            F.array_intersect(_as_col(a), _as_col(b))
+        ).cast("long"),
+        "bitmapOrCardinality": lambda a, b: F.size(
+            F.array_union(_as_col(a), _as_col(b))
+        ).cast("long"),
+        "bitmapMin": lambda b: F.array_min(_as_col(b)),
+        "bitmapMax": lambda b: F.array_max(_as_col(b)),
+        # SHA-2 variants ride Spark's sha2
+        "SHA224": lambda c: F.sha2(_as_col(c), 224),
+        "SHA384": lambda c: F.sha2(_as_col(c), 384),
+        "SHA512": lambda c: F.sha2(_as_col(c), 512),
+        # bit helpers
+        "bitRotateRight": lambda x, n: _bit_rotate_left(
+            x, 64 - (_as_col(n).cast("int") % 64)
+        ),
+        "bitTestAny": lambda x, *ns: functools.reduce(
+            lambda a, b: a | b,
+            [
+                CH_FUNCTIONS["bitTest"](x, n).cast("boolean")
+                for n in ns
+            ],
+        ),
+        "bitTestAll": lambda x, *ns: functools.reduce(
+            lambda a, b: a & b,
+            [
+                CH_FUNCTIONS["bitTest"](x, n).cast("boolean")
+                for n in ns
+            ],
+        ),
+        # arrays
+        "arrayCumSumNonNegative": lambda arr: F.aggregate(
+            _as_col(arr),
+            F.array().cast("array<double>"),
+            lambda acc, v: F.concat(
+                acc,
+                F.array(
+                    F.greatest(
+                        F.coalesce(
+                            F.try_element_at(acc, F.lit(-1)),
+                            F.lit(0.0),
+                        )
+                        + v.cast("double"),
+                        F.lit(0.0),
+                    )
+                ),
+            ),
+        ),
+        # calendar
+        "toYearWeek": lambda c, *m: (
+            F.year(_as_col(c)) * 100 + F.weekofyear(_as_col(c))
+        ).cast("long"),
+        "toModifiedJulianDayOrNull": lambda d: F.datediff(
+            _as_col(d).try_cast("date"),
+            F.lit("1858-11-17").cast("date"),
+        ).cast("long"),
+        "roundDuration": _breakpoint_round(
+            _ROUND_DURATION_BREAKS, _ROUND_DURATION_BREAKS
+        ),
+        "roundAge": _breakpoint_round(
+            _ROUND_AGE_BREAKS, _ROUND_AGE_VALUES
+        ),
+        "like": lambda s, p: F.like(_as_col(s), _as_col(p)),
+        "notLike": lambda s, p: ~F.like(_as_col(s), _as_col(p)),
+    }
+)

@@ -1080,6 +1080,11 @@ _LAMBDA_SCOPES: list[dict[str, Column]] = []
 
 # CH higher-order array functions: lambda FIRST (CH argument order),
 # mapped onto Spark's codegen'd higher-order builders
+def _let_hof(value: Column, body) -> Column:
+    """Bind once as a lambda variable (the stats_tests._let shape)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 _HOF = {
     "arraymap": lambda fn, *arrs: (
         F.transform(arrs[0], fn)
@@ -1094,6 +1099,17 @@ _HOF = {
     "arrayfirstindex": lambda fn, arr: F.coalesce(
         F.array_position(F.transform(arr, fn), True).cast("long"),
         F.lit(0).cast("long"),
+    ),
+    "arraylast": lambda fn, arr: F.element_at(
+        F.filter(arr, fn), -1
+    ),
+    "arraylastindex": lambda fn, arr: _let_hof(
+        F.array_position(
+            F.reverse(F.transform(arr, fn)), True
+        ).cast("long"),
+        lambda p: F.when(
+            F.coalesce(p, F.lit(0)) > 0, F.size(arr) - p + 1
+        ).otherwise(F.lit(0)).cast("long"),
     ),
     "arraysum": lambda fn, arr: F.aggregate(
         F.transform(arr, fn),
