@@ -51,10 +51,21 @@ _IDENT = r"[A-Za-z_]\w*"
 
 _CREATE_RE = re.compile(
     rf"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:(TEMPORARY)\s+)?"
-    rf"(TABLE|VIEW)\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
+    rf"(TABLE|VIEW|MATERIALIZED\s+VIEW)\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
     rf"(?:({_IDENT})\.)?({_IDENT})\s*"
     rf"(?:ENGINE\s*=\s*{_IDENT}\s*(?:\([^)]*\))?\s*)?"
     rf"AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# CREATE TABLE t (col Type [, ...]) [ENGINE = ...]: the schema-first
+# form every CH deployment script starts with — an EMPTY relation
+# with the parsed schema, ready for INSERT.
+_CREATE_SCHEMA_RE = re.compile(
+    rf"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:(TEMPORARY)\s+)?"
+    rf"TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
+    rf"(?:({_IDENT})\.)?({_IDENT})\s*"
+    rf"\((?P<cols>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -67,6 +78,13 @@ _DROP_RE = re.compile(
 _ALTER_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?:({_IDENT})\.)?({_IDENT})\s+"
     rf"(DELETE|UPDATE)\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ALTER_COLUMN_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?:({_IDENT})\.)?({_IDENT})\s+"
+    rf"(ADD|DROP|RENAME)\s+COLUMN\s+(?:(IF\s+(?:NOT\s+)?EXISTS)\s+)?"
+    rf"(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -200,6 +218,132 @@ def _run_ch_alter(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
     return out
 
 
+def _type_default(spark_type: str):
+    """CH's column default for a type without DEFAULT: numeric 0,
+    empty string, empty array; NULL for everything else."""
+    from pyspark.sql import functions as F
+
+    t = spark_type.lower()
+    if t.startswith(("int", "bigint", "smallint", "tinyint", "long",
+                     "float", "double", "decimal", "short", "byte")):
+        return F.lit(0).cast(spark_type)
+    if t == "string":
+        return F.lit("")
+    if t.startswith("array"):
+        return F.array().cast(spark_type)
+    return F.lit(None).cast(spark_type)
+
+
+def _run_create_schema(m, tables: dict[str, DataFrame]) -> DataFrame:
+    """CREATE TABLE t (col Type [DEFAULT expr], ...): an empty
+    relation with the parsed schema (the deployment-script form;
+    INSERT fills it)."""
+    from pyspark.sql import SparkSession
+
+    from .ch_sql import _Parser, _tokenize
+
+    or_replace, _temp, if_not_exists, _db, name = m.groups()[:5]
+    # the regex captures everything after the opening paren: scan to
+    # the BALANCED close (types like Decimal(10, 2) nest parens); the
+    # remainder (ENGINE/ORDER BY/TTL decorations) is ignored
+    rest = m.group("cols")
+    depth, end = 1, None
+    for i, ch in enumerate(rest):
+        depth += ch == "("
+        depth -= ch == ")"
+        if depth == 0:
+            end = i
+            break
+    if end is None:
+        raise ValueError("unbalanced parentheses in column list")
+    cols_text = rest[:end]
+    trailer = rest[end + 1 :].strip()
+    if re.match(r"(?i)^AS\b", trailer) or re.search(
+        r"(?i)\bAS\s+SELECT\b", trailer
+    ):
+        raise ValueError(
+            "CREATE TABLE (columns) AS SELECT is not supported — "
+            "use CREATE TABLE ... AS SELECT (schema inferred) or the "
+            "column list with a separate INSERT"
+        )
+    if name in tables and not (or_replace or if_not_exists):
+        raise ValueError(f"table {name!r} already exists")
+    if name in tables and if_not_exists:
+        return tables[name]
+    p = _Parser(_tokenize(cols_text), tables)
+    fields = []
+    while True:
+        cname = p.next()
+        if cname is None:
+            raise ValueError("empty column list")
+        ctype = p.parse_type_name()
+        # swallow per-column decorations (DEFAULT expr, CODEC, TTL,
+        # COMMENT) up to the next comma at depth 0
+        depth = 0
+        while p.peek() is not None and not (p.peek() == "," and depth == 0):
+            tok = p.next()
+            depth += tok == "("
+            depth -= tok == ")"
+        fields.append(f"{cname} {ctype}")
+        if p.peek() == ",":
+            p.next()
+            continue
+        break
+    spark = (
+        next(iter(tables.values())).sparkSession
+        if tables
+        else SparkSession.getActiveSession()
+    )
+    df = spark.createDataFrame([], ", ".join(fields))
+    tables[name] = df
+    return df
+
+
+def _run_ch_alter_column(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
+    """ALTER TABLE t ADD COLUMN c T [DEFAULT expr] / DROP COLUMN c /
+    RENAME COLUMN a TO b — lazy plan rewrites like DELETE/UPDATE."""
+    from .ch_sql import _compile, _Parser, _tokenize
+
+    m = _ALTER_COLUMN_RE.match(sql)
+    assert m is not None
+    _db, name, verb, _ifex, tail = m.groups()
+    if name not in tables:
+        raise ValueError(f"unknown table {name!r}")
+    df = tables[name]
+    p = _Parser(_tokenize(tail), tables)
+    verb = verb.upper()
+    if verb == "DROP":
+        col = p.next()
+        if col not in df.columns:
+            if _ifex:
+                return df
+            raise ValueError(f"unknown column {col!r} in {name!r}")
+        out = df.drop(col)
+    elif verb == "RENAME":
+        old = p.next()
+        if p.next().lower() != "to":
+            raise ValueError("RENAME COLUMN expects: old TO new")
+        new = p.next()
+        if old not in df.columns:
+            raise ValueError(f"unknown column {old!r} in {name!r}")
+        out = df.withColumnRenamed(old, new)
+    else:  # ADD
+        col = p.next()
+        if col in df.columns:
+            if _ifex:
+                return df
+            raise ValueError(f"column {col!r} already exists")
+        ctype = p.parse_type_name()
+        if p.peek_kw() == "default":
+            p.next()
+            value = _compile(p.parse_expr(), tables).cast(ctype)
+        else:
+            value = _type_default(ctype)
+        out = df.withColumn(col, value)
+    tables[name] = out
+    return out
+
+
 _DDL_HEADS = (
     "CREATE", "DROP", "ALTER", "TRUNCATE", "RENAME", "EXCHANGE",
     "DESCRIBE", "DESC", "SHOW", "OPTIMIZE", "KILL",
@@ -225,7 +369,7 @@ def run_ch_ddl(
     the dropped relation's schema for DROP."""
     m = _CREATE_RE.match(sql)
     if m is not None:
-        or_replace, _temp, _kind, if_not_exists, _db, name, body = m.groups()
+        or_replace, _temp, kind, if_not_exists, _db, name, body = m.groups()
         if name in tables and not (or_replace or if_not_exists):
             raise ValueError(f"table {name!r} already exists")
         if name in tables and if_not_exists:
@@ -241,8 +385,20 @@ def run_ch_ddl(
                 .parquet(path)
             )
             df = df.sparkSession.read.parquet(path)
+        elif kind and kind.upper().startswith("MATERIALIZED"):
+            # a materialized view is an EAGER snapshot: compute now,
+            # truncate lineage, serve the stored result (on a real
+            # cluster prefer path= so the snapshot lands in storage)
+            df = df.localCheckpoint(eager=True)
         tables[name] = df
         return df
+    m = _CREATE_SCHEMA_RE.match(sql)
+    if m is not None:
+        return _run_create_schema(m, tables)
+    if _ALTER_COLUMN_RE.match(sql) is not None:
+        if path is not None:
+            raise ValueError("path= applies to CREATE statements only")
+        return _run_ch_alter_column(sql, tables)
     if _ALTER_RE.match(sql) is not None:
         if path is not None:
             raise ValueError("path= applies to CREATE statements only")

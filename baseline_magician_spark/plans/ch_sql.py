@@ -1548,6 +1548,9 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
         lname = name.lower()
         if lname == "not":
             return ~_compile(node.args[0], env)
+        if lname == "count" and not node.args:
+            # CH zero-arg count() == count(*)
+            return F.count(F.lit(1))
         if lname == "count" and node.args and node.args[0].kind == "star":
             return F.count(F.lit(1))
         if node.args and node.args[0].kind == "lambda":

@@ -224,3 +224,70 @@ def test_describe_and_optimize_compaction(spark, tabs):
         assert tabs["frag"].count() == 400  # compacted read-back swapped in
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- round-6m: schema-first CREATE, MATERIALIZED VIEW, ALTER COLUMN ------
+
+
+def test_create_table_schema_first(spark, tabs):
+    from baseline_magician_spark.plans.ch_ddl import run_ch_ddl
+
+    df = run_ch_ddl(
+        "CREATE TABLE metrics (host String, ts DateTime,"
+        " v Decimal(10, 2) DEFAULT 0, tags Array(String))"
+        " ENGINE = MergeTree() ORDER BY (host, ts)",
+        tabs,
+    )
+    assert df.count() == 0
+    assert dict(df.dtypes) == {
+        "host": "string", "ts": "timestamp",
+        "v": "decimal(10,2)", "tags": "array<string>",
+    }
+    assert "metrics" in tabs
+
+
+def test_create_materialized_view_is_snapshot(spark, tabs):
+    from baseline_magician_spark.plans.ch_ddl import run_ch_ddl
+
+    run_ch_ddl(
+        "CREATE MATERIALIZED VIEW mv AS"
+        " SELECT grp, count() AS c FROM t GROUP BY grp",
+        tabs,
+    )
+    before = sorted(tuple(r) for r in tabs["mv"].collect())
+    assert before == [("a", 2), ("b", 1)]
+    # mutating the source must NOT change the materialized snapshot
+    tabs["t"] = tabs["t"].limit(1)
+    after = sorted(tuple(r) for r in tabs["mv"].collect())
+    assert after == before
+
+
+def test_alter_add_drop_rename_column(spark, tabs):
+    from baseline_magician_spark.plans.ch_ddl import run_ch_ddl
+
+    out = run_ch_ddl(
+        "ALTER TABLE t ADD COLUMN flag UInt8 DEFAULT id * 10", tabs
+    )
+    assert [r.flag for r in out.orderBy("id").collect()] == [10, 20, 30]
+    out = run_ch_ddl("ALTER TABLE t ADD COLUMN note String", tabs)
+    assert [r.note for r in out.collect()] == ["", "", ""]
+    out = run_ch_ddl("ALTER TABLE t RENAME COLUMN note TO memo", tabs)
+    assert "memo" in out.columns and "note" not in out.columns
+    out = run_ch_ddl("ALTER TABLE t DROP COLUMN memo", tabs)
+    assert "memo" not in out.columns
+    # IF EXISTS tolerates the missing column
+    out = run_ch_ddl(
+        "ALTER TABLE t DROP COLUMN IF EXISTS nothere", tabs
+    )
+    assert set(out.columns) == {"id", "grp", "v", "flag"}
+    with pytest.raises(ValueError, match="unknown column"):
+        run_ch_ddl("ALTER TABLE t DROP COLUMN nothere", tabs)
+
+
+def test_count_zero_arg(spark, tabs):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    assert (
+        run_ch_query("SELECT count() AS c FROM t", tabs).collect()[0].c
+        == 3
+    )
