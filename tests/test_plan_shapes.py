@@ -446,3 +446,31 @@ def test_round6b_scalar_tranche_map_side_partials(spark, queries):
     assert "Python" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_round6f_single_shuffle_per_aggregate(spark, queries):
+    # rankCorr/meanZTest/decayed/corrMatrix all live in ONE grouped
+    # pass: one hash-partitioning exchange on the group key, no joins
+    plan = plan_of(queries["ch_sql_round6f_aggregates"](spark, SF_ORACLE))
+    assert plan.count("Exchange hashpartitioning") <= 2  # agg + sort
+    assert "Join" not in plan
+
+
+def test_round6h_aggregates_no_cross_join(spark, queries):
+    plan = plan_of(queries["ch_sql_round6h_aggregates"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_network_functions_map_side_only(spark, queries):
+    # pure per-row string algebra: the only exchange allowed is the
+    # final ORDER BY's range partitioning
+    plan = plan_of(queries["ch_sql_network_functions"](spark, SF_ORACLE))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_round6i_functions_map_side_only(spark, queries):
+    plan = plan_of(queries["ch_sql_round6i_functions"](spark, SF_ORACLE))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
