@@ -3270,3 +3270,70 @@ ORDER BY id
 )
 def ch_sql_round6i_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_ROUND6I_SQL, _tables(spark, sf_dir, "events"))
+# sequenceNextNode end-to-end: the oracle re-derives the "what
+# happened next" answers with window functions — forward/first_match
+# (lead(1) of the first matching event), forward/head with a
+# two-step chain (rows 1-2 must match; row 3 answers), and
+# backward/last_match (in backward scan order the LAST match is the
+# EARLIEST event in time; the answer is the event immediately before
+# it, i.e. lag(1)).
+_SEQ_NEXT_SQL = """
+SELECT user_id AS u,
+  sequenceNextNode('forward', 'first_match')(
+      ts, event_type, event_type = 'click',
+      event_type = 'click') AS after_click,
+  sequenceNextNode('forward', 'head')(
+      ts, event_type, event_type = 'view',
+      event_type = 'view', event_type = 'click') AS after_vc,
+  sequenceNextNode('backward', 'last_match')(
+      ts, event_type, event_type = 'purchase',
+      event_type = 'purchase') AS before_purchase
+FROM fastnetmon.events
+WHERE user_id % 7 = 0
+GROUP BY u
+ORDER BY u
+"""
+
+
+@query(
+    "ch_sql_sequence_next_node",
+    """
+    WITH base AS (
+      SELECT user_id AS u, event_type AS et,
+             row_number() OVER w AS rn,
+             lead(event_type) OVER w AS nxt,
+             lag(event_type) OVER w AS prv
+      FROM events WHERE user_id % 7 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ), fm AS (
+      SELECT b.u, any_value(b.nxt) AS after_click
+      FROM base b
+      JOIN (SELECT u, min(rn) AS rn FROM base
+            WHERE et = 'click' GROUP BY u) m
+        ON b.u = m.u AND b.rn = m.rn
+      GROUP BY b.u
+    ), hd AS (
+      SELECT u,
+        CASE WHEN any_value(CASE WHEN rn = 1 THEN et END) = 'view'
+              AND any_value(CASE WHEN rn = 2 THEN et END) = 'click'
+             THEN any_value(CASE WHEN rn = 3 THEN et END) END
+          AS after_vc
+      FROM base GROUP BY u
+    ), lm AS (
+      SELECT b.u, any_value(b.prv) AS before_purchase
+      FROM base b
+      JOIN (SELECT u, min(rn) AS rn FROM base
+            WHERE et = 'purchase' GROUP BY u) m
+        ON b.u = m.u AND b.rn = m.rn
+      GROUP BY b.u
+    )
+    SELECT us.u, fm.after_click, hd.after_vc, lm.before_purchase
+    FROM (SELECT DISTINCT u FROM base) us
+    LEFT JOIN fm ON fm.u = us.u
+    LEFT JOIN hd ON hd.u = us.u
+    LEFT JOIN lm ON lm.u = us.u
+    ORDER BY us.u
+    """,
+)
+def ch_sql_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_SEQ_NEXT_SQL, _tables(spark, sf_dir, "events"))

@@ -120,6 +120,10 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_entropy",
     "ch_sql_vector_functions",
     "ch_sql_lttb_downsample",
+    # Queued for the round-7 window (registered late in round 6, all
+    # green in the local sweep): ch_sql_round6h_aggregates onward if
+    # bumped, ch_sql_sequence_next_node, plus the five deferred
+    # re-checks listed below.
     # r3-stale rotation (oldest remaining driver rows, diverse ops).
     # text_gopher_quality, multimodal_decode_stats,
     # dedup_ngram_jaccard_pairs, similarity_topk_cosine and
