@@ -1407,7 +1407,14 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             # The first row of a partition (no predecessor) yields 0,
             # as does any negative rate.
             v = _compile(call.args[0], env).cast("double")
-            t = _compile(call.args[1], env).cast("double")
+            # fractional epoch seconds; NTZ timestamps don't cast to
+            # double directly, so ride unix_micros
+            t = (
+                F.unix_micros(
+                    _compile(call.args[1], env).cast("timestamp")
+                ).cast("double")
+                / 1e6
+            )
             mult = 1.0
             if len(call.args) > 2:
                 inode = call.args[2]
@@ -1429,7 +1436,9 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                 mult = float(qty) * secs
             dv = v - F.lag(v, 1).over(spec)
             dt = t - F.lag(t, 1).over(spec)
-            rate = dv / dt * F.lit(mult)
+            # equal timestamps yield 0 (documented; an ANSI
+            # divide-by-zero otherwise — CH emits inf there)
+            rate = F.when(dt != 0, dv / dt * F.lit(mult))
             return F.coalesce(
                 F.greatest(rate, F.lit(0.0)), F.lit(0.0)
             )

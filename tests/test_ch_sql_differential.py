@@ -1226,7 +1226,87 @@ def _gen_resample_pair(rng: random.Random) -> tuple[str, str]:
     return ch, duck
 
 
-N_PAIRED = 104
+def _gen_bitmap_pair(rng: random.Random) -> tuple[str, str]:
+    # bitmap set algebra vs DuckDB list functions over the same
+    # constructed per-group arrays
+    m1, m2 = rng.randint(3, 8), rng.randint(3, 8)
+    w = _where(rng)
+    ch = (
+        f"SELECT event_type AS et, "
+        f"bitmapCardinality(bitmapAnd("
+        f"bitmapBuild(groupArray(event_id % {m1})), "
+        f"bitmapBuild(groupArray(user_id % {m2})))) AS ac, "
+        f"bitmapToArray(bitmapXor("
+        f"bitmapBuild(groupArray(event_id % {m1})), "
+        f"bitmapBuild(groupArray(user_id % {m2})))) AS xr "
+        f"FROM events{w} GROUP BY et ORDER BY et"
+    )
+    duck = (
+        f"SELECT event_type AS et, "
+        f"len(list_intersect(list_distinct(list(event_id % {m1})), "
+        f"list_distinct(list(user_id % {m2}))))::BIGINT AS ac, "
+        f"list_sort(list_concat("
+        f"list_filter(list_distinct(list(event_id % {m1})), "
+        f"x -> NOT list_contains(list_distinct(list(user_id % {m2})), x)), "
+        f"list_filter(list_distinct(list(user_id % {m2})), "
+        f"x -> NOT list_contains(list_distinct(list(event_id % {m1})), x))"
+        f")) AS xr "
+        f"FROM events{w} GROUP BY et ORDER BY et"
+    )
+    return ch, duck
+
+
+def _gen_ipv6_pair(rng: random.Random) -> tuple[str, str]:
+    # IPv6 canonicalization round-trips over synthesized addresses:
+    # the oracle re-derives the canonical text from the same
+    # construction (nonzero groups keep the built text canonical)
+    g1 = rng.randint(1, 60000)  # +999 stays under 0x10000
+    w = _where(rng)
+    ch = (
+        f"SELECT event_id AS id, "
+        f"IPv6NumToString(IPv6StringToNum(concat('2001:db8:', "
+        f"lower(hex({g1} + event_id % 1000)), '::', "
+        f"lower(hex(1 + user_id % 65535))))) AS canon, "
+        f"isIPv6String(concat('2001:db8:', "
+        f"lower(hex({g1} + event_id % 1000)), '::1')) AS ok "
+        f"FROM events{w} ORDER BY id LIMIT 200"
+    )
+    duck = (
+        f"SELECT event_id AS id, "
+        f"'2001:db8:' || lower(to_hex({g1} + event_id % 1000)) || '::' "
+        f"|| lower(to_hex(1 + user_id % 65535)) AS canon, "
+        f"true AS ok "
+        f"FROM events{w} ORDER BY id LIMIT 200"
+    )
+    return ch, duck
+
+
+def _gen_nonneg_derivative_pair(rng: random.Random) -> tuple[str, str]:
+    # nonNegativeDerivative window function vs the clamped
+    # finite-difference spelling
+    m = rng.randint(3, 10)
+    w = _where(rng)
+    ch = (
+        f"SELECT event_id AS id, "
+        f"round(nonNegativeDerivative(value, ts) OVER ("
+        f"PARTITION BY user_id % {m} ORDER BY ts, event_id), 6) AS d "
+        f"FROM events{w} ORDER BY id LIMIT 300"
+    )
+    duck = (
+        f"SELECT id, round(greatest(coalesce("
+        f"CASE WHEN dt <> 0 THEN dv / dt END, 0), 0), 6) AS d "
+        f"FROM (SELECT event_id AS id, "
+        f"value - lag(value) OVER w AS dv, "
+        f"epoch(ts) - lag(epoch(ts)) OVER w AS dt "
+        f"FROM events{w} "
+        f"WINDOW w AS (PARTITION BY user_id % {m} "
+        f"ORDER BY ts, event_id)) "
+        f"ORDER BY id LIMIT 300"
+    )
+    return ch, duck
+
+
+N_PAIRED = 114
 
 
 def _gen_pair(rng: random.Random) -> tuple[str, str]:
@@ -1241,7 +1321,9 @@ def _gen_pair(rng: random.Random) -> tuple[str, str]:
          _gen_string_search_pair, _gen_stats_agg_pair,
          _gen_geo_pair, _gen_strsim_pair, _gen_assoc_pair,
          _gen_jaro_pair, _gen_rank_decay_pair,
-         _gen_weighted_quantile_pair, _gen_resample_pair]
+         _gen_weighted_quantile_pair, _gen_resample_pair,
+         _gen_bitmap_pair, _gen_ipv6_pair,
+         _gen_nonneg_derivative_pair]
     )(rng)
 
 
