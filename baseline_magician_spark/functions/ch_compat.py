@@ -3152,10 +3152,15 @@ def _quantile_exact_weighted(v, w, *levels) -> Column:
     many = len(levels) > 1
     vc = _as_col(v).cast("double")
     wc = _as_col(w).cast("double")
+    # NULL value/weight pairs are skipped entirely — both in the tape
+    # and in the weight total (CH ignores NULL aggregate arguments)
+    both = vc.isNotNull() & wc.isNotNull()
     tape_expr = F.sort_array(
-        F.collect_list(F.struct(vc.alias("a"), wc.alias("b")))
+        F.collect_list(
+            F.when(both, F.struct(vc.alias("a"), wc.alias("b")))
+        )
     )
-    total = F.sum(wc)
+    total = F.sum(F.when(both, wc))
 
     def build(tape: Column) -> Column:
         def pick(lv: float) -> Column:
@@ -3272,14 +3277,19 @@ def _group_array_intersect(arr) -> Column:
     arrs_expr = F.collect_list(_as_col(arr))
     return _let_once(
         arrs_expr,
-        lambda arrs: F.array_sort(
-            F.array_distinct(
-                F.aggregate(
-                    F.slice(arrs, 2, F.size(arrs) - 1),
-                    F.element_at(arrs, 1),
-                    lambda acc, a: F.array_intersect(acc, a),
+        # a group whose every array is NULL collects nothing: NULL
+        # result (the guard also keeps slice() off a -1 length)
+        lambda arrs: F.when(
+            F.size(arrs) > 0,
+            F.array_sort(
+                F.array_distinct(
+                    F.aggregate(
+                        F.slice(arrs, 2, F.size(arrs) - 1),
+                        F.element_at(arrs, 1),
+                        lambda acc, a: F.array_intersect(acc, a),
+                    )
                 )
-            )
+            ),
         ),
     )
 
@@ -3501,7 +3511,7 @@ def _series_outliers_tukey(arr, min_p=0.25, max_p=0.75, k=1.5):
         def with_sorted(s: Column) -> Column:
             n = F.size(s)
 
-            def pct(p: float) -> Column:
+            def pct(p: float) -> Column:  # requires n > 0
                 pos = F.lit(p) * (n - 1).cast("double")
                 lo_i = F.floor(pos).cast("int") + 1
                 hi_i = F.ceil(pos).cast("int") + 1
@@ -3526,9 +3536,17 @@ def _series_outliers_tukey(arr, min_p=0.25, max_p=0.75, k=1.5):
                     .otherwise(F.lit(0.0)),
                 )
 
-            return _let(
-                F.struct(pct(lo_p).alias("a"), pct(hi_p).alias("b")),
-                with_q,
+            # empty input -> empty scores (evaluating pct() on an
+            # empty array would index position 0 and raise)
+            return F.when(
+                n == 0, F.array().cast("array<double>")
+            ).otherwise(
+                _let(
+                    F.struct(
+                        pct(lo_p).alias("a"), pct(hi_p).alias("b")
+                    ),
+                    with_q,
+                )
             )
 
         return _let(srt, with_sorted)
@@ -3536,8 +3554,7 @@ def _series_outliers_tukey(arr, min_p=0.25, max_p=0.75, k=1.5):
     return _let_once(ac, build)
 
 
-def _let(value, body):  # local alias of the stats_tests binder
-    return F.element_at(F.transform(F.array(value), body), 1)
+from .stats_tests import _let  # noqa: E402  (the one binder)
 
 
 from .text_similarity import array_levenshtein  # noqa: E402
@@ -3768,8 +3785,18 @@ CH_FUNCTIONS.update(
             ),
         ),
         # calendar
+        # ISO year = year of that week's Thursday, so the year and
+        # weekofyear stay consistent at year boundaries (CH mode-0 is
+        # Sunday-based — documented ISO approximation)
         "toYearWeek": lambda c, *m: (
-            F.year(_as_col(c)) * 100 + F.weekofyear(_as_col(c))
+            F.year(
+                F.date_add(
+                    _as_col(c).cast("date"),
+                    F.lit(3) - F.weekday(_as_col(c).cast("date")),
+                )
+            )
+            * 100
+            + F.weekofyear(_as_col(c))
         ).cast("long"),
         "toModifiedJulianDayOrNull": lambda d: F.datediff(
             _as_col(d).try_cast("date"),

@@ -285,17 +285,20 @@ def sequence_next_node(
                 F.coalesce(
                     F.try_element_at(tape, F.lit(1))["b"],
                     F.lit(False),
-                )
-                & chain_at(F.lit(1)),
+                ),
                 F.lit(1),
             )
         else:
+            # CH anchors ONCE at the first/last event1 match (that
+            # also satisfies base_condition) and checks the chain
+            # THERE — a failed chain does not re-anchor elsewhere
             hits = F.filter(
                 F.sequence(F.lit(1), m),
                 lambda j: F.coalesce(
-                    F.try_element_at(tape, j)["b"], F.lit(False)
-                )
-                & chain_at(j),
+                    F.try_element_at(tape, j)["b"]
+                    & F.try_element_at(tape, j)["c0"],
+                    F.lit(False),
+                ),
             )
             pick = (
                 F.array_min if basem == "first_match" else F.array_max
@@ -304,7 +307,7 @@ def sequence_next_node(
         return _let_f(
             anchor,
             lambda a: F.when(
-                a.isNotNull(),
+                a.isNotNull() & chain_at(a),
                 F.try_element_at(tape, a + n)["v"],
             ),
         )
@@ -312,6 +315,4 @@ def sequence_next_node(
     return _let_f(tape_expr, build)
 
 
-def _let_f(value: Column, body) -> Column:
-    """Bind once as a lambda variable (see stats_tests._let)."""
-    return F.element_at(F.transform(F.array(value), body), 1)
+from .stats_tests import _let as _let_f  # noqa: E402  (one binder)

@@ -28,10 +28,7 @@ from pyspark.sql import functions as F
 from .ip import ip4_to_long, long_to_ip4
 
 
-def _let(value: Column, body) -> Column:
-    """Bind ``value`` once as a lambda variable (transform over a
-    one-element array) so the body never re-evaluates the tree."""
-    return F.element_at(F.transform(F.array(value), body), 1)
+from .stats_tests import _let  # noqa: E402  (the one binder)
 
 
 def _c(x) -> Column:
@@ -385,7 +382,12 @@ CH_IPV6_FUNCTIONS = {
     "isIPv6String": is_ipv6_string,
     "IPv6StringToNum": ipv6_string_to_num,
     "IPv6StringToNumOrNull": ipv6_string_to_num,
-    "IPv6StringToNumOrDefault": ipv6_string_to_num,
+    # OrDefault: CH falls back to the type default (the :: zero
+    # address), not NULL
+    "IPv6StringToNumOrDefault": lambda s, *d: F.coalesce(
+        ipv6_string_to_num(s),
+        _c(d[0]) if d else F.unhex(F.lit("0" * 32)),
+    ),
     "IPv6NumToString": ipv6_num_to_string,
     "INET6_ATON": ipv6_string_to_num,
     "INET6_NTOA": ipv6_num_to_string,

@@ -119,8 +119,15 @@ def student_t_test(v, idx, conf=None) -> Column:
     moments — no per-group state."""
     v = _d(v)
     i1 = (idx if isinstance(idx, Column) else F.lit(idx)).cast("int") != 0
-    n0 = F.sum(F.when(~i1, 1).otherwise(0)).cast("double")
-    n1 = F.sum(F.when(i1, 1).otherwise(0)).cast("double")
+    # count only rows with a non-NULL value: NULL rows are excluded
+    # from the sums by F.sum already, and counting them would bias
+    # the means (CH skips NULL aggregate arguments entirely)
+    n0 = F.sum(
+        F.when(~i1 & v.isNotNull(), 1).otherwise(0)
+    ).cast("double")
+    n1 = F.sum(
+        F.when(i1 & v.isNotNull(), 1).otherwise(0)
+    ).cast("double")
     s0 = F.sum(F.when(~i1, v))
     s1 = F.sum(F.when(i1, v))
     q0 = F.sum(F.when(~i1, v * v))
@@ -141,8 +148,15 @@ def welch_t_test(v, idx, conf=None) -> Column:
     approximation caveat as studentTTest."""
     v = _d(v)
     i1 = (idx if isinstance(idx, Column) else F.lit(idx)).cast("int") != 0
-    n0 = F.sum(F.when(~i1, 1).otherwise(0)).cast("double")
-    n1 = F.sum(F.when(i1, 1).otherwise(0)).cast("double")
+    # count only rows with a non-NULL value: NULL rows are excluded
+    # from the sums by F.sum already, and counting them would bias
+    # the means (CH skips NULL aggregate arguments entirely)
+    n0 = F.sum(
+        F.when(~i1 & v.isNotNull(), 1).otherwise(0)
+    ).cast("double")
+    n1 = F.sum(
+        F.when(i1 & v.isNotNull(), 1).otherwise(0)
+    ).cast("double")
     s0 = F.sum(F.when(~i1, v))
     s1 = F.sum(F.when(i1, v))
     q0 = F.sum(F.when(~i1, v * v))
@@ -161,9 +175,17 @@ def welch_t_test(v, idx, conf=None) -> Column:
 
 def _sorted_pairs(a: Column, b: Column) -> Column:
     """collect_list of (a, b) structs, lexicographically sorted —
-    the per-group event tape every fold below walks."""
+    the per-group event tape every fold below walks. NULL pairs are
+    skipped (CH aggregates ignore NULL arguments; an unfiltered
+    struct would smuggle the NULL through collect_list and poison
+    the fold)."""
     return F.sort_array(
-        F.collect_list(F.struct(a.alias("a"), b.alias("b")))
+        F.collect_list(
+            F.when(
+                a.isNotNull() & b.isNotNull(),
+                F.struct(a.alias("a"), b.alias("b")),
+            )
+        )
     )
 
 
@@ -342,8 +364,14 @@ def mann_whitney_u_test(v, idx, alternative="two-sided", *extra) -> Column:
         (idx if isinstance(idx, Column) else F.lit(idx)).cast("int"),
     )
     idx_c = (idx if isinstance(idx, Column) else F.lit(idx)).cast("int")
-    n0 = F.sum(F.when(idx_c == 0, 1).otherwise(0)).cast("double")
-    n1 = F.sum(F.when(idx_c != 0, 1).otherwise(0)).cast("double")
+    # the sample sizes must mirror the tape's NULL-pair skipping
+    vnn = _d(v).isNotNull()
+    n0 = F.sum(
+        F.when((idx_c == 0) & vnn, 1).otherwise(0)
+    ).cast("double")
+    n1 = F.sum(
+        F.when((idx_c != 0) & vnn, 1).otherwise(0)
+    ).cast("double")
     alt = str(alternative).strip("'\"").lower()
     if alt not in ("two-sided", "two_sided", "greater", "less"):
         raise ValueError(f"unknown alternative {alternative!r}")
@@ -432,8 +460,14 @@ def kolmogorov_smirnov_test(v, idx, *params) -> Column:
         (idx if isinstance(idx, Column) else F.lit(idx)).cast("int"),
     )
     idx_c = (idx if isinstance(idx, Column) else F.lit(idx)).cast("int")
-    n0 = F.sum(F.when(idx_c == 0, 1).otherwise(0)).cast("double")
-    n1 = F.sum(F.when(idx_c != 0, 1).otherwise(0)).cast("double")
+    # the sample sizes must mirror the tape's NULL-pair skipping
+    vnn = _d(v).isNotNull()
+    n0 = F.sum(
+        F.when((idx_c == 0) & vnn, 1).otherwise(0)
+    ).cast("double")
+    n1 = F.sum(
+        F.when((idx_c != 0) & vnn, 1).otherwise(0)
+    ).cast("double")
 
     def build(tape: Column) -> Column:
         n = F.size(tape)
@@ -885,8 +919,14 @@ def mean_z_test(v, idx, var0=1.0, var1=1.0, conf=0.95) -> Column:
     i1 = (idx if isinstance(idx, Column) else F.lit(idx)).cast("int") != 0
     v0, v1 = float(str(var0)), float(str(var1))
     cl = float(str(conf))
-    n0 = F.sum(F.when(~i1, 1).otherwise(0)).cast("double")
-    n1 = F.sum(F.when(i1, 1).otherwise(0)).cast("double")
+    # NULL-valued rows are excluded from the counts too (CH skips
+    # NULL aggregate arguments; counting them biases the means)
+    n0 = F.sum(
+        F.when(~i1 & v.isNotNull(), 1).otherwise(0)
+    ).cast("double")
+    n1 = F.sum(
+        F.when(i1 & v.isNotNull(), 1).otherwise(0)
+    ).cast("double")
 
     def guarded(both: Column) -> Column:
         m0 = F.sum(F.when(~i1, v)) / n0
@@ -982,7 +1022,26 @@ def _exp_time_decayed(kind: str):
     because every previous candidate shares the same positive step
     factor."""
 
-    def agg(v, t, x=1.0) -> Column:
+    def agg(*args) -> Column:
+        # CH's Count form takes ONLY the time column:
+        # exponentialTimeDecayedCount(x)(t). The parser appends the
+        # parameter after the inner columns, so a single inner column
+        # arrives as (t_col, x_literal) — detect by the literal's
+        # non-Column type. Sum/Max/Avg take (v, t[, x]).
+        if kind == "Count" and args and (
+            len(args) == 1
+            or (len(args) == 2 and not isinstance(args[1], Column))
+        ):
+            t = args[0]
+            x = args[1] if len(args) == 2 else 1.0
+            v = F.lit(1.0)
+        else:
+            if len(args) < 2:
+                raise ValueError(
+                    f"exponentialTimeDecayed{kind} takes (value, time)"
+                )
+            v, t = args[0], args[1]
+            x = args[2] if len(args) > 2 else 1.0
         xf = float(str(x))
         if xf <= 0:
             raise ValueError(

@@ -247,13 +247,27 @@ def _run_create_schema(m, tables: dict[str, DataFrame]) -> DataFrame:
     # the BALANCED close (types like Decimal(10, 2) nest parens); the
     # remainder (ENGINE/ORDER BY/TTL decorations) is ignored
     rest = m.group("cols")
-    depth, end = 1, None
-    for i, ch in enumerate(rest):
-        depth += ch == "("
-        depth -= ch == ")"
-        if depth == 0:
-            end = i
-            break
+    depth, end, in_str = 1, None, False
+    i = 0
+    while i < len(rest):
+        ch = rest[i]
+        if in_str:
+            if ch == "'":
+                # '' is an escaped quote inside the literal
+                if i + 1 < len(rest) and rest[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+        i += 1
     if end is None:
         raise ValueError("unbalanced parentheses in column list")
     cols_text = rest[:end]

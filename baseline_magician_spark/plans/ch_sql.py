@@ -1080,9 +1080,7 @@ _LAMBDA_SCOPES: list[dict[str, Column]] = []
 
 # CH higher-order array functions: lambda FIRST (CH argument order),
 # mapped onto Spark's codegen'd higher-order builders
-def _let_hof(value: Column, body) -> Column:
-    """Bind once as a lambda variable (the stats_tests._let shape)."""
-    return F.element_at(F.transform(F.array(value), body), 1)
+from ..functions.stats_tests import _let as _let_hof  # one binder
 
 
 _HOF = {

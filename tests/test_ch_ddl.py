@@ -291,3 +291,12 @@ def test_count_zero_arg(spark, tabs):
         run_ch_query("SELECT count() AS c FROM t", tabs).collect()[0].c
         == 3
     )
+
+
+def test_create_schema_quoted_paren_in_default(spark, tabs):
+    from baseline_magician_spark.plans.ch_ddl import run_ch_ddl
+
+    df = run_ch_ddl(
+        "CREATE TABLE q (s String DEFAULT ')', n Int64)", tabs
+    )
+    assert dict(df.dtypes) == {"s": "string", "n": "bigint"}

@@ -275,3 +275,59 @@ def test_non_negative_derivative(spark):
         (2, 0.0, 0.0),
         (2, 1.0, 60.0),  # +60 over 60s
     ]
+
+
+# --- review regressions: NULL and degenerate-input handling ---------------
+
+
+def test_mean_z_test_skips_null_values(spark):
+    df = spark.createDataFrame(
+        [(1.0, 0), (None, 0), (3.0, 1), (5.0, 1)],
+        "v double, grp int",
+    )
+    got = run_ch_query(
+        "SELECT meanZTest(1.0, 1.0, 0.95)(v, grp) AS r FROM t",
+        {"t": df},
+    ).collect()[0].r
+    # NULL row must not count: m0 = 1.0 (not 0.5)
+    se = math.sqrt(1.0 / 1 + 1.0 / 2)
+    assert got.z_statistic == pytest.approx((1.0 - 4.0) / se)
+
+
+def test_quantile_exact_weighted_skips_nulls(spark):
+    df = spark.createDataFrame(
+        [(None, 1.0), (1.0, 1.0), (2.0, 1.0), (3.0, 1.0)],
+        "v double, w double",
+    )
+    got = run_ch_query(
+        "SELECT quantileExactWeighted(0.5)(v, w) AS q FROM t",
+        {"t": df},
+    ).collect()[0].q
+    # total weight is 3 (NULL row excluded): threshold 1.5 -> 2.0
+    assert got == 2.0
+
+
+def test_group_array_intersect_all_null_group(spark):
+    df = spark.createDataFrame(
+        [(1, None), (1, None)], "g int, arr array<int>"
+    )
+    got = run_ch_query(
+        "SELECT g, groupArrayIntersect(arr) AS i FROM t GROUP BY g",
+        {"t": df},
+    ).collect()[0].i
+    assert got is None  # no ANSI slice crash
+
+
+def test_stat_tape_folds_skip_null_pairs(spark):
+    df = spark.createDataFrame(
+        [(1.0, 0), (None, 0), (2.0, 1), (4.0, 1), (6.0, 0)],
+        "v double, grp int",
+    )
+    got = run_ch_query(
+        "SELECT tupleElement(mannWhitneyUTest(v, grp),"
+        " 'u_statistic') AS u FROM t",
+        {"t": df},
+    ).collect()[0].u
+    # sample 0 = {1, 6}, sample 1 = {2, 4}: ranks 1,4 vs 2,3
+    # U0 = R0 - n0(n0+1)/2 = (1+4) - 3 = 2
+    assert got == pytest.approx(2.0)

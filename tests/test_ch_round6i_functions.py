@@ -170,3 +170,12 @@ def test_resample_bucket_cap(spark):
             "SELECT sumResample(0, 100000, 1)(v, k) AS s FROM t",
             {"t": df},
         ).collect()
+
+
+def test_series_outliers_tukey_empty_array(spark):
+    got = _one(
+        spark,
+        "SELECT seriesOutliersDetectTukey(arrayFilter(x -> x > 99,"
+        " [1, 2])) AS r",
+    )
+    assert got == []

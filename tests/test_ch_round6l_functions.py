@@ -133,3 +133,17 @@ def test_to_year_week(spark):
     assert _one(
         spark, "SELECT toYearWeek(toDate('2024-03-10')) AS r"
     ) == 202410
+
+
+def test_to_year_week_boundaries(spark):
+    # ISO-consistent at year boundaries: 2024-12-30 is week 1 of 2025
+    assert _one(
+        spark, "SELECT toYearWeek(toDate('2024-12-30')) AS r"
+    ) == 202501
+    # 2027-01-01 is ISO week 53 of 2026
+    assert _one(
+        spark, "SELECT toYearWeek(toDate('2027-01-01')) AS r"
+    ) == 202653
+    assert _one(
+        spark, "SELECT toYearWeek(toDate('2024-06-15')) AS r"
+    ) == 202424

@@ -274,3 +274,23 @@ def test_sequence_next_node_errors(pages):
             "toDateTime(dts), page, page = 'x', page = 'x') FROM t",
             {"t": pages},
         )
+
+
+def test_sequence_next_node_no_reanchoring(spark):
+    # CH anchors ONCE at the first event1 match; a failed chain there
+    # must NOT re-anchor at a later matching window
+    rows = [
+        (1, "2024-01-01 00:00:01", "A"),
+        (1, "2024-01-01 00:00:02", "X"),
+        (1, "2024-01-01 00:00:03", "A"),
+        (1, "2024-01-01 00:00:04", "B"),
+        (1, "2024-01-01 00:00:05", "C"),
+    ]
+    df = spark.createDataFrame(rows, "id int, dts string, page string")
+    got = run_ch_query(
+        "SELECT sequenceNextNode('forward', 'first_match')("
+        "toDateTime(dts), page, page = 'A', page = 'A', page = 'B')"
+        " AS nxt FROM t GROUP BY id",
+        {"t": df},
+    ).collect()[0].nxt
+    assert got is None  # first A is followed by X, chain fails there

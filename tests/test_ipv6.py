@@ -151,3 +151,15 @@ def test_mac_invalid_is_zero(spark):
     )
     got = df.select(mac_string_to_num(F.col("mac")).alias("n")).collect()
     assert [r.n for r in got] == [0, 0, 0]
+
+
+def test_or_default_returns_zero_address(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    df = spark.createDataFrame([(1,)], "id int")
+    got = run_ch_query(
+        "SELECT IPv6NumToString(IPv6StringToNumOrDefault('nope')) AS r"
+        " FROM t",
+        {"t": df},
+    ).collect()[0].r
+    assert got == "::"
