@@ -114,6 +114,18 @@ _DESCRIBE_RE = re.compile(
 
 _SHOW_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 
+_SHOW_DBS_RE = re.compile(r"^\s*SHOW\s+DATABASES\s*$", re.IGNORECASE)
+
+# session-protocol statements every CH client sends: USE db is a
+# no-op (the env is flat; db-qualified names already resolve), and
+# EXISTS [TABLE] t returns CH's one-row UInt8
+_USE_RE = re.compile(rf"^\s*USE\s+({_IDENT})\s*$", re.IGNORECASE)
+
+_EXISTS_RE = re.compile(
+    rf"^\s*EXISTS\s+(?:TABLE\s+)?(?:({_IDENT})\.)?({_IDENT})\s*$",
+    re.IGNORECASE,
+)
+
 _SHOW_CREATE_RE = re.compile(
     rf"^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?(?:({_IDENT})\.)?({_IDENT})\s*$",
     re.IGNORECASE,
@@ -360,7 +372,7 @@ def _run_ch_alter_column(sql: str, tables: dict[str, DataFrame]) -> DataFrame:
 
 _DDL_HEADS = (
     "CREATE", "DROP", "ALTER", "TRUNCATE", "RENAME", "EXCHANGE",
-    "DESCRIBE", "DESC", "SHOW", "OPTIMIZE", "KILL",
+    "DESCRIBE", "DESC", "SHOW", "OPTIMIZE", "KILL", "USE", "EXISTS",
 )
 
 
@@ -502,6 +514,43 @@ def run_ch_ddl(
         )
         return spark.createDataFrame(
             [(n,) for n in sorted(tables)], "name string"
+        )
+    if _SHOW_DBS_RE.match(sql) is not None:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            next(iter(tables.values())).sparkSession
+            if tables
+            else SparkSession.getActiveSession()
+        )
+        return spark.createDataFrame(
+            [("default",), ("fastnetmon",), ("system",)],
+            "name string",
+        )
+    m = _USE_RE.match(sql)
+    if m is not None:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            next(iter(tables.values())).sparkSession
+            if tables
+            else SparkSession.getActiveSession()
+        )
+        # the env is flat (db-qualified names already resolve), so
+        # USE is CH's empty acknowledgment
+        return spark.createDataFrame([], "name string")
+    m = _EXISTS_RE.match(sql)
+    if m is not None:
+        from pyspark.sql import SparkSession
+
+        _db, name = m.groups()
+        spark = (
+            next(iter(tables.values())).sparkSession
+            if tables
+            else SparkSession.getActiveSession()
+        )
+        return spark.createDataFrame(
+            [(1 if name in tables else 0,)], "result int"
         )
     m = _OPTIMIZE_RE.match(sql)
     if m is not None:

@@ -300,3 +300,13 @@ def test_create_schema_quoted_paren_in_default(spark, tabs):
         "CREATE TABLE q (s String DEFAULT ')', n Int64)", tabs
     )
     assert dict(df.dtypes) == {"s": "string", "n": "bigint"}
+
+
+def test_session_protocol_statements(spark, tabs):
+    from baseline_magician_spark.plans.ch_ddl import run_ch_ddl
+
+    dbs = [r.name for r in run_ch_ddl("SHOW DATABASES", tabs).collect()]
+    assert "default" in dbs and "system" in dbs
+    assert run_ch_ddl("USE default", tabs).count() == 0
+    assert run_ch_ddl("EXISTS TABLE t", tabs).collect()[0].result == 1
+    assert run_ch_ddl("EXISTS nope", tabs).collect()[0].result == 0
