@@ -963,7 +963,18 @@ def _foreach(op: str) -> Callable[..., Column]:
                 ) / F.size(elems)
             raise AssertionError(op)
 
-        return F.transform(F.sequence(F.lit(1), maxlen), position)
+        # Spark's sequence DESCENDS on inverted bounds: all-empty
+        # (or all-NULL) arrays give maxlen 0 and sequence(1, 0) =
+        # [1, 0] — two junk positions. Clamp the bound and return a
+        # same-typed empty array instead (CH's result for an empty
+        # element set).
+        out = F.transform(
+            F.sequence(F.lit(1), F.greatest(maxlen, F.lit(1))),
+            position,
+        )
+        return F.when(
+            F.coalesce(maxlen, F.lit(0)) > 0, out
+        ).otherwise(F.slice(out, 1, 0))
 
     return build
 
@@ -1000,9 +1011,39 @@ def _wrap_if(inner: Callable[..., Column]) -> Callable[..., Column]:
     return build
 
 
-def _wrap_ornull(inner: Callable[..., Column]) -> Callable[..., Column]:
+def _wrap_ornull(
+    inner: Callable[..., Column], below: tuple = ()
+) -> Callable[..., Column]:
+    """-OrNull: NULL instead of the default value when NOTHING was
+    aggregated. The guard must look at the same rows the wrapped
+    chain aggregates: under -If that is the condition-filtered set
+    (countIfOrNull over zero matches is NULL, not 0), under -Array
+    the flattened element count, else the first argument's non-null
+    count; zero-argument count()OrNull guards on group size."""
+
     def build(*args) -> Column:
-        return F.when(F.count(_as_col(args[0])) > 0, inner(*args))
+        if not args:
+            # zero-arg count()OrNull: the base shim needs a column
+            return F.when(
+                F.count(F.lit(1)) > 0, inner(F.lit(1))
+            )
+        if "if" in below:
+            guard = (
+                F.sum(
+                    F.when(_as_col(args[-1]), 1).otherwise(0)
+                )
+                > 0
+            )
+        elif "array" in below:
+            guard = (
+                F.coalesce(
+                    F.sum(F.size(_as_col(args[0]))), F.lit(0)
+                )
+                > 0
+            )
+        else:
+            guard = F.count(_as_col(args[0])) > 0
+        return F.when(guard, inner(*args))
 
     return build
 
@@ -1065,7 +1106,11 @@ def resolve_agg_combinator(name: str) -> Callable[..., Column] | None:
             if pending_base is not None:
                 fn = CH_FUNCTIONS[_COMBINATOR_BASES[pending_base]]
                 pending_base = None
-            fn = _wrap_if(fn) if suf == "if" else _wrap_ornull(fn)
+            if suf == "if":
+                fn = _wrap_if(fn)
+            else:
+                below = tuple(suffixes[: suffixes.index(suf)])
+                fn = _wrap_ornull(fn, below)
     if pending_base is not None:
         fn = CH_FUNCTIONS[_COMBINATOR_BASES[pending_base]]
     return fn
@@ -1215,21 +1260,6 @@ def _date_name(part, c) -> Column:
     return F.date_format(_as_col(c), fmts[p])
 
 
-def _great_circle(lon1, lat1, lon2, lat2) -> Column:
-    lon1, lat1, lon2, lat2 = [
-        F.radians(_as_col(c).cast("double"))
-        for c in (lon1, lat1, lon2, lat2)
-    ]
-    h = (
-        F.pow(F.sin((lat2 - lat1) / 2), 2)
-        + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin((lon2 - lon1) / 2), 2)
-    )
-    # CH's Earth radius constant (great-circle mean, meters)
-    return F.lit(2.0 * 6372797.560856) * F.asin(
-        F.least(F.sqrt(h), F.lit(1.0))
-    )
-
-
 _BIT_MASKS = None  # built lazily; F.array of 63 literal powers of two
 
 
@@ -1325,19 +1355,18 @@ CH_FUNCTIONS.update(
         "toFloat32OrNull": lambda c: _as_col(c).try_cast("float"),
         "toUUID": lambda c: _as_col(c).cast("string"),
         # arrays
-        "arrayEnumerateDense": lambda arr: F.transform(
-            _as_col(arr),
-            lambda x: F.array_position(
-                F.array_distinct(_as_col(arr)), x
-            ).cast("int"),
+        # the distinct array is LET-bound: a captured
+        # array_distinct tree would re-build per element (O(n²))
+        "arrayEnumerateDense": lambda arr: _let_once(
+            F.array_distinct(_as_col(arr)),
+            lambda dist: F.transform(
+                _as_col(arr),
+                lambda x: F.array_position(dist, x).cast("int"),
+            ),
         ),
         "arrayReverseSort": lambda arr: F.sort_array(
             _as_col(arr), asc=False
         ),
-        # geo (haversine over CH's mean Earth radius; geoDistance's
-        # ellipsoid correction is not reproduced — same formula here)
-        "greatCircleDistance": _great_circle,
-        "geoDistance": _great_circle,
         # aggregates
         "groupBitAnd": lambda c: F.bit_and(_as_col(c)),
         "groupBitOr": lambda c: F.bit_or(_as_col(c)),
@@ -1521,8 +1550,13 @@ CH_FUNCTIONS.update(
         "LinfNorm": lambda a: F.array_max(
             F.transform(_as_col(a), lambda x: F.abs(x.cast("double")))
         ),
-        "normalizeL2": lambda a: F.transform(
-            _as_col(a), lambda x: x.cast("double") / _l2norm(a)
+        # the norm is LET-bound: the captured fold tree would
+        # re-evaluate per element (O(d²) per row)
+        "normalizeL2": lambda a: _let_once(
+            _l2norm(a),
+            lambda nrm: F.transform(
+                _as_col(a), lambda x: x.cast("double") / nrm
+            ),
         ),
         "arrayAUC": _array_auc,
     }
@@ -2039,6 +2073,30 @@ def _json_type(j, *path) -> Column:
     )
 
 
+def _json_requote(v: Column) -> Column:
+    """Shared raw-JSON re-quote rule for the Raw/Query family: values
+    that classify as object/array/number/bool/null pass through raw,
+    anything else re-quotes with backslash/quote escaping. One copy —
+    the three call sites must not drift."""
+    needs_quote = ~(
+        v.rlike(r"^\s*[\[{]")
+        | v.rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+        | v.isin("true", "false", "null")
+    )
+    return F.when(
+        needs_quote,
+        F.concat(
+            F.lit('"'),
+            F.replace(
+                F.replace(v, F.lit("\\"), F.lit("\\\\")),
+                F.lit('"'),
+                F.lit('\\"'),
+            ),
+            F.lit('"'),
+        ),
+    ).otherwise(v)
+
+
 def _json_extract_raw(j, *path) -> Column:
     """CH JSONExtractRaw(): raw JSON text at the path. Approximation:
     get_json_object returns objects/arrays raw but strings UNQUOTED —
@@ -2046,25 +2104,9 @@ def _json_extract_raw(j, *path) -> Column:
     re-quoted (a stored string that happens to spell a number round-
     trips unquoted; exact CH needs a raw-token JSON reader)."""
     v = _json_base(j, path)
-    needs_quote = ~(
-        v.rlike(r"^\s*[\[{]")
-        | v.rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
-        | v.isin("true", "false", "null")
-    )
-    return F.when(v.isNull(), F.lit(None).cast("string")).otherwise(
-        F.when(
-            needs_quote,
-            F.concat(
-                F.lit('"'),
-                F.replace(
-                    F.replace(v, F.lit("\\"), F.lit("\\\\")),
-                    F.lit('"'),
-                    F.lit('\\"'),
-                ),
-                F.lit('"'),
-            ),
-        ).otherwise(v)
-    )
+    return F.when(
+        v.isNull(), F.lit(None).cast("string")
+    ).otherwise(_json_requote(v))
 
 
 def _cut_to_first_significant_subdomain(u) -> Column:
@@ -2119,10 +2161,10 @@ CH_FUNCTIONS.update(
         "toFixedString": lambda s, n: F.rpad(
             _as_col(s), int(float(str(n))), "\x00"
         ),
-        "ilike": lambda s, p: _as_col(s).ilike(str(p).strip("'\""))
-        if not isinstance(p, Column)
-        else F.lit(None),
-        "notILike": lambda s, p: ~_as_col(s).ilike(str(p).strip("'\"")),
+        # F.ilike accepts Column patterns, so column-valued
+        # patterns work instead of silently returning NULL
+        "ilike": lambda s, p: F.ilike(_as_col(s), _as_col(p)),
+        "notILike": lambda s, p: ~F.ilike(_as_col(s), _as_col(p)),
         # calendar
         "toMonday": lambda c: F.to_date(F.date_trunc("week", _as_col(c))),
         "toDayOfYear": lambda c: F.dayofyear(_as_col(c)),
@@ -2888,27 +2930,9 @@ def _json_extract_array_raw(j, *path) -> Column:
     re-quoted; a stored string spelling a bare number round-trips
     unquoted — exact CH needs a raw-token reader)."""
     base = _json_base(j, path)
-
-    def requote(v: Column) -> Column:
-        needs_quote = ~(
-            v.rlike(r"^\s*[\[{]")
-            | v.rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
-            | v.isin("true", "false", "null")
-        )
-        return F.when(
-            needs_quote,
-            F.concat(
-                F.lit('"'),
-                F.replace(
-                    F.replace(v, F.lit("\\"), F.lit("\\\\")),
-                    F.lit('"'),
-                    F.lit('\\"'),
-                ),
-                F.lit('"'),
-            ),
-        ).otherwise(v)
-
-    return F.transform(F.from_json(base, "array<string>"), requote)
+    return F.transform(
+        F.from_json(base, "array<string>"), _json_requote
+    )
 
 
 def _json_path_value(j, path) -> Column:
@@ -2925,24 +2949,7 @@ def _json_path_query(j, path) -> Column:
 
 
 def _json_path_raw(j, path) -> Column:
-    v = _json_path_value(j, path)
-    needs_quote = ~(
-        v.rlike(r"^\s*[\[{]")
-        | v.rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
-        | v.isin("true", "false", "null")
-    )
-    return F.when(
-        needs_quote,
-        F.concat(
-            F.lit('"'),
-            F.replace(
-                F.replace(v, F.lit("\\"), F.lit("\\\\")),
-                F.lit('"'),
-                F.lit('\\"'),
-            ),
-            F.lit('"'),
-        ),
-    ).otherwise(v)
+    return _json_requote(_json_path_value(j, path))
 
 
 CH_FUNCTIONS.update(

@@ -94,26 +94,36 @@ def lsh_bucket(vec: Column, n_planes: int = 8, center: bool = False) -> Column:
     repartitioning/streaming. Pairs with cosine ~1 still collide —
     centering is an isometry-shift applied to both vectors.
     """
-    mean = (
+    mean_expr = (
         F.aggregate(vec, F.lit(0.0), lambda a, v: a + v.cast("double"))
         / F.size(vec)
         if center
         else F.lit(0.0)
     )
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, d: (x.cast("double") - mean)
-                * _hyperplane_component(p, d),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+
+    def with_mean(mean: Column) -> Column:
+        # the mean is a LET-bound runtime VALUE: a captured fold tree
+        # would re-evaluate per element per plane (O(d² · planes))
+        bucket = F.lit(0).cast("long")
+        for p in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda x, d: (x.cast("double") - mean)
+                    * _hyperplane_component(p, d),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(
+                proj >= 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
+        return bucket
+
+    from ..functions.stats_tests import _let
+
+    return _let(mean_expr, with_mean)
 
 
 def _centroid_literals(

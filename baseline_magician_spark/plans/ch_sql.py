@@ -129,7 +129,6 @@ _AGGS = {
     "lastvalue", "singlevalueornull", "skewsamp", "kurtsamp",
     "uniqupto", "quantilegk",
     "largesttrianglethreebuckets", "lttb",
-    "grouparraysorted", "approx_top_k", "approx_top_count",
     # statistical-test / interval family (functions/stats_tests.py)
     "simplelinearregression", "boundingratio", "entropy",
     "groupbitmap", "deltasum", "deltasumtimestamp",

@@ -199,3 +199,46 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+# --- review regressions: -OrNull guards and -ForEach empty arrays ---------
+
+
+def test_count_if_or_null_empty_match_is_null(spark):
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    got = run_ch_query(
+        "SELECT countIfOrNull(x > 10) AS a, countIfOrNull(x > 0) AS b,"
+        " sumIfOrNull(x, x > 10) AS c FROM t",
+        {"t": df},
+    ).collect()[0]
+    assert got.a is None   # CH: NULL, not 0, when nothing aggregated
+    assert got.b == 2
+    assert got.c is None
+
+
+def test_count_or_null_zero_args(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    got = run_ch_query(
+        "SELECT countOrNull() AS c FROM t", {"t": df}
+    ).collect()[0].c
+    assert got == 1
+
+
+def test_sum_array_or_null_empty_arrays(spark):
+    df = spark.createDataFrame(
+        [([],), ([],)], "arr array<int>"
+    )
+    got = run_ch_query(
+        "SELECT sumArrayOrNull(arr) AS s FROM t", {"t": df}
+    ).collect()[0].s
+    assert got is None
+
+
+def test_foreach_all_empty_arrays(spark):
+    df = spark.createDataFrame([([],), ([],)], "arr array<int>")
+    got = run_ch_query(
+        "SELECT sumForEach(arr) AS s, countForEach(arr) AS c FROM t",
+        {"t": df},
+    ).collect()[0]
+    assert list(got.s) == []
+    assert list(got.c) == []
