@@ -739,10 +739,12 @@ def _gen_combinator_pair(rng: random.Random) -> tuple[str, str]:
             f"FROM events{w}"
         )
         duck = (
-            # ForEach over zero rows is NULL (engine convention for
-            # empty global aggregation) — guard the literal-list spelling
+            # ForEach over zero rows is the EMPTY array (CH's result
+            # for an empty element set — pinned by the all-empty
+            # regression in test_ch_combinators)
             f"SELECT CASE WHEN count(*) > 0 "
-            f"THEN [sum({a}), sum({b})] END AS se, "
+            f"THEN [sum({a}), sum({b})] "
+            f"ELSE CAST([] AS BIGINT[]) END AS se, "
             f"min({a}) + max({b}) AS rr FROM events{w}"
         )
     return ch, duck
