@@ -1158,15 +1158,15 @@ def build_resample(name: str, x: Column, key: Column,
             f"resample would build {nb} buckets (cap 4096); widen the"
             " step"
         )
-    lname = name.lower()
     cells = []
     for i in range(nb):
         lo, hi = s + i * st, min(s + (i + 1) * st, e)
         cond = (key >= lo) & (key < hi)
         c = base(F.when(cond, x))
-        if lname.startswith(("sum", "count", "uniq")):
-            # CH's empty-bucket values: additive aggregates read 0
-            c = F.coalesce(c, F.lit(0))
+        # CH's empty-bucket value is the aggregate state's DEFAULT
+        # (0 for every numeric aggregate: additive ones, min/max, and
+        # avg all default-construct to zero), never NULL
+        c = F.coalesce(c, F.lit(0))
         cells.append(c)
     return F.array(*cells)
 
@@ -3208,13 +3208,21 @@ def _anova(v, g) -> Column:
     n = F.count(vc).cast("double")
     s = F.sum(vc)
     q = F.sum(vc * vc)
-    k = F.count_distinct(gc).cast("double")
     tape_expr = _sorted_pairs(gc, vc)
 
     def build(tape: Column) -> Column:
         nn = F.size(tape)
+        # k from the NULL-skipped tape, not count_distinct(gc): a group
+        # whose values are ALL NULL contributes no rows to the tape and
+        # must not inflate the degrees of freedom
+        k = F.size(
+            F.array_distinct(F.transform(tape, lambda e: e["a"]))
+        ).cast("double")
+        # clamp: an empty tape (every value NULL) otherwise descends
+        # sequence(1, 0) -> [1, 0] and element_at(tape, 1) raises; the
+        # nn > 0 gate below returns the NULL struct for that case
         folded = F.aggregate(
-            F.sequence(F.lit(1), nn),
+            F.sequence(F.lit(1), F.greatest(nn, F.lit(1))),
             F.struct(
                 F.lit(0.0).alias("t"),   # Σ s_g²/n_g over closed runs
                 F.lit(0.0).alias("rs"),  # current run sum
@@ -3272,7 +3280,12 @@ def _anova(v, g) -> Column:
 
             return _let(f, with_f)
 
-        return _let(folded["t"], from_t)
+        return F.when(nn > 0, _let(folded["t"], from_t)).otherwise(
+            F.struct(
+                F.lit(None).cast("double").alias("f_statistic"),
+                F.lit(None).cast("double").alias("p_value"),
+            )
+        )
 
     return _let_once(tape_expr, build)
 
@@ -3363,14 +3376,23 @@ def _extract_all_groups(s, pat, vertical: bool) -> Column:
     ]
     if not vertical:
         return F.array(*per_group)
+    # Zero-match rows: sequence(1, 0) descends to [1, 0] and the inner
+    # element_at(garr, 1) on the empty group array raises under ANSI —
+    # clamp the bound and gate on n > 0 (same fix as the -ForEach fold).
     return _let_once(
         F.array(*per_group),
-        lambda cols: F.transform(
-            F.sequence(
-                F.lit(1), F.size(F.element_at(cols, 1))
-            ),
-            lambda i: F.transform(
-                cols, lambda garr: F.element_at(garr, i)
+        lambda cols: _let_once(
+            F.size(F.element_at(cols, 1)),
+            lambda n: F.when(
+                n > 0,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                    lambda i: F.transform(
+                        cols, lambda garr: F.element_at(garr, i)
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<array<string>>")
             ),
         ),
     )

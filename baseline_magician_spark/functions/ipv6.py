@@ -318,17 +318,22 @@ def cut_ipv6(b, bytes_v6, bytes_v4) -> Column:
 # ------------------------------------------------------------------ MAC
 
 
-_MAC_RE = r"^[0-9a-f]{12}$"
+# the FULL six-group shape, validated before separators are stripped:
+# CH rejects colon-less or misplaced-colon inputs ('aabbccddeeff',
+# 'aa:bbcc:dd:ee:ff:') with 0, so the strip-then-check spelling was
+# accepting strings CH refuses
+_MAC_RE = r"^[0-9a-f]{2}(:[0-9a-f]{2}){5}$"
 
 
 def mac_string_to_num(s) -> Column:
     """CH MACStringToNum('AA:BB:CC:DD:EE:FF') -> UInt64; 0 when the
     format is invalid (CH's own contract)."""
-    clean = F.lower(F.regexp_replace(_c(s), ":", ""))
+    lowered = F.lower(_c(s))
     return _let(
-        clean,
+        lowered,
         lambda c: F.when(
-            c.rlike(_MAC_RE), F.conv(c, 16, 10).cast("long")
+            c.rlike(_MAC_RE),
+            F.conv(F.regexp_replace(c, ":", ""), 16, 10).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )
 
@@ -342,12 +347,14 @@ def mac_num_to_string(n) -> Column:
 def mac_string_to_oui(s) -> Column:
     """CH MACStringToOUI(): the first three octets as a number; 0 on
     invalid input."""
-    clean = F.lower(F.regexp_replace(_c(s), ":", ""))
+    lowered = F.lower(_c(s))
     return _let(
-        clean,
+        lowered,
         lambda c: F.when(
             c.rlike(_MAC_RE),
-            F.conv(F.substring(c, 1, 6), 16, 10).cast("long"),
+            F.conv(
+                F.regexp_replace(F.substring(c, 1, 8), ":", ""), 16, 10
+            ).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )
 

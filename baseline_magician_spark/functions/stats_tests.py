@@ -953,63 +953,99 @@ def mean_z_test(v, idx, var0=1.0, var1=1.0, conf=0.95) -> Column:
 
 def rank_corr(x, y) -> Column:
     """CH rankCorr(x, y): Spearman rank correlation = Pearson over
-    average-tie ranks, rank(v) = (#<v + #<=v + 1)/2 via two filters
-    over the group's LET-bound value arrays. O(n²) per group —
-    bounded by group size like every CH per-group aggregate state;
-    the sorted-walk alternative saves nothing because BOTH columns
-    need ranking and the pairing must survive the sorts."""
+    average-tie ranks. NULL pairs are skipped entirely (CH ignores
+    NULL aggregate arguments — a NULL must not enter the tape with a
+    fabricated rank).
+
+    O(n log n) per group: average-tie ranks come from TWO natural
+    array_sort passes with opposing index tie-breaks — within a tie
+    run the reversed tie-break mirrors the run, so the mean of an
+    element's two positional indexes is exactly the run's average
+    rank ((run_start + run_end) / 2). Every sort is over plain
+    structs (native lexicographic ordering, no comparator lambda);
+    the interpreted-HOF work is a constant number of O(n) transforms,
+    so a single hot group no longer needs the bounded-group re-key
+    the O(n²) filter-rank version required."""
+    xc, yc = _d(x), _d(y)
     pairs_expr = F.collect_list(
-        F.struct(_d(x).alias("a"), _d(y).alias("b"))
+        F.when(
+            xc.isNotNull() & yc.isNotNull(),
+            F.struct(xc.alias("a"), yc.alias("b")),
+        )
     )
 
-    def ranks(vs: Column) -> Column:
-        return F.transform(
-            vs,
-            lambda v: (
-                F.size(F.filter(vs, lambda e: e < v))
-                + F.size(F.filter(vs, lambda e: e <= v))
-                + 1
-            ).cast("double")
-            / 2.0,
+    def ranks(p: Column, field: str) -> Column:
+        """Average-tie ranks of p[*][field], aligned to p's order."""
+        # (value, position) — position makes every struct distinct so
+        # both sorts are total orders over the same multiset
+        keyed = F.transform(
+            p,
+            lambda e, i: F.struct(
+                e[field].alias("v"), (i + 1).alias("idx")
+            ),
+        )
+        fwd = F.array_sort(keyed)  # (v asc, idx asc) — native
+        rev = F.array_sort(
+            F.transform(
+                keyed,
+                lambda e: F.struct(
+                    e["v"].alias("v"), (-e["idx"]).alias("nidx")
+                ),
+            )
+        )  # (v asc, idx desc)
+        # invert each permutation: element at sorted position i+1 maps
+        # its original idx to that position; sorting by idx re-aligns
+        by_idx_fwd = F.array_sort(
+            F.transform(
+                fwd,
+                lambda e, i: F.struct(
+                    e["idx"].alias("idx"), (i + 1).alias("pos")
+                ),
+            )
+        )
+        by_idx_rev = F.array_sort(
+            F.transform(
+                rev,
+                lambda e, i: F.struct(
+                    (-e["nidx"]).alias("idx"), (i + 1).alias("pos")
+                ),
+            )
+        )
+        return F.zip_with(
+            by_idx_fwd,
+            by_idx_rev,
+            lambda u, w: (u["pos"] + w["pos"]).cast("double") / 2.0,
         )
 
     def build(p: Column) -> Column:
         n = F.size(p).cast("double")
 
-        def with_xs(xs: Column) -> Column:
-            def with_ys(ys: Column) -> Column:
-                def with_rx(rx: Column) -> Column:
-                    def with_ry(ry: Column) -> Column:
-                        add = lambda acc, e: acc + e  # noqa: E731
-                        sx = F.aggregate(rx, F.lit(0.0), add)
-                        sy = F.aggregate(ry, F.lit(0.0), add)
-                        sxx = F.aggregate(
-                            rx, F.lit(0.0), lambda a, e: a + e * e
-                        )
-                        syy = F.aggregate(
-                            ry, F.lit(0.0), lambda a, e: a + e * e
-                        )
-                        sxy = F.aggregate(
-                            F.zip_with(rx, ry, lambda a, b: a * b),
-                            F.lit(0.0),
-                            add,
-                        )
-                        den = F.sqrt(
-                            (n * sxx - sx * sx) * (n * syy - sy * sy)
-                        )
-                        return F.when(
-                            den > 0, (n * sxy - sx * sy) / den
-                        )
+        def with_rx(rx: Column) -> Column:
+            def with_ry(ry: Column) -> Column:
+                add = lambda acc, e: acc + e  # noqa: E731
+                # Σrank is (n(n+1)/2) by construction (tie-averaging
+                # preserves the sum) — folds kept only where needed
+                sx = n * (n + 1.0) / 2.0
+                sy = sx
+                sxx = F.aggregate(
+                    rx, F.lit(0.0), lambda a, e: a + e * e
+                )
+                syy = F.aggregate(
+                    ry, F.lit(0.0), lambda a, e: a + e * e
+                )
+                sxy = F.aggregate(
+                    F.zip_with(rx, ry, lambda a, b: a * b),
+                    F.lit(0.0),
+                    add,
+                )
+                den = F.sqrt(
+                    (n * sxx - sx * sx) * (n * syy - sy * sy)
+                )
+                return F.when(den > 0, (n * sxy - sx * sy) / den)
 
-                    return _let(ranks(ys), with_ry)
+            return _let(ranks(p, "b"), with_ry)
 
-                return _let(ranks(xs), with_rx)
-
-            return _let(
-                F.transform(p, lambda e: e["b"]), with_ys
-            )
-
-        return _let(F.transform(p, lambda e: e["a"]), with_xs)
+        return _let(ranks(p, "a"), with_rx)
 
     return _let(pairs_expr, build)
 

@@ -1638,17 +1638,29 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                 else _funnel.sequence_count
             )
             return seq_fn(str(param.value), ts, *conds)
-        if lname.endswith("resample") and len(node.args) == 5:
+        if lname.endswith("resample") and len(node.args) in (4, 5):
             # <agg>Resample(start, end, step)(x, key): the parser
-            # appends the three params after the two inner columns
+            # appends the three params after the inner columns.
+            # countResample(start, end, step)(key) is the one-column
+            # CH spelling — the key doubles as the counted column.
             from ..functions.ch_compat import build_resample
 
-            x = _compile(node.args[0], env)
-            key = _compile(node.args[1], env)
+            if len(node.args) == 4:
+                if lname != "countresample":
+                    raise ValueError(
+                        f"{node.value} takes (start, end, step)(x, key)"
+                    )
+                key = _compile(node.args[0], env)
+                x = key
+                pstart = 1
+            else:
+                x = _compile(node.args[0], env)
+                key = _compile(node.args[1], env)
+                pstart = 2
             s, e2, st = (
-                _literal_value(node.args[2]),
-                _literal_value(node.args[3]),
-                _literal_value(node.args[4]),
+                _literal_value(node.args[pstart]),
+                _literal_value(node.args[pstart + 1]),
+                _literal_value(node.args[pstart + 2]),
             )
             return build_resample(name, x, key, s, e2, st)
         if lname in ("accuratecast", "accuratecastornull"):

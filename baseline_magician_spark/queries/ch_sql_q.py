@@ -8,7 +8,8 @@ DuckDB SQL with the same literals substituted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..plans.ch_bind import ExternalTable
@@ -18,6 +19,38 @@ from ..registry import query
 
 def _tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+# --- array-output digests -------------------------------------------------
+# The external correctness harness canonicalizes results through a pandas
+# sort over every column; list-valued cells are unhashable there, so no
+# registered query may emit ArrayType/MapType columns (pinned by
+# tests/test_oracle_parity.py). Queries whose CH-dialect surface produces
+# arrays digest them to a scalar string in a post-select, and their DuckDB
+# oracles render the same string (array_to_string / printf spellings
+# verified cell-identical: ints via plain CAST, floats via '%.Nf' — fixed-
+# point formatting of the SAME double is identical across Java and C, and
+# no exact decimal tie is binary-representable at N>=1 fractional digits).
+def _arr_digest(col: str | Column, fmt: str | None = None) -> Column:
+    """array<T> -> 'e1,e2,...'. fmt like '%.6f' for float elements
+    (NULL elements render as 'null' so widths stay aligned with the
+    DuckDB twin); ints/strings cast directly."""
+    c = F.col(col) if isinstance(col, str) else col
+    if fmt is None:
+        elem = lambda x: x.cast("string")  # noqa: E731
+    else:
+        elem = lambda x: F.when(x.isNull(), F.lit("null")).otherwise(  # noqa: E731
+            F.format_string(fmt, x)
+        )
+    return F.concat_ws(",", F.transform(c, elem))
+
+
+def _arr2_digest(col: str | Column, fmt: str | None = None) -> Column:
+    """array<array<T>> -> 'r1c1,r1c2;r2c1,...' (rows ';', cells ',')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat_ws(
+        ";", F.transform(c, lambda r: _arr_digest(r, fmt))
+    )
 
 
 # ?/@ placeholders in every binding position the reference recognizes:
@@ -1501,13 +1534,17 @@ FROM fastnetmon.events GROUP BY event_type ORDER BY event_type
       SELECT event_type, user_id % 7 AS v, count(*) AS c
       FROM events GROUP BY 1, 2
     )
-    SELECT event_type, (list(v ORDER BY c DESC, v))[1:3] AS top3,
+    SELECT event_type,
+           array_to_string((list(v ORDER BY c DESC, v))[1:3], ',') AS top3,
            CAST(sum(c) AS BIGINT) AS n
     FROM f GROUP BY event_type ORDER BY event_type
     """,
 )
 def ch_sql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_ch_query(_TOPK_SQL, _tables(spark, sf_dir, "events"))
+    df = run_ch_query(_TOPK_SQL, _tables(spark, sf_dir, "events"))
+    return df.select(
+        "event_type", _arr_digest("top3").alias("top3"), "n"
+    )
 
 
 # The full simple -State/-Merge family as a two-level rollup: partial
@@ -1875,15 +1912,24 @@ ORDER BY grp
              count(*)::BIGINT AS c, min(value) AS mn, max(value) AS mx
       FROM events GROUP BY 1, 2)
     SELECT grp,
-           list(et ORDER BY et) AS ks,
-           list(c ORDER BY et) AS counts,
-           list(mn ORDER BY et) AS mins,
-           list(mx ORDER BY et) AS maxs
+           array_to_string(list(et ORDER BY et), ',') AS ks,
+           array_to_string(list(c ORDER BY et), ',') AS counts,
+           array_to_string(list_transform(list(mn ORDER BY et),
+             x -> printf('%.6f', x)), ',') AS mins,
+           array_to_string(list_transform(list(mx ORDER BY et),
+             x -> printf('%.6f', x)), ',') AS maxs
     FROM per GROUP BY grp ORDER BY grp
     """,
 )
 def ch_sql_summap_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_ch_query(_SUMMAP_SQL, _tables(spark, sf_dir, "events"))
+    df = run_ch_query(_SUMMAP_SQL, _tables(spark, sf_dir, "events"))
+    return df.select(
+        "grp",
+        _arr_digest("ks").alias("ks"),
+        _arr_digest("counts").alias("counts"),
+        _arr_digest("mins", "%.6f").alias("mins"),
+        _arr_digest("maxs", "%.6f").alias("maxs"),
+    )
 
 
 # General aggregate-combinator grammar (round 6): suffix-composed
@@ -1922,7 +1968,8 @@ ORDER BY rflag
            sum(l_quantity + l_quantity + 1) AS sum_arr,
            min(l_quantity) AS min_arr,
            sum(l_quantity + l_quantity + 1) / (2 * count(*)) AS avg_arr,
-           [sum(l_quantity), sum(l_quantity + 1)] AS sum_each,
+           printf('%.2f,%.2f', sum(l_quantity),
+                  sum(l_quantity + 1)) AS sum_each,
            sum(l_quantity) AS sum_q,
            max(CASE WHEN l_tax > 0.04 THEN l_quantity + 1 END) AS max_taxed,
            max(l_quantity + l_quantity + 1) AS max_rowsum
@@ -1932,7 +1979,8 @@ ORDER BY rflag
     """,
 )
 def ch_sql_agg_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_ch_query(_COMBINATOR_SQL, _tables(spark, sf_dir, "lineitem"))
+    df = run_ch_query(_COMBINATOR_SQL, _tables(spark, sf_dir, "lineitem"))
+    return df.withColumn("sum_each", _arr_digest("sum_each", "%.2f"))
 
 
 # Map(K, V) family (round 6): map literals, mapFromArrays, m['key']
@@ -1966,8 +2014,9 @@ ORDER BY etype
     SELECT event_type AS etype,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           ['n', 'users'] AS ks,
-           [count(*), count(DISTINCT user_id)] AS vs,
+           'n,users' AS ks,
+           CAST(count(*) AS VARCHAR) || ','
+             || CAST(count(DISTINCT user_id) AS VARCHAR) AS vs,
            true AS has_n,
            false AS has_zz,
            CAST(-1 AS BIGINT) AS n_overridden
@@ -1977,7 +2026,10 @@ ORDER BY etype
     """,
 )
 def ch_sql_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_ch_query(_MAP_SQL, _tables(spark, sf_dir, "events"))
+    df = run_ch_query(_MAP_SQL, _tables(spark, sf_dir, "events"))
+    return df.withColumn("ks", _arr_digest("ks")).withColumn(
+        "vs", _arr_digest("vs")
+    )
 
 
 # file() table function (round 6): read external parquet in place —
@@ -2023,7 +2075,7 @@ _R6_FUNCS_SQL = """
 SELECT format('{}|{}', o_orderstatus, o_orderpriority) AS tag,
        groupBitOr(o_custkey) AS bo,
        uniqUpTo(3)(o_orderstatus) AS u3,
-       min(toDecimal64(o_totalprice, 2)) AS minp,
+       toFloat64(min(toDecimal64(o_totalprice, 2))) AS minp,
        max(toInt64OrZero(substring(toString(o_orderdate), 1, 4))) AS yr_max,
        countIf(isNotNull(o_orderdate)) AS n_dated
 FROM fastnetmon.orders
@@ -2038,7 +2090,8 @@ ORDER BY tag
     SELECT format('{}|{}', o_orderstatus, o_orderpriority) AS tag,
            bit_or(o_custkey) AS bo,
            least(count(DISTINCT o_orderstatus), 4) AS u3,
-           min(CAST(o_totalprice AS DECIMAL(18,2))) AS minp,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS minp,
            max(coalesce(try_cast(substring(CAST(o_orderdate AS VARCHAR), 1, 4)
              AS BIGINT), 0)) AS yr_max,
            count(*) FILTER (WHERE o_orderdate IS NOT NULL) AS n_dated
@@ -2598,8 +2651,8 @@ ORDER BY st
            round(avg(ang * 6371000.0), 2) AS gcd_avg,
            round(avg(ang * wgs_r), 2) AS gd_avg,
            round(avg(degrees(ang)), 6) AS gca_avg,
-           sum(CASE WHEN px > 0 AND px < 10 AND py > 0 AND py < 10
-               THEN 1 ELSE 0 END) AS in_sq,
+           CAST(sum(CASE WHEN px > 0 AND px < 10 AND py > 0 AND py < 10
+               THEN 1 ELSE 0 END) AS BIGINT) AS in_sq,
            min(gh) AS gh_min,
            round(min(dec_lon), 6) AS dec_lon_min
     FROM geo
@@ -2755,9 +2808,10 @@ ORDER BY et
       FROM parts
     )
     SELECT et, count(*) AS n,
-           sum(CAST(aged AS BIGINT)) AS age_d,
-           sum(CAST(ageh AS BIGINT)) AS age_h,
-           sum(td) AS td_s,
+           -- outer CASTs: DuckDB sum(BIGINT) -> HUGEINT -> float64
+           CAST(sum(CAST(aged AS BIGINT)) AS BIGINT) AS age_d,
+           CAST(sum(CAST(ageh AS BIGINT)) AS BIGINT) AS age_h,
+           CAST(sum(td) AS BIGINT) AS td_s,
            min(datediff('day', DATE '1858-11-17', CAST(t1 AS DATE)))
              AS mjd_min,
            max(epoch_ms(t2)) AS ms_max,
@@ -2832,7 +2886,7 @@ SELECT st,
        round(quantileExactHigh(0.75)(price), 2) AS q75_high,
        countDistinct(pri) AS nd,
        round(avgDistinct(ok % 5), 4) AS avg_d,
-       min(makeDate(1992 + ok % 30, 1 + ok % 12, 1 + ok % 28))
+       toString(min(makeDate(1992 + ok % 30, 1 + ok % 12, 1 + ok % 28)))
          AS d_min,
        max(toYYYYMMDDhhmmss(makeDateTime(2020, 1 + ok % 12,
          1 + ok % 28, ok % 24, ok % 60, ok % 60))) AS ts_max,
@@ -2890,11 +2944,14 @@ ORDER BY st
              AS q75_high,
            nd,
            round(avg_d, 4) AS avg_d,
-           d_min,
+           -- VARCHAR: DuckDB DATE -> pandas datetime64 vs Spark's
+           -- datetime.date object; render both sides as ISO text
+           CAST(d_min AS VARCHAR) AS d_min,
            ts_max,
-           days_sum,
+           -- CASTs: sum(BIGINT) -> HUGEINT -> float64 otherwise
+           CAST(days_sum AS BIGINT) AS days_sum,
            rt_ok,
-           rel_sum
+           CAST(rel_sum AS BIGINT) AS rel_sum
     FROM q
     ORDER BY st
     """,
@@ -3040,19 +3097,27 @@ ORDER BY et, ub
       round(sum(v * exp((tt - mt) / 86400.0)), 4) AS ets,
       round(sum(v * exp((tt - mt) / 86400.0))
             / sum(exp((tt - mt) / 86400.0)), 6) AS eta,
-      [[round(corr(v, v), 6), round(corr(v, w), 6),
-        round(corr(v, u), 6)],
-       [round(corr(w, v), 6), round(corr(w, w), 6),
-        round(corr(w, u), 6)],
-       [round(corr(u, v), 6), round(corr(u, w), 6),
-        round(corr(u, u), 6)]] AS cm
+      -- per-cell coalesce: zero-variance corr is NULL in BOTH engines
+      -- and must render as a 'null' cell, not null out the whole digest
+      array_to_string([
+        coalesce(printf('%.6f', round(corr(v, v), 6)), 'null') || ','
+          || coalesce(printf('%.6f', round(corr(v, w), 6)), 'null') || ','
+          || coalesce(printf('%.6f', round(corr(v, u), 6)), 'null'),
+        coalesce(printf('%.6f', round(corr(w, v), 6)), 'null') || ','
+          || coalesce(printf('%.6f', round(corr(w, w), 6)), 'null') || ','
+          || coalesce(printf('%.6f', round(corr(w, u), 6)), 'null'),
+        coalesce(printf('%.6f', round(corr(u, v), 6)), 'null') || ','
+          || coalesce(printf('%.6f', round(corr(u, w), 6)), 'null') || ','
+          || coalesce(printf('%.6f', round(corr(u, u), 6)), 'null')
+      ], ';') AS cm
     FROM ranked
     GROUP BY et, ub
     ORDER BY et, ub
     """,
 )
 def ch_sql_round6f_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_ch_query(_ROUND6F_SQL, _tables(spark, sf_dir, "events"))
+    df = run_ch_query(_ROUND6F_SQL, _tables(spark, sf_dir, "events"))
+    return df.withColumn("cm", _arr2_digest("cm", "%.6f"))
 
 
 # Round-6g network tranche end-to-end: IPv6 canonicalization
@@ -3204,11 +3269,15 @@ ORDER BY et
       WHERE r.c = counts.nrows
       GROUP BY r.et
     )
-    SELECT b.et, qs.qw, [qs.q25, qs.q90] AS qws, anova.af, inter.gi,
+    SELECT b.et, qs.qw,
+      printf('%.6f,%.6f', qs.q25, qs.q90) AS qws, anova.af,
+      array_to_string(inter.gi, ',') AS gi,
       (count(*) FILTER (WHERE b.hs_row))::BIGINT AS hs,
       min(time_bucket(INTERVAL 5 MINUTE, b.ts)) AS t5,
-      [regexp_extract_all('a=1, b=2', '(\\w)=(\\d)', 1),
-       regexp_extract_all('a=1, b=2', '(\\w)=(\\d)', 2)] AS gh
+      array_to_string(regexp_extract_all('a=1, b=2', '(\\w)=(\\d)', 1), ',')
+        || ';'
+        || array_to_string(regexp_extract_all('a=1, b=2', '(\\w)=(\\d)', 2),
+                           ',') AS gh
     FROM base b
     JOIN qs USING (et)
     JOIN anova ON anova.et = b.et
@@ -3218,7 +3287,17 @@ ORDER BY et
     """,
 )
 def ch_sql_round6h_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_ch_query(_ROUND6H_SQL, _tables(spark, sf_dir, "events"))
+    df = run_ch_query(_ROUND6H_SQL, _tables(spark, sf_dir, "events"))
+    return df.select(
+        "et",
+        "qw",
+        _arr_digest("qws", "%.6f").alias("qws"),
+        "af",
+        _arr_digest("gi").alias("gi"),
+        "hs",
+        "t5",
+        _arr2_digest("gh").alias("gh"),
+    )
 
 
 # Round-6i scalar tranche end-to-end: positiveModulo vs the

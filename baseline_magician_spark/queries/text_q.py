@@ -927,7 +927,10 @@ def _token_entropy_oracle() -> str:
       SELECT grp, term, count(*) AS c FROM term GROUP BY grp, term
     )
     SELECT grp,
-           sum(c) AS n_tokens,
+           -- CAST: DuckDB sum(BIGINT) is HUGEINT -> pandas float64,
+           -- which the harness's dtype-sensitive hash rejects vs
+           -- Spark's bigint (the ch_sql_numbers_rollup class).
+           CAST(sum(c) AS BIGINT) AS n_tokens,
            count(*) AS n_types,
            round(ln(sum(c)) -
                  sum(CAST(round(1e6 * c * ln(c)) AS BIGINT))

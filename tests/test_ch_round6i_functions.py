@@ -154,13 +154,32 @@ def test_resample_empty_buckets(spark):
     got = run_ch_query(
         "SELECT sumResample(0, 30, 10)(v, k) AS s,"
         " countResample(0, 30, 10)(v, k) AS c,"
-        " avgResample(0, 30, 10)(v, k) AS a FROM t",
+        " avgResample(0, 30, 10)(v, k) AS a,"
+        " minResample(0, 30, 10)(v, k) AS mn,"
+        " maxResample(0, 30, 10)(v, k) AS mx FROM t",
         {"t": df},
     ).collect()[0]
-    # additive aggregates read 0 in empty buckets; avg stays NULL
+    # CH -Resample fills empty buckets with the aggregate state's
+    # DEFAULT value (0 for every numeric aggregate), never NULL
     assert list(got.s) == [1.0, 0.0, 0.0]
     assert list(got.c) == [1, 0, 0]
-    assert got.a[0] == 1.0 and got.a[1] is None and got.a[2] is None
+    assert list(got.a) == [1.0, 0.0, 0.0]
+    assert list(got.mn) == [1.0, 0.0, 0.0]
+    assert list(got.mx) == [1.0, 0.0, 0.0]
+
+
+def test_count_resample_one_arg(spark):
+    # CH's one-column spelling: countResample(start, end, step)(key)
+    df = spark.createDataFrame(
+        [(i, i % 30) for i in range(100)], "id int, k int"
+    )
+    got = run_ch_query(
+        "SELECT countResample(0, 30, 10)(k) AS c FROM t", {"t": df}
+    ).collect()[0]
+    assert list(got.c) == [
+        sum(1 for i in range(100) if lo <= i % 30 < lo + 10)
+        for lo in (0, 10, 20)
+    ]
 
 
 def test_resample_bucket_cap(spark):

@@ -146,11 +146,21 @@ def test_mac_roundtrip(spark):
 
 def test_mac_invalid_is_zero(spark):
     df = spark.createDataFrame(
-        [("nope",), ("01:23:45:67:89",), ("01:23:45:67:89:ZZ",)],
+        [
+            ("nope",),
+            ("01:23:45:67:89",),
+            ("01:23:45:67:89:ZZ",),
+            # CH rejects separator-less and misplaced-colon shapes too:
+            # the full AA:BB:CC:DD:EE:FF form is validated BEFORE the
+            # colons are stripped
+            ("aabbccddeeff",),
+            ("aa:bbcc:dd:ee:ff:",),
+            ("aa:bb:cc:dd:ee:ff:",),
+        ],
         "mac string",
     )
     got = df.select(mac_string_to_num(F.col("mac")).alias("n")).collect()
-    assert [r.n for r in got] == [0, 0, 0]
+    assert [r.n for r in got] == [0, 0, 0, 0, 0, 0]
 
 
 def test_or_default_returns_zero_address(spark):
