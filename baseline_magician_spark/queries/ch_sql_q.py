@@ -2155,23 +2155,115 @@ def ch_sql_vector_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # LTTB downsampling end-to-end (round 6): per-type event series
-# reduced to 12 points. ROWS-ONLY check: the greedy bucket walk's
-# sequential dependence has no tractable ANSI-SQL spelling — the
-# pointwise pin lives in tests/test_ch_round6_functions.py against a
-# Python reference implementation of Steinarsson 2013.
+# reduced to 12 points. Full-value oracle (round 7): the greedy bucket
+# walk makes exactly k-2 = 10 sequential choices, so the recursion
+# UNROLLS into 10 chained argmax CTEs in DuckDB — each picks the
+# max-triangle-area point of bucket i given the previous pick and the
+# next bucket's centroid, with the identical IEEE expression shape the
+# Spark fold evaluates. The y series is floor(value) so every centroid
+# sum is exact (integer-valued doubles sum order-independently) and
+# both engines produce bit-identical areas — the same exactness
+# technique as the geohash dyadic-midpoint oracle. Ties break to the
+# first point in x-order on both sides (the fold's strict >).
 _LTTB_SQL = """
 SELECT etype, tupleElement(p, 'x') AS x,
        round(tupleElement(p, 'y'), 6) AS y
 FROM (SELECT event_type AS etype,
              largestTriangleThreeBuckets(12)(toUnixTimestamp(ts),
-                                             value) AS pts
+                                             floor(value)) AS pts
       FROM fastnetmon.events
       GROUP BY event_type) ARRAY JOIN pts AS p
 ORDER BY etype, x
 """
 
 
-@query("ch_sql_lttb_downsample")
+def _lttb_oracle(k: int = 12) -> str:
+    nb = k - 2
+    # area(prev p, candidate b, next anchor a) — operand order mirrors
+    # functions/ch_compat._lttb.area exactly
+    area = (
+        "abs((p.x - a.ax) * (b.y - p.y)"
+        " - (p.x - b.x) * (a.ay - p.y))"
+    )
+
+    sels = []
+    for i in range(1, nb + 1):
+        prev = "p0" if i == 1 else f"sel{i - 1}"
+        sels.append(f"""
+    sel{i} AS (
+      SELECT etype, x, y FROM (
+        SELECT b.etype, b.x, b.y,
+          row_number() OVER (PARTITION BY b.etype ORDER BY
+            {area} DESC,
+            b.rn ASC) AS rk
+        FROM buckets b
+        JOIN {prev} p ON p.etype = b.etype
+        JOIN anchors a ON a.etype = b.etype AND a.i = {i}
+        WHERE b.i = {i}
+      ) WHERE rk = 1
+    )""")
+    sel_union = "\n      UNION ALL\n".join(
+        f"      SELECT etype, CAST(x AS DOUBLE) AS x, y FROM sel{i}"
+        for i in range(1, nb + 1)
+    )
+    return f"""
+    WITH pts AS (
+      SELECT event_type AS etype,
+             CAST(floor(epoch(ts)) AS BIGINT) AS x,
+             floor(value) AS y
+      FROM events
+    ),
+    ord AS (
+      SELECT etype, x, y,
+             row_number() OVER (PARTITION BY etype ORDER BY x, y) AS rn,
+             count(*) OVER (PARTITION BY etype) AS n
+      FROM pts
+    ),
+    buckets AS (
+      -- bucket i covers rn in [2 + floor((i-1)m/{nb}), 1 + floor(im/{nb})],
+      -- m = n - 2: the same floor boundaries the Spark fold slices
+      SELECT o.etype, g.i, o.rn, o.x, o.y
+      FROM ord o
+      JOIN (SELECT unnest(generate_series(1, {nb})) AS i) g
+        ON o.rn >= 2 + floor((g.i - 1) * (o.n - 2) / {float(nb)})
+       AND o.rn <= 1 + floor(g.i * (o.n - 2) / {float(nb)})
+      WHERE o.n > {k}
+    ),
+    centroids AS (
+      SELECT etype, i,
+             CAST(sum(x) AS DOUBLE) / count(*) AS cx,
+             sum(y) / count(*) AS cy
+      FROM buckets GROUP BY etype, i
+    ),
+    last_pts AS (SELECT etype, x, y FROM ord WHERE rn = n AND n > {k}),
+    p0 AS (SELECT etype, x, y FROM ord WHERE rn = 1 AND n > {k}),
+    anchors AS (
+      -- the next anchor for bucket i: bucket i+1's centroid, or the
+      -- series' last point for the final bucket
+      SELECT c.etype, c.i,
+             CASE WHEN c.i = {nb} THEN CAST(l.x AS DOUBLE)
+                  ELSE nx.cx END AS ax,
+             CASE WHEN c.i = {nb} THEN l.y ELSE nx.cy END AS ay
+      FROM centroids c
+      JOIN last_pts l ON l.etype = c.etype
+      LEFT JOIN centroids nx
+        ON nx.etype = c.etype AND nx.i = c.i + 1
+    ),{",".join(sels)}
+    SELECT etype, CAST(x AS DOUBLE) AS x, round(y, 6) AS y FROM ord
+    WHERE n <= {k}
+    UNION ALL
+    SELECT etype, x, round(y, 6) AS y FROM (
+      SELECT etype, CAST(x AS DOUBLE) AS x, y FROM p0
+      UNION ALL
+{sel_union}
+      UNION ALL
+      SELECT etype, CAST(x AS DOUBLE) AS x, y FROM last_pts
+    )
+    ORDER BY etype, x
+    """
+
+
+@query("ch_sql_lttb_downsample", _lttb_oracle())
 def ch_sql_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_LTTB_SQL, _tables(spark, sf_dir, "events"))
 

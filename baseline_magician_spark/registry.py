@@ -47,94 +47,76 @@ _loaded = False
 # families, freshly-fixed rows, and operators added this round — land
 # inside the checked window; everything else follows in registration
 # order. Rotate per round.
-# Round-6 window (the harness checks the first 50 names; a test pins
+# Round-7 window (the harness checks the first 50 names; a test pins
 # len <= 50 so nothing silently falls outside it). Union of rounds
-# 1–5 covered 156/172 registered queries with one red row. This
-# window:
-# - leads with ch_sql_numbers_rollup — the only ever-red union row
-#   (r5: rows+schema green, hash red; oracle's DuckDB sum(BIGINT)
-#   returned HUGEINT vs Spark LongType — fixed with CAST(... AS
-#   BIGINT), and a full-oracle arrow-schema audit found no other
-#   HUGEINT leak);
-# - then the 16 round-5 registrations that landed past slot 50 and
-#   have never had a driver row (each verified green locally with the
-#   driver's exact recipe, per VERDICT.md r5);
-# - new round-6 queries as they land (aggregate combinators, Map
-#   type) — appended to their block in the SAME commit that registers
-#   them;
-# - the 7 r2-stale TPC-H names deferred from the round-5 rotation;
-# - the rest: oldest (r3-stale) names, picked for operator diversity
-#   and including dedup_embedding_cosine_pairs (this round's perf
-#   investigation). The local full sweep remains the compensating
+# 1–6: 194/195 checked. This window:
+# - leads with ch_sql_sequence_next_node, the only never-checked name;
+# - then the 12 round-6 red rows, all re-fixed this round (six
+#   array-output digests, five dtype casts, the rotated
+#   ch_sql_round6_functions decimal), plus ch_sql_lttb_downsample,
+#   which now carries a full unrolled-greedy oracle instead of the
+#   r6 rows-only check;
+# - the five re-checks deferred from the round-6 rotation;
+# - new round-7 registrations as they land (appended to their block
+#   in the SAME commit that registers them);
+# - the rest: r3-stale names (oldest driver rows, 45 remain), picked
+#   for operator diversity. The full local sweep — now running the
+#   driver's OWN canonicalization (pandas sort + dtype-sensitive
+#   cells, tests/test_oracle_parity.py) — remains the compensating
 #   control for everything outside the window.
 _PRIORITY: tuple[str, ...] = (
-    # the one red union row, re-verified after the oracle cast fix
-    "ch_sql_numbers_rollup",
-    # never driver-checked (round-5 tail registrations)
-    "ch_sql_url_time_functions",
-    "ch_sql_uniq_state_merge",
-    "ch_sql_mutations",
+    # never driver-checked
+    "ch_sql_sequence_next_node",
+    # the 12 round-6 reds, re-fixed this round
     "ch_sql_topk",
-    "ch_sql_state_merge_rollup",
-    "ch_sql_arrayjoin_expression",
-    "ch_sql_ansi_spellings",
-    "ch_sql_comma_join_analytic",
-    "ch_sql_stats_aggregates",
-    "ch_sql_dictget_lookup",
-    "ch_sql_window_funnel",
-    "ch_sql_retention_sequence",
     "ch_sql_summap_by_group",
-    "dedup_duplicated_spans",
-    "multimodal_y4m_decode",
-    "streaming_funnel_levels",
-    # new round-6 queries land here as they register
     "ch_sql_agg_combinators",
     "ch_sql_map_functions",
-    "ch_sql_file_read",
-    "ch_sql_round6_functions",
-    "ch_sql_round6b_functions",
-    "ch_sql_string_search",
-    "ch_sql_stat_tests",
-    "ch_sql_interval_aggs",
-    "ch_sql_association_stats",
-    "ch_sql_geo_functions",
-    "ch_sql_string_similarity",
-    "ch_sql_calendar_bridges",
-    "ch_sql_jaro_similarity",
-    "ch_sql_round6d_functions",
-    "ch_sql_round6e_functions",
     "ch_sql_round6f_aggregates",
-    "ch_sql_network_functions",
     "ch_sql_round6h_aggregates",
-    "ch_sql_round6i_functions",
-    # r2-stale TPC-H names deferred from the round-5 rotation
-    "q7_volume_shipping",
-    "q8_national_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_predicates",
-    # never-driver-checked round-6 registrations (must sit inside the
-    # 50-slot window ahead of any re-check)
     "text_token_entropy",
-    "ch_sql_vector_functions",
+    "ch_sql_calendar_bridges",
+    "ch_sql_round6d_functions",
+    "ch_sql_geo_functions",
+    "ch_sql_round6_functions",
+    # rows-only in r6, full oracle added this round
     "ch_sql_lttb_downsample",
-    # Queued for the round-7 window (registered late in round 6, all
-    # green in the local sweep): ch_sql_round6h_aggregates onward if
-    # bumped, ch_sql_sequence_next_node, plus the five deferred
-    # re-checks listed below.
-    # r3-stale rotation (oldest remaining driver rows, diverse ops).
-    # text_gopher_quality, multimodal_decode_stats,
-    # dedup_ngram_jaccard_pairs, similarity_topk_cosine and
-    # dedup_minhash_lsh_pairs deferred to round 7: the window is
-    # full with never-checked round-6 rows (which outrank re-checks)
-    # and the full local sweep (193/193 green this round) remains
-    # the compensating control.
-    "dedup_embedding_cosine_pairs",
-    "dedup_connected_components",
-    "streaming_cms_merge",
-    "ip_function_roundtrip",
+    # re-checks deferred from the round-6 rotation
+    "text_gopher_quality",
+    "multimodal_decode_stats",
+    "dedup_ngram_jaccard_pairs",
+    "similarity_topk_cosine",
+    "dedup_minhash_lsh_pairs",
+    # new round-7 queries land here as they register (5 slots held —
+    # the len <= 50 pin forces a stale-name trade for each extra one)
+    # r3-stale rotation (oldest remaining driver rows, diverse ops)
+    "ch_sql_array_join_tokens",
+    "ch_sql_array_lambdas",
+    "ch_sql_asof_attribution",
+    "ch_sql_distinct_prewhere",
+    "ch_sql_extremes",
+    "ch_sql_group_cube",
+    "ch_sql_group_rollup",
+    "ch_sql_grouping_sets",
+    "ch_sql_join_dims",
+    "ch_sql_join_using",
+    "ch_sql_limit_by",
+    "ch_sql_parametric_quantiles",
+    "ch_sql_sample_read",
+    "ch_sql_tpch_q1",
+    "ch_sql_union_all",
+    "ch_sql_window_topn",
+    "ch_sql_with_fill",
+    "ch_sql_with_totals",
+    "dedup_semantic_keep_best",
+    "dedup_simhash_band_pairs",
+    "events_hourly_rollup_incremental",
+    "multimodal_audio_window_rms",
+    "multimodal_frame_deltas",
+    "pipeline_bucketed_batches",
+    "q12_late_shipment_priority",
+    "rag_chunk_overlap_manifest",
+    "similarity_ivfpq_topk",
 )
 
 

@@ -43,9 +43,7 @@ def test_every_query_has_oracle_or_documented_exemption():
 
     no_oracle = set(get_queries()) - set(get_oracles())
     # rows-only checks are reserved for genuinely non-SQL-expressible
-    # ops. The ONLY exemption: LTTB's greedy bucket walk, where each
-    # selection depends on the previous one — a sequential recurrence
-    # ANSI SQL can't replay without aggregates-in-recursive-CTE
-    # (disallowed by DuckDB); its pointwise pin is the Python
-    # reference implementation in tests/test_ch_round6_functions.py.
-    assert no_oracle == {"ch_sql_lttb_downsample"}, no_oracle
+    # ops — and as of round 7 there are NONE: even LTTB's greedy
+    # bucket walk has a full oracle (its k-2 sequential choices
+    # unroll into chained argmax CTEs; queries/ch_sql_q._lttb_oracle).
+    assert no_oracle == set(), no_oracle
