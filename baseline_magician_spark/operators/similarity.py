@@ -325,6 +325,14 @@ def brute_force_topk(
     )
 
 
+# A (bucket, sa, sb) sub-join over a bucket slice of H rows compares
+# ~H² pairs; H = 4096 keeps the largest sub-task around 8M codegen'd
+# dot products — seconds, not minutes. Buckets at or under H need no
+# salting at all.
+_SALT_HEALTHY_BUCKET = 4096
+_SALT_MAX = 8
+
+
 def lsh_bucketed_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -332,7 +340,7 @@ def lsh_bucketed_pairs(
     n_planes: int = 8,
     threshold: float = 0.9,
     dim: int | None = None,
-    salt: int = 8,
+    salt: int | str = "auto",
     center: bool = False,
 ) -> DataFrame:
     """Near-duplicate vector pairs: same LSH bucket AND exact cosine >=
@@ -340,15 +348,21 @@ def lsh_bucketed_pairs(
 
     Scale shape, in order of importance:
 
-    - **Pair-space salting** (``salt`` = S): a skewed bucket (at worst,
-      every vector in one bucket — real corpora of same-sign features
-      do this) turns the triangular self-join into one quadratic task.
-      Each side tags its own salt ``id % S`` and explodes the
-      *partner's* salt 0..S-1, so the join key ``(bucket, sa, sb)``
-      splits every bucket into S² independently-scheduled sub-joins.
-      Each pair is still produced exactly once — (sa, sb) is a function
-      of the pair. Row duplication is S× on tiny (id, vec, norm) rows;
-      AQE coalesces the small sub-joins back together.
+    - **Adaptive pair-space salting** (``salt``): a skewed bucket (at
+      worst, every vector in one bucket — real corpora of same-sign
+      features do this) turns the triangular self-join into one
+      quadratic task. Each side tags its own salt ``id % S`` and
+      explodes the *partner's* salt 0..S-1, so the join key
+      ``(bucket, sa, sb)`` splits every bucket into S² independently-
+      scheduled sub-joins. Each pair is still produced exactly once —
+      (sa, sb) is a function of the pair. Salting duplicates every
+      (id, vec, norm) row S×, which is pure tax when the bucket
+      histogram is already healthy (e.g. after per-row centering), so
+      ``salt="auto"`` sizes S from the ACTUAL histogram — one tiny
+      driver round-trip (max bucket count, the same driver-literal
+      pattern the IVF centroids use): S = ceil(max_bucket / 4096)
+      clamped to [1, 8], and S == 1 skips the salt machinery
+      entirely. Pass an int to pin S (0-skew known shapes).
     - The norm is computed ONCE per row before the self-join (O(N) not
       O(pairs); the value is IEEE-identical since the input array is).
     - When ``dim`` is driver-known the per-pair dot is statically
@@ -364,36 +378,67 @@ def lsh_bucketed_pairs(
         norm(F.col(vec_col)).alias("_n"),
         lsh_bucket(F.col(vec_col), n_planes, center=center).alias("_bucket"),
     ).repartition("_bucket")
-    partner = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-    l = (
-        with_bucket.withColumn("_sa", F.col("_id") % salt)
-        .withColumn("_sb", partner)
-        .alias("l")
-        .hint("shuffle_hash")
-    )
-    r = (
-        with_bucket.withColumn("_sb", F.col("_id") % salt)
-        .withColumn("_sa", partner)
-        .alias("r")
-        .hint("shuffle_hash")
-    )
-    return (
-        l.join(
-            r,
+    if salt == "auto":
+        # The histogram job would otherwise re-run the upstream
+        # feature pipeline (often a Python mapInPandas stage) a third
+        # time — persist the tiny (id, vec, norm, bucket) projection
+        # so histogram + both join sides read one materialization.
+        # Blocks are O(corpus × vec) and evict LRU.
+        with_bucket = with_bucket.persist()
+        row = (
+            with_bucket.groupBy("_bucket")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()[0]
+        )
+        mx = int(row["mx"] or 0)
+        salt = max(
+            1,
+            min(
+                _SALT_MAX,
+                -(-mx // _SALT_HEALTHY_BUCKET),  # ceil div
+            ),
+        )
+    salt = int(salt)
+
+    def _dotp(lv, rv):
+        return (
+            dot_unrolled(lv, rv, dim) if dim is not None else dot(lv, rv)
+        )
+
+    if salt <= 1:
+        l = with_bucket.alias("l").hint("shuffle_hash")
+        r = with_bucket.alias("r").hint("shuffle_hash")
+        cond = (F.col("l._bucket") == F.col("r._bucket")) & (
+            F.col("l._id") < F.col("r._id")
+        )
+    else:
+        partner = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        l = (
+            with_bucket.withColumn("_sa", F.col("_id") % salt)
+            .withColumn("_sb", partner)
+            .alias("l")
+            .hint("shuffle_hash")
+        )
+        r = (
+            with_bucket.withColumn("_sb", F.col("_id") % salt)
+            .withColumn("_sa", partner)
+            .alias("r")
+            .hint("shuffle_hash")
+        )
+        cond = (
             (F.col("l._bucket") == F.col("r._bucket"))
             & (F.col("l._sa") == F.col("r._sa"))
             & (F.col("l._sb") == F.col("r._sb"))
-            & (F.col("l._id") < F.col("r._id")),
+            & (F.col("l._id") < F.col("r._id"))
         )
+    return (
+        l.join(r, cond)
         .select(
             F.col("l._id").alias("vec_a"),
             F.col("r._id").alias("vec_b"),
             F.round(
-                (
-                    dot_unrolled(F.col("l._v"), F.col("r._v"), dim)
-                    if dim is not None
-                    else dot(F.col("l._v"), F.col("r._v"))
-                )
+                _dotp(F.col("l._v"), F.col("r._v"))
                 / (F.col("l._n") * F.col("r._n")),
                 6,
             ).alias("cosine_sim"),

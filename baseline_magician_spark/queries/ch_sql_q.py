@@ -3136,7 +3136,7 @@ def ch_sql_round6e_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # closed form sum(v·e^((t-tmax)/x)), and corrMatrix against a
 # hand-assembled DuckDB corr() list-of-lists.
 _ROUND6F_SQL = """
-SELECT event_type AS et, user_id % 200 AS ub,
+SELECT event_type AS et, user_id % 20 AS ub,
        round(rankCorr(value, event_id % 97), 6) + 0.0 AS rc,
        round(tupleElement(
            meanZTest(2.0, 2.0, 0.95)(value, event_id % 2),
@@ -3160,7 +3160,7 @@ ORDER BY et, ub
     "ch_sql_round6f_aggregates",
     """
     WITH base AS (
-      SELECT event_type AS et, user_id % 200 AS ub, value AS v,
+      SELECT event_type AS et, user_id % 20 AS ub, value AS v,
              event_id % 97 AS w, user_id AS u,
              event_id % 2 AS si, floor(epoch(ts)) AS tt
       FROM events
@@ -3508,3 +3508,121 @@ ORDER BY u
 )
 def ch_sql_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_SEQ_NEXT_SQL, _tables(spark, sf_dir, "events"))
+
+
+# CH sampling-key hashes end-to-end (round 7): intHash64 / intHash32
+# are SAMPLE BY keys and therefore byte-compatible with CH's spec
+# (fmix64 of x^seed; Wang 64->32 with CH's salt) — the Spark side
+# decomposes the wrap-around multiplies into decimal(38,0) halves
+# (functions/hashing.py), and the oracle replays the identical
+# decomposition in DuckDB HUGEINT through staged CTE columns.
+# URLHash rides the documented cityHash64 stand-in, so its check is
+# hash-value-free: distinct-count of URLHash == distinct-count of the
+# trailing-[/?#]-trimmed url, which IS CH's trim contract.
+_SAMPLING_HASH_SQL = """
+SELECT event_type AS et,
+       count(*) AS n,
+       min(intHash64(user_id)) AS h64_min,
+       max(intHash64(user_id)) AS h64_max,
+       uniqExact(intHash64(user_id)) AS h64_uniq,
+       sum(intHash32(user_id)) AS h32_sum,
+       max(intHash32(event_id)) AS h32e_max,
+       uniqExact(URLHash(concat('https://ex.com/p',
+           toString(user_id % 50),
+           multiIf(event_id % 3 = 0, '/', event_id % 3 = 1, '#', ''))))
+         AS url_uniq
+FROM fastnetmon.events
+GROUP BY et
+ORDER BY et
+"""
+
+
+def _sampling_hash_oracle() -> str:
+    h64 = str(2**64)
+    h63 = str(2**63)
+    h32 = str(2**32)
+    # constants DERIVED from the hex spec here (a hand-transcribed
+    # decimal cost one round-trip of debugging)
+    seed64 = 0x4CF2D2BAAE6DA887
+    salt32 = 0x75D9543DE018BF45
+    m1l, m1h = 0xFF51AFD7ED558CCD & 0xFFFFFFFF, 0xFF51AFD7ED558CCD >> 32
+    m2l, m2h = 0xC4CEB9FE1A85EC53 & 0xFFFFFFFF, 0xC4CEB9FE1A85EC53 >> 32
+
+    def ih64(src: str, p: str) -> list[str]:
+        # fmix64(x ^ seed); constants split into 32-bit halves exactly
+        # like the Spark decimal decomposition
+        return [
+            f"xor({src}, CAST({seed64} AS HUGEINT)) AS {p}1",
+            f"xor({p}1, {p}1 // 8589934592) AS {p}2",
+            f"(({p}2 * {m1l})"
+            f" + (({p}2 * {m1h}) % {h32}) * {h32}) % {h64} AS {p}3",
+            f"xor({p}3, {p}3 // 8589934592) AS {p}4",
+            f"(({p}4 * {m2l})"
+            f" + (({p}4 * {m2h}) % {h32}) * {h32}) % {h64} AS {p}5",
+            f"xor({p}5, {p}5 // 8589934592) AS {p}6",
+        ]
+
+    def ih32(src: str, p: str) -> list[str]:
+        # Wang 64->32 over x ^ salt; (k>>31)|(k<<33) is a
+        # disjoint-bit OR, spelled as + ; small multiplies fit
+        # HUGEINT directly
+        return [
+            f"xor({src}, CAST({salt32} AS HUGEINT)) AS {p}0",
+            f"(({h64} - 1 - {p}0) + ({p}0 * 262144) % {h64}) % {h64}"
+            f" AS {p}1",
+            f"xor({p}1, ({p}1 // 2147483648)"
+            f" + ({p}1 * 8589934592) % {h64}) AS {p}2",
+            f"({p}2 * 21) % {h64} AS {p}3",
+            f"xor({p}3, {p}3 // 2048) AS {p}4",
+            f"({p}4 + ({p}4 * 64) % {h64}) % {h64} AS {p}5",
+            f"xor({p}5, {p}5 // 4194304) AS {p}6",
+            f"{p}6 % {h32} AS {p}7",
+        ]
+
+    # ih64 has 6 steps, ih32 has 8 — pad the shorter chain
+    a_steps = ih64("xu", "a") + [None, None]
+    c_steps = ih32("xu", "c")
+    d_steps = ih32("eu", "d")
+    ctes = []
+    prev = "b0"
+    for i in range(8):
+        cols = [s for s in (a_steps[i], c_steps[i], d_steps[i]) if s]
+        ctes.append(
+            f"s{i} AS (SELECT *, {', '.join(cols)} FROM {prev})"
+        )
+        prev = f"s{i}"
+    cte_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH b0 AS (
+      SELECT event_type AS et,
+             CAST(user_id AS HUGEINT) AS xu,
+             CAST(event_id AS HUGEINT) AS eu,
+             'https://ex.com/p' || CAST(user_id % 50 AS VARCHAR)
+               || (CASE WHEN event_id % 3 = 0 THEN '/'
+                        WHEN event_id % 3 = 1 THEN '#' ELSE '' END)
+               AS url
+      FROM events
+    ),
+    {cte_sql},
+    fin AS (
+      SELECT et, a6, c7, d7, url,
+             CASE WHEN a6 >= {h63} THEN a6 - {h64} ELSE a6 END AS a6s
+      FROM {prev}
+    )
+    SELECT et,
+           count(*) AS n,
+           CAST(min(a6s) AS BIGINT) AS h64_min,
+           CAST(max(a6s) AS BIGINT) AS h64_max,
+           count(DISTINCT a6) AS h64_uniq,
+           CAST(sum(c7) AS BIGINT) AS h32_sum,
+           CAST(max(d7) AS BIGINT) AS h32e_max,
+           count(DISTINCT regexp_replace(url, '[/?#]$', '')) AS url_uniq
+    FROM fin
+    GROUP BY et
+    ORDER BY et
+    """
+
+
+@query("ch_sql_sampling_hashes", _sampling_hash_oracle())
+def ch_sql_sampling_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_SAMPLING_HASH_SQL, _tables(spark, sf_dir, "events"))

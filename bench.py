@@ -98,6 +98,19 @@ def main() -> None:
             budgets: dict[str, float] = json.load(f)
     except (OSError, ValueError):
         budgets = {}
+    # Ratchet FLOORS (round 7): queries whose cost is dominated by
+    # fixed engine lifecycle (streaming query start / checkpoint /
+    # state-store commit, ~1.3 s at any data size) get a minimum
+    # budget. Without a floor, one exceptionally fast idle run
+    # ratchets the budget so low that ordinary scheduler contention
+    # on the fixed part alone trips the 2x gate — the r6
+    # streaming_baseline_windows violation was exactly this (4.12 s
+    # under loadavg 5-9 vs a 1.69 s best-ever budget; the data work
+    # in that query is ~0.2 s). Cause and numbers: BASELINE.md.
+    _BUDGET_FLOORS = {"streaming_baseline_windows": 2.0}
+    for _n, _floor in _BUDGET_FLOORS.items():
+        if _n in budgets:
+            budgets[_n] = max(budgets[_n], _floor)
     violations = {
         name: {"sec": t, "budget": budgets[name]}
         for name, t in timings.items()
@@ -118,6 +131,9 @@ def main() -> None:
             for name, t in timings.items()
         }
     )
+    for name, floor in _BUDGET_FLOORS.items():
+        if name in new_budgets:
+            new_budgets[name] = max(new_budgets[name], floor)
     try:
         with open(budget_path, "w") as f:
             json.dump(new_budgets, f, indent=1, sort_keys=True)
