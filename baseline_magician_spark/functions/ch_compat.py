@@ -21,6 +21,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .funnel import retention as _retention
+from .hashing import int_hash32 as _int_hash32
+from .hashing import int_hash64 as _int_hash64
 from .ip import ip4_to_long, long_to_ip4
 
 
@@ -1321,6 +1323,23 @@ CH_FUNCTIONS.update(
         ),
         "farmHash64": lambda *cs: F.xxhash64(
             F.lit("farm"), *[_as_col(c) for c in cs]
+        ),
+        # BYTE-COMPATIBLE with CH (unlike the stand-ins above): the
+        # SAMPLE BY sampling keys. Wrap-around mod-2^64 arithmetic is
+        # decomposed into decimal(38,0) halves — ANSI long math raises
+        # on the overflow CH's UInt64 relies on
+        # (functions/hashing.int_hash64/int_hash32; CH spec:
+        # src/Functions/FunctionsHashing.h IntHash64Impl/IntHash32Impl,
+        # src/Common/HashTable/Hash.h).
+        "intHash64": lambda c: _int_hash64(_as_col(c)),
+        "intHash32": lambda c: _int_hash32(_as_col(c)),
+        # CH URLHash: hash of the URL with ONE trailing /, ? or #
+        # trimmed. The string hash itself rides the cityHash64
+        # stand-in above (CH uses CityHash64 — bucketing-compatible,
+        # not byte-compatible; documented like the rest of the family).
+        "URLHash": lambda c: F.xxhash64(
+            F.lit("city"),
+            F.regexp_replace(_as_col(c), r"[/?#]$", ""),
         ),
         # (halfMD5 keeps its existing bit-portable md5-prefix shim)
         "tryBase64Decode": CH_FUNCTIONS["base64Decode"],

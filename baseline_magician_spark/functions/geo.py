@@ -158,17 +158,21 @@ def _clamped_frac(v: Column, lo: float, span: float) -> Column:
 
 def geohash_encode(lon, lat, precision=12) -> Column:
     """CH geohashEncode(longitude, latitude[, precision]) -> base-32
-    geohash string. Closed form: global bit g is binary digit g/2 of
-    the longitude (even g) or latitude (odd g) fraction; each
-    character packs five bits. Pure per-element arithmetic — no fold
-    state, so the interpreted-HOF cost stays linear and small."""
-    p = (
-        precision
-        if isinstance(precision, Column)
-        else F.lit(int(precision))
-    ).cast("int")
-    # CH clamps precision to [1, 12]
-    p = F.greatest(F.lit(1), F.least(F.lit(12), p))
+    geohash string.
+
+    Literal precision (the overwhelmingly common spelling — CH clamps
+    to [1, 12]) takes the STATIC path: the longitude/latitude
+    fractions scale once to nlon/nlat-bit integers (scaling by a
+    power of two is exact in IEEE, so the bits equal the per-bit
+    closed form floor(frac·2^(k+1)) mod 2 — floor(floor(x)/m) =
+    floor(x/m)), and every character unrolls to shift/mask
+    arithmetic: zero higher-order functions, whole-stage codegen.
+    A Column precision falls back to the per-bit fold."""
+    if not isinstance(precision, Column):
+        return _geohash_encode_static(
+            lon, lat, min(12, max(1, int(precision)))
+        )
+    p = F.greatest(F.lit(1), F.least(F.lit(12), precision.cast("int")))
     lonfrac = _clamped_frac(_d(lon), -180.0, 360.0)
     latfrac = _clamped_frac(_d(lat), -90.0, 180.0)
 
@@ -192,14 +196,82 @@ def geohash_encode(lon, lat, precision=12) -> Column:
     )
 
 
+def _geohash_encode_static(lon, lat, p: int) -> Column:
+    nbits = 5 * p
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    klon = F.floor(
+        _clamped_frac(_d(lon), -180.0, 360.0) * F.lit(float(2**nlon))
+    ).cast("long")
+    klat = F.floor(
+        _clamped_frac(_d(lat), -90.0, 180.0) * F.lit(float(2**nlat))
+    ).cast("long")
+
+    def bit(g: int) -> Column:
+        if g % 2 == 0:
+            return F.shiftrightunsigned(
+                klon, nlon - 1 - g // 2
+            ).bitwiseAND(F.lit(1))
+        return F.shiftrightunsigned(
+            klat, nlat - 1 - (g - 1) // 2
+        ).bitwiseAND(F.lit(1))
+
+    chars = []
+    for j in range(p):
+        idx = (
+            bit(5 * j) * 16
+            + bit(5 * j + 1) * 8
+            + bit(5 * j + 2) * 4
+            + bit(5 * j + 3) * 2
+            + bit(5 * j + 4)
+        )
+        chars.append(F.element_at(_b32_arr(), (idx + 1).cast("int")))
+    return F.concat(*chars)
+
+
+# Morton bit-compaction masks: keep even-position bits, then fold
+# them together in log2(64) mask-shift rounds (no per-bit loop).
+_MORTON_MASKS = (
+    0x3333333333333333,
+    0x0F0F0F0F0F0F0F0F,
+    0x00FF00FF00FF00FF,
+    0x0000FFFF0000FFFF,
+    0x00000000FFFFFFFF,
+)
+
+
+def _compact_even_bits(x: Column) -> Column:
+    """Compact the even-position bits of a 64-bit pattern into the low
+    half — the classic Morton deinterleave, 6 mask-shift rounds. Each
+    round is LET-bound: the rounds reference their input twice, so
+    unbound chaining doubles the expression tree per round."""
+    def _round(shift: int, mask: int):
+        def step(v: Column) -> Column:
+            return v.bitwiseOR(
+                F.shiftrightunsigned(v, shift)
+            ).bitwiseAND(F.lit(mask))
+
+        return step
+
+    out = x.bitwiseAND(F.lit(0x5555555555555555))
+    for i, mask in enumerate(_MORTON_MASKS):
+        out = _let(out, _round(1 << i, mask))
+    return out
+
+
 def geohash_decode(h) -> Column:
     """CH geohashDecode(s) -> (longitude, latitude) — the center of
     the geohash cell, tuple fields named "1"/"2" so tupleElement
-    resolves positionally (the sumMap convention). Closed form: the
-    interleaved bits split into the longitude/latitude integers
-    K_lon/K_lat; the center is lo + span·(K + 0.5)/2^nbits. The
-    per-char values are LET-bound so the fold reads a value, not a
-    re-evaluated split+lookup tree."""
+    resolves positionally (the sumMap convention).
+
+    Fast shape (round 7): the base-32 chars fold into ONE interleaved
+    bit integer N (<= 60 bits), padded to an even bit count, and the
+    longitude/latitude integers come out via Morton mask-shift
+    compaction — a constant number of codegen-friendly bit ops
+    instead of a per-bit pow() fold. The K integers are exactly the
+    per-bit sums the old fold produced (distinct powers of two sum
+    exactly in either representation), so the centers are
+    bit-identical."""
     s = F.lower(h if isinstance(h, Column) else F.lit(h))
     vals_expr = F.transform(
         # split('') yields a trailing empty string element; filter it
@@ -210,38 +282,40 @@ def geohash_decode(h) -> Column:
     def build(vals: Column) -> Column:
         nchars = F.size(vals)
         nbits = nchars * 5
-        nlon = ((nbits + 1) / 2).cast("int")  # even positions
+        nlon = ((nbits + 1) / 2).cast("int")  # even g positions
         nlat = (nbits / 2).cast("int")
+        pad = nbits % 2  # one zero LSB makes the bit count even
+        n_expr = F.aggregate(
+            vals,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc * 32 + v.cast("long"),
+        ) * F.when(pad == 1, F.lit(2)).otherwise(F.lit(1)).cast("long")
 
-        def gbit(g: Column) -> Column:
-            v = F.element_at(vals, (g / 5).cast("int") + 1)
-            return (
-                F.floor(
-                    v / F.pow(F.lit(2.0), (4 - g % 5).cast("double"))
-                ).cast("int")
-                % 2
+        def centers(n: Column) -> Column:
+            # with an even bit count, bit g=0 (longitude, MSB) sits at
+            # an ODD position; the pad bit lands in the latitude slot
+            # and divides out
+            klon = _compact_even_bits(F.shiftrightunsigned(n, 1))
+            klat_p = _compact_even_bits(n)
+            klat = F.when(
+                pad == 1, F.floor(klat_p / 2).cast("long")
+            ).otherwise(klat_p)
+            lon = F.lit(-180.0) + 360.0 * (
+                klon.cast("double") + 0.5
+            ) / F.pow(F.lit(2.0), nlon.cast("double"))
+            lat = F.lit(-90.0) + 180.0 * (
+                klat.cast("double") + 0.5
+            ) / F.pow(F.lit(2.0), nlat.cast("double"))
+            # the empty string decodes to the world center (0, 0)
+            return F.struct(
+                F.when(nchars == 0, F.lit(0.0))
+                .otherwise(lon)
+                .alias("1"),
+                F.when(nchars == 0, F.lit(0.0))
+                .otherwise(lat)
+                .alias("2"),
             )
 
-        def k_sum(parity: int, nk: Column) -> Column:
-            # Σ bit(g) · 2^(nk - 1 - g//2) over g ≡ parity (mod 2)
-            return F.aggregate(
-                F.sequence(F.lit(0), F.greatest(nk - 1, F.lit(0))),
-                F.lit(0.0),
-                lambda acc, t: acc
-                + gbit(2 * t + parity).cast("double")
-                * F.pow(F.lit(2.0), (nk - 1 - t).cast("double")),
-            )
-
-        lon = F.lit(-180.0) + 360.0 * (
-            k_sum(0, nlon) + 0.5
-        ) / F.pow(F.lit(2.0), nlon.cast("double"))
-        lat = F.lit(-90.0) + 180.0 * (
-            k_sum(1, nlat) + 0.5
-        ) / F.pow(F.lit(2.0), nlat.cast("double"))
-        # the empty string decodes to the world center (0, 0)
-        return F.struct(
-            F.when(nchars == 0, F.lit(0.0)).otherwise(lon).alias("1"),
-            F.when(nchars == 0, F.lit(0.0)).otherwise(lat).alias("2"),
-        )
+        return _let(n_expr, centers)
 
     return _let(vals_expr, build)

@@ -163,3 +163,120 @@ def shingle_hashes_duckdb(expr: str, n: int = 3) -> str:
 # Fixed literals so Spark and the SQL oracle share them verbatim.
 def minhash_params(k: int) -> list[tuple[int, int]]:
     return [(2 * i + 3, i * i + 12345 + i) for i in range(k)]
+
+
+# ------------------------------------------------------- CH int hashes
+#
+# CH's SAMPLE BY keys: intHash64 (fmix64 of x ^ seed;
+# src/Functions/FunctionsHashing.h IntHash64Impl) and intHash32
+# (Thomas Wang's 64->32 mix with CH's salt;
+# src/Common/HashTable/Hash.h intHash32<0x75D9543DE018BF45>). Both
+# need wrap-around mod-2^64 arithmetic, which ANSI long math refuses
+# (multiply/add overflow RAISES), so the wrapping ops run in
+# decimal(38,0): a 64-bit unsigned value times a 32-bit constant half
+# peaks at 2^96 < 10^38 — exact, no overflow, whole-stage codegen
+# (the same decimal trick the connected-components fixpoint uses).
+# Bitwise xor/shift/or stay in plain long (bit-pattern ops never
+# overflow).
+
+import decimal as _decimal
+
+_D64 = _decimal.Decimal(2**64)
+_D63 = _decimal.Decimal(2**63)
+_D32 = _decimal.Decimal(2**32)
+_DEC38 = "decimal(38,0)"
+
+
+def _u_dec(x: Column) -> Column:
+    """Signed-long bit pattern -> its unsigned value in decimal(38,0)."""
+    d = x.cast(_DEC38)
+    return F.when(x < 0, d + F.lit(_D64)).otherwise(d)
+
+
+def _s_long(d: Column) -> Column:
+    """Unsigned value in [0, 2^64) -> the signed-long bit pattern."""
+    return F.when(d >= F.lit(_D63), d - F.lit(_D64)).otherwise(d).cast("long")
+
+
+def _mul_mod64(x: Column, c: int) -> Column:
+    """x * c mod 2^64 over signed-long bit patterns (ANSI-safe).
+
+    a*c mod 2^64 = (a*cl + (a*ch mod 2^32)*2^32) mod 2^64 with
+    c = ch*2^32 + cl — each decimal intermediate <= 2^96."""
+    cl, ch = c & 0xFFFFFFFF, (c >> 32) & 0xFFFFFFFF
+    a = _u_dec(x)
+    low = a * F.lit(_decimal.Decimal(cl))
+    parts = low
+    if ch:
+        high = F.pmod(a * F.lit(_decimal.Decimal(ch)), F.lit(_D32)) * F.lit(
+            _D32
+        )
+        parts = low + high
+    return _s_long(F.pmod(parts, F.lit(_D64)))
+
+
+def _add_mod64(x: Column, y: Column) -> Column:
+    """x + y mod 2^64 over signed-long bit patterns (ANSI-safe)."""
+    return _s_long(F.pmod(_u_dec(x) + _u_dec(y), F.lit(_D64)))
+
+
+def _ushr(x: Column, n: int) -> Column:
+    return F.shiftrightunsigned(x, n)
+
+
+def _let_chain(seed: Column, steps) -> Column:
+    """Thread ``seed`` through ``steps`` with each intermediate bound
+    ONCE as a lambda variable (transform over a 1-element array).
+    Without the binds, every step that references its input k times
+    multiplies the expression tree k-fold — the 8-step Wang mix grows
+    to a ~100 MiB task binary. Bound lambda variables are O(1) slots,
+    so the tree stays linear in the step count."""
+    if not steps:
+        return seed
+    head, *rest = steps
+    return F.element_at(
+        F.transform(
+            F.array(seed), lambda h: _let_chain(head(h), rest)
+        ),
+        1,
+    )
+
+
+def int_hash64(x: Column) -> Column:
+    """CH intHash64(UInt64) — fmix64(x ^ 0x4CF2D2BAAE6DA887), returned
+    as the signed-long BIT PATTERN of CH's UInt64 (the engine-wide
+    UInt64 convention)."""
+    seed = x.cast("long").bitwiseXOR(F.lit(0x4CF2D2BAAE6DA887))
+    return _let_chain(
+        seed,
+        [
+            lambda h: h.bitwiseXOR(_ushr(h, 33)),
+            lambda h: _mul_mod64(h, 0xFF51AFD7ED558CCD),
+            lambda h: h.bitwiseXOR(_ushr(h, 33)),
+            lambda h: _mul_mod64(h, 0xC4CEB9FE1A85EC53),
+            lambda h: h.bitwiseXOR(_ushr(h, 33)),
+        ],
+    )
+
+
+def int_hash32(x: Column) -> Column:
+    """CH intHash32(UInt64) -> UInt32: Wang's 64->32 mix over
+    x ^ 0x75D9543DE018BF45, truncated to the low 32 bits (returned as
+    a non-negative long, CH UInt32 widened)."""
+    seed = x.cast("long").bitwiseXOR(F.lit(0x75D9543DE018BF45))
+    return _let_chain(
+        seed,
+        [
+            lambda k: _add_mod64(F.bitwise_not(k), F.shiftleft(k, 18)),
+            lambda k: k.bitwiseXOR(
+                _ushr(k, 31).bitwiseOR(F.shiftleft(k, 33))
+            ),
+            lambda k: _mul_mod64(k, 21),
+            lambda k: k.bitwiseXOR(_ushr(k, 11)),
+            lambda k: _add_mod64(k, F.shiftleft(k, 6)),
+            lambda k: k.bitwiseXOR(_ushr(k, 22)),
+            lambda k: k.bitwiseAND(F.lit(0xFFFFFFFF)),
+        ],
+    )
+
+

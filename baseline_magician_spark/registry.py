@@ -87,8 +87,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard_pairs",
     "similarity_topk_cosine",
     "dedup_minhash_lsh_pairs",
-    # new round-7 queries land here as they register (5 slots held —
+    # new round-7 queries land here as they register (slots held —
     # the len <= 50 pin forces a stale-name trade for each extra one)
+    "ch_sql_sampling_hashes",
     # r3-stale rotation (oldest remaining driver rows, diverse ops)
     "ch_sql_array_join_tokens",
     "ch_sql_array_lambdas",
