@@ -3860,3 +3860,216 @@ CH_FUNCTIONS.update(
         "notLike": lambda s, p: ~F.like(_as_col(s), _as_col(p)),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 function tranche: map ordering, Lp norms, the text-similarity
+# fingerprint spellings (ngram/wordShingle Sim/MinHash — poly-hash
+# carriers, bucketing-compatible stand-ins like the sipHash family; CH
+# uses CityHash inside), detectLanguage as the engine's marker-token
+# heuristic (CH gates the real one behind CLD2 models), A/B-test
+# minimum-sample-size closed forms, and three more 64-bit string-hash
+# stand-ins.
+# ---------------------------------------------------------------------------
+
+
+def _char_ngrams(s, n: int) -> Column:
+    c = _as_col(s)
+    return F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _fingerprint_hashes(s, n, word: bool) -> Column:
+    from ..functions.hashing import poly_hash, token_shingles
+
+    nn = int(float(str(n)))
+    if nn < 1:
+        raise ValueError("shingle/ngram size must be >= 1")
+    grams = (
+        token_shingles(_as_col(s), nn) if word else _char_ngrams(s, nn)
+    )
+    return F.transform(grams, lambda g: poly_hash(g))
+
+
+def _mk_simhash(word: bool):
+    def build(s, n=3) -> Column:
+        from ..operators.dedup import simhash_of_hashes
+
+        return simhash_of_hashes(_fingerprint_hashes(s, n, word), 30)
+
+    return build
+
+
+def _mk_minhash(word: bool):
+    def build(s, n=3, hashnum=6) -> Column:
+        """(combined hash of the hashnum SMALLEST distinct gram
+        hashes, combined of the hashnum LARGEST) — CH's ngramMinHash
+        tuple shape over the engine's poly-hash carrier. The combine
+        is the minhash-band fold (seed 7, ·31 + h mod POLY_MOD)."""
+        from ..functions.hashing import POLY_MOD
+
+        k = int(float(str(hashnum)))
+
+        def combine(arr: Column) -> Column:
+            return F.aggregate(
+                arr,
+                F.lit(7).cast("long"),
+                lambda acc, h: (acc * 31 + h) % F.lit(POLY_MOD),
+            )
+
+        hashes = F.array_sort(
+            F.array_distinct(_fingerprint_hashes(s, n, word))
+        )
+        return _let_once(
+            hashes,
+            lambda hs: F.struct(
+                combine(F.slice(hs, 1, F.least(F.size(hs), F.lit(k))))
+                .alias("1"),
+                combine(
+                    F.reverse(
+                        F.slice(
+                            F.reverse(hs),
+                            1,
+                            F.least(F.size(hs), F.lit(k)),
+                        )
+                    )
+                ).alias("2"),
+            ),
+        )
+
+    return build
+
+
+def _detect_language(s) -> Column:
+    """Marker-token argmax over LANG_MARKERS (operators/text) — the
+    SAME heuristic text_language_id serves; 'und' when no marker
+    hits. CH's detectLanguage needs compiled CLD2 models; this is the
+    documented model-free stand-in."""
+    from ..functions.hashing import tokens
+    from ..operators.text import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+
+    def _marker_test(markers: tuple):
+        arr = F.array(*[F.lit(x) for x in markers])
+
+        def test(t: Column) -> Column:
+            return F.array_contains(arr, F.lower(t))
+
+        return test
+
+    def with_toks(toks: Column) -> Column:
+        scores = F.array(
+            *[
+                F.size(F.filter(toks, _marker_test(tuple(ms))))
+                for ms in LANG_MARKERS.values()
+            ]
+        )
+
+        def with_scores(sc: Column) -> Column:
+            best = F.array_max(sc)
+            expr: Column = F.lit("und")
+            for i in reversed(range(len(langs))):
+                expr = F.when(
+                    F.element_at(sc, i + 1) == best, F.lit(langs[i])
+                ).otherwise(expr)
+            return F.when(best <= 0, F.lit("und")).otherwise(expr)
+
+        return _let_once(scores, with_scores)
+
+    return _let_once(tokens(_as_col(s)), with_toks)
+
+
+def _min_sample_size_conversion(baseline, mde, power, alpha) -> Column:
+    """CH minSampleSizeConversion(baseline, mde, power, alpha) ->
+    (minimum_sample_size, detect_range_lower, detect_range_upper):
+    two-proportion z-test sizing, n = (z_{1-α/2} + z_{power})² ·
+    (p1(1-p1) + p2(1-p2)) / mde² with p2 = p1 + mde. Literal
+    arguments (the CH calling convention) -> a plan literal."""
+    from .stats_tests import _norm_ppf
+
+    p1 = float(str(baseline))
+    d = float(str(mde))
+    pw = float(str(power))
+    al = float(str(alpha))
+    z = _norm_ppf(1.0 - al / 2.0) + _norm_ppf(pw)
+    p2 = p1 + d
+    n = z * z * (p1 * (1 - p1) + p2 * (1 - p2)) / (d * d)
+    return F.struct(
+        F.lit(n).alias("1"),
+        F.lit(p1 - d).alias("2"),
+        F.lit(p1 + d).alias("3"),
+    )
+
+
+def _min_sample_size_continuous(baseline, sigma, mde, power, alpha) -> Column:
+    """CH minSampleSizeContinous: two-mean z sizing with RELATIVE mde,
+    n = 2(z_{1-α/2} + z_{power})²·σ² / (baseline·mde)²."""
+    from .stats_tests import _norm_ppf
+
+    b = float(str(baseline))
+    sg = float(str(sigma))
+    d = float(str(mde))
+    pw = float(str(power))
+    al = float(str(alpha))
+    z = _norm_ppf(1.0 - al / 2.0) + _norm_ppf(pw)
+    n = 2.0 * z * z * sg * sg / (b * d * b * d)
+    return F.struct(
+        F.lit(n).alias("1"),
+        F.lit(b * (1 - d)).alias("2"),
+        F.lit(b * (1 + d)).alias("3"),
+    )
+
+
+def _lp_norm(v, p) -> Column:
+    pf = float(str(p))
+    if pf <= 0:
+        raise ValueError("LpNorm needs p > 0")
+    return F.pow(
+        F.aggregate(
+            F.transform(
+                _as_col(v),
+                lambda x: F.pow(F.abs(x.cast("double")), F.lit(pf)),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        F.lit(1.0 / pf),
+    )
+
+
+CH_FUNCTIONS.update(
+    {
+        "mapSort": lambda m: F.map_from_entries(
+            F.array_sort(F.map_entries(_as_col(m)))
+        ),
+        "mapReverseSort": lambda m: F.map_from_entries(
+            F.reverse(F.array_sort(F.map_entries(_as_col(m))))
+        ),
+        "LpNorm": _lp_norm,
+        "detectLanguage": _detect_language,
+        "ngramSimHash": _mk_simhash(word=False),
+        "wordShingleSimHash": _mk_simhash(word=True),
+        "ngramMinHash": _mk_minhash(word=False),
+        "wordShingleMinHash": _mk_minhash(word=True),
+        "minSampleSizeConversion": _min_sample_size_conversion,
+        "minSampleSizeContinous": _min_sample_size_continuous,
+        # CH spells it without the 'u'; accept the corrected form too
+        "minSampleSizeContinuous": _min_sample_size_continuous,
+        # bucketing-compatible 64-bit stand-ins (the sipHash64 policy)
+        "wyHash64": lambda *cs: F.xxhash64(
+            F.lit("wy"), *[_as_col(c) for c in cs]
+        ),
+        "gccMurmurHash": lambda *cs: F.xxhash64(
+            F.lit("gcc"), *[_as_col(c) for c in cs]
+        ),
+        "kafkaMurmurHash": lambda *cs: F.xxhash64(
+            F.lit("kafka"), *[_as_col(c) for c in cs]
+        ),
+    }
+)

@@ -63,21 +63,28 @@ def _two_sided_p(z: Column) -> Column:
 
 def simple_linear_regression(x, y) -> Column:
     """CH simpleLinearRegression(x, y) -> (k, b) least-squares line.
-    Closed form over five plain sums — fully map-side partialable."""
+    Closed form over five plain sums — fully map-side partialable.
+    Degenerate groups (n < 2 or constant x) return NULL fields: ANSI
+    double division RAISES on /0 in Spark 4, and NULL is what the
+    DuckDB regr_* twins produce for the same inputs."""
     x, y = _d(x), _d(y)
     n = F.count(x).cast("double")
     sx, sy = F.sum(x), F.sum(y)
     sxx, sxy = F.sum(x * x), F.sum(x * y)
-    k = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    b = (sy - k * sx) / n
+    den = n * sxx - sx * sx
+    k_expr = (n * sxy - sx * sy) / den
+    k = F.when(den != 0.0, k_expr)
+    b = F.when(den != 0.0, (sy - k_expr * sx) / n)
     return F.struct(k.alias("k"), b.alias("b"))
 
 
 def bounding_ratio(x, y) -> Column:
     """CH boundingRatio: slope of the bounding box, (max y - min y) /
-    (max x - min x)."""
+    (max x - min x); NULL when the x span is zero (ANSI-safe — CH's
+    float path yields inf/nan there, but Spark 4 RAISES on /0)."""
     x, y = _d(x), _d(y)
-    return (F.max(y) - F.min(y)) / (F.max(x) - F.min(x))
+    span = F.max(x) - F.min(x)
+    return F.when(span != 0.0, (F.max(y) - F.min(y)) / span)
 
 
 def entropy_agg(x) -> Column:
@@ -519,9 +526,21 @@ def kolmogorov_smirnov_test(v, idx, *params) -> Column:
 
             return _let(lam_expr, from_lam)
 
-        return _let(
-            F.aggregate(F.sequence(F.lit(1), n), acc0, step)["d"],
-            from_d,
+        # one empty sample (or an all-NULL tape) leaves the test
+        # undefined: NULL struct, not an ANSI /0 or a sequence(1, 0)
+        # descent — the When keeps the fold out of the evaluated
+        # branch for those groups
+        return F.when(
+            (n0 > 0) & (n1 > 0),
+            _let(
+                F.aggregate(F.sequence(F.lit(1), n), acc0, step)["d"],
+                from_d,
+            ),
+        ).otherwise(
+            F.struct(
+                F.lit(None).cast("double").alias("d_statistic"),
+                F.lit(None).cast("double").alias("p_value"),
+            )
         )
 
     return _let(tape_expr, build)

@@ -157,6 +157,13 @@ def simhash(text_col: str, bits: int = 30) -> Column:
     # the canonical cross-engine hash — NOT re-implemented inline, so
     # simhash can never drift from hashing.poly_hash/its DuckDB twin
     tok_hashes = F.transform(tokens(text_col), lambda t: poly_hash(t))
+    return simhash_of_hashes(tok_hashes, bits)
+
+
+def simhash_of_hashes(tok_hashes: Column, bits: int = 30) -> Column:
+    """The SimHash vote fold over an arbitrary array<long> of feature
+    hashes — the seam the CH ngramSimHash / wordShingleSimHash
+    spellings share with the dedup operator above."""
     bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
     votes = F.aggregate(
         tok_hashes,

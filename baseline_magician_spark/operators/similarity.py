@@ -816,3 +816,99 @@ def ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# -------------------------------------------------- int8 quantization
+
+
+def int8_quantize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale =
+    max|x|/127, q_i = floor(x_i/scale + 0.5) (explicit half-up — the
+    one rounding spelling Spark and DuckDB share bit-for-bit).
+
+    Output: (id, scale double, qvec array<int>). At 100 TB this is
+    the serving-corpus compaction step — 4x smaller than float32, and
+    downstream scoring is integer arithmetic; computed map-side in one
+    projection (the scale is a materialized column, NOT a subtree, so
+    the per-element lambda reads a slot instead of re-evaluating the
+    array max per element)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    with_scale = embeddings.select(
+        F.col(id_col).alias("_qid"),
+        v.alias("_v"),
+        (
+            F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+        ).alias("scale"),
+    )
+    qvec = F.when(
+        F.col("scale") == 0.0,
+        F.transform(F.col("_v"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(x / F.col("scale") + 0.5).cast("int"),
+        )
+    )
+    return with_scale.select(
+        F.col("_qid").alias(id_col), "scale", qvec.alias("qvec")
+    )
+
+
+def int8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k by quantized dot product: score =
+    (Σ qa_i·qb_i) · scale_a · scale_b — the integer sum is EXACT in
+    both engines, the two scale multiplies are the only floats, so
+    the ranking replays bit-identically in a SQL oracle.
+
+    Output: (query_id, neighbor_id, q_score, rank). Same shape as
+    brute_force_topk: corpus × broadcast(query set), ranked per query
+    by (rounded score desc, neighbor id). The quantized corpus is the
+    thing you'd PERSIST at scale — the scan reads 1/4 the bytes and
+    the hot loop is int multiply-add."""
+    from pyspark.sql import Window as W
+
+    qq = int8_quantize(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("scale").alias("_qs"),
+        F.col("qvec").alias("_qq"),
+    )
+    cc = int8_quantize(embeddings, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("scale").alias("_cs"),
+        F.col("qvec").alias("_cq"),
+    )
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("_qq"), F.col("_cq"), lambda a, b: (a * b).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = (
+        cc.crossJoin(F.broadcast(qq))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                idot.cast("double") * F.col("_qs") * F.col("_cs"), 6
+            ).alias("q_score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("q_score"), F.asc("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

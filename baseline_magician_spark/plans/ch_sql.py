@@ -1005,6 +1005,18 @@ _LITERAL_ARG_POSITIONS = {
     # round-6k tranche: delimiter/count literals
     "substringindex": {1, 2},
     "substring_index": {1, 2},
+    # round-7 tranche: geohash precision unlocks the static unrolled
+    # encoder; Lp exponent, gram sizes / hash counts, and the A/B
+    # sizing parameters are all plan literals by definition
+    "geohashencode": {2},
+    "lpnorm": {1},
+    "ngramsimhash": {1},
+    "wordshinglesimhash": {1},
+    "ngramminhash": {1, 2},
+    "wordshingleminhash": {1, 2},
+    "minsamplesizeconversion": {0, 1, 2, 3},
+    "minsamplesizecontinous": {0, 1, 2, 3, 4},
+    "minsamplesizecontinuous": {0, 1, 2, 3, 4},
 }
 
 # CH accepts BARE unit identifiers in these positions too —

@@ -3626,3 +3626,139 @@ def _sampling_hash_oracle() -> str:
 @query("ch_sql_sampling_hashes", _sampling_hash_oracle())
 def ch_sql_sampling_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_SAMPLING_HASH_SQL, _tables(spark, sf_dir, "events"))
+
+
+# Round-7 function tranche end-to-end: map ordering digests, LpNorm,
+# the marker-heuristic detectLanguage, the ngram/wordShingle
+# Sim/MinHash fingerprint spellings (poly-hash carriers — the oracle
+# replays the identical vote fold / k-min combine through the shared
+# DuckDB helpers), and the A/B minimum-sample-size closed forms (the
+# z-quantile is a plan literal computed once in Python and spliced
+# into BOTH engines, so the arithmetic replays exactly). Char-gram
+# fingerprints run on a fixed text prefix: the vote fold is
+# O(grams x bits) per row and the prefix keeps the oracle row cheap
+# without losing any code path.
+def _round7_oracle() -> str:
+    from ..functions.hashing import (
+        POLY_MOD,
+        poly_hash_duckdb,
+        token_shingles_duckdb,
+        tokens_duckdb,
+    )
+    from ..functions.stats_tests import _norm_ppf
+    from ..operators.text import LANG_MARKERS
+
+    z = _norm_ppf(1.0 - 0.05 / 2.0) + _norm_ppf(0.8)
+    conv = f"{z!r} * {z!r} * (0.25 * 0.75 + 0.30 * 0.70) / (0.05 * 0.05)"
+    cont = f"2 * {z!r} * {z!r} * 10.0 * 10.0 / (100.0 * 0.05 * 100.0 * 0.05)"
+
+    def simhash_sql(grams: str) -> str:
+        h = poly_hash_duckdb("g")
+        return f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(0, 30), j ->
+            CASE WHEN (
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform({grams}, g ->
+                  CASE WHEN (({h}) >> j) % 2 = 1
+                       THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                (a, b) -> a + b) >= 0
+            ) THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+          (a, b) -> a + b)"""
+
+    def minhash_sql(grams: str, k: int, which: str) -> str:
+        h = poly_hash_duckdb("g")
+        hs = f"list_sort(list_distinct(list_transform({grams}, g -> {h})))"
+        if which == "lo":
+            sl = f"({hs})[1 : {k}]"
+        else:
+            sl = (
+                f"({hs})[greatest(len({hs}) - {k} + 1, 1) : len({hs})]"
+            )
+        return (
+            f"list_reduce(list_prepend(CAST(7 AS BIGINT), {sl}), "
+            f"(a, h) -> (a * 31 + h) % {POLY_MOD})"
+        )
+
+    def char_grams(src: str, n: int) -> str:
+        return (
+            f"CASE WHEN length({src}) >= {n} THEN "
+            f"list_transform(range(1, length({src}) - {n} + 2), "
+            f"i -> substring({src}, i, {n})) "
+            f"ELSE CAST([] AS VARCHAR[]) END"
+        )
+
+    langs = list(LANG_MARKERS)
+    score_exprs = []
+    tok_p = tokens_duckdb("substring(text, 1, 200)")
+    for la, ms in LANG_MARKERS.items():
+        mk = ", ".join(f"'{m}'" for m in ms)
+        score_exprs.append(
+            f"len(list_filter({tok_p}, x -> list_contains([{mk}],"
+            f" lower(x)))) AS score_{la}"
+        )
+    best = "greatest(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    case = "'und'"
+    for la in reversed(langs):
+        case = (
+            f"CASE WHEN score_{la} = {best} THEN '{la}' ELSE {case} END"
+        )
+    ng = char_grams("substring(text, 1, 120)", 3)
+    wg = token_shingles_duckdb("substring(text, 1, 200)", 2)
+    return f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             doc_id % 5 AS d5, doc_id % 3 AS d3,
+             {", ".join(score_exprs)}
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+      'a,z' AS msk,
+      CAST(d3 AS VARCHAR) || ',' || CAST(d5 AS VARCHAR) AS msv,
+      round(pow(pow(abs(CAST(d3 AS DOUBLE)), 3.0)
+                + pow(abs(CAST(d5 AS DOUBLE)), 3.0)
+                + pow(2.0, 3.0), 1.0/3.0), 6) AS lp3,
+      CASE WHEN {best} <= 0 THEN 'und' ELSE {case} END AS dl,
+      {simhash_sql(ng)} AS nsh,
+      {simhash_sql(wg)} AS wsh,
+      {minhash_sql(ng, 6, "lo")} AS nmh_lo,
+      {minhash_sql(ng, 6, "hi")} AS nmh_hi,
+      {minhash_sql(wg, 4, "lo")} AS wmh_lo,
+      round({conv}, 4) AS mss_conv,
+      round({cont}, 4) AS mss_cont
+    FROM s
+    ORDER BY doc_id
+    LIMIT 200
+    """
+
+
+_ROUND7_SQL = """
+SELECT doc_id,
+  arrayStringConcat(mapKeys(mapSort(
+    map('z', doc_id % 5, 'a', doc_id % 3))), ',') AS msk,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    mapValues(mapSort(map('z', doc_id % 5, 'a', doc_id % 3)))), ',')
+    AS msv,
+  round(LpNorm([toFloat64(doc_id % 3), toFloat64(doc_id % 5), 2.0],
+               3), 6) AS lp3,
+  detectLanguage(substring(text, 1, 200)) AS dl,
+  ngramSimHash(substring(text, 1, 120)) AS nsh,
+  wordShingleSimHash(substring(text, 1, 200), 2) AS wsh,
+  tupleElement(ngramMinHash(substring(text, 1, 120)), 1) AS nmh_lo,
+  tupleElement(ngramMinHash(substring(text, 1, 120)), 2) AS nmh_hi,
+  tupleElement(wordShingleMinHash(substring(text, 1, 200), 2, 4), 1)
+    AS wmh_lo,
+  round(tupleElement(
+    minSampleSizeConversion(0.25, 0.05, 0.8, 0.05), 1), 4) AS mss_conv,
+  round(tupleElement(
+    minSampleSizeContinous(100.0, 10.0, 0.05, 0.8, 0.05), 1), 4)
+    AS mss_cont
+FROM fastnetmon.documents
+WHERE doc_id % 7 = 0
+ORDER BY doc_id
+LIMIT 200
+"""
+
+
+@query("ch_sql_round7_functions", _round7_oracle())
+def ch_sql_round7_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_ROUND7_SQL, _tables(spark, sf_dir, "documents"))

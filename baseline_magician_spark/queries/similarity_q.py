@@ -603,3 +603,68 @@ def similarity_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------- int8 quantized top-k
+
+_Q8 = """
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+"""
+
+
+def _int8_topk_oracle() -> str:
+    # q_i = floor(x_i/scale + 0.5): explicit half-up, the one rounding
+    # spelling both engines share; the int dot is exact, the two scale
+    # multiplies are the only floats
+    qvec = (
+        "CASE WHEN scale = 0 THEN list_transform(v, x -> 0) "
+        "ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))"
+        " END"
+    )
+    idot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_zip(q.qv, c.qv), "
+        "s -> CAST(s[1] AS BIGINT) * CAST(s[2] AS BIGINT))), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+    WITH base AS ({_Q8}),
+    quant AS (
+      SELECT vec_id, scale, {qvec} AS qv FROM base
+    ),
+    q AS (
+      SELECT vec_id AS query_id, scale AS qs, qv FROM quant
+      WHERE vec_id < {N_QUERY_VECS}
+    ),
+    sims AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(CAST({idot} AS DOUBLE) * q.qs * c.scale, 6)
+               AS q_score
+      FROM quant c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, q_score, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY q_score DESC, neighbor_id
+      ) AS INT) AS rank FROM sims
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query("similarity_int8_topk", _int8_topk_oracle())
+def similarity_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized ANN serving path: symmetric per-vector int8 corpus,
+    scores from the exact integer dot rescaled by the two per-vector
+    scales (operators/similarity.int8_quantize/int8_topk). The
+    float32 corpus never reaches the scoring join — at 100 TB the
+    quantized relation is the persisted serving copy (4x fewer bytes
+    scanned) and the hot loop is integer multiply-add."""
+    from ..operators.similarity import int8_topk
+
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return int8_topk(emb, queries, k=TOP_K)

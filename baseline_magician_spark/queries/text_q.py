@@ -947,3 +947,112 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_for_compute(spark, sf_dir, "documents")
     return token_entropy(docs).orderBy("grp")
+
+
+# ------------------------------------------- interpolated bigram LM
+
+LM_LAMBDA = 0.7       # bigram weight; (1-λ) falls back to unigram
+LM_SCALE = 1_000_000  # integer micro-nats (the DSIR exactness trick)
+
+
+def _bigram_lm_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {_TOK} AS a FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(a) AS tok FROM base
+    ),
+    uni AS (
+      SELECT tok, count(*) AS cw FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS total FROM uni),
+    bg AS (
+      SELECT doc_id, a[i] AS prev, a[i + 1] AS tok
+      FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM base)
+    ),
+    bgc AS (
+      SELECT prev, tok, count(*) AS cbg FROM bg GROUP BY prev, tok
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(round({LM_SCALE} * ln(
+               {LM_LAMBDA} * (bgc.cbg / up.cw)
+               + {1.0 - LM_LAMBDA} * (uw.cw / tot.total)
+             )) AS BIGINT) AS term
+      FROM bg
+      JOIN bgc ON bgc.prev = bg.prev AND bgc.tok = bg.tok
+      JOIN uni up ON up.tok = bg.prev
+      JOIN uni uw ON uw.tok = bg.tok
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(-sum(term) AS BIGINT) AS nll_micro,
+           round(CAST(-sum(term) AS DOUBLE)
+                 / ({LM_SCALE} * count(*)), 6) AS avg_nll
+    FROM scored
+    GROUP BY doc_id
+    """
+
+
+@query("text_bigram_lm_scores", _bigram_lm_oracle())
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM document scoring — the KenLM-shaped
+    quality filter one rung above the unigram scorer: per scored
+    token, -ln(λ·P(w|prev) + (1-λ)·P(w)) with both distributions
+    trained ON the corpus, summed per document in integer micro-nats
+    (each term rounds to a BIGINT before the sum, so the cross-engine
+    result is exact regardless of fold order — the DSIR design).
+
+    Plan shape: bigrams come from the token ARRAY map-side (zip of
+    the array with its own tail — no per-doc window sort); the
+    unigram table is vocab-sized and broadcasts; the bigram-count
+    join shuffles on (prev, tok) — at 100 TB that relation is
+    heavy-tailed but bounded by observed bigram vocabulary, and the
+    join key is uniform under hashing. One corpus re-group on doc_id
+    at the end."""
+    from ..functions.hashing import tokens
+
+    docs = load_for_compute(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("a"))
+    toks = base.select("doc_id", F.explode("a").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cw"))
+    total = uni.agg(F.sum("cw").cast("double").alias("total"))
+    n1 = F.greatest(F.size("a") - 1, F.lit(0))
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("a", 1, n1),
+                F.slice("a", 2, n1),
+                lambda p, t: F.struct(p.alias("prev"), t.alias("tok")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.prev", "b.tok")
+    bgc = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cbg"))
+    up = uni.select(F.col("tok").alias("prev"), F.col("cw").alias("cp"))
+    term = F.round(
+        F.lit(float(LM_SCALE))
+        * F.log(
+            F.lit(LM_LAMBDA) * (F.col("cbg") / F.col("cp"))
+            + F.lit(1.0 - LM_LAMBDA) * (F.col("cw") / F.col("total"))
+        )
+    ).cast("long")
+    return (
+        bg.join(bgc, ["prev", "tok"])
+        .join(F.broadcast(up), "prev")
+        .join(F.broadcast(uni), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("term")).cast("long").alias("nll_micro"),
+            F.round(
+                (-F.sum("term")).cast("double")
+                / (F.lit(float(LM_SCALE)) * F.count(F.lit(1))),
+                6,
+            ).alias("avg_nll"),
+        )
+    )

@@ -90,6 +90,9 @@ _PRIORITY: tuple[str, ...] = (
     # new round-7 queries land here as they register (slots held —
     # the len <= 50 pin forces a stale-name trade for each extra one)
     "ch_sql_sampling_hashes",
+    "similarity_int8_topk",
+    "text_bigram_lm_scores",
+    "ch_sql_round7_functions",
     # r3-stale rotation (oldest remaining driver rows, diverse ops)
     "ch_sql_array_join_tokens",
     "ch_sql_array_lambdas",

@@ -1,0 +1,125 @@
+"""Round-7 tranche: map ordering, LpNorm, fingerprint spellings,
+minimum-sample-size closed forms — plus the degenerate-input guards
+for kolmogorovSmirnovTest / simpleLinearRegression / boundingRatio
+(Spark 4 ANSI raises on double /0, so degenerate groups must return
+NULL, never crash the query)."""
+
+from __future__ import annotations
+
+import math
+
+from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+
+def _one(spark, sql, **tables):
+    df = tables.pop("t", None)
+    if df is None:
+        df = spark.createDataFrame([(1,)], "i long")
+    return run_ch_query(sql, {"t": df}).collect()[0].r
+
+
+def test_map_sort(spark):
+    assert _one(
+        spark,
+        "SELECT arrayStringConcat(mapKeys(mapSort("
+        "map('c', 1, 'a', 3, 'b', 2))), ',') AS r FROM t",
+    ) == "a,b,c"
+    assert _one(
+        spark,
+        "SELECT arrayStringConcat(mapKeys(mapReverseSort("
+        "map('c', 1, 'a', 3, 'b', 2))), ',') AS r FROM t",
+    ) == "c,b,a"
+
+
+def test_lp_norm(spark):
+    assert _one(
+        spark, "SELECT LpNorm([3.0, 4.0], 2) AS r FROM t"
+    ) == 5.0
+    got = _one(spark, "SELECT LpNorm([1.0, -2.0, 2.0], 3) AS r FROM t")
+    assert abs(got - (1 + 8 + 8) ** (1 / 3)) < 1e-12
+
+
+def test_detect_language(spark):
+    d = run_ch_query(
+        "SELECT detectLanguage(s) AS r FROM t",
+        {
+            "t": _df(
+                spark,
+                [
+                    ("the cat and the dog is here",),
+                    ("el que la de los",),
+                    ("xyzzy plugh",),
+                ],
+            )
+        },
+    ).collect()
+    assert [r.r for r in d] == ["en", "es", "und"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "s string")
+
+
+def test_fingerprint_spellings_deterministic(spark):
+    d = run_ch_query(
+        "SELECT ngramSimHash(s) AS a, wordShingleSimHash(s, 2) AS b,"
+        " tupleElement(ngramMinHash(s), 1) AS lo,"
+        " tupleElement(ngramMinHash(s), 2) AS hi FROM t",
+        {"t": _df(spark, [("the cat and the dog",)] * 2)},
+    ).collect()
+    assert d[0] == d[1]
+    assert d[0].a >= 0 and d[0].lo >= 0 and d[0].hi >= 0
+
+
+def test_min_sample_size_closed_forms(spark):
+    from baseline_magician_spark.functions.stats_tests import _norm_ppf
+
+    z = _norm_ppf(1 - 0.05 / 2) + _norm_ppf(0.8)
+    conv = _one(
+        spark,
+        "SELECT tupleElement(minSampleSizeConversion("
+        "0.25, 0.05, 0.8, 0.05), 1) AS r FROM t",
+    )
+    want = z * z * (0.25 * 0.75 + 0.30 * 0.70) / 0.0025
+    assert math.isclose(conv, want, rel_tol=1e-12)
+    cont = _one(
+        spark,
+        "SELECT tupleElement(minSampleSizeContinous("
+        "100.0, 10.0, 0.05, 0.8, 0.05), 1) AS r FROM t",
+    )
+    assert math.isclose(cont, 2 * z * z * 100 / 25.0, rel_tol=1e-12)
+
+
+def test_degenerate_groups_return_null_not_crash(spark):
+    df1 = spark.createDataFrame([(1, 2.0)], "i long, d double")
+    got = run_ch_query(
+        "SELECT kolmogorovSmirnovTest(d, i % 2) AS ks,"
+        " simpleLinearRegression(i, d) AS slr,"
+        " boundingRatio(i, d) AS br FROM t",
+        {"t": df1},
+    ).collect()[0]
+    assert got.ks.d_statistic is None and got.ks.p_value is None
+    assert got.slr.k is None and got.slr.b is None
+    assert got.br is None
+
+    # all-NULL values: empty tape must not descend sequence(1, 0)
+    dfn = spark.createDataFrame([(None, 0), (None, 1)], "d double, g int")
+    got = run_ch_query(
+        "SELECT kolmogorovSmirnovTest(d, g) AS ks FROM t", {"t": dfn}
+    ).collect()[0]
+    assert got.ks.d_statistic is None
+
+
+def test_nondegenerate_still_computed(spark):
+    df = spark.createDataFrame(
+        [(float(i), i % 2) for i in range(40)], "d double, g int"
+    )
+    got = run_ch_query(
+        "SELECT kolmogorovSmirnovTest(d, g) AS ks,"
+        " simpleLinearRegression(g, d) AS slr,"
+        " boundingRatio(g, d) AS br FROM t",
+        {"t": df},
+    ).collect()[0]
+    assert got.ks.d_statistic is not None and got.ks.p_value > 0.9
+    assert math.isclose(got.slr.k, 1.0) and math.isclose(got.slr.b, 19.0)
+    assert got.br == 39.0
