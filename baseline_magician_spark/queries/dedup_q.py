@@ -664,3 +664,63 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         k=_DUP_SPANS_K,
     )
+
+
+def _leakage_safe_split_oracle() -> str:
+    from ..operators.sampling import split_assign_sql
+    from .sampling_q import SPLIT_FRACTIONS, SPLIT_SEED
+
+    assign = split_assign_sql("cluster_id", SPLIT_FRACTIONS, SPLIT_SEED)
+    return f"""{cc_closure_sql(_minhash_oracle())},
+    clusters AS (
+      SELECT node AS doc_id, min(label) AS cluster_id
+      FROM walk GROUP BY node
+    ),
+    keyed AS (
+      SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id, {assign} AS split FROM keyed
+    """
+
+
+@query("pipeline_leakage_safe_split", _leakage_safe_split_oracle())
+def pipeline_leakage_safe_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leakage-safe train/valid/test split: the hash split keys on the
+    NEAR-DUP CLUSTER id, not the document id, so every member of a
+    near-duplicate cluster lands on the same side of the split — the
+    guard real pipelines need so eval answers don't leak into train
+    through paraphrased copies. Singletons key on their own id.
+
+    Plan shape: the pair graph + pointer-jumping components are the
+    existing dedup machinery; the split itself is one narrow hashed
+    CASE over the (doc, cluster) frame — no extra shuffle beyond the
+    CC join."""
+    from ..operators.graph import connected_components
+    from ..operators.sampling import split_assign
+    from .sampling_q import SPLIT_FRACTIONS, SPLIT_SEED
+
+    docs = load_for_compute(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", k=K, rows_per_band=ROWS_PER_BAND,
+        shingle_n=SHINGLE_N,
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    keyed = (
+        docs.select("doc_id")
+        .join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    return keyed.select(
+        "doc_id",
+        "cluster_id",
+        split_assign(
+            F.col("cluster_id"), SPLIT_FRACTIONS, SPLIT_SEED
+        ).alias("split"),
+    )

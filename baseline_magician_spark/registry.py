@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_int8_topk",
     "text_bigram_lm_scores",
     "ch_sql_round7_functions",
+    "pipeline_leakage_safe_split",
     # r3-stale rotation (oldest remaining driver rows, diverse ops)
     "ch_sql_array_join_tokens",
     "ch_sql_array_lambdas",

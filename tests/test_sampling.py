@@ -142,3 +142,35 @@ def test_split_assignment_is_partition_invariant(spark):
     assert assignment(docs.repartition(3)) == base
     assert assignment(docs.repartition(17, "lang")) == base
     assert assignment(docs.coalesce(1)) == base
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """The leakage-safety invariant itself: every member of a near-dup
+    cluster gets the SAME split label, and the fractions still land
+    near the configured targets over cluster keys."""
+    from conftest import SF_ORACLE
+
+    from baseline_magician_spark.registry import get_queries
+
+    df = get_queries()["pipeline_leakage_safe_split"](
+        spark, SF_ORACLE
+    ).cache()
+    rows = df.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values()), {
+        c: s for c, s in by_cluster.items() if len(s) > 1
+    }
+    # some clusters have >1 member (else the query degenerates to the
+    # plain doc split and the invariant is vacuous)
+    sizes = {}
+    for r in rows:
+        sizes[r.cluster_id] = sizes.get(r.cluster_id, 0) + 1
+    assert max(sizes.values()) > 1
+    # split fractions over clusters: loose sanity (hash split)
+    from collections import Counter
+
+    c = Counter(next(iter(by_cluster[k])) for k in by_cluster)
+    total = sum(c.values())
+    assert 0.6 < c["train"] / total < 0.95
