@@ -1308,7 +1308,139 @@ def _gen_nonneg_derivative_pair(rng: random.Random) -> tuple[str, str]:
     return ch, duck
 
 
-N_PAIRED = 114
+def _gen_geohash_pair(rng: random.Random) -> tuple[str, str]:
+    # geohashEncode at a RANDOM literal precision 1..12 — odd p
+    # exercises the nlon != nlat leg of the round-7 static unrolled
+    # encoder; the DuckDB side is the closed-form bit formula (bit g
+    # of the hash = binary digit g//2 of the clamped fraction), same
+    # as the ch_sql_geo_functions oracle but parameterized over p.
+    p = rng.randint(1, 12)
+    m = rng.randint(3, 9)
+    w = _where(rng)
+    coords = (
+        "(event_id % 360) - 179.5 AS lon, "
+        "(user_id % 170) - 84.5 AS lat"
+    )
+    bitsum = []
+    for j in range(p):
+        terms = []
+        for b in range(5):
+            g = 5 * j + b
+            if g % 2 == 0:
+                frac, k = "((lon+180)/360)", g // 2
+            else:
+                frac, k = "((lat+90)/180)", (g - 1) // 2
+            terms.append(
+                f"(CAST(floor({frac} * {float(2 ** (k + 1))}) AS BIGINT)"
+                f" % 2) * {1 << (4 - b)}"
+            )
+        bitsum.append(
+            "substring('0123456789bcdefghjkmnpqrstuvwxyz', "
+            f"1 + CAST({' + '.join(terms)} AS INT), 1)"
+        )
+    gh_duck = " || ".join(bitsum)
+    ch = (
+        f"SELECT user_id % {m} AS k, "
+        f"min(geohashEncode(lon, lat, {p})) AS glo, "
+        f"max(geohashEncode(lon, lat, {p})) AS ghi "
+        f"FROM (SELECT {coords}, user_id FROM events{w}) "
+        f"GROUP BY k ORDER BY k"
+    )
+    duck = (
+        f"WITH c AS (SELECT {coords}, user_id FROM events{w}) "
+        f"SELECT user_id % {m} AS k, min({gh_duck}) AS glo, "
+        f"max({gh_duck}) AS ghi FROM c GROUP BY k ORDER BY k"
+    )
+    return ch, duck
+
+
+def _gen_int_hash_pair(rng: random.Random) -> tuple[str, str]:
+    # intHash32/intHash64 over a random input modulus; the DuckDB side
+    # replays the spec's wrap-around steps in HUGEINT through staged
+    # CTE columns (the ch_sql_sampling_hashes decomposition, fuzzed)
+    mod = rng.choice([97, 1009, 65536, 10**9])
+    m = rng.randint(3, 7)
+    w = _where(rng)
+    h64 = str(2**64)
+    h63 = str(2**63)
+    h32 = str(2**32)
+    m1l, m1h = 0xFF51AFD7ED558CCD & 0xFFFFFFFF, 0xFF51AFD7ED558CCD >> 32
+    m2l, m2h = 0xC4CEB9FE1A85EC53 & 0xFFFFFFFF, 0xC4CEB9FE1A85EC53 >> 32
+    ch = (
+        f"SELECT user_id % {m} AS k, "
+        f"sum(intHash32(user_id % {mod})) AS s32, "
+        f"min(intHash64(event_id % {mod})) AS h64 "
+        f"FROM events{w} GROUP BY k ORDER BY k"
+    )
+    duck = f"""
+    WITH b0 AS (
+      SELECT user_id % {m} AS k,
+             CAST(user_id % {mod} AS HUGEINT) AS xu,
+             CAST(event_id % {mod} AS HUGEINT) AS eu
+      FROM events{w}),
+    s0 AS (SELECT *, xor(eu, CAST({0x4CF2D2BAAE6DA887} AS HUGEINT)) AS a1,
+                  xor(xu, CAST({0x75D9543DE018BF45} AS HUGEINT)) AS c0 FROM b0),
+    s1 AS (SELECT *, xor(a1, a1 // 8589934592) AS a2,
+      (({h64} - 1 - c0) + (c0 * 262144) % {h64}) % {h64} AS c1 FROM s0),
+    s2 AS (SELECT *, ((a2 * {m1l}) + ((a2 * {m1h}) % {h32}) * {h32})
+        % {h64} AS a3,
+      xor(c1, (c1 // 2147483648) + (c1 * 8589934592) % {h64}) AS c2
+      FROM s1),
+    s3 AS (SELECT *, xor(a3, a3 // 8589934592) AS a4,
+      (c2 * 21) % {h64} AS c3 FROM s2),
+    s4 AS (SELECT *, ((a4 * {m2l}) + ((a4 * {m2h}) % {h32}) * {h32})
+        % {h64} AS a5,
+      xor(c3, c3 // 2048) AS c4 FROM s3),
+    s5 AS (SELECT *, xor(a5, a5 // 8589934592) AS a6,
+      (c4 + (c4 * 64) % {h64}) % {h64} AS c5 FROM s4),
+    s6 AS (SELECT *, xor(c5, c5 // 4194304) AS c6 FROM s5)
+    SELECT k, CAST(sum(c6 % {h32}) AS BIGINT) AS s32,
+           CAST(min(CASE WHEN a6 >= {h63} THEN a6 - {h64} ELSE a6 END)
+                AS BIGINT) AS h64
+    FROM s6 GROUP BY k ORDER BY k
+    """
+    return ch, duck
+
+
+def _gen_lpnorm_pair(rng: random.Random) -> tuple[str, str]:
+    # LpNorm at a random exponent + the A/B sizing closed forms; the
+    # group digests are exact picks (min/max), never fold-order floats
+    from baseline_magician_spark.functions.stats_tests import _norm_ppf
+
+    p = rng.randint(1, 4)
+    c1 = rng.randint(1, 9)
+    m = rng.randint(3, 7)
+    base = round(rng.uniform(0.1, 0.4), 2)
+    mde = round(rng.uniform(0.01, 0.1), 2)
+    w = _where(rng)
+    z = _norm_ppf(1.0 - 0.05 / 2.0) + _norm_ppf(0.8)
+    p2 = base + mde
+    n_conv = z * z * (base * (1 - base) + p2 * (1 - p2)) / (mde * mde)
+    ch = (
+        f"SELECT user_id % {m} AS k, "
+        f"round(min(LpNorm([value, value + {c1}.0, {c1}.0], {p})), 6)"
+        f" AS lo, "
+        f"round(max(LpNorm([value, value + {c1}.0, {c1}.0], {p})), 6)"
+        f" AS hi, "
+        f"round(tupleElement(minSampleSizeConversion({base}, {mde},"
+        f" 0.8, 0.05), 1), 4) AS mss "
+        f"FROM events{w} GROUP BY k ORDER BY k"
+    )
+    body = (
+        f"pow(pow(abs(value), {float(p)}) + pow(abs(value + {c1}.0),"
+        f" {float(p)}) + pow({float(c1)}, {float(p)}),"
+        f" {1.0 / p!r})"
+    )
+    duck = (
+        f"SELECT user_id % {m} AS k, "
+        f"round(min({body}), 6) AS lo, round(max({body}), 6) AS hi, "
+        f"round({n_conv!r}, 4) AS mss "
+        f"FROM events{w} GROUP BY k ORDER BY k"
+    )
+    return ch, duck
+
+
+N_PAIRED = 126
 
 
 def _gen_pair(rng: random.Random) -> tuple[str, str]:
@@ -1325,7 +1457,8 @@ def _gen_pair(rng: random.Random) -> tuple[str, str]:
          _gen_jaro_pair, _gen_rank_decay_pair,
          _gen_weighted_quantile_pair, _gen_resample_pair,
          _gen_bitmap_pair, _gen_ipv6_pair,
-         _gen_nonneg_derivative_pair]
+         _gen_nonneg_derivative_pair,
+         _gen_geohash_pair, _gen_int_hash_pair, _gen_lpnorm_pair]
     )(rng)
 
 
