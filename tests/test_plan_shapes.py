@@ -480,3 +480,35 @@ def test_round6i_functions_map_side_only(spark, queries):
     plan = plan_of(queries["ch_sql_round6i_functions"](spark, SF_ORACLE))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_int8_topk_broadcasts_queries_and_stays_jvm(spark, queries):
+    """The quantized ANN scoring join must broadcast the tiny query
+    side and never drop into Python — quantization and the integer
+    dot are Column expressions end-to-end."""
+    plan = plan_of(queries["similarity_int8_topk"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_bigram_lm_broadcasts_vocab_tables(spark, queries):
+    """The unigram/prev-count joins broadcast (vocab-sized); the only
+    sort-merge/shuffle joins allowed are on the bigram key."""
+    plan = plan_of(queries["text_bigram_lm_scores"](spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_leakage_safe_split_adds_no_shuffle_beyond_cc(spark, queries):
+    """The split itself is a narrow hashed CASE: beyond the dedup pair
+    graph + components machinery there must be no Python stage, and
+    the split expression must not force an extra exchange after the
+    final cluster join."""
+    df = queries["pipeline_leakage_safe_split"](spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the split CASE is a projection — it must appear fused in a
+    # Project, not behind its own Exchange
+    tail = plan.split("Exchange", 1)[0]
+    assert "CASE WHEN" in tail or "Project" in tail
