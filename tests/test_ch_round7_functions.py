@@ -123,3 +123,58 @@ def test_nondegenerate_still_computed(spark):
     assert got.ks.d_statistic is not None and got.ks.p_value > 0.9
     assert math.isclose(got.slr.k, 1.0) and math.isclose(got.slr.b, 19.0)
     assert got.br == 39.0
+
+
+def test_geohash_static_path_matches_fold_on_boundaries(spark):
+    """The literal-precision static encoder and the Column-precision
+    fold must agree bit-for-bit — including the clamped poles/antimeridian
+    and odd precisions (nlon != nlat)."""
+    import pyspark.sql.functions as F
+
+    from baseline_magician_spark.functions.geo import geohash_encode
+
+    rows = [
+        (-180.0, -90.0), (180.0, 90.0), (179.999, 89.999),
+        (0.0, 0.0), (-179.5, 84.5), (11.5, 48.1),
+    ]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    for p in (1, 5, 12):
+        got = df.select(
+            geohash_encode(F.col("lon"), F.col("lat"), p).alias("s"),
+            geohash_encode(F.col("lon"), F.col("lat"), F.lit(p)).alias(
+                "f"
+            ),
+        ).collect()
+        assert all(r.s == r.f for r in got), (p, got)
+
+
+def test_lttb_oracle_small_group_passthrough(spark, duck, tmp_path):
+    """Groups at or under the point budget return every point; the
+    oracle's n <= k branch must replay that (the sf0.01 parity sweep
+    only exercises the greedy branch)."""
+    import duckdb as _duckdb
+
+    from baseline_magician_spark.registry import get_oracles, get_queries
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    d = str(tmp_path / "tiny")
+    ev.limit(40).coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    sdf = get_queries()["ch_sql_lttb_downsample"](spark, d)
+    srows = sorted(
+        tuple(str(x) for x in r)
+        for r in sdf.select(*sorted(sdf.columns)).collect()
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    res = con.execute(get_oracles()["ch_sql_lttb_downsample"])
+    cols = [c[0] for c in res.description]
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    drows = sorted(
+        tuple(str(r[i]) for i in idx) for r in res.fetchall()
+    )
+    assert srows == drows
