@@ -2288,6 +2288,7 @@ CH_FUNCTIONS["mapContainsKeyLike"] = lambda m, pat: F.exists(
 
 from .stats_tests import (  # noqa: E402
     bounding_ratio,
+    categorical_iv,
     contingency_coefficient,
     corr_matrix,
     covar_samp_matrix,
@@ -2346,6 +2347,8 @@ CH_FUNCTIONS.update(
         "exponentialTimeDecayedCount": exponential_time_decayed_count,
         "exponentialTimeDecayedMax": exponential_time_decayed_max,
         "exponentialTimeDecayedAvg": exponential_time_decayed_avg,
+        # round-7 tranche
+        "categoricalInformationValue": categorical_iv,
     }
 )
 

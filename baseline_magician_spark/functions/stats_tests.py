@@ -1189,3 +1189,75 @@ def covar_samp_matrix(*cols) -> Column:
     return F.array(
         *[F.array(*[_pair_covar_samp(a, b) for b in cs]) for a in cs]
     )
+
+
+def categorical_iv(*args) -> Column:
+    """CH categoricalInformationValue(cat1, ..., catN, tag) ->
+    Array(Float64): the credit-scoring information value of each
+    category column against the binary tag,
+    IV = Σ_v (n_v1/n1 - n_v0/n0) · ln((n_v1/n1) / (n_v0/n0)).
+
+    Divergence (documented): categories observed in only one class
+    contribute 0 instead of CH's ±inf/nan term — Spark's ln(0) is
+    NULL, which would otherwise poison the whole sum; the finite-part
+    IV is the spelling every scoring pipeline uses anyway.
+
+    One NULL-skipped (cat, tag) tape per category column; distinct
+    categories enumerate from the tape (O(n·d) per group, d = distinct
+    categories — the same bounded-tape contract as the contingency
+    family)."""
+    if len(args) < 2:
+        raise ValueError(
+            "categoricalInformationValue takes (cat..., tag)"
+        )
+    *cats, tag = args
+    tagc = _d(tag)
+
+    def iv(cat) -> Column:
+        catc = F.coalesce(
+            (cat if isinstance(cat, Column) else F.col(cat)).cast(
+                "string"
+            ),
+            F.lit("∅null"),
+        )
+        tape_expr = _sorted_pairs(catc, tagc)
+
+        def build(tape: Column) -> Column:
+            n1 = F.size(F.filter(tape, lambda e: e["b"] != 0)).cast(
+                "double"
+            )
+            n0 = F.size(F.filter(tape, lambda e: e["b"] == 0)).cast(
+                "double"
+            )
+
+            def per_cat(acc: Column, v: Column) -> Column:
+                c1 = F.size(
+                    F.filter(
+                        tape, lambda e: (e["a"] == v) & (e["b"] != 0)
+                    )
+                ).cast("double")
+                c0 = F.size(
+                    F.filter(
+                        tape, lambda e: (e["a"] == v) & (e["b"] == 0)
+                    )
+                ).cast("double")
+                term = (c1 / n1 - c0 / n0) * F.log(
+                    (c1 / n1) / (c0 / n0)
+                )
+                return acc + F.when(
+                    (c1 > 0) & (c0 > 0), term
+                ).otherwise(F.lit(0.0))
+
+            total = F.aggregate(
+                F.array_distinct(
+                    F.transform(tape, lambda e: e["a"])
+                ),
+                F.lit(0.0),
+                per_cat,
+            )
+            # no rows in either class -> the statistic is undefined
+            return F.when((n1 > 0) & (n0 > 0), total)
+
+        return _let(tape_expr, build)
+
+    return F.array(*[iv(c) for c in cats])

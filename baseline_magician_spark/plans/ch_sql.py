@@ -150,6 +150,8 @@ _AGGS = {
     "quantileexactweighted", "quantilesexactweighted",
     "medianexactweighted", "analysisofvariance", "anova",
     "grouparrayintersect", "summapfiltered",
+    # round-7 tranche
+    "categoricalinformationvalue",
 }
 
 # CH parametric-aggregate families — ``fn(params)(args)`` spelling,

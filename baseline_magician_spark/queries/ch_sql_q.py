@@ -3772,3 +3772,79 @@ LIMIT 200
 @query("ch_sql_round7_functions", _round7_oracle())
 def ch_sql_round7_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_ROUND7_SQL, _tables(spark, sf_dir, "documents"))
+
+
+# categoricalInformationValue end-to-end (round 7): the credit-scoring
+# IV of two category columns against a binary tag, per user bucket.
+# Exactness design: BOTH engines fold the per-category terms in
+# ascending-category order from a 0.0 seed (Spark iterates the
+# distinct values of the SORTED tape; the oracle list-collects terms
+# ORDER BY category and list_reduces from a prepended 0.0), so the
+# doubles are bit-identical and the %.6f digest never wobbles.
+_CATEGORICAL_IV_SQL = """
+SELECT user_id % 3 AS g,
+       count(*) AS n,
+       categoricalInformationValue(event_type,
+                                   toString(user_id % 4),
+                                   event_id % 2) AS iv
+FROM fastnetmon.events
+GROUP BY g
+ORDER BY g
+"""
+
+
+def _categorical_iv_oracle() -> str:
+    def chain(cat_expr: str, label: str) -> str:
+        return f"""
+    pc_{label} AS (
+      SELECT g, {cat_expr} AS cat,
+             CAST(sum(CASE WHEN tag <> 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS cn1,
+             CAST(sum(CASE WHEN tag = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS cn0
+      FROM base GROUP BY g, {cat_expr}
+    ),
+    terms_{label} AS (
+      SELECT p.g,
+             list(CASE WHEN p.cn1 > 0 AND p.cn0 > 0 THEN
+                    (p.cn1 / t.n1 - p.cn0 / t.n0)
+                    * ln((p.cn1 / t.n1) / (p.cn0 / t.n0))
+                  ELSE 0.0 END ORDER BY p.cat) AS ts
+      FROM pc_{label} p JOIN tot t USING (g) GROUP BY p.g
+    ),
+    iv_{label} AS (
+      SELECT g, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts),
+                            (a, b) -> a + b) AS v
+      FROM terms_{label}
+    )"""
+
+    return f"""
+    WITH base AS (
+      SELECT user_id % 3 AS g, event_type AS c1,
+             CAST(user_id % 4 AS VARCHAR) AS c2,
+             event_id % 2 AS tag
+      FROM events
+    ),
+    tot AS (
+      SELECT g,
+             CAST(sum(CASE WHEN tag <> 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n1,
+             CAST(sum(CASE WHEN tag = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n0,
+             count(*) AS n
+      FROM base GROUP BY g
+    ),{chain("c1", "a")},{chain("c2", "b")}
+    SELECT t.g, t.n,
+           printf('%.6f', iv_a.v) || ',' || printf('%.6f', iv_b.v)
+             AS iv
+    FROM tot t
+    JOIN iv_a ON iv_a.g = t.g
+    JOIN iv_b ON iv_b.g = t.g
+    ORDER BY t.g
+    """
+
+
+@query("ch_sql_categorical_iv", _categorical_iv_oracle())
+def ch_sql_categorical_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = run_ch_query(_CATEGORICAL_IV_SQL, _tables(spark, sf_dir, "events"))
+    return df.withColumn("iv", _arr_digest("iv", "%.6f"))

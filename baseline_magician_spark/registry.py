@@ -94,7 +94,11 @@ _PRIORITY: tuple[str, ...] = (
     "text_bigram_lm_scores",
     "ch_sql_round7_functions",
     "pipeline_leakage_safe_split",
-    # r3-stale rotation (oldest remaining driver rows, diverse ops)
+    "ch_sql_categorical_iv",
+    # r3-stale rotation (oldest remaining driver rows, diverse ops;
+    # ch_sql_with_totals traded out for the categorical-IV
+    # registration — never-checked rows outrank re-checks and the
+    # window is pinned at 50)
     "ch_sql_array_join_tokens",
     "ch_sql_array_lambdas",
     "ch_sql_asof_attribution",
@@ -112,7 +116,6 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_union_all",
     "ch_sql_window_topn",
     "ch_sql_with_fill",
-    "ch_sql_with_totals",
     "dedup_semantic_keep_best",
     "dedup_simhash_band_pairs",
     "events_hourly_rollup_incremental",

@@ -178,3 +178,42 @@ def test_lttb_oracle_small_group_passthrough(spark, duck, tmp_path):
         tuple(str(r[i]) for i in idx) for r in res.fetchall()
     )
     assert srows == drows
+
+
+def test_categorical_information_value(spark):
+    rows = [("a", 1), ("a", 1), ("a", 0), ("b", 0), ("b", 0), ("b", 1),
+            ("c", 1), ("c", 0)]
+    df = spark.createDataFrame(rows, "c string, t int")
+    got = run_ch_query(
+        "SELECT categoricalInformationValue(c, t) AS iv FROM t",
+        {"t": df},
+    ).collect()[0].iv
+    # n1 = n0 = 4; a: (2/4-1/4)·ln 2, b: (1/4-2/4)·ln 1/2, c: 0
+    want = 0.25 * math.log(2.0) - 0.25 * math.log(0.5)
+    assert abs(got[0] - want) < 1e-12
+    # one-sided categories contribute the finite part (0), never
+    # a NULL-poisoned ln(0)
+    df2 = spark.createDataFrame([("a", 1), ("a", 1), ("b", 0)],
+                                "c string, t int")
+    got2 = run_ch_query(
+        "SELECT categoricalInformationValue(c, t) AS iv FROM t",
+        {"t": df2},
+    ).collect()[0].iv
+    assert got2[0] == 0.0
+    # a group with only one tag class is undefined -> NULL element
+    df3 = spark.createDataFrame([("a", 1), ("b", 1)], "c string, t int")
+    got3 = run_ch_query(
+        "SELECT categoricalInformationValue(c, t) AS iv FROM t",
+        {"t": df3},
+    ).collect()[0].iv
+    assert got3[0] is None
+    # multi-column spelling: one IV per category column
+    df4 = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 0), ("b", "x", 0), ("b", "y", 1)],
+        "c1 string, c2 string, t int",
+    )
+    got4 = run_ch_query(
+        "SELECT categoricalInformationValue(c1, c2, t) AS iv FROM t",
+        {"t": df4},
+    ).collect()[0].iv
+    assert len(got4) == 2
