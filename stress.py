@@ -471,6 +471,28 @@ def main() -> None:
         )
         return out.count()
 
+    def bigram_lm(k: int) -> int:
+        """Round-7 interpolated bigram-LM scorer: one tokenize pass,
+        map-side array bigrams, vocab-sized broadcast joins, one
+        corpus re-group. The bigram-count relation grows with
+        OBSERVED bigram vocabulary (sub-linear under salted text),
+        so total cost must track rows."""
+        from baseline_magician_spark.queries.text_q import (
+            text_bigram_lm,
+        )
+
+        docs = replicate(docs0, k, ["doc_id"], salt_text=True)
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="bigram_rung_")
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        try:
+            return text_bigram_lm(spark, d).count()
+        finally:
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+
     ops = {
         "q1_agg": q1_agg,
         "minhash_lsh_pairs": minhash,
@@ -494,6 +516,7 @@ def main() -> None:
         "assoc_stats": assoc_stats,
         "string_sim_scan": string_sim_scan,
         "rank_decay_weighted": rank_decay_weighted,
+        "bigram_lm": bigram_lm,
     }
 
     # SPARK_GRAFT_STRESS_OPS=a,b,c re-runs a subset (a marginal rung
