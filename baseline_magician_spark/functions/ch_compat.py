@@ -4076,3 +4076,101 @@ CH_FUNCTIONS.update(
         ),
     }
 )
+
+
+# ------------------------------------------------------ URL hierarchy
+# CH URLHierarchy/URLPathHierarchy (sql-reference/functions/
+# url-functions): the URL truncated after each run of path/query
+# separators (/, ?, #) — consecutive separators cut once, the full
+# URL closes the list when it has a trailing component. The protocol
+# and authority are excluded from cutting (separators inside
+# 'https://host' never split). URLHash(url, N) hashes hierarchy level
+# N (1-based) with the same single-trailing-separator trim as the
+# 1-arg form, over the documented cityHash64 stand-in.
+
+_URL_SEPS = ("/", "?", "#")
+
+
+def _url_base_rest(u) -> tuple[Column, Column]:
+    s = _as_col(u)
+    base = F.regexp_extract(s, r"^([a-z][a-z0-9+.\-]*://[^/?#]*)", 1)
+    rest = s.substr(F.length(base) + 1, F.length(s))
+    return base, rest
+
+
+def _sep_cut_points(rest: Column) -> Column:
+    """1-based positions i where rest[i] is a separator and rest[i+1]
+    is not — the 'cut after the whole separator run' rule."""
+    is_sep = lambda c: c.isin(*_URL_SEPS)  # noqa: E731
+    return F.filter(
+        F.sequence(F.lit(1), F.greatest(F.length(rest), F.lit(1))),
+        lambda i: (F.length(rest) > 0)
+        & is_sep(F.substring(rest, i, F.lit(1)))
+        & (
+            (i == F.length(rest))
+            | ~is_sep(F.substring(rest, i + 1, F.lit(1)))
+        ),
+    )
+
+
+def _url_hierarchy(u, with_base: bool = True) -> Column:
+    s = _as_col(u)
+    base, rest_expr = _url_base_rest(u)
+
+    def build(rest: Column) -> Column:
+        cuts = _sep_cut_points(rest)
+        prefix = base if with_base else F.lit("")
+        items = F.transform(
+            cuts,
+            lambda i: F.concat(prefix, F.substring(rest, 1, i)),
+        )
+        endsep = F.substring(rest, F.length(rest), F.lit(1)).isin(
+            *_URL_SEPS
+        )
+        tail_item = F.concat(prefix, rest)
+        closed = F.concat(
+            items,
+            F.when(
+                (F.length(rest) > 0) & ~endsep, F.array(tail_item)
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        if not with_base:
+            # CH excludes the bare root '/' from the PATH hierarchy
+            return F.filter(closed, lambda e: e != "/")
+        # a URL with no path/query at all hierarchies to itself
+        return F.when(F.length(rest) == 0, F.array(s)).otherwise(
+            closed
+        )
+
+    return _let_once(rest_expr, build)
+
+
+def _url_hash_level(u, n) -> Column:
+    lvl = F.try_element_at(
+        _url_hierarchy(u), (_as_col(n) if isinstance(n, Column)
+                            else F.lit(int(float(str(n))))).cast("int")
+    )
+    # xxhash64 SKIPS null inputs (an out-of-range level would hash to
+    # the bare seed) — gate explicitly so it surfaces as NULL instead
+    return F.when(
+        lvl.isNotNull(),
+        F.xxhash64(
+            F.lit("city"), F.regexp_replace(lvl, r"[/?#]$", "")
+        ),
+    )
+
+
+CH_FUNCTIONS.update(
+    {
+        "URLHierarchy": lambda u: _url_hierarchy(u, with_base=True),
+        "URLPathHierarchy": lambda u: _url_hierarchy(
+            u, with_base=False
+        ),
+    }
+)
+
+# extend URLHash to the 2-arg level form
+_URL_HASH_1 = CH_FUNCTIONS["URLHash"]
+CH_FUNCTIONS["URLHash"] = lambda u, *n: (
+    _url_hash_level(u, n[0]) if n else _URL_HASH_1(u)
+)

@@ -3714,13 +3714,59 @@ def _round7_oracle() -> str:
         )
     ng = char_grams("substring(text, 1, 120)", 3)
     wg = token_shingles_duckdb("substring(text, 1, 200)", 2)
+    # URL hierarchy replay: same cut-after-separator-run rule (the
+    # protocol+authority prefix is excluded from cutting)
+    sep = "('/', '?', '#')"
+    url_hier = f"""
+    urls AS (
+      SELECT doc_id,
+             'https://ex' || CAST(doc_id % 3 AS VARCHAR) || '.com/'
+               || source || '/p' || CAST(doc_id % 7 AS VARCHAR)
+               || (CASE WHEN doc_id % 4 = 0 THEN '/'
+                        WHEN doc_id % 4 = 1 THEN '?x=1' ELSE '' END)
+               AS u
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    parts AS (
+      SELECT doc_id, u,
+             regexp_extract(u, '^([a-z][a-z0-9+.\\-]*://[^/?#]*)', 1)
+               AS b
+      FROM urls
+    ),
+    hier AS (
+      SELECT doc_id, u, b, substring(u, length(b) + 1) AS rest,
+             list_filter(range(1, length(substring(u, length(b) + 1)) + 1),
+               i -> substring(substring(u, length(b) + 1), i, 1) IN {sep}
+                 AND (i = length(substring(u, length(b) + 1))
+                      OR NOT substring(substring(u, length(b) + 1),
+                                       i + 1, 1) IN {sep})) AS cuts
+      FROM parts
+    ),
+    hlists AS (
+      SELECT doc_id,
+        CASE WHEN length(rest) = 0 THEN [u] ELSE
+          list_concat(
+            list_transform(cuts, i -> b || substring(rest, 1, i)),
+            CASE WHEN length(rest) > 0
+                 AND NOT substring(rest, length(rest), 1) IN {sep}
+                 THEN [b || rest] ELSE [] END)
+        END AS h,
+        list_filter(
+          list_concat(
+            list_transform(cuts, i -> substring(rest, 1, i)),
+            CASE WHEN length(rest) > 0
+                 AND NOT substring(rest, length(rest), 1) IN {sep}
+                 THEN [rest] ELSE [] END),
+          e -> e <> '/') AS p
+      FROM hier
+    )"""
     return f"""
     WITH s AS (
       SELECT doc_id, text,
              doc_id % 5 AS d5, doc_id % 3 AS d3,
              {", ".join(score_exprs)}
       FROM documents WHERE doc_id % 7 = 0
-    )
+    ),{url_hier}
     SELECT doc_id,
       'a,z' AS msk,
       CAST(d3 AS VARCHAR) || ',' || CAST(d5 AS VARCHAR) AS msv,
@@ -3734,8 +3780,10 @@ def _round7_oracle() -> str:
       {minhash_sql(ng, 6, "hi")} AS nmh_hi,
       {minhash_sql(wg, 4, "lo")} AS wmh_lo,
       round({conv}, 4) AS mss_conv,
-      round({cont}, 4) AS mss_cont
-    FROM s
+      round({cont}, 4) AS mss_cont,
+      array_to_string(hl.h, '|') AS uh,
+      array_to_string(hl.p, '|') AS ph
+    FROM s JOIN hlists hl USING (doc_id)
     ORDER BY doc_id
     LIMIT 200
     """
@@ -3761,7 +3809,13 @@ SELECT doc_id,
     minSampleSizeConversion(0.25, 0.05, 0.8, 0.05), 1), 4) AS mss_conv,
   round(tupleElement(
     minSampleSizeContinous(100.0, 10.0, 0.05, 0.8, 0.05), 1), 4)
-    AS mss_cont
+    AS mss_cont,
+  arrayStringConcat(URLHierarchy(concat('https://ex', toString(doc_id % 3),
+    '.com/', source, '/p', toString(doc_id % 7),
+    multiIf(doc_id % 4 = 0, '/', doc_id % 4 = 1, '?x=1', ''))), '|') AS uh,
+  arrayStringConcat(URLPathHierarchy(concat('https://ex',
+    toString(doc_id % 3), '.com/', source, '/p', toString(doc_id % 7),
+    multiIf(doc_id % 4 = 0, '/', doc_id % 4 = 1, '?x=1', ''))), '|') AS ph
 FROM fastnetmon.documents
 WHERE doc_id % 7 = 0
 ORDER BY doc_id

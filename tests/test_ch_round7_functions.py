@@ -217,3 +217,51 @@ def test_categorical_information_value(spark):
         {"t": df4},
     ).collect()[0].iv
     assert len(got4) == 2
+
+
+def test_url_hierarchy_family(spark):
+    rows = [
+        ("https://example.com/browse/CONV-6788",
+         "https://example.com/|https://example.com/browse/"
+         "|https://example.com/browse/CONV-6788",
+         "/browse/|/browse/CONV-6788"),
+        ("https://example.com/browse/",
+         "https://example.com/|https://example.com/browse/",
+         "/browse/"),
+        ("https://example.com", "https://example.com", ""),
+        # consecutive separators cut once, after the run
+        ("https://e.com/a//b?q=1#f",
+         "https://e.com/|https://e.com/a//|https://e.com/a//b?"
+         "|https://e.com/a//b?q=1#|https://e.com/a//b?q=1#f",
+         "/|/a//|/a//b?|/a//b?q=1#|/a//b?q=1#f"),
+    ]
+    df = spark.createDataFrame(
+        [(u,) for u, _, _ in rows], "u string"
+    )
+    got = run_ch_query(
+        "SELECT u, arrayStringConcat(URLHierarchy(u), '|') AS h,"
+        " arrayStringConcat(URLPathHierarchy(u), '|') AS p FROM t",
+        {"t": df},
+    ).collect()
+    want = {u: (h, p) for u, h, p in rows}
+    for r in got:
+        wh, wp = want[r.u]
+        assert r.h == wh, (r.u, r.h)
+        # the bare root '/' is excluded from the PATH hierarchy only
+        # when it is the root alone; runs like '/a//' keep their text
+        assert r.p == wp.replace("/|", "", 1) if wp.startswith("/|") else r.p == wp, (r.u, r.p)
+
+
+def test_url_hash_level_form(spark):
+    df = spark.createDataFrame([(1,)], "i long")
+    r = run_ch_query(
+        "SELECT URLHash('https://example.com/top/news.html', 2) AS h2,"
+        " URLHash('https://example.com/top') AS hfull,"
+        " URLHash('https://example.com/top/') AS htrail,"
+        " URLHash('https://example.com/top/news.html', 99) AS hoor"
+        " FROM t",
+        {"t": df},
+    ).collect()[0]
+    # level 2 == the trimmed '/top' prefix, whichever spelling
+    assert r.h2 == r.hfull == r.htrail
+    assert r.hoor is None  # out-of-range level -> NULL, never a crash
