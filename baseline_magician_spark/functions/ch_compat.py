@@ -1336,10 +1336,15 @@ CH_FUNCTIONS.update(
         # CH URLHash: hash of the URL with ONE trailing /, ? or #
         # trimmed. The string hash itself rides the cityHash64
         # stand-in above (CH uses CityHash64 — bucketing-compatible,
-        # not byte-compatible; documented like the rest of the family).
-        "URLHash": lambda c: F.xxhash64(
-            F.lit("city"),
-            F.regexp_replace(_as_col(c), r"[/?#]$", ""),
+        # not byte-compatible; documented like the rest of the
+        # family). NULL-gated: xxhash64 SKIPS null inputs, which
+        # would otherwise hash the bare seed instead of propagating.
+        "URLHash": lambda c: F.when(
+            _as_col(c).isNotNull(),
+            F.xxhash64(
+                F.lit("city"),
+                F.regexp_replace(_as_col(c), r"[/?#]$", ""),
+            ),
         ),
         # (halfMD5 keeps its existing bit-portable md5-prefix shim)
         "tryBase64Decode": CH_FUNCTIONS["base64Decode"],

@@ -97,3 +97,14 @@ def test_url_hash_trims_one_trailing_separator(spark):
     # double slash: only one trimmed -> different class
     assert h["https://ex.com/a//"] != base
     assert h["https://ex.com/b"] != base
+
+
+def test_url_hash_null_propagates(spark):
+    df = spark.createDataFrame([(None,), ("https://a.com/x",)], "u string")
+    got = run_ch_query(
+        "SELECT u, URLHash(u) AS h, URLHash(u, 1) AS h1 FROM t",
+        {"t": df},
+    ).collect()
+    by = {r.u: r for r in got}
+    assert by[None].h is None and by[None].h1 is None
+    assert by["https://a.com/x"].h is not None
