@@ -21,9 +21,9 @@ _ORDERS_SPEC = [
 ]
 
 
-def _profile_oracle() -> str:
+def _profile_oracle(spec=_ORDERS_SPEC, table="orders") -> str:
     parts = []
-    for col, kind in _ORDERS_SPEC:
+    for col, kind in spec:
         base = [
             ("n_null", f"count(CASE WHEN {col} IS NULL THEN 1 END)"),
             ("n_distinct", f"count(DISTINCT {col})"),
@@ -48,7 +48,7 @@ def _profile_oracle() -> str:
         for stat, expr in base:
             parts.append(
                 f"SELECT '{col}' AS \"column\", '{stat}' AS stat, "
-                f"round(CAST({expr} AS DOUBLE), 6) AS value FROM orders"
+                f"round(CAST({expr} AS DOUBLE), 6) AS value FROM {table}"
             )
     return "\nUNION ALL\n".join(parts)
 
@@ -62,3 +62,26 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profiling import profile_table
 
     return profile_table(load_table(spark, sf_dir, "orders"))
+
+
+# the documents twin: same one-pass profiler over the text corpus
+# table (the other table a pipeline operator reads most).
+_DOCS_SPEC = [
+    ("doc_id", "num"),
+    ("text", "str"),
+    ("lang", "str"),
+    ("source", "str"),
+    ("n_chars", "num"),
+]
+
+
+@query(
+    "profile_documents_table",
+    _profile_oracle(_DOCS_SPEC, "documents"),
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of documents — same single-scan one-row
+    aggregate as profile_orders_table, over the corpus table."""
+    from ..operators.profiling import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "documents"))
