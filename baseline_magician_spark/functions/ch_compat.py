@@ -2413,6 +2413,7 @@ from .text_similarity import (  # noqa: E402
     jaro_similarity,
     jaro_winkler_similarity,
     ngram_distance,
+    ngram_search,
     soundex_difference,
     string_jaccard_index,
 )
@@ -2553,6 +2554,13 @@ CH_FUNCTIONS.update(
         "byteHammingDistance": byte_hamming_distance,
         "mismatches": byte_hamming_distance,
         "ngramDistance": ngram_distance,
+        "ngramDistanceCaseInsensitive": lambda a, b: ngram_distance(
+            F.lower(_as_col(a)), F.lower(_as_col(b))
+        ),
+        "ngramSearch": ngram_search,
+        "ngramSearchCaseInsensitive": lambda h, n: ngram_search(
+            F.lower(_as_col(h)), F.lower(_as_col(n))
+        ),
         "jaroSimilarity": jaro_similarity,
         "jaroWinklerSimilarity": jaro_winkler_similarity,
         "soundex": lambda s: F.soundex(_as_col(s)),
@@ -4179,3 +4187,356 @@ _URL_HASH_1 = CH_FUNCTIONS["URLHash"]
 CH_FUNCTIONS["URLHash"] = lambda u, *n: (
     _url_hash_level(u, n[0]) if n else _URL_HASH_1(u)
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-7b tranche: the relative-bucket-number family (CH DateLUT
+# closed forms, sql-reference/functions/date-time-functions), the
+# fromModifiedJulianDay inverse, clamp/toDecimalString, 128/256-bit
+# cast shims, byte/bit slicing, arrayShingles, the ngramSearch
+# similarity, and ULID/UUIDv7 timestamp extraction. Reference scope
+# note: like the round-6e tranche these are §2.12 extension-tier
+# surface — the reference driver passes SQL text through verbatim
+# (ch/ has no function shims), so a CH user expects them of a
+# drop-in engine.
+# ---------------------------------------------------------------------------
+
+
+def _rel_seconds(t) -> Column:
+    return F.unix_timestamp(_as_col(t).cast("timestamp"))
+
+
+def _rel_div(t, step: int) -> Column:
+    # CH DateLUT buckets by unsigned division; epoch-negative inputs
+    # floor (documented — CH's time_t there predates its own LUT)
+    return F.floor(_rel_seconds(t) / F.lit(step)).cast("long")
+
+
+def _to_relative_week_num(d) -> Column:
+    """DateLUT toRelativeWeekNum: (DayNum + 8 - toDayOfWeek) / 7 —
+    weeks begin on Monday; week 0 contains 1970-01-01 (a Thursday).
+    F.weekday is Monday=0, so ISO dow = weekday + 1."""
+    c = _as_col(d).cast("date")
+    days = F.datediff(c, F.lit("1970-01-01").cast("date"))
+    return F.floor(
+        (days + 7 - F.weekday(c)) / F.lit(7)
+    ).cast("long")
+
+
+def _byte_slice(s, off, *ln) -> Column:
+    """CH byteSlice(s, offset[, length]): byte-addressed substring,
+    1-based, negative offset counts from the end, length defaults to
+    the rest of the string. Spark's substring over BINARY is exactly
+    byte-addressed with the same negative convention — slice there
+    and cast back."""
+    b = _as_col(s).cast("binary")
+    length = (
+        _as_col(ln[0]).cast("int")
+        if ln
+        else F.length(b).cast("int")
+    )
+    return F.substring(
+        b, _as_col(off).cast("int"), length
+    ).cast("string")
+
+
+def _byte_at(b: Column, k: Column) -> Column:
+    """k-th byte (1-based) of a BINARY value as 0..255; 0 past the
+    end (bitSlice reads zeros beyond the string)."""
+    return F.coalesce(
+        F.nullif(F.conv(F.hex(F.substring(b, k, F.lit(1))), 16, 10), F.lit("")),
+        F.lit("0"),
+    ).cast("long")
+
+
+def _bit_slice(s, off, *ln) -> Column:
+    """CH bitSlice(s, offset[, length]): bit-addressed substring,
+    1-based, negative offset from the end, negative length leaves
+    -length bits unread at the end; the result is zero-padded on the
+    right to a whole byte. Returns a (binary-safe) string rebuilt
+    from per-output-byte shifts — no Python."""
+    bin_expr = _as_col(s).cast("binary")
+
+    def build(b: Column) -> Column:
+        nbits = F.length(b).cast("long") * 8
+        o = _as_col(off).cast("long")
+        start = F.when(o >= 0, o).otherwise(nbits + o + 1)
+        if ln:
+            ll = _as_col(ln[0]).cast("long")
+            want = F.when(ll >= 0, ll).otherwise(
+                nbits - start + 1 + ll
+            )
+        else:
+            want = nbits - start + 1
+        # clamp to the available bit range
+        eff = F.greatest(
+            F.least(want, nbits - start + 1), F.lit(0).cast("long")
+        )
+        out_bytes = F.ceil(eff / 8).cast("int")
+
+        # F.shiftleft/right take Python-int amounts only; shift
+        # amounts here are per-row Columns, so shift via exact
+        # power-of-two arithmetic (values < 2^16 — doubles exact)
+        def pow2(e: Column) -> Column:
+            return F.pow(F.lit(2.0), e.cast("double")).cast("long")
+
+        def out_byte(j: Column) -> Column:
+            bitpos = start + (j.cast("long") - 1) * 8
+            k = (F.floor((bitpos - 1) / 8) + 1).cast("int")
+            sh = ((bitpos - 1) % 8).cast("long")
+            merged = (
+                _byte_at(b, k) * pow2(sh)
+                + F.floor(
+                    _byte_at(b, k + 1) / pow2(F.lit(8) - sh)
+                ).cast("long")
+            ) % 256
+            # mask the zero-padded tail of the last byte: keep the
+            # top `keep` bits -> AND with 256 - 2^(8-keep)
+            rem = eff - (j.cast("long") - 1) * 8
+            keep = F.least(rem, F.lit(8).cast("long"))
+            masked = merged.bitwiseAND(
+                F.lit(256).cast("long") - pow2(F.lit(8) - keep)
+            )
+            return F.lpad(F.conv(masked, 10, 16), 2, "0")
+
+        hexes = F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(out_bytes, F.lit(1)),
+            ),
+            out_byte,
+        )
+        hx = F.when(
+            out_bytes > 0,
+            F.array_join(F.slice(hexes, 1, out_bytes), ""),
+        ).otherwise(F.lit(""))
+        return F.unhex(hx).cast("string")
+
+    return _let_once(bin_expr, build)
+
+
+def _array_shingles(arr, n) -> Column:
+    """arrayShingles(arr, n): all length-n windows of consecutive
+    elements; [] when the array is shorter than n (CH raises there —
+    the total-function spelling is documented)."""
+    nn = int(float(str(n)))
+    if nn < 1:
+        raise ValueError("arrayShingles length must be >= 1")
+    a = _as_col(arr)
+    return F.when(
+        F.size(a) >= nn,
+        F.transform(
+            F.sequence(F.lit(1), F.size(a) - (nn - 1)),
+            lambda i: F.slice(a, i, nn),
+        ),
+    ).otherwise(F.filter(F.array(a), lambda _: F.lit(False)))
+
+
+_CROCKFORD = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+
+
+def _ulid_to_datetime(u) -> Column:
+    """ULIDStringToDateTime: the first 10 chars are Crockford-base32
+    of the 48-bit unix-ms timestamp (ulid spec). NULL on malformed
+    input (CH throws; OrNull-style total form documented)."""
+    c = F.upper(_as_col(u))
+    vals = F.transform(
+        F.sequence(F.lit(1), F.lit(10)),
+        lambda i: F.instr(
+            F.lit(_CROCKFORD), F.substring(c, i, F.lit(1))
+        ).cast("long")
+        - 1,
+    )
+    ms = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: acc * 32 + v,
+    )
+    ok = (F.length(c) >= 10) & F.forall(vals, lambda v: v >= 0)
+    return F.when(ok, F.timestamp_millis(ms))
+
+
+def _uuid7_to_datetime(u) -> Column:
+    """UUIDv7ToDateTime: the first 48 bits of a v7 UUID are unix-ms
+    (RFC 9562 §5.7). NULL unless the version nibble says 7."""
+    hx = F.lower(F.regexp_replace(_as_col(u), "-", ""))
+    ms = F.conv(F.substring(hx, 1, 12), 16, 10).cast("long")
+    ok = (F.length(hx) == 32) & (
+        F.substring(hx, 13, F.lit(1)) == "7"
+    )
+    return F.when(ok, F.timestamp_millis(ms))
+
+
+def _generate_ulid() -> Column:
+    """generateULID(): 10 time chars (unix-ms, Crockford base32) +
+    16 random chars. Random like generateUUIDv4 — per-row, not
+    cryptographic (documented)."""
+    ms = F.unix_millis(F.current_timestamp())
+    time_part = F.concat(
+        *[
+            F.substring(
+                F.lit(_CROCKFORD),
+                (
+                    F.shiftrightunsigned(ms, 5 * k).bitwiseAND(31)
+                    + 1
+                ).cast("int"),
+                F.lit(1),
+            )
+            for k in range(9, -1, -1)
+        ]
+    )
+    rand_part = F.concat(
+        *[
+            F.substring(
+                F.lit(_CROCKFORD),
+                (F.floor(F.rand() * 32) + 1).cast("int"),
+                F.lit(1),
+            )
+            for _ in range(16)
+        ]
+    )
+    return F.concat(time_part, rand_part)
+
+
+CH_FUNCTIONS.update(
+    {
+        "toRelativeYearNum": lambda t: F.year(
+            _as_col(t).cast("date")
+        ).cast("long"),
+        "toRelativeQuarterNum": lambda t: (
+            F.year(_as_col(t).cast("date")) * 4
+            + F.floor((F.month(_as_col(t).cast("date")) - 1) / 3)
+        ).cast("long"),
+        "toRelativeMonthNum": lambda t: (
+            F.year(_as_col(t).cast("date")) * 12
+            + F.month(_as_col(t).cast("date"))
+        ).cast("long"),
+        "toRelativeWeekNum": _to_relative_week_num,
+        "toRelativeHourNum": lambda t: _rel_div(t, 3600),
+        "toRelativeMinuteNum": lambda t: _rel_div(t, 60),
+        "toRelativeSecondNum": lambda t: _rel_seconds(t).cast(
+            "long"
+        ),
+        "fromModifiedJulianDay": lambda n: F.date_add(
+            F.lit("1858-11-17").cast("date"),
+            _as_col(n).cast("int"),
+        ),
+        "fromModifiedJulianDayOrNull": lambda n: F.date_add(
+            F.lit("1858-11-17").cast("date"),
+            _as_col(n).try_cast("int"),
+        ),
+        "clamp": lambda x, lo, hi: F.least(
+            F.greatest(_as_col(x), _as_col(lo)), _as_col(hi)
+        ),
+        # scale must be a driver literal (it sets the format string)
+        "toDecimalString": lambda x, n: F.format_string(
+            f"%.{int(float(str(n)))}f",
+            _as_col(x).cast("double"),
+        ),
+        # 128/256-bit integer casts ride decimal(38,0) — covers the
+        # full Int128 range CH users reach in practice; Int256
+        # beyond 38 digits is out of Column-type range (documented)
+        "toInt128": _to_int("decimal(38,0)"),
+        "toInt256": _to_int("decimal(38,0)"),
+        "toUInt128": _to_int("decimal(38,0)"),
+        "toUInt256": _to_int("decimal(38,0)"),
+        "byteSlice": _byte_slice,
+        "bitSlice": _bit_slice,
+        "arrayShingles": _array_shingles,
+        "ULIDStringToDateTime": _ulid_to_datetime,
+        "UUIDv7ToDateTime": _uuid7_to_datetime,
+        "generateULID": lambda: _generate_ulid(),
+    }
+)
+
+
+# exact Base58 (functions/base58.py — positional big-base conversion
+# as nested integer folds; decode spellings are total, NULL on bad
+# input)
+from .base58 import base58_decode as _b58d  # noqa: E402
+from .base58 import base58_encode as _b58e  # noqa: E402
+
+CH_FUNCTIONS.update(
+    {
+        "base58Encode": _b58e,
+        "base58Decode": _b58d,
+        "tryBase58Decode": _b58d,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# seriesPeriodDetectFFT (CH time-series family): the dominant period
+# of a numeric series. CH runs pocketfft over the series and picks
+# the strongest non-DC frequency bin; this engine computes the same
+# periodogram as a direct DFT — mag2(k) = (sum x_i cos(2*pi*k*i/n))^2
+# + (sum x_i sin(...))^2 for k in 1..n/2 — entirely inside one JVM
+# expression (two folds per bin, everything LET-bound). O(n^2) per
+# row vs FFT's O(n log n): the function takes an ARRAY argument, so
+# n is a per-row series length (CH applies it to short windows), not
+# table size; the plan stays narrow and partition-parallel.
+# Returns n / argmax(mag2) as Float64 (ties -> the lowest frequency,
+# i.e. the longest period, matching the periodogram convention);
+# NULL when the series has < 4 points (CH raises) or is constant
+# (all non-DC bins ~ 0; CH's behavior there is noise-driven).
+# ---------------------------------------------------------------------------
+
+
+def _series_period_fft(arr) -> Column:
+    import math as _m
+
+    xs_expr = F.transform(
+        _as_col(arr), lambda x: x.cast("double")
+    )
+
+    def build(xs: Column) -> Column:
+        n = F.size(xs)
+
+        def mag2(k: Column) -> Column:
+            w = (
+                F.lit(2.0 * _m.pi)
+                * k.cast("double")
+                / n.cast("double")
+            )
+            return _let_once(
+                w,
+                lambda wv: _let_once(
+                    F.aggregate(
+                        F.zip_with(
+                            xs,
+                            F.sequence(F.lit(0), n - 1),
+                            lambda x, i: F.struct(
+                                (x * F.cos(wv * i)).alias("re"),
+                                (x * F.sin(wv * i)).alias("im"),
+                            ),
+                        ),
+                        F.struct(
+                            F.lit(0.0).alias("re"),
+                            F.lit(0.0).alias("im"),
+                        ),
+                        lambda acc, t: F.struct(
+                            (acc["re"] + t["re"]).alias("re"),
+                            (acc["im"] + t["im"]).alias("im"),
+                        ),
+                    ),
+                    lambda s: s["re"] * s["re"] + s["im"] * s["im"],
+                ),
+            )
+
+        mags_expr = F.transform(
+            F.sequence(F.lit(1), F.floor(n / 2).cast("int")), mag2
+        )
+
+        def pick(mags: Column) -> Column:
+            kbest = F.array_position(mags, F.array_max(mags))
+            return F.when(
+                (n >= 4) & (F.array_max(mags) > 1e-9),
+                n.cast("double") / kbest.cast("double"),
+            )
+
+        return _let_once(mags_expr, pick)
+
+    return _let_once(xs_expr, build)
+
+
+CH_FUNCTIONS["seriesPeriodDetectFFT"] = _series_period_fft

@@ -162,6 +162,18 @@ def ngram_distance(a, b) -> Column:
     )
 
 
+def ngram_search(haystack, needle) -> Column:
+    """CH ngramSearch(haystack, needle) -> 0 (nothing shared) .. 1
+    (needle fully covered): the asymmetric variant of ngramDistance —
+    the fraction of the NEEDLE's distinct 4-grams present in the
+    haystack (CH hashes multisets; same documented distinct-set
+    divergence as ngramDistance)."""
+    gh, gn = _ngrams4(haystack), _ngrams4(needle)
+    inter = F.size(F.array_intersect(gh, gn)).cast("double")
+    denom = F.size(gn).cast("double")
+    return F.when(denom == 0, F.lit(0.0)).otherwise(inter / denom)
+
+
 def soundex_difference(a, b) -> Column:
     """SQL-Server-style difference(a, b): how many of the four
     soundex code positions match (0..4)."""

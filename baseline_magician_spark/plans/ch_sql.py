@@ -1019,6 +1019,10 @@ _LITERAL_ARG_POSITIONS = {
     "minsamplesizeconversion": {0, 1, 2, 3},
     "minsamplesizecontinous": {0, 1, 2, 3, 4},
     "minsamplesizecontinuous": {0, 1, 2, 3, 4},
+    # round-7b tranche: the decimal scale sets a format string, the
+    # shingle length sizes the window
+    "todecimalstring": {1},
+    "arrayshingles": {1},
 }
 
 # CH accepts BARE unit identifiers in these positions too —

@@ -3902,3 +3902,230 @@ def _categorical_iv_oracle() -> str:
 def ch_sql_categorical_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = run_ch_query(_CATEGORICAL_IV_SQL, _tables(spark, sf_dir, "events"))
     return df.withColumn("iv", _arr_digest("iv", "%.6f"))
+
+
+# Round-7b function tranche end-to-end: the toRelative*Num bucket
+# family (DateLUT closed forms), fromModifiedJulianDay, clamp,
+# toDecimalString, Int128 arithmetic past the BIGINT range, byte/bit
+# slicing (bit shifts replayed arithmetically in DuckDB), array
+# shingles, the asymmetric ngramSearch, and a UUIDv7 timestamp
+# roundtrip (ms -> v7 hex -> UUIDv7ToDateTime -> ms).
+_ROUND7B_SQL = """
+SELECT event_id AS eid,
+       toRelativeMonthNum(ts) AS rm,
+       toRelativeQuarterNum(ts) AS rq,
+       toRelativeWeekNum(ts) AS rw,
+       toRelativeHourNum(ts) AS rh,
+       toString(fromModifiedJulianDay(
+         toInt32(40000 + event_id % 20000))) AS fmjd,
+       clamp(value, 2.0, 8.0) AS cl,
+       toDecimalString(value, 3) AS tds,
+       toString(toInt128('12345678901234567890123456789012345')
+                + event_id) AS i128,
+       byteSlice(event_type, 2, 3) AS bs,
+       hex(bitSlice(event_type, 3, 12)) AS bsl,
+       arrayStringConcat(arrayMap(w -> arrayStringConcat(w, '-'),
+         arrayShingles([toString(event_id % 5), toString(event_id % 7),
+                        toString(event_id % 11),
+                        toString(event_id % 13)], 2)), '|') AS sh,
+       round(ngramSearch(props,
+         concat('k": ', toString(event_id % 10))), 6) AS ns,
+       toUnixTimestamp64Milli(UUIDv7ToDateTime(concat(
+         substring(lower(leftPad(hex(toUnixTimestamp64Milli(ts)),
+                                 12, '0')), 1, 8),
+         '-',
+         substring(lower(leftPad(hex(toUnixTimestamp64Milli(ts)),
+                                 12, '0')), 9, 4),
+         '-7000-8000-000000000000'))) AS u7ms
+FROM fastnetmon.events
+WHERE event_id % 37 = 0
+ORDER BY eid
+"""
+
+
+def _round7b_oracle() -> str:
+    def byte_at(k: int) -> str:
+        # 0 past the end, like the engine's zero-extended bit reads
+        return (
+            f"CASE WHEN length(event_type) >= {k} "
+            f"THEN ascii(substring(event_type, {k}, 1)) ELSE 0 END"
+        )
+
+    b1, b2, b3 = byte_at(1), byte_at(2), byte_at(3)
+    grams = (
+        "list_distinct(CASE WHEN length({s}) >= 4 THEN "
+        "list_transform(range(1, length({s}) - 2), "
+        "i -> substring({s}, i, 4)) ELSE [{s}] END)"
+    )
+    gh = grams.format(s="props")
+    gn = grams.format(s="needle")
+    return f"""
+    WITH base AS (
+      SELECT event_id, CAST(ts AS DATE) AS d, ts, event_type, value,
+             props,
+             'k": ' || CAST(event_id % 10 AS VARCHAR) AS needle
+      FROM events WHERE event_id % 37 = 0
+    )
+    SELECT event_id AS eid,
+           CAST(year(d) * 12 + month(d) AS BIGINT) AS rm,
+           CAST(year(d) * 4 + (month(d) - 1) // 3 AS BIGINT) AS rq,
+           CAST((datediff('day', DATE '1970-01-01', d) + 8
+                 - isodow(d)) // 7 AS BIGINT) AS rw,
+           CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS rh,
+           CAST(DATE '1858-11-17'
+                + CAST(40000 + event_id % 20000 AS INTEGER)
+                AS VARCHAR) AS fmjd,
+           least(greatest(value, 2.0), 8.0) AS cl,
+           printf('%.3f', value) AS tds,
+           CAST(CAST('12345678901234567890123456789012345' AS HUGEINT)
+                + event_id AS VARCHAR) AS i128,
+           substring(event_type, 2, 3) AS bs,
+           upper(lpad(to_hex(({b1} * 4 + {b2} // 64) % 256), 2, '0')
+                 || lpad(to_hex((({b2} * 4 + {b3} // 64) % 256)
+                                & 240), 2, '0')) AS bsl,
+           printf('%d-%d|%d-%d|%d-%d',
+                  event_id % 5, event_id % 7, event_id % 7,
+                  event_id % 11, event_id % 11, event_id % 13) AS sh,
+           round(CAST(len(list_filter({gn},
+                    g -> list_contains({gh}, g))) AS DOUBLE)
+                 / len({gn}), 6) AS ns,
+           epoch_ms(ts) AS u7ms
+    FROM base
+    ORDER BY eid
+    """
+
+
+@query("ch_sql_round7b_functions", _round7b_oracle())
+def ch_sql_round7b_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_ROUND7B_SQL, _tables(spark, sf_dir, "events"))
+
+
+# Base58 end-to-end: encode a 5-12 byte key built from document
+# columns, plus the decode round-trip. DuckDB replays the positional
+# big-base conversion in closed form — the key folds into ONE
+# HUGEINT (max 12 bytes = 96 bits < 128), base-58 digits come from
+# literal power tables (58^k, 256^k precomputed driver-side), and
+# leading zero digits are stripped like the spec says. Inputs are
+# ASCII (no leading 0x00 bytes -> no '1' prefix leg; that leg is
+# pinned against the canonical unhex('0000287FB4CD') vector in
+# tests/test_ch_round7b_functions.py).
+_BASE58_SQL = """
+SELECT doc_id,
+       base58Encode(concat(source, ':', toString(doc_id))) AS e58,
+       base58Decode(base58Encode(
+         concat(source, ':', toString(doc_id)))) AS rt
+FROM fastnetmon.documents
+WHERE doc_id % 23 = 0
+ORDER BY doc_id
+"""
+
+
+def _base58_oracle() -> str:
+    p256 = ", ".join(
+        f"CAST('{256 ** k}' AS HUGEINT)" for k in range(15)
+    )
+    p58 = ", ".join(
+        f"CAST('{58 ** k}' AS HUGEINT)" for k in range(21)
+    )
+    alpha = (
+        "123456789ABCDEFGHJKLMNPQRSTUVWXYZ"
+        "abcdefghijkmnopqrstuvwxyz"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             source || ':' || CAST(doc_id AS VARCHAR) AS s
+      FROM documents WHERE doc_id % 23 = 0
+    ),
+    nums AS (
+      SELECT doc_id, s,
+        list_reduce(
+          list_prepend(CAST(0 AS HUGEINT),
+            list_transform(range(1, length(s) + 1),
+              i -> CAST(ascii(substring(s, CAST(i AS INT), 1))
+                        AS HUGEINT)
+                   * ([{p256}])[length(s) - i + 1])),
+          (a, b) -> a + b) AS n
+      FROM base
+    ),
+    digs AS (
+      SELECT doc_id, s, n,
+        list_transform(range(0, 21),
+          j -> CAST((n // ([{p58}])[21 - j]) % 58 AS INT)) AS d
+      FROM nums
+    )
+    SELECT doc_id,
+      CASE WHEN n = 0 THEN '' ELSE
+        array_to_string(
+          list_transform(
+            range(coalesce(list_position(
+                    list_transform(d, x -> x > 0), true), 22), 22),
+            k -> substring('{alpha}', d[CAST(k AS INT)] + 1, 1)),
+          '')
+      END AS e58,
+      s AS rt
+    FROM digs
+    ORDER BY doc_id
+    """
+
+
+@query("ch_sql_base58_roundtrip", _base58_oracle())
+def ch_sql_base58_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_BASE58_SQL, _tables(spark, sf_dir, "documents"))
+
+
+# seriesPeriodDetectFFT end-to-end: per-group sawtooth series with a
+# data-dependent period; the DuckDB oracle replays the same direct
+# DFT periodogram (the picked bin is the sawtooth fundamental, which
+# dominates its harmonics by >= 2x, so libm cos/sin ulp differences
+# between the JVM and DuckDB cannot flip the argmax).
+_SERIES_FFT_SQL = """
+SELECT g,
+       seriesPeriodDetectFFT(arrayMap(i -> toFloat64(i % (2 + g)),
+                                      range(60))) AS p,
+       seriesPeriodDetectFFT(arrayMap(i -> toFloat64(i % (3 + g)),
+                                      range(60))) AS p2,
+       seriesPeriodDetectFFT(arrayWithConstant(12, 1.0)) AS pconst
+FROM (SELECT DISTINCT user_id % 4 AS g FROM fastnetmon.events)
+ORDER BY g
+"""
+
+
+def _series_fft_oracle() -> str:
+    def dft(period_expr: str) -> str:
+        xs = (
+            f"list_transform(range(0, 60), "
+            f"i -> CAST(i % ({period_expr}) AS DOUBLE))"
+        )
+        comp = {}
+        for fn in ("cos", "sin"):
+            comp[fn] = (
+                f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+                f"list_transform(range(0, 60), i -> "
+                f"({xs})[CAST(i + 1 AS INT)] "
+                f"* {fn}(2 * pi() * k * i / 60.0))), "
+                f"(a, b) -> a + b)"
+            )
+        mags = (
+            f"list_transform(range(1, 31), k -> "
+            f"pow({comp['cos']}, 2) + pow({comp['sin']}, 2))"
+        )
+        return (
+            f"60.0 / list_position({mags}, "
+            f"list_aggregate({mags}, 'max'))"
+        )
+
+    return f"""
+    WITH gs AS (SELECT DISTINCT user_id % 4 AS g FROM events)
+    SELECT g,
+           {dft("2 + g")} AS p,
+           {dft("3 + g")} AS p2,
+           CAST(NULL AS DOUBLE) AS pconst
+    FROM gs
+    ORDER BY g
+    """
+
+
+@query("ch_sql_series_period_fft", _series_fft_oracle())
+def ch_sql_series_period_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_SERIES_FFT_SQL, _tables(spark, sf_dir, "events"))

@@ -95,6 +95,9 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_round7_functions",
     "pipeline_leakage_safe_split",
     "ch_sql_categorical_iv",
+    "ch_sql_round7b_functions",
+    "ch_sql_base58_roundtrip",
+    "ch_sql_series_period_fft",
     # r3-stale rotation (oldest remaining driver rows, diverse ops;
     # ch_sql_with_totals traded out for the categorical-IV
     # registration — never-checked rows outrank re-checks and the
@@ -119,12 +122,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_semantic_keep_best",
     "dedup_simhash_band_pairs",
     "events_hourly_rollup_incremental",
-    "multimodal_audio_window_rms",
-    "multimodal_frame_deltas",
     "pipeline_bucketed_batches",
     "q12_late_shipment_priority",
     "rag_chunk_overlap_manifest",
-    "similarity_ivfpq_topk",
 )
 
 

@@ -493,6 +493,30 @@ def main() -> None:
 
             shutil.rmtree(d, ignore_errors=True)
 
+    def round7b_scan(k: int) -> int:
+        """Round-7b per-row fold expressions: base58 encode+decode
+        (O(len²) nested folds at bounded key length), bitSlice's
+        per-output-byte shifts, and the direct-DFT period detector
+        (O(24²) fold steps per row here). All are projections — no
+        shuffle, no Python — so total cost must track rows."""
+        from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+        docs = replicate(docs0, k, ["doc_id"], salt_text=False)
+        out = run_ch_query(
+            """
+            SELECT doc_id % 64 AS g,
+                   sum(length(base58Decode(base58Encode(
+                     concat(source, ':', toString(doc_id)))))) AS rt,
+                   sum(length(bitSlice(source, 3, 20))) AS bl,
+                   sum(toInt64(seriesPeriodDetectFFT(arrayMap(
+                     i -> toFloat64(i % (2 + doc_id % 3)),
+                     range(24))))) AS fp
+            FROM documents GROUP BY g
+            """,
+            {"documents": docs},
+        )
+        return out.count()
+
     ops = {
         "q1_agg": q1_agg,
         "minhash_lsh_pairs": minhash,
@@ -517,6 +541,7 @@ def main() -> None:
         "string_sim_scan": string_sim_scan,
         "rank_decay_weighted": rank_decay_weighted,
         "bigram_lm": bigram_lm,
+        "round7b_scan": round7b_scan,
     }
 
     # SPARK_GRAFT_STRESS_OPS=a,b,c re-runs a subset (a marginal rung

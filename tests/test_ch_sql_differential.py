@@ -1440,7 +1440,112 @@ def _gen_lpnorm_pair(rng: random.Random) -> tuple[str, str]:
     return ch, duck
 
 
-N_PAIRED = 126
+def _gen_round7b_pair(rng: random.Random) -> tuple[str, str]:
+    # round-7b tranche: a random toRelative*Num unit, clamp, byte- and
+    # bit-addressed slicing at random offsets (the DuckDB side replays
+    # the per-output-byte shift arithmetic with driver-computed
+    # constants), and the asymmetric ngramSearch
+    m = rng.randint(3, 7)
+    w = _where(rng)
+    unit, ch_rel, duck_rel = rng.choice(
+        [
+            (
+                "month",
+                "toRelativeMonthNum(ts)",
+                "year(CAST(ts AS DATE)) * 12 + month(CAST(ts AS DATE))",
+            ),
+            (
+                "quarter",
+                "toRelativeQuarterNum(ts)",
+                "year(CAST(ts AS DATE)) * 4 "
+                "+ (month(CAST(ts AS DATE)) - 1) // 3",
+            ),
+            (
+                "week",
+                "toRelativeWeekNum(ts)",
+                "(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+                " + 8 - isodow(CAST(ts AS DATE))) // 7",
+            ),
+            (
+                "hour",
+                "toRelativeHourNum(ts)",
+                "epoch_ms(ts) // 3600000",
+            ),
+        ]
+    )
+    lo = rng.randint(0, 4)
+    hi = lo + rng.randint(1, 5)
+    so = rng.randint(1, 3)
+    sl = rng.randint(1, 4)
+    boff = rng.randint(1, 9)
+    blen = rng.randint(1, 16)
+
+    def duck_byte(k: int) -> str:
+        return (
+            f"CASE WHEN length(event_type) >= {k} "
+            f"THEN ascii(substring(event_type, {k}, 1)) ELSE 0 END"
+        )
+
+    eff = (
+        f"greatest(least({blen}, length(event_type) * 8 - {boff} + 1),"
+        f" 0)"
+    )
+    parts = []
+    for j in (1, 2):
+        bitpos = boff + (j - 1) * 8
+        k = (bitpos - 1) // 8 + 1
+        sh = (bitpos - 1) % 8
+        merged = (
+            f"({duck_byte(k)} * {1 << sh} "
+            f"+ {duck_byte(k + 1)} // {1 << (8 - sh)}) % 256"
+            if sh
+            else f"{duck_byte(k)}"
+        )
+        keep = f"least(greatest({eff} - {8 * (j - 1)}, 0), 8)"
+        masked = (
+            f"CASE WHEN {keep} >= 8 THEN {merged} "
+            f"ELSE ({merged}) & (256 - (1 << CAST(8 - {keep} AS INT)))"
+            f" END"
+        )
+        parts.append(
+            f"CASE WHEN CAST(ceil({eff} / 8.0) AS INT) >= {j} "
+            f"THEN lpad(to_hex({masked}), 2, '0') ELSE '' END"
+        )
+    duck_bsl = f"upper({' || '.join(parts)})"
+    ch = (
+        f"SELECT user_id % {m} AS k, "
+        f"min({ch_rel}) AS rlo, max({ch_rel}) AS rhi, "
+        f"sum(toInt64(clamp(value, {lo}.0, {hi}.0) * 100)) AS cs, "
+        f"min(byteSlice(event_type, {so}, {sl})) AS bs, "
+        f"max(hex(bitSlice(event_type, {boff}, {blen}))) AS bsl, "
+        f"round(max(ngramSearch(props, "
+        f"concat('k\": ', toString(event_id % 10)))), 6) AS ns "
+        f"FROM events{w} GROUP BY k ORDER BY k"
+    )
+    gram = (
+        "list_distinct(CASE WHEN length({s}) >= 4 THEN "
+        "list_transform(range(1, length({s}) - 2), "
+        "i -> substring({s}, i, 4)) ELSE [{s}] END)"
+    )
+    gh = gram.format(s="props")
+    gn = gram.format(s="('k\": ' || CAST(event_id % 10 AS VARCHAR))")
+    duck = (
+        f"SELECT user_id % {m} AS k, "
+        f"CAST(min({duck_rel}) AS BIGINT) AS rlo, "
+        f"CAST(max({duck_rel}) AS BIGINT) AS rhi, "
+        f"CAST(sum(CAST(trunc(least(greatest(value, {lo}.0), {hi}.0)"
+        f" * 100) AS BIGINT)) AS BIGINT) AS cs, "
+        f"min(substring(event_type, {so}, {sl})) AS bs, "
+        f"max({duck_bsl}) AS bsl, "
+        f"round(max(CAST(len(list_filter({gn}, "
+        f"g -> list_contains({gh}, g))) AS DOUBLE) / len({gn})), 6)"
+        f" AS ns "
+        f"FROM events{w} GROUP BY k ORDER BY k"
+    )
+    return ch, duck
+
+
+N_PAIRED = 130
 
 
 def _gen_pair(rng: random.Random) -> tuple[str, str]:
@@ -1458,7 +1563,8 @@ def _gen_pair(rng: random.Random) -> tuple[str, str]:
          _gen_weighted_quantile_pair, _gen_resample_pair,
          _gen_bitmap_pair, _gen_ipv6_pair,
          _gen_nonneg_derivative_pair,
-         _gen_geohash_pair, _gen_int_hash_pair, _gen_lpnorm_pair]
+         _gen_geohash_pair, _gen_int_hash_pair, _gen_lpnorm_pair,
+         _gen_round7b_pair]
     )(rng)
 
 

@@ -512,3 +512,31 @@ def test_leakage_safe_split_adds_no_shuffle_beyond_cc(spark, queries):
     # Project, not behind its own Exchange
     tail = plan.split("Exchange", 1)[0]
     assert "CASE WHEN" in tail or "Project" in tail
+
+
+def test_round7b_functions_map_side_only(spark, queries):
+    """The round-7b scalar tranche (relative nums, bit/byte slicing,
+    shingles, ngramSearch, UUIDv7 roundtrip) is pure projection: no
+    join, no Python stage — the only exchange is the ORDER BY sort."""
+    plan = plan_of(queries["ch_sql_round7b_functions"](spark, SF_ORACLE))
+    assert "Join" not in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_base58_is_one_jvm_projection(spark, queries):
+    """base58Encode/Decode run as nested folds inside ONE projection:
+    no Python, no join, no aggregate — the conversion never leaves
+    the JVM expression interpreter."""
+    plan = plan_of(queries["ch_sql_base58_roundtrip"](spark, SF_ORACLE))
+    assert "Join" not in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" not in plan, plan[:1500]
+
+
+def test_series_fft_single_distinct_shuffle(spark, queries):
+    """The periodogram is a per-row expression over the DISTINCT group
+    keys: exactly one aggregate (the DISTINCT), no Python stage."""
+    plan = plan_of(queries["ch_sql_series_period_fft"](spark, SF_ORACLE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:1500]
