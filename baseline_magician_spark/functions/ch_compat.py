@@ -4540,3 +4540,503 @@ def _series_period_fft(arr) -> Column:
 
 
 CH_FUNCTIONS["seriesPeriodDetectFFT"] = _series_period_fft
+
+
+# ---------------------------------------------------------------------------
+# Round-7c mini tranche: map arithmetic (mapAdd/mapSubtract/
+# mapPopulateSeries — sql-reference/functions/tuple-map-functions),
+# sigmoid, the groupArraySample parametric aggregate, and
+# quantileInterpolatedWeighted.
+# ---------------------------------------------------------------------------
+
+
+def _map_arith(sign: int):
+    """mapAdd / mapSubtract over the engine's Map carrier: union of
+    keys (sorted, like CH's sorted result), values summed — the
+    non-first maps enter with ``sign``. Missing keys count as 0."""
+
+    def build(*maps) -> Column:
+        ms = [_as_col(m) for m in maps]
+        keys_expr = F.array_sort(
+            F.array_distinct(
+                F.concat(*[F.map_keys(m) for m in ms])
+            )
+        )
+
+        def per_key(k: Column) -> Column:
+            total = None
+            for i, m in enumerate(ms):
+                term = F.coalesce(
+                    F.try_element_at(m, k),
+                    F.lit(0),
+                )
+                if i > 0 and sign < 0:
+                    term = -term
+                total = term if total is None else total + term
+            return F.struct(k.alias("key"), total.alias("value"))
+
+        return F.map_from_entries(
+            F.transform(keys_expr, per_key)
+        )
+
+    return build
+
+
+def _map_populate_series(m, *mx) -> Column:
+    """mapPopulateSeries(map[, max]): integer keys densified from the
+    smallest key up to max (default: the largest key present); holes
+    fill with 0. Keys come back sorted, CH-style."""
+    mc = _as_col(m)
+
+    def build(keys: Column) -> Column:
+        lo = F.array_min(keys)
+        hi = (
+            _as_col(mx[0]).cast(
+                "long"
+            )
+            if mx
+            else F.array_max(keys)
+        )
+        return F.when(
+            F.size(keys) > 0,
+            F.map_from_entries(
+                F.transform(
+                    F.sequence(lo.cast("long"), hi.cast("long")),
+                    lambda k: F.struct(
+                        k.alias("key"),
+                        F.coalesce(
+                            F.try_element_at(mc, k), F.lit(0)
+                        ).alias("value"),
+                    ),
+                )
+            ),
+        ).otherwise(mc)
+
+    return _let_once(F.map_keys(mc).cast("array<long>"), build)
+
+
+def _group_array_sample(x, n, seed=0) -> Column:
+    """groupArraySample(n[, seed])(x): n elements sampled from the
+    group. DETERMINISTIC here — elements ranked by a seeded 64-bit
+    hash and the n smallest taken (CH uses its own RNG stream; this
+    engine trades RNG-replay for reproducibility, like topK)."""
+    nn = int(float(str(n)))
+    sd = int(float(str(seed)))
+    xc = _as_col(x)
+    tape = F.array_sort(
+        F.collect_list(
+            F.when(
+                xc.isNotNull(),
+                F.struct(
+                    F.xxhash64(F.lit(sd), xc).alias("h"),
+                    xc.alias("v"),
+                ),
+            )
+        )
+    )
+    return F.transform(F.slice(tape, 1, nn), lambda p: p["v"])
+
+
+def _quantile_interpolated_weighted(v, w, *levels) -> Column:
+    """CH quantileInterpolatedWeighted(level)(x, weight): linear
+    interpolation over the weight-cumulative distribution of the
+    value-sorted tape, midpoint convention — point i sits at
+    c_i = (cum_i - w_i/2) / W; levels outside [c_1, c_n] clamp to the
+    end values, between points interpolate linearly. Tied values
+    order by weight ascending (the struct sort), which matters when
+    the target lands inside a tie run of unequal weights — oracles
+    must replay ORDER BY (value, weight). NULL pairs are skipped
+    like the exact-weighted form."""
+    lvls = [float(str(lv)) for lv in (levels or (0.5,))]
+    many = len(levels) > 1
+    vc = _as_col(v).cast("double")
+    wc = _as_col(w).cast("double")
+    both = vc.isNotNull() & wc.isNotNull()
+    tape_expr = F.sort_array(
+        F.collect_list(
+            F.when(both, F.struct(vc.alias("a"), wc.alias("b")))
+        )
+    )
+    total = F.sum(F.when(both, wc))
+
+    def build(tape: Column) -> Column:
+        def pick(lv: float) -> Column:
+            tgt = F.lit(lv) * total
+            # fold state: (cum weight, prev c_i, prev value, answer)
+            out = F.aggregate(
+                tape,
+                F.struct(
+                    F.lit(0.0).alias("cum"),
+                    F.lit(None).cast("double").alias("pc"),
+                    F.lit(None).cast("double").alias("pv"),
+                    F.lit(None).cast("double").alias("ans"),
+                ),
+                lambda acc, e: _let_once(
+                    acc["cum"] + e["b"] - e["b"] / 2.0,
+                    lambda ci: F.struct(
+                        (acc["cum"] + e["b"]).alias("cum"),
+                        ci.alias("pc"),
+                        e["a"].alias("pv"),
+                        F.when(acc["ans"].isNotNull(), acc["ans"])
+                        .when(
+                            # first point already past the target:
+                            # clamp to the low end
+                            acc["pc"].isNull() & (tgt <= ci), e["a"]
+                        )
+                        .when(
+                            acc["pc"].isNotNull()
+                            & (tgt <= ci)
+                            & (ci > acc["pc"]),
+                            acc["pv"]
+                            + (e["a"] - acc["pv"])
+                            * (tgt - acc["pc"])
+                            / (ci - acc["pc"]),
+                        )
+                        .when(
+                            acc["pc"].isNotNull()
+                            & (tgt <= ci),
+                            e["a"],
+                        )
+                        .alias("ans"),
+                    ),
+                ),
+            )
+            # target past the last midpoint: clamp to the high end
+            return F.coalesce(out["ans"], out["pv"])
+
+        if many:
+            return F.array(*[pick(lv) for lv in lvls])
+        return pick(lvls[0])
+
+    return _let_once(tape_expr, build)
+
+
+CH_FUNCTIONS.update(
+    {
+        "sigmoid": lambda x: F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-_as_col(x).cast("double"))),
+        "mapAdd": _map_arith(+1),
+        "mapSubtract": _map_arith(-1),
+        "mapPopulateSeries": _map_populate_series,
+        "groupArraySample": _group_array_sample,
+        "quantileInterpolatedWeighted": _quantile_interpolated_weighted,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-7d tranche: array set operations, map-LIKE helpers, the URL
+# parameter tail, JSON validity probes, GENUINE halfMD5 (first 8 MD5
+# bytes as big-endian UInt64 — byte-compatible with CH, replayable in
+# any engine with md5()), human-size/time-delta parsers, week-boundary
+# modes, normalized Gini, and the murmur hash stand-in family (the
+# sipHash64 bucketing-compatible policy).
+# ---------------------------------------------------------------------------
+
+
+_READABLE_UNITS: dict[str, int] = {
+    "b": 1,
+    **{u: 1000 ** i for i, u in enumerate(
+        ("kb", "mb", "gb", "tb", "pb", "eb"), start=1)},
+    **{u: 1024 ** i for i, u in enumerate(
+        ("kib", "mib", "gib", "tib", "pib", "eib"), start=1)},
+}
+
+
+def _parse_readable_size(s, on_bad: str) -> Column:
+    """parseReadableSize['1.5 KiB' -> 1536]: number + decimal (KB) or
+    binary (KiB) unit, case-insensitive, rounded UP to an integer
+    byte count (CH returns UInt64 and documents ceil). on_bad: the
+    OrNull/OrZero totalizations; the plain spelling is total-NULL
+    here (CH throws — same documented divergence as base58Decode)."""
+    c = F.lower(F.trim(_as_col(s)))
+    num = F.regexp_extract(c, r"^([0-9]*\.?[0-9]+)\s*([a-z]+)$", 1)
+    unit = F.regexp_extract(c, r"^([0-9]*\.?[0-9]+)\s*([a-z]+)$", 2)
+    mult = None
+    for u, m in _READABLE_UNITS.items():
+        cond = unit == u
+        mult = (
+            F.when(cond, F.lit(m))
+            if mult is None
+            else mult.when(cond, F.lit(m))
+        )
+    good = F.when(
+        (num != "") & mult.isNotNull(),
+        F.ceil(num.cast("double") * mult).cast("long"),
+    )
+    if on_bad == "zero":
+        return F.coalesce(good, F.lit(0).cast("long"))
+    return good
+
+
+_TIME_DELTA_UNITS: dict[str, float] = {
+    # CH parseTimeDelta unit table (seconds)
+    "ns": 1e-9, "us": 1e-6, "ms": 1e-3,
+    "s": 1.0, "sec": 1.0, "second": 1.0, "seconds": 1.0,
+    "m": 60.0, "min": 60.0, "minute": 60.0, "minutes": 60.0,
+    "h": 3600.0, "hr": 3600.0, "hour": 3600.0, "hours": 3600.0,
+    "d": 86400.0, "day": 86400.0, "days": 86400.0,
+    "w": 604800.0, "week": 604800.0, "weeks": 604800.0,
+    "month": 2629746.0, "months": 2629746.0,
+    "y": 31556952.0, "year": 31556952.0, "years": 31556952.0,
+}
+
+
+def _parse_time_delta(s) -> Column:
+    """parseTimeDelta('1h 30m' | '1hour 20minutes') -> seconds as
+    Float64: every (number, unit) pair summed via the CH unit table
+    (mean Gregorian month/year). NULL when no pair parses or a unit
+    is unknown."""
+    c = F.lower(_as_col(s))
+    nums = F.regexp_extract_all(
+        c, F.lit(r"([0-9]*\.?[0-9]+)\s*[a-z]+"), 1
+    )
+    units = F.regexp_extract_all(
+        c, F.lit(r"[0-9]*\.?[0-9]+\s*([a-z]+)"), 1
+    )
+
+    def unit_secs(u: Column) -> Column:
+        out = None
+        for name, m in _TIME_DELTA_UNITS.items():
+            out = (
+                F.when(u == name, F.lit(m))
+                if out is None
+                else out.when(u == name, F.lit(m))
+            )
+        return out
+
+    terms = F.zip_with(
+        nums, units, lambda n, u: n.cast("double") * unit_secs(u)
+    )
+    total = F.aggregate(
+        terms, F.lit(0.0), lambda acc, t: acc + t
+    )
+    ok = (F.size(nums) > 0) & F.forall(
+        terms, lambda t: t.isNotNull()
+    )
+    return F.when(ok, total)
+
+
+def _half_md5(*cols) -> Column:
+    """GENUINE CH halfMD5: the first 8 bytes of MD5(concat(args))
+    interpreted as a big-endian UInt64 (CH docs; returns past the
+    long range, so the carrier is decimal(20,0) like toUInt64)."""
+    data = (
+        F.concat(*[_as_col(c).cast("string") for c in cols])
+        if len(cols) > 1
+        else _as_col(cols[0]).cast("string")
+    )
+    return F.conv(
+        F.substring(F.md5(data.cast("binary")), 1, 16), 16, 10
+    ).cast("decimal(20,0)")
+
+
+def _array_normalized_gini(pred, label) -> Column:
+    """arrayNormalizedGini(predicted, label) ->
+    (gini_model, gini_ideal, normalized): Gini sums over labels
+    ordered by prediction DESC vs labels ordered by themselves DESC
+    (the standard normalized-Gini construction; CH's 24.x function).
+    gini(order) = sum_i cum_i / total - (n + 1) / 2, scaled by 1/n."""
+    pc = _as_col(pred)
+    lc = _as_col(label)
+
+    def gini_of(seq: Column, n: Column) -> Column:
+        # seq: labels in scoring order; fold carries (running sum,
+        # sum of running sums)
+        return _let_once(
+            F.aggregate(
+                seq,
+                F.struct(
+                    F.lit(0.0).alias("cum"),
+                    F.lit(0.0).alias("acc"),
+                ),
+                lambda st, x: F.struct(
+                    (st["cum"] + x).alias("cum"),
+                    (st["acc"] + st["cum"] + x).alias("acc"),
+                ),
+            ),
+            lambda s: (
+                s["acc"] / s["cum"]
+                - (n.cast("double") + 1.0) / 2.0
+            )
+            / n.cast("double"),
+        )
+
+    by_pred_expr = F.transform(
+        F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    pc,
+                    lc,
+                    lambda p, l: F.struct(
+                        p.cast("double").alias("p"),
+                        l.cast("double").alias("l"),
+                    ),
+                )
+            )
+        ),
+        lambda e: e["l"],
+    )
+    ideal_expr = F.reverse(
+        F.array_sort(F.transform(lc, lambda x: x.cast("double")))
+    )
+
+    def build(by_pred: Column) -> Column:
+        n = F.size(by_pred)
+        return _let_once(
+            ideal_expr,
+            lambda ideal: F.when(
+                n > 0,
+                _let_once(
+                    gini_of(by_pred, n),
+                    lambda gm: _let_once(
+                        gini_of(ideal, n),
+                        lambda gi: F.struct(
+                            gm.alias("gini"),
+                            gi.alias("gini_ideal"),
+                            F.when(gi != 0, gm / gi).alias(
+                                "normalized"
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        )
+
+    return _let_once(by_pred_expr, build)
+
+
+def _to_start_of_week(d, mode=0) -> Column:
+    """toStartOfWeek(d[, mode]): mode 0 (default) rounds down to
+    Sunday, modes 1/3 to Monday (the CH toWeek mode table's
+    first-day column)."""
+    md = int(float(str(mode)))
+    c = _as_col(d).cast("date")
+    monday = F.to_date(F.date_trunc("week", c))
+    if md in (1, 3):
+        return monday
+    # Sunday-start: the Sunday on or before d
+    return F.date_sub(c, (F.weekday(c) + 1) % 7)
+
+
+CH_FUNCTIONS.update(
+    {
+        "arrayUnion": lambda *arrs: F.array_distinct(
+            F.concat(*[_as_col(a) for a in arrs])
+        ),
+        # elements NOT present in every argument array
+        "arraySymmetricDifference": lambda *arrs: _let_once(
+            F.array_distinct(F.concat(*[_as_col(a) for a in arrs])),
+            lambda u: F.filter(
+                u,
+                lambda e: ~F.forall(
+                    F.array(
+                        *[
+                            F.array_contains(_as_col(a), e)
+                            for a in arrs
+                        ]
+                    ),
+                    lambda x: x,
+                ),
+            ),
+        ),
+        "mapExtractKeyLike": lambda m, p: F.map_filter(
+            _as_col(m), lambda k, v: F.like(k, _as_col(p))
+        ),
+        "mapContainsValueLike": lambda m, p: F.size(
+            F.map_filter(
+                _as_col(m), lambda k, v: F.like(v, _as_col(p))
+            )
+        )
+        > 0,
+        "toBool": lambda c: _as_col(c).cast("boolean"),
+        "toLastDayOfWeek": lambda d, *mode: F.date_add(
+            _to_start_of_week(d, *(mode or (0,))), 6
+        ),
+        "toStartOfWeek": lambda d, *mode: _to_start_of_week(
+            d, *(mode or (0,))
+        ),
+        "cutWWW": lambda u: F.regexp_replace(
+            _as_col(u), r"^([a-z][a-z0-9+.\-]*://)www\.", "$1"
+        ),
+        "queryStringAndFragment": lambda u: F.regexp_extract(
+            _as_col(u), r"(\?[^#]*)?(#.*)?$", 0
+        ),
+        "extractURLParameters": lambda u: F.filter(
+            F.split(
+                F.regexp_extract(_as_col(u), r"\?([^#]*)", 1), "&"
+            ),
+            lambda e: e != "",
+        ),
+        "extractURLParameterNames": lambda u: F.transform(
+            F.filter(
+                F.split(
+                    F.regexp_extract(_as_col(u), r"\?([^#]*)", 1),
+                    "&",
+                ),
+                lambda e: e != "",
+            ),
+            lambda e: F.split(e, "=").getItem(0),
+        ),
+        "isValidJSON": lambda s: F.try_parse_json(
+            _as_col(s).cast("string")
+        ).isNotNull(),
+        "JSONArrayLength": lambda s: F.json_array_length(
+            _as_col(s)
+        ).cast("long"),
+        # CH toJSONString serializes any value; Spark's to_json takes
+        # complex types — scalars render via their string form
+        "toJSONString": lambda c: F.to_json(_as_col(c)),
+        # one random value per query compile (CH: per block)
+        "randConstant": lambda: F.lit(
+            __import__("random").random()
+        ),
+        "halfMD5": _half_md5,
+        "parseReadableSize": lambda s: _parse_readable_size(
+            s, "null"
+        ),
+        "parseReadableSizeOrNull": lambda s: _parse_readable_size(
+            s, "null"
+        ),
+        "parseReadableSizeOrZero": lambda s: _parse_readable_size(
+            s, "zero"
+        ),
+        "parseTimeDelta": _parse_time_delta,
+        "arrayNormalizedGini": _array_normalized_gini,
+        # bucketing-compatible 64/32-bit stand-ins (sipHash64 policy)
+        "murmurHash2_32": lambda *cs: F.hash(
+            F.lit("mm2"), *[_as_col(c) for c in cs]
+        ).cast("long"),
+        "murmurHash2_64": lambda *cs: F.xxhash64(
+            F.lit("mm2"), *[_as_col(c) for c in cs]
+        ),
+        "murmurHash3_32": lambda *cs: F.hash(
+            F.lit("mm3"), *[_as_col(c) for c in cs]
+        ).cast("long"),
+        "murmurHash3_64": lambda *cs: F.xxhash64(
+            F.lit("mm3"), *[_as_col(c) for c in cs]
+        ),
+        # 128-bit stand-in rendered as 32 hex chars (CH returns
+        # FixedString(16))
+        "murmurHash3_128": lambda *cs: F.concat(
+            F.lpad(
+                F.hex(
+                    F.xxhash64(
+                        F.lit("mm3a"), *[_as_col(c) for c in cs]
+                    )
+                ),
+                16,
+                "0",
+            ),
+            F.lpad(
+                F.hex(
+                    F.xxhash64(
+                        F.lit("mm3b"), *[_as_col(c) for c in cs]
+                    )
+                ),
+                16,
+                "0",
+            ),
+        ),
+    }
+)

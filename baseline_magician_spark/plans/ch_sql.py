@@ -152,6 +152,8 @@ _AGGS = {
     "grouparrayintersect", "summapfiltered",
     # round-7 tranche
     "categoricalinformationvalue",
+    # round-7c tranche
+    "grouparraysample", "quantileinterpolatedweighted",
 }
 
 # CH parametric-aggregate families — ``fn(params)(args)`` spelling,
@@ -186,6 +188,8 @@ _PARAMETRIC_AGGS = {
     # round-6h tranche
     "quantileexactweighted", "quantilesexactweighted",
     "summapfiltered",
+    # round-7c tranche
+    "grouparraysample", "quantileinterpolatedweighted",
 }
 
 _TOKEN = re.compile(
@@ -1023,6 +1027,9 @@ _LITERAL_ARG_POSITIONS = {
     # shingle length sizes the window
     "todecimalstring": {1},
     "arrayshingles": {1},
+    # round-7d tranche: week-boundary modes pick the first weekday
+    "tostartofweek": {1},
+    "tolastdayofweek": {1},
 }
 
 # CH accepts BARE unit identifiers in these positions too —
@@ -1753,6 +1760,7 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             "exponentialtimedecayedmax", "exponentialtimedecayedavg",
             "quantileexactweighted", "quantilesexactweighted",
             "summapfiltered",
+            "grouparraysample", "quantileinterpolatedweighted",
         ) and len(node.args) >= 2:
             # multi-COLUMN parametric aggregates — the generic branch
             # below would read the second column as a level. The

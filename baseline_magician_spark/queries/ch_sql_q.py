@@ -4129,3 +4129,258 @@ def _series_fft_oracle() -> str:
 @query("ch_sql_series_period_fft", _series_fft_oracle())
 def ch_sql_series_period_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_SERIES_FFT_SQL, _tables(spark, sf_dir, "events"))
+
+
+# Round-7c end-to-end: map arithmetic digested to key:value strings,
+# the interpolated weighted quantile (midpoint convention — c_i =
+# (cum_i - w_i/2)/W, clamped ends; DuckDB replays it with windowed
+# cumulative weights + FILTERed arg_min/arg_max brackets), sigmoid,
+# and groupArraySample at n >= group size (the sample plumbing
+# reduces to the whole group — sorted digest matches exactly; the
+# seeded-ranking determinism itself is pinned in pytest, since CH's
+# RNG stream is engine-private on both sides).
+_ROUND7C_SQL = """
+SELECT g,
+       arrayStringConcat(arrayMap(k ->
+         concat(k, ':', toString(mapElement(
+           mapAdd(map('x', g, 'y', 1), map('y', g)), k))),
+         mapKeys(mapAdd(map('x', g, 'y', 1), map('y', g)))), ',')
+         AS ma,
+       arrayStringConcat(arrayMap(k -> toString(mapElement(
+         mapPopulateSeries(mapFromArrays([1, 2 + g % 2],
+                                         [g, 7]), 4), k)),
+         [1, 2, 3, 4]), ',') AS mp,
+       qiw, qhi, sg, gs
+FROM (
+  SELECT g,
+         round(quantileInterpolatedWeighted(0.5)(
+           value, 1 + event_id % 3), 6) AS qiw,
+         round(quantileInterpolatedWeighted(0.9)(
+           value, 1 + event_id % 3), 6) AS qhi,
+         round(min(sigmoid(value - 5.0)), 6) AS sg,
+         arrayStringConcat(arrayMap(x -> toString(x),
+           arraySort(groupArraySample(100000)(event_id % 97))), ',')
+           AS gs
+  FROM (SELECT user_id % 7 AS g, value, event_id
+        FROM fastnetmon.events)
+  GROUP BY g
+)
+ORDER BY g
+"""
+
+
+def _round7c_oracle() -> str:
+    return """
+    WITH base AS (
+      SELECT user_id % 7 AS g, value AS v,
+             1 + event_id % 3 AS w, event_id
+      FROM events
+    ),
+    pts AS (
+      SELECT g, v, w,
+             sum(w) OVER (PARTITION BY g ORDER BY v, w
+                          ROWS UNBOUNDED PRECEDING) - w / 2.0 AS c
+      FROM base
+    ),
+    tg AS (
+      SELECT g, sum(w) AS tw FROM base GROUP BY g
+    ),
+    qs AS (
+      SELECT p.g,
+             max(CASE WHEN p.c <  0.5 * t.tw THEN p.c END) AS c0m,
+             arg_max(p.v, p.c) FILTER (p.c <  0.5 * t.tw) AS v0m,
+             min(CASE WHEN p.c >= 0.5 * t.tw THEN p.c END) AS c1m,
+             arg_min(p.v, p.c) FILTER (p.c >= 0.5 * t.tw) AS v1m,
+             max(CASE WHEN p.c <  0.9 * t.tw THEN p.c END) AS c0h,
+             arg_max(p.v, p.c) FILTER (p.c <  0.9 * t.tw) AS v0h,
+             min(CASE WHEN p.c >= 0.9 * t.tw THEN p.c END) AS c1h,
+             arg_min(p.v, p.c) FILTER (p.c >= 0.9 * t.tw) AS v1h,
+             arg_max(p.v, p.c) AS vlast
+      FROM pts p JOIN tg t USING (g)
+      GROUP BY p.g
+    ),
+    agg AS (
+      SELECT g,
+             min(1.0 / (1.0 + exp(-(v - 5.0)))) AS sg
+      FROM base GROUP BY g
+    ),
+    sampn AS (
+      -- sorted NUMERIC digest rendered as strings, matching Spark's
+      -- arraySort-then-toString order (numeric sort, string render)
+      SELECT g,
+             array_to_string(
+               list_transform(list_sort(list(event_id % 97)),
+                              x -> CAST(x AS VARCHAR)), ',') AS gs
+      FROM base GROUP BY g
+    )
+    SELECT q.g,
+           printf('x:%d,y:%d', q.g, 1 + q.g) AS ma,
+           array_to_string(list_transform(range(1, 5),
+             k -> CAST(CASE WHEN k = 1 THEN q.g
+                            WHEN k = 2 + q.g % 2 THEN 7
+                            ELSE 0 END AS VARCHAR)), ',') AS mp,
+           round(CASE WHEN q.c1m IS NULL THEN q.vlast
+                      WHEN q.c0m IS NULL THEN q.v1m
+                      ELSE q.v0m + (q.v1m - q.v0m)
+                           * (0.5 * t.tw - q.c0m)
+                           / (q.c1m - q.c0m) END, 6) AS qiw,
+           round(CASE WHEN q.c1h IS NULL THEN q.vlast
+                      WHEN q.c0h IS NULL THEN q.v1h
+                      ELSE q.v0h + (q.v1h - q.v0h)
+                           * (0.9 * t.tw - q.c0h)
+                           / (q.c1h - q.c0h) END, 6) AS qhi,
+           round(a.sg, 6) AS sg,
+           s.gs AS gs
+    FROM qs q
+    JOIN tg t USING (g)
+    JOIN agg a ON a.g = q.g
+    JOIN sampn s ON s.g = q.g
+    ORDER BY q.g
+    """
+
+
+@query("ch_sql_round7c_functions", _round7c_oracle())
+def ch_sql_round7c_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_ROUND7C_SQL, _tables(spark, sf_dir, "events"))
+
+
+# Round-7d end-to-end: array set ops (sorted digests — distinct-order
+# conventions differ between engines), the URL parameter tail over
+# constructed URLs, JSON validity probes, GENUINE halfMD5 (DuckDB
+# folds the same first-8-MD5-bytes hex into HUGEINT), the
+# human-size / time-delta parsers, Sunday/Monday week boundaries via
+# the 7b fromModifiedJulianDay date generator, and arrayNormalizedGini
+# (the cum-sum identity acc = sum_i (n-i+1) * l_i replayed with
+# list_transform positions).
+_ROUND7D_SQL = """
+SELECT doc_id,
+       arrayStringConcat(arrayMap(x -> toString(x), arraySort(
+         arrayUnion([doc_id % 5, doc_id % 7],
+                    [doc_id % 7, doc_id % 3]))), ',') AS au,
+       arrayStringConcat(arrayMap(x -> toString(x), arraySort(
+         arraySymmetricDifference([doc_id % 5, doc_id % 7],
+                                  [doc_id % 7, doc_id % 3]))), ',')
+         AS asd,
+       toString(toStartOfWeek(fromModifiedJulianDay(
+         toInt32(58000 + doc_id % 400)))) AS sow,
+       toString(toStartOfWeek(fromModifiedJulianDay(
+         toInt32(58000 + doc_id % 400)), 1)) AS sowm,
+       toString(toLastDayOfWeek(fromModifiedJulianDay(
+         toInt32(58000 + doc_id % 400)))) AS ldw,
+       cutWWW(concat('https://www.ex', toString(doc_id % 3),
+                     '.com/p?a=', toString(doc_id % 4), '&',
+                     source, '=1#z')) AS cw,
+       queryStringAndFragment(concat('https://www.ex.com/p?a=',
+         toString(doc_id % 4), '&', source, '=1#z')) AS qsf,
+       arrayStringConcat(extractURLParameters(
+         concat('https://ex.com/p?a=', toString(doc_id % 4), '&',
+                source, '=1#z')), ';') AS eup,
+       arrayStringConcat(extractURLParameterNames(
+         concat('https://ex.com/p?a=', toString(doc_id % 4), '&',
+                source, '=1')), ';') AS eun,
+       isValidJSON(multiIf(doc_id % 3 = 0, '{"k": 1}', '{bad'))
+         AS vj,
+       JSONArrayLength(toJSONString(range(1 + doc_id % 4))) AS jal,
+       toString(halfMD5(concat(source, ':', toString(doc_id))))
+         AS hm,
+       parseReadableSize(concat(
+         toDecimalString((1 + doc_id % 99) / 10.0, 1),
+         multiIf(doc_id % 4 = 0, ' B', doc_id % 4 = 1, ' KiB',
+                 doc_id % 4 = 2, ' MB', ' GiB'))) AS prs,
+       round(parseTimeDelta(concat(toString(doc_id % 5), 'h ',
+         toString(doc_id % 60), 'm')), 6) AS ptd,
+       round(tupleElement(arrayNormalizedGini(
+         arrayMap(i -> toFloat64((doc_id * 7 + i) % 13), range(6)),
+         arrayMap(i -> toFloat64((doc_id + i) % 4), range(6))),
+         'normalized'), 6) AS gini
+FROM fastnetmon.documents
+WHERE doc_id % 29 = 0
+ORDER BY doc_id
+"""
+
+
+def _round7d_oracle() -> str:
+    hex_fold = (
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+        "list_transform(range(1, 17), "
+        "i -> CAST(strpos('0123456789abcdef', "
+        "substring(md5(s2), CAST(i AS INT), 1)) - 1 AS HUGEINT))), "
+        "(a, d) -> a * 16 + d)"
+    )
+    # labels ordered by prediction desc (struct sort on (p, l), then
+    # reversed), gini via the positional identity
+    gini = """
+      list_transform(
+        list_reverse(list_sort(
+          list_transform(range(0, 6), i -> {'p': CAST((doc_id * 7 + i) % 13 AS DOUBLE),
+                                            'l': CAST((doc_id + i) % 4 AS DOUBLE)}))),
+        e -> e.l)"""
+    ideal = (
+        "list_reverse(list_sort(list_transform(range(0, 6), "
+        "i -> CAST((doc_id + i) % 4 AS DOUBLE))))"
+    )
+
+    def gini_sum(lst: str) -> str:
+        return (
+            f"(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, 7), "
+            f"i -> ({lst})[CAST(i AS INT)] * (6 - i + 1))), "
+            f"(a, b) -> a + b) "
+            f"/ list_reduce(list_prepend(CAST(0 AS DOUBLE), {lst}), "
+            f"(a, b) -> a + b) - 3.5) / 6.0"
+        )
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             source || ':' || CAST(doc_id AS VARCHAR) AS s2,
+             DATE '1858-11-17'
+               + CAST(58000 + doc_id % 400 AS INTEGER) AS d,
+             printf('%.1f', (1 + doc_id % 99) / 10.0) AS szn,
+             CASE doc_id % 4 WHEN 0 THEN 1.0
+                             WHEN 1 THEN 1024.0
+                             WHEN 2 THEN 1000000.0
+                             ELSE 1073741824.0 END AS szm
+      FROM documents WHERE doc_id % 29 = 0
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(list_sort(list_distinct(
+             [doc_id % 5, doc_id % 7, doc_id % 3])),
+             x -> CAST(x AS VARCHAR)), ',') AS au,
+           coalesce(array_to_string(list_transform(list_sort(
+             list_distinct(
+             list_filter([doc_id % 5, doc_id % 7, doc_id % 3],
+               x -> NOT (list_contains([doc_id % 5, doc_id % 7], x)
+                         AND list_contains([doc_id % 7, doc_id % 3],
+                                           x))))),
+             x -> CAST(x AS VARCHAR)), ','), '') AS asd,
+           CAST(d - CAST(isodow(d) % 7 AS INTEGER) AS VARCHAR)
+             AS sow,
+           CAST(d - CAST(isodow(d) - 1 AS INTEGER) AS VARCHAR)
+             AS sowm,
+           CAST(d - CAST(isodow(d) % 7 - 6 AS INTEGER) AS VARCHAR)
+             AS ldw,
+           'https://ex' || CAST(doc_id % 3 AS VARCHAR)
+             || '.com/p?a=' || CAST(doc_id % 4 AS VARCHAR) || '&'
+             || source || '=1#z' AS cw,
+           '?a=' || CAST(doc_id % 4 AS VARCHAR) || '&' || source
+             || '=1#z' AS qsf,
+           'a=' || CAST(doc_id % 4 AS VARCHAR) || ';' || source
+             || '=1' AS eup,
+           'a;' || source AS eun,
+           doc_id % 3 = 0 AS vj,
+           CAST(1 + doc_id % 4 AS BIGINT) AS jal,
+           CAST({hex_fold} AS VARCHAR) AS hm,
+           CAST(ceil(CAST(szn AS DOUBLE) * szm) AS BIGINT) AS prs,
+           round((doc_id % 5) * 3600.0 + (doc_id % 60) * 60.0, 6)
+             AS ptd,
+           round({gini_sum(gini)} / nullif({gini_sum(ideal)}, 0),
+                 6) AS gini
+    FROM base
+    ORDER BY doc_id
+    """
+
+
+@query("ch_sql_round7d_functions", _round7d_oracle())
+def ch_sql_round7d_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_ROUND7D_SQL, _tables(spark, sf_dir, "documents"))

@@ -98,6 +98,8 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_round7b_functions",
     "ch_sql_base58_roundtrip",
     "ch_sql_series_period_fft",
+    "ch_sql_round7c_functions",
+    "ch_sql_round7d_functions",
     # r3-stale rotation (oldest remaining driver rows, diverse ops;
     # ch_sql_with_totals traded out for the categorical-IV
     # registration — never-checked rows outrank re-checks and the
@@ -121,8 +123,6 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_with_fill",
     "dedup_semantic_keep_best",
     "dedup_simhash_band_pairs",
-    "events_hourly_rollup_incremental",
-    "pipeline_bucketed_batches",
     "q12_late_shipment_priority",
     "rag_chunk_overlap_manifest",
 )

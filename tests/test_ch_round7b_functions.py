@@ -307,3 +307,288 @@ def test_series_period_detect_fft(spark):
         "SELECT seriesPeriodDetectFFT(arrayWithConstant(8, 2.0)) "
         "AS r FROM t",
     ) is None
+
+
+def test_sigmoid(spark):
+    assert _one(spark, "SELECT sigmoid(0) AS r FROM t") == 0.5
+    got = _one(spark, "SELECT round(sigmoid(2.0), 6) AS r FROM t")
+    assert abs(got - 0.880797) < 1e-6
+    # symmetry: sigmoid(-x) = 1 - sigmoid(x)
+    got = _one(
+        spark,
+        "SELECT round(sigmoid(-1.5) + sigmoid(1.5), 10) AS r FROM t",
+    )
+    assert got == 1.0
+
+
+def test_map_arithmetic(spark):
+    assert _one(
+        spark,
+        "SELECT toString(mapAdd(map('a', 1, 'b', 2), "
+        "map('b', 10, 'c', 3))) AS r FROM t",
+    ) == "{a -> 1, b -> 12, c -> 3}"
+    assert _one(
+        spark,
+        "SELECT toString(mapSubtract(map('a', 5, 'b', 2), "
+        "map('b', 10))) AS r FROM t",
+    ) == "{a -> 5, b -> -8}"
+
+
+def test_map_populate_series(spark):
+    assert _one(
+        spark,
+        "SELECT toString(mapPopulateSeries("
+        "mapFromArrays([1, 4], [11, 44]))) AS r FROM t",
+    ) == "{1 -> 11, 2 -> 0, 3 -> 0, 4 -> 44}"
+    assert _one(
+        spark,
+        "SELECT toString(mapPopulateSeries("
+        "mapFromArrays([1, 2], [1, 1]), 5)) AS r FROM t",
+    ) == "{1 -> 1, 2 -> 1, 3 -> 0, 4 -> 0, 5 -> 0}"
+
+
+def test_group_array_sample(spark):
+    rows = spark.createDataFrame(
+        [(i,) for i in range(10)], "i long"
+    )
+    df = run_ch_query(
+        "SELECT groupArraySample(3)(i) AS s, "
+        "groupArraySample(3, 7)(i) AS s7, "
+        "groupArraySample(99)(i) AS all_of FROM t",
+        {"t": rows},
+    ).collect()[0]
+    assert len(df.s) == 3 and set(df.s) <= set(range(10))
+    assert len(df.s7) == 3 and set(df.s7) <= set(range(10))
+    assert df.s != df.s7  # seed changes the ranking
+    assert sorted(df.all_of) == list(range(10))  # n >= group: all
+    # deterministic: same seed -> same pick
+    again = run_ch_query(
+        "SELECT groupArraySample(3)(i) AS s FROM t", {"t": rows}
+    ).collect()[0]
+    assert again.s == df.s
+
+
+def test_quantile_interpolated_weighted(spark):
+    rows = spark.createDataFrame(
+        [(i, float(i), 1 + i % 3) for i in range(10)],
+        "i long, v double, w long",
+    )
+
+    def _py_ref(vals, wts, lv):
+        pairs = sorted(zip(vals, wts))
+        total = sum(w for _, w in pairs)
+        tgt = lv * total
+        cum, prev_c, prev_v = 0.0, None, None
+        for v, w in pairs:
+            c = cum + w - w / 2.0
+            if tgt <= c:
+                if prev_c is None:
+                    return v
+                return prev_v + (v - prev_v) * (tgt - prev_c) / (
+                    c - prev_c
+                )
+            cum, prev_c, prev_v = cum + w, c, v
+        return pairs[-1][0]
+
+    vals = list(range(10))
+    wts = [1 + i % 3 for i in range(10)]
+    for lv in (0.01, 0.25, 0.5, 0.75, 0.99):
+        got = run_ch_query(
+            f"SELECT quantileInterpolatedWeighted({lv})(v, w) AS r "
+            "FROM t",
+            {"t": rows},
+        ).collect()[0].r
+        want = _py_ref([float(v) for v in vals], wts, lv)
+        assert abs(got - want) < 1e-9, (lv, got, want)
+
+
+def test_array_set_ops(spark):
+    assert _one(
+        spark,
+        "SELECT toString(arrayUnion([1,2], [2,3], [4])) AS r FROM t",
+    ) == "[1, 2, 3, 4]"
+    assert _one(
+        spark,
+        "SELECT toString(arraySymmetricDifference([1,2,3], [2,3,4]))"
+        " AS r FROM t",
+    ) == "[1, 4]"
+
+
+def test_map_like_helpers(spark):
+    assert _one(
+        spark,
+        "SELECT toString(mapExtractKeyLike(map('ka', 1, 'xb', 2),"
+        " 'k%')) AS r FROM t",
+    ) == "{ka -> 1}"
+    assert _one(
+        spark,
+        "SELECT mapContainsValueLike(map('a', 'hello'), 'he%') "
+        "AS r FROM t",
+    ) is True
+    assert _one(
+        spark,
+        "SELECT mapContainsValueLike(map('a', 'hello'), 'zz%') "
+        "AS r FROM t",
+    ) is False
+
+
+def test_week_boundary_modes(spark):
+    # 2024-05-15 is a Wednesday: Sunday-start week is May 12..18,
+    # Monday-start (mode 1) begins May 13
+    assert str(_one(
+        spark,
+        "SELECT toStartOfWeek(toDate('2024-05-15')) AS r FROM t",
+    )) == "2024-05-12"
+    assert str(_one(
+        spark,
+        "SELECT toStartOfWeek(toDate('2024-05-15'), 1) AS r FROM t",
+    )) == "2024-05-13"
+    assert str(_one(
+        spark,
+        "SELECT toLastDayOfWeek(toDate('2024-05-15')) AS r FROM t",
+    )) == "2024-05-18"
+    # Sunday input stays put in mode 0
+    assert str(_one(
+        spark,
+        "SELECT toStartOfWeek(toDate('2024-05-12')) AS r FROM t",
+    )) == "2024-05-12"
+
+
+def test_url_parameter_tail(spark):
+    assert _one(
+        spark,
+        "SELECT cutWWW('https://www.example.com/a') AS r FROM t",
+    ) == "https://example.com/a"
+    assert _one(
+        spark,
+        "SELECT queryStringAndFragment('http://e.com/p?x=1#f') "
+        "AS r FROM t",
+    ) == "?x=1#f"
+    assert _one(
+        spark,
+        "SELECT toString(extractURLParameters("
+        "'http://e.com/p?x=1&y=2#f')) AS r FROM t",
+    ) == "[x=1, y=2]"
+    assert _one(
+        spark,
+        "SELECT toString(extractURLParameterNames("
+        "'http://e.com/p?x=1&y=2')) AS r FROM t",
+    ) == "[x, y]"
+
+
+def test_json_probes(spark):
+    assert _one(
+        spark, "SELECT isValidJSON('{\"k\": 1}') AS r FROM t"
+    ) is True
+    assert _one(
+        spark, "SELECT isValidJSON('{bad') AS r FROM t"
+    ) is False
+    assert _one(
+        spark, "SELECT JSONArrayLength('[1,2,3]') AS r FROM t"
+    ) == 3
+    assert _one(
+        spark, "SELECT toJSONString([1, 2, 3]) AS r FROM t"
+    ) == "[1,2,3]"
+
+
+def test_half_md5_byte_compatible(spark):
+    import hashlib
+
+    for s in ("abc", "", "ClickHouse", "src7:123"):
+        want = int.from_bytes(
+            hashlib.md5(s.encode()).digest()[:8], "big"
+        )
+        got = _one(
+            spark, f"SELECT toString(halfMD5('{s}')) AS r FROM t"
+        )
+        assert got == str(want), s
+
+
+def test_parse_readable_size(spark):
+    cases = [
+        ("1.5 KiB", 1536),
+        ("2 MB", 2_000_000),
+        ("1 GiB", 1024 ** 3),
+        ("7b", 7),
+    ]
+    for raw, want in cases:
+        got = _one(
+            spark, f"SELECT parseReadableSize('{raw}') AS r FROM t"
+        )
+        assert got == want, (raw, got)
+    assert _one(
+        spark, "SELECT parseReadableSize('junk') AS r FROM t"
+    ) is None
+    assert _one(
+        spark, "SELECT parseReadableSizeOrZero('junk') AS r FROM t"
+    ) == 0
+
+
+def test_parse_time_delta(spark):
+    cases = [
+        ("1h 30m", 5400.0),
+        ("2.5 seconds", 2.5),
+        ("1 day", 86400.0),
+        ("1w2d", 604800.0 + 2 * 86400.0),
+    ]
+    for raw, want in cases:
+        got = _one(
+            spark,
+            f"SELECT round(parseTimeDelta('{raw}'), 6) AS r FROM t",
+        )
+        assert got == want, (raw, got)
+    assert _one(
+        spark, "SELECT parseTimeDelta('5 parsecs') AS r FROM t"
+    ) is None
+
+
+def test_array_normalized_gini(spark):
+    # against an independent NumPy-free reference of the same
+    # construction (labels by prediction desc vs labels desc)
+    def ref(pred, label):
+        n = len(label)
+        by_pred = [l for _, l in
+                   sorted(zip(pred, label), reverse=True)]
+        ideal = sorted(label, reverse=True)
+
+        def gini(seq):
+            cum = acc = 0.0
+            for x in seq:
+                cum += x
+                acc += cum
+            return (acc / cum - (n + 1) / 2.0) / n
+
+        gm, gi = gini(by_pred), gini(ideal)
+        return gm, gi, gm / gi
+
+    pred = [0.9, 0.3, 0.8, 0.7]
+    label = [6.0, 1.0, 0.0, 2.0]
+    gm, gi, nz = ref(pred, label)
+    row = run_ch_query(
+        "SELECT round(tupleElement(arrayNormalizedGini("
+        "[0.9, 0.3, 0.8, 0.7], [6.0, 1.0, 0.0, 2.0]), 'gini'), 9)"
+        " AS gm, "
+        "round(tupleElement(arrayNormalizedGini("
+        "[0.9, 0.3, 0.8, 0.7], [6.0, 1.0, 0.0, 2.0]),"
+        " 'gini_ideal'), 9) AS gi, "
+        "round(tupleElement(arrayNormalizedGini("
+        "[0.9, 0.3, 0.8, 0.7], [6.0, 1.0, 0.0, 2.0]),"
+        " 'normalized'), 9) AS nz FROM t",
+        {"t": _spark_one(spark)},
+    ).collect()[0]
+    assert abs(row.gm - gm) < 1e-9
+    assert abs(row.gi - gi) < 1e-9
+    assert abs(row.nz - nz) < 1e-9
+
+
+def test_murmur_standins_deterministic(spark):
+    row = run_ch_query(
+        "SELECT murmurHash2_64('x') AS a, murmurHash3_64('x') AS b, "
+        "murmurHash2_32('x') AS c, murmurHash3_32('x') AS d, "
+        "murmurHash3_128('x') AS e, randConstant() AS rc FROM t",
+        {"t": _spark_one(spark)},
+    ).collect()[0]
+    assert row.a != row.b  # families stay mutually independent
+    assert row.c != row.d
+    assert len(row.e) == 32
+    assert 0.0 <= row.rc < 1.0

@@ -1545,7 +1545,109 @@ def _gen_round7b_pair(rng: random.Random) -> tuple[str, str]:
     return ch, duck
 
 
-N_PAIRED = 130
+def _gen_round7c_pair(rng: random.Random) -> tuple[str, str]:
+    # round-7c tranche: quantileInterpolatedWeighted at a random level
+    # (DuckDB replays the midpoint convention with windowed cumulative
+    # weights + FILTERed brackets), sigmoid under an exact pick, and a
+    # mapAdd digest over group-key-built maps
+    m = rng.randint(3, 7)
+    wmod = rng.randint(2, 5)
+    lv = rng.choice([0.1, 0.25, 0.5, 0.75, 0.9])
+    w = _where(rng)
+    ch = (
+        f"SELECT g, "
+        f"arrayStringConcat(arrayMap(k -> concat(k, ':', toString("
+        f"mapElement(mapAdd(map('a', g, 'b', 2), map('b', g)), k))), "
+        f"mapKeys(mapAdd(map('a', g, 'b', 2), map('b', g)))), ',') "
+        f"AS ma, qiw, sg FROM ("
+        f"SELECT user_id % {m} AS g, "
+        f"round(quantileInterpolatedWeighted({lv})("
+        f"value, 1 + event_id % {wmod}), 6) AS qiw, "
+        f"round(min(sigmoid(value - 5.0)), 6) AS sg "
+        f"FROM events{w} GROUP BY g) ORDER BY g"
+    )
+    duck = f"""
+    WITH base AS (
+      SELECT user_id % {m} AS g, value AS v,
+             1 + event_id % {wmod} AS wt
+      FROM events{w}
+    ),
+    pts AS (
+      SELECT g, v, wt,
+             sum(wt) OVER (PARTITION BY g ORDER BY v, wt
+                           ROWS UNBOUNDED PRECEDING) - wt / 2.0 AS c
+      FROM base
+    ),
+    tg AS (SELECT g, {lv} * sum(wt) AS t FROM base GROUP BY g),
+    qs AS (
+      SELECT p.g,
+             max(CASE WHEN p.c < t.t THEN p.c END) AS c0,
+             arg_max(p.v, p.c) FILTER (p.c < t.t) AS v0,
+             min(CASE WHEN p.c >= t.t THEN p.c END) AS c1,
+             arg_min(p.v, p.c) FILTER (p.c >= t.t) AS v1,
+             arg_max(p.v, p.c) AS vlast
+      FROM pts p JOIN tg t USING (g) GROUP BY p.g
+    ),
+    agg AS (
+      SELECT g, round(min(1.0 / (1.0 + exp(-(v - 5.0)))), 6) AS sg
+      FROM base GROUP BY g
+    )
+    SELECT q.g, printf('a:%d,b:%d', q.g, 2 + q.g) AS ma,
+           round(CASE WHEN q.c1 IS NULL THEN q.vlast
+                      WHEN q.c0 IS NULL THEN q.v1
+                      ELSE q.v0 + (q.v1 - q.v0) * (t.t - q.c0)
+                           / (q.c1 - q.c0) END, 6) AS qiw,
+           a.sg AS sg
+    FROM qs q JOIN tg t USING (g) JOIN agg a ON a.g = q.g
+    ORDER BY q.g
+    """
+    return ch, duck
+
+
+def _gen_round7d_pair(rng: random.Random) -> tuple[str, str]:
+    # round-7d tranche: GENUINE halfMD5 (DuckDB folds the same
+    # first-8-MD5-bytes hex into HUGEINT), parseTimeDelta over random
+    # unit spellings, and the Sunday/Monday week boundaries
+    m = rng.randint(3, 7)
+    w = _where(rng)
+    h, mi = rng.randint(0, 9), rng.randint(0, 59)
+    hu = rng.choice(["h", "hr", "hour", "hours"])
+    mu = rng.choice(["m", "min", "minute", "minutes"])
+    mode = rng.choice([0, 1])
+    dow_off = "isodow(CAST(ts AS DATE)) % 7" if mode == 0 else (
+        "isodow(CAST(ts AS DATE)) - 1"
+    )
+    ch = (
+        f"SELECT user_id % {m} AS k, "
+        f"min(toString(halfMD5(concat(event_type, ':', "
+        f"toString(event_id % 50))))) AS hm, "
+        f"round(max(parseTimeDelta(concat(toString(event_id % {h + 1}),"
+        f" '{hu} ', toString(event_id % {mi + 1}), '{mu}'))), 6)"
+        f" AS td, "
+        f"max(toString(toStartOfWeek(ts, {mode}))) AS sw "
+        f"FROM events{w} GROUP BY k ORDER BY k"
+    )
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+        "list_transform(range(1, 17), "
+        "i -> CAST(strpos('0123456789abcdef', substring(md5("
+        "event_type || ':' || CAST(event_id % 50 AS VARCHAR)"
+        "), CAST(i AS INT), 1)) - 1 AS HUGEINT))), "
+        "(a, d) -> a * 16 + d)"
+    )
+    duck = (
+        f"SELECT user_id % {m} AS k, "
+        f"min(CAST({fold} AS VARCHAR)) AS hm, "
+        f"round(max((event_id % {h + 1}) * 3600.0 "
+        f"+ (event_id % {mi + 1}) * 60.0), 6) AS td, "
+        f"max(CAST(CAST(ts AS DATE) "
+        f"- CAST({dow_off} AS INTEGER) AS VARCHAR)) AS sw "
+        f"FROM events{w} GROUP BY k ORDER BY k"
+    )
+    return ch, duck
+
+
+N_PAIRED = 138
 
 
 def _gen_pair(rng: random.Random) -> tuple[str, str]:
@@ -1564,7 +1666,7 @@ def _gen_pair(rng: random.Random) -> tuple[str, str]:
          _gen_bitmap_pair, _gen_ipv6_pair,
          _gen_nonneg_derivative_pair,
          _gen_geohash_pair, _gen_int_hash_pair, _gen_lpnorm_pair,
-         _gen_round7b_pair]
+         _gen_round7b_pair, _gen_round7c_pair, _gen_round7d_pair]
     )(rng)
 
 

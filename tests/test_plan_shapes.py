@@ -540,3 +540,22 @@ def test_series_fft_single_distinct_shuffle(spark, queries):
     plan = plan_of(queries["ch_sql_series_period_fft"](spark, SF_ORACLE))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:1500]
+
+
+def test_round7c_two_tape_aggregates_one_shuffle(spark, queries):
+    """The interpolated-quantile/sample tape aggregates share the one
+    group-by shuffle; the map-arithmetic digest is a post-aggregate
+    projection — no Python, no join in the aggregate path."""
+    plan = plan_of(queries["ch_sql_round7c_functions"](spark, SF_ORACLE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan, plan[:1500]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:1500]
+
+
+def test_round7d_functions_map_side_only(spark, queries):
+    """The round-7d scalar tranche (set ops, URL tail, halfMD5,
+    parsers, normalized Gini) is pure projection over one scan: no
+    join, no Python stage."""
+    plan = plan_of(queries["ch_sql_round7d_functions"](spark, SF_ORACLE))
+    assert "Join" not in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
