@@ -460,11 +460,10 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # portable ones only)
     "MD5": F.md5,
     "SHA256": lambda c: F.sha2(c, 256),
-    # 60-bit variant (15 hex chars fit a signed long and round-trip
-    # through every SQL engine we oracle against); CH's own halfMD5 is
-    # the full big-endian UInt64 of the first 8 digest bytes, which
-    # Spark cannot hold in a signed long without overflow
-    "halfMD5": lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+    # halfMD5 registers in the round-7d tranche below: the GENUINE
+    # first-8-digest-bytes big-endian UInt64 on a decimal(20,0)
+    # carrier (the toUInt64 pattern), replacing the earlier 60-bit
+    # signed-long truncation
     # --- array vocabulary (CH array functions without lambdas;
     # arrayJoin is the CH explode idiom — valid in non-aggregating
     # SELECTs, like CH applies it before aggregation) ---
@@ -1346,7 +1345,6 @@ CH_FUNCTIONS.update(
                 F.regexp_replace(_as_col(c), r"[/?#]$", ""),
             ),
         ),
-        # (halfMD5 keeps its existing bit-portable md5-prefix shim)
         "tryBase64Decode": CH_FUNCTIONS["base64Decode"],
         "bin": lambda c: F.bin(_as_col(c)),
         "bitmaskToList": _bitmask_to_list,

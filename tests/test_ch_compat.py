@@ -111,7 +111,9 @@ def test_hashes_are_portable(row):
         half=ch_fn("halfMD5")(F.lit("abc")),
     )
     assert got["md5"] == "900150983cd24fb0d6963f7d28e17f72"
-    assert got["half"] == 648541476951500027  # == duckdb ('0x'||substr(md5,1,15))
+    # genuine CH halfMD5 (round-7d): first 8 digest bytes big-endian
+    # == int.from_bytes(hashlib.md5(b'abc').digest()[:8], 'big')
+    assert int(got["half"]) == 10376663631224000432
 
 
 def test_unknown_function_raises_with_known_list():
