@@ -30,6 +30,12 @@ def _to_int(width: str) -> Callable[[Column], Column]:
     return lambda c: c.cast(width)
 
 
+def _nn2(a, b) -> Column:
+    """Both-sides-non-NULL guard for two-argument aggregates (CH
+    skips a pair when either argument is NULL)."""
+    return _as_col(a).isNotNull() & _as_col(b).isNotNull()
+
+
 def _ch_range(*a) -> Column:
     """CH range(): end-EXCLUSIVE, empty for end <= start (F.sequence is
     inclusive and would count DOWN for an empty range)."""
@@ -664,7 +670,13 @@ CH_FUNCTIONS: dict[str, Callable[..., Column]] = {
     # exact interpolated median (Spark percentile), = quantileExact
     # at the 0.5 midpoint convention both engines share
     "median": F.median,
-    "avgWeighted": lambda x, w: F.sum(x * w) / F.sum(w),
+    # pairs with a NULL on EITHER side are skipped entirely (CH skips
+    # NULL aggregate arguments) — the weight of a NULL-value row must
+    # not leak into the denominator
+    "avgWeighted": lambda x, w: F.sum(
+        F.when(_nn2(x, w), _as_col(x) * _as_col(w))
+    )
+    / F.sum(F.when(_nn2(x, w), _as_col(w))),
     # --- nondeterministic generators (no oracle pairing by nature) ---
     "rand": lambda: (F.rand() * F.lit(4294967296.0)).cast("long"),
     "randCanonical": lambda: F.rand(),
@@ -995,6 +1007,14 @@ _COMBINATOR_BASES = {
     "argmax": "argMax", "argmin": "argMin", "median": "median",
     "stddevpop": "stddevPop", "stddevsamp": "stddevSamp",
     "varpop": "varPop", "varsamp": "varSamp",
+    # two-argument NULL-skipping bases: the generic -If NULL-mask is
+    # exact for them because every shim below guards on both sides
+    # (corr/covar via guarded raw moments, avgWeighted via _nn2)
+    "corr": "corr", "covarpop": "covarPop", "covarsamp": "covarSamp",
+    "avgweighted": "avgWeighted",
+    "skewpop": "skewPop", "skewsamp": "skewSamp",
+    "kurtpop": "kurtPop", "kurtsamp": "kurtSamp",
+    "sumkahan": "sumKahan", "entropy": "entropy",
 }
 
 _COMBINATOR_SUFFIXES = ("if", "ornull", "array", "foreach", "distinct")
@@ -5036,5 +5056,65 @@ CH_FUNCTIONS.update(
                 "0",
             ),
         ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-7e micro tranche: the groupBitmapAnd/Or/Xor aggregates over
+# the engine's sorted-distinct-array bitmap carrier (round-6l), and
+# the weighted approximate-quantile spellings — CH's Timing/TDigest
+# weighted estimators ride the exact-weighted walk here (documented
+# estimator-class upgrade, same policy as medianExact* aliases).
+# ---------------------------------------------------------------------------
+
+
+def _group_bitmap_set(op: str):
+    """Fold per-row bitmaps (sorted-distinct arrays) with a set
+    operation; CH returns the CARDINALITY (UInt64-as-long here)."""
+
+    def build(b) -> Column:
+        arrs_expr = F.collect_list(_as_col(b))
+
+        def fold(arrs: Column) -> Column:
+            rest = F.slice(
+                arrs, 2, F.greatest(F.size(arrs) - 1, F.lit(0))
+            )
+            seed = F.element_at(arrs, 1)
+            if op == "and":
+                merged = F.aggregate(
+                    rest, seed, lambda acc, a: F.array_intersect(acc, a)
+                )
+            elif op == "or":
+                merged = F.aggregate(
+                    rest, seed, lambda acc, a: F.array_union(acc, a)
+                )
+            else:  # xor: elements present an odd number of times —
+                # pairwise symmetric difference folds associatively
+                merged = F.aggregate(
+                    rest,
+                    seed,
+                    lambda acc, a: F.array_except(
+                        F.array_union(acc, a),
+                        F.array_intersect(acc, a),
+                    ),
+                )
+            return F.when(
+                F.size(arrs) > 0, F.size(merged).cast("long")
+            )
+
+        return _let_once(arrs_expr, fold)
+
+    return build
+
+
+CH_FUNCTIONS.update(
+    {
+        "groupBitmapAnd": _group_bitmap_set("and"),
+        "groupBitmapOr": _group_bitmap_set("or"),
+        "groupBitmapXor": _group_bitmap_set("xor"),
+        "quantileTimingWeighted": _quantile_exact_weighted,
+        "quantilesTimingWeighted": _quantile_exact_weighted,
+        "quantileTDigestWeighted": _quantile_exact_weighted,
     }
 )

@@ -91,8 +91,10 @@ def entropy_agg(x) -> Column:
     """CH entropy(x): Shannon entropy (bits) of the value
     distribution. Group values collect into one array, distinct
     values count against it — O(n·d) per group, bounded by the
-    group's size like every CH per-group aggregate state."""
-    arr = F.collect_list(F.coalesce(_col_str(x), F.lit("∅null")))
+    group's size like every CH per-group aggregate state. NULL rows
+    are skipped (CH skips NULL aggregate arguments — and the -If
+    combinator's NULL mask relies on it)."""
+    arr = F.collect_list(_col_str(x))
     n = F.size(arr).cast("double")
     return F.aggregate(
         F.array_distinct(arr),

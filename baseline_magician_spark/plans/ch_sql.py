@@ -154,6 +154,10 @@ _AGGS = {
     "categoricalinformationvalue",
     # round-7c tranche
     "grouparraysample", "quantileinterpolatedweighted",
+    # round-7e micro tranche
+    "groupbitmapand", "groupbitmapor", "groupbitmapxor",
+    "quantiletimingweighted", "quantilestimingweighted",
+    "quantiletdigestweighted",
 }
 
 # CH parametric-aggregate families — ``fn(params)(args)`` spelling,
@@ -190,6 +194,9 @@ _PARAMETRIC_AGGS = {
     "summapfiltered",
     # round-7c tranche
     "grouparraysample", "quantileinterpolatedweighted",
+    # round-7e: weighted approximate-quantile spellings
+    "quantiletimingweighted", "quantilestimingweighted",
+    "quantiletdigestweighted",
 }
 
 _TOKEN = re.compile(
@@ -1761,6 +1768,8 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             "quantileexactweighted", "quantilesexactweighted",
             "summapfiltered",
             "grouparraysample", "quantileinterpolatedweighted",
+            "quantiletimingweighted", "quantilestimingweighted",
+            "quantiletdigestweighted",
         ) and len(node.args) >= 2:
             # multi-COLUMN parametric aggregates — the generic branch
             # below would read the second column as a level. The

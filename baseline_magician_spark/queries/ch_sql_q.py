@@ -4384,3 +4384,80 @@ def _round7d_oracle() -> str:
 @query("ch_sql_round7d_functions", _round7d_oracle())
 def ch_sql_round7d_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_ROUND7D_SQL, _tables(spark, sf_dir, "documents"))
+
+
+# Round-7e end-to-end: the groupBitmap set aggregates (DuckDB replays
+# AND as bool_and membership per candidate value, XOR as odd
+# membership counts — the candidate universes are the small literal
+# moduli), the weighted Timing-quantile alias on the exact-weighted
+# walk, and the -If combinator over two-argument bases (corr via
+# FILTER, avgWeighted via the guarded ratio).
+_ROUND7E_SQL = """
+SELECT g,
+       groupBitmapAnd(bitmapBuild([event_id % 4, 1, 2])) AS ba,
+       groupBitmapOr(bitmapBuild([event_id % 6])) AS bo,
+       groupBitmapXor(bitmapBuild([event_id % 8])) AS bx,
+       round(quantileTimingWeighted(0.5)(
+         value, 1 + event_id % 3), 6) AS qtw,
+       round(avgWeightedIf(value, toFloat64(1 + event_id % 5),
+                           event_id % 2 = 0), 6) AS awi,
+       round(corrIf(value, toFloat64(event_id % 97),
+                    event_id % 3 > 0), 6) AS ci
+FROM (SELECT user_id % 6 AS g, event_id, value
+      FROM fastnetmon.events)
+GROUP BY g
+ORDER BY g
+"""
+
+
+def _round7e_oracle() -> str:
+    and_terms = " + ".join(
+        f"(CASE WHEN bool_and(list_contains([event_id % 4, 1, 2],"
+        f" {v})) THEN 1 ELSE 0 END)"
+        for v in (0, 1, 2, 3)
+    )
+    xor_terms = " + ".join(
+        f"(sum(CASE WHEN event_id % 8 = {v} THEN 1 ELSE 0 END) % 2)"
+        for v in range(8)
+    )
+    return f"""
+    WITH base AS (
+      SELECT user_id % 6 AS g, event_id, value AS v,
+             1 + event_id % 3 AS wt
+      FROM events
+    ),
+    pts AS (
+      SELECT g, v, wt,
+             sum(wt) OVER (PARTITION BY g ORDER BY v, wt
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM base
+    ),
+    tg AS (SELECT g, 0.5 * sum(wt) AS t FROM base GROUP BY g),
+    qs AS (
+      SELECT p.g, arg_min(p.v, p.cum) FILTER (p.cum >= t.t) AS qtw
+      FROM pts p JOIN tg t USING (g) GROUP BY p.g
+    ),
+    agg AS (
+      SELECT g,
+             CAST({and_terms} AS BIGINT) AS ba,
+             CAST(count(DISTINCT event_id % 6) AS BIGINT) AS bo,
+             CAST({xor_terms} AS BIGINT) AS bx,
+             round(sum(CASE WHEN event_id % 2 = 0
+                            THEN v * (1 + event_id % 5) END)
+                   / sum(CASE WHEN event_id % 2 = 0
+                              THEN 1.0 * (1 + event_id % 5) END), 6)
+               AS awi,
+             round(corr(v, CAST(event_id % 97 AS DOUBLE))
+                   FILTER (event_id % 3 > 0), 6) AS ci
+      FROM base GROUP BY g
+    )
+    SELECT a.g, a.ba, a.bo, a.bx, round(q.qtw, 6) AS qtw, a.awi,
+           a.ci
+    FROM agg a JOIN qs q ON q.g = a.g
+    ORDER BY a.g
+    """
+
+
+@query("ch_sql_round7e_aggregates", _round7e_oracle())
+def ch_sql_round7e_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_ROUND7E_SQL, _tables(spark, sf_dir, "events"))

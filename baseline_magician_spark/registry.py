@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_series_period_fft",
     "ch_sql_round7c_functions",
     "ch_sql_round7d_functions",
+    "ch_sql_round7e_aggregates",
     # r3-stale rotation (oldest remaining driver rows, diverse ops;
     # ch_sql_with_totals traded out for the categorical-IV
     # registration — never-checked rows outrank re-checks and the
@@ -122,7 +123,6 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_window_topn",
     "ch_sql_with_fill",
     "dedup_semantic_keep_best",
-    "dedup_simhash_band_pairs",
     "q12_late_shipment_priority",
     "rag_chunk_overlap_manifest",
 )

@@ -592,3 +592,80 @@ def test_murmur_standins_deterministic(spark):
     assert row.c != row.d
     assert len(row.e) == 32
     assert 0.0 <= row.rc < 1.0
+
+
+def test_group_bitmap_set_aggregates(spark):
+    rows = spark.createDataFrame(
+        [(i,) for i in range(10)], "k long"
+    )
+    r = run_ch_query(
+        "SELECT groupBitmapAnd(bitmapBuild([k % 4, 1, 2])) AS ba, "
+        "groupBitmapOr(bitmapBuild([k % 4])) AS bo, "
+        "groupBitmapXor(bitmapBuild([k])) AS bx FROM t",
+        {"t": rows},
+    ).collect()[0]
+    assert r.ba == 2  # only {1, 2} survive every row's set
+    assert r.bo == 4  # union = {0, 1, 2, 3}
+    assert r.bx == 10  # each k appears exactly once -> all odd
+
+
+def test_if_combinator_on_two_arg_bases(spark):
+    rows = spark.createDataFrame(
+        [(1.0, 2.0, 1), (2.0, 4.0, 1), (3.0, 6.0, 1),
+         (100.0, 1.0, 0)],
+        "x double, y double, g int",
+    )
+    r = run_ch_query(
+        "SELECT round(corrIf(x, y, g = 1), 6) AS c, "
+        "round(avgWeightedIf(x, y, g = 1), 6) AS aw, "
+        "covarSampIf(x, y, g = 1) AS cv, "
+        "sumKahanIf(x, g = 1) AS sk, "
+        "round(entropyIf(x, g = 1), 6) AS e FROM t",
+        {"t": rows},
+    ).collect()[0]
+    assert r.c == 1.0
+    assert r.aw == round(28 / 12, 6)
+    assert r.cv == 2.0
+    assert r.sk == 6.0
+    assert r.e == round(__import__("math").log2(3), 6)
+
+
+def test_avg_weighted_skips_null_pairs(spark):
+    # the weight of a NULL-value row must not leak into the
+    # denominator (and vice versa)
+    rows = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (None, 9.0),
+         (4.0, None)],
+        "x double, y double",
+    )
+    got = run_ch_query(
+        "SELECT round(avgWeighted(x, y), 6) AS r FROM t",
+        {"t": rows},
+    ).collect()[0].r
+    assert got == round(28 / 12, 6)
+
+
+def test_entropy_skips_nulls(spark):
+    rows = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (None,), (None,)], "x double"
+    )
+    got = run_ch_query(
+        "SELECT round(entropy(x), 6) AS r FROM t", {"t": rows}
+    ).collect()[0].r
+    assert got == round(__import__("math").log2(3), 6)
+
+
+def test_weighted_timing_quantile_aliases(spark):
+    rows = spark.createDataFrame(
+        [(float(i), 1 + i % 3) for i in range(10)],
+        "v double, w int",
+    )
+    a = run_ch_query(
+        "SELECT quantileTimingWeighted(0.5)(v, w) AS r FROM t",
+        {"t": rows},
+    ).collect()[0].r
+    b = run_ch_query(
+        "SELECT quantileExactWeighted(0.5)(v, w) AS r FROM t",
+        {"t": rows},
+    ).collect()[0].r
+    assert a == b

@@ -684,7 +684,7 @@ def _gen_combinator_pair(rng: random.Random) -> tuple[str, str]:
     m = rng.randint(2, 7)
     et = rng.choice(_STR_VALS)
     w = _where(rng)
-    form = rng.randrange(4)
+    form = rng.randrange(5)
     if form == 0:
         base = rng.choice(["sum", "min", "max"])
         ch = (
@@ -746,6 +746,34 @@ def _gen_combinator_pair(rng: random.Random) -> tuple[str, str]:
             f"THEN [sum({a}), sum({b})] "
             f"ELSE CAST([] AS BIGINT[]) END AS se, "
             f"min({a}) + max({b}) AS rr FROM events{w}"
+        )
+    if form == 4:
+        # round-7e: -If over two-argument NULL-skipping bases
+        p1, p2 = rng.randint(5, 13), rng.randint(3, 7)
+        ch = (
+            f"SELECT user_id % {m} AS k, "
+            f"round(corrIf(toFloat64(event_id % {p1}), "
+            f"toFloat64(user_id % {p2}), event_type = '{et}'), 6)"
+            f" AS c, "
+            f"round(avgWeightedIf(toFloat64(event_id % 9), "
+            f"toFloat64(1 + user_id % 4), event_type != '{et}'), 6)"
+            f" AS aw, "
+            f"sumKahanIf(toFloat64(event_id % 5), event_type = '{et}')"
+            f" AS sk "
+            f"FROM events{w} GROUP BY k ORDER BY k"
+        )
+        duck = (
+            f"SELECT user_id % {m} AS k, "
+            f"round(corr(CAST(event_id % {p1} AS DOUBLE), "
+            f"CAST(user_id % {p2} AS DOUBLE)) "
+            f"FILTER (event_type = '{et}'), 6) AS c, "
+            f"round(sum(CASE WHEN event_type != '{et}' THEN "
+            f"(event_id % 9) * (1 + user_id % 4) END) "
+            f"/ sum(CASE WHEN event_type != '{et}' THEN "
+            f"1.0 * (1 + user_id % 4) END), 6) AS aw, "
+            f"sum(CAST(event_id % 5 AS DOUBLE)) "
+            f"FILTER (event_type = '{et}') AS sk "
+            f"FROM events{w} GROUP BY k ORDER BY k"
         )
     return ch, duck
 

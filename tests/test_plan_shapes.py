@@ -559,3 +559,11 @@ def test_round7d_functions_map_side_only(spark, queries):
     plan = plan_of(queries["ch_sql_round7d_functions"](spark, SF_ORACLE))
     assert "Join" not in plan, plan[:1500]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_round7e_aggregates_single_shuffle(spark, queries):
+    """Bitmap set folds + the weighted-quantile tape + the -If masked
+    two-arg moments all share ONE group-by shuffle; no Python."""
+    plan = plan_of(queries["ch_sql_round7e_aggregates"](spark, SF_ORACLE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:1500]
