@@ -2572,6 +2572,15 @@ CH_FUNCTIONS.update(
         "byteHammingDistance": byte_hamming_distance,
         "mismatches": byte_hamming_distance,
         "ngramDistance": ngram_distance,
+        # Spark strings are code-point addressed already — the UTF8
+        # spellings are aliases (same policy as startsWithUTF8 etc.)
+        "ngramDistanceUTF8": ngram_distance,
+        "ngramSearchUTF8": ngram_search,
+        # Spark strings are always valid UTF-8 post-decode (malformed
+        # bytes never reach the string type), so this is constant
+        # true on non-NULL input — same rationale as the toValidUTF8
+        # identity
+        "isValidUTF8": lambda s: _as_col(s).isNotNull(),
         "ngramDistanceCaseInsensitive": lambda a, b: ngram_distance(
             F.lower(_as_col(a)), F.lower(_as_col(b))
         ),
@@ -5116,5 +5125,117 @@ CH_FUNCTIONS.update(
         "quantileTimingWeighted": _quantile_exact_weighted,
         "quantilesTimingWeighted": _quantile_exact_weighted,
         "quantileTDigestWeighted": _quantile_exact_weighted,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-7f micro tranche: the Excel-convention exact quantiles
+# (quantileExactExclusive/Inclusive — PERCENTILE.EXC/.INC, CH ships
+# both as exact variants) and arrayAUCPR (average-precision area
+# under the PR curve). Deliberately NOT implemented: the tuple
+# arithmetic family (tuplePlus/Minus/Multiply/HammingDistance...) —
+# Column structs are untyped pre-analysis so element-wise arity is
+# unknowable at compile time; the array vector-math family
+# (arrayDotProduct/L2Distance/normalizeL2...) covers the same use
+# over typed arrays.
+# ---------------------------------------------------------------------------
+
+
+def _quantile_exact_excel(inclusive: bool):
+    def build(x, *levels) -> Column:
+        lvls = [float(str(lv)) for lv in (levels or (0.5,))]
+        many = len(levels) > 1
+        xc = _as_col(x).cast("double")
+        tape_expr = F.sort_array(F.collect_list(xc))
+
+        def pick_on(tape: Column, lv: float) -> Column:
+            n = F.size(tape).cast("double")
+            if inclusive:
+                h = F.lit(lv) * (n - 1) + 1
+            else:
+                h = F.lit(lv) * (n + 1)
+            h = F.least(F.greatest(h, F.lit(1.0)), n)
+            lo = F.floor(h).cast("int")
+            frac = h - lo.cast("double")
+            a = F.element_at(tape, lo)
+            b = F.element_at(
+                tape, F.least(lo + 1, F.size(tape))
+            )
+            return F.when(n > 0, a + frac * (b - a))
+
+        def build_tape(tape: Column) -> Column:
+            if many:
+                return F.array(
+                    *[pick_on(tape, lv) for lv in lvls]
+                )
+            return pick_on(tape, lvls[0])
+
+        return _let_once(tape_expr, build_tape)
+
+    return build
+
+
+def _array_aucpr(scores, labels) -> Column:
+    """arrayAUCPR(scores, labels): average precision — the area under
+    the precision-recall curve stepped at each positive, scanning by
+    score DESC (ties break by label DESC, i.e. positives first at an
+    equal score; deterministic and replayed identically by the
+    oracle). NULL when there are no positive labels."""
+    pairs_expr = F.reverse(
+        F.array_sort(
+            F.zip_with(
+                _as_col(scores),
+                _as_col(labels),
+                lambda s, l: F.struct(
+                    s.cast("double").alias("s"),
+                    l.cast("double").alias("l"),
+                ),
+            )
+        )
+    )
+
+    def build(pairs: Column) -> Column:
+        npos_expr = F.aggregate(
+            pairs, F.lit(0.0), lambda acc, e: acc + e["l"]
+        )
+
+        def walk(npos: Column) -> Column:
+            out = F.aggregate(
+                pairs,
+                F.struct(
+                    F.lit(0.0).alias("tp"),
+                    F.lit(0.0).alias("fp"),
+                    F.lit(0.0).alias("auc"),
+                ),
+                lambda st, e: F.struct(
+                    (st["tp"] + e["l"]).alias("tp"),
+                    (st["fp"] + (1 - e["l"])).alias("fp"),
+                    (
+                        st["auc"]
+                        + F.when(
+                            e["l"] > 0,
+                            (st["tp"] + 1)
+                            / (st["tp"] + st["fp"] + 1)
+                            / npos,
+                        ).otherwise(F.lit(0.0))
+                    ).alias("auc"),
+                ),
+            )
+            return F.when(npos > 0, out["auc"])
+
+        return _let_once(npos_expr, walk)
+
+    return _let_once(pairs_expr, build)
+
+
+CH_FUNCTIONS.update(
+    {
+        "quantileExactExclusive": _quantile_exact_excel(False),
+        "quantilesExactExclusive": _quantile_exact_excel(False),
+        "quantileExactInclusive": _quantile_exact_excel(True),
+        "quantilesExactInclusive": _quantile_exact_excel(True),
+        "arrayAUCPR": _array_aucpr,
+        "arrayPrAUC": _array_aucpr,  # pre-24.x CH spelling
     }
 )

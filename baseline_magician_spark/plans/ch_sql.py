@@ -158,6 +158,9 @@ _AGGS = {
     "groupbitmapand", "groupbitmapor", "groupbitmapxor",
     "quantiletimingweighted", "quantilestimingweighted",
     "quantiletdigestweighted",
+    # round-7f: Excel-convention exact quantiles
+    "quantileexactexclusive", "quantilesexactexclusive",
+    "quantileexactinclusive", "quantilesexactinclusive",
 }
 
 # CH parametric-aggregate families — ``fn(params)(args)`` spelling,
@@ -197,6 +200,10 @@ _PARAMETRIC_AGGS = {
     # round-7e: weighted approximate-quantile spellings
     "quantiletimingweighted", "quantilestimingweighted",
     "quantiletdigestweighted",
+    # round-7f: Excel-convention exact quantiles (single-column
+    # parametric — levels ride the generic trailing-literal branch)
+    "quantileexactexclusive", "quantilesexactexclusive",
+    "quantileexactinclusive", "quantilesexactinclusive",
 }
 
 _TOKEN = re.compile(

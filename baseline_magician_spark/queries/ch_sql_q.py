@@ -4461,3 +4461,89 @@ def _round7e_oracle() -> str:
 @query("ch_sql_round7e_aggregates", _round7e_oracle())
 def ch_sql_round7e_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_ROUND7E_SQL, _tables(spark, sf_dir, "events"))
+
+
+# Round-7f end-to-end: Excel-convention exact quantiles (DuckDB
+# replays the identical h = q*(n±1)(+1) clamp-and-interpolate closed
+# form over sorted lists — NOT quantile_cont, whose lerp spelling
+# could differ in the last ulp) and arrayAUCPR (average precision;
+# the oracle replays the positional identity
+# sum_k l_k * prefix(l)_k / k / npos over the same
+# (score desc, label desc) scan order).
+_ROUND7F_SQL = """
+SELECT g,
+       qi, qe,
+       round(arrayAUCPR(
+         arrayMap(i -> toFloat64((g * 3 + i) % 7), range(12)),
+         arrayMap(i -> toInt64(if((i + g) % 3 = 0, 1, 0)),
+                  range(12))), 6) AS ap
+FROM (
+  SELECT user_id % 5 AS g,
+         round(quantileExactInclusive(0.25)(value), 6) AS qi,
+         round(quantileExactExclusive(0.75)(value), 6) AS qe
+  FROM fastnetmon.events
+  GROUP BY g
+)
+ORDER BY g
+"""
+
+
+def _round7f_oracle() -> str:
+    def excel_q(lv: float, inclusive: bool) -> str:
+        n = "CAST(len(vs) AS DOUBLE)"
+        h = (
+            f"({lv} * ({n} - 1) + 1)"
+            if inclusive
+            else f"({lv} * ({n} + 1))"
+        )
+        h = f"greatest(least({h}, {n}), 1.0)"
+        return (
+            f"round((SELECT vs[CAST(floor({h}) AS INT)] "
+            f"+ ({h} - floor({h})) "
+            f"* (vs[CAST(least(floor({h}) + 1, len(vs)) AS INT)] "
+            f"- vs[CAST(floor({h}) AS INT)])), 6)"
+        )
+
+    # labels in (score desc, label desc) scan order, then the
+    # positional average-precision identity
+    ls = (
+        "list_transform(list_reverse(list_sort("
+        "list_transform(range(0, 12), "
+        "i -> {'s': CAST((g * 3 + i) % 7 AS DOUBLE), "
+        "'l': CAST(CASE WHEN (i + g) % 3 = 0 THEN 1 ELSE 0 END"
+        " AS DOUBLE)}))), e -> e.l)"
+    )
+    ap = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, 13), k -> "
+        f"ls[CAST(k AS INT)] "
+        f"* list_aggregate(ls[1:CAST(k AS INT)], 'sum') / k)), "
+        f"(a, b) -> a + b) "
+        f"/ list_aggregate(ls, 'sum')"
+    )
+    return f"""
+    WITH base AS (
+      SELECT user_id % 5 AS g, value AS v FROM events
+    ),
+    tapes AS (
+      SELECT g, list_sort(list(v)) AS vs FROM base GROUP BY g
+    ),
+    qs AS (
+      SELECT g,
+             {excel_q(0.25, True)} AS qi,
+             {excel_q(0.75, False)} AS qe
+      FROM tapes
+    ),
+    aps AS (
+      SELECT g, {ap} AS apv
+      FROM (SELECT DISTINCT g, {ls} AS ls FROM base)
+    )
+    SELECT q.g, q.qi, q.qe, round(a.apv, 6) AS ap
+    FROM qs q JOIN aps a ON a.g = q.g
+    ORDER BY q.g
+    """
+
+
+@query("ch_sql_round7f_functions", _round7f_oracle())
+def ch_sql_round7f_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_ROUND7F_SQL, _tables(spark, sf_dir, "events"))

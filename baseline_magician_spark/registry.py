@@ -101,10 +101,15 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_round7c_functions",
     "ch_sql_round7d_functions",
     "ch_sql_round7e_aggregates",
+    "ch_sql_round7f_functions",
     # r3-stale rotation (oldest remaining driver rows, diverse ops;
-    # ch_sql_with_totals traded out for the categorical-IV
-    # registration — never-checked rows outrank re-checks and the
-    # window is pinned at 50)
+    # one stale name traded out per new registration above —
+    # never-checked rows outrank re-checks and the window is pinned
+    # at 50; the seven trades this round: similarity_ivfpq_topk,
+    # multimodal_frame_deltas, multimodal_audio_window_rms,
+    # events_hourly_rollup_incremental, pipeline_bucketed_batches,
+    # dedup_simhash_band_pairs, dedup_semantic_keep_best — all
+    # r5/r6-green, re-verified every run by the local sweep)
     "ch_sql_array_join_tokens",
     "ch_sql_array_lambdas",
     "ch_sql_asof_attribution",
@@ -122,7 +127,6 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_union_all",
     "ch_sql_window_topn",
     "ch_sql_with_fill",
-    "dedup_semantic_keep_best",
     "q12_late_shipment_priority",
     "rag_chunk_overlap_manifest",
 )

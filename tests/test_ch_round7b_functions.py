@@ -669,3 +669,83 @@ def test_weighted_timing_quantile_aliases(spark):
         {"t": rows},
     ).collect()[0].r
     assert a == b
+
+
+def test_utf8_spelling_aliases(spark):
+    assert _one(
+        spark,
+        "SELECT ngramSearchUTF8('clickhouse', 'house') AS r FROM t",
+    ) == 1.0
+    assert _one(
+        spark,
+        "SELECT ngramDistanceUTF8('abc', 'abc') AS r FROM t",
+    ) == 0.0
+    assert _one(
+        spark, "SELECT isValidUTF8('ok') AS r FROM t"
+    ) is True
+
+
+def test_excel_quantile_conventions(spark):
+    # PERCENTILE.INC / PERCENTILE.EXC reference values for 1..10
+    import statistics
+
+    rows = spark.createDataFrame(
+        [(float(i),) for i in range(1, 11)], "v double"
+    )
+    for lv in (0.25, 0.5, 0.9):
+        inc = run_ch_query(
+            f"SELECT quantileExactInclusive({lv})(v) AS r FROM t",
+            {"t": rows},
+        ).collect()[0].r
+        exc = run_ch_query(
+            f"SELECT quantileExactExclusive({lv})(v) AS r FROM t",
+            {"t": rows},
+        ).collect()[0].r
+        want_inc = statistics.quantiles(
+            range(1, 11), n=100, method="inclusive"
+        )[int(lv * 100) - 1]
+        want_exc = statistics.quantiles(
+            range(1, 11), n=100, method="exclusive"
+        )[int(lv * 100) - 1]
+        assert abs(inc - want_inc) < 1e-9, (lv, inc, want_inc)
+        assert abs(exc - want_exc) < 1e-9, (lv, exc, want_exc)
+    # plural form returns the digest-ready array
+    both = run_ch_query(
+        "SELECT arrayStringConcat(arrayMap(x -> toString("
+        "round(x, 6)), quantilesExactInclusive(0.25, 0.75)(v)), ',')"
+        " AS r FROM t",
+        {"t": rows},
+    ).collect()[0].r
+    assert both == "3.25,7.75"
+
+
+def test_array_aucpr_matches_reference(spark):
+    def ap_ref(scores, labels):
+        pairs = sorted(
+            zip(scores, labels), key=lambda p: (-p[0], -p[1])
+        )
+        npos = sum(l for _, l in pairs)
+        tp = fp = 0
+        auc = 0.0
+        for _, l in pairs:
+            if l:
+                tp += 1
+                auc += (tp / (tp + fp)) / npos
+            else:
+                fp += 1
+        return auc
+
+    scores = [0.9, 0.8, 0.7, 0.6, 0.5, 0.4]
+    labels = [1, 0, 1, 1, 0, 0]
+    want = ap_ref(scores, labels)
+    got = _one(
+        spark,
+        "SELECT arrayAUCPR([0.9, 0.8, 0.7, 0.6, 0.5, 0.4],"
+        " [1, 0, 1, 1, 0, 0]) AS r FROM t",
+    )
+    assert abs(got - want) < 1e-9
+    # no positives -> NULL
+    assert _one(
+        spark,
+        "SELECT arrayAUCPR([0.9, 0.1], [0, 0]) AS r FROM t",
+    ) is None
