@@ -3367,6 +3367,39 @@ def _exec_select(
                 raise ValueError("numbers() needs an active session")
             rng = sess.range(a, a + b) if b is not None else sess.range(a)
             return rng.toDF("number"), _opt_alias() or "numbers"
+        if name.lower() in (
+            "generate_series", "generateseries"
+        ) and p.peek() == "(":
+            # CH generate_series(start, stop[, step]): INCLUSIVE stop
+            # (unlike numbers), column `generate_series`. Same
+            # spark.range parallel source.
+            p.next()
+            start = int(p.next())
+            p.expect(",")
+            stop = int(p.next())
+            step = 1
+            if p.peek() == ",":
+                p.next()
+                step = int(p.next())
+            p.expect(")")
+            if step <= 0:
+                raise ValueError("generate_series step must be > 0")
+            from pyspark.sql import SparkSession as _SS
+
+            sess = (
+                next(iter(tables.values())).sparkSession
+                if tables
+                else _SS.getActiveSession()
+            )
+            if sess is None:
+                raise ValueError(
+                    "generate_series() needs an active session"
+                )
+            rng = sess.range(start, stop + 1, step)
+            return (
+                rng.toDF("generate_series"),
+                _opt_alias() or "generate_series",
+            )
         if name.lower() in ("file", "url", "s3") and p.peek() == "(":
             # CH file/url/s3 table functions: read external data in
             # place. Maps straight onto the Spark reader — the scan

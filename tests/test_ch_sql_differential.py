@@ -1462,7 +1462,10 @@ def _gen_lpnorm_pair(rng: random.Random) -> tuple[str, str]:
     duck = (
         f"SELECT user_id % {m} AS k, "
         f"round(min({body}), 6) AS lo, round(max({body}), 6) AS hi, "
-        f"round({n_conv!r}, 4) AS mss "
+        # CAST first: DuckDB constant-folds round(literal, 4) to
+        # DECIMAL(…,4), which renders trailing zeros (430.4620)
+        # while the Spark side is a DOUBLE (430.462)
+        f"round(CAST({n_conv!r} AS DOUBLE), 4) AS mss "
         f"FROM events{w} GROUP BY k ORDER BY k"
     )
     return ch, duck

@@ -184,3 +184,25 @@ def test_show_create_table_and_kill(spark):
         "KILL QUERY WHERE query_id = 'no-such-query'", tables
     ).collect()
     assert killed[0].kill_status == "finished"
+
+
+def test_generate_series_inclusive_stop(spark):
+    from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+    t = spark.createDataFrame([(1,)], "i long")
+    r = run_ch_query(
+        "SELECT sum(generate_series) AS s, count(*) AS n "
+        "FROM generate_series(0, 9)",
+        {"t": t},
+    ).collect()[0]
+    assert (r.s, r.n) == (45, 10)  # stop is INCLUSIVE, unlike numbers
+    r = run_ch_query(
+        "SELECT sum(generate_series) AS s, count(*) AS n "
+        "FROM generate_series(0, 7, 3)",
+        {"t": t},
+    ).collect()[0]
+    assert (r.s, r.n) == (9, 3)  # 0, 3, 6
+    r = run_ch_query(
+        "SELECT count(*) AS n FROM generateSeries(5, 3)", {"t": t}
+    ).collect()[0]
+    assert r.n == 0  # start past stop: empty
