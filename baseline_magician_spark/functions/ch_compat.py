@@ -98,7 +98,12 @@ def _map_agg(op: str) -> Callable[[Column, Column], Column]:
     the first value (type-preserving: integer maps fold in integer
     arithmetic, no double round-trip). Zero-sum keys are retained."""
 
-    def build(keys: Column, vals: Column) -> Column:
+    def build(keys: Column, vals: Column | None = None) -> Column:
+        if vals is None:
+            # single-Map overload (CH 22.x+: sumMap(map)) — split the
+            # Map carrier into its key/value arrays
+            m = _as_col(keys)
+            keys, vals = F.map_keys(m), F.map_values(m)
         pairs = F.flatten(
             F.collect_list(
                 F.zip_with(
@@ -1010,6 +1015,7 @@ _COMBINATOR_BASES = {
     # two-argument NULL-skipping bases: the generic -If NULL-mask is
     # exact for them because every shim below guards on both sides
     # (corr/covar via guarded raw moments, avgWeighted via _nn2)
+    "summap": "sumMap", "minmap": "minMap", "maxmap": "maxMap",
     "corr": "corr", "covarpop": "covarPop", "covarsamp": "covarSamp",
     "avgweighted": "avgWeighted",
     "skewpop": "skewPop", "skewsamp": "skewSamp",

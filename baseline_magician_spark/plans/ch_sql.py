@@ -902,6 +902,10 @@ class _Parser:
             call = _Node("call", fname, tuple(args))
             if (
                 t.lower() in _PARAMETRIC_AGGS
+                or (
+                    t.lower().endswith("if")
+                    and t.lower()[:-2] in _PARAMETRIC_AGGS
+                )
                 or t.lower().endswith("resample")
             ) and self.peek() == "(":
                 # parametric aggregate fn(levels)(args): the first list
@@ -1077,8 +1081,11 @@ def _is_timestamp(node: _Node) -> bool:
 
 def _contains_agg(node: _Node) -> bool:
     if node.kind == "call":
-        if node.value.lower() in _AGGS or is_combinator_agg(
-            str(node.value)
+        ln = node.value.lower()
+        if (
+            ln in _AGGS
+            or is_combinator_agg(str(node.value))
+            or (ln.endswith("if") and ln[:-2] in _PARAMETRIC_AGGS)
         ):
             return True
         return any(_contains_agg(a) for a in node.args)
@@ -1755,6 +1762,33 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             or CH_FUNCTIONS.get(lname)
             or resolve_agg_combinator(name)
         )
+        # parametric-If: quantileIf(0.5)(x, cond), topKIf(k)(x, cond),
+        # quantileExactWeightedIf(l)(x, w, cond)... — the -If mask
+        # composes with the parametric families by NULL-masking every
+        # inner column with the trailing condition (the last inner
+        # arg), then dispatching to the stem aggregate
+        masked_if = False
+        _IF_MASKABLE = lambda st: (  # noqa: E731
+            st.startswith("quantile")
+            or st in (
+                "topk", "topkweighted", "uniqupto", "median",
+                "grouparraysorted", "grouparraylast",
+                "grouparraysample",
+            )
+        )
+        if (
+            fn is None
+            and lname.endswith("if")
+            and lname[:-2] in _PARAMETRIC_AGGS
+            and _IF_MASKABLE(lname[:-2])
+        ):
+            stem = name[:-2]
+            fn = CH_FUNCTIONS.get(stem) or CH_FUNCTIONS.get(
+                lname[:-2]
+            )
+            if fn is not None:
+                masked_if = True
+                lname = lname[:-2]
         if fn is None:
             raise ValueError(f"unknown function {name!r}")
         if lname == "quantiledeterministic" and len(node.args) >= 2:
@@ -1790,11 +1824,21 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                 split -= 1
             cols = [_compile(a, env) for a in node.args[:split]]
             lits = [_literal_value(a) for a in node.args[split:]]
+            if masked_if:
+                *vals, cond = cols
+                cols = [F.when(cond, v) for v in vals]
             return fn(*cols, *lits)
         if lname in _PARAMETRIC_AGGS and len(node.args) > 1:
             # quantile levels ride as trailing literal args — Spark's
             # percentile functions need foldable levels, so they pass
             # through as Python floats, not lit Columns
+            if masked_if:
+                cond = _compile(node.args[1], env)
+                first = F.when(cond, _compile(node.args[0], env))
+                levels = [
+                    float(_literal_value(a)) for a in node.args[2:]
+                ]
+                return fn(first, *levels)
             first = _compile(node.args[0], env)
             levels = [float(_literal_value(a)) for a in node.args[1:]]
             return fn(first, *levels)

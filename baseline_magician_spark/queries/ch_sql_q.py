@@ -4547,3 +4547,99 @@ def _round7f_oracle() -> str:
 @query("ch_sql_round7f_functions", _round7f_oracle())
 def ch_sql_round7f_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_ROUND7F_SQL, _tables(spark, sf_dir, "events"))
+
+
+# Parametric-If composition end-to-end: the -If mask over parametric
+# aggregates (quantileExactIf / quantileExactWeightedIf / topKIf /
+# uniqUpToIf) and the map-aggregate -If (sumMapIf over the
+# single-Map overload). DuckDB replays with FILTERed equivalents:
+# quantile_cont for the exact quantile, the windowed threshold walk
+# for the weighted form, the (count desc, value asc) deterministic
+# topK pick, least(distinct, n+1) for uniqUpTo, and a keyed GROUP BY
+# re-aggregation for the map digest.
+_PARAMETRIC_IF_SQL = """
+SELECT g,
+       round(quantileExactIf(0.5)(value, event_type = 'click'), 4)
+         AS q50,
+       round(quantileExactWeightedIf(0.5)(
+         value, 1 + event_id % 3, event_id % 2 = 0), 6) AS qw,
+       arrayStringConcat(arrayMap(x -> toString(x),
+         topKIf(3)(event_id % 7, event_type != 'click')), ',') AS tk,
+       uniqUpToIf(5)(event_id % 9, event_type = 'click') AS uu,
+       arrayStringConcat(arrayMap(x -> toString(x), tupleElement(
+         sumMapIf(map(event_type, event_id % 5),
+                  event_id % 3 = 0), 1)), ',') AS smk,
+       arrayStringConcat(arrayMap(x -> toString(x), tupleElement(
+         sumMapIf(map(event_type, event_id % 5),
+                  event_id % 3 = 0), 2)), ',') AS smv
+FROM (SELECT user_id % 4 AS g, event_id, event_type, value
+      FROM fastnetmon.events)
+GROUP BY g
+ORDER BY g
+"""
+
+
+def _parametric_if_oracle() -> str:
+    return """
+    WITH base AS (
+      SELECT user_id % 4 AS g, event_id, event_type, value AS v
+      FROM events
+    ),
+    wpts AS (
+      SELECT g, v, 1 + event_id % 3 AS wt,
+             sum(1 + event_id % 3) OVER (
+               PARTITION BY g ORDER BY v, 1 + event_id % 3
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM base WHERE event_id % 2 = 0
+    ),
+    wtot AS (
+      SELECT g, 0.5 * sum(wt) AS t
+      FROM wpts GROUP BY g
+    ),
+    wq AS (
+      SELECT p.g, arg_min(p.v, p.cum) FILTER (p.cum >= t.t) AS qw
+      FROM wpts p JOIN wtot t USING (g) GROUP BY p.g
+    ),
+    tkf AS (
+      SELECT g, event_id % 7 AS tv, count(*) AS c
+      FROM base WHERE event_type != 'click' GROUP BY g, 2
+    ),
+    tk AS (
+      SELECT g,
+             array_to_string((list(tv ORDER BY c DESC, tv))[1:3],
+                             ',') AS tk
+      FROM tkf GROUP BY g
+    ),
+    smf AS (
+      SELECT g, event_type AS mk, sum(event_id % 5) AS mv
+      FROM base WHERE event_id % 3 = 0 GROUP BY g, event_type
+    ),
+    sm AS (
+      SELECT g,
+             array_to_string(list(mk ORDER BY mk), ',') AS smk,
+             array_to_string(list(CAST(mv AS VARCHAR) ORDER BY mk),
+                             ',') AS smv
+      FROM smf GROUP BY g
+    ),
+    agg AS (
+      SELECT g,
+             round(quantile_cont(v, 0.5)
+                   FILTER (event_type = 'click'), 4) AS q50,
+             CAST(least(count(DISTINCT event_id % 9)
+                        FILTER (event_type = 'click'), 6)
+                  AS BIGINT) AS uu
+      FROM base GROUP BY g
+    )
+    SELECT a.g, a.q50, round(w.qw, 6) AS qw, t.tk, a.uu,
+           s.smk, s.smv
+    FROM agg a
+    JOIN wq w ON w.g = a.g
+    JOIN tk t ON t.g = a.g
+    JOIN sm s ON s.g = a.g
+    ORDER BY a.g
+    """
+
+
+@query("ch_sql_parametric_if", _parametric_if_oracle())
+def ch_sql_parametric_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_ch_query(_PARAMETRIC_IF_SQL, _tables(spark, sf_dir, "events"))

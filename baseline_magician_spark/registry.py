@@ -102,14 +102,16 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_round7d_functions",
     "ch_sql_round7e_aggregates",
     "ch_sql_round7f_functions",
+    "ch_sql_parametric_if",
     # r3-stale rotation (oldest remaining driver rows, diverse ops;
     # one stale name traded out per new registration above —
     # never-checked rows outrank re-checks and the window is pinned
-    # at 50; the seven trades this round: similarity_ivfpq_topk,
+    # at 50; the eight trades this round: similarity_ivfpq_topk,
     # multimodal_frame_deltas, multimodal_audio_window_rms,
     # events_hourly_rollup_incremental, pipeline_bucketed_batches,
-    # dedup_simhash_band_pairs, dedup_semantic_keep_best — all
-    # r5/r6-green, re-verified every run by the local sweep)
+    # dedup_simhash_band_pairs, dedup_semantic_keep_best,
+    # rag_chunk_overlap_manifest — all r5/r6-green, re-verified
+    # every run by the local sweep)
     "ch_sql_array_join_tokens",
     "ch_sql_array_lambdas",
     "ch_sql_asof_attribution",
@@ -128,7 +130,6 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_window_topn",
     "ch_sql_with_fill",
     "q12_late_shipment_priority",
-    "rag_chunk_overlap_manifest",
 )
 
 

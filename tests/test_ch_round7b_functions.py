@@ -749,3 +749,58 @@ def test_array_aucpr_matches_reference(spark):
         spark,
         "SELECT arrayAUCPR([0.9, 0.1], [0, 0]) AS r FROM t",
     ) is None
+
+
+def test_parametric_if_composition(spark):
+    rows = spark.createDataFrame(
+        [(i, float(i % 7), i % 3, 1 + i % 2) for i in range(12)],
+        "k long, v double, g long, w long",
+    )
+
+    def one(sql):
+        return run_ch_query(sql, {"t": rows}).collect()[0].r
+
+    # quantileExactIf == quantileExact over the condition-filtered set
+    filt = spark.createDataFrame(
+        [(float(i % 7),) for i in range(12) if i % 3 == 0],
+        "v double",
+    )
+    want = run_ch_query(
+        "SELECT quantileExact(0.5)(v) AS r FROM t", {"t": filt}
+    ).collect()[0].r
+    got = one("SELECT quantileExactIf(0.5)(v, g = 0) AS r FROM t")
+    assert got == want
+    # parameterless spelling defaults the level
+    assert one("SELECT quantileIf(v, g = 0) AS r FROM t") == one(
+        "SELECT quantileIf(0.5)(v, g = 0) AS r FROM t"
+    )
+    # two-inner-column family
+    got = one(
+        "SELECT quantileExactWeightedIf(0.5)(v, w, g = 0) AS r FROM t"
+    )
+    assert got is not None
+    # topK with the mask
+    got = one("SELECT toString(topKIf(2)(k % 4, g = 1)) AS r FROM t")
+    assert got == "[0, 1]"
+
+
+def test_map_aggregate_overloads_and_if(spark):
+    rows = spark.createDataFrame(
+        [(i, i % 3, f"k{i % 2}") for i in range(8)],
+        "k long, g long, name string",
+    )
+
+    def one(sql):
+        return run_ch_query(sql, {"t": rows}).collect()[0].r
+
+    # single-Map overload equals the two-array spelling
+    assert one(
+        "SELECT toString(sumMap(map(name, k))) AS r FROM t"
+    ) == one("SELECT toString(sumMap([name], [k])) AS r FROM t")
+    # -If masks whole rows out of the map fold
+    assert one(
+        "SELECT toString(sumMapIf(map(name, k), g = 1)) AS r FROM t"
+    ) == "{[k0, k1], [4, 8]}"
+    assert one(
+        "SELECT toString(minMapIf([name], [k], g < 2)) AS r FROM t"
+    ) == "{[k0, k1], [0, 1]}"

@@ -567,3 +567,15 @@ def test_round7e_aggregates_single_shuffle(spark, queries):
     plan = plan_of(queries["ch_sql_round7e_aggregates"](spark, SF_ORACLE))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:1500]
+
+
+def test_parametric_if_single_shuffle(spark, queries):
+    """The masked parametric tapes (exact quantile, weighted walk,
+    topK, uniqUpTo, map fold) share ONE group-by shuffle; the mask is
+    a projection-level CASE, never a join or Python stage."""
+    plan = plan_of(queries["ch_sql_parametric_if"](spark, SF_ORACLE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan, plan[:1500]
+    # two: the group-by shuffle + the Expand stage Spark inserts for
+    # uniqUpToIf's count(DISTINCT) alongside the other aggregates
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
