@@ -121,6 +121,18 @@ _SHOW_DBS_RE = re.compile(r"^\s*SHOW\s+DATABASES\s*$", re.IGNORECASE)
 # EXISTS [TABLE] t returns CH's one-row UInt8
 _USE_RE = re.compile(rf"^\s*USE\s+({_IDENT})\s*$", re.IGNORECASE)
 
+# SET name = value [, ...] — the session-scoped settings statement.
+# Same policy as the per-query SETTINGS clause: every name is
+# validated/classified through the C5 passthrough and RECORDED in
+# SESSION_SETTINGS (callers wanting them live wrap their action in
+# control.apply_query_settings), never silently dropped and never
+# mutated into the Spark session from inside a statement.
+_SET_RE = re.compile(
+    r"^\s*SET\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+
+SESSION_SETTINGS: dict[str, object] = {}
+
 _EXISTS_RE = re.compile(
     rf"^\s*EXISTS\s+(?:TABLE\s+)?(?:({_IDENT})\.)?({_IDENT})\s*$",
     re.IGNORECASE,
@@ -527,6 +539,35 @@ def run_ch_ddl(
             [("default",), ("fastnetmon",), ("system",)],
             "name string",
         )
+    m = _SET_RE.match(sql)
+    if m is not None and not re.match(
+        r"^\s*SETTINGS\b", sql, re.IGNORECASE
+    ):
+        from pyspark.sql import SparkSession
+
+        from ..control import classify_setting
+
+        spark = (
+            next(iter(tables.values())).sparkSession
+            if tables
+            else SparkSession.getActiveSession()
+        )
+        body = m.group(1)
+        for pair in body.split(","):
+            if "=" not in pair:
+                raise ValueError(
+                    f"SET expects name = value, got {pair.strip()!r}"
+                )
+            name, _, val = pair.partition("=")
+            name = name.strip()
+            sval: object = val.strip().strip("'\"")
+            try:
+                classify_setting(name)
+            except KeyError:
+                pass  # forward-unknown, like the CH driver
+            SESSION_SETTINGS[name] = sval
+        # CH acknowledges SET with an empty result
+        return spark.createDataFrame([], "name string")
     m = _USE_RE.match(sql)
     if m is not None:
         from pyspark.sql import SparkSession

@@ -348,6 +348,10 @@ def run_ch_statement(
     if kw in (
         "CREATE", "DROP", "ALTER", "TRUNCATE", "RENAME", "EXCHANGE",
         "DESCRIBE", "DESC", "SHOW", "OPTIMIZE", "KILL",
+        # session-protocol statements (USE/EXISTS landed in round 6;
+        # SET in round 7 — without these the driver's Exec path for
+        # them would mis-route into the SELECT parser)
+        "USE", "EXISTS", "SET",
     ):
         from .ch_ddl import run_ch_ddl
 

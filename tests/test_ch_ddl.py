@@ -310,3 +310,29 @@ def test_session_protocol_statements(spark, tabs):
     assert run_ch_ddl("USE default", tabs).count() == 0
     assert run_ch_ddl("EXISTS TABLE t", tabs).collect()[0].result == 1
     assert run_ch_ddl("EXISTS nope", tabs).collect()[0].result == 0
+
+
+def test_set_statement_and_statement_routing(spark):
+    from baseline_magician_spark.plans.ch_ddl import SESSION_SETTINGS
+    from baseline_magician_spark.plans.ch_insert import run_ch_statement
+
+    tabs = {"t": spark.createDataFrame([(1,)], "i long")}
+    # SET records (C5-classified) and acknowledges with zero rows
+    out = run_ch_statement(
+        "SET max_threads = 4, max_memory_usage = 10000000000", tabs
+    )
+    assert out.count() == 0
+    assert SESSION_SETTINGS["max_threads"] == "4"
+    assert SESSION_SETTINGS["max_memory_usage"] == "10000000000"
+    # the statement router reaches the session-protocol handlers
+    # (USE/EXISTS previously only worked via run_ch_ddl directly)
+    assert run_ch_statement("USE default", tabs).count() == 0
+    assert (
+        run_ch_statement("EXISTS TABLE t", tabs).collect()[0].result
+        == 1
+    )
+    # malformed pair raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="name = value"):
+        run_ch_statement("SET garbage", tabs)
