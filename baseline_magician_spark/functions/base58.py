@@ -99,10 +99,15 @@ def _rebase_step(acc: Column, unit: Column, mul: int, base: int) -> Column:
 
 
 def _leading(vals: Column, zero_digit: int = 0) -> Column:
-    """Count of leading elements equal to ``zero_digit``."""
+    """Count of leading elements equal to ``zero_digit``.
+
+    array_position returns 0 (not NULL) when no element matches —
+    e.g. an all-zero input — so it must be nullif'd before the -1,
+    or the coalesce never falls back to size(vals)."""
     flags = F.transform(vals, lambda v: v != zero_digit)
     return F.coalesce(
-        F.array_position(flags, True).cast("int") - 1, F.size(vals)
+        F.nullif(F.array_position(flags, True), F.lit(0)).cast("int") - 1,
+        F.size(vals),
     )
 
 

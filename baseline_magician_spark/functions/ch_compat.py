@@ -4301,9 +4301,14 @@ def _bit_slice(s, off, *ln) -> Column:
             )
         else:
             want = nbits - start + 1
-        # clamp to the available bit range
-        eff = F.greatest(
-            F.least(want, nbits - start + 1), F.lit(0).cast("long")
+        # clamp to the available bit range; a start before bit 1
+        # (negative offset beyond the string) reads nothing — without
+        # this guard eff > nbits and _byte_at's substring would get a
+        # non-positive index, which Spark counts from the END
+        eff = F.when(start < 1, F.lit(0).cast("long")).otherwise(
+            F.greatest(
+                F.least(want, nbits - start + 1), F.lit(0).cast("long")
+            )
         )
         out_bytes = F.ceil(eff / 8).cast("int")
 
@@ -4560,10 +4565,22 @@ def _series_period_fft(arr) -> Column:
             F.sequence(F.lit(1), F.floor(n / 2).cast("int")), mag2
         )
 
+        # constant-series guard must be RELATIVE: a periodic but
+        # tiny-amplitude series (values ~1e-6) has mag2 ~ 1e-12 —
+        # an absolute 1e-9 cutoff would wrongly return NULL. Compare
+        # the max non-DC bin to the series energy (sum of squares):
+        # a constant series leaves non-DC bins at rounding-noise
+        # scale relative to energy, a periodic one at O(n) * energy.
+        energy = F.aggregate(
+            xs,
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+
         def pick(mags: Column) -> Column:
             kbest = F.array_position(mags, F.array_max(mags))
             return F.when(
-                (n >= 4) & (F.array_max(mags) > 1e-9),
+                (n >= 4) & (F.array_max(mags) > F.lit(1e-12) * energy),
                 n.cast("double") / kbest.cast("double"),
             )
 
@@ -4774,6 +4791,20 @@ _READABLE_UNITS: dict[str, int] = {
     **{u: 1024 ** i for i, u in enumerate(
         ("kib", "mib", "gib", "tib", "pib", "eib"), start=1)},
 }
+
+
+def _to_json_string(c) -> Column:
+    """CH toJSONString over any input type. to_json only accepts
+    complex types, so serialize struct('x', c) — valid for every
+    Spark type — and strip the fixed 6-byte envelope ({"x": prefix,
+    } suffix; to_json emits no whitespace). to_json drops null
+    struct fields, so NULL input is special-cased to the JSON
+    literal CH emits."""
+    col = _as_col(c)
+    js = F.to_json(F.struct(col.alias("x")))
+    return F.when(col.isNull(), F.lit("null")).otherwise(
+        F.substring(js, F.lit(6), F.length(js) - 6)
+    )
 
 
 def _parse_readable_size(s, on_bad: str) -> Column:
@@ -5018,8 +5049,12 @@ CH_FUNCTIONS.update(
             _as_col(s)
         ).cast("long"),
         # CH toJSONString serializes any value; Spark's to_json takes
-        # complex types — scalars render via their string form
-        "toJSONString": lambda c: F.to_json(_as_col(c)),
+        # complex types only, so wrap in a one-field struct and strip
+        # the {"x": ... } envelope (to_json emits no whitespace, so
+        # the envelope is exactly 5 bytes + the closing brace). NULL
+        # renders as the JSON literal because to_json drops null
+        # struct fields.
+        "toJSONString": _to_json_string,
         # one random value per query compile (CH: per block)
         "randConstant": lambda: F.lit(
             __import__("random").random()

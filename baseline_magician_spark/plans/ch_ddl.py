@@ -133,6 +133,37 @@ _SET_RE = re.compile(
 
 SESSION_SETTINGS: dict[str, object] = {}
 
+
+def _split_outside_quotes(body: str) -> list[str]:
+    """Split a SET body on commas that sit OUTSIDE '...'/"..."
+    literals, honoring the CH doubled-quote escape (''). A naive
+    split would cut SET x = 'a,b' mid-string."""
+    parts: list[str] = []
+    buf: list[str] = []
+    quote: str | None = None
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                if i + 1 < len(body) and body[i + 1] == quote:
+                    buf.append(quote)  # doubled-quote escape
+                    i += 1
+                else:
+                    quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == ",":
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
 _EXISTS_RE = re.compile(
     rf"^\s*EXISTS\s+(?:TABLE\s+)?(?:({_IDENT})\.)?({_IDENT})\s*$",
     re.IGNORECASE,
@@ -552,8 +583,13 @@ def run_ch_ddl(
             if tables
             else SparkSession.getActiveSession()
         )
+        if spark is None:
+            raise ValueError(
+                "SET requires an active SparkSession (none found and "
+                "no tables registered)"
+            )
         body = m.group(1)
-        for pair in body.split(","):
+        for pair in _split_outside_quotes(body):
             if "=" not in pair:
                 raise ValueError(
                     f"SET expects name = value, got {pair.strip()!r}"

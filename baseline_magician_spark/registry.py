@@ -47,89 +47,80 @@ _loaded = False
 # families, freshly-fixed rows, and operators added this round — land
 # inside the checked window; everything else follows in registration
 # order. Rotate per round.
-# Round-7 window (the harness checks the first 50 names; a test pins
+# Round-8 window (the harness checks the first 50 names; a test pins
 # len <= 50 so nothing silently falls outside it). Union of rounds
-# 1–6: 194/195 checked. This window:
-# - leads with ch_sql_sequence_next_node, the only never-checked name;
-# - then the 12 round-6 red rows, all re-fixed this round (six
-#   array-output digests, five dtype casts, the rotated
-#   ch_sql_round6_functions decimal), plus ch_sql_lttb_downsample,
-#   which now carries a full unrolled-greedy oracle instead of the
-#   r6 rows-only check;
-# - the five re-checks deferred from the round-6 rotation;
-# - new round-7 registrations as they land (appended to their block
-#   in the SAME commit that registers them);
-# - the rest: r3-stale names (oldest driver rows, 45 remain), picked
-#   for operator diversity. The full local sweep — now running the
-#   driver's OWN canonicalization (pandas sort + dtype-sensitive
-#   cells, tests/test_oracle_parity.py) — remains the compensating
-#   control for everything outside the window.
+# 1-7: 209/210 checked. This window:
+# - leads with profile_documents_table, the only never-checked name
+#   (registered after the r7 window froze);
+# - then ALL 22 r3-stale names (oldest remaining driver rows — after
+#   this round nothing older than r4 remains);
+# - new round-8 registrations as they land (appended to their block
+#   in the SAME commit that registers them; each costs an r4-stale
+#   trade to stay under the 50 pin);
+# - the rest: r4-stale names picked for operator diversity (50
+#   remain; the leftovers rotate in r9). The full local sweep — the
+#   driver's OWN canonicalization (tests/test_oracle_parity.py) —
+#   remains the compensating control for everything outside the
+#   window, and tests/test_rotation_staleness.py now FAILS if any
+#   name's latest driver row falls >4 rounds behind while absent
+#   from this window.
 _PRIORITY: tuple[str, ...] = (
     # never driver-checked
-    "ch_sql_sequence_next_node",
-    # the 12 round-6 reds, re-fixed this round
-    "ch_sql_topk",
-    "ch_sql_summap_by_group",
-    "ch_sql_agg_combinators",
-    "ch_sql_map_functions",
-    "ch_sql_round6f_aggregates",
-    "ch_sql_round6h_aggregates",
-    "text_token_entropy",
-    "ch_sql_calendar_bridges",
-    "ch_sql_round6d_functions",
-    "ch_sql_geo_functions",
-    "ch_sql_round6_functions",
-    # rows-only in r6, full oracle added this round
-    "ch_sql_lttb_downsample",
-    # re-checks deferred from the round-6 rotation
-    "text_gopher_quality",
-    "multimodal_decode_stats",
-    "dedup_ngram_jaccard_pairs",
-    "similarity_topk_cosine",
-    "dedup_minhash_lsh_pairs",
-    # new round-7 queries land here as they register (slots held —
-    # the len <= 50 pin forces a stale-name trade for each extra one)
-    "ch_sql_sampling_hashes",
-    "similarity_int8_topk",
-    "text_bigram_lm_scores",
-    "ch_sql_round7_functions",
-    "pipeline_leakage_safe_split",
-    "ch_sql_categorical_iv",
-    "ch_sql_round7b_functions",
-    "ch_sql_base58_roundtrip",
-    "ch_sql_series_period_fft",
-    "ch_sql_round7c_functions",
-    "ch_sql_round7d_functions",
-    "ch_sql_round7e_aggregates",
-    "ch_sql_round7f_functions",
-    "ch_sql_parametric_if",
-    # r3-stale rotation (oldest remaining driver rows, diverse ops;
-    # one stale name traded out per new registration above —
-    # never-checked rows outrank re-checks and the window is pinned
-    # at 50; the eight trades this round: similarity_ivfpq_topk,
-    # multimodal_frame_deltas, multimodal_audio_window_rms,
-    # events_hourly_rollup_incremental, pipeline_bucketed_batches,
-    # dedup_simhash_band_pairs, dedup_semantic_keep_best,
-    # rag_chunk_overlap_manifest — all r5/r6-green, re-verified
-    # every run by the local sweep)
-    "ch_sql_array_join_tokens",
-    "ch_sql_array_lambdas",
-    "ch_sql_asof_attribution",
-    "ch_sql_distinct_prewhere",
-    "ch_sql_extremes",
-    "ch_sql_group_cube",
-    "ch_sql_group_rollup",
-    "ch_sql_grouping_sets",
-    "ch_sql_join_dims",
-    "ch_sql_join_using",
-    "ch_sql_limit_by",
-    "ch_sql_parametric_quantiles",
-    "ch_sql_sample_read",
-    "ch_sql_tpch_q1",
-    "ch_sql_union_all",
-    "ch_sql_window_topn",
-    "ch_sql_with_fill",
-    "q12_late_shipment_priority",
+    "profile_documents_table",
+    # all 22 r3-stale rows (complete — nothing r3 remains after r8)
+    "ch_sql_with_totals",
+    "dedup_semantic_keep_best",
+    "dedup_simhash_band_pairs",
+    "events_hourly_rollup_incremental",
+    "multimodal_audio_window_rms",
+    "multimodal_frame_deltas",
+    "pipeline_bucketed_batches",
+    "pipeline_curriculum_phases",
+    "rag_chunk_overlap_manifest",
+    "sample_temperature_weights",
+    "similarity_ivfpq_topk",
+    "similarity_lsh_neardup_pairs",
+    "similarity_pq_adc_topk",
+    "similarity_pq_codes",
+    "skew_salted_join_event_types",
+    "streaming_hourly_rollup_merge",
+    "text_bloom_vocab_screen",
+    "text_bpe_merge_step",
+    "text_cms_heavy_hitters",
+    "text_pii_redaction",
+    "text_tfidf_top_terms",
+    "text_unigram_lm_scores",
+    # new round-8 queries land here as they register (slots held —
+    # the len <= 50 pin forces an r4-stale trade for each extra one)
+    # r4-stale rotation (oldest remaining driver rows, diverse ops;
+    # one traded out per new registration above)
+    "asof_join_latest_order",
+    "ch_sql_any_join",
+    "ch_sql_exists_correlated",
+    "ch_sql_insert_select",
+    "ch_sql_tpch_q6",
+    "ch_sql_tpch_q17",
+    "dedup_exact_groups",
+    "dedup_simhash_clusters",
+    "multimodal_wav_decode",
+    "pipeline_corpus_cleanup",
+    "profile_orders_table",
+    "sample_stratified_by_lang",
+    "similarity_lsh_bucket_histogram",
+    "streaming_windowed_counts",
+    "streaming_sessionize_gap",
+    "text_dsir_importance",
+    "window_running_revenue",
+    "unpivot_lineitem_measures",
+    "histogram_event_values",
+    "ch_sql_scalar_with",
+    "ch_sql_json_extract",
+    "cube_revenue_by_flag_status",
+    "dedup_incremental_ingest",
+    "exact_percentiles_by_type",
+    "grouping_sets_quantity",
+    "json_props_stats",
+    "semi_anti_join_customers",
 )
 
 

@@ -336,3 +336,11 @@ def test_set_statement_and_statement_routing(spark):
 
     with _pytest.raises(ValueError, match="name = value"):
         run_ch_statement("SET garbage", tabs)
+    # regression (r8 ADVICE): a quoted value containing a comma must
+    # not be split mid-string
+    out = run_ch_statement(
+        "SET format_csv_delimiter = 'a,b', max_threads = 8", tabs
+    )
+    assert out.count() == 0
+    assert SESSION_SETTINGS["format_csv_delimiter"] == "a,b"
+    assert SESSION_SETTINGS["max_threads"] == "8"

@@ -128,6 +128,11 @@ def test_bit_slice(spark):
         ("bitSlice('AB', 5, -4)", "14"),  # negative length: leave 4
         ("bitSlice('AB', 9, 0)", ""),  # empty slice
         ("bitSlice('AB', 1, 99)", "4142"),  # clamped to the string
+        # regression (r8 ADVICE): negative offset beyond the string
+        # (start <= 0) must read nothing, not substring-from-the-end
+        ("bitSlice('AB', -99)", ""),
+        ("bitSlice('AB', -17)", ""),
+        ("bitSlice('AB', -16)", "4142"),
     ]
     for expr, want in cases:
         got = _one(spark, f"SELECT hex({expr}) AS r FROM t")
@@ -254,6 +259,24 @@ def test_base58_leading_zero_bytes(spark):
     assert got == "0000287FB4CD"
 
 
+def test_base58_all_zero_bytes(spark):
+    # regression (r8 ADVICE): array_position returns 0 (not NULL) on
+    # not-found, so an ALL-zero input miscounted leading zeros as -1
+    # and encoded to '' instead of '1' * len
+    assert _one(
+        spark, "SELECT base58Encode(unhex('00')) AS r FROM t"
+    ) == "1"
+    assert _one(
+        spark, "SELECT base58Encode(unhex('0000')) AS r FROM t"
+    ) == "11"
+    assert _one(
+        spark, "SELECT hex(base58Decode('11')) AS r FROM t"
+    ) == "0000"
+    assert _one(
+        spark, "SELECT hex(base58Decode('1111')) AS r FROM t"
+    ) == "00000000"
+
+
 def test_base58_roundtrip_and_reference(spark):
     strs = [
         "a", "ab", "abc", "src7:12345", "x" * 24,
@@ -307,6 +330,14 @@ def test_series_period_detect_fft(spark):
         "SELECT seriesPeriodDetectFFT(arrayWithConstant(8, 2.0)) "
         "AS r FROM t",
     ) is None
+    # regression (r8 ADVICE): the constant-series guard is relative
+    # to series energy — a periodic series of tiny amplitude (~1e-6)
+    # must still report its period, not NULL out on an absolute cutoff
+    assert _one(
+        spark,
+        "SELECT seriesPeriodDetectFFT(arrayMap(i -> "
+        "toFloat64(i % 5) * 1e-6, range(60))) AS r FROM t",
+    ) == 5.0
 
 
 def test_sigmoid(spark):
@@ -489,6 +520,20 @@ def test_json_probes(spark):
     assert _one(
         spark, "SELECT toJSONString([1, 2, 3]) AS r FROM t"
     ) == "[1,2,3]"
+    # regression (r8 ADVICE): scalars must serialize too — bare
+    # to_json raises AnalysisException on non-complex input
+    assert _one(
+        spark, "SELECT toJSONString(42) AS r FROM t"
+    ) == "42"
+    assert _one(
+        spark, "SELECT toJSONString('a\"b') AS r FROM t"
+    ) == '"a\\"b"'
+    assert _one(
+        spark, "SELECT toJSONString(NULL) AS r FROM t"
+    ) == "null"
+    assert _one(
+        spark, "SELECT toJSONString(map('k', 1)) AS r FROM t"
+    ) == '{"k":1}'
 
 
 def test_half_md5_byte_compatible(spark):

@@ -1,0 +1,70 @@
+"""Rotation-staleness gate (VERDICT r7 task 8).
+
+210+ registered queries share a 50-slot driver-check window, so a
+name can only be re-checked every ~4 rounds even under perfect
+rotation. This test makes staleness a GATED property instead of a
+judge's grep: it fails when any registered query's latest driver
+correctness row is more than 4 rounds older than the newest
+CORRECTNESS_r*.json *and* the name is absent from the current
+``_PRIORITY`` window (i.e. it would fall another round behind), or
+when a registered name has never been driver-checked at all and is
+not in the window.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+MAX_LAG_ROUNDS = 4
+
+
+def _correctness_rounds() -> dict[int, dict]:
+    out = {}
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if m:
+            out[int(m.group(1))] = json.loads(p.read_text())
+    return out
+
+
+def test_no_query_falls_behind_the_rotation():
+    from baseline_magician_spark.registry import _PRIORITY, get_queries
+
+    rounds = _correctness_rounds()
+    assert rounds, "no CORRECTNESS_r*.json found"
+    current = max(rounds)
+
+    latest: dict[str, int] = {}
+    for r in sorted(rounds):
+        for name in rounds[r]:
+            latest[name] = r
+
+    window = set(_PRIORITY)
+    registered = list(get_queries())
+
+    never_checked = [
+        n for n in registered if n not in latest and n not in window
+    ]
+    assert not never_checked, (
+        "registered but never driver-checked and not in the current "
+        f"_PRIORITY window: {never_checked}"
+    )
+
+    # a name registered THIS session (after the newest correctness
+    # file) can legitimately be outside `latest`; the clause above
+    # already forces it into the window. For checked names, anything
+    # >4 rounds old must be queued for re-check.
+    too_stale = sorted(
+        n
+        for n in registered
+        if n in latest
+        and current - latest[n] >= MAX_LAG_ROUNDS
+        and n not in window
+    )
+    assert not too_stale, (
+        f"driver rows older than {MAX_LAG_ROUNDS} rounds and not in "
+        f"the _PRIORITY window (will fall further behind): {too_stale}"
+    )

@@ -81,7 +81,7 @@ def _bit_slice_ref(data: bytes, off: int, ln: int | None) -> bytes:
 @_slow
 @given(
     data=st.binary(min_size=1, max_size=6),
-    off=st.integers(min_value=1, max_value=40),
+    off=st.integers(min_value=-40, max_value=40),
     ln=st.one_of(
         st.none(), st.integers(min_value=-20, max_value=48)
     ),
