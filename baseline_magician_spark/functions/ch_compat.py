@@ -20,10 +20,23 @@ from collections.abc import Callable
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .cityhash import city_hash64_fast as _city_hash64
+from .cityhash import city_hash64_combine as _city_combine
 from .funnel import retention as _retention
 from .hashing import int_hash32 as _int_hash32
 from .hashing import int_hash64 as _int_hash64
 from .ip import ip4_to_long, long_to_ip4
+
+
+def _city_hash64_multi(*cs) -> Column:
+    """cityHash64(a[, b, ...]): each argument hashed as its string
+    rendering, then left-folded through CH's combineHashes
+    (Hash128to64). Single-arg strings are byte-exact with CH."""
+    hashes = [_city_hash64(_as_col(c).cast("string")) for c in cs]
+    out = hashes[0]
+    for h in hashes[1:]:
+        out = _city_combine(out, h)
+    return out
 
 
 def _to_int(width: str) -> Callable[[Column], Column]:
@@ -1343,9 +1356,17 @@ CH_FUNCTIONS.update(
         "sipHash64": lambda *cs: F.xxhash64(
             F.lit("sip"), *[_as_col(c) for c in cs]
         ),
-        "cityHash64": lambda *cs: F.xxhash64(
-            F.lit("city"), *[_as_col(c) for c in cs]
-        ),
+        # BYTE-COMPATIBLE with CH since round 8: genuine CityHash64
+        # v1.0.2 (functions/cityhash.py; spec: the reference's
+        # vendored cityhash102/cityhash.go:122-248). Arguments hash
+        # over their STRING rendering — byte-exact for
+        # String/FixedString args, the dominant use; CH hashes native
+        # binary layouts for numerics (documented divergence, README
+        # hash table). Multi-arg combines like CH: h = Hash128to64(
+        # uint128(h_prev, h_i)). Wrap-mode arithmetic: analysis
+        # happens inside cityhash.wrap_arith (run_ch_query enters it
+        # automatically).
+        "cityHash64": _city_hash64_multi,
         "farmHash64": lambda *cs: F.xxhash64(
             F.lit("farm"), *[_as_col(c) for c in cs]
         ),
@@ -1358,18 +1379,11 @@ CH_FUNCTIONS.update(
         # src/Common/HashTable/Hash.h).
         "intHash64": lambda c: _int_hash64(_as_col(c)),
         "intHash32": lambda c: _int_hash32(_as_col(c)),
-        # CH URLHash: hash of the URL with ONE trailing /, ? or #
-        # trimmed. The string hash itself rides the cityHash64
-        # stand-in above (CH uses CityHash64 — bucketing-compatible,
-        # not byte-compatible; documented like the rest of the
-        # family). NULL-gated: xxhash64 SKIPS null inputs, which
-        # would otherwise hash the bare seed instead of propagating.
-        "URLHash": lambda c: F.when(
-            _as_col(c).isNotNull(),
-            F.xxhash64(
-                F.lit("city"),
-                F.regexp_replace(_as_col(c), r"[/?#]$", ""),
-            ),
+        # CH URLHash: CityHash64 of the URL with ONE trailing /, ?
+        # or # trimmed — byte-exact since round 8 (rode the seeded
+        # xxhash64 stand-in before; functions/cityhash.py).
+        "URLHash": lambda c: _city_hash64(
+            F.regexp_replace(_as_col(c), r"[/?#]$", "")
         ),
         "tryBase64Decode": CH_FUNCTIONS["base64Decode"],
         "bin": lambda c: F.bin(_as_col(c)),
@@ -4196,14 +4210,9 @@ def _url_hash_level(u, n) -> Column:
         _url_hierarchy(u), (_as_col(n) if isinstance(n, Column)
                             else F.lit(int(float(str(n))))).cast("int")
     )
-    # xxhash64 SKIPS null inputs (an out-of-range level would hash to
-    # the bare seed) — gate explicitly so it surfaces as NULL instead
-    return F.when(
-        lvl.isNotNull(),
-        F.xxhash64(
-            F.lit("city"), F.regexp_replace(lvl, r"[/?#]$", "")
-        ),
-    )
+    # genuine CityHash64 since round 8 (NULL-propagating on an
+    # out-of-range level by construction)
+    return _city_hash64(F.regexp_replace(lvl, r"[/?#]$", ""))
 
 
 CH_FUNCTIONS.update(

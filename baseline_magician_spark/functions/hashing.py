@@ -171,104 +171,22 @@ def minhash_params(k: int) -> list[tuple[int, int]]:
 # src/Functions/FunctionsHashing.h IntHash64Impl) and intHash32
 # (Thomas Wang's 64->32 mix with CH's salt;
 # src/Common/HashTable/Hash.h intHash32<0x75D9543DE018BF45>). Both
-# need wrap-around mod-2^64 arithmetic, which ANSI long math refuses
-# (multiply/add overflow RAISES), so the wrapping ops run in
-# wrap-around mod-2^64 arithmetic in PURE long math (16-bit limb
-# convolution for multiply, 32-bit halves for add — every
-# intermediate < 2^35, ANSI-safe). The first cut ran the multiplies
-# in decimal(38,0); exact, but each BigDecimal pmod costs like
-# dozens of primitive-long ops and the sampling-key projection is
-# per-row hot (3.7 s -> 1.0 s at sf0.1 after this rewrite). Bitwise
-# xor/shift/or stay plain long (bit-pattern ops never overflow).
+# need wrap-around mod-2^64 arithmetic. Rounds 7 ran the multiplies
+# as ANSI-safe 16-bit-limb convolution; round 8 switched to PLAIN
+# long arithmetic ANALYZED UNDER spark.sql.ansi.enabled=false
+# (cityhash.wrap_arith — Java wrap semantics are exactly mod 2^64),
+# which collapses each multiply from ~50 expression nodes to one.
+# That retires the measured failure mode of the limb spelling: the
+# driver re-analyzed a ~3000-node tree on every bench pass
+# (ch_sql_sampling_hashes 3.29 s suite vs 1.04 s warm-isolated).
+# run_ch_query auto-enters wrap_arith when a wrap-dependent hash
+# appears in the SQL; direct Column users analyze inside
+# ``cityhash.wrap_arith(spark)`` themselves.
 
 
 def _let1(value: Column, body) -> Column:
     """Bind once as a lambda variable (single-element transform)."""
     return F.element_at(F.transform(F.array(value), body), 1)
-
-
-def _mul_mod64(x: Column, c: int) -> Column:
-    """x * c mod 2^64 over signed-long bit patterns, in PURE long
-    arithmetic: 16-bit limb convolution with threaded carries. Every
-    partial product is < 2^32 and every carry-extended limb sum is
-    < 2^35, so nothing can trip ANSI long overflow — and the whole
-    chain stays in whole-stage codegen's primitive-long fast path
-    (the earlier decimal(38,0) spelling was exact too, but each
-    BigDecimal pmod cost ~like dozens of long ops; the sampling-hash
-    projection is per-row hot). Shifts/AND/OR are bit-pattern ops,
-    never overflow-checked. x limbs and carry sums are LET-bound —
-    the carry chain would otherwise re-expand the tree 2x per
-    level."""
-    cl = [(c >> (16 * j)) & 0xFFFF for j in range(4)]
-
-    def build(xb: Column) -> Column:
-        xl = [
-            F.shiftrightunsigned(xb, 16 * i).bitwiseAND(
-                F.lit(0xFFFF)
-            )
-            for i in range(4)
-        ]
-
-        def conv(k: int, carry: Column) -> Column:
-            t = carry
-            for i in range(k + 1):
-                j = k - i
-                if cl[j]:
-                    t = t + xl[i] * F.lit(cl[j])
-            return t
-
-        return _let1(
-            conv(0, F.lit(0).cast("long")),
-            lambda t0: _let1(
-                conv(1, F.shiftrightunsigned(t0, 16)),
-                lambda t1: _let1(
-                    conv(2, F.shiftrightunsigned(t1, 16)),
-                    lambda t2: _let1(
-                        conv(3, F.shiftrightunsigned(t2, 16)),
-                        lambda t3: t0.bitwiseAND(F.lit(0xFFFF))
-                        .bitwiseOR(
-                            F.shiftleft(
-                                t1.bitwiseAND(F.lit(0xFFFF)), 16
-                            )
-                        )
-                        .bitwiseOR(
-                            F.shiftleft(
-                                t2.bitwiseAND(F.lit(0xFFFF)), 32
-                            )
-                        )
-                        .bitwiseOR(
-                            F.shiftleft(
-                                t3.bitwiseAND(F.lit(0xFFFF)), 48
-                            )
-                        ),
-                    ),
-                ),
-            ),
-        )
-
-    return _let1(x, build)
-
-
-def _add_mod64(x: Column, y: Column) -> Column:
-    """x + y mod 2^64 over signed-long bit patterns, in pure long
-    arithmetic: 32-bit halves with an explicit carry (sums < 2^34 —
-    ANSI-safe)."""
-
-    def build2(xb: Column, yb: Column) -> Column:
-        lo = xb.bitwiseAND(F.lit(0xFFFFFFFF)) + yb.bitwiseAND(
-            F.lit(0xFFFFFFFF)
-        )
-        return _let1(
-            lo,
-            lambda lov: F.shiftleft(
-                F.shiftrightunsigned(xb, 32)
-                + F.shiftrightunsigned(yb, 32)
-                + F.shiftrightunsigned(lov, 32),
-                32,
-            ).bitwiseOR(lov.bitwiseAND(F.lit(0xFFFFFFFF))),
-        )
-
-    return _let1(x, lambda xb: _let1(y, lambda yb: build2(xb, yb)))
 
 
 def _ushr(x: Column, n: int) -> Column:
@@ -279,9 +197,8 @@ def _let_chain(seed: Column, steps) -> Column:
     """Thread ``seed`` through ``steps`` with each intermediate bound
     ONCE as a lambda variable (transform over a 1-element array).
     Without the binds, every step that references its input k times
-    multiplies the expression tree k-fold — the 8-step Wang mix grows
-    to a ~100 MiB task binary. Bound lambda variables are O(1) slots,
-    so the tree stays linear in the step count."""
+    multiplies the expression tree k-fold. Bound lambda variables are
+    O(1) slots, so the tree stays linear in the step count."""
     if not steps:
         return seed
     head, *rest = steps
@@ -293,18 +210,24 @@ def _let_chain(seed: Column, steps) -> Column:
     )
 
 
+def _slit(c: int) -> int:
+    """Unsigned 64-bit constant -> signed-long bit pattern literal."""
+    return c - (1 << 64) if c >= (1 << 63) else c
+
+
 def int_hash64(x: Column) -> Column:
     """CH intHash64(UInt64) — fmix64(x ^ 0x4CF2D2BAAE6DA887), returned
     as the signed-long BIT PATTERN of CH's UInt64 (the engine-wide
-    UInt64 convention)."""
+    UInt64 convention). Wrap-mode arithmetic: analyze under
+    ``cityhash.wrap_arith``."""
     seed = x.cast("long").bitwiseXOR(F.lit(0x4CF2D2BAAE6DA887))
     return _let_chain(
         seed,
         [
             lambda h: h.bitwiseXOR(_ushr(h, 33)),
-            lambda h: _mul_mod64(h, 0xFF51AFD7ED558CCD),
+            lambda h: h * F.lit(_slit(0xFF51AFD7ED558CCD)),
             lambda h: h.bitwiseXOR(_ushr(h, 33)),
-            lambda h: _mul_mod64(h, 0xC4CEB9FE1A85EC53),
+            lambda h: h * F.lit(_slit(0xC4CEB9FE1A85EC53)),
             lambda h: h.bitwiseXOR(_ushr(h, 33)),
         ],
     )
@@ -313,21 +236,20 @@ def int_hash64(x: Column) -> Column:
 def int_hash32(x: Column) -> Column:
     """CH intHash32(UInt64) -> UInt32: Wang's 64->32 mix over
     x ^ 0x75D9543DE018BF45, truncated to the low 32 bits (returned as
-    a non-negative long, CH UInt32 widened)."""
+    a non-negative long, CH UInt32 widened). Wrap-mode arithmetic:
+    analyze under ``cityhash.wrap_arith``."""
     seed = x.cast("long").bitwiseXOR(F.lit(0x75D9543DE018BF45))
     return _let_chain(
         seed,
         [
-            lambda k: _add_mod64(F.bitwise_not(k), F.shiftleft(k, 18)),
+            lambda k: F.bitwise_not(k) + F.shiftleft(k, 18),
             lambda k: k.bitwiseXOR(
                 _ushr(k, 31).bitwiseOR(F.shiftleft(k, 33))
             ),
-            lambda k: _mul_mod64(k, 21),
+            lambda k: k * F.lit(21),
             lambda k: k.bitwiseXOR(_ushr(k, 11)),
-            lambda k: _add_mod64(k, F.shiftleft(k, 6)),
+            lambda k: k + F.shiftleft(k, 6),
             lambda k: k.bitwiseXOR(_ushr(k, 22)),
             lambda k: k.bitwiseAND(F.lit(0xFFFFFFFF)),
         ],
     )
-
-

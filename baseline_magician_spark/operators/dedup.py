@@ -421,3 +421,106 @@ def duplicated_spans(
         )
         .drop("island")
     )
+
+
+def duplicated_spans_pairwise(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 40,
+    max_shingle_occ: int = 20,
+) -> DataFrame:
+    """Maximal ALIGNED duplicated spans per document pair — the
+    suffix-array-granularity view of ``duplicated_spans``: instead of
+    "which parts of this doc are duplicated somewhere", this answers
+    "which exact passages do docs A and B share, and how long is
+    each". A shared passage of length L >= k appears as L - k + 1
+    consecutive shingle matches along one DIAGONAL (j - i constant);
+    merging consecutive i on a (pair, diagonal) yields exactly the
+    maximal common substrings the matched-shingle relation can prove
+    (Lee et al. 2022 substring dedup, pairwise form).
+
+    Returns (id_a, id_b, a_start, a_end, b_start, b_end, span_chars),
+    1-based inclusive char positions, id_a < id_b, one row per
+    maximal aligned span.
+
+    100 TB design: the pair relation comes from an equi-join on the
+    16-hex md5 shingle key — never all-pairs. ``max_shingle_occ``
+    drops boilerplate shingles (a shingle occurring at p positions
+    creates O(p^2) matched cells; real corpora have headers/footers
+    shared by thousands of docs — those belong to the per-DOC span
+    view, not the pairwise one). The diagonal merge is one
+    gaps-and-islands window keyed (id_a, id_b, j - i) — the window
+    partition count equals the matched-diagonal count, uniform by
+    construction of the hash key.
+    """
+    tid = F.col(id_col)
+    text = F.col(text_col)
+    pos = df.select(
+        tid.alias("id"),
+        F.explode(
+            F.when(
+                F.length(text) >= k,
+                F.sequence(F.lit(1), F.length(text) - (k - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+        text.alias("_t"),
+    ).select(
+        "id",
+        F.col("i").cast("long").alias("i"),
+        F.substring(
+            F.md5(F.substr(F.col("_t"), F.col("i"), F.lit(k))), 1, 16
+        ).alias("h"),
+    )
+    keep = (
+        pos.groupBy("h")
+        .agg(
+            F.min("id").alias("mn"),
+            F.max("id").alias("mx"),
+            F.count(F.lit(1)).alias("occ"),
+        )
+        .where(
+            (F.col("mn") != F.col("mx"))
+            & (F.col("occ") <= max_shingle_occ)
+        )
+        .select("h")
+    )
+    cells = (
+        pos.join(keep, "h", "left_semi")
+        .alias("a")
+        .join(
+            pos.join(keep, "h", "left_semi").alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.i").alias("i"),
+            F.col("b.i").alias("j"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(
+            "id_a", "id_b", F.col("j") - F.col("i")
+        ).orderBy("i")
+    )
+    islands = cells.select(
+        "id_a",
+        "id_b",
+        "i",
+        "j",
+        (F.col("j") - F.col("i")).alias("diag"),
+        (F.col("i") - rn).alias("island"),
+    )
+    return (
+        islands.groupBy("id_a", "id_b", "diag", "island")
+        .agg(
+            F.min("i").alias("a_start"),
+            (F.max("i") + (k - 1)).alias("a_end"),
+            F.min("j").alias("b_start"),
+            (F.max("j") + (k - 1)).alias("b_end"),
+            (F.max("i") - F.min("i") + k).alias("span_chars"),
+        )
+        .drop("diag", "island")
+    )

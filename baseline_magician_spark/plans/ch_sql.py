@@ -2115,6 +2115,13 @@ def _exec_with_set_expr(
     return _exec_set_expr(p, tables, broadcast_dims)
 
 
+# hash functions whose compiled form needs wrap-mode (non-ANSI) long
+# arithmetic at ANALYSIS time — see run_ch_query below
+_WRAP_HASH_RE = re.compile(
+    r"\b(intHash64|intHash32|cityHash64|URLHash)\s*\(", re.IGNORECASE
+)
+
+
 def run_ch_query(
     sql: str,
     tables: dict[str, DataFrame],
@@ -2152,6 +2159,34 @@ def run_ch_query(
         sql, externals = bind_params(sql, args, named)
         if externals:
             tables = {**tables, **{e.name: e.df for e in externals}}
+
+    # Wrap-dependent hash functions (intHash64/32, cityHash64,
+    # URLHash) compile to PLAIN long arithmetic that relies on Java
+    # wrap-on-overflow — the expressions must be ANALYZED under
+    # spark.sql.ansi.enabled=false (evalMode is baked in at analysis
+    # time; execution under any setting then wraps). Queries using
+    # them enter cityhash.wrap_arith automatically here; everything
+    # else keeps the session's ANSI semantics untouched.
+    if _WRAP_HASH_RE.search(sql) is not None:
+        from pyspark.sql import SparkSession
+
+        from ..functions.cityhash import wrap_arith
+
+        sess = (
+            next(iter(tables.values())).sparkSession
+            if tables
+            else SparkSession.getActiveSession()
+        )
+        if (
+            sess is not None
+            and sess.conf.get("spark.sql.ansi.enabled", "true") != "false"
+        ):
+            # recursion terminates: inside wrap_arith the conf reads
+            # "false" and this branch is skipped
+            with wrap_arith(sess):
+                return run_ch_query(
+                    sql, tables, broadcast_dims=broadcast_dims
+                )
 
     p = _Parser(_tokenize(sql), tables, broadcast_dims)
     # EXPLAIN [AST|SYNTAX|PLAN|PIPELINE|ESTIMATE] SELECT ...: the CH

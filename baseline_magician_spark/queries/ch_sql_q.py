@@ -3512,17 +3512,16 @@ def ch_sql_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # CH sampling-key hashes end-to-end (round 7): intHash64 / intHash32
 # are SAMPLE BY keys and therefore byte-compatible with CH's spec
-# (fmix64 of x^seed; Wang 64->32 with CH's salt) — the Spark side
-# decomposes the wrap-around multiplies into decimal(38,0) halves
-# (functions/hashing.py), and the oracle replays the identical
-# decomposition in DuckDB HUGEINT through staged CTE columns.
-# URLHash rides the documented cityHash64 stand-in, so its check is
-# hash-value-free: distinct-count of URLHash == distinct-count of the
-# trailing-[/?#]-trimmed url, which IS CH's trim contract.
-# each hash chain computed ONCE per row in the inner projection (the
-# chains are LET-bound interpreted steps — repeating intHash64 inside
-# three aggregates would triple the per-row interpreter work, measured
-# 6.7 s -> ~2.5 s at sf0.1)
+# (fmix64 of x^seed; Wang 64->32 with CH's salt). Since round 8 the
+# Spark side compiles them to PLAIN long arithmetic analyzed under
+# wrap_arith (run_ch_query auto-enters it) — the round-7 limb
+# convolution's ~3000-node tree cost ~2.3 s of driver re-analysis per
+# bench pass; the wrap spelling is ~30 nodes and whole-stage-codegen
+# primitive. The oracle replays the same math in DuckDB HUGEINT
+# through staged CTE columns. URLHash moved to its own value-exact
+# query (ch_sql_cityhash64) when it was retargeted onto genuine
+# CityHash64 — a per-row CityHash over all 100k bench rows does not
+# belong in the sampling-key microbenchmark.
 _SAMPLING_HASH_SQL = """
 SELECT et,
        count(*) AS n,
@@ -3530,16 +3529,12 @@ SELECT et,
        max(h64) AS h64_max,
        uniqExact(h64) AS h64_uniq,
        sum(h32u) AS h32_sum,
-       max(h32e) AS h32e_max,
-       uniqExact(uh) AS url_uniq
+       max(h32e) AS h32e_max
 FROM (
   SELECT event_type AS et,
          intHash64(user_id) AS h64,
          intHash32(user_id) AS h32u,
-         intHash32(event_id) AS h32e,
-         URLHash(concat('https://ex.com/p', toString(user_id % 50),
-             multiIf(event_id % 3 = 0, '/', event_id % 3 = 1, '#', '')))
-           AS uh
+         intHash32(event_id) AS h32e
   FROM fastnetmon.events
 )
 GROUP BY et
@@ -3606,16 +3601,12 @@ def _sampling_hash_oracle() -> str:
     WITH b0 AS (
       SELECT event_type AS et,
              CAST(user_id AS HUGEINT) AS xu,
-             CAST(event_id AS HUGEINT) AS eu,
-             'https://ex.com/p' || CAST(user_id % 50 AS VARCHAR)
-               || (CASE WHEN event_id % 3 = 0 THEN '/'
-                        WHEN event_id % 3 = 1 THEN '#' ELSE '' END)
-               AS url
+             CAST(event_id AS HUGEINT) AS eu
       FROM events
     ),
     {cte_sql},
     fin AS (
-      SELECT et, a6, c7, d7, url,
+      SELECT et, a6, c7, d7,
              CASE WHEN a6 >= {h63} THEN a6 - {h64} ELSE a6 END AS a6s
       FROM {prev}
     )
@@ -3625,8 +3616,7 @@ def _sampling_hash_oracle() -> str:
            CAST(max(a6s) AS BIGINT) AS h64_max,
            count(DISTINCT a6) AS h64_uniq,
            CAST(sum(c7) AS BIGINT) AS h32_sum,
-           CAST(max(d7) AS BIGINT) AS h32e_max,
-           count(DISTINCT regexp_replace(url, '[/?#]$', '')) AS url_uniq
+           CAST(max(d7) AS BIGINT) AS h32e_max
     FROM fin
     GROUP BY et
     ORDER BY et
@@ -3636,6 +3626,113 @@ def _sampling_hash_oracle() -> str:
 @query("ch_sql_sampling_hashes", _sampling_hash_oracle())
 def ch_sql_sampling_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_SAMPLING_HASH_SQL, _tables(spark, sf_dir, "events"))
+
+
+# Byte-exact cityHash64 / URLHash end-to-end (round 8): the string
+# hash CH uses for SAMPLE BY keys, URL bucketing and wire checksums
+# (reference spec: clickhouse-go/lib/cityhash102/cityhash.go:122-248;
+# engine rendering: functions/cityhash.py). Each probe row explodes
+# into TWO hashed strings through ONE URLHash call site — a
+# variable-length probe sweeping EVERY length class of the algorithm
+# (empty, 1-3, 4-8, 9-16, 17-32, 33-64, and the >64 chunk loop at 1,
+# 2 and 3 iterations; probes never end in /?#, so URLHash == plain
+# cityHash64 on them) and a URL exercising the trailing-separator
+# trim. One call site = one expression tree: the CityHash tree costs
+# ~2 s of driver-side analysis per occurrence (the analyzer fixpoint
+# over ~60 nested lambda-lets), so the query is designed around a
+# single occurrence — the same consideration that moved URLHash out
+# of ch_sql_sampling_hashes. The oracle replays the full algorithm in
+# DuckDB HUGEINT: CityEmitter emits one straight-line chain per
+# length class (546 staged CTE columns) and CASE-selects per row, so
+# the driver compare is value-exact against an independent rendering,
+# not stored constants. Row subset (event_id % 10) keeps the
+# interpreted per-row projection a microbenchmark: the correctness
+# signal is in the length-class coverage, not the row count.
+_CITY_PAD = "=+~" * 70  # deterministic ASCII filler, > 196 chars
+
+_CITYHASH_SQL = f"""
+SELECT et,
+       countIf(kind = 'p') AS n_probe,
+       countIf(kind = 'u') AS n_url,
+       minIf(h, kind = 'p') AS ch_min,
+       maxIf(h, kind = 'p') AS ch_max,
+       uniqExactIf(h, kind = 'p') AS ch_uniq,
+       minIf(h, kind = 'u') AS uh_min,
+       maxIf(h, kind = 'u') AS uh_max,
+       uniqExactIf(h, kind = 'u') AS uh_uniq
+FROM (
+  SELECT et,
+         substring(tagged, 1, 1) AS kind,
+         URLHash(substring(tagged, 3, 500)) AS h
+  FROM (
+    SELECT event_type AS et,
+           arrayJoin(array(
+             concat('p|', substring(
+               concat(event_type, toString(user_id), '{_CITY_PAD}'),
+               1, toInt32(event_id % 197))),
+             concat('u|', 'https://ex.com/p', toString(user_id % 50),
+               multiIf(event_id % 3 = 0, '/', event_id % 3 = 1, '#',
+                       '')))) AS tagged
+    FROM fastnetmon.events
+    WHERE event_id % 10 = 0
+  )
+)
+GROUP BY et
+ORDER BY et
+"""
+
+
+def _cityhash_oracle() -> str:
+    from ..functions.cityhash import CityEmitter, staged_ctes
+
+    em = CityEmitter("z")
+    h = em.full_dispatch("e", "ne", 197)
+    hs = em.signed(h)
+    ctes, last = staged_ctes(em, "b1")
+    return f"""
+    WITH b0 AS (
+      SELECT event_type AS et, 'p' AS kind,
+             substr(event_type || CAST(user_id AS VARCHAR)
+                      || '{_CITY_PAD}',
+                    1, CAST(event_id % 197 AS INTEGER)) AS s
+      FROM events WHERE event_id % 10 = 0
+      UNION ALL
+      SELECT event_type AS et, 'u' AS kind,
+             'https://ex.com/p' || CAST(user_id % 50 AS VARCHAR)
+               || (CASE WHEN event_id % 3 = 0 THEN '/'
+                        WHEN event_id % 3 = 1 THEN '#' ELSE '' END) AS s
+      FROM events WHERE event_id % 10 = 0
+    ),
+    b1 AS (
+      SELECT et, kind,
+             regexp_replace(s, '[/?#]$', '') AS e,
+             length(regexp_replace(s, '[/?#]$', '')) AS ne
+      FROM b0
+    ),
+    {ctes}
+    SELECT et,
+           count(*) FILTER (kind = 'p') AS n_probe,
+           count(*) FILTER (kind = 'u') AS n_url,
+           min({hs}) FILTER (kind = 'p') AS ch_min,
+           max({hs}) FILTER (kind = 'p') AS ch_max,
+           count(DISTINCT {h}) FILTER (kind = 'p') AS ch_uniq,
+           min({hs}) FILTER (kind = 'u') AS uh_min,
+           max({hs}) FILTER (kind = 'u') AS uh_max,
+           count(DISTINCT {h}) FILTER (kind = 'u') AS uh_uniq
+    FROM {last} GROUP BY et ORDER BY et
+    """
+
+
+@query("ch_sql_cityhash64", _cityhash_oracle())
+def ch_sql_cityhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repartition the probe scan: the per-row CityHash projection is
+    # interpreted-HOF CPU-bound, and the events file is a single
+    # parquet split locally — without this the whole projection runs
+    # on one core (at 100 TB the scan arrives pre-split; this is the
+    # local[N] equivalent)
+    tabs = _tables(spark, sf_dir, "events")
+    tabs["events"] = tabs["events"].repartition(16)
+    return run_ch_query(_CITYHASH_SQL, tabs)
 
 
 # Round-7 function tranche end-to-end: map ordering digests, LpNorm,

@@ -666,6 +666,67 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pairwise maximal aligned spans (round 8): the same matched-shingle
+# relation, merged along (pair, diagonal) instead of per doc — the
+# DuckDB side replays the identical self-join + gaps-and-islands, so
+# span boundaries AND lengths are value-checked. max_shingle_occ = 20
+# drops boilerplate shingles in BOTH engines before pairing.
+_DUP_PAIR_MAX_OCC = 20
+
+
+@query(
+    "dedup_duplicated_spans_pairwise",
+    f"""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(generate_series(1, length(text) - {_DUP_SPANS_K - 1}))
+               AS i,
+             text
+      FROM documents WHERE length(text) >= {_DUP_SPANS_K}
+    ), sh AS (
+      SELECT doc_id, i,
+             substr(md5(substr(text, i::INT, {_DUP_SPANS_K})), 1, 16) AS h
+      FROM pos
+    ), keep AS (
+      SELECT h FROM sh GROUP BY h
+      HAVING min(doc_id) <> max(doc_id)
+         AND count(*) <= {_DUP_PAIR_MAX_OCC}
+    ), f AS (
+      SELECT doc_id, i, h FROM sh WHERE h IN (SELECT h FROM keep)
+    ), cells AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS i, b.i AS j
+      FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT id_a, id_b, i, j, j - i AS diag,
+             i - row_number() OVER (
+               PARTITION BY id_a, id_b, j - i ORDER BY i
+             ) AS island
+      FROM cells
+    )
+    SELECT id_a, id_b,
+           min(i)::BIGINT AS a_start,
+           (max(i) + {_DUP_SPANS_K - 1})::BIGINT AS a_end,
+           min(j)::BIGINT AS b_start,
+           (max(j) + {_DUP_SPANS_K - 1})::BIGINT AS b_end,
+           (max(i) - min(i) + {_DUP_SPANS_K})::BIGINT AS span_chars
+    FROM isl GROUP BY id_a, id_b, diag, island
+    ORDER BY id_a, id_b, a_start, b_start
+    """,
+)
+def dedup_duplicated_spans_pairwise(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import duplicated_spans_pairwise
+
+    return duplicated_spans_pairwise(
+        load_for_compute(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=_DUP_SPANS_K,
+        max_shingle_occ=_DUP_PAIR_MAX_OCC,
+    )
+
+
 def _leakage_safe_split_oracle() -> str:
     from ..operators.sampling import split_assign_sql
     from .sampling_q import SPLIT_FRACTIONS, SPLIT_SEED

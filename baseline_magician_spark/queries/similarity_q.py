@@ -668,3 +668,89 @@ def similarity_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_for_compute(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
     return int8_topk(emb, queries, k=TOP_K)
+
+
+def _recall_oracle() -> str:
+    """Recall@k replay: re-derive all three result sets (brute-force
+    truth, int8, IVFADC) from their own oracles as CTE bodies and
+    count the overlap — the approximate families' 'approximate' claim
+    becomes a measured, hash-checked number (deterministic: every
+    seed, plane and codebook is a plan literal)."""
+    return f"""
+    WITH truth AS ({_topk_oracle()}),
+    i8 AS ({_int8_topk_oracle()}),
+    pq AS ({_ivfpq_oracle()}),
+    m8 AS (
+      SELECT t.query_id, count(*) AS c
+      FROM truth t JOIN i8 a
+        ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+      GROUP BY t.query_id
+    ),
+    mpq AS (
+      SELECT t.query_id, count(*) AS c
+      FROM truth t JOIN pq a
+        ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+      GROUP BY t.query_id
+    ),
+    qs AS (SELECT DISTINCT query_id FROM truth)
+    SELECT qs.query_id,
+           round(COALESCE(m8.c, 0) / {TOP_K}.0, 2) AS recall_int8,
+           round(COALESCE(mpq.c, 0) / {TOP_K}.0, 2) AS recall_ivfpq
+    FROM qs
+    LEFT JOIN m8 ON m8.query_id = qs.query_id
+    LEFT JOIN mpq ON mpq.query_id = qs.query_id
+    ORDER BY qs.query_id
+    """
+
+
+@query("similarity_recall_at_k", _recall_oracle())
+def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 of the two approximate ANN paths (int8
+    scalar quantization; IVFADC) against the brute-force cosine
+    truth — the self-check every production ANN deployment runs
+    before trusting an index. Deterministic: seeds, hyperplanes and
+    codebooks are plan literals, so the recall VALUES are pinned by
+    the driver compare, not just the plumbing.
+
+    Plan shape: the truth set is ~50 rows (5 queries x k) — both
+    overlap joins broadcast it against the equally tiny approximate
+    result sets; the expensive part is the three searches themselves,
+    which reuse the exact operators their own queries register. At
+    100 TB the same query runs on a SAMPLE of queries (recall is a
+    statistical property — 1k queries bound it tightly), so the
+    overlap join stays broadcast-tiny no matter the corpus size."""
+    truth = similarity_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    i8 = similarity_int8(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    pq = similarity_ivfpq(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+
+    def overlap(approx: DataFrame, name: str) -> DataFrame:
+        return (
+            F.broadcast(truth)
+            .join(approx, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    qs = truth.select("query_id").distinct()
+    m8 = overlap(i8, "c8")
+    mpq = overlap(pq, "cpq")
+    return (
+        qs.join(F.broadcast(m8), "query_id", "left")
+        .join(F.broadcast(mpq), "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("c8"), F.lit(0)) / float(TOP_K), 2
+            ).alias("recall_int8"),
+            F.round(
+                F.coalesce(F.col("cpq"), F.lit(0)) / float(TOP_K), 2
+            ).alias("recall_ivfpq"),
+        )
+        .orderBy("query_id")
+    )

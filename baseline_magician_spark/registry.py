@@ -92,8 +92,16 @@ _PRIORITY: tuple[str, ...] = (
     "text_unigram_lm_scores",
     # new round-8 queries land here as they register (slots held —
     # the len <= 50 pin forces an r4-stale trade for each extra one)
+    "ch_sql_cityhash64",
+    "similarity_recall_at_k",
+    "dedup_duplicated_spans_pairwise",
+    # re-check: sampling_hashes changed this round (URLHash moved out
+    # when it went byte-exact; intHash chains re-spelled wrap-mode)
+    "ch_sql_sampling_hashes",
     # r4-stale rotation (oldest remaining driver rows, diverse ops;
-    # one traded out per new registration above)
+    # one traded out per new registration above; traded so far:
+    # semi_anti_join_customers, json_props_stats,
+    # grouping_sets_quantity, exact_percentiles_by_type)
     "asof_join_latest_order",
     "ch_sql_any_join",
     "ch_sql_exists_correlated",
@@ -117,10 +125,6 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_json_extract",
     "cube_revenue_by_flag_status",
     "dedup_incremental_ingest",
-    "exact_percentiles_by_type",
-    "grouping_sets_quantity",
-    "json_props_stats",
-    "semi_anti_join_customers",
 )
 
 

@@ -355,3 +355,69 @@ def test_duplicated_spans_splits_on_gaps(spark):
     # the middle filler differs -> islands must NOT merge across it
     assert per_doc[1] == {(1, 10), (21, 30)}
     assert per_doc[2] == {(1, 10), (21, 30)}
+
+
+def test_duplicated_spans_pairwise_aligned_maximal(spark):
+    from baseline_magician_spark.operators.dedup import (
+        duplicated_spans_pairwise,
+    )
+
+    shared = "0123456789abcdefghij"  # 20 chars, k=10 -> 11 positions
+    rows = [
+        (1, "aaaa" + shared + "bbbb"),  # shared at a-offset 5..24
+        (2, "cc" + shared),  # shared at b-offset 3..22
+        (3, "unrelated text with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicated_spans_pairwise(df, "text", "doc_id", k=10).collect()
+    got = {
+        (r["id_a"], r["id_b"], r["a_start"], r["a_end"],
+         r["b_start"], r["b_end"], r["span_chars"])
+        for r in out
+    }
+    # one maximal ALIGNED span per pair, with both sides' offsets
+    assert got == {(1, 2, 5, 24, 3, 22, 20)}
+
+
+def test_duplicated_spans_pairwise_diagonals_do_not_merge(spark):
+    from baseline_magician_spark.operators.dedup import (
+        duplicated_spans_pairwise,
+    )
+
+    a, b = "abcdefghij", "KLMNOPQRST"
+    rows = [
+        (1, a + "1111111111" + b),
+        (2, a + "22222" + b),  # different gap -> different diagonals
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicated_spans_pairwise(df, "text", "doc_id", k=10).collect()
+    got = {
+        (r["a_start"], r["a_end"], r["b_start"], r["b_end"])
+        for r in out
+    }
+    # the two shared passages sit on DIFFERENT diagonals (b is 5
+    # chars earlier in doc 2) -> two separate maximal spans
+    assert got == {(1, 10, 1, 10), (21, 30, 16, 25)}
+
+
+def test_duplicated_spans_pairwise_boilerplate_guard(spark):
+    from baseline_magician_spark.operators.dedup import (
+        duplicated_spans_pairwise,
+    )
+
+    boiler = "SAME-HEADER-EVERYWHERE-30CHARS"  # 30 chars
+    # bodies share NO characters across docs (distinct letter runs),
+    # so the only cross-doc shingles are the header's own
+    rows = [(i, boiler + chr(96 + i) * 8) for i in range(1, 26)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # each header shingle occurs once per doc = 25 occurrences:
+    # above the cap -> dropped entirely, no pairs explode
+    out = duplicated_spans_pairwise(
+        df, "text", "doc_id", k=10, max_shingle_occ=20
+    ).collect()
+    assert out == []
+    # raising the cap brings the header pairs back
+    out2 = duplicated_spans_pairwise(
+        df, "text", "doc_id", k=10, max_shingle_occ=1000
+    ).collect()
+    assert len(out2) == 300  # C(25,2) pairs share the header span

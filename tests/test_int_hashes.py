@@ -1,8 +1,8 @@
 """CH sampling-key hashes (intHash64 / intHash32 / URLHash): the Spark
-decimal-decomposed wrap-around arithmetic must land on the exact bits
-of the CH spec — pinned against a direct Python transcription of
-src/Functions/FunctionsHashing.h (IntHash64Impl / IntHash32Impl) and
-src/Common/HashTable/Hash.h."""
+wrap-mode arithmetic (analyzed under cityhash.wrap_arith) must land
+on the exact bits of the CH spec — pinned against a direct Python
+transcription of src/Functions/FunctionsHashing.h (IntHash64Impl /
+IntHash32Impl) and src/Common/HashTable/Hash.h."""
 
 from __future__ import annotations
 
@@ -42,17 +42,22 @@ VALS = [0, 1, 2, 42, 123456789, 2**31, 2**40 + 7, 2**63 - 1, -1, -123456]
 
 
 def test_int_hashes_match_spec(spark):
+    from baseline_magician_spark.functions.cityhash import wrap_arith
     from baseline_magician_spark.functions.hashing import (
         int_hash32,
         int_hash64,
     )
 
     df = spark.createDataFrame([(v,) for v in VALS], "x long")
-    got = df.select(
-        "x",
-        int_hash64(F.col("x")).alias("h64"),
-        int_hash32(F.col("x")).alias("h32"),
-    ).collect()
+    # wrap-mode arithmetic: direct Column users analyze under
+    # wrap_arith (run_ch_query does this automatically)
+    with wrap_arith(spark):
+        sel = df.select(
+            "x",
+            int_hash64(F.col("x")).alias("h64"),
+            int_hash32(F.col("x")).alias("h32"),
+        )
+    got = sel.collect()
     for r in got:
         xu = r.x & M
         assert r.h64 == _signed(ref_int_hash64(xu)), r.x
@@ -73,8 +78,8 @@ def test_int_hashes_via_ch_sql(spark):
 
 def test_url_hash_trims_one_trailing_separator(spark):
     # CH contract: exactly ONE trailing /, ? or # is removed before
-    # hashing (the hash itself is the documented cityHash64 stand-in,
-    # so the check is equality classes, not hash values)
+    # hashing (the hash is genuine CityHash64 since round 8 — value
+    # pinned in test_cityhash.py; equality classes checked here)
     df = spark.createDataFrame(
         [
             ("https://ex.com/a",),
