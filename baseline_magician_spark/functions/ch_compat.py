@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 
 from .cityhash import city_hash64_fast as _city_hash64
 from .cityhash import city_hash64_combine as _city_combine
+from .siphash import sip_hash64 as _sip_hash64_col
+from .siphash import sip_hash64_fast as _sip_hash64
 from .funnel import retention as _retention
 from .hashing import int_hash32 as _int_hash32
 from .hashing import int_hash64 as _int_hash64
@@ -36,6 +38,25 @@ def _city_hash64_multi(*cs) -> Column:
     out = hashes[0]
     for h in hashes[1:]:
         out = _city_combine(out, h)
+    return out
+
+
+def _sip_hash64_multi(*cs) -> Column:
+    """sipHash64(a[, b, ...]): each argument hashed as its string
+    rendering; multi-arg combines CH-style — SipHash of the 16-byte
+    little-endian concatenation of (h_prev, h_i)."""
+
+    def le_bytes(h: Column) -> Column:
+        return F.regexp_replace(
+            F.reverse(F.lpad(F.hex(h), 16, "0")), "(.)(.)", "$2$1"
+        )
+
+    hashes = [_sip_hash64(_as_col(c).cast("string")) for c in cs]
+    out = hashes[0]
+    for h in hashes[1:]:
+        out = _sip_hash64_col(
+            F.unhex(F.concat(le_bytes(out), le_bytes(h)))
+        )
     return out
 
 
@@ -1353,9 +1374,13 @@ CH_FUNCTIONS.update(
         "SHA1": lambda c: F.sha1(_as_col(c).cast("binary")),
         "xxHash64": lambda *cs: F.xxhash64(*[_as_col(c) for c in cs]),
         "xxHash32": lambda *cs: F.hash(*[_as_col(c) for c in cs]),
-        "sipHash64": lambda *cs: F.xxhash64(
-            F.lit("sip"), *[_as_col(c) for c in cs]
-        ),
+        # canonical SipHash-2-4 with zero key — the algorithm CH
+        # documents for sipHash64 (functions/siphash.py; validated
+        # against the SipHash paper's reference vectors; CH-server
+        # byte-compat asserted from the documented algorithm — the
+        # reference vendors CityHash but not SipHash, README table).
+        # Wrap-mode arithmetic via run_ch_query's auto wrap_arith.
+        "sipHash64": _sip_hash64_multi,
         # BYTE-COMPATIBLE with CH since round 8: genuine CityHash64
         # v1.0.2 (functions/cityhash.py; spec: the reference's
         # vendored cityhash102/cityhash.go:122-248). Arguments hash

@@ -3723,6 +3723,66 @@ def _cityhash_oracle() -> str:
     """
 
 
+# Canonical SipHash-2-4 (zero key) end-to-end (round 8): the probe
+# sweeps lengths 0..23 — every tail remainder (0..7), the word-free
+# short path, and the 1- and 2-word chains (multi-word state carry).
+# The oracle replays the full ARX network in DuckDB HUGEINT
+# (SipEmitter, word count CASE-dispatched; 383 staged CTE columns —
+# DuckDB's 1000-deep binder limit caps the probe at 2 words, longer
+# inputs are pinned against the Python model in tests/test_siphash).
+_SIP_PAD = "=+~=+~=+~=+~=+~=+~=+~=+~"  # 24 chars ASCII filler
+
+_SIPHASH_SQL = f"""
+SELECT et,
+       count(*) AS n,
+       min(sh) AS sh_min,
+       max(sh) AS sh_max,
+       uniqExact(sh) AS sh_uniq
+FROM (
+  SELECT event_type AS et,
+         sipHash64(substring(
+             concat(event_type, toString(user_id), '{_SIP_PAD}'),
+             1, toInt32(event_id % 24))) AS sh
+  FROM fastnetmon.events
+  WHERE event_id % 10 = 3
+)
+GROUP BY et
+ORDER BY et
+"""
+
+
+def _siphash_oracle() -> str:
+    from ..functions.cityhash import staged_ctes
+    from ..functions.siphash import SipEmitter
+
+    em = SipEmitter("y")
+    h = em.dispatch("e", "ne", 23)
+    hs = em.signed(h)
+    ctes, last = staged_ctes(em, "b1")
+    return f"""
+    WITH b0 AS (
+      SELECT event_type AS et,
+             substr(event_type || CAST(user_id AS VARCHAR)
+                      || '{_SIP_PAD}',
+                    1, CAST(event_id % 24 AS INTEGER)) AS e
+      FROM events WHERE event_id % 10 = 3
+    ),
+    b1 AS (SELECT *, length(e) AS ne FROM b0),
+    {ctes}
+    SELECT et, count(*) AS n,
+           min({hs}) AS sh_min, max({hs}) AS sh_max,
+           count(DISTINCT {h}) AS sh_uniq
+    FROM {last} GROUP BY et ORDER BY et
+    """
+
+
+@query("ch_sql_siphash64", _siphash_oracle())
+def ch_sql_siphash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tabs = _tables(spark, sf_dir, "events")
+    tabs["events"] = tabs["events"].repartition(16)
+    return run_ch_query(_SIPHASH_SQL, tabs)
+
+
 @query("ch_sql_cityhash64", _cityhash_oracle())
 def ch_sql_cityhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition the probe scan: the per-row CityHash projection is

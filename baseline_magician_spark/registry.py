@@ -95,13 +95,15 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_cityhash64",
     "similarity_recall_at_k",
     "dedup_duplicated_spans_pairwise",
+    "ch_sql_siphash64",
     # re-check: sampling_hashes changed this round (URLHash moved out
     # when it went byte-exact; intHash chains re-spelled wrap-mode)
     "ch_sql_sampling_hashes",
     # r4-stale rotation (oldest remaining driver rows, diverse ops;
     # one traded out per new registration above; traded so far:
     # semi_anti_join_customers, json_props_stats,
-    # grouping_sets_quantity, exact_percentiles_by_type)
+    # grouping_sets_quantity, exact_percentiles_by_type,
+    # dedup_incremental_ingest)
     "asof_join_latest_order",
     "ch_sql_any_join",
     "ch_sql_exists_correlated",
@@ -124,7 +126,6 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_scalar_with",
     "ch_sql_json_extract",
     "cube_revenue_by_flag_status",
-    "dedup_incremental_ingest",
 )
 
 

@@ -517,6 +517,36 @@ def main() -> None:
         )
         return out.count()
 
+    def wrap_hash_scan(k: int) -> int:
+        """Round-8 wrap-mode hash projections: byte-exact cityHash64
+        (all length classes incl. the chunk loop), canonical
+        SipHash-2-4, and the intHash sampling keys — one projection,
+        no shuffle, no Python. Per-row cost is O(len) interpreted-HOF
+        work, so total must track rows; this rung also pins the
+        fixed driver-side analysis cost (~2 s/tree) AMORTIZING: it is
+        paid once per rung invocation regardless of k, so the x4
+        ratios must stay well under 4 even though each rung repays
+        it."""
+        from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+        ev = replicate(ev0, k, ["event_id", "user_id"],
+                       salt_text=False)
+        out = run_ch_query(
+            """
+            SELECT event_type AS g,
+                   min(cityHash64(substring(
+                     concat(event_type, toString(user_id),
+                            '=+~=+~=+~=+~=+~=+~=+~=+~=+~=+~=+~=+~'),
+                     1, toInt32(event_id % 100)))) AS ch,
+                   max(sipHash64(concat('k', toString(user_id % 997))))
+                     AS sh,
+                   sum(intHash32(user_id)) AS ih
+            FROM events GROUP BY g
+            """,
+            {"events": ev},
+        )
+        return out.count()
+
     ops = {
         "q1_agg": q1_agg,
         "minhash_lsh_pairs": minhash,
@@ -542,6 +572,7 @@ def main() -> None:
         "rank_decay_weighted": rank_decay_weighted,
         "bigram_lm": bigram_lm,
         "round7b_scan": round7b_scan,
+        "wrap_hash_scan": wrap_hash_scan,
     }
 
     # SPARK_GRAFT_STRESS_OPS=a,b,c re-runs a subset (a marginal rung
