@@ -41,6 +41,44 @@ def _city_hash64_multi(*cs) -> Column:
     return out
 
 
+def _murmur2_64_multi(*cs) -> Column:
+    """murmurHash2_64(a[, b, ...]): canonical MurmurHash64A(seed 0)
+    per argument (string rendering); multi-arg combines as the hash
+    of the 16-byte LE pair."""
+    from .murmur import murmur2_64 as _m2_col
+    from .murmur import murmur2_64_fast as _m2
+
+    hashes = [_m2(_as_col(c).cast("string")) for c in cs]
+    out = hashes[0]
+    for h in hashes[1:]:
+        out = _m2_col(F.unhex(F.concat(_le16(out), _le16(h))))
+    return out
+
+
+def _murmur3_32_multi(*cs) -> Column:
+    """murmurHash3_32(a[, b, ...]): canonical MurmurHash3 x86_32
+    (seed 0) per argument; multi-arg combines as the hash of the
+    8-byte LE pair of the two UInt32 values."""
+    from .murmur import murmur3_32 as _m3_col
+    from .murmur import murmur3_32_fast as _m3
+
+    hashes = [_m3(_as_col(c).cast("string")) for c in cs]
+    out = hashes[0]
+    for h in hashes[1:]:
+        le8 = lambda x: F.regexp_replace(  # noqa: E731
+            F.reverse(F.lpad(F.hex(x), 8, "0")), "(.)(.)", "$2$1"
+        )
+        out = _m3_col(F.unhex(F.concat(le8(out), le8(h))))
+    return out
+
+
+def _le16(h: Column) -> Column:
+    """Long -> 16 hex chars of its 8-byte little-endian layout."""
+    return F.regexp_replace(
+        F.reverse(F.lpad(F.hex(h), 16, "0")), "(.)(.)", "$2$1"
+    )
+
+
 def _sip_hash64_multi(*cs) -> Column:
     """sipHash64(a[, b, ...]): each argument hashed as its string
     rendering; multi-arg combines CH-style — SipHash of the 16-byte
@@ -5105,15 +5143,18 @@ CH_FUNCTIONS.update(
         ),
         "parseTimeDelta": _parse_time_delta,
         "arrayNormalizedGini": _array_normalized_gini,
-        # bucketing-compatible 64/32-bit stand-ins (sipHash64 policy)
+        # canonical MurmurHash64A / MurmurHash3 x86_32, seed 0 —
+        # the algorithms CH documents (functions/murmur.py; murmur3's
+        # word path is additionally cross-checked against Spark's own
+        # JVM Murmur3_x86_32, which is canonical for aligned inputs).
+        # Multi-arg combines hash the 16-/8-byte LE pair, the
+        # combineHashesFunc pattern (README hash table). Wrap-mode
+        # arithmetic via run_ch_query's auto wrap_arith.
+        "murmurHash2_64": _murmur2_64_multi,
+        "murmurHash3_32": _murmur3_32_multi,
+        # bucketing-compatible stand-ins (remaining murmur family)
         "murmurHash2_32": lambda *cs: F.hash(
             F.lit("mm2"), *[_as_col(c) for c in cs]
-        ).cast("long"),
-        "murmurHash2_64": lambda *cs: F.xxhash64(
-            F.lit("mm2"), *[_as_col(c) for c in cs]
-        ),
-        "murmurHash3_32": lambda *cs: F.hash(
-            F.lit("mm3"), *[_as_col(c) for c in cs]
         ).cast("long"),
         "murmurHash3_64": lambda *cs: F.xxhash64(
             F.lit("mm3"), *[_as_col(c) for c in cs]

@@ -429,6 +429,7 @@ def duplicated_spans_pairwise(
     id_col: str,
     k: int = 40,
     max_shingle_occ: int = 20,
+    df_b: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal ALIGNED duplicated spans per document pair — the
     suffix-array-granularity view of ``duplicated_spans``: instead of
@@ -454,44 +455,65 @@ def duplicated_spans_pairwise(
     partition count equals the matched-diagonal count, uniform by
     construction of the hash key.
     """
-    tid = F.col(id_col)
-    text = F.col(text_col)
-    pos = df.select(
-        tid.alias("id"),
-        F.explode(
-            F.when(
-                F.length(text) >= k,
-                F.sequence(F.lit(1), F.length(text) - (k - 1)),
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("i"),
-        text.alias("_t"),
-    ).select(
-        "id",
-        F.col("i").cast("long").alias("i"),
-        F.substring(
-            F.md5(F.substr(F.col("_t"), F.col("i"), F.lit(k))), 1, 16
-        ).alias("h"),
-    )
-    keep = (
-        pos.groupBy("h")
-        .agg(
-            F.min("id").alias("mn"),
-            F.max("id").alias("mx"),
-            F.count(F.lit(1)).alias("occ"),
+    def shingle_pos(dfx: DataFrame) -> DataFrame:
+        tid = F.col(id_col)
+        text = F.col(text_col)
+        return dfx.select(
+            tid.alias("id"),
+            F.explode(
+                F.when(
+                    F.length(text) >= k,
+                    F.sequence(F.lit(1), F.length(text) - (k - 1)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+            text.alias("_t"),
+        ).select(
+            "id",
+            F.col("i").cast("long").alias("i"),
+            F.substring(
+                F.md5(F.substr(F.col("_t"), F.col("i"), F.lit(k))),
+                1,
+                16,
+            ).alias("h"),
         )
-        .where(
-            (F.col("mn") != F.col("mx"))
-            & (F.col("occ") <= max_shingle_occ)
+
+    pos_a = shingle_pos(df)
+    if df_b is None:
+        pos_b = pos_a
+        keep = (
+            pos_a.groupBy("h")
+            .agg(
+                F.min("id").alias("mn"),
+                F.max("id").alias("mx"),
+                F.count(F.lit(1)).alias("occ"),
+            )
+            .where(
+                (F.col("mn") != F.col("mx"))
+                & (F.col("occ") <= max_shingle_occ)
+            )
+            .select("h")
         )
-        .select("h")
-    )
+        pair_cond = F.col("a.id") < F.col("b.id")
+    else:
+        # cross-relation (contamination) form: A-side passages found
+        # in B — the train-vs-eval leakage localizer. A shingle
+        # qualifies when it occurs in BOTH relations; the occurrence
+        # cap applies to the combined count.
+        pos_b = shingle_pos(df_b)
+        ca = pos_a.groupBy("h").agg(F.count(F.lit(1)).alias("ca"))
+        cb = pos_b.groupBy("h").agg(F.count(F.lit(1)).alias("cb"))
+        keep = (
+            ca.join(cb, "h")
+            .where(F.col("ca") + F.col("cb") <= max_shingle_occ)
+            .select("h")
+        )
+        pair_cond = F.lit(True)
     cells = (
-        pos.join(keep, "h", "left_semi")
+        pos_a.join(keep, "h", "left_semi")
         .alias("a")
         .join(
-            pos.join(keep, "h", "left_semi").alias("b"),
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.id") < F.col("b.id")),
+            pos_b.join(keep, "h", "left_semi").alias("b"),
+            (F.col("a.h") == F.col("b.h")) & pair_cond,
         )
         .select(
             F.col("a.id").alias("id_a"),

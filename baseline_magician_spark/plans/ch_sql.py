@@ -2118,7 +2118,8 @@ def _exec_with_set_expr(
 # hash functions whose compiled form needs wrap-mode (non-ANSI) long
 # arithmetic at ANALYSIS time — see run_ch_query below
 _WRAP_HASH_RE = re.compile(
-    r"\b(intHash64|intHash32|cityHash64|URLHash|sipHash64)\s*\(",
+    r"\b(intHash64|intHash32|cityHash64|URLHash|sipHash64"
+    r"|murmurHash2_64|murmurHash3_32)\s*\(",
     re.IGNORECASE
 )
 

@@ -3776,6 +3776,77 @@ def _siphash_oracle() -> str:
     """
 
 
+# Canonical MurmurHash64A + MurmurHash3 x86_32 end-to-end (round 8):
+# probe lengths 0..31 cover the word-free path, 1-3 full words and
+# every tail remainder of both block sizes (8 and 4). Oracle replays
+# both ARX-free multiply-mix networks in DuckDB HUGEINT
+# (MurmurEmitter, word-count CASE dispatch).
+_MURMUR_PAD = "=+~" * 11  # 33 chars ASCII filler
+
+_MURMUR_SQL = f"""
+SELECT et,
+       count(*) AS n,
+       min(m2) AS m2_min,
+       max(m2) AS m2_max,
+       uniqExact(m2) AS m2_uniq,
+       min(m3) AS m3_min,
+       max(m3) AS m3_max,
+       uniqExact(m3) AS m3_uniq
+FROM (
+  SELECT event_type AS et,
+         murmurHash2_64(substring(
+             concat(event_type, toString(user_id), '{_MURMUR_PAD}'),
+             1, toInt32(event_id % 32))) AS m2,
+         murmurHash3_32(substring(
+             concat(toString(user_id), event_type, '{_MURMUR_PAD}'),
+             1, toInt32(event_id % 32))) AS m3
+  FROM fastnetmon.events
+  WHERE event_id % 10 = 7
+)
+GROUP BY et
+ORDER BY et
+"""
+
+
+def _murmur_oracle() -> str:
+    from ..functions.cityhash import staged_ctes
+    from ..functions.murmur import MurmurEmitter
+
+    em = MurmurEmitter("w")
+    m2 = em.m2_dispatch("e2", "n2", 31)
+    m2s = em.signed64(m2)
+    m3 = em.m3_dispatch("e3", "n3", 31)
+    ctes, last = staged_ctes(em, "b1")
+    return f"""
+    WITH b0 AS (
+      SELECT event_type AS et,
+             substr(event_type || CAST(user_id AS VARCHAR)
+                      || '{_MURMUR_PAD}',
+                    1, CAST(event_id % 32 AS INTEGER)) AS e2,
+             substr(CAST(user_id AS VARCHAR) || event_type
+                      || '{_MURMUR_PAD}',
+                    1, CAST(event_id % 32 AS INTEGER)) AS e3
+      FROM events WHERE event_id % 10 = 7
+    ),
+    b1 AS (SELECT *, length(e2) AS n2, length(e3) AS n3 FROM b0),
+    {ctes}
+    SELECT et, count(*) AS n,
+           min({m2s}) AS m2_min, max({m2s}) AS m2_max,
+           count(DISTINCT {m2}) AS m2_uniq,
+           CAST(min({m3}) AS BIGINT) AS m3_min,
+           CAST(max({m3}) AS BIGINT) AS m3_max,
+           count(DISTINCT {m3}) AS m3_uniq
+    FROM {last} GROUP BY et ORDER BY et
+    """
+
+
+@query("ch_sql_murmur_hashes", _murmur_oracle())
+def ch_sql_murmur_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tabs = _tables(spark, sf_dir, "events")
+    tabs["events"] = tabs["events"].repartition(16)
+    return run_ch_query(_MURMUR_SQL, tabs)
+
+
 @query("ch_sql_siphash64", _siphash_oracle())
 def ch_sql_siphash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     tabs = _tables(spark, sf_dir, "events")

@@ -727,6 +727,87 @@ def dedup_duplicated_spans_pairwise(
     )
 
 
+# Cross-relation contamination spans (round 8): the pairwise span
+# operator pointed across a train/eval split — "which exact TRAIN
+# passages appear verbatim in the EVAL set, where, and how long".
+# This is the contamination LOCALIZER that turns decontamination
+# from a boolean filter into an auditable report (Lee et al. 2022 /
+# GPT-3 appendix-C style n-gram overlap, at aligned-span
+# granularity). Eval = doc_id % 7 = 0 here (deterministic split).
+_CONTAM_K = 40
+_CONTAM_MAX_OCC = 30
+
+
+@query(
+    "pipeline_contamination_spans",
+    f"""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(generate_series(1, length(text) - {_CONTAM_K - 1}))
+               AS i,
+             text
+      FROM documents WHERE length(text) >= {_CONTAM_K}
+    ), sh AS (
+      SELECT doc_id, i,
+             substr(md5(substr(text, i::INT, {_CONTAM_K})), 1, 16) AS h
+      FROM pos
+    ), sa AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+    sb AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+    keep AS (
+      SELECT a.h FROM
+        (SELECT h, count(*) AS ca FROM sa GROUP BY h) a
+        JOIN (SELECT h, count(*) AS cb FROM sb GROUP BY h) b
+          ON a.h = b.h
+      WHERE a.ca + b.cb <= {_CONTAM_MAX_OCC}
+    ), cells AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS i, b.i AS j
+      FROM sa a JOIN sb b ON a.h = b.h
+      WHERE a.h IN (SELECT h FROM keep)
+        AND b.h IN (SELECT h FROM keep)
+    ), isl AS (
+      SELECT id_a, id_b, i, j, j - i AS diag,
+             i - row_number() OVER (
+               PARTITION BY id_a, id_b, j - i ORDER BY i
+             ) AS island
+      FROM cells
+    )
+    SELECT id_a AS train_id, id_b AS eval_id,
+           min(i)::BIGINT AS a_start,
+           (max(i) + {_CONTAM_K - 1})::BIGINT AS a_end,
+           min(j)::BIGINT AS b_start,
+           (max(j) + {_CONTAM_K - 1})::BIGINT AS b_end,
+           (max(i) - min(i) + {_CONTAM_K})::BIGINT AS span_chars
+    FROM isl GROUP BY id_a, id_b, diag, island
+    ORDER BY train_id, eval_id, a_start, b_start
+    """,
+)
+def pipeline_contamination_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import duplicated_spans_pairwise
+
+    docs = load_for_compute(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    evals = docs.where(F.col("doc_id") % 7 == 0)
+    out = duplicated_spans_pairwise(
+        train,
+        "text",
+        "doc_id",
+        k=_CONTAM_K,
+        max_shingle_occ=_CONTAM_MAX_OCC,
+        df_b=evals,
+    )
+    return out.select(
+        F.col("id_a").alias("train_id"),
+        F.col("id_b").alias("eval_id"),
+        "a_start",
+        "a_end",
+        "b_start",
+        "b_end",
+        "span_chars",
+    )
+
+
 def _leakage_safe_split_oracle() -> str:
     from ..operators.sampling import split_assign_sql
     from .sampling_q import SPLIT_FRACTIONS, SPLIT_SEED

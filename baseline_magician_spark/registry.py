@@ -96,6 +96,8 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_recall_at_k",
     "dedup_duplicated_spans_pairwise",
     "ch_sql_siphash64",
+    "ch_sql_murmur_hashes",
+    "pipeline_contamination_spans",
     # re-check: sampling_hashes changed this round (URLHash moved out
     # when it went byte-exact; intHash chains re-spelled wrap-mode)
     "ch_sql_sampling_hashes",
@@ -103,7 +105,8 @@ _PRIORITY: tuple[str, ...] = (
     # one traded out per new registration above; traded so far:
     # semi_anti_join_customers, json_props_stats,
     # grouping_sets_quantity, exact_percentiles_by_type,
-    # dedup_incremental_ingest)
+    # dedup_incremental_ingest, cube_revenue_by_flag_status,
+    # ch_sql_json_extract)
     "asof_join_latest_order",
     "ch_sql_any_join",
     "ch_sql_exists_correlated",
@@ -124,8 +127,6 @@ _PRIORITY: tuple[str, ...] = (
     "unpivot_lineitem_measures",
     "histogram_event_values",
     "ch_sql_scalar_with",
-    "ch_sql_json_extract",
-    "cube_revenue_by_flag_status",
 )
 
 

@@ -1678,6 +1678,72 @@ def _gen_round7d_pair(rng: random.Random) -> tuple[str, str]:
     return ch, duck
 
 
+def _gen_wrap_hash_pair(rng: random.Random) -> tuple[str, str]:
+    """Round-8 byte-exact string hashes, fuzzed: a random-length
+    ASCII probe through cityHash64 / sipHash64 / murmurHash2_64 /
+    murmurHash3_32 on the CH side, the corresponding straight-line
+    HUGEINT emitter replay on the DuckDB side. City is capped at the
+    <=64-byte classes here (the chunk-loop chains make the DuckDB
+    plan heavy; the loop is driver-checked by ch_sql_cityhash64)."""
+    from baseline_magician_spark.functions.cityhash import (
+        CityEmitter,
+        staged_ctes,
+    )
+    from baseline_magician_spark.functions.murmur import MurmurEmitter
+    from baseline_magician_spark.functions.siphash import SipEmitter
+
+    kind = rng.choice(["city", "sip", "m2", "m3"])
+    max_len = {"city": 64, "sip": 23, "m2": 31, "m3": 31}[kind]
+    mod = rng.randint(4, max_len) + 1
+    m = rng.randint(3, 7)
+    pad = "=+~" * 22
+    w = _where(rng)
+    fn = {
+        "city": "cityHash64",
+        "sip": "sipHash64",
+        "m2": "murmurHash2_64",
+        "m3": "murmurHash3_32",
+    }[kind]
+    ch = (
+        f"SELECT user_id % {m} AS g, "
+        f"min({fn}(substring(concat(event_type, toString(user_id), "
+        f"'{pad}'), 1, toInt32(event_id % {mod})))) AS hmin, "
+        f"count(DISTINCT {fn}(substring(concat(event_type, "
+        f"toString(user_id), '{pad}'), 1, toInt32(event_id % {mod})))) "
+        f"AS hu FROM events{w} GROUP BY g ORDER BY g"
+    )
+    if kind == "city":
+        em = CityEmitter("fz")
+        h = em.full_dispatch("e", "ne", mod)
+        hs = em.signed(h)
+    elif kind == "sip":
+        em = SipEmitter("fz")
+        h = em.dispatch("e", "ne", mod - 1)
+        hs = em.signed(h)
+    elif kind == "m2":
+        em = MurmurEmitter("fz")
+        h = em.m2_dispatch("e", "ne", mod - 1)
+        hs = em.signed64(h)
+    else:
+        em = MurmurEmitter("fz")
+        h = em.m3_dispatch("e", "ne", mod - 1)
+        hs = em.emit(f"CAST({h} AS BIGINT)")
+    ctes, last = staged_ctes(em, "fb1")
+    duck = f"""
+    WITH fb0 AS (
+      SELECT user_id % {m} AS g,
+             substr(event_type || CAST(user_id AS VARCHAR) || '{pad}',
+                    1, CAST(event_id % {mod} AS INTEGER)) AS e
+      FROM events{w}
+    ),
+    fb1 AS (SELECT *, length(e) AS ne FROM fb0),
+    {ctes}
+    SELECT g, min({hs}) AS hmin, count(DISTINCT {h}) AS hu
+    FROM {last} GROUP BY g ORDER BY g
+    """
+    return ch, duck
+
+
 N_PAIRED = 138
 
 
@@ -1697,7 +1763,8 @@ def _gen_pair(rng: random.Random) -> tuple[str, str]:
          _gen_bitmap_pair, _gen_ipv6_pair,
          _gen_nonneg_derivative_pair,
          _gen_geohash_pair, _gen_int_hash_pair, _gen_lpnorm_pair,
-         _gen_round7b_pair, _gen_round7c_pair, _gen_round7d_pair]
+         _gen_round7b_pair, _gen_round7c_pair, _gen_round7d_pair,
+         _gen_wrap_hash_pair]
     )(rng)
 
 

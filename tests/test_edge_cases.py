@@ -421,3 +421,29 @@ def test_duplicated_spans_pairwise_boilerplate_guard(spark):
         df, "text", "doc_id", k=10, max_shingle_occ=1000
     ).collect()
     assert len(out2) == 300  # C(25,2) pairs share the header span
+
+
+def test_duplicated_spans_cross_relation_contamination(spark):
+    from baseline_magician_spark.operators.dedup import (
+        duplicated_spans_pairwise,
+    )
+
+    shared = "0123456789abcdefghij"  # 20 chars
+    train = spark.createDataFrame(
+        [(1, "xx" + shared), (2, "no overlap here at all......")],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(10, shared + "tail"), (11, "also nothing shared.........")],
+        "doc_id long, text string",
+    )
+    out = duplicated_spans_pairwise(
+        train, "text", "doc_id", k=10, df_b=evals
+    ).collect()
+    got = {
+        (r["id_a"], r["id_b"], r["a_start"], r["a_end"],
+         r["b_start"], r["b_end"], r["span_chars"])
+        for r in out
+    }
+    # train doc 1 chars 3..22 == eval doc 10 chars 1..20
+    assert got == {(1, 10, 3, 22, 1, 20, 20)}
