@@ -24,6 +24,8 @@ from .cityhash import city_hash64_fast as _city_hash64
 from .cityhash import city_hash64_combine as _city_combine
 from .siphash import sip_hash64 as _sip_hash64_col
 from .siphash import sip_hash64_fast as _sip_hash64
+from .xxhash import xxh32_fast as _xxh32
+from .xxhash import xxh64_fast as _xxh64
 from .funnel import retention as _retention
 from .hashing import int_hash32 as _int_hash32
 from .hashing import int_hash64 as _int_hash64
@@ -1410,8 +1412,26 @@ CH_FUNCTIONS.update(
         # alternatives get a distinguishing literal so the families
         # stay mutually independent.
         "SHA1": lambda c: F.sha1(_as_col(c).cast("binary")),
-        "xxHash64": lambda *cs: F.xxhash64(*[_as_col(c) for c in cs]),
-        "xxHash32": lambda *cs: F.hash(*[_as_col(c) for c in cs]),
+        # BYTE-COMPATIBLE with CH since round 8: canonical XXH64 /
+        # XXH32 at seed 0 over the value's RAW BYTES
+        # (functions/xxhash.py — the Python model is bit-identical to
+        # Spark's own JVM XXH64, an independent implementation of the
+        # same public spec, and reproduces the CH docs' own
+        # xxHash32('Hello, world!') = 834093149). The pre-round-8
+        # spelling (Spark's xxhash64 = seed 42 over the type-tagged
+        # row encoding) could never match CH for strings. Multi-arg
+        # hashes the concatenated string renderings — CH multi-arg
+        # semantics are update-chains; documented divergence.
+        "xxHash64": lambda *cs: _xxh64(
+            F.concat(*[_as_col(c).cast("string") for c in cs])
+            if len(cs) > 1
+            else _as_col(cs[0])
+        ),
+        "xxHash32": lambda *cs: _xxh32(
+            F.concat(*[_as_col(c).cast("string") for c in cs])
+            if len(cs) > 1
+            else _as_col(cs[0])
+        ),
         # canonical SipHash-2-4 with zero key — the algorithm CH
         # documents for sipHash64 (functions/siphash.py; validated
         # against the SipHash paper's reference vectors; CH-server

@@ -857,18 +857,39 @@ def city_hash64_sql(input_sql: str) -> str:
     return _TextCity().top(input_sql)
 
 
+_BAD_SQL_TOKEN = __import__("re").compile(
+    r"lambdavariable|subquery|[=%!<>|&^+*/-]\("
+)
+
+
+def col_sql(col) -> str | None:
+    """Best-effort SQL text of a Column, or None when it will not
+    round-trip through F.expr. Spark 4 classic removed
+    ``Column.expr()``; the ColumnNode's repr ("Column<'...'>") is the
+    remaining rendering. It prints SOME operators in prefix form
+    ("=(a, b)") which the parser accepts as a function call but the
+    analyzer will not resolve — those, lambda variables, and
+    subqueries all disqualify the text path (callers fall back to
+    their Column builder)."""
+    try:
+        txt = str(col)
+    except Exception:
+        return None
+    if not (txt.startswith("Column<'") and txt.endswith("'>")):
+        return None
+    inner = txt[len("Column<'") : -2]
+    if _BAD_SQL_TOKEN.search(inner.lower()):
+        return None
+    return inner
+
+
 def city_hash64_fast(col) -> Column:
     """city_hash64 via the single-parse SQL text path when the input
-    Column's SQL rendering round-trips; Column-builder fallback
-    otherwise (lambda-bound variables, subqueries, unparseable
-    renderings)."""
+    Column's SQL rendering round-trips (col_sql); Column-builder
+    fallback otherwise."""
     c = col if isinstance(col, Column) else F.col(col)
-    try:
-        inp = c._jc.expr().sql()
-    except Exception:
-        return city_hash64(c)
-    low = inp.lower()
-    if "lambdavariable" in low or "subquery" in low:
+    inp = col_sql(c)
+    if inp is None:
         return city_hash64(c)
     try:
         return F.expr(city_hash64_sql(f"({inp})"))

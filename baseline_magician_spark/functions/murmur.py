@@ -191,13 +191,11 @@ def murmur3_32_sql(input_sql: str) -> str:
 
 
 def _fast(col, sql_fn, col_fn) -> Column:
+    from .cityhash import col_sql
+
     c = col if isinstance(col, Column) else F.col(col)
-    try:
-        inp = c._jc.expr().sql()
-    except Exception:
-        return col_fn(c)
-    low = inp.lower()
-    if "lambdavariable" in low or "subquery" in low:
+    inp = col_sql(c)
+    if inp is None:
         return col_fn(c)
     try:
         return F.expr(sql_fn(f"({inp})"))

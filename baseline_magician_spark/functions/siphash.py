@@ -355,15 +355,13 @@ def sip_hash64(col) -> Column:
 
 
 def sip_hash64_fast(col) -> Column:
-    """Text path when the input's SQL rendering round-trips; Column
-    builder otherwise."""
+    """Text path when the input's SQL rendering round-trips
+    (cityhash.col_sql); Column builder otherwise."""
+    from .cityhash import col_sql
+
     c = col if isinstance(col, Column) else F.col(col)
-    try:
-        inp = c._jc.expr().sql()
-    except Exception:
-        return sip_hash64(c)
-    low = inp.lower()
-    if "lambdavariable" in low or "subquery" in low:
+    inp = col_sql(c)
+    if inp is None:
         return sip_hash64(c)
     try:
         return F.expr(sip_hash64_sql(f"({inp})"))

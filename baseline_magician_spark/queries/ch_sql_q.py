@@ -3840,6 +3840,78 @@ def _murmur_oracle() -> str:
     """
 
 
+# Canonical XXH64 + XXH32 (seed 0, raw bytes) end-to-end (round 8):
+# probe lengths 0..79 cover the accumulator-free short path, 1-2
+# 32-byte stripes (XXH64) / up to 4 16-byte stripes (XXH32), all
+# trailing 8/4/1-byte chunk counts, and the stripe->tail handoff.
+# The oracle replays both lane pipelines in DuckDB HUGEINT
+# (XxEmitter, stripe count CASE-dispatched).
+_XX_PAD = "=+~" * 27  # 81 chars ASCII filler
+
+_XXHASH_SQL = f"""
+SELECT et,
+       count(*) AS n,
+       min(x64) AS x64_min,
+       max(x64) AS x64_max,
+       uniqExact(x64) AS x64_uniq,
+       min(x32) AS x32_min,
+       max(x32) AS x32_max,
+       uniqExact(x32) AS x32_uniq
+FROM (
+  SELECT event_type AS et,
+         xxHash64(substring(
+             concat(event_type, toString(user_id), '{_XX_PAD}'),
+             1, toInt32(event_id % 80))) AS x64,
+         xxHash32(substring(
+             concat(toString(user_id), event_type, '{_XX_PAD}'),
+             1, toInt32(event_id % 80))) AS x32
+  FROM fastnetmon.events
+  WHERE event_id % 10 = 5
+)
+GROUP BY et
+ORDER BY et
+"""
+
+
+def _xxhash_oracle() -> str:
+    from ..functions.cityhash import staged_ctes
+    from ..functions.xxhash import XxEmitter
+
+    em = XxEmitter("x")
+    x64 = em.xxh64_dispatch("e4", "n4", 79)
+    x64s = em.signed64(x64)
+    x32 = em.xxh32_dispatch("e3", "n3", 79)
+    ctes, last = staged_ctes(em, "b1")
+    return f"""
+    WITH b0 AS (
+      SELECT event_type AS et,
+             substr(event_type || CAST(user_id AS VARCHAR)
+                      || '{_XX_PAD}',
+                    1, CAST(event_id % 80 AS INTEGER)) AS e4,
+             substr(CAST(user_id AS VARCHAR) || event_type
+                      || '{_XX_PAD}',
+                    1, CAST(event_id % 80 AS INTEGER)) AS e3
+      FROM events WHERE event_id % 10 = 5
+    ),
+    b1 AS (SELECT *, length(e4) AS n4, length(e3) AS n3 FROM b0),
+    {ctes}
+    SELECT et, count(*) AS n,
+           min({x64s}) AS x64_min, max({x64s}) AS x64_max,
+           count(DISTINCT {x64}) AS x64_uniq,
+           CAST(min({x32}) AS BIGINT) AS x32_min,
+           CAST(max({x32}) AS BIGINT) AS x32_max,
+           count(DISTINCT {x32}) AS x32_uniq
+    FROM {last} GROUP BY et ORDER BY et
+    """
+
+
+@query("ch_sql_xxhash", _xxhash_oracle())
+def ch_sql_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tabs = _tables(spark, sf_dir, "events")
+    tabs["events"] = tabs["events"].repartition(16)
+    return run_ch_query(_XXHASH_SQL, tabs)
+
+
 @query("ch_sql_murmur_hashes", _murmur_oracle())
 def ch_sql_murmur_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tabs = _tables(spark, sf_dir, "events")

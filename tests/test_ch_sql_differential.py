@@ -1691,9 +1691,11 @@ def _gen_wrap_hash_pair(rng: random.Random) -> tuple[str, str]:
     )
     from baseline_magician_spark.functions.murmur import MurmurEmitter
     from baseline_magician_spark.functions.siphash import SipEmitter
+    from baseline_magician_spark.functions.xxhash import XxEmitter
 
-    kind = rng.choice(["city", "sip", "m2", "m3"])
-    max_len = {"city": 64, "sip": 23, "m2": 31, "m3": 31}[kind]
+    kind = rng.choice(["city", "sip", "m2", "m3", "x64", "x32"])
+    max_len = {"city": 64, "sip": 23, "m2": 31, "m3": 31,
+               "x64": 71, "x32": 47}[kind]
     mod = rng.randint(4, max_len) + 1
     m = rng.randint(3, 7)
     pad = "=+~" * 22
@@ -1703,6 +1705,8 @@ def _gen_wrap_hash_pair(rng: random.Random) -> tuple[str, str]:
         "sip": "sipHash64",
         "m2": "murmurHash2_64",
         "m3": "murmurHash3_32",
+        "x64": "xxHash64",
+        "x32": "xxHash32",
     }[kind]
     ch = (
         f"SELECT user_id % {m} AS g, "
@@ -1724,9 +1728,17 @@ def _gen_wrap_hash_pair(rng: random.Random) -> tuple[str, str]:
         em = MurmurEmitter("fz")
         h = em.m2_dispatch("e", "ne", mod - 1)
         hs = em.signed64(h)
-    else:
+    elif kind == "m3":
         em = MurmurEmitter("fz")
         h = em.m3_dispatch("e", "ne", mod - 1)
+        hs = em.emit(f"CAST({h} AS BIGINT)")
+    elif kind == "x64":
+        em = XxEmitter("fz")
+        h = em.xxh64_dispatch("e", "ne", mod - 1)
+        hs = em.signed64(h)
+    else:
+        em = XxEmitter("fz")
+        h = em.xxh32_dispatch("e", "ne", mod - 1)
         hs = em.emit(f"CAST({h} AS BIGINT)")
     ctes, last = staged_ctes(em, "fb1")
     duck = f"""
