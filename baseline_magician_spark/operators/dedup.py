@@ -546,3 +546,83 @@ def duplicated_spans_pairwise(
         )
         .drop("diag", "island")
     )
+
+
+def excise_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Remove duplicated spans from document text — the REMOVAL half
+    of substring-level dedup (``duplicated_spans`` finds the spans;
+    Lee et al. 2022 then cut them from the training corpus).
+
+    ``spans`` must carry (id, span_start, span_end) with 1-based
+    inclusive char positions, non-overlapping per id (exactly what
+    ``duplicated_spans`` emits — its gaps-and-islands merge makes
+    overlaps impossible). Documents with no spans pass through
+    unchanged.
+
+    Returns (id, text, clean_text, n_spans, chars_removed).
+
+    100 TB design: ONE groupBy collects each doc's spans into a
+    sorted array (spans are rare relative to docs — the aggregate
+    state is tiny), one LEFT join back to the docs relation, and the
+    cut itself is a per-row JVM fold over the span array (keep the
+    gaps: acc ++ text[pos : start), advance pos past the span). No
+    Python, no explode of the text, no second pass.
+    """
+    tid = F.col(id_col)
+    per_doc = spans.groupBy(F.col("id")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            )
+        ).alias("_spans")
+    )
+    joined = docs.select(
+        tid.alias("id"), F.col(text_col).alias("text")
+    ).join(per_doc, "id", "left")
+
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"),
+    )
+    folded = F.aggregate(
+        spans_arr,
+        F.struct(
+            F.lit("").alias("acc"), F.lit(1).cast("long").alias("pos")
+        ),
+        lambda st, sp: F.struct(
+            F.concat(
+                st["acc"],
+                F.substring(
+                    F.col("text"),
+                    st["pos"].cast("int"),
+                    F.greatest(
+                        (sp["s"] - st["pos"]).cast("int"), F.lit(0)
+                    ),
+                ),
+            ).alias("acc"),
+            (sp["e"] + 1).alias("pos"),
+        ),
+        lambda st: F.concat(
+            st["acc"],
+            F.substring(
+                F.col("text"),
+                st["pos"].cast("int"),
+                F.length(F.col("text")),
+            ),
+        ),
+    )
+    return joined.select(
+        "id",
+        "text",
+        folded.alias("clean_text"),
+        F.size(spans_arr).alias("n_spans"),
+        (F.length("text") - F.length(folded)).alias("chars_removed"),
+    )

@@ -808,6 +808,121 @@ def pipeline_contamination_spans(
     )
 
 
+# Span EXCISION (round 8): the removal half of substring dedup —
+# duplicated_spans finds cross-doc passages, excise_spans cuts them
+# out (Lee et al. 2022 apply exactly this to the training corpus).
+# The oracle rebuilds every cleaned document with the same
+# gap-keeping fold in DuckDB and compares an order-canonical md5 of
+# the cleaned text per language — the driver row therefore checks
+# the actual string surgery, not just the removed-char accounting.
+
+
+@query(
+    "pipeline_span_excision",
+    f"""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(generate_series(1, length(text) - {_DUP_SPANS_K - 1}))
+               AS i,
+             text
+      FROM documents WHERE length(text) >= {_DUP_SPANS_K}
+    ), sh AS (
+      SELECT doc_id, i,
+             substr(md5(substr(text, i::INT, {_DUP_SPANS_K})), 1, 16) AS h
+      FROM pos
+    ), dup AS (
+      SELECT h FROM sh GROUP BY h HAVING min(doc_id) <> max(doc_id)
+    ), flagged AS (
+      SELECT doc_id, i,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+      FROM sh WHERE h IN (SELECT h FROM dup)
+    ), spans AS (
+      SELECT doc_id,
+             min(i)::BIGINT AS s,
+             (max(i) + {_DUP_SPANS_K - 1})::BIGINT AS e
+      FROM flagged GROUP BY doc_id, i - rn
+    ), pieces AS (
+      SELECT sp.doc_id, sp.s, sp.e,
+             lag(sp.e, 1, 0) OVER (
+               PARTITION BY sp.doc_id ORDER BY sp.s
+             ) AS pe,
+             d.text
+      FROM spans sp JOIN documents d ON d.doc_id = sp.doc_id
+    ), gaps AS (
+      SELECT doc_id,
+             count(*) AS n_spans,
+             string_agg(substr(text, (pe + 1)::INT,
+                               greatest((s - pe - 1)::INT, 0)),
+                        '' ORDER BY s) AS kept,
+             max(e) AS laste
+      FROM pieces GROUP BY doc_id
+    ), cleaned AS (
+      SELECT d.doc_id, d.lang, d.text,
+             COALESCE(g.n_spans, 0) AS n_spans,
+             COALESCE(g.kept, '') ||
+               substr(d.text, (COALESCE(g.laste, 0) + 1)::INT,
+                      greatest((length(d.text)
+                                - COALESCE(g.laste, 0))::INT, 0))
+               AS clean_text
+      FROM documents d LEFT JOIN gaps g ON d.doc_id = g.doc_id
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS docs_touched,
+           sum(n_spans)::BIGINT AS spans_total,
+           sum(length(text))::BIGINT AS chars_before,
+           sum(length(clean_text))::BIGINT AS chars_after,
+           md5(string_agg(md5(clean_text), '' ORDER BY doc_id))
+             AS clean_digest
+    FROM cleaned GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import excise_spans
+
+    docs = load_for_compute(spark, sf_dir, "documents")
+    spans = duplicated_spans(docs, "text", "doc_id", k=_DUP_SPANS_K)
+    cleaned = excise_spans(
+        docs.select("doc_id", "text"), spans, "text", "doc_id"
+    )
+    # excise_spans keys by id_col; re-attach lang for the rollup
+    cleaned = cleaned.join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    per_doc_digest = F.md5(F.col("clean_text").cast("binary"))
+    return (
+        cleaned.select(
+            "id", "lang", "n_spans",
+            F.length("text").alias("cb"),
+            F.length("clean_text").alias("ca"),
+            per_doc_digest.alias("h"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_spans") > 0).cast("long")).alias(
+                "docs_touched"
+            ),
+            F.sum("n_spans").alias("spans_total"),
+            F.sum("cb").alias("chars_before"),
+            F.sum("ca").alias("chars_after"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("id", "h"))
+                        ),
+                        lambda x: x["h"],
+                    ),
+                ).cast("binary")
+            ).alias("clean_digest"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _leakage_safe_split_oracle() -> str:
     from ..operators.sampling import split_assign_sql
     from .sampling_q import SPLIT_FRACTIONS, SPLIT_SEED

@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_murmur_hashes",
     "pipeline_contamination_spans",
     "ch_sql_xxhash",
+    "pipeline_span_excision",
     # re-check: sampling_hashes changed this round (URLHash moved out
     # when it went byte-exact; intHash chains re-spelled wrap-mode)
     "ch_sql_sampling_hashes",
@@ -107,7 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     # semi_anti_join_customers, json_props_stats,
     # grouping_sets_quantity, exact_percentiles_by_type,
     # dedup_incremental_ingest, cube_revenue_by_flag_status,
-    # ch_sql_json_extract, ch_sql_scalar_with)
+    # ch_sql_json_extract, ch_sql_scalar_with, histogram_event_values)
     "asof_join_latest_order",
     "ch_sql_any_join",
     "ch_sql_exists_correlated",
@@ -126,7 +127,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_dsir_importance",
     "window_running_revenue",
     "unpivot_lineitem_measures",
-    "histogram_event_values",
 )
 
 

@@ -447,3 +447,38 @@ def test_duplicated_spans_cross_relation_contamination(spark):
     }
     # train doc 1 chars 3..22 == eval doc 10 chars 1..20
     assert got == {(1, 10, 3, 22, 1, 20, 20)}
+
+
+def test_excise_spans_cuts_and_passes_through(spark):
+    from baseline_magician_spark.operators.dedup import excise_spans
+
+    docs = spark.createDataFrame(
+        [(1, "aaBBBBccDDDDee"), (2, "untouched")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 3, 6), (1, 9, 12)],  # BBBB and DDDD, 1-based inclusive
+        "id long, span_start long, span_end long",
+    )
+    out = {r["id"]: r for r in
+           excise_spans(docs, spans, "text", "doc_id").collect()}
+    assert out[1]["clean_text"] == "aaccee"
+    assert out[1]["n_spans"] == 2 and out[1]["chars_removed"] == 8
+    assert out[2]["clean_text"] == "untouched"
+    assert out[2]["n_spans"] == 0 and out[2]["chars_removed"] == 0
+
+
+def test_excise_spans_edge_positions(spark):
+    from baseline_magician_spark.operators.dedup import excise_spans
+
+    docs = spark.createDataFrame(
+        [(1, "XXab"), (2, "abXX"), (3, "XXXX")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 2), (2, 3, 4), (3, 1, 4)],
+        "id long, span_start long, span_end long",
+    )
+    out = {r["id"]: r["clean_text"] for r in
+           excise_spans(docs, spans, "text", "doc_id").collect()}
+    assert out == {1: "ab", 2: "ab", 3: ""}
