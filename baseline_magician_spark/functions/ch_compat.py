@@ -1450,13 +1450,17 @@ CH_FUNCTIONS.update(
         # happens inside cityhash.wrap_arith (run_ch_query enters it
         # automatically).
         "cityHash64": _city_hash64_multi,
+        # farmHash64 stays a bucketing stand-in: FarmHash Fingerprint64
+        # has no vendored spec in the reference and no offline
+        # vectors, so a from-memory port could be neither canonical
+        # nor CH-compatible — worse than a documented stand-in
+        # (README hash table).
         "farmHash64": lambda *cs: F.xxhash64(
             F.lit("farm"), *[_as_col(c) for c in cs]
         ),
-        # BYTE-COMPATIBLE with CH (unlike the stand-ins above): the
-        # SAMPLE BY sampling keys. Wrap-around mod-2^64 arithmetic is
-        # decomposed into decimal(38,0) halves — ANSI long math raises
-        # on the overflow CH's UInt64 relies on
+        # BYTE-COMPATIBLE with CH: the SAMPLE BY sampling keys.
+        # Wrap-around mod-2^64 arithmetic is plain long math analyzed
+        # under cityhash.wrap_arith since round 8
         # (functions/hashing.int_hash64/int_hash32; CH spec:
         # src/Functions/FunctionsHashing.h IntHash64Impl/IntHash32Impl,
         # src/Common/HashTable/Hash.h).
@@ -2292,7 +2296,8 @@ CH_FUNCTIONS.update(
         "ngrams": _ngrams,
         "normalizeQuery": _normalize_query,
         # fingerprint use, not CH-bit-compatible (same caveat as the
-        # sipHash64 stand-in): xxhash64 over the normalized text
+        # farmHash64 stand-in): Spark xxhash64 over the normalized
+        # text — this one stays an engine-native fingerprint
         "normalizedQueryHash": lambda q: F.xxhash64(_normalize_query(q)),
         "substringUTF8": lambda s, p, ln=None: (
             F.substring(_as_col(s), p, ln)
@@ -4011,8 +4016,8 @@ CH_FUNCTIONS.update(
 # ---------------------------------------------------------------------------
 # Round-7 function tranche: map ordering, Lp norms, the text-similarity
 # fingerprint spellings (ngram/wordShingle Sim/MinHash — poly-hash
-# carriers, bucketing-compatible stand-ins like the sipHash family; CH
-# uses CityHash inside), detectLanguage as the engine's marker-token
+# carriers, bucketing-compatible fingerprints — CH uses CityHash
+# inside; the engine's poly-hash keeps them oracle-replayable), detectLanguage as the engine's marker-token
 # heuristic (CH gates the real one behind CLD2 models), A/B-test
 # minimum-sample-size closed forms, and three more 64-bit string-hash
 # stand-ins.
@@ -4207,7 +4212,8 @@ CH_FUNCTIONS.update(
         "minSampleSizeContinous": _min_sample_size_continuous,
         # CH spells it without the 'u'; accept the corrected form too
         "minSampleSizeContinuous": _min_sample_size_continuous,
-        # bucketing-compatible 64-bit stand-ins (the sipHash64 policy)
+        # bucketing-compatible 64-bit stand-ins (README hash table;
+        # neither has an offline-verifiable spec or vectors here)
         "wyHash64": lambda *cs: F.xxhash64(
             F.lit("wy"), *[_as_col(c) for c in cs]
         ),
@@ -4229,7 +4235,7 @@ CH_FUNCTIONS.update(
 # and authority are excluded from cutting (separators inside
 # 'https://host' never split). URLHash(url, N) hashes hierarchy level
 # N (1-based) with the same single-trailing-separator trim as the
-# 1-arg form, over the documented cityHash64 stand-in.
+# 1-arg form, over genuine CityHash64 (byte-exact since round 8).
 
 _URL_SEPS = ("/", "?", "#")
 
@@ -4871,7 +4877,9 @@ CH_FUNCTIONS.update(
 # parameter tail, JSON validity probes, GENUINE halfMD5 (first 8 MD5
 # bytes as big-endian UInt64 — byte-compatible with CH, replayable in
 # any engine with md5()), human-size/time-delta parsers, week-boundary
-# modes, normalized Gini, and the murmur hash stand-in family (the
+# modes, normalized Gini, and the murmur hash family (since round 8
+# murmurHash2_64/murmurHash3_32 are canonical — functions/murmur.py —
+# and the rest remain stand-ins; the
 # sipHash64 bucketing-compatible policy).
 # ---------------------------------------------------------------------------
 
