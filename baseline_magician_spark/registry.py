@@ -47,86 +47,80 @@ _loaded = False
 # families, freshly-fixed rows, and operators added this round — land
 # inside the checked window; everything else follows in registration
 # order. Rotate per round.
-# Round-8 window (the harness checks the first 50 names; a test pins
+# Round-9 window (the harness checks the first 50 names; a test pins
 # len <= 50 so nothing silently falls outside it). Union of rounds
-# 1-7: 209/210 checked. This window:
-# - leads with profile_documents_table, the only never-checked name
-#   (registered after the r7 window froze);
-# - then ALL 22 r3-stale names (oldest remaining driver rows — after
-#   this round nothing older than r4 remains);
-# - new round-8 registrations as they land (appended to their block
-#   in the SAME commit that registers them; each costs an r4-stale
+# 1-8: all 218 registered names checked at least once, latest check
+# green. This window runs EDF (earliest-deadline-first) over driver
+# rows:
+# - ALL 32 r4-era rows first — the oldest remaining; once the r9
+#   record lands they are 5 rounds behind, exactly the gate's
+#   MAX_LAG_ROUNDS, so every one of them must be in this window
+#   (tests/test_rotation_staleness.py enforces this);
+# - new round-9 registrations as they land (appended to their block
+#   in the SAME commit that registers them; each costs an r5-stale
 #   trade to stay under the 50 pin);
-# - the rest: r4-stale names picked for operator diversity (50
-#   remain; the leftovers rotate in r9). The full local sweep — the
-#   driver's OWN canonicalization (tests/test_oracle_parity.py) —
-#   remains the compensating control for everything outside the
-#   window, and tests/test_rotation_staleness.py now FAILS if any
-#   name's latest driver row falls >4 rounds behind while absent
-#   from this window.
+# - the rest: r5-stale names picked for operator diversity (the
+#   leftover r5 rows reach lag 5 at r10 and lead the r10 window).
+# The full local sweep — the driver's OWN canonicalization
+# (tests/test_oracle_parity.py) — remains the compensating control
+# for everything outside the window.
 _PRIORITY: tuple[str, ...] = (
-    # never driver-checked
-    "profile_documents_table",
-    # all 22 r3-stale rows (complete — nothing r3 remains after r8)
-    "ch_sql_with_totals",
-    "dedup_semantic_keep_best",
-    "dedup_simhash_band_pairs",
-    "events_hourly_rollup_incremental",
-    "multimodal_audio_window_rms",
-    "multimodal_frame_deltas",
-    "pipeline_bucketed_batches",
-    "pipeline_curriculum_phases",
-    "rag_chunk_overlap_manifest",
-    "sample_temperature_weights",
-    "similarity_ivfpq_topk",
-    "similarity_lsh_neardup_pairs",
-    "similarity_pq_adc_topk",
-    "similarity_pq_codes",
-    "skew_salted_join_event_types",
-    "streaming_hourly_rollup_merge",
-    "text_bloom_vocab_screen",
-    "text_bpe_merge_step",
-    "text_cms_heavy_hitters",
-    "text_pii_redaction",
-    "text_tfidf_top_terms",
-    "text_unigram_lm_scores",
-    # new round-8 queries land here as they register (slots held —
-    # the len <= 50 pin forces an r4-stale trade for each extra one)
-    "ch_sql_cityhash64",
-    "similarity_recall_at_k",
-    "dedup_duplicated_spans_pairwise",
-    "ch_sql_siphash64",
-    "ch_sql_murmur_hashes",
-    "pipeline_contamination_spans",
-    "ch_sql_xxhash",
-    "pipeline_span_excision",
-    # re-check: sampling_hashes changed this round (URLHash moved out
-    # when it went byte-exact; intHash chains re-spelled wrap-mode)
-    "ch_sql_sampling_hashes",
-    # r4-stale rotation (oldest remaining driver rows, diverse ops;
-    # one traded out per new registration above; traded so far:
-    # semi_anti_join_customers, json_props_stats,
-    # grouping_sets_quantity, exact_percentiles_by_type,
-    # dedup_incremental_ingest, cube_revenue_by_flag_status,
-    # ch_sql_json_extract, ch_sql_scalar_with, histogram_event_values)
-    "asof_join_latest_order",
-    "ch_sql_any_join",
-    "ch_sql_exists_correlated",
-    "ch_sql_insert_select",
-    "ch_sql_tpch_q6",
-    "ch_sql_tpch_q17",
-    "dedup_exact_groups",
-    "dedup_simhash_clusters",
-    "multimodal_wav_decode",
-    "pipeline_corpus_cleanup",
-    "profile_orders_table",
-    "sample_stratified_by_lang",
-    "similarity_lsh_bucket_histogram",
-    "streaming_windowed_counts",
-    "streaming_sessionize_gap",
-    "text_dsir_importance",
-    "window_running_revenue",
-    "unpivot_lineitem_measures",
+    # all 32 r4-stale rows (complete — nothing r4 remains after r9)
+    "ch_sql_in_correlated",
+    "ch_sql_intersect_users",
+    "ch_sql_json_extract",
+    "ch_sql_not_in_correlated",
+    "ch_sql_scalar_with",
+    "ch_sql_star_modifiers",
+    "cube_revenue_by_flag_status",
+    "dedup_incremental_ingest",
+    "dedup_keep_best_per_cluster",
+    "dedup_simhash_fingerprints",
+    "distinct_users_by_type",
+    "exact_percentiles_by_type",
+    "extremes_value_by_type",
+    "grouping_sets_quantity",
+    "histogram_event_values",
+    "json_props_stats",
+    "multimodal_frame_sample",
+    "pipeline_training_export",
+    "pivot_quantity_by_status",
+    "rollup_totals_by_region_nation",
+    "sample_mixture_plan",
+    "sample_quota_per_source",
+    "sample_split_train_valid_test",
+    "semi_anti_join_customers",
+    "set_ops_customer_tiers",
+    "similarity_pq_recon_error",
+    "skew_salted_distinct_users",
+    "streaming_baseline_windows",
+    "time_window_recent_events",
+    "window_lag_lead_user_deltas",
+    "window_range_frame_sliding_sum",
+    "window_topn_orders_per_segment",
+    # new round-9 queries land here as they register (slots held —
+    # the len <= 50 pin forces an r5-stale trade for each extra one)
+    # r5-stale rotation (oldest rows after the r4 block, diverse
+    # ops; one traded out per new registration above; the ~31 r5
+    # leftovers lead the r10 window at lag 5)
+    "baseline_thresholds",
+    "q1_pricing_summary",
+    "ch_sql_tpch_q3",
+    "ch_sql_param_binding",
+    "ch_sql_recursive_cte",
+    "ch_sql_in_external_table",
+    "dedup_edit_distance_pairs",
+    "multimodal_bmp_decode",
+    "pipeline_sequence_packing",
+    "similarity_ivf_topk",
+    "similarity_kmeans_three_steps",
+    "streaming_stateful_anomalies",
+    "streaming_click_purchase_join",
+    "text_language_id",
+    "text_quality_scores",
+    "text_frequent_ngrams_topk",
+    "udaf_weighted_mean",
+    "approx_distinct_and_quantiles",
 )
 
 

@@ -18,7 +18,38 @@ import re
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-MAX_LAG_ROUNDS = 4
+
+# With N registered queries and a 50-slot window, a perfect
+# earliest-deadline-first rotation re-checks each name every
+# ceil(N/50) rounds, so the tightest enforceable lag bound is
+# ceil(N/50) — names AT the bound are exempted by window membership
+# (they are about to be re-checked). 4 was feasible up to 200
+# registered queries; at 218+ the bound must be 5 (feasible up to
+# 250 — test_window_capacity_feasible below gates that ceiling).
+# Round 8 demonstrated the off-by-one this fixes: recording
+# CORRECTNESS_r08.json pushed 32 r4 rows to exactly lag 4 while the
+# committed window was still the r8 set, turning the suite red on
+# the recording commit itself. At ceil(N/50)+window-exemption the
+# record-then-rotate workflow stays green as long as every name
+# reaching the bound is in the NEXT round's window.
+MAX_LAG_ROUNDS = 5
+WINDOW_SLOTS = 50
+
+
+def test_window_capacity_feasible():
+    """The lag bound is only enforceable while registered queries fit
+    MAX_LAG_ROUNDS full windows; fail loudly before the rotation
+    becomes mathematically impossible rather than letting the
+    staleness gate go red on a driver record."""
+    from baseline_magician_spark.registry import get_queries
+
+    n = len(get_queries())
+    assert n <= MAX_LAG_ROUNDS * WINDOW_SLOTS, (
+        f"{n} registered queries cannot all be re-checked within "
+        f"{MAX_LAG_ROUNDS} rounds of a {WINDOW_SLOTS}-slot window; "
+        "raise MAX_LAG_ROUNDS (and accept slower re-check cadence) "
+        "or split the registry across driver rounds"
+    )
 
 
 def _correctness_rounds() -> dict[int, dict]:
