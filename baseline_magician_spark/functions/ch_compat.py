@@ -81,6 +81,43 @@ def _le16(h: Column) -> Column:
     )
 
 
+def _le8(h: Column) -> Column:
+    """UInt32-valued long -> 8 hex chars of its 4-byte LE layout."""
+    return F.regexp_replace(
+        F.reverse(F.lpad(F.hex(h), 8, "0")), "(.)(.)", "$2$1"
+    )
+
+
+def _xxh64_multi(*cs) -> Column:
+    """xxHash64(a[, b, ...]): canonical XXH64 (seed 0) per argument
+    (string rendering); multi-arg combines CH-style — XXH64 of the
+    16-byte little-endian pair (h_prev, h_i), the same
+    combineHashesFunc pattern as sipHash64/murmurHash2_64. Fixes the
+    round-8 divergence where multi-arg hashed the concatenated
+    renderings (xxHash64('ab','c') == xxHash64('a','bc'), a collision
+    class CH does not have)."""
+    from .xxhash import xxh64 as _xxh64_col
+
+    hashes = [_xxh64(_as_col(c).cast("string")) for c in cs]
+    out = hashes[0]
+    for h in hashes[1:]:
+        out = _xxh64_col(F.unhex(F.concat(_le16(out), _le16(h))))
+    return out
+
+
+def _xxh32_multi(*cs) -> Column:
+    """xxHash32(a[, b, ...]): canonical XXH32 (seed 0) per argument;
+    multi-arg combines as XXH32 of the 8-byte LE pair of the two
+    UInt32 values."""
+    from .xxhash import xxh32 as _xxh32_col
+
+    hashes = [_xxh32(_as_col(c).cast("string")) for c in cs]
+    out = hashes[0]
+    for h in hashes[1:]:
+        out = _xxh32_col(F.unhex(F.concat(_le8(out), _le8(h))))
+    return out
+
+
 def _sip_hash64_multi(*cs) -> Column:
     """sipHash64(a[, b, ...]): each argument hashed as its string
     rendering; multi-arg combines CH-style — SipHash of the 16-byte
@@ -1420,18 +1457,11 @@ CH_FUNCTIONS.update(
         # xxHash32('Hello, world!') = 834093149). The pre-round-8
         # spelling (Spark's xxhash64 = seed 42 over the type-tagged
         # row encoding) could never match CH for strings. Multi-arg
-        # hashes the concatenated string renderings — CH multi-arg
-        # semantics are update-chains; documented divergence.
-        "xxHash64": lambda *cs: _xxh64(
-            F.concat(*[_as_col(c).cast("string") for c in cs])
-            if len(cs) > 1
-            else _as_col(cs[0])
-        ),
-        "xxHash32": lambda *cs: _xxh32(
-            F.concat(*[_as_col(c).cast("string") for c in cs])
-            if len(cs) > 1
-            else _as_col(cs[0])
-        ),
+        # combines as the hash of the 16-/8-byte LE pair since round
+        # 9 — the same combineHashesFunc pattern the rest of the
+        # byte-exact family uses.
+        "xxHash64": _xxh64_multi,
+        "xxHash32": _xxh32_multi,
         # canonical SipHash-2-4 with zero key — the algorithm CH
         # documents for sipHash64 (functions/siphash.py; validated
         # against the SipHash paper's reference vectors; CH-server

@@ -102,6 +102,48 @@ def test_ch_sql_and_raw_bytes(spark):
     ) == _sl(xxh64_py(data))
 
 
+def test_ch_sql_multiarg_combine(spark):
+    """Multi-arg combines CH-style (round 9): hash of the 16-/8-byte
+    LE pair of the per-arg hashes — NOT the concatenated renderings,
+    so ('ab','c') and ('a','bc') no longer collide."""
+    import struct
+
+    df = spark.createDataFrame([(1,)], "i long")
+    tabs = {"t": df}
+
+    def one(sql):
+        return run_ch_query(sql, tabs).collect()[0][0]
+
+    want64 = _sl(
+        xxh64_py(
+            struct.pack("<QQ", xxh64_py(b"a"), xxh64_py(b"b"))
+        )
+    )
+    assert one("SELECT xxHash64('a', 'b') AS r FROM t") == want64
+    want32 = xxh32_py(
+        struct.pack("<II", xxh32_py(b"a"), xxh32_py(b"b"))
+    )
+    assert one("SELECT xxHash32('a', 'b') AS r FROM t") == want32
+    # three-arg left fold
+    want3 = _sl(
+        xxh64_py(
+            struct.pack(
+                "<QQ",
+                xxh64_py(
+                    struct.pack(
+                        "<QQ", xxh64_py(b"a"), xxh64_py(b"b")
+                    )
+                ),
+                xxh64_py(b"c"),
+            )
+        )
+    )
+    assert one("SELECT xxHash64('a', 'b', 'c') AS r FROM t") == want3
+    assert one("SELECT xxHash64('ab', 'c') AS r FROM t") != one(
+        "SELECT xxHash64('a', 'bc') AS r FROM t"
+    )
+
+
 def test_duckdb_emitters_match_model():
     con = duckdb.connect()
     rng = random.Random(21)
