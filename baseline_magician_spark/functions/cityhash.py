@@ -861,16 +861,47 @@ _BAD_SQL_TOKEN = __import__("re").compile(
     r"lambdavariable|subquery|[=%!<>|&^+*/-]\("
 )
 
+# Allowlist gate for the text path (round 9, ADVICE). F.expr parses
+# eagerly but analyzes lazily: a repr outside the old denylist that
+# parses yet fails to RESOLVE used to surface as a user-facing
+# AnalysisException at action time instead of the documented builder
+# fallback — and a repr that coincidentally resolved to a real column
+# would silently hash the wrong value. Since resolution cannot be
+# probed without the target DataFrame, the text path now accepts only
+# renderings built from (a) calls to this fixed set of functions
+# whose repr is verified to reparse-and-resolve to themselves, (b) a
+# conservative character set (plain identifiers = column refs,
+# literals, parens/commas), and (c) a parse/print round-trip
+# (str(F.expr(inner)) == repr) that catches quoting or structure lost
+# in the repr. Anything else — unknown call names, backticked
+# identifiers, operator prefix forms — takes the Column builder,
+# which is always semantically exact.
+_SQL_STR_LIT = __import__("re").compile(r"'(?:[^'\\]|\\.)*'")
+_CALLED_NAME = __import__("re").compile(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(")
+_SAFE_TEXT = __import__("re").compile(r"[A-Za-z0-9_ ,.()]*\Z")
+_SAFE_CALLS = frozenset(
+    {
+        "substring", "substr", "concat", "concat_ws", "cast",
+        "try_cast", "regexp_replace", "regexp_extract", "lower",
+        "upper", "trim", "ltrim", "rtrim", "lpad", "rpad", "reverse",
+        "replace", "translate", "left", "right", "split_part",
+        "coalesce", "ifnull", "nullif", "nvl", "unhex", "hex",
+        "unbase64", "base64", "length", "octet_length", "char_length",
+        "encode", "decode", "repeat", "initcap", "format_string",
+        "elt", "space", "to_binary",
+    }
+)
+
 
 def col_sql(col) -> str | None:
-    """Best-effort SQL text of a Column, or None when it will not
-    round-trip through F.expr. Spark 4 classic removed
+    """Best-effort SQL text of a Column, or None when it is not in
+    the PROVEN-safe subset for F.expr. Spark 4 classic removed
     ``Column.expr()``; the ColumnNode's repr ("Column<'...'>") is the
     remaining rendering. It prints SOME operators in prefix form
-    ("=(a, b)") which the parser accepts as a function call but the
-    analyzer will not resolve — those, lambda variables, and
-    subqueries all disqualify the text path (callers fall back to
-    their Column builder)."""
+    ("=(a, b)") which the parser accepts as a function call but may
+    not resolve — those, lambda variables, subqueries, and any call
+    outside _SAFE_CALLS disqualify the text path (callers fall back
+    to their Column builder)."""
     try:
         txt = str(col)
     except Exception:
@@ -878,7 +909,19 @@ def col_sql(col) -> str | None:
     if not (txt.startswith("Column<'") and txt.endswith("'>")):
         return None
     inner = txt[len("Column<'") : -2]
-    if _BAD_SQL_TOKEN.search(inner.lower()):
+    low = inner.lower()
+    if _BAD_SQL_TOKEN.search(low):
+        return None
+    stripped = _SQL_STR_LIT.sub("", low)
+    if "'" in stripped or not _SAFE_TEXT.fullmatch(stripped):
+        return None
+    for name in _CALLED_NAME.findall(stripped):
+        if name not in _SAFE_CALLS:
+            return None
+    try:
+        if str(F.expr(inner)) != txt:
+            return None
+    except Exception:
         return None
     return inner
 
