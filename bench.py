@@ -111,9 +111,16 @@ def main() -> None:
     # (INSERT SELECT write, VALUES append, read-back) — 1.6 s idle
     # floor against a 0.8 s best-ever budget. Cause and numbers:
     # BASELINE.md.
+    # similarity_lsh_bucket_histogram joined the class in r8: the
+    # embeddings table is 2,000 rows at sf0.1, so the query is ~ms of
+    # data work behind ~0.3-0.5 s of scan/schedule lifecycle; its
+    # 0.78 s best-ever budget (an idle r4 run) left the 2x gate
+    # within scheduler-contention range and it tripped at 2.5 s under
+    # loadavg 3-5 while measuring 1.1 s warm standalone.
     _BUDGET_FLOORS = {
         "streaming_baseline_windows": 2.0,
         "ch_sql_insert_select": 1.3,
+        "similarity_lsh_bucket_histogram": 1.2,
     }
     for _n, _floor in _BUDGET_FLOORS.items():
         if _n in budgets:
