@@ -32,11 +32,103 @@ from .hashing import int_hash64 as _int_hash64
 from .ip import ip4_to_long, long_to_ip4
 
 
+# ---------------------------------------------------------------------------
+# Numeric hash-argument parity (round 9). CH hashes a numeric
+# argument's NATIVE little-endian binary layout (UInt64 LE bytes,
+# Float64 bit pattern, Date as UInt16 days, DateTime as UInt32
+# seconds — src/Functions/FunctionsHashing.h applies the hash to
+# sizeof(T) bytes of the column value). The Column builders here are
+# type-blind, so run_ch_query publishes its table env's column
+# dtypes before compiling; a hash argument whose repr is a BARE
+# column name of known numeric dtype (the SAMPLE BY shape) hashes
+# its LE bytes, everything else keeps the string rendering
+# (documented divergence for computed numeric expressions — wrap
+# them in toString() for the old behavior explicitly).
+_HASH_DTYPES: dict[str, str] = {}
+_BARE_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+class hash_arg_types:
+    """Context manager installing the bare-column dtype map used by
+    the byte-exact hash family for numeric-layout parity. Names whose
+    dtype differs across tables must be pre-dropped by the caller."""
+
+    def __init__(self, dtypes: dict[str, str]) -> None:
+        self._new = dtypes
+
+    def __enter__(self) -> None:
+        self._old = dict(_HASH_DTYPES)
+        _HASH_DTYPES.clear()
+        _HASH_DTYPES.update(self._new)
+
+    def __exit__(self, *exc) -> None:
+        _HASH_DTYPES.clear()
+        _HASH_DTYPES.update(self._old)
+
+
+def _num_le_bytes(c: Column, dt: str) -> Column | None:
+    """The value's CH-native little-endian byte layout as a BINARY
+    column, or None for dtypes with no fixed CH layout here."""
+    width = None
+    if dt == "bigint":
+        width, v = 8, c
+    elif dt == "int":
+        width, v = 4, c.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    elif dt == "smallint":
+        width, v = 2, c.cast("long").bitwiseAND(F.lit(0xFFFF))
+    elif dt in ("tinyint", "boolean"):
+        width, v = 1, c.cast("int").cast("long").bitwiseAND(F.lit(0xFF))
+    elif dt == "double":
+        # IEEE-754 bit pattern via JVM reflection (CallMethodViaReflection
+        # — JVM-side, no Python round trip; returns the long as text)
+        width, v = 8, F.reflect(
+            F.lit("java.lang.Double"), F.lit("doubleToRawLongBits"), c
+        ).cast("long")
+    elif dt == "float":
+        width, v = 4, F.reflect(
+            F.lit("java.lang.Float"), F.lit("floatToRawIntBits"), c
+        ).cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    elif dt == "date":
+        # CH Date = UInt16 days since epoch
+        width, v = 2, F.datediff(
+            c, F.to_date(F.lit("1970-01-01"))
+        ).cast("long").bitwiseAND(F.lit(0xFFFF))
+    elif dt == "timestamp":
+        # CH DateTime = UInt32 unix seconds
+        width, v = 4, F.unix_timestamp(c).bitwiseAND(F.lit(0xFFFFFFFF))
+    if width is None:
+        return None
+    le = F.regexp_replace(
+        F.reverse(F.lpad(F.hex(v), 2 * width, "0")), "(.)(.)", "$2$1"
+    )
+    return F.when(c.isNotNull(), F.unhex(le))
+
+
+def _hash_arg_bytes(c) -> Column:
+    """The byte stream CH would hash for this argument: native LE
+    bytes for a bare numeric column of the current query's table env,
+    the string rendering otherwise (byte-preserving for string/binary
+    — Spark's binary->string cast reinterprets, it does not
+    transcode)."""
+    c = _as_col(c)
+    if _HASH_DTYPES:
+        txt = str(c)
+        if txt.startswith("Column<'") and txt.endswith("'>"):
+            inner = txt[len("Column<'") : -2]
+            if _BARE_IDENT.fullmatch(inner):
+                dt = _HASH_DTYPES.get(inner)
+                if dt is not None:
+                    b = _num_le_bytes(c, dt)
+                    if b is not None:
+                        return b
+    return c.cast("string")
+
+
 def _city_hash64_multi(*cs) -> Column:
     """cityHash64(a[, b, ...]): each argument hashed as its string
     rendering, then left-folded through CH's combineHashes
     (Hash128to64). Single-arg strings are byte-exact with CH."""
-    hashes = [_city_hash64(_as_col(c).cast("string")) for c in cs]
+    hashes = [_city_hash64(_hash_arg_bytes(c)) for c in cs]
     out = hashes[0]
     for h in hashes[1:]:
         out = _city_combine(out, h)
@@ -50,7 +142,7 @@ def _murmur2_64_multi(*cs) -> Column:
     from .murmur import murmur2_64 as _m2_col
     from .murmur import murmur2_64_fast as _m2
 
-    hashes = [_m2(_as_col(c).cast("string")) for c in cs]
+    hashes = [_m2(_hash_arg_bytes(c)) for c in cs]
     out = hashes[0]
     for h in hashes[1:]:
         out = _m2_col(F.unhex(F.concat(_le16(out), _le16(h))))
@@ -64,7 +156,7 @@ def _murmur3_32_multi(*cs) -> Column:
     from .murmur import murmur3_32 as _m3_col
     from .murmur import murmur3_32_fast as _m3
 
-    hashes = [_m3(_as_col(c).cast("string")) for c in cs]
+    hashes = [_m3(_hash_arg_bytes(c)) for c in cs]
     out = hashes[0]
     for h in hashes[1:]:
         le8 = lambda x: F.regexp_replace(  # noqa: E731
@@ -98,7 +190,7 @@ def _xxh64_multi(*cs) -> Column:
     class CH does not have)."""
     from .xxhash import xxh64 as _xxh64_col
 
-    hashes = [_xxh64(_as_col(c).cast("string")) for c in cs]
+    hashes = [_xxh64(_hash_arg_bytes(c)) for c in cs]
     out = hashes[0]
     for h in hashes[1:]:
         out = _xxh64_col(F.unhex(F.concat(_le16(out), _le16(h))))
@@ -111,7 +203,7 @@ def _xxh32_multi(*cs) -> Column:
     UInt32 values."""
     from .xxhash import xxh32 as _xxh32_col
 
-    hashes = [_xxh32(_as_col(c).cast("string")) for c in cs]
+    hashes = [_xxh32(_hash_arg_bytes(c)) for c in cs]
     out = hashes[0]
     for h in hashes[1:]:
         out = _xxh32_col(F.unhex(F.concat(_le8(out), _le8(h))))
@@ -128,7 +220,7 @@ def _sip_hash64_multi(*cs) -> Column:
             F.reverse(F.lpad(F.hex(h), 16, "0")), "(.)(.)", "$2$1"
         )
 
-    hashes = [_sip_hash64(_as_col(c).cast("string")) for c in cs]
+    hashes = [_sip_hash64(_hash_arg_bytes(c)) for c in cs]
     out = hashes[0]
     for h in hashes[1:]:
         out = _sip_hash64_col(

@@ -2162,6 +2162,32 @@ def run_ch_query(
         if externals:
             tables = {**tables, **{e.name: e.df for e in externals}}
 
+    # Publish the table env's bare-column dtypes for the byte-exact
+    # hash family (round 9): CH hashes numeric arguments' native LE
+    # layouts, and the type-blind Column builders resolve a bare
+    # column name against this map to pick the byte path. Names whose
+    # dtype differs across tables are dropped (ambiguous -> string
+    # rendering, the conservative pre-round-9 behavior).
+    from ..functions.ch_compat import hash_arg_types
+
+    dmap: dict[str, str] = {}
+    drop: set[str] = set()
+    for _df in tables.values():
+        for _name, _dt in _df.dtypes:
+            if _name in dmap and dmap[_name] != _dt:
+                drop.add(_name)
+            dmap[_name] = _dt
+    for _name in drop:
+        dmap.pop(_name, None)
+    with hash_arg_types(dmap):
+        return _run_ch_parsed(sql, tables, broadcast_dims)
+
+
+def _run_ch_parsed(
+    sql: str,
+    tables: dict[str, DataFrame],
+    broadcast_dims: bool,
+) -> DataFrame:
     # Wrap-dependent hash functions (intHash64/32, cityHash64,
     # URLHash) compile to PLAIN long arithmetic that relies on Java
     # wrap-on-overflow — the expressions must be ANALYZED under

@@ -3938,6 +3938,104 @@ def ch_sql_cityhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_CITYHASH_SQL, tabs)
 
 
+# Numeric hash-argument parity end-to-end (round 9): CH hashes a
+# numeric argument's native little-endian layout, and since round 9
+# so does the engine for bare numeric columns (run_ch_query publishes
+# the table env's dtypes; ch_compat._hash_arg_bytes picks the byte
+# path). The probe hashes two BIGINT columns through all six
+# byte-exact family members in one pass; the oracle replays each
+# algorithm in DuckDB HUGEINT through the u64-mode emitters
+# (functions/hash_numeric.py — byte k of the stream is arithmetic on
+# the value, the length class is statically 8). Each side renders
+# the algorithms independently of the Spark Column builders, so the
+# driver compare is value-exact, not stored constants.
+_NUMHASH_SQL = """
+SELECT et,
+       count(*) AS n,
+       min(ch) AS ch_min, max(ch) AS ch_max, uniqExact(ch) AS ch_uniq,
+       min(sh) AS sh_min, max(sh) AS sh_max,
+       min(x64) AS x64_min, max(x64) AS x64_max,
+       min(m2) AS m2_min, max(m2) AS m2_max,
+       min(x32) AS x32_min, max(x32) AS x32_max,
+       min(m3) AS m3_min, max(m3) AS m3_max
+FROM (
+  SELECT event_type AS et,
+         cityHash64(user_id) AS ch,
+         sipHash64(user_id) AS sh,
+         xxHash64(user_id) AS x64,
+         murmurHash2_64(event_id) AS m2,
+         xxHash32(event_id) AS x32,
+         murmurHash3_32(user_id) AS m3
+  FROM fastnetmon.events
+  WHERE event_id % 10 = 9
+)
+GROUP BY et
+ORDER BY et
+"""
+
+
+def _numeric_hash_oracle() -> str:
+    from ..functions.cityhash import staged_ctes
+    from ..functions.hash_numeric import (
+        CityU64Emitter,
+        MurmurU64Emitter,
+        SipU64Emitter,
+        XxU64Emitter,
+    )
+
+    p64 = 1 << 64
+    city = CityU64Emitter("zc")
+    ch = city.signed(city.h4to8("u", "8"))
+    c1, l1 = staged_ctes(city, "b1")
+    sip = SipU64Emitter("zs")
+    sh = sip.signed(sip.chain("u", "8", 1))
+    c2, l2 = staged_ctes(sip, l1)
+    xx = XxU64Emitter("zx")
+    x64 = xx.signed64(xx.xxh64_chain("u", "8", 0))
+    c3, l3 = staged_ctes(xx, l2)
+    xx32 = XxU64Emitter("zy")
+    x32 = xx32.xxh32_chain("ev", "8", 0)
+    c4, l4 = staged_ctes(xx32, l3)
+    m2e = MurmurU64Emitter("zm")
+    m2 = m2e.signed64(m2e.m2_chain("ev", "8", 1))
+    c5, l5 = staged_ctes(m2e, l4)
+    m3e = MurmurU64Emitter("zn")
+    m3 = m3e.m3_chain("u", "8", 2)
+    c6, l6 = staged_ctes(m3e, l5)
+    return f"""
+    WITH b1 AS (
+      SELECT event_type AS et,
+             (CAST(user_id AS HUGEINT) % {p64} + {p64}) % {p64} AS u,
+             (CAST(event_id AS HUGEINT) % {p64} + {p64}) % {p64} AS ev
+      FROM events WHERE event_id % 10 = 9
+    ),
+    {c1},
+    {c2},
+    {c3},
+    {c4},
+    {c5},
+    {c6}
+    SELECT et, count(*) AS n,
+           min({ch}) AS ch_min, max({ch}) AS ch_max,
+           count(DISTINCT {ch}) AS ch_uniq,
+           min({sh}) AS sh_min, max({sh}) AS sh_max,
+           min({x64}) AS x64_min, max({x64}) AS x64_max,
+           min({m2}) AS m2_min, max({m2}) AS m2_max,
+           CAST(min({x32}) AS BIGINT) AS x32_min,
+           CAST(max({x32}) AS BIGINT) AS x32_max,
+           CAST(min({m3}) AS BIGINT) AS m3_min,
+           CAST(max({m3}) AS BIGINT) AS m3_max
+    FROM {l6} GROUP BY et ORDER BY et
+    """
+
+
+@query("ch_sql_numeric_hashes", _numeric_hash_oracle())
+def ch_sql_numeric_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tabs = _tables(spark, sf_dir, "events")
+    tabs["events"] = tabs["events"].repartition(16)
+    return run_ch_query(_NUMHASH_SQL, tabs)
+
+
 # Round-7 function tranche end-to-end: map ordering digests, LpNorm,
 # the marker-heuristic detectLanguage, the ngram/wordShingle
 # Sim/MinHash fingerprint spellings (poly-hash carriers — the oracle

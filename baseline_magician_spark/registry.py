@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_topn_orders_per_segment",
     # new round-9 queries land here as they register (slots held —
     # the len <= 50 pin forces an r5-stale trade for each extra one)
+    "ch_sql_numeric_hashes",
     # r5-stale rotation (oldest rows after the r4 block, diverse
     # ops; one traded out per new registration above; the ~31 r5
     # leftovers lead the r10 window at lag 5)
@@ -120,7 +121,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality_scores",
     "text_frequent_ngrams_topk",
     "udaf_weighted_mean",
-    "approx_distinct_and_quantiles",
 )
 
 

@@ -1,0 +1,203 @@
+"""Numeric hash-argument parity (round 9): CH hashes numeric
+arguments' native LE layouts; the engine resolves bare numeric
+columns through run_ch_query's dtype context and hashes their bytes.
+Three rings of evidence:
+
+1. Spark end-to-end == Python byte model over every supported dtype
+   (bigint/int/double/date/timestamp), including negatives, -0.0,
+   and the 2^63 straddle.
+2. The DuckDB u64-mode emitters == the Python models over random
+   64-bit values (the oracle ring for the driver probe).
+3. Computed numeric EXPRESSIONS still hash their string rendering
+   (the documented fallback), and mixed multi-arg chains combine.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+import struct
+
+import duckdb
+import pytest
+
+from baseline_magician_spark.functions.cityhash import _sl, city_hash64_py
+from baseline_magician_spark.functions.hash_numeric import (
+    CityU64Emitter,
+    MurmurU64Emitter,
+    SipU64Emitter,
+    XxU64Emitter,
+)
+from baseline_magician_spark.functions.murmur import (
+    murmur2_64_py,
+    murmur3_32_py,
+)
+from baseline_magician_spark.functions.siphash import sip_hash64_py
+from baseline_magician_spark.functions.xxhash import xxh32_py, xxh64_py
+from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+_EPOCH = datetime.date(1970, 1, 1)
+
+ROWS = [
+    (
+        0,
+        -1,
+        123456789,
+        3.5,
+        -0.0,
+        datetime.date(2024, 5, 17),
+        datetime.datetime(2021, 3, 4, 5, 6, 7),
+    ),
+    (
+        7,
+        2**62 + 1234567,
+        -987654321,
+        -123.456e30,
+        1.0,
+        _EPOCH,
+        datetime.datetime(1970, 1, 1, 0, 0, 1),
+    ),
+    (
+        -(2**63),
+        2**63 - 1,
+        -1,
+        float("inf"),
+        5e-324,
+        datetime.date(2149, 6, 6),
+        datetime.datetime(2106, 2, 7, 6, 28, 15),
+    ),
+]
+
+_FNS = [
+    ("cityHash64", city_hash64_py, True),
+    ("sipHash64", sip_hash64_py, True),
+    ("xxHash64", xxh64_py, True),
+    ("murmurHash2_64", murmur2_64_py, True),
+    ("xxHash32", xxh32_py, False),
+    ("murmurHash3_32", murmur3_32_py, False),
+]
+
+
+def _le8(v: int) -> bytes:
+    return struct.pack("<Q", v & (2**64 - 1))
+
+
+def _le4(v: int) -> bytes:
+    return struct.pack("<I", v & (2**32 - 1))
+
+
+@pytest.fixture(scope="module")
+def tabs(spark):
+    df = spark.createDataFrame(
+        ROWS,
+        "lg long, lg2 long, iv int, dv double, dv2 double, "
+        "dt date, ts timestamp",
+    )
+    return {"t": df}
+
+
+def _vals(tabs, sql):
+    return [r[0] for r in run_ch_query(sql, tabs).collect()]
+
+
+def test_spark_numeric_layouts_match_models(tabs):
+    for fn, model, sgn in _FNS:
+        w = (lambda x: _sl(x)) if sgn else (lambda x: x)
+        for col, enc in [
+            ("lg", lambda r: _le8(r[0])),
+            ("lg2", lambda r: _le8(r[1])),
+            ("iv", lambda r: _le4(r[2])),
+            ("dv", lambda r: struct.pack("<d", r[3])),
+            ("dv2", lambda r: struct.pack("<d", r[4])),
+            ("dt", lambda r: struct.pack("<H", (r[5] - _EPOCH).days)),
+            (
+                "ts",
+                lambda r: _le4(
+                    int(
+                        r[6]
+                        .replace(tzinfo=datetime.timezone.utc)
+                        .timestamp()
+                    )
+                ),
+            ),
+        ]:
+            got = _vals(tabs, f"SELECT {fn}({col}) AS r FROM t")
+            want = [w(model(enc(r))) for r in ROWS]
+            assert got == want, (fn, col)
+
+
+def test_expression_args_keep_string_rendering(tabs):
+    # lg + 0 is not a bare column: hashes the string rendering, like
+    # an explicit toString would
+    got = _vals(tabs, "SELECT cityHash64(lg + 0) AS r FROM t")
+    want = [_sl(city_hash64_py(str(r[0]).encode())) for r in ROWS]
+    assert got == want
+    got2 = _vals(tabs, "SELECT cityHash64(toString(lg)) AS r FROM t")
+    assert got2 == want
+
+
+def test_mixed_multiarg_combines_numeric_bytes(tabs):
+    from baseline_magician_spark.functions.cityhash import _hl16_py
+
+    got = _vals(tabs, "SELECT cityHash64(lg, 'x') AS r FROM t")
+    want = [
+        _sl(
+            _hl16_py(
+                city_hash64_py(_le8(r[0])), city_hash64_py(b"x")
+            )
+        )
+        for r in ROWS
+    ]
+    assert got == want
+
+
+def test_null_numeric_hashes_to_null(spark):
+    df = spark.createDataFrame([(None,)], "lg long")
+    got = _vals({"t": df}, "SELECT xxHash64(lg) AS r FROM t")
+    assert got == [None]
+
+
+def test_duckdb_u64_emitters_match_models():
+    rng = random.Random(11)
+    vals = [0, 1, 2**63, 2**64 - 1] + [
+        rng.getrandbits(64) for _ in range(12)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE b1 AS SELECT CAST(v AS HUGEINT) AS u FROM "
+        "(VALUES " + ", ".join(f"({v})" for v in vals) + ") t(v)"
+    )
+
+    def staged(em, h):
+        prev = "b1"
+        ctes = []
+        for i, s in enumerate(em.steps):
+            nm = f"{em.prefix}_s{i}"
+            ctes.append(f"{nm} AS (SELECT *, {s} FROM {prev})")
+            prev = nm
+        sql = f"WITH {', '.join(ctes)} SELECT u, {h} FROM {prev}"
+        return dict(con.execute(sql).fetchall())
+
+    em = CityU64Emitter("c")
+    got = staged(em, em.h4to8("u", "8"))
+    assert got == {v: city_hash64_py(_le8(v)) for v in vals}
+
+    em = SipU64Emitter("s")
+    got = staged(em, em.chain("u", "8", 1))
+    assert got == {v: sip_hash64_py(_le8(v)) for v in vals}
+
+    em = XxU64Emitter("x")
+    got = staged(em, em.xxh64_chain("u", "8", 0))
+    assert got == {v: xxh64_py(_le8(v)) for v in vals}
+
+    em = XxU64Emitter("y")
+    got = staged(em, em.xxh32_chain("u", "8", 0))
+    assert got == {v: xxh32_py(_le8(v)) for v in vals}
+
+    em = MurmurU64Emitter("m")
+    got = staged(em, em.m2_chain("u", "8", 1))
+    assert got == {v: murmur2_64_py(_le8(v)) for v in vals}
+
+    em = MurmurU64Emitter("n")
+    got = staged(em, em.m3_chain("u", "8", 2))
+    assert got == {v: murmur3_32_py(_le8(v)) for v in vals}
