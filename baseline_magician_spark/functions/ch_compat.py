@@ -210,6 +210,75 @@ def _xxh32_multi(*cs) -> Column:
     return out
 
 
+def _murmur2_32_seeded_multi(seed: int, mask: int | None = None):
+    """MurmurHash2-32 family builder: murmurHash2_32 (seed 0) and
+    kafkaMurmurHash (Kafka's Utils.murmur2 seed 0x9747b28c with the
+    toPositive sign mask, applied per hash like CH's Impl). Multi-arg
+    combines as the hash of the 8-byte LE pair."""
+
+    def build(*cs) -> Column:
+        from .murmur import murmur2_32 as _m232
+
+        def one(b: Column) -> Column:
+            h = _m232(b, seed)
+            return (
+                h.bitwiseAND(F.lit(mask)) if mask is not None else h
+            )
+
+        hashes = [one(_hash_arg_bytes(c)) for c in cs]
+        out = hashes[0]
+        for h in hashes[1:]:
+            out = one(F.unhex(F.concat(_le8(out), _le8(h))))
+        return out
+
+    return build
+
+
+def _gcc_murmur_multi(*cs) -> Column:
+    """gccMurmurHash: libstdc++ _Hash_bytes = MurmurHash64A at seed
+    0xc70f6907 (byte-identical chunk/tail/final mixes — see
+    murmur.murmur2_64_sql); multi-arg combines as the hash of the
+    16-byte LE pair."""
+    from .murmur import GCC_SEED
+    from .murmur import murmur2_64 as _m2_col
+    from .murmur import murmur2_64_fast as _m2
+
+    hashes = [_m2(_hash_arg_bytes(c), GCC_SEED) for c in cs]
+    out = hashes[0]
+    for h in hashes[1:]:
+        out = _m2_col(
+            F.unhex(F.concat(_le16(out), _le16(h))), GCC_SEED
+        )
+    return out
+
+
+def _murmur3_64_multi(*cs) -> Column:
+    """murmurHash3_64: XOR of the two MurmurHash3_x64_128 halves
+    (FunctionsHashing.h MurmurHash3Impl64); multi-arg combines as the
+    hash of the 16-byte LE pair."""
+    from .murmur3_128 import murmur3_64 as _m3_64
+
+    hashes = [_m3_64(_hash_arg_bytes(c)) for c in cs]
+    out = hashes[0]
+    for h in hashes[1:]:
+        out = _m3_64(F.unhex(F.concat(_le16(out), _le16(h))))
+    return out
+
+
+def _murmur3_128_multi(*cs) -> Column:
+    """murmurHash3_128: canonical x64_128, rendered as the 32
+    uppercase hex chars of the 16 output bytes (h1 LE, h2 LE) — the
+    engine's carrier for CH's FixedString(16). Multi-arg folds by
+    hashing the 32-byte concatenation of the two digests."""
+    from .murmur3_128 import murmur3_128_hex as _m3_hex
+
+    digests = [_m3_hex(_hash_arg_bytes(c)) for c in cs]
+    out = digests[0]
+    for d in digests[1:]:
+        out = _m3_hex(F.unhex(F.concat(out, d)))
+    return out
+
+
 def _sip_hash64_multi(*cs) -> Column:
     """sipHash64(a[, b, ...]): each argument hashed as its string
     rendering; multi-arg combines CH-style — SipHash of the 16-byte
@@ -4334,16 +4403,20 @@ CH_FUNCTIONS.update(
         "minSampleSizeContinous": _min_sample_size_continuous,
         # CH spells it without the 'u'; accept the corrected form too
         "minSampleSizeContinuous": _min_sample_size_continuous,
-        # bucketing-compatible 64-bit stand-ins (README hash table;
-        # neither has an offline-verifiable spec or vectors here)
+        # bucketing-compatible 64-bit stand-in (README hash table;
+        # wyhash has no offline-verifiable vectors here)
         "wyHash64": lambda *cs: F.xxhash64(
             F.lit("wy"), *[_as_col(c) for c in cs]
         ),
-        "gccMurmurHash": lambda *cs: F.xxhash64(
-            F.lit("gcc"), *[_as_col(c) for c in cs]
-        ),
-        "kafkaMurmurHash": lambda *cs: F.xxhash64(
-            F.lit("kafka"), *[_as_col(c) for c in cs]
+        # canonical since round 9: libstdc++ _Hash_bytes is
+        # MurmurHash64A at seed 0xc70f6907 (identical chunk/tail/
+        # final mixes), Kafka's Utils.murmur2 is MurmurHash2-32 at
+        # seed 0x9747b28c with the toPositive sign mask — the 32-bit
+        # core is pinned against Kafka's published UtilsTest vectors
+        # (murmur.murmur2_32_py).
+        "gccMurmurHash": _gcc_murmur_multi,
+        "kafkaMurmurHash": _murmur2_32_seeded_multi(
+            0x9747B28C, mask=0x7FFFFFFF
         ),
     }
 )
@@ -5302,35 +5375,15 @@ CH_FUNCTIONS.update(
         # arithmetic via run_ch_query's auto wrap_arith.
         "murmurHash2_64": _murmur2_64_multi,
         "murmurHash3_32": _murmur3_32_multi,
-        # bucketing-compatible stand-ins (remaining murmur family)
-        "murmurHash2_32": lambda *cs: F.hash(
-            F.lit("mm2"), *[_as_col(c) for c in cs]
-        ).cast("long"),
-        "murmurHash3_64": lambda *cs: F.xxhash64(
-            F.lit("mm3"), *[_as_col(c) for c in cs]
-        ),
-        # 128-bit stand-in rendered as 32 hex chars (CH returns
-        # FixedString(16))
-        "murmurHash3_128": lambda *cs: F.concat(
-            F.lpad(
-                F.hex(
-                    F.xxhash64(
-                        F.lit("mm3a"), *[_as_col(c) for c in cs]
-                    )
-                ),
-                16,
-                "0",
-            ),
-            F.lpad(
-                F.hex(
-                    F.xxhash64(
-                        F.lit("mm3b"), *[_as_col(c) for c in cs]
-                    )
-                ),
-                16,
-                "0",
-            ),
-        ),
+        # canonical since round 9 (were bucketing stand-ins):
+        # MurmurHash2-32 at seed 0 (the Kafka-vector-validated core,
+        # murmur.murmur2_32_py) and MurmurHash3 x64_128
+        # (mmh3-README-vector-validated, functions/murmur3_128.py);
+        # murmurHash3_64 = XOR of the two 128 halves per
+        # FunctionsHashing.h MurmurHash3Impl64.
+        "murmurHash2_32": _murmur2_32_seeded_multi(0),
+        "murmurHash3_64": _murmur3_64_multi,
+        "murmurHash3_128": _murmur3_128_multi,
     }
 )
 

@@ -58,6 +58,36 @@ def murmur2_64_py(data: bytes, seed: int = 0) -> int:
     return h
 
 
+M2_32 = 0x5BD1E995  # MurmurHash2 (32-bit) multiplier
+KAFKA_SEED = 0x9747B28C  # Kafka Utils.murmur2 seed
+GCC_SEED = 0xC70F6907  # libstdc++ _Hash_bytes seed
+
+
+def murmur2_32_py(data: bytes, seed: int = 0) -> int:
+    """Appleby's MurmurHash2 (32-bit). Validated against Kafka's
+    published Utils.murmur2 test vectors at seed 0x9747b28c ("21" ->
+    -973932308, "abc" -> 479470107, "foobar" -> -790332482, ... —
+    kafka clients/src/test UtilsTest), which pins every code path;
+    CH murmurHash2_32 is the same algorithm at seed 0."""
+    n = len(data)
+    h = (seed ^ n) & _M32
+    for off in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[off : off + 4], "little")
+        k = (k * M2_32) & _M32
+        k ^= k >> 24
+        k = (k * M2_32) & _M32
+        h = (h * M2_32) & _M32
+        h ^= k
+    rem = n % 4
+    if rem:
+        h ^= int.from_bytes(data[n - rem :], "little")
+        h = (h * M2_32) & _M32
+    h ^= h >> 13
+    h = (h * M2_32) & _M32
+    h ^= h >> 15
+    return h
+
+
 def _rotl32_py(x: int, r: int) -> int:
     return ((x << r) | (x >> (32 - r))) & _M32
 
@@ -104,10 +134,14 @@ def _f32le_sql(b: str, pos: str) -> str:
     )
 
 
-def murmur2_64_sql(input_sql: str) -> str:
-    """MurmurHash64A(seed 0) as ONE Spark-SQL text expression.
-    Analyze under wrap_arith."""
+def murmur2_64_sql(input_sql: str, seed: int = 0) -> str:
+    """MurmurHash64A as ONE Spark-SQL text expression. Analyze
+    under wrap_arith. ``seed`` covers gccMurmurHash (libstdc++
+    _Hash_bytes seed 0xc70f6907 — byte-identical algorithm: its
+    shift_mix(load*m)*m chunk step and tail/final mixes are
+    MurmurHash64A's, only the seed differs)."""
     m = f"{_sl(M2)}L"
+    h0 = f"({_sl(seed)}L^(nb*{m}))" if seed else f"nb*{m}"
     # word step (state h, index wi): bind k mixed, then fold into h
     word = _f64le_sql("bb", "(wi*8+1)")
     step = (
@@ -123,10 +157,10 @@ def murmur2_64_sql(input_sql: str) -> str:
     )
     body = (
         f"element_at(transform(array("
-        # h0 = n * m  (seed 0), then the word fold
+        # h0 = seed ^ (n * m), then the word fold
         f"CASE WHEN CAST(nb DIV 8 AS INT)>0 THEN "
-        f"aggregate(sequence(0,CAST(nb DIV 8 AS INT)-1),nb*{m},"
-        f"(mh,wi)->{step}) ELSE nb*{m} END),"
+        f"aggregate(sequence(0,CAST(nb DIV 8 AS INT)-1),{h0},"
+        f"(mh,wi)->{step}) ELSE {h0} END),"
         f"mh2->element_at(transform(array("
         f"CASE WHEN nb%8>0 THEN (mh2^({tail}))*{m} ELSE mh2 END),"
         f"mh3->element_at(transform(array("
@@ -204,7 +238,7 @@ def _fast(col, sql_fn, col_fn) -> Column:
 
 
 # ------------------------------------------------------ column builders
-def murmur2_64(col) -> Column:
+def murmur2_64(col, seed: int = 0) -> Column:
     c = col if isinstance(col, Column) else F.col(col)
 
     def build(b: Column) -> Column:
@@ -226,7 +260,7 @@ def murmur2_64(col) -> Column:
                 ),
             )
 
-        h0 = nn * m  # seed 0
+        h0 = nn * m if not seed else F.lit(_sl(seed)).bitwiseXOR(nn * m)
         folded = F.when(
             nwords > 0,
             F.aggregate(F.sequence(F.lit(0), nwords - 1), h0, step),
@@ -243,6 +277,57 @@ def murmur2_64(col) -> Column:
                 lambda h3: _let1(
                     (h3.bitwiseXOR(_ushr(h3, 47))) * m,
                     lambda h4: h4.bitwiseXOR(_ushr(h4, 47)),
+                ),
+            ),
+        )
+
+    return F.when(c.isNotNull(), _let1(c.cast("binary"), build))
+
+
+def murmur2_32(col, seed: int = 0) -> Column:
+    """Appleby's MurmurHash2 (32-bit) as a Column (UInt32 as a
+    non-negative BIGINT; NULL in -> NULL out). seed 0 = CH
+    murmurHash2_32; seed 0x9747b28c = Kafka Utils.murmur2 (the
+    kafkaMurmurHash base). Analyze under wrap_arith."""
+    c = col if isinstance(col, Column) else F.col(col)
+    m32c = F.lit(_M32)
+    m = F.lit(M2_32)
+
+    def build(b: Column) -> Column:
+        nn = F.length(b).cast("long")
+        nwords = F.floor(nn / F.lit(4)).cast("int")
+
+        def f32le(src: Column, pos: Column) -> Column:
+            hx = F.hex(F.substring(src, pos.cast("int"), F.lit(4)))
+            le = F.regexp_replace(F.reverse(hx), "(.)(.)", "$2$1")
+            return F.conv(le, 16, 10).cast("long")
+
+        def step(h: Column, wi: Column) -> Column:
+            return _let1(
+                (f32le(b, wi * 4 + 1) * m).bitwiseAND(m32c),
+                lambda k0: _let1(
+                    (k0.bitwiseXOR(_ushr(k0, 24)) * m).bitwiseAND(m32c),
+                    lambda k1: (h * m).bitwiseAND(m32c).bitwiseXOR(k1),
+                ),
+            )
+
+        h0 = F.lit(seed).bitwiseXOR(nn)
+        folded = F.when(
+            nwords > 0,
+            F.aggregate(F.sequence(F.lit(0), nwords - 1), h0, step),
+        ).otherwise(h0)
+        padded = F.concat(b, F.lit(bytes(4)))
+        tail = f32le(padded, nn - nn % 4 + 1)
+        return _let1(
+            folded,
+            lambda h2: _let1(
+                F.when(
+                    nn % 4 > 0,
+                    (h2.bitwiseXOR(tail) * m).bitwiseAND(m32c),
+                ).otherwise(h2),
+                lambda h3: _let1(
+                    (h3.bitwiseXOR(_ushr(h3, 13)) * m).bitwiseAND(m32c),
+                    lambda h4: h4.bitwiseXOR(_ushr(h4, 15)),
                 ),
             ),
         )
@@ -316,8 +401,12 @@ def murmur3_32(col) -> Column:
     return F.when(c.isNotNull(), _let1(c.cast("binary"), build))
 
 
-def murmur2_64_fast(col) -> Column:
-    return _fast(col, murmur2_64_sql, murmur2_64)
+def murmur2_64_fast(col, seed: int = 0) -> Column:
+    return _fast(
+        col,
+        lambda s: murmur2_64_sql(s, seed),
+        lambda c: murmur2_64(c, seed),
+    )
 
 
 def murmur3_32_fast(col) -> Column:
@@ -359,8 +448,10 @@ class MurmurEmitter:
             f"(({a} * {cl}) + (({a} * {ch}) % {_P32}) * {_P32}) % {_P64}"
         )
 
-    def m2_chain(self, e: str, n: str, words: int) -> str:
-        h = self.m2_mul(f"CAST({n} AS HUGEINT)")  # seed 0: h = n*m
+    def m2_chain(self, e: str, n: str, words: int, seed: int = 0) -> str:
+        h = self.m2_mul(f"CAST({n} AS HUGEINT)")  # h = n*m
+        if seed:
+            h = self.emit(f"xor(CAST({seed} AS HUGEINT), {h})")
         for w in range(words):
             k = self.f_le(e, str(w * 8 + 1), 8)
             k = self.m2_mul(k)
@@ -377,11 +468,47 @@ class MurmurEmitter:
         h = self.m2_mul(self.emit(f"xor({h}, {h} // {1 << 47})"))
         return self.emit(f"xor({h}, {h} // {1 << 47})")
 
-    def m2_dispatch(self, e: str, n: str, max_len: int) -> str:
+    def m2_dispatch(
+        self, e: str, n: str, max_len: int, seed: int = 0
+    ) -> str:
         arms = []
         for w in range(max_len // 8 + 1):
-            h = self.m2_chain(e, n, w)
+            h = self.m2_chain(e, n, w, seed)
             arms.append(f"WHEN ({n}) // 8 = {w} THEN {h}")
+        return self.emit("CASE " + " ".join(arms) + " END")
+
+    # ---- MurmurHash2 (32-bit; seed 0 = CH murmurHash2_32, seed
+    # 0x9747b28c = the Kafka base)
+    def m2_32_mul(self, a: str) -> str:
+        return self.emit(f"({a} * {M2_32}) % {_P32}")
+
+    def m2_32_chain(
+        self, e: str, n: str, words: int, seed: int = 0
+    ) -> str:
+        h = self.emit(
+            f"xor(CAST({seed} AS HUGEINT), CAST({n} AS HUGEINT))"
+        )
+        for w in range(words):
+            k = self.m2_32_mul(self.f_le(e, str(w * 4 + 1), 4))
+            k = self.m2_32_mul(
+                self.emit(f"xor({k}, {k} // {1 << 24})")
+            )
+            h = self.emit(f"xor({self.m2_32_mul(h)}, {k})")
+        tail = self.f_le(e, f"({n}) - (({n}) % 4) + 1", 4)
+        h = self.emit(
+            f"CASE WHEN ({n}) % 4 > 0 THEN "
+            f"(xor({h}, {tail}) * {M2_32}) % {_P32} ELSE {h} END"
+        )
+        h = self.m2_32_mul(self.emit(f"xor({h}, {h} // {1 << 13})"))
+        return self.emit(f"xor({h}, {h} // {1 << 15})")
+
+    def m2_32_dispatch(
+        self, e: str, n: str, max_len: int, seed: int = 0
+    ) -> str:
+        arms = []
+        for w in range(max_len // 4 + 1):
+            h = self.m2_32_chain(e, n, w, seed)
+            arms.append(f"WHEN ({n}) // 4 = {w} THEN {h}")
         return self.emit("CASE " + " ".join(arms) + " END")
 
     # ---- MurmurHash3 x86_32

@@ -2119,7 +2119,9 @@ def _exec_with_set_expr(
 # arithmetic at ANALYSIS time — see run_ch_query below
 _WRAP_HASH_RE = re.compile(
     r"\b(intHash64|intHash32|cityHash64|URLHash|sipHash64"
-    r"|murmurHash2_64|murmurHash3_32|xxHash64|xxHash32)\s*\(",
+    r"|murmurHash2_64|murmurHash3_32|xxHash64|xxHash32"
+    r"|murmurHash2_32|murmurHash3_64|murmurHash3_128"
+    r"|kafkaMurmurHash|gccMurmurHash)\s*\(",
     re.IGNORECASE
 )
 

@@ -4036,6 +4036,162 @@ def ch_sql_numeric_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_NUMHASH_SQL, tabs)
 
 
+# Canonical MurmurHash3 x64_128 + gccMurmurHash end-to-end (round 9):
+# probe lengths 0..47 sweep the block-free path, 1-2 16-byte blocks,
+# and every 15-remainder tail class of x64_128 (including the
+# k2-free <=8 tails and the k2 tail start at 9); gcc rides the
+# MurmurHash64A machinery at the libstdc++ seed over lengths 0..31.
+# Oracles replay both in DuckDB HUGEINT (Murmur128Emitter /
+# MurmurEmitter, block count CASE-dispatched). murmurHash3_128's hex
+# rendering shares the same two 64-bit halves and is pinned in
+# tests/test_murmur3_128.py.
+_M3_PAD = "=+~" * 16  # 48 chars ASCII filler
+
+_MURMUR3_SQL = f"""
+SELECT et,
+       count(*) AS n,
+       min(m3) AS m3_min,
+       max(m3) AS m3_max,
+       uniqExact(m3) AS m3_uniq,
+       min(mg) AS mg_min,
+       max(mg) AS mg_max,
+       uniqExact(mg) AS mg_uniq
+FROM (
+  SELECT event_type AS et,
+         murmurHash3_64(substring(
+             concat(event_type, toString(user_id), '{_M3_PAD}'),
+             1, toInt32(event_id % 48))) AS m3,
+         gccMurmurHash(substring(
+             concat(toString(user_id), event_type, '{_M3_PAD}'),
+             1, toInt32(event_id % 32))) AS mg
+  FROM fastnetmon.events
+  WHERE event_id % 10 = 2
+)
+GROUP BY et
+ORDER BY et
+"""
+
+
+def _murmur3_oracle() -> str:
+    from ..functions.cityhash import staged_ctes
+    from ..functions.murmur import GCC_SEED, MurmurEmitter
+    from ..functions.murmur3_128 import Murmur128Emitter
+
+    em = Murmur128Emitter("v")
+    m3 = em.dispatch64("e3", "n3", 47)
+    m3s = em.signed64(m3)
+    c1, l1 = staged_ctes(em, "b1")
+    gm = MurmurEmitter("vg")
+    mg = gm.m2_dispatch("eg", "ng", 31, GCC_SEED)
+    mgs = gm.signed64(mg)
+    c2, l2 = staged_ctes(gm, l1)
+    return f"""
+    WITH b0 AS (
+      SELECT event_type AS et,
+             substr(event_type || CAST(user_id AS VARCHAR)
+                      || '{_M3_PAD}',
+                    1, CAST(event_id % 48 AS INTEGER)) AS e3,
+             substr(CAST(user_id AS VARCHAR) || event_type
+                      || '{_M3_PAD}',
+                    1, CAST(event_id % 32 AS INTEGER)) AS eg
+      FROM events WHERE event_id % 10 = 2
+    ),
+    b1 AS (SELECT *, length(e3) AS n3, length(eg) AS ng FROM b0),
+    {c1},
+    {c2}
+    SELECT et, count(*) AS n,
+           min({m3s}) AS m3_min, max({m3s}) AS m3_max,
+           count(DISTINCT {m3}) AS m3_uniq,
+           min({mgs}) AS mg_min, max({mgs}) AS mg_max,
+           count(DISTINCT {mg}) AS mg_uniq
+    FROM {l2} GROUP BY et ORDER BY et
+    """
+
+
+@query("ch_sql_murmur3_hashes", _murmur3_oracle())
+def ch_sql_murmur3_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tabs = _tables(spark, sf_dir, "events")
+    tabs["events"] = tabs["events"].repartition(16)
+    return run_ch_query(_MURMUR3_SQL, tabs)
+
+
+# Canonical MurmurHash2-32 pair end-to-end (round 9): murmurHash2_32
+# (seed 0) and kafkaMurmurHash (Kafka's seed + toPositive mask — the
+# 32-bit core is pinned against Kafka's published UtilsTest vectors
+# in tests/test_murmur3_128.py). Probe lengths 0..23 cover the
+# word-free path, 1-5 full words and every 4-byte tail remainder.
+_K_PAD = "=+~" * 8  # 24 chars ASCII filler
+
+_KAFKA_SQL = f"""
+SELECT et,
+       count(*) AS n,
+       min(m2) AS m2_min,
+       max(m2) AS m2_max,
+       uniqExact(m2) AS m2_uniq,
+       min(kf) AS kf_min,
+       max(kf) AS kf_max,
+       uniqExact(kf) AS kf_uniq
+FROM (
+  SELECT event_type AS et,
+         murmurHash2_32(substring(
+             concat(event_type, toString(user_id), '{_K_PAD}'),
+             1, toInt32(event_id % 24))) AS m2,
+         kafkaMurmurHash(substring(
+             concat(toString(user_id), event_type, '{_K_PAD}'),
+             1, toInt32(event_id % 24))) AS kf
+  FROM fastnetmon.events
+  WHERE event_id % 10 = 4
+)
+GROUP BY et
+ORDER BY et
+"""
+
+
+def _kafka_oracle() -> str:
+    from ..functions.cityhash import staged_ctes
+    from ..functions.murmur import KAFKA_SEED, MurmurEmitter
+
+    em = MurmurEmitter("u")
+    m2 = em.m2_32_dispatch("e2", "n2", 23)
+    c1, l1 = staged_ctes(em, "b1")
+    km = MurmurEmitter("uk")
+    kf0 = km.m2_32_dispatch("ek", "nk", 23, KAFKA_SEED)
+    # toPositive: AND 0x7fffffff == mod 2^31 on the non-negative
+    # UInt32 carrier
+    kf = km.emit(f"({kf0} % {1 << 31})")
+    c2, l2 = staged_ctes(km, l1)
+    return f"""
+    WITH b0 AS (
+      SELECT event_type AS et,
+             substr(event_type || CAST(user_id AS VARCHAR)
+                      || '{_K_PAD}',
+                    1, CAST(event_id % 24 AS INTEGER)) AS e2,
+             substr(CAST(user_id AS VARCHAR) || event_type
+                      || '{_K_PAD}',
+                    1, CAST(event_id % 24 AS INTEGER)) AS ek
+      FROM events WHERE event_id % 10 = 4
+    ),
+    b1 AS (SELECT *, length(e2) AS n2, length(ek) AS nk FROM b0),
+    {c1},
+    {c2}
+    SELECT et, count(*) AS n,
+           CAST(min({m2}) AS BIGINT) AS m2_min,
+           CAST(max({m2}) AS BIGINT) AS m2_max,
+           count(DISTINCT {m2}) AS m2_uniq,
+           CAST(min({kf}) AS BIGINT) AS kf_min,
+           CAST(max({kf}) AS BIGINT) AS kf_max,
+           count(DISTINCT {kf}) AS kf_uniq
+    FROM {l2} GROUP BY et ORDER BY et
+    """
+
+
+@query("ch_sql_kafka_hashes", _kafka_oracle())
+def ch_sql_kafka_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tabs = _tables(spark, sf_dir, "events")
+    tabs["events"] = tabs["events"].repartition(16)
+    return run_ch_query(_KAFKA_SQL, tabs)
+
+
 # Round-7 function tranche end-to-end: map ordering digests, LpNorm,
 # the marker-heuristic detectLanguage, the ngram/wordShingle
 # Sim/MinHash fingerprint spellings (poly-hash carriers — the oracle

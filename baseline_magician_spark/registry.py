@@ -101,6 +101,8 @@ _PRIORITY: tuple[str, ...] = (
     # new round-9 queries land here as they register (slots held —
     # the len <= 50 pin forces an r5-stale trade for each extra one)
     "ch_sql_numeric_hashes",
+    "ch_sql_murmur3_hashes",
+    "ch_sql_kafka_hashes",
     # r5-stale rotation (oldest rows after the r4 block, diverse
     # ops; one traded out per new registration above; the ~31 r5
     # leftovers lead the r10 window at lag 5)
@@ -119,8 +121,6 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_click_purchase_join",
     "text_language_id",
     "text_quality_scores",
-    "text_frequent_ngrams_topk",
-    "udaf_weighted_mean",
 )
 
 
