@@ -889,6 +889,12 @@ _SAFE_CALLS = frozenset(
         "unbase64", "base64", "length", "octet_length", "char_length",
         "encode", "decode", "repeat", "initcap", "format_string",
         "elt", "space", "to_binary",
+        # NULL-guard spellings Column reprs use (the numeric byte
+        # path wraps in CASE WHEN isNotNull(col) ...), plus the
+        # deterministic builtins that path composes for the
+        # double/float/date/timestamp layouts
+        "isnotnull", "isnull", "reflect", "datediff", "to_date",
+        "unix_timestamp",
     }
 )
 
