@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from .cityhash import CityEmitter
 from .murmur import MurmurEmitter
+from .murmur3_128 import Murmur128Emitter
 from .siphash import SipEmitter
 from .xxhash import XxEmitter
 
@@ -58,3 +59,70 @@ class CityU64Emitter(CityEmitter):
 
     def f32(self, e: str, pos) -> str:
         return self.emit(_u64_fetch(e, str(pos), 4))
+
+
+# --- pair-stream mode: the combineHashes input ---------------------
+# CH's multi-arg combine hashes the little-endian PAIR of the two
+# per-argument hashes (h_prev LE || h_i LE, 16 bytes for the 64-bit
+# family, 8 for the 32-bit). In that stream every word read the
+# chains perform lands exactly at position 1 or 1+width, and every
+# other (CASE-gated, unused) fetch reads past the end — so the fetch
+# compiles to a CASE on the position expression. The chain pins the
+# length (16 or 8), making the position arithmetic constant-foldable.
+
+
+def _pair_fetch(pos: str, w1: str, w2: str, width: int) -> str:
+    return (
+        f"CASE ({pos}) WHEN 1 THEN {w1} WHEN {1 + width} THEN {w2} "
+        f"ELSE CAST(0 AS HUGEINT) END"
+    )
+
+
+class _PairMixin:
+    def _bind_pair(self, w1: str, w2: str, width: int) -> None:
+        self._pair = (w1, w2, width)
+
+    def _pf(self, pos: str) -> str:
+        w1, w2, width = self._pair
+        return self.emit(_pair_fetch(pos, w1, w2, width))
+
+
+class XxPairEmitter(_PairMixin, XxEmitter):
+    def __init__(self, prefix: str, w1: str, w2: str, width: int = 8):
+        super().__init__(prefix)
+        self._bind_pair(w1, w2, width)
+
+    def f_le(self, e: str, pos: str, nbytes: int) -> str:
+        return self._pf(pos)
+
+
+class SipPairEmitter(_PairMixin, SipEmitter):
+    def __init__(self, prefix: str, w1: str, w2: str):
+        super().__init__(prefix)
+        self._bind_pair(w1, w2, 8)
+
+    def f64le(self, e: str, pos: str) -> str:
+        return self._pf(pos)
+
+
+class MurmurPairEmitter(_PairMixin, MurmurEmitter):
+    def __init__(self, prefix: str, w1: str, w2: str, width: int = 8):
+        super().__init__(prefix)
+        self._bind_pair(w1, w2, width)
+
+    def f_le(self, e: str, pos: str, nbytes: int) -> str:
+        return self._pf(pos)
+
+
+class Murmur128U64Emitter(Murmur128Emitter):
+    def f_le(self, e: str, pos: str, nbytes: int) -> str:
+        return self.emit(_u64_fetch(e, pos, nbytes))
+
+
+class Murmur128PairEmitter(_PairMixin, Murmur128Emitter):
+    def __init__(self, prefix: str, w1: str, w2: str, width: int = 8):
+        super().__init__(prefix)
+        self._bind_pair(w1, w2, width)
+
+    def f_le(self, e: str, pos: str, nbytes: int) -> str:
+        return self._pf(pos)

@@ -4192,6 +4192,135 @@ def ch_sql_kafka_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_KAFKA_SQL, tabs)
 
 
+# Multi-argument combine chains end-to-end (round 9): CH's
+# combineHashes folds h = H(h_prev LE || h_i LE) — pytest pins it
+# per family (test_xxhash/test_murmur/test_murmur3_128); this probe
+# gives the driver the same signal. Two BIGINT columns run through
+# hash(col_a, col_b) for five families; the oracle replays per-arg
+# u64-mode hashing then the 16-byte (8-byte for kafka) pair chain
+# via the pair-stream emitters (functions/hash_numeric.py — every
+# word read in the pair chain lands at position 1 or 1+width, so the
+# fetch compiles to a CASE on the position). cityHash64's combine is
+# Hash128to64 directly (no byte stream), replayed as the emitter's
+# hl16.
+_COMBINE_SQL = """
+SELECT et,
+       count(*) AS n,
+       min(cc) AS cc_min, max(cc) AS cc_max, uniqExact(cc) AS cc_uniq,
+       min(sc) AS sc_min, max(sc) AS sc_max,
+       min(xc) AS xc_min, max(xc) AS xc_max,
+       min(mc) AS mc_min, max(mc) AS mc_max,
+       min(kc) AS kc_min, max(kc) AS kc_max
+FROM (
+  SELECT event_type AS et,
+         cityHash64(user_id, event_id) AS cc,
+         sipHash64(user_id, event_id) AS sc,
+         xxHash64(user_id, event_id) AS xc,
+         murmurHash3_64(user_id, event_id) AS mc,
+         kafkaMurmurHash(user_id, event_id) AS kc
+  FROM fastnetmon.events
+  WHERE event_id % 10 = 6
+)
+GROUP BY et
+ORDER BY et
+"""
+
+
+def _combine_oracle() -> str:
+    from ..functions.cityhash import staged_ctes
+    from ..functions.hash_numeric import (
+        CityU64Emitter,
+        Murmur128PairEmitter,
+        Murmur128U64Emitter,
+        MurmurPairEmitter,
+        MurmurU64Emitter,
+        SipPairEmitter,
+        SipU64Emitter,
+        XxPairEmitter,
+        XxU64Emitter,
+    )
+    from ..functions.murmur import KAFKA_SEED
+
+    p64 = 1 << 64
+    p31 = 1 << 31
+    parts: list[tuple[str, str]] = []
+
+    def stage(em, base: str) -> str:
+        ctes, last = staged_ctes(em, base)
+        parts.append((ctes, last))
+        return last
+
+    city = CityU64Emitter("pc")
+    cc = city.signed(city.hl16(city.h4to8("u", "8"), city.h4to8("ev", "8")))
+    last = stage(city, "b1")
+
+    sipu = SipU64Emitter("ps")
+    s1 = sipu.chain("u", "8", 1)
+    s2 = sipu.chain("ev", "8", 1)
+    last = stage(sipu, last)
+    sipp = SipPairEmitter("pt", s1, s2)
+    sc = sipp.signed(sipp.chain("pair", "16", 2))
+    last = stage(sipp, last)
+
+    xxu = XxU64Emitter("px")
+    x1 = xxu.xxh64_chain("u", "8", 0)
+    x2 = xxu.xxh64_chain("ev", "8", 0)
+    last = stage(xxu, last)
+    xxp = XxPairEmitter("py", x1, x2)
+    xc = xxp.signed64(xxp.xxh64_chain("pair", "16", 0))
+    last = stage(xxp, last)
+
+    m3u = Murmur128U64Emitter("pm")
+    a1, b1 = m3u.chain("u", "8", 0)
+    m1 = m3u.emit(f"xor({a1}, {b1})")
+    a2, b2 = m3u.chain("ev", "8", 0)
+    m2 = m3u.emit(f"xor({a2}, {b2})")
+    last = stage(m3u, last)
+    m3p = Murmur128PairEmitter("pn", m1, m2)
+    pa, pb = m3p.chain("pair", "16", 1)
+    mc = m3p.signed64(m3p.emit(f"xor({pa}, {pb})"))
+    last = stage(m3p, last)
+
+    kfu = MurmurU64Emitter("pk")
+    k1 = kfu.emit(f"({kfu.m2_32_chain('u', '8', 2, KAFKA_SEED)} % {p31})")
+    k2 = kfu.emit(f"({kfu.m2_32_chain('ev', '8', 2, KAFKA_SEED)} % {p31})")
+    last = stage(kfu, last)
+    kfp = MurmurPairEmitter("pl", k1, k2, width=4)
+    kc = kfp.emit(
+        f"({kfp.m2_32_chain('pair', '8', 2, KAFKA_SEED)} % {p31})"
+    )
+    last = stage(kfp, last)
+
+    ctes = ",\n    ".join(c for c, _ in parts)
+    return f"""
+    WITH b1 AS (
+      SELECT event_type AS et,
+             (CAST(user_id AS HUGEINT) % {p64} + {p64}) % {p64} AS u,
+             (CAST(event_id AS HUGEINT) % {p64} + {p64}) % {p64} AS ev
+      FROM events WHERE event_id % 10 = 6
+    ),
+    {ctes}
+    SELECT et, count(*) AS n,
+           min({cc}) AS cc_min, max({cc}) AS cc_max,
+           count(DISTINCT {cc}) AS cc_uniq,
+           min({sc}) AS sc_min, max({sc}) AS sc_max,
+           min({xc}) AS xc_min, max({xc}) AS xc_max,
+           min({mc}) AS mc_min, max({mc}) AS mc_max,
+           CAST(min({kc}) AS BIGINT) AS kc_min,
+           CAST(max({kc}) AS BIGINT) AS kc_max
+    FROM {last} GROUP BY et ORDER BY et
+    """
+
+
+@query("ch_sql_hash_combine_chains", _combine_oracle())
+def ch_sql_hash_combine_chains(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tabs = _tables(spark, sf_dir, "events")
+    tabs["events"] = tabs["events"].repartition(16)
+    return run_ch_query(_COMBINE_SQL, tabs)
+
+
 # Round-7 function tranche end-to-end: map ordering digests, LpNorm,
 # the marker-heuristic detectLanguage, the ngram/wordShingle
 # Sim/MinHash fingerprint spellings (poly-hash carriers — the oracle

@@ -103,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_numeric_hashes",
     "ch_sql_murmur3_hashes",
     "ch_sql_kafka_hashes",
+    "ch_sql_hash_combine_chains",
     # r5-stale rotation (oldest rows after the r4 block, diverse
     # ops; one traded out per new registration above; the ~31 r5
     # leftovers lead the r10 window at lag 5)
@@ -120,7 +121,6 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_stateful_anomalies",
     "streaming_click_purchase_join",
     "text_language_id",
-    "text_quality_scores",
 )
 
 
