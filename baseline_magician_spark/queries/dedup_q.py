@@ -981,3 +981,125 @@ def pipeline_leakage_safe_split(
             F.col("cluster_id"), SPLIT_FRACTIONS, SPLIT_SEED
         ).alias("split"),
     )
+
+
+# --- content-defined chunking (round 9) ------------------------------------
+# Sub-document dedup primitive: Gear rolling-hash boundaries (pure
+# variant — no min/max clamps, so the cut decision is a function of
+# the trailing WINDOW chars only: parallel per position, stable
+# under repartitioning, shift-invariant, and exactly replayable
+# below in DuckDB list algebra). operators/cdc.py documents the
+# 100 TB shape; all constants are shared between engines through the
+# operator module so they cannot drift.
+
+CDC_SPAN_SUBSET = 5  # doc_id % 5 == 0 keeps the per-position fold
+CDC_SHARED_SUBSET = 2  # a microbenchmark at driver-check scale
+CDC_MIN_SHARED_LEN = 8
+
+
+def _cdc_base_ctes(where: str) -> str:
+    from ..operators.cdc import GOLD, MASK_BITS, MOD, WINDOW
+
+    return f"""
+    d AS (
+      SELECT doc_id, text FROM documents
+      WHERE {where} AND length(text) > 0
+    ),
+    c AS (
+      SELECT doc_id, text,
+             list_transform(
+               list_filter(string_split(text, ''), ch -> ch <> ''),
+               ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+      FROM d
+    ),
+    gg AS (
+      SELECT *, list_transform(
+        codes, b -> ((b % 256) + 1) * {GOLD} % {MOD}) AS gs
+      FROM c
+    ),
+    hh AS (
+      SELECT *, list_transform(
+        range(1, len(gs) + 1),
+        i -> list_reduce(
+               list_prepend(
+                 CAST(0 AS BIGINT),
+                 list_slice(gs, greatest(1, i - {WINDOW} + 1),
+                            CAST(i AS INT))),
+               (a, v) -> (a * 2 + v) % {MOD})) AS hs
+      FROM gg
+    ),
+    ee AS (
+      SELECT *, list_filter(
+        list_transform(
+          range(1, len(hs) + 1),
+          i -> CASE WHEN hs[CAST(i AS INT)] % {1 << MASK_BITS} = 0
+                    THEN i ELSE -1 END),
+        x -> x >= 0) AS ends
+      FROM hh
+    ),
+    aa AS (
+      SELECT *, list_concat(
+        list_concat([CAST(0 AS BIGINT)],
+                    list_filter(ends, e -> e < len(codes))),
+        [CAST(len(codes) AS BIGINT)]) AS aug
+      FROM ee
+    ),
+    sp AS (
+      SELECT doc_id, text, CAST(i AS BIGINT) AS chunk_ord,
+             aug[CAST(i AS INT)] + 1 AS chunk_start,
+             aug[CAST(i AS INT) + 1] - aug[CAST(i AS INT)] AS chunk_len
+      FROM aa, unnest(range(1, len(aug))) AS t(i)
+    )
+    """
+
+
+def _cdc_chunk_fp_sql() -> str:
+    return poly_hash_duckdb(
+        "substr(text, CAST(chunk_start AS INT), CAST(chunk_len AS INT))"
+    )
+
+
+def _cdc_spans_oracle() -> str:
+    return f"""
+    WITH {_cdc_base_ctes(f"doc_id % {CDC_SPAN_SUBSET} = 0")}
+    SELECT doc_id, chunk_ord, chunk_start, chunk_len,
+           {_cdc_chunk_fp_sql()} AS chunk_fp
+    FROM sp
+    """
+
+
+@query("dedup_cdc_chunk_spans", _cdc_spans_oracle())
+def dedup_cdc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import cdc_chunks
+
+    docs = load_for_compute(spark, sf_dir, "documents").where(
+        F.col("doc_id") % CDC_SPAN_SUBSET == 0
+    )
+    return cdc_chunks(docs)
+
+
+def _cdc_shared_oracle() -> str:
+    return f"""
+    WITH {_cdc_base_ctes(f"doc_id % {CDC_SHARED_SUBSET} = 0")},
+    fp AS (
+      SELECT doc_id, chunk_len,
+             {_cdc_chunk_fp_sql()} AS chunk_fp
+      FROM sp WHERE chunk_len >= {CDC_MIN_SHARED_LEN}
+    )
+    SELECT chunk_fp,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences,
+           max(chunk_len) AS max_len
+    FROM fp GROUP BY chunk_fp
+    HAVING count(DISTINCT doc_id) >= 2
+    """
+
+
+@query("dedup_cdc_shared_chunks", _cdc_shared_oracle())
+def dedup_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import cdc_shared_chunks
+
+    docs = load_for_compute(spark, sf_dir, "documents").where(
+        F.col("doc_id") % CDC_SHARED_SUBSET == 0
+    )
+    return cdc_shared_chunks(docs, min_len=CDC_MIN_SHARED_LEN)

@@ -104,6 +104,8 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_murmur3_hashes",
     "ch_sql_kafka_hashes",
     "ch_sql_hash_combine_chains",
+    "dedup_cdc_chunk_spans",
+    "dedup_cdc_shared_chunks",
     # r5-stale rotation (oldest rows after the r4 block, diverse
     # ops; one traded out per new registration above; the ~31 r5
     # leftovers lead the r10 window at lag 5)
@@ -115,11 +117,9 @@ _PRIORITY: tuple[str, ...] = (
     "ch_sql_in_external_table",
     "dedup_edit_distance_pairs",
     "multimodal_bmp_decode",
-    "pipeline_sequence_packing",
     "similarity_ivf_topk",
     "similarity_kmeans_three_steps",
     "streaming_stateful_anomalies",
-    "streaming_click_purchase_join",
     "text_language_id",
 )
 

@@ -547,6 +547,34 @@ def main() -> None:
         )
         return out.count()
 
+    def numeric_hash_scan(k: int) -> int:
+        """Round-9 numeric-layout + combine-chain hash projections:
+        bare BIGINT columns hash their native LE bytes (fixed
+        8-byte chains, no per-row length dispatch), multi-arg runs
+        the pair-combine fold, and murmurHash3_64 exercises the
+        x64_128 struct-accumulator fold. One projection, no shuffle,
+        no Python — per-row cost is O(1)/O(len), total must track
+        rows; the per-tree driver analysis cost is fixed per rung
+        and amortizes exactly like wrap_hash_scan's."""
+        from baseline_magician_spark.plans.ch_sql import run_ch_query
+
+        ev = replicate(ev0, k, ["event_id", "user_id"],
+                       salt_text=False)
+        out = run_ch_query(
+            """
+            SELECT event_type AS g,
+                   min(xxHash64(user_id)) AS xh,
+                   max(cityHash64(user_id, event_id)) AS cc,
+                   sum(kafkaMurmurHash(user_id)) AS kh,
+                   max(murmurHash3_64(substring(
+                     concat(event_type, toString(user_id)),
+                     1, toInt32(event_id % 24)))) AS m3
+            FROM events GROUP BY g
+            """,
+            {"events": ev},
+        )
+        return out.count()
+
     ops = {
         "q1_agg": q1_agg,
         "minhash_lsh_pairs": minhash,
@@ -573,6 +601,7 @@ def main() -> None:
         "bigram_lm": bigram_lm,
         "round7b_scan": round7b_scan,
         "wrap_hash_scan": wrap_hash_scan,
+        "numeric_hash_scan": numeric_hash_scan,
     }
 
     # SPARK_GRAFT_STRESS_OPS=a,b,c re-runs a subset (a marginal rung
