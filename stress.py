@@ -575,6 +575,18 @@ def main() -> None:
         )
         return out.count()
 
+    def cdc_scan(k: int) -> int:
+        """Round-9 content-defined chunking: the O(window x len)
+        per-row gear fold + chunk-fingerprint groupBy. Map-side
+        except ONE uniform-key shuffle (chunk_fp); total must track
+        corpus characters."""
+        from baseline_magician_spark.operators.cdc import (
+            cdc_shared_chunks,
+        )
+
+        dd = replicate(docs0, k, ["doc_id"], salt_text=True)
+        return cdc_shared_chunks(dd, min_docs=2, min_len=8).count()
+
     ops = {
         "q1_agg": q1_agg,
         "minhash_lsh_pairs": minhash,
@@ -602,6 +614,7 @@ def main() -> None:
         "round7b_scan": round7b_scan,
         "wrap_hash_scan": wrap_hash_scan,
         "numeric_hash_scan": numeric_hash_scan,
+        "cdc_scan": cdc_scan,
     }
 
     # SPARK_GRAFT_STRESS_OPS=a,b,c re-runs a subset (a marginal rung
