@@ -584,7 +584,14 @@ def main() -> None:
             cdc_shared_chunks,
         )
 
-        dd = replicate(docs0, k, ["doc_id"], salt_text=True)
+        # pre-split the map side: the gear fold is the heaviest
+        # per-char op in the ladder and there is no shuffle above it,
+        # so without this the whole x-scale maps on ONE parquet split
+        # (at 100 TB the scan arrives pre-split; this is the local[N]
+        # equivalent, same rationale as the cityhash probe)
+        dd = replicate(docs0, k, ["doc_id"], salt_text=True).repartition(
+            32
+        )
         return cdc_shared_chunks(dd, min_docs=2, min_len=8).count()
 
     ops = {
