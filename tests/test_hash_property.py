@@ -1,12 +1,16 @@
-"""Property track for the round-8 byte-exact hash family: arbitrary
-BYTES (via unhex -> binary, so high-bit and NUL bytes are in play)
+"""Property track for the byte-exact hash family: arbitrary BYTES
+(via unhex -> binary, so high-bit and NUL bytes are in play)
 through the CH SQL surface against the pure-Python models. Each
-example batches all six hashes into ONE Spark job, so the track
+example batches the whole family into ONE Spark job, so the track
 stays cheap while sweeping unconstrained lengths across every
-stripe/chunk/tail shape. Seed-rotatable like the differential
-tracks (hypothesis derandomizes per-function by default)."""
+stripe/chunk/block/tail shape. Round 9 adds the canonical
+murmurHash3_64/128, murmurHash2_32, kafkaMurmurHash and
+gccMurmurHash. Seed-rotatable like the differential tracks
+(hypothesis derandomizes per-function by default)."""
 
 from __future__ import annotations
+
+import struct
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -16,8 +20,15 @@ from baseline_magician_spark.functions.cityhash import (
     city_hash64_py,
 )
 from baseline_magician_spark.functions.murmur import (
+    GCC_SEED,
+    KAFKA_SEED,
+    murmur2_32_py,
     murmur2_64_py,
     murmur3_32_py,
+)
+from baseline_magician_spark.functions.murmur3_128 import (
+    murmur3_64_py,
+    murmur3_128_py,
 )
 from baseline_magician_spark.functions.siphash import sip_hash64_py
 from baseline_magician_spark.functions.xxhash import xxh32_py, xxh64_py
@@ -39,7 +50,10 @@ def test_hash_family_matches_models_on_arbitrary_bytes(spark, data):
     row = run_ch_query(
         f"SELECT cityHash64({arg}) AS city, sipHash64({arg}) AS sip, "
         f"murmurHash2_64({arg}) AS m2, murmurHash3_32({arg}) AS m3, "
-        f"xxHash64({arg}) AS x64, xxHash32({arg}) AS x32 FROM t",
+        f"xxHash64({arg}) AS x64, xxHash32({arg}) AS x32, "
+        f"murmurHash3_64({arg}) AS m364, murmurHash3_128({arg}) AS m3128, "
+        f"murmurHash2_32({arg}) AS m232, kafkaMurmurHash({arg}) AS kf, "
+        f"gccMurmurHash({arg}) AS gcc FROM t",
         {"t": t},
     ).collect()[0]
     assert row.city == _sl(city_hash64_py(data)), ("city", hx)
@@ -48,3 +62,14 @@ def test_hash_family_matches_models_on_arbitrary_bytes(spark, data):
     assert row.m3 == murmur3_32_py(data), ("m3", hx)
     assert row.x64 == _sl(xxh64_py(data)), ("x64", hx)
     assert row.x32 == xxh32_py(data), ("x32", hx)
+    assert row.m364 == _sl(murmur3_64_py(data)), ("m364", hx)
+    h1, h2 = murmur3_128_py(data)
+    want128 = (
+        struct.pack("<Q", h1) + struct.pack("<Q", h2)
+    ).hex().upper()
+    assert row.m3128 == want128, ("m3128", hx)
+    assert row.m232 == murmur2_32_py(data), ("m232", hx)
+    assert row.kf == (
+        murmur2_32_py(data, KAFKA_SEED) & 0x7FFFFFFF
+    ), ("kafka", hx)
+    assert row.gcc == _sl(murmur2_64_py(data, GCC_SEED)), ("gcc", hx)
