@@ -157,6 +157,41 @@ def test_null_numeric_hashes_to_null(spark):
     assert got == [None]
 
 
+def test_property_random_bigints_match_models(spark):
+    """Property ring: batches of random int64 values (full signed
+    range) through the CH SQL surface vs the Python byte models —
+    one Spark job per batch, every family plus a two-arg combine."""
+    import random
+
+    from baseline_magician_spark.functions.cityhash import _hl16_py
+
+    rng = random.Random(23)
+    for _round in range(4):
+        vals = [
+            rng.randrange(-(2**63), 2**63) for _ in range(16)
+        ] + [0, -1, 2**63 - 1, -(2**63)]
+        df = spark.createDataFrame([(v,) for v in vals], "lg long")
+        rows = run_ch_query(
+            "SELECT lg, cityHash64(lg) AS city, sipHash64(lg) AS sip,"
+            " xxHash64(lg) AS x64, murmurHash2_64(lg) AS m2,"
+            " xxHash32(lg) AS x32, murmurHash3_32(lg) AS m3,"
+            " cityHash64(lg, lg) AS cc FROM t",
+            {"t": df},
+        ).collect()
+        got = {r["lg"]: r for r in rows}
+        for v in vals:
+            b = _le8(v)
+            r = got[v]
+            assert r["city"] == _sl(city_hash64_py(b)), v
+            assert r["sip"] == _sl(sip_hash64_py(b)), v
+            assert r["x64"] == _sl(xxh64_py(b)), v
+            assert r["m2"] == _sl(murmur2_64_py(b)), v
+            assert r["x32"] == xxh32_py(b), v
+            assert r["m3"] == murmur3_32_py(b), v
+            h = city_hash64_py(b)
+            assert r["cc"] == _sl(_hl16_py(h, h)), v
+
+
 def test_duckdb_u64_emitters_match_models():
     rng = random.Random(11)
     vals = [0, 1, 2**63, 2**64 - 1] + [
