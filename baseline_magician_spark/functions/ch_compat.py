@@ -33,102 +33,199 @@ from .ip import ip4_to_long, long_to_ip4
 
 
 # ---------------------------------------------------------------------------
-# Numeric hash-argument parity (round 9). CH hashes a numeric
-# argument's NATIVE little-endian binary layout (UInt64 LE bytes,
-# Float64 bit pattern, Date as UInt16 days, DateTime as UInt32
-# seconds — src/Functions/FunctionsHashing.h applies the hash to
-# sizeof(T) bytes of the column value). The Column builders here are
-# type-blind, so run_ch_query publishes its table env's column
-# dtypes before compiling; a hash argument whose repr is a BARE
-# column name of known numeric dtype (the SAMPLE BY shape) hashes
-# its LE bytes, everything else keeps the string rendering
-# (documented divergence for computed numeric expressions — wrap
-# them in toString() for the old behavior explicitly).
+# Numeric hash-argument parity (rounds 9-10). CH hashes a numeric
+# argument either through IntHash64Impl (functions whose
+# FunctionsHashing.h Impl sets use_int_hash_for_pods=true —
+# cityHash64 here) applied to the ZERO-EXTENDED bit pattern, or by
+# applying the byte hash to the value's NATIVE little-endian layout
+# (sizeof(T) bytes: UInt64 LE bytes, Float64 bit pattern, Date as
+# UInt16 days, DateTime as UInt32 seconds) for the
+# use_int_hash_for_pods=false family (sipHash64, xxHash64/32, the
+# murmur family). The Column builders here are type-blind, so the CH
+# SQL compiler (plans/ch_sql.py) resolves each hash argument's
+# identity where the AST is known and passes a HashArg marker:
+# literals always hash their string rendering (repr sniffing could
+# not tell F.lit('user_id') from F.col('user_id') — both print
+# Column<'user_id'> — so eligibility is decided on the parse tree,
+# not the repr); bare column refs resolve against the table env's
+# dtype map; computed expressions resolve by ANALYZING the compiled
+# Column against the env's zero-row probe frame (the analyzed-plan
+# schema), so cityHash64(user_id + 1) hashes Int64 bits like CH.
 _HASH_DTYPES: dict[str, str] = {}
-_BARE_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+_HASH_PROBE = None  # zero-row DataFrame over the env's unambiguous columns
 
 
 class hash_arg_types:
-    """Context manager installing the bare-column dtype map used by
-    the byte-exact hash family for numeric-layout parity. Names whose
-    dtype differs across tables must be pre-dropped by the caller."""
+    """Context manager installing the table-env dtype map (and the
+    zero-row probe frame used to type computed expressions) consumed
+    by the byte-exact hash family for numeric-layout parity. Names
+    whose dtype differs across tables must be pre-dropped by the
+    caller (run_ch_query drops them; the probe omits them too)."""
 
-    def __init__(self, dtypes: dict[str, str]) -> None:
+    def __init__(self, dtypes: dict[str, str], probe=None) -> None:
         self._new = dtypes
+        self._probe = probe
 
     def __enter__(self) -> None:
+        global _HASH_PROBE
         self._old = dict(_HASH_DTYPES)
+        self._old_probe = _HASH_PROBE
         _HASH_DTYPES.clear()
         _HASH_DTYPES.update(self._new)
+        _HASH_PROBE = self._probe
 
     def __exit__(self, *exc) -> None:
+        global _HASH_PROBE
         _HASH_DTYPES.clear()
         _HASH_DTYPES.update(self._old)
+        _HASH_PROBE = self._old_probe
+
+
+class HashArg:
+    """A hash-function argument with its AST-known identity: the
+    compiled Column plus the resolved Spark dtype when the argument
+    is numeric-layout eligible (None -> string rendering). Built by
+    :func:`resolve_hash_arg` from the CH SQL compiler's parse nodes;
+    plain Columns reaching the hash builders (direct API use) keep
+    the string rendering, which is always semantically exact."""
+
+    __slots__ = ("col", "dtype")
+
+    def __init__(self, col: Column, dtype: str | None) -> None:
+        self.col = col
+        self.dtype = dtype
+
+
+def resolve_hash_arg(
+    col: Column, *, literal: bool = False, bare_name: str | None = None
+) -> HashArg:
+    """Resolve a compiled hash argument's dtype from what the AST
+    knows: ``literal`` arguments hash their string rendering;
+    ``bare_name`` column refs resolve against the installed table-env
+    dtype map; anything else (computed expressions) analyzes against
+    the env's zero-row probe frame — resolution failure (lambda
+    variables, unknown columns, ambiguous dtypes) falls back to the
+    string rendering, the conservative pre-round-9 behavior."""
+    if literal:
+        return HashArg(col, None)
+    if bare_name is not None:
+        return HashArg(col, _HASH_DTYPES.get(bare_name))
+    if _HASH_PROBE is not None:
+        try:
+            dt = _HASH_PROBE.select(col).schema[0].dataType.simpleString()
+        except Exception:
+            dt = None
+        return HashArg(col, dt)
+    return HashArg(col, None)
+
+
+def _arg_col(c) -> Column:
+    return c.col if isinstance(c, HashArg) else _as_col(c)
+
+
+def _arg_dtype(c) -> str | None:
+    return c.dtype if isinstance(c, HashArg) else None
+
+
+def _num_u64(c: Column, dt: str) -> tuple[int, Column] | None:
+    """(width, value): the argument's CH-native zero-extended bit
+    pattern as a long (signed-long carrier for the UInt64 domain),
+    or None for dtypes with no fixed CH layout here. ``width`` is
+    sizeof(T) in bytes. Spellings stay inside the col_sql-safe text
+    subset where possible (pmod, plain casts) so downstream byte
+    hashes can take the single-parse F.expr path."""
+    if dt == "bigint":
+        return 8, c
+    if dt == "int":
+        return 4, F.pmod(c.cast("long"), F.lit(0x100000000))
+    if dt == "smallint":
+        return 2, F.pmod(c.cast("long"), F.lit(0x10000))
+    if dt in ("tinyint", "boolean"):
+        return 1, F.pmod(c.cast("int").cast("long"), F.lit(0x100))
+    if dt == "double":
+        # IEEE-754 bit pattern via JVM reflection (CallMethodViaReflection
+        # — JVM-side, no Python round trip; returns the long as text)
+        return 8, F.reflect(
+            F.lit("java.lang.Double"), F.lit("doubleToRawLongBits"), c
+        ).cast("long")
+    if dt == "float":
+        return 4, F.pmod(
+            F.reflect(
+                F.lit("java.lang.Float"), F.lit("floatToRawIntBits"), c
+            ).cast("long"),
+            F.lit(0x100000000),
+        )
+    if dt == "date":
+        # CH Date = UInt16 days since epoch
+        return 2, F.pmod(
+            F.datediff(c, F.to_date(F.lit("1970-01-01"))).cast("long"),
+            F.lit(0x10000),
+        )
+    if dt == "timestamp":
+        # CH DateTime = UInt32 unix seconds
+        return 4, F.pmod(F.unix_timestamp(c), F.lit(0x100000000))
+    return None
 
 
 def _num_le_bytes(c: Column, dt: str) -> Column | None:
     """The value's CH-native little-endian byte layout as a BINARY
-    column, or None for dtypes with no fixed CH layout here."""
-    width = None
-    if dt == "bigint":
-        width, v = 8, c
-    elif dt == "int":
-        width, v = 4, c.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
-    elif dt == "smallint":
-        width, v = 2, c.cast("long").bitwiseAND(F.lit(0xFFFF))
-    elif dt in ("tinyint", "boolean"):
-        width, v = 1, c.cast("int").cast("long").bitwiseAND(F.lit(0xFF))
-    elif dt == "double":
-        # IEEE-754 bit pattern via JVM reflection (CallMethodViaReflection
-        # — JVM-side, no Python round trip; returns the long as text)
-        width, v = 8, F.reflect(
-            F.lit("java.lang.Double"), F.lit("doubleToRawLongBits"), c
-        ).cast("long")
-    elif dt == "float":
-        width, v = 4, F.reflect(
-            F.lit("java.lang.Float"), F.lit("floatToRawIntBits"), c
-        ).cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
-    elif dt == "date":
-        # CH Date = UInt16 days since epoch
-        width, v = 2, F.datediff(
-            c, F.to_date(F.lit("1970-01-01"))
-        ).cast("long").bitwiseAND(F.lit(0xFFFF))
-    elif dt == "timestamp":
-        # CH DateTime = UInt32 unix seconds
-        width, v = 4, F.unix_timestamp(c).bitwiseAND(F.lit(0xFFFFFFFF))
-    if width is None:
+    column, or None for dtypes with no fixed CH layout here. The
+    byte-swap is spelled as concat-of-substrings over the zero-padded
+    hex (no regex, no CASE) so the whole rendering stays inside
+    col_sql's proven-safe text subset — the byte-exact builders then
+    compile it through their single-parse F.expr path instead of the
+    Column-builder tree (NULL propagates through hex/lpad/unhex, so
+    no guard is needed)."""
+    uw = _num_u64(c, dt)
+    if uw is None:
         return None
-    le = F.regexp_replace(
-        F.reverse(F.lpad(F.hex(v), 2 * width, "0")), "(.)(.)", "$2$1"
+    width, v = uw
+    hx = F.lpad(F.hex(v), 2 * width, "0")
+    le = F.concat(
+        *[
+            F.substring(hx, 2 * width - 2 * k - 1, 2)
+            for k in range(width)
+        ]
     )
-    return F.when(c.isNotNull(), F.unhex(le))
+    return F.unhex(le)
 
 
 def _hash_arg_bytes(c) -> Column:
     """The byte stream CH would hash for this argument: native LE
-    bytes for a bare numeric column of the current query's table env,
-    the string rendering otherwise (byte-preserving for string/binary
-    — Spark's binary->string cast reinterprets, it does not
-    transcode)."""
-    c = _as_col(c)
-    if _HASH_DTYPES:
-        txt = str(c)
-        if txt.startswith("Column<'") and txt.endswith("'>"):
-            inner = txt[len("Column<'") : -2]
-            if _BARE_IDENT.fullmatch(inner):
-                dt = _HASH_DTYPES.get(inner)
-                if dt is not None:
-                    b = _num_le_bytes(c, dt)
-                    if b is not None:
-                        return b
-    return c.cast("string")
+    bytes for a numeric-dtype argument (resolved by the compiler's
+    HashArg marker), the string rendering otherwise (byte-preserving
+    for string/binary — Spark's binary->string cast reinterprets, it
+    does not transcode)."""
+    dt = _arg_dtype(c)
+    col = _arg_col(c)
+    if dt is not None:
+        b = _num_le_bytes(col, dt)
+        if b is not None:
+            return b
+    return col.cast("string")
+
+
+def _city_one(c) -> Column:
+    """One cityHash64 argument: CH's ImplCityHash64 sets
+    use_int_hash_for_pods=true, so a numeric argument hashes through
+    IntHash64Impl (the salted fmix64) over the zero-extended bit
+    pattern — NOT CityHash64 of the LE bytes (ADVICE r9); strings
+    and binaries take genuine CityHash64 over their bytes."""
+    dt = _arg_dtype(c)
+    col = _arg_col(c)
+    if dt is not None:
+        uw = _num_u64(col, dt)
+        if uw is not None:
+            return _int_hash64(uw[1])
+    return _city_hash64(_hash_arg_bytes(c))
 
 
 def _city_hash64_multi(*cs) -> Column:
-    """cityHash64(a[, b, ...]): each argument hashed as its string
-    rendering, then left-folded through CH's combineHashes
+    """cityHash64(a[, b, ...]): each argument hashed per CH's
+    ImplCityHash64 (IntHash64Impl for numeric PODs, CityHash64 for
+    strings), then left-folded through CH's combineHashes
     (Hash128to64). Single-arg strings are byte-exact with CH."""
-    hashes = [_city_hash64(_hash_arg_bytes(c)) for c in cs]
+    hashes = [_city_one(c) for c in cs]
     out = hashes[0]
     for h in hashes[1:]:
         out = _city_combine(out, h)
@@ -181,19 +278,17 @@ def _le8(h: Column) -> Column:
 
 
 def _xxh64_multi(*cs) -> Column:
-    """xxHash64(a[, b, ...]): canonical XXH64 (seed 0) per argument
-    (string rendering); multi-arg combines CH-style — XXH64 of the
-    16-byte little-endian pair (h_prev, h_i), the same
-    combineHashesFunc pattern as sipHash64/murmurHash2_64. Fixes the
-    round-8 divergence where multi-arg hashed the concatenated
-    renderings (xxHash64('ab','c') == xxHash64('a','bc'), a collision
-    class CH does not have)."""
-    from .xxhash import xxh64 as _xxh64_col
-
+    """xxHash64(a[, b, ...]): canonical XXH64 (seed 0) per argument;
+    multi-arg combines like CH's ImplXxHash64::combineHashes —
+    CityHash_v1_0_2::Hash128to64(h_prev, h_i). xxHash64 is the one
+    64-bit family member whose combine is NOT the pair-rehash
+    combineHashesFunc pattern (that applies to sipHash64, the murmur
+    family and xxHash32); round 9 combined as XXH64 of the 16-byte
+    LE pair, which diverged from CH (ADVICE r9)."""
     hashes = [_xxh64(_hash_arg_bytes(c)) for c in cs]
     out = hashes[0]
     for h in hashes[1:]:
-        out = _xxh64_col(F.unhex(F.concat(_le16(out), _le16(h))))
+        out = _city_combine(out, h)
     return out
 
 
@@ -1641,11 +1736,13 @@ CH_FUNCTIONS.update(
         # happens inside cityhash.wrap_arith (run_ch_query enters it
         # automatically).
         "cityHash64": _city_hash64_multi,
-        # farmHash64 stays a bucketing stand-in: FarmHash Fingerprint64
-        # has no vendored spec in the reference and no offline
-        # vectors, so a from-memory port could be neither canonical
-        # nor CH-compatible — worse than a documented stand-in
-        # (README hash table).
+        # farmHash64 is a PERMANENT bucketing stand-in (round-10
+        # disposition): FarmHash Fingerprint64 has no vendored spec
+        # in the reference and no offline-verifiable vectors in this
+        # container — farmhashna reuses CityHash's structure with
+        # DIFFERENT constants, so a from-memory port could be neither
+        # validated nor CH-compatible; a documented stand-in beats an
+        # unverifiable "canonical" claim (README hash table).
         "farmHash64": lambda *cs: F.xxhash64(
             F.lit("farm"), *[_as_col(c) for c in cs]
         ),

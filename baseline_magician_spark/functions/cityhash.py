@@ -894,7 +894,7 @@ _SAFE_CALLS = frozenset(
         # deterministic builtins that path composes for the
         # double/float/date/timestamp layouts
         "isnotnull", "isnull", "reflect", "datediff", "to_date",
-        "unix_timestamp",
+        "unix_timestamp", "pmod",
     }
 )
 

@@ -1,15 +1,19 @@
 """Numeric-input oracle emitters for the byte-exact hash family.
 
-CH hashes a numeric argument's native little-endian layout
-(src/Functions/FunctionsHashing.h applies the hash to sizeof(T)
-bytes of the value); since round 9 the engine does the same for bare
-numeric columns (ch_compat._hash_arg_bytes). These subclasses replay
-the byte-exact algorithms in DuckDB HUGEINT with the input as a
-64-bit VALUE instead of an ASCII string: byte k of the stream is
-plain arithmetic on the value ((v >> 8*(k-1)) & 0xFF), and reads
-past the value's width return 0, exactly like the string emitters'
-total ascii(substr(...)) fetches. Every base-class chain routes byte
-access through ONE fetch method (f_le / f64le / f32-f64), so a
+CH hashes a numeric argument one of two ways
+(src/Functions/FunctionsHashing.h executeIntType): functions whose
+Impl sets use_int_hash_for_pods (cityHash64) route the ZERO-EXTENDED
+bit pattern through IntHash64Impl — replayed here by
+:class:`IntHash64Emitter`; the rest (sipHash64, xxHash64/32, the
+murmur family) apply the byte hash to the value's native
+little-endian layout (sizeof(T) bytes). Since round 9 the engine
+does the same (ch_compat._hash_arg_bytes / _city_one). The U64
+subclasses replay the byte-stream algorithms in DuckDB HUGEINT with
+the input as a 64-bit VALUE instead of an ASCII string: byte k of
+the stream is plain arithmetic on the value ((v >> 8*(k-1)) & 0xFF),
+and reads past the value's width return 0, exactly like the string
+emitters' ascii(substr(...)) fetches. Every base-class chain routes
+byte access through ONE fetch method (f_le / f64le / f32-f64), so a
 single override per emitter retargets the whole algorithm; the
 caller pins the length class (8 bytes for Int64/UInt64 columns), so
 the dispatch is static.
@@ -38,6 +42,27 @@ def _u64_fetch(e: str, pos: str, nbytes: int) -> str:
     )
 
 
+class IntHash64Emitter(CityEmitter):
+    """CH IntHash64Impl in DuckDB HUGEINT (staged steps): fmix64 of
+    x ^ salt. This — not a byte hash over the LE layout — is what
+    CH's use_int_hash_for_pods functions (cityHash64) apply to
+    numeric arguments (FunctionsHashing.h executeIntType). Same
+    model as hashing.int_hash64_py and the inline chain in
+    queries/ch_sql_q._sampling_hash_oracle; rides CityEmitter's
+    HUGEINT primitives (mulc/xor), adding only the 33-bit smix."""
+
+    def _smix33(self, a: str) -> str:
+        return self.emit(f"xor({a}, {a} // {1 << 33})")
+
+    def int_hash64(self, x: str) -> str:
+        h = self.xor(x, str(0x4CF2D2BAAE6DA887))
+        h = self._smix33(h)
+        h = self.mulc(h, 0xFF51AFD7ED558CCD)
+        h = self._smix33(h)
+        h = self.mulc(h, 0xC4CEB9FE1A85EC53)
+        return self._smix33(h)
+
+
 class XxU64Emitter(XxEmitter):
     def f_le(self, e: str, pos: str, nbytes: int) -> str:
         return self.emit(_u64_fetch(e, pos, nbytes))
@@ -53,12 +78,10 @@ class MurmurU64Emitter(MurmurEmitter):
         return self.emit(_u64_fetch(e, pos, nbytes))
 
 
-class CityU64Emitter(CityEmitter):
-    def f64(self, e: str, pos) -> str:
-        return self.emit(_u64_fetch(e, str(pos), 8))
-
-    def f32(self, e: str, pos) -> str:
-        return self.emit(_u64_fetch(e, str(pos), 4))
+# (No City u64-mode emitter: cityHash64 never hashes a numeric
+# argument's byte stream — use_int_hash_for_pods routes numerics
+# through IntHash64Emitter above, and its combine is Hash128to64 on
+# the per-arg hashes, emitted by CityEmitter.hl16 directly.)
 
 
 # --- pair-stream mode: the combineHashes input ---------------------
@@ -85,15 +108,6 @@ class _PairMixin:
     def _pf(self, pos: str) -> str:
         w1, w2, width = self._pair
         return self.emit(_pair_fetch(pos, w1, w2, width))
-
-
-class XxPairEmitter(_PairMixin, XxEmitter):
-    def __init__(self, prefix: str, w1: str, w2: str, width: int = 8):
-        super().__init__(prefix)
-        self._bind_pair(w1, w2, width)
-
-    def f_le(self, e: str, pos: str, nbytes: int) -> str:
-        return self._pf(pos)
 
 
 class SipPairEmitter(_PairMixin, SipEmitter):

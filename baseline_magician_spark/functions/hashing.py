@@ -215,6 +215,24 @@ def _slit(c: int) -> int:
     return c - (1 << 64) if c >= (1 << 63) else c
 
 
+def int_hash64_py(x: int) -> int:
+    """Python model of CH IntHash64Impl — fmix64(x ^ salt) over the
+    zero-extended bit pattern, returning the UInt64 value. This is
+    also what CH's use_int_hash_for_pods hash functions (cityHash64)
+    apply to NUMERIC arguments (FunctionsHashing.h executeIntType
+    routes POD columns through IntHash64Impl::apply(bit_cast), not
+    through the byte hash). Test/oracle ring for :func:`int_hash64`
+    and ch_compat's cityHash64 numeric path."""
+    m = (1 << 64) - 1
+    x = (x ^ 0x4CF2D2BAAE6DA887) & m
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & m
+    x ^= x >> 33
+    x = (x * 0xC4CEB9FE1A85EC53) & m
+    x ^= x >> 33
+    return x
+
+
 def int_hash64(x: Column) -> Column:
     """CH intHash64(UInt64) — fmix64(x ^ 0x4CF2D2BAAE6DA887), returned
     as the signed-long BIT PATTERN of CH's UInt64 (the engine-wide

@@ -26,11 +26,14 @@ Spark and in the DuckDB BIGINT oracle replay
 (queries/dedup_q.py:_cdc_*_oracle).
 
 Scale shape: one map-side pass, no shuffle until the caller
-aggregates chunk fingerprints. Per-row cost is O(window * len)
-interpreted-HOF work (window is a constant 32). For a throughput-
-critical deployment the same closed form vectorizes as a numpy
-sliding-window dot in ``mapInPandas`` — the JVM rendering here is
-the correctness carrier the oracle can replay.
+aggregates chunk fingerprints. Two value-identical renderings: the
+JVM expression (O(window * len) interpreted-HOF work per row —
+the correctness carrier the oracle replays) and the default
+``mapInPandas`` throughput path, where the closed form runs as
+numpy vector ops — 32 shift-adds for the rolling states (uint64
+wraparound is exact mod 2^61 because 2^64 is a multiple of 2^61)
+and prefix polynomial hashes for the chunk fingerprints (every
+character read once, no per-char Python loop; round 10).
 """
 
 from __future__ import annotations
@@ -72,42 +75,128 @@ def _rolling_states(g: Column, window: int) -> Column:
     return F.transform(g, state)
 
 
-def _chunk_doc_py(
-    text: str, mask_bits: int, window: int
-) -> list[tuple[int, int, int, int]]:
-    """(chunk_ord, start, len, fp) spans of one document — the
-    SLIDING recurrence h_i = 2*h_{i-1} + g_i - g_{i-window}*2^window
-    (mod 2^61), value-identical to the JVM slice fold (same
-    constants, same codepoint stream: Python str iteration and
-    Spark's split('') both walk codepoints). Python ints make the
-    expired-tap multiply exact; the per-char loop is what the
-    O(window x len) JVM expression pays per POSITION, collapsed to
-    O(1)."""
-    n = len(text)
-    if n == 0:
-        return []
-    mask = (1 << mask_bits) - 1
-    pow_w = pow(2, window, MOD)
-    g = [((ord(c) % 256) + 1) * GOLD % MOD for c in text]
-    h = 0
-    ends: list[int] = []
-    for i, gi in enumerate(g):
-        h = (2 * h + gi) % MOD
-        if i >= window:
-            h = (h - g[i - window] * pow_w) % MOD
-        if h & mask == 0:
-            ends.append(i + 1)
-    aug = [0] + [e for e in ends if e < n] + [n]
-    out = []
-    from ..functions.hashing import POLY_BASE, POLY_MOD, POLY_SEED
+def _pow_mod_np(base: int, n: int, mod: int):
+    """numpy uint64 array of base^0..base^n (mod ``mod``), built by
+    block doubling (log2(n) vectorized multiplies; every product is
+    < mod^2 < 2^60, exact in uint64)."""
+    import numpy as np
 
-    for k in range(1, len(aug)):
-        s, e = aug[k - 1], aug[k]
-        fp = POLY_SEED
-        for c in text[s:e]:
-            fp = (fp * POLY_BASE + ord(c)) % POLY_MOD
-        out.append((k, s + 1, e - s, fp))
+    out = np.ones(1, dtype=np.uint64)
+    m = np.uint64(mod)
+    while len(out) <= n:
+        t = np.uint64(int(out[-1]) * base % mod)
+        take = min(len(out), n + 1 - len(out))
+        out = np.concatenate([out, (out[:take] * t) % m])
     return out
+
+
+def _chunk_batch_np(texts, mask_bits: int, window: int, pw, ipw):
+    """(doc_row, chunk_ord, start, len, fp) int64 arrays for a whole
+    batch of non-empty documents — the numpy vectorized rendering of
+    the gear closed form, value-identical per document to the JVM
+    slice fold (same constants, same codepoint stream: utf-32-le
+    decoding and Spark's split('') both walk codepoints). The batch
+    concatenates into ONE code array so every stage is a single
+    large-vector op (per-doc numpy calls would be overhead-bound at
+    the corpus's ~300-char documents).
+
+    Why plain uint64 wraparound is EXACT here: 2^64 is a multiple of
+    2^61, so arithmetic done mod 2^64 (numpy's native overflow
+    behavior) followed by ``& (2^61 - 1)`` equals the mod-2^61
+    result. The rolling state is the windowed dot
+    h_i = sum_k g_{i-k} * 2^k — 32 shift-adds over the concatenated
+    gear array (gear values are < 2^40, so each shifted term and the
+    wrap-sum are exact mod 2^61); taps at shift >= 61 vanish mod
+    2^61, so the window truncates at 61 like the JVM/oracle closed
+    form's modular arithmetic. The first window-1 positions of each
+    document must not see the previous document's tail, so a
+    (docs x window-1) fix-up recomputes exactly those states from
+    each document's own prefix.
+
+    Chunk assembly exploits contiguity: document ends C[d] are
+    themselves chunk ends, and docs abut, so the sorted union of
+    interior boundary positions and C is the global chunk-end list,
+    and every chunk's start is simply the previous entry (the first
+    chunk of doc d follows C[d-1] == its own doc start). Chunk
+    fingerprints come from ONE global prefix cumsum of
+    t_j = code_j * B^-(j - doc_start) (mod the PRIME POLY_MOD, so B
+    is invertible; terms are < 2^30, exact in uint64 for any batch
+    that fits in memory): for a span [s, e) inside doc d,
+    h(span, 0) = B^(e-1-O_d) * (pref[e] - pref[s]) — the difference
+    cancels every foreign term, and the exponents stay within the
+    document, so ``pw``/``ipw`` (B^i / B^-i tables) only need to
+    cover the longest document. Every character is read once; no
+    per-char Python loop."""
+    import numpy as np
+
+    from ..functions.hashing import POLY_MOD, POLY_SEED
+
+    joined = "".join(texts)
+    n = len(joined)
+    empty = np.zeros(0, dtype=np.int64)
+    if n == 0:
+        return empty, empty, empty, empty, empty
+    lens = np.fromiter(
+        (len(t) for t in texts), dtype=np.int64, count=len(texts)
+    )
+    C = np.cumsum(lens)  # exclusive doc ends (global, 1-based)
+    O = C - lens  # doc starts (global, 0-based)
+
+    codes = np.frombuffer(
+        joined.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
+    g = (codes % np.uint64(256) + np.uint64(1)) * np.uint64(GOLD)
+    w = min(window, 61)
+    h = g.copy()
+    for k in range(1, min(w, n)):
+        h[k:] += g[: n - k] << np.uint64(k)
+    # fix-up: position o_d + j (j < w-1) may only sum taps k <= j
+    fw = min(w - 1, int(lens.max()))
+    if fw > 0:
+        J = np.arange(fw)
+        P2 = O[:, None] + J[None, :]  # docs x fw global positions
+        valid = J[None, :] < lens[:, None]
+        hc = np.zeros_like(P2, dtype=np.uint64)
+        for k in range(fw):
+            # clip the gather for invalid cells (past a short last
+            # doc); the valid mask drops them before the scatter
+            src = np.minimum(P2[:, k:], n - 1 + k) - k
+            hc[:, k:] += g[src] << np.uint64(k)
+        h[P2[valid]] = hc[valid]
+    h &= np.uint64(MOD - 1)
+    mask = np.uint64((1 << mask_bits) - 1)
+    ends = np.flatnonzero((h & mask) == 0) + 1  # global 1-based
+    # interior boundaries only: drop ends that land on a doc end
+    # (C entries are appended below — this dedups the coincidence)
+    interior = ends[C[np.searchsorted(C, ends)] != ends]
+    bounds = np.concatenate([interior, C])
+    bounds.sort(kind="stable")
+    starts = np.concatenate([[0], bounds[:-1]])
+    ln = bounds - starts
+    d_of = np.searchsorted(C, bounds)  # doc of each chunk
+    first = np.searchsorted(bounds, O, side="right")
+    ords = np.arange(1, len(bounds) + 1) - first[d_of]
+
+    m = np.uint64(POLY_MOD)
+    # per-position LOCAL offset (position - doc start) via repeat —
+    # O(n) flat, no per-position binary search
+    local = np.arange(n, dtype=np.int64)
+    local -= np.repeat(O, lens)
+    t = (codes * ipw[local]) % m
+    pref = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(t, out=pref[1:])
+    pref %= m
+    dO = O[d_of]
+    diff = (pref[bounds] + m - pref[starts]) % m
+    span0 = (pw[bounds - 1 - dO] * diff) % m
+    fp = (np.uint64(POLY_SEED) * pw[ln] + span0) % m
+    return (
+        d_of.astype(np.int64),
+        ords.astype(np.int64),
+        (starts - dO + 1).astype(np.int64),
+        ln.astype(np.int64),
+        fp.astype(np.int64),
+    )
 
 
 def cdc_chunks_pandas(
@@ -118,40 +207,45 @@ def cdc_chunks_pandas(
     window: int = WINDOW,
 ) -> DataFrame:
     """The throughput rendering of :func:`cdc_chunks`: one
-    ``mapInPandas`` pass with the O(1)-per-position sliding
-    recurrence instead of the JVM expression's O(window) slice fold
-    per position — value-identical output (same constants, same
-    codepoint stream; tests/test_cdc.py pins equality against the
-    JVM path), ~20x measured at sf0.1. Narrow, no shuffle; Arrow
-    batches in, chunk rows out."""
+    ``mapInPandas`` pass with the numpy vectorized closed form
+    (_chunk_doc_np — 32 shift-adds for the rolling states, prefix
+    polynomial hashes for the chunk fingerprints) instead of the JVM
+    expression's O(window) slice fold per position — value-identical
+    output (same constants, same codepoint stream; tests/test_cdc.py
+    pins equality against the JVM path). Narrow, no shuffle; Arrow
+    batches in, chunk rows out. The output id column keeps the SOURCE
+    id dtype (string doc ids work, not just bigint)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..functions.hashing import POLY_BASE, POLY_MOD
     from ..pyship import ensure_shipped
 
     ensure_shipped(docs.sparkSession)
     src = docs.where(F.length(F.col(text_col)) > 0).select(
         F.col(id_col), F.col(text_col).alias("_t")
     )
+    id_type = docs.schema[id_col].dataType
 
     def gen(batches):
         import pandas as pd
 
+        binv = pow(POLY_BASE, POLY_MOD - 2, POLY_MOD)
+        pw = _pow_mod_np(POLY_BASE, 0, POLY_MOD)
+        ipw = _pow_mod_np(binv, 0, POLY_MOD)
         for pdf in batches:
-            ids: list = []
-            ords: list[int] = []
-            starts: list[int] = []
-            lens: list[int] = []
-            fps: list[int] = []
-            for did, text in zip(pdf[id_col], pdf["_t"]):
-                for k, s, ln, fp in _chunk_doc_py(
-                    text, mask_bits, window
-                ):
-                    ids.append(did)
-                    ords.append(k)
-                    starts.append(s)
-                    lens.append(ln)
-                    fps.append(fp)
+            texts = list(pdf["_t"])
+            maxlen = max(map(len, texts)) if texts else 0
+            if len(pw) <= maxlen:
+                pw = _pow_mod_np(POLY_BASE, maxlen, POLY_MOD)
+                ipw = _pow_mod_np(binv, maxlen, POLY_MOD)
+            d_of, ords, starts, lens, fps = _chunk_batch_np(
+                texts, mask_bits, window, pw, ipw
+            )
             yield pd.DataFrame(
                 {
-                    id_col: ids,
+                    id_col: pdf[id_col].to_numpy()[d_of]
+                    if len(d_of)
+                    else pdf[id_col].iloc[:0],
                     "chunk_ord": ords,
                     "chunk_start": starts,
                     "chunk_len": lens,
@@ -161,9 +255,14 @@ def cdc_chunks_pandas(
 
     return src.mapInPandas(
         gen,
-        schema=(
-            f"{id_col} long, chunk_ord long, chunk_start long, "
-            "chunk_len long, chunk_fp long"
+        schema=StructType(
+            [StructField(id_col, id_type)]
+            + [
+                StructField(c, LongType())
+                for c in (
+                    "chunk_ord", "chunk_start", "chunk_len", "chunk_fp"
+                )
+            ]
         ),
     )
 

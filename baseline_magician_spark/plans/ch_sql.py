@@ -1885,6 +1885,29 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
             else _compile(a, env)
             for i, a in enumerate(node.args)
         ]
+        if lname in _HASH_BYTE_FNS:
+            # Byte-exact hash family: attach each argument's
+            # AST-known identity (literal / bare column / computed)
+            # so the builders pick CH's numeric-layout path from the
+            # parse tree, never from Column reprs (a literal string
+            # prints exactly like a column ref — ADVICE r9).
+            from ..functions.ch_compat import resolve_hash_arg
+
+            def _mark(col, anode):
+                if anode.kind in ("str", "num") or _neg_num(anode):
+                    return resolve_hash_arg(col, literal=True)
+                if anode.kind == "col":
+                    nm = str(anode.value)
+                    if "." not in nm and not any(
+                        nm in s for s in _LAMBDA_SCOPES
+                    ):
+                        return resolve_hash_arg(col, bare_name=nm)
+                return resolve_hash_arg(col)
+
+            args = [
+                _mark(a, node.args[i]) if isinstance(a, Column) else a
+                for i, a in enumerate(args)
+            ]
         return fn(*args)
     if node.kind == "bin":
         op = node.value
@@ -2125,6 +2148,24 @@ _WRAP_HASH_RE = re.compile(
     re.IGNORECASE
 )
 
+# the byte-exact family whose arguments carry the HashArg identity
+# marker (numeric-layout parity; intHash64/32 are already
+# value-domain and URLHash is string-domain)
+_HASH_BYTE_FNS = frozenset(
+    {
+        "cityhash64", "siphash64", "xxhash64", "xxhash32",
+        "murmurhash2_64", "murmurhash2_32", "murmurhash3_32",
+        "murmurhash3_64", "murmurhash3_128", "kafkamurmurhash",
+        "gccmurmurhash",
+    }
+)
+_BYTE_HASH_RE = re.compile(
+    r"\b(cityHash64|sipHash64|xxHash64|xxHash32|murmurHash2_64"
+    r"|murmurHash2_32|murmurHash3_32|murmurHash3_64|murmurHash3_128"
+    r"|kafkaMurmurHash|gccMurmurHash)\s*\(",
+    re.IGNORECASE,
+)
+
 
 def run_ch_query(
     sql: str,
@@ -2165,23 +2206,41 @@ def run_ch_query(
             tables = {**tables, **{e.name: e.df for e in externals}}
 
     # Publish the table env's bare-column dtypes for the byte-exact
-    # hash family (round 9): CH hashes numeric arguments' native LE
-    # layouts, and the type-blind Column builders resolve a bare
-    # column name against this map to pick the byte path. Names whose
-    # dtype differs across tables are dropped (ambiguous -> string
-    # rendering, the conservative pre-round-9 behavior).
+    # hash family (round 9): CH hashes numeric arguments' native
+    # layouts, and the type-blind Column builders resolve each
+    # argument through the compiler's HashArg marker against this
+    # map. Names whose dtype differs across tables are dropped
+    # (ambiguous -> string rendering, the conservative pre-round-9
+    # behavior). A zero-row probe frame over the same columns types
+    # COMPUTED expressions by Catalyst analysis (round 10) — built
+    # only when the query actually calls a byte-family hash.
     from ..functions.ch_compat import hash_arg_types
 
     dmap: dict[str, str] = {}
+    fields: dict[str, object] = {}
     drop: set[str] = set()
     for _df in tables.values():
-        for _name, _dt in _df.dtypes:
+        for _f in _df.schema.fields:
+            _name, _dt = _f.name, _f.dataType.simpleString()
             if _name in dmap and dmap[_name] != _dt:
                 drop.add(_name)
             dmap[_name] = _dt
+            fields[_name] = _f.dataType
     for _name in drop:
         dmap.pop(_name, None)
-    with hash_arg_types(dmap):
+        fields.pop(_name, None)
+    probe = None
+    if tables and _BYTE_HASH_RE.search(sql) is not None:
+        from pyspark.sql.types import StructField, StructType
+
+        _sess = next(iter(tables.values())).sparkSession
+        probe = _sess.createDataFrame(
+            [],
+            StructType(
+                [StructField(n, t) for n, t in fields.items()]
+            ),
+        )
+    with hash_arg_types(dmap, probe):
         return _run_ch_parsed(sql, tables, broadcast_dims)
 
 

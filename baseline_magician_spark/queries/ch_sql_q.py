@@ -3938,31 +3938,40 @@ def ch_sql_cityhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ch_query(_CITYHASH_SQL, tabs)
 
 
-# Numeric hash-argument parity end-to-end (round 9): CH hashes a
-# numeric argument's native little-endian layout, and since round 9
-# so does the engine for bare numeric columns (run_ch_query publishes
-# the table env's dtypes; ch_compat._hash_arg_bytes picks the byte
-# path). The probe hashes two BIGINT columns through all six
-# byte-exact family members in one pass; the oracle replays each
-# algorithm in DuckDB HUGEINT through the u64-mode emitters
-# (functions/hash_numeric.py — byte k of the stream is arithmetic on
-# the value, the length class is statically 8). Each side renders
-# the algorithms independently of the Spark Column builders, so the
-# driver compare is value-exact, not stored constants.
+# Numeric hash-argument parity end-to-end (rounds 9-10): CH hashes a
+# numeric argument through IntHash64Impl when the function's Impl
+# sets use_int_hash_for_pods (cityHash64 — FunctionsHashing.h
+# executeIntType), and over the native little-endian layout for the
+# rest of the byte-exact family (sip/xx/murmur); the engine resolves
+# each argument through the compiler's HashArg marker + dtype env.
+# Since round 10 COMPUTED numeric expressions type through the env's
+# zero-row probe frame, so cityHash64(user_id + event_id) and
+# xxHash64(user_id * 3 + 7) hash Int64 layouts like CH — both probed
+# here. The oracle replays each algorithm in DuckDB HUGEINT through
+# the u64-mode emitters (functions/hash_numeric.py — byte k of the
+# stream is arithmetic on the value, the length class is statically
+# 8; cityHash64-on-numeric replays as the IntHash64Emitter fmix
+# chain). Each side renders the algorithms independently of the
+# Spark Column builders, so the driver compare is value-exact, not
+# stored constants.
 _NUMHASH_SQL = """
 SELECT et,
        count(*) AS n,
        min(ch) AS ch_min, max(ch) AS ch_max, uniqExact(ch) AS ch_uniq,
+       min(chx) AS chx_min, max(chx) AS chx_max,
        min(sh) AS sh_min, max(sh) AS sh_max,
        min(x64) AS x64_min, max(x64) AS x64_max,
+       min(x64x) AS x64x_min, max(x64x) AS x64x_max,
        min(m2) AS m2_min, max(m2) AS m2_max,
        min(x32) AS x32_min, max(x32) AS x32_max,
        min(m3) AS m3_min, max(m3) AS m3_max
 FROM (
   SELECT event_type AS et,
          cityHash64(user_id) AS ch,
+         cityHash64(user_id + event_id) AS chx,
          sipHash64(user_id) AS sh,
          xxHash64(user_id) AS x64,
+         xxHash64(user_id * 3 + 7) AS x64x,
          murmurHash2_64(event_id) AS m2,
          xxHash32(event_id) AS x32,
          murmurHash3_32(user_id) AS m3
@@ -3977,21 +3986,23 @@ ORDER BY et
 def _numeric_hash_oracle() -> str:
     from ..functions.cityhash import staged_ctes
     from ..functions.hash_numeric import (
-        CityU64Emitter,
+        IntHash64Emitter,
         MurmurU64Emitter,
         SipU64Emitter,
         XxU64Emitter,
     )
 
     p64 = 1 << 64
-    city = CityU64Emitter("zc")
-    ch = city.signed(city.h4to8("u", "8"))
-    c1, l1 = staged_ctes(city, "b1")
+    city = IntHash64Emitter("zc")
+    ch = city.signed(city.int_hash64("u"))
+    chx = city.signed(city.int_hash64("ux"))
+    c1, l1 = staged_ctes(city, "b2")
     sip = SipU64Emitter("zs")
     sh = sip.signed(sip.chain("u", "8", 1))
     c2, l2 = staged_ctes(sip, l1)
     xx = XxU64Emitter("zx")
     x64 = xx.signed64(xx.xxh64_chain("u", "8", 0))
+    x64x = xx.signed64(xx.xxh64_chain("uy", "8", 0))
     c3, l3 = staged_ctes(xx, l2)
     xx32 = XxU64Emitter("zy")
     x32 = xx32.xxh32_chain("ev", "8", 0)
@@ -4009,6 +4020,10 @@ def _numeric_hash_oracle() -> str:
              (CAST(event_id AS HUGEINT) % {p64} + {p64}) % {p64} AS ev
       FROM events WHERE event_id % 10 = 9
     ),
+    b2 AS (
+      SELECT *, (u + ev) % {p64} AS ux, (u * 3 + 7) % {p64} AS uy
+      FROM b1
+    ),
     {c1},
     {c2},
     {c3},
@@ -4018,8 +4033,10 @@ def _numeric_hash_oracle() -> str:
     SELECT et, count(*) AS n,
            min({ch}) AS ch_min, max({ch}) AS ch_max,
            count(DISTINCT {ch}) AS ch_uniq,
+           min({chx}) AS chx_min, max({chx}) AS chx_max,
            min({sh}) AS sh_min, max({sh}) AS sh_max,
            min({x64}) AS x64_min, max({x64}) AS x64_max,
+           min({x64x}) AS x64x_min, max({x64x}) AS x64x_max,
            min({m2}) AS m2_min, max({m2}) AS m2_max,
            CAST(min({x32}) AS BIGINT) AS x32_min,
            CAST(max({x32}) AS BIGINT) AS x32_max,
@@ -4227,16 +4244,15 @@ ORDER BY et
 
 
 def _combine_oracle() -> str:
-    from ..functions.cityhash import staged_ctes
+    from ..functions.cityhash import CityEmitter, staged_ctes
     from ..functions.hash_numeric import (
-        CityU64Emitter,
+        IntHash64Emitter,
         Murmur128PairEmitter,
         Murmur128U64Emitter,
         MurmurPairEmitter,
         MurmurU64Emitter,
         SipPairEmitter,
         SipU64Emitter,
-        XxPairEmitter,
         XxU64Emitter,
     )
     from ..functions.murmur import KAFKA_SEED
@@ -4250,8 +4266,14 @@ def _combine_oracle() -> str:
         parts.append((ctes, last))
         return last
 
-    city = CityU64Emitter("pc")
-    cc = city.signed(city.hl16(city.h4to8("u", "8"), city.h4to8("ev", "8")))
+    # cityHash64(a, b) on numerics: per-arg IntHash64Impl
+    # (use_int_hash_for_pods), combined via Hash128to64 (round 10 —
+    # the per-arg CityHash64-of-LE-bytes replay was the r9 model the
+    # ADVICE corrected)
+    city = IntHash64Emitter("pc")
+    cc = city.signed(
+        city.hl16(city.int_hash64("u"), city.int_hash64("ev"))
+    )
     last = stage(city, "b1")
 
     sipu = SipU64Emitter("ps")
@@ -4262,12 +4284,14 @@ def _combine_oracle() -> str:
     sc = sipp.signed(sipp.chain("pair", "16", 2))
     last = stage(sipp, last)
 
+    # xxHash64's combineHashes is Hash128to64 of the two per-arg
+    # hashes (ImplXxHash64 — NOT the pair-rehash pattern; round 10)
     xxu = XxU64Emitter("px")
     x1 = xxu.xxh64_chain("u", "8", 0)
     x2 = xxu.xxh64_chain("ev", "8", 0)
     last = stage(xxu, last)
-    xxp = XxPairEmitter("py", x1, x2)
-    xc = xxp.signed64(xxp.xxh64_chain("pair", "16", 0))
+    xxp = CityEmitter("py")
+    xc = xxp.signed(xxp.hl16(x1, x2))
     last = stage(xxp, last)
 
     m3u = Murmur128U64Emitter("pm")

@@ -205,14 +205,84 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ = F  # columns built in operators
 
 
+_DUP_SPANS_K = 40
+
+
+def span_excision_ctes(src: str, k: int = _DUP_SPANS_K) -> str:
+    """DuckDB CTE chain replaying duplicated_spans + excise_spans
+    over the ``src`` relation (must expose doc_id and text),
+    terminating in ``cleaned`` = src's columns + n_spans +
+    clean_text. The same decision replay as the
+    pipeline_span_excision oracle, parameterized on the source so
+    the corpus compositions (round 10) can excise their SURVIVOR
+    set instead of raw documents; CTE names are x-prefixed to
+    compose with the minhash/CC closure chains."""
+    return f"""
+    xpos AS (
+      SELECT doc_id,
+             unnest(generate_series(1, length(text) - {k - 1})) AS i,
+             text
+      FROM {src} WHERE length(text) >= {k}
+    ),
+    xsh AS (
+      SELECT doc_id, i,
+             substr(md5(substr(text, i::INT, {k})), 1, 16) AS h
+      FROM xpos
+    ),
+    xdup AS (
+      SELECT h FROM xsh GROUP BY h HAVING min(doc_id) <> max(doc_id)
+    ),
+    xflag AS (
+      SELECT doc_id, i,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+      FROM xsh WHERE h IN (SELECT h FROM xdup)
+    ),
+    xspans AS (
+      SELECT doc_id,
+             min(i)::BIGINT AS s,
+             (max(i) + {k - 1})::BIGINT AS e
+      FROM xflag GROUP BY doc_id, i - rn
+    ),
+    xpieces AS (
+      SELECT sp.doc_id, sp.s, sp.e,
+             lag(sp.e, 1, 0) OVER (
+               PARTITION BY sp.doc_id ORDER BY sp.s
+             ) AS pe,
+             d.text
+      FROM xspans sp JOIN {src} d ON d.doc_id = sp.doc_id
+    ),
+    xgaps AS (
+      SELECT doc_id,
+             count(*) AS n_spans,
+             string_agg(substr(text, (pe + 1)::INT,
+                               greatest((s - pe - 1)::INT, 0)),
+                        '' ORDER BY s) AS kept_text,
+             max(e) AS laste
+      FROM xpieces GROUP BY doc_id
+    ),
+    cleaned AS (
+      SELECT d.*,
+             COALESCE(g.n_spans, 0) AS n_spans,
+             COALESCE(g.kept_text, '') ||
+               substr(d.text, (COALESCE(g.laste, 0) + 1)::INT,
+                      greatest((length(d.text)
+                                - COALESCE(g.laste, 0))::INT, 0))
+               AS clean_text
+      FROM {src} d LEFT JOIN xgaps g ON d.doc_id = g.doc_id
+    )"""
+
+
 def _corpus_cleanup_oracle() -> str:
     """The full training-data cleanup as one SQL: exact-dup removal
     (keep min doc_id per md5), near-dup cluster removal (keep only
-    component survivors from the MinHash pair graph), then a minimum
-    quality gate (>= 10 tokens), aggregated per language."""
+    component survivors from the MinHash pair graph), duplicated-SPAN
+    EXCISION across the survivors (round 10 — the Lee et al.
+    deliverable is cleaned TEXT, not just kept doc ids), then a
+    minimum quality gate (>= 10 tokens of the CLEAN text), aggregated
+    per language with an md5 digest of the cleaned corpus."""
     from ..functions.hashing import tokens_duckdb
 
-    tok = tokens_duckdb("text")
+    tok = tokens_duckdb("clean_text")
     return f"""{cc_closure_sql(_minhash_oracle())},
     non_survivors AS (
       SELECT node AS doc_id FROM walk GROUP BY node
@@ -221,17 +291,30 @@ def _corpus_cleanup_oracle() -> str:
     exact_keep AS (
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
     ),
-    kept AS (
-      SELECT d.doc_id, d.lang, d.n_chars, len({tok}) AS n_toks
+    survivors AS (
+      SELECT d.doc_id, d.lang, d.text
       FROM documents d
       JOIN exact_keep k ON d.doc_id = k.doc_id
       WHERE d.doc_id NOT IN (SELECT doc_id FROM non_survivors)
+    ),
+    {span_excision_ctes("survivors")},
+    scored AS (
+      SELECT doc_id, lang, text, n_spans, clean_text,
+             len({tok}) AS n_toks
+      FROM cleaned
     )
     SELECT lang,
            count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           CAST(sum(n_toks) AS BIGINT) AS total_tokens
-    FROM kept
+           sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS docs_excised,
+           CAST(sum(n_spans) AS BIGINT) AS spans_total,
+           CAST(sum(length(clean_text)) AS BIGINT) AS total_chars,
+           CAST(sum(length(text) - length(clean_text)) AS BIGINT)
+             AS chars_removed,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           md5(string_agg(md5(clean_text), '' ORDER BY doc_id))
+             AS clean_digest
+    FROM scored
     WHERE n_toks >= 10
     GROUP BY lang
     """
@@ -240,13 +323,26 @@ def _corpus_cleanup_oracle() -> str:
 @query("pipeline_corpus_cleanup", _corpus_cleanup_oracle())
 def corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship training-data composition: exact dedup -> near-dup
-    cluster survivors -> quality gate -> per-language corpus stats.
-    Every stage is a previously-oracle-checked operator; this query
-    checks their COMPOSITION end-to-end."""
+    cluster survivors -> duplicated-span EXCISION over the survivor
+    set (round 10: the corpus that leaves this pipeline is the
+    CLEANED text — the oracle hash-checks it per language via the
+    md5-of-sorted-per-doc-md5 digest) -> quality gate on the clean
+    token count -> per-language corpus stats. Every stage is a
+    previously-oracle-checked operator; this query checks their
+    COMPOSITION end-to-end.
+
+    Scale shape: the excision adds the duplicated_spans explode (one
+    map-side position fan-out + two uniform-key shuffles on the
+    16-hex shingle hash) and the per-doc span fold — no new joins
+    beyond the LEFT join of spans back to survivors."""
     from pyspark.sql import functions as FF
 
     from ..functions.hashing import tokens
-    from ..operators.dedup import exact_dedup_groups
+    from ..operators.dedup import (
+        duplicated_spans,
+        exact_dedup_groups,
+        excise_spans,
+    )
     from ..operators.graph import dedup_clusters
 
     docs = load_for_compute(spark, sf_dir, "documents")
@@ -263,16 +359,41 @@ def corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(~FF.col("is_survivor"))
         .select("doc_id")
     )
-    kept = (
+    survivors = (
         docs.join(exact_keep, "doc_id", "left_semi")
         .join(non_survivors, "doc_id", "left_anti")
-        .select("lang", "n_chars", FF.size(tokens("text")).alias("n_toks"))
-        .where(FF.col("n_toks") >= 10)
+        .select("doc_id", "lang", "text")
     )
-    return kept.groupBy("lang").agg(
+    spans = duplicated_spans(survivors, "text", "doc_id", k=_DUP_SPANS_K)
+    cleaned = excise_spans(
+        survivors.select("doc_id", "text"), spans, "text", "doc_id"
+    ).join(
+        survivors.select(FF.col("doc_id").alias("id"), "lang"), "id"
+    )
+    scored = cleaned.select(
+        "id", "lang", "n_spans", "chars_removed",
+        FF.length("clean_text").alias("cc"),
+        FF.size(tokens("clean_text")).alias("n_toks"),
+        FF.md5(FF.col("clean_text").cast("binary")).alias("h"),
+    ).where(FF.col("n_toks") >= 10)
+    return scored.groupBy("lang").agg(
         FF.count(FF.lit(1)).alias("n_docs"),
-        FF.sum("n_chars").alias("total_chars"),
+        FF.sum((FF.col("n_spans") > 0).cast("long")).alias(
+            "docs_excised"
+        ),
+        FF.sum("n_spans").alias("spans_total"),
+        FF.sum("cc").alias("total_chars"),
+        FF.sum("chars_removed").alias("chars_removed"),
         FF.sum("n_toks").cast("long").alias("total_tokens"),
+        FF.md5(
+            FF.concat_ws(
+                "",
+                FF.transform(
+                    FF.array_sort(FF.collect_list(FF.struct("id", "h"))),
+                    lambda x: x["h"],
+                ),
+            ).cast("binary")
+        ).alias("clean_digest"),
     )
 
 
@@ -626,7 +747,8 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Better" granularity, k = 40 chars). The 16-hex-char md5 prefix is
 # the cross-engine shingle key: DuckDB's md5() emits the identical
 # lowercase hex, so both engines make bit-identical dup decisions.
-_DUP_SPANS_K = 40
+# (_DUP_SPANS_K and span_excision_ctes are defined above the corpus
+# compositions that consume them at module-decoration time.)
 
 
 @query(

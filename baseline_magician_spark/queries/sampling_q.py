@@ -160,11 +160,21 @@ EXPORT_SEED = "mix9"
 
 def _training_export_oracle() -> str:
     """The full composition in one SQL: exact dedup -> near-dup cluster
-    removal (MinHash CC, reused from the dedup oracles) -> quality gate
-    -> token-weighted mixture fractions -> per-source hash sample ->
-    split assignment -> per-(split, source) corpus stats."""
-    from .dedup_q import _minhash_oracle, cc_closure_sql
+    removal (MinHash CC, reused from the dedup oracles) ->
+    duplicated-span EXCISION over the survivors (round 10 — the
+    exported corpus is the CLEANED text; every downstream stage
+    counts clean tokens) -> quality gate -> token-weighted mixture
+    fractions -> per-source hash sample -> split assignment ->
+    per-(split, source) corpus stats + an md5 digest of the exported
+    clean text per cell."""
+    from ..functions.hashing import tokens_duckdb
+    from .dedup_q import (
+        _minhash_oracle,
+        cc_closure_sql,
+        span_excision_ctes,
+    )
 
+    ctok = f"len({tokens_duckdb('clean_text')})"
     w = " ".join(f"WHEN source = '{s}' THEN {x}" for s, x in MIX_WEIGHTS.items())
     h = hash60_sql("doc_id", EXPORT_SEED)
     assign = split_assign_sql("doc_id", SPLIT_FRACTIONS, SPLIT_SEED)
@@ -175,12 +185,17 @@ def _training_export_oracle() -> str:
     exact_keep AS (
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
     ),
-    kept AS (
-      SELECT d.doc_id, d.source, {_TOK} AS n_toks
+    survivors AS (
+      SELECT d.doc_id, d.source, d.text
       FROM documents d
       JOIN exact_keep k ON d.doc_id = k.doc_id
       WHERE d.doc_id NOT IN (SELECT doc_id FROM non_survivors)
-        AND {_TOK} >= 10
+    ),
+    {span_excision_ctes("survivors")},
+    kept AS (
+      SELECT doc_id, source, clean_text, {ctok} AS n_toks
+      FROM cleaned
+      WHERE {ctok} >= 10
     ),
     per_source AS (
       SELECT source, CAST(sum(n_toks) AS BIGINT) AS actual FROM kept
@@ -199,7 +214,9 @@ def _training_export_oracle() -> str:
     )
     SELECT {assign} AS split, source,
            count(*) AS n_docs,
-           CAST(sum(n_toks) AS BIGINT) AS total_tokens
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           md5(string_agg(md5(clean_text), '' ORDER BY doc_id))
+             AS clean_digest
     FROM sampled
     GROUP BY 1, 2
     """
@@ -208,17 +225,27 @@ def _training_export_oracle() -> str:
 @query("pipeline_training_export", _training_export_oracle())
 def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the whole training-data story as ONE
-    declarative plan: exact dedup, near-dup cluster removal, quality
-    gate, token-weighted mixture rebalancing, deterministic per-source
-    sampling, train/valid/test split, per-cell stats. Every stage is an
-    independently-oracle-checked operator; Catalyst fuses the narrow
-    stages and the only shuffles are the dedup self-join, the CC
-    rounds, the two tiny aggregates, and the final 3x|sources| cell
-    agg. The data-dependent sample fraction compares in double space
+    declarative plan: exact dedup, near-dup cluster removal,
+    duplicated-span EXCISION over the survivors (round 10: the
+    export ships CLEANED text — every downstream count is clean
+    tokens, and the oracle hash-checks the exported text per
+    (split, source) cell via the md5-of-sorted-per-doc-md5 digest),
+    quality gate, token-weighted mixture rebalancing, deterministic
+    per-source sampling, train/valid/test split, per-cell stats.
+    Every stage is an independently-oracle-checked operator;
+    Catalyst fuses the narrow stages and the shuffles are the dedup
+    self-join, the CC rounds, the span-shingle groupBys, the two
+    tiny aggregates, and the final 3x|sources| cell agg. The
+    data-dependent sample fraction compares in double space
     (hash/2^60 < frac) — identical IEEE ops in both engines."""
-    from ..operators.dedup import exact_dedup_groups, minhash_lsh_pairs
+    from ..operators.dedup import (
+        duplicated_spans,
+        exact_dedup_groups,
+        excise_spans,
+        minhash_lsh_pairs,
+    )
     from ..operators.graph import dedup_clusters
-    from .dedup_q import K, ROWS_PER_BAND, SHINGLE_N
+    from .dedup_q import _DUP_SPANS_K, K, ROWS_PER_BAND, SHINGLE_N
 
     # widened load: the MinHash signature fold is the expensive narrow
     # stage of this composition (see catalog.load_for_compute)
@@ -237,10 +264,26 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(~F.col("is_survivor"))
         .select("doc_id")
     )
-    kept = (
+    survivors = (
         docs.join(exact_keep, "doc_id", "left_semi")
         .join(non_survivors, "doc_id", "left_anti")
-        .select("doc_id", "source", F.size(tokens("text")).alias("n_toks"))
+        .select("doc_id", "source", "text")
+    )
+    spans = duplicated_spans(survivors, "text", "doc_id", k=_DUP_SPANS_K)
+    kept = (
+        excise_spans(
+            survivors.select("doc_id", "text"), spans, "text", "doc_id"
+        )
+        .join(
+            survivors.select(F.col("doc_id").alias("id"), "source"),
+            "id",
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "source",
+            "clean_text",
+            F.size(tokens("clean_text")).alias("n_toks"),
+        )
         .where(F.col("n_toks") >= 10)
     )
     fractions = mixture_plan(
@@ -260,11 +303,24 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "source",
             "n_toks",
+            "doc_id",
+            F.md5(F.col("clean_text").cast("binary")).alias("h"),
         )
         .groupBy("split", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "h"))
+                        ),
+                        lambda x: x["h"],
+                    ),
+                ).cast("binary")
+            ).alias("clean_digest"),
         )
     )
 

@@ -134,3 +134,28 @@ def test_repartition_invariant_and_shared_chunks(spark):
         "duplicated run across docs 1 and 2 must surface at least "
         "one shared chunk fingerprint"
     )
+
+
+def test_pandas_path_preserves_string_doc_ids(spark):
+    """The mapInPandas schema takes the id field's dtype from the
+    SOURCE column (ADVICE r9) — string doc ids must round-trip with
+    the same spans a long-id rendering of the same texts produces."""
+    rows = [("doc-a", DOC), ("doc-b", "short one"), ("doc-c", DOC + " tail")]
+    sdf = spark.createDataFrame(rows, "doc_id string, text string")
+    got = cdc_chunks_pandas(sdf).collect()
+    assert got and dict(cdc_chunks_pandas(sdf).dtypes)["doc_id"] == "string"
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["doc_id"], []).append(
+            (r["chunk_ord"], r["chunk_start"], r["chunk_len"], r["chunk_fp"])
+        )
+    ldf = spark.createDataFrame(
+        [(i, t) for i, (_s, t) in enumerate(rows)], "doc_id long, text string"
+    )
+    by_num = {}
+    for r in cdc_chunks_pandas(ldf).collect():
+        by_num.setdefault(r["doc_id"], []).append(
+            (r["chunk_ord"], r["chunk_start"], r["chunk_len"], r["chunk_fp"])
+        )
+    for i, (sid, _t) in enumerate(rows):
+        assert sorted(by_id[sid]) == sorted(by_num[i])

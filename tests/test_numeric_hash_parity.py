@@ -1,15 +1,19 @@
-"""Numeric hash-argument parity (round 9): CH hashes numeric
-arguments' native LE layouts; the engine resolves bare numeric
-columns through run_ch_query's dtype context and hashes their bytes.
-Three rings of evidence:
+"""Numeric hash-argument parity (rounds 9-10): CH hashes numeric
+arguments through IntHash64Impl for use_int_hash_for_pods functions
+(cityHash64) and over the native LE layout for the rest of the
+byte-exact family; the engine resolves arguments through the CH SQL
+compiler's HashArg markers (literal / bare column / probe-analyzed
+computed expression). Rings of evidence:
 
-1. Spark end-to-end == Python byte model over every supported dtype
+1. Spark end-to-end == Python models over every supported dtype
    (bigint/int/double/date/timestamp), including negatives, -0.0,
    and the 2^63 straddle.
 2. The DuckDB u64-mode emitters == the Python models over random
    64-bit values (the oracle ring for the driver probe).
-3. Computed numeric EXPRESSIONS still hash their string rendering
-   (the documented fallback), and mixed multi-arg chains combine.
+3. Computed numeric EXPRESSIONS hash their CH layout via the probe
+   frame (round 10); toString() opts back into the text rendering; a
+   string LITERAL that equals a column name hashes its TEXT (the
+   repr-sniffing collision ADVICE r9 flagged).
 """
 
 from __future__ import annotations
@@ -21,13 +25,18 @@ import struct
 import duckdb
 import pytest
 
-from baseline_magician_spark.functions.cityhash import _sl, city_hash64_py
+from baseline_magician_spark.functions.cityhash import (
+    _hl16_py,
+    _sl,
+    city_hash64_py,
+)
 from baseline_magician_spark.functions.hash_numeric import (
-    CityU64Emitter,
+    IntHash64Emitter,
     MurmurU64Emitter,
     SipU64Emitter,
     XxU64Emitter,
 )
+from baseline_magician_spark.functions.hashing import int_hash64_py
 from baseline_magician_spark.functions.murmur import (
     murmur2_64_py,
     murmur3_32_py,
@@ -68,8 +77,15 @@ ROWS = [
     ),
 ]
 
+def _city_numeric_py(b: bytes) -> int:
+    """CH cityHash64 over a numeric argument: IntHash64Impl of the
+    zero-extended bit pattern (use_int_hash_for_pods) — the LE bytes
+    only define the value."""
+    return int_hash64_py(int.from_bytes(b, "little"))
+
+
 _FNS = [
-    ("cityHash64", city_hash64_py, True),
+    ("cityHash64", _city_numeric_py, True),
     ("sipHash64", sip_hash64_py, True),
     ("xxHash64", xxh64_py, True),
     ("murmurHash2_64", murmur2_64_py, True),
@@ -126,24 +142,38 @@ def test_spark_numeric_layouts_match_models(tabs):
             assert got == want, (fn, col)
 
 
-def test_expression_args_keep_string_rendering(tabs):
-    # lg + 0 is not a bare column: hashes the string rendering, like
-    # an explicit toString would
+def test_computed_expressions_hash_ch_layouts(tabs):
+    # round 10: a computed numeric expression types through the
+    # zero-row probe frame, so lg + 0 hashes exactly like the bare
+    # Int64 column — IntHash64Impl for city, LE bytes for xx
     got = _vals(tabs, "SELECT cityHash64(lg + 0) AS r FROM t")
-    want = [_sl(city_hash64_py(str(r[0]).encode())) for r in ROWS]
+    want = [_sl(int_hash64_py(r[0] & (2**64 - 1))) for r in ROWS]
     assert got == want
-    got2 = _vals(tabs, "SELECT cityHash64(toString(lg)) AS r FROM t")
-    assert got2 == want
+    gotx = _vals(tabs, "SELECT xxHash64(lg + 0) AS r FROM t")
+    assert gotx == [_sl(xxh64_py(_le8(r[0]))) for r in ROWS]
+    # toString() opts back into the text rendering explicitly
+    gots = _vals(tabs, "SELECT cityHash64(toString(lg)) AS r FROM t")
+    assert gots == [
+        _sl(city_hash64_py(str(r[0]).encode())) for r in ROWS
+    ]
+
+
+def test_string_literal_equal_to_column_name_hashes_text(tabs):
+    # ADVICE r9: F.lit('lg') prints exactly like F.col('lg'); the
+    # AST-level HashArg marker must keep the LITERAL on the text path
+    got = _vals(tabs, "SELECT cityHash64('lg') AS r FROM t")
+    assert got == [_sl(city_hash64_py(b"lg"))] * len(ROWS)
+    gotx = _vals(tabs, "SELECT xxHash64('lg') AS r FROM t")
+    assert gotx == [_sl(xxh64_py(b"lg"))] * len(ROWS)
 
 
 def test_mixed_multiarg_combines_numeric_bytes(tabs):
-    from baseline_magician_spark.functions.cityhash import _hl16_py
-
     got = _vals(tabs, "SELECT cityHash64(lg, 'x') AS r FROM t")
     want = [
         _sl(
             _hl16_py(
-                city_hash64_py(_le8(r[0])), city_hash64_py(b"x")
+                int_hash64_py(r[0] & (2**64 - 1)),
+                city_hash64_py(b"x"),
             )
         )
         for r in ROWS
@@ -175,21 +205,25 @@ def test_property_random_bigints_match_models(spark):
             "SELECT lg, cityHash64(lg) AS city, sipHash64(lg) AS sip,"
             " xxHash64(lg) AS x64, murmurHash2_64(lg) AS m2,"
             " xxHash32(lg) AS x32, murmurHash3_32(lg) AS m3,"
-            " cityHash64(lg, lg) AS cc FROM t",
+            " cityHash64(lg, lg) AS cc, xxHash64(lg, lg) AS xc"
+            " FROM t",
             {"t": df},
         ).collect()
         got = {r["lg"]: r for r in rows}
         for v in vals:
             b = _le8(v)
+            u = v & (2**64 - 1)
             r = got[v]
-            assert r["city"] == _sl(city_hash64_py(b)), v
+            assert r["city"] == _sl(int_hash64_py(u)), v
             assert r["sip"] == _sl(sip_hash64_py(b)), v
             assert r["x64"] == _sl(xxh64_py(b)), v
             assert r["m2"] == _sl(murmur2_64_py(b)), v
             assert r["x32"] == xxh32_py(b), v
             assert r["m3"] == murmur3_32_py(b), v
-            h = city_hash64_py(b)
+            h = int_hash64_py(u)
             assert r["cc"] == _sl(_hl16_py(h, h)), v
+            x = xxh64_py(b)
+            assert r["xc"] == _sl(_hl16_py(x, x)), v
 
 
 def test_duckdb_u64_emitters_match_models():
@@ -213,9 +247,9 @@ def test_duckdb_u64_emitters_match_models():
         sql = f"WITH {', '.join(ctes)} SELECT u, {h} FROM {prev}"
         return dict(con.execute(sql).fetchall())
 
-    em = CityU64Emitter("c")
-    got = staged(em, em.h4to8("u", "8"))
-    assert got == {v: city_hash64_py(_le8(v)) for v in vals}
+    em = IntHash64Emitter("c")
+    got = staged(em, em.int_hash64("u"))
+    assert got == {v: int_hash64_py(v) for v in vals}
 
     em = SipU64Emitter("s")
     got = staged(em, em.chain("u", "8", 1))

@@ -103,10 +103,15 @@ def test_ch_sql_and_raw_bytes(spark):
 
 
 def test_ch_sql_multiarg_combine(spark):
-    """Multi-arg combines CH-style (round 9): hash of the 16-/8-byte
-    LE pair of the per-arg hashes — NOT the concatenated renderings,
-    so ('ab','c') and ('a','bc') no longer collide."""
+    """Multi-arg combines CH-style: xxHash32 rehashes the 8-byte LE
+    pair of the per-arg hashes (combineHashesFunc), while xxHash64's
+    ImplXxHash64::combineHashes is CityHash_v1_0_2::Hash128to64 of
+    the two per-arg hashes (round 10 — the r9 pair-rehash model
+    diverged from CH, ADVICE r9). Neither is the concatenated
+    renderings, so ('ab','c') and ('a','bc') do not collide."""
     import struct
+
+    from baseline_magician_spark.functions.cityhash import _hl16_py
 
     df = spark.createDataFrame([(1,)], "i long")
     tabs = {"t": df}
@@ -114,11 +119,7 @@ def test_ch_sql_multiarg_combine(spark):
     def one(sql):
         return run_ch_query(sql, tabs).collect()[0][0]
 
-    want64 = _sl(
-        xxh64_py(
-            struct.pack("<QQ", xxh64_py(b"a"), xxh64_py(b"b"))
-        )
-    )
+    want64 = _sl(_hl16_py(xxh64_py(b"a"), xxh64_py(b"b")))
     assert one("SELECT xxHash64('a', 'b') AS r FROM t") == want64
     want32 = xxh32_py(
         struct.pack("<II", xxh32_py(b"a"), xxh32_py(b"b"))
@@ -126,16 +127,9 @@ def test_ch_sql_multiarg_combine(spark):
     assert one("SELECT xxHash32('a', 'b') AS r FROM t") == want32
     # three-arg left fold
     want3 = _sl(
-        xxh64_py(
-            struct.pack(
-                "<QQ",
-                xxh64_py(
-                    struct.pack(
-                        "<QQ", xxh64_py(b"a"), xxh64_py(b"b")
-                    )
-                ),
-                xxh64_py(b"c"),
-            )
+        _hl16_py(
+            _hl16_py(xxh64_py(b"a"), xxh64_py(b"b")),
+            xxh64_py(b"c"),
         )
     )
     assert one("SELECT xxHash64('a', 'b', 'c') AS r FROM t") == want3
