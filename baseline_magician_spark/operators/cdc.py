@@ -368,3 +368,64 @@ def cdc_shared_chunks(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def cdc_duplication_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_len: int = 8,
+    mask_bits: int = MASK_BITS,
+    window: int = WINDOW,
+    impl: str = "pandas",
+) -> DataFrame:
+    """Per-document duplicate-content ratio: the fraction of a
+    document's characters covered by chunks whose fingerprint
+    appears in >= min_docs distinct documents — the DOC-LEVEL gating
+    signal CDC exists to produce (drop or down-weight documents that
+    are mostly boilerplate shared with the rest of the corpus).
+
+    Returns (id, n_chars, dup_chars, n_dup_chunks, dup_ratio);
+    dup_ratio rounds to 6 places for cross-engine compare. Documents
+    whose chunks are all shorter than ``min_len`` score 0.
+
+    Shuffle inventory: the chunk relation is computed ONCE and
+    cached (two consumers — the shared-fingerprint aggregate and the
+    per-doc rollup; the chunk frame is the thing a 100 TB deployment
+    would materialize anyway), then one groupBy on uniform
+    fingerprints, one LEFT SEMI join back (the shared-fp set is
+    small — AQE broadcasts it), one per-doc sum."""
+    builder = cdc_chunks if impl == "jvm" else cdc_chunks_pandas
+    chunks = builder(
+        docs, text_col, id_col, mask_bits=mask_bits, window=window
+    )
+    eligible = chunks.where(F.col("chunk_len") >= min_len).persist()
+    shared = (
+        eligible.groupBy("chunk_fp")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("chunk_fp")
+    )
+    per_doc = (
+        eligible.join(shared, "chunk_fp", "left_semi")
+        .groupBy(id_col)
+        .agg(
+            F.sum("chunk_len").alias("dup_chars"),
+            F.count(F.lit(1)).alias("n_dup_chunks"),
+        )
+    )
+    base = docs.where(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+    dup = F.coalesce(F.col("dup_chars"), F.lit(0).cast("long"))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_chars",
+        dup.alias("dup_chars"),
+        F.coalesce(F.col("n_dup_chunks"), F.lit(0).cast("long")).alias(
+            "n_dup_chunks"
+        ),
+        F.round(dup / F.col("n_chars"), 6).alias("dup_ratio"),
+    )

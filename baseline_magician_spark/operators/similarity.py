@@ -928,3 +928,164 @@ def int8_topk(
         sim.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+def binary_quantize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign binarization after per-ROW mean centering: bit i is set
+    iff x_i - mean(x) >= 0, packed 64 dims per long word.
+
+    Output: (id, dim int, words array<long>). The per-row mean (the
+    same left-to-right fold as lsh_bucket(center=True), so a SQL
+    oracle replays it bit-for-bit) removes the common offset that
+    would otherwise collapse positive-orthant embeddings onto the
+    all-ones code. At 100 TB this is the 32x compaction step of a
+    binary-quantization serving corpus: one map-side projection, and
+    downstream candidate scoring is XOR+popcount over 1/32 of the
+    float bytes. Word packing is bitwiseOR of distinct single-bit
+    values — no addition, so it is ANSI-safe including bit 63."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    with_mu = embeddings.select(
+        F.col(id_col).alias("_bid"),
+        v.alias("_v"),
+        (
+            F.aggregate(
+                v, F.lit(0.0), lambda acc, x: acc + x
+            )
+            / F.size(v)
+        ).alias("_mu"),
+    )
+    nwords = ((F.size(F.col("_v")) + 63) / 64).cast("int")
+    # single-bit value for in-word position p: 2^p is an EXACT double
+    # for p <= 62 (one mantissa bit), so pow->long round-trips; bit
+    # 63 is the signed-long min literal. shiftleft() takes only a
+    # literal count, hence this spelling; all combining is bitwiseOR
+    # of distinct bits — no addition, ANSI-safe.
+    bitval = lambda p: F.when(  # noqa: E731
+        p == 63, F.lit(-(1 << 63)).cast("long")
+    ).otherwise(F.pow(F.lit(2.0), p.cast("double")).cast("long"))
+    words = F.transform(
+        F.sequence(F.lit(0), nwords - 1),
+        lambda j: F.aggregate(
+            F.transform(
+                F.col("_v"),
+                lambda x, i: F.when(
+                    (i >= j * 64)
+                    & (i < (j + 1) * 64)
+                    & (x - F.col("_mu") >= 0),
+                    bitval(i % 64),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseOR(x),
+        ),
+    )
+    return with_mu.select(
+        F.col("_bid").alias(id_col),
+        F.size(F.col("_v")).alias("dim"),
+        words.alias("words"),
+    )
+
+
+def hamming_words(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed word arrays:
+    sum(popcount(xor)) — whole-stage-codegen integer ops."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def binary_hamming_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k by Hamming distance over the binary codes.
+
+    Output: (query_id, neighbor_id, hamming, rank), rank 1..k by
+    (hamming asc, neighbor id asc — Hamming ties are common at 64
+    bits, so the id tiebreak is load-bearing for determinism). Same
+    scan shape as brute_force_topk: corpus x broadcast(queries),
+    but the per-pair cost is dim/64 XOR+popcounts instead of dim
+    float multiplies."""
+    from pyspark.sql import Window as W
+
+    q = binary_quantize(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("words").alias("_qw")
+    )
+    c = binary_quantize(embeddings, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("words").alias("_cw")
+    )
+    sim = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            hamming_words(F.col("_qw"), F.col("_cw")).alias("hamming"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def binary_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    prefilter_mult: int = 4,
+) -> DataFrame:
+    """The binary-quantization SERVING pattern: Hamming prefilter to
+    k * prefilter_mult candidates per query, then exact cosine
+    rerank of only those candidates back against the float vectors.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank), rank 1..k by
+    (cosine desc, neighbor id). At 100 TB the first stage scans the
+    32x-compacted code corpus; the float vectors are fetched for
+    ~k*mult rows per query via an equi-join on neighbor id — the
+    crossJoin never touches the float table."""
+    from pyspark.sql import Window as W
+
+    cand = binary_hamming_topk(
+        embeddings, queries, id_col, vec_col, k=k * prefilter_mult
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    cv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("_qvec"), F.col("_cvec")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

@@ -1236,3 +1236,53 @@ def dedup_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(32)
     )
     return cdc_shared_chunks(docs, min_len=CDC_MIN_SHARED_LEN)
+
+
+def _cdc_ratio_oracle() -> str:
+    return f"""
+    WITH {_cdc_base_ctes(f"doc_id % {CDC_SHARED_SUBSET} = 0")},
+    fp AS (
+      SELECT doc_id, chunk_len,
+             {_cdc_chunk_fp_sql()} AS chunk_fp
+      FROM sp WHERE chunk_len >= {CDC_MIN_SHARED_LEN}
+    ),
+    shx AS (
+      SELECT chunk_fp FROM fp GROUP BY chunk_fp
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(sum(chunk_len) AS BIGINT) AS dup_chars,
+             count(*) AS n_dup_chunks
+      FROM fp WHERE chunk_fp IN (SELECT chunk_fp FROM shx)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           COALESCE(p.dup_chars, 0) AS dup_chars,
+           CAST(COALESCE(p.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+           round(COALESCE(p.dup_chars, 0) / length(d.text), 6)
+             AS dup_ratio
+    FROM d LEFT JOIN per p ON p.doc_id = d.doc_id
+    """
+
+
+@query("dedup_cdc_duplication_ratio", _cdc_ratio_oracle())
+def dedup_cdc_duplication_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document duplicate-content ratio over the CDC chunk
+    relation (round 10): the fraction of each document's characters
+    covered by chunks shared with other documents — the doc-level
+    signal a 100 TB pipeline gates boilerplate on. One chunking
+    pass (cached — two consumers), one fingerprint groupBy, one
+    semi-join back, one per-doc rollup; the oracle replays the JVM
+    gear closed form and the same shared-fp decisions."""
+    from ..operators.cdc import cdc_duplication_ratio
+
+    docs = (
+        load_for_compute(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % CDC_SHARED_SUBSET == 0)
+        .repartition(32)
+    )
+    return cdc_duplication_ratio(docs, min_len=CDC_MIN_SHARED_LEN)

@@ -285,6 +285,13 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(tokens("clean_text")).alias("n_toks"),
         )
         .where(F.col("n_toks") >= 10)
+        # TWO consumers (the mixture aggregate and the sample join)
+        # would each recompute the excision subtree — the most
+        # expensive narrow stage of the composition; cache the
+        # cleaned+gated frame once (it is the kept corpus text;
+        # ContextCleaner drops the cache when the plan is GC'd).
+        # Round-10 measurement: export 9.7 -> ~7.0 s at sf0.1.
+        .persist()
     )
     fractions = mixture_plan(
         kept, "source", F.col("n_toks"), MIX_WEIGHTS

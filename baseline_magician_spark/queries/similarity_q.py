@@ -754,3 +754,116 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# -- binary quantization (round 10) -----------------------------------
+# Sign bits after per-row mean centering, packed 64 dims/word; the
+# oracle carries the UNPACKED sign list and counts positional
+# disagreements — arithmetically identical to Spark's
+# popcount(xor(words)), so the packed rendering is checked without
+# DuckDB needing 64-bit word semantics. Serving pattern: Hamming
+# prefilter over the 32x-compacted codes, exact cosine rerank of the
+# k*4 candidates only.
+_BQ_BITS = """
+    bv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    bm AS (
+      SELECT vec_id, v,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v),
+                         (a, b) -> a + b) / len(v) AS mu
+      FROM bv
+    ),
+    bb AS (
+      SELECT vec_id, list_transform(v, x -> x - mu >= 0) AS bits
+      FROM bm
+    )"""
+
+
+def _binary_hamming_ctes() -> str:
+    """CTE chain ending in ``branked`` = (query_id, neighbor_id,
+    hamming, rank by (hamming asc, id asc) per query)."""
+    return f"""{_BQ_BITS},
+    bq AS (
+      SELECT vec_id AS query_id, bits AS qb FROM bb
+      WHERE vec_id < {N_QUERY_VECS}
+    ),
+    bsims AS (
+      SELECT bq.query_id, c.vec_id AS neighbor_id,
+             CAST(len(list_filter(list_zip(bq.qb, c.bits),
+                                  s -> s[1] <> s[2])) AS BIGINT)
+               AS hamming
+      FROM bb c CROSS JOIN bq
+      WHERE c.vec_id <> bq.query_id
+    ),
+    branked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY hamming, neighbor_id
+             ) AS rank
+      FROM bsims
+    )"""
+
+
+def _binary_hamming_oracle() -> str:
+    return f"""
+    WITH {_binary_hamming_ctes()}
+    SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+    FROM branked WHERE rank <= {TOP_K}
+    """
+
+
+@query("similarity_binary_hamming_topk", _binary_hamming_oracle())
+def similarity_binary_hamming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hamming top-k over sign-binarized codes: the 32x-compacted
+    scan whose per-pair cost is one XOR+popcount per 64 dims."""
+    from ..operators.similarity import binary_hamming_topk
+
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return binary_hamming_topk(emb, queries, k=TOP_K)
+
+
+def _binary_rerank_oracle() -> str:
+    return f"""
+    WITH {_binary_hamming_ctes()},
+    cands AS (
+      SELECT query_id, neighbor_id FROM branked
+      WHERE rank <= {TOP_K * 4}
+    ),
+    rescored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round({_cos('q.embedding', 'e.embedding')}, 6)
+               AS cosine_sim
+      FROM cands c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.neighbor_id
+    ),
+    rranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id
+             ) AS rank
+      FROM rescored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+    FROM rranked WHERE rank <= {TOP_K}
+    """
+
+
+@query("similarity_binary_rerank_topk", _binary_rerank_oracle())
+def similarity_binary_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary prefilter + exact rerank — the binary-quantization
+    serving pattern: Hamming top-(k*4) candidates from the code
+    corpus, then exact cosine on only those rows (the float table is
+    touched via an equi-join on candidate ids, never a crossJoin)."""
+    from ..operators.similarity import binary_rerank_topk
+
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return binary_rerank_topk(emb, queries, k=TOP_K, prefilter_mult=4)

@@ -47,80 +47,83 @@ _loaded = False
 # families, freshly-fixed rows, and operators added this round — land
 # inside the checked window; everything else follows in registration
 # order. Rotate per round.
-# Round-9 window (the harness checks the first 50 names; a test pins
-# len <= 50 so nothing silently falls outside it). Union of rounds
-# 1-8: all 218 registered names checked at least once, latest check
-# green. This window runs EDF (earliest-deadline-first) over driver
-# rows:
-# - ALL 32 r4-era rows first — the oldest remaining; once the r9
-#   record lands they are 5 rounds behind, exactly the gate's
-#   MAX_LAG_ROUNDS, so every one of them must be in this window
+# Round-10 window. Union of rounds 1-9: all 224 registered names
+# checked at least once, latest check green. EDF order:
+# - ALL 37 r5-era rows first — they reach the MAX_LAG bound when
+#   CORRECTNESS_r10 lands, so every one must be in this window
 #   (tests/test_rotation_staleness.py enforces this);
-# - new round-9 registrations as they land (appended to their block
-#   in the SAME commit that registers them; each costs an r5-stale
-#   trade to stay under the 50 pin);
-# - the rest: r5-stale names picked for operator diversity (the
-#   leftover r5 rows reach lag 5 at r10 and lead the r10 window).
-# The full local sweep — the driver's OWN canonicalization
-# (tests/test_oracle_parity.py) — remains the compensating control
-# for everything outside the window.
+# - the 4 rows whose VALUES changed this round: the two hash probes
+#   (cityHash64 numeric -> IntHash64Impl, xxHash64 combine ->
+#   Hash128to64, computed-expression layouts) and the two corpus
+#   compositions (span excision + clean-text digests) — their last
+#   green rows replay the superseded models and MUST re-check;
+# - new round-10 registrations land here as they register (each
+#   trades out an r6-stale name below to stay under the 50 pin);
+# - the rest: r6-stale names picked for operator diversity
+#   (streaming_funnel_levels leads — its 2.0 s budget floor is under
+#   validation this round); the ~29 r6 leftovers lead the r11 window.
+# CAPACITY POLICY (round 10): the staleness bound is ceil(N/50),
+# DERIVED from the live registry — growing it accepts a slower
+# re-check cadence automatically, with a deliberate hard ceiling of
+# 8 windows (400 queries) gated in tests/test_rotation_staleness.py
+# (full policy rationale lives there, next to the arithmetic).
 _PRIORITY: tuple[str, ...] = (
-    # all 32 r4-stale rows (complete — nothing r4 remains after r9)
-    "ch_sql_in_correlated",
-    "ch_sql_intersect_users",
-    "ch_sql_json_extract",
-    "ch_sql_not_in_correlated",
-    "ch_sql_scalar_with",
-    "ch_sql_star_modifiers",
-    "cube_revenue_by_flag_status",
-    "dedup_incremental_ingest",
-    "dedup_keep_best_per_cluster",
-    "dedup_simhash_fingerprints",
-    "distinct_users_by_type",
-    "exact_percentiles_by_type",
-    "extremes_value_by_type",
-    "grouping_sets_quantity",
-    "histogram_event_values",
-    "json_props_stats",
-    "multimodal_frame_sample",
-    "pipeline_training_export",
-    "pivot_quantity_by_status",
-    "rollup_totals_by_region_nation",
-    "sample_mixture_plan",
-    "sample_quota_per_source",
-    "sample_split_train_valid_test",
-    "semi_anti_join_customers",
-    "set_ops_customer_tiers",
-    "similarity_pq_recon_error",
-    "skew_salted_distinct_users",
-    "streaming_baseline_windows",
-    "time_window_recent_events",
-    "window_lag_lead_user_deltas",
-    "window_range_frame_sliding_sum",
-    "window_topn_orders_per_segment",
-    # new round-9 queries land here as they register (slots held —
-    # the len <= 50 pin forces an r5-stale trade for each extra one)
+    # all 37 r5-stale rows (complete — nothing r5 remains after r10)
+    "approx_distinct_and_quantiles",
+    "baseline_thresholds_bucketed_join",
+    "ch_sql_ddl_roundtrip",
+    "ch_sql_limit_with_ties",
+    "ch_sql_qualify_topn",
+    "ch_sql_rowvalue_in",
+    "ch_sql_select_correlated",
+    "ch_sql_tpch_q12",
+    "multimodal_stripe_features",
+    "pipeline_chunk_manifest",
+    "pipeline_sequence_packing",
+    "pipeline_shuffle_order",
+    "q11_important_part_values",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q20_promo_heavy_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "similarity_ivf_train_step",
+    "streaming_click_purchase_join",
+    "streaming_dedup_keys",
+    "text_eval_decontamination",
+    "text_fingerprints",
+    "text_frequent_ngrams_topk",
+    "text_quality_scores",
+    "text_repetition_stats",
+    "text_token_counts",
+    "text_vocab_coverage",
+    "udaf_weighted_mean",
+    "udaf_weighted_mean_df",
+    # rows whose values changed in round 10 (must re-check)
     "ch_sql_numeric_hashes",
-    "ch_sql_murmur3_hashes",
-    "ch_sql_kafka_hashes",
     "ch_sql_hash_combine_chains",
-    "dedup_cdc_chunk_spans",
-    "dedup_cdc_shared_chunks",
-    # r5-stale rotation (oldest rows after the r4 block, diverse
-    # ops; one traded out per new registration above; the ~31 r5
-    # leftovers lead the r10 window at lag 5)
-    "baseline_thresholds",
-    "q1_pricing_summary",
-    "ch_sql_tpch_q3",
-    "ch_sql_param_binding",
-    "ch_sql_recursive_cte",
-    "ch_sql_in_external_table",
-    "dedup_edit_distance_pairs",
-    "multimodal_bmp_decode",
-    "similarity_ivf_topk",
-    "similarity_kmeans_three_steps",
-    "streaming_stateful_anomalies",
-    "text_language_id",
+    "pipeline_corpus_cleanup",
+    "pipeline_training_export",
+    # new round-10 registrations (CDC doc-level gating signal +
+    # binary-quantization ANN serving pattern) — each traded out an
+    # r6-stale name to stay under the 50 pin
+    "dedup_cdc_duplication_ratio",
+    "similarity_binary_hamming_topk",
+    "similarity_binary_rerank_topk",
+    # r6-stale rotation (one traded out per new registration)
+    "streaming_funnel_levels",
+    "dedup_duplicated_spans",
+    "dedup_connected_components",
+    "multimodal_y4m_decode",
+    "ip_function_roundtrip",
+    "ch_sql_window_funnel",
 )
 
 

@@ -594,6 +594,21 @@ def main() -> None:
         )
         return cdc_shared_chunks(dd, min_docs=2, min_len=8).count()
 
+    def binary_code_scan(k: int) -> int:
+        """Round-10 binary-quantization ANN: sign-pack the corpus
+        (one map-side projection — the 32x-compacted code table) and
+        Hamming-scan it against a fixed 4-query broadcast. Per-pair
+        cost is dim/64 XOR+popcounts; no shuffle except the final
+        per-query top-k window over the scored stream. Wall must
+        track corpus rows."""
+        from baseline_magician_spark.operators.similarity import (
+            binary_hamming_topk,
+        )
+
+        emb = replicate(emb0, k, ["vec_id"], salt_text=False)
+        queries = emb0.where(F.col("vec_id") < 4)
+        return binary_hamming_topk(emb, queries, k=10).count()
+
     ops = {
         "q1_agg": q1_agg,
         "minhash_lsh_pairs": minhash,
@@ -622,6 +637,7 @@ def main() -> None:
         "wrap_hash_scan": wrap_hash_scan,
         "numeric_hash_scan": numeric_hash_scan,
         "cdc_scan": cdc_scan,
+        "binary_code_scan": binary_code_scan,
     }
 
     # SPARK_GRAFT_STRESS_OPS=a,b,c re-runs a subset (a marginal rung

@@ -159,3 +159,44 @@ def test_pandas_path_preserves_string_doc_ids(spark):
         )
     for i, (sid, _t) in enumerate(rows):
         assert sorted(by_id[sid]) == sorted(by_num[i])
+
+
+def test_duplication_ratio_bounds_and_signal(spark):
+    """cdc_duplication_ratio: ratios in [0, 1]; a doc sharing a long
+    run with another doc scores high; a unique-content doc scores 0;
+    dup_chars never exceeds n_chars; JVM and pandas paths agree."""
+    import random
+
+    from baseline_magician_spark.operators.cdc import (
+        cdc_duplication_ratio,
+    )
+
+    rng = random.Random(11)
+    shared = "".join(
+        rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(500)
+    )
+    uniq = "".join(
+        rng.choice("0123456789+-*/=#@!%&") for _ in range(300)
+    )
+    rows = [
+        (1, "head " + shared + " tail"),
+        (2, "other prefix " + shared + " different suffix"),
+        (3, uniq),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in cdc_duplication_ratio(df).collect()
+    }
+    for i, t in rows:
+        r = got[i]
+        assert r["n_chars"] == len(t)
+        assert 0 <= r["dup_chars"] <= r["n_chars"], i
+        assert 0.0 <= r["dup_ratio"] <= 1.0, i
+    assert got[1]["dup_ratio"] > 0.5, "shared-run doc must score high"
+    assert got[2]["dup_ratio"] > 0.5
+    assert got[3]["dup_ratio"] == 0.0, "unique doc must score 0"
+    a = sorted(map(tuple, cdc_duplication_ratio(df).collect()))
+    b = sorted(
+        map(tuple, cdc_duplication_ratio(df, impl="jvm").collect())
+    )
+    assert a == b
