@@ -117,12 +117,12 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cdc_duplication_ratio",
     "similarity_binary_hamming_topk",
     "similarity_binary_rerank_topk",
+    "profile_constraint_checks",
+    "profile_key_skew",
+    "pipeline_snapshot_diff",
     # r6-stale rotation (one traded out per new registration)
     "streaming_funnel_levels",
     "dedup_duplicated_spans",
-    "dedup_connected_components",
-    "multimodal_y4m_decode",
-    "ip_function_roundtrip",
     "ch_sql_window_funnel",
 )
 

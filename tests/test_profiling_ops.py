@@ -1,0 +1,94 @@
+"""Round-10 profiling/pipeline utilities (operators/profiling.py):
+the declarative constraint suite, shuffle-key skew diagnostics, and
+the snapshot-diff regression check — properties independent of the
+driver's DuckDB oracle rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from baseline_magician_spark.operators.profiling import (
+    check_constraints,
+    key_skew_profile,
+    snapshot_diff,
+)
+
+
+def test_check_constraints_one_row_per_check_and_verdicts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (3, "c")],
+        "k long, v string",
+    )
+    out = check_constraints(
+        df,
+        [
+            ("rows_min_3", F.count(F.lit(1)), lambda m: m >= 3),
+            (
+                "k_unique",
+                F.count_distinct(F.col("k")).cast("double")
+                / F.count(F.lit(1)),
+                lambda m: m >= 1.0,
+            ),
+            (
+                "v_complete",
+                F.avg(
+                    F.when(F.col("v").isNotNull(), F.lit(1.0)).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                lambda m: m >= 0.99,
+            ),
+            ("max_k_info", F.max("k"), None),
+        ],
+    ).collect()
+    got = {r["constraint"]: (r["metric"], r["passed"]) for r in out}
+    assert len(out) == 4
+    assert got["rows_min_3"] == (4.0, True)
+    assert got["k_unique"] == (0.75, False)  # 3 distinct / 4 rows
+    assert got["v_complete"] == (0.75, False)
+    assert got["max_k_info"] == (3.0, True)  # informational
+
+
+def test_key_skew_uniform_vs_hot_key(spark):
+    uniform = spark.createDataFrame(
+        [(i % 10,) for i in range(100)], "k long"
+    )
+    u = key_skew_profile(uniform, "k").collect()[0]
+    assert u["n_keys"] == 10 and u["n_rows"] == 100
+    assert u["top1_share"] == 0.1 and u["max_mean_ratio"] == 1.0
+    assert u["gini"] == 0.0  # perfectly uniform
+
+    hot = spark.createDataFrame(
+        [(0,)] * 91 + [(i,) for i in range(1, 10)], "k long"
+    )
+    h = key_skew_profile(hot, "k").collect()[0]
+    assert h["top1_share"] == 0.91
+    assert h["gini"] > 0.7  # one key owns the data
+
+
+def test_snapshot_diff_statuses_and_changed_cols(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C"), (4, None, "D")],
+        "k long, p double, s string",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged; 2 price changed; 3 removed; 4 NULL->value
+        # change; 5 added
+        [(1, 10.0, "A"), (2, 21.0, "B"), (4, 40.0, "D"), (5, 50.0, "E")],
+        "k long, p double, s string",
+    )
+    rows = {
+        r["k"]: r
+        for r in snapshot_diff(old, new, ["k"], ["p", "s"]).collect()
+    }
+    assert rows[1]["status"] == "unchanged" and rows[1]["changed_cols"] == []
+    assert rows[2]["status"] == "changed" and rows[2]["changed_cols"] == ["p"]
+    assert rows[3]["status"] == "removed" and rows[3]["changed_cols"] == []
+    assert rows[4]["status"] == "changed" and rows[4]["changed_cols"] == ["p"]
+    assert rows[5]["status"] == "added" and rows[5]["changed_cols"] == []
+    # NULL == NULL is NOT a change
+    old2 = spark.createDataFrame([(7, None, "x")], "k long, p double, s string")
+    new2 = spark.createDataFrame([(7, None, "x")], "k long, p double, s string")
+    r7 = snapshot_diff(old2, new2, ["k"], ["p", "s"]).collect()[0]
+    assert r7["status"] == "unchanged"
