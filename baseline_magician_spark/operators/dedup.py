@@ -626,3 +626,62 @@ def excise_spans(
         F.size(spans_arr).alias("n_spans"),
         (F.length("text") - F.length(folded)).alias("chars_removed"),
     )
+
+
+def self_repetition_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 40,
+) -> DataFrame:
+    """WITHIN-document repetition spans (round 10): maximal spans
+    whose every k-shingle already occurred EARLIER in the SAME
+    document — the de-looping cleanup for model-generated or
+    boilerplate-heavy text (the cross-document twin is
+    duplicated_spans). The first occurrence is never flagged, so
+    excising these spans keeps one copy of the repeated content.
+
+    Returns (id, span_start, span_end, span_chars), 1-based
+    inclusive, non-overlapping per id — directly consumable by
+    excise_spans.
+
+    100 TB design: the position explode is the same map-side fan-out
+    as duplicated_spans; the earlier-occurrence flag is ONE window
+    min over (id, shingle-hash) — a single shuffle keyed by doc and
+    hash (uniform), no self-join; the island merge is the shared
+    gaps-and-islands window per doc."""
+    tid = F.col(id_col)
+    text = F.col(text_col)
+    pos = df.select(
+        tid.alias("id"),
+        F.explode(
+            F.when(
+                F.length(text) >= k,
+                F.sequence(F.lit(1), F.length(text) - (k - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+        text.alias("_t"),
+    ).select(
+        "id",
+        F.col("i").cast("long").alias("i"),
+        F.substring(
+            F.md5(F.substr(F.col("_t"), F.col("i"), F.lit(k))), 1, 16
+        ).alias("h"),
+    )
+    first = F.min("i").over(Window.partitionBy("id", "h"))
+    flagged = pos.withColumn("_first", first).where(
+        F.col("i") > F.col("_first")
+    )
+    rn = F.row_number().over(Window.partitionBy("id").orderBy("i"))
+    islands = flagged.select(
+        "id", "i", (F.col("i") - rn).alias("island")
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + (k - 1)).alias("span_end"),
+            (F.max("i") - F.min("i") + k).alias("span_chars"),
+        )
+        .drop("island")
+    )

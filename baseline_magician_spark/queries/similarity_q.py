@@ -867,3 +867,95 @@ def similarity_binary_rerank(
     emb = load_for_compute(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
     return binary_rerank_topk(emb, queries, k=TOP_K, prefilter_mult=4)
+
+
+# -- Matryoshka truncation recall (round 10) ---------------------------
+# MRL-style serving: search with only the FIRST half of each
+# embedding (the prefix a Matryoshka-trained model packs the signal
+# into) and measure recall@10 against full-dimension truth. On the
+# synthetic near-orthogonal embeddings this measures exactly what a
+# dimension-truncation rollout needs to know — how much ranking the
+# prefix preserves. Both engines rank by (round(cos,6) desc, id).
+MAT_DIM = 32
+
+
+def _matryoshka_oracle() -> str:
+    half = f"(e.embedding[1:{MAT_DIM}])"
+    halfq = f"(q.qv[1:{MAT_DIM}])"
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ),
+    full_sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({_cos('q.qv', 'e.embedding')}, 6) AS cs
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cs DESC, neighbor_id
+               ) AS r
+        FROM full_sims
+      ) WHERE r <= {TOP_K}
+    ),
+    half_sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({_cos(halfq, half)}, 6) AS cs
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cs DESC, neighbor_id
+               ) AS r
+        FROM half_sims
+      ) WHERE r <= {TOP_K}
+    )
+    SELECT t.query_id,
+           round(count(a.neighbor_id) / {TOP_K}.0, 2)
+             AS recall_matryoshka
+    FROM truth t
+    LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    ORDER BY t.query_id
+    """
+
+
+@query("similarity_matryoshka_recall", _matryoshka_oracle())
+def similarity_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of first-half-dimension search vs full-dimension
+    truth — the dimension-truncation rollout measurement. Two
+    brute-force scans (the corpus read twice, queries broadcast) and
+    a broadcast overlap join; at scale the truncated scan reads half
+    the vector bytes, which is the point."""
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    truth = brute_force_topk(emb, queries, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    half = emb.select(
+        "vec_id", F.slice("embedding", 1, MAT_DIM).alias("embedding")
+    )
+    approx = brute_force_topk(
+        half, half.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K
+    ).select("query_id", "neighbor_id")
+    ov = (
+        truth.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(F.broadcast(ov), "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("_c"), F.lit(0)) / float(TOP_K), 2
+            ).alias("recall_matryoshka"),
+        )
+        .orderBy("query_id")
+    )

@@ -1056,3 +1056,128 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+# -- within-document repetition excision (round 10) --------------------
+# The de-looping cleanup: spans whose every 16-char shingle already
+# occurred EARLIER in the same document are cut (first occurrence
+# kept). The oracle replays the positional flag (i > min(i) over
+# (doc, shingle-hash)), the gaps-and-islands merge, and the excision
+# fold, then hash-checks the cleaned text per language — the same
+# digest technique as pipeline_span_excision.
+_SELF_REP_K = 16
+
+
+def _self_repetition_oracle() -> str:
+    k = _SELF_REP_K
+    return f"""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(generate_series(1, length(text) - {k - 1})) AS i,
+             text
+      FROM documents WHERE length(text) >= {k}
+    ), sh AS (
+      SELECT doc_id, i,
+             substr(md5(substr(text, i::INT, {k})), 1, 16) AS h
+      FROM pos
+    ), fl AS (
+      SELECT doc_id, i,
+             min(i) OVER (PARTITION BY doc_id, h) AS mn
+      FROM sh
+    ), flagged AS (
+      SELECT doc_id, i,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+      FROM fl WHERE i > mn
+    ), spans AS (
+      SELECT doc_id,
+             min(i)::BIGINT AS s,
+             (max(i) + {k - 1})::BIGINT AS e
+      FROM flagged GROUP BY doc_id, i - rn
+    ), pieces AS (
+      SELECT sp.doc_id, sp.s, sp.e,
+             lag(sp.e, 1, 0) OVER (
+               PARTITION BY sp.doc_id ORDER BY sp.s
+             ) AS pe,
+             d.text
+      FROM spans sp JOIN documents d ON d.doc_id = sp.doc_id
+    ), gaps AS (
+      SELECT doc_id,
+             count(*) AS n_spans,
+             string_agg(substr(text, (pe + 1)::INT,
+                               greatest((s - pe - 1)::INT, 0)),
+                        '' ORDER BY s) AS kept,
+             max(e) AS laste
+      FROM pieces GROUP BY doc_id
+    ), cleaned AS (
+      SELECT d.doc_id, d.lang, d.text,
+             COALESCE(g.n_spans, 0) AS n_spans,
+             COALESCE(g.kept, '') ||
+               substr(d.text, (COALESCE(g.laste, 0) + 1)::INT,
+                      greatest((length(d.text)
+                                - COALESCE(g.laste, 0))::INT, 0))
+               AS clean_text
+      FROM documents d LEFT JOIN gaps g ON d.doc_id = g.doc_id
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS docs_touched,
+           sum(n_spans)::BIGINT AS spans_total,
+           sum(length(text))::BIGINT AS chars_before,
+           sum(length(clean_text))::BIGINT AS chars_after,
+           md5(string_agg(md5(clean_text), '' ORDER BY doc_id))
+             AS clean_digest
+    FROM cleaned GROUP BY lang ORDER BY lang
+    """
+
+
+@query("text_self_repetition_excision", _self_repetition_oracle())
+def text_self_repetition_excision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Within-document repetition excision: cut spans whose every
+    16-char shingle already occurred earlier in the SAME document
+    (first occurrence kept) — the de-looping cleanup for generated
+    or boilerplate-heavy text. One window min over (doc, shingle
+    hash) flags repeats (no self-join); the oracle hash-checks the
+    cleaned text per language."""
+    from ..operators.dedup import excise_spans, self_repetition_spans
+
+    docs = load_for_compute(spark, sf_dir, "documents")
+    spans = self_repetition_spans(
+        docs, "text", "doc_id", k=_SELF_REP_K
+    )
+    cleaned = excise_spans(
+        docs.select("doc_id", "text"), spans, "text", "doc_id"
+    ).join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+    per_doc_digest = F.md5(F.col("clean_text").cast("binary"))
+    return (
+        cleaned.select(
+            "id", "lang", "n_spans",
+            F.length("text").alias("cb"),
+            F.length("clean_text").alias("ca"),
+            per_doc_digest.alias("h"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_spans") > 0).cast("long")).alias(
+                "docs_touched"
+            ),
+            F.sum("n_spans").alias("spans_total"),
+            F.sum("cb").alias("chars_before"),
+            F.sum("ca").alias("chars_after"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("id", "h"))
+                        ),
+                        lambda x: x["h"],
+                    ),
+                ).cast("binary")
+            ).alias("clean_digest"),
+        )
+        .orderBy("lang")
+    )

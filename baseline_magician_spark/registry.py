@@ -120,10 +120,11 @@ _PRIORITY: tuple[str, ...] = (
     "profile_constraint_checks",
     "profile_key_skew",
     "pipeline_snapshot_diff",
-    # r6-stale rotation (one traded out per new registration)
+    "text_self_repetition_excision",
+    "similarity_matryoshka_recall",
+    # r6-stale rotation (the one slot left after this round's eight
+    # new/changed additions; the other r6 leftovers lead r11's window)
     "streaming_funnel_levels",
-    "dedup_duplicated_spans",
-    "ch_sql_window_funnel",
 )
 
 

@@ -92,3 +92,39 @@ def test_snapshot_diff_statuses_and_changed_cols(spark):
     new2 = spark.createDataFrame([(7, None, "x")], "k long, p double, s string")
     r7 = snapshot_diff(old2, new2, ["k"], ["p", "s"]).collect()[0]
     assert r7["status"] == "unchanged"
+
+
+def test_self_repetition_spans_keeps_first_occurrence(spark):
+    """Within-doc repetition: the FIRST occurrence is never flagged;
+    a later verbatim repeat is; cross-document repeats are NOT
+    flagged (that is duplicated_spans' job)."""
+    from baseline_magician_spark.operators.dedup import (
+        excise_spans,
+        self_repetition_spans,
+    )
+
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"  # 36 unique chars
+    rep = "REPEATED-BLOCK-0123456789-abcdefghij"  # 36 chars
+    rows = [
+        (1, rep + base + rep),          # repeat of rep at the tail
+        (2, base + "ZZ" + base[::-1]),  # no 16-gram repeats
+        (3, rep + "ZYXWVUTSRQPONMLKJIHG"),  # rep also in docs 1/3 —
+        # cross-doc only, and the tail has no within-doc 16-gram repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = self_repetition_spans(df, "text", "doc_id", k=16)
+    got = {
+        r["id"]: (r["span_start"], r["span_end"])
+        for r in spans.collect()
+    }
+    assert 2 not in got and 3 not in got
+    s, e = got[1]
+    assert s > len(rep) + len(base) - 15  # only the SECOND copy
+    assert e == len(rows[0][1])
+    cleaned = {
+        r["id"]: r["clean_text"]
+        for r in excise_spans(df, spans, "text", "doc_id").collect()
+    }
+    assert cleaned[1].startswith(rep + base)  # first copy survives
+    assert len(cleaned[1]) < len(rows[0][1])
+    assert cleaned[2] == rows[1][1] and cleaned[3] == rows[2][1]
