@@ -1902,6 +1902,25 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                         nm in s for s in _LAMBDA_SCOPES
                     ):
                         return resolve_hash_arg(col, bare_name=nm)
+                    # table-qualified column (cityHash64(e.user_id)):
+                    # when the qualifier is a table/alias of THIS
+                    # query's env, the dtype resolves by the bare
+                    # suffix (the env map already dropped ambiguous
+                    # names); a dotted name whose head is NOT a
+                    # relation (struct field access) stays on the
+                    # probe/fallback path
+                    parts = nm.split(".")
+                    if (
+                        len(parts) == 2
+                        and env
+                        and parts[0] in env
+                        and not any(
+                            parts[0] in s for s in _LAMBDA_SCOPES
+                        )
+                    ):
+                        return resolve_hash_arg(
+                            col, bare_name=parts[1]
+                        )
                 return resolve_hash_arg(col)
 
             args = [

@@ -270,3 +270,15 @@ def test_duckdb_u64_emitters_match_models():
     em = MurmurU64Emitter("n")
     got = staged(em, em.m3_chain("u", "8", 2))
     assert got == {v: murmur3_32_py(_le8(v)) for v in vals}
+
+
+def test_table_qualified_column_hashes_numeric_layout(tabs):
+    # cityHash64(t.lg) / xxHash64(t.lg) with a table qualifier
+    # resolve the dtype by the bare suffix against the query env
+    # (round 10; alias-qualified refs like "FROM t AS a ... a.lg"
+    # are outside the dialect's resolver, unchanged)
+    got = _vals(tabs, "SELECT cityHash64(t.lg) AS r FROM t")
+    want = [_sl(int_hash64_py(r[0] & (2**64 - 1))) for r in ROWS]
+    assert got == want
+    gotx = _vals(tabs, "SELECT xxHash64(t.lg) AS r FROM t")
+    assert gotx == [_sl(xxh64_py(_le8(r[0]))) for r in ROWS]
