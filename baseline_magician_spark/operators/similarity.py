@@ -1089,3 +1089,55 @@ def binary_rerank_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_cell_report(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index-quality report: per cell (the argmax-cosine
+    assignment, same tie-break as ivf_topk — cos DESC, cid ASC),
+    how many vectors it holds, how tight they sit (mean cosine to
+    the OWN centroid) and how separated (mean cosine to the runner-up
+    centroid, mean top1-top2 margin). This is the observability view
+    that decides n_centroids / n_probe BEFORE recall degrades: fat
+    cells mean rebalancing, thin margins mean more probes.
+
+    Output: (cell, n_vectors, mean_top1_cos, mean_top2_cos,
+    mean_margin), all rounded to 6. Shape: corpus x broadcast
+    centroid relation (|K| tiny), one window per vector over K
+    scores, one groupBy on the cell — the exact cost of the
+    assignment scan an IVF build pays anyway."""
+    from pyspark.sql import Window as W
+
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        f"cid int, cvec {embeddings.schema[vec_col].dataType.simpleString()}",
+    )
+    scored = embeddings.crossJoin(F.broadcast(cdf)).select(
+        F.col(id_col).alias("_id"),
+        F.col("cid"),
+        cosine(F.col(vec_col), F.col("cvec")).alias("_cos"),
+    )
+    w = W.partitionBy("_id").orderBy(F.desc("_cos"), F.asc("cid"))
+    top2 = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 2)
+        .groupBy("_id")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("cid"))).alias("cell"),
+            F.max(F.when(F.col("_rn") == 1, F.col("_cos"))).alias("_c1"),
+            F.max(F.when(F.col("_rn") == 2, F.col("_cos"))).alias("_c2"),
+        )
+    )
+    return top2.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("_c1"), 6).alias("mean_top1_cos"),
+        F.round(F.avg("_c2"), 6).alias("mean_top2_cos"),
+        F.round(F.avg(F.col("_c1") - F.col("_c2")), 6).alias(
+            "mean_margin"
+        ),
+    )

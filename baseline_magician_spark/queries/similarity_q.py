@@ -959,3 +959,50 @@ def similarity_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# -- IVF cell-quality report (round 10) --------------------------------
+def _ivf_cell_report_oracle() -> str:
+    cs = _cos("e.embedding", "c.cvec")
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {N_CENTROIDS}
+    ),
+    sc AS (
+      SELECT e.vec_id AS id, c.cid, {cs} AS cs,
+             row_number() OVER (
+               PARTITION BY e.vec_id ORDER BY {cs} DESC, c.cid ASC
+             ) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    t2 AS (
+      SELECT id,
+             max(CASE WHEN rn = 1 THEN cid END) AS cell,
+             max(CASE WHEN rn = 1 THEN cs END) AS c1,
+             max(CASE WHEN rn = 2 THEN cs END) AS c2
+      FROM sc WHERE rn <= 2 GROUP BY id
+    )
+    SELECT cell,
+           count(*) AS n_vectors,
+           round(avg(c1), 6) AS mean_top1_cos,
+           round(avg(c2), 6) AS mean_top2_cos,
+           round(avg(c1 - c2), 6) AS mean_margin
+    FROM t2 GROUP BY cell
+    """
+
+
+@query("similarity_ivf_cell_report", _ivf_cell_report_oracle())
+def similarity_ivf_cell_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF index-quality report — per cell: occupancy, mean cosine
+    to the own centroid (tightness) and to the runner-up (margin) —
+    the observability that tunes n_centroids / n_probe before recall
+    degrades. Exactly the assignment scan an IVF build pays."""
+    from ..operators.similarity import ivf_cell_report
+
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    return ivf_cell_report(
+        emb, _seed_centroids(spark, sf_dir, N_CENTROIDS)
+    )

@@ -122,9 +122,12 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_snapshot_diff",
     "text_self_repetition_excision",
     "similarity_matryoshka_recall",
-    # r6-stale rotation (the one slot left after this round's eight
-    # new/changed additions; the other r6 leftovers lead r11's window)
-    "streaming_funnel_levels",
+    "similarity_ivf_cell_report",
+    # no r6-stale slots left: this round's nine new + four
+    # value-changed rows filled the window after the mandatory 37
+    # lag-5 names; the r6 cohort (incl. streaming_funnel_levels,
+    # whose 2.0 s floor was validated in isolation — BASELINE.md)
+    # is at lag 4 after the r10 record and leads r11's window.
 )
 
 

@@ -128,3 +128,56 @@ def test_self_repetition_spans_keeps_first_occurrence(spark):
     assert cleaned[1].startswith(rep + base)  # first copy survives
     assert len(cleaned[1]) < len(rows[0][1])
     assert cleaned[2] == rows[1][1] and cleaned[3] == rows[2][1]
+
+
+def test_snapshot_diff_property_random_tables(spark):
+    """Property ring: random old/new snapshots vs a plain Python
+    diff model — statuses and changed-column sets must agree for
+    every key, including NULLs on either side."""
+    import random
+
+    from baseline_magician_spark.operators.profiling import (
+        snapshot_diff,
+    )
+
+    rng = random.Random(99)
+    for _round in range(3):
+        def mkrows(keys):
+            return {
+                k: (
+                    rng.choice([None, 1.5, 2.5, 3.5]),
+                    rng.choice([None, "a", "b"]),
+                )
+                for k in keys
+            }
+
+        old_keys = rng.sample(range(40), 25)
+        new_keys = rng.sample(range(40), 25)
+        old = mkrows(old_keys)
+        new = mkrows(new_keys)
+        odf = spark.createDataFrame(
+            [(k, p, s) for k, (p, s) in old.items()],
+            "k long, p double, s string",
+        )
+        ndf = spark.createDataFrame(
+            [(k, p, s) for k, (p, s) in new.items()],
+            "k long, p double, s string",
+        )
+        got = {
+            r["k"]: (r["status"], list(r["changed_cols"]))
+            for r in snapshot_diff(odf, ndf, ["k"], ["p", "s"]).collect()
+        }
+        for k in set(old) | set(new):
+            if k not in old:
+                want = ("added", [])
+            elif k not in new:
+                want = ("removed", [])
+            else:
+                ch = sorted(
+                    c
+                    for c, i in (("p", 0), ("s", 1))
+                    if old[k][i] != new[k][i]
+                )
+                want = ("changed" if ch else "unchanged", ch)
+            assert got[k] == want, (k, got[k], want)
+        assert set(got) == set(old) | set(new)
