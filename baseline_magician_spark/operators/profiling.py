@@ -243,3 +243,44 @@ def snapshot_diff(
         status.alias("status"),
         changed.alias("changed_cols"),
     )
+
+
+def fk_coverage(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    name: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Referential-integrity check: how well a child relation's
+    foreign key is covered by the parent's key set.
+
+    One row: (relationship, n_child, n_null_keys, n_orphans,
+    match_rate, passed) — n_orphans counts NON-NULL child keys
+    absent from the parent (NULL keys are reported separately, the
+    classic DQ treatment), match_rate = matched / non-null child
+    keys, passed iff no orphans.
+
+    Shape: ONE left join of the child against the parent's DISTINCT
+    key set (no fanout on duplicate parents; AQE broadcasts small
+    parents) + one aggregate — the cheapest join that answers the
+    question at 100 TB."""
+    pk = parent.select(
+        F.col(parent_key).alias("_pk")
+    ).distinct()
+    j = child.select(F.col(child_key).alias("_ck")).join(
+        pk, F.col("_ck") == F.col("_pk"), "left"
+    )
+    nn = F.count(F.col("_ck"))
+    matched = F.count(F.col("_pk"))
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        (F.count(F.lit(1)) - nn).alias("n_null_keys"),
+        (nn - matched).alias("n_orphans"),
+        F.round(matched.cast("double") / nn, round_to).alias(
+            "match_rate"
+        ),
+        ((nn - matched) == 0).alias("passed"),
+    )
+    return agg.select(F.lit(name).alias("relationship"), "*")

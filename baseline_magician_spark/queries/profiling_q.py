@@ -121,15 +121,43 @@ def _constraints_oracle() -> str:
         f"{p} AS passed FROM m"
         for n, c, p in rows
     )
-    return m + sel
+
+    # referential-integrity rows (round 10): FK coverage as
+    # constraints — metric = match rate over non-null child keys,
+    # passed iff zero orphans (operators/profiling.py::fk_coverage)
+    def fk(name, ck, child, pk, parent):
+        return f"""
+    SELECT '{name}' AS "constraint",
+           round(CAST(count(p._pk) AS DOUBLE) / count(c._ck), 6)
+             AS metric,
+           (count(c._ck) - count(p._pk)) = 0 AS passed
+    FROM (SELECT {ck} AS _ck FROM {child}) c
+    LEFT JOIN (SELECT DISTINCT {pk} AS _pk FROM {parent}) p
+      ON c._ck = p._pk"""
+
+    fks = "\nUNION ALL\n".join(
+        [
+            fk("fk_lineitem_orderkey", "l_orderkey", "lineitem",
+               "o_orderkey", "orders"),
+            fk("fk_orders_custkey", "o_custkey", "orders",
+               "c_custkey", "customer"),
+            fk("fk_customer_nationkey", "c_nationkey", "customer",
+               "n_nationkey", "nation"),
+        ]
+    )
+    return m + sel + "\nUNION ALL\n" + fks
 
 
 @query("profile_constraint_checks", _constraints_oracle())
 def profile_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative data-quality gate over orders: row volume, key
-    uniqueness, completeness, accepted-value and format compliance,
-    and a bounds check — ALL metrics in one scan + one aggregate row
-    (operators/profiling.py::check_constraints)."""
+    """Declarative data-quality gate: row volume, key uniqueness,
+    completeness, accepted-value and format compliance, and a bounds
+    check over orders — ALL in one scan + one aggregate row
+    (operators/profiling.py::check_constraints) — plus the schema's
+    three load-bearing FOREIGN-KEY coverage rows (fk_coverage: one
+    left join against each parent's DISTINCT key set, no fanout,
+    AQE broadcasts small parents), all in the same
+    (constraint, metric, passed) shape."""
     from pyspark.sql import functions as F
 
     from ..operators.profiling import check_constraints
@@ -178,7 +206,33 @@ def profile_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda v: v >= 1.0,
         ),
     ]
-    return check_constraints(orders, checks)
+    suite = check_constraints(orders, checks)
+
+    # FK coverage rows (round 10) — same (constraint, metric, passed)
+    # schema, each one left join against the parent's DISTINCT keys
+    from ..operators.profiling import fk_coverage
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    fks = [
+        fk_coverage(li, orders, "l_orderkey", "o_orderkey",
+                    "fk_lineitem_orderkey"),
+        fk_coverage(orders, cust, "o_custkey", "c_custkey",
+                    "fk_orders_custkey"),
+        fk_coverage(cust, nation, "c_nationkey", "n_nationkey",
+                    "fk_customer_nationkey"),
+    ]
+    out = suite
+    for p in fks:
+        out = out.unionAll(
+            p.select(
+                F.col("relationship").alias("constraint"),
+                F.col("match_rate").alias("metric"),
+                "passed",
+            )
+        )
+    return out
 
 
 # -- shuffle-key skew diagnostics (round 10) ---------------------------
@@ -292,3 +346,4 @@ def pipeline_snapshot_diff(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.size("changed_cols")).alias("cols_changed"),
     )
+

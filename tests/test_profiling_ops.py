@@ -181,3 +181,22 @@ def test_snapshot_diff_property_random_tables(spark):
                 want = ("changed" if ch else "unchanged", ch)
             assert got[k] == want, (k, got[k], want)
         assert set(got) == set(old) | set(new)
+
+
+def test_fk_coverage_orphans_and_nulls(spark):
+    from baseline_magician_spark.operators.profiling import fk_coverage
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (2,), (3,)], "pk long")
+    r = fk_coverage(child, parent, "fk", "pk", "c->p").collect()[0]
+    assert r["relationship"] == "c->p"
+    assert r["n_child"] == 5 and r["n_null_keys"] == 1
+    assert r["n_orphans"] == 1  # the 9
+    assert r["match_rate"] == 0.75  # 3 of 4 non-null matched
+    assert r["passed"] is False
+    ok = fk_coverage(
+        child.where(F.col("fk") != 9), parent, "fk", "pk", "c->p"
+    ).collect()[0]
+    assert ok["n_orphans"] == 0 and ok["passed"] is True
