@@ -205,6 +205,59 @@ def _hash_arg_bytes(c) -> Column:
     return col.cast("string")
 
 
+def _hash_arg_txt(c) -> str | None:
+    """SQL text of the SAME byte stream `_hash_arg_bytes` builds, or
+    None when it cannot be rendered inside the proven-safe text
+    subset (callers then fall back to the Column builders — the text
+    path never downgrades a numeric layout to a string rendering)."""
+    from .cityhash import col_sql
+
+    dt = _arg_dtype(c)
+    col = _arg_col(c)
+    if dt is not None:
+        b = _num_le_bytes(col, dt)
+        if b is not None:
+            return col_sql(b)
+    return col_sql(col.cast("string"))
+
+
+def _multi_txt(cs, one_sql, pair_width: int, seed=None) -> str | None:
+    """Single-parse text for a combineHashesFunc-style multi-arg
+    chain: per-arg hash via ``one_sql(byte_stream_text)``, then a
+    left fold rehashing the LE-byte pair of the running and next
+    hash (``pair_width`` bytes each). Returns None unless EVERY
+    argument renders in the safe text subset. Round-10 rationale:
+    the Column-built pair chains cost ~0.3-1.1 s of py4j tree
+    construction PER CALL SITE (measured on the combine-chain
+    probe); one F.expr parse replaces all of it."""
+    from .hashing import le_bytes_sql
+
+    texts = [_hash_arg_txt(c) for c in cs]
+    if not all(texts):
+        return None
+    call = (
+        (lambda t: one_sql(t, seed)) if seed is not None else one_sql
+    )
+    parts = [call(f"({t})") for t in texts]
+    cur = parts[0]
+    for h in parts[1:]:
+        pair = (
+            f"concat({le_bytes_sql(cur, pair_width)}, "
+            f"{le_bytes_sql(h, pair_width)})"
+        )
+        cur = call(pair)
+    return cur
+
+
+def _try_expr(txt: str | None) -> Column | None:
+    if txt is None:
+        return None
+    try:
+        return F.expr(txt)
+    except Exception:
+        return None
+
+
 def _city_one(c) -> Column:
     """One cityHash64 argument: CH's ImplCityHash64 sets
     use_int_hash_for_pods=true, so a numeric argument hashes through
@@ -220,11 +273,41 @@ def _city_one(c) -> Column:
     return _city_hash64(_hash_arg_bytes(c))
 
 
+def _city_one_txt(c) -> str | None:
+    """SQL text of `_city_one` for the single-parse path, or None
+    when the argument is outside the safe text subset."""
+    from .cityhash import city_hash64_sql, col_sql
+    from .hashing import int_hash64_sql
+
+    dt = _arg_dtype(c)
+    col = _arg_col(c)
+    if dt is not None:
+        uw = _num_u64(col, dt)
+        if uw is not None:
+            vt = col_sql(uw[1])
+            return int_hash64_sql(vt) if vt is not None else None
+    t = col_sql(col.cast("string"))
+    return city_hash64_sql(f"({t})") if t is not None else None
+
+
 def _city_hash64_multi(*cs) -> Column:
     """cityHash64(a[, b, ...]): each argument hashed per CH's
     ImplCityHash64 (IntHash64Impl for numeric PODs, CityHash64 for
     strings), then left-folded through CH's combineHashes
-    (Hash128to64). Single-arg strings are byte-exact with CH."""
+    (Hash128to64). Single-arg strings are byte-exact with CH. The
+    whole chain compiles as ONE F.expr parse when every argument
+    renders in the safe text subset (round 10 — the Column pair
+    trees cost ~0.4 s of py4j construction per call site)."""
+    from .hashing import hash128to64_sql
+
+    texts = [_city_one_txt(c) for c in cs]
+    if all(t is not None for t in texts):
+        cur = texts[0]
+        for h in texts[1:]:
+            cur = hash128to64_sql(cur, h)
+        col = _try_expr(cur)
+        if col is not None:
+            return col
     hashes = [_city_one(c) for c in cs]
     out = hashes[0]
     for h in hashes[1:]:
@@ -235,10 +318,17 @@ def _city_hash64_multi(*cs) -> Column:
 def _murmur2_64_multi(*cs) -> Column:
     """murmurHash2_64(a[, b, ...]): canonical MurmurHash64A(seed 0)
     per argument (string rendering); multi-arg combines as the hash
-    of the 16-byte LE pair."""
+    of the 16-byte LE pair. Single-parse text path when every
+    argument renders safely (round 10)."""
     from .murmur import murmur2_64 as _m2_col
     from .murmur import murmur2_64_fast as _m2
 
+    if len(cs) > 1:
+        from .murmur import murmur2_64_sql
+
+        col = _try_expr(_multi_txt(cs, murmur2_64_sql, 8))
+        if col is not None:
+            return col
     hashes = [_m2(_hash_arg_bytes(c)) for c in cs]
     out = hashes[0]
     for h in hashes[1:]:
@@ -249,10 +339,17 @@ def _murmur2_64_multi(*cs) -> Column:
 def _murmur3_32_multi(*cs) -> Column:
     """murmurHash3_32(a[, b, ...]): canonical MurmurHash3 x86_32
     (seed 0) per argument; multi-arg combines as the hash of the
-    8-byte LE pair of the two UInt32 values."""
+    8-byte LE pair of the two UInt32 values. Single-parse text path
+    when every argument renders safely (round 10)."""
     from .murmur import murmur3_32 as _m3_col
     from .murmur import murmur3_32_fast as _m3
 
+    if len(cs) > 1:
+        from .murmur import murmur3_32_sql
+
+        col = _try_expr(_multi_txt(cs, murmur3_32_sql, 4))
+        if col is not None:
+            return col
     hashes = [_m3(_hash_arg_bytes(c)) for c in cs]
     out = hashes[0]
     for h in hashes[1:]:
@@ -285,6 +382,18 @@ def _xxh64_multi(*cs) -> Column:
     combineHashesFunc pattern (that applies to sipHash64, the murmur
     family and xxHash32); round 9 combined as XXH64 of the 16-byte
     LE pair, which diverged from CH (ADVICE r9)."""
+    if len(cs) > 1:
+        from .hashing import hash128to64_sql
+        from .xxhash import xxh64_sql
+
+        texts = [_hash_arg_txt(c) for c in cs]
+        if all(texts):
+            cur = xxh64_sql(f"({texts[0]})")
+            for t in texts[1:]:
+                cur = hash128to64_sql(cur, xxh64_sql(f"({t})"))
+            col = _try_expr(cur)
+            if col is not None:
+                return col
     hashes = [_xxh64(_hash_arg_bytes(c)) for c in cs]
     out = hashes[0]
     for h in hashes[1:]:
@@ -295,9 +404,16 @@ def _xxh64_multi(*cs) -> Column:
 def _xxh32_multi(*cs) -> Column:
     """xxHash32(a[, b, ...]): canonical XXH32 (seed 0) per argument;
     multi-arg combines as XXH32 of the 8-byte LE pair of the two
-    UInt32 values."""
+    UInt32 values. Single-parse text path when every argument
+    renders safely (round 10)."""
     from .xxhash import xxh32 as _xxh32_col
 
+    if len(cs) > 1:
+        from .xxhash import xxh32_sql
+
+        col = _try_expr(_multi_txt(cs, xxh32_sql, 4))
+        if col is not None:
+            return col
     hashes = [_xxh32(_hash_arg_bytes(c)) for c in cs]
     out = hashes[0]
     for h in hashes[1:]:
@@ -313,6 +429,17 @@ def _murmur2_32_seeded_multi(seed: int, mask: int | None = None):
 
     def build(*cs) -> Column:
         from .murmur import murmur2_32 as _m232
+
+        if len(cs) > 1:
+            from .murmur import murmur2_32_sql
+
+            def one_sql(t: str) -> str:
+                h = murmur2_32_sql(t, seed)
+                return f"(({h}) & {mask})" if mask is not None else h
+
+            col = _try_expr(_multi_txt(cs, one_sql, 4))
+            if col is not None:
+                return col
 
         def one(b: Column) -> Column:
             h = _m232(b, seed)
@@ -338,6 +465,14 @@ def _gcc_murmur_multi(*cs) -> Column:
     from .murmur import murmur2_64 as _m2_col
     from .murmur import murmur2_64_fast as _m2
 
+    if len(cs) > 1:
+        from .murmur import murmur2_64_sql
+
+        col = _try_expr(
+            _multi_txt(cs, murmur2_64_sql, 8, seed=GCC_SEED)
+        )
+        if col is not None:
+            return col
     hashes = [_m2(_hash_arg_bytes(c), GCC_SEED) for c in cs]
     out = hashes[0]
     for h in hashes[1:]:
@@ -350,9 +485,15 @@ def _gcc_murmur_multi(*cs) -> Column:
 def _murmur3_64_multi(*cs) -> Column:
     """murmurHash3_64: XOR of the two MurmurHash3_x64_128 halves
     (FunctionsHashing.h MurmurHash3Impl64); multi-arg combines as the
-    hash of the 16-byte LE pair."""
+    hash of the 16-byte LE pair. Single-parse text path when every
+    argument renders safely (round 10 — the struct fold's Column
+    tree was the costliest build in the combine probe)."""
     from .murmur3_128 import murmur3_64 as _m3_64
+    from .murmur3_128 import murmur3_64_sql
 
+    col = _try_expr(_multi_txt(cs, murmur3_64_sql, 8))
+    if col is not None:
+        return col
     hashes = [_m3_64(_hash_arg_bytes(c)) for c in cs]
     out = hashes[0]
     for h in hashes[1:]:
@@ -377,7 +518,14 @@ def _murmur3_128_multi(*cs) -> Column:
 def _sip_hash64_multi(*cs) -> Column:
     """sipHash64(a[, b, ...]): each argument hashed as its string
     rendering; multi-arg combines CH-style — SipHash of the 16-byte
-    little-endian concatenation of (h_prev, h_i)."""
+    little-endian concatenation of (h_prev, h_i). Single-parse text
+    path when every argument renders safely (round 10)."""
+    if len(cs) > 1:
+        from .siphash import sip_hash64_sql
+
+        col = _try_expr(_multi_txt(cs, sip_hash64_sql, 8))
+        if col is not None:
+            return col
 
     def le_bytes(h: Column) -> Column:
         return F.regexp_replace(

@@ -271,3 +271,77 @@ def int_hash32(x: Column) -> Column:
             lambda k: k.bitwiseAND(F.lit(0xFFFFFFFF)),
         ],
     )
+
+
+# ------------------------------------------------- SQL-text renderings
+# Single-parse F.expr compositions (round 10): the multi-argument
+# hash combines used to build their pair chains as Column trees —
+# thousands of py4j calls per call site (measured: the combine-chain
+# probe spent ~4 s per bench pass in pure Python-side tree
+# construction). These helpers render the same math as ONE SQL text
+# string; let-bindings ride element_at(transform(array(v), x ->
+# body), 1) exactly like the Column _let_chain, so no subexpression
+# is inlined twice. Analyze under cityhash.wrap_arith (plain long
+# arithmetic, wrap-on-overflow).
+import itertools as _it
+
+_TXT_N = _it.count()
+
+
+def _let_sql(val: str, body) -> str:
+    v = f"lb{next(_TXT_N)}"
+    return f"element_at(transform(array({val}), {v} -> {body(v)}), 1)"
+
+
+def int_hash64_sql(x_sql: str) -> str:
+    """CH IntHash64Impl — fmix64(x ^ salt) — over a BIGINT-valued SQL
+    fragment (bit-pattern domain); same math as :func:`int_hash64`."""
+    salt = _slit(0x4CF2D2BAAE6DA887)
+    m1 = _slit(0xFF51AFD7ED558CCD)
+    m2 = _slit(0xC4CEB9FE1A85EC53)
+    t = f"(CAST(({x_sql}) AS BIGINT) ^ {salt}L)"
+    t = _let_sql(t, lambda v: f"({v} ^ shiftrightunsigned({v}, 33))")
+    t = f"({t} * {m1}L)"
+    t = _let_sql(t, lambda v: f"({v} ^ shiftrightunsigned({v}, 33))")
+    t = f"({t} * {m2}L)"
+    t = _let_sql(t, lambda v: f"({v} ^ shiftrightunsigned({v}, 33))")
+    return t
+
+
+def hash128to64_sql(u: str, v: str) -> str:
+    """CityHash_v1_0_2::Hash128to64(u, v) over two BIGINT-valued SQL
+    fragments — the combineHashes of the cityHash64/xxHash64 family;
+    same math as cityhash.city_hash64_combine."""
+    km = f"{_slit(0x9DDFEA08EB382D69)}L"
+    return _let_sql(
+        f"({v})",
+        lambda V: _let_sql(
+            f"((({u}) ^ {V}) * {km})",
+            lambda A0: _let_sql(
+                f"({A0} ^ shiftrightunsigned({A0}, 47))",
+                lambda A: _let_sql(
+                    f"(({V} ^ {A}) * {km})",
+                    lambda B0: _let_sql(
+                        f"({B0} ^ shiftrightunsigned({B0}, 47))",
+                        lambda B: f"({B} * {km})",
+                    ),
+                ),
+            ),
+        ),
+    )
+
+
+def le_bytes_sql(t: str, width: int) -> str:
+    """The little-endian ``width``-byte binary layout of a
+    BIGINT-valued SQL fragment (the combineHashesFunc pair input),
+    as one text expression — hex bound once, byte-swap spelled as
+    concat-of-substrings like ch_compat._num_le_bytes."""
+    w2 = 2 * width
+    return _let_sql(
+        f"lpad(hex({t}), {w2}, '0')",
+        lambda H: "unhex(concat("
+        + ", ".join(
+            f"substring({H}, {w2 - 2 * k - 1}, 2)" for k in range(width)
+        )
+        + "))",
+    )

@@ -178,6 +178,47 @@ def murmur2_64_sql(input_sql: str, seed: int = 0) -> str:
     )
 
 
+def murmur2_32_sql(input_sql: str, seed: int = 0) -> str:
+    """MurmurHash2 (32-bit) as ONE Spark-SQL text expression (UInt32
+    as a non-negative BIGINT; NULL in -> NULL out) — seed 0 =
+    murmurHash2_32, Kafka's 0x9747b28c = the kafkaMurmurHash base.
+    Mirrors the murmur2_32 Column builder step-for-step (zero-padded
+    LE tail word, no separate length byte). Analyze under
+    wrap_arith."""
+    m = str(M2_32)
+    mm = str(_M32)
+    word = _f32le_sql("bb", "(wi*4+1)")
+    step = (
+        f"element_at(transform(array((({word})*{m})&{mm}),"
+        f"k0->element_at(transform(array("
+        f"((k0^shiftrightunsigned(k0,24))*{m})&{mm}),"
+        f"k1->(((mh*{m})&{mm})^k1)),1)),1)"
+    )
+    tail = _f32le_sql("concat(bb,unhex('00000000'))", "(nb-(nb%4)+1)")
+    h0 = f"({seed}L^nb)"
+    body = (
+        f"element_at(transform(array("
+        f"CASE WHEN CAST(nb DIV 4 AS INT)>0 THEN "
+        f"aggregate(sequence(0,CAST(nb DIV 4 AS INT)-1),{h0},"
+        f"(mh,wi)->{step}) ELSE {h0} END),"
+        f"mh2->element_at(transform(array("
+        f"CASE WHEN nb%4>0 THEN ((mh2^({tail}))*{m})&{mm} "
+        f"ELSE mh2 END),"
+        f"mh3->element_at(transform(array("
+        f"((mh3^shiftrightunsigned(mh3,13))*{m})&{mm}),"
+        f"mh4->mh4^shiftrightunsigned(mh4,15)),1)),1)),1)"
+    )
+    wrapped = (
+        f"element_at(transform(array(CAST(({input_sql}) AS BINARY)),"
+        f"bb->element_at(transform(array(CAST(length(bb) AS BIGINT)),"
+        f"nb->{body}),1)),1)"
+    )
+    return (
+        f"(CASE WHEN ({input_sql}) IS NULL THEN CAST(NULL AS BIGINT) "
+        f"ELSE {wrapped} END)"
+    )
+
+
 def murmur3_32_sql(input_sql: str) -> str:
     """MurmurHash3 x86_32 (seed 0) as ONE Spark-SQL text expression
     (result is the UInt32 as a non-negative BIGINT). Analyze under

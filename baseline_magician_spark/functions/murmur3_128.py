@@ -341,3 +341,115 @@ class Murmur128Emitter:
             f"CAST(CASE WHEN {a} >= {1 << 63} THEN {a} - {_P64} "
             f"ELSE {a} END AS BIGINT)"
         )
+
+
+# ------------------------------------------------- spark SQL text path
+def murmur3_64_sql(input_sql: str) -> str:
+    """CH murmurHash3_64 (XOR of the MurmurHash3_x64_128 halves,
+    seed 0) as ONE Spark-SQL text expression — the single-parse
+    rendering of murmur3_128_struct + murmur3_64 (round 10: the
+    Column tree cost ~1-2 s of py4j construction per multi-arg call
+    site). Same let discipline as the Column builder: every
+    twice-read intermediate binds as a lambda variable. Analyze
+    under wrap_arith."""
+    from .murmur import _f64le_sql
+
+    c1 = f"{_sl(C1)}L"
+    c2 = f"{_sl(C2)}L"
+    fm1 = f"{_sl(FM1)}L"
+    fm2 = f"{_sl(FM2)}L"
+
+    def let(val: str, var: str, body: str) -> str:
+        return f"element_at(transform(array({val}),{var}->{body}),1)"
+
+    def rot(var: str, r: int) -> str:
+        return (
+            f"(shiftleft({var},{r})|shiftrightunsigned({var},{64 - r}))"
+        )
+
+    def mix(k: str, m1: str, r: int, m2: str, var: str) -> str:
+        return let(f"(({k})*{m1})", var, f"({rot(var, r)}*{m2})")
+
+    def mix1(k: str, var: str) -> str:
+        return mix(k, c1, 31, c2, var)
+
+    def mix2(k: str, var: str) -> str:
+        return mix(k, c2, 33, c1, var)
+
+    def fmix(y: str, a: str, b: str, c: str) -> str:
+        return let(
+            y,
+            a,
+            let(
+                f"(({a}^shiftrightunsigned({a},33))*{fm1})",
+                b,
+                let(
+                    f"(({b}^shiftrightunsigned({b},33))*{fm2})",
+                    c,
+                    f"({c}^shiftrightunsigned({c},33))",
+                ),
+            ),
+        )
+
+    w1 = _f64le_sql("bb", "(wi*16+1)")
+    w2 = _f64le_sql("bb", "(wi*16+9)")
+    step = let(
+        mix1(w1, "sk1"),
+        "sm1",
+        let(
+            f"((({let('(ms.h1^sm1)', 'sv1', rot('sv1', 27))}+ms.h2)"
+            f"*5)+{A1})",
+            "sh1",
+            let(
+                mix2(w2, "sk2"),
+                "sm2",
+                f"named_struct('h1',sh1,'h2',"
+                f"((({let('(ms.h2^sm2)', 'sv2', rot('sv2', 31))}+sh1)"
+                f"*5)+{A2}))",
+            ),
+        ),
+    )
+    s0 = "named_struct('h1',0L,'h2',0L)"
+    fold = (
+        f"CASE WHEN CAST(nb DIV 16 AS INT)>0 THEN "
+        f"aggregate(sequence(0,CAST(nb DIV 16 AS INT)-1),{s0},"
+        f"(ms,wi)->{step}) ELSE {s0} END"
+    )
+    pad = "concat(bb,unhex('0000000000000000000000000000000000'))"
+    t1 = mix1(_f64le_sql(pad, "(nb-(nb%16)+1)"), "tk1")
+    t2 = mix2(_f64le_sql(pad, "(nb-(nb%16)+9)"), "tk2")
+    x1 = (
+        f"((CASE WHEN nb%16>0 THEN (ms2.h1^({t1})) ELSE ms2.h1 END)"
+        f"^nb)"
+    )
+    x2 = (
+        f"((CASE WHEN nb%16>8 THEN (ms2.h2^({t2})) ELSE ms2.h2 END)"
+        f"^nb)"
+    )
+    fin = let(
+        x2,
+        "fx2",
+        let(
+            f"({x1}+fx2)",
+            "fy1",
+            let(
+                fmix("(fx2+fy1)", "fa", "fb", "fc"),
+                "ff2",
+                let(
+                    f"({fmix('fy1', 'ga', 'gb', 'gc')}+ff2)",
+                    "fz1",
+                    "(fz1^(ff2+fz1))",
+                ),
+            ),
+        ),
+    )
+    body = let(fold, "ms2", fin)
+    wrapped = let(
+        f"CAST(({input_sql}) AS BINARY)",
+        "bb",
+        let("CAST(length(bb) AS BIGINT)", "nb", body),
+    )
+    return (
+        f"(CASE WHEN ({input_sql}) IS NULL THEN CAST(NULL AS BIGINT) "
+        f"ELSE {wrapped} END)"
+    )
