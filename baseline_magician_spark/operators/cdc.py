@@ -400,7 +400,9 @@ def cdc_duplication_ratio(
     chunks = builder(
         docs, text_col, id_col, mask_bits=mask_bits, window=window
     )
-    eligible = chunks.where(F.col("chunk_len") >= min_len).persist()
+    from ..cache_tracker import track
+
+    eligible = track(chunks.where(F.col("chunk_len") >= min_len).persist())
     shared = (
         eligible.groupBy("chunk_fp")
         .agg(F.countDistinct(id_col).alias("_nd"))

@@ -1904,11 +1904,12 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                         return resolve_hash_arg(col, bare_name=nm)
                     # table-qualified column (cityHash64(e.user_id)):
                     # when the qualifier is a table/alias of THIS
-                    # query's env, the dtype resolves by the bare
-                    # suffix (the env map already dropped ambiguous
-                    # names); a dotted name whose head is NOT a
-                    # relation (struct field access) stays on the
-                    # probe/fallback path
+                    # query's env, the dtype resolves against THAT
+                    # table's schema — the qualifier fully
+                    # disambiguates, so the globally ambiguity-dropped
+                    # map must not veto it (ADVICE r10); a dotted name
+                    # whose head is NOT a relation (struct field
+                    # access) stays on the probe/fallback path
                     parts = nm.split(".")
                     if (
                         len(parts) == 2
@@ -1918,6 +1919,12 @@ def _compile(node: _Node, env: dict[str, DataFrame] | None = None) -> Column:
                             parts[0] in s for s in _LAMBDA_SCOPES
                         )
                     ):
+                        _tdt = {
+                            f.name: f.dataType.simpleString()
+                            for f in env[parts[0]].schema.fields
+                        }.get(parts[1])
+                        if _tdt is not None:
+                            return resolve_hash_arg(col, dtype=_tdt)
                         return resolve_hash_arg(
                             col, bare_name=parts[1]
                         )

@@ -116,9 +116,13 @@ def _constraints_oracle() -> str:
         ("totalprice_nonnegative", "c_minprice", "c_minprice >= 0.0"),
         ("priority_format", "c_prio", "c_prio >= 1.0"),
     ]
+    # Predicates evaluate on the ROUNDED metric, matching the Spark
+    # side (check_constraints rounds before applying the predicate):
+    # a metric within 5e-7 of its threshold must flip the same way in
+    # both engines (ADVICE r10).
     sel = "\nUNION ALL\n".join(
         f"SELECT '{n}' AS \"constraint\", round({c}, 6) AS metric, "
-        f"{p} AS passed FROM m"
+        f"{p.replace(c, f'round({c}, 6)')} AS passed FROM m"
         for n, c, p in rows
     )
 

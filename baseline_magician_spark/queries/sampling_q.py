@@ -289,10 +289,14 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would each recompute the excision subtree — the most
         # expensive narrow stage of the composition; cache the
         # cleaned+gated frame once (it is the kept corpus text;
-        # ContextCleaner drops the cache when the plan is GC'd).
+        # the registry's cache tracker unpersists it before the next
+        # query builds — ADVICE r10).
         # Round-10 measurement: export 9.7 -> ~7.0 s at sf0.1.
         .persist()
     )
+    from ..cache_tracker import track
+
+    track(kept)
     fractions = mixture_plan(
         kept, "source", F.col("n_toks"), MIX_WEIGHTS
     ).select("source", F.col("sample_fraction").alias("frac"))

@@ -47,87 +47,80 @@ _loaded = False
 # families, freshly-fixed rows, and operators added this round — land
 # inside the checked window; everything else follows in registration
 # order. Rotate per round.
-# Round-10 window. Union of rounds 1-9: all 224 registered names
-# checked at least once, latest check green. EDF order:
-# - ALL 37 r5-era rows first — they reach the MAX_LAG bound when
-#   CORRECTNESS_r10 lands, so every one must be in this window
-#   (tests/test_rotation_staleness.py enforces this);
-# - the 4 rows whose VALUES changed this round: the two hash probes
-#   (cityHash64 numeric -> IntHash64Impl, xxHash64 combine ->
-#   Hash128to64, computed-expression layouts) and the two corpus
-#   compositions (span excision + clean-text digests) — their last
-#   green rows replay the superseded models and MUST re-check;
-# - new round-10 registrations land here as they register (each
-#   trades out an r6-stale name below to stay under the 50 pin);
-# - the rest: r6-stale names picked for operator diversity
-#   (streaming_funnel_levels leads — its 2.0 s budget floor is under
-#   validation this round); the ~29 r6 leftovers lead the r11 window.
+# Round-11 window. Union of rounds 1-10: all 233 registered names
+# checked at least once, latest check green, max lag 4. EDF order:
+# - ALL 38 lag-4 names (last checked r6) first — they reach the
+#   MAX_LAG bound when CORRECTNESS_r11 lands, so every one must be
+#   in this window (tests/test_rotation_staleness.py enforces this);
+# - the 7 rows whose code or oracle changed this round (hash-probe
+#   dtype narrowing + cache, rounded constraint predicates,
+#   cache-tracker unpersist wiring);
+# - new round-11 registrations as they register (BPE tokenizer
+#   family; the ANN-persist and PNG rows take the last two slots).
 # CAPACITY POLICY (round 10): the staleness bound is ceil(N/50),
 # DERIVED from the live registry — growing it accepts a slower
 # re-check cadence automatically, with a deliberate hard ceiling of
 # 8 windows (400 queries) gated in tests/test_rotation_staleness.py
 # (full policy rationale lives there, next to the arithmetic).
 _PRIORITY: tuple[str, ...] = (
-    # all 37 r5-stale rows (complete — nothing r5 remains after r10)
-    "approx_distinct_and_quantiles",
-    "baseline_thresholds_bucketed_join",
-    "ch_sql_ddl_roundtrip",
-    "ch_sql_limit_with_ties",
-    "ch_sql_qualify_topn",
-    "ch_sql_rowvalue_in",
-    "ch_sql_select_correlated",
-    "ch_sql_tpch_q12",
-    "multimodal_stripe_features",
-    "pipeline_chunk_manifest",
-    "pipeline_sequence_packing",
-    "pipeline_shuffle_order",
-    "q11_important_part_values",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q20_promo_heavy_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "similarity_ivf_train_step",
-    "streaming_click_purchase_join",
-    "streaming_dedup_keys",
-    "text_eval_decontamination",
-    "text_fingerprints",
-    "text_frequent_ngrams_topk",
-    "text_quality_scores",
-    "text_repetition_stats",
-    "text_token_counts",
-    "text_vocab_coverage",
-    "udaf_weighted_mean",
-    "udaf_weighted_mean_df",
-    # rows whose values changed in round 10 (must re-check)
+    # --- round-11 window (50 slots; EDF order) ---
+    # all 38 lag-4 names (last checked r6) — they hit the
+    # MAX_LAG = ceil(N/50) bound when CORRECTNESS_r11 lands
+    "ch_sql_ansi_spellings",
+    "ch_sql_arrayjoin_expression",
+    "ch_sql_association_stats",
+    "ch_sql_comma_join_analytic",
+    "ch_sql_dictget_lookup",
+    "ch_sql_file_read",
+    "ch_sql_interval_aggs",
+    "ch_sql_jaro_similarity",
+    "ch_sql_mutations",
+    "ch_sql_network_functions",
+    "ch_sql_numbers_rollup",
+    "ch_sql_retention_sequence",
+    "ch_sql_round6b_functions",
+    "ch_sql_round6e_functions",
+    "ch_sql_round6i_functions",
+    "ch_sql_stat_tests",
+    "ch_sql_state_merge_rollup",
+    "ch_sql_stats_aggregates",
+    "ch_sql_string_search",
+    "ch_sql_string_similarity",
+    "ch_sql_uniq_state_merge",
+    "ch_sql_url_time_functions",
+    "ch_sql_vector_functions",
+    "ch_sql_window_funnel",
+    "dedup_connected_components",
+    "dedup_duplicated_spans",
+    "dedup_embedding_cosine_pairs",
+    "ip_function_roundtrip",
+    "multimodal_y4m_decode",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_predicates",
+    "q7_volume_shipping",
+    "q8_national_market_share",
+    "q9_product_type_profit",
+    "streaming_cms_merge",
+    "streaming_funnel_levels",
+    # rows whose code or oracle changed in round 11: hash-probe
+    # dtype narrowing + resolution cache (ADVICE r10 medium /
+    # VERDICT task 5), constraint predicates on rounded metrics
+    # (ADVICE r10), cache-tracker unpersist wiring (ADVICE r10)
+    "ch_sql_cityhash64",
     "ch_sql_numeric_hashes",
     "ch_sql_hash_combine_chains",
-    "pipeline_corpus_cleanup",
-    "pipeline_training_export",
-    # new round-10 registrations (CDC doc-level gating signal +
-    # binary-quantization ANN serving pattern) — each traded out an
-    # r6-stale name to stay under the 50 pin
-    "dedup_cdc_duplication_ratio",
-    "similarity_binary_hamming_topk",
-    "similarity_binary_rerank_topk",
     "profile_constraint_checks",
-    "profile_key_skew",
-    "pipeline_snapshot_diff",
-    "text_self_repetition_excision",
-    "similarity_matryoshka_recall",
-    "similarity_ivf_cell_report",
-    # no r6-stale slots left: this round's nine new + four
-    # value-changed rows filled the window after the mandatory 37
-    # lag-5 names; the r6 cohort (incl. streaming_funnel_levels,
-    # whose 2.0 s floor was validated in isolation — BASELINE.md)
-    # is at lag 4 after the r10 record and leads r11's window.
+    "dedup_cdc_duplication_ratio",
+    "pipeline_training_export",
+    "pipeline_corpus_cleanup",
+    # new round-11 registrations (BPE tokenizer: iterated train,
+    # token-exact encode, exact-count packing — VERDICT task 1;
+    # ANN-persist + PNG rows claim the last 2 slots as they land)
+    "text_bpe_train",
+    "text_bpe_encode_counts",
+    "pipeline_packing_exact_tokens",
 )
 
 
@@ -139,6 +132,7 @@ def _load() -> None:
     from .queries import (  # noqa: F401
         asof_q,
         baseline_q,
+        bpe_q,
         ch_sql_q,
         dedup_q,
         multimodal_q,
@@ -163,9 +157,29 @@ def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:
     return head
 
 
+def _released(fn: QueryFn) -> QueryFn:
+    """Release the PREVIOUS query's tracked caches before building
+    the next one: operators that persist an intermediate consumed by
+    two branches of one returned plan cannot unpersist before the
+    caller materializes it — by the time the sweep builds the next
+    query, the previous plan has been collected, so its caches are
+    safe to drop (ADVICE r10: cache accumulation across the
+    233-query driver sweep)."""
+    import functools
+
+    from .cache_tracker import release_all
+
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_all()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def get_queries() -> dict[str, QueryFn]:
     _load()
-    return _ordered(_QUERIES)
+    return {n: _released(f) for n, f in _ordered(_QUERIES).items()}
 
 
 def get_oracles() -> dict[str, str]:
