@@ -359,10 +359,17 @@ def corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(~FF.col("is_survivor"))
         .select("doc_id")
     )
-    survivors = (
+    from ..cache_tracker import track
+
+    # THREE consumers (span detection, excision, the lang join) would
+    # each re-evaluate the dedup joins; interleaved A/B at sf0.1
+    # (min-of-3, same session): persist 6.18 s vs exchange-reuse-only
+    # 6.86 s — cache it, tracker-released before the next query.
+    survivors = track(
         docs.join(exact_keep, "doc_id", "left_semi")
         .join(non_survivors, "doc_id", "left_anti")
         .select("doc_id", "lang", "text")
+        .persist()
     )
     spans = duplicated_spans(survivors, "text", "doc_id", k=_DUP_SPANS_K)
     cleaned = excise_spans(
