@@ -186,6 +186,35 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("similarity_ivf_serve_persisted", _ivf_oracle())
+def similarity_ivf_serve_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persist-and-serve IVF (round 11): write the index to parquet —
+    centroid metadata + postings PARTITIONED BY cell — then answer
+    the query set FROM DISK (operators/ann_index.py). The serve scan
+    prunes to the probed cell partitions via the collected probe set;
+    results are value-identical to the in-memory ``similarity_ivf_topk``
+    row, so this query shares its oracle verbatim — the check that a
+    train-rarely/serve-often deployment returns exactly what the
+    one-shot plan returns."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.ann_index import ann_index_write, ivf_serve_persisted
+
+    emb = load_for_compute(spark, sf_dir, "embeddings")
+    cents = _seed_centroids(spark, sf_dir, N_CENTROIDS)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "bms_ann_ivf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    ann_index_write(emb, path, cents)
+    qs = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return ivf_serve_persisted(qs, path, k=TOP_K, n_probe=N_PROBE)
+
+
 def _bucket_histogram_oracle() -> str:
     half = (_HP_MOD - 1) // 2
     proj = (

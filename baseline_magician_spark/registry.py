@@ -121,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_train",
     "text_bpe_encode_counts",
     "pipeline_packing_exact_tokens",
+    "similarity_ivf_serve_persisted",
 )
 
 
