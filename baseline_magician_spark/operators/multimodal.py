@@ -349,21 +349,208 @@ def y4m_decoder(payload: bytes, meta: dict) -> dict:
     }
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): nearest of left/up/upleft
+    to the linear gradient a + b - c, ties left > up > upleft."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_encode(pixels: bytes, width: int, height: int) -> bytes:
+    """Encode a row-major 8-bit grayscale plane into a genuine PNG
+    (signature + IHDR + IDAT + IEND, zlib-compressed scanlines, CRCs
+    per chunk). Rows CYCLE through all five filter types (None, Sub,
+    Up, Average, Paeth — row r uses r % 5) so a decoder cannot pass
+    the round-trip without implementing the full defilter set; every
+    standard viewer opens the output. Stdlib only (struct + zlib),
+    round 11 — the first COMPRESSED container in the codec family
+    (WAV/BMP/Y4M are all uncompressed layouts)."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError(
+            f"pixel plane has {len(pixels)} bytes, expected "
+            f"{width}x{height}={width * height}"
+        )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    prev = np.zeros(width, dtype=np.int64)
+    lines = []
+    for r in range(height):
+        raw = arr[r].astype(np.int64)
+        f = r % 5
+        if f == 0:
+            out = raw
+        elif f == 1:  # Sub: left-neighbor delta
+            out = raw - np.concatenate(([0], raw[:-1]))
+        elif f == 2:  # Up
+            out = raw - prev
+        elif f == 3:  # Average
+            left = np.concatenate(([0], raw[:-1]))
+            out = raw - (left + prev) // 2
+        else:  # Paeth
+            left = np.concatenate(([0], raw[:-1]))
+            upleft = np.concatenate(([0], prev[:-1]))
+            out = raw - np.fromiter(
+                (
+                    _paeth(int(left[x]), int(prev[x]), int(upleft[x]))
+                    for x in range(width)
+                ),
+                dtype=np.int64,
+                count=width,
+            )
+        lines.append(bytes([f]) + (out % 256).astype(np.uint8).tobytes())
+        prev = raw
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decoder(payload: bytes, meta: dict) -> dict:
+    """REAL decode of a PNG payload: validates the signature, walks
+    the chunk stream verifying every CRC, parses IHDR (8-bit
+    grayscale or truecolor, non-interlaced), inflates the
+    concatenated IDAT zlib stream, and DEFILTERS each scanline per
+    its filter byte — Up and Sub vectorize in numpy (Sub is a
+    mod-256 prefix sum); Average and Paeth carry a true left-pixel
+    recurrence, decoded per-pixel within the row like every
+    reference implementation. Raises on bad signature, CRC mismatch,
+    truncated/oversized IDAT, or unsupported bit depth / interlace —
+    exactly as a codec library would."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos = 8
+    width = height = None
+    bpp = 1
+    idat = []
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if len(data) != clen or pos + 12 + clen > len(payload):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + clen : pos + 12 + clen]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_v, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError(
+                    "unsupported PNG parameters (need 8-bit, "
+                    "non-interlaced, filter method 0)"
+                )
+            if ctype_v == 0:
+                bpp = 1
+            elif ctype_v == 2:
+                bpp = 3
+            else:
+                raise ValueError(
+                    f"unsupported PNG color type {ctype_v}"
+                )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None:
+        raise ValueError("PNG stream lacks IHDR")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG scanline data is {len(raw)} bytes, expected "
+            f"{(stride + 1) * height}"
+        )
+    sl = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = sl[:, 0]
+    rows = sl[:, 1:].astype(np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    out = np.empty((height, stride), dtype=np.uint8)
+    for r in range(height):
+        f = int(filters[r])
+        raw_r = rows[r]
+        if f == 0:
+            rec = raw_r % 256
+        elif f == 1:  # Sub = prefix sum within each pixel channel
+            rec = raw_r.reshape(-1, bpp).cumsum(axis=0).reshape(-1) % 256
+        elif f == 2:  # Up — fully vectorized
+            rec = (raw_r + prev) % 256
+        elif f == 3:  # Average — left recurrence, per-pixel
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (raw_r[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth — left recurrence, per-pixel
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                rec[x] = (
+                    raw_r[x] + _paeth(int(left), int(prev[x]), int(ul))
+                ) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[r] = rec.astype(np.uint8)
+        prev = out[r].astype(np.int64)
+    plane = out.tobytes()
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(plane) // FRAME_BYTES,
+        "pixels": plane,
+    }
+
+
 def real_decoder(payload: bytes, meta: dict) -> dict:
     """Real codec dispatch by container magic: RIFF/WAVE audio decodes
     via the stdlib ``wave`` reader, BMP images via the struct-level
     parser above, YUV4MPEG2 video via the FRAME-marker stream walker —
-    all genuine spec-compliant codecs with no external
-    dependency. Any other container (JPEG/PNG) goes to PIL when
-    it is installed; otherwise the payload is an unsupported container
-    and raises, exactly as a codec library reports an unknown format —
-    pass ``decode_media(df, decoder=...)`` to plug in your own."""
+    PNG images via the chunk/inflate/defilter pipeline above — all
+    genuine spec-compliant codecs with no external dependency. Any
+    other container (JPEG/WebP) goes to PIL when it is installed;
+    otherwise the payload is an unsupported container and raises,
+    exactly as a codec library reports an unknown format — pass
+    ``decode_media(df, decoder=...)`` to plug in your own."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return wav_decoder(payload, meta)
     if payload[:2] == b"BM":
         return bmp_decoder(payload, meta)
     if payload[: len(Y4M_MAGIC)] == Y4M_MAGIC:
         return y4m_decoder(payload, meta)
+    if payload[:8] == PNG_MAGIC:
+        return png_decoder(payload, meta)
     try:
         import io
 
@@ -451,6 +638,52 @@ def attach_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w, h = n // 8, 8
                 plane = _payload_bytes(int(d))[: w * h]
                 p = bmp_encode(plane, w, h)
+                payloads.append(p)
+                metas.append(
+                    {
+                        "media_type": "image",
+                        "byte_len": len(p),
+                        "width": w,
+                        "height": h,
+                        "n_frames": (w * h) // FRAME_BYTES,
+                    }
+                )
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def attach_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a GENUINE PNG payload per row: the deterministic byte
+    model's first ``width*8`` bytes as a row-major grayscale plane,
+    encoded through :func:`png_encode` (zlib-compressed scanlines,
+    per-row filter cycling through all five types, chunk CRCs). A
+    decoder must inflate AND defilter to recover the plane — a
+    passthrough is compressed bytes, and a decoder that skips any
+    filter type corrupts 8 of every 40 rows... at height 8, rows
+    0-7 exercise filters 0,1,2,3,4,0,1,2."""
+    ensure_shipped(df.sparkSession)
+    in_schema = df.schema
+    out_schema = T.StructType(
+        list(in_schema.fields)
+        + [
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", META_SCHEMA),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            payloads, metas = [], []
+            for d in ids:
+                n = LEN_BASE + int(d) % LEN_MOD
+                w, h = n // 8, 8
+                plane = _payload_bytes(int(d))[: w * h]
+                p = png_encode(plane, w, h)
                 payloads.append(p)
                 metas.append(
                     {

@@ -266,3 +266,39 @@ def multimodal_y4m_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     y4m = attach_y4m(load_table(spark, sf_dir, "documents"))
     dec = decode_media(y4m, decoder=real_decoder)
     return pcm_stats(dec)
+
+
+def _png_oracle() -> str:
+    # the decoded plane is the byte model's first (L//8)*8 bytes —
+    # identical target to BMP, but the Spark path only reaches it by
+    # inflating the zlib IDAT stream and defiltering all five PNG
+    # filter types (the encoder cycles them per row); any filter or
+    # inflate mistake shifts the checksum
+    n = f"(({_LEN} // 8) * 8)"
+    return f"""
+    SELECT doc_id,
+           CAST({n} AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, {n}),
+                i -> {_BYTE})) AS BIGINT) AS checksum,
+           floor(CAST(list_sum(list_transform(range(0, {n}),
+                i -> {_BYTE})) AS DOUBLE) / {n} * 10000) / 10000
+             AS mean_sample
+    FROM documents
+    """
+
+
+@query("multimodal_png_decode", _png_oracle())
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image codec path (round 11): encode each row's
+    deterministic plane into a genuine PNG (zlib scanlines, filter
+    types cycling per row, chunk CRCs), decode through
+    ``decode_media(decoder=real_decoder)`` — which must verify CRCs,
+    inflate and DEFILTER to recover the plane — and emit stats over
+    the decoded bytes. First compressed container in the family
+    (WAV/BMP/Y4M are uncompressed layouts). Three chained narrow
+    Arrow stages, no shuffle."""
+    from ..operators.multimodal import attach_png
+
+    png = attach_png(load_table(spark, sf_dir, "documents"))
+    dec = decode_media(png, decoder=real_decoder)
+    return pcm_stats(dec)

@@ -122,6 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_encode_counts",
     "pipeline_packing_exact_tokens",
     "similarity_ivf_serve_persisted",
+    "multimodal_png_decode",
 )
 
 
