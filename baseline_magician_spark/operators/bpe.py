@@ -115,8 +115,105 @@ def _pair_counts(vocab_syms: DataFrame) -> DataFrame:
     )
 
 
+# Vocab-row ceiling for the single-collect driver training path.
+# The module's own scale contract already treats the encoded vocab as
+# broadcast-class metadata (word_token_counts broadcast-joins it), so
+# collecting (word, c) once for training spends the same budget class;
+# past the cap — a web-scale tail vocabulary — training falls back to
+# the distributed per-iteration loop. Env-overridable so a cluster
+# deployment can raise/lower it without code changes.
+import os as _os
+
+DRIVER_VOCAB_CAP = int(
+    _os.environ.get("BMS_BPE_DRIVER_VOCAB_CAP", "200000")
+)
+
+
+def _merge_once(syms: list, a: str, b: str, ab: str) -> list:
+    """Left-to-right non-overlapping greedy merge — the driver
+    rendering of :func:`merge_pair`'s JVM fold, kept step-identical."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_train_driver(
+    spark, rows, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Driver-side training over the collected vocab: identical merge
+    decisions to the distributed loop (all adjacent positions counted,
+    overlap included; argmax ties broken ascending on (a, b) — Python
+    code-point order == Spark UTF-8 binary order), with incremental
+    pair-count maintenance so each rank touches only the words that
+    contain the merged pair."""
+    from collections import defaultdict
+
+    words: list[list] = [
+        [r["word"], int(r["c"]), list(r["word"])] for r in rows
+    ]
+    pair_counts: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+    for idx, (_w, c, syms) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += c
+            pair_words[p].add(idx)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        if not pair_counts:
+            break
+        (a, b), f = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, a, b, int(f)))
+        ab = a + b
+        for idx in sorted(pair_words.get((a, b), ())):
+            w, c, syms = words[idx]
+            for p in zip(syms, syms[1:]):
+                left = pair_counts[p] - c
+                if left <= 0:
+                    del pair_counts[p]
+                else:
+                    pair_counts[p] = left
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(idx)
+            new_syms = _merge_once(syms, a, b, ab)
+            words[idx][2] = new_syms
+            for p in zip(new_syms, new_syms[1:]):
+                pair_counts[p] += c
+                pair_words[p].add(idx)
+        pair_words.pop((a, b), None)
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    state = spark.createDataFrame(
+        [(w, c, syms) for w, c, syms in words],
+        StructType(
+            [
+                StructField("word", StringType()),
+                StructField("c", LongType()),
+                StructField("syms", ArrayType(StringType())),
+            ]
+        ),
+    )
+    return merges, state
+
+
 def bpe_train(
-    vocab: DataFrame, n_merges: int
+    vocab: DataFrame,
+    n_merges: int,
+    driver_vocab_cap: int | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Iterated BPE training over the ``(word, c)`` vocab relation.
 
@@ -125,12 +222,33 @@ def bpe_train(
     ``(word, c, syms)`` — each word's ``syms`` after all merges IS its
     encoding under the learned table (training replay == encode).
 
-    Iteration discipline mirrors the connected-components loop
-    (operators/graph.py): ``localCheckpoint(eager=False)`` per round
-    truncates lineage so analysis cost stays constant across rounds;
-    the checkpoint materializes under the same job that computes the
-    round's argmax (a 1-row collect — the only driver data). Stops
-    early when no adjacent pair remains (every word fully merged)."""
+    Two value-identical paths (optimization round 11). The vocab
+    relation is broadcast-class metadata by this module's own scale
+    contract (``word_token_counts`` broadcast-joins the encoded
+    vocab), so when it fits ``driver_vocab_cap`` rows the training
+    loop runs ON THE DRIVER off one collect — one Spark job total
+    instead of ``n_merges`` sequential argmax jobs + checkpoint
+    materializations, which is exactly how production tokenizer
+    trainers consume the collapsed word-count relation. Past the cap
+    (a web-scale tail vocabulary) the distributed per-iteration loop
+    below runs unchanged: ``localCheckpoint(eager=False)`` per round
+    truncates lineage so analysis cost stays constant; the checkpoint
+    materializes under the same job that computes the round's argmax
+    (a 1-row collect). Both paths stop early when no adjacent pair
+    remains, pick the most frequent pair with ties ascending on
+    (a, b), and count every adjacent position (overlap included) —
+    pinned against each other in tests."""
+    cap = (
+        DRIVER_VOCAB_CAP
+        if driver_vocab_cap is None
+        else driver_vocab_cap
+    )
+    if cap > 0:
+        rows = vocab.limit(cap + 1).collect()
+        if len(rows) <= cap:
+            return _bpe_train_driver(
+                vocab.sparkSession, rows, n_merges
+            )
     state = vocab.select(
         "word", "c", _chars(F.col("word")).alias("syms")
     ).localCheckpoint(eager=False)

@@ -390,44 +390,90 @@ def cdc_duplication_ratio(
     dup_ratio rounds to 6 places for cross-engine compare. Documents
     whose chunks are all shorter than ``min_len`` score 0.
 
-    Shuffle inventory: the chunk relation is computed ONCE and
-    cached (two consumers — the shared-fingerprint aggregate and the
-    per-doc rollup; the chunk frame is the thing a 100 TB deployment
-    would materialize anyway), then one groupBy on uniform
-    fingerprints, one LEFT SEMI join back (the shared-fp set is
-    small — AQE broadcasts it), one per-doc sum."""
+    Shuffle inventory (single lineage — optimization round 11): CDC
+    chunks exactly TILE each document (``sum(chunk_len) ==
+    length(text)`` and every ``length > 0`` document emits >= 1
+    chunk), so the base-document join and the cached double scan of
+    the old shape are unnecessary. One window over ``chunk_fp``
+    decides sharing — ``min(id) != max(id)`` over the *eligible*
+    (``chunk_len >= min_len``) rows of the fingerprint, expressed as
+    conditional min/max so ineligible rows still flow through for
+    the ``n_chars`` sum — then one groupBy on the document id rolls
+    everything up. Two uniform-key shuffles total; no persist, no
+    semi-join, no second scan of the corpus. (min != max ⇔
+    countDistinct >= 2; ``min_docs`` other than 2 falls back to the
+    aggregate + semi-join rendering.)"""
     builder = cdc_chunks if impl == "jvm" else cdc_chunks_pandas
     chunks = builder(
         docs, text_col, id_col, mask_bits=mask_bits, window=window
     )
-    from ..cache_tracker import track
+    if min_docs != 2:
+        from ..cache_tracker import track
 
-    eligible = track(chunks.where(F.col("chunk_len") >= min_len).persist())
-    shared = (
-        eligible.groupBy("chunk_fp")
-        .agg(F.countDistinct(id_col).alias("_nd"))
-        .where(F.col("_nd") >= min_docs)
-        .select("chunk_fp")
+        eligible = track(
+            chunks.where(F.col("chunk_len") >= min_len).persist()
+        )
+        shared = (
+            eligible.groupBy("chunk_fp")
+            .agg(F.countDistinct(id_col).alias("_nd"))
+            .where(F.col("_nd") >= min_docs)
+            .select("chunk_fp")
+        )
+        per_doc = (
+            eligible.join(shared, "chunk_fp", "left_semi")
+            .groupBy(id_col)
+            .agg(
+                F.sum("chunk_len").alias("dup_chars"),
+                F.count(F.lit(1)).alias("n_dup_chunks"),
+            )
+        )
+        base = docs.where(F.length(F.col(text_col)) > 0).select(
+            F.col(id_col),
+            F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        )
+        dup = F.coalesce(F.col("dup_chars"), F.lit(0).cast("long"))
+        return base.join(per_doc, id_col, "left").select(
+            id_col,
+            "n_chars",
+            dup.alias("dup_chars"),
+            F.coalesce(
+                F.col("n_dup_chunks"), F.lit(0).cast("long")
+            ).alias("n_dup_chunks"),
+            F.round(dup / F.col("n_chars"), 6).alias("dup_ratio"),
+        )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk_fp")
+    elig_id = F.when(
+        F.col("chunk_len") >= min_len, F.col(id_col)
     )
+    dup_row = (
+        (F.col("chunk_len") >= min_len)
+        & (F.min(elig_id).over(w) != F.max(elig_id).over(w))
+    )
+    dup_len = F.when(dup_row, F.col("chunk_len"))
     per_doc = (
-        eligible.join(shared, "chunk_fp", "left_semi")
+        chunks.select(
+            F.col(id_col),
+            F.col("chunk_len"),
+            dup_len.alias("_dl"),
+        )
         .groupBy(id_col)
         .agg(
-            F.sum("chunk_len").alias("dup_chars"),
-            F.count(F.lit(1)).alias("n_dup_chunks"),
+            F.sum("chunk_len").alias("n_chars"),
+            F.coalesce(F.sum("_dl"), F.lit(0).cast("long")).alias(
+                "dup_chars"
+            ),
+            F.count("_dl").alias("n_dup_chunks"),
         )
     )
-    base = docs.where(F.length(F.col(text_col)) > 0).select(
-        F.col(id_col),
-        F.length(F.col(text_col)).cast("long").alias("n_chars"),
-    )
-    dup = F.coalesce(F.col("dup_chars"), F.lit(0).cast("long"))
-    return base.join(per_doc, id_col, "left").select(
+    return per_doc.select(
         id_col,
         "n_chars",
-        dup.alias("dup_chars"),
-        F.coalesce(F.col("n_dup_chunks"), F.lit(0).cast("long")).alias(
-            "n_dup_chunks"
+        "dup_chars",
+        "n_dup_chunks",
+        F.round(F.col("dup_chars") / F.col("n_chars"), 6).alias(
+            "dup_ratio"
         ),
-        F.round(dup / F.col("n_chars"), 6).alias("dup_ratio"),
     )

@@ -39,21 +39,60 @@ def connected_components(
 ) -> DataFrame:
     """(node, cluster_id) for every node in ``edges``; cluster_id = min
     node id in the component."""
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(
-        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-    sym = sym.localCheckpoint(eager=True)
-
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
+    # Scale-adaptive shuffle sizing for the whole CC computation
+    # (optimization round 11, guide §2): the init distincts and every
+    # round's groupBy re-plan from ``spark.sql.shuffle.partitions``
+    # and AQE coalesces back down — per-round planning/bookkeeping
+    # cost proportional to the initial count. Derive the initial
+    # count from the environment (defaultParallelism — total cores,
+    # local or cluster) instead of the session constant: AQE still
+    # coalesces downward when the label relation is small, and at
+    # corpus scale upward sizing is AQE's skew/coalesce job anyway.
+    # (NOT edges.rdd.getNumPartitions(): materializing .rdd under AQE
+    # executes the pair subtree's query stages — a hidden extra
+    # computation of the most expensive input.) AQE stays ON —
+    # measured interleaved on the simhash pair graph: default-200
+    # median 5.16 s/call, AQE-off 9.4 s, this 3.08 s. Restored after
+    # the loop so downstream consumers see the session value.
+    sess = edges.sparkSession
+    sc = sess.sparkContext
+    n_parts = sc.defaultParallelism
+    try:
+        old_sp = sess.conf.get("spark.sql.shuffle.partitions")
+    except Exception:
+        old_sp = None
+    sess.conf.set("spark.sql.shuffle.partitions", str(n_parts))
 
     global LAST_ROUNDS
     LAST_ROUNDS = 0
+    try:
+        sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        sym = sym.union(
+            sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+        sym = sym.localCheckpoint(eager=True)
+
+        labels = (
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        labels = _label_rounds(sym, labels, max_iterations)
+    finally:
+        if old_sp is None:
+            sess.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            sess.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def _label_rounds(
+    sym: DataFrame, labels: DataFrame, max_iterations: int
+) -> DataFrame:
+    """The min-label propagation rounds (split out so the caller's
+    shuffle-partition pin wraps them in one try/finally)."""
+    global LAST_ROUNDS
     prev_sum = None
     for _ in range(max_iterations):
         LAST_ROUNDS += 1
@@ -112,7 +151,7 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select("node", F.col("label").alias("cluster_id"))
+    return labels
 
 
 def dedup_clusters(

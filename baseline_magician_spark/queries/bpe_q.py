@@ -141,15 +141,33 @@ def text_bpe_encode_counts(
 
     ws_tokens (the whitespace count every round <= 10 budgeted with)
     rides along: the bpe/ws ratio IS the correction factor the
-    mixture and packing plans were missing."""
+    mixture and packing plans were missing.
+
+    Single-scan shape (optimization round 11): ws_n is just the
+    per-document row count of the SAME token explode the exact counts
+    ride on (``n_tokens == size(tokens)``), so the former separate
+    corpus scan + doc_id join for the whitespace count collapses into
+    the one explode → broadcast-join → per-doc aggregate — mirroring
+    the oracle's own ``toks JOIN wl`` shape."""
+    from ..functions.hashing import tokens
+    from ..operators.bpe import word_token_counts
+
     docs = load_for_compute(spark, sf_dir, "documents")
     merges, _state = bpe_train(bpe_vocab(docs), N_MERGES)
-    counts = doc_token_counts(docs, merges)
-    from ..operators.text import n_tokens
-
-    per_doc = docs.select(
-        "doc_id", "source", n_tokens("text").cast("long").alias("ws_n")
-    ).join(counts, "doc_id")
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("word")
+    )
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    lens = word_token_counts(vocab, merges)
+    per_doc = (
+        toks.join(F.broadcast(lens), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.count(F.lit(1)).cast("long").alias("ws_n"),
+            F.sum("n_bpe").cast("long").alias("n_tok_exact"),
+        )
+    )
     pair = F.struct(
         F.col("doc_id"),
         F.concat_ws(
@@ -212,13 +230,15 @@ def pipeline_packing_exact_tokens(
     counts instead of the whitespace estimate. A packing plan is the
     first consumer that actually CORRUPTS under approximate counts —
     every downstream chunk boundary shifts — so this is the row that
-    proves the exact counts compose."""
+    proves the exact counts compose. (The former
+    ``docs.select("doc_id").join(counts)`` was a no-op join — the
+    count relation's ids are a subset of docs by construction — and
+    is gone as of optimization round 11.)"""
     docs = load_for_compute(spark, sf_dir, "documents")
     merges, _state = bpe_train(bpe_vocab(docs), N_MERGES)
     counts = doc_token_counts(docs, merges)
-    based = docs.select("doc_id").join(counts, "doc_id")
     return pack_sequences(
-        based,
+        counts,
         F.col("n_tok_exact"),
         ctx_len=PACK_CTX_LEN,
         n_buckets=PACK_BUCKETS,

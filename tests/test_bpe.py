@@ -80,6 +80,34 @@ def test_train_is_deterministic_and_ranked(spark):
         known.add(a + b)
 
 
+def test_train_driver_path_equals_distributed_path(spark):
+    """The round-11 driver fast path (vocab collected once, merges
+    computed in-process with incremental pair counts) must make the
+    exact same merge decisions — ranks, pairs, frequencies, final
+    state — as the distributed per-iteration loop it shortcuts."""
+    from baseline_magician_spark.catalog import load_for_compute
+
+    docs = load_for_compute(spark, SF_SMOKE, "documents")
+    vocab = bpe_vocab(docs)
+    m_driver, s_driver = bpe_train(vocab, 8)
+    m_dist, s_dist = bpe_train(vocab, 8, driver_vocab_cap=0)
+    assert m_driver == m_dist
+    rows_driver = {r["word"]: r["syms"] for r in s_driver.collect()}
+    rows_dist = {r["word"]: r["syms"] for r in s_dist.collect()}
+    assert rows_driver == rows_dist
+
+
+def test_train_driver_cap_falls_back_to_distributed(spark):
+    """A vocab larger than the cap must take the distributed loop
+    (cap+1-row probe collect) and still produce identical merges."""
+    vocab = spark.createDataFrame(
+        [("abab", 4), ("abc", 2), ("bc", 1)], "word string, c long"
+    )
+    m_small_cap, _ = bpe_train(vocab, 4, driver_vocab_cap=2)
+    m_driver, _ = bpe_train(vocab, 4)
+    assert m_small_cap == m_driver
+
+
 def test_train_early_stop_on_exhausted_pairs(spark):
     vocab = spark.createDataFrame([("ab", 3), ("cd", 1)], "word string, c long")
     merges, state = bpe_train(vocab, 50)
