@@ -66,17 +66,32 @@ def connected_components(
     global LAST_ROUNDS
     LAST_ROUNDS = 0
     try:
-        sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        sym = sym.union(
-            sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).distinct()
-        sym = sym.localCheckpoint(eager=True)
-
-        labels = (
-            sym.select(F.col("a").alias("node"))
+        # Materialize the pair subtree ONCE (round 11, guide §2.4):
+        # the symmetrization union used to reference the (expensive —
+        # LSH band self-join + aggregate) edge subtree from both
+        # branches, re-running its post-shuffle compute per branch.
+        # One eager checkpoint of the raw pairs makes every
+        # downstream branch a narrow re-read of the checkpointed
+        # blocks.
+        pe = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        ).localCheckpoint(eager=True)
+        # Symmetric closure WITH self-loops, one distinct: the
+        # self-loops make each round's neighbor-min include the
+        # node's own label (min over neighbors ∪ self == the old
+        # least(label, nbr_min) left-join), deleting one join per
+        # round, and double as the label seed (a == b rows), deleting
+        # the separate distinct + eager checkpoint the init used to
+        # pay.
+        sym = (
+            pe.union(pe.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .union(pe.select(F.col("a"), F.col("a").alias("b")))
+            .union(pe.select(F.col("b").alias("a"), F.col("b")))
             .distinct()
-            .withColumn("label", F.col("node"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # round 1's job lands it
+        )
+        labels = sym.where(F.col("a") == F.col("b")).select(
+            F.col("a").alias("node"), F.col("a").alias("label")
         )
         labels = _label_rounds(sym, labels, max_iterations)
     finally:
@@ -91,12 +106,18 @@ def _label_rounds(
     sym: DataFrame, labels: DataFrame, max_iterations: int
 ) -> DataFrame:
     """The min-label propagation rounds (split out so the caller's
-    shuffle-partition pin wraps them in one try/finally)."""
+    shuffle-partition pin wraps them in one try/finally).
+
+    ``sym`` must contain a self-loop for every node: the round's
+    neighbor-min then includes the node's own label, so the min IS
+    the old ``least(own, neighbor-min)`` and no left-join back onto
+    the previous labels is needed (one fewer join per round, and
+    every node is guaranteed a row)."""
     global LAST_ROUNDS
     prev_sum = None
     for _ in range(max_iterations):
         LAST_ROUNDS += 1
-        nbr_min = (
+        stepped = (
             sym.join(
                 labels.select(
                     F.col("node").alias("b"), F.col("label").alias("_nl")
@@ -104,13 +125,7 @@ def _label_rounds(
                 "b",
             )
             .groupBy(F.col("a").alias("node"))
-            .agg(F.min("_nl").alias("_nbr_min"))
-        )
-        stepped = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("_nbr_min"), F.col("label"))
-            ).alias("label"),
+            .agg(F.min("_nl").alias("label"))
         )
         # pointer jumping (path halving): label(v) := label(label(v)).
         # Labels are monotone lower bounds within the component, so the
