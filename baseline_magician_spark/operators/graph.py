@@ -23,6 +23,8 @@ DuckDB oracle (recursive-CTE label closure) must hash-match exactly.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,12 +32,64 @@ from pyspark.sql import functions as F
 # pointer-jumping regression signal (tests pin the log-depth bound)
 LAST_ROUNDS: int = 0
 
+# Edge-row ceiling for the single-collect driver union-find path
+# (optimization round 11, guide §8: decide with small rows). Near-dup
+# pair graphs are the OUTPUT of band-capped LSH joins — a lightweight
+# key relation, broadcast-class next to the corpus — so when the pair
+# count fits the cap, components are computed on the driver off one
+# bounded collect (union-find, min-id representative: the identical
+# fixpoint) instead of log-depth rounds of join jobs. Past the cap — a
+# web-scale pair graph — the distributed pointer-jumping loop below
+# runs unchanged. Env-overridable for cluster deployments.
+DRIVER_EDGE_CAP = int(_os.environ.get("BMS_CC_DRIVER_EDGE_CAP", "2000000"))
+
+
+def _cc_driver(spark, rows, a_type) -> DataFrame:
+    """Union-find over the collected edge list — value-identical to
+    the distributed fixpoint: every node's representative is the min
+    node id in its component (roots are kept minimal by always
+    attaching the larger root under the smaller)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("node", a_type),
+            StructField("cluster_id", a_type),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n, find(n)) for n in parent], schema
+    )
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    driver_edge_cap: int | None = None,
 ) -> DataFrame:
     """(node, cluster_id) for every node in ``edges``; cluster_id = min
     node id in the component."""
@@ -76,6 +130,20 @@ def connected_components(
         pe = edges.select(
             F.col(src).alias("a"), F.col(dst).alias("b")
         ).localCheckpoint(eager=True)
+        # Driver union-find under the edge cap: ONE bounded collect of
+        # the already-materialized pair relation replaces the
+        # log-depth round jobs + convergence collects (the bounded
+        # ``limit(cap+1)`` collect never pulls more than cap+1 rows,
+        # so an over-cap graph costs one truncated fetch and falls
+        # through to the distributed loop).
+        cap = DRIVER_EDGE_CAP if driver_edge_cap is None else driver_edge_cap
+        if cap > 0:
+            head = pe.limit(cap + 1).collect()
+            if len(head) <= cap:
+                LAST_ROUNDS = 1
+                return _cc_driver(
+                    sess, head, pe.schema["a"].dataType
+                )
         # Symmetric closure WITH self-loops, one distinct: the
         # self-loops make each round's neighbor-min include the
         # node's own label (min over neighbors ∪ self == the old

@@ -257,7 +257,9 @@ def test_cc_pointer_jumping_is_logarithmic(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "src long, dst long"
     )
-    out = graph.connected_components(edges, "src", "dst").collect()
+    out = graph.connected_components(
+        edges, "src", "dst", driver_edge_cap=0
+    ).collect()
     assert len(out) == 64
     assert all(r.cluster_id == 0 for r in out)
     assert graph.LAST_ROUNDS <= 10, graph.LAST_ROUNDS
@@ -277,7 +279,7 @@ def test_cc_adversarial_diameter_4096_path(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     )
-    out = graph.connected_components(edges, "src", "dst")
+    out = graph.connected_components(edges, "src", "dst", driver_edge_cap=0)
     agg = out.agg(
         F.count("*").alias("n"),
         F.countDistinct("cluster_id").alias("k"),
@@ -304,7 +306,7 @@ def test_cc_two_long_cycles_with_bridge(spark):
     edges = spark.createDataFrame(
         cyc_a + cyc_b + bridge, "src long, dst long"
     )
-    out = graph.connected_components(edges, "src", "dst")
+    out = graph.connected_components(edges, "src", "dst", driver_edge_cap=0)
     agg = out.agg(
         F.count("*").alias("n"),
         F.countDistinct("cluster_id").alias("k"),
@@ -482,3 +484,50 @@ def test_excise_spans_edge_positions(spark):
     out = {r["id"]: r["clean_text"] for r in
            excise_spans(docs, spans, "text", "doc_id").collect()}
     assert out == {1: "ab", 2: "ab", 3: ""}
+
+
+def test_cc_driver_union_find_equals_distributed(spark):
+    """The cap-gated driver union-find (optimization round 11) must
+    produce the identical (node, cluster_id) relation as the
+    distributed pointer-jumping loop, including on chain + cycle +
+    singleton-free mixed topologies, and the cap boundary must route
+    correctly (<= cap -> driver, > cap -> distributed)."""
+    import random
+
+    from baseline_magician_spark.operators import graph
+
+    rng = random.Random(411)
+    # mixed graph: a path, a cycle, a clique, random extra edges
+    edges = (
+        [(i, i + 1) for i in range(0, 40)]
+        + [(100 + i, 100 + (i + 1) % 30) for i in range(30)]
+        + [(200 + i, 200 + j) for i in range(8) for j in range(i + 1, 8)]
+        + [(rng.randrange(300, 380), rng.randrange(300, 380)) for _ in range(60)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    drv = sorted(
+        map(tuple, graph.connected_components(df, "src", "dst").collect())
+    )
+    assert graph.LAST_ROUNDS == 1  # took the driver path
+    dist = sorted(
+        map(
+            tuple,
+            graph.connected_components(
+                df, "src", "dst", driver_edge_cap=0
+            ).collect(),
+        )
+    )
+    assert graph.LAST_ROUNDS > 1  # took the distributed loop
+    assert drv == dist
+    # cap boundary: edge count > cap falls through to distributed
+    few = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "src long, dst long")
+    out = sorted(
+        map(
+            tuple,
+            graph.connected_components(
+                few, "src", "dst", driver_edge_cap=2
+            ).collect(),
+        )
+    )
+    assert graph.LAST_ROUNDS > 1
+    assert out == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)]
