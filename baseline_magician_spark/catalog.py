@@ -31,15 +31,30 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
+# Set-once guard for the per-session SQL confs below and memo for the
+# scan split count load_for_compute probes (optimization round 11,
+# guide §1/§5: both are pure driver-side metadata — conf.set is two
+# py4j round-trips per load, and df.rdd.getNumPartitions() re-plans
+# the scan physically at ~80 ms per call, ~65 calls x 2 passes = ~10 s
+# of bench driver time. The split count of an immutable input under
+# fixed session confs is static, so one exact probe per
+# (application, sf_dir, table) is re-used; no DATA is memoized).
+_SESSION_CONFED: set[str] = set()
+_SCAN_PARTS: dict[tuple[str, str, str], int] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # Runtime-settable SQL confs: callers (e.g. the verify driver) may
     # hand us a bare session. TIMESTAMP(NANOS) parquet errors outright
     # without nanosAsLong; UTC keeps timestamp rendering identical to
-    # the DuckDB oracle on non-UTC machines.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the DuckDB oracle on non-UTC machines. Set once per application.
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _SESSION_CONFED:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _SESSION_CONFED.add(app_id)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS) parquet, surfaced as int64 epoch-ns
     # under spark.sql.legacy.parquet.nanosAsLong; convert to µs
@@ -73,7 +88,12 @@ def load_for_compute(
     """
     df = load_table(spark, sf_dir, name)
     target = min_parallelism or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    n_parts = _SCAN_PARTS.get(key)
+    if n_parts is None:
+        n_parts = df.rdd.getNumPartitions()
+        _SCAN_PARTS[key] = n_parts
+    if n_parts < target:
         df = df.repartition(target)
     return df
 

@@ -370,18 +370,27 @@ def doc_token_counts(
     merges: list[tuple[int, str, str, int]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    word_lens: DataFrame | None = None,
 ) -> DataFrame:
     """Token-EXACT per-document counts ``(id, n_tok_exact)``: encode
     the distinct words once (vocab-sized), broadcast-join the word
     lengths back onto the token stream, one per-doc sum. The corpus
-    is tokenized once; nothing corpus-sized is encoded in Python."""
+    is tokenized once; nothing corpus-sized is encoded in Python.
+
+    ``word_lens`` (optimization round 11): callers that already hold
+    the trained vocab relation (``bpe_train``'s returned state carries
+    exactly the corpus's distinct words) pass its encoded lengths here
+    so the corpus is not re-tokenized + re-aggregated a second time
+    just to recover the word list — the lengths must cover every
+    corpus word (true for the training state by construction)."""
     toks = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("word")
     )
-    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    lens = word_token_counts(vocab, merges)
+    if word_lens is None:
+        vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+        word_lens = word_token_counts(vocab, merges)
     return (
-        toks.join(F.broadcast(lens), "word")
+        toks.join(F.broadcast(word_lens), "word")
         .groupBy(id_col)
         .agg(F.sum("n_bpe").cast("long").alias("n_tok_exact"))
     )

@@ -148,17 +148,21 @@ def text_bpe_encode_counts(
     ride on (``n_tokens == size(tokens)``), so the former separate
     corpus scan + doc_id join for the whitespace count collapses into
     the one explode → broadcast-join → per-doc aggregate — mirroring
-    the oracle's own ``toks JOIN wl`` shape."""
+    the oracle's own ``toks JOIN wl`` shape. The word list the encode
+    runs over comes from the TRAINING state (``bpe_train`` already
+    collapsed the corpus to its distinct words), not from a second
+    tokenize + groupBy of the corpus; the encode itself stays the
+    independent ranked merge-table fold — only the word LIST is
+    shared, never the training replay's symbol sequences."""
     from ..functions.hashing import tokens
     from ..operators.bpe import word_token_counts
 
     docs = load_for_compute(spark, sf_dir, "documents")
-    merges, _state = bpe_train(bpe_vocab(docs), N_MERGES)
+    merges, state = bpe_train(bpe_vocab(docs), N_MERGES)
     toks = docs.select(
         "doc_id", "source", F.explode(tokens("text")).alias("word")
     )
-    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    lens = word_token_counts(vocab, merges)
+    lens = word_token_counts(state.select("word"), merges)
     per_doc = (
         toks.join(F.broadcast(lens), "word")
         .groupBy("doc_id")
@@ -233,10 +237,18 @@ def pipeline_packing_exact_tokens(
     proves the exact counts compose. (The former
     ``docs.select("doc_id").join(counts)`` was a no-op join — the
     count relation's ids are a subset of docs by construction — and
-    is gone as of optimization round 11.)"""
+    is gone as of optimization round 11; the encode's word list is
+    likewise reused from the training state instead of a second
+    corpus tokenize + groupBy, see text_bpe_encode_counts.)"""
+    from ..operators.bpe import word_token_counts
+
     docs = load_for_compute(spark, sf_dir, "documents")
-    merges, _state = bpe_train(bpe_vocab(docs), N_MERGES)
-    counts = doc_token_counts(docs, merges)
+    merges, state = bpe_train(bpe_vocab(docs), N_MERGES)
+    counts = doc_token_counts(
+        docs,
+        merges,
+        word_lens=word_token_counts(state.select("word"), merges),
+    )
     return pack_sequences(
         counts,
         F.col("n_tok_exact"),

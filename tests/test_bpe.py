@@ -210,3 +210,25 @@ def test_doc_token_counts_sum_matches_vocab_arithmetic(spark):
         .count()
     )
     assert bad == 0
+
+def test_doc_token_counts_shared_word_lens_identical(spark):
+    """Optimization round 11: passing the training state's word list
+    as ``word_lens`` (skipping the second corpus tokenize + groupBy)
+    must be row-identical to the rebuild-from-corpus default."""
+    from baseline_magician_spark.catalog import load_for_compute
+    from baseline_magician_spark.operators.bpe import word_token_counts
+
+    docs = load_for_compute(spark, SF_SMOKE, "documents")
+    merges, state = bpe_train(bpe_vocab(docs), 8)
+    base = sorted(
+        tuple(r) for r in doc_token_counts(docs, merges).collect()
+    )
+    shared = sorted(
+        tuple(r)
+        for r in doc_token_counts(
+            docs,
+            merges,
+            word_lens=word_token_counts(state.select("word"), merges),
+        ).collect()
+    )
+    assert base == shared and len(base) > 0
