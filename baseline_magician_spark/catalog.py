@@ -54,6 +54,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if app_id not in _SESSION_CONFED:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # PySpark 4 call-site capture for error enrichment costs a
+        # Python stack walk + ~4 py4j round-trips on EVERY DataFrame/
+        # Column API call (~32% of dialect-compile time measured,
+        # optimization round 11, guide §4). session.py disables it at
+        # build time for our own sessions (it is a STATIC conf —
+        # settable only at session construction); a bare driver
+        # session arrives here with it on, so the process-wide cache
+        # pyspark keeps for the flag is forced off directly (private
+        # attr — guarded, best-effort; behavior change is error-
+        # message enrichment only, never results).
+        try:  # pragma: no cover - depends on pyspark internals
+            import pyspark.errors.utils as _eu
+
+            _eu._enable_debugging_cache = False
+        except Exception:
+            pass
         _SESSION_CONFED.add(app_id)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS) parquet, surfaced as int64 epoch-ns

@@ -24,7 +24,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
+    POLY_BASE,
     POLY_MOD,
+    POLY_SEED,
     minhash_params,
     shingle_hashes,
     tokens,
@@ -100,6 +102,189 @@ def minhash_band_hashes(sig: Column, k: int, rows_per_band: int) -> Column:
     return F.array(*bands)
 
 
+def _shingle_hashes_np(texts, n: int):
+    """Flattened poly-hashes of every n-gram token shingle for a batch
+    of documents — the numpy rendering of :func:`shingle_hashes`
+    (minus the ``array_distinct``, which callers that fold with min
+    may skip), value-identical per shingle: same tokenizer (trim
+    ASCII spaces, split on the Java-regex ``\\s`` class
+    ``[ \\t\\n\\x0b\\f\\r]``, drop empties), same codepoint stream
+    (Python ``str`` iterates codepoints exactly like Spark's
+    ``split('')``), same fold constants. Every arithmetic step stays
+    < 2^63 (h < MOD ~ 1e9, h*pw < 1e18), so plain int64 is exact.
+
+    Heavy per-char work is vectorized across ALL tokens of the batch:
+    one gather + multiply-add per char POSITION (bounded by the
+    longest token; the active mask shrinks as short tokens finish, so
+    total gathered work stays linear in total characters).
+
+    Returns (sh, seg, n_sh): int64 shingle hashes flattened across
+    docs, the per-doc segment starts into ``sh``, and the per-doc
+    shingle counts (0 for docs with < n tokens).
+    """
+    import re
+
+    import numpy as np
+
+    split_ws = re.compile("[ \t\n\x0b\f\r]+").split
+    tok_lists = [
+        [t for t in split_ws(s.strip(" ")) if t] if s else []
+        for s in texts
+    ]
+    tok_counts = np.fromiter(
+        (len(ts) for ts in tok_lists), dtype=np.int64, count=len(tok_lists)
+    )
+    all_toks = [t for ts in tok_lists for t in ts]
+    n_tok = len(all_toks)
+    n_sh = np.maximum(tok_counts - (n - 1), 0)
+    seg = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+    if n_tok == 0 or int(n_sh.sum()) == 0:
+        return np.zeros(0, dtype=np.int64), seg, n_sh
+
+    mod = np.int64(POLY_MOD)
+    tlens = np.fromiter(
+        (len(t) for t in all_toks), dtype=np.int64, count=n_tok
+    )
+    joined = "".join(all_toks)
+    codes = np.frombuffer(
+        joined.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(tlens)[:-1]])
+    # per-token poly hash (seed 0) + 31^len, one vectorized
+    # multiply-add per char position over the still-active tokens
+    th = np.zeros(n_tok, dtype=np.int64)
+    order = np.argsort(tlens, kind="stable")  # active prefix trick
+    th_s, offs_s, tlens_s = th[order], offs[order], tlens[order]
+    max_len = int(tlens.max())
+    for pos in range(max_len):
+        start = int(np.searchsorted(tlens_s, pos + 1))
+        sel = slice(start, n_tok)
+        th_s[sel] = (
+            th_s[sel] * POLY_BASE + codes[offs_s[sel] + pos]
+        ) % mod
+    th[order] = th_s
+    pow_tab = np.ones(max_len + 1, dtype=np.int64)
+    for i in range(1, max_len + 1):
+        pow_tab[i] = pow_tab[i - 1] * POLY_BASE % POLY_MOD
+    pw = pow_tab[tlens]
+
+    # global token index of each shingle's first token
+    tok_start = np.concatenate([[0], np.cumsum(tok_counts)[:-1]])
+    first = np.repeat(tok_start, n_sh) + _ranges_np(n_sh)
+    sh = np.full(first.shape, POLY_SEED, dtype=np.int64)
+    space = np.int64(ord(" "))
+    for j in range(n):
+        if j:
+            sh = (sh * POLY_BASE + space) % mod
+        sh = (sh * pw[first + j] + th[first + j]) % mod
+    return sh, seg, n_sh
+
+
+def _ranges_np(counts):
+    """[0..c0-1, 0..c1-1, ...] — per-segment position indices."""
+    import numpy as np
+
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    out = np.arange(total, dtype=np.int64)
+    return out - np.repeat(starts, counts)
+
+
+def minhash_band_relation(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    impl: str = "pandas",
+) -> DataFrame:
+    """(_id, band, bh) — one row per (document, LSH band): the bucket
+    relation both sides of the LSH self-join consume. Docs with no
+    shingles (< shingle_n tokens) emit nothing.
+
+    ``impl="pandas"`` (default) computes the relation in ONE
+    Arrow-batched numpy pass (guide §4.2 — the interpreted
+    higher-order-function fold was the measured hot spot of every
+    MinHash consumer at ~1.5-2 s per execution at sf0.1; the numpy
+    kernel is value-identical, per-row pinned in
+    tests/test_minhash_np.py). ``impl="jvm"`` is the pure-expression
+    rendering the DuckDB oracles replay.
+    """
+    if impl == "jvm":
+        sig = minhash_signature(text_col, k, shingle_n)
+        with_sig = df.select(
+            F.col(id_col).alias("_id"), sig.alias("_sig")
+        ).where(F.element_at(F.col("_sig"), 1) < POLY_MOD)
+        return with_sig.select(
+            "_id",
+            F.explode(
+                minhash_band_hashes(F.col("_sig"), k, rows_per_band)
+            ).alias("_b"),
+        ).select(
+            "_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh")
+        )
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    params = minhash_params(k)
+    n_bands = k // rows_per_band
+    if k % rows_per_band != 0:
+        raise ValueError(
+            f"rows_per_band={rows_per_band} must divide k={k}"
+        )
+    id_type = df.schema[id_col].dataType
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        mod = np.int64(POLY_MOD)
+        for pdf in batches:
+            texts = pdf["_t"].astype(object).fillna("").tolist()
+            sh, seg, n_sh = _shingle_hashes_np(texts, shingle_n)
+            keep = n_sh > 0
+            if not keep.any():
+                continue
+            seg_keep = seg[keep]
+            # k permuted mins per doc -> band hashes, all segment ops
+            sig = np.empty((k, int(keep.sum())), dtype=np.int64)
+            for i, (a, b) in enumerate(params):
+                perm = (sh * np.int64(a) + np.int64(b)) % mod
+                sig[i] = np.minimum.reduceat(perm, seg_keep)
+            bhs = np.empty((n_bands, sig.shape[1]), dtype=np.int64)
+            for b in range(n_bands):
+                bh = np.full(sig.shape[1], 7, dtype=np.int64)
+                for r in range(rows_per_band):
+                    bh = (bh * POLY_BASE + sig[b * rows_per_band + r]) % mod
+                bhs[b] = bh
+            ids = pdf["_id"].iloc[np.flatnonzero(keep)]
+            yield pd.DataFrame(
+                {
+                    "_id": np.tile(ids.to_numpy(), n_bands),
+                    "band": np.repeat(
+                        np.arange(n_bands, dtype=np.int32),
+                        sig.shape[1],
+                    ),
+                    "bh": bhs.reshape(-1),
+                }
+            )
+
+    return src.mapInPandas(
+        gen,
+        schema=StructType(
+            [
+                StructField("_id", id_type),
+                StructField("band", IntegerType()),
+                StructField("bh", LongType()),
+            ]
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -107,19 +292,15 @@ def minhash_lsh_pairs(
     k: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing >= 1 LSH band bucket.
 
     Output: (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
     """
-    sig = minhash_signature(text_col, k, shingle_n)
-    with_sig = df.select(
-        F.col(id_col).alias("_id"), sig.alias("_sig")
-    ).where(F.element_at(F.col("_sig"), 1) < POLY_MOD)
-    bands = with_sig.select(
-        "_id",
-        F.explode(minhash_band_hashes(F.col("_sig"), k, rows_per_band)).alias("_b"),
-    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+    bands = minhash_band_relation(
+        df, text_col, id_col, k, rows_per_band, shingle_n, impl=impl
+    )
     # shuffle_hash (not broadcast) for the self-join: both sides then
     # need the SAME shuffle of the SAME subplan, and AQE reuses the
     # shuffle stage — the signature computation runs once, not twice

@@ -46,6 +46,17 @@ def get_spark(
         # (the test data has no sub-µs components).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.io.compression.codec", "lz4")
+        # PySpark 4 wraps every DataFrame/Column API call with a
+        # call-site capture for error enrichment: a Python stack walk
+        # plus ~4 extra py4j round-trips (PySparkCurrentOrigin
+        # set/clear, a conf read, getActiveSession) PER CALL. Profiled
+        # on this engine (optimization round 11, guide §4 "the Python
+        # boundary"): the ch_sql dialect family alone builds ~150k
+        # py4j commands, and disabling the wrapper cuts family build
+        # time ~32% (interleaved min 48.5 -> 33.1 s). Pure driver-side
+        # win at any scale; query results are unchanged — only error
+        # messages lose the Python call-site line.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():
