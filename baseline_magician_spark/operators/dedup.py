@@ -285,6 +285,67 @@ def minhash_band_relation(
     )
 
 
+def shingle_hash_relation(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    impl: str = "pandas",
+) -> DataFrame:
+    """(_id, h) — the exploded DISTINCT shingle-hash relation (the
+    per-doc distinct mirrors :func:`shingle_hashes`'s
+    ``array_distinct``, which the Jaccard set sizes and
+    decontamination counts depend on). Docs with < n tokens emit
+    nothing, like the empty-array explode.
+
+    ``impl="pandas"`` computes it in one Arrow-batched numpy pass
+    (guide §4.2 — same measured hot spot as the MinHash signature
+    fold; value-identical, pinned in tests/test_minhash_np.py);
+    ``impl="jvm"`` is the expression rendering the oracles replay.
+    """
+    if impl == "jvm":
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingle_hashes(text_col, n)).alias("h"),
+        )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            texts = pdf["_t"].astype(object).fillna("").tolist()
+            sh, seg, n_sh = _shingle_hashes_np(texts, n)
+            if len(sh) == 0:
+                continue
+            # per-doc distinct: one sort over (doc-index << 31 | h)
+            # composite keys (h < 2^31, doc index < batch size)
+            doc_idx = np.repeat(
+                np.arange(len(texts), dtype=np.int64), n_sh
+            )
+            uniq = np.unique((doc_idx << np.int64(31)) | sh)
+            u_idx = uniq >> np.int64(31)
+            u_h = uniq & np.int64((1 << 31) - 1)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].iloc[u_idx].to_numpy(),
+                    "h": u_h,
+                }
+            )
+
+    return src.mapInPandas(
+        gen,
+        schema=StructType(
+            [StructField("_id", id_type), StructField("h", LongType())]
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -386,16 +447,13 @@ def ngram_jaccard_pairs(
     join and from the per-doc set size) — the standard hot-key guard.
     Output: (doc_a, doc_b, n_shared, jaccard) with jaccard >= threshold.
     """
-    # shingle_hashes is array_distinct per doc, so (_id, h) pairs are
+    # the shingle relation is distinct per doc, so (_id, h) pairs are
     # already unique — no dedup needed. The explicit repartition on h
     # creates ONE canonical shuffle that every downstream consumer
     # (df-count aggregate, rare-filter join, both self-join sides)
-    # reuses instead of re-evaluating the shingle explode per consumer:
+    # reuses instead of re-evaluating the shingle pass per consumer:
     # measured 5.1s -> 2.7s at sf0.1 vs no repartition.
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingle_hashes(text_col, n)).alias("h"),
-    ).repartition("h")
+    sh = shingle_hash_relation(df, text_col, id_col, n).repartition("h")
     rare = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_count")).where(
         F.col("df_count") <= max_shingle_df
     )

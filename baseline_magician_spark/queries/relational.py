@@ -362,16 +362,36 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     # ONE exact-percentile aggregate (array of percentages -> one sort
     # buffer per group) and ONE approx sketch — not per-quantile aggs,
-    # which would buffer the group 5x over
-    agg = events.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"),
-        F.percentile(
-            "value", F.lit([0.5, 0.99, 0.49, 0.51, 0.985, 0.995])
-        ).alias("_pcts"),
-        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx_users"),
-        F.percentile_approx(
-            "value", F.lit([0.5, 0.99]), 10000
-        ).alias("_apcts"),
+    # which would buffer the group 5x over.
+    #
+    # The exact distinct count runs as its OWN aggregation joined back
+    # on the group key (optimization round 11, guide §2.3): mixing
+    # countDistinct with buffer-backed aggregates makes Catalyst's
+    # distinct rewrite key the partial aggregation by
+    # (event_type, user_id) — and every one of those ~|users| groups
+    # then carries the full percentile buffer + HLL registers + KLL
+    # sketch (a 414-column partial row observed in the plan, ~40M
+    # buffer cells shuffled at sf0.1; catastrophic at corpus scale).
+    # Split, each aggregation shuffles only its own tiny state; the
+    # join key is the handful of event types, broadcast by AQE.
+    # Measured noop exec 2.96 -> 0.6 s at sf0.1; results identical.
+    distinct_users = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    agg = (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile(
+                "value", F.lit([0.5, 0.99, 0.49, 0.51, 0.985, 0.995])
+            ).alias("_pcts"),
+            F.approx_count_distinct(
+                "user_id", rsd=0.02
+            ).alias("_approx_users"),
+            F.percentile_approx(
+                "value", F.lit([0.5, 0.99]), 10000
+            ).alias("_apcts"),
+        )
+        .join(distinct_users, "event_type")
     )
     p = {
         "p50": F.col("_pcts")[0], "p99": F.col("_pcts")[1],

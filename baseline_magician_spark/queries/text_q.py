@@ -206,17 +206,25 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     join ships longs, never strings); the eval side is tiny and
     broadcasts, so the train corpus is ONE narrow pass + one group agg
     at any scale."""
-    from ..functions.hashing import shingle_hashes
+    from ..operators.dedup import shingle_hash_relation
 
     docs = load_for_compute(spark, sf_dir, "documents")
     eval_sh = (
-        docs.where(F.col("doc_id") < EVAL_SET_MAX_ID)
-        .select(F.explode(shingle_hashes("text", DECON_N)).alias("h"))
+        shingle_hash_relation(
+            docs.where(F.col("doc_id") < EVAL_SET_MAX_ID),
+            "text",
+            "doc_id",
+            DECON_N,
+        )
+        .select("h")
         .distinct()
     )
-    train_sh = docs.where(F.col("doc_id") >= EVAL_SET_MAX_ID).select(
-        "doc_id", F.explode(shingle_hashes("text", DECON_N)).alias("h")
-    )
+    train_sh = shingle_hash_relation(
+        docs.where(F.col("doc_id") >= EVAL_SET_MAX_ID),
+        "text",
+        "doc_id",
+        DECON_N,
+    ).select(F.col("_id").alias("doc_id"), "h")
     return (
         train_sh.join(F.broadcast(eval_sh), "h")
         .groupBy("doc_id")

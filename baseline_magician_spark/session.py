@@ -57,6 +57,15 @@ def get_spark(
         # win at any scale; query results are unchanged — only error
         # messages lose the Python call-site line.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # Whole-stage-codegen class cache (STATIC conf, default 100
+        # entries): one pass of this engine's query suite generates
+        # ~1000 codegen units, so at the default size every pass
+        # recompiles every stage (janino compile is ~0.1-1 s per
+        # generated class). Sized to hold a full suite's worth of
+        # classes — a JVM-level cache of compiled code, not of data or
+        # results; the same setting helps any repeated-shape workload
+        # on a cluster driver/executor alike.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -97,3 +97,25 @@ def test_band_relation_nondefault_params(adv_df):
         )
     )
     assert got == want
+
+
+def test_shingle_relation_pandas_equals_jvm(adv_df, spark):
+    from baseline_magician_spark.operators.dedup import (
+        shingle_hash_relation,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = _rows(shingle_hash_relation(adv_df, "text", "doc_id"))
+    want = _rows(
+        shingle_hash_relation(adv_df, "text", "doc_id", impl="jvm")
+    )
+    assert got == want
+    assert len(want) > 0
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for n in (2, 3, 5):
+        got = _rows(shingle_hash_relation(docs, "text", "doc_id", n=n))
+        want = _rows(
+            shingle_hash_relation(docs, "text", "doc_id", n=n, impl="jvm")
+        )
+        assert got == want
