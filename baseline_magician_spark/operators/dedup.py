@@ -102,25 +102,21 @@ def minhash_band_hashes(sig: Column, k: int, rows_per_band: int) -> Column:
     return F.array(*bands)
 
 
-def _shingle_hashes_np(texts, n: int):
-    """Flattened poly-hashes of every n-gram token shingle for a batch
-    of documents — the numpy rendering of :func:`shingle_hashes`
-    (minus the ``array_distinct``, which callers that fold with min
-    may skip), value-identical per shingle: same tokenizer (trim
-    ASCII spaces, split on the Java-regex ``\\s`` class
-    ``[ \\t\\n\\x0b\\f\\r]``, drop empties), same codepoint stream
-    (Python ``str`` iterates codepoints exactly like Spark's
-    ``split('')``), same fold constants. Every arithmetic step stays
-    < 2^63 (h < MOD ~ 1e9, h*pw < 1e18), so plain int64 is exact.
+def _token_hashes_np(texts):
+    """Per-token (poly hash seed 0, 31^len mod p) for a batch of
+    documents, flattened across docs — the shared numpy tokenizer +
+    char-fold every vectorized text kernel builds on. Tokenization is
+    value-identical to :func:`~..functions.hashing.tokens` (trim ASCII
+    spaces, split on the Java-regex ``\\s`` class
+    ``[ \\t\\n\\x0b\\f\\r]``, drop empties) and the codepoint stream
+    matches Spark's ``split('')`` (Python ``str`` iterates
+    codepoints). Heavy per-char work is one gather + multiply-add per
+    char POSITION over the still-active (length-sorted) tokens, so
+    total gathered work stays linear in total characters.
 
-    Heavy per-char work is vectorized across ALL tokens of the batch:
-    one gather + multiply-add per char POSITION (bounded by the
-    longest token; the active mask shrinks as short tokens finish, so
-    total gathered work stays linear in total characters).
-
-    Returns (sh, seg, n_sh): int64 shingle hashes flattened across
-    docs, the per-doc segment starts into ``sh``, and the per-doc
-    shingle counts (0 for docs with < n tokens).
+    Returns (th, pw, tok_counts): int64 per-token hashes, int64
+    31^len table lookups, and per-doc token counts. th/pw are empty
+    when the batch has no tokens.
     """
     import re
 
@@ -136,10 +132,9 @@ def _shingle_hashes_np(texts, n: int):
     )
     all_toks = [t for ts in tok_lists for t in ts]
     n_tok = len(all_toks)
-    n_sh = np.maximum(tok_counts - (n - 1), 0)
-    seg = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
-    if n_tok == 0 or int(n_sh.sum()) == 0:
-        return np.zeros(0, dtype=np.int64), seg, n_sh
+    if n_tok == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, tok_counts
 
     mod = np.int64(POLY_MOD)
     tlens = np.fromiter(
@@ -150,8 +145,6 @@ def _shingle_hashes_np(texts, n: int):
         joined.encode("utf-32-le"), dtype=np.uint32
     ).astype(np.int64)
     offs = np.concatenate([[0], np.cumsum(tlens)[:-1]])
-    # per-token poly hash (seed 0) + 31^len, one vectorized
-    # multiply-add per char position over the still-active tokens
     th = np.zeros(n_tok, dtype=np.int64)
     order = np.argsort(tlens, kind="stable")  # active prefix trick
     th_s, offs_s, tlens_s = th[order], offs[order], tlens[order]
@@ -166,7 +159,30 @@ def _shingle_hashes_np(texts, n: int):
     pow_tab = np.ones(max_len + 1, dtype=np.int64)
     for i in range(1, max_len + 1):
         pow_tab[i] = pow_tab[i - 1] * POLY_BASE % POLY_MOD
-    pw = pow_tab[tlens]
+    return th, pow_tab[tlens], tok_counts
+
+
+def _shingle_hashes_np(texts, n: int):
+    """Flattened poly-hashes of every n-gram token shingle for a batch
+    of documents — the numpy rendering of :func:`shingle_hashes`
+    (minus the ``array_distinct``, which callers that fold with min
+    may skip), value-identical per shingle: same tokenizer and
+    codepoint stream as :func:`_token_hashes_np`, same fold constants.
+    Every arithmetic step stays < 2^63 (h < MOD ~ 1e9, h*pw < 1e18),
+    so plain int64 is exact.
+
+    Returns (sh, seg, n_sh): int64 shingle hashes flattened across
+    docs, the per-doc segment starts into ``sh``, and the per-doc
+    shingle counts (0 for docs with < n tokens).
+    """
+    import numpy as np
+
+    th, pw, tok_counts = _token_hashes_np(texts)
+    n_sh = np.maximum(tok_counts - (n - 1), 0)
+    seg = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+    if len(th) == 0 or int(n_sh.sum()) == 0:
+        return np.zeros(0, dtype=np.int64), seg, n_sh
+    mod = np.int64(POLY_MOD)
 
     # global token index of each shingle's first token
     tok_start = np.concatenate([[0], np.cumsum(tok_counts)[:-1]])
@@ -432,6 +448,76 @@ def simhash_of_hashes(tok_hashes: Column, bits: int = 30) -> Column:
     )
 
 
+def simhash_relation(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 30,
+    impl: str = "pandas",
+) -> DataFrame:
+    """(_id, sh) — one SimHash fingerprint per document.
+
+    ``impl="pandas"`` computes the vote fold in one Arrow-batched
+    numpy pass (guide §4.2 — the per-token x per-bit zip_with fold is
+    interpreted JVM expression evaluation, the same hot spot as the
+    MinHash signature); value-identical per row, pinned in
+    tests/test_minhash_np.py, including the degenerate rows: NULL
+    text -> NULL fingerprint (the fold over a null array), zero
+    tokens -> all ``bits`` bits set (zero votes are >= 0).
+    ``impl="jvm"`` is the expression rendering the oracles replay.
+    """
+    if impl == "jvm":
+        return df.select(
+            F.col(id_col).alias("_id"),
+            simhash(text_col, bits).alias("sh"),
+        )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        mod = np.int64(POLY_MOD)
+        all_ones = np.int64((1 << bits) - 1)
+        for pdf in batches:
+            raw = pdf["_t"].astype(object)
+            isnull = raw.isna().to_numpy()
+            texts = raw.fillna("").tolist()
+            th0, pw, tok_counts = _token_hashes_np(texts)
+            # seed-7 token hash from the seed-0 fold:
+            # h_seed(tok) = (seed * 31^len + h_0(tok)) mod p
+            th = (np.int64(POLY_SEED) * pw + th0) % mod
+            sh = np.full(len(texts), all_ones, dtype=np.int64)
+            has = tok_counts > 0
+            if has.any():
+                seg = np.concatenate(
+                    [[0], np.cumsum(tok_counts)[:-1]]
+                )[has]
+                acc = np.zeros(int(has.sum()), dtype=np.int64)
+                for j in range(bits):
+                    votes = np.add.reduceat(
+                        ((th >> np.int64(j)) & 1) * 2 - 1, seg
+                    )
+                    acc += (votes >= 0).astype(np.int64) << np.int64(j)
+                sh[has] = acc
+            out = pd.DataFrame({"_id": pdf["_id"], "sh": sh})
+            if isnull.any():
+                out["sh"] = out["sh"].astype("object")
+                out.loc[isnull, "sh"] = None
+            yield out
+
+    return src.mapInPandas(
+        gen,
+        schema=StructType(
+            [StructField("_id", id_type), StructField("sh", LongType())]
+        ),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -553,8 +639,8 @@ def simhash_band_pairs(
     if bits % bands:
         raise ValueError("bits must divide evenly into bands")
     width = bits // bands
-    sh = docs.select(
-        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh")
+    sh = simhash_relation(docs, text_col, id_col, bits).select(
+        F.col("_id").alias("id"), "sh"
     )
     banded = sh.select(
         "id",

@@ -112,8 +112,12 @@ def _simhash_oracle() -> str:
 
 @query("dedup_simhash_fingerprints", _simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_relation
+
     docs = load_for_compute(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash("text", SIMHASH_BITS).alias("simhash"))
+    return simhash_relation(docs, "text", "doc_id", SIMHASH_BITS).select(
+        F.col("_id").alias("doc_id"), F.col("sh").alias("simhash")
+    )
 
 
 def _jaccard_oracle() -> str:

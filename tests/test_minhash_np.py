@@ -119,3 +119,24 @@ def test_shingle_relation_pandas_equals_jvm(adv_df, spark):
             shingle_hash_relation(docs, "text", "doc_id", n=n, impl="jvm")
         )
         assert got == want
+
+
+def test_simhash_relation_pandas_equals_jvm(adv_df, spark):
+    from baseline_magician_spark.operators.dedup import simhash_relation
+    from tests.conftest import SF_SMOKE
+
+    got = _rows(simhash_relation(adv_df, "text", "doc_id"))
+    want = _rows(simhash_relation(adv_df, "text", "doc_id", impl="jvm"))
+    assert got == want
+    # degenerate rows really exercised: a NULL text and a no-token doc
+    by_id = {r[0]: r[1] for r in got}
+    assert by_id[4] is None  # NULL text -> NULL fingerprint
+    assert by_id[5] == (1 << 30) - 1  # zero tokens -> all bits set
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for bits in (30, 20):
+        got = _rows(simhash_relation(docs, "text", "doc_id", bits=bits))
+        want = _rows(
+            simhash_relation(docs, "text", "doc_id", bits=bits, impl="jvm")
+        )
+        assert got == want
