@@ -30,7 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .similarity import cosine, ivf_assign_cell, ivf_probe_cells
+from .similarity import (
+    _ivf_assign_relation,
+    _ivf_probe_relation,
+    _pairwise_score_relation,
+)
 
 __all__ = [
     "ann_index_write",
@@ -47,10 +51,16 @@ def _assigned(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    return embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
+    # Arrow-batched numpy assignment (guide §4.2) — value-identical to
+    # the ivf_assign_cell expression, pinned in tests/test_similarity_np.py
+    return _ivf_assign_relation(
+        embeddings,
+        sorted(centroids),
+        id_col,
+        vec_col,
+        out_id="id",
+        out_vec="vec",
+        keep_vec=True,
     )
 
 
@@ -138,12 +148,8 @@ def ivf_serve_persisted(
 
     spark = queries.sparkSession
     centroids = ann_index_read_centroids(spark, path)
-    probes = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        F.explode(
-            ivf_probe_cells(F.col(vec_col), centroids, n_probe)
-        ).alias("cell"),
+    probes = _ivf_probe_relation(
+        queries, centroids, n_probe, id_col, vec_col
     )
     probed_cells = sorted(
         {int(r["cell"]) for r in probes.select("cell").distinct().collect()}
@@ -151,16 +157,23 @@ def ivf_serve_persisted(
     postings = ann_index_postings(spark, path).where(
         F.col("cell").isin(probed_cells)
     )
-    scored = (
+    scored = _pairwise_score_relation(
         postings.join(F.broadcast(probes), "cell")
         .where(F.col("id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(cosine(F.col("_qvec"), F.col("vec")), 6).alias(
-                "cosine_sim"
-            ),
-        )
+            "_qvec",
+            "vec",
+        ),
+        "_qvec",
+        "vec",
+        "_raw",
+        "cos",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("_raw"), 6).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")

@@ -239,6 +239,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroids: list[tuple[int, list[float]]] | None = None,
+    impl: str = "pandas",
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus vectors to centroid cells
     map-side, probe each query's n_probe nearest cells, exact-rescore
@@ -250,7 +251,11 @@ def ivf_topk(
     map-side assign, probe, cell-join, rescore) is the real IVF
     dataflow. Plan shape: zero shuffles until the final per-query
     top-k, because the cell key is computed in the scan projection and
-    the probe set is broadcast.
+    the probe set is broadcast. ``impl="pandas"`` (default) computes
+    the assignment, probe and rescore folds in Arrow-batched numpy
+    (guide §4.2 — value-identical, pinned in
+    tests/test_similarity_np.py); ``impl="jvm"`` is the expression
+    rendering the DuckDB oracle replays.
     """
     from pyspark.sql import Window as W
 
@@ -263,30 +268,61 @@ def ivf_topk(
         ]
     centroids = sorted(centroids)
 
-    assigned = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
-    )
-    probes = (
-        embeddings.where(F.col(id_col) < n_query_vecs)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("_qvec"),
-            F.explode(
-                ivf_probe_cells(F.col(vec_col), centroids, n_probe)
-            ).alias("cell"),
+    if impl == "pandas":
+        assigned = _ivf_assign_relation(
+            embeddings,
+            centroids,
+            id_col,
+            vec_col,
+            out_id="neighbor_id",
+            out_vec="_cvec",
+            keep_vec=True,
         )
-    )
-    scored = (
-        assigned.join(F.broadcast(probes), "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        probes = _ivf_probe_relation(
+            embeddings.where(F.col(id_col) < n_query_vecs),
+            centroids,
+            n_probe,
+            id_col,
+            vec_col,
+        )
+        scored = _pairwise_score_relation(
+            assigned.join(F.broadcast(probes), "cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "_qvec", "_cvec"),
+            "_qvec",
+            "_cvec",
+            "_raw",
+            "cos",
+        ).select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine_sim"),
+            F.round(F.col("_raw"), 6).alias("cosine_sim"),
         )
-    )
+    else:
+        assigned = embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+            ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
+        )
+        probes = (
+            embeddings.where(F.col(id_col) < n_query_vecs)
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("_qvec"),
+                F.explode(
+                    ivf_probe_cells(F.col(vec_col), centroids, n_probe)
+                ).alias("cell"),
+            )
+        )
+        scored = (
+            assigned.join(F.broadcast(probes), "cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine_sim"),
+            )
+        )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -298,6 +334,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
     exclude_self: bool = True,
+    impl: str = "jvm",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -310,6 +347,16 @@ def brute_force_topk(
     search case). Pass False when the query set is a separate table
     whose ids merely coincide numerically, or the colliding corpus
     vectors would be silently excluded from their top-k.
+
+    ``impl="pandas"`` computes the per-pair cosine fold in one
+    Arrow-batched numpy pass after the crossJoin (guide §4.2 —
+    value-identical, pinned in tests/test_similarity_np.py). The
+    DEFAULT stays ``impl="jvm"``: the interleaved sf0.1 A/B measured
+    the kernel 0.39 -> 0.62 s on this operator — the |corpus| x |Q|
+    pair relation is already wide across cores and the single fold is
+    cheap enough that the Arrow boundary costs more than interpreted
+    eval saves; the kernel is there for regimes with far larger pair
+    counts per task.
     """
     from pyspark.sql import Window as W
 
@@ -322,14 +369,27 @@ def brute_force_topk(
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
-    sim = (
-        pairs
-        .select(
+    if impl == "pandas":
+        sim = _pairwise_score_relation(
+            pairs.select("query_id", "neighbor_id", "_qvec", "_cvec"),
+            "_qvec",
+            "_cvec",
+            "_raw",
+            "cos",
+        ).select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine_sim"),
+            F.round(F.col("_raw"), 6).alias("cosine_sim"),
         )
-    )
+    else:
+        sim = (
+            pairs
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine_sim"),
+            )
+        )
     w = W.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
@@ -470,6 +530,7 @@ def ivf_train_step_flat(
     n_centroids: int = 16,
     round_to: int = 6,
     centroids: list[tuple[int, list[float]]] | None = None,
+    impl: str = "pandas",
 ) -> DataFrame:
     """One Lloyd (k-means) iteration — the IVF TRAINING step that
     produces the centroids ivf_topk serves from — in exploded form.
@@ -498,13 +559,21 @@ def ivf_train_step_flat(
             .collect()
         ]
     centroids = sorted(centroids)
-    # two projection steps: a generator (posexplode) in the SAME select
-    # as the assignment expression makes Spark's generator rewrite strip
-    # the named-struct aliases inside ivf_assign_cell (FIELD_NOT_FOUND)
-    assigned = embeddings.select(
-        F.col(vec_col).alias("_v"),
-        ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
-    ).select("cell", F.posexplode(F.col("_v")).alias("pos", "x"))
+    if impl == "pandas":
+        # Arrow-batched numpy assignment (guide §4.2), vec passthrough
+        # for the element-wise mean; the posexplode stays JVM-side.
+        assigned = _ivf_assign_relation(
+            embeddings, centroids, id_col, vec_col, keep_vec=True
+        ).select("cell", F.posexplode(F.col("_vec")).alias("pos", "x"))
+    else:
+        # two projection steps: a generator (posexplode) in the SAME
+        # select as the assignment expression makes Spark's generator
+        # rewrite strip the named-struct aliases inside ivf_assign_cell
+        # (FIELD_NOT_FOUND)
+        assigned = embeddings.select(
+            F.col(vec_col).alias("_v"),
+            ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
+        ).select("cell", F.posexplode(F.col("_v")).alias("pos", "x"))
     return (
         assigned.groupBy("cell", "pos")
         .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("c"))
@@ -608,12 +677,54 @@ def pq_encode(
     codebooks: list[list[tuple[int, list[float]]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "pandas",
 ) -> DataFrame:
     """PQ-encode the corpus: (id, codes array<long>, _recon) — codes is
     the m-byte compressed representation (the 100 TB artifact: dim
     floats -> m uint8 codes, 64x smaller at dim=64/m=4), ``_recon`` the
     codebook reconstruction used by ADC scoring. One narrow projection,
-    no shuffle — the codebooks are plan literals."""
+    no shuffle — the codebooks are plan literals (impl="jvm") or a
+    task-local numpy table (impl="pandas", guide §4.2 — the m x codes
+    x sub argmin-L2 fold is interpreted expression evaluation on the
+    jvm path; value-identical, pinned in tests/test_similarity_np.py).
+    """
+    if impl == "pandas":
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        pq_tables = _pq_tables_np(codebooks)
+        schema = StructType(
+            [
+                StructField(id_col, embeddings.schema[id_col].dataType),
+                StructField("codes", ArrayType(LongType())),
+                StructField("_recon", ArrayType(DoubleType())),
+            ]
+        )
+        src = embeddings.select(id_col, F.col(vec_col).alias("_vec"))
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = _np_stack_vecs(pdf["_vec"], vec_col)
+                codes, recon = _np_pq_encode(V, pq_tables)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "codes": list(codes),
+                        "_recon": list(recon),
+                    }
+                )
+
+        return src.mapInPandas(gen, schema=schema)
+
     chosen = pq_choose(F.col(vec_col), codebooks)
     return embeddings.select(
         F.col(id_col),
@@ -631,6 +742,7 @@ def pq_adc_topk(
     n_codes: int = 16,
     m: int = 4,
     codebooks: list[list[tuple[int, list[float]]]] | None = None,
+    impl: str = "pandas",
 ) -> DataFrame:
     """PQ + asymmetric-distance top-k (Jegou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011): the corpus
@@ -651,23 +763,35 @@ def pq_adc_topk(
         codebooks = pq_seed_codebooks(
             embeddings, id_col, vec_col, n_codes=n_codes, m=m
         )
-    enc = pq_encode(embeddings, codebooks, id_col, vec_col).select(
+    enc = pq_encode(embeddings, codebooks, id_col, vec_col, impl).select(
         F.col(id_col).alias("neighbor_id"), "_recon"
     )
     q = embeddings.where(F.col(id_col) < n_query_vecs).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    scored = (
-        enc.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+    pairs = enc.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    if impl == "pandas":
+        scored = _pairwise_score_relation(
+            pairs.select("query_id", "neighbor_id", "_qvec", "_recon"),
+            "_qvec",
+            "_recon",
+            "_raw",
+            "l2",
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_raw"), 6).alias("adc_dist"),
+        )
+    else:
+        scored = pairs.select(
             "query_id",
             "neighbor_id",
             F.round(l2_sq(F.col("_qvec"), F.col("_recon")), 6).alias(
                 "adc_dist"
             ),
         )
-    )
     w = W.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
@@ -682,6 +806,7 @@ def semantic_keep_best(
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "pandas",
 ) -> DataFrame:
     """Cluster-based semantic dedup: assign every vector to its nearest
     centroid cell map-side (same argmax/tie rules as IVF serving) and
@@ -699,39 +824,48 @@ def semantic_keep_best(
     """
     from pyspark.sql import Window as W
 
-    cids, cvecs, cnorms, k = _centroid_literals(centroids)
-
-    def body(_acc: Column, nv: Column) -> Column:
-        structs = F.transform(
-            F.sequence(F.lit(1), F.lit(k)),
-            lambda i: F.struct(
-                (
-                    dot(F.col(vec_col), F.element_at(cvecs, i))
-                    / (nv * F.element_at(cnorms, i))
-                ).alias("c"),
-                (-F.element_at(cids, i)).cast("long").alias("n"),
-            ),
+    if impl == "pandas":
+        assigned = _ivf_assign_relation(
+            embeddings, sorted(centroids), id_col, vec_col, with_sim=True
+        ).select(
+            "_id",
+            "cell",
+            F.round(F.col("_sim"), 6).alias("centroid_sim"),
         )
-        best = F.array_max(structs)
-        return F.struct(
-            (-best["n"]).alias("cell"), best["c"].alias("sim")
-        )
+    else:
+        cids, cvecs, cnorms, k = _centroid_literals(centroids)
 
-    assigned = embeddings.select(
-        F.col(id_col).alias("_id"),
-        _with_row_norm(
-            F.col(vec_col),
-            body,
-            F.struct(
-                F.lit(0).cast("long").alias("cell"),
-                F.lit(0.0).alias("sim"),
-            ),
-        ).alias("_a"),
-    ).select(
-        "_id",
-        F.col("_a.cell").alias("cell"),
-        F.round(F.col("_a.sim"), 6).alias("centroid_sim"),
-    )
+        def body(_acc: Column, nv: Column) -> Column:
+            structs = F.transform(
+                F.sequence(F.lit(1), F.lit(k)),
+                lambda i: F.struct(
+                    (
+                        dot(F.col(vec_col), F.element_at(cvecs, i))
+                        / (nv * F.element_at(cnorms, i))
+                    ).alias("c"),
+                    (-F.element_at(cids, i)).cast("long").alias("n"),
+                ),
+            )
+            best = F.array_max(structs)
+            return F.struct(
+                (-best["n"]).alias("cell"), best["c"].alias("sim")
+            )
+
+        assigned = embeddings.select(
+            F.col(id_col).alias("_id"),
+            _with_row_norm(
+                F.col(vec_col),
+                body,
+                F.struct(
+                    F.lit(0).cast("long").alias("cell"),
+                    F.lit(0.0).alias("sim"),
+                ),
+            ).alias("_a"),
+        ).select(
+            "_id",
+            F.col("_a.cell").alias("cell"),
+            F.round(F.col("_a.sim"), 6).alias("centroid_sim"),
+        )
     w = W.partitionBy("cell").orderBy(
         F.desc("centroid_sim"), F.asc("_id")
     )
@@ -784,6 +918,7 @@ def ivfpq_topk(
     k: int = 10,
     n_query_vecs: int = 5,
     n_probe: int = 4,
+    impl: str = "pandas",
 ) -> DataFrame:
     """IVF cells over PQ codes — the standard billion-vector serving
     layout (IVFADC, Jegou et al. 2011): the corpus partitions into
@@ -801,30 +936,61 @@ def ivfpq_topk(
     """
     from pyspark.sql import Window as W
 
-    chosen = pq_choose(F.col(vec_col), codebooks)
-    assigned = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
-        F.flatten(F.array(*[ch["v"] for ch in chosen])).alias("_recon"),
-    )
-    probes = embeddings.where(F.col(id_col) < n_query_vecs).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        F.explode(
-            ivf_probe_cells(F.col(vec_col), centroids, n_probe)
-        ).alias("cell"),
-    )
-    scored = (
-        assigned.join(F.broadcast(probes), "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+    if impl == "pandas":
+        # ONE Arrow-batched pass computes assignment + PQ recon
+        assigned = _ivf_assign_relation(
+            embeddings,
+            sorted(centroids),
+            id_col,
+            vec_col,
+            out_id="neighbor_id",
+            codebooks=codebooks,
+        )
+        probes = _ivf_probe_relation(
+            embeddings.where(F.col(id_col) < n_query_vecs),
+            sorted(centroids),
+            n_probe,
+            id_col,
+            vec_col,
+        )
+        scored = _pairwise_score_relation(
+            assigned.join(F.broadcast(probes), "cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "_qvec", "_recon"),
+            "_qvec",
+            "_recon",
+            "_raw",
+            "l2",
+        ).select(
             "query_id",
             "neighbor_id",
-            F.round(l2_sq(F.col("_qvec"), F.col("_recon")), 6).alias(
-                "adc_dist"
-            ),
+            F.round(F.col("_raw"), 6).alias("adc_dist"),
         )
-    )
+    else:
+        chosen = pq_choose(F.col(vec_col), codebooks)
+        assigned = embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
+            F.flatten(F.array(*[ch["v"] for ch in chosen])).alias("_recon"),
+        )
+        probes = embeddings.where(F.col(id_col) < n_query_vecs).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            F.explode(
+                ivf_probe_cells(F.col(vec_col), centroids, n_probe)
+            ).alias("cell"),
+        )
+        scored = (
+            assigned.join(F.broadcast(probes), "cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(l2_sq(F.col("_qvec"), F.col("_recon")), 6).alias(
+                    "adc_dist"
+                ),
+            )
+        )
     w = W.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
@@ -1091,11 +1257,344 @@ def binary_rerank_topk(
     )
 
 
+# ------------------------------------------------ numpy kernels (r12)
+# Guide §4.2: the literal-matrix HOF folds above (ivf_assign_cell,
+# ivf_probe_cells, pq_choose) and the per-pair cosine/L2 folds are
+# interpreted JVM expression evaluation — Spark does not codegen
+# lambda bodies — and their expression trees also dominate BUILD time
+# (plan construction + analysis) for every ANN query. The kernels
+# below compute the IDENTICAL IEEE doubles: the fold order is
+# preserved by looping over dims and vectorizing over rows, and every
+# argmax/argmin/sort uses uint64 keys whose order equals
+# java.lang.Double.compare's total order, so tie/NaN/-0.0 behavior
+# matches the expression path bit for bit. The expression path stays
+# as ``impl="jvm"`` on each public operator — the rendering the DuckDB
+# oracles replay; tests/test_similarity_np.py pins pandas == jvm.
+
+
+def _np_dkeys(x):
+    """uint64 keys whose unsigned order equals java.lang.Double.compare
+    (-0.0 < 0.0; every NaN equal to every NaN and greater than +inf) —
+    the total order Spark's struct array_max/array_min/array_sort and
+    window ORDER BY use on doubles."""
+    import numpy as np
+
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    x = np.where(np.isnan(x), np.float64("nan"), x)  # canonical NaN bits
+    b = x.view(np.uint64)
+    neg = (b >> np.uint64(63)).astype(bool)
+    return b ^ np.where(
+        neg, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0x8000000000000000)
+    )
+
+
+def _np_stack_vecs(series, what: str):
+    """pandas Series of fixed-dim float vectors -> (n, d) float64.
+
+    Raises on NULL or ragged rows: every relation these kernels serve
+    (the embeddings table and projections of it) is uniform-dim and
+    non-null by construction, and silently padding/propagating would
+    corrupt results — fail loudly instead (the jvm path would produce
+    nulls here, a case the pin tests document as out of contract)."""
+    import numpy as np
+
+    vals = series.to_numpy()
+    if len(vals) == 0:
+        return np.zeros((0, 0))
+    try:
+        out = np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+    except (TypeError, ValueError) as ex:
+        raise ValueError(
+            f"{what}: NULL or ragged vector in Arrow batch"
+        ) from ex
+    return out
+
+
+def _np_seq_norm(V):
+    """Row norms with the exact fold order of :func:`norm` (left-to-
+    right sum of squares, then sqrt — both IEEE-identical per row)."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0])
+    for j in range(V.shape[1]):
+        acc = acc + V[:, j] * V[:, j]
+    return np.sqrt(acc)
+
+
+def _np_seq_dot_mat(V, C):
+    """(n, K) dot products of every row of V with every row of C, fold
+    order per (row, k) identical to :func:`dot`."""
+    import numpy as np
+
+    acc = np.zeros((V.shape[0], C.shape[0]))
+    for j in range(V.shape[1]):
+        acc = acc + V[:, j, None] * C[None, :, j]
+    return acc
+
+
+def _np_seq_dot_pairs(A, B):
+    import numpy as np
+
+    acc = np.zeros(A.shape[0])
+    for j in range(A.shape[1]):
+        acc = acc + A[:, j] * B[:, j]
+    return acc
+
+
+def _np_seq_l2_pairs(A, B):
+    """Row-aligned squared L2, fold order identical to :func:`l2_sq`."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0])
+    for j in range(A.shape[1]):
+        d = A[:, j] - B[:, j]
+        acc = acc + d * d
+    return acc
+
+
+def _centroid_np(centroids: list[tuple[int, list[float]]]):
+    """(cids int64, C (K,d) float64, cnorms float64) — the norms use
+    the same driver-side sequential fold as :func:`_centroid_literals`
+    so both impls score against bit-identical denominators."""
+    import math
+
+    import numpy as np
+
+    cids = np.asarray([int(c) for c, _ in centroids], dtype=np.int64)
+    C = np.asarray(
+        [[float(x) for x in v] for _, v in centroids], dtype=np.float64
+    )
+    norms = []
+    for _, cv in centroids:
+        acc = 0.0
+        for x in cv:
+            acc = acc + float(x) * float(x)
+        norms.append(math.sqrt(acc))
+    return cids, C, np.asarray(norms, dtype=np.float64)
+
+
+def _pq_tables_np(codebooks: list[list[tuple[int, list[float]]]]):
+    """Per-subspace (codes int64, CB (n_codes, sub) float64) tables."""
+    import numpy as np
+
+    return [
+        (
+            np.asarray([int(c) for c, _ in cb], dtype=np.int64),
+            np.asarray(
+                [[float(x) for x in v] for _, v in cb], dtype=np.float64
+            ),
+        )
+        for cb in codebooks
+    ]
+
+
+def _np_cos_matrix(V, cids, C, cnorms):
+    """(n, K) cosines: dot / (row_norm * centroid_norm), the exact
+    expression-order arithmetic of ivf_assign_cell/ivf_probe_cells."""
+    nv = _np_seq_norm(V)
+    return _np_seq_dot_mat(V, C) / (nv[:, None] * cnorms[None, :])
+
+
+def _np_pq_encode(V, pq_tables):
+    """(codes (n, m) int64, recon (n, d) float64) — per subspace the
+    argmin squared-L2 code with ties to the lowest code id, matching
+    :func:`pq_choose`'s struct array_min exactly."""
+    import numpy as np
+
+    n = V.shape[0]
+    m = len(pq_tables)
+    sub = pq_tables[0][1].shape[1]
+    codes = np.empty((n, m), dtype=np.int64)
+    recon = np.empty((n, m * sub), dtype=np.float64)
+    for j, (cj, CB) in enumerate(pq_tables):
+        S = V[:, j * sub : (j + 1) * sub]
+        acc = np.zeros((n, CB.shape[0]))
+        for t in range(sub):
+            dt = S[:, t, None] - CB[None, :, t]
+            acc = acc + dt * dt
+        # argmin on Double.compare keys; first min == lowest code id
+        # (codebooks are code-ascending by construction)
+        best = _np_dkeys(acc).argmin(axis=1)
+        codes[:, j] = cj[best]
+        recon[:, j * sub : (j + 1) * sub] = CB[best]
+    return codes, recon
+
+
+def _ivf_assign_relation(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    *,
+    out_id: str = "_id",
+    out_vec: str = "_vec",
+    keep_vec: bool = False,
+    with_sim: bool = False,
+    top2: bool = False,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """(out_id[, out_vec], cell[, _sim][, _c2][, _recon]) — one Arrow-
+    batched numpy pass computing the IVF cell assignment (argmax
+    cosine, ties to the lowest cid) and optionally the winning cosine,
+    the runner-up cosine (null when K < 2) and the PQ reconstruction."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cids, C, cnorms = _centroid_np(centroids)
+    pq_tables = _pq_tables_np(codebooks) if codebooks is not None else None
+    k = len(centroids)
+
+    fields = [StructField(out_id, df.schema[id_col].dataType)]
+    if keep_vec:
+        fields.append(StructField(out_vec, df.schema[vec_col].dataType))
+    fields.append(StructField("cell", LongType()))
+    if with_sim:
+        fields.append(StructField("_sim", DoubleType()))
+    if top2:
+        fields.append(StructField("_c2", DoubleType()))
+    if pq_tables is not None:
+        fields.append(StructField("_recon", ArrayType(DoubleType())))
+    src = df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_stack_vecs(pdf[out_vec], vec_col)
+            cos = _np_cos_matrix(V, cids, C, cnorms)
+            keys = _np_dkeys(cos)
+            rows = np.arange(len(pdf))
+            if top2:
+                order = np.argsort(~keys, axis=1, kind="stable")
+                b0 = order[:, 0]
+            else:
+                b0 = keys.argmax(axis=1)  # first max = lowest cid tie
+            data = {out_id: pdf[out_id]}
+            if keep_vec:
+                data[out_vec] = pdf[out_vec]
+            data["cell"] = cids[b0]
+            if with_sim:
+                data["_sim"] = cos[rows, b0]
+            if top2:
+                data["_c2"] = (
+                    cos[rows, order[:, 1]] if k >= 2 else np.nan
+                )
+            out = pd.DataFrame(data)
+            if top2 and k < 2:
+                out["_c2"] = None
+            if pq_tables is not None:
+                _, recon = _np_pq_encode(V, pq_tables)
+                out["_recon"] = list(recon)
+            yield out
+
+    return src.mapInPandas(gen, schema=StructType(fields))
+
+
+def _ivf_probe_relation(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    *,
+    out_id: str = "query_id",
+    out_vec: str = "_qvec",
+) -> DataFrame:
+    """(out_id, out_vec, cell) — the exploded n_probe nearest-centroid
+    rows per query (cos DESC, cid ASC — ivf_probe_cells order)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cids, C, cnorms = _centroid_np(centroids)
+    n_probe = min(n_probe, len(centroids))
+
+    schema = StructType(
+        [
+            StructField(out_id, df.schema[id_col].dataType),
+            StructField(out_vec, df.schema[vec_col].dataType),
+            StructField("cell", LongType()),
+        ]
+    )
+    src = df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_stack_vecs(pdf[out_vec], vec_col)
+            keys = _np_dkeys(_np_cos_matrix(V, cids, C, cnorms))
+            order = np.argsort(~keys, axis=1, kind="stable")[:, :n_probe]
+            idx = np.repeat(np.arange(len(pdf)), n_probe)
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[out_id].iloc[idx].to_numpy(),
+                    out_vec: pdf[out_vec].iloc[idx].to_numpy(),
+                    "cell": cids[order.reshape(-1)],
+                }
+            )
+
+    return src.mapInPandas(gen, schema=schema)
+
+
+def _pairwise_score_relation(
+    df: DataFrame, a_col: str, b_col: str, out_col: str, metric: str
+) -> DataFrame:
+    """Append ``out_col`` = the raw (unrounded) pairwise fold — metric
+    "cos" (dot/(norm*norm)) or "l2" (squared L2) — and DROP the two
+    vector columns; every other column passes through. Rounding stays
+    JVM-side in the caller so F.round semantics are untouched."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    keep = [f for f in df.schema.fields if f.name not in (a_col, b_col)]
+    names = [f.name for f in keep]
+    out_schema = StructType(list(keep) + [StructField(out_col, DoubleType())])
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _np_stack_vecs(pdf[a_col], a_col)
+            B = _np_stack_vecs(pdf[b_col], b_col)
+            if A.shape[1] != B.shape[1]:
+                raise ValueError(
+                    f"{a_col}/{b_col}: dim mismatch "
+                    f"{A.shape[1]} vs {B.shape[1]}"
+                )
+            if metric == "cos":
+                s = _np_seq_dot_pairs(A, B) / (
+                    _np_seq_norm(A) * _np_seq_norm(B)
+                )
+            elif metric == "l2":
+                s = _np_seq_l2_pairs(A, B)
+            else:  # pragma: no cover
+                raise ValueError(metric)
+            out = pdf[names].copy()
+            out[out_col] = s
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def ivf_cell_report(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "pandas",
 ) -> DataFrame:
     """IVF index-quality report: per cell (the argmax-cosine
     assignment, same tie-break as ivf_topk — cos DESC, cid ASC),
@@ -1106,11 +1605,37 @@ def ivf_cell_report(
     cells mean rebalancing, thin margins mean more probes.
 
     Output: (cell, n_vectors, mean_top1_cos, mean_top2_cos,
-    mean_margin), all rounded to 6. Shape: corpus x broadcast
-    centroid relation (|K| tiny), one window per vector over K
-    scores, one groupBy on the cell — the exact cost of the
-    assignment scan an IVF build pays anyway."""
+    mean_margin), all rounded to 6. Shape (impl="pandas", guide §4.2 +
+    §2.4): ONE Arrow-batched numpy pass emits each vector's top-2
+    cells directly — no crossJoin row blow-up, no per-vector window
+    shuffle — followed by the per-cell groupBy. impl="jvm" is the
+    corpus x broadcast-centroid window rendering the oracle replays:
+    one window per vector over K scores, one groupBy on the cell."""
     from pyspark.sql import Window as W
+
+    if impl == "pandas":
+        top2 = _ivf_assign_relation(
+            embeddings,
+            sorted(centroids),
+            id_col,
+            vec_col,
+            with_sim=True,
+            top2=True,
+        ).select(
+            # the jvm rendering's cell is IntegerType (it comes from
+            # the cid int centroid relation) — keep the schema identical
+            F.col("cell").cast("int").alias("cell"),
+            F.col("_sim").alias("_c1"),
+            F.col("_c2"),
+        )
+        return top2.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("_c1"), 6).alias("mean_top1_cos"),
+            F.round(F.avg("_c2"), 6).alias("mean_top2_cos"),
+            F.round(F.avg(F.col("_c1") - F.col("_c2")), 6).alias(
+                "mean_margin"
+            ),
+        )
 
     spark = embeddings.sparkSession
     cdf = spark.createDataFrame(

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_for_compute
+from ..catalog import load_for_compute, load_table
 from ..operators.similarity import (
     _HP_A,
     _HP_B,
@@ -175,7 +175,7 @@ def _ivf_oracle() -> str:
 
 @query("similarity_ivf_topk", _ivf_oracle())
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_for_compute(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb,
         k=TOP_K,
@@ -204,7 +204,7 @@ def similarity_ivf_serve_persisted(
 
     from ..operators.ann_index import ann_index_write, ivf_serve_persisted
 
-    emb = load_for_compute(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     cents = _seed_centroids(spark, sf_dir, N_CENTROIDS)
     path = os.path.join(
         tempfile.gettempdir(),
@@ -291,7 +291,7 @@ def similarity_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF index the serving query probes."""
     from ..operators.similarity import ivf_train_step_flat
 
-    emb = load_for_compute(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     return ivf_train_step_flat(
         emb,
         n_centroids=N_CENTROIDS,
@@ -362,16 +362,19 @@ def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection IS the index build — dim floats become m small ints
     (64x smaller at dim 64 / m 4), computed map-side against literal
     codebooks with no join and no shuffle."""
-    from ..operators.similarity import pq_choose, pq_codebooks_from_seeds
+    from ..operators.similarity import pq_codebooks_from_seeds, pq_encode
 
-    emb = load_for_compute(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     codebooks = pq_codebooks_from_seeds(
         _seed_centroids(spark, sf_dir, PQ_CODES), m=PQ_M
     )
-    chosen = pq_choose(F.col("embedding"), codebooks)
-    return emb.select(
+    enc = pq_encode(emb, codebooks, "vec_id", "embedding")
+    return enc.select(
         "vec_id",
-        *[ch["c"].alias(f"code_{j}") for j, ch in enumerate(chosen)],
+        *[
+            F.element_at(F.col("codes"), j + 1).alias(f"code_{j}")
+            for j in range(PQ_M)
+        ],
     )
 
 
@@ -410,7 +413,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import pq_codebooks_from_seeds
 
-    emb = load_for_compute(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(
         emb,
         k=TOP_K,
@@ -482,7 +485,7 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is RELEASED after the last collect barrier — the returned (lazy)
     # third step recomputes the cheap scan+widen once rather than
     # pinning executor storage memory for the rest of the session.
-    emb = load_for_compute(spark, sf_dir, "embeddings").persist()
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     cents: list[tuple[int, list[float]]] | None = _seed_centroids(
         spark, sf_dir, N_CENTROIDS
     )
@@ -503,7 +506,7 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         emb.unpersist()
     return ivf_train_step_flat(
-        load_for_compute(spark, sf_dir, "embeddings"),
+        load_table(spark, sf_dir, "embeddings"),
         n_centroids=N_CENTROIDS,
         centroids=cents,
     )
@@ -566,12 +569,15 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     both parent queries advertise, now hash-checked as one pipeline."""
     from ..operators.similarity import ivfpq_topk, pq_codebooks_from_seeds
 
-    emb = load_for_compute(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # one driver collect feeds centroids AND codebooks (they seed from
+    # overlapping vec_id prefixes) — was two identical collect jobs
+    seeds = _seed_centroids(spark, sf_dir, max(N_CENTROIDS, PQ_CODES))
     return ivfpq_topk(
         emb,
-        centroids=_seed_centroids(spark, sf_dir, N_CENTROIDS),
+        centroids=[s for s in seeds if s[0] < N_CENTROIDS],
         codebooks=pq_codebooks_from_seeds(
-            _seed_centroids(spark, sf_dir, PQ_CODES), m=PQ_M
+            [s for s in seeds if s[0] < PQ_CODES], m=PQ_M
         ),
         k=TOP_K,
         n_query_vecs=N_QUERY_VECS,
@@ -608,20 +614,28 @@ def similarity_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ||x - recon(x)||^2 per vector, aggregate per bucket — one narrow
     encode projection + one uniform groupBy; the monitoring query that
     tells an ANN deployment when codebooks need retraining."""
-    from ..operators.similarity import l2_sq, pq_codebooks_from_seeds, pq_encode
+    from ..operators.similarity import (
+        _pairwise_score_relation,
+        pq_codebooks_from_seeds,
+        pq_encode,
+    )
 
-    emb = load_for_compute(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     codebooks = pq_codebooks_from_seeds(
         _seed_centroids(spark, sf_dir, PQ_CODES), m=PQ_M
     )
     enc = pq_encode(emb, codebooks, "vec_id", "embedding")
-    err = (
-        emb.select("vec_id", "embedding")
-        .join(enc.select("vec_id", "_recon"), "vec_id")
-        .select(
-            (F.col("vec_id") % PQ_CODES).cast("int").alias("cell"),
-            l2_sq(F.col("embedding"), F.col("_recon")).alias("sq_err"),
-        )
+    err = _pairwise_score_relation(
+        emb.select("vec_id", "embedding").join(
+            enc.select("vec_id", "_recon"), "vec_id"
+        ),
+        "embedding",
+        "_recon",
+        "sq_err",
+        "l2",
+    ).select(
+        (F.col("vec_id") % PQ_CODES).cast("int").alias("cell"),
+        "sq_err",
     )
     return (
         err.groupBy("cell")
@@ -1031,7 +1045,7 @@ def similarity_ivf_cell_report(
     degrades. Exactly the assignment scan an IVF build pays."""
     from ..operators.similarity import ivf_cell_report
 
-    emb = load_for_compute(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     return ivf_cell_report(
         emb, _seed_centroids(spark, sf_dir, N_CENTROIDS)
     )

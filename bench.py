@@ -203,12 +203,18 @@ def main() -> None:
             json.dump(detail, f, indent=1, sort_keys=True)
     except OSError:
         pass
+    # Final one-line JSON: per the driver contract it must carry the
+    # per-query min map ("queries") — PERF/scaling comparisons in r10/r11
+    # were blind because only the total was emitted here (the detail line
+    # above exceeds the bounded stdout tail the caller captures). The map
+    # is ~8 KB for 238 queries, well within a captured tail line.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
                 "unit": "sec",
+                "queries": timings,
                 "n_queries": len(timings),
                 "sf": sf_val,
                 "loadavg": loadavg,
