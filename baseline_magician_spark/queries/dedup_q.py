@@ -1206,18 +1206,24 @@ def _cdc_spans_oracle() -> str:
 
 @query("dedup_cdc_chunk_spans", _cdc_spans_oracle())
 def dedup_cdc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.cdc import cdc_chunks
+    from ..operators.cdc import cdc_chunks_pandas
 
-    # pre-split the map side: the gear fold is pure per-row work
-    # with no shuffle above it, so an unsplit scan would run the
-    # whole corpus on one core (at 100 TB the scan arrives
-    # pre-split; this is the local[N] equivalent)
-    docs = (
-        load_for_compute(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % CDC_SPAN_SUBSET == 0)
-        .repartition(32)
+    # Round 12 (VERDICT r11 task 4): the numpy chunker — the same
+    # kernel the full-corpus CDC queries run, value-identical to the
+    # JVM expression per tests/test_cdc.py — replaces the O(window)
+    # per-position slice fold that made this row the suite's one
+    # honest budget violator (4.8 s at 8 cores); the expression
+    # rendering remains the oracle-replay carrier (the DuckDB oracle
+    # replays it verbatim) and stays pinned by the test suite. The
+    # plain scan replaces the former hard-coded repartition(32): the
+    # Arrow kernel wants few large batches, and at 100 TB the scan
+    # arrives pre-split.
+    from ..catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % CDC_SPAN_SUBSET == 0
     )
-    return cdc_chunks(docs)
+    return cdc_chunks_pandas(docs)
 
 
 def _cdc_shared_oracle() -> str:
@@ -1241,10 +1247,13 @@ def _cdc_shared_oracle() -> str:
 def dedup_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cdc import cdc_shared_chunks
 
-    docs = (
-        load_for_compute(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % CDC_SHARED_SUBSET == 0)
-        .repartition(32)
+    # plain scan (round 12): the numpy chunker wants few large Arrow
+    # batches — the former widen+repartition(32) sliced 2.5k docs into
+    # 32 tiny python tasks for a kernel that does ~ms of work
+    from ..catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % CDC_SHARED_SUBSET == 0
     )
     return cdc_shared_chunks(docs, min_len=CDC_MIN_SHARED_LEN)
 
@@ -1291,9 +1300,9 @@ def dedup_cdc_duplication_ratio(
     gear closed form and the same shared-fp decisions."""
     from ..operators.cdc import cdc_duplication_ratio
 
-    docs = (
-        load_for_compute(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % CDC_SHARED_SUBSET == 0)
-        .repartition(32)
+    from ..catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % CDC_SHARED_SUBSET == 0
     )
     return cdc_duplication_ratio(docs, min_len=CDC_MIN_SHARED_LEN)
