@@ -54,6 +54,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if app_id not in _SESSION_CONFED:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Arrow for driver transfers (guide §6): toPandas /
+        # createDataFrame(pandas) ride Arrow instead of pickled rows
+        # — the CC driver path and every bounded training collect
+        # depend on it; session.py sets it for our own sessions, a
+        # bare driver session arrives here without it.
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
         # PySpark 4 call-site capture for error enrichment costs a
         # Python stack walk + ~4 py4j round-trips on EVERY DataFrame/
         # Column API call (~32% of dialect-compile time measured,

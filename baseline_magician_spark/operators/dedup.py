@@ -243,6 +243,9 @@ def minhash_band_relation(
             "_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh")
         )
 
+    from ..pyship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     params = minhash_params(k)
@@ -325,6 +328,9 @@ def shingle_hash_relation(
             F.explode(shingle_hashes(text_col, n)).alias("h"),
         )
 
+    from ..pyship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     from pyspark.sql.types import LongType, StructField, StructType
 
     id_type = df.schema[id_col].dataType
@@ -472,6 +478,9 @@ def simhash_relation(
             simhash(text_col, bits).alias("sh"),
         )
 
+    from ..pyship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     from pyspark.sql.types import LongType, StructField, StructType
 
     id_type = df.schema[id_col].dataType

@@ -44,32 +44,18 @@ LAST_ROUNDS: int = 0
 DRIVER_EDGE_CAP = int(_os.environ.get("BMS_CC_DRIVER_EDGE_CAP", "2000000"))
 
 
-def _cc_driver(spark, rows, a_type) -> DataFrame:
-    """Union-find over the collected edge list — value-identical to
-    the distributed fixpoint: every node's representative is the min
-    node id in its component (roots are kept minimal by always
-    attaching the larger root under the smaller)."""
-    parent: dict = {}
-
-    def find(x):
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in rows:
-        if a not in parent:
-            parent[a] = a
-        if b not in parent:
-            parent[b] = b
-        ra, rb = find(a), find(b)
-        if ra == rb:
-            continue
-        if rb < ra:
-            ra, rb = rb, ra
-        parent[rb] = ra
+def _cc_driver(spark, pdf, a_type) -> DataFrame:
+    """Vectorized min-label propagation over the collected edge frame
+    — value-identical to the distributed fixpoint AND to the union-
+    find it replaces (round 12): every node's representative is the
+    min node id in its component. Nodes factorize through np.unique
+    (sorted, so the min INDEX is the min id); each pass is two
+    scatter-mins over the edge arrays plus one pointer jump, O(E)
+    numpy work per pass and ~log(diameter) passes — no per-edge
+    Python loop (guide §4.2 applied to the driver itself; the old
+    union-find walked 2 x |E| Python dict chains)."""
+    import numpy as np
+    import pandas as pd
 
     from pyspark.sql.types import StructField, StructType
 
@@ -79,9 +65,24 @@ def _cc_driver(spark, rows, a_type) -> DataFrame:
             StructField("cluster_id", a_type),
         ]
     )
-    return spark.createDataFrame(
-        [(n, find(n)) for n in parent], schema
-    )
+    if not len(pdf):
+        return spark.createDataFrame([], schema)
+    a = pdf["a"].to_numpy()
+    b = pdf["b"].to_numpy()
+    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a) :]
+    lab = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        old = lab
+        m = np.minimum(lab[ea], lab[eb])
+        lab = lab.copy()
+        np.minimum.at(lab, ea, m)
+        np.minimum.at(lab, eb, m)
+        lab = np.minimum(lab, lab[lab])  # pointer jump (path halving)
+        if np.array_equal(lab, old):
+            break
+    out = pd.DataFrame({"node": uniq, "cluster_id": uniq[lab]})
+    return spark.createDataFrame(out, schema)
 
 
 def connected_components(
@@ -120,30 +121,31 @@ def connected_components(
     global LAST_ROUNDS
     LAST_ROUNDS = 0
     try:
-        # Materialize the pair subtree ONCE (round 11, guide §2.4):
-        # the symmetrization union used to reference the (expensive —
-        # LSH band self-join + aggregate) edge subtree from both
-        # branches, re-running its post-shuffle compute per branch.
-        # One eager checkpoint of the raw pairs makes every
-        # downstream branch a narrow re-read of the checkpointed
-        # blocks.
-        pe = edges.select(
-            F.col(src).alias("a"), F.col(dst).alias("b")
-        ).localCheckpoint(eager=True)
-        # Driver union-find under the edge cap: ONE bounded collect of
-        # the already-materialized pair relation replaces the
-        # log-depth round jobs + convergence collects (the bounded
-        # ``limit(cap+1)`` collect never pulls more than cap+1 rows,
-        # so an over-cap graph costs one truncated fetch and falls
-        # through to the distributed loop).
+        pe = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        # Driver components under the edge cap: ONE bounded Arrow
+        # collect of the pair relation replaces the log-depth round
+        # jobs + convergence collects. Round 12 (VERDICT r11 task 6):
+        # no eager localCheckpoint in front — the collect CONSUMES
+        # the relation, and CollectLimit's incremental execution
+        # reuses the subtree's completed shuffle map stages across
+        # its internal partial jobs, so the expensive pair subtree
+        # still runs once; dropping the checkpoint removes a whole
+        # materialization job (and its scheduler exposure under a
+        # loaded box). toPandas keeps the transfer on the Arrow path
+        # (catalog enables arrow.pyspark for bare driver sessions).
         cap = DRIVER_EDGE_CAP if driver_edge_cap is None else driver_edge_cap
         if cap > 0:
-            head = pe.limit(cap + 1).collect()
+            head = pe.limit(cap + 1).toPandas()
             if len(head) <= cap:
                 LAST_ROUNDS = 1
                 return _cc_driver(
                     sess, head, pe.schema["a"].dataType
                 )
+        # Over-cap fallback: materialize the pair subtree ONCE
+        # (round 11, guide §2.4) — the symmetrization union below
+        # references it from multiple branches, which would re-run
+        # its post-shuffle compute per branch.
+        pe = pe.localCheckpoint(eager=True)
         # Symmetric closure WITH self-loops, one distinct: the
         # self-loops make each round's neighbor-min include the
         # node's own label (min over neighbors ∪ self == the old

@@ -697,6 +697,9 @@ def pq_encode(
             StructType,
         )
 
+        from ..pyship import ensure_shipped
+
+        ensure_shipped(embeddings.sparkSession)
         pq_tables = _pq_tables_np(codebooks)
         schema = StructType(
             [
@@ -1445,6 +1448,9 @@ def _ivf_assign_relation(
         StructType,
     )
 
+    from ..pyship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     cids, C, cnorms = _centroid_np(centroids)
     pq_tables = _pq_tables_np(codebooks) if codebooks is not None else None
     k = len(centroids)
@@ -1514,6 +1520,9 @@ def _ivf_probe_relation(
     rows per query (cos DESC, cid ASC — ivf_probe_cells order)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
+    from ..pyship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     cids, C, cnorms = _centroid_np(centroids)
     n_probe = min(n_probe, len(centroids))
 
@@ -1559,6 +1568,9 @@ def _pairwise_score_relation(
     JVM-side in the caller so F.round semantics are untouched."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    from ..pyship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     keep = [f for f in df.schema.fields if f.name not in (a_col, b_col)]
     names = [f.name for f in keep]
     out_schema = StructType(list(keep) + [StructField(out_col, DoubleType())])
