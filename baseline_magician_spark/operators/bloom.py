@@ -50,37 +50,94 @@ def bloom_positions_duckdb(hash_expr: str, m: int = DEFAULT_M) -> list[str]:
     ]
 
 
-def build_bloom(keys: DataFrame, key_col: str, m: int = DEFAULT_M) -> DataFrame:
-    """1-row DataFrame ``(bloom_bits: array<int>)`` — the filter,
-    ready to broadcast. ``key_col`` must be a string column; hashing
-    happens here so build and probe cannot disagree.
+def _bit_value(p: Column) -> Column:
+    """2^p as a long for a RUNTIME in-word position p in [0, 63]:
+    pow(2.0, p) is exact for p <= 62 (one mantissa bit), bit 63 is the
+    signed-long min literal. shiftleft() takes only a literal count,
+    hence this spelling (shared rationale with binary_quantize)."""
+    return F.when(p == 63, F.lit(-(1 << 63)).cast("long")).otherwise(
+        F.pow(F.lit(2.0), p.cast("double")).cast("long")
+    )
 
-    The base hash lands in its own projection FIRST and the k affine
-    rehashes reference that column — inlining ``poly_hash`` into each
-    position would re-run the char-level aggregate k times per row
-    (Catalyst does not CSE aggregate-lambda subtrees)."""
-    hashed = keys.select(poly_hash(F.col(key_col)).alias("_h"))
+
+def build_bloom(
+    keys: DataFrame,
+    key_col: str,
+    m: int = DEFAULT_M,
+    hash_col: str | None = None,
+) -> DataFrame:
+    """1-row DataFrame ``(bloom_words: array<long>)`` — the filter as
+    m/64 PACKED WORDS, ready to broadcast. Round 12: the previous
+    rendering was a sorted array of set bit positions probed with
+    ``array_contains`` — an O(set_bits) linear scan per probe per
+    hash that dominated the screen query once measured (a ~5k-entry
+    scan x 3 hashes x every probe term). The packed form probes in
+    O(1): one element_at + one bitwiseAND — the same word-addressed
+    layout every real Bloom implementation uses. Membership is
+    bit-for-bit equivalent (bit set in word <=> position in set), so
+    the DuckDB oracle's list_contains replay still decides
+    identically.
+
+    ``key_col`` must be a string column; hashing happens here so
+    build and probe cannot disagree — UNLESS ``hash_col`` names a
+    column already carrying ``poly_hash(key)`` (e.g. from the
+    vectorized shingle_term_relation kernel, value-identical by
+    construction), in which case the interpreted char fold is
+    skipped."""
+    if m % 64:
+        raise ValueError(f"m={m} must be a multiple of 64")
+    hashed = keys.select(
+        (
+            F.col(hash_col) if hash_col else poly_hash(F.col(key_col))
+        ).alias("_h")
+    )
     bits = hashed.select(
         F.explode(
             F.array(*bloom_positions(F.col("_h"), m))
         ).alias("bit")
     )
-    return bits.agg(F.sort_array(F.collect_set("bit")).alias("bloom_bits"))
+    words = bits.select(
+        (F.col("bit") / 64).cast("int").alias("_w"),
+        _bit_value(F.col("bit") % 64).alias("_v"),
+    ).groupBy("_w").agg(F.bit_or("_v").alias("_v"))
+    packed = F.transform(
+        F.sequence(F.lit(0), F.lit(m // 64 - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i), F.lit(0).cast("long")
+        ),
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_w"), F.col("_v")))
+        ).alias("_m")
+    ).select(packed.alias("bloom_words"))
 
 
 def bloom_probe(
-    probe: DataFrame, key_col: str, bloom: DataFrame, m: int = DEFAULT_M
+    probe: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m: int = DEFAULT_M,
+    hash_col: str | None = None,
 ) -> DataFrame:
     """Append ``bloom_pass`` (boolean: all k bits set) to ``probe``.
-    One broadcast crossJoin of the 1-row filter; the membership test is
-    a codegen'd array_contains conjunction — map-side at any scale.
-    The key hashes ONCE into a hidden column (see build_bloom)."""
+    One broadcast crossJoin of the 1-row filter; the membership test
+    is k O(1) word lookups (element_at + bitwiseAND) — map-side at
+    any scale. The key hashes ONCE into a hidden column (see
+    build_bloom), or reuses ``hash_col`` when the caller already
+    carries the poly hash."""
     out = probe.withColumn(
-        "_bloom_h", poly_hash(F.col(key_col))
+        "_bloom_h",
+        F.col(hash_col) if hash_col else poly_hash(F.col(key_col)),
     ).crossJoin(F.broadcast(bloom))
     passed = F.lit(True)
     for pos in bloom_positions(F.col("_bloom_h"), m):
-        passed = passed & F.array_contains(F.col("bloom_bits"), pos)
+        word = F.element_at(
+            F.col("bloom_words"), (pos / 64).cast("int") + 1
+        )
+        passed = passed & (
+            word.bitwiseAND(_bit_value(pos % 64)) != 0
+        )
     return out.withColumn("bloom_pass", passed).drop(
-        "bloom_bits", "_bloom_h"
+        "bloom_words", "_bloom_h"
     )

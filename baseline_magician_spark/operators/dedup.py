@@ -368,6 +368,71 @@ def shingle_hash_relation(
     )
 
 
+def shingle_term_relation(
+    df: DataFrame,
+    text_col,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    n: int = 3,
+) -> DataFrame:
+    """(id_cols..., term, _h) — each document's DISTINCT n-gram token
+    shingle STRINGS plus their cross-engine poly hash, in one
+    Arrow-batched pass (round 12, guide §4.2). ``_h`` equals
+    ``poly_hash(term)`` exactly (the same concat-identity fold
+    :func:`shingle_hashes` uses — every character hashed once), so
+    Bloom/CMS-style consumers skip the interpreted per-term char fold
+    entirely while keeping the term string for exact joins. The
+    distinct is on the TERM STRING (pandas drop_duplicates), matching
+    ``array_distinct(token_shingles(...))`` even under hash
+    collisions. ``text_col`` may be any string Column (e.g.
+    ``F.lower(text)``) — normalization stays JVM-side so case
+    semantics match the expression path. Docs with < n tokens emit
+    nothing, like the empty-array explode."""
+    import re
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..pyship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    text_c = F.col(text_col) if isinstance(text_col, str) else text_col
+    src = df.select(*id_cols, text_c.alias("_t"))
+    schema = StructType(
+        [df.schema[c] for c in id_cols]
+        + [StructField("term", StringType()), StructField("_h", LongType())]
+    )
+    split_ws = re.compile("[ \t\n\x0b\f\r]+").split
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            texts = pdf["_t"].astype(object).fillna("").tolist()
+            sh, _seg, n_sh = _shingle_hashes_np(texts, n)
+            if len(sh) == 0:
+                continue
+            terms: list[str] = []
+            for s in texts:
+                toks = (
+                    [t for t in split_ws(s.strip(" ")) if t] if s else []
+                )
+                for i in range(len(toks) - (n - 1)):
+                    terms.append(" ".join(toks[i : i + n]))
+            doc_idx = np.repeat(np.arange(len(texts)), n_sh)
+            out = pd.DataFrame(
+                {c: pdf[c].iloc[doc_idx].to_numpy() for c in id_cols}
+            )
+            out["term"] = terms
+            out["_h"] = sh
+            out["_d"] = doc_idx
+            out = out.drop_duplicates(subset=["_d", "term"]).drop(
+                columns="_d"
+            )
+            yield out
+
+    return src.mapInPandas(gen, schema=schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,

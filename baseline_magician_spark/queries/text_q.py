@@ -716,26 +716,42 @@ def text_bloom_vocab_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpus shares one small word list, so unigram membership
     is always true; 3-gram space is diverse enough that both misses
     and genuine bloom false positives occur."""
-    from ..functions.hashing import token_shingles
+    from ..catalog import load_table
     from ..operators.bloom import bloom_probe, build_bloom
+    from ..operators.dedup import shingle_term_relation
 
-    docs = load_for_compute(spark, sf_dir, "documents")
-    term = F.explode(
-        F.array_distinct(token_shingles(F.lower(F.col("text")), 3))
-    ).alias("term")
+    # Round 12 (VERDICT r11 task 7, guide §4.2): the per-doc distinct
+    # shingle relation comes from the Arrow-batched kernel that also
+    # carries each term's poly hash (== poly_hash(term) by the concat
+    # identity, pinned in tests/test_text_np.py), so neither the
+    # build nor the probe side pays the interpreted char-fold hash;
+    # lowercasing stays JVM-side so case semantics are unchanged.
+    # Plain scan: the kernel wants few large batches.
+    docs = load_table(spark, sf_dir, "documents")
     vocab = (
-        docs.where(F.col("source") == "src0").select(term).distinct()
+        shingle_term_relation(
+            docs.where(F.col("source") == "src0"),
+            F.lower(F.col("text")),
+            id_cols=("doc_id",),
+            n=3,
+        )
+        .select("term", "_h")
+        .distinct()
     )
-    bloom = build_bloom(vocab, "term", m=32768)
-    # no .distinct() needed: array_distinct before the explode already
-    # makes (doc_id, term) unique per row — an extra distinct would
-    # re-shuffle the full probe relation for nothing
-    probe = docs.where(F.col("source") != "src0").select(
-        "doc_id", "lang", term
+    bloom = build_bloom(vocab, "term", m=32768, hash_col="_h")
+    # per-doc distinct is built into the kernel — an extra distinct
+    # would re-shuffle the full probe relation for nothing
+    probe = shingle_term_relation(
+        docs.where(F.col("source") != "src0"),
+        F.lower(F.col("text")),
+        id_cols=("doc_id", "lang"),
+        n=3,
     )
-    probed = bloom_probe(probe, "term", bloom, m=32768)
+    probed = bloom_probe(probe, "term", bloom, m=32768, hash_col="_h")
     exact = probed.join(
-        F.broadcast(vocab.withColumn("_in_vocab", F.lit(True))),
+        F.broadcast(
+            vocab.select("term").withColumn("_in_vocab", F.lit(True))
+        ),
         "term",
         "left",
     ).withColumn("exact_pass", F.col("_in_vocab").isNotNull())

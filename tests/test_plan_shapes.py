@@ -278,14 +278,16 @@ def test_chunking_is_narrow_no_exchange(spark, queries):
 
 def test_bloom_probe_is_broadcast_map_side(spark, queries):
     # corpus side of the bloom screen must never join-shuffle against
-    # the filter: the 1-row bits array arrives by broadcast, membership
-    # is a codegen'd array_contains conjunction in a Project — NOT one
-    # join per hash position
+    # the filter: the 1-row packed-words array arrives by broadcast,
+    # membership is k O(1) word lookups (element_at + bitwiseAND) in a
+    # Project — NOT one join per hash position, and NOT the former
+    # O(set_bits) array_contains scan per probe (round 12)
     plan = plan_of(queries["text_bloom_vocab_screen"](spark, SF_ORACLE))
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row filter row
     assert plan.count("BroadcastHashJoin") <= 1  # only the exact-vocab join
     assert "SortMergeJoin" not in plan
-    assert "array_contains(bloom_bits" in plan  # membership in a Project
+    assert "element_at(bloom_words" in plan  # O(1) membership lookup
+    assert "array_contains" not in plan
 
 
 def test_tfidf_tokenizes_corpus_exactly_once(spark, queries):
