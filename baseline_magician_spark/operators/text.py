@@ -453,16 +453,25 @@ def dsir_importance_weights(
     sum; shuffles are the tiny bucket aggregation and one uniform
     doc-id groupBy.
     """
+    from ..cache_tracker import track
     from ..functions.hashing import poly_hash, tokens
 
     if target_col is None:
         target_col = F.col("lang") == "en"
-    feats = docs.select(
-        F.col(id_col),
-        target_col.cast("int").alias("_is_t"),
-        F.explode(tokens(text_col)).alias("_tok"),
-    ).select(
-        id_col, "_is_t", (poly_hash("_tok") % n_buckets).alias("_b")
+    # the feature relation feeds the bucket table AND the per-doc
+    # score join — without the (tracker-released) persist each
+    # consumer re-runs the tokenize + interpreted per-char poly_hash
+    # pass (6 parquet scans in the round-12 before-plan)
+    feats = track(
+        docs.select(
+            F.col(id_col),
+            target_col.cast("int").alias("_is_t"),
+            F.explode(tokens(text_col)).alias("_tok"),
+        )
+        .select(
+            id_col, "_is_t", (poly_hash("_tok") % n_buckets).alias("_b")
+        )
+        .persist()
     )
     buckets = feats.groupBy("_b").agg(
         F.sum("_is_t").alias("_ct_t"),

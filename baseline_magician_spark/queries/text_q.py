@@ -598,6 +598,10 @@ def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import tokens
 
     docs = load_for_compute(spark, sf_dir, "documents")
+    # measured round 12: persisting toks for its three consumers LOST
+    # (1.13 -> 1.42 s interleaved min-of-4) — plain tokenize+explode
+    # is cheaper than the cache materialization barrier here, unlike
+    # dsir's per-token poly_hash relation, which caches. Left alone.
     toks = docs.select(
         "doc_id", F.explode(tokens("text")).alias("tok")
     )
@@ -1036,12 +1040,23 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-tailed but bounded by observed bigram vocabulary, and the
     join key is uniform under hashing. One corpus re-group on doc_id
     at the end."""
+    from pyspark.sql import Window as W
+
+    from ..cache_tracker import track
     from ..functions.hashing import tokens
 
     docs = load_for_compute(spark, sf_dir, "documents")
     base = docs.select("doc_id", tokens("text").alias("a"))
     toks = base.select("doc_id", F.explode("a").alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cw"))
+    # vocab-sized; persisted (tracker-released after the query) because
+    # THREE consumers derive from it (the broadcast lookup for prev,
+    # the one for tok, and the corpus total) — without the cache each
+    # re-runs the tokenize+explode+groupBy subtree (round 12: the
+    # before-plan shows 5 parquet scans / 5 Generate passes, one per
+    # consumer; after: 2 scans).
+    uni = track(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cw")).persist()
+    )
     total = uni.agg(F.sum("cw").cast("double").alias("total"))
     n1 = F.greatest(F.size("a") - 1, F.lit(0))
     bg = base.select(
@@ -1054,7 +1069,15 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.prev", "b.tok")
-    bgc = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cbg"))
+    # bigram counts as a window over the bigram relation itself — the
+    # former groupBy+join-back evaluated the bigram subtree twice, and
+    # at 100 TB the bigram-vocabulary count table is not broadcastable
+    # while this is ONE shuffle of the bigram rows (guide §2.4, the
+    # same rewrite duplicated_spans got in r11). count == the joined
+    # groupBy count exactly.
+    bg = bg.withColumn(
+        "cbg", F.count(F.lit(1)).over(W.partitionBy("prev", "tok"))
+    )
     up = uni.select(F.col("tok").alias("prev"), F.col("cw").alias("cp"))
     term = F.round(
         F.lit(float(LM_SCALE))
@@ -1064,8 +1087,7 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("long")
     return (
-        bg.join(bgc, ["prev", "tok"])
-        .join(F.broadcast(up), "prev")
+        bg.join(F.broadcast(up), "prev")
         .join(F.broadcast(uni), "tok")
         .crossJoin(F.broadcast(total))
         .select("doc_id", term.alias("term"))
