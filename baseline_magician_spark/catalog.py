@@ -43,6 +43,60 @@ _SESSION_CONFED: set[str] = set()
 _SCAN_PARTS: dict[tuple[str, str, str], int] = {}
 
 
+def _patch_pyspark_driver_overheads() -> None:
+    """Two guarded, behavior-preserving pyspark patches (round 11/12,
+    guide §4 — the boundary itself):
+
+    - call-site capture off for bare driver sessions (round 11): the
+      per-API-call Python stack walk + ~4 py4j round-trips exist only
+      to enrich error messages.
+    - JVM function-handle cache (round 12): pyspark resolves
+      ``getattr(sc._jvm.functions, name)`` through py4j reflection on
+      EVERY F.* call — ~9k resolutions per ch_sql family build, ~22%
+      of its py4j round trips. Function handles are static per
+      SparkContext, so they are memoized in a WeakKeyDictionary keyed
+      by the live context (id-reuse safe; entries die with the sc).
+
+    Both are version-guarded with hasattr (ADVICE r11: plain
+    try/except around an attribute WRITE can never detect a rename),
+    so a pyspark upgrade that moves either internal downgrades to the
+    unpatched behavior loudly-in-tests rather than silently wrong."""
+    try:  # pragma: no cover - depends on pyspark internals
+        import pyspark.errors.utils as _eu
+
+        if hasattr(_eu, "_enable_debugging_cache"):
+            _eu._enable_debugging_cache = False
+    except Exception:
+        pass
+    try:  # pragma: no cover - depends on pyspark internals
+        import weakref
+
+        import pyspark.sql.functions.builtin as _b
+
+        orig = getattr(_b, "_get_jvm_function", None)
+        if orig is not None and not getattr(orig, "_bms_cached", False):
+            per_sc: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+            def _cached(name, sc, _orig=orig, _per_sc=per_sc):
+                try:
+                    fns = _per_sc.get(sc)
+                    if fns is None:
+                        fns = {}
+                        _per_sc[sc] = fns
+                    fn = fns.get(name)
+                    if fn is None:
+                        fn = _orig(name, sc)
+                        fns[name] = fn
+                    return fn
+                except TypeError:  # un-weakref-able sc: no caching
+                    return _orig(name, sc)
+
+            _cached._bms_cached = True
+            _b._get_jvm_function = _cached
+    except Exception:
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -60,22 +114,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # depend on it; session.py sets it for our own sessions, a
         # bare driver session arrives here without it.
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # PySpark 4 call-site capture for error enrichment costs a
-        # Python stack walk + ~4 py4j round-trips on EVERY DataFrame/
-        # Column API call (~32% of dialect-compile time measured,
-        # optimization round 11, guide §4). session.py disables it at
-        # build time for our own sessions (it is a STATIC conf —
-        # settable only at session construction); a bare driver
-        # session arrives here with it on, so the process-wide cache
-        # pyspark keeps for the flag is forced off directly (private
-        # attr — guarded, best-effort; behavior change is error-
-        # message enrichment only, never results).
-        try:  # pragma: no cover - depends on pyspark internals
-            import pyspark.errors.utils as _eu
-
-            _eu._enable_debugging_cache = False
-        except Exception:
-            pass
+        # PySpark 4 call-site capture + JVM function-handle resolution
+        # both tax every DataFrame/Column API call; see
+        # _patch_pyspark_driver_overheads (guarded, results unchanged).
+        _patch_pyspark_driver_overheads()
         _SESSION_CONFED.add(app_id)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS) parquet, surfaced as int64 epoch-ns

@@ -72,4 +72,8 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # driver-overhead patches (JVM function-handle cache; see catalog)
+    from .catalog import _patch_pyspark_driver_overheads
+
+    _patch_pyspark_driver_overheads()
     return spark
