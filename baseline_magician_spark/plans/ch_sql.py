@@ -1079,6 +1079,57 @@ def _is_timestamp(node: _Node) -> bool:
     )
 
 
+# --- mixed-distinct aggregation split (round 12, VERDICT r11 task 5)
+# Catalyst plans a groupBy mixing DISTINCT aggregates with regular
+# ones through RewriteDistinctAggregates: an Expand duplicates every
+# input row per aggregate class and the partial aggregation is keyed
+# by (group, distinct-arg) — so any BUFFER-backed partner aggregate
+# (collect_list / percentile / HLL sketch state) is dragged through a
+# per-(group, distinct-value) exchange. That is the scale-killer the
+# r11 approx_distinct_and_quantiles fix removed for one query; the
+# sets below let _exec_select apply the same split generically:
+# distinct-aggregate select items are computed in a SIDE aggregation
+# over the same group keys and joined back null-safely (eqNullSafe —
+# a NULL group key is one group in GROUP BY, so the join must match
+# it; plain equality would drop it). Equivalence: both aggregations
+# see the identical input rows and identical grouping, so they
+# produce the same group set exactly once each — an inner join on
+# null-safe key equality is a bijection. HAVING / WITH TOTALS /
+# ROLLUP / CUBE / grouping-sets queries are NOT split (HAVING may
+# reference both aggregate classes in one expression; the modifier
+# paths have their own union/grouping-id plumbing) — they keep the
+# single-aggregation plan, which is also what their oracles replay.
+_DISTINCT_AGG_FNS = {
+    "count__distinct", "sum__distinct", "avg__distinct",
+    "countdistinct", "sumdistinct", "avgdistinct",
+    "uniqexact",
+}
+# partners whose aggregation state is a growing buffer (ObjectHash /
+# typed-imperative class). min__distinct / max__distinct are absent
+# from the distinct set on purpose: they compile to plain min/max.
+_BUFFER_AGGS = {
+    "grouparray", "groupuniqarray", "grouparraysorted",
+    "grouparraylast", "grouparraymovingsum", "grouparraymovingavg",
+    "groupconcat", "quantile", "quantileexact", "quantiles",
+    "quantilesexact", "quantileexactlow", "quantileexacthigh",
+    "quantiletiming", "quantiletdigest", "quantilebfloat16",
+    "quantiledeterministic", "quantilegk", "quantileexactweighted",
+    "quantilesexactweighted", "medianexact", "mediantiming",
+    "mediantdigest", "medianbfloat16", "median", "topk",
+    "topkweighted", "approx_top_k", "approx_top_count", "summap",
+    "minmap", "maxmap", "histogram", "sparkbar", "uniq",
+    "uniqcombined", "uniqcombined64", "uniqhll12", "uniqtheta",
+}
+
+
+def _calls_in(node: _Node, names: set[str]) -> bool:
+    if node.kind == "call" and str(node.value).lower() in names:
+        return True
+    if node.kind in ("call", "bin", "in", "like", "isnull", "cast"):
+        return any(_calls_in(a, names) for a in node.args)
+    return False
+
+
 def _contains_agg(node: _Node) -> bool:
     if node.kind == "call":
         ln = node.value.lower()
@@ -4960,7 +5011,65 @@ def _exec_select(
                         _compile(g, tables) for g in group_nodes
                     )
                 ]
-                out = df.groupBy(*keys).agg(*agg_cols)
+                # mixed-distinct split (see _DISTINCT_AGG_FNS above):
+                # only when HAVING is absent, every agg select item is
+                # purely one class, and at least one regular partner
+                # is buffer-backed (fixed-width mixes measured faster
+                # unsplit, r11).
+                agg_items = [
+                    (k, i)
+                    for k, (i, n) in enumerate(
+                        (i, n)
+                        for i, n in enumerate(select_nodes)
+                        if _contains_agg(n)
+                    )
+                ]
+                dist_k = [
+                    k
+                    for k, i in agg_items
+                    if _calls_in(select_nodes[i], _DISTINCT_AGG_FNS)
+                ]
+                reg_k = [k for k, i in agg_items if k not in set(dist_k)]
+                mixed_item = any(
+                    _calls_in(select_nodes[i], _DISTINCT_AGG_FNS)
+                    and _calls_in(
+                        select_nodes[i], _AGGS - _DISTINCT_AGG_FNS
+                    )
+                    for k, i in agg_items
+                )
+                split = (
+                    having_node is None
+                    and not grouping_posthoc
+                    and dist_k
+                    and reg_k
+                    and not mixed_item
+                    and any(
+                        _calls_in(select_nodes[i], _BUFFER_AGGS)
+                        for k, i in agg_items
+                        if k in set(reg_k)
+                    )
+                )
+                if split:
+                    main = df.groupBy(*keys).agg(
+                        *[agg_cols[k] for k in reg_k]
+                    )
+                    side_keys = [
+                        _compile(g, tables).alias(f"_dk{i}")
+                        for i, g in enumerate(group_nodes)
+                    ]
+                    side = df.groupBy(*side_keys).agg(
+                        *[agg_cols[k] for k in dist_k]
+                    )
+                    cond = F.lit(True)
+                    for i, kn in enumerate(key_names):
+                        cond = cond & main[kn].eqNullSafe(
+                            side[f"_dk{i}"]
+                        )
+                    out = main.join(side, cond).drop(
+                        *[f"_dk{i}" for i in range(len(key_names))]
+                    )
+                else:
+                    out = df.groupBy(*keys).agg(*agg_cols)
         else:
             out = df.agg(*agg_cols)
         if having_node is not None:
