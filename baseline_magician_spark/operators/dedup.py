@@ -346,7 +346,13 @@ def shingle_hash_relation(
             if len(sh) == 0:
                 continue
             # per-doc distinct: one sort over (doc-index << 31 | h)
-            # composite keys (h < 2^31, doc index < batch size)
+            # composite keys — ONLY sound while h < 2^31 (ADVICE r11
+            # #3: raising POLY_MOD past 2^31 would silently corrupt
+            # the distinct; fail loudly instead)
+            assert POLY_MOD <= (1 << 31), (
+                "shingle_hash_relation packs (doc_idx << 31) | h; "
+                f"POLY_MOD={POLY_MOD} no longer fits 31 bits"
+            )
             doc_idx = np.repeat(
                 np.arange(len(texts), dtype=np.int64), n_sh
             )

@@ -375,9 +375,13 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Split, each aggregation shuffles only its own tiny state; the
     # join key is the handful of event types, broadcast by AQE.
     # Measured noop exec 2.96 -> 0.6 s at sf0.1; results identical.
-    distinct_users = events.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users")
-    )
+    # null-safe join (ADVICE r11 #1): a NULL event_type is a real
+    # GROUP BY group; a plain equi-join would silently drop it (latent
+    # today — the generated data has no NULL event_type — but the
+    # split must not change semantics for any input).
+    distinct_users = events.groupBy(
+        F.col("event_type").alias("_et")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
     agg = (
         events.groupBy("event_type")
         .agg(
@@ -391,7 +395,11 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value", F.lit([0.5, 0.99]), 10000
             ).alias("_apcts"),
         )
-        .join(distinct_users, "event_type")
+        .join(
+            distinct_users,
+            F.col("event_type").eqNullSafe(F.col("_et")),
+        )
+        .drop("_et")
     )
     p = {
         "p50": F.col("_pcts")[0], "p99": F.col("_pcts")[1],

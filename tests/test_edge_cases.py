@@ -531,3 +531,37 @@ def test_cc_driver_union_find_equals_distributed(spark):
     )
     assert graph.LAST_ROUNDS > 1
     assert out == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)]
+    # cap boundary, other side: edge count == cap stays on the driver
+    out = sorted(
+        map(
+            tuple,
+            graph.connected_components(
+                few, "src", "dst", driver_edge_cap=3
+            ).collect(),
+        )
+    )
+    assert graph.LAST_ROUNDS == 1
+    assert out == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)]
+
+
+def test_cc_driver_path_string_ids(spark):
+    """The round-12 vectorized driver path factorizes node ids through
+    np.unique — which must keep working for STRING ids (object dtype),
+    with the min-id representative under lexicographic order. (The
+    distributed loop's decimal-sum convergence never supported string
+    ids — ANSI cast error — so the driver path is the only string-id
+    path and is pinned by value here.)"""
+    from baseline_magician_spark.operators import graph
+
+    df = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y"), ("z", "z")],
+        "src string, dst string",
+    )
+    drv = sorted(
+        map(tuple, graph.connected_components(df, "src", "dst").collect())
+    )
+    assert graph.LAST_ROUNDS == 1
+    assert drv == [
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "x"), ("y", "x"), ("z", "z"),
+    ]
