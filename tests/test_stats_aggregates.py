@@ -312,3 +312,62 @@ def test_association_null_category_counts(spark):
         "SELECT cramersV(x, y) AS v FROM t", {"t": df}
     ).collect()[0].v
     assert v is not None and 0.0 <= v <= 1.0
+
+
+# ------------- categoricalInformationValue single-pass fold (round 12)
+# The run-length fold over the sorted (cat, tag) tape must reproduce
+# the reference IV (term order = ascending category, identical
+# arithmetic) EXACTLY — including the edge semantics: one-class
+# categories contribute 0, a group with only one tag class is NULL,
+# NULL categories bucket under the sentinel.
+
+
+def _iv_ref(pairs):
+    import collections
+    import math
+
+    by = collections.OrderedDict()
+    for c, t in sorted(
+        (("∅null" if c is None else str(c)), t) for c, t in pairs
+    ):
+        d = by.setdefault(c, [0.0, 0.0])
+        d[0 if t != 0 else 1] += 1.0
+    n1 = sum(v[0] for v in by.values())
+    n0 = sum(v[1] for v in by.values())
+    if not (n1 > 0 and n0 > 0):
+        return None
+    acc = 0.0
+    for c, (c1, c0) in by.items():  # ascending category order
+        if c1 > 0 and c0 > 0:
+            acc = acc + (c1 / n1 - c0 / n0) * math.log(
+                (c1 / n1) / (c0 / n0)
+            )
+        else:
+            acc = acc + 0.0
+    return acc
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        # multi-category, both classes everywhere
+        [("a", 1), ("a", 0), ("b", 1), ("b", 0), ("b", 1), ("c", 0), ("c", 1)],
+        # a category seen in only one class (zero term)
+        [("a", 1), ("a", 0), ("only1", 1), ("only1", 1), ("b", 0), ("b", 1)],
+        # single category
+        [("solo", 1), ("solo", 0), ("solo", 1)],
+        # NULL categories bucket together
+        [(None, 1), (None, 0), ("a", 1), ("a", 0)],
+    ],
+)
+def test_categorical_iv_single_pass_equals_reference(spark, pairs):
+    tdf = spark.createDataFrame(pairs, "c string, t int")
+    got = _one(tdf, "categoricalInformationValue(c, t)")
+    assert got[0] == _iv_ref(pairs)  # exact doubles, not isclose
+
+
+def test_categorical_iv_one_class_group_is_null(spark):
+    tdf = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("a", 1)], "c string, t int"
+    )
+    assert _one(tdf, "categoricalInformationValue(c, t)")[0] is None
