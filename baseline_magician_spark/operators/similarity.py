@@ -416,6 +416,7 @@ def lsh_bucketed_pairs(
     dim: int | None = None,
     salt: int | str = "auto",
     center: bool = False,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Near-duplicate vector pairs: same LSH bucket AND exact cosine >=
     threshold. Output: (vec_a, vec_b, cosine_sim).
@@ -446,14 +447,28 @@ def lsh_bucketed_pairs(
       once and reused by both join sides, so the upstream feature
       pipeline (often a Python mapInPandas stage) runs a single time.
     """
-    with_bucket = embeddings.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        norm(F.col(vec_col)).alias("_n"),
-        lsh_bucket(
-            F.col(vec_col), n_planes, center=center, dim=dim
-        ).alias("_bucket"),
-    ).repartition("_bucket")
+    if impl == "pandas":
+        # one Arrow pass for norm + bucket (guide §4.2; the per-plane
+        # projection fold is interpreted on the jvm path)
+        with_bucket = _lsh_bucket_relation(
+            embeddings.select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+            ),
+            keep=("_id", "_v"),
+            vec_col="_v",
+            n_planes=n_planes,
+            center=center,
+            with_norm=True,
+        ).repartition("_bucket")
+    else:
+        with_bucket = embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            norm(F.col(vec_col)).alias("_n"),
+            lsh_bucket(
+                F.col(vec_col), n_planes, center=center, dim=dim
+            ).alias("_bucket"),
+        ).repartition("_bucket")
     if salt == "auto":
         # The histogram job would otherwise re-run the upstream
         # feature pipeline (often a Python mapInPandas stage) a third
@@ -1557,6 +1572,85 @@ def _ivf_probe_relation(
             )
 
     return src.mapInPandas(gen, schema=schema)
+
+
+def _lsh_bucket_relation(
+    df: DataFrame,
+    keep: tuple[str, ...],
+    vec_col: str,
+    n_planes: int = 8,
+    center: bool = False,
+    with_norm: bool = False,
+) -> DataFrame:
+    """(keep..., [_n,] _bucket) — the P-bit sign-bucket relation in one
+    Arrow-batched numpy pass (round 12, guide §4.2): value-identical
+    to :func:`lsh_bucket` (same per-plane left-to-right fold over
+    (x - mean) * hyperplane component, same integer component table,
+    and Spark's NaN >= 0 comparison semantics — NaN counts as
+    non-negative — replicated for degenerate inputs) plus optionally
+    the row norm (the exact :func:`norm` fold). Pinned against the
+    expression path in tests/test_similarity_np.py."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..pyship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    fields = [df.schema[c] for c in keep]
+    if with_norm:
+        fields.append(StructField("_n", DoubleType()))
+    fields.append(StructField("_bucket", LongType()))
+    src = df.select(*keep, F.col(vec_col).alias("_vec"))
+    half = (_HP_MOD - 1) // 2
+    # hyperplane component table, computed once driver-side: int64
+    # arithmetic identical to _hyperplane_component, exact as float64
+    # (|component| <= 501001 << 2^53)
+    def _hp_row(p: int, d: int):
+        return (
+            (_HP_A * p + _HP_B * np.arange(d, dtype=np.int64))
+            % _HP_MOD
+            - half
+        ).astype(np.float64)
+
+    def gen(batches):
+        import pandas as pd
+
+        hp = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_stack_vecs(pdf["_vec"], vec_col)
+            n, d = V.shape
+            if hp is None or hp.shape[1] != d:
+                hp = np.stack([_hp_row(p, d) for p in range(n_planes)])
+            if center:
+                acc = np.zeros(n)
+                for j in range(d):
+                    acc = acc + V[:, j]
+                mean = acc / d
+            else:
+                mean = np.zeros(n)
+            bucket = np.zeros(n, dtype=np.int64)
+            for p in range(n_planes):
+                proj = np.zeros(n)
+                for j in range(d):
+                    proj = proj + (V[:, j] - mean) * hp[p, j]
+                # Spark comparison semantics: NaN >= 0 is TRUE
+                bit = (proj >= 0) | np.isnan(proj)
+                bucket += bit.astype(np.int64) << np.int64(p)
+            data = {c: pdf[c] for c in keep}
+            if with_norm:
+                data["_n"] = _np_seq_norm(V)
+            data["_bucket"] = bucket
+            yield pd.DataFrame(data)
+
+    return src.mapInPandas(gen, schema=StructType(fields))
 
 
 def _pairwise_score_relation(

@@ -240,11 +240,14 @@ def _bucket_histogram_oracle() -> str:
 def similarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-occupancy histogram — the observability view for tuning
     n_planes (bucket skew drives the candidate-join cost at scale)."""
-    emb = load_for_compute(spark, sf_dir, "embeddings")
+    from ..operators.similarity import _lsh_bucket_relation
+
+    emb = load_table(spark, sf_dir, "embeddings")
     return (
-        emb.select(
-            lsh_bucket(F.col("embedding"), N_PLANES).alias("bucket"), "label"
+        _lsh_bucket_relation(
+            emb, keep=("label",), vec_col="embedding", n_planes=N_PLANES
         )
+        .select(F.col("_bucket").alias("bucket"), "label")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),

@@ -189,3 +189,49 @@ def test_dkeys_total_order():
     # -0.0 sorts strictly below 0.0
     import struct
     assert struct.pack(">d", order[3]) == struct.pack(">d", -0.0)
+
+
+def test_lsh_bucket_relation_equals_expression(emb):
+    from baseline_magician_spark.operators.similarity import (
+        _lsh_bucket_relation,
+        lsh_bucket,
+        norm,
+    )
+
+    for center in (False, True):
+        got = _rows(
+            _lsh_bucket_relation(
+                emb,
+                keep=("vec_id",),
+                vec_col="embedding",
+                n_planes=8,
+                center=center,
+                with_norm=True,
+            )
+        )
+        want = _rows(
+            emb.select(
+                "vec_id",
+                norm(F.col("embedding")).alias("_n"),
+                lsh_bucket(
+                    F.col("embedding"), 8, center=center
+                ).alias("_bucket"),
+            )
+        )
+        assert got == want
+        assert len(want) > 0
+
+
+def test_lsh_bucketed_pairs_pandas_equals_jvm(spark):
+    from tests.conftest import SF_SMOKE
+
+    from baseline_magician_spark.operators.similarity import (
+        lsh_bucketed_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = _rows(
+        lsh_bucketed_pairs(emb, threshold=0.3, impl="pandas")
+    )
+    want = _rows(lsh_bucketed_pairs(emb, threshold=0.3, impl="jvm"))
+    assert got == want
