@@ -78,15 +78,16 @@ def test_multimodal_stays_narrow(spark, queries):
 
 def test_lsh_pair_join_computes_features_once(spark, queries):
     """The (adaptively salted) self-join must evaluate the feature
-    pipeline once: the two Python stages (attach payload, extract
-    features) appear once each in the executed plan, not once per join
-    side, and both sides plus the salt-sizing histogram read the same
-    persisted projection (TableCacheQueryStage / InMemoryTableScan)."""
+    pipeline once: the three Python stages (attach payload, extract
+    features, and — round 12 — the LSH bucket/norm kernel) appear
+    once each in the executed plan, not once per join side, and both
+    sides plus the salt-sizing histogram read the same persisted
+    projection (TableCacheQueryStage / InMemoryTableScan)."""
     plan = plan_of(
         queries["dedup_embedding_cosine_pairs"](spark, SF_ORACLE), execute=True
     )
     final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
-    assert final.count("MapInPandas") == 2, final
+    assert final.count("MapInPandas") == 3, final
     assert (
         "TableCacheQueryStage" in final
         or "InMemoryTableScan" in final
