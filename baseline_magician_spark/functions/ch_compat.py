@@ -235,6 +235,115 @@ def _num_le_bytes(c: Column, dt: str) -> Column | None:
     return F.unhex(le)
 
 
+# --- vectorized numeric hash path (round 12, guide §4.2) -------------
+# The expression renderings of the byte-exact hash family are built on
+# HOF lets — interpreted at exec time (~90 µs/row measured on
+# sipHash64 over two bigints). For NUMERIC-only argument lists the
+# byte stream is a fixed-width LE layout of the zero-extended bit
+# pattern, so the whole chain runs as one Arrow-batched numpy pass
+# (functions/hash_np.py — pinned bit-exact against the same Python
+# byte models the expression renderings are pinned against, so all
+# renderings share one ground truth; tests/test_hash_np.py). String
+# arguments keep the expression paths.
+
+_NP_HASH_KINDS = {
+    # kind -> (one(v, w, seed) -> h, combine(h0, h1, seed) -> h)
+    "city": (
+        lambda H, v, w, s: H.int_hash64_np(v),
+        lambda H, a, b, s: H.hl16_np(a, b),
+    ),
+    "xx": (
+        lambda H, v, w, s: H.xxh64_np(v, w),
+        lambda H, a, b, s: H.hl16_np(a, b),
+    ),
+    "sip": (
+        lambda H, v, w, s: H.sip64_np(v, w),
+        lambda H, a, b, s: H.sip64_pair_np(a, b),
+    ),
+    "m2_64": (
+        lambda H, v, w, s: H.murmur2_64_np(v, w, s),
+        lambda H, a, b, s: H.murmur2_64_pair_np(a, b, s),
+    ),
+    "m3_64": (
+        lambda H, v, w, s: H.murmur3_64_np(v, w),
+        lambda H, a, b, s: H.murmur3_64_pair_np(a, b),
+    ),
+    "m2_32": (
+        lambda H, v, w, s: H.murmur2_32_np(v, w, s),
+        lambda H, a, b, s: H.murmur2_32_pair_np(a, b, s),
+    ),
+}
+
+
+def _np_hash_multi(
+    kind: str, cs, seed: int = 0, mask: int | None = None
+) -> Column | None:
+    """The pandas-UDF rendering of a combineHashes chain, or None
+    when any argument lacks a fixed numeric layout (string/binary —
+    the expression paths handle those). NULL in any argument yields
+    NULL, like the expression chain (a NULL per-arg hash poisons the
+    combine fold)."""
+    resolved = []
+    for c in cs:
+        dt = _arg_dtype(c)
+        if dt is None:
+            return None
+        uw = _num_u64(_arg_col(c), dt)
+        if uw is None:
+            return None
+        resolved.append(uw)
+    widths = tuple(w for w, _ in resolved)
+    # nulls are resolved JVM-side: a nullable int64 Series arrives in
+    # pandas as FLOAT64 (lossy past 2^53 — measured corrupting every
+    # hash of a large value next to a null row), so the UDF receives
+    # null-free coalesced values plus one explicit any-null flag.
+    vals = [F.coalesce(v, F.lit(0)) for _, v in resolved]
+    any_null = F.lit(False)
+    for _, v in resolved:
+        any_null = any_null | v.isNull()
+
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    if sess is not None:
+        from ..pyship import ensure_shipped
+
+        ensure_shipped(sess)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _h(*cols):
+        import numpy as np
+        import pandas as pd
+
+        from . import hash_np as H
+
+        one, combine = _NP_HASH_KINDS[kind]
+        *val_cols, null_col = cols
+        nulls = null_col.to_numpy(dtype=bool)
+        arrs = [
+            s.to_numpy(dtype=np.int64).view(np.uint64)
+            for s in val_cols
+        ]
+
+        def masked(h):
+            return (
+                h & np.uint64(mask) if mask is not None else h
+            )
+
+        out = masked(one(H, arrs[0], widths[0], seed))
+        for a, w in zip(arrs[1:], widths[1:]):
+            out = masked(combine(H, out, masked(one(H, a, w, seed)), seed))
+        res = pd.Series(out.view(np.int64))
+        if nulls.any():
+            res = res.astype("object")
+            res[nulls] = None
+        return res
+
+    return _h(*vals, any_null)
+
+
 def _hash_arg_bytes(c) -> Column:
     """The byte stream CH would hash for this argument: native LE
     bytes for a numeric-dtype argument (resolved by the compiler's
@@ -343,6 +452,9 @@ def _city_hash64_multi(*cs) -> Column:
     whole chain compiles as ONE F.expr parse when every argument
     renders in the safe text subset (round 10 — the Column pair
     trees cost ~0.4 s of py4j construction per call site)."""
+    col = _np_hash_multi("city", cs)
+    if col is not None:
+        return col
     from .hashing import hash128to64_sql
 
     texts = [_city_one_txt(c) for c in cs]
@@ -365,6 +477,9 @@ def _murmur2_64_multi(*cs) -> Column:
     per argument (string rendering); multi-arg combines as the hash
     of the 16-byte LE pair. Single-parse text path when every
     argument renders safely (round 10)."""
+    col = _np_hash_multi("m2_64", cs)
+    if col is not None:
+        return col
     from .murmur import murmur2_64 as _m2_col
     from .murmur import murmur2_64_fast as _m2
 
@@ -427,6 +542,9 @@ def _xxh64_multi(*cs) -> Column:
     combineHashesFunc pattern (that applies to sipHash64, the murmur
     family and xxHash32); round 9 combined as XXH64 of the 16-byte
     LE pair, which diverged from CH (ADVICE r9)."""
+    col = _np_hash_multi("xx", cs)
+    if col is not None:
+        return col
     if len(cs) > 1:
         from .hashing import hash128to64_sql
         from .xxhash import xxh64_sql
@@ -473,6 +591,9 @@ def _murmur2_32_seeded_multi(seed: int, mask: int | None = None):
     combines as the hash of the 8-byte LE pair."""
 
     def build(*cs) -> Column:
+        col = _np_hash_multi("m2_32", cs, seed=seed, mask=mask)
+        if col is not None:
+            return col
         from .murmur import murmur2_32 as _m232
 
         if len(cs) > 1:
@@ -507,6 +628,10 @@ def _gcc_murmur_multi(*cs) -> Column:
     murmur.murmur2_64_sql); multi-arg combines as the hash of the
     16-byte LE pair."""
     from .murmur import GCC_SEED
+
+    col = _np_hash_multi("m2_64", cs, seed=GCC_SEED)
+    if col is not None:
+        return col
     from .murmur import murmur2_64 as _m2_col
     from .murmur import murmur2_64_fast as _m2
 
@@ -533,6 +658,9 @@ def _murmur3_64_multi(*cs) -> Column:
     hash of the 16-byte LE pair. Single-parse text path when every
     argument renders safely (round 10 — the struct fold's Column
     tree was the costliest build in the combine probe)."""
+    col = _np_hash_multi("m3_64", cs)
+    if col is not None:
+        return col
     from .murmur3_128 import murmur3_64 as _m3_64
     from .murmur3_128 import murmur3_64_sql
 
@@ -565,6 +693,9 @@ def _sip_hash64_multi(*cs) -> Column:
     rendering; multi-arg combines CH-style — SipHash of the 16-byte
     little-endian concatenation of (h_prev, h_i). Single-parse text
     path when every argument renders safely (round 10)."""
+    col = _np_hash_multi("sip", cs)
+    if col is not None:
+        return col
     if len(cs) > 1:
         from .siphash import sip_hash64_sql
 
